@@ -1,0 +1,54 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}. The driver records this per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sqlmesh_spark.registry import load_all
+from sqlmesh_spark.session import build_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="sqlmesh_spark_bench")
+
+    cases = {n: c for n, c in load_all().items() if "bench" in c.tags}
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # queries, not session startup.
+    next(iter(cases.values())).fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, case in cases.items():
+        t0 = time.perf_counter()
+        df = case.fn(spark, sf_dir)
+        # Force full materialization of every row without driver collect.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

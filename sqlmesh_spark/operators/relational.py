@@ -1,0 +1,495 @@
+"""Relational query surface — the constructs SQLMesh models/framework emit.
+
+SQLMesh delegates all relational execution to the engine (SURVEY §2.B); here
+the engine is Spark. These cases cover every construct the reference's
+framework generates (equi joins of all shapes, group-by aggregates, window
+dedup, unions, time-range predicates, date spines) plus TPC-H-style analyses
+proving the engine side.
+
+Scale notes (100 TB):
+- Fact-fact joins (lineitem⋈orders) shuffle on the join key; dimension
+  joins broadcast (region/nation always; AQE handles customer/supplier when
+  post-filter size is under the threshold).
+- Money aggregates use exact integer-cents arithmetic: per-row
+  ROUND(x*100)→BIGINT is bit-identical across engines (same IEEE multiply,
+  same half-away-from-zero round), and integer SUM is order-insensitive —
+  so results are stable under AQE re-planning and partial-agg reordering.
+
+Reference parity: construct inventory at sqlmesh/core/engine_adapter/
+base.py:2037-2148 (joins/unions), sqlmesh/core/macros.py:1286-1292 (window
+dedup), sqlmesh/utils/date.py:224-270 (time-range predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sqlmesh_spark.registry import register
+from sqlmesh_spark.sources.tables import load_table
+
+
+def _cents(expr, unit: int = 100) -> Column:
+    """Exact per-row integer scaling: ROUND(x*unit) as BIGINT.
+
+    The multiply is one IEEE op (identical in any engine), the round is
+    half-away-from-zero (Spark HALF_UP == DuckDB round), so every engine
+    derives the same int64 — making SUM order-insensitive and exact.
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return F.round(c * unit).cast("bigint")
+
+
+def _money_sum(expr, alias: str, unit: int = 100) -> Column:
+    return (F.sum(_cents(expr, unit)).cast("double") / unit).alias(alias)
+
+
+def _avg6(expr, alias: str, unit: int = 100) -> Column:
+    """Average with exact integer sum, rounded to 6 places."""
+    return F.round(
+        F.sum(_cents(expr, unit)).cast("double") / (F.count(F.lit(1)) * unit), 6
+    ).alias(alias)
+
+
+# Oracle-side SQL for the same patterns (DuckDB dialect == ANSI here).
+def _sql_money_sum(expr: str, alias: str, unit: int = 100) -> str:
+    return f"CAST(SUM(CAST(ROUND(({expr}) * {unit}) AS BIGINT)) AS DOUBLE) / {unit} AS {alias}"
+
+
+def _sql_avg6(expr: str, alias: str, unit: int = 100) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST(ROUND(({expr}) * {unit}) AS BIGINT)) AS DOUBLE)"
+        f" / ({unit} * COUNT(*)), 6) AS {alias}"
+    )
+
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+# --------------------------------------------------------------------------
+# Flagship: daily revenue (the minimum end-to-end slice of SURVEY §7)
+# --------------------------------------------------------------------------
+
+DAILY_REVENUE_ORACLE = f"""
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       {_sql_money_sum(REVENUE, "revenue")},
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("daily_revenue", oracle=DAILY_REVENUE_ORACLE, tags=("relational", "flagship", "bench"))
+def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(
+            _money_sum(rev, "revenue"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style engine coverage
+# --------------------------------------------------------------------------
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_money_sum("l_quantity", "sum_qty")},
+       {_sql_money_sum("l_extendedprice", "sum_base_price")},
+       {_sql_money_sum(REVENUE, "sum_disc_price")},
+       {_sql_money_sum(REVENUE + " * (1 + l_tax)", "sum_charge")},
+       {_sql_avg6("l_quantity", "avg_qty")},
+       {_sql_avg6("l_extendedprice", "avg_price")},
+       {_sql_avg6("l_discount", "avg_disc", unit=1000000)},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE, tags=("relational", "bench"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = rev * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _money_sum("l_quantity", "sum_qty"),
+        _money_sum("l_extendedprice", "sum_base_price"),
+        _money_sum(rev, "sum_disc_price"),
+        _money_sum(charge, "sum_charge"),
+        _avg6("l_quantity", "avg_qty"),
+        _avg6("l_extendedprice", "avg_price"),
+        _avg6("l_discount", "avg_disc", unit=1_000_000),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {_sql_money_sum(REVENUE, "revenue")},
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=Q3_ORACLE, tags=("relational", "bench"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        # customer is the small side post-filter — broadcast it so the big
+        # fact join is the only shuffle.
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(_money_sum(rev, "revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n_name,
+       {_sql_money_sum(REVENUE, "revenue")}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("relational", "bench"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_money_sum(rev, "revenue"))
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {_sql_money_sum(REVENUE, "revenue")},
+       CAST(ROUND(ANY_VALUE(c_acctbal) * 100) AS DOUBLE) / 100 AS c_acctbal,
+       ANY_VALUE(n_name) AS n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=Q10_ORACLE, tags=("relational", "bench"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _money_sum(rev, "revenue"),
+            (F.round(F.any_value("c_acctbal") * 100).cast("double") / 100).alias("c_acctbal"),
+            F.any_value("n_name").alias("n_name"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Framework-generated construct coverage
+# --------------------------------------------------------------------------
+
+WINDOW_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+@register("window_dedup_latest", oracle=WINDOW_DEDUP_ORACLE, tags=("relational",))
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER()=1 dedup — the construct @deduplicate expands to
+    (reference macros.py:1286-1292). Orders by exact epoch-nanos so
+    nanosecond-precision engines agree on ties."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+TOPK_ORACLE = f"""
+SELECT p_brand, p_partkey, revenue FROM (
+  SELECT p_brand, p_partkey,
+         {_sql_money_sum(REVENUE, "revenue")},
+         ROW_NUMBER() OVER (
+           PARTITION BY p_brand
+           ORDER BY CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 DESC,
+                    p_partkey) AS rn
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+) t WHERE rn <= 3
+"""
+
+
+@register("topk_per_group", oracle=TOPK_ORACLE, tags=("relational", "bench"))
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per brand — window over aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(_money_sum(rev, "revenue"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "revenue")
+    )
+
+
+RUNNING_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_qty
+FROM lineitem WHERE l_suppkey <= 10
+"""
+
+
+@register("window_running_total", oracle=RUNNING_ORACLE, tags=("relational",))
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(_cents("l_quantity")).over(w).cast("double") / 100).alias("running_qty"),
+    )
+
+
+SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800000000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+@register("sessionization", oracle=SESSION_ORACLE, tags=("relational",))
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + flag + sum — the batch analog of
+    session_window (streaming variant in sqlmesh_spark.streaming).
+    Gap math runs on exact epoch-nanos."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev = F.lag("ts_ns").over(w)
+    is_new = F.when(prev.isNull() | ((F.col("ts_ns") - prev) > 1_800_000_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+UNION_ORACLE = """
+SELECT kind, key_id FROM (
+  SELECT 'customer' AS kind, c_custkey AS key_id FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT 'supplier' AS kind, s_suppkey AS key_id FROM supplier WHERE s_acctbal > 9000
+) u
+UNION
+SELECT 'supplier' AS kind, s_suppkey AS key_id FROM supplier WHERE s_acctbal > 9500
+"""
+
+
+@register("union_all_distinct", oracle=UNION_ORACLE, tags=("relational",))
+def union_all_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + UNION DISTINCT (reference base.py:2037-2044)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.lit("customer").alias("kind"), F.col("c_custkey").alias("key_id"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("key_id"))
+    )
+    s2 = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("key_id"))
+    )
+    return c.unionByName(s).unionByName(s2).distinct()
+
+
+ANTI_SEMI_ORACLE = """
+SELECT 'no_orders' AS segment,
+       (SELECT COUNT(*) FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n
+UNION ALL
+SELECT 'with_orders' AS segment,
+       (SELECT COUNT(*) FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n
+"""
+
+
+@register("semi_anti_join", oracle=ANTI_SEMI_ORACLE, tags=("relational",))
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS via left_semi / left_anti joins. Scalar aggs so
+    an empty branch still yields its zero row."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("no_orders").alias("segment"), "n")
+    )
+    with_ = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("segment"), "n")
+    )
+    return without.unionByName(with_)
+
+
+ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+       {_sql_money_sum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_agg", oracle=ROLLUP_ORACLE, tags=("relational",))
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("gid"),
+            _money_sum("l_quantity", "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty")
+    )
+
+
+TIME_RANGE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
+"""
+
+
+@register("time_range_filter", oracle=TIME_RANGE_ORACLE, tags=("relational",))
+def time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-open interval predicate [start, end) — the exact WHERE every
+    incremental-by-time materialization injects (reference base.py:1609,
+    utils/date.py:224-270). On a time-partitioned table this predicate is
+    what partition pruning keys off."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-02-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+FULL_JOIN_ORACLE = """
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       c.n_customers, s.n_suppliers
+FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+ON c.c_nationkey = s.s_nationkey
+"""
+
+
+@register("full_outer_join", oracle=FULL_JOIN_ORACLE, tags=("relational",))
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native FULL OUTER JOIN — the reference emulates it as LEFT ∪ RIGHT
+    for engines lacking it (base.py:2093-2148); Spark has it natively."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )

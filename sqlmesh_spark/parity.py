@@ -1,0 +1,93 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs a registered Spark query and its DuckDB oracle side-by-side over the
+same parquet and compares row-count, column names, and an order-insensitive
+value representation. Used by tests; stricter-is-fine: exact string equality
+after canonicalization.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import duckdb
+import pandas as pd
+
+from sqlmesh_spark.sources.tables import TABLES
+
+
+def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(out)
+
+
+def compare_case(
+    spark,
+    sf_dir: str,
+    name: str,
+    fn,
+    oracle: Optional[str],
+    limit_mismatches: int = 5,
+) -> dict:
+    sdf = fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    result = {
+        "name": name,
+        "rows": len(spark_pdf),
+        "columns": sorted(spark_pdf.columns),
+        "match": None,
+        "detail": "",
+    }
+    if oracle is None:
+        result["match"] = len(spark_pdf) >= 0
+        result["detail"] = "rows-only (no oracle)"
+        return result
+    con = duck_connection(sf_dir)
+    try:
+        duck_pdf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        result["match"] = False
+        result["detail"] = f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        return result
+    if len(spark_pdf) != len(duck_pdf):
+        result["match"] = False
+        result["detail"] = f"row counts differ: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+        return result
+    s_rows = canonical_rows(spark_pdf)
+    d_rows = canonical_rows(duck_pdf)
+    if s_rows == d_rows:
+        result["match"] = True
+        return result
+    diffs = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ][:limit_mismatches]
+    result["match"] = False
+    result["detail"] = f"value mismatch, first diffs: {diffs}"
+    return result

@@ -1,0 +1,59 @@
+"""Central query/oracle registry backing ``__spark_entry__``.
+
+Every operator the engine claims is registered here as a named case:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+an equivalent ANSI-SQL oracle string run by DuckDB over the same parquet.
+
+Determinism rules for oracle hash parity (driver compares row-count, schema,
+and an order-insensitive value hash):
+- Money/double aggregates: compute in DECIMAL (exact, order-insensitive),
+  ROUND, then CAST to DOUBLE in BOTH engines so bit patterns match.
+- Averages: exact decimal SUM cast to DOUBLE divided by COUNT — identical
+  IEEE division both sides — then ROUND.
+- Column names are aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryCase:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]  # ANSI SQL for DuckDB, or None → rows-only check
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, QueryCase] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query case (idempotent per name)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QueryCase(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QueryCase]:
+    """Import every operator module so decorators populate REGISTRY."""
+    # Imports are local to avoid cycles: operator modules import `register`.
+    from sqlmesh_spark.operators import (  # noqa: F401
+        relational,
+        materialize_cases,
+        scd2_cases,
+    )
+    from sqlmesh_spark import audits, macros, diff, metrics  # noqa: F401
+    from sqlmesh_spark.llm import dedup, similarity, text  # noqa: F401
+    from sqlmesh_spark.plans import framework_cases  # noqa: F401
+
+    return REGISTRY

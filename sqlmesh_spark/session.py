@@ -1,0 +1,72 @@
+"""SparkSession construction tuned for both local testing and cluster scale.
+
+On a real cluster the same builder settings apply (AQE, UTC, Arrow); only
+master/memory come from the environment. Local tests use local[N] with
+shuffle partitions sized to cores — the 200 default is wrong at both ends
+of the scale spectrum.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session(
+    app_name: str = "sqlmesh_spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on (runtime coalescing, skew-join splitting) — at 100 TB the
+      static planner cannot know post-filter sizes; AQE re-plans.
+    - UTC session timezone — parquet timestamps compare cleanly against
+      external oracles and across clusters in different zones.
+    - Arrow enabled — every pandas interchange (createDataFrame/toPandas/
+      pandas UDF) goes through columnar batches, not pickled rows.
+    - Dynamic partition overwrite — INSERT OVERWRITE replaces only the
+      partitions present in the incoming data, which is the core
+      incremental-by-time materialization primitive.
+    """
+    cpus = str(cpus or _DEFAULT_CPUS)
+    shuffle = str(shuffle_partitions or max(int(cpus) if cpus.isdigit() else 32, 8))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _warehouse_dir() -> str:
+    """Scratch warehouse outside the repo so test writes never dirty git."""
+    d = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if not d:
+        d = os.path.join(tempfile.gettempdir(), "sqlmesh_spark_warehouse")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def scratch_dir(suffix: str = "") -> str:
+    """A throwaway directory for materialization outputs."""
+    return tempfile.mkdtemp(prefix=f"sqlmesh_spark_{suffix}_")

@@ -1,0 +1,67 @@
+"""Parquet source registry for the synthetic TPC-H-ish test tables.
+
+Reads are plain ``spark.read.parquet`` — the columnar scan with predicate
+pushdown and column pruning is the scale path; any filter/projection in a
+downstream query reaches the footer-level scan via Catalyst.
+
+Reference parity: SQLMesh models external tables via ``ExternalModel``
+(sqlmesh/core/model/definition.py:1969) — named sources with a schema the
+planner can read. Here the registry is the external-model catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor: at TPC-H
+# geometry region/nation are fixed-size, supplier/part/customer grow with SF
+# but stay orders of magnitude below the facts. Only the fixed-size ones are
+# safe to force-broadcast at 100 TB; the rest are left to AQE.
+BROADCAST_SAFE = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp literals and date_format must agree with the UTC-naive
+    # parquet timestamps regardless of the host session's zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as parquet TIMESTAMP(NANOS), which the Spark
+    vectorized reader rejects. Read it as a raw int64 (legacy conf, runtime
+    settable) and expose BOTH:
+    - ``ts``    TIMESTAMP truncated to microseconds (Spark's native precision)
+    - ``ts_ns`` BIGINT exact epoch-nanos, for ordering/arithmetic that must
+      match nanosecond-precision engines bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_ns", F.col("ts").cast("bigint")).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each parquet table as a temp view for spark.sql queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

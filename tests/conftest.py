@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import pytest
+
+from sqlmesh_spark.session import build_session
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(app_name="sqlmesh_spark_tests", cpus=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
