@@ -1,0 +1,294 @@
+"""SparkAdapter — the materialization-primitive surface of the engine.
+
+The reference routes every physical operation through an EngineAdapter
+(sqlmesh/core/engine_adapter/base.py:84; Spark subclass spark.py:47). This
+is the equivalent surface implemented directly on a SparkSession with
+parquet-backed managed tables:
+
+- ``insert_overwrite_by_time_partition`` — the core incremental op — uses
+  dynamic partition overwrite (the same InsertOverwriteStrategy the
+  reference picks for Spark, spark.py:52), so only partitions present in
+  the incoming batch are replaced. At 100 TB this is what keeps a daily
+  backfill from rewriting the table.
+- ``merge`` — no Delta in this environment, so upserts use the reference's
+  own logical-merge fallback (mixins.py:35 LogicalMergeMixin →
+  base.py:2910 _replace_by_key): anti-join out matched keys, append the
+  deduped source, atomically swap.
+- ``replace_query`` / table swaps emulate CREATE OR REPLACE atomicity by
+  staging to a temp table and renaming — the same immutable-table+pointer
+  discipline the reference uses for its virtual layer.
+
+All DDL goes through ``spark.sql`` so the catalog (in-memory here,
+Hive/Glue/Unity in production) stays the source of truth.
+"""
+
+from __future__ import annotations
+
+import uuid
+from contextlib import contextmanager
+from typing import Iterable, Mapping, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryOrDF = Union[str, DataFrame]
+
+
+class SparkAdapter:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        # Dynamic overwrite is the contract for insert_overwrite_*; set at
+        # runtime so the adapter works under any host session.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- helpers -----------------------------------------------------------
+
+    def _df(self, query_or_df: QueryOrDF) -> DataFrame:
+        if isinstance(query_or_df, str):
+            return self.spark.sql(query_or_df)
+        return query_or_df
+
+    def _tmp_name(self, base: str) -> str:
+        return f"{base}__sqlmesh_tmp_{uuid.uuid4().hex[:8]}"
+
+    # -- namespace DDL (base.py:1380-1452) ---------------------------------
+
+    def create_schema(self, name: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+    def drop_schema(self, name: str, cascade: bool = True) -> None:
+        self.spark.sql(f"DROP DATABASE IF EXISTS {name}{' CASCADE' if cascade else ''}")
+
+    # -- table DDL (base.py:619-780, 1059-1196) ----------------------------
+
+    def create_table(
+        self,
+        table: str,
+        columns_to_types: Mapping[str, str],
+        partitioned_by: Sequence[str] = (),
+        clustered_by: Sequence[str] = (),
+        buckets: int = 0,
+        storage_format: str = "parquet",
+    ) -> None:
+        cols = ", ".join(f"{c} {t}" for c, t in columns_to_types.items())
+        ddl = f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING {storage_format}"
+        if partitioned_by:
+            ddl += f" PARTITIONED BY ({', '.join(partitioned_by)})"
+        if clustered_by and buckets:
+            # Bucketing co-locates later joins/aggs on these keys without a
+            # shuffle — the parquet-era answer to Delta CLUSTER BY.
+            ddl += f" CLUSTERED BY ({', '.join(clustered_by)}) INTO {buckets} BUCKETS"
+        self.spark.sql(ddl)
+
+    def ctas(
+        self,
+        table: str,
+        query_or_df: QueryOrDF,
+        partitioned_by: Sequence[str] = (),
+        storage_format: str = "parquet",
+    ) -> None:
+        df = self._df(query_or_df)
+        writer = df.write.format(storage_format).mode("errorifexists")
+        if partitioned_by:
+            writer = writer.partitionBy(*partitioned_by)
+        writer.saveAsTable(table)
+
+    def create_view(self, name: str, query_or_df: QueryOrDF, replace: bool = True) -> None:
+        if isinstance(query_or_df, str):
+            self.spark.sql(
+                f"CREATE {'OR REPLACE ' if replace else ''}VIEW {name} AS {query_or_df}"
+            )
+        else:
+            # Persistent catalog views cannot reference temp objects, so a
+            # DataFrame source becomes a (session-scoped) temp view. The
+            # framework's virtual layer always passes SQL over physical
+            # tables, which takes the persistent branch above.
+            query_or_df.createOrReplaceTempView(name.replace(".", "__"))
+
+    def drop_table(self, table: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def drop_view(self, name: str) -> None:
+        self.spark.sql(f"DROP VIEW IF EXISTS {name}")
+
+    def rename_table(self, old: str, new: str) -> None:
+        self.spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
+
+    def clone_table(self, target: str, source: str) -> None:
+        """base.py:1059 — dev-preview clone. Parquet has no zero-copy
+        SHALLOW CLONE (that needs Delta/Iceberg); a CTAS copy preserves the
+        semantics (isolated writable copy) at the cost of a data copy."""
+        self.ctas(target, self.spark.table(source))
+
+    def alter_table(self, table: str, alter_expressions: Iterable[str]) -> None:
+        """Apply SchemaDiffer operations (base.py:1183)."""
+        for expr in alter_expressions:
+            self.spark.sql(expr)
+
+    # -- catalog introspection (base.py:1468-1497, spark.py:354-390) -------
+
+    def table_exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(table)
+
+    def columns(self, table: str) -> dict[str, str]:
+        return {f.name: f.dataType.simpleString() for f in self.spark.table(table).schema}
+
+    def get_data_objects(self, schema: str) -> list[dict]:
+        out = []
+        for t in self.spark.catalog.listTables(schema):
+            out.append({"name": t.name, "schema": schema, "type": t.tableType.lower()})
+        return out
+
+    # -- DML ---------------------------------------------------------------
+
+    def insert_append(self, table: str, query_or_df: QueryOrDF) -> None:
+        """base.py:1500 — plain INSERT INTO. v1 insertInto matches columns
+        positionally, so project into the table's declared order first."""
+        df = self._df(query_or_df)
+        cols = self.spark.table(table).columns
+        df.select(*cols).write.insertInto(table, overwrite=False)
+
+    def insert_overwrite_by_time_partition(
+        self,
+        table: str,
+        query_or_df: QueryOrDF,
+        time_column: str,
+        start: str,
+        end: str,
+    ) -> None:
+        """base.py:1580 — THE incremental op: replace exactly the rows of
+        [start, end) in time_column.
+
+        The table is partitioned on a day column derived from time_column
+        (partition_by_time_column, kind.py:471), so with dynamic partition
+        overwrite Spark replaces only the partitions the incoming batch
+        touches — no full rewrite, no delete+insert transaction needed.
+        The incoming frame is defensively re-filtered to the interval, the
+        same WHERE the reference injects (base.py:1609).
+        """
+        df = self._df(query_or_df)
+        df = df.filter(
+            (F.col(time_column) >= F.lit(start).cast("timestamp"))
+            & (F.col(time_column) < F.lit(end).cast("timestamp"))
+        )
+        self._insert_overwrite_partitions(table, df)
+
+    def insert_overwrite_by_partition(self, table: str, query_or_df: QueryOrDF) -> None:
+        """base.py:1551 — INCREMENTAL_BY_PARTITION: replace whole partitions
+        present in the incoming data."""
+        self._insert_overwrite_partitions(table, self._df(query_or_df))
+
+    def _insert_overwrite_partitions(self, table: str, df: DataFrame) -> None:
+        # With partitionOverwriteMode=dynamic (set in __init__), an
+        # overwrite insertInto replaces only the partitions present in df.
+        cols = self.spark.table(table).columns
+        df.select(*cols).write.insertInto(table, overwrite=True)
+
+    def delete_from(self, table: str, where: str) -> None:
+        """base.py:1497 — parquet path: rewrite keeping the complement."""
+        kept = self.spark.table(table).filter(f"NOT ({where})")
+        self._atomic_rewrite(table, kept)
+
+    def update_table(self, table: str, set_exprs: Mapping[str, str], where: str) -> None:
+        """base.py:1715 — parquet path: CASE-projection rewrite."""
+        cols = []
+        for c in self.columns(table):
+            if c in set_exprs:
+                cols.append(F.expr(f"CASE WHEN {where} THEN {set_exprs[c]} ELSE {c} END").alias(c))
+            else:
+                cols.append(F.col(c))
+        self._atomic_rewrite(table, self.spark.table(table).select(*cols))
+
+    def merge(
+        self,
+        target: str,
+        source: QueryOrDF,
+        unique_key: Sequence[str],
+        merge_filter: Optional[str] = None,
+    ) -> None:
+        """base.py:2203 upsert via the logical-merge fallback the reference
+        uses for MERGE-less engines (_replace_by_key, base.py:2910):
+
+        1. dedup source by key (latest wins is the caller's ordering duty;
+           here ROW_NUMBER over the key with no order = arbitrary-but-
+           deterministic pick, matching reference semantics for unordered
+           sources),
+        2. keep target rows whose key is NOT in the source (anti join),
+        3. union the deduped source, swap atomically.
+
+        ``merge_filter`` (kind.py:516) narrows which *target* rows are
+        eligible for replacement — the pushdown that keeps a key-merge from
+        scanning all history at scale.
+        """
+        src = self._df(source)
+        src = src.dropDuplicates(list(unique_key))
+        tgt = self.spark.table(target)
+        if merge_filter:
+            eligible = tgt.filter(merge_filter)
+            frozen = tgt.filter(f"NOT ({merge_filter})")
+        else:
+            eligible, frozen = tgt, None
+        kept = eligible.join(src, on=list(unique_key), how="left_anti")
+        out = kept.unionByName(src.select(*[c for c in tgt.columns]))
+        if frozen is not None:
+            out = frozen.unionByName(out)
+        self._atomic_rewrite(target, out)
+
+    def replace_query(self, table: str, query_or_df: QueryOrDF) -> None:
+        """base.py:459 — atomic full refresh (CREATE OR REPLACE TABLE)."""
+        df = self._df(query_or_df)
+        if self.table_exists(table):
+            self._atomic_rewrite(table, df)
+        else:
+            self.ctas(table, df)
+
+    def _atomic_rewrite(self, table: str, df: DataFrame) -> None:
+        """Stage to a temp table, then swap via rename — the no-transaction
+        atomicity discipline (immutable tables + pointer swap) the
+        reference's virtual layer uses (plan/stages.py:165)."""
+        tmp = self._tmp_name(table)
+        df.write.format("parquet").saveAsTable(tmp)
+        self.drop_table(table)
+        self.rename_table(tmp, table)
+
+    # -- seeds (model/seed.py:91, evaluator.py:2421) -----------------------
+
+    def load_seed(
+        self,
+        table: str,
+        csv_text: str,
+        columns_to_types: Mapping[str, str],
+    ) -> None:
+        """CSV seed → typed table. Parsed driver-side (seeds are small by
+        definition); schema declared, never inferred."""
+        import io
+
+        import pandas as pd
+
+        pdf = pd.read_csv(io.StringIO(csv_text))
+        schema = ", ".join(f"{c} {t}" for c, t in columns_to_types.items())
+        sdf = self.spark.createDataFrame(pdf[[c for c in columns_to_types]], schema=schema)
+        self.replace_query(table, sdf)
+
+    # -- fetch (base.py:2381-2450, spark.py:342-352) -----------------------
+
+    def fetchdf(self, query: str):
+        return self.spark.sql(query).toPandas()
+
+    def fetchone(self, query: str):
+        rows = self.spark.sql(query).limit(1).collect()
+        return tuple(rows[0]) if rows else None
+
+    def fetch_pyspark_df(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- temp tables (base.py:2650, spark.py:329) --------------------------
+
+    @contextmanager
+    def temp_view(self, df: DataFrame, base: str = "tmp"):
+        name = self._tmp_name(base)
+        df.createOrReplaceTempView(name)
+        try:
+            yield name
+        finally:
+            self.spark.catalog.dropTempView(name)
