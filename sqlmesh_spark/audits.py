@@ -27,11 +27,17 @@ HTTP_METHODS = ("GET", "POST", "PUT", "DELETE", "PATCH", "HEAD", "OPTIONS", "TRA
 
 
 def _rx(col: str, pattern: str, dialect: str) -> str:
-    """Partial-match regex predicate in either dialect."""
+    """Partial-match regex predicate in either dialect.
+
+    Patterns are stored as real regex text. Spark string literals unescape
+    backslashes ('\\s' in SQL → \\s regex needs doubling); DuckDB literals
+    are raw. Verified empirically — getting this wrong silently turns \\s
+    into 's' on the Spark side.
+    """
     esc = pattern.replace("'", "''")
     if dialect == DUCKDB:
         return f"regexp_matches({col}, '{esc}')"
-    return f"{col} RLIKE '{esc}'"
+    return f"{col} RLIKE '{esc.replace(chr(92), chr(92) * 2)}'"
 
 
 def _in_list(values: Iterable) -> str:

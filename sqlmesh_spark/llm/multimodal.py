@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content is modeled as a ``binary`` column plus a typed
+metadata struct. The Spark-side plumbing — schema, partition-friendly
+batch shapes, Arrow-batched pandas UDF signatures over ``mapInPandas`` —
+is real and tested; the actual media decode is stubbed (no image/audio
+libraries in this environment) behind a clearly-marked gate:
+
+- ``decode_image`` raises NotImplementedError unless PIL is importable;
+- ``fake_features`` is the deterministic stand-in the tests/oracle use
+  (byte length + first/last byte), exercising the exact same mapInPandas
+  path a real decoder would.
+
+At scale the mapInPandas stage is the pattern that matters: media bytes
+stay in executor-side Arrow batches; nothing ever collects to the driver,
+and the decode parallelism is the scan parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlmesh_spark.registry import register
+from sqlmesh_spark.sources.tables import load_table, register_views
+
+try:  # pragma: no cover - decode libs absent in this environment by design
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes int, first_byte int, last_byte int"
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a media payload: utf-8 bytes of the text stand in for image
+    bytes; metadata struct mirrors what an ingest service would attach."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image(payload: bytes):
+    """REAL-DECODE STUB: requires an image library not present in this
+    environment. The Spark plumbing around it (attach → mapInPandas →
+    features) is fully exercised with fake_features instead."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; environment ships none — "
+            "use fake_features for the plumbing path"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in 'decoder': per-payload byte stats, per Arrow
+    batch on executors — the exact shape a resize/frame-sample/embedding
+    extractor would use.
+
+    The batch function is a CLOSURE, not a module-level function: cloudpickle
+    then serializes it by value, so Spark's Python workers never need
+    sqlmesh_spark importable (the driver process may run from anywhere).
+    """
+
+    def fake_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(fake_feature_batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Registry cases
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+       'application/octet-stream' AS mime, source AS origin
+FROM documents
+"""
+
+
+@register("multimodal_metadata", oracle=MULTIMODAL_META_ORACLE, tags=("llm", "multimodal"))
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    attached = attach_binary_payload(docs)
+    return attached.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.origin").alias("origin"),
+    )
+
+
+# Documents are ASCII, so first/last byte == ascii() of first/last char —
+# giving the pandas-UDF path a true SQL oracle.
+MULTIMODAL_FEATURES_ORACLE = """
+SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       ascii(substr(text, length(text), 1)) AS last_byte
+FROM documents
+"""
+
+
+@register("multimodal_features", oracle=MULTIMODAL_FEATURES_ORACLE, tags=("llm", "multimodal"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs))

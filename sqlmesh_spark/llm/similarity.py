@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers, same contract (query_id → top-k neighbors by cosine):
+
+- ``ann_topk_bruteforce`` — exact: elementwise join + scaled-integer
+  accumulation. O(|Q|·|N|·d); the correctness baseline.
+- ``ann_lsh_bucketed`` — the scale path: random-hyperplane LSH buckets
+  vectors into 2^P sign-codes; candidates are same-bucket only, so the
+  pair space drops from |Q|·|N| to |Q|·|bucket|. Hyperplanes are
+  md5-derived pseudo-random integers, so both engines build identical
+  buckets and the case has a true value oracle.
+
+At 100 TB the bruteforce tier broadcast-joins the (small) query set
+against a partitioned corpus scan; the LSH tier shuffles once on bucket
+id. An IVF variant (k-means coarse quantizer) is the natural next step —
+same bucket-join shape with learned centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqlmesh_spark.llm.dedup import _hash60, _seq
+from sqlmesh_spark.registry import register
+from sqlmesh_spark.sources.tables import register_views
+
+
+def _elems(table: str, dialect: str) -> str:
+    if dialect == "duckdb":
+        return f"""
+  SELECT vec_id, CAST(i AS INT) AS ord, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+  FROM {table}, unnest(generate_series(1, len(embedding))) AS _i(i)
+"""
+    return f"""
+  SELECT vec_id, pos + 1 AS ord, CAST(val AS DOUBLE) AS val
+  FROM {table} LATERAL VIEW posexplode(embedding) AS pos, val
+"""
+
+
+_SIM = """
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(CAST(SUM(CAST(ROUND(q.val * c.val * 1000000) AS BIGINT)) AS DOUBLE)
+               / SQRT(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)), 6) AS cosine
+  FROM qelems q
+  JOIN celems c ON q.ord = c.ord {bucket_cond}
+  JOIN norms nq ON q.vec_id = nq.vec_id
+  JOIN norms nc ON c.vec_id = nc.vec_id
+  WHERE q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id, nq.nrm, nc.nrm
+)
+"""
+
+
+def ann_topk_bruteforce_sql(
+    table: str, n_queries: int = 10, k: int = 5, dialect: str = "spark"
+) -> str:
+    sim = _SIM.format(bucket_cond="")
+    return f"""
+WITH elems AS ({_elems(table, dialect)}),
+norms AS (
+  SELECT vec_id, SUM(CAST(ROUND(val * val * 1000000) AS BIGINT)) AS nrm
+  FROM elems GROUP BY vec_id
+),
+qelems AS (SELECT * FROM elems WHERE vec_id < {n_queries}),
+celems AS (SELECT * FROM elems),
+{sim},
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+def ann_lsh_bucketed_sql(
+    table: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 4,
+    dialect: str = "spark",
+) -> str:
+    """Sign-LSH: bucket = P-bit code of hyperplane-side bits. With P=4 →
+    16 buckets over 500 vectors, each query compares against ~1/16 of the
+    corpus. Recall is approximate by design; the oracle runs the identical
+    pipeline so results still hash-match exactly."""
+    plane_seed = "CONCAT(CAST(p AS STRING), '_', CAST(ord AS STRING))"
+    comp = f"({_hash60(plane_seed, dialect)} % 2001) - 1000"
+    sim = _SIM.format(bucket_cond="AND qb.bucket = cb.bucket")
+    return f"""
+WITH elems AS ({_elems(table, dialect)}),
+norms AS (
+  SELECT vec_id, SUM(CAST(ROUND(val * val * 1000000) AS BIGINT)) AS nrm
+  FROM elems GROUP BY vec_id
+),
+plane_bits AS (
+  SELECT vec_id, p,
+         CASE WHEN SUM(CAST(ROUND(({comp}) * val * 1000) AS BIGINT)) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM elems, {_seq("0", str(n_planes - 1), "p", dialect)}
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id, SUM(bit * CAST(POWER(2, p) AS BIGINT)) AS bucket
+  FROM plane_bits GROUP BY vec_id
+),
+qelems AS (SELECT * FROM elems WHERE vec_id < {n_queries}),
+celems AS (SELECT * FROM elems),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(CAST(SUM(CAST(ROUND(q.val * c.val * 1000000) AS BIGINT)) AS DOUBLE)
+               / SQRT(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)), 6) AS cosine
+  FROM qelems q
+  JOIN buckets qb ON q.vec_id = qb.vec_id
+  JOIN buckets cb ON qb.bucket = cb.bucket
+  JOIN celems c ON c.vec_id = cb.vec_id AND q.ord = c.ord
+  JOIN norms nq ON q.vec_id = nq.vec_id
+  JOIN norms nc ON c.vec_id = nc.vec_id
+  WHERE q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id, nq.nrm, nc.nrm
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+def _case(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("embeddings",))
+        return spark.sql(sql_fn("embeddings", dialect="spark"))
+
+    return run
+
+
+register(
+    "ann_topk_bruteforce",
+    oracle=ann_topk_bruteforce_sql("embeddings", dialect="duckdb"),
+    tags=("llm", "similarity", "bench"),
+)(_case(ann_topk_bruteforce_sql))
+
+register(
+    "ann_lsh_bucketed",
+    oracle=ann_lsh_bucketed_sql("embeddings", dialect="duckdb"),
+    tags=("llm", "similarity"),
+)(_case(ann_lsh_bucketed_sql))

@@ -1,0 +1,129 @@
+"""Text-analysis operators over the documents table.
+
+All four operators are pure Spark SQL expressions (JVM-side, whole-stage
+codegen) — at 100 TB these run at scan speed with no Python in the loop.
+Each has a DuckDB oracle computing the identical result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqlmesh_spark.registry import register
+from sqlmesh_spark.sources.tables import register_views
+
+# Dialect helpers — Spark / DuckDB pairs for the few divergent functions.
+
+
+def _rx_count(col: str, pat: str, dialect: str) -> str:
+    """Patterns are real regex text; Spark literals need backslash
+    doubling, DuckDB literals are raw (see audits._rx)."""
+    if dialect == "duckdb":
+        return f"len(regexp_extract_all({col}, '{pat}'))"
+    return f"regexp_count({col}, '{pat.replace(chr(92), chr(92) * 2)}')"
+
+
+def _norm(col: str) -> str:
+    """Normalization for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace. Identical regex semantics in both engines."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ''),"
+        f" ' +', ' '))"
+    )
+
+
+def token_count_sql(table: str, dialect: str = "spark") -> str:
+    """Whitespace tokens + a BPE-ish regex token count (letters runs /
+    digits / single punctuation — the classic pre-tokenizer shape)."""
+    ws = _rx_count("text", "[^ ]+", dialect)
+    bpe = _rx_count("text", "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]", dialect)
+    return f"""
+SELECT doc_id, {ws} AS ws_tokens, {bpe} AS bpe_tokens,
+       LENGTH(text) AS n_chars
+FROM {table}
+"""
+
+
+def quality_score_sql(table: str, dialect: str = "spark") -> str:
+    """Heuristic quality scoring: length, punctuation density, stopword
+    ratio, mean word length — the standard pre-training filters
+    (C4/Gopher-style rules) as one scan."""
+    n_words = _rx_count("text", "[^ ]+", dialect)
+    n_punct = _rx_count("text", "[.,!?;:]", dialect)
+    n_stop = _rx_count(
+        "lower(text)", "\\b(the|a|an|and|or|of|to|in|is|was)\\b", dialect
+    )
+    return f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       {n_words} AS n_words,
+       ROUND(CAST(LENGTH(text) AS DOUBLE) / {n_words}, 4) AS mean_word_len,
+       ROUND(CAST({n_punct} AS DOUBLE) / {n_words}, 4) AS punct_ratio,
+       ROUND(CAST({n_stop} AS DOUBLE) / {n_words}, 4) AS stopword_ratio,
+       CASE WHEN LENGTH(text) >= 100 AND {n_words} >= 20
+             AND CAST({n_punct} AS DOUBLE) / {n_words} < 0.3 THEN 1 ELSE 0 END AS keep
+FROM {table}
+"""
+
+
+_LANG_PROFILES = {
+    "en": "\\b(the|and|of|to|is)\\b",
+    "de": "\\b(der|die|das|und|ist)\\b",
+    "fr": "\\b(le|la|les|et|est)\\b",
+    "es": "\\b(el|la|los|y|es)\\b",
+}
+
+
+def langid_sql(table: str, dialect: str = "spark") -> str:
+    """N-gram/stopword-profile language ID: score per language = count of
+    profile matches; argmax with deterministic tie-break (score DESC, then
+    profile order). 'und' (undetermined) when nothing matches."""
+    scores = {
+        lang: _rx_count("lower(text)", pat, dialect) for lang, pat in _LANG_PROFILES.items()
+    }
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    langs = list(_LANG_PROFILES)
+    best = f"GREATEST({', '.join('s_' + l for l in langs)})"
+    pick = "CASE "
+    for lang in langs:  # first profile wins ties — deterministic
+        pick += f"WHEN s_{lang} = {best} AND s_{lang} > 0 THEN '{lang}' "
+    pick += "ELSE 'und' END"
+    return f"""
+SELECT doc_id, {pick} AS predicted_lang, {best} AS best_score
+FROM (SELECT doc_id, text, {score_cols} FROM {table}) scored
+"""
+
+
+def fingerprint_sql(table: str, dialect: str = "spark") -> str:
+    """Document fingerprint: md5 over normalized text plus a coarse
+    locality bucket (md5 of the first 64 normalized chars) — the cheap
+    prefilter for fuzzy dedup at scale."""
+    norm = _norm("text")
+    return f"""
+SELECT doc_id,
+       MD5({norm}) AS fingerprint,
+       MD5(SUBSTRING({norm}, 1, 64)) AS prefix_bucket
+FROM {table}
+"""
+
+
+def _case(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("documents",))
+        return spark.sql(sql_fn("documents", dialect="spark"))
+
+    return run
+
+
+register("text_token_count", oracle=token_count_sql("documents", "duckdb"), tags=("llm", "text"))(
+    _case(token_count_sql)
+)
+register("text_quality_score", oracle=quality_score_sql("documents", "duckdb"), tags=("llm", "text"))(
+    _case(quality_score_sql)
+)
+register("text_langid", oracle=langid_sql("documents", "duckdb"), tags=("llm", "text"))(
+    _case(langid_sql)
+)
+register("text_fingerprint", oracle=fingerprint_sql("documents", "duckdb"), tags=("llm", "text"))(
+    _case(fingerprint_sql)
+)

@@ -53,7 +53,7 @@ def load_all() -> dict[str, QueryCase]:
         scd2_cases,
     )
     from sqlmesh_spark import audits, macros, diff, metrics  # noqa: F401
-    from sqlmesh_spark.llm import dedup, similarity, text  # noqa: F401
+    from sqlmesh_spark.llm import dedup, multimodal, similarity, text  # noqa: F401
     from sqlmesh_spark.plans import framework_cases  # noqa: F401
 
     return REGISTRY
