@@ -1,0 +1,87 @@
+"""Linter rules over model definitions (reference linter/rules/builtin.py).
+
+Rules are pure checks over parsed models (+ optional Spark analysis for
+column validation); violations are returned, never raised — policy lives
+with the caller.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Mapping, Optional
+
+from pyspark.sql import SparkSession
+
+from sqlmesh_spark.core.model import Model, ModelKind
+
+
+@dataclass(frozen=True)
+class LintViolation:
+    rule: str
+    model: str
+    message: str
+
+
+def no_select_star(model: Model) -> Optional[str]:
+    """builtin.py:31 NoSelectStar: top-level SELECT * hides schema intent
+    and breaks fingerprint stability on upstream widening."""
+    if re.match(r"\s*SELECT\s+\*", model.query, re.IGNORECASE):
+        return "top-level SELECT * (declare projections explicitly)"
+    return None
+
+
+def no_missing_audits(model: Model) -> Optional[str]:
+    """builtin.py:111 NoMissingAudits."""
+    materialized = model.kind not in (ModelKind.VIEW, ModelKind.EMBEDDED, ModelKind.EXTERNAL)
+    if materialized and not model.audits:
+        return "materialized model has no audits"
+    return None
+
+
+def no_missing_external_models(model: Model, known: set[str]) -> Optional[str]:
+    """builtin.py:147: every dependency must be a model or an explicit
+    external reference (parquet.`path` / catalog table)."""
+    for dep in model.depends_on:
+        if dep not in known and not dep.startswith("parquet."):
+            return f"unknown dependency {dep!r} (not a model, not external)"
+    return None
+
+
+def ambiguous_or_invalid_column(
+    model: Model, spark: Optional[SparkSession], rendered_sql: Optional[str]
+) -> Optional[str]:
+    """builtin.py:98: let the analyzer decide — plan the rendered query
+    without executing; analysis exceptions surface invalid/ambiguous
+    references."""
+    if spark is None or rendered_sql is None:
+        return None
+    try:
+        spark.sql(rendered_sql).schema
+        return None
+    except Exception as e:  # AnalysisException and friends
+        return f"analysis failed: {str(e).splitlines()[0][:160]}"
+
+
+def lint_models(
+    models: Mapping[str, Model],
+    spark: Optional[SparkSession] = None,
+    rendered: Optional[Mapping[str, str]] = None,
+) -> list[LintViolation]:
+    known = set(models)
+    out: list[LintViolation] = []
+    for name, model in models.items():
+        for rule, msg in (
+            ("no_select_star", no_select_star(model)),
+            ("no_missing_audits", no_missing_audits(model)),
+            ("no_missing_external_models", no_missing_external_models(model, known)),
+            (
+                "ambiguous_or_invalid_column",
+                ambiguous_or_invalid_column(
+                    model, spark, (rendered or {}).get(name)
+                ),
+            ),
+        ):
+            if msg:
+                out.append(LintViolation(rule=rule, model=name, message=msg))
+    return out

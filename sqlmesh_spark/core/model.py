@@ -1,0 +1,213 @@
+"""Model definitions + the MODEL(...) DSL parser.
+
+Reference: sqlmesh/core/model/definition.py:99 (_Model and subclasses),
+model/kind.py:163-182 (ModelKindName), dialect.py:123-150 (header parse).
+The reference parses the header with a SQLGlot dialect extension; with no
+sqlglot in this environment the header is parsed with the same quote-aware
+balanced-paren machinery the macro engine uses — the grammar is tiny:
+
+    MODEL (
+      name db.model_name,
+      kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+      cron '@daily',
+      start '2024-01-01',
+      audits (not_null(columns = (x, y)), unique_values(columns = (id,)))
+    );
+    SELECT ...
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+from sqlmesh_spark.macros import split_top_level
+
+
+class ModelKind(str, Enum):
+    """model/kind.py:163-182 — the materialization strategies we support
+    natively on Spark (the dbt/managed kinds are out of scope)."""
+
+    FULL = "FULL"
+    VIEW = "VIEW"
+    EMBEDDED = "EMBEDDED"
+    SEED = "SEED"
+    EXTERNAL = "EXTERNAL"
+    INCREMENTAL_BY_TIME_RANGE = "INCREMENTAL_BY_TIME_RANGE"
+    INCREMENTAL_BY_UNIQUE_KEY = "INCREMENTAL_BY_UNIQUE_KEY"
+    INCREMENTAL_BY_PARTITION = "INCREMENTAL_BY_PARTITION"
+    INCREMENTAL_UNMANAGED = "INCREMENTAL_UNMANAGED"
+    SCD_TYPE_2_BY_TIME = "SCD_TYPE_2_BY_TIME"
+    SCD_TYPE_2_BY_COLUMN = "SCD_TYPE_2_BY_COLUMN"
+
+
+@dataclass
+class Model:
+    name: str
+    kind: ModelKind
+    query: str  # raw SQL body with @macros / @vars unexpanded
+    kind_args: dict[str, str] = field(default_factory=dict)
+    cron: str = "@daily"
+    start: Optional[str] = None
+    partitioned_by: tuple[str, ...] = ()
+    grain: tuple[str, ...] = ()
+    audits: tuple[tuple[str, dict], ...] = ()
+    depends_on: frozenset[str] = frozenset()
+    seed_csv: Optional[str] = None
+    columns: dict[str, str] = field(default_factory=dict)
+    lookback: int = 0
+    batch_size: Optional[int] = None
+
+    @property
+    def schema_name(self) -> str:
+        return self.name.rsplit(".", 1)[0] if "." in self.name else "default"
+
+    @property
+    def view_name(self) -> str:
+        return self.name.rsplit(".", 1)[-1]
+
+    @property
+    def time_column(self) -> Optional[str]:
+        return self.kind_args.get("time_column")
+
+    @property
+    def unique_key(self) -> tuple[str, ...]:
+        raw = self.kind_args.get("unique_key", "")
+        return tuple(k.strip() for k in raw.split(",") if k.strip())
+
+
+_MODEL_RE = re.compile(r"\bMODEL\s*\(", re.IGNORECASE)
+
+
+def _find_close(text: str, open_idx: int) -> int:
+    depth, i, n = 0, open_idx, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i += 1
+            while i < n and text[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced MODEL(...) header")
+
+
+def _parse_props(body: str) -> dict[str, str]:
+    props = {}
+    for part in split_top_level(body):
+        if not part:
+            continue
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*(.*)", part, re.DOTALL)
+        if not m:
+            raise ValueError(f"unparseable MODEL property: {part!r}")
+        props[m.group(1).lower()] = m.group(2).strip()
+    return props
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1]
+    return s
+
+
+def _parse_tuple(s: str) -> tuple[str, ...]:
+    s = s.strip()
+    if s.startswith("(") and s.endswith(")"):
+        s = s[1:-1]
+    return tuple(x.strip() for x in split_top_level(s) if x.strip())
+
+
+def _parse_audits(s: str) -> tuple[tuple[str, dict], ...]:
+    """audits (not_null(columns = (a, b)), number_of_rows(threshold = 10))"""
+    out = []
+    for call in _parse_tuple(s):
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*(\((.*)\))?\s*$", call, re.DOTALL)
+        if not m:
+            raise ValueError(f"unparseable audit: {call!r}")
+        name, args = m.group(1).lower(), {}
+        if m.group(3):
+            for kv in split_top_level(m.group(3)):
+                k, _, v = kv.partition("=")
+                v = v.strip().lstrip(":").strip()  # allow := and =
+                k = k.strip().rstrip(":").strip()
+                if v.startswith("("):
+                    args[k] = list(_parse_tuple(v))
+                else:
+                    args[k] = _unquote(v)
+        out.append((name, args))
+    return tuple(out)
+
+
+# Table references for depends_on extraction (dialect.py:1270 find_tables):
+# FROM / JOIN followed by a dotted identifier; @DEDUPLICATE(rel, ...) and
+# other macro-wrapped relations are caught by the dotted-name fallback scan.
+_TABLE_REF_RE = re.compile(
+    r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)+)", re.IGNORECASE
+)
+_DOTTED_RE = re.compile(r"\b([A-Za-z_][\w]*\.[A-Za-z_][\w]*)\b")
+
+
+def extract_depends_on(query: str, known_models: Optional[set[str]] = None) -> frozenset[str]:
+    deps = set(m.group(1).lower() for m in _TABLE_REF_RE.finditer(query))
+    if known_models is not None:
+        # Any dotted name that IS a model counts (covers macro-wrapped refs).
+        for m in _DOTTED_RE.finditer(query):
+            if m.group(1).lower() in known_models:
+                deps.add(m.group(1).lower())
+    return frozenset(deps)
+
+
+def parse_model_text(text: str) -> Model:
+    m = _MODEL_RE.search(text)
+    if not m:
+        raise ValueError("no MODEL(...) header found")
+    open_idx = text.index("(", m.start())
+    close_idx = _find_close(text, open_idx)
+    props = _parse_props(text[open_idx + 1 : close_idx])
+    query = text[close_idx + 1 :].lstrip(" \t\n;").rstrip().rstrip(";")
+
+    if "name" not in props or "kind" not in props:
+        raise ValueError("MODEL header requires name and kind")
+    kind_raw = props["kind"]
+    kind_m = re.match(r"([A-Za-z_0-9]+)\s*(\((.*)\))?\s*$", kind_raw, re.DOTALL)
+    kind = ModelKind(kind_m.group(1).upper())
+    kind_args: dict[str, str] = {}
+    if kind_m.group(3):
+        for kv in split_top_level(kind_m.group(3)):
+            k, _, v = kv.partition(" ")
+            kind_args[k.strip().lower()] = v.strip().strip("()")
+
+    columns = {}
+    if "columns" in props:
+        for cv in _parse_tuple(props["columns"]):
+            cname, _, ctype = cv.partition(" ")
+            columns[cname.strip()] = ctype.strip()
+
+    return Model(
+        name=props["name"].strip().lower(),
+        kind=kind,
+        query=query,
+        kind_args=kind_args,
+        cron=_unquote(props.get("cron", "'@daily'")),
+        start=_unquote(props["start"]) if "start" in props else None,
+        partitioned_by=_parse_tuple(props["partitioned_by"]) if "partitioned_by" in props else (),
+        grain=_parse_tuple(props["grain"]) if "grain" in props else (),
+        audits=_parse_audits(props["audits"]) if "audits" in props else (),
+        depends_on=extract_depends_on(query),
+        columns=columns,
+        lookback=int(props.get("lookback", "0") or 0),
+        batch_size=int(props["batch_size"]) if "batch_size" in props else None,
+    )
+
+
+def parse_model_file(path: str) -> Model:
+    with open(path) as f:
+        return parse_model_text(f.read())

@@ -1,0 +1,125 @@
+"""YAML golden model tests — the reference's user-facing test framework.
+
+Reference: ModelTest (core/test/definition.py:51): YAML gives `inputs`
+(rows per upstream table) and `outputs` (expected rows for the query and,
+optionally, per-CTE). Fixtures land in temp views, the rendered model query
+runs on the local SparkSession, and result rows compare order-insensitively
+(or in order when `rows` are marked ordered). Format mirrors
+examples/sushi/tests/test_customer_revenue_by_day.yaml:1-60.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional
+
+import yaml
+from pyspark.sql import SparkSession
+
+from sqlmesh_spark.core.model import Model
+from sqlmesh_spark.core.scheduler import _replace_table_ref
+from sqlmesh_spark.macros import MacroEvaluator, temporal_variables
+
+
+@dataclass
+class ModelTestResult:
+    name: str
+    passed: bool
+    failures: list[str] = field(default_factory=list)
+
+
+def _rows_to_df(spark: SparkSession, rows: list[dict]):
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _canon(rows: list[dict]) -> list[tuple]:
+    out = []
+    for r in rows:
+        out.append(tuple((k, _canon_val(v)) for k, v in sorted(r.items())))
+    return sorted(out)
+
+
+def _canon_val(v: Any) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
+
+
+_CTE_RE = re.compile(r"\b([A-Za-z_][\w]*)\s+AS\s*\(", re.IGNORECASE)
+
+
+def extract_cte(sql: str, name: str) -> Optional[str]:
+    """Pull a CTE body out of the rendered query (for outputs.ctes)."""
+    for m in _CTE_RE.finditer(sql):
+        if m.group(1).lower() != name.lower():
+            continue
+        start = m.end() - 1
+        depth, i = 0, start
+        while i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return sql[start + 1 : i]
+            i += 1
+    return None
+
+
+class ModelTestRunner:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def run_spec(self, spec: Mapping[str, Any], models: Mapping[str, Model]) -> list[ModelTestResult]:
+        return [
+            self._run_one(name, body, models) for name, body in spec.items()
+        ]
+
+    def run_yaml(self, text: str, models: Mapping[str, Model]) -> list[ModelTestResult]:
+        return self.run_spec(yaml.safe_load(text), models)
+
+    def _run_one(self, name: str, body: Mapping[str, Any], models: Mapping[str, Model]) -> ModelTestResult:
+        model = models[body["model"].lower()]
+        failures: list[str] = []
+
+        # Fixture views for upstreams (definition.py:112-117 uses a
+        # randomized schema; temp views are the Spark-local equivalent).
+        mapping = {}
+        for upstream, data in (body.get("inputs") or {}).items():
+            view = "test_" + upstream.replace(".", "__")
+            _rows_to_df(self.spark, data["rows"]).createOrReplaceTempView(view)
+            mapping[upstream.lower()] = view
+
+        variables = temporal_variables(
+            str(body.get("vars", {}).get("start", "1970-01-01")),
+            str(body.get("vars", {}).get("end", "2100-01-01")),
+        )
+        sql = MacroEvaluator(variables=variables).render(model.query)
+        for logical, view in sorted(mapping.items(), key=lambda kv: -len(kv[0])):
+            sql = _replace_table_ref(sql, logical, view)
+
+        outputs = body.get("outputs") or {}
+        for cte_name, expected in (outputs.get("ctes") or {}).items():
+            cte_sql = extract_cte(sql, cte_name)
+            if cte_sql is None:
+                failures.append(f"cte {cte_name!r} not found")
+                continue
+            got = [r.asDict() for r in self.spark.sql(cte_sql).collect()]
+            if _canon(got) != _canon(expected["rows"]):
+                failures.append(
+                    f"cte {cte_name}: expected {_canon(expected['rows'])}, got {_canon(got)}"
+                )
+
+        if "query" in outputs:
+            got = [r.asDict() for r in self.spark.sql(sql).collect()]
+            if _canon(got) != _canon(outputs["query"]["rows"]):
+                failures.append(
+                    f"query: expected {_canon(outputs['query']['rows'])}, got {_canon(got)}"
+                )
+
+        return ModelTestResult(name=name, passed=not failures, failures=failures)

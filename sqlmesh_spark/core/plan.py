@@ -1,0 +1,137 @@
+"""Plan/apply: context diff → categorization → stages → virtual layer.
+
+Reference: ContextDiff.create (context_diff.py:93), categorize_change
+(snapshot/categorizer.py:10), PlanBuilder.build (plan/builder.py:280),
+build_plan_stages (plan/stages.py:698). Stages here:
+
+  1. snapshot records            (CreateSnapshotRecordsStage:47)
+  2. physical tables + backfill  (PhysicalLayerUpdateStage:58 + BackfillStage:119)
+  3. virtual layer view swap     (VirtualLayerUpdateStage:165 — THE atomic
+                                  deployment: env views repoint to new
+                                  physical tables only after data is ready)
+  4. finalize environment        (FinalizeEnvironmentStage:195)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping
+
+from pyspark.sql import SparkSession
+
+from sqlmesh_spark.adapter import SparkAdapter
+from sqlmesh_spark.core.model import Model
+from sqlmesh_spark.core.scheduler import Scheduler
+from sqlmesh_spark.core.snapshot import Snapshot, fingerprint_model, snapshots_to_dag
+from sqlmesh_spark.core.state import StateStore
+
+
+@dataclass
+class ContextDiff:
+    """context_diff.py:42 — local project vs environment state."""
+
+    added: list[str] = field(default_factory=list)
+    removed: list[str] = field(default_factory=list)
+    modified: list[str] = field(default_factory=list)
+    unchanged: list[str] = field(default_factory=list)
+
+    @property
+    def has_changes(self) -> bool:
+        return bool(self.added or self.removed or self.modified)
+
+
+@dataclass
+class Plan:
+    environment: str
+    start: str
+    end: str
+    snapshots: dict[str, Snapshot]
+    diff: ContextDiff
+
+
+def build_snapshots(models: Mapping[str, Model]) -> dict[str, Snapshot]:
+    """Fingerprint in DAG order so parent hashes feed child hashes
+    (snapshot/definition.py:1891-1901 recursive fingerprints)."""
+    # Restrict depends_on to actual models (externals don't version us).
+    known = set(models)
+    pseudo = {
+        name: Snapshot(model=m, version="", parents=tuple(sorted(m.depends_on & known)))
+        for name, m in models.items()
+    }
+    order = snapshots_to_dag(pseudo)
+    fps: dict[str, str] = {}
+    out: dict[str, Snapshot] = {}
+    for name in order:
+        m = models[name]
+        parents = tuple(sorted(m.depends_on & known))
+        fp = fingerprint_model(m, [fps[p] for p in parents])
+        fps[name] = fp
+        out[name] = Snapshot(model=m, version=fp, parents=parents)
+    return out
+
+
+def context_diff(
+    snapshots: Mapping[str, Snapshot], env_state: Mapping[str, str]
+) -> ContextDiff:
+    diff = ContextDiff()
+    for name, snap in snapshots.items():
+        if name not in env_state:
+            diff.added.append(name)
+        elif env_state[name] != snap.version:
+            diff.modified.append(name)
+        else:
+            diff.unchanged.append(name)
+    diff.removed = [n for n in env_state if n not in snapshots]
+    return diff
+
+
+class PlanEvaluator:
+    """plan/evaluator.py:85 BuiltInPlanEvaluator."""
+
+    def __init__(self, spark: SparkSession, state: StateStore):
+        self.spark = spark
+        self.state = state
+        self.adapter = SparkAdapter(spark)
+
+    def plan(
+        self,
+        models: Mapping[str, Model],
+        environment: str,
+        start: str,
+        end: str,
+    ) -> Plan:
+        snapshots = build_snapshots(models)
+        diff = context_diff(snapshots, self.state.get_environment(environment))
+        return Plan(environment=environment, start=start, end=end, snapshots=snapshots, diff=diff)
+
+    def apply(self, plan: Plan) -> dict[str, int]:
+        # Stage 1: snapshot records.
+        for name, snap in plan.snapshots.items():
+            self.state.put_snapshot(
+                name,
+                snap.version,
+                {"kind": snap.model.kind.value, "parents": list(snap.parents)},
+            )
+        # Stage 2: physical layer + backfill. Unchanged snapshots keep their
+        # physical tables and processed intervals — the virtual-environment
+        # zero-recompute property: only new versions do work.
+        scheduler = Scheduler(self.spark, self.state, plan.snapshots)
+        executed = scheduler.run(plan.start, plan.end)
+        # Stage 3: virtual layer swap — views repoint atomically after data
+        # exists (plan/stages.py:165).
+        env_schema = (
+            "prod_views" if plan.environment == "prod" else f"{plan.environment}_views"
+        )
+        self.adapter.create_schema(env_schema)
+        for name, snap in plan.snapshots.items():
+            if snap.model.kind.value in ("EMBEDDED", "EXTERNAL"):
+                continue
+            self.adapter.create_view(
+                f"{env_schema}.{snap.model.view_name}",
+                f"SELECT * FROM {snap.table_name}",
+            )
+        # Stage 4: finalize environment pointers.
+        self.state.put_environment(
+            plan.environment, {n: s.version for n, s in plan.snapshots.items()}
+        )
+        return executed

@@ -1,0 +1,280 @@
+"""Scheduler + snapshot evaluator: interval computation → rendered SQL →
+materialization strategy → audits → interval recording.
+
+Reference: Scheduler.run (scheduler.py:259) → merged_missing_intervals
+(:1022) → batch_intervals (:334) → SnapshotEvaluator.evaluate
+(snapshot/evaluator.py:150, strategies :1693-3200) → audits (:547) →
+state_sync.add_interval (:254).
+
+Parallelism: independent DAG branches execute on a thread pool — the Spark
+scheduler is thread-safe and local[N]/FAIR pools overlap their stages
+(utils/concurrency.py:178 concurrent_apply_to_dag equivalent).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Mapping, Optional
+
+from pyspark.sql import SparkSession, functions as F
+
+from sqlmesh_spark import audits as audit_lib
+from sqlmesh_spark.adapter import SparkAdapter
+from sqlmesh_spark.core.model import Model, ModelKind
+from sqlmesh_spark.core.snapshot import (
+    Snapshot,
+    batch_intervals,
+    from_epoch,
+    interval_unit,
+    missing_intervals,
+    snapshots_to_dag,
+)
+from sqlmesh_spark.core.state import StateStore
+from sqlmesh_spark.macros import MacroEvaluator, temporal_variables
+from sqlmesh_spark.operators.scd2 import scd_type_2_query
+
+
+class AuditError(Exception):
+    pass
+
+
+class SnapshotEvaluator:
+    """kind → materialization strategy dispatch
+    (evaluator.py:1643 _evaluation_strategy)."""
+
+    def __init__(self, spark: SparkSession, adapter: Optional[SparkAdapter] = None):
+        self.spark = spark
+        self.adapter = adapter or SparkAdapter(spark)
+
+    def render(
+        self,
+        snapshot: Snapshot,
+        start: str,
+        end: str,
+        table_mapping: Mapping[str, str],
+    ) -> str:
+        """Macro-render the model query and resolve model references to
+        physical snapshot tables (renderer.py:527 + _resolve_tables)."""
+        variables = temporal_variables(start, end)
+        variables["this_model"] = snapshot.table_name
+        sql = MacroEvaluator(variables=variables).render(snapshot.model.query)
+        # Physical-name resolution: longest names first so db.a.b wins.
+        for logical, physical in sorted(table_mapping.items(), key=lambda kv: -len(kv[0])):
+            sql = _replace_table_ref(sql, logical, physical)
+        return sql
+
+    def evaluate(
+        self,
+        snapshot: Snapshot,
+        start: str,
+        end: str,
+        table_mapping: Mapping[str, str],
+        is_first_insert: bool,
+    ) -> None:
+        """Core of evaluator.py:677 _evaluate_snapshot."""
+        model = snapshot.model
+        adapter = self.adapter
+        table = snapshot.table_name
+        adapter.create_schema(snapshot.physical_schema)
+        sql = self.render(snapshot, start, end, table_mapping)
+
+        if model.kind in (ModelKind.EMBEDDED, ModelKind.EXTERNAL):
+            return
+        if model.kind == ModelKind.VIEW:
+            adapter.create_view(table, sql)
+            return
+        if model.kind == ModelKind.SEED:
+            adapter.load_seed(table, model.seed_csv or "", model.columns)
+            return
+        if model.kind == ModelKind.FULL:
+            adapter.replace_query(table, sql)
+            return
+
+        df = self.spark.sql(sql)
+        if model.kind == ModelKind.INCREMENTAL_BY_TIME_RANGE:
+            time_col = model.time_column or "ds"
+            if is_first_insert and not adapter.table_exists(table):
+                # Partition on a derived day column so interval overwrites
+                # prune to exactly the touched partitions.
+                with_ds = df.withColumn("_ds", F.date_format(F.col(time_col), "yyyy-MM-dd"))
+                adapter.ctas(table, with_ds.limit(0), partitioned_by=("_ds",))
+            batch = df.withColumn("_ds", F.date_format(F.col(time_col), "yyyy-MM-dd"))
+            adapter.insert_overwrite_by_time_partition(table, batch, time_col, start, end)
+        elif model.kind == ModelKind.INCREMENTAL_BY_UNIQUE_KEY:
+            if is_first_insert and not adapter.table_exists(table):
+                adapter.ctas(table, df)
+            else:
+                adapter.merge(table, df, unique_key=model.unique_key)
+        elif model.kind == ModelKind.INCREMENTAL_BY_PARTITION:
+            if is_first_insert and not adapter.table_exists(table):
+                adapter.ctas(table, df, partitioned_by=model.partitioned_by)
+            else:
+                adapter.insert_overwrite_by_partition(table, df)
+        elif model.kind == ModelKind.INCREMENTAL_UNMANAGED:
+            if is_first_insert and not adapter.table_exists(table):
+                adapter.ctas(table, df)
+            else:
+                adapter.insert_append(table, df)
+        elif model.kind in (ModelKind.SCD_TYPE_2_BY_TIME, ModelKind.SCD_TYPE_2_BY_COLUMN):
+            self._evaluate_scd2(snapshot, sql, end)
+        else:  # pragma: no cover
+            raise NotImplementedError(model.kind)
+
+    def _evaluate_scd2(self, snapshot: Snapshot, source_sql: str, end: str) -> None:
+        model = snapshot.model
+        adapter = self.adapter
+        table = snapshot.table_name
+        source_cols = list(self.spark.sql(source_sql).columns)
+        first = not adapter.table_exists(table)
+        if first:
+            types = dict(self.spark.sql(source_sql).dtypes)
+            typed = ", ".join(
+                f"CAST(NULL AS {types[c]}) AS {c}" for c in source_cols
+            )
+            target_sql = (
+                f"SELECT {typed}, CAST(NULL AS TIMESTAMP) AS valid_from,"
+                f" CAST(NULL AS TIMESTAMP) AS valid_to WHERE FALSE"
+            )
+        else:
+            target_sql = f"SELECT * FROM {table}"
+        kwargs: dict = dict(
+            target_sql=target_sql,
+            source_sql=source_sql,
+            unique_key=model.unique_key,
+            columns=source_cols,
+            execution_ts=end,
+            truncate=first,
+        )
+        if model.kind == ModelKind.SCD_TYPE_2_BY_TIME:
+            kwargs["updated_at_col"] = model.kind_args.get("updated_at_name", "updated_at")
+        else:
+            check = model.kind_args.get("columns", "")
+            kwargs["check_columns"] = tuple(
+                c.strip() for c in check.split(",") if c.strip()
+            ) or tuple(c for c in source_cols if c not in model.unique_key)
+        adapter.replace_query(table, self.spark.sql(scd_type_2_query(**kwargs)))
+
+    # -- audits (evaluator.py:547; scheduler.py:887) ------------------------
+
+    def run_audits(self, snapshot: Snapshot) -> list[str]:
+        failures = []
+        for name, args in snapshot.model.audits:
+            fn = getattr(audit_lib, name, None)
+            if fn is None:
+                raise AuditError(f"unknown audit {name!r} on {snapshot.model.name}")
+            kwargs = dict(args)
+            # SQL-level audits take the physical table as relation.
+            sql = fn(table=snapshot.table_name, dialect=audit_lib.SPARK, **kwargs)
+            n_bad = self.spark.sql(sql).limit(1).count()
+            if n_bad > 0:
+                failures.append(name)
+        return failures
+
+
+def _replace_table_ref(sql: str, logical: str, physical: str) -> str:
+    import re
+
+    return re.sub(rf"(?<![\w.]){re.escape(logical)}(?![\w.])", physical, sql, flags=re.IGNORECASE)
+
+
+class Scheduler:
+    """Missing-interval computation + ordered (parallel) evaluation
+    (scheduler.py:259 run)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state: StateStore,
+        snapshots: Mapping[str, Snapshot],
+        max_workers: int = 4,
+    ):
+        self.spark = spark
+        self.state = state
+        self.snapshots = dict(snapshots)
+        self.evaluator = SnapshotEvaluator(spark)
+        self.max_workers = max_workers
+
+    def table_mapping(self) -> dict[str, str]:
+        """Logical model name → physical relation. EMBEDDED models inline
+        their (macro-rendered) query text into dependents (the reference's
+        embedded semantics); EXTERNAL models reference themselves."""
+        from sqlmesh_spark.macros import MacroEvaluator
+
+        out: dict[str, str] = {}
+        for name, s in self.snapshots.items():
+            if s.model.kind == ModelKind.EMBEDDED:
+                out[name] = "(" + MacroEvaluator().render(s.model.query) + ")"
+            elif s.model.kind == ModelKind.EXTERNAL:
+                out[name] = name
+            else:
+                out[name] = s.table_name
+        return out
+
+    def run(self, start: str, end: str) -> dict[str, int]:
+        """Backfill every snapshot's missing intervals in DAG order.
+        Returns {model: n_batches_executed}."""
+        order = snapshots_to_dag(self.snapshots)
+        mapping = self.table_mapping()
+        executed: dict[str, int] = {}
+        # Level-parallel execution: models whose parents are all done run
+        # concurrently (concurrent_apply_to_dag analog).
+        done: set[str] = set()
+        remaining = list(order)
+        while remaining:
+            level = [
+                n
+                for n in remaining
+                if set(self.snapshots[n].parents) & set(self.snapshots) <= done
+            ]
+            with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+                counts = pool.map(
+                    lambda n: self._run_snapshot(self.snapshots[n], start, end, mapping),
+                    level,
+                )
+            for n, c in zip(level, counts):
+                executed[n] = c
+                done.add(n)
+            remaining = [n for n in remaining if n not in done]
+        return executed
+
+    def _run_snapshot(
+        self, snapshot: Snapshot, start: str, end: str, mapping: Mapping[str, str]
+    ) -> int:
+        model = snapshot.model
+        unit = interval_unit(model.cron)
+        eff_start = model.start or start
+        processed = self.state.get_intervals(model.name, snapshot.version)
+
+        if model.kind in (
+            ModelKind.INCREMENTAL_BY_TIME_RANGE,
+            ModelKind.INCREMENTAL_BY_UNIQUE_KEY,
+            ModelKind.INCREMENTAL_BY_PARTITION,
+            ModelKind.INCREMENTAL_UNMANAGED,
+            ModelKind.SCD_TYPE_2_BY_TIME,
+            ModelKind.SCD_TYPE_2_BY_COLUMN,
+        ):
+            chunks = missing_intervals(
+                eff_start, end, processed, unit=unit, lookback=model.lookback
+            )
+            batches = batch_intervals(chunks, model.batch_size)
+        else:
+            # Non-incremental kinds re-run wholesale each scheduled tick.
+            batches = [(0, 0)] if processed else [(0, 0)]
+            batches = [] if model.kind in (ModelKind.EMBEDDED, ModelKind.EXTERNAL) else batches
+        first = not processed
+        n = 0
+        for bs, be in batches:
+            if model.kind in (ModelKind.FULL, ModelKind.VIEW, ModelKind.SEED):
+                self.evaluator.evaluate(snapshot, eff_start, end, mapping, first)
+            else:
+                self.evaluator.evaluate(
+                    snapshot, from_epoch(bs), from_epoch(be), mapping, first and n == 0
+                )
+            n += 1
+            if model.kind not in (ModelKind.FULL, ModelKind.VIEW, ModelKind.SEED):
+                self.state.add_interval(model.name, snapshot.version, bs, be)
+        if batches:
+            failures = self.evaluator.run_audits(snapshot)
+            if failures:
+                raise AuditError(f"audits failed on {model.name}: {failures}")
+        return n

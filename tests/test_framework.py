@@ -1,0 +1,177 @@
+"""Framework: DSL parsing, intervals, fingerprints, plan/apply, YAML tests,
+linter."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from sqlmesh_spark.core.linter import lint_models
+from sqlmesh_spark.core.model import Model, ModelKind, parse_model_text
+from sqlmesh_spark.core.model_test import ModelTestRunner
+from sqlmesh_spark.core.plan import build_snapshots, context_diff
+from sqlmesh_spark.core.snapshot import (
+    DAY,
+    batch_intervals,
+    merge_intervals,
+    missing_intervals,
+    to_epoch,
+)
+from sqlmesh_spark.parity import compare_case
+from sqlmesh_spark.registry import load_all
+
+
+def _cases():
+    return [(n, c) for n, c in load_all().items() if "framework" in c.tags]
+
+
+@pytest.mark.parametrize("name,case", _cases(), ids=lambda x: x if isinstance(x, str) else "")
+def test_framework_parity(spark, sf_dir, name, case):
+    r = compare_case(spark, sf_dir, name, case.fn, case.oracle)
+    assert r["match"], r["detail"]
+
+
+MODEL_TEXT = """
+MODEL (
+  name demo.orders_daily,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily',
+  start '2024-01-01',
+  lookback 2,
+  batch_size 7,
+  grain (ds),
+  audits (not_null(columns = (revenue)), number_of_rows(threshold = 1))
+);
+SELECT event_ts, SUM(x) AS revenue FROM src.events
+WHERE event_ts BETWEEN @start_ts AND @end_ts GROUP BY event_ts
+"""
+
+
+def test_parse_model_header():
+    m = parse_model_text(MODEL_TEXT)
+    assert m.name == "demo.orders_daily"
+    assert m.kind == ModelKind.INCREMENTAL_BY_TIME_RANGE
+    assert m.time_column == "event_ts"
+    assert m.cron == "@daily"
+    assert m.start == "2024-01-01"
+    assert m.lookback == 2 and m.batch_size == 7
+    assert m.audits == (
+        ("not_null", {"columns": ["revenue"]}),
+        ("number_of_rows", {"threshold": "1"}),
+    )
+    assert "src.events" in m.depends_on
+    assert m.query.lstrip().startswith("SELECT")
+
+
+def test_missing_intervals_and_batches():
+    s, e = "2024-01-01", "2024-01-10"
+    chunks = missing_intervals(s, e, [])
+    assert len(chunks) == 9  # [Jan1, Jan10) in day units
+    # Cover Jan 1-5, leave 5..10 missing
+    processed = [(to_epoch("2024-01-01"), to_epoch("2024-01-05"))]
+    miss = missing_intervals(s, e, processed)
+    assert miss[0][0] == to_epoch("2024-01-05") and len(miss) == 5
+    # lookback=1 re-opens the last covered day
+    miss_lb = missing_intervals(s, e, processed, lookback=1)
+    assert miss_lb[0][0] == to_epoch("2024-01-04") and len(miss_lb) == 6
+    # batching
+    batches = batch_intervals(miss, batch_size=2)
+    assert batches[0] == (to_epoch("2024-01-05"), to_epoch("2024-01-07"))
+    assert len(batches) == 3
+
+
+def test_merge_intervals():
+    out = merge_intervals([(0, DAY), (DAY, 2 * DAY), (5 * DAY, 6 * DAY)])
+    assert out == [(0, 2 * DAY), (5 * DAY, 6 * DAY)]
+
+
+def test_fingerprint_propagates_to_children():
+    base = dict(kind=ModelKind.FULL, kind_args={})
+    a1 = Model(name="s.a", query="SELECT 1 AS x", **base)
+    a2 = Model(name="s.a", query="SELECT 2 AS x", **base)
+    b = Model(name="s.b", query="SELECT x FROM s.a", depends_on=frozenset({"s.a"}), **base)
+    snap1 = build_snapshots({"s.a": a1, "s.b": b})
+    snap2 = build_snapshots({"s.a": a2, "s.b": b})
+    assert snap1["s.a"].version != snap2["s.a"].version
+    # b's own text didn't change, but its parent did → new version (breaking
+    # propagation, categorizer default)
+    assert snap1["s.b"].version != snap2["s.b"].version
+
+
+def test_context_diff():
+    base = dict(kind=ModelKind.FULL, kind_args={})
+    a = Model(name="s.a", query="SELECT 1 AS x", **base)
+    snaps = build_snapshots({"s.a": a})
+    d = context_diff(snaps, {})
+    assert d.added == ["s.a"] and d.has_changes
+    d2 = context_diff(snaps, {"s.a": snaps["s.a"].version, "s.gone": "zzz"})
+    assert d2.unchanged == ["s.a"] and d2.removed == ["s.gone"]
+
+
+YAML_TEST = """
+test_revenue_by_day:
+  model: demo.revenue
+  inputs:
+    src.order_items:
+      rows:
+        - {order_id: 1, amount: 10.0, ds: '2024-01-01'}
+        - {order_id: 2, amount: 5.0, ds: '2024-01-01'}
+        - {order_id: 3, amount: 7.0, ds: '2024-01-02'}
+  outputs:
+    ctes:
+      totals:
+        rows:
+          - {ds: '2024-01-01', revenue: 15.0}
+          - {ds: '2024-01-02', revenue: 7.0}
+    query:
+      rows:
+        - {ds: '2024-01-01', revenue: 15.0}
+"""
+
+REV_MODEL = """
+MODEL (name demo.revenue, kind FULL);
+WITH totals AS (
+  SELECT ds, SUM(amount) AS revenue FROM src.order_items GROUP BY ds
+)
+SELECT ds, revenue FROM totals WHERE revenue > 10
+"""
+
+
+def test_yaml_model_test_runner(spark):
+    model = parse_model_text(REV_MODEL)
+    runner = ModelTestRunner(spark)
+    results = runner.run_yaml(YAML_TEST, {model.name: model})
+    assert len(results) == 1
+    assert results[0].passed, results[0].failures
+
+
+def test_yaml_model_test_runner_catches_failure(spark):
+    model = parse_model_text(REV_MODEL)
+    bad = YAML_TEST.replace("revenue: 15.0}", "revenue: 999.0}")
+    results = ModelTestRunner(spark).run_yaml(bad, {model.name: model})
+    assert not results[0].passed
+
+
+def test_linter(spark):
+    star = parse_model_text("MODEL (name s.star, kind FULL);\nSELECT * FROM s.base")
+    base = parse_model_text(
+        "MODEL (name s.base, kind FULL, audits (number_of_rows(threshold = 1)));\nSELECT 1 AS x"
+    )
+    orphan = parse_model_text("MODEL (name s.orphan, kind FULL);\nSELECT y FROM no.such_table")
+    violations = lint_models({m.name: m for m in (star, base, orphan)})
+    rules = {(v.model, v.rule) for v in violations}
+    assert ("s.star", "no_select_star") in rules
+    assert ("s.star", "no_missing_audits") in rules
+    assert ("s.orphan", "no_missing_external_models") in rules
+    assert ("s.base", "no_missing_audits") not in rules
+
+
+def test_context_lineage(spark):
+    from sqlmesh_spark.core.context import Context
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model("MODEL (name s.a, kind FULL);\nSELECT 1 AS x")
+    ctx.add_model("MODEL (name s.b, kind FULL);\nSELECT x FROM s.a")
+    ctx.add_model("MODEL (name s.c, kind FULL);\nSELECT x FROM s.b JOIN s.a ON TRUE")
+    assert ctx.lineage("s.c") == ["s.a", "s.b", "s.c"]
