@@ -33,17 +33,30 @@ def _hash60(expr: str, dialect: str) -> str:
     return f"CAST(CONV(SUBSTRING(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
-def _seq(lo: str, hi: str, alias: str, dialect: str) -> str:
-    """Lateral integer range [lo, hi] as a join-able relation."""
+def _seq(lo: str, hi: str, alias: str, dialect: str, lateral: bool = True) -> str:
+    """Integer range [lo, hi] as a join-able relation. ``lateral=True`` for
+    use after a comma-join (Spark requires the LATERAL keyword there);
+    ``lateral=False`` for a standalone FROM (table-valued function form)."""
     if dialect == "duckdb":
         return f"unnest(generate_series({lo}, {hi})) AS _{alias}({alias})"
-    return f"LATERAL explode(sequence({lo}, {hi})) AS _{alias}({alias})"
+    kw = "LATERAL " if lateral else ""
+    return f"{kw}explode(sequence({lo}, {hi})) AS _{alias}({alias})"
 
 
 def _shingles(table: str, k: int, dialect: str) -> str:
     """Distinct character k-gram shingles per document."""
     return f"""
   SELECT DISTINCT doc_id, SUBSTRING(text, CAST(i AS INT), {k}) AS g
+  FROM {table}, {_seq("1", f"GREATEST(LENGTH(text) - {k - 1}, 1)", "i", dialect)}
+"""
+
+
+def shingle_hashes_sql(table: str, k: int, dialect: str) -> str:
+    """Distinct 60-bit shingle hashes per document — the int-domain form
+    every minhash stage consumes (see minhash_lsh_sql perf note)."""
+    h = _hash60(f"SUBSTRING(text, CAST(i AS INT), {k})", dialect)
+    return f"""
+  SELECT DISTINCT doc_id, {h} AS hg
   FROM {table}, {_seq("1", f"GREATEST(LENGTH(text) - {k - 1}, 1)", "i", dialect)}
 """
 
@@ -99,6 +112,7 @@ def minhash_lsh_sql(
     band_size: int = 4,
     threshold: float = 0.6,
     dialect: str = "spark",
+    shingles_relation: str | None = None,
 ) -> str:
     """Candidate pairs from banded minhash signatures, then exact-Jaccard
     verification on candidates only.
@@ -107,15 +121,38 @@ def minhash_lsh_sql(
     1-(1-j⁴)⁸ ≈ 1.0 at j≥0.9, ~0.56 at j=0.6 — tuned for near-dup
     harvesting. Band keys are order-insensitive BIT_XOR folds, portable
     across engines.
+
+    Perf: md5 runs ONCE per shingle; the num_hashes functions derive via
+    universal hashing (aᵢ·x + bᵢ) mod p over the base hash — pure int64
+    arithmetic inside whole-stage codegen (a 5-6× wall-clock win over
+    hashing per (shingle, i)). Bounds: base < 2³², aᵢ < 2³⁰ → products
+    < 2⁶² stay in signed int64 on every engine.
     """
-    h = _hash60("CONCAT(CAST(i AS STRING), ':', g)", dialect)
+    ha = _hash60("CONCAT('a', CAST(i AS STRING))", dialect)
+    hb = _hash60("CONCAT('b', CAST(i AS STRING))", dialect)
     bh = _hash60("CONCAT(CAST(i AS STRING), '_', CAST(mh AS STRING))", dialect)
     xor = "BIT_XOR" if dialect != "duckdb" else "bit_xor"
+    p = 4294967311  # prime > 2^32
+    # Shingles hash to int64 BEFORE the DISTINCT: every downstream shuffle
+    # (dedup, sizes, sig agg, verify join) then moves 8-byte ints, not
+    # strings — the dominant cost at scale is shuffle bytes, not md5.
+    # Spark recomputes inline CTEs (referenced 4×), so the runtime case
+    # materializes this relation once (cache + temp view) and passes its
+    # name; DuckDB auto-materializes multiply-referenced CTEs.
+    sh_body = (
+        f"SELECT * FROM {shingles_relation}"
+        if shingles_relation
+        else shingle_hashes_sql(table, k, dialect)
+    )
     return f"""
-WITH sh AS ({_shingles(table, k, dialect)}),
+WITH sh AS ({sh_body}),
+hf AS (
+  SELECT i, ({ha} % 1073741823) + 1 AS a, {hb} % 4294967296 AS b
+  FROM {_seq("0", str(num_hashes - 1), "i", dialect, lateral=False)}
+),
 sig AS (
-  SELECT doc_id, i, MIN({h}) AS mh
-  FROM sh, {_seq("0", str(num_hashes - 1), "i", dialect)}
+  SELECT doc_id, i, MIN((hf.a * (sh.hg % 4294967296) + hf.b) % {p}) AS mh
+  FROM sh CROSS JOIN hf
   GROUP BY doc_id, i
 ),
 bands AS (
@@ -132,7 +169,7 @@ verified AS (
   SELECT c.d1, c.d2, COUNT(*) AS common
   FROM candidates c
   JOIN sh a ON a.doc_id = c.d1
-  JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+  JOIN sh b ON b.doc_id = c.d2 AND b.hg = a.hg
   GROUP BY c.d1, c.d2
 )
 SELECT v.d1, v.d2,
@@ -248,11 +285,27 @@ register(
     oracle=ngram_jaccard_sql("documents", dialect="duckdb"),
     tags=("llm", "dedup"),
 )(_doc_case(ngram_jaccard_sql))
+def _minhash_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    sh = spark.sql(
+        "WITH sh AS (" + shingle_hashes_sql("documents", 5, "spark") + ") SELECT * FROM sh"
+    )
+    # AQE coalesces the small distinct output to ~1 partition; the sig
+    # stage then expands each row ×num_hashes on a single core. Spread by
+    # doc_id so the 32-way expansion parallelizes across the cluster.
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    sh = sh.repartition(n_part, "doc_id")
+    sh.cache().createOrReplaceTempView("mh_shingles")
+    return spark.sql(
+        minhash_lsh_sql("documents", dialect="spark", shingles_relation="mh_shingles")
+    )
+
+
 register(
     "dedup_minhash_lsh",
     oracle=minhash_lsh_sql("documents", dialect="duckdb"),
     tags=("llm", "dedup", "bench"),
-)(_doc_case(minhash_lsh_sql))
+)(_minhash_case)
 register(
     "dedup_simhash",
     oracle=simhash_sql("documents", dialect="duckdb"),
