@@ -88,10 +88,25 @@ class SparkAdapter:
         storage_format: str = "parquet",
     ) -> None:
         df = self._df(query_or_df)
+        if not self.table_exists(table):
+            # Orphan-location recovery: a crash or catalog restart can
+            # leave files at the managed location without a catalog entry
+            # (content-addressed snapshot names make re-collision routine).
+            # The catalog is the source of truth — reclaim the location.
+            self._clear_orphan_location(table)
         writer = df.write.format(storage_format).mode("errorifexists")
         if partitioned_by:
             writer = writer.partitionBy(*partitioned_by)
         writer.saveAsTable(table)
+
+    def _clear_orphan_location(self, table: str) -> None:
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(self.spark.conf.get("spark.sql.warehouse.dir")).path
+        parts = table.split(".")
+        if len(parts) == 2:
+            shutil.rmtree(f"{warehouse}/{parts[0]}.db/{parts[1]}", ignore_errors=True)
 
     def create_view(self, name: str, query_or_df: QueryOrDF, replace: bool = True) -> None:
         if isinstance(query_or_df, str):
@@ -159,19 +174,36 @@ class SparkAdapter:
         """base.py:1580 — THE incremental op: replace exactly the rows of
         [start, end) in time_column.
 
-        The table is partitioned on a day column derived from time_column
-        (partition_by_time_column, kind.py:471), so with dynamic partition
-        overwrite Spark replaces only the partitions the incoming batch
-        touches — no full rewrite, no delete+insert transaction needed.
+        Partitioned tables (partition_by_time_column, kind.py:471): dynamic
+        partition overwrite replaces only partitions the batch touches — no
+        full rewrite. Unpartitioned tables fall back to the reference's
+        DELETE_INSERT strategy (shared.py:235-247): keep the complement of
+        the interval, union the batch, swap atomically — because a dynamic
+        overwrite on an unpartitioned table would clobber ALL history.
         The incoming frame is defensively re-filtered to the interval, the
         same WHERE the reference injects (base.py:1609).
         """
         df = self._df(query_or_df)
-        df = df.filter(
-            (F.col(time_column) >= F.lit(start).cast("timestamp"))
-            & (F.col(time_column) < F.lit(end).cast("timestamp"))
+        in_interval = (F.col(time_column) >= F.lit(start).cast("timestamp")) & (
+            F.col(time_column) < F.lit(end).cast("timestamp")
         )
-        self._insert_overwrite_partitions(table, df)
+        df = df.filter(in_interval)
+        if self._partition_columns(table):
+            self._insert_overwrite_partitions(table, df)
+        else:
+            kept = self.spark.table(table).filter(~in_interval)
+            self._atomic_rewrite(table, kept.unionByName(df.select(*kept.columns)))
+
+    def _partition_columns(self, table: str) -> list[str]:
+        rows = self.spark.sql(f"DESCRIBE TABLE {table}").collect()
+        cols, in_part = [], False
+        for r in rows:
+            if r.col_name.strip().startswith("# Partition"):
+                in_part = True
+                continue
+            if in_part and r.col_name and not r.col_name.startswith("#"):
+                cols.append(r.col_name)
+        return cols
 
     def insert_overwrite_by_partition(self, table: str, query_or_df: QueryOrDF) -> None:
         """base.py:1551 — INCREMENTAL_BY_PARTITION: replace whole partitions
@@ -250,6 +282,24 @@ class SparkAdapter:
         df.write.format("parquet").saveAsTable(tmp)
         self.drop_table(table)
         self.rename_table(tmp, table)
+
+    # -- write-audit-publish (base.py:2452-2492; Iceberg impl
+    # -- spark.py:492-534 uses branches + cherrypick) -----------------------
+
+    def wap_prepare(self, table: str) -> str:
+        """Open a WAP 'branch': a staging clone writers target. On Iceberg
+        this is ALTER TABLE ... CREATE BRANCH; the parquet analog is a
+        physical staging table with the same contract — audit before
+        publish, publish is atomic."""
+        staging = self._tmp_name(f"{table}__wap")
+        self.ctas(staging, self.spark.table(table))
+        return staging
+
+    def wap_publish(self, table: str, staging: str) -> None:
+        """Atomically promote the audited staging table (Iceberg:
+        system.cherrypick_snapshot; here: drop + rename swap)."""
+        self.drop_table(table)
+        self.rename_table(staging, table)
 
     # -- seeds (model/seed.py:91, evaluator.py:2421) -----------------------
 

@@ -90,6 +90,37 @@ class Context:
         missing intervals for the environment)."""
         return self.apply(self.plan(environment, start, end))
 
+    def restate(
+        self,
+        model_names: list[str],
+        start: str,
+        end: str,
+        environment: str = "prod",
+    ) -> dict[str, int]:
+        """Restatement (plan/builder.py:369): clear processed intervals of
+        the named models AND their downstream dependents for [start, end),
+        then re-run — late-arriving/corrected source data reprocesses
+        exactly that window."""
+        from sqlmesh_spark.core.plan import build_snapshots
+        from sqlmesh_spark.core.snapshot import to_epoch
+
+        snaps = build_snapshots(self.models)
+        targets = {n.lower() for n in model_names}
+        # Downstream closure: anything depending (transitively) on a target.
+        changed = True
+        while changed:
+            changed = False
+            for name, m in self.models.items():
+                if name not in targets and m.depends_on & targets:
+                    targets.add(name)
+                    changed = True
+        for name in targets:
+            snap = snaps[name]
+            self.state.remove_intervals(
+                name, snap.version, to_epoch(start), to_epoch(end)
+            )
+        return self.run(environment, start, end)
+
     # -- render / evaluate (context.py:1099/1168) ---------------------------
 
     def render(self, model_name: str, start: str = "1992-01-01", end: str = "1998-12-31") -> str:

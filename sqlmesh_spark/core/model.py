@@ -59,6 +59,9 @@ class Model:
     columns: dict[str, str] = field(default_factory=dict)
     lookback: int = 0
     batch_size: Optional[int] = None
+    # Python models (model/definition.py:1876): evaluated by calling this
+    # instead of rendering `query` (which then only carries the code hash).
+    python_fn: Optional[object] = None
 
     @property
     def schema_name(self) -> str:

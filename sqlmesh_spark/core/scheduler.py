@@ -76,21 +76,36 @@ class SnapshotEvaluator:
         adapter = self.adapter
         table = snapshot.table_name
         adapter.create_schema(snapshot.physical_schema)
-        sql = self.render(snapshot, start, end, table_mapping)
 
         if model.kind in (ModelKind.EMBEDDED, ModelKind.EXTERNAL):
-            return
-        if model.kind == ModelKind.VIEW:
-            adapter.create_view(table, sql)
             return
         if model.kind == ModelKind.SEED:
             adapter.load_seed(table, model.seed_csv or "", model.columns)
             return
-        if model.kind == ModelKind.FULL:
-            adapter.replace_query(table, sql)
-            return
 
-        df = self.spark.sql(sql)
+        if model.python_fn is not None:
+            # Python model: call the function with an execution context
+            # (model/definition.py:1896-1941 render path; DataFrames are
+            # first-class returns per spark.py:224-231).
+            from sqlmesh_spark.core.python_model import ExecutionContext
+
+            df = model.python_fn(
+                ExecutionContext(self.spark, start, end, dict(table_mapping))
+            )
+            if model.kind in (ModelKind.FULL, ModelKind.VIEW):
+                # VIEW-with-python materializes (a view cannot capture a
+                # DataFrame); FULL semantics are identical.
+                adapter.replace_query(table, df)
+                return
+        else:
+            sql = self.render(snapshot, start, end, table_mapping)
+            if model.kind == ModelKind.VIEW:
+                adapter.create_view(table, sql)
+                return
+            if model.kind == ModelKind.FULL:
+                adapter.replace_query(table, sql)
+                return
+            df = self.spark.sql(sql)
         if model.kind == ModelKind.INCREMENTAL_BY_TIME_RANGE:
             time_col = model.time_column or "ds"
             if is_first_insert and not adapter.table_exists(table):
@@ -116,7 +131,14 @@ class SnapshotEvaluator:
             else:
                 adapter.insert_append(table, df)
         elif model.kind in (ModelKind.SCD_TYPE_2_BY_TIME, ModelKind.SCD_TYPE_2_BY_COLUMN):
-            self._evaluate_scd2(snapshot, sql, end)
+            # SCD2 consumes the source as SQL text; a python model's frame
+            # goes through a temp view handle.
+            if model.python_fn is not None:
+                view = f"_py_src_{snapshot.version}"
+                df.createOrReplaceTempView(view)
+                self._evaluate_scd2(snapshot, f"SELECT * FROM {view}", end)
+            else:
+                self._evaluate_scd2(snapshot, sql, end)
         else:  # pragma: no cover
             raise NotImplementedError(model.kind)
 

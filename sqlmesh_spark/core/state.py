@@ -62,6 +62,24 @@ class StateStore:
     def get_intervals(self, name: str, version: str) -> list[tuple[int, int]]:
         return [tuple(p) for p in self._read("intervals").get(f"{name}@{version}", [])]
 
+    def remove_intervals(self, name: str, version: str, start: int, end: int) -> None:
+        """Subtract [start, end) from the processed set — the state-side
+        half of a restatement (plan/builder.py:369): the scheduler then
+        sees those intervals as missing and recomputes them."""
+        data = self._read("intervals")
+        key = f"{name}@{version}"
+        out: list[list[int]] = []
+        for s, e in data.get(key, []):
+            if e <= start or s >= end:
+                out.append([s, e])
+                continue
+            if s < start:
+                out.append([s, start])
+            if e > end:
+                out.append([end, e])
+        data[key] = out
+        self._write("intervals", data)
+
     # -- environments (state_sync/db/environment.py:33) ---------------------
 
     def put_environment(self, env: str, snapshots: dict[str, str]) -> None:

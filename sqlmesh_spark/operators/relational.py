@@ -493,3 +493,129 @@ def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "n_suppliers",
     )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=Q4_ORACLE, tags=("relational",))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → left_semi join with an extra non-equi predicate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@register("q12_shipmode_priority", oracle=Q12_ORACLE, tags=("relational",))
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a fact-fact join (Q12 shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q14_ORACLE = f"""
+SELECT ROUND(
+  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+               THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE), 6
+) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+@register("q14_promo_effect", oracle=Q14_ORACLE, tags=("relational",))
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ratio aggregate (Q14 shape) with exact-cents accumulation."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").like("PROMO%"), cents).otherwise(F.lit(0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(cents).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, o_orderkey,
+       CAST(ROUND(ANY_VALUE(o_totalprice) * 100) AS BIGINT) AS total_cents,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 20000
+)
+GROUP BY c_custkey, o_orderkey
+"""
+
+
+@register("q18_large_volume_customer", oracle=Q18_ORACLE, tags=("relational",))
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over a grouped HAVING (Q18 shape) → semi join on the
+    pre-aggregated key set."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qcents"))
+        .filter(F.col("qcents") > 20000)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", F.col("o_orderkey"))
+        .agg(
+            F.round(F.any_value("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+            (F.round(F.sum(_cents("l_quantity"))).cast("double") / 100).alias("sum_qty"),
+        )
+    )

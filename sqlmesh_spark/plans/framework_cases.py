@@ -14,6 +14,9 @@ import shutil
 import tempfile
 from urllib.parse import urlparse
 
+# Module-level so pandas-UDF string type hints (PEP 563 via the __future__
+# import above) resolve against these globals at UDF-registration time.
+import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame, SparkSession
 
 from sqlmesh_spark.core.context import Context
@@ -174,3 +177,55 @@ FROM {customer} WHERE c_custkey <= @VAR('limit', 1000)
     ctx.add_model(text.replace("@VAR('limit', 1000)", "1200"))
     ctx.run(environment="env_key", start="1995-01-01", end="1995-01-03")
     return spark.table("env_key_views.cust_balance")
+
+
+PYMODEL_ORACLE = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+       CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("framework_python_model", oracle=PYMODEL_ORACLE, tags=("framework",))
+def framework_python_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python model (@python_model decorator, reference PythonModel
+    definition.py:1876): a function returning a DataFrame, with an
+    Arrow-batched pandas UDF inside, planned/applied like any SQL model."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.model import ModelKind
+    from sqlmesh_spark.core.python_model import ExecutionContext, python_model
+
+    _clean_dbs(spark, "sqlmesh__demo_py", "env_py_views")
+    customer_path = f"{sf_dir}/customer.parquet"
+
+    @python_model(name="demo_py.segment_stats", kind=ModelKind.FULL)
+    def segment_stats(ctx: ExecutionContext) -> DataFrame:
+        @F.pandas_udf(IntegerType())
+        def is_high(bal: pd.Series) -> pd.Series:
+            return (bal > 5000).astype("int32")
+
+        cust = ctx.spark.read.parquet(customer_path)
+        return (
+            cust.withColumn("high", is_high("c_acctbal"))
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("bal_cents"),
+                F.sum("high").cast("bigint").alias("n_high"),
+            )
+        )
+
+    import tempfile as _tf
+
+    ctx = Context(spark, state_dir=_tf.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.models[segment_stats.name] = segment_stats
+    ctx.run(environment="env_py", start="1995-01-01", end="1995-01-02")
+    return spark.table("env_py_views.segment_stats")

@@ -48,6 +48,7 @@ def load_all() -> dict[str, QueryCase]:
     """Import every operator module so decorators populate REGISTRY."""
     # Imports are local to avoid cycles: operator modules import `register`.
     from sqlmesh_spark.operators import (  # noqa: F401
+        asof,
         relational,
         materialize_cases,
         scd2_cases,
