@@ -135,6 +135,83 @@ class Context:
     def evaluate(self, model_name: str, start: str = "1992-01-01", end: str = "1998-12-31") -> DataFrame:
         return self.spark.sql(self.render(model_name, start, end))
 
+    def janitor(self) -> list[str]:
+        """Drop physical snapshot tables no environment references anymore
+        (the reference's cleanup of expired snapshots — virtual envs keep
+        old versions alive only while some environment points at them).
+        Returns the dropped table names."""
+        from sqlmesh_spark.core.plan import build_snapshots
+
+        live: set[str] = set()
+        envs = self.state._read("environments")
+        snaps_meta = self.state._read("snapshots")
+        for env_pointers in envs.values():
+            for name, version in env_pointers.items():
+                schema = name.rsplit(".", 1)[0] if "." in name else "default"
+                view = name.rsplit(".", 1)[-1]
+                live.add(f"sqlmesh__{schema}.{view}__{version}")
+        dropped = []
+        for key in snaps_meta:
+            name, _, version = key.rpartition("@")
+            schema = name.rsplit(".", 1)[0] if "." in name else "default"
+            view = name.rsplit(".", 1)[-1]
+            table = f"sqlmesh__{schema}.{view}__{version}"
+            if table not in live and self._evaluator.adapter.table_exists(table):
+                self._evaluator.adapter.drop_table(table)
+                dropped.append(table)
+        return dropped
+
+    def generate_test(
+        self,
+        model_name: str,
+        input_limits: int = 5,
+        start: str = "1992-01-01",
+        end: str = "1998-12-31",
+    ) -> dict:
+        """create_test (reference context.py:2183): sample live upstream
+        rows as fixtures and record the model's output on them — a YAML-
+        ready golden test spec generated from reality."""
+        import re as _re
+
+        model = self.models[model_name.lower()]
+        inputs: dict[str, dict] = {}
+        mapping: dict[str, str] = {}
+        for dep in sorted(model.depends_on):
+            if dep in self.models or not _re.match(r"[\w.]+$", dep):
+                continue  # only external leaf tables become fixtures
+            rows = [r.asDict() for r in self.spark.table(dep).limit(input_limits).collect()]
+            inputs[dep] = {"rows": rows}
+        # Run the model query against the sampled fixtures.
+        from sqlmesh_spark.core.model_test import ModelTestRunner
+
+        runner = ModelTestRunner(self.spark)
+        spec = {
+            f"test_{model.view_name}": {
+                "model": model.name,
+                "inputs": inputs,
+                "vars": {"start": start, "end": end},
+                "outputs": {},
+            }
+        }
+        # Execute once to capture the golden output.
+        body = spec[f"test_{model.view_name}"]
+        from sqlmesh_spark.core.scheduler import _replace_table_ref
+        from sqlmesh_spark.macros import MacroEvaluator, temporal_variables
+
+        sql = MacroEvaluator(variables=temporal_variables(start, end)).render(model.query)
+        for upstream, data in inputs.items():
+            view = "gen_" + upstream.replace(".", "__")
+            import pandas as pd
+
+            self.spark.createDataFrame(pd.DataFrame(data["rows"])).createOrReplaceTempView(view)
+            sql = _replace_table_ref(sql, upstream, view)
+        out_rows = [r.asDict() for r in self.spark.sql(sql).collect()]
+        body["outputs"]["query"] = {"rows": out_rows}
+        # The generated spec must round-trip through the runner.
+        results = runner.run_spec(spec, self.models)
+        assert all(r.passed for r in results), [r.failures for r in results]
+        return spec
+
     # -- lineage (core/lineage.py analog, table level) ----------------------
 
     def lineage(self, model_name: str) -> list[str]:

@@ -41,6 +41,7 @@ class ModelKind(str, Enum):
     INCREMENTAL_UNMANAGED = "INCREMENTAL_UNMANAGED"
     SCD_TYPE_2_BY_TIME = "SCD_TYPE_2_BY_TIME"
     SCD_TYPE_2_BY_COLUMN = "SCD_TYPE_2_BY_COLUMN"
+    CUSTOM = "CUSTOM"
 
 
 @dataclass
@@ -54,6 +55,7 @@ class Model:
     partitioned_by: tuple[str, ...] = ()
     grain: tuple[str, ...] = ()
     audits: tuple[tuple[str, dict], ...] = ()
+    signals: tuple[str, ...] = ()
     depends_on: frozenset[str] = frozenset()
     seed_csv: Optional[str] = None
     columns: dict[str, str] = field(default_factory=dict)
@@ -204,6 +206,7 @@ def parse_model_text(text: str) -> Model:
         partitioned_by=_parse_tuple(props["partitioned_by"]) if "partitioned_by" in props else (),
         grain=_parse_tuple(props["grain"]) if "grain" in props else (),
         audits=_parse_audits(props["audits"]) if "audits" in props else (),
+        signals=tuple(x.lower() for x in _parse_tuple(props["signals"])) if "signals" in props else (),
         depends_on=extract_depends_on(query),
         columns=columns,
         lookback=int(props.get("lookback", "0") or 0),

@@ -126,6 +126,11 @@ class PlanEvaluator:
         for name, snap in plan.snapshots.items():
             if snap.model.kind.value in ("EMBEDDED", "EXTERNAL"):
                 continue
+            if not self.adapter.table_exists(snap.table_name):
+                # Signals may have gated every interval — the snapshot has
+                # no physical data yet; leave the env view where it was
+                # (possibly absent) rather than pointing at nothing.
+                continue
             self.adapter.create_view(
                 f"{env_schema}.{snap.model.view_name}",
                 f"SELECT * FROM {snap.table_name}",

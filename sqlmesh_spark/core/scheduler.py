@@ -38,6 +38,16 @@ class AuditError(Exception):
     pass
 
 
+# Custom materialization registry (reference evaluator.py:2812): name →
+# fn(evaluator, snapshot, df, start, end). Users register via
+# register_custom_materialization().
+CUSTOM_MATERIALIZATIONS: dict[str, "t_CustomFn"] = {}
+
+
+def register_custom_materialization(name: str, fn) -> None:
+    CUSTOM_MATERIALIZATIONS[name.lower()] = fn
+
+
 class SnapshotEvaluator:
     """kind → materialization strategy dispatch
     (evaluator.py:1643 _evaluation_strategy)."""
@@ -130,6 +140,11 @@ class SnapshotEvaluator:
                 adapter.ctas(table, df)
             else:
                 adapter.insert_append(table, df)
+        elif model.kind == ModelKind.CUSTOM:
+            # Custom materialization plugin point (evaluator.py:2812
+            # CustomMaterialization): a registered strategy owns the write.
+            name = model.kind_args.get("materialization", "")
+            CUSTOM_MATERIALIZATIONS[name](self, snapshot, df, start, end)
         elif model.kind in (ModelKind.SCD_TYPE_2_BY_TIME, ModelKind.SCD_TYPE_2_BY_COLUMN):
             # SCD2 consumes the source as SQL text; a python model's frame
             # goes through a temp view handle.
@@ -278,6 +293,12 @@ class Scheduler:
             chunks = missing_intervals(
                 eff_start, end, processed, unit=unit, lookback=model.lookback
             )
+            if model.signals:
+                # Signal gating (scheduler.py:950 _check_ready_intervals):
+                # only admitted intervals run; the rest stay missing.
+                from sqlmesh_spark.core.signal import check_ready_intervals
+
+                chunks = check_ready_intervals(model.signals, chunks)
             batches = batch_intervals(chunks, model.batch_size)
         else:
             # Non-incremental kinds re-run wholesale each scheduled tick.
@@ -285,15 +306,17 @@ class Scheduler:
             batches = [] if model.kind in (ModelKind.EMBEDDED, ModelKind.EXTERNAL) else batches
         first = not processed
         n = 0
+        wholesale = (ModelKind.FULL, ModelKind.VIEW, ModelKind.SEED, ModelKind.CUSTOM)
         for bs, be in batches:
-            if model.kind in (ModelKind.FULL, ModelKind.VIEW, ModelKind.SEED):
+            if model.kind in wholesale:
+                # Wholesale kinds re-run over the full requested window.
                 self.evaluator.evaluate(snapshot, eff_start, end, mapping, first)
             else:
                 self.evaluator.evaluate(
                     snapshot, from_epoch(bs), from_epoch(be), mapping, first and n == 0
                 )
             n += 1
-            if model.kind not in (ModelKind.FULL, ModelKind.VIEW, ModelKind.SEED):
+            if model.kind not in wholesale:
                 self.state.add_interval(model.name, snapshot.version, bs, be)
         if batches:
             failures = self.evaluator.run_audits(snapshot)

@@ -131,6 +131,48 @@ SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {k}
 """
 
 
+def ann_topk_zipwith_sql(table: str, n_queries: int = 10, k: int = 5) -> str:
+    """Spark-only fast path: dot products fold arrays in place
+    (ZIP_WITH + AGGREGATE inside codegen) instead of exploding elements
+    into a join — ~64× fewer rows through the plan. Scaled-int folds are
+    order-insensitive, so results stay bit-identical to the explode-based
+    oracle."""
+    dot = (
+        "AGGREGATE(ZIP_WITH(q.embedding, c.embedding, "
+        "(x, y) -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+
+    def norm(side: str) -> str:
+        return (
+            f"AGGREGATE(TRANSFORM({side}.embedding, "
+            "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+
+    return f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot} AS dot, {norm('q')} AS nq, {norm('c')} AS nc
+  FROM (SELECT * FROM {table} WHERE vec_id < {n_queries}) q
+  CROSS JOIN {table} c
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           -- rank on the ROUNDED value: the oracle ranks its rounded
+           -- cosine, and ties must break identically (then by id)
+           ORDER BY ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)), 6) DESC,
+                    neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
 def _case(sql_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, ("embeddings",))
@@ -139,11 +181,16 @@ def _case(sql_fn):
     return run
 
 
+def _ann_bruteforce_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(ann_topk_zipwith_sql("embeddings"))
+
+
 register(
     "ann_topk_bruteforce",
     oracle=ann_topk_bruteforce_sql("embeddings", dialect="duckdb"),
     tags=("llm", "similarity", "bench"),
-)(_case(ann_topk_bruteforce_sql))
+)(_ann_bruteforce_case)
 
 register(
     "ann_lsh_bucketed",

@@ -1,0 +1,119 @@
+"""Signals, custom materializations, janitor, generated tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+from sqlmesh_spark.core.signal import check_ready_intervals, freshness, signal
+from sqlmesh_spark.core.snapshot import DAY, to_epoch
+
+
+def test_freshness_signal_blocks_future_intervals():
+    past = (to_epoch("2020-01-01"), to_epoch("2020-01-02"))
+    future = (to_epoch("2099-01-01"), to_epoch("2099-01-02"))
+    assert check_ready_intervals(["freshness"], [past, future]) == [past]
+
+
+def test_custom_signal_registration_and_intersection():
+    @signal("only_even_days")
+    def only_even_days(batch):
+        return [iv for iv in batch if (iv[0] // DAY) % 2 == 0]
+
+    ivs = [(0, DAY), (DAY, 2 * DAY), (2 * DAY, 3 * DAY)]
+    assert check_ready_intervals(["only_even_days"], ivs) == [ivs[0], ivs[2]]
+    # Intersection with freshness (all past) keeps the same set.
+    assert check_ready_intervals(["only_even_days", "freshness"], ivs) == [ivs[0], ivs[2]]
+
+
+def test_signal_gates_scheduler_run(spark, sf_dir):
+    from sqlmesh_spark.core.context import Context
+
+    @signal("nothing_ready")
+    def nothing_ready(batch):
+        return False
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(
+        f"""
+MODEL (name sig.daily, kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+       signals (nothing_ready));
+SELECT o_orderdate AS event_ts, o_orderkey FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP) AND o_orderdate < CAST(@end_ts AS TIMESTAMP)
+"""
+    )
+    executed = ctx.run(environment="sig_env", start="1995-01-01", end="1995-01-05")
+    assert executed["sig.daily"] == 0  # every interval gated out
+
+
+def test_custom_materialization(spark, sf_dir):
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.scheduler import register_custom_materialization
+
+    def append_with_tag(evaluator, snapshot, df, start, end):
+        from pyspark.sql import functions as F
+
+        tagged = df.withColumn("mat", F.lit("custom"))
+        evaluator.adapter.replace_query(snapshot.table_name, tagged)
+
+    register_custom_materialization("tagging", append_with_tag)
+
+    nation = f"parquet.`{sf_dir}/nation.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(
+        f"""
+MODEL (name cm.tagged, kind CUSTOM (materialization tagging));
+SELECT n_nationkey, n_name FROM {nation}
+"""
+    )
+    ctx.run(environment="cm_env", start="1995-01-01", end="1995-01-02")
+    rows = spark.table("cm_env_views.tagged").collect()
+    assert len(rows) == 25 and all(r.mat == "custom" for r in rows)
+
+
+def test_janitor_drops_unreferenced_snapshots(spark, sf_dir):
+    from sqlmesh_spark.core.context import Context
+
+    nation = f"parquet.`{sf_dir}/nation.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    text = f"MODEL (name jan.m, kind FULL);\nSELECT n_nationkey FROM {nation}"
+    ctx.add_model(text)
+    ctx.run(environment="jan_env", start="1995-01-01", end="1995-01-02")
+    v1_table = next(iter(ctx.plan("jan_env").snapshots.values())).table_name
+
+    # Modify → new version; env pointer moves; v1 becomes garbage.
+    ctx.models.clear()
+    ctx.add_model(text.replace("n_nationkey", "n_nationkey, n_name"))
+    ctx.run(environment="jan_env", start="1995-01-01", end="1995-01-02")
+
+    dropped = ctx.janitor()
+    assert v1_table in dropped
+    assert not spark.catalog.tableExists(v1_table)
+    assert spark.table("jan_env_views.m").count() == 25  # live version intact
+
+
+def test_generate_test_round_trips(spark, sf_dir):
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.model_test import ModelTestRunner
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    # Register 'nation' as a queryable name for fixture sampling.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("src_nation")
+    ctx.add_model(
+        "MODEL (name gen.regions, kind FULL);\n"
+        "SELECT n_regionkey, COUNT(*) AS n FROM src.nation GROUP BY n_regionkey"
+    )
+    # src.nation resolves via a real catalog table (adapter handles orphan
+    # warehouse locations from prior sessions).
+    from sqlmesh_spark.adapter import SparkAdapter
+
+    adapter = SparkAdapter(spark)
+    adapter.create_schema("src")
+    adapter.replace_query("src.nation", spark.read.parquet(f"{sf_dir}/nation.parquet"))
+
+    spec = ctx.generate_test("gen.regions")
+    body = spec["test_regions"]
+    assert body["inputs"]["src.nation"]["rows"]
+    assert body["outputs"]["query"]["rows"]
+    results = ModelTestRunner(spark).run_spec(spec, ctx.models)
+    assert all(r.passed for r in results)
