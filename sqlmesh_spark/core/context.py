@@ -79,16 +79,28 @@ class Context:
 
     # -- plan/apply (context.py:plan/apply) ---------------------------------
 
-    def plan(self, environment: str = "prod", start: str = "1992-01-01", end: str = "1998-12-31") -> Plan:
-        return self._evaluator.plan(self.models, environment, start, end)
+    def plan(
+        self,
+        environment: str = "prod",
+        start: str = "1992-01-01",
+        end: str = "1998-12-31",
+        forward_only: bool = False,
+    ) -> Plan:
+        return self._evaluator.plan(self.models, environment, start, end, forward_only)
 
     def apply(self, plan: Plan) -> dict[str, int]:
         return self._evaluator.apply(plan)
 
-    def run(self, environment: str = "prod", start: str = "1992-01-01", end: str = "1998-12-31") -> dict[str, int]:
+    def run(
+        self,
+        environment: str = "prod",
+        start: str = "1992-01-01",
+        end: str = "1998-12-31",
+        forward_only: bool = False,
+    ) -> dict[str, int]:
         """plan+apply in one step (context.py:756 run semantics: process
         missing intervals for the environment)."""
-        return self.apply(self.plan(environment, start, end))
+        return self.apply(self.plan(environment, start, end, forward_only))
 
     def restate(
         self,

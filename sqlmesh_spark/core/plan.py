@@ -47,6 +47,11 @@ class Plan:
     end: str
     snapshots: dict[str, Snapshot]
     diff: ContextDiff
+    # Forward-only (plan/stages.py:150 MigrateSchemasStage + the
+    # forward_only plan flag): modified models KEEP their physical table
+    # (pinned to the previous version), additive schema changes apply as
+    # ALTERs, and history is not recomputed — only new intervals run.
+    forward_only: bool = False
 
 
 def build_snapshots(models: Mapping[str, Model]) -> dict[str, Snapshot]:
@@ -99,10 +104,75 @@ class PlanEvaluator:
         environment: str,
         start: str,
         end: str,
+        forward_only: bool = False,
     ) -> Plan:
         snapshots = build_snapshots(models)
-        diff = context_diff(snapshots, self.state.get_environment(environment))
-        return Plan(environment=environment, start=start, end=end, snapshots=snapshots, diff=diff)
+        env_state = self.state.get_environment(environment)
+        diff = context_diff(snapshots, env_state)
+        if forward_only:
+            self._pin_forward_only(snapshots, diff, env_state)
+        return Plan(
+            environment=environment,
+            start=start,
+            end=end,
+            snapshots=snapshots,
+            diff=diff,
+            forward_only=forward_only,
+        )
+
+    def _pin_forward_only(
+        self,
+        snapshots: dict[str, Snapshot],
+        diff: ContextDiff,
+        env_state: Mapping[str, str],
+    ) -> None:
+        """Pin modified models to their previous version (same physical
+        table), migrate the table schema additively, and carry the old
+        version's processed intervals — the forward-only contract
+        (evaluator.py:1105-1233 migrate; destructive changes rejected by
+        SchemaDiffer policy)."""
+        from sqlmesh_spark.diff import SchemaDiffer
+
+        differ = SchemaDiffer(on_destructive_change="error")
+        for name in diff.modified:
+            old_version = env_state[name]
+            new = snapshots[name]
+            pinned = Snapshot(model=new.model, version=old_version, parents=new.parents)
+            if self.adapter.table_exists(pinned.table_name):
+                current_cols = self.adapter.columns(pinned.table_name)
+                target_cols = self._query_schema(pinned, self._mapping(snapshots))
+                if target_cols is not None:
+                    stmts = differ.alter_statements(
+                        pinned.table_name,
+                        current_cols,
+                        target_cols,
+                    )
+                    # Parquet tables support ADD COLUMN only; drops/types
+                    # already rejected under on_destructive_change=error.
+                    self.adapter.alter_table(
+                        pinned.table_name, [s for s in stmts if " ADD COLUMN " in s]
+                    )
+            snapshots[name] = pinned
+
+    def _mapping(self, snapshots: Mapping[str, Snapshot]) -> dict[str, str]:
+        return {n: s.table_name for n, s in snapshots.items()}
+
+    def _query_schema(self, snapshot: Snapshot, mapping=None) -> dict[str, str] | None:
+        """Analyze (don't execute) the rendered query for its schema."""
+        from sqlmesh_spark.core.scheduler import SnapshotEvaluator
+
+        if snapshot.model.python_fn is not None:
+            return None
+        try:
+            sql = SnapshotEvaluator(self.spark, self.adapter).render(
+                snapshot, "1970-01-01", "1970-01-02", mapping or {}
+            )
+            cols = dict(self.spark.sql(sql).dtypes)
+            if snapshot.model.kind.value == "INCREMENTAL_BY_TIME_RANGE":
+                cols["_ds"] = "string"
+            return cols
+        except Exception:
+            return None
 
     def apply(self, plan: Plan) -> dict[str, int]:
         # Stage 1: snapshot records.

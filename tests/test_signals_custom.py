@@ -117,3 +117,67 @@ def test_generate_test_round_trips(spark, sf_dir):
     assert body["outputs"]["query"]["rows"]
     results = ModelTestRunner(spark).run_spec(spec, ctx.models)
     assert all(r.passed for r in results)
+
+
+def test_forward_only_schema_migration(spark, sf_dir):
+    """Forward-only plan: a modified incremental model keeps its physical
+    table, gains the new column via ALTER (NULL for history), and only new
+    intervals compute with the new projection."""
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    base = f"""
+MODEL (name fo.daily, kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts));
+SELECT o_orderdate AS event_ts, o_orderkey{{extra}}
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP) AND o_orderdate < CAST(@end_ts AS TIMESTAMP)
+"""
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(base.format(extra=""))
+    ctx.run(environment="fo_env", start="1995-01-01", end="1995-01-05")
+    v1 = ctx.plan("fo_env").snapshots["fo.daily"].version
+
+    # Additive change: new projection column.
+    ctx.models.clear()
+    ctx.add_model(base.format(extra=", o_custkey"))
+    executed = ctx.run(
+        environment="fo_env", start="1995-01-01", end="1995-01-08", forward_only=True
+    )
+    plan = ctx.plan("fo_env", forward_only=True)
+    assert plan.snapshots["fo.daily"].version == v1  # table reused
+
+    df = spark.table("fo_env_views.daily")
+    assert "o_custkey" in df.columns
+    jan_1_4 = df.filter("event_ts < '1995-01-05'")
+    jan_5_7 = df.filter("event_ts >= '1995-01-05'")
+    # History NOT recomputed → new column NULL there; new intervals filled.
+    assert jan_1_4.count() > 0 and jan_1_4.filter("o_custkey IS NOT NULL").count() == 0
+    assert jan_5_7.count() > 0 and jan_5_7.filter("o_custkey IS NULL").count() == 0
+
+
+def test_dev_environment_reuses_prod_snapshots(spark, sf_dir):
+    """Virtual data environments: a dev env over unchanged models points
+    views at the SAME physical tables as prod — zero recompute
+    (docs/blog/virtual_data_environments.md)."""
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+
+    nation = f"parquet.`{sf_dir}/nation.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(f"MODEL (name ve.m, kind FULL);\nSELECT n_nationkey, n_name FROM {nation}")
+    prod_exec = ctx.run(environment="prod", start="1995-01-01", end="1995-01-02")
+    assert prod_exec["ve.m"] == 1
+
+    prod_table = ctx.plan("prod").snapshots["ve.m"].table_name
+    mtime_before = spark.sql(f"SELECT COUNT(*) FROM {prod_table}").collect()[0][0]
+
+    # Dev env: same fingerprints → same physical table, only views created.
+    ctx.run(environment="dev", start="1995-01-01", end="1995-01-02")
+    dev_plan = ctx.plan("dev")
+    assert dev_plan.snapshots["ve.m"].table_name == prod_table
+    assert dev_plan.diff.unchanged == ["ve.m"]
+    assert spark.table("dev_views.m").count() == mtime_before
+    assert spark.table("prod_views.m").count() == mtime_before
