@@ -197,3 +197,91 @@ register(
     oracle=ann_lsh_bucketed_sql("embeddings", dialect="duckdb"),
     tags=("llm", "similarity"),
 )(_case(ann_lsh_bucketed_sql))
+
+
+def ann_ivf_sql(
+    table: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_clusters: int = 8,
+    dialect: str = "spark",
+) -> str:
+    """IVF (inverted-file) ANN: a deterministic one-Lloyd-iteration k-means
+    coarse quantizer buckets vectors into cells; queries probe only their
+    nearest cell. The third rung of the similarity ladder (brute force →
+    sign-LSH → IVF): at 100 TB the cell assignment is one scan + one small
+    broadcast join, and the probe touches |corpus|/n_clusters vectors.
+
+    Everything is exact scaled-integer arithmetic over deterministic seeds
+    (cells seeded from vec_id < n_clusters), so both engines converge to
+    identical cells and identical results — a true value-level oracle for
+    an operator that is usually "approximately tested" at best.
+    """
+    elems = _elems(table, dialect)
+    return f"""
+WITH elems AS ({elems}),
+norms AS (
+  SELECT vec_id, SUM(CAST(ROUND(val * val * 1000000) AS BIGINT)) AS nrm
+  FROM elems GROUP BY vec_id
+),
+seedc AS (
+  SELECT vec_id AS cid, ord, val FROM elems WHERE vec_id < {n_clusters}
+),
+a0 AS (
+  SELECT e.vec_id, c.cid,
+         SUM(CAST(ROUND(e.val * c.val * 1000000) AS BIGINT)) AS dot
+  FROM elems e JOIN seedc c ON e.ord = c.ord
+  GROUP BY e.vec_id, c.cid
+),
+assign0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM a0) t WHERE rn = 1
+),
+cent AS (
+  SELECT a.cid, e.ord,
+         CAST(SUM(CAST(ROUND(e.val * 1000000) AS BIGINT)) AS DOUBLE)
+           / (1000000 * COUNT(*)) AS cval
+  FROM assign0 a JOIN elems e ON a.vec_id = e.vec_id
+  GROUP BY a.cid, e.ord
+),
+a1 AS (
+  SELECT e.vec_id, c.cid,
+         SUM(CAST(ROUND(e.val * c.cval * 1000000) AS BIGINT)) AS dot
+  FROM elems e JOIN cent c ON e.ord = c.ord
+  GROUP BY e.vec_id, c.cid
+),
+assign1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM a1) t WHERE rn = 1
+),
+qset AS (SELECT vec_id, cid FROM assign1 WHERE vec_id < {n_queries}),
+sims AS (
+  SELECT q.vec_id AS query_id, cvec.vec_id AS neighbor_id,
+         ROUND(CAST(SUM(CAST(ROUND(qe.val * ce.val * 1000000) AS BIGINT)) AS DOUBLE)
+               / SQRT(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)), 6) AS cosine
+  FROM qset q
+  JOIN assign1 cvec ON cvec.cid = q.cid AND cvec.vec_id <> q.vec_id
+  JOIN elems qe ON qe.vec_id = q.vec_id
+  JOIN elems ce ON ce.vec_id = cvec.vec_id AND ce.ord = qe.ord
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = cvec.vec_id
+  GROUP BY q.vec_id, cvec.vec_id, nq.nrm, nc.nrm
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+register(
+    "ann_ivf",
+    oracle=ann_ivf_sql("embeddings", dialect="duckdb"),
+    tags=("llm", "similarity"),
+)(_case(ann_ivf_sql))

@@ -619,3 +619,47 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum(_cents("l_quantity"))).cast("double") / 100).alias("sum_qty"),
         )
     )
+
+
+JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@register("json_extraction", oracle=JSON_ORACLE, tags=("relational",))
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: get_json_object over the events.props JSON
+    column (Spark) vs json_extract_string (DuckDB)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+PCTL_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("exact_percentiles", oracle=PCTL_ORACLE, tags=("relational",))
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles: Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition, so the
+    doubles agree (approx_percentile would not — sketch-based)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    )

@@ -1,0 +1,52 @@
+"""Skew-mitigation helpers: salting for hot keys.
+
+AQE's skew-join splitting handles most runtime skew, but aggregations on a
+pathological key (one user = 30% of events) still funnel one reducer. The
+classic fix: two-phase salted aggregation — spread the hot key over N
+salts, partially aggregate, then fold the partials. These helpers encode
+the pattern so model authors don't hand-roll it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for additive measures: phase 1 groups by
+    (keys, salt) — spreading each key across `salt_buckets` reducers —
+    phase 2 folds the partials per key. `aggs` maps output name → an
+    additive aggregate over the input (SUM/COUNT-shaped; AVG must be
+    decomposed by the caller into SUM+COUNT)."""
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[F.sum(f"_p_{name}").alias(name) for name in aggs]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skewed-side salting: the skewed fact gets a random salt, the small
+    side is replicated across all salts (explode), and the join key becomes
+    (keys, salt) — one hot key now lands on `salt_buckets` reducers."""
+    on = list(on)
+    salted_fact = skewed.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_fact.join(replicated, on=on + ["_salt"]).drop("_salt")

@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis) for the engine's pure-math cores:
+interval arithmetic and SCD2 invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from sqlmesh_spark.core.snapshot import (
+    DAY,
+    batch_intervals,
+    merge_intervals,
+    missing_intervals,
+)
+
+days = st.integers(min_value=0, max_value=60)
+
+
+@st.composite
+def interval_sets(draw):
+    n = draw(st.integers(min_value=0, max_value=6))
+    out = []
+    for _ in range(n):
+        s = draw(days)
+        e = draw(st.integers(min_value=s + 1, max_value=s + 10))
+        out.append((s * DAY, e * DAY))
+    return out
+
+
+@given(interval_sets())
+def test_merge_intervals_is_canonical(ivs):
+    merged = merge_intervals(ivs)
+    # sorted, non-overlapping, non-adjacent
+    for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+        assert e1 < s2
+    # same coverage
+    covered = set()
+    for s, e in ivs:
+        covered.update(range(s // DAY, e // DAY))
+    covered2 = set()
+    for s, e in merged:
+        covered2.update(range(s // DAY, e // DAY))
+    assert covered == covered2
+
+
+@given(interval_sets(), days, st.integers(min_value=1, max_value=30))
+def test_missing_plus_processed_covers_window(processed, start_day, span):
+    start, end = start_day * DAY, (start_day + span) * DAY
+    missing = missing_intervals(start, end, processed)
+    # 1) chunks are unit-aligned, within window, disjoint
+    seen = set()
+    for s, e in missing:
+        assert s % DAY == 0 and e - s == DAY
+        assert start <= s < end
+        assert s not in seen
+        seen.add(s)
+    # 2) processed ∪ missing ⊇ window; missing ∩ processed = ∅
+    processed_days = set()
+    for s, e in merge_intervals(processed):
+        processed_days.update(range(s // DAY, e // DAY))
+    window_days = set(range(start // DAY, end // DAY))
+    missing_days = {s // DAY for s, _ in missing}
+    assert missing_days == window_days - processed_days
+
+
+@given(interval_sets(), st.integers(min_value=1, max_value=5))
+def test_batches_preserve_chunks_exactly(processed, batch_size):
+    missing = missing_intervals(0, 40 * DAY, processed)
+    batches = batch_intervals(missing, batch_size)
+    # batches are contiguous runs whose union equals the chunks
+    rebuilt = []
+    for s, e in batches:
+        assert (e - s) // DAY <= batch_size
+        t = s
+        while t < e:
+            rebuilt.append((t, t + DAY))
+            t += DAY
+    assert rebuilt == missing
+
+
+# --- SCD2 invariants over random change histories ---------------------------
+
+ids = st.integers(min_value=1, max_value=6)
+statuses = st.sampled_from(["a", "b", "c"])
+
+
+@st.composite
+def snapshots_history(draw):
+    """2-4 successive source snapshots: {id: status} maps."""
+    n = draw(st.integers(min_value=2, max_value=4))
+    return [
+        draw(st.dictionaries(ids, statuses, min_size=0, max_size=5)) for _ in range(n)
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(snapshots_history())
+def test_scd2_invariants(spark_global, history):
+    """After any change history: per key ≤1 open row, closed rows have
+    valid_from <= valid_to, and the open row reflects the latest snapshot."""
+    from sqlmesh_spark.operators.scd2 import empty_target_sql, scd_type_2_query
+
+    spark = spark_global
+    common = dict(unique_key=("id",), columns=("id", "status"), check_columns=("status",))
+    target = empty_target_sql(
+        ("id", "status", "valid_from", "valid_to"),
+        ("INT", "STRING", "TIMESTAMP", "TIMESTAMP"),
+    )
+    state_sql = None
+    for step, snap in enumerate(history):
+        rows = [(k, v) for k, v in snap.items()]
+        df = (
+            spark.createDataFrame(rows, "id int, status string")
+            if rows
+            else spark.createDataFrame([], "id int, status string")
+        )
+        df.createOrReplaceTempView(f"prop_src_{step}")
+        q = scd_type_2_query(
+            target_sql=state_sql or target,
+            source_sql=f"SELECT * FROM prop_src_{step}",
+            execution_ts=f"2024-0{step + 1}-15 00:00:00",
+            truncate=(step == 0),
+            **common,
+        )
+        spark.sql(q).createOrReplaceTempView(f"prop_state_{step}")
+        state_sql = f"SELECT * FROM prop_state_{step}"
+
+    final = spark.sql(state_sql).collect()
+    open_by_key: dict[int, list] = {}
+    for r in final:
+        if r.valid_to is None:
+            open_by_key.setdefault(r.id, []).append(r)
+        else:
+            assert r.valid_from is None or r.valid_from <= r.valid_to
+    for key, rows in open_by_key.items():
+        assert len(rows) == 1, f"key {key} has {len(rows)} open rows"
+    last = history[-1]
+    # Every key present in the last snapshot has exactly one open row with
+    # its latest status; absent keys have none.
+    for k, v in last.items():
+        assert k in open_by_key and open_by_key[k][0].status == v
+    for k in open_by_key:
+        assert k in last

@@ -26,3 +26,42 @@ def test_entry_smoke(spark):
     qs = e.queries()
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sqlmesh_spark.operators.skew import salted_agg
+    from sqlmesh_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.user_id): (r.n, r.v)
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v"))
+        .collect()
+    }
+    salted = {
+        (r.user_id): (r.n, r.v)
+        for r in salted_agg(
+            e,
+            ["user_id"],
+            {
+                "n": F.count(F.lit(1)),
+                "v": F.sum(F.round(F.col("value") * 100).cast("bigint")),
+            },
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from sqlmesh_spark.operators.skew import salted_join
+    from sqlmesh_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name") \
+        .withColumnRenamed("n_nationkey", "c_nationkey")
+    plain = c.join(n, "c_nationkey").count()
+    assert salted_join(c, n, ["c_nationkey"]).count() == plain
