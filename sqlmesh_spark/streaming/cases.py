@@ -1,0 +1,81 @@
+"""Streaming correctness case: availableNow drain with watermark-closed
+tumbling windows, oracled by computing the closed-window subset in SQL.
+
+Append-mode emission semantics are deterministic given static input: a
+window emits iff window_end <= max(event_time) - watermark. That predicate
+is plain SQL, so even the *streaming* operator gets a value-level oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlmesh_spark.registry import register
+from sqlmesh_spark.streaming.incremental import stream_incremental_aggregate
+
+STREAMING_ORACLE = """
+WITH daily AS (
+  SELECT CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS ds,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+  GROUP BY 1
+),
+mx AS (
+  SELECT MAX(o_orderdate) AS max_ts FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+)
+SELECT d.ds, d.n_orders, d.revenue_cents
+FROM daily d CROSS JOIN mx
+-- append mode emits only watermark-closed windows:
+WHERE CAST(d.ds AS TIMESTAMP) + INTERVAL 1 DAY <= mx.max_ts - INTERVAL 2 DAY
+"""
+
+
+@register("streaming_daily_counts", oracle=STREAMING_ORACLE, tags=("streaming",))
+def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One availableNow drain of a bounded January-1996 order stream into
+    daily windows with a 2-day watermark; output = the closed windows."""
+    src = tempfile.mkdtemp(prefix="stream_case_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_case_ckpt_")
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-02-01")
+        )
+        .select("o_orderkey", "o_totalprice", F.col("o_orderdate").alias("event_ts"))
+    )
+    orders.write.mode("overwrite").parquet(src)
+
+    agg = stream_incremental_aggregate(
+        spark,
+        source_dir=src,
+        schema=orders.schema,
+        time_col="event_ts",
+        window_duration="1 day",
+        watermark="2 days",
+        agg_exprs={
+            "n_orders": "count(1)",
+            "revenue_cents": "sum(cast(round(o_totalprice * 100) as bigint))",
+        },
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_case_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT date_format(window_start, 'yyyy-MM-dd') AS ds, n_orders, revenue_cents "
+        "FROM stream_case_out"
+    )
