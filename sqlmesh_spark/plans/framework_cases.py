@@ -229,3 +229,40 @@ def framework_python_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx.models[segment_stats.name] = segment_stats
     ctx.run(environment="env_py", start="1995-01-01", end="1995-01-02")
     return spark.table("env_py_views.segment_stats")
+
+
+UNMANAGED_ORACLE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-01-07 00:00:00'
+"""
+
+
+@register("framework_incremental_unmanaged", oracle=UNMANAGED_ORACLE, tags=("framework",))
+def framework_incremental_unmanaged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL_UNMANAGED (kind.py: append-only, engine does not manage
+    idempotency — the interval bookkeeping alone prevents double-appends):
+    two runs over adjacent windows append disjoint slices exactly once."""
+    import tempfile as _tf
+
+    from sqlmesh_spark.core.context import Context
+
+    _clean_dbs(spark, "sqlmesh__demo_unm", "env_unm_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    ctx = Context(spark, state_dir=_tf.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (name demo_unm.order_log, kind INCREMENTAL_UNMANAGED, cron '@daily');
+SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS ds
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+"""
+    )
+    ctx.run(environment="env_unm", start="1995-01-01", end="1995-01-04")
+    ctx.run(environment="env_unm", start="1995-01-01", end="1995-01-07")
+    # second run appended only Jan 4-6; a third run appends nothing
+    r3 = ctx.run(environment="env_unm", start="1995-01-01", end="1995-01-07")
+    assert r3["demo_unm.order_log"] == 0
+    return spark.table("env_unm_views.order_log")
