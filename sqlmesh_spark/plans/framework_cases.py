@@ -244,13 +244,9 @@ def framework_incremental_unmanaged(spark: SparkSession, sf_dir: str) -> DataFra
     """INCREMENTAL_UNMANAGED (kind.py: append-only, engine does not manage
     idempotency — the interval bookkeeping alone prevents double-appends):
     two runs over adjacent windows append disjoint slices exactly once."""
-    import tempfile as _tf
-
-    from sqlmesh_spark.core.context import Context
-
     _clean_dbs(spark, "sqlmesh__demo_unm", "env_unm_views")
     orders = f"parquet.`{sf_dir}/orders.parquet`"
-    ctx = Context(spark, state_dir=_tf.mkdtemp(prefix="sqlmesh_state_"))
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
     ctx.add_model(
         f"""
 MODEL (name demo_unm.order_log, kind INCREMENTAL_UNMANAGED, cron '@daily');
