@@ -223,9 +223,7 @@ def framework_python_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    import tempfile as _tf
-
-    ctx = Context(spark, state_dir=_tf.mkdtemp(prefix="sqlmesh_state_"))
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
     ctx.models[segment_stats.name] = segment_stats
     ctx.run(environment="env_py", start="1995-01-01", end="1995-01-02")
     return spark.table("env_py_views.segment_stats")
