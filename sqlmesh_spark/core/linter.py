@@ -85,3 +85,24 @@ def lint_models(
             if msg:
                 out.append(LintViolation(rule=rule, model=name, message=msg))
     return out
+
+
+def no_missing_unit_test(model: Model, tested_models: set[str]) -> Optional[str]:
+    """builtin.py:132 NoMissingUnitTest — materialized models should have a
+    golden YAML test; `tested_models` comes from the discovered test specs."""
+    materialized = model.kind not in (ModelKind.VIEW, ModelKind.EMBEDDED, ModelKind.EXTERNAL)
+    if materialized and model.name not in tested_models:
+        return "model has no unit test"
+    return None
+
+
+def no_ambiguous_projections(model: Model) -> Optional[str]:
+    """builtin.py:292 NoAmbiguousProjections — duplicate output names in the
+    top-level projection shadow each other downstream."""
+    from sqlmesh_spark.core.lineage import _out_name, _projection_list
+
+    names = [_out_name(p, i) for i, p in enumerate(_projection_list(model.query))]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        return f"duplicate projection names: {sorted(dupes)}"
+    return None

@@ -107,16 +107,31 @@ def row_diff_query(
     target: str,
     on: Sequence[str],
     value_columns: Sequence[str],
+    decimal_columns: Sequence[str] = (),
+    decimal_scale: int = 4,
 ) -> str:
     """One FULL OUTER JOIN stats query (table_diff.py:341-500 shape):
     row counts, join/only counts, full-match count, per-column match
-    counts. Dialect-agnostic (runs on Spark and DuckDB verbatim)."""
+    counts. Dialect-agnostic (runs on Spark and DuckDB verbatim).
+
+    ``decimal_columns`` compare after scaled-integer normalization
+    (mixins.py:440-585 RowDiffMixin decimal normalization) — a price that
+    differs only below `decimal_scale` places counts as a match.
+    """
     key_eq = " AND ".join(f"s.{k} = t.{k}" for k in on)
     s_key = " AND ".join(f"s.{k} IS NOT NULL" for k in on)
     t_key = " AND ".join(f"t.{k} IS NOT NULL" for k in on)
+    unit = 10 ** decimal_scale
+
+    def _norm(side: str, c: str) -> str:
+        if c in decimal_columns:
+            return f"CAST(ROUND({side}.{c} * {unit}) AS BIGINT)"
+        return f"{side}.{c}"
+
     col_match = {
         c: (
-            f"(s.{c} = t.{c} OR (s.{c} IS NULL AND t.{c} IS NULL))"
+            f"({_norm('s', c)} = {_norm('t', c)}"
+            f" OR (s.{c} IS NULL AND t.{c} IS NULL))"
         )
         for c in value_columns
     }

@@ -17,14 +17,17 @@ from typing import Mapping, Sequence
 
 @dataclass(frozen=True)
 class Metric:
-    """An additive measure over a source relation (definition.py:68).
+    """A measure over a source relation (definition.py:68).
 
-    expr is an aggregate SQL expression over the source's columns.
+    Base metrics: ``expr`` is an aggregate SQL expression over the source.
+    Derived metrics (definition.py derived/expanded metrics): ``source`` is
+    None and ``expr`` references OTHER metric names — evaluated in the
+    outer select after the per-source aggregates join.
     """
 
     name: str
     expr: str
-    source: str  # key into the sources mapping passed to rewrite()
+    source: str | None = None  # key into the sources mapping; None = derived
 
 
 def rewrite(
@@ -40,6 +43,12 @@ def rewrite(
     """
     if not metrics:
         raise ValueError("at least one metric required")
+    derived = [m for m in metrics if m.source is None]
+    metrics = [m for m in metrics if m.source is not None]
+    if not metrics:
+        raise ValueError(
+            "derived metrics need at least one base (source-bound) metric to build on"
+        )
     by_source: dict[str, list[Metric]] = {}
     for m in metrics:
         by_source.setdefault(m.source, []).append(m)
@@ -76,7 +85,14 @@ def rewrite(
         for m in src
     )
     select = ", ".join(x for x in (dim_sel, metric_sel) if x)
-    return f"SELECT {select} FROM {from_clause}"
+    inner = f"SELECT {select} FROM {from_clause}"
+    if not derived:
+        return inner
+    # Derived metrics compose base metrics in an outer projection.
+    outer_cols = ", ".join(
+        [*dims, *(m.name for m in metrics), *(f"{m.expr} AS {m.name}" for m in derived)]
+    )
+    return f"SELECT {outer_cols} FROM ({inner}) base_metrics"
 
 
 # ---------------------------------------------------------------------------
@@ -104,6 +120,12 @@ _METRICS = (
     ),
     Metric("n_customers", "COUNT(DISTINCT c_custkey)", "customer_dim"),
     Metric("n_positive_bal", "SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)", "customer_dim"),
+    # Derived: composes the two base metrics above (definition.py derived
+    # metrics) — evaluated over the joined aggregates, identical doubles.
+    Metric(
+        "revenue_cents_per_customer",
+        "ROUND(CAST(total_revenue_cents AS DOUBLE) / n_customers, 6)",
+    ),
 )
 
 _METRIC_SQL = rewrite(_METRICS, ("c_nationkey",), _SOURCES)

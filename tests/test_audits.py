@@ -39,3 +39,26 @@ def test_audit_semantics_mutually_exclusive(spark):
     df.createOrReplaceTempView("t_rng")
     bad = spark.sql(audits.mutually_exclusive_ranges("t_rng", "lo", "hi"))
     assert bad.count() == 1  # [5,15) overlaps [0,10)
+
+
+def test_row_diff_decimal_normalization(spark):
+    from sqlmesh_spark.diff import row_diff_query
+
+    spark.createDataFrame(
+        [(1, 10.00001), (2, 5.0)], "id int, price double"
+    ).createOrReplaceTempView("rd_s")
+    spark.createDataFrame(
+        [(1, 10.00002), (2, 6.0)], "id int, price double"
+    ).createOrReplaceTempView("rd_t")
+    strict = spark.sql(
+        row_diff_query("SELECT * FROM rd_s", "SELECT * FROM rd_t", ["id"], ["price"])
+    ).collect()[0]
+    assert strict.full_match_count == 0
+    loose = spark.sql(
+        row_diff_query(
+            "SELECT * FROM rd_s", "SELECT * FROM rd_t", ["id"], ["price"],
+            decimal_columns=["price"], decimal_scale=4,
+        )
+    ).collect()[0]
+    # 10.00001 vs 10.00002 normalize equal at 4 places; 5 vs 6 still differ.
+    assert loose.full_match_count == 1 and loose.price_matches == 1

@@ -175,3 +175,16 @@ def test_context_lineage(spark):
     ctx.add_model("MODEL (name s.b, kind FULL);\nSELECT x FROM s.a")
     ctx.add_model("MODEL (name s.c, kind FULL);\nSELECT x FROM s.b JOIN s.a ON TRUE")
     assert ctx.lineage("s.c") == ["s.a", "s.b", "s.c"]
+
+
+def test_linter_extra_rules():
+    from sqlmesh_spark.core.linter import no_ambiguous_projections, no_missing_unit_test
+
+    dup = parse_model_text(
+        "MODEL (name s.dup, kind FULL);\nSELECT a AS x, b AS x FROM s.t"
+    )
+    ok = parse_model_text("MODEL (name s.ok, kind FULL);\nSELECT a AS x, b AS y FROM s.t")
+    assert "duplicate" in no_ambiguous_projections(dup)
+    assert no_ambiguous_projections(ok) is None
+    assert no_missing_unit_test(ok, tested_models=set()) is not None
+    assert no_missing_unit_test(ok, tested_models={"s.ok"}) is None
