@@ -67,6 +67,8 @@ class SnapshotEvaluator:
         physical snapshot tables (renderer.py:527 + _resolve_tables)."""
         variables = temporal_variables(start, end)
         variables["this_model"] = snapshot.table_name
+        # Evaluation-context vars (renderer.py:140-151).
+        variables["model_kind_name"] = f"'{snapshot.model.kind.value}'"
         sql = MacroEvaluator(variables=variables).render(snapshot.model.query)
         # Physical-name resolution: longest names first so db.a.b wins.
         for logical, physical in sorted(table_mapping.items(), key=lambda kv: -len(kv[0])):
@@ -194,17 +196,27 @@ class SnapshotEvaluator:
     # -- audits (evaluator.py:547; scheduler.py:887) ------------------------
 
     def run_audits(self, snapshot: Snapshot) -> list[str]:
+        """Returns BLOCKING failures; non-blocking audits (audit arg
+        `blocking = false`, audit/definition.py blocking flag) only warn."""
+        import logging
+
         failures = []
         for name, args in snapshot.model.audits:
             fn = getattr(audit_lib, name, None)
             if fn is None:
                 raise AuditError(f"unknown audit {name!r} on {snapshot.model.name}")
             kwargs = dict(args)
+            blocking = str(kwargs.pop("blocking", "true")).lower() != "false"
             # SQL-level audits take the physical table as relation.
             sql = fn(table=snapshot.table_name, dialect=audit_lib.SPARK, **kwargs)
             n_bad = self.spark.sql(sql).limit(1).count()
             if n_bad > 0:
-                failures.append(name)
+                if blocking:
+                    failures.append(name)
+                else:
+                    logging.getLogger("sqlmesh_spark").warning(
+                        "non-blocking audit %s failed on %s", name, snapshot.model.name
+                    )
         return failures
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from typing import Optional
 
 
@@ -21,6 +22,11 @@ class StateStore:
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # The scheduler mutates state from DAG-level-parallel threads;
+        # read-modify-write on a shared file needs mutual exclusion or
+        # concurrent add_interval calls silently drop each other's writes
+        # (which would double-append INCREMENTAL_UNMANAGED on the re-run).
+        self._lock = threading.RLock()
 
     # -- generic ------------------------------------------------------------
 
@@ -44,9 +50,10 @@ class StateStore:
     # -- snapshots (state_sync/db/snapshot.py:59) ---------------------------
 
     def put_snapshot(self, name: str, version: str, payload: dict) -> None:
-        snaps = self._read("snapshots")
-        snaps[f"{name}@{version}"] = payload
-        self._write("snapshots", snaps)
+        with self._lock:
+            snaps = self._read("snapshots")
+            snaps[f"{name}@{version}"] = payload
+            self._write("snapshots", snaps)
 
     def get_snapshot(self, name: str, version: str) -> Optional[dict]:
         return self._read("snapshots").get(f"{name}@{version}")
@@ -54,10 +61,11 @@ class StateStore:
     # -- intervals (state_sync/db/interval.py:47) ---------------------------
 
     def add_interval(self, name: str, version: str, start: int, end: int) -> None:
-        data = self._read("intervals")
-        key = f"{name}@{version}"
-        data.setdefault(key, []).append([start, end])
-        self._write("intervals", data)
+        with self._lock:
+            data = self._read("intervals")
+            key = f"{name}@{version}"
+            data.setdefault(key, []).append([start, end])
+            self._write("intervals", data)
 
     def get_intervals(self, name: str, version: str) -> list[tuple[int, int]]:
         return [tuple(p) for p in self._read("intervals").get(f"{name}@{version}", [])]
@@ -66,27 +74,29 @@ class StateStore:
         """Subtract [start, end) from the processed set — the state-side
         half of a restatement (plan/builder.py:369): the scheduler then
         sees those intervals as missing and recomputes them."""
-        data = self._read("intervals")
-        key = f"{name}@{version}"
-        out: list[list[int]] = []
-        for s, e in data.get(key, []):
-            if e <= start or s >= end:
-                out.append([s, e])
-                continue
-            if s < start:
-                out.append([s, start])
-            if e > end:
-                out.append([end, e])
-        data[key] = out
-        self._write("intervals", data)
+        with self._lock:
+            data = self._read("intervals")
+            key = f"{name}@{version}"
+            out: list[list[int]] = []
+            for s, e in data.get(key, []):
+                if e <= start or s >= end:
+                    out.append([s, e])
+                    continue
+                if s < start:
+                    out.append([s, start])
+                if e > end:
+                    out.append([end, e])
+            data[key] = out
+            self._write("intervals", data)
 
     # -- environments (state_sync/db/environment.py:33) ---------------------
 
     def put_environment(self, env: str, snapshots: dict[str, str]) -> None:
         """env → {model_name: version} pointer set (the virtual layer)."""
-        envs = self._read("environments")
-        envs[env] = snapshots
-        self._write("environments", envs)
+        with self._lock:
+            envs = self._read("environments")
+            envs[env] = snapshots
+            self._write("environments", envs)
 
     def get_environment(self, env: str) -> dict[str, str]:
         return self._read("environments").get(env, {})

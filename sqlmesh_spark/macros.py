@@ -356,6 +356,7 @@ BUILTIN_MACROS: dict[str, Callable[[list[str], "MacroEvaluator"], str]] = {
     "AND": macro_and,
     "OR": macro_or,
     "VAR": macro_var,
+    "BLUEPRINT_VAR": macro_var,  # blueprint-scoped vars share the lookup (macros.py:1228)
     "DEDUPLICATE": macro_deduplicate,
     "DATE_SPINE": macro_date_spine,
     "RESOLVE_TEMPLATE": macro_resolve_template,

@@ -188,3 +188,17 @@ def test_linter_extra_rules():
     assert no_ambiguous_projections(ok) is None
     assert no_missing_unit_test(ok, tested_models=set()) is not None
     assert no_missing_unit_test(ok, tested_models={"s.ok"}) is None
+
+
+def test_state_store_concurrent_add_interval(tmp_path):
+    """Parallel add_interval calls must not lose updates (the scheduler
+    writes from DAG-level-parallel threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sqlmesh_spark.core.state import StateStore
+
+    store = StateStore(str(tmp_path / "state"))
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda i: store.add_interval("m", "v", i, i + 1), range(64)))
+    got = sorted(store.get_intervals("m", "v"))
+    assert got == [(i, i + 1) for i in range(64)]

@@ -181,3 +181,35 @@ def test_dev_environment_reuses_prod_snapshots(spark, sf_dir):
     assert dev_plan.diff.unchanged == ["ve.m"]
     assert spark.table("dev_views.m").count() == mtime_before
     assert spark.table("prod_views.m").count() == mtime_before
+
+
+def test_non_blocking_audit_warns_not_fails(spark, sf_dir):
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+
+    cust = f"parquet.`{sf_dir}/customer.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(
+        f"""
+MODEL (name nb.m, kind FULL,
+       audits (accepted_range(column = c_acctbal, low = 0, high = 1, blocking = false)));
+SELECT c_custkey, c_acctbal FROM {cust} WHERE c_custkey <= 10
+"""
+    )
+    # Audit certainly fails, but non-blocking → run completes.
+    ctx.run(environment="nb_env", start="1995-01-01", end="1995-01-02")
+    assert spark.table("nb_env_views.m").count() == 11  # custkeys 0..10
+
+
+def test_model_kind_name_variable(spark, sf_dir):
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(
+        "MODEL (name kv.m, kind FULL);\nSELECT @model_kind_name AS kind_name"
+    )
+    rendered = ctx.render("kv.m")
+    assert rendered == "SELECT 'FULL' AS kind_name"
