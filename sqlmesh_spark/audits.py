@@ -346,9 +346,9 @@ from sqlmesh_spark.sources.tables import register_views  # noqa: E402
 # (audit fn, kwargs, tables to register) — params chosen so several audits
 # return non-empty violation sets against the synthetic data.
 _CASES = {
-    "audit_not_null": (not_null, dict(table="orders", columns=["o_custkey", "o_orderstatus"]), ("orders",)),
+    "audit_not_null": (not_null, dict(table="(SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders) o", columns=["o_custkey", "o_orderstatus"]), ("orders",)),
     "audit_not_empty_string": (not_empty_string, dict(table="documents", column="text"), ("documents",)),
-    "audit_accepted_values": (accepted_values, dict(table="orders", column="o_orderstatus", values=["O", "F"]), ("orders",)),
+    "audit_accepted_values": (accepted_values, dict(table="(SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders) o", column="o_orderstatus", values=["O", "F"]), ("orders",)),
     # events.ts is nanosecond-precision (Spark truncates to µs) — project it
     # away so SELECT * violation rows compare cleanly across engines.
     "audit_not_accepted_values": (not_accepted_values, dict(table="(SELECT event_id, user_id, event_type, value FROM events) e", column="event_type", values=["error"]), ("events",)),
@@ -362,8 +362,8 @@ _CASES = {
     "audit_valid_http_method": (valid_http_method, dict(table="(SELECT event_id, user_id, event_type, value FROM events) e", column="event_type"), ("events",)),
     "audit_match_regex_pattern_list": (match_regex_pattern_list, dict(table="part", column="p_type", patterns=["^STANDARD", "^SMALL"]), ("part",)),
     "audit_not_match_regex_pattern_list": (not_match_regex_pattern_list, dict(table="part", column="p_type", patterns=["BRUSHED"]), ("part",)),
-    "audit_match_like_pattern_list": (match_like_pattern_list, dict(table="orders", column="o_orderpriority", patterns=["1-%", "2-%", "3-%"]), ("orders",)),
-    "audit_not_match_like_pattern_list": (not_match_like_pattern_list, dict(table="orders", column="o_orderpriority", patterns=["5-%"]), ("orders",)),
+    "audit_match_like_pattern_list": (match_like_pattern_list, dict(table="(SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders) o", column="o_orderpriority", patterns=["1-%", "2-%", "3-%"]), ("orders",)),
+    "audit_not_match_like_pattern_list": (not_match_like_pattern_list, dict(table="(SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders) o", column="o_orderpriority", patterns=["5-%"]), ("orders",)),
     "audit_unique_values": (unique_values, dict(table="supplier", columns=["s_suppkey", "s_nationkey"]), ("supplier",)),
     "audit_unique_combination_of_columns": (unique_combination_of_columns, dict(table="lineitem", columns=["l_orderkey", "l_linenumber"]), ("lineitem",)),
     "audit_sequential_values": (sequential_values, dict(table="lineitem", column="l_linenumber"), ("lineitem",)),
