@@ -179,6 +179,115 @@ WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) > {threshold}
 """
 
 
+def _hash60_py(s: str) -> int:
+    """Python twin of _hash60 — identical md5-derived 60-bit ints, used to
+    inline hash-function constants as literals in the wide formulation."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def docset_sql(table: str, k: int = 5) -> str:
+    """Per-document distinct shingle-hash set as one array column — the
+    relation the wide minhash formulation consumes. One COLLECT_SET
+    group-by is the ONLY wide shuffle in the whole pipeline (raw shingle
+    hashes in, |docs| array rows out; the DISTINCT is folded into the
+    set-aggregate instead of being its own exchange)."""
+    h = _hash60(f"SUBSTRING(text, CAST(i AS INT), {k})", "spark")
+    return f"""
+  SELECT doc_id, COLLECT_SET(hg) AS hs
+  FROM (SELECT doc_id, {h} AS hg
+        FROM {table}, LATERAL explode(sequence(1, GREATEST(LENGTH(text) - {k - 1}, 1))) AS _i(i))
+  GROUP BY doc_id
+"""
+
+
+def minhash_lsh_wide_sql(
+    table: str,
+    k: int = 5,
+    num_hashes: int = 32,
+    band_size: int = 4,
+    threshold: float = 0.6,
+    docsets_relation: str | None = None,
+) -> str:
+    """Spark fast path for minhash_lsh_sql, value-identical to the narrow
+    oracle formulation but with a fundamentally lighter shuffle profile:
+
+    - narrow (oracle) form: shingle DISTINCT shuffle, |shingles|·num_hashes
+      rows through the signature group-by, a second band group-by, and a
+      verify JOIN carrying |candidates|·|shingles/doc| rows.
+    - this form: ONE shuffle (COLLECT_SET of shingle hashes per doc).
+      Signatures are ARRAY_MIN(TRANSFORM(hs, …)) projections over the doc
+      array — no exchange; band keys are XORs of the mins — no exchange;
+      verification is SIZE(ARRAY_INTERSECT(hs, hs)) on candidate pairs —
+      array ops against two broadcast-joined doc arrays instead of a
+      multi-million-row shuffle join.
+
+    At 100 TB the per-doc array is bounded by document length (shingles of
+    one doc always fit one executor), so every stage after the single
+    group-by scales with |docs| + |candidate pairs|, not |shingles|².
+
+    Hash constants aᵢ/bᵢ are md5-derived exactly as the oracle derives
+    them in SQL, inlined as literals, so results hash-match the DuckDB
+    oracle bit-for-bit (verified by test_minhash_wide_matches_narrow).
+
+    When ``docsets_relation`` names a cached temp view it is referenced
+    DIRECTLY, never via a ``WITH x AS (SELECT * FROM …)`` alias: Spark's
+    cache lookup misses through a CTE reference (CTERelationRef
+    canonicalizes differently than the cached plan), silently recomputing
+    the relation once per reference.
+    """
+    p = 4294967311
+    consts = [
+        ((_hash60_py(f"a{i}") % 1073741823) + 1, _hash60_py(f"b{i}") % 4294967296)
+        for i in range(num_hashes)
+    ]
+    mins = ",\n         ".join(
+        f"ARRAY_MIN(TRANSFORM(hs, x -> ({a} * (x % 4294967296) + {b}) % {p})) AS mh{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    n_bands = num_hashes // band_size
+    bkeys = []
+    for band in range(n_bands):
+        terms = [
+            _hash60(f"CONCAT('{i}_', CAST(mh{i} AS STRING))", "spark")
+            for i in range(band * band_size, (band + 1) * band_size)
+        ]
+        bkeys.append(" ^ ".join(f"({t})" for t in terms) + f" AS bkey{band}")
+    stack_args = ", ".join(f"{band}, bkey{band}" for band in range(n_bands))
+    if docsets_relation:
+        ds, with_ds = docsets_relation, ""
+    else:
+        ds = "docsets"
+        with_ds = f"docsets AS ({docset_sql(table, k)}),\n"
+    return f"""
+WITH {with_ds}bands AS (
+  SELECT doc_id, STACK({n_bands}, {stack_args}) AS (band, bkey)
+  FROM (SELECT doc_id, {", ".join(bkeys)}
+        FROM (SELECT doc_id,
+         {mins}
+              FROM {ds}))
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.d1, c.d2,
+         SIZE(ARRAY_INTERSECT(s1.hs, s2.hs)) AS common,
+         SIZE(s1.hs) AS n1, SIZE(s2.hs) AS n2
+  FROM candidates c
+  JOIN {ds} s1 ON s1.doc_id = c.d1
+  JOIN {ds} s2 ON s2.doc_id = c.d2
+)
+SELECT d1, d2,
+       ROUND(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard
+FROM verified
+WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) > {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -285,20 +394,31 @@ register(
     oracle=ngram_jaccard_sql("documents", dialect="duckdb"),
     tags=("llm", "dedup"),
 )(_doc_case(ngram_jaccard_sql))
+def spread_scan(spark: SparkSession, table: str, view: str) -> str:
+    """Re-expose ``table`` as ``view`` repartitioned to the session's
+    parallelism IF its scan is under-partitioned (small local files read
+    as 1 split, serializing every CPU-heavy expression downstream). At
+    scale the scan already has ≥cores splits and this is a no-op — no
+    gratuitous shuffle of a big corpus."""
+    df = spark.table(table)
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() < n_part:
+        df = df.repartition(n_part)
+    df.createOrReplaceTempView(view)
+    return view
+
+
 def _minhash_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
-    sh = spark.sql(
-        "WITH sh AS (" + shingle_hashes_sql("documents", 5, "spark") + ") SELECT * FROM sh"
-    )
-    # AQE coalesces the small distinct output to ~1 partition; the sig
-    # stage then expands each row ×num_hashes on a single core. Spread by
-    # doc_id so the 32-way expansion parallelizes across the cluster.
+    docs = spread_scan(spark, "documents", "mh_docs")
+    # AQE coalesces the small set-aggregate output to ~1 partition; the
+    # 32-signature TRANSFORM projection would then run on a single core.
+    # Spread by doc_id so it parallelizes, and cache: the docset relation
+    # is read 3× (signatures + both sides of the verify join).
     n_part = max(spark.sparkContext.defaultParallelism, 8)
-    sh = sh.repartition(n_part, "doc_id")
-    sh.cache().createOrReplaceTempView("mh_shingles")
-    return spark.sql(
-        minhash_lsh_sql("documents", dialect="spark", shingles_relation="mh_shingles")
-    )
+    ds = spark.sql(docset_sql(docs, 5)).repartition(n_part, "doc_id")
+    ds.cache().createOrReplaceTempView("mh_docsets")
+    return spark.sql(minhash_lsh_wide_sql(docs, docsets_relation="mh_docsets"))
 
 
 register(

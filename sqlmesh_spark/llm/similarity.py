@@ -142,20 +142,24 @@ def ann_topk_zipwith_sql(table: str, n_queries: int = 10, k: int = 5) -> str:
         "(x, y) -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
         "CAST(0 AS BIGINT), (a, v) -> a + v)"
     )
+    norm = (
+        "AGGREGATE(TRANSFORM(embedding, "
+        "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
 
-    def norm(side: str) -> str:
-        return (
-            f"AGGREGATE(TRANSFORM({side}.embedding, "
-            "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
-            "CAST(0 AS BIGINT), (a, v) -> a + v)"
-        )
-
+    # Norms fold ONCE per vector (|corpus| evaluations), not once per pair:
+    # higher-order array functions are interpreted (not codegen'd), so
+    # per-pair norm folds were ~2/3 of this query's CPU.
     return f"""
-WITH pairs AS (
+WITH nrm AS (
+  SELECT vec_id, embedding, {norm} AS nrm FROM {table}
+),
+pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {dot} AS dot, {norm('q')} AS nq, {norm('c')} AS nc
-  FROM (SELECT * FROM {table} WHERE vec_id < {n_queries}) q
-  CROSS JOIN {table} c
+         {dot} AS dot, q.nrm AS nq, c.nrm AS nc
+  FROM (SELECT * FROM nrm WHERE vec_id < {n_queries}) q
+  CROSS JOIN nrm c
   WHERE q.vec_id <> c.vec_id
 ),
 ranked AS (
@@ -182,8 +186,13 @@ def _case(sql_fn):
 
 
 def _ann_bruteforce_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlmesh_spark.llm.dedup import spread_scan
+
     register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(ann_topk_zipwith_sql("embeddings"))
+    # The dot-product folds are interpreted (higher-order functions don't
+    # codegen); a 1-split local scan would run them all on one core.
+    corpus = spread_scan(spark, "embeddings", "ann_corpus")
+    return spark.sql(ann_topk_zipwith_sql(corpus))
 
 
 register(
