@@ -56,7 +56,7 @@ def load_all() -> dict[str, QueryCase]:
     )
     from sqlmesh_spark import audits, macros, diff, metrics  # noqa: F401
     from sqlmesh_spark.llm import dedup, multimodal, similarity, text  # noqa: F401
-    from sqlmesh_spark.plans import framework_cases  # noqa: F401
+    from sqlmesh_spark.plans import framework_cases, tooling_cases  # noqa: F401
     from sqlmesh_spark.streaming import cases as streaming_cases  # noqa: F401
 
     return REGISTRY
