@@ -79,3 +79,47 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT date_format(window_start, 'yyyy-MM-dd') AS ds, n_orders, revenue_cents "
         "FROM stream_case_out"
     )
+
+
+STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800000000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+@register("streaming_sessionization", oracle=STREAM_SESSION_ORACLE, tags=("streaming",))
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) draining the full
+    event history in one availableNow pass: per-user gap sessionization
+    whose final update-mode emission equals the batch window answer — so
+    even arbitrary stateful streaming gets a value-level oracle."""
+    from sqlmesh_spark.sources.tables import load_table
+    from sqlmesh_spark.streaming.stateful import stream_sessionize
+
+    src = tempfile.mkdtemp(prefix="stream_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_sess_ckpt_")
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_ns")
+    # One file → one micro-batch: the final update per user is the total.
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    sessions = stream_sessionize(spark, src, schema=events.schema)
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_sess_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT user_id, n_sessions, n_events FROM stream_sess_out"
+    )

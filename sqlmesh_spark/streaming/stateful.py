@@ -1,0 +1,67 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` — the Spark-native upgrade path for operators
+the reference cannot express at all (its intervals are batch cron units,
+SURVEY §2.G/§1.1; closest analogs are lookback reprocessing
+sqlmesh/core/model/kind.py:423 and the freshness signal
+sqlmesh/core/signal.py:46).
+
+Semantics: per user, events sorted by (ts_ns, event_id); a session break is
+a gap > ``gap_ns``. State carries (last_ts_ns, n_sessions, n_events) across
+micro-batches, so a user whose events span many batches (the 100 TB /
+continuous-ingest shape) accumulates exactly one logical pass. Emission is
+per-batch "update" — the latest per-user totals.
+
+Scale: state is O(1) per user (three int64s — no event buffering), grouped
+state shuffles once on user_id, and the Arrow batches stream through the
+Python worker without collecting a group's history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    gap_ns: int = 1_800_000_000_000,
+) -> DataFrame:
+    """Streaming per-user session counts over files in ``source_dir``
+    (columns: user_id, event_id, ts_ns). Within a batch events are sorted
+    per group; across batches arrival must be time-ordered per user (true
+    for replayed history and for append-only time-partitioned ingest)."""
+    import pandas as pd
+
+    out_type = "user_id bigint, n_sessions bigint, n_events bigint"
+    state_type = "last_ts bigint, n_sessions bigint, n_events bigint"
+
+    # Closure, not module-level: workers unpickle it by value and must not
+    # need sqlmesh_spark importable (driver may run from any cwd).
+    def update(key, pdfs, state: GroupState):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ns", "event_id"])
+            for ts in pdf["ts_ns"]:
+                ts = int(ts)
+                if last_ts is None or ts - last_ts > gap_ns:
+                    n_sessions += 1
+                last_ts = ts
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

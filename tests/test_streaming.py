@@ -104,3 +104,64 @@ def test_streaming_picks_up_new_files_incrementally(spark, sf_dir):
     assert n1 == d1.count()
     # Second drain appended ONLY the new file's rows (checkpointed offsets).
     assert spark.read.parquet(out).count() == d1.count() + d2.count()
+
+
+def test_stateful_sessionization_across_batches(spark, sf_dir):
+    """Cross-batch state: two micro-batches split on time must yield the
+    same per-user session totals as one batch pass (state carries
+    last_ts/n_sessions/n_events between batches)."""
+    from sqlmesh_spark.streaming.stateful import stream_sessionize
+
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "event_id", "ts_ns")
+    )
+    cut = events.approxQuantile("ts_ns", [0.5], 0.0)[0]
+    first = events.filter(F.col("ts_ns") <= cut)
+    second = events.filter(F.col("ts_ns") > cut)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = (
+        stream_sessionize(spark, src, schema=events.schema)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_batches")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        second.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Update mode emits one row per user per batch; totals are monotonic,
+    # so the per-user MAX is the final state.
+    got = {
+        r.user_id: (r.ns, r.ne)
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_sessions) AS ns, MAX(n_events) AS ne "
+            "FROM sess_batches GROUP BY user_id"
+        ).collect()
+    }
+
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev = F.lag("ts_ns").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts_ns") - prev) > 1_800_000_000_000), 1
+    ).otherwise(0)
+    want = {
+        r.user_id: (r.ns, r.ne)
+        for r in events.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("ns"), F.count(F.lit(1)).alias("ne"))
+        .collect()
+    }
+    assert got == want
