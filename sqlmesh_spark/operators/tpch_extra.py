@@ -52,7 +52,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
-@register("q6_forecast_revenue", oracle=Q6_ORACLE, tags=("relational", "tpch"))
+@register("q6_forecast_revenue", oracle=Q6_ORACLE, tags=("relational", "tpch", "bench"))
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-table scan where every predicate reaches the parquet reader
     (PushedFilters) — the query whose plan IS the scan."""
@@ -148,7 +148,7 @@ GROUP BY YEAR(o_orderdate)
 """
 
 
-@register("q8_market_share", oracle=Q8_ORACLE, tags=("relational", "tpch"))
+@register("q8_market_share", oracle=Q8_ORACLE, tags=("relational", "tpch", "bench"))
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-of-conditional-sums over an 8-way join; both sums accumulate
     exact cents so the final IEEE division matches the oracle's bitwise."""
@@ -427,7 +427,7 @@ LIMIT 20
 """
 
 
-@register("q21_lone_fault_supplier", oracle=Q21_ORACLE, tags=("relational", "tpch"))
+@register("q21_lone_fault_supplier", oracle=Q21_ORACLE, tags=("relational", "tpch", "bench"))
 def q21_lone_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q21's signature construct: the same fact table correlated twice —
     once EXISTS (another supplier touched the order), once NOT EXISTS
