@@ -663,3 +663,71 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
     )
+
+
+SKETCH_ORACLE = """
+SELECT 'o_custkey' AS col, COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS within_5pct
+FROM orders
+UNION ALL
+SELECT 'o_orderkey' AS col, COUNT(DISTINCT o_orderkey) AS exact_distinct, TRUE AS within_5pct
+FROM orders
+"""
+
+
+@register("approx_distinct_sketch", oracle=SKETCH_ORACLE, tags=("relational",))
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality sketch vs exact distinct. Sketch values
+    differ across engines, so the oracled claim is the useful one: the
+    estimate lands within the configured 5% error bound (Spark's HLL++ is
+    deterministic for fixed input, making the boolean reproducible). At
+    100 TB the sketch is the only affordable distinct — one scan, no
+    shuffle of distinct values, mergeable partial state."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def one(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.countDistinct(col).alias("exact_distinct"),
+            F.approx_count_distinct(col, rsd=0.02).alias("approx"),
+        ).select(
+            "col",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_5pct"),
+        )
+
+    return one("o_custkey").unionByName(one("o_orderkey"))
+
+
+TUMBLING_ORACLE = """
+SELECT strftime(to_timestamp(epoch(ts) - epoch(ts) % 21600), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("window_tumbling_batch", oracle=TUMBLING_ORACLE, tags=("relational",))
+def window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour windows via F.window in BATCH mode — the same
+    operator Structured Streaming uses, so batch backfill and streaming
+    serve identical window frames (reference has only cron intervals;
+    SURVEY §2.G). Oracle = epoch-floor arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
