@@ -283,6 +283,24 @@ class SparkAdapter:
         self.drop_table(table)
         self.rename_table(tmp, table)
 
+    def optimize_compact(
+        self, table: str, sort_by: list[str], target_files: int
+    ) -> None:
+        """Table-maintenance rewrite: compact into ``target_files``
+        range-partitioned files sorted within each on ``sort_by`` — the
+        parquet-era analog of Delta OPTIMIZE ZORDER / Iceberg rewrite
+        (SURVEY §4: reference delegates maintenance to the engine).
+        Afterward each file owns a disjoint key range, so min/max footer
+        stats prune file reads for key predicates — at 100 TB the
+        difference between touching 1/N files and touching all of them.
+        Content is unchanged; the swap reuses the atomic stage+rename."""
+        df = (
+            self.spark.table(table)
+            .repartitionByRange(target_files, *[F.col(c) for c in sort_by])
+            .sortWithinPartitions(*sort_by)
+        )
+        self._atomic_rewrite(table, df)
+
     # -- write-audit-publish (base.py:2452-2492; Iceberg impl
     # -- spark.py:492-534 uses branches + cherrypick) -----------------------
 

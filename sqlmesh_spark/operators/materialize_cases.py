@@ -278,3 +278,38 @@ def mat_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert adapter.table_exists(clone)
     assert set(adapter.columns(clone)) == {"id", "name", "tag"}
     return spark.table(clone)
+
+
+# --------------------------------------------------------------------------
+# optimize_compact — sorted-layout table maintenance
+# --------------------------------------------------------------------------
+
+COMPACT_ORACLE = """
+SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_ds,
+       CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_cents
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+"""
+
+
+@register("mat_optimize_compact", oracle=COMPACT_ORACLE, tags=("materialization",))
+def mat_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS a messy many-small-files table, then optimize_compact it into 8
+    range-sorted files; the oracle checks content is untouched, the layout
+    property (disjoint per-file key ranges) is asserted in tests."""
+    db = _scratch_db(spark, "compact")
+    adapter = SparkAdapter(spark)
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_ds"),
+            F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_cents"),
+        )
+        # Deliberately fragment: many tiny unsorted files.
+        .repartition(64)
+    )
+    adapter.ctas(f"{db}.fact", src)
+    adapter.optimize_compact(f"{db}.fact", sort_by=["ship_ds", "l_orderkey"], target_files=8)
+    return spark.table(f"{db}.fact")

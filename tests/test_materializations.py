@@ -107,3 +107,37 @@ def test_adapter_merge_dedups_source(spark):
     got = {r.id: r.v for r in spark.table("default.t_merge_dedup").collect()}
     assert got == {1: "n1", 2: "n2"}
     adapter.drop_table("default.t_merge_dedup")
+
+
+def test_optimize_compact_layout(spark, sf_dir):
+    """After compaction: ≤ target files, each owning a disjoint sorted key
+    range (min/max footer pruning actually works)."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from sqlmesh_spark.operators.materialize_cases import mat_optimize_compact
+
+    mat_optimize_compact(spark, sf_dir)
+    tbl = "sqlmesh_case_compact.fact"
+    loc = urlparse(
+        spark.sql(f"DESCRIBE DETAIL {tbl}").first().location
+        if False
+        else spark.sql(f"DESCRIBE EXTENDED {tbl}")
+        .filter("col_name = 'Location'")
+        .first()
+        .data_type
+    ).path
+    files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+    assert 0 < len(files) <= 8
+    ranges = (
+        spark.read.parquet(loc)
+        .withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(F.min("ship_ds").alias("lo"), F.max("ship_ds").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r.lo, r.hi) for r in ranges])
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi <= blo  # disjoint (boundary date may be shared)
