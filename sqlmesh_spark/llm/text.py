@@ -127,3 +127,52 @@ register("text_langid", oracle=langid_sql("documents", "duckdb"), tags=("llm", "
 register("text_fingerprint", oracle=fingerprint_sql("documents", "duckdb"), tags=("llm", "text"))(
     _case(fingerprint_sql)
 )
+
+
+def training_pipeline_sql(table: str, dialect: str = "spark") -> str:
+    """The end-to-end pre-training data pipeline as ONE statement:
+    quality-filter (C4/Gopher-style) → language filter (en) → exact dedup
+    on normalized text (keep min doc_id) → deterministic train/valid split
+    (hash mod 10). All per-doc signals are computed in a single fused scan
+    projection (at 100 TB this runs at scan speed; the only shuffle is the
+    fingerprint group-by), with the split hash portable across engines.
+    """
+    from sqlmesh_spark.llm.dedup import _hash60
+
+    n_words = _rx_count("text", "[^ ]+", dialect)
+    n_punct = _rx_count("text", "[.,!?;:]", dialect)
+    bpe = _rx_count("text", "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]", dialect)
+    en = _rx_count("lower(text)", _LANG_PROFILES["en"], dialect)
+    others = [
+        _rx_count("lower(text)", pat, dialect)
+        for lang, pat in _LANG_PROFILES.items()
+        if lang != "en"
+    ]
+    norm = _norm("text")
+    split_hash = _hash60("CAST(doc_id AS STRING)", dialect)
+    return f"""
+WITH signals AS (
+  SELECT doc_id,
+         {bpe} AS bpe_tokens,
+         MD5({norm}) AS fingerprint,
+         CASE WHEN LENGTH(text) >= 100 AND {n_words} >= 20
+               AND CAST({n_punct} AS DOUBLE) / {n_words} < 0.3 THEN 1 ELSE 0 END AS keep,
+         CASE WHEN {en} >= GREATEST({', '.join(others)}) AND {en} > 0
+              THEN 1 ELSE 0 END AS is_en
+  FROM {table}
+),
+kept AS (SELECT * FROM signals WHERE keep = 1 AND is_en = 1),
+dedup AS (
+  SELECT fingerprint, MIN(doc_id) AS keeper FROM kept GROUP BY fingerprint
+)
+SELECT k.doc_id, k.bpe_tokens,
+       CASE WHEN {split_hash} % 10 < 9 THEN 'train' ELSE 'valid' END AS split
+FROM kept k JOIN dedup d ON k.doc_id = d.keeper
+"""
+
+
+register(
+    "pipeline_training_data",
+    oracle=training_pipeline_sql("documents", "duckdb"),
+    tags=("llm", "text", "pipeline"),
+)(_case(training_pipeline_sql))
