@@ -50,3 +50,36 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted_fact.join(replicated, on=on + ["_salt"]).drop("_salt")
+
+
+SALTED_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY user_id
+"""
+
+
+def _salted_case(spark, sf_dir):
+    from sqlmesh_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        ["user_id"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "value_cents": F.sum(F.round(F.col("value") * 100).cast("bigint")),
+        },
+    )
+
+
+def _register() -> None:
+    from sqlmesh_spark.registry import register
+
+    register("skew_salted_agg", oracle=SALTED_ORACLE, tags=("relational", "skew"))(
+        _salted_case
+    )
+
+
+_register()

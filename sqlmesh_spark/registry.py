@@ -50,6 +50,7 @@ def load_all() -> dict[str, QueryCase]:
     from sqlmesh_spark.operators import (  # noqa: F401
         asof,
         relational,
+        skew,
         tpch_extra,
         materialize_cases,
         scd2_cases,
