@@ -31,10 +31,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, case in cases.items():
         t0 = time.perf_counter()
-        df = case.fn(spark, sf_dir)
-        # Force full materialization of every row without driver collect.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = case.fn(spark, sf_dir)
+            # Force full materialization of every row without driver collect.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # one broken query must not lose the line
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
     total = round(sum(timings.values()), 4)
     print(
