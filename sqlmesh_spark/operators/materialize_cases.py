@@ -313,3 +313,71 @@ def mat_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapter.ctas(f"{db}.fact", src)
     adapter.optimize_compact(f"{db}.fact", sort_by=["ship_ds", "l_orderkey"], target_files=8)
     return spark.table(f"{db}.fact")
+
+
+# --------------------------------------------------------------------------
+# write-audit-publish + clone — dev-preview and safe-publish ops
+# --------------------------------------------------------------------------
+
+WAP_ORACLE = """
+SELECT n_nationkey, n_name,
+       CASE WHEN n_nationkey < 10 THEN 'audited' ELSE 'existing' END AS origin
+FROM nation
+"""
+
+
+@register("mat_wap_publish", oracle=WAP_ORACLE, tags=("materialization",))
+def mat_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write-audit-publish cycle (reference base.py:2452-2492;
+    Iceberg branches spark.py:492-534): stage a branch, write new rows to
+    it, AUDIT the staging (not_null + key-range check) while readers still
+    see the old table, then publish atomically. Oracle = the final table
+    the cycle must produce."""
+    db = _scratch_db(spark, "wap")
+    adapter = SparkAdapter(spark)
+    n = load_table(spark, sf_dir, "nation")
+    # Seed the "existing" production table: nations >= 10.
+    adapter.ctas(
+        f"{db}.dim",
+        n.filter(F.col("n_nationkey") >= 10).select(
+            "n_nationkey", "n_name", F.lit("existing").alias("origin")
+        ),
+    )
+    staging = adapter.wap_prepare(f"{db}.dim")
+    adapter.insert_append(
+        staging,
+        n.filter(F.col("n_nationkey") < 10).select(
+            "n_nationkey", "n_name", F.lit("audited").alias("origin")
+        ),
+    )
+    # Audit the branch before anyone sees it: no NULL keys, no dupes.
+    bad = spark.sql(
+        f"SELECT n_nationkey FROM {staging} WHERE n_nationkey IS NULL "
+        f"UNION ALL SELECT n_nationkey FROM {staging} GROUP BY n_nationkey HAVING COUNT(*) > 1"
+    ).count()
+    assert bad == 0, "WAP audit failed; branch must be abandoned"
+    adapter.wap_publish(f"{db}.dim", staging)
+    return spark.table(f"{db}.dim")
+
+
+CLONE_ORACLE = """
+SELECT r_regionkey, r_name, 'clone' AS via FROM region
+"""
+
+
+@register("mat_clone_table", oracle=CLONE_ORACLE, tags=("materialization",))
+def mat_clone_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clone_table for dev previews (reference base.py:1059; Delta SHALLOW
+    CLONE): the clone is immediately queryable and independent — mutating
+    it must not touch the source (checked here by deleting from the clone
+    and returning the SOURCE, re-cloned, with a marker)."""
+    db = _scratch_db(spark, "clone")
+    adapter = SparkAdapter(spark)
+    adapter.ctas(f"{db}.src", load_table(spark, sf_dir, "region"))
+    adapter.clone_table(f"{db}.dev", f"{db}.src")
+    adapter.delete_from(f"{db}.dev", "r_regionkey >= 0")  # trash the preview
+    assert spark.table(f"{db}.dev").count() == 0
+    adapter.clone_table(f"{db}.dev2", f"{db}.src")  # source unharmed
+    return spark.table(f"{db}.dev2").select(
+        "r_regionkey", "r_name", F.lit("clone").alias("via")
+    )
