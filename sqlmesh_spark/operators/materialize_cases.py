@@ -65,7 +65,14 @@ def mat_insert_overwrite_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("ds"),
         )
 
-    initial = project(orders.filter(F.col("o_orderdate") < "1997-01-01"), 1)
+    # Spread by partition key before the partitioned write: a 1-split
+    # local scan would make ONE task create all ~730 daily partition dirs
+    # serially (the dominant cost of this scenario); hashing ds across the
+    # cluster writes them in parallel, one file per (task, day).
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    initial = project(orders.filter(F.col("o_orderdate") < "1997-01-01"), 1).repartition(
+        n_part, "ds"
+    )
     adapter.ctas(table, initial, partitioned_by=("ds",))
 
     batch = project(
