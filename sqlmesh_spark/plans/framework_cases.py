@@ -260,3 +260,89 @@ WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
     r3 = ctx.run(environment="env_unm", start="1995-01-01", end="1995-01-07")
     assert r3["demo_unm.order_log"] == 0
     return spark.table("env_unm_views.order_log")
+
+
+MULTI_KIND_ORACLE = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1995-06-30 00:00:00'
+  GROUP BY 1
+),
+monthly AS (
+  SELECT substr(ds, 1, 7) AS month, SUM(revenue_cents) AS revenue_cents
+  FROM daily GROUP BY 1
+),
+regions AS (
+  SELECT r.r_regionkey, r.r_name, t.tier
+  FROM region r JOIN (VALUES (0, 'core'), (1, 'core'), (2, 'growth'),
+                             (3, 'growth'), (4, 'frontier')) AS t(rid, tier)
+    ON r.r_regionkey = t.rid
+)
+SELECT m.month, m.revenue_cents, s.n_regions
+FROM monthly m
+CROSS JOIN (SELECT COUNT(*) AS n_regions FROM regions WHERE tier = 'core') s
+"""
+
+
+@register("framework_multi_kind_dag", oracle=MULTI_KIND_ORACLE, tags=("framework",))
+def framework_multi_kind_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One project, one plan/apply, four model kinds in a single DAG —
+    SEED (region tiers) → VIEW (tiered regions) and INCREMENTAL_BY_TIME
+    (daily) → FULL (monthly) — then a query joining across the virtual
+    layer. The sushi-example analog (reference examples/sushi: 17 models
+    across every kind): proves cross-kind dependency ordering, audits on
+    multiple kinds, and one environment serving all of them."""
+    _clean_dbs(spark, "sqlmesh__demo_mix", "env_mix_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    region = f"parquet.`{sf_dir}/region.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        "MODEL (name demo_mix.region_tiers, kind SEED);",
+        seed_csv="rid,tier\n0,core\n1,core\n2,growth\n3,growth\n4,frontier\n",
+        columns={"rid": "INT", "tier": "STRING"},
+    )
+    ctx.add_model(
+        f"""
+MODEL (name demo_mix.tiered_regions, kind VIEW);
+SELECT r.r_regionkey, r.r_name, t.tier
+FROM {region} r JOIN demo_mix.region_tiers t ON r.r_regionkey = t.rid
+"""
+    )
+    ctx.add_model(
+        f"""
+MODEL (
+  name demo_mix.daily_rev,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily',
+  audits (not_null(columns = (revenue_cents)))
+);
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+    )
+    ctx.add_model(
+        """
+MODEL (name demo_mix.monthly_rev, kind FULL,
+       audits (unique_values(columns = (month))));
+SELECT substring(ds, 1, 7) AS month,
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+FROM demo_mix.daily_rev GROUP BY substring(ds, 1, 7)
+"""
+    )
+    ctx.run(environment="env_mix", start="1995-01-01", end="1995-06-30")
+    return spark.sql(
+        """
+SELECT m.month, m.revenue_cents, s.n_regions
+FROM env_mix_views.monthly_rev m
+CROSS JOIN (SELECT COUNT(*) AS n_regions
+            FROM env_mix_views.tiered_regions WHERE tier = 'core') s
+"""
+    )
