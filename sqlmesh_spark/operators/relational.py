@@ -731,3 +731,43 @@ def window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+CASCADE_ORACLE = """
+SELECT strftime(to_timestamp(epoch(ts) - epoch(ts) % 86400), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("rollup_cascade", oracle=CASCADE_ORACLE, tags=("relational",))
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade: raw → hourly → daily, with the daily
+    level computed FROM THE HOURLY ROLLUP (sum-of-sums / sum-of-counts),
+    not from raw. The oracle aggregates raw directly, so the hash match
+    proves the re-aggregation algebra — the property that lets a 100 TB
+    pipeline serve day queries from |hours| rows instead of |events|, and
+    lets incremental models maintain each level from the one below."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "value_cents")
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour_start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
