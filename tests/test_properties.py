@@ -142,3 +142,40 @@ def test_scd2_invariants(spark_global, history):
         assert k in open_by_key and open_by_key[k][0].status == v
     for k in open_by_key:
         assert k in last
+
+
+# --- MinHash wide (array) formulation == narrow (explode) formulation -------
+
+doc_texts = st.text(
+    alphabet=st.sampled_from("ab c"),  # tiny alphabet → heavy shingle overlap
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(doc_texts, min_size=1, max_size=6))
+def test_minhash_wide_matches_narrow(spark_global, texts):
+    """The single-shuffle wide formulation (COLLECT_SET + ARRAY_MIN
+    signatures + ARRAY_INTERSECT verify) must emit exactly the pairs the
+    narrow explode-based formulation emits — including duplicate texts,
+    texts shorter than the shingle width, and whitespace-only docs."""
+    from sqlmesh_spark.llm.dedup import docset_sql, minhash_lsh_sql, minhash_lsh_wide_sql
+
+    spark = spark_global
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id int, text string").createOrReplaceTempView(
+        "prop_docs"
+    )
+    narrow = {
+        (r.d1, r.d2, r.jaccard)
+        for r in spark.sql(minhash_lsh_sql("prop_docs", dialect="spark")).collect()
+    }
+    spark.sql(docset_sql("prop_docs", 5)).createOrReplaceTempView("prop_docsets")
+    wide = {
+        (r.d1, r.d2, r.jaccard)
+        for r in spark.sql(
+            minhash_lsh_wide_sql("prop_docs", docsets_relation="prop_docsets")
+        ).collect()
+    }
+    assert wide == narrow
