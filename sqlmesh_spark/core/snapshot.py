@@ -19,7 +19,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Iterable, Mapping, Optional, Sequence
 
-from sqlmesh_spark.core.model import Model, ModelKind
+from sqlmesh_spark.core.model import Model
 
 DAY = 86400
 HOUR = 3600
