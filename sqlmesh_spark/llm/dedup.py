@@ -494,9 +494,38 @@ register(
 )(_simhash_case)
 
 
+def embedding_topn_zipwith_sql(table: str, top_n: int = 20) -> str:
+    """Spark fast path for embedding_topn_pairs_sql: norms fold once per
+    vector, dot products fold pairs in place (ZIP_WITH + AGGREGATE) —
+    no element explosion, no |vectors|·dim join. Scaled-int folds keep
+    results bit-identical to the explode-based oracle."""
+    dot = (
+        "AGGREGATE(ZIP_WITH(a.embedding, b.embedding, "
+        "(x, y) -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    norm = (
+        "AGGREGATE(TRANSFORM(embedding, "
+        "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return f"""
+WITH nrm AS (SELECT vec_id, embedding, {norm} AS nrm FROM {table}),
+sims AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         ROUND(CAST({dot} AS DOUBLE) / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 6) AS cosine
+  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+)
+SELECT v1, v2, cosine FROM sims
+ORDER BY cosine DESC, v1, v2
+LIMIT {top_n}
+"""
+
+
 def _emb_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(embedding_topn_pairs_sql("embeddings", dialect="spark"))
+    corpus = spread_scan(spark, "embeddings", "emb_corpus")
+    return spark.sql(embedding_topn_zipwith_sql(corpus))
 
 
 register(
