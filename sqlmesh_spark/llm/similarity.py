@@ -294,3 +294,48 @@ register(
     oracle=ann_ivf_sql("embeddings", dialect="duckdb"),
     tags=("llm", "similarity"),
 )(_case(ann_ivf_sql))
+
+
+def knn_label_vote_sql(table: str, n_queries: int = 50, k: int = 5, dialect: str = "spark") -> str:
+    """kNN classification by neighbor label vote: for each query vector,
+    the majority label among its k nearest (cosine) neighbors, compared to
+    its own label — similarity search doing real work (label propagation /
+    nearest-class eval). Vote ties break by label order; ranking reuses the
+    exact scaled-int cosine so both engines pick identical neighbor sets."""
+    base = (
+        ann_topk_zipwith_sql(table, n_queries=n_queries, k=k)
+        if dialect == "spark"
+        else ann_topk_bruteforce_sql(table, n_queries=n_queries, k=k, dialect=dialect)
+    )
+    return f"""
+WITH topk AS ({base}),
+votes AS (
+  SELECT t.query_id, l.label, COUNT(*) AS cnt
+  FROM topk t JOIN {table} l ON t.neighbor_id = l.vec_id
+  GROUP BY t.query_id, l.label
+),
+winner AS (
+  SELECT query_id, label AS voted_label FROM (
+    SELECT query_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, label) AS rn
+    FROM votes) v WHERE rn = 1
+)
+SELECT w.query_id, q.label AS true_label, w.voted_label,
+       CASE WHEN q.label = w.voted_label THEN 1 ELSE 0 END AS correct
+FROM winner w JOIN {table} q ON w.query_id = q.vec_id
+"""
+
+
+def _knn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlmesh_spark.llm.dedup import spread_scan
+
+    register_views(spark, sf_dir, ("embeddings",))
+    corpus = spread_scan(spark, "embeddings", "knn_corpus")
+    return spark.sql(knn_label_vote_sql(corpus))
+
+
+register(
+    "ann_knn_label_vote",
+    oracle=knn_label_vote_sql("embeddings", dialect="duckdb"),
+    tags=("llm", "similarity"),
+)(_knn_case)

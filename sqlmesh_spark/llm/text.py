@@ -176,3 +176,24 @@ register(
     oracle=training_pipeline_sql("documents", "duckdb"),
     tags=("llm", "text", "pipeline"),
 )(_case(training_pipeline_sql))
+
+
+def langid_eval_sql(table: str, dialect: str = "spark") -> str:
+    """Language-ID evaluated against the corpus's gold `lang` labels —
+    the confusion counts a data-quality dashboard tracks. Same fused scan
+    as langid_sql plus one group-by."""
+    inner = langid_sql(table, dialect)
+    return f"""
+WITH pred AS ({inner})
+SELECT d.lang AS gold_lang, p.predicted_lang,
+       COUNT(*) AS n
+FROM {table} d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.predicted_lang
+"""
+
+
+register(
+    "text_langid_eval",
+    oracle=langid_eval_sql("documents", "duckdb"),
+    tags=("llm", "text"),
+)(_case(langid_eval_sql))
