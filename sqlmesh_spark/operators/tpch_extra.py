@@ -572,3 +572,120 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bal_cents").cast("double") / 100).alias("s_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q11 — important stock identification (no partsupp: per-part shipped value
+# from lineitem⋈supplier restricted to one nation). Archetype: GROUP BY with
+# HAVING against a *global* scalar aggregate of the same grouped relation.
+# --------------------------------------------------------------------------
+
+Q11_ORACLE = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 2
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100 AS part_value
+FROM v
+WHERE value_cents * (SELECT COUNT(*) FROM v) * 10 > (SELECT SUM(value_cents) FROM v) * 11
+"""
+
+
+@register("q11_important_stock", oracle=Q11_ORACLE, tags=("relational", "tpch"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11's shape (tpch q11; reference delegates it to the engine like all
+    model SQL — sqlmesh/core/renderer.py:517): grouped values filtered
+    against a global threshold derived from the whole grouped relation.
+
+    The threshold `value > 1.1 * AVG(value)` is cross-multiplied into pure
+    int64 (`value_cents * n * 10 > total_cents * 11`) so no float division
+    sits on the keep/drop boundary. Scale: the grouped relation is computed
+    ONCE, and the global (count, sum) scalar — one row — broadcasts back
+    onto it; at 100 TB this is one shuffle on l_partkey plus a scalar
+    reduce, never a re-scan of lineitem.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 2)
+    v = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_cents"))
+    )
+    totals = v.agg(
+        F.count(F.lit(1)).alias("n_parts"), F.sum("value_cents").alias("total_cents")
+    )
+    return (
+        v.join(F.broadcast(totals))
+        .filter(F.col("value_cents") * F.col("n_parts") * 10 > F.col("total_cents") * 11)
+        .select(
+            "l_partkey", (F.col("value_cents").cast("double") / 100).alias("part_value")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — potential part promotion (no partsupp: the availqty>½·shipped test
+# becomes pair-qty > 2× average pair-qty). Archetype: a nested semi-join
+# chain — name-filtered parts → aggregated lineitem threshold → suppliers.
+# --------------------------------------------------------------------------
+
+Q20_ORACLE = """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty100
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+hot AS (
+  SELECT DISTINCT l_suppkey FROM pairs
+  WHERE qty100 * (SELECT COUNT(*) FROM pairs) > (SELECT SUM(qty100) FROM pairs) * 2
+)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
+  AND s_nationkey = 1
+"""
+
+
+@register("q20_part_promotion", oracle=Q20_ORACLE, tags=("relational", "tpch"))
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20's nested-semi-join archetype: filtered part list feeds a grouped
+    lineitem threshold, whose surviving supplier keys semi-join the supplier
+    dimension (tpch q20's IN (... IN (...)) chain).
+
+    Threshold integerized as `qty100 * n_pairs > total * 2` (pair ships
+    more than 2× the average pair). Scale: part-name filter broadcasts into
+    the lineitem scan, the pair aggregation is the only big shuffle, and
+    the final IN becomes a broadcast LEFT SEMI join of a key set that is
+    orders of magnitude smaller than supplier.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    pairs = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qty100"))
+    )
+    totals = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("qty100").alias("total100")
+    )
+    hot = (
+        pairs.join(F.broadcast(totals))
+        .filter(F.col("qty100") * F.col("n_pairs") > F.col("total100") * 2)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 1)
+    return s.join(F.broadcast(hot), s.s_suppkey == hot.l_suppkey, "left_semi").select(
+        "s_name", "s_acctbal"
+    )
