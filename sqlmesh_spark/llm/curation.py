@@ -1,0 +1,281 @@
+"""Data-curation operators for pre-training pipelines: repetition-based
+quality signals (Gopher-style), train/benchmark decontamination, PII
+scrubbing, and deterministic stratified sampling.
+
+Beyond-reference extensions (SURVEY.md §8 training-data ops): the reference
+delegates all relational work to its engine (sqlmesh/core/engine_adapter/
+base.py:84) and ships no corpus-curation operators; these are the Spark-
+native additions a 100 TB text pipeline needs.
+
+Scale design:
+- Repetition stats are a SINGLE fused scan with array higher-order
+  functions (transform/filter/array_distinct) — all JVM-side inside
+  whole-stage codegen, zero shuffles, zero Python.
+- Decontamination shuffles once on the shingle hash; the benchmark side is
+  tiny after distinct-ing and broadcast-joins into the corpus scan.
+- PII scrubbing is pure regexp_replace projection — scan speed.
+- Stratified sampling is one window shuffle on the stratum key; for skewed
+  strata, swap in the salted two-phase top-k from operators/skew.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqlmesh_spark.llm.dedup import _hash60, shingle_hashes_sql
+from sqlmesh_spark.registry import register
+from sqlmesh_spark.sources.tables import register_views
+
+# --------------------------------------------------------------------------
+# Cross-dialect array/list helpers (Spark SQL ↔ DuckDB)
+# --------------------------------------------------------------------------
+
+
+def _elem(arr: str, i: str, dialect: str) -> str:
+    """1-based element access."""
+    if dialect == "duckdb":
+        return f"{arr}[{i}]"
+    return f"element_at({arr}, CAST({i} AS INT))"
+
+
+def _xform(arr: str, body: str, dialect: str) -> str:
+    fn = "list_transform" if dialect == "duckdb" else "transform"
+    return f"{fn}({arr}, i -> {body})"
+
+
+def _countin(arr: str, var: str, dialect: str) -> str:
+    """Occurrences of ``var`` inside ``arr``."""
+    if dialect == "duckdb":
+        return f"len(list_filter({arr}, x -> x = {var}))"
+    return f"size(filter({arr}, x -> x = {var}))"
+
+
+def _distinct(arr: str, dialect: str) -> str:
+    return f"{'list_distinct' if dialect == 'duckdb' else 'array_distinct'}({arr})"
+
+
+def _alen(arr: str, dialect: str) -> str:
+    return f"{'len' if dialect == 'duckdb' else 'size'}({arr})"
+
+
+def _amax(arr: str, dialect: str) -> str:
+    return f"{'list_max' if dialect == 'duckdb' else 'array_max'}({arr})"
+
+
+def _aslice(arr: str, lo: str, n: str, dialect: str) -> str:
+    fn = "list_slice" if dialect == "duckdb" else "slice"
+    return f"{fn}({arr}, {lo}, {n})"
+
+
+def _rx_replace_all(col: str, pat: str, rep: str, dialect: str) -> str:
+    """Replace-ALL semantics in both engines (DuckDB needs the 'g' flag;
+    Spark replaces all by default but wants backslashes doubled in SQL
+    string literals)."""
+    if dialect == "duckdb":
+        return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
+    return f"regexp_replace({col}, '{pat.replace(chr(92), chr(92) * 2)}', '{rep}')"
+
+
+def _rx_count(col: str, pat: str, dialect: str) -> str:
+    if dialect == "duckdb":
+        return f"len(regexp_extract_all({col}, '{pat}'))"
+    return f"regexp_count({col}, '{pat.replace(chr(92), chr(92) * 2)}')"
+
+
+# --------------------------------------------------------------------------
+# Repetition / duplication quality signals (Gopher-style filters)
+# --------------------------------------------------------------------------
+
+
+def repetition_stats_sql(table: str, dialect: str = "spark") -> str:
+    """Per-document repetition signals: duplicate-word fraction, most-common
+    word fraction, most-common bigram fraction — the Gopher repetition
+    filters, word-level. All ratios' keep/drop decisions are cross-
+    multiplied into pure-integer comparisons so no engine-specific float
+    division sits on a threshold boundary.
+
+    One fused projection per doc: words array → distinct count + per-
+    distinct-word occurrence max (O(n·vocab) inside codegen, no shuffle).
+    """
+    d = dialect
+    split = (
+        "string_split(text, ' ')" if d == "duckdb" else "split(text, ' ')"
+    )
+    # most-common-element count of an array, via max over its distinct values
+    top_w = _amax(
+        _xform(_distinct("ws", d), _countin("ws", "i", d), d), d
+    )
+    big_body = (
+        f"{_elem('ws', 'i', d)} || ' ' || {_elem('ws', 'i + 1', d)}"
+        if d == "duckdb"
+        else f"concat({_elem('ws', 'i', d)}, ' ', {_elem('ws', 'i + 1', d)})"
+    )
+    seq = (
+        "generate_series(1, n_words - 1)" if d == "duckdb" else "sequence(1, n_words - 1)"
+    )
+    top_b = _amax(_xform(_distinct("bs", d), _countin("bs", "i", d), d), d)
+    return f"""
+WITH arr AS (
+  SELECT doc_id, {split} AS ws, {_alen(split, d)} AS n_words FROM {table}
+),
+big AS (
+  SELECT doc_id, ws, n_words,
+         CASE WHEN n_words >= 2 THEN {_xform(seq, big_body, d)}
+              ELSE {_aslice("ws", "1", "0", d)} END AS bs
+  FROM arr
+),
+cnt AS (
+  SELECT doc_id, n_words,
+         {_alen(_distinct("ws", d), d)} AS n_distinct,
+         {top_w} AS top_word_cnt,
+         CASE WHEN n_words >= 2 THEN {top_b} ELSE 0 END AS top_bigram_cnt
+  FROM big
+)
+SELECT doc_id, n_words, n_distinct, top_word_cnt, top_bigram_cnt,
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_ratio,
+       ROUND(CAST(top_word_cnt AS DOUBLE) / n_words, 4) AS top_word_frac,
+       CASE WHEN top_word_cnt * 100 < n_words * 12
+             AND top_bigram_cnt * 100 < n_words * 5
+             AND n_distinct * 100 > n_words * 22 THEN 1 ELSE 0 END AS keep
+FROM cnt
+"""
+
+
+def _doc_case(sql_fn, **kw):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("documents",))
+        return spark.sql(sql_fn("documents", dialect="spark", **kw))
+
+    return run
+
+
+register(
+    "text_repetition_stats",
+    oracle=repetition_stats_sql("documents", "duckdb"),
+    tags=("llm", "text"),
+)(_doc_case(repetition_stats_sql))
+
+
+# --------------------------------------------------------------------------
+# Train/benchmark decontamination (n-gram overlap)
+# --------------------------------------------------------------------------
+
+
+def decontamination_sql(
+    table: str, k: int = 24, min_shared: int = 2, dialect: str = "spark"
+) -> str:
+    """Flag training documents sharing ≥ ``min_shared`` distinct character
+    ``k``-gram shingles with a held-out benchmark set (every 25th doc) —
+    the standard test-set-contamination sweep before a training run.
+
+    Scale: both sides come from ONE shingle scan; the benchmark key set
+    (distinct hashes of ~4% of docs) is orders smaller and broadcasts into
+    the train-side probe, so the only wide shuffle is the final per-doc
+    count. At 100 TB the benchmark set is a few GB of int64 — still
+    broadcastable, else it degrades to a shuffle-hash semi join on int keys.
+    """
+    sh = shingle_hashes_sql(table, k, dialect)
+    return f"""
+WITH sh AS ({sh}),
+bench AS (SELECT DISTINCT hg FROM sh WHERE doc_id % 25 = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS shared_ngrams
+  FROM sh s JOIN bench b ON s.hg = b.hg
+  WHERE s.doc_id % 25 <> 0
+  GROUP BY s.doc_id
+)
+SELECT doc_id, shared_ngrams FROM hits WHERE shared_ngrams >= {min_shared}
+"""
+
+
+register(
+    "decontaminate_ngram",
+    oracle=decontamination_sql("documents", dialect="duckdb"),
+    tags=("llm", "dedup"),
+)(_doc_case(decontamination_sql))
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (regex redaction at scan speed)
+# --------------------------------------------------------------------------
+
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE = "\\+[0-9][0-9-]{7,}"
+_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_scrub_sql(table: str, dialect: str = "spark") -> str:
+    """Count and redact emails / phone numbers / IPv4s. The corpus is
+    synthetic, so each doc is deterministically augmented with one of each
+    PII form first (identically in both engines) — the case then verifies
+    the detection counts AND the byte-exact redacted output (as md5, to
+    keep the compared payload small).
+
+    Scale: pure projection — regexp_replace chains stay in codegen; at
+    100 TB this is scan-bound with zero shuffles and zero Python.
+    """
+    d = dialect
+    aug = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR)"
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+        if d == "duckdb"
+        else "concat(text, ' Contact user', CAST(doc_id AS STRING),"
+        " '@mail.example.com or +1-555-01', CAST(doc_id % 100 AS STRING),"
+        " ' from 10.0.', CAST(doc_id % 256 AS STRING), '.7')"
+    )
+    scrub = _rx_replace_all(
+        _rx_replace_all(_rx_replace_all("aug", _EMAIL, "<EMAIL>", d), _PHONE, "<PHONE>", d),
+        _IP,
+        "<IP>",
+        d,
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM {table})
+SELECT doc_id,
+       {_rx_count("aug", _EMAIL, d)} AS n_emails,
+       {_rx_count("aug", _PHONE, d)} AS n_phones,
+       {_rx_count("aug", _IP, d)} AS n_ips,
+       MD5({scrub}) AS scrubbed_md5
+FROM a
+"""
+
+
+register(
+    "pii_scrub",
+    oracle=pii_scrub_sql("documents", "duckdb"),
+    tags=("llm", "text"),
+)(_doc_case(pii_scrub_sql))
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+
+def stratified_sample_sql(table: str, per_stratum: int = 12, dialect: str = "spark") -> str:
+    """Top-``per_stratum`` documents per language by a portable 60-bit hash
+    of doc_id — a deterministic, engine-independent stratified sample
+    (reservoir-sampling semantics without randomness, so re-runs and
+    backfills pick identical rows).
+
+    Scale: one shuffle on the stratum key; per-stratum top-k is a window
+    over each partition. For heavy skew (one stratum ≫ others), use the
+    salted two-phase top-k pattern in operators/skew.py instead.
+    """
+    h = _hash60("CAST(doc_id AS VARCHAR)" if dialect == "duckdb" else "CAST(doc_id AS STRING)", dialect)
+    return f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS sample_rank
+  FROM {table}
+) t
+WHERE sample_rank <= {per_stratum}
+"""
+
+
+register(
+    "sample_stratified",
+    oracle=stratified_sample_sql("documents", dialect="duckdb"),
+    tags=("llm", "text"),
+)(_doc_case(stratified_sample_sql))

@@ -56,7 +56,7 @@ def load_all() -> dict[str, QueryCase]:
         scd2_cases,
     )
     from sqlmesh_spark import audits, macros, diff, metrics  # noqa: F401
-    from sqlmesh_spark.llm import cluster, dedup, multimodal, similarity, text  # noqa: F401
+    from sqlmesh_spark.llm import cluster, curation, dedup, multimodal, similarity, text  # noqa: F401
     from sqlmesh_spark.plans import framework_cases, tooling_cases  # noqa: F401
     from sqlmesh_spark.streaming import cases as streaming_cases  # noqa: F401
 
