@@ -346,3 +346,132 @@ CROSS JOIN (SELECT COUNT(*) AS n_regions
             FROM env_mix_views.tiered_regions WHERE tier = 'core') s
 """
     )
+
+
+RESTATE_ORACLE = """
+SELECT substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 7) AS month,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+GROUP BY substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
+"""
+
+
+@register("framework_restatement", oracle=RESTATE_ORACLE, tags=("framework",))
+def framework_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving data + restatement (plan/builder.py:369 semantics):
+    the February slice of the source lands AFTER the initial Jan–Mar
+    backfill; ``restate`` clears exactly the Feb interval of the daily
+    model AND its downstream monthly rollup, and the re-run reprocesses
+    only that window. The final rollup must equal the all-data oracle —
+    proof the restatement healed the hole without touching Jan/Mar.
+
+    Scale: a restatement of one month of a date-partitioned table rewrites
+    only that month's partitions (dynamic partition overwrite), so the cost
+    is proportional to the restated window, not the table.
+    """
+    _clean_dbs(spark, "demo_restate_src", "sqlmesh__demo_restate", "env_restate_views")
+    spark.sql("CREATE DATABASE demo_restate_src")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    window = (
+        "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'"
+    )
+    feb = (
+        "o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'"
+    )
+    spark.sql(
+        f"CREATE TABLE demo_restate_src.orders_stage AS "
+        f"SELECT * FROM {orders} WHERE {window} AND NOT ({feb})"
+    )
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (name demo_restate.daily, kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts));
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM demo_restate_src.orders_stage
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+    )
+    ctx.add_model(
+        """
+MODEL (name demo_restate.monthly, kind FULL);
+SELECT substring(ds, 1, 7) AS month,
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders
+FROM demo_restate.daily
+GROUP BY substring(ds, 1, 7)
+"""
+    )
+    # Initial backfill with February missing from the source.
+    ctx.run(environment="env_restate", start="1995-01-01", end="1995-04-01")
+    # February arrives late…
+    spark.sql(
+        f"INSERT INTO demo_restate_src.orders_stage SELECT * FROM {orders} WHERE {feb}"
+    )
+    # …and is restated: only the Feb window of daily (+ downstream) re-runs.
+    ctx.restate(
+        ["demo_restate.daily"], "1995-02-01", "1995-03-01", environment="env_restate"
+    )
+    return spark.table("env_restate_views.monthly")
+
+
+FO_MIGRATION_ORACLE = """
+SELECT ds, revenue_cents,
+       CASE WHEN ds >= '1995-07-01' THEN n ELSE NULL END AS n_orders
+FROM (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+         COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1995-12-31 00:00:00'
+  GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+) t
+"""
+
+
+@register("framework_forward_only_migration", oracle=FO_MIGRATION_ORACLE, tags=("framework",))
+def framework_forward_only_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-only change with additive schema migration (SURVEY §2.A
+    alter_table; evaluator.py:1105-1233 migrate): v1 backfills Jan–Jun;
+    v2 adds a projection column under ``forward_only=True`` — the physical
+    table is KEPT (version pinned), gains the column via ALTER TABLE ADD
+    COLUMN, history stays NULL, and only the new Jul–Dec intervals compute
+    with the new projection.
+
+    Scale: forward-only is the zero-recompute migration path — at 100 TB an
+    additive column change costs one metadata ALTER plus the new intervals,
+    never a backfill.
+    """
+    _clean_dbs(spark, "sqlmesh__demo_fo", "env_fo_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    base = f"""
+MODEL (name demo_fo.daily, kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts));
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents{{extra}}
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(base.format(extra=""))
+    ctx.run(environment="env_fo", start="1995-01-01", end="1995-07-01")
+
+    ctx.models.clear()
+    ctx.add_model(base.format(extra=",\n       COUNT(*) AS n_orders"))
+    ctx.run(
+        environment="env_fo", start="1995-01-01", end="1995-12-31", forward_only=True
+    )
+    return spark.table("env_fo_views.daily").select("ds", "revenue_cents", "n_orders")
