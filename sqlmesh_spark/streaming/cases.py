@@ -123,3 +123,99 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT user_id, n_sessions, n_events FROM stream_sess_out"
     )
+
+
+STREAM_UPSERT_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+@register("streaming_upsert_merge", oracle=STREAM_UPSERT_ORACLE, tags=("streaming",))
+def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INCREMENTAL_BY_UNIQUE_KEY: a file stream drained with
+    ``availableNow`` + ``maxFilesPerTrigger=1`` (multiple real micro-
+    batches) foreachBatch-merged into a keyed latest-state table.
+
+    The merge rule is recency-correct, not last-batch-wins: within the
+    union of (existing target ∪ batch) the row with the greatest
+    (ts_ns, event_id) per user survives, so the result is independent of
+    batch arrival order — the property that makes the operator safe under
+    out-of-order replay. That also makes the bounded-input run exactly
+    SQL-expressible: final state = argmax per key over all events.
+
+    Scale: each micro-batch merge touches |keys-in-batch| + |target| rows
+    via anti-join+union (adapter.merge's logical MERGE; on Delta/Iceberg
+    this becomes a partition-pruned MERGE INTO). State lives in the table,
+    not executor memory — arbitrarily many keys.
+    """
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from sqlmesh_spark.adapter import SparkAdapter
+    from sqlmesh_spark.sources.tables import load_table
+
+    adapter = SparkAdapter(spark)
+    adapter.create_schema("stream_upsert")
+    adapter.drop_table("stream_upsert.latest_state")
+
+    src = tempfile.mkdtemp(prefix="stream_upsert_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    shutil.rmtree(src, ignore_errors=True)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts_ns"
+    )
+    # Three time-ordered slices → three files → three micro-batches.
+    bounds = events.selectExpr(
+        "percentile_approx(ts_ns, 0.34) AS p1", "percentile_approx(ts_ns, 0.67) AS p2"
+    ).collect()[0]
+    for i, cond in enumerate(
+        (
+            F.col("ts_ns") <= bounds.p1,
+            (F.col("ts_ns") > bounds.p1) & (F.col("ts_ns") <= bounds.p2),
+            F.col("ts_ns") > bounds.p2,
+        )
+    ):
+        events.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    target = "stream_upsert.latest_state"
+    rn_w = W.partitionBy("user_id").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if adapter.table_exists(target):
+            combined = spark.table(target).unionByName(latest)
+            latest = (
+                combined.withColumn("rn", F.row_number().over(rn_w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        adapter.replace_query(target, latest)
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(target).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
