@@ -475,3 +475,41 @@ GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
         environment="env_fo", start="1995-01-01", end="1995-12-31", forward_only=True
     )
     return spark.table("env_fo_views.daily").select("ds", "revenue_cents", "n_orders")
+
+
+from sqlmesh_spark.operators.scd2_cases import SCD2_BY_TIME_ORACLE
+
+
+@register("framework_scd2_kind", oracle=SCD2_BY_TIME_ORACLE, tags=("framework", "scd2"))
+def framework_scd2_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD_TYPE_2_BY_TIME as a *model kind* through the full plan/apply
+    stack (SCDType2Strategy, evaluator.py:2513): two scheduled runs against
+    a mutating staged source — insert/close/delete semantics come from the
+    scheduler's kind dispatch, not from driving the operator directly.
+    The oracle is the same two-step nested generator the operator cases
+    use (scd2_cases), so hash parity proves the framework path produces
+    bit-identical SCD2 state."""
+    from sqlmesh_spark.operators.scd2_cases import BATCH1, BATCH2
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "demo_scd_src", "sqlmesh__demo_scd", "env_scd_views")
+    spark.sql("CREATE DATABASE demo_scd_src")
+    register_views(spark, sf_dir, ("customer",))
+    spark.sql(f"CREATE TABLE demo_scd_src.stage AS {BATCH1}")
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_scd.dim_customers,
+  kind SCD_TYPE_2_BY_TIME (unique_key customer_id, updated_at_name updated_at),
+  start '2024-01-01'
+);
+SELECT customer_id, status, updated_at FROM demo_scd_src.stage
+"""
+    )
+    ctx.run(environment="env_scd", start="2024-01-01", end="2024-01-02")
+    spark.sql("DROP TABLE demo_scd_src.stage")
+    spark.sql(f"CREATE TABLE demo_scd_src.stage AS {BATCH2}")
+    ctx.run(environment="env_scd", start="2024-01-01", end="2024-02-02")
+    return spark.table("env_scd_views.dim_customers")
