@@ -785,3 +785,145 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_cents").alias("value_cents"),
         )
     )
+
+
+CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+       {_sql_money_sum("l_quantity", "sum_qty")},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_agg", oracle=CUBE_ORACLE, tags=("relational",))
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with GROUPING disambiguation of the NULL
+    super-aggregate rows (the construct the reference leaves to engine SQL
+    — SURVEY §2.B). Spark plans CUBE as one Expand + single exchange:
+    4 grouping sets cost one shuffle of 4× the map output, with partial
+    aggregation before it — no per-set re-scan at 100 TB."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("gid"),
+            _money_sum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+"""
+
+
+@register("funnel_steps", oracle=FUNNEL_ORACLE, tags=("relational", "events"))
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click after it → purchase after that):
+    each stage is a min-timestamp aggregate semi-joined to the previous
+    stage, on exact nanosecond epochs (ts_ns) so strict inequalities match
+    a nanosecond-precision engine bit-for-bit.
+
+    Scale: every stage shuffles on user_id and strictly shrinks (stage N
+    input = matched users only), so cost is dominated by the first scan;
+    no per-user event buffering, no window over the full event stream.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ns") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+    rows = []
+    for step, name, df in ((1, "view", v), (2, "click", c), (3, "purchase", p)):
+        rows.append(
+            df.agg(
+                F.lit(step).alias("step"),
+                F.lit(name).alias("event_type"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_date FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_date,
+         date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_ds, day_offset,
+       COUNT(*) AS n_users
+FROM activity
+GROUP BY cohort_date, day_offset
+"""
+
+
+@register("cohort_retention", oracle=COHORT_ORACLE, tags=("relational", "events"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen date, counted
+    once per (cohort, day-offset) they were active — the standard
+    product-analytics triangle.
+
+    Scale: two shuffles on user_id (first-seen agg + the distinct), then a
+    small matrix aggregate; the cohort date join is a self-join on the
+    aggregation key so AQE plans it as a co-partitioned join without a
+    third exchange.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_date"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_ds"), "day_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
