@@ -718,3 +718,39 @@ FROM orders GROUP BY o_orderstatus
 register("macro_reduce_filter_if", oracle=MACRO_REDUCE_IF_ORACLE, tags=("macro",))(
     _macro_case(MACRO_REDUCE_IF_SQL, ("orders",))
 )
+
+
+MACRO_VARS_SQL = """
+SELECT n_nationkey, n_name,
+       @VAR('region_label', 'unset') AS region_label,
+       @VAR('missing_var') AS missing_var,
+       @EVAL(7 * 6) AS answer,
+       @SQL('UPPER(n_name)') AS upper_name,
+       @RESOLVE_TEMPLATE('@{catalog}/@{schema}/@{table}') AS physical_path
+FROM nation
+WHERE @AND(n_nationkey >= 0, @OR(n_nationkey < 3, n_nationkey > 20))
+"""
+
+MACRO_VARS_ORACLE = """
+SELECT n_nationkey, n_name,
+       'emea' AS region_label,
+       NULL AS missing_var,
+       42 AS answer,
+       UPPER(n_name) AS upper_name,
+       'spark_catalog/analytics/nation' AS physical_path
+FROM nation
+WHERE n_nationkey >= 0 AND (n_nationkey < 3 OR n_nationkey > 20)
+"""
+
+register("macro_var_and_or_eval", oracle=MACRO_VARS_ORACLE, tags=("macro",))(
+    _macro_case(
+        MACRO_VARS_SQL,
+        ("nation",),
+        variables={
+            "region_label": "emea",
+            "catalog": "spark_catalog",
+            "schema": "analytics",
+            "table": "nation",
+        },
+    )
+)

@@ -927,3 +927,76 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+WINDOW_SUITE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+       LAG(l_linenumber) OVER w AS prev_line,
+       LEAD(l_linenumber) OVER w AS next_line,
+       NTILE(3) OVER w AS tercile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       FIRST_VALUE(l_linenumber) OVER w AS first_line,
+       LAST_VALUE(l_linenumber) OVER (PARTITION BY l_orderkey
+         ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT), l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_line
+FROM lineitem
+WHERE l_orderkey <= 500
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT), l_linenumber)
+"""
+
+
+@register("window_functions_suite", oracle=WINDOW_SUITE_ORACLE, tags=("relational",))
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window-function surface (lag, lead,
+    ntile, percent_rank, cume_dist, first/last_value with an explicit
+    unbounded frame) over one totally-ordered per-order window — ordering
+    keys are exact cents + line number so both engines sort identically.
+
+    Scale: all nine functions share ONE window spec → one shuffle on
+    l_orderkey and one sort per partition; Spark evaluates them in a
+    single Window operator pass."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    price = _cents("l_extendedprice")
+    w = W.partitionBy("l_orderkey").orderBy(price, "l_linenumber")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        price.alias("price_cents"),
+        F.lag("l_linenumber").over(w).alias("prev_line"),
+        F.lead("l_linenumber").over(w).alias("next_line"),
+        F.ntile(3).over(w).alias("tercile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("l_linenumber").over(w).alias("first_line"),
+        F.last("l_linenumber").over(w_full).alias("last_line"),
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT p_partkey, 'retail' AS measure,
+       CAST(ROUND(p_retailprice * 100) AS BIGINT) AS value_cents
+FROM part WHERE p_size >= 40
+UNION ALL
+SELECT p_partkey, 'size_x100', CAST(p_size AS BIGINT) * 100
+FROM part WHERE p_size >= 40
+"""
+
+
+@register("unpivot_stack", oracle=UNPIVOT_ORACLE, tags=("relational",))
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via STACK (the inverse of @PIVOT; reference
+    delegates both to engine SQL). STACK is a generator projection — rows
+    multiply inside the scan stage with no shuffle and no UNION re-scan,
+    which is the difference between 1× and M× input reads at 100 TB."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retail', CAST(ROUND(p_retailprice * 100) AS BIGINT),"
+            " 'size_x100', CAST(p_size AS BIGINT) * 100) AS (measure, value_cents)"
+        ),
+    )
