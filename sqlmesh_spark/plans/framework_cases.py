@@ -513,3 +513,125 @@ SELECT customer_id, status, updated_at FROM demo_scd_src.stage
     spark.sql(f"CREATE TABLE demo_scd_src.stage AS {BATCH2}")
     ctx.run(environment="env_scd", start="2024-01-01", end="2024-02-02")
     return spark.table("env_scd_views.dim_customers")
+
+
+SIGNAL_GATED_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-01-10 00:00:00'
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("framework_signal_gated_run", oracle=SIGNAL_GATED_ORACLE, tags=("framework",))
+def framework_signal_gated_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal gating (scheduler.py:950 _check_ready_intervals; signal.py:14):
+    run 1 admits only intervals before a cutoff — the rest stay MISSING
+    (asserted mid-case), not failed. Run 2, with upstream now "ready",
+    backfills exactly the previously-gated intervals. Late upstream data
+    delays; it never corrupts or double-processes.
+
+    Scale: gating happens in interval space (pairs of epochs) before any
+    query is planned — a gated interval costs zero cluster work.
+    """
+    from sqlmesh_spark.core.signal import signal
+    from sqlmesh_spark.core.snapshot import to_epoch
+
+    _clean_dbs(spark, "sqlmesh__demo_sig", "env_sig_views")
+    cutoff = {"epoch": to_epoch("1995-01-05")}
+
+    @signal("demo_upstream_ready")
+    def demo_upstream_ready(batch):
+        return [iv for iv in batch if iv[1] <= cutoff["epoch"]]
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (
+  name demo_sig.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  signals (demo_upstream_ready)
+);
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       COUNT(*) AS n_orders
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+    )
+    ctx.run(environment="env_sig", start="1995-01-01", end="1995-01-10")
+    partial = spark.table("env_sig_views.daily_orders")
+    admitted = partial.filter("ds >= '1995-01-05'").count()
+    assert admitted == 0, f"gated intervals must not materialize, got {admitted} rows"
+    # Upstream lands → signal opens → the gated intervals backfill.
+    cutoff["epoch"] = to_epoch("1995-01-10")
+    ctx.run(environment="env_sig", start="1995-01-01", end="1995-01-10")
+    return spark.table("env_sig_views.daily_orders").select("ds", "n_orders")
+
+
+YAML_SPEC_CASE = """
+test_monthly_ok:
+  model: demo_yaml.monthly
+  inputs:
+    demo_yaml.daily:
+      rows:
+        - {ds: '1995-01-03', n: 2}
+        - {ds: '1995-01-20', n: 3}
+        - {ds: '1995-02-01', n: 5}
+  outputs:
+    ctes:
+      base:
+        rows:
+          - {month: '1995-01', n: 2}
+          - {month: '1995-01', n: 3}
+          - {month: '1995-02', n: 5}
+    query:
+      rows:
+        - {month: '1995-01', n_total: 5}
+        - {month: '1995-02', n_total: 5}
+test_monthly_catches_wrong_expectation:
+  model: demo_yaml.monthly
+  inputs:
+    demo_yaml.daily:
+      rows:
+        - {ds: '1995-01-03', n: 2}
+  outputs:
+    query:
+      rows:
+        - {month: '1995-01', n_total: 999}
+"""
+
+YAML_RUNNER_ORACLE = """
+SELECT 'test_monthly_ok' AS test_name, TRUE AS passed
+UNION ALL
+SELECT 'test_monthly_catches_wrong_expectation', FALSE
+"""
+
+
+@register("framework_yaml_model_test", oracle=YAML_RUNNER_ORACLE, tags=("framework",))
+def framework_yaml_model_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YAML golden-test runner (SURVEY §5.1; test/definition.py:51):
+    inputs seed fixture views, the rendered model query runs on the local
+    session, and both per-CTE and final-query expectations compare
+    order-insensitively. One passing spec + one deliberately-wrong spec
+    prove the runner both accepts and rejects."""
+    from sqlmesh_spark.core.model import parse_model_text
+    from sqlmesh_spark.core.model_test import ModelTestRunner
+
+    model = parse_model_text(
+        """
+MODEL (name demo_yaml.monthly, kind FULL);
+WITH base AS (
+  SELECT substring(ds, 1, 7) AS month, n FROM demo_yaml.daily
+)
+SELECT month, CAST(SUM(n) AS BIGINT) AS n_total FROM base GROUP BY month
+"""
+    )
+    results = ModelTestRunner(spark).run_yaml(YAML_SPEC_CASE, {model.name: model})
+    return spark.createDataFrame(
+        [(r.name, r.passed) for r in results], "test_name STRING, passed BOOLEAN"
+    )
