@@ -635,3 +635,72 @@ SELECT month, CAST(SUM(n) AS BIGINT) AS n_total FROM base GROUP BY month
     return spark.createDataFrame(
         [(r.name, r.passed) for r in results], "test_name STRING, passed BOOLEAN"
     )
+
+
+LOOKBACK_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-03-11 00:00:00'
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("framework_lookback_reprocess", oracle=LOOKBACK_ORACLE, tags=("framework",))
+def framework_lookback_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`lookback` (kind.py:423): every run re-opens the trailing N units
+    behind the processed watermark, so late events inside that horizon heal
+    on the NEXT scheduled run — no operator intervention, unlike
+    `framework_restatement` which targets arbitrary history.
+
+    Staged source initially MISSING the last processed day's rows; they
+    arrive after run 1. Run 2 (extending the window) re-processes the
+    2-day lookback horizon and picks them up. The oracle is the complete
+    window — parity proves the healed table matches all-data truth.
+
+    Scale: lookback bounds steady-state reprocessing to O(lookback)
+    partitions per run — the knob that trades late-data tolerance against
+    incremental cost, with dynamic partition overwrite keeping each re-run
+    idempotent.
+    """
+    _clean_dbs(spark, "demo_lb_src", "sqlmesh__demo_lb", "env_lb_views")
+    spark.sql("CREATE DATABASE demo_lb_src")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    window = (
+        "o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1995-03-11 00:00:00'"
+    )
+    late = (
+        "o_orderdate >= TIMESTAMP '1995-03-05 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1995-03-06 00:00:00'"
+    )
+    spark.sql(
+        f"CREATE TABLE demo_lb_src.orders_stage AS "
+        f"SELECT * FROM {orders} WHERE {window} AND NOT ({late})"
+    )
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_lb.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  lookback 2
+);
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       COUNT(*) AS n_orders
+FROM demo_lb_src.orders_stage
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+    )
+    # Run 1 processes Mar 1-6 with Mar 5 missing from the source.
+    ctx.run(environment="env_lb", start="1995-03-01", end="1995-03-06")
+    # Mar 5 arrives late — inside the 2-day lookback horizon.
+    spark.sql(
+        f"INSERT INTO demo_lb_src.orders_stage SELECT * FROM {orders} WHERE {late}"
+    )
+    # Run 2 extends to Mar 11; the lookback re-opens Mar 4-5 automatically.
+    ctx.run(environment="env_lb", start="1995-03-01", end="1995-03-11")
+    return spark.table("env_lb_views.daily_orders").select("ds", "n_orders")
