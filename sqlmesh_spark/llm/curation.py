@@ -143,8 +143,13 @@ FROM cnt
 
 def _doc_case(sql_fn, **kw):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sqlmesh_spark.llm.dedup import spread_scan
+
         register_views(spark, sf_dir, ("documents",))
-        return spark.sql(sql_fn("documents", dialect="spark", **kw))
+        # CPU-heavy array/regex projections parallelize only if the local
+        # 1-split scan is spread; at scale this is a no-op (see spread_scan).
+        docs = spread_scan(spark, "documents", "curation_docs")
+        return spark.sql(sql_fn(docs, dialect="spark", **kw))
 
     return run
 

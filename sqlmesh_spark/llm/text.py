@@ -109,8 +109,13 @@ FROM {table}
 
 def _case(sql_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sqlmesh_spark.llm.dedup import spread_scan
+
         register_views(spark, sf_dir, ("documents",))
-        return spark.sql(sql_fn("documents", dialect="spark"))
+        # The regexp projections are CPU-bound; a 1-split local scan would
+        # run them all on one core (no-op at scale — see spread_scan).
+        docs = spread_scan(spark, "documents", "text_docs")
+        return spark.sql(sql_fn(docs, dialect="spark"))
 
     return run
 
@@ -174,7 +179,7 @@ FROM kept k JOIN dedup d ON k.doc_id = d.keeper
 register(
     "pipeline_training_data",
     oracle=training_pipeline_sql("documents", "duckdb"),
-    tags=("llm", "text", "pipeline"),
+    tags=("llm", "text", "pipeline", "bench"),
 )(_case(training_pipeline_sql))
 
 
