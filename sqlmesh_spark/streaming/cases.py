@@ -219,3 +219,70 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM (SELECT DISTINCT event_id, user_id, value FROM events)
+GROUP BY user_id
+"""
+
+
+@register("streaming_dedup_exactly_once", oracle=STREAM_DEDUP_ORACLE, tags=("streaming",))
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-micro-batch exactly-once dedup: the source stream carries
+    ~20% duplicated events (each file re-emits a slice of the previous
+    one — the classic at-least-once replay), and `dropDuplicates` on the
+    event key inside the stream removes them across batch boundaries via
+    the state store. The downstream per-user aggregate must equal the
+    DISTINCT-based oracle — duplicates charged once, never twice.
+
+    Scale: dedup state is one entry per key in the state store (RocksDB
+    in production), sharded by the same hash shuffle as the aggregate;
+    with a watermark the store evicts keys older than the horizon, so
+    steady-state size is bounded by the dedup window, not the stream.
+    """
+    import shutil
+
+    from sqlmesh_spark.sources.tables import load_table
+
+    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    shutil.rmtree(src, ignore_errors=True)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts_ns"
+    )
+    third = events.count() // 3
+    # File 1: first third. File 2: second third PLUS a replayed tail of
+    # file 1. File 3: final third PLUS a replayed tail of file 2.
+    b1 = events.filter(F.col("event_id") < third)
+    b2 = events.filter((F.col("event_id") >= third) & (F.col("event_id") < 2 * third))
+    b3 = events.filter(F.col("event_id") >= 2 * third)
+    replay1 = b1.filter(F.col("event_id") >= third - third // 5)
+    replay2 = b2.filter(F.col("event_id") >= 2 * third - third // 5)
+    for batch in (b1, b2.unionByName(replay1), b3.unionByName(replay2)):
+        batch.coalesce(1).write.mode("append").parquet(src)
+
+    deduped = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .dropDuplicates(["event_id"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+    q = (
+        deduped.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_dedup_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT user_id, n_events, value_cents FROM stream_dedup_out")

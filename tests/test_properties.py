@@ -179,3 +179,36 @@ def test_minhash_wide_matches_narrow(spark_global, texts):
         ).collect()
     }
     assert wide == narrow
+
+
+@given(
+    interval_sets(),
+    days,
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=5),
+)
+def test_lookback_reopens_exactly_the_trailing_horizon(processed, start_day, span, lb):
+    """lookback semantics (kind.py:423): relative to the no-lookback run,
+    the ONLY extra reprocessed days are the last `lb` units immediately
+    behind the processed watermark; nothing before that reopens, and
+    nothing outside the requested window appears."""
+    start, end = start_day * DAY, (start_day + span) * DAY
+    plain = {s // DAY for s, _ in missing_intervals(start, end, processed)}
+    with_lb = {s // DAY for s, _ in missing_intervals(start, end, processed, lookback=lb)}
+    assert with_lb >= plain
+    extra = with_lb - plain
+    window_days = set(range(start // DAY, end // DAY))
+    assert extra <= window_days
+    merged = merge_intervals(processed)
+    if not merged:
+        assert extra == set()
+        return
+    watermark_day = merged[-1][1] // DAY
+    horizon = set(range(watermark_day - lb, watermark_day))
+    # Every extra day sits inside the lookback horizon and was processed.
+    processed_days = set()
+    for s, e in merged:
+        processed_days.update(range(s // DAY, e // DAY))
+    assert extra <= horizon & processed_days & window_days
+    # And every processed day inside horizon ∩ window is in fact reopened.
+    assert (horizon & processed_days & window_days) <= with_lb

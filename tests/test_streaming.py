@@ -165,3 +165,21 @@ def test_stateful_sessionization_across_batches(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+import pytest
+
+from sqlmesh_spark.parity import compare_case
+from sqlmesh_spark.registry import load_all
+
+
+def _streaming_cases():
+    return [(n, c) for n, c in load_all().items() if "streaming" in c.tags]
+
+
+@pytest.mark.parametrize(
+    "name,case", _streaming_cases(), ids=lambda x: x if isinstance(x, str) else ""
+)
+def test_streaming_parity(spark, sf_dir, name, case):
+    r = compare_case(spark, sf_dir, name, case.fn, case.oracle)
+    assert r["match"], r["detail"]
