@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sqlmesh_spark.registry import register
 from sqlmesh_spark.session import scratch_dir
@@ -157,3 +158,74 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("source_json_roundtrip", oracle=NATION_ORACLE, tags=("tooling", "sources"))
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "json")
+
+
+@register("source_orc_roundtrip", oracle=NATION_ORACLE, tags=("tooling", "sources"))
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source connector (columnar like parquet: predicate pushdown +
+    column pruning apply identically; `storage_format orc` is a
+    first-class model option in the reference — model/meta.py:95)."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(scratch_dir("src_orc"), "nation")
+    n.write.mode("overwrite").orc(out)
+    return spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).orc(out)
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+       CAST(ANY_VALUE(c_mktsegment) AS VARCHAR) AS segment
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+"""
+
+
+@register("bucketed_join_colocated", oracle=BUCKETED_JOIN_ORACLE, tags=("relational", "materialization"))
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (`clustered_by` / CLUSTERED BY ... INTO
+    BUCKETS — model/meta.py:94): both tables are written bucketed+sorted
+    on the join key, so the join AND the following same-key aggregation
+    plan with ZERO Exchange operators — asserted against the physical
+    plan, not just claimed. At 100 TB this is the difference between
+    re-shuffling both fact tables on every join and reading co-located
+    buckets; the one-time bucketing cost amortizes across every
+    subsequent key-aligned join/agg.
+    """
+    from sqlmesh_spark.operators.materialize_cases import _scratch_db
+
+    db = _scratch_db(spark, "bucketed")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    for name, df, key in (("orders_b", o, "o_custkey"), ("customer_b", c, "c_custkey")):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.{name}")
+        )
+    ob, cb = spark.table(f"{db}.orders_b"), spark.table(f"{db}.customer_b")
+    # hint("merge") pins sort-merge (at fact×fact scale Catalyst picks it
+    # anyway; on this small fixture it would broadcast) so the plan shows
+    # the property that matters: bucketed SMJ with NO shuffle exchange on
+    # either side, and the same-key aggregation reuses the bucketing too.
+    joined = (
+        ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
+            F.any_value("c_mktsegment").alias("segment"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, (
+        f"bucketed join/agg must be shuffle-free:\n{plan[:2000]}"
+    )
+    assert "SortMergeJoin" in plan
+    return joined
