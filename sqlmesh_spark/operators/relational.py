@@ -1000,3 +1000,129 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'size_x100', CAST(p_size AS BIGINT) * 100) AS (measure, value_cents)"
         ),
     )
+
+
+GROUPING_SETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+       {_sql_money_sum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("grouping_sets_agg", oracle=GROUPING_SETS_ORACLE, tags=("relational",))
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE) with a
+    set list neither ROLLUP nor CUBE produces: per-flag, per-status, and
+    grand total — one Expand + one exchange, never three scans."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+FROM {{lineitem}}
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""".format(lineitem=_as_view(l, "gs_lineitem"))
+    )
+
+
+def _as_view(df: DataFrame, name: str) -> str:
+    df.createOrReplaceTempView(name)
+    return name
+
+
+INTERSECT_EXCEPT_ORACLE = """
+SELECT c_custkey AS custkey, 'both' AS src FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) a
+UNION ALL
+SELECT c_custkey, 'building_only' FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey FROM orders
+) b
+"""
+
+
+@register("intersect_except", oracle=INTERSECT_EXCEPT_ORACLE, tags=("relational",))
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (ANSI bag-to-set semantics both
+    engines share). Spark plans both as aggregated semi/anti joins —
+    one shuffle each on the compared column, no row-by-row comparison."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    any_order = o.select(F.col("o_custkey").alias("custkey"))
+    both = building.intersect(urgent).withColumn("src", F.lit("both"))
+    only = building.exceptAll(any_order).distinct().withColumn("src", F.lit("building_only"))
+    return both.unionByName(only)
+
+
+FUNC_GAUNTLET_ORACLE = """
+SELECT o_orderkey,
+       UPPER(o_orderpriority) AS up,
+       LOWER(o_orderstatus) AS lo,
+       SUBSTRING(o_orderpriority, 1, 3) AS sub3,
+       LPAD(CAST(o_orderkey AS VARCHAR), 8, '0') AS padded,
+       REPLACE(o_orderpriority, '-', '_') AS replaced,
+       LENGTH(o_orderpriority) AS len,
+       CONCAT(o_orderstatus, ':', o_orderpriority) AS joined,
+       TRIM('  ' || o_orderstatus || ' ') AS trimmed,
+       strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       CAST(YEAR(o_orderdate) AS INT) AS y,
+       CAST(MONTH(o_orderdate) AS INT) AS m,
+       CAST(DAYOFMONTH(o_orderdate) AS INT) AS d,
+       strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
+       strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS coalesced,
+       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
+       CAST(ROUND(o_totalprice, 0) AS BIGINT) AS rounded,
+       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS floor_k,
+       ABS(CAST(o_orderkey AS BIGINT) - 1000) AS abs_diff
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+
+@register("functions_gauntlet", oracle=FUNC_GAUNTLET_ORACLE, tags=("relational", "functions"))
+def functions_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function parity gauntlet — 21 string/date/numeric/conditional
+    builtins in one projection, value-matched against DuckDB. This is the
+    everyday surface model SQL leans on (SURVEY §2.B: arbitrary SELECTs
+    delegated to the engine); all stay inside whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("up"),
+        F.lower("o_orderstatus").alias("lo"),
+        F.substring("o_orderpriority", 1, 3).alias("sub3"),
+        F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("padded"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("replaced"),
+        F.length("o_orderpriority").alias("len"),
+        F.concat(F.col("o_orderstatus"), F.lit(":"), F.col("o_orderpriority")).alias("joined"),
+        F.trim(F.concat(F.lit("  "), F.col("o_orderstatus"), F.lit(" "))).alias("trimmed"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ds"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"), "yyyy-MM-dd").alias("plus7"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("coalesced"),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("size_class"),
+        F.round("o_totalprice", 0).cast("bigint").alias("rounded"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("floor_k"),
+        F.abs(F.col("o_orderkey").cast("bigint") - 1000).alias("abs_diff"),
+    )
