@@ -229,3 +229,102 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert "SortMergeJoin" in plan
     return joined
+
+
+NESTED_TYPES_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       YEAR(o_orderdate) AS order_year,
+       2 AS n_tags,
+       'priority:' || o_orderpriority AS tag1
+FROM orders WHERE o_orderkey <= 1000
+"""
+
+
+@register("nested_types_roundtrip", oracle=NESTED_TYPES_ORACLE, tags=("tooling", "sources"))
+def nested_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types end-to-end (§1.2: ARRAY/MAP/STRUCT map recursively to
+    Spark types — reference engine_adapter/spark.py:116-123): build a
+    struct+array+map row per order, round-trip through parquet, then
+    project nested fields back to scalars. Proves nested schemas survive
+    storage and that field access (struct dot, array index, map key)
+    prunes to scalar reads — at 100 TB parquet stores nested columns as
+    separate leaf streams, so `info.status` reads ONE leaf, not the blob."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        ).alias("info"),
+        F.array(
+            F.concat(F.lit("priority:"), F.col("o_orderpriority")),
+            F.concat(F.lit("status:"), F.col("o_orderstatus")),
+        ).alias("tags"),
+        F.create_map(
+            F.lit("year"), F.year("o_orderdate").cast("bigint")
+        ).alias("attrs"),
+    )
+    out = os.path.join(scratch_dir("nested_types"), "orders_nested")
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "o_orderkey",
+        F.col("info.status").alias("status"),
+        F.col("info.price_cents").alias("price_cents"),
+        F.col("attrs")["year"].cast("int").alias("order_year"),
+        F.size("tags").alias("n_tags"),
+        F.element_at("tags", 1).alias("tag1"),
+    )
+
+
+ARRAY_HOF_ORACLE = """
+SELECT o_orderkey,
+       list_transform(generate_series(1, 5), x -> x * CAST(o_orderkey AS BIGINT))[3] AS third_multiple,
+       len(list_filter(generate_series(1, 10), x -> x % 3 = 0)) AS n_div3,
+       list_reduce(generate_series(1, 6), (a, b) -> a + b) AS tri6,
+       list_sort(list_distinct([CAST(o_orderkey % 5 AS BIGINT), CAST(o_orderkey % 3 AS BIGINT), 1]))[1] AS min_mod
+FROM orders WHERE o_orderkey <= 300
+"""
+
+
+@register("array_higher_order", oracle=ARRAY_HOF_ORACLE, tags=("relational", "functions"))
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate /
+    array_distinct+sort) value-matched against DuckDB's list_* family —
+    the in-row compute surface the llm/ operators build on. HOF lambdas
+    are interpreted (not codegen'd): fine for bounded per-row arrays,
+    which is why the big operators keep arrays bounded by document, never
+    by corpus."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        F.element_at(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(5)),
+                lambda x: x.cast("bigint") * F.col("o_orderkey"),
+            ),
+            3,
+        ).alias("third_multiple"),
+        F.size(
+            F.filter(F.sequence(F.lit(1), F.lit(10)), lambda x: x % 3 == 0)
+        ).alias("n_div3"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(6)),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b.cast("bigint"),
+        ).alias("tri6"),
+        F.element_at(
+            F.array_sort(
+                F.array_distinct(
+                    F.array(
+                        (F.col("o_orderkey") % 5).cast("bigint"),
+                        (F.col("o_orderkey") % 3).cast("bigint"),
+                        F.lit(1).cast("bigint"),
+                    )
+                )
+            ),
+            1,
+        ).alias("min_mod"),
+    )
