@@ -130,3 +130,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (video-shaped payloads)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string, frame_len int"
+
+
+def sample_frames(df: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataFrame:
+    """Video-frame-sampling plumbing: split each payload into fixed-size
+    frames and keep every Nth — the exact batch shape a real keyframe
+    extractor uses (decode stubbed per environment; frames here are byte
+    slices and the 'feature' is their md5).
+
+    One input row fans out to ceil(n_bytes/frame_size)/every_n output rows
+    INSIDE the executor's Arrow batch — no shuffle, no driver involvement,
+    and memory is bounded by batch_size × payload size regardless of
+    corpus scale."""
+
+    def frame_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, md5s, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_n):
+                    chunk = payload[i * frame_size : (i + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+                    lens.append(len(chunk))
+            yield _pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": md5s, "frame_len": lens}
+            )
+
+    return df.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+# ASCII text ⇒ byte slices == char slices, so the pandas-UDF frame path
+# has a true SQL oracle (md5 over the same bytes in both engines).
+MULTIMODAL_FRAMES_ORACLE = """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       md5(substr(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_md5,
+       LENGTH(substr(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_len
+FROM documents,
+     unnest(generate_series(0, (LENGTH(text) - 1) // 64)) AS _i(i)
+WHERE i % 4 = 0
+"""
+
+
+@register("multimodal_frame_sample", oracle=MULTIMODAL_FRAMES_ORACLE, tags=("llm", "multimodal"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))
