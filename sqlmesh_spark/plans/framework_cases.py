@@ -704,3 +704,46 @@ GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
     # Run 2 extends to Mar 11; the lookback re-opens Mar 4-5 automatically.
     ctx.run(environment="env_lb", start="1995-03-01", end="1995-03-11")
     return spark.table("env_lb_views.daily_orders").select("ds", "n_orders")
+
+
+BATCHED_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-06-11 00:00:00'
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("framework_batched_backfill", oracle=BATCHED_ORACLE, tags=("framework",))
+def framework_batched_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`batch_size` (kind.py:421; scheduler.py:334): a 10-day backfill with
+    batch_size 3 must execute ceil(10/3)=4 bounded batches (asserted from
+    the scheduler's return), each its own insert-overwrite — so one failed
+    batch loses at most batch_size intervals of work, and per-query memory
+    is bounded by the batch window regardless of how far behind the model
+    is. The final table must equal the whole-window oracle: batching is an
+    execution detail, never a semantics change."""
+    _clean_dbs(spark, "sqlmesh__demo_batch", "env_batch_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (
+  name demo_batch.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  batch_size 3
+);
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       COUNT(*) AS n_orders
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+    )
+    executed = ctx.run(environment="env_batch", start="1995-06-01", end="1995-06-11")
+    n_batches = executed["demo_batch.daily_orders"]
+    assert n_batches == 4, f"10 days / batch_size 3 must be 4 batches, got {n_batches}"
+    return spark.table("env_batch_views.daily_orders").select("ds", "n_orders")
