@@ -747,3 +747,89 @@ GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
     n_batches = executed["demo_batch.daily_orders"]
     assert n_batches == 4, f"10 days / batch_size 3 must be 4 batches, got {n_batches}"
     return spark.table("env_batch_views.daily_orders").select("ds", "n_orders")
+
+
+CONTEXT_DIFF_ORACLE = """
+SELECT * FROM (VALUES
+  ('demo_cd.brand_new', 'added'),
+  ('demo_cd.daily', 'modified'),
+  ('demo_cd.stable', 'unchanged'),
+  ('demo_cd.retired', 'removed')
+) AS t(model, change)
+"""
+
+
+@register("framework_context_diff", oracle=CONTEXT_DIFF_ORACLE, tags=("framework",))
+def framework_context_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContextDiff (context_diff.py:42/93): local project vs environment
+    state classified into added / modified / unchanged / removed — the
+    analysis that drives plan categorization. Fingerprints are content
+    hashes, so editing a query (even whitespace-insensitively normalized)
+    flips a model to modified while untouched models stay unchanged."""
+    from sqlmesh_spark.core.plan import build_snapshots, context_diff
+
+    nation = f"parquet.`{sf_dir}/nation.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    v1 = {
+        "daily": f"MODEL (name demo_cd.daily, kind FULL);\nSELECT n_nationkey AS k FROM {nation}",
+        "stable": f"MODEL (name demo_cd.stable, kind FULL);\nSELECT n_name AS nm FROM {nation}",
+        "retired": f"MODEL (name demo_cd.retired, kind FULL);\nSELECT 1 AS one FROM {nation}",
+    }
+    for text in v1.values():
+        ctx.add_model(text)
+    env_state = {n: s.version for n, s in build_snapshots(ctx.models).items()}
+
+    ctx.models.clear()
+    ctx.add_model(v1["daily"].replace("n_nationkey AS k", "n_nationkey + 1 AS k"))
+    ctx.add_model(v1["stable"])
+    ctx.add_model(
+        f"MODEL (name demo_cd.brand_new, kind FULL);\nSELECT n_regionkey AS r FROM {nation}"
+    )
+    diff = context_diff(build_snapshots(ctx.models), env_state)
+    rows = (
+        [(m, "added") for m in diff.added]
+        + [(m, "modified") for m in diff.modified]
+        + [(m, "unchanged") for m in diff.unchanged]
+        + [(m, "removed") for m in diff.removed]
+    )
+    return spark.createDataFrame(sorted(rows), "model string, change string")
+
+
+JANITOR_ORACLE = """
+SELECT 1 AS n_dropped, TRUE AS live_table_kept, TRUE AS view_still_serves
+"""
+
+
+@register("framework_janitor", oracle=JANITOR_ORACLE, tags=("framework",))
+def framework_janitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Janitor (reference cleanup of expired snapshots): after a model
+    change and re-apply, the old version's physical table is orphaned —
+    no environment points at it. janitor() drops EXACTLY that table,
+    keeps the live version, and the environment view still serves."""
+    _clean_dbs(spark, "sqlmesh__demo_jan", "env_jan_views")
+    nation = f"parquet.`{sf_dir}/nation.parquet`"
+    text = f"MODEL (name demo_jan.names, kind FULL);\nSELECT n_nationkey AS k{{v}} FROM {nation}"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(text.format(v=""))
+    ctx.run(environment="env_jan", start="1995-01-01", end="1995-01-02")
+    ctx.models.clear()
+    ctx.add_model(text.format(v=", n_name AS nm"))
+    ctx.run(environment="env_jan", start="1995-01-01", end="1995-01-02")
+
+    dropped = ctx.janitor()
+    # listTables includes session TEMP views; only persistent tables count.
+    live = [
+        t
+        for t in spark.catalog.listTables("sqlmesh__demo_jan")
+        if t.tableType != "TEMPORARY"
+    ]
+    return spark.createDataFrame(
+        [
+            (
+                len(dropped),
+                len(live) == 1,
+                spark.table("env_jan_views.names").count() > 0,
+            )
+        ],
+        "n_dropped int, live_table_kept boolean, view_still_serves boolean",
+    )
