@@ -1,6 +1,6 @@
-"""Extended TPC-H-style coverage (q2/q6/q7/q8/q9/q13/q15/q16/q17/q19/q21/q22
-shapes) adapted to the driver's reduced schema (no partsupp, no
-commit/receipt dates, no containers — see TESTDATA.md).
+"""Extended TPC-H-style coverage (q2/q6/q7/q8/q9/q11/q13/q15/q16/q17/q19/
+q20/q21/q22 shapes) adapted to the driver's reduced schema (no partsupp,
+no commit/receipt dates, no containers — see TESTDATA.md).
 
 Together with operators/relational.py this exercises every TPC-H query
 archetype the engine side must plan well: pure scans (q6, q19), multi-way

@@ -202,3 +202,27 @@ def test_state_store_concurrent_add_interval(tmp_path):
         list(pool.map(lambda i: store.add_interval("m", "v", i, i + 1), range(64)))
     got = sorted(store.get_intervals("m", "v"))
     assert got == [(i, i + 1) for i in range(64)]
+
+
+def test_empty_window_run_is_noop(spark, sf_dir):
+    """start == end ⇒ zero missing intervals ⇒ zero evaluations, and a
+    repeat run over a fully-processed window is also a no-op."""
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(
+        f"""
+MODEL (name noop.daily, kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts));
+SELECT o_orderdate AS event_ts, o_orderkey FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP) AND o_orderdate < CAST(@end_ts AS TIMESTAMP)
+"""
+    )
+    assert ctx.run(environment="noop_env", start="1995-01-05", end="1995-01-05") == {
+        "noop.daily": 0
+    }
+    ctx.run(environment="noop_env", start="1995-01-01", end="1995-01-05")
+    again = ctx.run(environment="noop_env", start="1995-01-01", end="1995-01-05")
+    assert again == {"noop.daily": 0}
