@@ -284,3 +284,39 @@ register(
     oracle=stratified_sample_sql("documents", dialect="duckdb"),
     tags=("llm", "text"),
 )(_doc_case(stratified_sample_sql))
+
+
+# --------------------------------------------------------------------------
+# Length histogram (corpus profiling)
+# --------------------------------------------------------------------------
+
+
+def length_histogram_sql(table: str, n_buckets: int = 10, dialect: str = "spark") -> str:
+    """Document-length histogram — the profiling scan every curation pass
+    starts with. Spark uses the WIDTH_BUCKET builtin; DuckDB (which lacks
+    it) computes the identical bucket arithmetically.
+
+    Scale: one scan + one tiny aggregate keyed by bucket id (≤ n_buckets+2
+    groups) — the histogram of a 100 TB corpus costs a single pass."""
+    width = 500 // n_buckets
+    if dialect == "duckdb":
+        bucket = (
+            f"CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 500 THEN {n_buckets + 1}"
+            f" ELSE CAST(n_chars // {width} AS INT) + 1 END"
+        )
+    else:
+        bucket = f"CAST(WIDTH_BUCKET(n_chars, 0, 500, {n_buckets}) AS INT)"
+    return f"""
+SELECT bucket, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM (SELECT {bucket} AS bucket, n_chars FROM {table}) b
+GROUP BY bucket
+"""
+
+
+register(
+    "text_length_histogram",
+    oracle=length_histogram_sql("documents", dialect="duckdb"),
+    tags=("llm", "text"),
+)(_doc_case(length_histogram_sql))
