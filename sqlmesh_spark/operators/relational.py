@@ -1126,3 +1126,60 @@ def functions_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("floor_k"),
         F.abs(F.col("o_orderkey").cast("bigint") - 1000).alias("abs_diff"),
     )
+
+
+ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS ds, COUNT(*) AS n
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+),
+moments AS (
+  SELECT event_type,
+         COUNT(*) AS k,
+         SUM(n) AS s1,
+         SUM(n * n) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.ds, d.n,
+       ROUND((d.n * m.k - m.s1) /
+             SQRT(GREATEST(CAST(m.k AS DOUBLE) * m.s2 - CAST(m.s1 AS DOUBLE) * m.s1, 1)), 4) AS z_num
+FROM daily d JOIN moments m ON d.event_type = m.event_type
+WHERE ABS((d.n * m.k - m.s1) /
+          SQRT(GREATEST(CAST(m.k AS DOUBLE) * m.s2 - CAST(m.s1 AS DOUBLE) * m.s1, 1))) > 1.8
+"""
+
+
+@register("events_daily_anomalies", oracle=ANOMALY_ORACLE, tags=("relational", "events"))
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per event type, days whose count deviates
+    from the type's distribution. The z-statistic is built from EXACT
+    integer moments (k, Σn, Σn² as int64) so the only floating-point ops
+    are one subtraction, one sqrt, one divide — identical IEEE in any
+    engine and order-insensitive under AQE, unlike a naive stddev of
+    doubles whose result depends on summation order.
+
+    Scale: daily counts shuffle once; per-type moments are a tiny second
+    aggregate broadcast back onto the daily relation — the monitoring
+    query pattern for a 100 TB event stream."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("ds")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(moments), "event_type")
+    denom = F.sqrt(
+        F.greatest(
+            F.col("k").cast("double") * F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1"),
+            F.lit(1.0),
+        )
+    )
+    z_num = (F.col("n") * F.col("k") - F.col("s1")) / denom
+    return (
+        j.filter(F.abs(z_num) > 1.8)
+        .select("event_type", "ds", "n", F.round(z_num, 4).alias("z_num"))
+    )
