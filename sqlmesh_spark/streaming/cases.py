@@ -286,3 +286,61 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql("SELECT user_id, n_events, value_cents FROM stream_dedup_out")
+
+
+STREAM_ENRICH_ORACLE = """
+SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events JOIN customer ON user_id % 1000 = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("streaming_dim_enrichment", oracle=STREAM_ENRICH_ORACLE, tags=("streaming",))
+def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriches against a static
+    dimension table inside the streaming query (the canonical lookup
+    pattern — Spark re-plans the static side per micro-batch, so dimension
+    updates between batches are picked up automatically).
+
+    Scale: the static side broadcasts per batch when small (as here);
+    a large dimension becomes a shuffle join per batch — or pre-bucketed
+    state via foreachBatch merge (streaming_upsert_merge) when the lookup
+    must be O(1). The aggregate carries complete-mode state of
+    |segments| rows only.
+    """
+    import shutil
+
+    from sqlmesh_spark.sources.tables import load_table
+
+    src = tempfile.mkdtemp(prefix="stream_enrich_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_enrich_ckpt_")
+    shutil.rmtree(src, ignore_errors=True)
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    half = events.count() // 2
+    events.filter(F.col("event_id") < half).coalesce(1).write.mode("append").parquet(src)
+    events.filter(F.col("event_id") >= half).coalesce(1).write.mode("append").parquet(src)
+
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .join(customer, F.col("user_id") % 1000 == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_enrich_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT segment, n_events, value_cents FROM stream_enrich_out")
