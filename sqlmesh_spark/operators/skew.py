@@ -83,3 +83,49 @@ def _register() -> None:
 
 
 _register()
+
+
+SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events JOIN customer ON user_id % 1000 = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _salted_join_case(spark, sf_dir):
+    """salted_join correctness as a driver case: the skewed fact gets a
+    random salt, the dimension replicates across all salt values, and the
+    (key, salt) join spreads any hot key over `salt_buckets` reducers.
+    The salt routes rows but never changes them, so the aggregated result
+    must equal the plain-join oracle exactly — the property that makes
+    salting safe to apply mechanically under skew at 100 TB."""
+    from sqlmesh_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "join_key", F.col("user_id") % 1000
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("join_key"), "c_mktsegment")
+    )
+    return (
+        salted_join(e, c, ["join_key"], salt_buckets=8)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+
+
+def _register_join() -> None:
+    from sqlmesh_spark.registry import register
+
+    register("skew_salted_join", oracle=SALTED_JOIN_ORACLE, tags=("relational", "skew"))(
+        _salted_join_case
+    )
+
+
+_register_join()
