@@ -833,3 +833,54 @@ def framework_janitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_dropped int, live_table_kept boolean, view_still_serves boolean",
     )
+
+
+EMB_EXT_ORACLE = """
+SELECT o_orderstatus AS status, COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders WHERE o_orderkey <= 5000
+GROUP BY o_orderstatus
+"""
+
+
+@register("framework_embedded_external", oracle=EMB_EXT_ORACLE, tags=("framework",))
+def framework_embedded_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL + EMBEDDED kinds (model/definition.py:1969 ExternalModel;
+    embedded models inline into consumers): the external model names an
+    existing catalog table (no materialization), the embedded model's
+    query inlines as a subquery into its consumer (no physical table
+    either — asserted), and only the FULL consumer materializes. Zero
+    extra storage and zero extra compute for the two symbolic kinds —
+    exactly their contract."""
+    _clean_dbs(spark, "demo_ext_src", "sqlmesh__demo_emb", "env_emb_views")
+    spark.sql("CREATE DATABASE demo_ext_src")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    spark.sql(f"CREATE TABLE demo_ext_src.orders_raw AS SELECT * FROM {orders}")
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model("MODEL (name demo_ext_src.orders_raw, kind EXTERNAL);")
+    ctx.add_model(
+        """
+MODEL (name demo_emb.small_orders, kind EMBEDDED);
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM demo_ext_src.orders_raw WHERE o_orderkey <= 5000
+"""
+    )
+    ctx.add_model(
+        """
+MODEL (name demo_emb.status_rollup, kind FULL);
+SELECT o_orderstatus AS status, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM demo_emb.small_orders
+GROUP BY o_orderstatus
+"""
+    )
+    ctx.run(environment="env_emb", start="1995-01-01", end="1995-01-02")
+    # Symbolic kinds own no physical tables.
+    phys = [
+        t.name
+        for t in spark.catalog.listTables("sqlmesh__demo_emb")
+        if t.tableType != "TEMPORARY"
+    ]
+    assert all("small_orders" not in t for t in phys), phys
+    return spark.table("env_emb_views.status_rollup")
