@@ -1183,3 +1183,39 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(F.abs(z_num) > 1.8)
         .select("event_type", "ds", "n", F.round(z_num, 4).alias("z_num"))
     )
+
+
+HOPPING_ORACLE = """
+SELECT strftime(to_timestamp(start_epoch), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM (
+  SELECT value,
+         (epoch(ts) - epoch(ts) % 10800) - CAST(h AS BIGINT) * 10800 AS start_epoch
+  FROM events, unnest(generate_series(0, 3)) AS _h(h)
+  WHERE (epoch(ts) - epoch(ts) % 10800) - CAST(h AS BIGINT) * 10800 + 43200 > epoch(ts)
+) w
+GROUP BY start_epoch
+"""
+
+
+@register("window_hopping_batch", oracle=HOPPING_ORACLE, tags=("relational",))
+def window_hopping_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows — 12-hour frames every 3 hours — via
+    F.window's slide parameter in BATCH mode, identical frames to the
+    streaming operator. Each event lands in windowLen/slide = 4 frames;
+    Spark plans this as an Expand (×4 map-side rows) + ONE exchange —
+    never four passes over the input. Oracle = explicit hop arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "12 hours", "3 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "value_cents",
+        )
+    )
