@@ -1219,3 +1219,49 @@ def window_hopping_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+SESSION_WINDOW_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+islands AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events
+FROM islands GROUP BY user_id, sid
+"""
+
+
+@register("window_session_batch", oracle=SESSION_WINDOW_ORACLE, tags=("relational",))
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN session_window operator (gap-merged sessions, 30-min
+    timeout) in batch mode — same frames the streaming variant emits, and
+    value-identical to the manual lag+cumsum islands formulation the
+    `sessionization` case uses (the oracle here IS that formulation on
+    microsecond epochs, >= gap starts a new session per Spark semantics).
+
+    Scale: one shuffle on user_id + per-partition sort; session merging is
+    streaming-capable state logic, never a self-join."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

@@ -56,8 +56,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Integer DIV, never float division: epoch-nanos exceed double's 2^53
+    # mantissa, so `/ 1000` would round the microsecond (off-by-one vs any
+    # engine that truncates exactly).
     return df.withColumn("ts_ns", F.col("ts").cast("bigint")).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
 
 
