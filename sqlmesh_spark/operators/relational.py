@@ -1265,3 +1265,29 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+PCTL_SKETCH_ORACLE = """
+SELECT o_orderstatus,
+       quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), [0.5, 0.9, 0.99]) AS q_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("sketch_percentile_disc", oracle=PCTL_SKETCH_ORACLE, tags=("relational", "sketch"))
+def sketch_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH with a true value oracle: percentile_approx's GK
+    sketch is exact whenever accuracy ≥ |group| (here 1e5 ≥ 15k rows), and
+    its discrete-element semantics then coincide with DuckDB's
+    quantile_disc — so the sketch path itself is hash-verified. At 100 TB
+    the same expression with the default accuracy (1e4) is the mergeable
+    approximate path: one map-side sketch per partition, merged at the
+    exchange, error ≤ 1/accuracy — never a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            [0.5, 0.9, 0.99],
+            100000,
+        ).alias("q_cents")
+    )
