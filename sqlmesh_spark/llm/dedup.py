@@ -552,3 +552,47 @@ register(
     oracle=embedding_topn_pairs_sql("embeddings", dialect="duckdb"),
     tags=("llm", "dedup"),
 )(_emb_case)
+
+
+def _source_matrix_oracle() -> str:
+    pairs = minhash_lsh_sql("documents", dialect="duckdb")
+    return f"""
+WITH pairs AS ({pairs})
+SELECT LEAST(a.source, b.source) AS src1,
+       GREATEST(a.source, b.source) AS src2,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN documents a ON p.d1 = a.doc_id
+JOIN documents b ON p.d2 = b.doc_id
+GROUP BY LEAST(a.source, b.source), GREATEST(a.source, b.source)
+"""
+
+
+def _source_matrix_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication attribution: the near-dup pair list rolled
+    up to (source, source) counts — the dashboard that tells a corpus
+    owner WHICH feeds copy from each other (and how much of a crawl is
+    syndication). Reuses the wide minhash pipeline; the per-pair source
+    lookup is two broadcast-able joins on doc_id and the matrix aggregate
+    is tiny (|sources|²)."""
+    from pyspark.sql import functions as F
+
+    pairs = _minhash_case(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source")
+    a = docs.withColumnRenamed("doc_id", "d1").withColumnRenamed("source", "sa")
+    b = docs.withColumnRenamed("doc_id", "d2").withColumnRenamed("source", "sb")
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .groupBy(
+            F.least("sa", "sb").alias("src1"), F.greatest("sa", "sb").alias("src2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+register(
+    "dedup_source_matrix",
+    oracle=_source_matrix_oracle(),
+    tags=("llm", "dedup"),
+)(_source_matrix_case)
