@@ -212,3 +212,41 @@ def test_lookback_reopens_exactly_the_trailing_horizon(processed, start_day, spa
     assert extra <= horizon & processed_days & window_days
     # And every processed day inside horizon ∩ window is in fact reopened.
     assert (horizon & processed_days & window_days) <= with_lb
+
+
+_COLS = st.dictionaries(
+    st.sampled_from([f"c{i}" for i in range(8)]),
+    st.sampled_from(["int", "bigint", "double", "string", "date"]),
+    max_size=6,
+)
+
+
+@given(_COLS, _COLS)
+def test_schema_differ_statements_reach_target(current, target):
+    """SchemaDiffer algebra: simulating its ALTER plan against `current`
+    must yield exactly `target` (under the permissive policy), and the
+    'error' policy must refuse IFF a destructive delta exists."""
+    from sqlmesh_spark.diff import SchemaDiffer
+
+    differ = SchemaDiffer(on_destructive_change="allow")
+    stmts = differ.alter_statements("t", current, target)
+    state = {c.lower(): t.lower() for c, t in current.items()}
+    for s in stmts:
+        parts = s.split()
+        if "ADD COLUMN" in s:
+            state[parts[-2]] = parts[-1]
+        elif "DROP COLUMN" in s:
+            state.pop(parts[-1])
+        else:  # ALTER COLUMN c TYPE t
+            state[parts[-3]] = parts[-1]
+    assert state == {c.lower(): t.lower() for c, t in target.items()}
+
+    strict = SchemaDiffer(on_destructive_change="error")
+    destructive = any(strict.is_destructive(d) for d in strict.compare(current, target))
+    if destructive:
+        import pytest
+
+        with pytest.raises(ValueError):
+            strict.alter_statements("t", current, target)
+    else:
+        assert strict.alter_statements("t", current, target) == stmts
