@@ -328,3 +328,47 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("min_mod"),
     )
+
+
+PARTITION_PRUNE_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '1996-06'
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("partition_pruned_scan", oracle=PARTITION_PRUNE_ORACLE, tags=("relational", "materialization"))
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end (`partitioned_by` → PARTITIONED BY →
+    pruned scan; reference base.py:2713 builds the DDL, the engine prunes):
+    orders written month-partitioned, then a one-month query — the
+    physical plan must carry the partition predicate in PartitionFilters
+    (asserted), meaning the scan reads 1/84 of the table's files. At
+    100 TB this is THE difference between an interval query costing
+    O(interval) and O(table)."""
+    from sqlmesh_spark.operators.materialize_cases import _scratch_db
+
+    db = _scratch_db(spark, "prune")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("month")
+        .mode("overwrite")
+        .saveAsTable(f"{db}.orders_bymonth")
+    )
+    q = (
+        spark.table(f"{db}.orders_bymonth")
+        .filter(F.col("month") == "1996-06")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("ds"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
+        )
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan or "month#" in plan.split(
+        "PartitionFilters"
+    )[1][:120], f"partition predicate must prune the scan:\n{plan[:1500]}"
+    return q
