@@ -250,3 +250,55 @@ def test_schema_differ_statements_reach_target(current, target):
             strict.alter_statements("t", current, target)
     else:
         assert strict.alter_statements("t", current, target) == stmts
+
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,11}", fullmatch=True)
+
+
+@st.composite
+def model_headers(draw):
+    schema = draw(_IDENT)
+    name = draw(_IDENT)
+    kind = draw(st.sampled_from(["FULL", "VIEW", "INCREMENTAL_BY_TIME_RANGE"]))
+    props = [f"name {schema}.{name}"]
+    if kind == "INCREMENTAL_BY_TIME_RANGE":
+        tcol = draw(_IDENT)
+        props.append(f"kind INCREMENTAL_BY_TIME_RANGE (time_column {tcol})")
+    else:
+        tcol = None
+        props.append(f"kind {kind}")
+    cron = draw(st.sampled_from(["@daily", "@hourly", "@monthly"]))
+    props.append(f"cron '{cron}'")
+    lookback = draw(st.integers(min_value=0, max_value=9))
+    if lookback:
+        props.append(f"lookback {lookback}")
+    batch = draw(st.one_of(st.none(), st.integers(min_value=1, max_value=30)))
+    if batch is not None:
+        props.append(f"batch_size {batch}")
+    text = "MODEL (\n  " + ",\n  ".join(props) + "\n);\nSELECT 1 AS one"
+    return text, {
+        "name": f"{schema}.{name}",
+        "kind": kind,
+        "cron": cron,
+        "lookback": lookback,
+        "batch_size": batch,
+        "time_column": tcol,
+    }
+
+
+@given(model_headers())
+def test_model_header_roundtrip(case):
+    """The MODEL(...) DSL parser (dialect.py:123-150 semantics) must
+    recover every property exactly, independent of property order,
+    whitespace, and optional fields."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    text, expect = case
+    m = parse_model_text(text)
+    assert m.name == expect["name"]
+    assert m.kind.value == expect["kind"]
+    assert m.cron == expect["cron"]
+    assert m.lookback == expect["lookback"]
+    assert m.batch_size == expect["batch_size"]
+    assert m.time_column == expect["time_column"]
+    assert m.query.strip() == "SELECT 1 AS one"
