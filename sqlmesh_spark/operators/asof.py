@@ -138,17 +138,27 @@ from pyspark.sql import SparkSession  # noqa: E402
 from sqlmesh_spark.registry import register  # noqa: E402
 from sqlmesh_spark.sources.tables import load_table  # noqa: E402
 
-# As-of: for each order, the latest event by the same "user" (custkey % 150
-# maps orders onto the events user space) at or before the order date.
-ASOF_ORACLE = """
+# As-of: for each order (anchored into the events' January-2024 window so
+# matches actually occur — deterministic hour offset from the order key),
+# the latest event by the same "user" (custkey % 150 maps orders onto the
+# events user space) at or before the anchor. Half the anchors land
+# mid-window (real matches), early anchors legitimately have no prior
+# event (NULLs) — both paths exercised.
+_ANCHOR_DUCK = "TIMESTAMP '2024-01-01 00:00:00' + ((o_orderkey * 7) % 720) * INTERVAL 1 HOUR"
+_ANCHOR_SPARK = (
+    "timestampadd(HOUR, CAST((o_orderkey * 7) % 720 AS INT), TIMESTAMP'2024-01-01 00:00:00')"
+)
+
+ASOF_ORACLE = f"""
 SELECT o.o_orderkey, o.uid, e.event_type AS last_event_type, e.value AS last_value
 FROM (
-  SELECT o_orderkey, o_custkey % 150 AS uid, o_orderdate FROM orders WHERE o_orderkey <= 2000
+  SELECT o_orderkey, o_custkey % 150 AS uid, {_ANCHOR_DUCK} AS anchor_ts
+  FROM orders WHERE o_orderkey <= 2000
 ) o
 ASOF LEFT JOIN (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
 ) e
-ON o.uid = e.user_id AND e.ts <= o.o_orderdate
+ON o.uid = e.user_id AND e.ts <= o.anchor_ts
 """
 
 
@@ -160,7 +170,7 @@ def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             (F.col("o_custkey") % 150).alias("uid"),
-            "o_orderdate",
+            F.expr(_ANCHOR_SPARK).alias("anchor_ts"),
         )
     )
     events = load_table(spark, sf_dir, "events").select(
@@ -170,7 +180,7 @@ def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         events,
         on=["uid"],
-        left_time="o_orderdate",
+        left_time="anchor_ts",
         right_time="ts",
         value_columns=["event_type", "value"],
     )
