@@ -241,3 +241,95 @@ def bucketed_range_join_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = bucketed_range_join(e, bands, "value", "lo", "hi", bucket_width=10.0)
     return joined.select("event_id", "band_id")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_columns: Sequence[str],
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row with
+    right_time >= left_time per key (the 'next event after' direction —
+    e.g. first reaction following a release). Same single sorted window
+    pass as the backward form, scanned in descending time with
+    first-following carry."""
+    on = list(on)
+    lcols = left.columns
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_columns],
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c not in on],
+        *[F.col(c) for c in on],
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_columns],
+    ).select(*tagged_left.columns)
+    unioned = tagged_left.unionByName(tagged_right)
+    # Descending time; right rows first at equal timestamps (at-or-after
+    # inclusive). The carry looks "backward" in the sorted order, which is
+    # forward in time.
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("_is_left"),
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}") for c in value_columns],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *lcols, *[F.col(f"_rv_{c}").alias(c) for c in value_columns]
+    )
+
+
+ASOF_FWD_ORACLE = f"""
+SELECT o.o_orderkey, o.uid, e.event_type AS next_event_type, e.value AS next_value
+FROM (
+  SELECT o_orderkey, o_custkey % 150 AS uid, {_ANCHOR_DUCK} AS anchor_ts
+  FROM orders WHERE o_orderkey <= 2000
+) o
+ASOF LEFT JOIN (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+) e
+ON o.uid = e.user_id AND e.ts >= o.anchor_ts
+"""
+
+
+@register("asof_join_forward", oracle=ASOF_FWD_ORACLE, tags=("relational", "asof"))
+def asof_join_forward_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of vs DuckDB's native ASOF with a >= condition — the
+    'first event after the anchor' direction."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("uid"),
+            F.expr(_ANCHOR_SPARK).alias("anchor_ts"),
+        )
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "ts", "event_type", "value"
+    )
+    joined = asof_join_forward(
+        orders,
+        events,
+        on=["uid"],
+        left_time="anchor_ts",
+        right_time="ts",
+        value_columns=["event_type", "value"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "uid",
+        F.col("event_type").alias("next_event_type"),
+        F.col("value").alias("next_value"),
+    )
