@@ -1291,3 +1291,30 @@ def sketch_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             100000,
         ).alias("q_cents")
     )
+
+
+UNION_EVOLVED_ORACLE = """
+SELECT * FROM (
+  SELECT n_nationkey AS id, n_name AS name, NULL::BIGINT AS region FROM nation
+  UNION ALL BY NAME
+  SELECT r_regionkey AS id, r_name AS name, r_regionkey AS region FROM region
+) t
+"""
+
+
+@register("union_evolved_schemas", oracle=UNION_EVOLVED_ORACLE, tags=("relational",))
+def union_evolved_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across evolved schemas: unionByName(allowMissingColumns=True)
+    aligns by column NAME and NULL-fills absences — the engine primitive
+    under @UNION's aligned-schema semantics (macros.py:1029) and the
+    safe way to union a table's pre- and post-migration generations.
+    Oracle: DuckDB's UNION ALL BY NAME."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("id"),
+        F.col("r_name").alias("name"),
+        F.col("r_regionkey").cast("bigint").alias("region"),
+    )
+    return n.unionByName(r, allowMissingColumns=True)
