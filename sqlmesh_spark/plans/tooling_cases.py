@@ -372,3 +372,40 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "PartitionFilters"
     )[1][:120], f"partition predicate must prune the scan:\n{plan[:1500]}"
     return q
+
+
+CSV_CORRUPT_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'alpha', FALSE),
+  (2, 'beta', FALSE),
+  (NULL, 'gamma', TRUE),
+  (4, NULL, TRUE),
+  (5, 'epsilon', TRUE)
+) AS t(id, name, is_corrupt)
+"""
+
+_CSV_BAD = "id,name\n1,alpha\n2,beta\nxx,gamma\n4\n5,epsilon,extra\n"
+
+
+@register("source_csv_corrupt_records", oracle=CSV_CORRUPT_ORACLE, tags=("tooling", "sources"))
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling on the CSV source path (PERMISSIVE +
+    columnNameOfCorruptRecord): type mismatches, short rows, and
+    extra-column rows all surface the raw line in the corrupt column
+    instead of killing the job — at 100 TB, quarantine-and-continue is the
+    only viable ingest posture; the corrupt column routes bad lines to a
+    dead-letter sink while good fields still load."""
+    out = os.path.join(scratch_dir("csv_corrupt"), "bad")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part.csv"), "w") as f:
+        f.write(_CSV_BAD)
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("id int, name string, _corrupt string")
+        .csv(out)
+    )
+    return df.select(
+        "id", "name", F.col("_corrupt").isNotNull().alias("is_corrupt")
+    )
