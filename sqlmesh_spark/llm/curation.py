@@ -320,3 +320,147 @@ register(
     oracle=length_histogram_sql("documents", dialect="duckdb"),
     tags=("llm", "text"),
 )(_doc_case(length_histogram_sql))
+
+
+# --------------------------------------------------------------------------
+# C4-style line filtering (structural boilerplate removal)
+# --------------------------------------------------------------------------
+
+
+def line_filter_sql(table: str, width: int = 10, dialect: str = "spark") -> str:
+    """C4-style per-line cleanup: segment each document into lines (the
+    corpus has no newlines, so a line is a deterministic ``width``-word
+    chunk — same synthetic-augmentation convention as ``pii_scrub``), then
+    drop lines that are (a) ragged/too short, (b) contain a boilerplate
+    marker token, or (c) too repetitive (low distinct-word count). Emits
+    per-doc kept/dropped counts and the md5 of the reassembled cleaned text
+    so the byte-exact output is verified, not just the counts.
+
+    Scale: a PURE fused projection — chunking, per-line predicates, and
+    reassembly are array higher-order functions inside whole-stage codegen;
+    zero shuffles, zero Python. A 100 TB corpus pays exactly one scan.
+    """
+    d = dialect
+    w = width
+    if d == "duckdb":
+        split = "string_split(text, ' ')"
+        lls = (
+            f"list_transform(generate_series(0, greatest((n_words + {w - 1}) // {w} - 1, 0)),"
+            f" j -> list_slice(ws, j * {w} + 1, j * {w} + {w}))"
+        )
+        kept = (
+            f"list_filter(lls, l -> len(l) = {w}"
+            " AND NOT list_contains(l, 'slow')"
+            " AND len(list_distinct(l)) >= 6)"
+        )
+        # array_to_string([]) is NULL in DuckDB but '' via Spark's array_join
+        cleaned = "COALESCE(array_to_string(list_transform(kept, l -> array_to_string(l, ' ')), ' | '), '')"
+        alen = "len"
+    else:
+        split = "split(text, ' ')"
+        lls = (
+            f"TRANSFORM(sequence(0, GREATEST((n_words + {w - 1}) DIV {w} - 1, 0)),"
+            f" j -> SLICE(ws, j * {w} + 1, {w}))"
+        )
+        kept = (
+            f"FILTER(lls, l -> SIZE(l) = {w}"
+            " AND NOT ARRAY_CONTAINS(l, 'slow')"
+            " AND SIZE(ARRAY_DISTINCT(l)) >= 6)"
+        )
+        cleaned = "ARRAY_JOIN(TRANSFORM(kept, l -> ARRAY_JOIN(l, ' ')), ' | ')"
+        alen = "size"
+    return f"""
+WITH arr AS (
+  SELECT doc_id, {split} AS ws, {alen}({split}) AS n_words FROM {table}
+),
+seg AS (SELECT doc_id, {lls} AS lls FROM arr),
+kp AS (SELECT doc_id, {alen}(lls) AS n_lines, {kept} AS kept FROM seg)
+SELECT doc_id, n_lines,
+       {alen}(kept) AS n_kept,
+       MD5({cleaned}) AS cleaned_md5
+FROM kp
+"""
+
+
+register(
+    "text_line_filter",
+    oracle=line_filter_sql("documents", dialect="duckdb"),
+    tags=("llm", "text"),
+)(_doc_case(line_filter_sql))
+
+
+# --------------------------------------------------------------------------
+# Global paragraph-level exact dedup (RefinedWeb-style)
+# --------------------------------------------------------------------------
+
+
+def paragraph_dedup_sql(table: str, width: int = 25, dialect: str = "spark") -> str:
+    """Corpus-global paragraph dedup: segment docs into paragraphs
+    (``width``-word chunks — see line_filter_sql on the convention), keep
+    only the FIRST occurrence of each distinct paragraph corpus-wide
+    (ordered by doc_id then position — deterministic and re-run-stable),
+    and reassemble each doc from its surviving paragraphs. Exact-duplicate
+    docs keep zero paragraphs; partial overlaps survive partially — the
+    RefinedWeb/C4 paragraph-granularity pass that exact doc-level dedup
+    misses. Output verifies counts AND the reassembled bytes (md5).
+
+    Scale: segmentation is projection-only; the dedup is ONE shuffle keyed
+    on the paragraph hash (window rank=1 keeps the winner) and reassembly
+    is one shuffle on doc_id. Both key spaces are as uniform as the data
+    itself (paragraph hashes are md5s), so no salting is needed; at 100 TB
+    this is two exchanges over |paragraphs| rows of (hash, doc_id, pos).
+    """
+    d = dialect
+    w = width
+    if d == "duckdb":
+        split = "string_split(text, ' ')"
+        alen = "len"
+        paras = (
+            f"list_transform(generate_series(0, greatest((n_words + {w - 1}) // {w} - 1, 0)),"
+            f" j -> {{'pos': j, 'para': array_to_string(list_slice(ws, j * {w} + 1, j * {w} + {w}), ' ')}})"
+        )
+        lateral = "UNNEST(ps) AS _s(s)"
+        reassemble = (
+            "MD5(COALESCE(string_agg(para, ' | ' ORDER BY pos)"
+            " FILTER (WHERE kept = 1), ''))"
+        )
+    else:
+        split = "split(text, ' ')"
+        alen = "size"
+        paras = (
+            f"TRANSFORM(sequence(0, GREATEST((n_words + {w - 1}) DIV {w} - 1, 0)),"
+            f" j -> NAMED_STRUCT('pos', j, 'para', ARRAY_JOIN(SLICE(ws, j * {w} + 1, {w}), ' ')))"
+        )
+        lateral = "LATERAL EXPLODE(ps) AS _s(s)"
+        reassemble = (
+            "MD5(ARRAY_JOIN(TRANSFORM(ARRAY_SORT(COLLECT_LIST("
+            "CASE WHEN kept = 1 THEN NAMED_STRUCT('pos', pos, 'para', para) END)),"
+            " s -> s.para), ' | '))"
+        )
+    return f"""
+WITH arr AS (
+  SELECT doc_id, {split} AS ws, {alen}({split}) AS n_words FROM {table}
+),
+pr AS (SELECT doc_id, {paras} AS ps FROM arr),
+ex AS (SELECT doc_id, s.pos AS pos, s.para AS para FROM pr, {lateral}),
+rk AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY MD5(para) ORDER BY doc_id, pos) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM ex
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       {reassemble} AS kept_md5
+FROM rk
+GROUP BY doc_id
+"""
+
+
+register(
+    "dedup_paragraph",
+    oracle=paragraph_dedup_sql("documents", dialect="duckdb"),
+    tags=("llm", "dedup"),
+)(_doc_case(paragraph_dedup_sql))
