@@ -1318,3 +1318,78 @@ def union_evolved_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").cast("bigint").alias("region"),
     )
     return n.unionByName(r, allowMissingColumns=True)
+
+
+GAP_FILL_ORACLE = """
+WITH obs AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+  FROM events WHERE event_id % 97 = 0
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+),
+spine AS (
+  SELECT t.event_type, days.d
+  FROM (SELECT DISTINCT event_type FROM obs) t CROSS JOIN days
+),
+joined AS (
+  SELECT s.event_type, s.d, o.max_cents
+  FROM spine s LEFT JOIN obs o ON o.event_type = s.event_type AND o.d = s.d
+),
+filled AS (
+  SELECT event_type, d, max_cents,
+         CASE WHEN max_cents IS NOT NULL THEN 1 ELSE 0 END AS is_observed,
+         LAST_VALUE(max_cents IGNORE NULLS) OVER w AS filled_cents,
+         LAST_VALUE(CASE WHEN max_cents IS NOT NULL THEN d END IGNORE NULLS)
+           OVER w AS last_obs_d
+  FROM joined
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, is_observed, filled_cents,
+       CAST(date_diff('day', last_obs_d, d) AS BIGINT) AS gap_age
+FROM filled
+"""
+
+
+@register("timeseries_gap_fill", oracle=GAP_FILL_ORACLE, tags=("relational",))
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: project a sparse per-(series, day) metric onto
+    a dense generated date spine, then forward-fill missing days with the
+    last observation (LAST IGNORE NULLS) and report each row's staleness
+    (days since last observation). The standard resample→ffill primitive
+    for sensor/metric tables; pairs with the @DATE_SPINE macro
+    (reference macros.py:1298) which generates the calendar side.
+
+    Scale (100 TB): the spine is |series|×|days| — tiny relative to the
+    events it summarizes — and builds from one explode of a generated
+    sequence; the fill is ONE window shuffle keyed on the series (state
+    per series is O(1): last seen value/date). Observation sparsity is
+    deterministic (event_id % 97) so the oracle sees identical gaps."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    obs = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.max(_cents("value")).alias("max_cents"))
+    bounds = obs.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"))
+    spine = obs.select("event_type").distinct().crossJoin(F.broadcast(days))
+    joined = spine.join(obs, ["event_type", "d"], "left")
+    w = W.partitionBy("event_type").orderBy("d")
+    filled = joined.select(
+        "event_type",
+        "d",
+        F.when(F.col("max_cents").isNotNull(), 1).otherwise(0).alias("is_observed"),
+        F.last("max_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.last(
+            F.when(F.col("max_cents").isNotNull(), F.col("d")), ignorenulls=True
+        ).over(w).alias("last_obs_d"),
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "is_observed",
+        "filled_cents",
+        F.datediff("d", "last_obs_d").cast("bigint").alias("gap_age"),
+    )
