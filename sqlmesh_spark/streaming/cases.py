@@ -344,3 +344,92 @@ def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql("SELECT segment, n_events, value_cents FROM stream_enrich_out")
+
+
+STREAM_STREAM_JOIN_ORACLE = """
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       CAST((epoch_ns(c.ts) - epoch_ns(v.ts)) // 1000000000 AS BIGINT)
+         AS lag_seconds
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("streaming_stream_stream_join", oracle=STREAM_STREAM_JOIN_ORACLE, tags=("streaming",))
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: a view stream joins a click
+    stream on user within a 1-hour event-time range — the attribution
+    pattern (click within an hour of a view). Both sides carry watermarks
+    and the join predicate carries the event-time range, so Spark bounds
+    the buffered state; inner-join matches emit as soon as both rows
+    arrive. Input files are time-ordered slices (3 micro-batches) with the
+    watermark (3h) exceeding the join range (1h), so no valid match can be
+    state-evicted before its partner arrives — making the bounded drain
+    exactly equal to the batch range join the oracle computes.
+
+    Scale: state per side is bounded by (watermark + range) of stream
+    history, sharded by the join key's hash shuffle — the knob is the
+    watermark, not the stream length. Event times are micro-precision so
+    the truncated-to-micros Spark timestamps equal the oracle's
+    nanosecond timestamps bit-for-bit.
+    """
+    import shutil
+
+    from sqlmesh_spark.sources.tables import load_table
+
+    src = tempfile.mkdtemp(prefix="stream_ssj_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ssj_ckpt_")
+    shutil.rmtree(src, ignore_errors=True)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "ts_ns"
+    )
+    # Three strictly time-ordered slices → three micro-batches.
+    bounds = events.selectExpr(
+        "percentile_approx(ts_ns, 0.34) AS p1", "percentile_approx(ts_ns, 0.67) AS p2"
+    ).collect()[0]
+    for cond in (
+        F.col("ts_ns") <= bounds.p1,
+        (F.col("ts_ns") > bounds.p1) & (F.col("ts_ns") <= bounds.p2),
+        F.col("ts_ns") > bounds.p2,
+    ):
+        events.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "3 hours")
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    views, clicks = side("view", "view"), side("click", "click")
+    joined = views.join(
+        clicks,
+        (F.col("view_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_ssj_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT view_id, click_id, view_user AS user_id, "
+        "CAST(unix_micros(click_ts) - unix_micros(view_ts) AS BIGINT) DIV 1000000 "
+        "AS lag_seconds FROM stream_ssj_out"
+    )
