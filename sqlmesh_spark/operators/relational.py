@@ -1445,3 +1445,48 @@ def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("day_cents").over(w).cast("double") / 100).alias("rolling_7d_sum"),
         F.sum("n_events").over(w).cast("bigint").alias("rolling_7d_events"),
     )
+
+
+def _recursive_hierarchy_sql(dialect: str) -> str:
+    cast = "VARCHAR" if dialect == "duckdb" else "STRING"
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT n_nationkey AS node,
+         CASE WHEN n_nationkey >= 5 THEN n_nationkey - 5 END AS parent
+  FROM nation
+),
+walk AS (
+  SELECT node, node AS root, 0 AS depth, CAST(node AS {cast}) AS path
+  FROM edges WHERE parent IS NULL
+  UNION ALL
+  SELECT e.node, w.root, w.depth + 1,
+         w.path || '>' || CAST(e.node AS {cast})
+  FROM edges e JOIN walk w ON e.parent = w.node
+)
+SELECT node, root, depth, path FROM walk
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle=_recursive_hierarchy_sql("duckdb"),
+    tags=("relational",),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE transitive closure over a derived parent hierarchy:
+    each node's root ancestor, depth, and full path. Model SQL in the
+    reference is arbitrary dialect SQL transpiled to the engine
+    (renderer.py:517); recursive CTEs are the construct that historically
+    did NOT transpile to Spark — native since Spark 4.0, so the engine now
+    covers the hierarchy/bill-of-materials query class directly.
+
+    Scale: each iteration is one self-join of the frontier against the
+    edge table — Catalyst plans every step (broadcast here; shuffle-hash
+    on bigger frontiers) and iteration count is the hierarchy DEPTH, not
+    row count. Driver-side loops (the pre-4.0 workaround, see
+    llm/cluster.py's bounded-doubling variant) are no longer needed for
+    plain hierarchies."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(_recursive_hierarchy_sql("spark"))
