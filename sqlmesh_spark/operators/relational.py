@@ -1490,3 +1490,42 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("nation",))
     return spark.sql(_recursive_hierarchy_sql("spark"))
+
+
+HLL_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       1 AS within_tol
+FROM events GROUP BY event_type
+"""
+
+
+@register("sketch_hll_distinct", oracle=HLL_ORACLE, tags=("relational", "sketch"))
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch vs exact: emits the exact
+    per-group distinct AND a flag asserting the HLL estimate
+    (approx_count_distinct, rsd=2%) lands within ±5% of it. The flag is
+    value-hashed by the oracle, so estimator drift outside tolerance fails
+    the gate — an approximation operator with a hard correctness contract.
+
+    Scale: this is THE 100 TB cardinality pattern — HLL sketches are
+    fixed-size (~1.5 KB at 2% rsd), merge associatively in partial aggs,
+    and never hold the distinct set; exact COUNT(DISTINCT) by contrast
+    shuffles every distinct (group, user) pair. The exact side here exists
+    only to referee the estimate."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("est_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        F.when(
+            (F.abs(F.col("est_users") - F.col("exact_users")) * 100)
+            <= (F.col("exact_users") * 5),
+            1,
+        )
+        .otherwise(0)
+        .alias("within_tol"),
+    )
