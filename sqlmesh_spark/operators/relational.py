@@ -1571,3 +1571,52 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+def _bit_ops_sql(dialect: str) -> str:
+    d = dialect
+    xor = "xor(n_nationkey, 21)" if d == "duckdb" else "n_nationkey ^ 21"
+    shl = "CAST(n_nationkey AS BIGINT) << 3" if d == "duckdb" else "shiftleft(n_nationkey, 3)"
+    shr = "CAST(n_nationkey AS BIGINT) >> 1" if d == "duckdb" else "shiftright(n_nationkey, 1)"
+    b64 = "to_base64(n_name::BLOB)" if d == "duckdb" else "base64(CAST(n_name AS BINARY))"
+    bcnt = "bit_count(CAST(n_nationkey AS BIGINT))"
+    return f"""
+WITH rows_out AS (
+  SELECT n_regionkey, n_nationkey,
+         CAST(n_nationkey & 12 AS BIGINT) AS band,
+         CAST(n_nationkey | 5 AS BIGINT) AS bor,
+         CAST({xor} AS BIGINT) AS bxor,
+         CAST({shl} AS BIGINT) AS shl3,
+         CAST({shr} AS BIGINT) AS shr1,
+         CAST({bcnt} AS INT) AS popcount,
+         hex(CAST(n_nationkey AS BIGINT)) AS hexed,
+         {b64} AS name_b64
+  FROM nation
+),
+aggs AS (
+  SELECT n_regionkey,
+         CAST(bit_and(n_nationkey) AS BIGINT) AS agg_and,
+         CAST(bit_or(n_nationkey) AS BIGINT) AS agg_or,
+         CAST(bit_xor(n_nationkey) AS BIGINT) AS agg_xor
+  FROM nation GROUP BY n_regionkey
+)
+SELECT r.n_regionkey, r.n_nationkey, r.band, r.bor, r.bxor, r.shl3, r.shr1,
+       r.popcount, r.hexed, r.name_b64, a.agg_and, a.agg_or, a.agg_xor
+FROM rows_out r JOIN aggs a ON r.n_regionkey = a.n_regionkey
+"""
+
+
+@register("scalar_bit_ops", oracle=_bit_ops_sql("duckdb"), tags=("relational", "scalar"))
+def scalar_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation parity gauntlet: AND/OR/XOR, shifts, popcount, hex,
+    base64, plus the bitwise AGGREGATES (bit_and/bit_or/bit_xor) per
+    group — the integer-domain scalar surface (flag packing, bitmap
+    encodings, hash mixing) complementing the string/date/numeric
+    gauntlet. All results are exact integers/strings in both engines.
+
+    Scale: pure codegen projections plus one tiny grouped aggregate —
+    bitwise aggs combine associatively map-side like any algebraic agg."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(_bit_ops_sql("spark"))
