@@ -1620,3 +1620,55 @@ def scalar_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("nation",))
     return spark.sql(_bit_ops_sql("spark"))
+
+
+MAP_OPS_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_types,
+       MAX(CASE WHEN event_type = 'click' THEN n END) AS clicks,
+       MAX(CASE WHEN event_type = 'click' THEN n * 2 END) AS clicks_doubled,
+       COALESCE(string_agg(CASE WHEN n >= 3 THEN event_type || '=' || n END,
+                           ',' ORDER BY event_type), '') AS big_types
+FROM c GROUP BY user_id
+"""
+
+
+@register("map_type_ops", oracle=MAP_OPS_ORACLE, tags=("relational",))
+def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType operator surface: per-user event-type count maps built with
+    map_from_entries, probed with element_at, rewritten with
+    transform_values, pruned with map_filter, and serialized via
+    map_entries — §1.2's MAP type exercised end-to-end, value-oracled by a
+    map-free SQL equivalent (the serialization is key-sorted, so the map's
+    content is hash-comparable across engines).
+
+    Scale: the map is per-key state bounded by |event types| (tiny); all
+    map functions are codegen-side projections after one grouped count.
+    Maps replace wide pivoted schemas when the key set is open-ended —
+    the layout that survives schema evolution at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    big = F.expr("map_filter(m, (k, v) -> v >= 3)")
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at("m", F.lit("click")).alias("clicks"),
+        F.element_at(
+            F.expr("transform_values(m, (k, v) -> v * 2)"), F.lit("click")
+        ).alias("clicks_doubled"),
+        F.array_join(
+            F.expr(
+                "transform(map_entries(map_filter(m, (k, v) -> v >= 3)),"
+                " e -> concat(e.key, '=', CAST(e.value AS STRING)))"
+            ),
+            ",",
+        ).alias("big_types"),
+    )
