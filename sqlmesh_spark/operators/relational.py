@@ -1672,3 +1672,35 @@ def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("big_types"),
     )
+
+
+DECIMAL_AGG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("decimal_exact_agg", oracle=DECIMAL_AGG_SQL, tags=("relational", "scalar"))
+def decimal_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType arithmetic end-to-end (§1.2 type mapping,
+    spark.py:101): money doubles cast to DECIMAL(15,2), multiplied and
+    summed in exact fixed-point (scale grows through the product — no
+    rounding anywhere), cast to DOUBLE only at the boundary. The same SQL
+    runs on both engines; sums are exact integers-in-decimal so the result
+    is order-insensitive under AQE/partial-agg reordering — the
+    DecimalType counterpart of the integer-cents discipline used
+    elsewhere (operators/relational.py:_cents).
+
+    Scale: decimal aggregation is algebraic (partial sums merge
+    associatively); Spark keeps Decimal(38,s) in unsafe-row format inside
+    codegen — slower than BIGINT cents but exact with zero app-level
+    bookkeeping."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(DECIMAL_AGG_SQL)
