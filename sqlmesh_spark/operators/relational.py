@@ -1369,9 +1369,14 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     per series is O(1): last seen value/date). Observation sparsity is
     deterministic (event_id % 97) so the oracle sees identical gaps."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
-    obs = e.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.max(_cents("value")).alias("max_cents"))
+    # obs feeds THREE consumers (bounds, distinct series, join probe); it is
+    # |series|×|observed days| — tiny — so cache it rather than re-running
+    # the events scan+aggregate per consumer (3 scans → 1 at any scale).
+    obs = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.max(_cents("value")).alias("max_cents"))
+        .cache()
+    )
     bounds = obs.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     days = bounds.select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"))
     spine = obs.select("event_type").distinct().crossJoin(F.broadcast(days))
