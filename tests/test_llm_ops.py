@@ -55,3 +55,60 @@ def test_multimodal_schema(spark, sf_dir):
     assert dict(attached.dtypes)["payload"] == "binary"
     meta_type = attached.schema["media_meta"].dataType.simpleString()
     assert "n_bytes" in meta_type and "mime" in meta_type
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing must preserve every document exactly once, keep bins
+    contiguous in doc_id order within a shard, and never start a doc in a
+    bin whose prior content already reached the budget."""
+    from sqlmesh_spark.llm.curation import pack_sequences_sql
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    bins = spark.sql(pack_sequences_sql("documents", dialect="spark")).toPandas()
+    docs = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(size(split(text, ' '))) AS toks FROM documents"
+    ).collect()[0]
+    assert int(bins.n_docs.sum()) == docs.n  # every doc placed exactly once
+    assert int(bins.bin_tokens.sum()) == docs.toks  # no tokens lost
+    for _, shard in bins.groupby("shard"):
+        s = shard.sort_values("bin")
+        # bins are dense 0..k and doc-id ranges never overlap between bins
+        assert list(s.bin) == list(range(len(s)))
+        assert (s.first_doc.values[1:] > s.last_doc.values[:-1]).all()
+
+
+def test_paragraph_dedup_conservation(spark, sf_dir):
+    """Kept paragraphs across the corpus == distinct paragraphs: dedup
+    keeps exactly one copy of everything and loses nothing."""
+    from sqlmesh_spark.llm.curation import paragraph_dedup_sql
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    out = spark.sql(paragraph_dedup_sql("documents", dialect="spark")).toPandas()
+    distinct_paras = spark.sql(
+        """
+        SELECT COUNT(DISTINCT para) AS n FROM (
+          SELECT explode(transform(
+            sequence(0, greatest((size(split(text,' ')) + 24) DIV 25 - 1, 0)),
+            j -> array_join(slice(split(text,' '), j * 25 + 1, 25), ' '))) AS para
+          FROM documents)
+        """
+    ).collect()[0].n
+    assert int(out.n_kept.sum()) == distinct_paras
+    assert (out.n_kept <= out.n_paras).all()
+
+
+def test_line_filter_no_boilerplate_survives(spark, sf_dir):
+    """A reassembled doc can never contain the boilerplate marker token."""
+    from sqlmesh_spark.llm.curation import line_filter_sql
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    # Recompute with the cleaned text exposed (md5 in the registered case).
+    sql = line_filter_sql("documents", dialect="spark").replace(
+        "MD5(", "(", 1
+    )
+    cleaned = spark.sql(sql).toPandas()
+    assert not cleaned.cleaned_md5.str.contains("slow").any()
+    assert (cleaned.n_kept <= cleaned.n_lines).all()
