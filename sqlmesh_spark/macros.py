@@ -458,6 +458,33 @@ class MacroEvaluator:
         return "".join(out)
 
 
+_JINJA_BEGIN = re.compile(r"JINJA_QUERY_BEGIN\s*;?", re.IGNORECASE)
+_JINJA_END = re.compile(r"JINJA_END\s*;?", re.IGNORECASE)
+
+
+def render_jinja(text: str, variables: Optional[Mapping] = None) -> str:
+    """Render an embedded Jinja block (reference dialect.py:57-65 marks
+    them with JINJA_QUERY_BEGIN/JINJA_END; utils/jinja.py evaluates).
+    Exposed context mirrors the reference: interval variables as plain
+    (unquoted) strings — models quote them as needed — plus ``var(name,
+    default)`` for project variables; ``{% macro %}`` definitions and
+    control flow are native jinja2."""
+    from jinja2 import Environment, StrictUndefined
+
+    vars_ = dict(variables or {})
+    # Macro-layer _ds/_ts values are pre-quoted SQL literals; jinja context
+    # wants the bare value ('{{ start_ds }}' quotes explicitly).
+    bare = {
+        k: (v[1:-1] if isinstance(v, str) and len(v) >= 2 and v[0] == v[-1] == "'" else v)
+        for k, v in vars_.items()
+        if isinstance(k, str) and k.isidentifier()
+    }
+    env = Environment(undefined=StrictUndefined, keep_trailing_newline=True)
+    return env.from_string(text).render(
+        var=lambda name, default=None: bare.get(name, default), **bare
+    )
+
+
 def render_sql(
     sql: str,
     variables: Optional[Mapping] = None,
@@ -465,10 +492,22 @@ def render_sql(
     start: Optional[str] = None,
     end: Optional[str] = None,
 ) -> str:
-    """One-shot convenience: render model SQL with interval variables."""
+    """One-shot convenience: render model SQL with interval variables.
+
+    Jinja-marked blocks (JINJA_QUERY_BEGIN ... JINJA_END) render first —
+    loops/macros/{{ vars }} expand to SQL text — then the @macro layer
+    runs over the result, so both templating systems compose exactly as
+    in the reference."""
     vars_ = dict(variables or {})
     if start and end:
         vars_.update(temporal_variables(start, end))
+    begin = _JINJA_BEGIN.search(sql)
+    if begin:
+        end_m = _JINJA_END.search(sql, begin.end())
+        if not end_m:
+            raise ValueError("JINJA_QUERY_BEGIN without JINJA_END")
+        body = sql[begin.end() : end_m.start()]
+        sql = sql[: begin.start()] + render_jinja(body, vars_) + sql[end_m.end() :]
     return MacroEvaluator(variables=vars_, schemas=schemas or {}).render(sql)
 
 
@@ -754,3 +793,45 @@ register("macro_var_and_or_eval", oracle=MACRO_VARS_ORACLE, tags=("macro",))(
         },
     )
 )
+
+
+JINJA_QUERY_SQL = """
+JINJA_QUERY_BEGIN;
+{% macro seg_sum(seg) %}
+  SELECT '{{ seg }}' AS segment,
+         SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents,
+         COUNT(*) AS n
+  FROM customer
+  WHERE c_mktsegment = '{{ seg }}' AND c_acctbal >= {{ var('min_bal', 0) }}
+{% endmacro %}
+{% for seg in segments %}
+{{ seg_sum(seg) }}{% if not loop.last %} UNION ALL {% endif %}
+{% endfor %}
+JINJA_END;
+"""
+
+JINJA_QUERY_ORACLE = """
+SELECT 'BUILDING' AS segment,
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents, COUNT(*) AS n
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000
+UNION ALL
+SELECT 'MACHINERY' AS segment,
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents, COUNT(*) AS n
+FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 1000
+"""
+
+
+def _jinja_case(spark, sf_dir):
+    """Embedded Jinja query block (reference dialect.py:57-65 markers,
+    utils/jinja.py evaluation): a {% macro %} definition fanned out by a
+    {% for %} loop into a UNION ALL, with {{ var(...) }} project variables
+    — rendered by render_sql's jinja pass, then executed as plain SQL."""
+    register_views(spark, sf_dir, ("customer",))
+    rendered = render_sql(
+        JINJA_QUERY_SQL,
+        variables={"segments": ["BUILDING", "MACHINERY"], "min_bal": 1000},
+    )
+    return spark.sql(rendered)
+
+
+register("macro_jinja_query", oracle=JINJA_QUERY_ORACLE, tags=("macro",))(_jinja_case)
