@@ -23,6 +23,12 @@ from sqlmesh_spark.core.model import Model
 
 DAY = 86400
 HOUR = 3600
+HALF_HOUR = 1800
+QUARTER_HOUR = 900
+FIVE_MINUTE = 300
+# Calendar (variable-width) units — sentinels handled by floor_to/next_unit.
+MONTH = -1
+YEAR = -2
 
 _WS = re.compile(r"\s+")
 
@@ -93,13 +99,55 @@ def from_epoch(e: int) -> str:
 
 
 def interval_unit(cron: str) -> int:
-    """IntervalUnit from cron shorthand (node.py:28: YEAR..FIVE_MINUTE;
-    we support the day/hour units the test data exercises)."""
-    return {"@daily": DAY, "@hourly": HOUR}.get(cron, DAY)
+    """IntervalUnit from cron shorthand — the reference's full ladder
+    (node.py:28: YEAR MONTH DAY HOUR HALF_HOUR QUARTER_HOUR FIVE_MINUTE,
+    minimum five minutes — node.py:59)."""
+    return {
+        "@yearly": YEAR,
+        "@annual": YEAR,
+        "@monthly": MONTH,
+        "@daily": DAY,
+        "@hourly": HOUR,
+        "@half_hour": HALF_HOUR,
+        "@quarter_hour": QUARTER_HOUR,
+        "@five_minute": FIVE_MINUTE,
+    }.get(cron, DAY)
 
 
 def floor_to(epoch: int, unit: int) -> int:
+    """Floor to a unit boundary. Fixed-width units are epoch-modular;
+    calendar units (MONTH/YEAR) floor to the first of the period."""
+    if unit == MONTH:
+        d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
+        return to_epoch(d.replace(day=1, hour=0, minute=0, second=0, microsecond=0))
+    if unit == YEAR:
+        d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
+        return to_epoch(d.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0))
     return epoch - (epoch % unit)
+
+
+def next_unit(epoch: int, unit: int) -> int:
+    """The boundary one unit after ``epoch`` (``epoch`` on a boundary)."""
+    if unit == MONTH:
+        d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
+        y, m = (d.year + 1, 1) if d.month == 12 else (d.year, d.month + 1)
+        return to_epoch(d.replace(year=y, month=m))
+    if unit == YEAR:
+        d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
+        return to_epoch(d.replace(year=d.year + 1))
+    return epoch + unit
+
+
+def prev_unit(epoch: int, unit: int) -> int:
+    """The boundary one unit before ``epoch`` (``epoch`` on a boundary)."""
+    if unit == MONTH:
+        d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
+        y, m = (d.year - 1, 12) if d.month == 1 else (d.year, d.month - 1)
+        return to_epoch(d.replace(year=y, month=m))
+    if unit == YEAR:
+        d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
+        return to_epoch(d.replace(year=d.year - 1))
+    return epoch - unit
 
 
 def merge_intervals(intervals: Iterable[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -126,12 +174,15 @@ def missing_intervals(
     (snapshot/definition.py:2033 + kind.py:423 lookback semantics)."""
     s0 = floor_to(to_epoch(start) if isinstance(start, str) else start, unit)
     e0 = to_epoch(end) if isinstance(end, str) else end
-    e0 = floor_to(e0 + unit - 1, unit)  # ceil to unit boundary
+    f0 = floor_to(e0, unit)
+    e0 = f0 if f0 == e0 else next_unit(f0, unit)  # ceil to unit boundary
     covered = merge_intervals(processed)
     if lookback and covered:
         # Re-open the last `lookback` units of covered history.
         hi = covered[-1][1]
-        reopen_from = hi - lookback * unit
+        reopen_from = hi
+        for _ in range(lookback):
+            reopen_from = prev_unit(reopen_from, unit)
         covered = [
             (s, min(e, reopen_from)) for s, e in covered if s < reopen_from
         ]
@@ -153,8 +204,9 @@ def missing_intervals(
     for s, e in missing:
         t = s
         while t < e:
-            chunks.append((t, min(t + unit, e)))
-            t += unit
+            nxt = next_unit(t, unit)
+            chunks.append((t, min(nxt, e)))
+            t = nxt
     return chunks
 
 

@@ -226,3 +226,42 @@ WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP) AND o_orderdate < CAST(@end_ts
     ctx.run(environment="noop_env", start="1995-01-01", end="1995-01-05")
     again = ctx.run(environment="noop_env", start="1995-01-01", end="1995-01-05")
     assert again == {"noop.daily": 0}
+
+
+def test_monthly_interval_unit_calendar_math():
+    """MONTH/YEAR are calendar units (variable width): chunks land on the
+    1st of each period, lookback steps back whole periods, and a partial
+    trailing period ceils to the next boundary (node.py:28 IntervalUnit)."""
+    from sqlmesh_spark.core.snapshot import (
+        MONTH,
+        YEAR,
+        from_epoch,
+        missing_intervals,
+        to_epoch,
+    )
+
+    chunks = missing_intervals("2024-01-15", "2024-04-02", unit=MONTH)
+    assert [(from_epoch(s)[:10], from_epoch(e)[:10]) for s, e in chunks] == [
+        ("2024-01-01", "2024-02-01"),
+        ("2024-02-01", "2024-03-01"),
+        ("2024-03-01", "2024-04-01"),
+        ("2024-04-01", "2024-05-01"),
+    ]
+    # lookback=1 reopens the last covered month (late-arriving data heal).
+    done = [(to_epoch("2024-01-01"), to_epoch("2024-03-01"))]
+    redo = missing_intervals("2024-01-01", "2024-03-01", done, unit=MONTH, lookback=1)
+    assert [(from_epoch(s)[:10], from_epoch(e)[:10]) for s, e in redo] == [
+        ("2024-02-01", "2024-03-01")
+    ]
+    years = missing_intervals("2023-06-01", "2024-01-01", unit=YEAR)
+    assert [(from_epoch(s)[:10], from_epoch(e)[:10]) for s, e in years] == [
+        ("2023-01-01", "2024-01-01")
+    ]
+
+
+def test_subhour_interval_units():
+    from sqlmesh_spark.core.snapshot import FIVE_MINUTE, interval_unit, missing_intervals
+
+    assert interval_unit("@five_minute") == FIVE_MINUTE
+    chunks = missing_intervals("2024-01-01 00:03:00", "2024-01-01 00:11:00", unit=FIVE_MINUTE)
+    assert len(chunks) == 3 and all(e - s == 300 for s, e in chunks)
