@@ -1268,29 +1268,79 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PCTL_SKETCH_ORACLE = """
-SELECT o_orderstatus,
-       quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), [0.5, 0.9, 0.99]) AS q_cents
-FROM orders GROUP BY o_orderstatus
+WITH vals AS (
+  SELECT o_orderstatus AS status, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT status, cents,
+         ROW_NUMBER() OVER (PARTITION BY status ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY status) AS n
+  FROM vals
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q_pct)
+SELECT r.status, q.q_pct, r.cents AS exact_cents, 1 AS within_tol
+FROM ranked r JOIN qs q ON r.rn = (q.q_pct * r.n + 99) // 100
+"""
+
+PCTL_SKETCH_SPARK = """
+WITH vals AS (
+  SELECT o_orderstatus AS status, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT status, cents,
+         ROW_NUMBER() OVER (PARTITION BY status ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY status) AS n
+  FROM vals
+),
+qs AS (SELECT explode(array(50, 90, 99)) AS q_pct),
+exact AS (
+  SELECT r.status, q.q_pct, r.cents AS exact_cents, r.n,
+         (q.q_pct * r.n + 99) DIV 100 AS k
+  FROM ranked r JOIN qs q ON r.rn = (q.q_pct * r.n + 99) DIV 100
+),
+sk AS (
+  SELECT status, percentile_approx(cents, array(0.5, 0.9, 0.99), 10000) AS ests
+  FROM vals GROUP BY status
+),
+estx AS (
+  SELECT status, CASE pos WHEN 0 THEN 50 WHEN 1 THEN 90 ELSE 99 END AS q_pct, est
+  FROM sk LATERAL VIEW posexplode(ests) AS pos, est
+),
+rk AS (
+  SELECT e.status, e.q_pct,
+         COUNT(CASE WHEN v.cents < e.est THEN 1 END) + 1 AS rank_lo,
+         COUNT(CASE WHEN v.cents <= e.est THEN 1 END) AS rank_hi
+  FROM estx e JOIN vals v ON v.status = e.status
+  GROUP BY e.status, e.q_pct
+)
+SELECT x.status, x.q_pct, x.exact_cents,
+       CASE WHEN x.k + (x.n DIV 1000) + 1 >= r.rank_lo
+             AND x.k - (x.n DIV 1000) - 1 <= r.rank_hi THEN 1 ELSE 0 END AS within_tol
+FROM exact x JOIN rk r ON x.status = r.status AND x.q_pct = r.q_pct
 """
 
 
 @register("sketch_percentile_disc", oracle=PCTL_SKETCH_ORACLE, tags=("relational", "sketch"))
 def sketch_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile SKETCH with a true value oracle: percentile_approx's GK
-    sketch is exact whenever accuracy ≥ |group| (here 1e5 ≥ 15k rows), and
-    its discrete-element semantics then coincide with DuckDB's
-    quantile_disc — so the sketch path itself is hash-verified. At 100 TB
-    the same expression with the default accuracy (1e4) is the mergeable
-    approximate path: one map-side sketch per partition, merged at the
-    exchange, error ≤ 1/accuracy — never a global sort."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx(
-            F.round(F.col("o_totalprice") * 100).cast("bigint"),
-            [0.5, 0.9, 0.99],
-            100000,
-        ).alias("q_cents")
-    )
+    """Quantile sketch with a scale-proof contract: the EXACT discrete
+    quantile (value at rank ceil(q·n/100), integer arithmetic — identical
+    in any engine) is the oracle-hashed payload, and the GK sketch
+    (percentile_approx, accuracy 1e4) must land within a 0.1% RANK window
+    of it (10× the sketch's ε·n guarantee) — asserted via an oracle-hashed
+    flag. An earlier formulation compared sketch values exactly; that
+    holds only while accuracy ≥ |group| and broke at sf0.1 — rank
+    tolerance is the contract that survives any scale factor.
+
+    Scale (100 TB): the sketch side is the production path — fixed-size
+    mergeable summaries, map-side partials, never a global sort. The
+    rank-window referee (window + count join) exists for verification
+    only; at scale you'd sample it or drop it entirely."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(PCTL_SKETCH_SPARK)
 
 
 UNION_EVOLVED_ORACLE = """
