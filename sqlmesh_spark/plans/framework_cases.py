@@ -884,3 +884,54 @@ GROUP BY o_orderstatus
     ]
     assert all("small_orders" not in t for t in phys), phys
     return spark.table("env_emb_views.status_rollup")
+
+
+MONTHLY_ORACLE = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("framework_monthly_model", oracle=MONTHLY_ORACLE, tags=("framework",))
+def framework_monthly_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-unit scheduling end-to-end: a cron '@monthly' incremental
+    model backfilled over Q1 with batch_size 1 must execute EXACTLY three
+    month-aligned interval batches (variable-width units — Feb is shorter
+    — so epoch-modular flooring would mis-align; snapshot.floor_to handles
+    MONTH as a calendar unit). Value parity comes from the virtual-layer
+    view over the materialized months."""
+    _clean_dbs(spark, "sqlmesh__demo_month", "env_month_views")
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    project = _write_project(
+        {
+            "monthly_orders.sql": f"""
+MODEL (
+  name demo_month.monthly_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@monthly',
+  batch_size 1
+);
+SELECT CAST(@start_ts AS TIMESTAMP) AS event_ts,
+       date_format(CAST(@start_ts AS TIMESTAMP), 'yyyy-MM') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY 1, 2
+""",
+        }
+    )
+    ctx = Context(spark, project_dir=project, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    executed = ctx.run(environment="env_month", start="1995-01-01", end="1995-03-31")
+    assert executed["demo_month.monthly_orders"] == 3, executed
+
+    return spark.sql(
+        "SELECT month, n_orders, revenue_cents FROM env_month_views.monthly_orders"
+    )
