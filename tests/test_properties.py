@@ -302,3 +302,33 @@ def test_model_header_roundtrip(case):
     assert m.batch_size == expect["batch_size"]
     assert m.time_column == expect["time_column"]
     assert m.query.strip() == "SELECT 1 AS one"
+
+
+@given(
+    start=st.datetimes(
+        min_value=dt.datetime(2020, 1, 1), max_value=dt.datetime(2025, 12, 31)
+    ),
+    span_months=st.integers(min_value=1, max_value=18),
+)
+@settings(max_examples=60, deadline=None)
+def test_monthly_chunks_are_calendar_aligned(start, span_months):
+    """MONTH chunks: disjoint, contiguous, every boundary is the 1st at
+    midnight, the window [start, end) is covered, and Feb/leap-year widths
+    are the true calendar widths (what epoch-modular flooring gets wrong)."""
+    from sqlmesh_spark.core.snapshot import MONTH, missing_intervals, to_epoch
+
+    y = start.year + (start.month - 1 + span_months) // 12
+    m = (start.month - 1 + span_months) % 12 + 1
+    end = start.replace(year=y, month=m, day=1, hour=0, minute=0, second=0)
+    s_ep = to_epoch(start.replace(microsecond=0).strftime("%Y-%m-%d %H:%M:%S"))
+    e_ep = to_epoch(end.strftime("%Y-%m-%d %H:%M:%S"))
+    chunks = missing_intervals(s_ep, e_ep, unit=MONTH)
+    assert chunks[0][0] <= s_ep and chunks[-1][1] >= e_ep
+    for (s1, e1), (s2, _) in zip(chunks, chunks[1:]):
+        assert e1 == s2  # contiguous, disjoint
+    for s, e in chunks:
+        d = dt.datetime.fromtimestamp(s, dt.timezone.utc)
+        assert (d.day, d.hour, d.minute, d.second) == (1, 0, 0, 0)
+        nxt = dt.datetime.fromtimestamp(e, dt.timezone.utc)
+        width_days = (nxt - d).days
+        assert 28 <= width_days <= 31
