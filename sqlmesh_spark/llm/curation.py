@@ -524,3 +524,77 @@ register(
     oracle=pack_sequences_sql("documents", dialect="duckdb"),
     tags=("llm", "text"),
 )(_doc_case(pack_sequences_sql))
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary (term frequencies + document frequencies, top-k)
+# --------------------------------------------------------------------------
+
+
+def corpus_vocab_sql(table: str, top_k: int = 20, dialect: str = "spark") -> str:
+    """Corpus-level vocabulary statistics: per-term total frequency and
+    document frequency, ranked; the tokenizer-training / vocab-audit scan
+    (what BPE training and OOV analyses start from). Rank ties break by
+    term so the top-k cut is deterministic in both engines.
+
+    Scale: one explode + one (term) shuffle with map-side partial aggs;
+    df comes from the same exchange via a per-(doc,term) pre-distinct in
+    the projection (array_distinct before explode — no second shuffle).
+    The global top-k is a TakeOrdered over |vocab| aggregates, not a sort
+    of the corpus."""
+    d = dialect
+    if d == "duckdb":
+        explode_all = (
+            f"SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}"
+        )
+        explode_distinct = (
+            f"SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term FROM {table}"
+        )
+    else:
+        explode_all = (
+            f"SELECT doc_id, explode(split(text, ' ')) AS term FROM {table}"
+        )
+        explode_distinct = (
+            f"SELECT doc_id, explode(array_distinct(split(text, ' '))) AS term FROM {table}"
+        )
+    if d == "duckdb":
+        return f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS term_freq FROM ({explode_all}) GROUP BY term
+),
+df AS (
+  SELECT term, COUNT(*) AS doc_freq FROM ({explode_distinct}) GROUP BY term
+)
+SELECT term, term_freq, doc_freq, rnk FROM (
+  SELECT tf.term, tf.term_freq, df.doc_freq,
+         ROW_NUMBER() OVER (ORDER BY tf.term_freq DESC, tf.term) AS rnk
+  FROM tf JOIN df ON tf.term = df.term
+) t WHERE rnk <= {top_k}
+"""
+    # Spark: ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+    # prune, no global sort/window over |vocab|); the rank window then runs
+    # over exactly top_k rows.
+    return f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS term_freq FROM ({explode_all}) GROUP BY term
+),
+df AS (
+  SELECT term, COUNT(*) AS doc_freq FROM ({explode_distinct}) GROUP BY term
+),
+topk AS (
+  SELECT tf.term, tf.term_freq, df.doc_freq
+  FROM tf JOIN df ON tf.term = df.term
+  ORDER BY tf.term_freq DESC, tf.term
+  LIMIT {top_k}
+)
+SELECT term, term_freq, doc_freq,
+       ROW_NUMBER() OVER (ORDER BY term_freq DESC, term) AS rnk
+FROM topk
+"""
+
+
+register(
+    "corpus_vocab_topk",
+    oracle=corpus_vocab_sql("documents", dialect="duckdb"),
+    tags=("llm", "text"),
+)(_doc_case(corpus_vocab_sql))
