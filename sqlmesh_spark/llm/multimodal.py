@@ -189,3 +189,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary_payload(docs))
+
+
+TREND_ORACLE = """
+WITH pts AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+FROM pts GROUP BY user_id
+"""
+
+
+def _trend_case(spark, sf_dir):
+    """Per-group OLS trend via applyInPandas (Arrow group-map): each user's
+    events become one pandas frame; the slope's numerator/denominator are
+    kept as exact int64 rationals (n·Σxy − Σx·Σy over n·Σx² − (Σx)²), so
+    the Python path is value-oracled by the closed-form SQL — the §2.F
+    extension surface (reference model/definition.py:1876 PythonModel;
+    our python models allow pandas UDFs for free) with a hard contract.
+
+    Scale: group-map shuffles once on the key and Arrow-streams each
+    group through the Python worker; per-group state is one frame. For
+    groups too large for a worker, the same rational sums downgrade to
+    plain SQL aggregates (the oracle IS that formulation)."""
+    import pandas as _pd
+
+    from sqlmesh_spark.sources.tables import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "CAST(datediff(to_date(ts), DATE '2024-01-01') AS BIGINT) AS x",
+            "CAST(ROUND(value * 100) AS BIGINT) AS y",
+        )
+    )
+
+    def trend(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        # Closure (pickled by value): workers can't import this repo.
+        n = len(pdf)
+        x = pdf.x.astype("int64")
+        y = pdf.y.astype("int64")
+        return _pd.DataFrame(
+            {
+                "user_id": [int(pdf.user_id.iloc[0])],
+                "n": [n],
+                "slope_num": [int(n * (x * y).sum() - x.sum() * y.sum())],
+                "slope_den": [int(n * (x * x).sum() - x.sum() * x.sum())],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        trend, "user_id bigint, n bigint, slope_num bigint, slope_den bigint"
+    )
+
+
+register("pandas_udf_group_trend", oracle=TREND_ORACLE, tags=("llm", "python"))(_trend_case)
