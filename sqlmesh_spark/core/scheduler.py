@@ -24,10 +24,13 @@ from sqlmesh_spark.core.model import Model, ModelKind
 from sqlmesh_spark.core.snapshot import (
     Snapshot,
     batch_intervals,
+    floor_to,
     from_epoch,
     interval_unit,
     missing_intervals,
+    prev_unit,
     snapshots_to_dag,
+    to_epoch,
 )
 from sqlmesh_spark.core.state import StateStore
 from sqlmesh_spark.macros import MacroEvaluator, temporal_variables
@@ -293,6 +296,26 @@ class Scheduler:
         unit = interval_unit(model.cron)
         eff_start = model.start or start
         processed = self.state.get_intervals(model.name, snapshot.version)
+
+        # Periodic auto-restatement (kind.py auto_restatement_cron /
+        # auto_restatement_intervals; recorded in _auto_restatements): when
+        # a new auto-restatement period begins, the trailing N model-cron
+        # intervals are dropped from state so this run recomputes them —
+        # scheduled healing for slowly-settling upstream data, without a
+        # manual restate.
+        ar_cron = model.kind_args.get("auto_restatement_cron", "").strip("'\"")
+        if ar_cron and processed:
+            ar_n = int(model.kind_args.get("auto_restatement_intervals", "1").strip("'\"") or 1)
+            boundary = floor_to(to_epoch(end), interval_unit(ar_cron))
+            last = self.state.get_auto_restatement(model.name, snapshot.version)
+            if last is None or last < boundary:
+                hi = max(e for _, e in processed)
+                lo = hi
+                for _ in range(ar_n):
+                    lo = prev_unit(lo, unit)
+                self.state.remove_intervals(model.name, snapshot.version, lo, hi)
+                self.state.put_auto_restatement(model.name, snapshot.version, boundary)
+                processed = self.state.get_intervals(model.name, snapshot.version)
 
         if model.kind in (
             ModelKind.INCREMENTAL_BY_TIME_RANGE,

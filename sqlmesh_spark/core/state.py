@@ -89,6 +89,19 @@ class StateStore:
             data[key] = out
             self._write("intervals", data)
 
+    # -- auto restatements (state_sync/db/snapshot.py _auto_restatements) ---
+
+    def put_auto_restatement(self, name: str, version: str, ts: int) -> None:
+        """Record the boundary up to which periodic auto-restatement ran
+        (kind.py auto_restatement_cron; state table _auto_restatements)."""
+        with self._lock:
+            data = self._read("auto_restatements")
+            data[f"{name}@{version}"] = ts
+            self._write("auto_restatements", data)
+
+    def get_auto_restatement(self, name: str, version: str) -> Optional[int]:
+        return self._read("auto_restatements").get(f"{name}@{version}")
+
     # -- environments (state_sync/db/environment.py:33) ---------------------
 
     def put_environment(self, env: str, snapshots: dict[str, str]) -> None:

@@ -935,3 +935,62 @@ GROUP BY 1, 2
     return spark.sql(
         "SELECT month, n_orders, revenue_cents FROM env_month_views.monthly_orders"
     )
+
+
+AUTO_RESTATE_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-02-10 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("framework_auto_restatement", oracle=AUTO_RESTATE_ORACLE, tags=("framework",))
+def framework_auto_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic auto-restatement (kind.py auto_restatement_cron/_intervals;
+    _auto_restatements state): when a new auto-restatement period opens,
+    the scheduler silently drops the trailing N cron intervals and
+    recomputes them with the regular run — scheduled healing without a
+    manual restate. Run 1 backfills 20 January days; run 2 crosses the
+    monthly boundary, so it must execute the 21 new days PLUS the 2
+    restated tail days (23 batches, count-asserted); run 3 in the same
+    period restates nothing and executes zero."""
+    _clean_dbs(spark, "sqlmesh__demo_ar", "env_ar_views")
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    project = _write_project(
+        {
+            "daily_orders.sql": f"""
+MODEL (
+  name demo_ar.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (
+    time_column event_ts,
+    auto_restatement_cron '@monthly',
+    auto_restatement_intervals 2
+  ),
+  cron '@daily',
+  batch_size 1
+);
+SELECT CAST(@start_ts AS TIMESTAMP) AS event_ts,
+       date_format(CAST(@start_ts AS TIMESTAMP), 'yyyy-MM-dd') AS ds,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY 1, 2
+""",
+        }
+    )
+    ctx = Context(spark, project_dir=project, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    r1 = ctx.run(environment="env_ar", start="1995-01-01", end="1995-01-20")
+    assert r1["demo_ar.daily_orders"] == 19, r1  # [Jan 1, Jan 20) = 19 days
+    r2 = ctx.run(environment="env_ar", start="1995-01-01", end="1995-02-10")
+    assert r2["demo_ar.daily_orders"] == 23, r2  # 21 new + 2 auto-restated
+    r3 = ctx.run(environment="env_ar", start="1995-01-01", end="1995-02-10")
+    assert r3["demo_ar.daily_orders"] == 0, r3
+
+    return spark.sql("SELECT ds, n_orders, revenue_cents FROM env_ar_views.daily_orders")
