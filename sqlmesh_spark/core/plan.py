@@ -14,6 +14,7 @@ build_plan_stages (plan/stages.py:698). Stages here:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Mapping
 
@@ -52,6 +53,38 @@ class Plan:
     # (pinned to the previous version), additive schema changes apply as
     # ALTERs, and history is not recomputed — only new intervals run.
     forward_only: bool = False
+
+
+def _categorize(old_query: str | None, new_query: str) -> str:
+    """NON_BREAKING iff the change is additive-projections-only
+    (categorizer.py:10: added projections ⇒ NON_BREAKING): both queries are
+    single outer SELECTs over an IDENTICAL tail (FROM onward), and the new
+    projection list is a superset of the old. Anything unparseable by this
+    conservative splitter is BREAKING."""
+    from sqlmesh_spark.macros import split_top_level
+
+    def split(q: str):
+        s = q.strip().rstrip(";").strip()
+        if not s.upper().startswith("SELECT"):
+            return None
+        body = s[6:]
+        # First top-level FROM: prefix must have balanced parens/quotes.
+        for m in re.finditer(r"\bFROM\b", body, re.IGNORECASE):
+            prefix = body[: m.start()]
+            if prefix.count("(") == prefix.count(")") and prefix.count("'") % 2 == 0:
+                projections = {p.strip() for p in split_top_level(prefix)}
+                tail = re.sub(r"\s+", " ", body[m.start() :]).strip()
+                return projections, tail
+        return None
+
+    if old_query is None:
+        return "BREAKING"
+    old_parts, new_parts = split(old_query), split(new_query)
+    if not old_parts or not new_parts:
+        return "BREAKING"
+    if old_parts[1] == new_parts[1] and old_parts[0] <= new_parts[0]:
+        return "NON_BREAKING"
+    return "BREAKING"
 
 
 def build_snapshots(models: Mapping[str, Model]) -> dict[str, Snapshot]:
@@ -109,6 +142,7 @@ class PlanEvaluator:
         snapshots = build_snapshots(models)
         env_state = self.state.get_environment(environment)
         diff = context_diff(snapshots, env_state)
+        self._categorize_and_revert(snapshots, diff, env_state)
         if forward_only:
             self._pin_forward_only(snapshots, diff, env_state)
         return Plan(
@@ -119,6 +153,45 @@ class PlanEvaluator:
             diff=diff,
             forward_only=forward_only,
         )
+
+    def _categorize_and_revert(
+        self,
+        snapshots: dict[str, Snapshot],
+        diff: ContextDiff,
+        env_state: Mapping[str, str],
+    ) -> None:
+        """Change categorization (snapshot/categorizer.py:10): a directly
+        modified model whose change only ADDS projections (same FROM/WHERE
+        tail, projection superset) is NON_BREAKING — its children's data
+        cannot change, so children whose own text is unchanged keep their
+        existing version/physical table and are only virtual-updated.
+        BREAKING changes taint every descendant, which rebuilds as usual.
+        """
+        taint: dict[str, bool] = {}
+        for name in snapshots_to_dag(snapshots):
+            snap = snapshots[name]
+            if name not in env_state or env_state[name] == snap.version:
+                taint[name] = False
+                continue
+            old = self.state.get_snapshot(name, env_state[name]) or {}
+            old_query = old.get("query")
+            own_changed = old_query is None or old_query != snap.model.query
+            parent_taint = any(taint.get(p, False) for p in snap.parents)
+            if own_changed:
+                breaking = _categorize(old_query, snap.model.query) == "BREAKING"
+                taint[name] = breaking or parent_taint
+            elif not parent_taint:
+                # Modified only via a NON_BREAKING ancestor: revert to the
+                # old version — zero recompute, view keeps pointing at the
+                # existing table (the indirect-non-breaking contract).
+                snapshots[name] = Snapshot(
+                    model=snap.model, version=env_state[name], parents=snap.parents
+                )
+                diff.modified.remove(name)
+                diff.unchanged.append(name)
+                taint[name] = False
+            else:
+                taint[name] = True
 
     def _pin_forward_only(
         self,
@@ -180,7 +253,13 @@ class PlanEvaluator:
             self.state.put_snapshot(
                 name,
                 snap.version,
-                {"kind": snap.model.kind.value, "parents": list(snap.parents)},
+                {
+                    "kind": snap.model.kind.value,
+                    "parents": list(snap.parents),
+                    # Raw query text backs change categorization on the
+                    # next plan (categorizer.py:10 compares old vs new).
+                    "query": snap.model.query,
+                },
             )
         # Stage 2: physical layer + backfill. Unchanged snapshots keep their
         # physical tables and processed intervals — the virtual-environment

@@ -342,6 +342,7 @@ class Scheduler:
         first = not processed
         n = 0
         wholesale = (ModelKind.FULL, ModelKind.VIEW, ModelKind.SEED, ModelKind.CUSTOM)
+        done: list[tuple[int, int]] = []
         for bs, be in batches:
             if model.kind in wholesale:
                 # Wholesale kinds re-run over the full requested window.
@@ -350,11 +351,16 @@ class Scheduler:
                 self.evaluator.evaluate(
                     snapshot, from_epoch(bs), from_epoch(be), mapping, first and n == 0
                 )
+                done.append((bs, be))
             n += 1
-            if model.kind not in wholesale:
-                self.state.add_interval(model.name, snapshot.version, bs, be)
+        # Audits gate interval recording (reference scheduler.py:191→:254:
+        # evaluate → audits → add_interval): a blocking-audit failure leaves
+        # the batch UNRECORDED, so the next run reprocesses it — safe because
+        # every incremental write path here is idempotent per interval.
         if batches:
             failures = self.evaluator.run_audits(snapshot)
             if failures:
                 raise AuditError(f"audits failed on {model.name}: {failures}")
+        for bs, be in done:
+            self.state.add_interval(model.name, snapshot.version, bs, be)
         return n

@@ -994,3 +994,192 @@ GROUP BY 1, 2
     assert r3["demo_ar.daily_orders"] == 0, r3
 
     return spark.sql("SELECT ds, n_orders, revenue_cents FROM env_ar_views.daily_orders")
+
+
+NON_BREAKING_ORACLE = """
+SELECT c_mktsegment AS segment, COUNT(*) AS n, 
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+FROM customer
+WHERE c_acctbal > 100
+GROUP BY c_mktsegment
+"""
+
+
+@register("framework_non_breaking_change", oracle=NON_BREAKING_ORACLE, tags=("framework",))
+def framework_non_breaking_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change categorization (snapshot/categorizer.py:10): an
+    added-projections-only change to a parent is NON_BREAKING — the child
+    keeps its version and physical table, executing ZERO batches (virtual
+    update only). A subsequent WHERE change is BREAKING and rebuilds the
+    child. Both transitions are count-asserted; final values come from
+    the child's view after the breaking rebuild."""
+    _clean_dbs(spark, "sqlmesh__demo_nb", "env_nb_views")
+
+    customer = f"parquet.`{sf_dir}/customer.parquet`"
+    base = """
+MODEL (
+  name demo_nb.cust,
+  kind FULL
+);
+SELECT c_custkey, c_mktsegment, c_acctbal{extra}
+FROM {src}{where}
+"""
+    # Child is INCREMENTAL so "no rebuild" is observable: a reverted
+    # version keeps its processed intervals → zero missing batches. (FULL
+    # kinds re-run wholesale every tick by design, so they can't show it.)
+    child = """
+MODEL (
+  name demo_nb.seg_rollup,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily'
+);
+SELECT CAST(@start_ts AS TIMESTAMP) AS event_ts,
+       c_mktsegment AS segment, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM demo_nb.cust
+GROUP BY 1, c_mktsegment
+"""
+
+    def run_round(extra: str, where: str):
+        project = _write_project(
+            {
+                "cust.sql": base.format(extra=extra, src=customer, where=where),
+                "seg_rollup.sql": child,
+            }
+        )
+        ctx = Context(spark, project_dir=project, state_dir=state_dir)
+        return ctx.run(environment="env_nb", start="1995-01-01", end="1995-01-02")
+
+    state_dir = tempfile.mkdtemp(prefix="sqlmesh_state_")
+    r1 = run_round("", "")
+    assert r1 == {"demo_nb.cust": 1, "demo_nb.seg_rollup": 1}, r1
+    # Added projection only → parent rebuilds, child is NOT executed.
+    r2 = run_round(", c_name", "")
+    assert r2 == {"demo_nb.cust": 1, "demo_nb.seg_rollup": 0}, r2
+    # WHERE change → BREAKING → child rebuilds too.
+    r3 = run_round(", c_name", "\nWHERE c_acctbal > 100")
+    assert r3 == {"demo_nb.cust": 1, "demo_nb.seg_rollup": 1}, r3
+
+    return spark.sql("SELECT segment, n, bal_cents FROM env_nb_views.seg_rollup")
+
+
+PROMO_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-08'
+GROUP BY 1
+"""
+
+
+@register("framework_dev_prod_promotion", oracle=PROMO_ORACLE, tags=("framework",))
+def framework_dev_prod_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual-environment promotion (the reference's flagship property,
+    docs/blog/virtual_data_environments.md): physical tables are keyed by
+    fingerprint, NOT by environment, so applying an already-backfilled
+    project to prod executes ZERO batches — promotion is a pure view swap.
+    Asserted: dev backfills 7 daily batches, prod executes 0, and both
+    environments' pointers resolve to the identical physical snapshot."""
+    _clean_dbs(spark, "sqlmesh__demo_promo", "env_promo_dev_views", "prod_views")
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    project = _write_project(
+        {
+            "daily_orders.sql": f"""
+MODEL (
+  name demo_promo.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily',
+  batch_size 1
+);
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+        }
+    )
+    state_dir = tempfile.mkdtemp(prefix="sqlmesh_state_")
+    ctx = Context(spark, project_dir=project, state_dir=state_dir)
+
+    r_dev = ctx.run(environment="env_promo_dev", start="1995-01-01", end="1995-01-08")
+    assert r_dev["demo_promo.daily_orders"] == 7, r_dev
+    # Promote: same snapshots into prod — zero recompute, view swap only.
+    r_prod = ctx.run(environment="prod", start="1995-01-01", end="1995-01-08")
+    assert r_prod["demo_promo.daily_orders"] == 0, r_prod
+    dev_ptr = ctx.state.get_environment("env_promo_dev")
+    prod_ptr = ctx.state.get_environment("prod")
+    assert dev_ptr == prod_ptr and dev_ptr, (dev_ptr, prod_ptr)
+
+    return spark.sql("SELECT ds, n_orders, revenue_cents FROM prod_views.daily_orders")
+
+
+AUDIT_GATE_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-06'
+GROUP BY 1
+"""
+
+
+@register("framework_blocking_audit", oracle=AUDIT_GATE_ORACLE, tags=("framework",))
+def framework_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking audits gate interval recording (scheduler.py:191→:254:
+    evaluate → audits → add_interval). A failing blocking audit aborts the
+    run AND leaves the batches unrecorded, so the next run reprocesses
+    them; a failing non-blocking audit only warns. Asserted: the first
+    1-day run fails number_of_rows(threshold=2), the widened 5-day run
+    re-executes all 5 daily batches (proof the first was never recorded),
+    and a third run is a no-op."""
+    from sqlmesh_spark.core.scheduler import AuditError
+
+    _clean_dbs(spark, "sqlmesh__demo_aud", "env_aud_views")
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    project = _write_project(
+        {
+            "daily_orders.sql": f"""
+MODEL (
+  name demo_aud.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily',
+  batch_size 1,
+  audits (
+    number_of_rows(threshold = 2),
+    forall(criteria = (n_orders < 0), blocking = false)
+  )
+);
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       COUNT(*) AS n_orders
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+        }
+    )
+    state_dir = tempfile.mkdtemp(prefix="sqlmesh_state_")
+    ctx = Context(spark, project_dir=project, state_dir=state_dir)
+
+    # A single daily row < threshold 2 → blocking failure, unrecorded.
+    try:
+        ctx.run(environment="env_aud", start="1995-01-01", end="1995-01-02")
+        raise AssertionError("expected AuditError")
+    except AuditError:
+        pass
+    # Widened window passes the audit; ALL 5 daily batches run (incl. the
+    # previously evaluated-but-unrecorded first day). The always-failing
+    # non-blocking forall only warns throughout.
+    r2 = ctx.run(environment="env_aud", start="1995-01-01", end="1995-01-06")
+    assert r2["demo_aud.daily_orders"] == 5, r2
+    r3 = ctx.run(environment="env_aud", start="1995-01-01", end="1995-01-06")
+    assert r3["demo_aud.daily_orders"] == 0, r3
+
+    return spark.sql("SELECT ds, n_orders FROM env_aud_views.daily_orders")

@@ -10,7 +10,7 @@ import pytest
 from sqlmesh_spark.core.linter import lint_models
 from sqlmesh_spark.core.model import Model, ModelKind, parse_model_text
 from sqlmesh_spark.core.model_test import ModelTestRunner
-from sqlmesh_spark.core.plan import build_snapshots, context_diff
+from sqlmesh_spark.core.plan import _categorize, build_snapshots, context_diff
 from sqlmesh_spark.core.snapshot import (
     DAY,
     batch_intervals,
@@ -97,6 +97,30 @@ def test_fingerprint_propagates_to_children():
     # b's own text didn't change, but its parent did → new version (breaking
     # propagation, categorizer default)
     assert snap1["s.b"].version != snap2["s.b"].version
+
+
+def test_categorize_changes():
+    old = "SELECT a, b FROM t WHERE a > 1"
+    # Added projection, identical tail → NON_BREAKING (categorizer.py:10).
+    assert _categorize(old, "SELECT a, b, c FROM t WHERE a > 1") == "NON_BREAKING"
+    # Whitespace-only tail differences are normalized away.
+    assert _categorize(old, "SELECT a, b, c\nFROM t\nWHERE  a > 1") == "NON_BREAKING"
+    # Removed projection → BREAKING.
+    assert _categorize(old, "SELECT a FROM t WHERE a > 1") == "BREAKING"
+    # Changed WHERE tail → BREAKING.
+    assert _categorize(old, "SELECT a, b FROM t WHERE a > 2") == "BREAKING"
+    # New model (no prior query) → BREAKING.
+    assert _categorize(None, "SELECT a FROM t") == "BREAKING"
+    # Non-SELECT / unparseable → conservative BREAKING.
+    assert _categorize(old, "WITH x AS (SELECT 1) SELECT * FROM x") == "BREAKING"
+    # FROM inside a projection subquery must not be mistaken for the tail.
+    assert (
+        _categorize(
+            "SELECT (SELECT max(x) FROM u) AS m, a FROM t",
+            "SELECT (SELECT max(x) FROM u) AS m, a, b FROM t",
+        )
+        == "NON_BREAKING"
+    )
 
 
 def test_context_diff():
