@@ -156,12 +156,24 @@ class SparkAdapter:
 
     # -- DML ---------------------------------------------------------------
 
+    def _project_to_table(self, df: DataFrame, table: str) -> DataFrame:
+        """Align df to the table's declared column order; columns the query
+        no longer produces (retained after a warn-policy destructive change
+        — parquet cannot DROP COLUMN) null-fill at the table's type."""
+        have = {c.lower() for c in df.columns}
+        out = []
+        for f_ in self.spark.table(table).schema:
+            if f_.name.lower() in have:
+                out.append(F.col(f_.name))
+            else:
+                out.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        return df.select(*out)
+
     def insert_append(self, table: str, query_or_df: QueryOrDF) -> None:
         """base.py:1500 — plain INSERT INTO. v1 insertInto matches columns
         positionally, so project into the table's declared order first."""
         df = self._df(query_or_df)
-        cols = self.spark.table(table).columns
-        df.select(*cols).write.insertInto(table, overwrite=False)
+        self._project_to_table(df, table).write.insertInto(table, overwrite=False)
 
     def insert_overwrite_by_time_partition(
         self,
@@ -192,7 +204,7 @@ class SparkAdapter:
             self._insert_overwrite_partitions(table, df)
         else:
             kept = self.spark.table(table).filter(~in_interval)
-            self._atomic_rewrite(table, kept.unionByName(df.select(*kept.columns)))
+            self._atomic_rewrite(table, kept.unionByName(self._project_to_table(df, table)))
 
     def _partition_columns(self, table: str) -> list[str]:
         rows = self.spark.sql(f"DESCRIBE TABLE {table}").collect()
@@ -213,8 +225,7 @@ class SparkAdapter:
     def _insert_overwrite_partitions(self, table: str, df: DataFrame) -> None:
         # With partitionOverwriteMode=dynamic (set in __init__), an
         # overwrite insertInto replaces only the partitions present in df.
-        cols = self.spark.table(table).columns
-        df.select(*cols).write.insertInto(table, overwrite=True)
+        self._project_to_table(df, table).write.insertInto(table, overwrite=True)
 
     def delete_from(self, table: str, where: str) -> None:
         """base.py:1497 — parquet path: rewrite keeping the complement."""

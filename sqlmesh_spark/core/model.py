@@ -61,6 +61,9 @@ class Model:
     columns: dict[str, str] = field(default_factory=dict)
     lookback: int = 0
     batch_size: Optional[int] = None
+    # Destructive-change policy for forward-only migrations
+    # (model/kind.py:195-226 on_destructive_change): error | warn | allow.
+    on_destructive_change: str = "error"
     # Python models (model/definition.py:1876): evaluated by calling this
     # instead of rendering `query` (which then only carries the code hash).
     python_fn: Optional[object] = None
@@ -211,6 +214,9 @@ def parse_model_text(text: str) -> Model:
         columns=columns,
         lookback=int(props.get("lookback", "0") or 0),
         batch_size=int(props["batch_size"]) if "batch_size" in props else None,
+        on_destructive_change=_unquote(
+            props.get("on_destructive_change", "error")
+        ).lower(),
     )
 
 

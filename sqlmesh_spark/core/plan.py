@@ -27,6 +27,10 @@ from sqlmesh_spark.core.snapshot import Snapshot, fingerprint_model, snapshots_t
 from sqlmesh_spark.core.state import StateStore
 
 
+class PlanError(Exception):
+    """A plan cannot be applied as requested (policy violation)."""
+
+
 @dataclass
 class ContextDiff:
     """context_diff.py:42 — local project vs environment state."""
@@ -202,11 +206,17 @@ class PlanEvaluator:
         """Pin modified models to their previous version (same physical
         table), migrate the table schema additively, and carry the old
         version's processed intervals — the forward-only contract
-        (evaluator.py:1105-1233 migrate; destructive changes rejected by
-        SchemaDiffer policy)."""
+        (evaluator.py:1105-1233 migrate). Destructive changes (dropped
+        columns, narrowing types) are governed by the model's
+        on_destructive_change policy (model/kind.py:195-226): error
+        rejects the plan before any mutation; warn/allow proceed with the
+        column RETAINED on disk (parquet cannot DROP COLUMN) — history
+        keeps its values and new intervals null-fill it."""
+        import logging
+
         from sqlmesh_spark.diff import SchemaDiffer
 
-        differ = SchemaDiffer(on_destructive_change="error")
+        differ = SchemaDiffer()
         for name in diff.modified:
             old_version = env_state[name]
             new = snapshots[name]
@@ -215,15 +225,31 @@ class PlanEvaluator:
                 current_cols = self.adapter.columns(pinned.table_name)
                 target_cols = self._query_schema(pinned, self._mapping(snapshots))
                 if target_cols is not None:
-                    stmts = differ.alter_statements(
-                        pinned.table_name,
-                        current_cols,
-                        target_cols,
-                    )
-                    # Parquet tables support ADD COLUMN only; drops/types
-                    # already rejected under on_destructive_change=error.
+                    deltas = differ.compare(current_cols, target_cols)
+                    destructive = [d for d in deltas if differ.is_destructive(d)]
+                    policy = new.model.on_destructive_change
+                    if destructive and policy == "error":
+                        detail = ", ".join(
+                            f"{d.op} {d.column} ({d.current_type} -> {d.new_type})"
+                            for d in destructive
+                        )
+                        raise PlanError(
+                            f"forward-only plan for {name} requires destructive "
+                            f"change(s) [{detail}] but on_destructive_change=error"
+                        )
+                    if destructive and policy == "warn":
+                        logging.getLogger("sqlmesh_spark").warning(
+                            "forward-only destructive change(s) on %s: %s",
+                            name,
+                            destructive,
+                        )
                     self.adapter.alter_table(
-                        pinned.table_name, [s for s in stmts if " ADD COLUMN " in s]
+                        pinned.table_name,
+                        [
+                            f"ALTER TABLE {pinned.table_name} ADD COLUMN {d.column} {d.new_type}"
+                            for d in deltas
+                            if d.op == "add"
+                        ],
                     )
             snapshots[name] = pinned
 

@@ -113,3 +113,27 @@ class StateStore:
 
     def get_environment(self, env: str) -> dict[str, str]:
         return self._read("environments").get(env, {})
+
+    # -- export / import (the reference's `sqlmesh state export/import`:
+    # state_sync dump with a schema-version stamp, refused on mismatch) ----
+
+    def export_state(self) -> dict:
+        """One versioned JSON blob holding every state table — backup or
+        migration payload; processed intervals travel with it, so an
+        imported store resumes with zero recompute."""
+        with self._lock:
+            tables = {}
+            for f in sorted(os.listdir(self.path)):
+                if f.startswith("_") and f.endswith(".json"):
+                    tables[f[1:-5]] = self._read(f[1:-5])
+            return {"schema_version": self.SCHEMA_VERSION, "tables": tables}
+
+    def import_state(self, blob: dict) -> None:
+        got = blob.get("schema_version")
+        if got != self.SCHEMA_VERSION:
+            raise ValueError(
+                f"state schema version mismatch: blob={got} store={self.SCHEMA_VERSION}"
+            )
+        with self._lock:
+            for name, data in blob["tables"].items():
+                self._write(name, data)

@@ -286,6 +286,60 @@ register(
 )(_doc_case(stratified_sample_sql))
 
 
+def temperature_sample_sql(table: str, budget: int = 200, dialect: str = "spark") -> str:
+    """Temperature-scaled source mixing (the multilingual-LM rebalancing
+    scheme: sample language i with probability ∝ p_i^α; α=1/2 here —
+    square-root scaling — so low-resource languages are upweighted
+    relative to their corpus share). Per-language quotas are computed from
+    a fixed ``budget``, then filled by the rank-lowest docs under the
+    portable 60-bit hash — a deterministic "random" sample whose re-runs
+    and backfills pick identical rows.
+
+    Cross-engine exactness: weights use FLOOR(SQRT(n)*1000) — IEEE-754
+    requires sqrt and multiply to be correctly rounded, so both engines
+    produce bit-identical doubles — and quotas use pure BIGINT division.
+    No POWER(), whose rounding is implementation-defined.
+
+    Scale: the count aggregate is |languages| rows (broadcast join back);
+    the only big-data work is one window rank per language partition —
+    same single-shuffle shape as sample_stratified. At 100 TB the quota
+    table is still a few hundred bytes."""
+    h = _hash60(
+        "CAST(doc_id AS VARCHAR)" if dialect == "duckdb" else "CAST(doc_id AS STRING)",
+        dialect,
+    )
+    idiv = "//" if dialect == "duckdb" else "DIV"
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM {table} GROUP BY lang
+),
+weights AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS w
+  FROM counts
+),
+quotas AS (
+  SELECT lang, n_docs, ({budget} * w) {idiv} SUM(w) OVER () AS quota
+  FROM weights
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rk
+  FROM {table}
+)
+SELECT r.doc_id, r.lang, q.n_docs AS source_docs, q.quota
+FROM ranked r JOIN quotas q ON r.lang = q.lang
+WHERE r.rk <= q.quota
+"""
+
+
+register(
+    "sample_temperature",
+    oracle=temperature_sample_sql("documents", dialect="duckdb"),
+    tags=("llm", "text"),
+)(_doc_case(temperature_sample_sql))
+
+
 # --------------------------------------------------------------------------
 # Length histogram (corpus profiling)
 # --------------------------------------------------------------------------

@@ -1183,3 +1183,143 @@ GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
     assert r3["demo_aud.daily_orders"] == 0, r3
 
     return spark.sql("SELECT ds, n_orders FROM env_aud_views.daily_orders")
+
+
+DESTRUCTIVE_ORACLE = """
+SELECT ds, n_orders,
+       CASE WHEN ds < '1995-01-04' THEN extra_cents END AS extra_cents
+FROM (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS extra_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-06'
+  GROUP BY 1
+) t
+"""
+
+
+@register("framework_destructive_change_guard", oracle=DESTRUCTIVE_ORACLE, tags=("framework",))
+def framework_destructive_change_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """on_destructive_change policy (model/kind.py:195-226) on forward-only
+    plans: dropping a projected column under the default `error` policy
+    rejects the plan BEFORE any mutation; under `warn` the plan proceeds —
+    the physical column is retained (parquet cannot DROP COLUMN), history
+    keeps its values, and new intervals null-fill it. Asserted: the error
+    rejection, then a warn-policy run that executes only the 2 new daily
+    batches with NULLs in the dropped column."""
+    from sqlmesh_spark.core.plan import PlanError
+
+    _clean_dbs(spark, "sqlmesh__demo_dc", "env_dc_views")
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    v1 = f"""
+MODEL (
+  name demo_dc.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily',
+  batch_size 1
+);
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS extra_cents
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+    # v2 drops extra_cents from the projection — a destructive change.
+    v2 = v1.replace(
+        ",\n       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS extra_cents",
+        "",
+    )
+    v2_warn = v2.replace(
+        "  batch_size 1\n", "  batch_size 1,\n  on_destructive_change warn\n"
+    )
+    assert "extra_cents" not in v2 and "on_destructive_change" in v2_warn
+
+    state_dir = tempfile.mkdtemp(prefix="sqlmesh_state_")
+
+    def ctx_for(text: str) -> Context:
+        project = _write_project({"daily_orders.sql": text})
+        return Context(spark, project_dir=project, state_dir=state_dir)
+
+    r1 = ctx_for(v1).run(environment="env_dc", start="1995-01-01", end="1995-01-04")
+    assert r1 == {"demo_dc.daily_orders": 3}, r1
+    # Default policy error: the forward-only plan is rejected pre-mutation.
+    try:
+        ctx_for(v2).run(
+            environment="env_dc", start="1995-01-01", end="1995-01-04", forward_only=True
+        )
+        raise AssertionError("expected PlanError")
+    except PlanError:
+        pass
+    # warn: proceeds on the SAME physical table; only days 4-5 are missing
+    # (forward-only carries the old version's intervals).
+    r3 = ctx_for(v2_warn).run(
+        environment="env_dc", start="1995-01-01", end="1995-01-06", forward_only=True
+    )
+    assert r3 == {"demo_dc.daily_orders": 2}, r3
+
+    return spark.sql("SELECT ds, n_orders, extra_cents FROM env_dc_views.daily_orders")
+
+
+STATE_RT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-02-01' AND o_orderdate < TIMESTAMP '1995-02-08'
+GROUP BY 1
+"""
+
+
+@register("framework_state_roundtrip", oracle=STATE_RT_ORACLE, tags=("framework",))
+def framework_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State export/import (the reference's `sqlmesh state export/import`):
+    the full state — snapshots, processed intervals, environment pointers —
+    round-trips through one versioned JSON blob into a FRESH store, and a
+    run against the imported store executes zero batches (intervals
+    traveled with the state). A schema-version mismatch is refused."""
+    _clean_dbs(spark, "sqlmesh__demo_srt", "env_srt_views")
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    project = _write_project(
+        {
+            "daily_orders.sql": f"""
+MODEL (
+  name demo_srt.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily',
+  batch_size 1
+);
+SELECT o_orderdate AS event_ts,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS ds,
+       COUNT(*) AS n_orders
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
+"""
+        }
+    )
+    ctx_a = Context(
+        spark, project_dir=project, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_")
+    )
+    r1 = ctx_a.run(environment="env_srt", start="1995-02-01", end="1995-02-08")
+    assert r1 == {"demo_srt.daily_orders": 7}, r1
+
+    blob = ctx_a.state.export_state()
+    ctx_b = Context(
+        spark, project_dir=project, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_")
+    )
+    # Version mismatch is refused before any write.
+    try:
+        ctx_b.state.import_state({**blob, "schema_version": 999})
+        raise AssertionError("expected version-mismatch rejection")
+    except ValueError:
+        pass
+    ctx_b.state.import_state(blob)
+    r2 = ctx_b.run(environment="env_srt", start="1995-02-01", end="1995-02-08")
+    assert r2 == {"demo_srt.daily_orders": 0}, r2
+
+    return spark.sql("SELECT ds, n_orders FROM env_srt_views.daily_orders")

@@ -62,6 +62,11 @@ def test_parse_model_header():
     )
     assert "src.events" in m.depends_on
     assert m.query.lstrip().startswith("SELECT")
+    assert m.on_destructive_change == "error"  # policy default
+    m2 = parse_model_text(
+        "MODEL (name s.a, kind FULL, on_destructive_change warn);\nSELECT 1 AS x"
+    )
+    assert m2.on_destructive_change == "warn"
 
 
 def test_missing_intervals_and_batches():
