@@ -1323,3 +1323,45 @@ GROUP BY o_orderdate, date_format(o_orderdate, 'yyyy-MM-dd')
     assert r2 == {"demo_srt.daily_orders": 0}, r2
 
     return spark.sql("SELECT ds, n_orders FROM env_srt_views.daily_orders")
+
+
+CUSTOM_MAT_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS INT) AS rank_in_region
+FROM nation
+"""
+
+
+@register("framework_custom_materialization", oracle=CUSTOM_MAT_ORACLE, tags=("framework",))
+def framework_custom_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM model kind (evaluator.py:2812 CustomMaterialization): a
+    registered strategy owns the physical write — here it decorates the
+    rendered frame with a per-region rank before an atomic replace. Run
+    twice to prove the strategy is idempotent under wholesale re-runs;
+    values come from the env view like any other kind."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sqlmesh_spark.core.scheduler import register_custom_materialization
+
+    _clean_dbs(spark, "sqlmesh__demo_cm", "env_cm_views")
+
+    def ranked_replace(evaluator, snapshot, df, start, end):
+        w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+        evaluator.adapter.replace_query(
+            snapshot.table_name, df.withColumn("rank_in_region", F.row_number().over(w))
+        )
+
+    register_custom_materialization("ranked_replace", ranked_replace)
+
+    nation = f"parquet.`{sf_dir}/nation.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (name demo_cm.region_ranked, kind CUSTOM (materialization ranked_replace));
+SELECT n_nationkey, n_name, n_regionkey FROM {nation}
+"""
+    )
+    ctx.run(environment="env_cm", start="1995-01-01", end="1995-01-02")
+    ctx.run(environment="env_cm", start="1995-01-01", end="1995-01-03")
+    return spark.table("env_cm_views.region_ranked")

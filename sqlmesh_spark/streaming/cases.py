@@ -433,3 +433,117 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(unix_micros(click_ts) - unix_micros(view_ts) AS BIGINT) DIV 1000000 "
         "AS lag_seconds FROM stream_ssj_out"
     )
+
+
+STREAM_LATE_DROP_ORACLE = """
+WITH in_window AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+         o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+),
+mx AS (SELECT MAX(o_orderdate) AS max_ts FROM in_window)
+-- Closed windows of the DUPLICATE-FREE base: neither replay file may
+-- change any emitted value.
+SELECT ds, COUNT(*) AS n_orders, SUM(cents) AS revenue_cents
+FROM in_window CROSS JOIN mx
+WHERE CAST(ds AS TIMESTAMP) + INTERVAL 1 DAY <= mx.max_ts - INTERVAL 2 DAY
+GROUP BY ds
+"""
+
+
+@register("streaming_late_data_drop", oracle=STREAM_LATE_DROP_ORACLE, tags=("streaming",))
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data discipline under at-least-once replay, pinned to
+    Spark's exact filter timing (the late-record filter uses the PREVIOUS
+    batch's eviction watermark, one batch behind the displayed one):
+
+      batch 0  all of January            -> watermark advances to max-2d
+      batch 1  replays the LAST day      -> merges into a still-OPEN window
+               (end > watermark, never emitted: replay is invisible)
+      batch 2  replays the FIRST day     -> filter is armed now; every row
+               is dropped (numRowsDroppedByWatermark counts the filtered
+               partial-aggregate rows, asserted) and the
+               long-evicted window is NOT re-emitted
+
+    The memory sink therefore holds exactly the closed windows of the
+    duplicate-free base — replays charged zero — which is the oracle.
+
+    Scale: watermark-bounded state is what makes a 100 TB/day stream
+    feasible — state is O(open windows), not O(history) — and this case
+    pins both halves of the contract that sizing depends on: merged
+    updates while a window is open, guaranteed drops after eviction."""
+    import os
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="stream_late_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_late_ckpt_")
+    shutil.rmtree(src, ignore_errors=True)
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-02-01")
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("timestamp").alias("event_ts"),
+        )
+    )
+    lo, hi = orders.agg(F.min("event_ts"), F.max("event_ts")).collect()[0]
+
+    def append_backdating_previous(df: DataFrame, step: int) -> None:
+        # FileStreamSource orders batches by modification time: push every
+        # already-present file earlier before adding the next one.
+        for f in os.listdir(src) if os.path.isdir(src) else ():
+            if f.endswith(".parquet"):
+                path = os.path.join(src, f)
+                t = os.path.getmtime(path) - step
+                os.utime(path, (t, t))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    append_backdating_previous(orders, 60)
+    append_backdating_previous(orders.filter(F.col("event_ts") == hi), 60)
+    late = orders.filter(F.col("event_ts") == lo)
+    # The drop metric counts rows reaching the stateful operator — i.e.
+    # post-partial-aggregation rows, one per (window, mapper); with a
+    # single-file batch that is exactly the distinct late windows.
+    n_late_windows = late.select(F.col("event_ts").cast("date")).distinct().count()
+    append_backdating_previous(late, 60)
+
+    agg = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("event_ts", "2 days")
+        .groupBy(F.window("event_ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_orders", "revenue_cents")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_late_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == n_late_windows, (dropped, n_late_windows)
+    return spark.sql(
+        "SELECT date_format(window_start, 'yyyy-MM-dd') AS ds, n_orders, revenue_cents "
+        "FROM stream_late_out"
+    )
