@@ -16,7 +16,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 from typing import Mapping, Optional
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sqlmesh_spark import audits as audit_lib
 from sqlmesh_spark.adapter import SparkAdapter
@@ -107,6 +107,16 @@ class SnapshotEvaluator:
             df = model.python_fn(
                 ExecutionContext(self.spark, start, end, dict(table_mapping))
             )
+            # Generator models (definition.py:1896-1941: the evaluator
+            # consumes generators frame-by-frame) — union the yielded
+            # frames; each stays lazy, so this is a plan-level UNION ALL.
+            if not isinstance(df, DataFrame):
+                from functools import reduce
+
+                frames = list(df)
+                if not frames:
+                    raise ValueError(f"python model {model.name} yielded no frames")
+                df = reduce(lambda a, b: a.unionByName(b), frames)
             if model.kind in (ModelKind.FULL, ModelKind.VIEW):
                 # VIEW-with-python materializes (a view cannot capture a
                 # DataFrame); FULL semantics are identical.

@@ -1365,3 +1365,60 @@ SELECT n_nationkey, n_name, n_regionkey FROM {nation}
     ctx.run(environment="env_cm", start="1995-01-01", end="1995-01-02")
     ctx.run(environment="env_cm", start="1995-01-01", end="1995-01-03")
     return spark.table("env_cm_views.region_ranked")
+
+
+PYGEN_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'low' END AS VARCHAR) AS tier,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@register("framework_python_generator_model", oracle=PYGEN_ORACLE, tags=("framework",))
+def framework_python_generator_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator Python model (definition.py:1896-1941: the evaluator
+    consumes generators frame-by-frame): the function YIELDS one DataFrame
+    per balance tier; the engine unions them lazily into a single
+    materialization — one plan-level UNION ALL, not N writes — so a model
+    that naturally produces per-slice frames needs no manual union."""
+    from pyspark.sql import functions as F
+
+    from sqlmesh_spark.core.model import ModelKind
+    from sqlmesh_spark.core.python_model import ExecutionContext, python_model
+
+    _clean_dbs(spark, "sqlmesh__demo_pygen", "env_pygen_views")
+    customer = f"parquet.`{sf_dir}/customer.parquet`"
+
+    @python_model(name="demo_pygen.segment_tiers", kind=ModelKind.FULL)
+    def segment_tiers(ctx: ExecutionContext):
+        base = ctx.table(customer)
+        for tier, cond in (
+            ("high", F.col("c_acctbal") >= 5000),
+            ("low", F.col("c_acctbal") < 5000),
+        ):
+            yield (
+                base.filter(cond)
+                .groupBy(F.col("c_mktsegment").alias("segment"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+                        "bal_cents"
+                    ),
+                )
+                .select(
+                    "segment", F.lit(tier).alias("tier"), "n", "bal_cents"
+                )
+            )
+
+    ctx = Context(
+        spark,
+        state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"),
+        models={segment_tiers.name: segment_tiers},
+    )
+    ctx.run(environment="env_pygen", start="1995-01-01", end="1995-01-02")
+    return spark.table("env_pygen_views.segment_tiers").select(
+        "segment", "tier", "n", "bal_cents"
+    )
