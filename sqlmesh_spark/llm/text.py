@@ -107,6 +107,49 @@ FROM {table}
 """
 
 
+def ngram_familiarity_sql(table: str, dialect: str = "spark") -> str:
+    """Corpus n-gram familiarity scoring — the CCNet/KenLM-style quality
+    signal in exact integer form: per document, how common are its word
+    bigrams across the corpus? Distinct bigrams per doc join against the
+    corpus document-frequency table; familiarity_avg_ppm is the mean doc
+    frequency in parts-per-million via pure BIGINT division (no log, no
+    float — bit-identical across engines). Low familiarity ⇒ gibberish or
+    highly atypical text; high ⇒ boilerplate.
+
+    Scale: within-doc dedup happens in the projection (ARRAY_DISTINCT —
+    no DISTINCT exchange); the df aggregate and the join back both hash
+    on the bigram key, so the second reuses the first's partitioning, and
+    the final per-doc rollup is the only other shuffle."""
+    if dialect == "duckdb":
+        bigrams = f"""
+  SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+           range(1, greatest(len(ws) - 1, 1) + 1),
+           i -> ws[i] || ' ' || ws[i + 1]), x -> x IS NOT NULL))) AS bg
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM {table})
+"""
+        idiv = "//"
+    else:
+        bigrams = f"""
+  SELECT doc_id, EXPLODE(ARRAY_DISTINCT(FILTER(TRANSFORM(
+           sequence(1, GREATEST(SIZE(ws) - 1, 1)),
+           i -> CONCAT(element_at(ws, CAST(i AS INT)), ' ',
+                       element_at(ws, CAST(i + 1 AS INT)))),
+           x -> x IS NOT NULL))) AS bg
+  FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM {table})
+"""
+        idiv = "DIV"
+    return f"""
+WITH doc_bigrams AS ({bigrams}),
+df AS (SELECT bg, COUNT(*) AS doc_freq FROM doc_bigrams GROUP BY bg)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(d.doc_freq) AS familiarity_sum,
+       (1000000 * SUM(d.doc_freq)) {idiv} COUNT(*) AS familiarity_avg_ppm
+FROM doc_bigrams b JOIN df d ON b.bg = d.bg
+GROUP BY b.doc_id
+"""
+
+
 def _case(sql_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from sqlmesh_spark.llm.dedup import spread_scan
@@ -132,6 +175,11 @@ register("text_langid", oracle=langid_sql("documents", "duckdb"), tags=("llm", "
 register("text_fingerprint", oracle=fingerprint_sql("documents", "duckdb"), tags=("llm", "text"))(
     _case(fingerprint_sql)
 )
+register(
+    "text_ngram_familiarity",
+    oracle=ngram_familiarity_sql("documents", "duckdb"),
+    tags=("llm", "text"),
+)(_case(ngram_familiarity_sql))
 
 
 def training_pipeline_sql(table: str, dialect: str = "spark") -> str:
