@@ -208,11 +208,31 @@ class SnapshotEvaluator:
 
     # -- audits (evaluator.py:547; scheduler.py:887) ------------------------
 
-    def run_audits(self, snapshot: Snapshot) -> list[str]:
+    def run_audits(
+        self,
+        snapshot: Snapshot,
+        start: Optional[str] = None,
+        end: Optional[str] = None,
+    ) -> list[str]:
         """Returns BLOCKING failures; non-blocking audits (audit arg
-        `blocking = false`, audit/definition.py blocking flag) only warn."""
+        `blocking = false`, audit/definition.py blocking flag) only warn.
+
+        When the model is incremental with a time column and [start, end)
+        is given, audits scope to the just-written interval (the
+        reference renders @this_model with the evaluated batch —
+        audit/definition.py:194): the audit cost is O(batch), never
+        O(table) — the difference between auditable and un-auditable at
+        100 TB. Whole-table audits remain for wholesale kinds."""
         import logging
 
+        relation = snapshot.table_name
+        tc = snapshot.model.time_column
+        if start is not None and end is not None and tc:
+            relation = (
+                f"(SELECT * FROM {snapshot.table_name} "
+                f"WHERE {tc} >= CAST('{start}' AS TIMESTAMP) "
+                f"AND {tc} < CAST('{end}' AS TIMESTAMP)) AS _audit_scope"
+            )
         failures = []
         for name, args in snapshot.model.audits:
             fn = getattr(audit_lib, name, None)
@@ -221,7 +241,7 @@ class SnapshotEvaluator:
             kwargs = dict(args)
             blocking = str(kwargs.pop("blocking", "true")).lower() != "false"
             # SQL-level audits take the physical table as relation.
-            sql = fn(table=snapshot.table_name, dialect=audit_lib.SPARK, **kwargs)
+            sql = fn(table=relation, dialect=audit_lib.SPARK, **kwargs)
             n_bad = self.spark.sql(sql).limit(1).count()
             if n_bad > 0:
                 if blocking:
@@ -368,7 +388,13 @@ class Scheduler:
         # the batch UNRECORDED, so the next run reprocesses it — safe because
         # every incremental write path here is idempotent per interval.
         if batches:
-            failures = self.evaluator.run_audits(snapshot)
+            a_start = a_end = None
+            if done:
+                # Scope audits to the union of just-written batches so the
+                # audit scan is O(batch), not O(table), at scale.
+                a_start = from_epoch(min(bs for bs, _ in done))
+                a_end = from_epoch(max(be for _, be in done))
+            failures = self.evaluator.run_audits(snapshot, a_start, a_end)
             if failures:
                 raise AuditError(f"audits failed on {model.name}: {failures}")
         for bs, be in done:

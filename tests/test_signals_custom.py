@@ -213,3 +213,44 @@ def test_model_kind_name_variable(spark, sf_dir):
     )
     rendered = ctx.render("kv.m")
     assert rendered == "SELECT 'FULL' AS kind_name"
+
+
+def test_audit_scoped_to_written_interval(spark, sf_dir):
+    """Audits on incremental models scope to the just-written interval:
+    a corrupt historical row outside the new batch window must not block
+    new batches (O(batch) audit cost), while an unscoped whole-table
+    audit still flags it."""
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.scheduler import SnapshotEvaluator
+
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(
+        f"""
+MODEL (name sa.daily, kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+       audits (accepted_range(column = qty, low = 0, high = 1000)));
+SELECT o_orderdate AS event_ts, o_orderkey, CAST(1 AS INT) AS qty FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP) AND o_orderdate < CAST(@end_ts AS TIMESTAMP)
+"""
+    )
+    ctx.run(environment="sa_env", start="1995-01-02", end="1995-01-04")
+    snap = ctx.plan("sa_env").snapshots["sa.daily"]
+
+    # Corrupt a row INSIDE already-processed history (simulates late
+    # upstream corruption the scheduler is not responsible for re-auditing).
+    spark.sql(
+        f"INSERT INTO {snap.table_name} (event_ts, o_orderkey, qty, _ds) "
+        "VALUES (TIMESTAMP '1995-01-02 00:00:00', -1, CAST(9999 AS INT), '1995-01-02')"
+    )
+
+    # New window runs clean: the scoped audit ignores the corrupt history.
+    executed = ctx.run(environment="sa_env", start="1995-01-02", end="1995-01-06")
+    assert executed["sa.daily"] == 1  # the merged new [01-04, 01-06) batch ran
+
+    ev = SnapshotEvaluator(spark)
+    # Unscoped (whole-table) audit still sees the corruption.
+    assert ev.run_audits(snap) != []
+    # Scoped to the clean window: passes.
+    assert ev.run_audits(snap, "1995-01-04", "1995-01-06") == []
