@@ -45,23 +45,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as parquet TIMESTAMP(NANOS), which the Spark
-    vectorized reader rejects. Read it as a raw int64 (legacy conf, runtime
-    settable) and expose BOTH:
+    """events.parquet has shipped with ``ts`` as either parquet
+    TIMESTAMP(NANOS) (read as raw int64 via the legacy conf) or
+    ``timestamp[us]`` (read as TIMESTAMP_NTZ on Spark >= 4). Branch on the
+    dtype Spark actually read and expose BOTH:
     - ``ts``    TIMESTAMP truncated to microseconds (Spark's native precision)
     - ``ts_ns`` BIGINT exact epoch-nanos, for ordering/arithmetic that must
-      match nanosecond-precision engines bit-for-bit.
+      match nanosecond-precision engines bit-for-bit (DuckDB ``epoch_ns``).
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integer DIV, never float division: epoch-nanos exceed double's 2^53
-    # mantissa, so `/ 1000` would round the microsecond (off-by-one vs any
-    # engine that truncates exactly).
-    return df.withColumn("ts_ns", F.col("ts").cast("bigint")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    if dict(df.dtypes)["ts"] == "bigint":
+        # parquet TIMESTAMP(NANOS) surfaced as int64 epoch-nanos. Integer
+        # DIV, never float division: epoch-nanos exceed double's 2^53
+        # mantissa, so `/ 1000` would round the microsecond.
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    # timestamp[us] -> TIMESTAMP_NTZ (or TIMESTAMP). Session TZ is pinned
+    # UTC in load_table, so the NTZ->LTZ cast is the identity mapping and
+    # unix_micros*1000 equals DuckDB's epoch_ns on micros-precision data.
+    ts = F.col("ts").cast("timestamp")
+    return df.withColumn("ts_ns", F.unix_micros(ts) * F.lit(1000)).withColumn("ts", ts)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
