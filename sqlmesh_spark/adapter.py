@@ -31,6 +31,34 @@ from typing import Iterable, Mapping, Optional, Sequence, Union
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _subday_touched_days(start: str, end: str) -> Optional[list[str]]:
+    """For a NON-day-aligned [start, end) interval, the 'yyyy-MM-dd' day
+    partitions it touches; None when both bounds sit on day boundaries
+    (the fast dynamic-overwrite path handles that)."""
+    import datetime as dt
+
+    def parse(s: str) -> Optional[dt.datetime]:
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                return dt.datetime.strptime(s, fmt)
+            except ValueError:
+                continue
+        return None
+
+    s_dt, e_dt = parse(start), parse(end)
+    if s_dt is None or e_dt is None or e_dt <= s_dt:
+        return None
+    midnight = dt.time(0, 0, 0)
+    if s_dt.time() == midnight and e_dt.time() == midnight:
+        return None
+    last = (e_dt - dt.timedelta(microseconds=1)).date()
+    out, d = [], s_dt.date()
+    while d <= last:
+        out.append(d.strftime("%Y-%m-%d"))
+        d += dt.timedelta(days=1)
+    return out
+
 QueryOrDF = Union[str, DataFrame]
 
 
@@ -200,8 +228,24 @@ class SparkAdapter:
             F.col(time_column) < F.lit(end).cast("timestamp")
         )
         df = df.filter(in_interval)
-        if self._partition_columns(table):
-            self._insert_overwrite_partitions(table, df)
+        part_cols = self._partition_columns(table)
+        if part_cols:
+            days = _subday_touched_days(start, end)
+            if days is not None and "_ds" in part_cols:
+                # Sub-daily interval inside day partitions: a plain dynamic
+                # overwrite would clobber sibling sub-day batches in the
+                # same day partition. Partition-scoped DELETE_INSERT: read
+                # ONLY the touched day partitions (pruned scan), drop the
+                # interval, union the batch, dynamic-overwrite those
+                # partitions — cost is O(touched days), never O(table).
+                kept = self.spark.table(table).filter(
+                    F.col("_ds").isin(days) & ~in_interval
+                )
+                self._insert_overwrite_partitions(
+                    table, kept.unionByName(self._project_to_table(df, table))
+                )
+            else:
+                self._insert_overwrite_partitions(table, df)
         else:
             kept = self.spark.table(table).filter(~in_interval)
             self._atomic_rewrite(table, kept.unionByName(self._project_to_table(df, table)))

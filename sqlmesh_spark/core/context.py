@@ -26,10 +26,19 @@ class Context:
         project_dir: Optional[str] = None,
         state_dir: Optional[str] = None,
         models: Optional[dict[str, Model]] = None,
+        before_all: Optional[list[str]] = None,
+        after_all: Optional[list[str]] = None,
     ):
         self.spark = spark
         self.project_dir = project_dir
         self.models: dict[str, Model] = dict(models or {})
+        # Standalone audits (audit/definition.py:157) — scheduled after
+        # their upstream models, reported (never blocking).
+        self.standalone_audits: dict[str, "StandaloneAudit"] = {}
+        # Environment statements (environment.py:264 EnvironmentStatements):
+        # run before/after every plan application for the environment.
+        self.before_all: list[str] = list(before_all or [])
+        self.after_all: list[str] = list(after_all or [])
         if project_dir:
             self._load(project_dir)
         state_dir = state_dir or os.path.join(project_dir or ".", ".sqlmesh_state")
@@ -57,10 +66,22 @@ class Context:
                 columns={c: "STRING" for c in header},
             )
             self.models.setdefault(model.name, model)
+        for path in sorted(glob.glob(os.path.join(project_dir, "audits", "*.sql"))):
+            from sqlmesh_spark.core.audit_def import parse_audit_file
+
+            audit = parse_audit_file(path)
+            self.standalone_audits[audit.name] = audit
         # Re-resolve depends_on now that all model names are known.
         known = set(self.models)
         for m in self.models.values():
             m.depends_on = extract_depends_on(m.query, known)
+
+    def add_standalone_audit(self, text: str) -> "StandaloneAudit":
+        from sqlmesh_spark.core.audit_def import parse_audit_text
+
+        audit = parse_audit_text(text)
+        self.standalone_audits[audit.name] = audit
+        return audit
 
     def add_model(self, text: str, seed_csv: Optional[str] = None,
                   columns: Optional[dict[str, str]] = None) -> Model:
@@ -89,7 +110,47 @@ class Context:
         return self._evaluator.plan(self.models, environment, start, end, forward_only)
 
     def apply(self, plan: Plan) -> dict[str, int]:
-        return self._evaluator.apply(plan)
+        """Environment statements bracket the application (BeforeAllStage /
+        AfterAllStage, plan/evaluator.py:127/:141); standalone audits run
+        after backfill, against the environment's physical tables."""
+        from sqlmesh_spark.macros import MacroEvaluator, temporal_variables
+
+        variables = temporal_variables(plan.start, plan.end)
+        # Pre-quoted like the temporal _ds/_ts vars — the renderer never
+        # substitutes inside quoted strings, so statements use it bare.
+        variables["this_env"] = f"'{plan.environment}'"
+        ev = MacroEvaluator(variables=variables)
+        if self.before_all or self.after_all:
+            self.state.put_environment_statements(
+                plan.environment, self.before_all, self.after_all
+            )
+        for stmt in self.before_all:
+            self.spark.sql(ev.render(stmt))
+        executed = self._evaluator.apply(plan)
+        self._run_standalone_audits(plan, ev)
+        for stmt in self.after_all:
+            self.spark.sql(ev.render(stmt))
+        return executed
+
+    def _run_standalone_audits(self, plan: Plan, ev) -> None:
+        """Render each audit's query against the plan's physical tables;
+        violation counts are recorded and warned about, never blocking
+        (audit/definition.py:189)."""
+        import logging
+
+        from sqlmesh_spark.core.scheduler import _replace_table_ref
+
+        mapping = {n: s.table_name for n, s in plan.snapshots.items()}
+        for audit in self.standalone_audits.values():
+            sql = ev.render(audit.query)
+            for logical, physical in sorted(mapping.items(), key=lambda kv: -len(kv[0])):
+                sql = _replace_table_ref(sql, logical, physical)
+            n_bad = self.spark.sql(sql).count()
+            self.state.put_audit_result(plan.environment, audit.name, n_bad)
+            if n_bad:
+                logging.getLogger("sqlmesh_spark").warning(
+                    "standalone audit %s found %d violation(s)", audit.name, n_bad
+                )
 
     def run(
         self,
@@ -146,6 +207,13 @@ class Context:
 
     def evaluate(self, model_name: str, start: str = "1992-01-01", end: str = "1998-12-31") -> DataFrame:
         return self.spark.sql(self.render(model_name, start, end))
+
+    def columns_to_types(self, model_name: str) -> Optional[dict[str, str]]:
+        """Render-time inferred schema (definition.py:1449-1482): analyzed,
+        never executed — model upstreams need no physical tables."""
+        from sqlmesh_spark.core.inference import infer_columns_to_types
+
+        return infer_columns_to_types(self.spark, self.models, model_name)
 
     def janitor(self) -> list[str]:
         """Drop physical snapshot tables no environment references anymore

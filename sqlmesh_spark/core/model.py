@@ -61,6 +61,9 @@ class Model:
     columns: dict[str, str] = field(default_factory=dict)
     lookback: int = 0
     batch_size: Optional[int] = None
+    # model/meta.py:110 — include the trailing partial interval of a run
+    # window instead of waiting for the unit to complete.
+    allow_partials: bool = False
     # Destructive-change policy for forward-only migrations
     # (model/kind.py:195-226 on_destructive_change): error | warn | allow.
     on_destructive_change: str = "error"
@@ -214,6 +217,8 @@ def parse_model_text(text: str) -> Model:
         columns=columns,
         lookback=int(props.get("lookback", "0") or 0),
         batch_size=int(props["batch_size"]) if "batch_size" in props else None,
+        allow_partials=_unquote(props.get("allow_partials", "false")).lower()
+        in ("true", "1"),
         on_destructive_change=_unquote(
             props.get("on_destructive_change", "error")
         ).lower(),

@@ -29,10 +29,24 @@ class ModelTestResult:
     failures: list[str] = field(default_factory=list)
 
 
-def _rows_to_df(spark: SparkSession, rows: list[dict]):
+def _rows_to_df(spark: SparkSession, rows: list[dict], types: Optional[Mapping[str, str]] = None):
+    """Fixture rows -> DataFrame. When the upstream's column types are
+    known (declared or inferred — test/definition.py types fixtures from
+    columns_to_types), cast each column so YAML's stringly-typed literals
+    behave like the real table (e.g. '2024-01-02' vs TIMESTAMP)."""
     import pandas as pd
 
-    return spark.createDataFrame(pd.DataFrame(rows))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    if types:
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[
+                F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df
 
 
 def _canon(rows: list[dict]) -> list[tuple]:
@@ -92,7 +106,11 @@ class ModelTestRunner:
         mapping = {}
         for upstream, data in (body.get("inputs") or {}).items():
             view = "test_" + upstream.replace(".", "__")
-            _rows_to_df(self.spark, data["rows"]).createOrReplaceTempView(view)
+            types = data.get("columns")
+            if types is None and upstream.lower() in models:
+                up = models[upstream.lower()]
+                types = {c: t for c, t in up.columns.items()} or None
+            _rows_to_df(self.spark, data["rows"], types).createOrReplaceTempView(view)
             mapping[upstream.lower()] = view
 
         variables = temporal_variables(

@@ -223,7 +223,9 @@ class PlanEvaluator:
             pinned = Snapshot(model=new.model, version=old_version, parents=new.parents)
             if self.adapter.table_exists(pinned.table_name):
                 current_cols = self.adapter.columns(pinned.table_name)
-                target_cols = self._query_schema(pinned, self._mapping(snapshots))
+                target_cols = self._query_schema(
+                    pinned, self._mapping(snapshots), snapshots
+                )
                 if target_cols is not None:
                     deltas = differ.compare(current_cols, target_cols)
                     destructive = [d for d in deltas if differ.is_destructive(d)]
@@ -256,7 +258,9 @@ class PlanEvaluator:
     def _mapping(self, snapshots: Mapping[str, Snapshot]) -> dict[str, str]:
         return {n: s.table_name for n, s in snapshots.items()}
 
-    def _query_schema(self, snapshot: Snapshot, mapping=None) -> dict[str, str] | None:
+    def _query_schema(
+        self, snapshot: Snapshot, mapping=None, snapshots=None
+    ) -> dict[str, str] | None:
         """Analyze (don't execute) the rendered query for its schema."""
         from sqlmesh_spark.core.scheduler import SnapshotEvaluator
 
@@ -267,11 +271,21 @@ class PlanEvaluator:
                 snapshot, "1970-01-01", "1970-01-02", mapping or {}
             )
             cols = dict(self.spark.sql(sql).dtypes)
-            if snapshot.model.kind.value == "INCREMENTAL_BY_TIME_RANGE":
-                cols["_ds"] = "string"
-            return cols
         except Exception:
-            return None
+            # Upstream physical tables may not exist yet (plan precedes
+            # backfill) — fall back to pure inference over empty views.
+            try:
+                from sqlmesh_spark.core.inference import infer_columns_to_types
+
+                models = {n: s.model for n, s in (snapshots or {}).items()}
+                cols = infer_columns_to_types(self.spark, models, snapshot.model.name)
+            except Exception:
+                return None
+            if cols is None:
+                return None
+        if snapshot.model.kind.value == "INCREMENTAL_BY_TIME_RANGE":
+            cols["_ds"] = "string"
+        return cols
 
     def apply(self, plan: Plan) -> dict[str, int]:
         # Stage 1: snapshot records.

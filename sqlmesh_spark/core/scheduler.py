@@ -51,6 +51,18 @@ def register_custom_materialization(name: str, fn) -> None:
     CUSTOM_MATERIALIZATIONS[name.lower()] = fn
 
 
+# Render cache (reference model/cache.py:1-234 caches optimized renders
+# keyed by fingerprint): a snapshot's version hash covers its query, kind
+# args, and (recursively) its parents, so (version, start, end, mapping)
+# fully determines the rendered SQL — a 5,000-model DAG re-planning an
+# unchanged project re-renders nothing. Schema-consuming (@STAR/@UNION)
+# queries bypass the cache: a forward-only ALTER can change an upstream
+# schema without changing any version.
+_RENDER_CACHE: dict[tuple, str] = {}
+RENDER_STATS = {"hits": 0, "misses": 0}
+_RENDER_CACHE_MAX = 4096
+
+
 class SnapshotEvaluator:
     """kind → materialization strategy dispatch
     (evaluator.py:1643 _evaluation_strategy)."""
@@ -68,14 +80,43 @@ class SnapshotEvaluator:
     ) -> str:
         """Macro-render the model query and resolve model references to
         physical snapshot tables (renderer.py:527 + _resolve_tables)."""
+        from sqlmesh_spark.core.inference import needs_schemas
+
+        cacheable = not needs_schemas(snapshot.model.query)
+        key = ()
+        if cacheable:
+            key = (
+                snapshot.version,
+                snapshot.model.name,
+                start,
+                end,
+                tuple(sorted(table_mapping.items())),
+            )
+            cached = _RENDER_CACHE.get(key)
+            if cached is not None:
+                RENDER_STATS["hits"] += 1
+                return cached
+            RENDER_STATS["misses"] += 1
         variables = temporal_variables(start, end)
         variables["this_model"] = snapshot.table_name
         # Evaluation-context vars (renderer.py:140-151).
         variables["model_kind_name"] = f"'{snapshot.model.kind.value}'"
-        sql = MacroEvaluator(variables=variables).render(snapshot.model.query)
+        # Schema-consuming macros (@STAR/@UNION) resolve upstream schemas
+        # from the live physical relations (parents materialize first in
+        # DAG order) — render-time type inference, definition.py:1449-1482.
+        schemas: Mapping[str, Mapping[str, str]] = {}
+        from sqlmesh_spark.core.inference import needs_schemas, upstream_schemas
+
+        if needs_schemas(snapshot.model.query):
+            schemas = upstream_schemas(self.spark, snapshot.model, table_mapping)
+        sql = MacroEvaluator(variables=variables, schemas=schemas).render(snapshot.model.query)
         # Physical-name resolution: longest names first so db.a.b wins.
         for logical, physical in sorted(table_mapping.items(), key=lambda kv: -len(kv[0])):
             sql = _replace_table_ref(sql, logical, physical)
+        if cacheable:
+            if len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
+                _RENDER_CACHE.clear()
+            _RENDER_CACHE[key] = sql
         return sql
 
     def evaluate(
@@ -356,7 +397,12 @@ class Scheduler:
             ModelKind.SCD_TYPE_2_BY_COLUMN,
         ):
             chunks = missing_intervals(
-                eff_start, end, processed, unit=unit, lookback=model.lookback
+                eff_start,
+                end,
+                processed,
+                unit=unit,
+                lookback=model.lookback,
+                allow_partials=model.allow_partials,
             )
             if model.signals:
                 # Signal gating (scheduler.py:950 _check_ready_intervals):

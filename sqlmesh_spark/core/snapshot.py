@@ -168,14 +168,21 @@ def missing_intervals(
     processed: Iterable[tuple[int, int]] = (),
     unit: int = DAY,
     lookback: int = 0,
+    allow_partials: bool = False,
 ) -> list[tuple[int, int]]:
     """Unit-aligned chunks of [start, end) not yet covered by `processed`,
     with `lookback` units re-included behind the watermark for late data
-    (snapshot/definition.py:2033 + kind.py:423 lookback semantics)."""
+    (snapshot/definition.py:2033 + kind.py:423 lookback semantics).
+
+    A trailing PARTIAL unit (``end`` not on a boundary) is EXCLUDED by
+    default — it runs once its unit completes — matching the reference's
+    completed-intervals contract; ``allow_partials=True`` (model/meta.py:110)
+    includes the partial [floor(end), end) tail chunk, recorded as processed
+    only up to ``end`` so the remainder of the unit still runs later."""
     s0 = floor_to(to_epoch(start) if isinstance(start, str) else start, unit)
-    e0 = to_epoch(end) if isinstance(end, str) else end
-    f0 = floor_to(e0, unit)
-    e0 = f0 if f0 == e0 else next_unit(f0, unit)  # ceil to unit boundary
+    raw_end = to_epoch(end) if isinstance(end, str) else end
+    f0 = floor_to(raw_end, unit)
+    e0 = raw_end if (allow_partials or f0 == raw_end) else f0
     covered = merge_intervals(processed)
     if lookback and covered:
         # Re-open the last `lookback` units of covered history.

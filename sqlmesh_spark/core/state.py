@@ -114,6 +114,34 @@ class StateStore:
     def get_environment(self, env: str) -> dict[str, str]:
         return self._read("environments").get(env, {})
 
+    # -- environment statements (state_sync/db/environment.py:33
+    # _environment_statements table: before_all/after_all per env) ----------
+
+    def put_environment_statements(
+        self, env: str, before_all: list[str], after_all: list[str]
+    ) -> None:
+        with self._lock:
+            data = self._read("environment_statements")
+            data[env] = {"before_all": before_all, "after_all": after_all}
+            self._write("environment_statements", data)
+
+    def get_environment_statements(self, env: str) -> dict[str, list[str]]:
+        return self._read("environment_statements").get(
+            env, {"before_all": [], "after_all": []}
+        )
+
+    # -- standalone audit results (audit/definition.py:157; results are
+    # reported, never blocking) --------------------------------------------
+
+    def put_audit_result(self, env: str, audit: str, violations: int) -> None:
+        with self._lock:
+            data = self._read("audit_results")
+            data.setdefault(env, {})[audit] = violations
+            self._write("audit_results", data)
+
+    def get_audit_results(self, env: str) -> dict[str, int]:
+        return self._read("audit_results").get(env, {})
+
     # -- export / import (the reference's `sqlmesh state export/import`:
     # state_sync dump with a schema-version stamp, refused on mismatch) ----
 

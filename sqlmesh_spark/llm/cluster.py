@@ -34,7 +34,17 @@ def connected_components(
 ) -> DataFrame:
     """(doc_id, component) with component = min doc id reachable via
     undirected edges. Isolated nodes absent from `edges` are absent here
-    (callers union them back if needed)."""
+    (callers union them back if needed).
+
+    Each round combines min-label propagation (one hop through edges) with
+    POINTER JUMPING (component ← label(component)), so label paths halve
+    every round and convergence is O(log diameter) — a 1M-node path graph
+    converges in ~20 rounds, where plain propagation needs 1M (Kiveris et
+    al. large-star/small-star achieves the same bound; pointer jumping is
+    the same idea expressed on the label table instead of the edge set).
+    Raises RuntimeError if the fixpoint is not reached within ``max_iter``
+    rounds — silently returning half-merged clusters would dedupe wrongly.
+    """
     both = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionByName(
         edges.selectExpr(f"{dst} AS u", f"{src} AS v")
     )
@@ -43,34 +53,53 @@ def connected_components(
         both.select("u").distinct().select(F.col("u"), F.col("u").alias("component"))
     )
     for _ in range(max_iter):
-        # labels derives from `both`; alias both sides so the self-join
-        # columns resolve unambiguously.
+        # One hop: min over neighbors' labels. Alias both sides so the
+        # self-join columns resolve unambiguously.
         neighbor_min = (
             both.alias("e")
             .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
             .groupBy(F.col("e.u").alias("u"))
             .agg(F.min("l.component").alias("nmin"))
         )
+        hopped = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias(
+                "component"
+            ),
+        )
+        # Pointer jump: follow the label one more step (component ←
+        # label(component)) — this is what turns O(diameter) into O(log).
+        jump = hopped.select(
+            F.col("u").alias("j_u"), F.col("component").alias("j_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, "u", "left")
+            hopped.alias("a")
+            .join(jump.alias("b"), F.col("a.component") == F.col("b.j_u"), "left")
             .select(
-                "u",
+                F.col("a.u").alias("u"),
                 F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                    F.col("a.component"),
+                    F.coalesce(F.col("b.j_comp"), F.col("a.component")),
                 ).alias("component"),
-                (F.coalesce("nmin", F.col("component")) < F.col("component")).alias(
-                    "changed"
-                ),
             )
         )
         # Truncate lineage each round; one small driver-side count gates
-        # convergence (the count is O(1) rows — an agg, not a collect of data).
+        # convergence (an aggregate, not a collect of data).
         new_labels = new_labels.localCheckpoint()
-        n_changed = new_labels.filter("changed").count()
-        labels = new_labels.drop("changed")
+        n_changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old_component"), "u"
+            )
+            .filter(F.col("component") != F.col("old_component"))
+            .count()
+        )
+        labels = new_labels
         if n_changed == 0:
-            break
-    return labels.select(F.col("u").alias("doc_id"), "component")
+            return labels.select(F.col("u").alias("doc_id"), "component")
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iter} rounds — "
+        "raise max_iter (rounds scale with log of the largest cluster diameter)"
+    )
 
 
 CLUSTER_ORACLE = (

@@ -929,7 +929,9 @@ GROUP BY 1, 2
         }
     )
     ctx = Context(spark, project_dir=project, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
-    executed = ctx.run(environment="env_month", start="1995-01-01", end="1995-03-31")
+    # End on the Apr-1 boundary: completed-intervals semantics (a partial
+    # trailing month is excluded without allow_partials).
+    executed = ctx.run(environment="env_month", start="1995-01-01", end="1995-04-01")
     assert executed["demo_month.monthly_orders"] == 3, executed
 
     return spark.sql(
@@ -1422,3 +1424,228 @@ def framework_python_generator_model(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.table("env_pygen_views.segment_tiers").select(
         "segment", "tier", "n", "bal_cents"
     )
+
+
+SCHEMA_INFERENCE_ORACLE = """
+SELECT * FROM (VALUES
+  ('o_orderkey',    'bigint'),
+  ('o_orderstatus', 'string'),
+  ('price_cents',   'bigint'),
+  ('status_uc',     'string')
+) AS t(column_name, data_type)
+"""
+
+
+@register("schema_inference", oracle=SCHEMA_INFERENCE_ORACLE, tags=("framework",))
+def schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render-time columns_to_types (definition.py:1449-1482;
+    renderer.py:647-685): the child model declares NO columns and uses
+    @STAR over an upstream model; inference analyzes the rendered query
+    against recursively-inferred EMPTY upstream views — zero execution,
+    no physical tables, so a plan can type-check a 5,000-model DAG in
+    catalog time before any backfill."""
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (name demo_si.parent, kind FULL);
+SELECT o_orderkey, o_orderstatus,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM {orders}
+"""
+    )
+    ctx.add_model(
+        """
+MODEL (name demo_si.child, kind FULL);
+SELECT @STAR(demo_si.parent, p), UPPER(p.o_orderstatus) AS status_uc
+FROM demo_si.parent p
+"""
+    )
+    cols = ctx.columns_to_types("demo_si.child")
+    return spark.createDataFrame(
+        list(cols.items()), "column_name string, data_type string"
+    )
+
+
+STAR_INFERRED_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS d_c_custkey,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS d_bal_cents,
+       c_custkey % 10 AS bucket
+FROM customer WHERE c_custkey <= 500
+"""
+
+
+@register("framework_star_inferred_schema", oracle=STAR_INFERRED_ORACLE, tags=("framework",))
+def framework_star_inferred_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@STAR through the full plan/apply stack with NO declared columns
+    anywhere: the child's @STAR resolves the upstream model's schema from
+    its just-materialized physical relation (evaluation-time counterpart
+    of render-time inference; macros.py:854 star)."""
+    customer = f"parquet.`{sf_dir}/customer.parquet`"
+    _clean_dbs(spark, "sqlmesh__demo_star", "env_star_views")
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (name demo_star.base, kind FULL);
+SELECT c_custkey, c_mktsegment,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM {customer} WHERE c_custkey <= 500
+"""
+    )
+    ctx.add_model(
+        """
+MODEL (name demo_star.enriched, kind FULL);
+SELECT @STAR(demo_star.base, b, [c_mktsegment], 'd_'), b.c_custkey % 10 AS bucket
+FROM demo_star.base b
+"""
+    )
+    ctx.run(environment="env_star", start="1995-01-01", end="1995-01-02")
+    return spark.table("env_star_views.enriched")
+
+
+FIVE_MINUTE_ORACLE = """
+SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-01 00:57:00'
+GROUP BY 1
+"""
+
+
+@register("framework_cron_five_minute", oracle=FIVE_MINUTE_ORACLE, tags=("framework",))
+def framework_cron_five_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-daily interval scheduling (node.py:28-59 FIVE_MINUTE unit;
+    model/meta.py:110 allow_partials): a cron '@five_minute' incremental
+    model with allow_partials runs a window ending MID-unit — the partial
+    tail [00:40, 00:42:30) executes immediately instead of waiting for the
+    unit to complete, and the next run resumes from exactly 00:42:30 (no
+    duplication, no loss). Also pins the sub-daily overwrite bug class:
+    both runs land inside ONE day partition, so the second must not
+    clobber the first's rows (adapter's partition-scoped DELETE_INSERT).
+    The model is a raw projection — with partials, a time_column coarser
+    than the row granularity would split aggregates across batches."""
+    from sqlmesh_spark.sources.tables import load_table
+
+    _clean_dbs(spark, "sqlmesh__demo_5m", "env_5m_views")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_src_5m")
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_5m.ticks,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column ts),
+  cron '@five_minute',
+  allow_partials true,
+  start '2024-01-01'
+);
+SELECT ts, event_id, value
+FROM events_src_5m
+WHERE ts >= CAST(@start_ts AS TIMESTAMP) AND ts < CAST(@end_ts AS TIMESTAMP)
+"""
+    )
+    # Run 1 ends mid-unit at 00:42:30 — allow_partials admits the partial
+    # [00:40, 00:42:30) tail; without it nothing past 00:40 would run.
+    ctx.run(environment="env_5m", start="2024-01-01 00:00:00", end="2024-01-01 00:42:30")
+    from sqlmesh_spark.core.plan import build_snapshots
+    from sqlmesh_spark.core.snapshot import to_epoch
+
+    snap = build_snapshots(ctx.models)["demo_5m.ticks"]
+    done = ctx.state.get_intervals("demo_5m.ticks", snap.version)
+    hi = max(e for _, e in done)
+    assert hi == to_epoch("2024-01-01 00:42:30"), f"partial tail not admitted: {hi}"
+    # Run 2 extends to 00:57 — resumes at 00:42:30, same day partition.
+    ctx.run(environment="env_5m", start="2024-01-01 00:00:00", end="2024-01-01 00:57:00")
+    return spark.sql(
+        """
+SELECT date_format(to_timestamp(CAST(floor(unix_timestamp(ts) / 300) * 300 AS BIGINT)),
+                   'yyyy-MM-dd HH:mm:ss') AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM env_5m_views.ticks GROUP BY 1
+"""
+    )
+
+
+STANDALONE_AUDIT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
+GROUP BY 1 HAVING COUNT(*) < 18
+"""
+
+
+@register("framework_standalone_audit", oracle=STANDALONE_AUDIT_ORACLE, tags=("framework",))
+def framework_standalone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone audit (audit/definition.py:157): an AUDIT(...) artifact
+    with its own query over a model, run after backfill. It REPORTS
+    violations (recorded in state, warned) but can never block — the
+    reference validates standalone audits are non-blocking (:189)."""
+    _clean_dbs(spark, "sqlmesh__demo_sa", "env_sa_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (name demo_sa.daily_orders, kind FULL);
+SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS ds, COUNT(*) AS n_orders
+FROM {orders}
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
+GROUP BY 1
+"""
+    )
+    ctx.add_standalone_audit(
+        """
+AUDIT (name assert_order_volume);
+SELECT ds, n_orders FROM demo_sa.daily_orders WHERE n_orders < 18
+"""
+    )
+    # Blocking standalone audits must be rejected at parse time.
+    try:
+        ctx.add_standalone_audit("AUDIT (name bad, blocking true);\nSELECT 1 AS x")
+        raise AssertionError("blocking standalone audit was accepted")
+    except ValueError:
+        pass
+    ctx.run(environment="env_sa", start="1995-01-01", end="1995-02-01")
+    recorded = ctx.state.get_audit_results("env_sa")["assert_order_volume"]
+    got = spark.sql(
+        "SELECT ds, n_orders FROM env_sa_views.daily_orders WHERE n_orders < 18"
+    )
+    assert recorded == got.count(), (recorded, got.count())
+    return got
+
+
+ENV_STATEMENTS_ORACLE = """
+SELECT * FROM (VALUES ('after', 'env_es'), ('before', 'env_es')) AS t(phase, env)
+"""
+
+
+@register("framework_environment_statements", oracle=ENV_STATEMENTS_ORACLE, tags=("framework",))
+def framework_environment_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Environment statements (environment.py:264 EnvironmentStatements;
+    plan/evaluator.py:127/:141 Before/AfterAllStage): before_all/after_all
+    SQL runs bracketing every plan application, with @vars rendered
+    (@this_env here), and the statements are persisted in state per
+    environment (state_sync/db/environment.py _environment_statements)."""
+    region = f"parquet.`{sf_dir}/region.parquet`"
+    _clean_dbs(spark, "sqlmesh__demo_es", "env_es_views", "demo_es_meta")
+    spark.sql("CREATE DATABASE demo_es_meta")
+    spark.sql("CREATE TABLE demo_es_meta.run_log (phase STRING, env STRING)")
+    ctx = Context(
+        spark,
+        state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"),
+        before_all=["INSERT INTO demo_es_meta.run_log VALUES ('before', @this_env)"],
+        after_all=["INSERT INTO demo_es_meta.run_log VALUES ('after', @this_env)"],
+    )
+    ctx.add_model(
+        f"""
+MODEL (name demo_es.regions, kind FULL);
+SELECT r_regionkey, r_name FROM {region}
+"""
+    )
+    ctx.run(environment="env_es", start="1995-01-01", end="1995-01-02")
+    stored = ctx.state.get_environment_statements("env_es")
+    assert stored["before_all"] and stored["after_all"], stored
+    return spark.sql("SELECT phase, env FROM demo_es_meta.run_log ORDER BY phase")

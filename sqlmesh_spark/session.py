@@ -59,10 +59,14 @@ def build_session(
 
 
 def _warehouse_dir() -> str:
-    """Scratch warehouse outside the repo so test writes never dirty git."""
+    """Scratch warehouse outside the repo so test writes never dirty git.
+    Per-PID so concurrent processes (pytest + a verify sweep) never race
+    on the same managed-table directories."""
     d = os.environ.get("SPARK_GRAFT_WAREHOUSE")
     if not d:
-        d = os.path.join(tempfile.gettempdir(), "sqlmesh_spark_warehouse")
+        d = os.path.join(
+            tempfile.gettempdir(), f"sqlmesh_spark_warehouse_{os.getpid()}"
+        )
     os.makedirs(d, exist_ok=True)
     return d
 

@@ -33,15 +33,27 @@ TABLES = (
 BROADCAST_SAFE = ("region", "nation")
 
 
+# Loaded-DataFrame cache: a DataFrame is a lazy plan, so reusing one across
+# cases is safe and skips the per-read footer/schema round-trip — across a
+# ~200-case sweep that's the bulk of source-side driver overhead.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Timestamp literals and date_format must agree with the UTC-naive
     # parquet timestamps regardless of the host session's zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _DF_CACHE[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -274,8 +274,14 @@ def test_monthly_interval_unit_calendar_math():
         ("2024-01-01", "2024-02-01"),
         ("2024-02-01", "2024-03-01"),
         ("2024-03-01", "2024-04-01"),
-        ("2024-04-01", "2024-05-01"),
     ]
+    # allow_partials (model/meta.py:110): the partial trailing period runs
+    # as a short chunk instead of waiting for the month to complete.
+    partial = missing_intervals("2024-01-15", "2024-04-02", unit=MONTH, allow_partials=True)
+    assert [(from_epoch(s)[:10], from_epoch(e)[:10]) for s, e in partial][-1] == (
+        "2024-04-01",
+        "2024-04-02",
+    )
     # lookback=1 reopens the last covered month (late-arriving data heal).
     done = [(to_epoch("2024-01-01"), to_epoch("2024-03-01"))]
     redo = missing_intervals("2024-01-01", "2024-03-01", done, unit=MONTH, lookback=1)
@@ -293,4 +299,30 @@ def test_subhour_interval_units():
 
     assert interval_unit("@five_minute") == FIVE_MINUTE
     chunks = missing_intervals("2024-01-01 00:03:00", "2024-01-01 00:11:00", unit=FIVE_MINUTE)
-    assert len(chunks) == 3 and all(e - s == 300 for s, e in chunks)
+    # Partial trailing unit [00:10, 00:11) excluded until the unit completes.
+    assert len(chunks) == 2 and all(e - s == 300 for s, e in chunks)
+    partial = missing_intervals(
+        "2024-01-01 00:03:00", "2024-01-01 00:11:00", unit=FIVE_MINUTE, allow_partials=True
+    )
+    assert len(partial) == 3 and partial[-1][1] - partial[-1][0] == 60
+
+
+def test_render_cache_skips_unchanged_models(spark):
+    """Render/fingerprint cache (reference model/cache.py:1-234): two plans
+    of an UNCHANGED project must not re-render — the snapshot version hash
+    covers query + kind + parents, so the cached SQL is exact."""
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.scheduler import RENDER_STATS
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model("MODEL (name demo_rc.m, kind FULL);\nSELECT 1 AS x")
+    before = dict(RENDER_STATS)
+    ctx.run(environment="env_rc", start="1995-01-01", end="1995-01-02")
+    mid = dict(RENDER_STATS)
+    assert mid["misses"] > before["misses"]
+    ctx.run(environment="env_rc", start="1995-01-01", end="1995-01-02")
+    after = dict(RENDER_STATS)
+    assert after["misses"] == mid["misses"], "unchanged project re-rendered"
+    assert after["hits"] > mid["hits"]

@@ -112,3 +112,26 @@ def test_line_filter_no_boilerplate_survives(spark, sf_dir):
     cleaned = spark.sql(sql).toPandas()
     assert not cleaned.cleaned_md5.str.contains("slow").any()
     assert (cleaned.n_kept <= cleaned.n_lines).all()
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    """A 120-node path graph has diameter 120: plain min-label propagation
+    needs 120 rounds, pointer jumping O(log) — must finish well inside 15."""
+    from sqlmesh_spark.llm.cluster import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(120)], "d1 int, d2 int")
+    rows = connected_components(edges, max_iter=15).collect()
+    assert len(rows) == 121
+    assert all(r.component == 0 for r in rows)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Silent non-convergence would return half-merged clusters; the
+    operator must refuse instead (VERDICT r1 'what's wrong' #3)."""
+    import pytest
+
+    from sqlmesh_spark.llm.cluster import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(200)], "d1 int, d2 int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
