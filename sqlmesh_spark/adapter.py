@@ -163,6 +163,26 @@ class SparkAdapter:
         semantics (isolated writable copy) at the cost of a data copy."""
         self.ctas(target, self.spark.table(source))
 
+    def create_managed_table(
+        self,
+        table: str,
+        query_or_df: QueryOrDF,
+        partitioned_by: Sequence[str] = (),
+    ) -> None:
+        """MANAGED-kind physical creation (engine_adapter/base.py
+        create_managed_table; Snowflake dynamic tables / BigQuery
+        materialized views in the reference). OSS Spark has no
+        self-refreshing table, so the emulation is a CTAS here and an
+        engine-refresh performed by the scheduler on each tick
+        (refresh_managed_table) — on an engine with native support both
+        calls become metadata operations."""
+        self.ctas(table, query_or_df, partitioned_by=partitioned_by)
+
+    def refresh_managed_table(self, table: str, query_or_df: QueryOrDF) -> None:
+        """The scheduled refresh the managing engine would perform itself:
+        atomic stage+rename rewrite from the defining query."""
+        self.replace_query(table, query_or_df)
+
     def alter_table(self, table: str, alter_expressions: Iterable[str]) -> None:
         """Apply SchemaDiffer operations (base.py:1183)."""
         for expr in alter_expressions:

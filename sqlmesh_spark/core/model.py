@@ -28,9 +28,12 @@ from sqlmesh_spark.macros import split_top_level
 
 class ModelKind(str, Enum):
     """model/kind.py:163-182 — the materialization strategies we support
-    natively on Spark (the dbt/managed kinds are out of scope)."""
+    natively on Spark. MANAGED is emulated (no self-refreshing tables in
+    OSS Spark — the scheduler performs the engine's refresh); only the
+    dbt adapter kind is out of scope."""
 
     FULL = "FULL"
+    MANAGED = "MANAGED"
     VIEW = "VIEW"
     EMBEDDED = "EMBEDDED"
     SEED = "SEED"
@@ -64,6 +67,13 @@ class Model:
     # model/meta.py:110 — include the trailing partial interval of a run
     # window instead of waiting for the unit to complete.
     allow_partials: bool = False
+    # Metadata-only fields (model/meta.py owner/description/tags): hashed
+    # into the METADATA fingerprint in the reference, never the data hash —
+    # editing a description must not rebuild a 100 TB table. Mirrored here
+    # by keeping them out of fingerprint_model entirely.
+    description: Optional[str] = None
+    owner: Optional[str] = None
+    tags: tuple[str, ...] = ()
     # Destructive-change policy for forward-only migrations
     # (model/kind.py:195-226 on_destructive_change): error | warn | allow.
     on_destructive_change: str = "error"
@@ -219,6 +229,11 @@ def parse_model_text(text: str) -> Model:
         batch_size=int(props["batch_size"]) if "batch_size" in props else None,
         allow_partials=_unquote(props.get("allow_partials", "false")).lower()
         in ("true", "1"),
+        description=_unquote(props["description"]) if "description" in props else None,
+        owner=_unquote(props["owner"]) if "owner" in props else None,
+        tags=tuple(_unquote(t).lower() for t in _parse_tuple(props["tags"]))
+        if "tags" in props
+        else (),
         on_destructive_change=_unquote(
             props.get("on_destructive_change", "error")
         ).lower(),

@@ -158,9 +158,10 @@ class SnapshotEvaluator:
                 if not frames:
                     raise ValueError(f"python model {model.name} yielded no frames")
                 df = reduce(lambda a, b: a.unionByName(b), frames)
-            if model.kind in (ModelKind.FULL, ModelKind.VIEW):
+            if model.kind in (ModelKind.FULL, ModelKind.VIEW, ModelKind.MANAGED):
                 # VIEW-with-python materializes (a view cannot capture a
-                # DataFrame); FULL semantics are identical.
+                # DataFrame); FULL semantics are identical. MANAGED python
+                # models refresh like FULL (emulated engine refresh).
                 adapter.replace_query(table, df)
                 return
         else:
@@ -170,6 +171,17 @@ class SnapshotEvaluator:
                 return
             if model.kind == ModelKind.FULL:
                 adapter.replace_query(table, sql)
+                return
+            if model.kind == ModelKind.MANAGED:
+                # EngineManagedStrategy (evaluator.py:3089): create a
+                # managed table from the defining query; each scheduled
+                # tick performs the refresh the managing engine would.
+                if not adapter.table_exists(table):
+                    adapter.create_managed_table(
+                        table, sql, partitioned_by=model.partitioned_by
+                    )
+                else:
+                    adapter.refresh_managed_table(table, sql)
                 return
             df = self.spark.sql(sql)
         if model.kind == ModelKind.INCREMENTAL_BY_TIME_RANGE:
@@ -417,7 +429,13 @@ class Scheduler:
             batches = [] if model.kind in (ModelKind.EMBEDDED, ModelKind.EXTERNAL) else batches
         first = not processed
         n = 0
-        wholesale = (ModelKind.FULL, ModelKind.VIEW, ModelKind.SEED, ModelKind.CUSTOM)
+        wholesale = (
+            ModelKind.FULL,
+            ModelKind.VIEW,
+            ModelKind.SEED,
+            ModelKind.CUSTOM,
+            ModelKind.MANAGED,
+        )
         done: list[tuple[int, int]] = []
         for bs, be in batches:
             if model.kind in wholesale:

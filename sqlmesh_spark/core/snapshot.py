@@ -99,10 +99,13 @@ def from_epoch(e: int) -> str:
 
 
 def interval_unit(cron: str) -> int:
-    """IntervalUnit from cron shorthand — the reference's full ladder
+    """IntervalUnit from a cron expression — the reference's full ladder
     (node.py:28: YEAR MONTH DAY HOUR HALF_HOUR QUARTER_HOUR FIVE_MINUTE,
-    minimum five minutes — node.py:59)."""
-    return {
+    minimum five minutes — node.py:59). Accepts both the @shortcuts and
+    5-field cron (the reference estimates the unit from consecutive
+    croniter samples; the field-shape classification below lands on the
+    same ladder rung for standard expressions)."""
+    shortcut = {
         "@yearly": YEAR,
         "@annual": YEAR,
         "@monthly": MONTH,
@@ -111,7 +114,35 @@ def interval_unit(cron: str) -> int:
         "@half_hour": HALF_HOUR,
         "@quarter_hour": QUARTER_HOUR,
         "@five_minute": FIVE_MINUTE,
-    }.get(cron, DAY)
+    }
+    if cron in shortcut:
+        return shortcut[cron]
+    fields = cron.split()
+    if len(fields) != 5:
+        return DAY
+    minute, hour, dom, month, _dow = fields
+    if minute.startswith("*/"):
+        try:
+            step = int(minute[2:])
+        except ValueError:
+            return DAY
+        # node.py:59 — five minutes is the floor.
+        if step <= 5:
+            return FIVE_MINUTE
+        if step <= 15:
+            return QUARTER_HOUR
+        if step <= 30:
+            return HALF_HOUR
+        return HOUR
+    if minute == "*":
+        return FIVE_MINUTE  # every minute requested; clamp to the floor
+    if hour == "*" or hour.startswith("*/"):
+        return HOUR
+    if dom == "*" or dom.startswith("*/"):
+        return DAY
+    if month == "*" or month.startswith("*/"):
+        return MONTH
+    return YEAR
 
 
 def floor_to(epoch: int, unit: int) -> int:

@@ -182,6 +182,49 @@ register(
 )(_case(ngram_familiarity_sql))
 
 
+def hashed_classifier_sql(table: str, dialect: str = "spark") -> str:
+    """Hashed-feature linear quality classifier — the fasttext-style score
+    every big filtering pipeline runs, with DETERMINISTIC weights: each
+    distinct token hashes (md5 → first 7 hex chars → int, identical in
+    both engines) into a signed integer weight in [-500, 500]; the doc
+    score is the weight sum over distinct tokens, pure BIGINT arithmetic,
+    bit-identical across engines. Swap the md5-derived weight for a
+    broadcast-joined learned weight table and this is a real linear model
+    at scan speed.
+
+    Scale: token dedup happens in the projection (ARRAY_DISTINCT /
+    list_distinct — no DISTINCT exchange); explode + one doc_id group-by
+    is the only shuffle. No Python anywhere."""
+    if dialect == "duckdb":
+        toks = (
+            f"SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok "
+            f"FROM {table}"
+        )
+        w = "CAST(('0x' || substr(md5(tok),1,7)) AS BIGINT) % 1001 - 500"
+    else:
+        toks = (
+            f"SELECT doc_id, EXPLODE(ARRAY_DISTINCT(split(lower(text), ' '))) AS tok "
+            f"FROM {table}"
+        )
+        w = "CAST(CONV(SUBSTRING(MD5(tok),1,7),16,10) AS BIGINT) % 1001 - 500"
+    return f"""
+WITH doc_tokens AS ({toks})
+SELECT doc_id,
+       COUNT(*) AS n_terms,
+       CAST(SUM({w}) AS BIGINT) AS score_sum,
+       CASE WHEN SUM({w}) >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM doc_tokens WHERE tok <> ''
+GROUP BY doc_id
+"""
+
+
+register(
+    "text_hashed_classifier",
+    oracle=hashed_classifier_sql("documents", "duckdb"),
+    tags=("llm", "text"),
+)(_case(hashed_classifier_sql))
+
+
 def training_pipeline_sql(table: str, dialect: str = "spark") -> str:
     """The end-to-end pre-training data pipeline as ONE statement:
     quality-filter (C4/Gopher-style) → language filter (en) → exact dedup

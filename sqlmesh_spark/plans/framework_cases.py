@@ -1649,3 +1649,49 @@ SELECT r_regionkey, r_name FROM {region}
     stored = ctx.state.get_environment_statements("env_es")
     assert stored["before_all"] and stored["after_all"], stored
     return spark.sql("SELECT phase, env FROM demo_es_meta.run_log ORDER BY phase")
+
+
+MANAGED_ORACLE = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+FROM customer GROUP BY 1
+"""
+
+
+@register("framework_managed_kind", oracle=MANAGED_ORACLE, tags=("framework",))
+def framework_managed_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANAGED kind (model/kind.py:1033-1051 ManagedKind;
+    evaluator.py:3089 EngineManagedStrategy): the engine owns freshness —
+    create_managed_table on deploy, then engine-side refresh each tick.
+    OSS Spark has no self-refreshing tables, so the scheduler performs the
+    refresh the managing engine would (adapter.refresh_managed_table);
+    on Snowflake/BigQuery both calls are metadata-only. Two runs against a
+    mutating source prove the refresh path: run 2 must see rows run 1
+    could not."""
+    _clean_dbs(spark, "demo_mg_src", "sqlmesh__demo_mg", "env_mg_views")
+    customer = f"parquet.`{sf_dir}/customer.parquet`"
+    spark.sql("CREATE DATABASE demo_mg_src")
+    spark.sql(
+        f"CREATE TABLE demo_mg_src.stage AS SELECT * FROM {customer} WHERE c_custkey % 2 = 0"
+    )
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (name demo_mg.segments, kind MANAGED);
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM demo_mg_src.stage GROUP BY 1
+"""
+    )
+    ctx.run(environment="env_mg", start="1995-01-01", end="1995-01-02")
+    half = spark.sql("SELECT SUM(n_customers) AS n FROM env_mg_views.segments").collect()[0].n
+    # Source gains the odd half; the next tick's managed refresh must see it.
+    spark.sql(
+        f"INSERT INTO demo_mg_src.stage SELECT * FROM {customer} WHERE c_custkey % 2 = 1"
+    )
+    ctx.run(environment="env_mg", start="1995-01-01", end="1995-01-03")
+    full = spark.sql("SELECT SUM(n_customers) AS n FROM env_mg_views.segments").collect()[0].n
+    assert full > half, (half, full)
+    return spark.table("env_mg_views.segments")

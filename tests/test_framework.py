@@ -326,3 +326,49 @@ def test_render_cache_skips_unchanged_models(spark):
     after = dict(RENDER_STATS)
     assert after["misses"] == mid["misses"], "unchanged project re-rendered"
     assert after["hits"] > mid["hits"]
+
+
+def test_metadata_fields_do_not_change_version():
+    """owner/description/tags are METADATA (model/meta.py): the reference
+    hashes them into the metadata fingerprint, never the data hash — a
+    description edit must not rebuild a 100 TB table."""
+    from sqlmesh_spark.core.model import parse_model_text
+    from sqlmesh_spark.core.plan import build_snapshots
+
+    plain = parse_model_text("MODEL (name s.meta, kind FULL);\nSELECT 1 AS x")
+    annotated = parse_model_text(
+        "MODEL (name s.meta, kind FULL, description 'daily rollup', "
+        "owner 'data-eng', tags (finance, daily));\nSELECT 1 AS x"
+    )
+    assert annotated.description == "daily rollup"
+    assert annotated.owner == "data-eng"
+    assert annotated.tags == ("finance", "daily")
+    v1 = build_snapshots({"s.meta": plain})["s.meta"].version
+    v2 = build_snapshots({"s.meta": annotated})["s.meta"].version
+    assert v1 == v2
+
+
+def test_interval_unit_from_real_cron():
+    """5-field cron classifies onto the reference's unit ladder
+    (node.py:28-59; reference estimates via croniter deltas)."""
+    from sqlmesh_spark.core.snapshot import (
+        DAY,
+        FIVE_MINUTE,
+        HALF_HOUR,
+        HOUR,
+        MONTH,
+        QUARTER_HOUR,
+        YEAR,
+        interval_unit,
+    )
+
+    assert interval_unit("*/5 * * * *") == FIVE_MINUTE
+    assert interval_unit("*/15 * * * *") == QUARTER_HOUR
+    assert interval_unit("*/30 * * * *") == HALF_HOUR
+    assert interval_unit("0 * * * *") == HOUR
+    assert interval_unit("30 */6 * * *") == HOUR
+    assert interval_unit("0 4 * * *") == DAY
+    assert interval_unit("0 4 1 * *") == MONTH
+    assert interval_unit("0 4 1 1 *") == YEAR
+    assert interval_unit("* * * * *") == FIVE_MINUTE  # clamped to the floor
+    assert interval_unit("not a cron") == DAY
