@@ -13,7 +13,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sqlmesh_spark.core.model import Model, ModelKind, extract_depends_on, parse_model_file
+from sqlmesh_spark.core.model import Model, ModelKind, extract_depends_on
 from sqlmesh_spark.core.plan import Plan, PlanEvaluator
 from sqlmesh_spark.core.scheduler import SnapshotEvaluator
 from sqlmesh_spark.core.state import StateStore
@@ -28,6 +28,7 @@ class Context:
         models: Optional[dict[str, Model]] = None,
         before_all: Optional[list[str]] = None,
         after_all: Optional[list[str]] = None,
+        environment_ttl: Optional[int] = None,
     ):
         self.spark = spark
         self.project_dir = project_dir
@@ -39,6 +40,11 @@ class Context:
         # run before/after every plan application for the environment.
         self.before_all: list[str] = list(before_all or [])
         self.after_all: list[str] = list(after_all or [])
+        # Non-prod environments expire this many seconds after their last
+        # apply (config.environment_ttl; _environments.expiration_ts) —
+        # the janitor reclaims them like the reference's cleanup of
+        # expired environments.
+        self.environment_ttl = environment_ttl
         if project_dir:
             self._load(project_dir)
         state_dir = state_dir or os.path.join(project_dir or ".", ".sqlmesh_state")
@@ -48,9 +54,12 @@ class Context:
     # -- load (context.py:629 → loader.py:191) ------------------------------
 
     def _load(self, project_dir: str) -> None:
+        from sqlmesh_spark.core.model import parse_model_text_all
+
         for path in sorted(glob.glob(os.path.join(project_dir, "models", "**", "*.sql"), recursive=True)):
-            model = parse_model_file(path)
-            self.models[model.name] = model
+            with open(path) as f:
+                for model in parse_model_text_all(f.read()):
+                    self.models[model.name] = model
         for path in sorted(glob.glob(os.path.join(project_dir, "seeds", "*.csv"))):
             name = os.path.splitext(os.path.basename(path))[0]
             # Seeds referenced as seed_schema.<name> by convention unless a
@@ -85,18 +94,21 @@ class Context:
 
     def add_model(self, text: str, seed_csv: Optional[str] = None,
                   columns: Optional[dict[str, str]] = None) -> Model:
-        from sqlmesh_spark.core.model import parse_model_text
+        """Returns the (first) parsed model; a ``blueprints`` header adds
+        one model per blueprint mapping (definition.py:2054)."""
+        from sqlmesh_spark.core.model import parse_model_text_all
 
-        model = parse_model_text(text)
-        if seed_csv is not None:
-            model.seed_csv = seed_csv
-            if columns:
-                model.columns = columns
-        self.models[model.name] = model
+        models = parse_model_text_all(text)
+        for model in models:
+            if seed_csv is not None:
+                model.seed_csv = seed_csv
+                if columns:
+                    model.columns = columns
+            self.models[model.name] = model
         known = set(self.models)
         for m in self.models.values():
             m.depends_on = extract_depends_on(m.query, known)
-        return model
+        return models[0]
 
     # -- plan/apply (context.py:plan/apply) ---------------------------------
 
@@ -130,7 +142,24 @@ class Context:
         self._run_standalone_audits(plan, ev)
         for stmt in self.after_all:
             self.spark.sql(ev.render(stmt))
+        if self.environment_ttl is not None and plan.environment != "prod":
+            import time
+
+            self.state.put_environment_meta(
+                plan.environment,
+                expiration_ts=int(time.time()) + self.environment_ttl,
+            )
         return executed
+
+    def invalidate_environment(self, name: str, protect_prod: bool = True) -> None:
+        """Mark an environment for janitor removal (state_sync/base.py:378):
+        views and unreferenced snapshots go on the next janitor run. Prod
+        is protected unless explicitly overridden."""
+        if protect_prod and name == "prod":
+            raise ValueError("cannot invalidate the prod environment")
+        if not self.state.get_environment(name):
+            raise KeyError(f"unknown environment {name!r}")
+        self.state.put_environment_meta(name, invalidated=True)
 
     def _run_standalone_audits(self, plan: Plan, ev) -> None:
         """Render each audit's query against the plan's physical tables;
@@ -216,11 +245,26 @@ class Context:
         return infer_columns_to_types(self.spark, self.models, model_name)
 
     def janitor(self) -> list[str]:
-        """Drop physical snapshot tables no environment references anymore
-        (the reference's cleanup of expired snapshots — virtual envs keep
-        old versions alive only while some environment points at them).
-        Returns the dropped table names."""
+        """Drop (1) environments that are invalidated or past their TTL —
+        their view schemas go too — then (2) physical snapshot tables no
+        remaining environment references (the reference's cleanup of
+        expired environments and snapshots — virtual envs keep old
+        versions alive only while some environment points at them).
+        Returns the dropped object names (views schemas and tables)."""
+        import time
+
         from sqlmesh_spark.core.plan import build_snapshots
+
+        dropped_envs: list[str] = []
+        now = int(time.time())
+        for env in list(self.state._read("environments")):
+            meta = self.state.get_environment_meta(env)
+            expired = meta.get("expiration_ts") is not None and meta["expiration_ts"] <= now
+            if meta.get("invalidated") or expired:
+                env_schema = "prod_views" if env == "prod" else f"{env}_views"
+                self.spark.sql(f"DROP DATABASE IF EXISTS {env_schema} CASCADE")
+                self.state.delete_environment(env)
+                dropped_envs.append(env_schema)
 
         live: set[str] = set()
         envs = self.state._read("environments")
@@ -239,7 +283,7 @@ class Context:
             if table not in live and self._evaluator.adapter.table_exists(table):
                 self._evaluator.adapter.drop_table(table)
                 dropped.append(table)
-        return dropped
+        return dropped_envs + dropped
 
     def generate_test(
         self,

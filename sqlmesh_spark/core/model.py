@@ -74,6 +74,9 @@ class Model:
     description: Optional[str] = None
     owner: Optional[str] = None
     tags: tuple[str, ...] = ()
+    # Blueprint-bound variables (definition.py:2035 _extract_blueprint_
+    # variables): available to @VAR/@BLUEPRINT_VAR at render time.
+    variables: dict[str, str] = field(default_factory=dict)
     # Destructive-change policy for forward-only migrations
     # (model/kind.py:195-226 on_destructive_change): error | warn | allow.
     on_destructive_change: str = "error"
@@ -184,6 +187,56 @@ def extract_depends_on(query: str, known_models: Optional[set[str]] = None) -> f
             if m.group(1).lower() in known_models:
                 deps.add(m.group(1).lower())
     return frozenset(deps)
+
+
+def _parse_blueprints(raw: str) -> list[dict[str, str]]:
+    """blueprints ((customer = c1, tier = gold), (customer = c2)) →
+    one variable mapping per blueprint (definition.py:2019-2050)."""
+    out: list[dict[str, str]] = []
+    for entry in _parse_tuple(raw):
+        mapping: dict[str, str] = {}
+        body = entry[1:-1] if entry.startswith("(") and entry.endswith(")") else entry
+        for kv in split_top_level(body):
+            k, sep, v = kv.partition("=")
+            if not sep:
+                raise ValueError(f"blueprint entries need key = value, got {kv!r}")
+            mapping[k.strip().rstrip(":").strip().lower()] = _unquote(v.strip())
+        out.append(mapping)
+    return out
+
+
+_CURLY_VAR_RE = re.compile(r"@\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def parse_model_text_all(text: str) -> list[Model]:
+    """Blueprint expansion (definition.py:2054 create_models_from_
+    blueprints): a MODEL header with ``blueprints`` yields ONE model per
+    variable mapping — ``@{var}`` interpolates everywhere (name included),
+    and the mapping is bound for @VAR/@BLUEPRINT_VAR at render time."""
+    m = _MODEL_RE.search(text)
+    if not m:
+        raise ValueError("no MODEL(...) header found")
+    open_idx = text.index("(", m.start())
+    close_idx = _find_close(text, open_idx)
+    props = _parse_props(text[open_idx + 1 : close_idx])
+    if "blueprints" not in props:
+        return [parse_model_text(text)]
+    bp_raw = props["blueprints"]
+    # Drop the blueprints property from the header before re-parsing.
+    header = text[open_idx + 1 : close_idx]
+    parts = [
+        p for p in split_top_level(header) if not p.lower().startswith("blueprints")
+    ]
+    stripped = text[: open_idx + 1] + ", ".join(parts) + text[close_idx:]
+    models = []
+    for mapping in _parse_blueprints(bp_raw):
+        expanded = _CURLY_VAR_RE.sub(
+            lambda mm: mapping.get(mm.group(1).lower(), mm.group(0)), stripped
+        )
+        model = parse_model_text(expanded)
+        model.variables = dict(mapping)
+        models.append(model)
+    return models
 
 
 def parse_model_text(text: str) -> Model:

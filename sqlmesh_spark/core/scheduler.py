@@ -101,6 +101,8 @@ class SnapshotEvaluator:
         variables["this_model"] = snapshot.table_name
         # Evaluation-context vars (renderer.py:140-151).
         variables["model_kind_name"] = f"'{snapshot.model.kind.value}'"
+        # Blueprint-bound variables (definition.py:2035) — @VAR lookups.
+        variables.update(snapshot.model.variables)
         # Schema-consuming macros (@STAR/@UNION) resolve upstream schemas
         # from the live physical relations (parents materialize first in
         # DAG order) — render-time type inference, definition.py:1449-1482.

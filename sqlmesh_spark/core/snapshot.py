@@ -50,6 +50,9 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
     h.update(model.kind.value.encode())
     for k in sorted(model.kind_args):
         h.update(f"{k}={model.kind_args[k]}".encode())
+    for k in sorted(model.variables):
+        # Blueprint-bound variables change rendered SQL via @VAR lookups.
+        h.update(f"var:{k}={model.variables[k]}".encode())
     for fp in sorted(parent_fingerprints):
         h.update(fp.encode())
     if model.seed_csv:

@@ -114,6 +114,37 @@ class StateStore:
     def get_environment(self, env: str) -> dict[str, str]:
         return self._read("environments").get(env, {})
 
+    def delete_environment(self, env: str) -> None:
+        with self._lock:
+            envs = self._read("environments")
+            envs.pop(env, None)
+            self._write("environments", envs)
+            meta = self._read("environment_meta")
+            meta.pop(env, None)
+            self._write("environment_meta", meta)
+
+    # -- environment metadata: TTL + invalidation (base.py:378
+    # invalidate_environment; _environments.expiration_ts) ------------------
+
+    def put_environment_meta(
+        self,
+        env: str,
+        expiration_ts: Optional[int] = None,
+        invalidated: Optional[bool] = None,
+    ) -> None:
+        with self._lock:
+            meta = self._read("environment_meta")
+            entry = meta.get(env, {})
+            if expiration_ts is not None:
+                entry["expiration_ts"] = expiration_ts
+            if invalidated is not None:
+                entry["invalidated"] = invalidated
+            meta[env] = entry
+            self._write("environment_meta", meta)
+
+    def get_environment_meta(self, env: str) -> dict:
+        return self._read("environment_meta").get(env, {})
+
     # -- environment statements (state_sync/db/environment.py:33
     # _environment_statements table: before_all/after_all per env) ----------
 

@@ -1695,3 +1695,91 @@ FROM demo_mg_src.stage GROUP BY 1
     full = spark.sql("SELECT SUM(n_customers) AS n FROM env_mg_views.segments").collect()[0].n
     assert full > half, (half, full)
     return spark.table("env_mg_views.segments")
+
+
+BLUEPRINT_ORACLE = """
+SELECT 'building' AS customer_segment, COUNT(*) AS n, SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'machinery' AS customer_segment, COUNT(*) AS n, SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+@register("framework_blueprint_models", oracle=BLUEPRINT_ORACLE, tags=("framework",))
+def framework_blueprint_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model blueprints (definition.py:2019-2080 create_models_from_
+    blueprints): ONE definition with a ``blueprints`` list expands to one
+    model per variable mapping — ``@{var}`` interpolates everywhere
+    including the model NAME, and the mapping binds @VAR lookups at render
+    time. Each expansion fingerprints independently (distinct physical
+    snapshots)."""
+    _clean_dbs(spark, "sqlmesh__demo_bp", "env_bp_views")
+    customer = f"parquet.`{sf_dir}/customer.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    first = ctx.add_model(
+        f"""
+MODEL (
+  name demo_bp.rev_@{{seg}},
+  kind FULL,
+  blueprints ((seg = building, filter_value = 'BUILDING'),
+              (seg = machinery, filter_value = 'MACHINERY'))
+);
+SELECT '@{{seg}}' AS customer_segment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM {customer}
+WHERE c_mktsegment = @VAR('filter_value')
+"""
+    )
+    assert first.name == "demo_bp.rev_building", first.name
+    assert set(ctx.models) >= {"demo_bp.rev_building", "demo_bp.rev_machinery"}
+    ctx.run(environment="env_bp", start="1995-01-01", end="1995-01-02")
+    return spark.sql(
+        "SELECT * FROM env_bp_views.rev_building UNION ALL SELECT * FROM env_bp_views.rev_machinery"
+    )
+
+
+INVALIDATE_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("framework_invalidate_environment", oracle=INVALIDATE_ORACLE, tags=("framework",))
+def framework_invalidate_environment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Environment invalidation + janitor reclamation (state_sync/base.py:378
+    invalidate_environment; _environments.expiration_ts): an invalidated dev
+    environment's view schema AND its now-unreferenced physical snapshots
+    are dropped by the janitor, prod is protected from invalidation, and
+    prod's snapshots survive untouched."""
+    _clean_dbs(spark, "sqlmesh__demo_inv", "env_inv_views")
+    region = f"parquet.`{sf_dir}/region.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (name demo_inv.regions, kind FULL);
+SELECT r_regionkey, r_name FROM {region}
+"""
+    )
+    ctx.run(environment="prod", start="1995-01-01", end="1995-01-02")
+    # Dev env over a MODIFIED model → its own physical snapshot.
+    ctx.models.clear()
+    ctx.add_model(
+        f"""
+MODEL (name demo_inv.regions, kind FULL);
+SELECT r_regionkey, r_name, 1 AS extra FROM {region}
+"""
+    )
+    ctx.run(environment="env_inv", start="1995-01-01", end="1995-01-02")
+    assert spark.catalog.tableExists("env_inv_views.regions")
+    try:
+        ctx.invalidate_environment("prod")
+        raise AssertionError("prod invalidation was not blocked")
+    except ValueError:
+        pass
+    ctx.invalidate_environment("env_inv")
+    dropped = ctx.janitor()
+    assert "env_inv_views" in dropped, dropped
+    assert not spark.catalog.tableExists("env_inv_views.regions")
+    # Prod must be untouched.
+    return spark.sql("SELECT r_regionkey, r_name FROM prod_views.regions")

@@ -372,3 +372,43 @@ def test_interval_unit_from_real_cron():
     assert interval_unit("0 4 1 1 *") == YEAR
     assert interval_unit("* * * * *") == FIVE_MINUTE  # clamped to the floor
     assert interval_unit("not a cron") == DAY
+
+
+def test_blueprint_expansion():
+    """definition.py:2019-2080 — one definition, N models; @{var}
+    interpolates in the name and body; mappings bind @VAR; fingerprints
+    differ per expansion."""
+    from sqlmesh_spark.core.model import parse_model_text_all
+    from sqlmesh_spark.core.plan import build_snapshots
+
+    models = parse_model_text_all(
+        "MODEL (name s.m_@{kind}, kind FULL, "
+        "blueprints ((kind = a, v = '1'), (kind = b, v = '2')));\n"
+        "SELECT '@{kind}' AS k, @VAR('v') AS v"
+    )
+    assert [m.name for m in models] == ["s.m_a", "s.m_b"]
+    assert models[0].variables == {"kind": "a", "v": "1"}
+    assert "'a' AS k" in models[0].query and "'b' AS k" in models[1].query
+    snaps = build_snapshots({m.name: m for m in models})
+    assert snaps["s.m_a"].version != snaps["s.m_b"].version
+    # No blueprints → single model, untouched.
+    single = parse_model_text_all("MODEL (name s.one, kind FULL);\nSELECT 1 AS x")
+    assert len(single) == 1 and single[0].variables == {}
+
+
+def test_environment_ttl_expiry(spark):
+    """config.environment_ttl → _environments.expiration_ts: an expired
+    dev environment is reclaimed by the janitor; prod never expires."""
+    import time
+
+    from sqlmesh_spark.core.context import Context
+
+    ctx = Context(
+        spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"), environment_ttl=0
+    )
+    ctx.add_model("MODEL (name s_ttl.m, kind FULL);\nSELECT 1 AS x")
+    ctx.run(environment="env_ttl", start="1995-01-01", end="1995-01-02")
+    assert ctx.state.get_environment_meta("env_ttl")["expiration_ts"] <= int(time.time())
+    dropped = ctx.janitor()
+    assert "env_ttl_views" in dropped
+    assert ctx.state.get_environment("env_ttl") == {}
