@@ -83,7 +83,7 @@ class Context:
         # Re-resolve depends_on now that all model names are known.
         known = set(self.models)
         for m in self.models.values():
-            m.depends_on = extract_depends_on(m.query, known)
+            m.depends_on = extract_depends_on(m.query, known) | m.declared_depends_on
 
     def add_standalone_audit(self, text: str) -> "StandaloneAudit":
         from sqlmesh_spark.core.audit_def import parse_audit_text
@@ -107,7 +107,7 @@ class Context:
             self.models[model.name] = model
         known = set(self.models)
         for m in self.models.values():
-            m.depends_on = extract_depends_on(m.query, known)
+            m.depends_on = extract_depends_on(m.query, known) | m.declared_depends_on
         return models[0]
 
     # -- plan/apply (context.py:plan/apply) ---------------------------------

@@ -77,6 +77,16 @@ class Model:
     # Blueprint-bound variables (definition.py:2035 _extract_blueprint_
     # variables): available to @VAR/@BLUEPRINT_VAR at render time.
     variables: dict[str, str] = field(default_factory=dict)
+    # Statements around the query (definition.py:156-158): pre run before
+    # each evaluation, post after it, on_virtual_update after the env view
+    # swap (rendered with @this_model bound to the view).
+    pre_statements: tuple[str, ...] = ()
+    post_statements: tuple[str, ...] = ()
+    on_virtual_update: tuple[str, ...] = ()
+    # Explicitly declared dependencies (meta.py depends_on): unioned with
+    # query-extracted references and preserved across re-resolution —
+    # covers refs the scanner can't see (macro-built names, dynamic SQL).
+    declared_depends_on: frozenset[str] = frozenset()
     # Destructive-change policy for forward-only migrations
     # (model/kind.py:195-226 on_destructive_change): error | warn | allow.
     on_destructive_change: str = "error"
@@ -239,6 +249,42 @@ def parse_model_text_all(text: str) -> list[Model]:
     return models
 
 
+def _split_statements(body: str) -> tuple[tuple[str, ...], str, tuple[str, ...], tuple[str, ...]]:
+    """Split the post-header body into (pre_statements, query,
+    post_statements, on_virtual_update) — definition.py:156-158 and the
+    ON_VIRTUAL_UPDATE_BEGIN/END block (:158). The query is the first
+    SELECT/WITH statement. Jinja-marked bodies are left whole (their
+    semicolons belong to the embedded template)."""
+    if re.search(r"JINJA_QUERY_BEGIN", body, re.IGNORECASE):
+        return (), body.strip().rstrip(";"), (), ()
+    stmts = [s for s in split_top_level(body, ";") if s]
+    pre: list[str] = []
+    post: list[str] = []
+    virtual: list[str] = []
+    query = None
+    in_virtual = False
+    for s in stmts:
+        upper = s.upper()
+        if upper == "ON_VIRTUAL_UPDATE_BEGIN":
+            in_virtual = True
+            continue
+        if upper == "ON_VIRTUAL_UPDATE_END":
+            in_virtual = False
+            continue
+        if in_virtual:
+            virtual.append(s)
+        elif query is None and re.match(r"(SELECT|WITH)\b", s, re.IGNORECASE):
+            query = s
+        elif query is None:
+            pre.append(s)
+        else:
+            post.append(s)
+    if query is None:
+        # Seed/python models may carry no query at all.
+        query = ""
+    return tuple(pre), query, tuple(post), tuple(virtual)
+
+
 def parse_model_text(text: str) -> Model:
     m = _MODEL_RE.search(text)
     if not m:
@@ -246,7 +292,8 @@ def parse_model_text(text: str) -> Model:
     open_idx = text.index("(", m.start())
     close_idx = _find_close(text, open_idx)
     props = _parse_props(text[open_idx + 1 : close_idx])
-    query = text[close_idx + 1 :].lstrip(" \t\n;").rstrip().rstrip(";")
+    body = text[close_idx + 1 :].lstrip(" \t\n;").rstrip()
+    pre_stmts, query, post_stmts, virtual_stmts = _split_statements(body)
 
     if "name" not in props or "kind" not in props:
         raise ValueError("MODEL header requires name and kind")
@@ -276,7 +323,17 @@ def parse_model_text(text: str) -> Model:
         grain=_parse_tuple(props["grain"]) if "grain" in props else (),
         audits=_parse_audits(props["audits"]) if "audits" in props else (),
         signals=tuple(x.lower() for x in _parse_tuple(props["signals"])) if "signals" in props else (),
-        depends_on=extract_depends_on(query),
+        depends_on=extract_depends_on(query)
+        | (
+            frozenset(d.lower() for d in _parse_tuple(props["depends_on"]))
+            if "depends_on" in props
+            else frozenset()
+        ),
+        declared_depends_on=frozenset(
+            d.lower() for d in _parse_tuple(props["depends_on"])
+        )
+        if "depends_on" in props
+        else frozenset(),
         columns=columns,
         lookback=int(props.get("lookback", "0") or 0),
         batch_size=int(props["batch_size"]) if "batch_size" in props else None,
@@ -290,6 +347,9 @@ def parse_model_text(text: str) -> Model:
         on_destructive_change=_unquote(
             props.get("on_destructive_change", "error")
         ).lower(),
+        pre_statements=pre_stmts,
+        post_statements=post_stmts,
+        on_virtual_update=virtual_stmts,
     )
 
 

@@ -320,10 +320,23 @@ class PlanEvaluator:
                 # no physical data yet; leave the env view where it was
                 # (possibly absent) rather than pointing at nothing.
                 continue
-            self.adapter.create_view(
-                f"{env_schema}.{snap.model.view_name}",
-                f"SELECT * FROM {snap.table_name}",
-            )
+            env_view = f"{env_schema}.{snap.model.view_name}"
+            self.adapter.create_view(env_view, f"SELECT * FROM {snap.table_name}")
+            # on_virtual_update statements (definition.py:158; rendered
+            # with @this_model bound to the ENV VIEW — :452) run right
+            # after the view repoints: grants, invalidations, notifies.
+            from sqlmesh_spark.core.scheduler import SnapshotEvaluator
+
+            for stmt in snap.model.on_virtual_update:
+                sql = SnapshotEvaluator(self.spark, self.adapter).render_statement(
+                    stmt,
+                    snap,
+                    plan.start,
+                    plan.end,
+                    self._mapping(plan.snapshots),
+                    this_model=env_view,
+                )
+                self.spark.sql(sql)
         # Stage 4: finalize environment pointers.
         self.state.put_environment(
             plan.environment, {n: s.version for n, s in plan.snapshots.items()}

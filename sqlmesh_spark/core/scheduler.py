@@ -121,6 +121,30 @@ class SnapshotEvaluator:
             _RENDER_CACHE[key] = sql
         return sql
 
+    def render_statement(
+        self,
+        stmt: str,
+        snapshot: Snapshot,
+        start: str,
+        end: str,
+        table_mapping: Mapping[str, str],
+        this_model: Optional[str] = None,
+    ) -> str:
+        """Render a pre/post/on_virtual_update statement (definition.py:357
+        render_pre_statements): same macro + table-resolution pipeline as
+        the query, uncached."""
+        variables = temporal_variables(start, end)
+        variables["this_model"] = this_model or snapshot.table_name
+        # Pre-quoted literal form, for statements that need the resolved
+        # name as a STRING (logs, messages) rather than a table ref.
+        variables["this_model_name"] = f"'{this_model or snapshot.table_name}'"
+        variables["model_kind_name"] = f"'{snapshot.model.kind.value}'"
+        variables.update(snapshot.model.variables)
+        sql = MacroEvaluator(variables=variables).render(stmt)
+        for logical, physical in sorted(table_mapping.items(), key=lambda kv: -len(kv[0])):
+            sql = _replace_table_ref(sql, logical, physical)
+        return sql
+
     def evaluate(
         self,
         snapshot: Snapshot,
@@ -137,6 +161,31 @@ class SnapshotEvaluator:
 
         if model.kind in (ModelKind.EMBEDDED, ModelKind.EXTERNAL):
             return
+        # Pre-statements (evaluator runs them in the same transaction
+        # scope as the evaluation — definition.py:156 pre_statements_).
+        for stmt in model.pre_statements:
+            self.spark.sql(self.render_statement(stmt, snapshot, start, end, table_mapping))
+        try:
+            self._evaluate_inner(snapshot, start, end, table_mapping, is_first_insert)
+        finally:
+            # Post-statements run even when the evaluation fails — they
+            # release what pre-statements acquired (caches, temp objects).
+            for stmt in model.post_statements:
+                self.spark.sql(
+                    self.render_statement(stmt, snapshot, start, end, table_mapping)
+                )
+
+    def _evaluate_inner(
+        self,
+        snapshot: Snapshot,
+        start: str,
+        end: str,
+        table_mapping: Mapping[str, str],
+        is_first_insert: bool,
+    ) -> None:
+        model = snapshot.model
+        adapter = self.adapter
+        table = snapshot.table_name
         if model.kind == ModelKind.SEED:
             adapter.load_seed(table, model.seed_csv or "", model.columns)
             return

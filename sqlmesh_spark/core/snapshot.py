@@ -53,6 +53,13 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
     for k in sorted(model.variables):
         # Blueprint-bound variables change rendered SQL via @VAR lookups.
         h.update(f"var:{k}={model.variables[k]}".encode())
+    for group, stmts in (
+        ("pre", model.pre_statements),
+        ("post", model.post_statements),
+        ("virtual", model.on_virtual_update),
+    ):
+        for s in stmts:
+            h.update(f"{group}:{_normalize_sql(s)}".encode())
     for fp in sorted(parent_fingerprints):
         h.update(fp.encode())
     if model.seed_csv:

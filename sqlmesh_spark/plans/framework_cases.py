@@ -1783,3 +1783,49 @@ SELECT r_regionkey, r_name, 1 AS extra FROM {region}
     assert not spark.catalog.tableExists("env_inv_views.regions")
     # Prod must be untouched.
     return spark.sql("SELECT r_regionkey, r_name FROM prod_views.regions")
+
+
+MODEL_STATEMENTS_ORACLE = """
+SELECT * FROM (VALUES ('post'), ('pre'), ('virtual')) AS t(phase)
+"""
+
+
+@register("framework_model_statements", oracle=MODEL_STATEMENTS_ORACLE, tags=("framework",))
+def framework_model_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post-statements and the ON_VIRTUAL_UPDATE block
+    (definition.py:156-158; render_pre_statements:357): pre runs before
+    the materialization, post after it (even on failure), and the virtual
+    block runs after the env view swap with @this_model bound to the VIEW.
+    Also exercises explicitly declared depends_on (meta.py) surviving dep
+    re-resolution."""
+    region = f"parquet.`{sf_dir}/region.parquet`"
+    _clean_dbs(spark, "sqlmesh__demo_ms", "env_ms_views", "demo_ms_meta")
+    spark.sql("CREATE DATABASE demo_ms_meta")
+    spark.sql("CREATE TABLE demo_ms_meta.stmt_log (phase STRING, model STRING)")
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    model = ctx.add_model(
+        f"""
+MODEL (name demo_ms.regions, kind FULL, depends_on (demo_ms_meta.stmt_log));
+INSERT INTO demo_ms_meta.stmt_log VALUES ('pre', @this_model_name);
+SELECT r_regionkey, r_name FROM {region};
+INSERT INTO demo_ms_meta.stmt_log VALUES ('post', @this_model_name);
+ON_VIRTUAL_UPDATE_BEGIN;
+INSERT INTO demo_ms_meta.stmt_log VALUES ('virtual', @this_model_name);
+ON_VIRTUAL_UPDATE_END
+"""
+    )
+    assert "demo_ms_meta.stmt_log" in model.depends_on
+    assert model.pre_statements and model.post_statements and model.on_virtual_update
+    assert model.query.lstrip().upper().startswith("SELECT")
+    ctx.run(environment="env_ms", start="1995-01-01", end="1995-01-02")
+    # @this_model binds the PHYSICAL table for pre/post and the env VIEW
+    # for the virtual block (definition.py:452 render_on_virtual_update).
+    virt = spark.sql(
+        "SELECT model FROM demo_ms_meta.stmt_log WHERE phase = 'virtual'"
+    ).collect()[0].model
+    assert virt == "env_ms_views.regions", virt
+    pre = spark.sql(
+        "SELECT model FROM demo_ms_meta.stmt_log WHERE phase = 'pre'"
+    ).collect()[0].model
+    assert pre.startswith("sqlmesh__demo_ms."), pre
+    return spark.sql("SELECT phase FROM demo_ms_meta.stmt_log ORDER BY phase")

@@ -412,3 +412,44 @@ def test_environment_ttl_expiry(spark):
     dropped = ctx.janitor()
     assert "env_ttl_views" in dropped
     assert ctx.state.get_environment("env_ttl") == {}
+
+
+def test_statement_splitting():
+    """Pre/post/on_virtual_update extraction (definition.py:156-158):
+    semicolons inside string literals must not split; jinja bodies stay
+    whole; query = first SELECT/WITH statement."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    m = parse_model_text(
+        "MODEL (name s.stmts, kind FULL);\n"
+        "SET spark.sql.shuffle.partitions = 8;\n"
+        "SELECT 'a;b' AS x;\n"
+        "UNCACHE TABLE t;\n"
+        "ON_VIRTUAL_UPDATE_BEGIN;\n"
+        "INSERT INTO log VALUES ('done');\n"
+        "ON_VIRTUAL_UPDATE_END"
+    )
+    assert m.pre_statements == ("SET spark.sql.shuffle.partitions = 8",)
+    assert m.query == "SELECT 'a;b' AS x"
+    assert m.post_statements == ("UNCACHE TABLE t",)
+    assert m.on_virtual_update == ("INSERT INTO log VALUES ('done')",)
+    # Plain model: no statements, query untouched.
+    plain = parse_model_text("MODEL (name s.p, kind FULL);\nSELECT 1 AS x")
+    assert plain.pre_statements == () and plain.post_statements == ()
+    assert plain.query == "SELECT 1 AS x"
+    # WITH-led query recognised.
+    cte = parse_model_text(
+        "MODEL (name s.c, kind FULL);\nWITH t AS (SELECT 1 AS x) SELECT x FROM t"
+    )
+    assert cte.query.upper().startswith("WITH")
+
+
+def test_declared_depends_on():
+    from sqlmesh_spark.core.model import parse_model_text
+
+    m = parse_model_text(
+        "MODEL (name s.d, kind FULL, depends_on (ext.hidden_src, other.t));\n"
+        "SELECT 1 AS x"
+    )
+    assert {"ext.hidden_src", "other.t"} <= m.depends_on
+    assert m.declared_depends_on == frozenset({"ext.hidden_src", "other.t"})
