@@ -237,6 +237,43 @@ class Context:
     def evaluate(self, model_name: str, start: str = "1992-01-01", end: str = "1998-12-31") -> DataFrame:
         return self.spark.sql(self.render(model_name, start, end))
 
+    def table_diff(
+        self,
+        model_name: str,
+        source_env: str,
+        target_env: str,
+        on: Optional[list[str]] = None,
+        decimal_scale: int = 4,
+    ) -> DataFrame:
+        """`sqlmesh table_diff source_env:target_env model` (reference
+        context.py table_diff → table_diff.py:219 row_diff): ONE full-outer
+        -join stats frame comparing the model's data between two
+        environments' views — the only shape that scales (a single
+        co-partitioned shuffle on the grain, never a row fetch loop)."""
+        from sqlmesh_spark.diff import row_diff_query
+
+        model = self.models[model_name.lower()]
+        keys = on or list(model.grain)
+        if not keys:
+            raise ValueError(
+                f"table_diff needs join keys: pass on=[...] or set grain on {model_name}"
+            )
+
+        def env_view(env: str) -> str:
+            schema = "prod_views" if env == "prod" else f"{env}_views"
+            return f"{schema}.{model.view_name}"
+
+        src, tgt = env_view(source_env), env_view(target_env)
+        value_cols = [c for c in self.spark.table(src).columns if c not in keys]
+        sql = row_diff_query(
+            f"SELECT * FROM {src}",
+            f"SELECT * FROM {tgt}",
+            on=keys,
+            value_columns=value_cols,
+            decimal_scale=decimal_scale,
+        )
+        return self.spark.sql(sql)
+
     def columns_to_types(self, model_name: str) -> Optional[dict[str, str]]:
         """Render-time inferred schema (definition.py:1449-1482): analyzed,
         never executed — model upstreams need no physical tables."""

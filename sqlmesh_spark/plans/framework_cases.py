@@ -1829,3 +1829,57 @@ ON_VIRTUAL_UPDATE_END
     ).collect()[0].model
     assert pre.startswith("sqlmesh__demo_ms."), pre
     return spark.sql("SELECT phase FROM demo_ms_meta.stmt_log ORDER BY phase")
+
+
+ENV_DIFF_ORACLE = """
+WITH s AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+t AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS price_cents
+  FROM orders
+)
+SELECT COUNT(*) AS total_rows,
+       SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND (t.o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS joined_count,
+       SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND NOT (t.o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS s_only_count,
+       SUM(CASE WHEN (t.o_orderkey IS NOT NULL) AND NOT (s.o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS t_only_count,
+       SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND (t.o_orderkey IS NOT NULL)
+                 AND (s.price_cents = t.price_cents OR (s.price_cents IS NULL AND t.price_cents IS NULL))
+                THEN 1 ELSE 0 END) AS full_match_count,
+       SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND (t.o_orderkey IS NOT NULL)
+                 AND (s.price_cents = t.price_cents OR (s.price_cents IS NULL AND t.price_cents IS NULL))
+                THEN 1 ELSE 0 END) AS price_cents_matches
+FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+"""
+
+
+@register("framework_env_table_diff", oracle=ENV_DIFF_ORACLE, tags=("framework", "diff"))
+def framework_env_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-environment table diff (`sqlmesh table_diff dev:prod model`;
+    table_diff.py:219): the same model materialized differently in two
+    environments, compared as ONE full-outer-join stats frame over the
+    model's grain through the env views."""
+    _clean_dbs(spark, "sqlmesh__demo_ed", "env_ed_a_views", "env_ed_b_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    base = """
+MODEL (name demo_ed.prices, kind FULL, grain (o_orderkey));
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT){bump} AS price_cents
+FROM {orders}{where}
+"""
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(base.format(orders=orders, bump="", where=" WHERE o_orderkey % 13 <> 0"))
+    ctx.run(environment="env_ed_a", start="1995-01-01", end="1995-01-02")
+    ctx.models.clear()
+    ctx.add_model(
+        base.format(
+            orders=orders,
+            bump=" + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END",
+            where="",
+        )
+    )
+    ctx.run(environment="env_ed_b", start="1995-01-01", end="1995-01-02")
+    return ctx.table_diff("demo_ed.prices", "env_ed_a", "env_ed_b")
