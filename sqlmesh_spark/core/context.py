@@ -118,8 +118,11 @@ class Context:
         start: str = "1992-01-01",
         end: str = "1998-12-31",
         forward_only: bool = False,
+        select_models: Optional[list[str]] = None,
     ) -> Plan:
-        return self._evaluator.plan(self.models, environment, start, end, forward_only)
+        return self._evaluator.plan(
+            self.models, environment, start, end, forward_only, select_models
+        )
 
     def apply(self, plan: Plan) -> dict[str, int]:
         """Environment statements bracket the application (BeforeAllStage /
@@ -187,10 +190,13 @@ class Context:
         start: str = "1992-01-01",
         end: str = "1998-12-31",
         forward_only: bool = False,
+        select_models: Optional[list[str]] = None,
     ) -> dict[str, int]:
         """plan+apply in one step (context.py:756 run semantics: process
         missing intervals for the environment)."""
-        return self.apply(self.plan(environment, start, end, forward_only))
+        return self.apply(
+            self.plan(environment, start, end, forward_only, select_models)
+        )
 
     def restate(
         self,

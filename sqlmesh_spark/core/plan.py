@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Mapping
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import SparkSession
 
@@ -142,10 +142,13 @@ class PlanEvaluator:
         start: str,
         end: str,
         forward_only: bool = False,
+        select_models: Optional[Sequence[str]] = None,
     ) -> Plan:
         snapshots = build_snapshots(models)
         env_state = self.state.get_environment(environment)
         diff = context_diff(snapshots, env_state)
+        if select_models is not None:
+            self._apply_selection(snapshots, diff, env_state, select_models)
         self._categorize_and_revert(snapshots, diff, env_state)
         if forward_only:
             self._pin_forward_only(snapshots, diff, env_state)
@@ -157,6 +160,68 @@ class PlanEvaluator:
             diff=diff,
             forward_only=forward_only,
         )
+
+    def _apply_selection(
+        self,
+        snapshots: dict[str, Snapshot],
+        diff: ContextDiff,
+        env_state: Mapping[str, str],
+        select_models: Sequence[str],
+    ) -> None:
+        """`plan --select-model` (reference plan/builder.py selection via
+        node_selector): only SELECTED models' changes enter the plan;
+        unselected modified models stay pinned at the environment's current
+        version (their change is deferred to a later full plan), and
+        unselected brand-new models are excluded entirely. `*` wildcards
+        match like fnmatch."""
+        import fnmatch
+
+        selected = {
+            name
+            for name in snapshots
+            for pat in select_models
+            if fnmatch.fnmatch(name, pat.lower())
+        }
+        unknown = [
+            p for p in select_models if not any(fnmatch.fnmatch(n, p.lower()) for n in snapshots)
+        ]
+        if unknown:
+            raise PlanError(f"select_models matched nothing: {unknown}")
+        for name in list(diff.modified):
+            if name not in selected:
+                snap = snapshots[name]
+                # Pin BOTH the version and the QUERY TEXT to the applied
+                # state — wholesale kinds re-evaluate every run, and the
+                # deferred change must not leak into the old table.
+                old = self.state.get_snapshot(name, env_state[name]) or {}
+                old_query = old.get("query")
+                if old_query is None:
+                    raise PlanError(
+                        f"cannot defer {name}: no stored snapshot for its "
+                        f"applied version {env_state[name]}"
+                    )
+                import dataclasses
+
+                pinned_model = dataclasses.replace(snap.model, query=old_query)
+                snapshots[name] = Snapshot(
+                    model=pinned_model, version=env_state[name], parents=snap.parents
+                )
+                diff.modified.remove(name)
+                diff.unchanged.append(name)
+        for name in list(diff.added):
+            if name not in selected:
+                dependents = [
+                    n
+                    for n, s in snapshots.items()
+                    if name in s.parents and (n in selected or n in env_state)
+                ]
+                if dependents:
+                    raise PlanError(
+                        f"cannot exclude new model {name}: selected/applied "
+                        f"models depend on it: {dependents}"
+                    )
+                del snapshots[name]
+                diff.added.remove(name)
 
     def _categorize_and_revert(
         self,

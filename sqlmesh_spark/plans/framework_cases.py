@@ -1883,3 +1883,47 @@ FROM {orders}{where}
     )
     ctx.run(environment="env_ed_b", start="1995-01-01", end="1995-01-02")
     return ctx.table_diff("demo_ed.prices", "env_ed_a", "env_ed_b")
+
+
+SELECT_MODEL_ORACLE = """
+SELECT 'a_v2' AS which, COUNT(*) AS n FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'b_v1' AS which, COUNT(*) AS n FROM orders
+"""
+
+
+@register("framework_select_model", oracle=SELECT_MODEL_ORACLE, tags=("framework",))
+def framework_select_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective plan (`plan --select-model`; plan/builder.py node
+    selection): both models are modified, only model A is selected — A
+    rebuilds with its new query while B stays pinned at the environment's
+    current version serving v1 data. At 100 TB this is how a team ships
+    one model's change without triggering an unrelated backfill."""
+    _clean_dbs(spark, "sqlmesh__demo_sel", "env_sel_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    a = """
+MODEL (name demo_sel.a, kind FULL);
+SELECT 'a_{v}' AS which, COUNT(*) AS n FROM {orders}{where}
+"""
+    b = """
+MODEL (name demo_sel.b, kind FULL);
+SELECT 'b_{v}' AS which, COUNT(*) AS n FROM {orders}{where}
+"""
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(a.format(v="v1", orders=orders, where=""))
+    ctx.add_model(b.format(v="v1", orders=orders, where=""))
+    ctx.run(environment="env_sel", start="1995-01-01", end="1995-01-02")
+    # Both change; only A is selected.
+    ctx.models.clear()
+    ctx.add_model(a.format(v="v2", orders=orders, where=" WHERE o_orderkey % 2 = 0"))
+    ctx.add_model(b.format(v="v2", orders=orders, where=" WHERE o_orderkey % 2 = 0"))
+    executed = ctx.run(
+        environment="env_sel",
+        start="1995-01-01",
+        end="1995-01-02",
+        select_models=["demo_sel.a"],
+    )
+    assert executed["demo_sel.a"] >= 1, executed
+    return spark.sql(
+        "SELECT which, n FROM env_sel_views.a UNION ALL SELECT which, n FROM env_sel_views.b"
+    )

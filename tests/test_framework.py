@@ -453,3 +453,24 @@ def test_declared_depends_on():
     )
     assert {"ext.hidden_src", "other.t"} <= m.depends_on
     assert m.declared_depends_on == frozenset({"ext.hidden_src", "other.t"})
+
+
+def test_select_model_wildcards_and_guards(spark):
+    """--select-model edge semantics: wildcard expansion; unknown patterns
+    raise; excluding a new model that selected models depend on raises."""
+    import pytest as _pytest
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model("MODEL (name s_sel.base, kind FULL);\nSELECT 1 AS x")
+    ctx.add_model("MODEL (name s_sel.child, kind FULL);\nSELECT x FROM s_sel.base")
+    # Wildcard selects both; plan applies cleanly.
+    plan = ctx.plan("env_selw", "1995-01-01", "1995-01-02", select_models=["s_sel.*"])
+    assert set(plan.snapshots) == {"s_sel.base", "s_sel.child"}
+    with _pytest.raises(PlanError, match="matched nothing"):
+        ctx.plan("env_selw", "1995-01-01", "1995-01-02", select_models=["nope.*"])
+    # child selected but its NEW parent excluded → refuse.
+    with _pytest.raises(PlanError, match="depend on it"):
+        ctx.plan("env_selw", "1995-01-01", "1995-01-02", select_models=["s_sel.child"])

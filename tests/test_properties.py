@@ -332,3 +332,27 @@ def test_monthly_chunks_are_calendar_aligned(start, span_months):
         nxt = dt.datetime.fromtimestamp(e, dt.timezone.utc)
         width_days = (nxt - d).days
         assert 28 <= width_days <= 31
+
+
+@given(interval_sets(), days, st.integers(min_value=1, max_value=30),
+       st.integers(min_value=0, max_value=86399))
+def test_missing_intervals_partial_tail_law(processed, start_day, span, tail_secs):
+    """Completed-intervals law (model/meta.py:110): with a mid-unit end,
+    the default EXCLUDES the partial tail (all chunks end on/before the
+    floor) and allow_partials includes exactly one extra chunk ending at
+    the raw end — never beyond it, never overlapping."""
+    start = start_day * DAY
+    end = (start_day + span) * DAY + tail_secs
+    floor_end = end - (end % DAY)
+    strict = missing_intervals(start, end, processed)
+    assert all(e <= floor_end for _, e in strict)
+    partial = missing_intervals(start, end, processed, allow_partials=True)
+    assert all(e <= end for _, e in partial)
+    if tail_secs and floor_end >= start:
+        covered = any(s <= floor_end < e for s, e in merge_intervals(processed))
+        has_tail = any(e == end for _, e in partial)
+        assert has_tail != covered or not has_tail
+    # Chunks in both modes are disjoint and sorted.
+    for chunks in (strict, partial):
+        for (s1, e1), (s2, e2) in zip(chunks, chunks[1:]):
+            assert e1 <= s2
