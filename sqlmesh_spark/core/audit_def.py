@@ -33,7 +33,21 @@ class StandaloneAudit:
     blocking: bool = field(default=False, init=False)
 
 
-def parse_audit_text(text: str) -> StandaloneAudit:
+@dataclass
+class ModelAuditDef:
+    """Custom model audit (audit/definition.py:121 ModelAudit): a named,
+    parameterized violation query attached to models via
+    ``audits (name(arg = val))``. ``@this_model`` binds the audited
+    relation; args/defaults bind @vars. Blocking by default, overridable
+    per attachment."""
+
+    name: str
+    query: str
+    defaults: dict[str, str] = field(default_factory=dict)
+    blocking: bool = True
+
+
+def parse_audit_text(text: str):
     m = _AUDIT_RE.search(text)
     if not m:
         raise ValueError("no AUDIT(...) header found")
@@ -42,16 +56,31 @@ def parse_audit_text(text: str) -> StandaloneAudit:
     props = _parse_props(text[open_idx + 1 : close_idx])
     if "name" not in props:
         raise ValueError("AUDIT header requires name")
-    if _unquote(props.get("blocking", "false")).lower() in ("true", "1"):
-        raise ValueError(
-            f"standalone audits cannot be blocking: {props['name']!r} "
-            "(audit/definition.py:189)"
-        )
     query = text[close_idx + 1 :].lstrip(" \t\n;").rstrip().rstrip(";")
-    return StandaloneAudit(
-        name=props["name"].strip().lower(),
-        query=query,
-        depends_on=extract_depends_on(query),
+    name = props["name"].strip().lower()
+    blocking = _unquote(props.get("blocking", "")).lower() in ("true", "1")
+    if _unquote(props.get("standalone", "false")).lower() in ("true", "1"):
+        if blocking:
+            raise ValueError(
+                f"standalone audits cannot be blocking: {name!r} "
+                "(audit/definition.py:189)"
+            )
+        return StandaloneAudit(
+            name=name, query=query, depends_on=extract_depends_on(query)
+        )
+    if "blocking" in props and not blocking:
+        default_blocking = False
+    else:
+        default_blocking = True
+    defaults = {}
+    if "defaults" in props:
+        from sqlmesh_spark.core.model import _parse_tuple
+
+        for kv in _parse_tuple(props["defaults"]):
+            k, _, v = kv.partition("=")
+            defaults[k.strip().lower()] = _unquote(v.strip())
+    return ModelAuditDef(
+        name=name, query=query, defaults=defaults, blocking=default_blocking
     )
 
 

@@ -36,6 +36,9 @@ class Context:
         # Standalone audits (audit/definition.py:157) — scheduled after
         # their upstream models, reported (never blocking).
         self.standalone_audits: dict[str, "StandaloneAudit"] = {}
+        # Custom model audits (definition.py:121 ModelAudit) — named
+        # violation queries models attach via audits(name(arg = val)).
+        self.custom_audits: dict[str, "ModelAuditDef"] = {}
         # Environment statements (environment.py:264 EnvironmentStatements):
         # run before/after every plan application for the environment.
         self.before_all: list[str] = list(before_all or [])
@@ -49,7 +52,7 @@ class Context:
             self._load(project_dir)
         state_dir = state_dir or os.path.join(project_dir or ".", ".sqlmesh_state")
         self.state = StateStore(state_dir)
-        self._evaluator = PlanEvaluator(spark, self.state)
+        self._evaluator = PlanEvaluator(spark, self.state, self.custom_audits)
 
     # -- load (context.py:629 → loader.py:191) ------------------------------
 
@@ -76,21 +79,29 @@ class Context:
             )
             self.models.setdefault(model.name, model)
         for path in sorted(glob.glob(os.path.join(project_dir, "audits", "*.sql"))):
-            from sqlmesh_spark.core.audit_def import parse_audit_file
-
-            audit = parse_audit_file(path)
-            self.standalone_audits[audit.name] = audit
+            with open(path) as f:
+                self.add_audit(f.read())
         # Re-resolve depends_on now that all model names are known.
         known = set(self.models)
         for m in self.models.values():
             m.depends_on = extract_depends_on(m.query, known) | m.declared_depends_on
 
-    def add_standalone_audit(self, text: str) -> "StandaloneAudit":
-        from sqlmesh_spark.core.audit_def import parse_audit_text
+    def add_audit(self, text: str):
+        """AUDIT(...) artifact: ``standalone true`` audits schedule on
+        their own; others register as named model audits for
+        ``audits (name(...))`` attachments."""
+        from sqlmesh_spark.core.audit_def import StandaloneAudit, parse_audit_text
 
         audit = parse_audit_text(text)
-        self.standalone_audits[audit.name] = audit
+        if isinstance(audit, StandaloneAudit):
+            self.standalone_audits[audit.name] = audit
+        else:
+            # The evaluator holds a live reference to this dict.
+            self.custom_audits[audit.name] = audit
         return audit
+
+    # Backwards-compatible alias.
+    add_standalone_audit = add_audit
 
     def add_model(self, text: str, seed_csv: Optional[str] = None,
                   columns: Optional[dict[str, str]] = None) -> Model:

@@ -130,10 +130,12 @@ def context_diff(
 class PlanEvaluator:
     """plan/evaluator.py:85 BuiltInPlanEvaluator."""
 
-    def __init__(self, spark: SparkSession, state: StateStore):
+    def __init__(self, spark: SparkSession, state: StateStore, custom_audits=None):
         self.spark = spark
         self.state = state
         self.adapter = SparkAdapter(spark)
+        # Live reference to the project's custom model-audit definitions.
+        self.custom_audits = custom_audits if custom_audits is not None else {}
 
     def plan(
         self,
@@ -369,7 +371,9 @@ class PlanEvaluator:
         # Stage 2: physical layer + backfill. Unchanged snapshots keep their
         # physical tables and processed intervals — the virtual-environment
         # zero-recompute property: only new versions do work.
-        scheduler = Scheduler(self.spark, self.state, plan.snapshots)
+        scheduler = Scheduler(
+            self.spark, self.state, plan.snapshots, custom_audits=self.custom_audits
+        )
         executed = scheduler.run(plan.start, plan.end)
         # Stage 3: virtual layer swap — views repoint atomically after data
         # exists (plan/stages.py:165).

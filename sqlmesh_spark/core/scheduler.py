@@ -41,6 +41,11 @@ class AuditError(Exception):
     pass
 
 
+import re as _re
+
+_NUMERIC_RE = _re.compile(r"^-?\d+(\.\d+)?$")
+
+
 # Custom materialization registry (reference evaluator.py:2812): name →
 # fn(evaluator, snapshot, df, start, end). Users register via
 # register_custom_materialization().
@@ -338,14 +343,32 @@ class SnapshotEvaluator:
                 f"AND {tc} < CAST('{end}' AS TIMESTAMP)) AS _audit_scope"
             )
         failures = []
+        custom = getattr(self, "custom_audits", {})
         for name, args in snapshot.model.audits:
-            fn = getattr(audit_lib, name, None)
-            if fn is None:
-                raise AuditError(f"unknown audit {name!r} on {snapshot.model.name}")
             kwargs = dict(args)
-            blocking = str(kwargs.pop("blocking", "true")).lower() != "false"
-            # SQL-level audits take the physical table as relation.
-            sql = fn(table=relation, dialect=audit_lib.SPARK, **kwargs)
+            if name in custom:
+                # Custom model audit (audit/definition.py:121): render its
+                # violation query with @this_model bound to the audited
+                # relation and defaults/args bound as @vars.
+                audit_def = custom[name]
+                blocking_default = "true" if audit_def.blocking else "false"
+                blocking = (
+                    str(kwargs.pop("blocking", blocking_default)).lower() != "false"
+                )
+                variables: dict[str, str] = {"this_model": relation}
+                for k, v in {**audit_def.defaults, **kwargs}.items():
+                    v = v if isinstance(v, str) else str(v)
+                    variables[k] = v if _NUMERIC_RE.match(v) else f"'{v}'"
+                sql = MacroEvaluator(variables=variables).render(audit_def.query)
+            else:
+                fn = getattr(audit_lib, name, None)
+                if fn is None:
+                    raise AuditError(
+                        f"unknown audit {name!r} on {snapshot.model.name}"
+                    )
+                blocking = str(kwargs.pop("blocking", "true")).lower() != "false"
+                # SQL-level audits take the physical table as relation.
+                sql = fn(table=relation, dialect=audit_lib.SPARK, **kwargs)
             n_bad = self.spark.sql(sql).limit(1).count()
             if n_bad > 0:
                 if blocking:
@@ -373,11 +396,13 @@ class Scheduler:
         state: StateStore,
         snapshots: Mapping[str, Snapshot],
         max_workers: int = 4,
+        custom_audits: Optional[Mapping[str, object]] = None,
     ):
         self.spark = spark
         self.state = state
         self.snapshots = dict(snapshots)
         self.evaluator = SnapshotEvaluator(spark)
+        self.evaluator.custom_audits = dict(custom_audits or {})
         self.max_workers = max_workers
 
     def table_mapping(self) -> dict[str, str]:

@@ -1598,13 +1598,13 @@ GROUP BY 1
     )
     ctx.add_standalone_audit(
         """
-AUDIT (name assert_order_volume);
+AUDIT (name assert_order_volume, standalone true);
 SELECT ds, n_orders FROM demo_sa.daily_orders WHERE n_orders < 18
 """
     )
     # Blocking standalone audits must be rejected at parse time.
     try:
-        ctx.add_standalone_audit("AUDIT (name bad, blocking true);\nSELECT 1 AS x")
+        ctx.add_standalone_audit("AUDIT (name bad, standalone true, blocking true);\nSELECT 1 AS x")
         raise AssertionError("blocking standalone audit was accepted")
     except ValueError:
         pass
@@ -1927,3 +1927,54 @@ SELECT 'b_{v}' AS which, COUNT(*) AS n FROM {orders}{where}
     return spark.sql(
         "SELECT which, n FROM env_sel_views.a UNION ALL SELECT which, n FROM env_sel_views.b"
     )
+
+
+CUSTOM_AUDIT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("framework_custom_audit", oracle=CUSTOM_AUDIT_ORACLE, tags=("framework",))
+def framework_custom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom model audits (audit/definition.py:121 ModelAudit): a named,
+    parameterized AUDIT artifact attached via audits(name(arg = val));
+    @this_model binds the audited relation (interval-scoped for
+    incremental models) and defaults/args bind @vars. A failing blocking
+    attachment must abort the run; a passing threshold must let it
+    through."""
+    _clean_dbs(spark, "sqlmesh__demo_ca", "env_ca_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    model_text = """
+MODEL (
+  name demo_ca.daily,
+  kind FULL,
+  audits (assert_min_daily_orders(min_orders = {thresh}))
+);
+SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS ds, COUNT(*) AS n_orders
+FROM {orders}
+WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+GROUP BY 1
+"""
+    audit_text = """
+AUDIT (name assert_min_daily_orders, defaults (min_orders = 1));
+SELECT * FROM @this_model WHERE n_orders < @min_orders
+"""
+    from sqlmesh_spark.core.scheduler import AuditError
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_audit(audit_text)
+    ctx.add_model(model_text.format(orders=orders, thresh=999999))
+    try:
+        ctx.run(environment="env_ca", start="1995-01-01", end="1995-01-02")
+        raise AssertionError("blocking custom audit did not abort the run")
+    except AuditError:
+        pass
+    ctx.models.clear()
+    ctx.add_model(model_text.format(orders=orders, thresh=1))
+    ctx.run(environment="env_ca", start="1995-01-01", end="1995-01-02")
+    return spark.table("env_ca_views.daily")
