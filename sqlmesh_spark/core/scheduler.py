@@ -221,6 +221,37 @@ class SnapshotEvaluator:
                 adapter.replace_query(table, df)
                 return
         else:
+            if (
+                "@this_model" in model.query
+                and model.kind
+                in (
+                    ModelKind.INCREMENTAL_BY_TIME_RANGE,
+                    ModelKind.INCREMENTAL_BY_UNIQUE_KEY,
+                    ModelKind.INCREMENTAL_UNMANAGED,
+                )
+                and not adapter.table_exists(table)
+            ):
+                # Self-referencing incremental (depends_on_past): the query
+                # reads its own previous state, so ANALYSIS needs the table
+                # to exist before the first batch renders. The reference
+                # creates it from columns_to_types (evaluator create stage);
+                # self-reference makes inference circular, so declared
+                # columns are required.
+                if not model.columns:
+                    raise ValueError(
+                        f"self-referencing model {model.name} must declare "
+                        "columns (...) — the table is created from them "
+                        "before the first batch"
+                    )
+                casts = ", ".join(
+                    f"CAST(NULL AS {t}) AS {c}" for c, t in model.columns.items()
+                )
+                empty = self.spark.sql(f"SELECT {casts} WHERE FALSE")
+                if model.kind == ModelKind.INCREMENTAL_BY_TIME_RANGE:
+                    empty = empty.withColumn("_ds", F.lit(None).cast("string"))
+                    adapter.ctas(table, empty, partitioned_by=("_ds",))
+                else:
+                    adapter.ctas(table, empty)
             sql = self.render(snapshot, start, end, table_mapping)
             if model.kind == ModelKind.VIEW:
                 adapter.create_view(table, sql)

@@ -1978,3 +1978,53 @@ SELECT * FROM @this_model WHERE n_orders < @min_orders
     ctx.add_model(model_text.format(orders=orders, thresh=1))
     ctx.run(environment="env_ca", start="1995-01-01", end="1995-01-02")
     return spark.table("env_ca_views.daily")
+
+
+SELF_REF_ORACLE = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1995-01-11 00:00:00'
+  GROUP BY 1
+)
+SELECT ds, n, CAST(SUM(n) OVER (ORDER BY ds) AS BIGINT) AS cum_n FROM daily
+"""
+
+
+@register("framework_self_reference", oracle=SELF_REF_ORACLE, tags=("framework",))
+def framework_self_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-referencing incremental model (depends_on_past): each daily
+    batch reads ITS OWN previous state via @this_model to carry a running
+    total forward — the pattern behind balances, SCD-ish accumulation,
+    and monotone counters. The engine pre-creates the empty table from
+    declared columns so the first batch's analysis resolves, and
+    batch_size 1 forces strictly ordered daily evaluation (batch N reads
+    batch N-1's materialized rows)."""
+    _clean_dbs(spark, "sqlmesh__demo_sr", "env_sr_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (
+  name demo_sr.cumulative,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  columns (event_ts timestamp, ds string, n bigint, cum_n bigint),
+  batch_size 1,
+  start '1995-01-01'
+);
+SELECT CAST(@start_ts AS TIMESTAMP) AS event_ts,
+       date_format(CAST(@start_ts AS TIMESTAMP), 'yyyy-MM-dd') AS ds,
+       COUNT(*) AS n,
+       CAST(COUNT(*) + COALESCE(
+         (SELECT MAX(cum_n) FROM @this_model
+          WHERE event_ts < CAST(@start_ts AS TIMESTAMP)), 0) AS BIGINT) AS cum_n
+FROM {orders}
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY 1, 2
+"""
+    )
+    executed = ctx.run(environment="env_sr", start="1995-01-01", end="1995-01-11")
+    assert executed["demo_sr.cumulative"] == 10, executed
+    return spark.sql("SELECT ds, n, cum_n FROM env_sr_views.cumulative")
