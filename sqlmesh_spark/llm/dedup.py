@@ -596,3 +596,40 @@ register(
     oracle=_source_matrix_oracle(),
     tags=("llm", "dedup"),
 )(_source_matrix_case)
+
+
+def lsh_recall_eval_sql(table: str, dialect: str = "spark") -> str:
+    """Quality-eval harness for the LSH ladder: banded-MinHash candidate
+    pairs vs the exact all-pairs n-gram-Jaccard TRUTH, as one confusion
+    frame — true_pairs / lsh_pairs / hits / misses / false_alarms. This is
+    the measurement a production dedup pipeline runs on a sample before
+    trusting banding parameters at 100 TB (the truth side is O(n²) by
+    design — sample-scale only; the LSH side is the scale path).
+
+    Both sides end verified by exact Jaccard at the same threshold, so
+    false_alarms is structurally 0 and misses counts only banding recall
+    loss — exactly the quantity the band-size knob trades off."""
+    truth = ngram_jaccard_sql(table, dialect=dialect)
+    lsh = minhash_lsh_sql(table, dialect=dialect)
+    return f"""
+WITH truth AS ({truth}),
+lsh AS ({lsh}),
+joined AS (
+  SELECT t.d1 AS t_d1, l.d1 AS l_d1
+  FROM truth t FULL OUTER JOIN lsh l ON t.d1 = l.d1 AND t.d2 = l.d2
+)
+SELECT
+  SUM(CASE WHEN t_d1 IS NOT NULL THEN 1 ELSE 0 END) AS true_pairs,
+  SUM(CASE WHEN l_d1 IS NOT NULL THEN 1 ELSE 0 END) AS lsh_pairs,
+  SUM(CASE WHEN t_d1 IS NOT NULL AND l_d1 IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+  SUM(CASE WHEN t_d1 IS NOT NULL AND l_d1 IS NULL THEN 1 ELSE 0 END) AS misses,
+  SUM(CASE WHEN t_d1 IS NULL AND l_d1 IS NOT NULL THEN 1 ELSE 0 END) AS false_alarms
+FROM joined
+"""
+
+
+@register("dedup_lsh_recall_eval", oracle=lsh_recall_eval_sql("documents", "duckdb"), tags=("llm", "dedup"))
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    docs = spread_scan(spark, "documents", "recall_docs")
+    return spark.sql(lsh_recall_eval_sql(docs))
