@@ -2028,3 +2028,67 @@ GROUP BY 1, 2
     executed = ctx.run(environment="env_sr", start="1995-01-01", end="1995-01-11")
     assert executed["demo_sr.cumulative"] == 10, executed
     return spark.sql("SELECT ds, n, cum_n FROM env_sr_views.cumulative")
+
+
+PY_INCR_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-01-15 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("framework_python_incremental", oracle=PY_INCR_ORACLE, tags=("framework",))
+def framework_python_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python model under INCREMENTAL_BY_TIME_RANGE (definition.py:1876;
+    the kinds apply to Python models exactly as to SQL models): the
+    function reads the interval bounds from its ExecutionContext, and the
+    scheduler drives it batch-by-batch with idempotent partition
+    overwrites — run 2 extends the window and must process ONLY the new
+    days."""
+    from pyspark.sql import functions as F
+
+    from sqlmesh_spark.core.model import ModelKind
+    from sqlmesh_spark.core.python_model import ExecutionContext, python_model
+
+    _clean_dbs(spark, "sqlmesh__demo_pyinc", "env_pyinc_views")
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+
+    @python_model(
+        name="demo_pyinc.daily",
+        kind=ModelKind.INCREMENTAL_BY_TIME_RANGE,
+        kind_args={"time_column": "event_ts"},
+    )
+    def daily(ctx: ExecutionContext):
+        return (
+            ctx.table(orders)
+            .filter(
+                (F.col("o_orderdate") >= F.lit(ctx.start).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(ctx.end).cast("timestamp"))
+            )
+            .groupBy(
+                F.col("o_orderdate").alias("event_ts"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("ds"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                    "revenue_cents"
+                ),
+            )
+        )
+
+    ctx = Context(
+        spark,
+        state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"),
+        models={daily.name: daily},
+    )
+    r1 = ctx.run(environment="env_pyinc", start="1995-01-01", end="1995-01-08")
+    r2 = ctx.run(environment="env_pyinc", start="1995-01-01", end="1995-01-15")
+    assert r1["demo_pyinc.daily"] >= 1 and r2["demo_pyinc.daily"] >= 1
+    return spark.sql(
+        "SELECT ds, n_orders, revenue_cents FROM env_pyinc_views.daily"
+    )
