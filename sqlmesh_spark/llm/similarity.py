@@ -339,3 +339,57 @@ register(
     oracle=knn_label_vote_sql("embeddings", dialect="duckdb"),
     tags=("llm", "similarity"),
 )(_knn_case)
+
+
+def centroid_drift_sql(table: str, dialect: str = "spark") -> str:
+    """Per-label centroid drift — the dataset-balancing signal: pairwise
+    cosine between label centroids of the embedding column. Everything
+    stays in exact integer/decimal arithmetic until one final IEEE-
+    identical division: per-(label, dim) BIGINT micro-unit sums (the 1/n
+    centroid factors cancel inside cosine, so raw sums suffice), DECIMAL(38)
+    cross-products, then ROUND(CAST AS DOUBLE, 6). Order-insensitive under
+    any partitioning — bit-identical across engines.
+
+    Scale: one narrow shuffle on (label, dim) for the sums (|labels|·d
+    rows), then a tiny centroid-space join — corpus size only enters the
+    first scan."""
+    return f"""
+WITH elems AS ({_elems(table, dialect)}),
+lab AS (SELECT vec_id, label FROM {table}),
+sums AS (
+  SELECT l.label, e.ord, SUM(CAST(ROUND(e.val * 1000000) AS BIGINT)) AS s
+  FROM elems e JOIN lab l ON e.vec_id = l.vec_id
+  GROUP BY l.label, e.ord
+),
+norms AS (
+  SELECT label, SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS nrm
+  FROM sums GROUP BY label
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(CAST(a.s AS DECIMAL(38,0)) * CAST(b.s AS DECIMAL(38,0))) AS num
+  FROM sums a JOIN sums b ON a.ord = b.ord AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(p.label_a AS INT) AS label_a,
+       CAST(p.label_b AS INT) AS label_b,
+       ROUND(CAST(p.num AS DOUBLE)
+             / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))), 6)
+         AS centroid_cosine
+FROM pairs p
+JOIN norms na ON p.label_a = na.label
+JOIN norms nb ON p.label_b = nb.label
+"""
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=centroid_drift_sql("embeddings", "duckdb"),
+    tags=("llm", "ann"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlmesh_spark.llm.dedup import spread_scan
+
+    register_views(spark, sf_dir, ("embeddings",))
+    vecs = spread_scan(spark, "embeddings", "drift_vecs")
+    return spark.sql(centroid_drift_sql(vecs))
