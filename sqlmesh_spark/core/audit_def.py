@@ -78,7 +78,9 @@ def parse_audit_text(text: str):
 
         for kv in _parse_tuple(props["defaults"]):
             k, _, v = kv.partition("=")
-            defaults[k.strip().lower()] = _unquote(v.strip())
+            # Raw token (quotes intact) — same contract as model-level audit
+            # args: 'foo' is a string literal, bare foo a column reference.
+            defaults[k.strip().lower()] = v.strip()
     return ModelAuditDef(
         name=name, query=query, defaults=defaults, blocking=default_blocking
     )

@@ -48,6 +48,27 @@ def no_missing_external_models(model: Model, known: set[str]) -> Optional[str]:
     return None
 
 
+def invalid_select_star_expansion(model: Model, known: set[str]) -> Optional[str]:
+    """builtin.py:83 InvalidSelectStarExpansion: a SELECT * can only be
+    expanded to explicit columns when every upstream schema is known; a
+    star over a dependency with no known schema leaves the model's output
+    schema undefined at plan time (fingerprints, schema diffing, and
+    column-level lineage all need the expansion)."""
+    if not re.search(r"\bSELECT\s+\*", model.query, re.IGNORECASE):
+        return None
+    unknown = sorted(
+        dep
+        for dep in model.depends_on
+        if dep not in known and not dep.startswith("parquet.")
+    )
+    if unknown:
+        return (
+            f"SELECT * cannot be expanded: missing schema(s) for {unknown} "
+            "(declare them as models or external sources)"
+        )
+    return None
+
+
 def ambiguous_or_invalid_column(
     model: Model, spark: Optional[SparkSession], rendered_sql: Optional[str]
 ) -> Optional[str]:
@@ -75,6 +96,10 @@ def lint_models(
             ("no_select_star", no_select_star(model)),
             ("no_missing_audits", no_missing_audits(model)),
             ("no_missing_external_models", no_missing_external_models(model, known)),
+            (
+                "invalid_select_star_expansion",
+                invalid_select_star_expansion(model, known),
+            ),
             (
                 "ambiguous_or_invalid_column",
                 ambiguous_or_invalid_column(

@@ -175,7 +175,11 @@ def _parse_audits(s: str) -> tuple[tuple[str, dict], ...]:
                 if v.startswith("("):
                     args[k] = list(_parse_tuple(v))
                 else:
-                    args[k] = _unquote(v)
+                    # Keep the RAW token (quotes intact): downstream binding
+                    # must distinguish a string literal ('foo') from a bare
+                    # identifier (some_col) — a column reference in custom
+                    # audit args. Builtin audits unquote at call time.
+                    args[k] = v
         out.append((name, args))
     return tuple(out)
 

@@ -146,11 +146,20 @@ class PlanEvaluator:
         forward_only: bool = False,
         select_models: Optional[Sequence[str]] = None,
     ) -> Plan:
-        snapshots = build_snapshots(models)
         env_state = self.state.get_environment(environment)
-        diff = context_diff(snapshots, env_state)
         if select_models is not None:
-            self._apply_selection(snapshots, diff, env_state, select_models)
+            # Selection happens at the MODEL level BEFORE fingerprinting
+            # (reference node_selector semantics): a deferred parent's model
+            # text is restored to its applied definition so every child
+            # fingerprint embeds the pinned parent's OLD fingerprint. Pinning
+            # versions after build_snapshots instead would give a selected
+            # child a version embedding the parent's NEW fingerprint while
+            # it is built from the parent's OLD table — a later full plan
+            # applying the parent would then see the child's fingerprint
+            # unchanged and never rebuild it (permanently stale).
+            models = self._select_models(models, env_state, select_models)
+        snapshots = build_snapshots(models)
+        diff = context_diff(snapshots, env_state)
         self._categorize_and_revert(snapshots, diff, env_state)
         if forward_only:
             self._pin_forward_only(snapshots, diff, env_state)
@@ -163,67 +172,64 @@ class PlanEvaluator:
             forward_only=forward_only,
         )
 
-    def _apply_selection(
+    def _select_models(
         self,
-        snapshots: dict[str, Snapshot],
-        diff: ContextDiff,
+        models: Mapping[str, Model],
         env_state: Mapping[str, str],
         select_models: Sequence[str],
-    ) -> None:
+    ) -> dict[str, Model]:
         """`plan --select-model` (reference plan/builder.py selection via
         node_selector): only SELECTED models' changes enter the plan;
-        unselected modified models stay pinned at the environment's current
-        version (their change is deferred to a later full plan), and
+        unselected modified models are replaced by their stored (applied)
+        definitions — deferring their change to a later full plan — and
         unselected brand-new models are excluded entirely. `*` wildcards
-        match like fnmatch."""
+        match like fnmatch. Returns the effective models map; fingerprinting
+        runs AFTER this, so child versions embed the deferred parent's old
+        fingerprint (see plan())."""
+        import dataclasses
         import fnmatch
 
         selected = {
             name
-            for name in snapshots
+            for name in models
             for pat in select_models
             if fnmatch.fnmatch(name, pat.lower())
         }
         unknown = [
-            p for p in select_models if not any(fnmatch.fnmatch(n, p.lower()) for n in snapshots)
+            p for p in select_models if not any(fnmatch.fnmatch(n, p.lower()) for n in models)
         ]
         if unknown:
             raise PlanError(f"select_models matched nothing: {unknown}")
-        for name in list(diff.modified):
-            if name not in selected:
-                snap = snapshots[name]
-                # Pin BOTH the version and the QUERY TEXT to the applied
-                # state — wholesale kinds re-evaluate every run, and the
-                # deferred change must not leak into the old table.
-                old = self.state.get_snapshot(name, env_state[name]) or {}
-                old_query = old.get("query")
-                if old_query is None:
-                    raise PlanError(
-                        f"cannot defer {name}: no stored snapshot for its "
-                        f"applied version {env_state[name]}"
-                    )
-                import dataclasses
-
-                pinned_model = dataclasses.replace(snap.model, query=old_query)
-                snapshots[name] = Snapshot(
-                    model=pinned_model, version=env_state[name], parents=snap.parents
-                )
-                diff.modified.remove(name)
-                diff.unchanged.append(name)
-        for name in list(diff.added):
-            if name not in selected:
+        out = dict(models)
+        for name, model in models.items():
+            if name in selected:
+                continue
+            if name not in env_state:
                 dependents = [
                     n
-                    for n, s in snapshots.items()
-                    if name in s.parents and (n in selected or n in env_state)
+                    for n, m in models.items()
+                    if name in m.depends_on and (n in selected or n in env_state)
                 ]
                 if dependents:
                     raise PlanError(
                         f"cannot exclude new model {name}: selected/applied "
                         f"models depend on it: {dependents}"
                     )
-                del snapshots[name]
-                diff.added.remove(name)
+                del out[name]
+                continue
+            # Restore the QUERY TEXT to the applied state — wholesale kinds
+            # re-evaluate every run, and the deferred change must not leak
+            # into the old table.
+            old = self.state.get_snapshot(name, env_state[name]) or {}
+            old_query = old.get("query")
+            if old_query is None:
+                raise PlanError(
+                    f"cannot defer {name}: no stored snapshot for its "
+                    f"applied version {env_state[name]}"
+                )
+            if old_query != model.query:
+                out[name] = dataclasses.replace(model, query=old_query)
+        return out
 
     def _categorize_and_revert(
         self,

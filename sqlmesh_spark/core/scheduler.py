@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sqlmesh_spark import audits as audit_lib
 from sqlmesh_spark.adapter import SparkAdapter
-from sqlmesh_spark.core.model import Model, ModelKind
+from sqlmesh_spark.core.model import Model, ModelKind, _unquote
 from sqlmesh_spark.core.snapshot import (
     Snapshot,
     batch_intervals,
@@ -384,12 +384,18 @@ class SnapshotEvaluator:
                 audit_def = custom[name]
                 blocking_default = "true" if audit_def.blocking else "false"
                 blocking = (
-                    str(kwargs.pop("blocking", blocking_default)).lower() != "false"
+                    _unquote(str(kwargs.pop("blocking", blocking_default))).lower()
+                    != "false"
                 )
                 variables: dict[str, str] = {"this_model": relation}
                 for k, v in {**audit_def.defaults, **kwargs}.items():
-                    v = v if isinstance(v, str) else str(v)
-                    variables[k] = v if _NUMERIC_RE.match(v) else f"'{v}'"
+                    # Args are RAW tokens: numbers and 'quoted' string
+                    # literals bind verbatim, and a bare identifier binds
+                    # verbatim too — i.e. as a COLUMN REFERENCE, not a
+                    # quoted constant. (Quoting everything non-numeric made
+                    # `column = some_col` a constant string, so the audit
+                    # vacuously passed — the safety check silently off.)
+                    variables[k] = v if isinstance(v, str) else str(v)
                 sql = MacroEvaluator(variables=variables).render(audit_def.query)
             else:
                 fn = getattr(audit_lib, name, None)
@@ -397,8 +403,16 @@ class SnapshotEvaluator:
                     raise AuditError(
                         f"unknown audit {name!r} on {snapshot.model.name}"
                     )
-                blocking = str(kwargs.pop("blocking", "true")).lower() != "false"
+                blocking = (
+                    _unquote(str(kwargs.pop("blocking", "true"))).lower() != "false"
+                )
                 # SQL-level audits take the physical table as relation.
+                # Builtin audit fns expect UNQUOTED scalar args (they quote
+                # internally where needed) — strip the raw tokens' quotes.
+                kwargs = {
+                    k: _unquote(v) if isinstance(v, str) else v
+                    for k, v in kwargs.items()
+                }
                 sql = fn(table=relation, dialect=audit_lib.SPARK, **kwargs)
             n_bad = self.spark.sql(sql).limit(1).count()
             if n_bad > 0:

@@ -136,14 +136,18 @@ def interval_unit(cron: str) -> int:
             step = int(minute[2:])
         except ValueError:
             return DAY
-        # node.py:59 — five minutes is the floor.
-        if step <= 5:
+        # Floor to the largest ladder unit <= the cron period (the reference
+        # samples consecutive croniter datetimes and picks the largest
+        # IntervalUnit that fits — node.py:59; five minutes is the minimum).
+        # Ceiling instead (e.g. */10 -> QUARTER_HOUR) would make intervals
+        # wait for boundaries coarser than the model's actual cadence.
+        if step < 5:
             return FIVE_MINUTE
-        if step <= 15:
-            return QUARTER_HOUR
-        if step <= 30:
-            return HALF_HOUR
-        return HOUR
+        period = step * 60
+        for unit in (HOUR, HALF_HOUR, QUARTER_HOUR, FIVE_MINUTE):
+            if unit <= period:
+                return unit
+        return FIVE_MINUTE
     if minute == "*":
         return FIVE_MINUTE  # every minute requested; clamp to the floor
     if hour == "*" or hour.startswith("*/"):

@@ -137,15 +137,15 @@ def row_diff_query(
     }
     all_match = " AND ".join(col_match.values())
     per_col = ",\n       ".join(
-        f"SUM(CASE WHEN ({s_key}) AND ({t_key}) AND {m} THEN 1 ELSE 0 END) AS {c}_matches"
+        f"CAST(SUM(CASE WHEN ({s_key}) AND ({t_key}) AND {m} THEN 1 ELSE 0 END) AS BIGINT) AS {c}_matches"
         for c, m in col_match.items()
     )
     return f"""
 SELECT COUNT(*) AS total_rows,
-       SUM(CASE WHEN ({s_key}) AND ({t_key}) THEN 1 ELSE 0 END) AS joined_count,
-       SUM(CASE WHEN ({s_key}) AND NOT ({t_key}) THEN 1 ELSE 0 END) AS s_only_count,
-       SUM(CASE WHEN ({t_key}) AND NOT ({s_key}) THEN 1 ELSE 0 END) AS t_only_count,
-       SUM(CASE WHEN ({s_key}) AND ({t_key}) AND {all_match} THEN 1 ELSE 0 END) AS full_match_count,
+       CAST(SUM(CASE WHEN ({s_key}) AND ({t_key}) THEN 1 ELSE 0 END) AS BIGINT) AS joined_count,
+       CAST(SUM(CASE WHEN ({s_key}) AND NOT ({t_key}) THEN 1 ELSE 0 END) AS BIGINT) AS s_only_count,
+       CAST(SUM(CASE WHEN ({t_key}) AND NOT ({s_key}) THEN 1 ELSE 0 END) AS BIGINT) AS t_only_count,
+       CAST(SUM(CASE WHEN ({s_key}) AND ({t_key}) AND {all_match} THEN 1 ELSE 0 END) AS BIGINT) AS full_match_count,
        {per_col}
 FROM ({source}) s FULL OUTER JOIN ({target}) t ON {key_eq}
 """

@@ -319,7 +319,7 @@ weights AS (
   FROM counts
 ),
 quotas AS (
-  SELECT lang, n_docs, ({budget} * w) {idiv} SUM(w) OVER () AS quota
+  SELECT lang, n_docs, CAST(({budget} * w) {idiv} SUM(w) OVER () AS BIGINT) AS quota
   FROM weights
 ),
 ranked AS (

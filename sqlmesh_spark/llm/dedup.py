@@ -357,7 +357,11 @@ WHERE {ham} <= {max_hamming}
 
 
 def embedding_topn_pairs_sql(table: str, top_n: int = 20, dialect: str = "spark") -> str:
-    """Top-N most-similar embedding pairs by exact cosine. Dot products and
+    """Top-N most-similar embedding pairs by exact cosine — the EXACT
+    small-corpus rung of the embedding-dedup ladder: all-pairs O(n²) dot
+    products BY DESIGN, the truth that bucketed variants approximate. At
+    corpus scale use dedup_embedding_lsh (sign-LSH buckets, no n² exchange)
+    or the ann_* operators in similarity.py. Dot products and
     norms accumulate as scaled integers (ROUND(x*y*1e6) per element) so the
     sums are order-insensitive and bit-identical across engines; ordering
     uses the rounded similarity with id tie-breaks."""
@@ -619,11 +623,11 @@ joined AS (
   FROM truth t FULL OUTER JOIN lsh l ON t.d1 = l.d1 AND t.d2 = l.d2
 )
 SELECT
-  SUM(CASE WHEN t_d1 IS NOT NULL THEN 1 ELSE 0 END) AS true_pairs,
-  SUM(CASE WHEN l_d1 IS NOT NULL THEN 1 ELSE 0 END) AS lsh_pairs,
-  SUM(CASE WHEN t_d1 IS NOT NULL AND l_d1 IS NOT NULL THEN 1 ELSE 0 END) AS hits,
-  SUM(CASE WHEN t_d1 IS NOT NULL AND l_d1 IS NULL THEN 1 ELSE 0 END) AS misses,
-  SUM(CASE WHEN t_d1 IS NULL AND l_d1 IS NOT NULL THEN 1 ELSE 0 END) AS false_alarms
+  CAST(SUM(CASE WHEN t_d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_pairs,
+  CAST(SUM(CASE WHEN l_d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_pairs,
+  CAST(SUM(CASE WHEN t_d1 IS NOT NULL AND l_d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+  CAST(SUM(CASE WHEN t_d1 IS NOT NULL AND l_d1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS misses,
+  CAST(SUM(CASE WHEN t_d1 IS NULL AND l_d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_alarms
 FROM joined
 """
 

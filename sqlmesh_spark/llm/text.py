@@ -143,8 +143,8 @@ WITH doc_bigrams AS ({bigrams}),
 df AS (SELECT bg, COUNT(*) AS doc_freq FROM doc_bigrams GROUP BY bg)
 SELECT b.doc_id,
        COUNT(*) AS n_bigrams,
-       SUM(d.doc_freq) AS familiarity_sum,
-       (1000000 * SUM(d.doc_freq)) {idiv} COUNT(*) AS familiarity_avg_ppm
+       CAST(SUM(d.doc_freq) AS BIGINT) AS familiarity_sum,
+       CAST((1000000 * SUM(d.doc_freq)) {idiv} COUNT(*) AS BIGINT) AS familiarity_avg_ppm
 FROM doc_bigrams b JOIN df d ON b.bg = d.bg
 GROUP BY b.doc_id
 """

@@ -590,9 +590,9 @@ FROM orders GROUP BY o_orderpriority
 
 MACRO_PIVOT_ORACLE = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE NULL END) AS pivot_O,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE NULL END) AS pivot_F,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE NULL END) AS pivot_P
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE NULL END) AS BIGINT) AS pivot_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE NULL END) AS BIGINT) AS pivot_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE NULL END) AS BIGINT) AS pivot_P
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -799,7 +799,7 @@ JINJA_QUERY_SQL = """
 JINJA_QUERY_BEGIN;
 {% macro seg_sum(seg) %}
   SELECT '{{ seg }}' AS segment,
-         SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
          COUNT(*) AS n
   FROM customer
   WHERE c_mktsegment = '{{ seg }}' AND c_acctbal >= {{ var('min_bal', 0) }}
@@ -812,11 +812,11 @@ JINJA_END;
 
 JINJA_QUERY_ORACLE = """
 SELECT 'BUILDING' AS segment,
-       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents, COUNT(*) AS n
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents, COUNT(*) AS n
 FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000
 UNION ALL
 SELECT 'MACHINERY' AS segment,
-       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents, COUNT(*) AS n
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents, COUNT(*) AS n
 FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 1000
 """
 

@@ -114,12 +114,18 @@ _SOURCES = {
 
 _METRICS = (
     Metric(
+        # Outer CAST: DuckDB SUM(BIGINT) is HUGEINT (-> pandas float64) while
+        # Spark's is BIGINT; the driver's value-hash is dtype-sensitive.
         "total_revenue_cents",
-        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))",
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)",
         "order_facts",
     ),
     Metric("n_customers", "COUNT(DISTINCT c_custkey)", "customer_dim"),
-    Metric("n_positive_bal", "SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)", "customer_dim"),
+    Metric(
+        "n_positive_bal",
+        "CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)",
+        "customer_dim",
+    ),
     # Derived: composes the two base metrics above (definition.py derived
     # metrics) — evaluated over the joined aggregates, identical doubles.
     Metric(

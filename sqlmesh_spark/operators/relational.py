@@ -719,7 +719,7 @@ TUMBLING_ORACLE = """
 SELECT strftime(to_timestamp(epoch(ts) - epoch(ts) % 21600), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 """
@@ -751,7 +751,7 @@ CASCADE_ORACLE = """
 SELECT strftime(to_timestamp(epoch(ts) - epoch(ts) % 86400), '%Y-%m-%d') AS day,
        event_type,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 """
@@ -1188,7 +1188,7 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOPPING_ORACLE = """
 SELECT strftime(to_timestamp(start_epoch), '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM (
   SELECT value,
          (epoch(ts) - epoch(ts) % 10800) - CAST(h AS BIGINT) * 10800 AS start_epoch

@@ -55,7 +55,7 @@ def salted_join(
 SALTED_ORACLE = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY user_id
 """
 
@@ -88,7 +88,7 @@ _register()
 SALTED_JOIN_ORACLE = """
 SELECT c_mktsegment AS segment,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events JOIN customer ON user_id % 1000 = c_custkey
 GROUP BY c_mktsegment
 """

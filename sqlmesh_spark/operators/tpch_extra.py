@@ -256,7 +256,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_ORACLE = """
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
-         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -583,7 +583,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q11_ORACLE = """
 WITH v AS (
   SELECT l_partkey,
-         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_cents
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   WHERE s_nationkey = 2

@@ -30,9 +30,12 @@ def _canon_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
+        # Deliberately dtype-sensitive: the driver's value-hash distinguishes
+        # float64 `3862161901.0` from int64 `3862161901` (round-2 VERDICT "What's
+        # wrong" #1). Collapsing integral floats here masked oracle-dtype bugs
+        # (DuckDB SUM(bigint) -> HUGEINT -> pandas float64); oracles must
+        # CAST(... AS BIGINT) instead so builder-green implies driver-green.
+        return repr(float(v))
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)):

@@ -42,14 +42,14 @@ def _write_project(models: dict[str, str]) -> str:
 INCR_ORACLE = """
 WITH daily AS (
   SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
-         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
          COUNT(DISTINCT l_orderkey) AS n_orders
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
     AND o_orderdate <  TIMESTAMP '1995-12-31 00:00:00'
   GROUP BY strftime(o_orderdate, '%Y-%m-%d')
 )
-SELECT substr(ds, 1, 7) AS month, SUM(revenue_cents) AS revenue_cents,
+SELECT substr(ds, 1, 7) AS month, CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
        CAST(SUM(n_orders) AS BIGINT) AS n_orders
 FROM daily GROUP BY substr(ds, 1, 7)
 """
@@ -265,14 +265,14 @@ WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
 MULTI_KIND_ORACLE = """
 WITH daily AS (
   SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
     AND o_orderdate <  TIMESTAMP '1995-06-30 00:00:00'
   GROUP BY 1
 ),
 monthly AS (
-  SELECT substr(ds, 1, 7) AS month, SUM(revenue_cents) AS revenue_cents
+  SELECT substr(ds, 1, 7) AS month, CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
   FROM daily GROUP BY 1
 ),
 regions AS (
@@ -350,7 +350,7 @@ CROSS JOIN (SELECT COUNT(*) AS n_regions
 
 RESTATE_ORACLE = """
 SELECT substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 7) AS month,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_orders
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -430,7 +430,7 @@ SELECT ds, revenue_cents,
        CASE WHEN ds >= '1995-07-01' THEN n ELSE NULL END AS n_orders
 FROM (
   SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
          COUNT(*) AS n
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -837,7 +837,7 @@ def framework_janitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_EXT_ORACLE = """
 SELECT o_orderstatus AS status, COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders WHERE o_orderkey <= 5000
 GROUP BY o_orderstatus
 """
@@ -889,7 +889,7 @@ GROUP BY o_orderstatus
 MONTHLY_ORACLE = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
@@ -942,7 +942,7 @@ GROUP BY 1, 2
 AUTO_RESTATE_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1995-02-10 00:00:00'
@@ -1000,7 +1000,7 @@ GROUP BY 1, 2
 
 NON_BREAKING_ORACLE = """
 SELECT c_mktsegment AS segment, COUNT(*) AS n, 
-       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM customer
 WHERE c_acctbal > 100
 GROUP BY c_mktsegment
@@ -1068,7 +1068,7 @@ GROUP BY 1, c_mktsegment
 PROMO_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-08'
 GROUP BY 1
@@ -1373,7 +1373,7 @@ PYGEN_ORACLE = """
 SELECT c_mktsegment AS segment,
        CAST(CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'low' END AS VARCHAR) AS tier,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM customer
 GROUP BY 1, 2
 """
@@ -1654,7 +1654,7 @@ SELECT r_regionkey, r_name FROM {region}
 MANAGED_ORACLE = """
 SELECT c_mktsegment AS segment,
        COUNT(*) AS n_customers,
-       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM customer GROUP BY 1
 """
 
@@ -1698,10 +1698,10 @@ FROM demo_mg_src.stage GROUP BY 1
 
 
 BLUEPRINT_ORACLE = """
-SELECT 'building' AS customer_segment, COUNT(*) AS n, SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+SELECT 'building' AS customer_segment, COUNT(*) AS n, CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM customer WHERE c_mktsegment = 'BUILDING'
 UNION ALL
-SELECT 'machinery' AS customer_segment, COUNT(*) AS n, SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+SELECT 'machinery' AS customer_segment, COUNT(*) AS n, CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM customer WHERE c_mktsegment = 'MACHINERY'
 """
 
@@ -1843,15 +1843,15 @@ t AS (
   FROM orders
 )
 SELECT COUNT(*) AS total_rows,
-       SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND (t.o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS joined_count,
-       SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND NOT (t.o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS s_only_count,
-       SUM(CASE WHEN (t.o_orderkey IS NOT NULL) AND NOT (s.o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS t_only_count,
-       SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND (t.o_orderkey IS NOT NULL)
+       CAST(SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND (t.o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS joined_count,
+       CAST(SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND NOT (t.o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS s_only_count,
+       CAST(SUM(CASE WHEN (t.o_orderkey IS NOT NULL) AND NOT (s.o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS t_only_count,
+       CAST(SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND (t.o_orderkey IS NOT NULL)
                  AND (s.price_cents = t.price_cents OR (s.price_cents IS NULL AND t.price_cents IS NULL))
-                THEN 1 ELSE 0 END) AS full_match_count,
-       SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND (t.o_orderkey IS NOT NULL)
+                THEN 1 ELSE 0 END) AS BIGINT) AS full_match_count,
+       CAST(SUM(CASE WHEN (s.o_orderkey IS NOT NULL) AND (t.o_orderkey IS NOT NULL)
                  AND (s.price_cents = t.price_cents OR (s.price_cents IS NULL AND t.price_cents IS NULL))
-                THEN 1 ELSE 0 END) AS price_cents_matches
+                THEN 1 ELSE 0 END) AS BIGINT) AS price_cents_matches
 FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
 """
 
@@ -2033,7 +2033,7 @@ GROUP BY 1, 2
 PY_INCR_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1995-01-15 00:00:00'

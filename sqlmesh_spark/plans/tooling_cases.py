@@ -81,6 +81,10 @@ _LINT_MODELS = {
     "bad.star": "MODEL (name bad.star, kind FULL);\nSELECT * FROM ext.orders",
     "bad.noaudit": "MODEL (name bad.noaudit, kind FULL);\nSELECT o_orderkey AS k FROM ext.orders",
     "bad.dep": "MODEL (name bad.dep, kind VIEW);\nSELECT k FROM missing.upstream",
+    # Violates invalid_select_star_expansion (star over an unknown schema);
+    # bad.star above is the NON-violating control for that rule — its star
+    # expands fine because ext.orders' schema is known.
+    "bad.starexp": "MODEL (name bad.starexp, kind VIEW);\nSELECT * FROM missing.upstream",
     "good.view": (
         "MODEL (name good.view, kind VIEW);\nSELECT o_orderkey AS k FROM ext.orders"
     ),
@@ -91,7 +95,10 @@ SELECT * FROM (VALUES
   ('bad.dep', 'no_missing_external_models'),
   ('bad.noaudit', 'no_missing_audits'),
   ('bad.star', 'no_missing_audits'),
-  ('bad.star', 'no_select_star')
+  ('bad.star', 'no_select_star'),
+  ('bad.starexp', 'invalid_select_star_expansion'),
+  ('bad.starexp', 'no_missing_external_models'),
+  ('bad.starexp', 'no_select_star')
 ) AS t(model, rule)
 """
 
@@ -178,7 +185,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETED_JOIN_ORACLE = """
 SELECT o_custkey AS custkey,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        CAST(ANY_VALUE(c_mktsegment) AS VARCHAR) AS segment
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY o_custkey
@@ -332,7 +339,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PARTITION_PRUNE_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 WHERE strftime(o_orderdate, '%Y-%m') = '1996-06'
 GROUP BY strftime(o_orderdate, '%Y-%m-%d')

@@ -63,20 +63,53 @@ def load_all() -> dict[str, QueryCase]:
     return _interleaved(REGISTRY)
 
 
+def _previously_sampled() -> set[str]:
+    """Case names already checked by an external sweep in a prior round
+    (CORRECTNESS_r*.json at the repo root). Best-effort: missing/unreadable
+    files mean an empty set."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                sampled |= set(json.load(f))
+        except Exception:
+            continue
+    return sampled
+
+
 def _interleaved(registry: dict[str, QueryCase]) -> dict[str, QueryCase]:
     """Round-robin the registry across operator families so that ANY
     prefix of the case list spans every family: a time-capped external
     sweep that checks the first N cases still verifies materializations,
     macros, audits, framework lifecycle, llm ops, and streaming — not just
-    whichever module happened to import first."""
+    whichever module happened to import first.
+
+    Within each family, cases NOT yet covered by a prior round's external
+    sweep sort first (stable), so successive capped sweeps rotate through
+    the registry instead of re-checking the same prefix every round."""
     from itertools import zip_longest
 
+    sampled = _previously_sampled()
     families: dict[str, list[QueryCase]] = {}
     for case in registry.values():
-        fam = case.tags[0] if case.tags else case.name.split("_", 1)[0]
+        # scd2 is its own rotation family: nested under materialization it
+        # never reached a capped prefix (registration order put it last).
+        if "scd2" in case.tags:
+            fam = "scd2"
+        else:
+            fam = case.tags[0] if case.tags else case.name.split("_", 1)[0]
         families.setdefault(fam, []).append(case)
     out: dict[str, QueryCase] = {}
-    for batch in zip_longest(*families.values()):
+    ordered = [
+        sorted(cases, key=lambda c: c.name in sampled)  # stable: unsampled first
+        for cases in families.values()
+    ]
+    for batch in zip_longest(*ordered):
         for case in batch:
             if case is not None:
                 out[case.name] = case

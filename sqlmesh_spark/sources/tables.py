@@ -36,7 +36,15 @@ BROADCAST_SAFE = ("region", "nation")
 # Loaded-DataFrame cache: a DataFrame is a lazy plan, so reusing one across
 # cases is safe and skips the per-read footer/schema round-trip — across a
 # ~200-case sweep that's the bulk of source-side driver overhead.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed per-session via WeakKeyDictionary (NOT id(spark): after a session is
+# garbage-collected a new object can reuse the same address and would read
+# cached DataFrames bound to a dead session); dead sessions' entries vanish
+# with the key.
+import weakref
+
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,14 +53,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamp literals and date_format must agree with the UTC-naive
     # parquet timestamps regardless of the host session's zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark), sf_dir, name)
-    df = _DF_CACHE.get(key)
+    try:
+        per_session = _DF_CACHE.setdefault(spark, {})
+    except TypeError:
+        # SparkSession not weak-referenceable on this build — no caching.
+        per_session = {}
+    key = (sf_dir, name)
+    df = per_session.get(key)
     if df is None:
         if name == "events":
             df = _load_events(spark, sf_dir)
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _DF_CACHE[key] = df
+        per_session[key] = df
     return df
 
 

@@ -20,7 +20,7 @@ STREAMING_ORACLE = """
 WITH daily AS (
   SELECT CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS ds,
          COUNT(*) AS n_orders,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
@@ -223,7 +223,7 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_DEDUP_ORACLE = """
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM (SELECT DISTINCT event_id, user_id, value FROM events)
 GROUP BY user_id
 """
@@ -290,7 +290,7 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_ENRICH_ORACLE = """
 SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events JOIN customer ON user_id % 1000 = c_custkey
 GROUP BY c_mktsegment
 """
@@ -447,7 +447,7 @@ WITH in_window AS (
 mx AS (SELECT MAX(o_orderdate) AS max_ts FROM in_window)
 -- Closed windows of the DUPLICATE-FREE base: neither replay file may
 -- change any emitted value.
-SELECT ds, COUNT(*) AS n_orders, SUM(cents) AS revenue_cents
+SELECT ds, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS revenue_cents
 FROM in_window CROSS JOIN mx
 WHERE CAST(ds AS TIMESTAMP) + INTERVAL 1 DAY <= mx.max_ts - INTERVAL 2 DAY
 GROUP BY ds

@@ -188,12 +188,19 @@ def test_linter(spark):
         "MODEL (name s.base, kind FULL, audits (number_of_rows(threshold = 1)));\nSELECT 1 AS x"
     )
     orphan = parse_model_text("MODEL (name s.orphan, kind FULL);\nSELECT y FROM no.such_table")
-    violations = lint_models({m.name: m for m in (star, base, orphan)})
+    starexp = parse_model_text(
+        "MODEL (name s.starexp, kind VIEW);\nSELECT * FROM no.such_table"
+    )
+    violations = lint_models({m.name: m for m in (star, base, orphan, starexp)})
     rules = {(v.model, v.rule) for v in violations}
     assert ("s.star", "no_select_star") in rules
     assert ("s.star", "no_missing_audits") in rules
     assert ("s.orphan", "no_missing_external_models") in rules
     assert ("s.base", "no_missing_audits") not in rules
+    # InvalidSelectStarExpansion (builtin.py:83): star over an UNKNOWN schema
+    # violates; star over a known model expands fine.
+    assert ("s.starexp", "invalid_select_star_expansion") in rules
+    assert ("s.star", "invalid_select_star_expansion") not in rules
 
 
 def test_context_lineage(spark):
