@@ -63,8 +63,15 @@ QueryOrDF = Union[str, DataFrame]
 
 
 class SparkAdapter:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, backend_cls=None):
+        from sqlmesh_spark.backends import TableFormatBackend
+
         self.spark = spark
+        # Format-native operations (merge, clone, WAP, SCD2 tail) dispatch
+        # through the backend seam — parquet emulation by default,
+        # DeltaBackend/IcebergBackend for native MERGE INTO / SHALLOW
+        # CLONE / branch WAP (see backends.py).
+        self.backend = (backend_cls or TableFormatBackend)(self)
         # Dynamic overwrite is the contract for insert_overwrite_*; set at
         # runtime so the adapter works under any host session.
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -83,6 +90,20 @@ class SparkAdapter:
 
     def create_schema(self, name: str) -> None:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+    def create_catalog(self, name: str) -> None:
+        """base.py:1452 — catalog creation. Spark catalogs are session
+        configuration (``spark.sql.catalog.<name>`` plugin classes), not
+        DDL-creatable at runtime; the reference's Spark adapter likewise
+        has no create_catalog. Raise the clear unsupported error the
+        reference raises for engines without catalog DDL."""
+        from sqlmesh_spark.backends import UnsupportedTableFormatError
+
+        raise UnsupportedTableFormatError(
+            f"create_catalog({name!r}): Spark catalogs are configured via "
+            "spark.sql.catalog.* session configs (Iceberg/Unity/Glue "
+            "plugins), not created by DDL"
+        )
 
     def drop_schema(self, name: str, cascade: bool = True) -> None:
         self.spark.sql(f"DROP DATABASE IF EXISTS {name}{' CASCADE' if cascade else ''}")
@@ -158,10 +179,10 @@ class SparkAdapter:
         self.spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
 
     def clone_table(self, target: str, source: str) -> None:
-        """base.py:1059 — dev-preview clone. Parquet has no zero-copy
-        SHALLOW CLONE (that needs Delta/Iceberg); a CTAS copy preserves the
-        semantics (isolated writable copy) at the cost of a data copy."""
-        self.ctas(target, self.spark.table(source))
+        """base.py:1059 — dev-preview clone. Dispatches through the format
+        backend: parquet emulation copies (CTAS), DeltaBackend runs
+        SHALLOW CLONE (zero-copy)."""
+        self.backend.clone(target, source)
 
     def create_managed_table(
         self,
@@ -326,20 +347,13 @@ class SparkAdapter:
         ``merge_filter`` (kind.py:516) narrows which *target* rows are
         eligible for replacement — the pushdown that keeps a key-merge from
         scanning all history at scale.
+
+        Dispatches through the format backend: the parquet backend runs
+        the logical merge COPY-ON-WRITE (partitioned targets rewrite only
+        partitions holding a matched key or receiving a row — see
+        backends.py), DeltaBackend/IcebergBackend run native MERGE INTO.
         """
-        src = self._df(source)
-        src = src.dropDuplicates(list(unique_key))
-        tgt = self.spark.table(target)
-        if merge_filter:
-            eligible = tgt.filter(merge_filter)
-            frozen = tgt.filter(f"NOT ({merge_filter})")
-        else:
-            eligible, frozen = tgt, None
-        kept = eligible.join(src, on=list(unique_key), how="left_anti")
-        out = kept.unionByName(src.select(*[c for c in tgt.columns]))
-        if frozen is not None:
-            out = frozen.unionByName(out)
-        self._atomic_rewrite(target, out)
+        self.backend.merge(target, self._df(source), unique_key, merge_filter)
 
     def replace_query(self, table: str, query_or_df: QueryOrDF) -> None:
         """base.py:459 — atomic full refresh (CREATE OR REPLACE TABLE)."""
@@ -380,19 +394,16 @@ class SparkAdapter:
     # -- spark.py:492-534 uses branches + cherrypick) -----------------------
 
     def wap_prepare(self, table: str) -> str:
-        """Open a WAP 'branch': a staging clone writers target. On Iceberg
-        this is ALTER TABLE ... CREATE BRANCH; the parquet analog is a
-        physical staging table with the same contract — audit before
-        publish, publish is atomic."""
-        staging = self._tmp_name(f"{table}__wap")
-        self.ctas(staging, self.spark.table(table))
-        return staging
+        """Open a WAP 'branch'. Backend seam: IcebergBackend issues
+        ALTER TABLE ... CREATE BRANCH (spark.py:492-534); the parquet
+        emulation stages to a physical clone with the same contract —
+        audit before publish, publish is atomic."""
+        return self.backend.wap_prepare(table)
 
     def wap_publish(self, table: str, staging: str) -> None:
-        """Atomically promote the audited staging table (Iceberg:
-        system.cherrypick_snapshot; here: drop + rename swap)."""
-        self.drop_table(table)
-        self.rename_table(staging, table)
+        """Atomically promote the audited staging state (Iceberg:
+        system.cherrypick_snapshot; parquet: drop + rename swap)."""
+        self.backend.wap_publish(table, staging)
 
     # -- seeds (model/seed.py:91, evaluator.py:2421) -----------------------
 

@@ -1,10 +1,12 @@
 """Column-level lineage (reference sqlmesh/core/lineage.py:1-114).
 
-The reference walks SQLGlot scopes; without sqlglot this is a focused
-projection parser covering the model-SQL shapes the engine emits and
-loads: top-level SELECT lists with aliases, qualified/bare column refs,
-FROM/JOIN alias resolution, and expansion through upstream models
-(transitive lineage to source tables).
+The reference walks SQLGlot optimizer scopes (build_scope/qualify); this
+module does the same walk over the tokenizer-level scope tree built by
+``core/sqlparse.py``: CTE shadowing, nested subqueries with repeated
+aliases, set operations, LATERAL VIEW, and star expansion all resolve
+lexically, then expand through upstream MODELS (transitive lineage down
+to source tables). The legacy projection-regex path survives only as the
+fallback for macro-heavy SQL the structural parse rejects.
 
 Deliberately conservative: an expression's lineage is the set of ALL
 columns it references (no conditional-branch pruning) — the same
@@ -124,7 +126,19 @@ def _out_name(projection: str, idx: int) -> str:
 
 
 def column_lineage(model: Model) -> dict[str, set[tuple[str, str]]]:
-    """Output column → {(relation, column), ...} for one model."""
+    """Output column → {(relation, column), ...} for one model. Relations
+    here may be upstream models (expanded by transitive_column_lineage) or
+    true external tables."""
+    from sqlmesh_spark.core.sqlparse import SqlParseError, query_lineage
+
+    try:
+        return query_lineage(model.query)
+    except SqlParseError:
+        return _column_lineage_regex(model)
+
+
+def _column_lineage_regex(model: Model) -> dict[str, set[tuple[str, str]]]:
+    """Legacy fallback for SQL the structural parse rejects."""
     aliases = _alias_map(model.query)
     out: dict[str, set[tuple[str, str]]] = {}
     for i, proj in enumerate(_projection_list(model.query)):
@@ -149,7 +163,12 @@ def transitive_column_lineage(
         seen.add((rel, col))
         if rel in models:
             lin = column_lineage(models[rel])
-            for src in lin.get(col, set()):
+            srcs = lin.get(col)
+            if srcs is None and "*" in lin:
+                # the model selects * — pass the column through to every
+                # star-source relation
+                srcs = {(t, col) for (t, c) in lin["*"] if c == "*"}
+            for src in srcs or set():
                 frontier.add(src)
         else:
             result.add((rel, col))

@@ -184,9 +184,11 @@ def _parse_audits(s: str) -> tuple[tuple[str, dict], ...]:
     return tuple(out)
 
 
-# Table references for depends_on extraction (dialect.py:1270 find_tables):
-# FROM / JOIN followed by a dotted identifier; @DEDUPLICATE(rel, ...) and
-# other macro-wrapped relations are caught by the dotted-name fallback scan.
+# Table references for depends_on extraction (dialect.py:1270 find_tables).
+# Primary path: the tokenizer/scope walk in core/sqlparse.py — CTE names
+# shadow models, string literals and comments never match, and nested
+# subqueries resolve in their own scope. The regexes remain only as the
+# fallback for macro-heavy text the structural parse rejects.
 _TABLE_REF_RE = re.compile(
     r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)+)", re.IGNORECASE
 )
@@ -194,12 +196,20 @@ _DOTTED_RE = re.compile(r"\b([A-Za-z_][\w]*\.[A-Za-z_][\w]*)\b")
 
 
 def extract_depends_on(query: str, known_models: Optional[set[str]] = None) -> frozenset[str]:
-    deps = set(m.group(1).lower() for m in _TABLE_REF_RE.finditer(query))
+    from sqlmesh_spark.core.sqlparse import SqlParseError, dotted_names, find_tables
+
+    try:
+        # Keep only dotted externals: model references are schema-qualified
+        # in this engine, and bare names (registered temp views, seeds) are
+        # caught by the known_models membership scan below.
+        deps = {t for t in find_tables(query) if "." in t}
+        dotted = dotted_names(query)
+    except SqlParseError:
+        deps = set(m.group(1).lower() for m in _TABLE_REF_RE.finditer(query))
+        dotted = {m.group(1).lower() for m in _DOTTED_RE.finditer(query)}
     if known_models is not None:
         # Any dotted name that IS a model counts (covers macro-wrapped refs).
-        for m in _DOTTED_RE.finditer(query):
-            if m.group(1).lower() in known_models:
-                deps.add(m.group(1).lower())
+        deps |= {d for d in dotted if d in known_models}
     return frozenset(deps)
 
 

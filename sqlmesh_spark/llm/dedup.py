@@ -101,13 +101,41 @@ GROUP BY MD5({norm})
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_sql(table: str, k: int = 5, threshold: float = 0.6, dialect: str = "spark") -> str:
+def ngram_jaccard_sql(
+    table: str,
+    k: int = 5,
+    threshold: float = 0.6,
+    dialect: str = "spark",
+    max_df: int | None = None,
+) -> str:
+    """Inverted-index pair generation with an optional STOP-SHINGLE CAP.
+
+    Without a cap, a boilerplate shingle shared by df documents fans out
+    df·(df-1)/2 candidate rows in the pair join — on this test corpus one
+    shingle reaches df=402/500, and at corpus scale a license header or
+    nav-bar shingle appearing in 10⁸ docs is a 10¹⁶-row skew bomb on one
+    join key. ``max_df`` drops shingles with document frequency > max_df
+    BEFORE the pair join (one extra group-by + semi join), bounding the
+    per-shingle fan-out at max_df² and removing exactly the shingles that
+    carry no near-dup signal. Jaccard is then computed over the capped
+    shingle sets (sizes use the same capped relation), the standard
+    stopword treatment — identical SQL shape on both engines, so the
+    DuckDB oracle applies the same cap.
+    """
+    if max_df is None:
+        capped = "sh"
+        cap_cte = ""
+    else:
+        capped = "sh_capped"
+        cap_cte = f"""
+df AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {max_df}),
+sh_capped AS (SELECT sh.doc_id, sh.g FROM sh JOIN df ON sh.g = df.g),"""
     return f"""
-WITH sh AS ({_shingles(table, k, dialect)}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH sh AS ({_shingles(table, k, dialect)}),{cap_cte}
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM {capped} GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM {capped} a JOIN {capped} b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT d1, d2,
@@ -414,11 +442,14 @@ def _doc_case(sql_fn, **kwargs):
 register("dedup_exact", oracle=exact_dedup_sql("documents", "duckdb"), tags=("llm", "dedup"))(
     _doc_case(exact_dedup_sql)
 )
+# max_df=250 (half the sf0.01 corpus): boilerplate shingles (max observed
+# df=402/500) are dropped before the pair join on BOTH engines. The
+# recall-eval harness below keeps the uncapped form as its exact truth.
 register(
     "dedup_ngram_jaccard",
-    oracle=ngram_jaccard_sql("documents", dialect="duckdb"),
+    oracle=ngram_jaccard_sql("documents", dialect="duckdb", max_df=250),
     tags=("llm", "dedup"),
-)(_doc_case(ngram_jaccard_sql))
+)(_doc_case(ngram_jaccard_sql, max_df=250))
 def spread_scan(spark: SparkSession, table: str, view: str) -> str:
     """Re-expose ``table`` as ``view`` repartitioned to the session's
     parallelism IF its scan is under-partitioned (small local files read
@@ -556,6 +587,197 @@ register(
     oracle=embedding_topn_pairs_sql("embeddings", dialect="duckdb"),
     tags=("llm", "dedup"),
 )(_emb_case)
+
+
+def _plane_sgn_sql(p_expr: str, ord_expr: str, dialect: str) -> str:
+    """Deterministic ±1 hyperplane weight for (plane, element) — md5-derived
+    so both engines build bit-identical planes."""
+    h = _hash60(
+        f"CONCAT('pl', CAST({p_expr} AS STRING), '_', CAST({ord_expr} AS STRING))",
+        dialect,
+    )
+    return f"(CASE WHEN ({h}) % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+def embedding_lsh_pairs_sql(
+    table: str,
+    n_planes: int = 16,
+    band_size: int = 4,
+    top_n: int = 20,
+    dialect: str = "spark",
+) -> str:
+    """Sign-LSH bucketed embedding near-dup: the SCALE path the round-2
+    verdict asked for next to the exact all-pairs rung
+    (embedding_topn_pairs_sql).
+
+    Random-hyperplane signatures (n_planes sign bits, ±1 weights derived
+    from md5 so both engines agree bit-for-bit) split into bands; a pair
+    is a candidate iff it matches at least one band EXACTLY, so candidate
+    generation is |bands| equi self-joins on (band, bandkey) — per-bucket
+    work, never an n² exchange. Exact scaled-int cosine then runs on
+    candidates only, and the result is the top-N candidate pairs by
+    cosine (rank-based like the exact rung; on a corpus with true
+    near-dups the same pipeline takes a threshold instead).
+
+    Projections accumulate as scaled integers (ROUND(val*1e6)·sgn), so
+    the sign of each bit is order-insensitive and identical across
+    engines — float summation order can never flip a bucket.
+
+    P(candidate) for a pair at angle θ: 1-(1-(1-θ/π)^band_size)^n_bands —
+    at cosine 0.9 ≈ 0.97, at cosine 0 ≈ 0.23: the bucket join prunes ~77%
+    of random pairs while keeping near-dups, and the pruning sharpens
+    exponentially as corpora develop real duplicate mass.
+    """
+    n_bands = n_planes // band_size
+    if dialect == "duckdb":
+        elems = f"""
+  SELECT vec_id, CAST(i AS INT) AS ord, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+  FROM {table}, unnest(generate_series(1, len(embedding))) AS _i(i)
+"""
+        planes = f"""
+  SELECT CAST(p AS INT) AS p, CAST(o AS INT) AS ord,
+         {_plane_sgn_sql("p", "o", "duckdb")} AS sgn
+  FROM unnest(generate_series(0, {n_planes - 1})) AS _p(p),
+       unnest(generate_series(1, (SELECT MAX(len(embedding)) FROM {table}))) AS _o(o)
+"""
+    else:
+        elems = f"""
+  SELECT vec_id, pos + 1 AS ord, CAST(val AS DOUBLE) AS val
+  FROM {table} LATERAL VIEW posexplode(embedding) AS pos, val
+"""
+        planes = f"""
+  SELECT CAST(p AS INT) AS p, CAST(o AS INT) AS ord,
+         {_plane_sgn_sql("p", "o", "spark")} AS sgn
+  FROM (SELECT explode(sequence(0, {n_planes - 1})) AS p)
+  LATERAL VIEW explode(sequence(1, (SELECT MAX(SIZE(embedding)) FROM {table}))) AS o
+"""
+    return f"""
+WITH elems AS ({elems}),
+planes AS ({planes}),
+projs AS (
+  SELECT e.vec_id, pl.p,
+         SUM(CAST(ROUND(e.val * 1000000) AS BIGINT) * pl.sgn) AS proj
+  FROM elems e JOIN planes pl ON e.ord = pl.ord
+  GROUP BY e.vec_id, pl.p
+),
+sig AS (
+  SELECT vec_id, CAST(FLOOR(p / {band_size}) AS INT) AS band,
+         SUM(CASE WHEN proj > 0 THEN CAST(POWER(2, p % {band_size}) AS BIGINT) ELSE 0 END) AS bkey
+  FROM projs
+  GROUP BY vec_id, CAST(FLOOR(p / {band_size}) AS INT)
+),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(ROUND(val * val * 1000000) AS BIGINT)) AS nrm
+  FROM elems GROUP BY vec_id
+),
+dots AS (
+  SELECT c.v1, c.v2,
+         SUM(CAST(ROUND(a.val * b.val * 1000000) AS BIGINT)) AS dot
+  FROM candidates c
+  JOIN elems a ON a.vec_id = c.v1
+  JOIN elems b ON b.vec_id = c.v2 AND b.ord = a.ord
+  GROUP BY c.v1, c.v2
+)
+SELECT d.v1, d.v2,
+       ROUND(CAST(d.dot AS DOUBLE) / SQRT(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)), 6) AS cosine
+FROM dots d JOIN norms n1 ON d.v1 = n1.vec_id JOIN norms n2 ON d.v2 = n2.vec_id
+ORDER BY cosine DESC, d.v1, d.v2
+LIMIT {top_n}
+"""
+
+
+def embedding_lsh_wide_sql(
+    table: str,
+    dim: int = 64,
+    n_planes: int = 16,
+    band_size: int = 4,
+    top_n: int = 20,
+) -> str:
+    """Spark fast path for embedding_lsh_pairs_sql, value-identical output
+    with NO element explosion: plane weights inline as ±1 literal arrays
+    (md5-derived exactly as the oracle derives them in SQL), each sign bit
+    is one ZIP_WITH/AGGREGATE fold over the embedding array, and band keys
+    STACK into rows for the bucket self-join. The only shuffles are the
+    band-key join and the final top-N — signature computation is a pure
+    projection inside whole-stage codegen. Candidate verification is a
+    ZIP_WITH cosine against the two broadcast-joined embedding arrays —
+    |candidates| folds, not an |elems|² join.
+    """
+    n_bands = n_planes // band_size
+
+    def sgns(p: int) -> str:
+        return ", ".join(
+            "1" if _hash60_py(f"pl{p}_{o}") % 2 == 0 else "-1"
+            for o in range(1, dim + 1)
+        )
+
+    # one fold per plane: SUM over j of round(val_j*1e6)*sgn_j, then >0 bit
+    bits = []
+    for p in range(n_planes):
+        fold = (
+            f"AGGREGATE(ZIP_WITH(embedding, ARRAY({sgns(p)}), "
+            "(x, s) -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * s), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        bits.append(f"IF({fold} > 0, CAST({2 ** (p % band_size)} AS BIGINT), 0L) AS bit{p}")
+    bkeys = ", ".join(
+        "(" + " + ".join(f"bit{p}" for p in range(b * band_size, (b + 1) * band_size)) + f") AS bkey{b}"
+        for b in range(n_bands)
+    )
+    stack_args = ", ".join(f"{b}, bkey{b}" for b in range(n_bands))
+    dot = (
+        "AGGREGATE(ZIP_WITH(a.embedding, b.embedding, "
+        "(x, y) -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    norm = (
+        "AGGREGATE(TRANSFORM(embedding, "
+        "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding, {norm} AS nrm FROM {table}),
+sigs AS (
+  SELECT vec_id, {", ".join(bits)} FROM {table}
+),
+bands AS (
+  SELECT vec_id, STACK({n_bands}, {stack_args}) AS (band, bkey)
+  FROM (SELECT vec_id, {bkeys} FROM sigs)
+),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.v1, c.v2,
+         ROUND(CAST({dot} AS DOUBLE) / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 6) AS cosine
+  FROM candidates c
+  JOIN vecs a ON a.vec_id = c.v1
+  JOIN vecs b ON b.vec_id = c.v2
+)
+SELECT v1, v2, cosine FROM verified
+ORDER BY cosine DESC, v1, v2
+LIMIT {top_n}
+"""
+
+
+def _emb_lsh_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    corpus = spread_scan(spark, "embeddings", "emb_lsh_corpus")
+    return spark.sql(embedding_lsh_wide_sql(corpus))
+
+
+register(
+    "dedup_embedding_lsh",
+    oracle=embedding_lsh_pairs_sql("embeddings", dialect="duckdb"),
+    tags=("llm", "dedup"),
+)(_emb_lsh_case)
 
 
 def _source_matrix_oracle() -> str:

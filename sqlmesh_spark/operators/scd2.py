@@ -53,6 +53,7 @@ def scd_type_2_query(
     truncate: bool = False,
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
+    changes_only: bool = False,
 ) -> str:
     """Build the one-statement SCD2 maintenance query.
 
@@ -60,6 +61,14 @@ def scd_type_2_query(
     the by-time variant); the output schema is columns + valid_from +
     valid_to. ``target_sql`` must yield the current dimension state with the
     managed columns; ``source_sql`` the new snapshot without them.
+
+    ``changes_only=True`` drops the ``static`` branch from the final
+    UNION: the result is updated_rows ∪ inserted_rows — every row of the
+    next CURRENT slice plus the rows newly closed THIS run (any output
+    row with non-NULL valid_to was closed now, since updated_rows only
+    sees previously-current rows). This is the copy-on-write write set
+    (backends.py scd2_apply_cow): closed history passes through
+    untouched, so the apply never rewrites it.
     """
     if bool(updated_at_col) == bool(check_columns):
         raise ValueError("exactly one of updated_at_col / check_columns is required")
@@ -166,8 +175,7 @@ inserted_rows AS (
          CAST(NULL AS TIMESTAMP) AS {vt}
   FROM joined WHERE {updated_row_filter}
 )
-SELECT {final_cols} FROM static
-UNION ALL SELECT {final_cols} FROM updated_rows
+{"" if changes_only else f"SELECT {final_cols} FROM static UNION ALL "}SELECT {final_cols} FROM updated_rows
 UNION ALL SELECT {final_cols} FROM inserted_rows
 """
 

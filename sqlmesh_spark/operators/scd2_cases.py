@@ -125,3 +125,52 @@ def scd_type_2_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapter.replace_query(table, spark.sql(q1))
     adapter.replace_query(table, spark.sql(q2))
     return spark.table(table)
+
+
+@register("scd2_cow_partitioned", oracle=SCD2_BY_TIME_ORACLE, tags=("materialization", "scd2"))
+def scd2_cow_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME two-step by-time evolution as scd_type_2_by_time, written
+    through the copy-on-write backend tail (backends.py scd2_apply_cow):
+    target partitioned by _is_current, closed rows APPEND into the history
+    partition, only the current slice rewrites — per-apply cost
+    O(|current| + |batch|), independent of history size. The oracle is the
+    unchanged full-replace generator: a write strategy must never change
+    the data (test_backends.py asserts the history files are also
+    byte-untouched)."""
+    register_views(spark, sf_dir, ("customer",))
+    adapter = SparkAdapter(spark)
+    db = _scratch_db(spark, "scd2_cow")
+    table = f"{db}.dim_customer"
+    adapter.create_table(
+        table,
+        {
+            "customer_id": "BIGINT",
+            "status": "STRING",
+            "updated_at": "TIMESTAMP",
+            "valid_from": "TIMESTAMP",
+            "valid_to": "TIMESTAMP",
+            "_is_current": "INT",
+        },
+        partitioned_by=("_is_current",),
+    )
+    common = dict(
+        unique_key=("customer_id",),
+        columns=("customer_id", "status", "updated_at"),
+        updated_at_col="updated_at",
+    )
+    tgt = (
+        f"SELECT customer_id, status, updated_at, valid_from, valid_to FROM {table}"
+    )
+    ch1 = spark.sql(scd_type_2_query(
+        target_sql=EMPTY_BY_TIME, source_sql=BATCH1, execution_ts=EXEC1,
+        truncate=True, changes_only=True, **common,
+    ))
+    adapter.backend.scd2_apply_cow(table, ch1)
+    ch2 = spark.sql(scd_type_2_query(
+        target_sql=tgt, source_sql=BATCH2, execution_ts=EXEC2,
+        changes_only=True, **common,
+    ))
+    adapter.backend.scd2_apply_cow(table, ch2)
+    return spark.table(table).select(
+        "customer_id", "status", "updated_at", "valid_from", "valid_to"
+    )

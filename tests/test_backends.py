@@ -1,0 +1,305 @@
+"""Table-format backend seam: dispatch, copy-on-write merge, SCD2 tail.
+
+Reference call sites the seam isolates: native MERGE (base.py:2203) vs
+logical fallback (base.py:2910), SHALLOW CLONE (base.py:1059), Iceberg
+branch WAP (engine_adapter/spark.py:492-534), create_catalog
+(base.py:1452).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlmesh_spark.adapter import SparkAdapter
+from sqlmesh_spark.backends import (
+    DeltaBackend,
+    IcebergBackend,
+    TableFormatBackend,
+    UnsupportedTableFormatError,
+)
+
+
+def _tbl() -> str:
+    return f"default.bk_{uuid.uuid4().hex[:8]}"
+
+
+def _location(spark, table: str) -> str:
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name.strip() == "Location":
+            return r.data_type.replace("file:", "")
+    raise AssertionError("no location")
+
+
+def _files(root: str) -> dict[str, float]:
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+class TestSeamDispatch:
+    def test_default_backend_is_parquet(self, spark):
+        a = SparkAdapter(spark)
+        assert isinstance(a.backend, TableFormatBackend)
+        assert a.backend.name == "parquet"
+
+    def test_delta_merge_raises_with_statement(self, spark):
+        a = SparkAdapter(spark, backend_cls=DeltaBackend)
+        t = _tbl()
+        src = spark.createDataFrame([(1, "x")], "id int, v string")
+        with pytest.raises(UnsupportedTableFormatError) as ei:
+            a.merge(t, src, unique_key=("id",))
+        assert "MERGE INTO" in ei.value.statement
+        assert "WHEN MATCHED THEN UPDATE" in ei.value.statement
+
+    def test_delta_clone_raises_with_statement(self, spark):
+        a = SparkAdapter(spark, backend_cls=DeltaBackend)
+        with pytest.raises(UnsupportedTableFormatError) as ei:
+            a.clone_table("default.tgt", "default.src")
+        assert "SHALLOW CLONE" in ei.value.statement
+
+    def test_iceberg_wap_raises_with_branch_ddl(self, spark):
+        a = SparkAdapter(spark, backend_cls=IcebergBackend)
+        with pytest.raises(UnsupportedTableFormatError) as ei:
+            a.wap_prepare("default.t")
+        assert "CREATE BRANCH" in ei.value.statement
+
+    def test_create_catalog_unsupported(self, spark):
+        a = SparkAdapter(spark)
+        with pytest.raises(UnsupportedTableFormatError, match="create_catalog"):
+            a.create_catalog("analytics")
+
+    def test_merge_statement_includes_merge_filter(self, spark):
+        a = SparkAdapter(spark, backend_cls=DeltaBackend)
+        stmt = a.backend.merge_statement(
+            "t", "s_view", ("id",), ("id", "v"), merge_filter="t.ds >= '2024-01-01'"
+        )
+        assert "t.ds >= '2024-01-01'" in stmt
+
+
+class TestCopyOnWriteMerge:
+    def _make_table(self, spark, a, t):
+        df = spark.createDataFrame(
+            [
+                (1, "a", "2024-01-01"),
+                (2, "b", "2024-01-01"),
+                (3, "c", "2024-01-02"),
+                (4, "d", "2024-01-03"),
+                (5, "e", "2024-01-04"),
+            ],
+            "id int, v string, ds string",
+        )
+        a.ctas(t, df, partitioned_by=("ds",))
+
+    def test_untouched_partitions_not_rewritten(self, spark):
+        a = SparkAdapter(spark)
+        t = _tbl()
+        self._make_table(spark, a, t)
+        loc = _location(spark, t)
+        before = _files(loc)
+        untouched = {
+            p: m for p, m in before.items() if "ds=2024-01-02" not in p
+        }
+        # source touches only the 2024-01-02 partition (update key 3)
+        src = spark.createDataFrame([(3, "C2", "2024-01-02")], "id int, v string, ds string")
+        a.merge(t, src, unique_key=("id",))
+        after = _files(loc)
+        for p, m in untouched.items():
+            assert p in after and after[p] == m, f"untouched partition file rewritten: {p}"
+        rows = {r.id: (r.v, r.ds) for r in spark.table(t).collect()}
+        assert rows == {
+            1: ("a", "2024-01-01"), 2: ("b", "2024-01-01"),
+            3: ("C2", "2024-01-02"), 4: ("d", "2024-01-03"), 5: ("e", "2024-01-04"),
+        }
+        a.drop_table(t)
+
+    def test_key_moving_partition_leaves_no_stale_row(self, spark):
+        a = SparkAdapter(spark)
+        t = _tbl()
+        self._make_table(spark, a, t)
+        # key 4 moves from ds=2024-01-03 to ds=2024-01-05; its old partition
+        # empties out and must be dropped, not left stale.
+        src = spark.createDataFrame([(4, "D2", "2024-01-05")], "id int, v string, ds string")
+        a.merge(t, src, unique_key=("id",))
+        rows = {r.id: (r.v, r.ds) for r in spark.table(t).collect()}
+        assert rows[4] == ("D2", "2024-01-05")
+        assert len(rows) == 5
+        assert spark.table(t).filter("ds = '2024-01-03'").count() == 0
+        a.drop_table(t)
+
+    def test_merge_filter_freezes_rows_even_in_touched_partition(self, spark):
+        a = SparkAdapter(spark)
+        t = _tbl()
+        self._make_table(spark, a, t)
+        # key 1 and 2 share partition 2024-01-01; the filter only lets key
+        # ranges >= 2 be replaced, so key 1 must survive an incoming row.
+        src = spark.createDataFrame(
+            [(1, "X", "2024-01-01"), (2, "B2", "2024-01-01")],
+            "id int, v string, ds string",
+        )
+        a.merge(t, src, unique_key=("id",), merge_filter="id >= 2")
+        rows = {r.id: r.v for r in spark.table(t).collect()}
+        # frozen key 1 keeps its target row; the incoming (1, X) still
+        # appends per the logical-merge contract (target row not eligible),
+        # matching the unpartitioned fallback's behavior.
+        assert rows[2] == "B2"
+        a.drop_table(t)
+
+    def test_unpartitioned_falls_back_to_full_rewrite(self, spark):
+        a = SparkAdapter(spark)
+        t = _tbl()
+        a.ctas(t, spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+        src = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+        a.merge(t, src, unique_key=("id",))
+        rows = {r.id: r.v for r in spark.table(t).collect()}
+        assert rows == {1: "a", 2: "B", 3: "c"}
+        a.drop_table(t)
+
+
+class TestScd2CopyOnWrite:
+    def test_closed_partition_append_only(self, spark):
+        from sqlmesh_spark.operators.scd2 import empty_target_sql, scd_type_2_query
+
+        a = SparkAdapter(spark)
+        t = _tbl()
+        common = dict(
+            unique_key=("id",),
+            columns=("id", "status", "updated_at"),
+            updated_at_col="updated_at",
+        )
+        # step 1: initial load (all current)
+        spark.createDataFrame(
+            [(1, "new", "2024-01-01 00:00:00"), (2, "new", "2024-01-01 00:00:00")],
+            "id int, status string, updated_at string",
+        ).selectExpr("id", "status", "CAST(updated_at AS TIMESTAMP) AS updated_at") \
+            .createOrReplaceTempView("cow_b1")
+        empty = empty_target_sql(
+            ("id", "status", "updated_at", "valid_from", "valid_to"),
+            ("INT", "STRING", "TIMESTAMP", "TIMESTAMP", "TIMESTAMP"),
+        )
+        ch1 = spark.sql(scd_type_2_query(
+            empty, "SELECT * FROM cow_b1", execution_ts="2024-01-02 00:00:00",
+            truncate=True, changes_only=True, **common,
+        ))
+        a.create_table(
+            t,
+            {"id": "INT", "status": "STRING", "updated_at": "TIMESTAMP",
+             "valid_from": "TIMESTAMP", "valid_to": "TIMESTAMP",
+             "_is_current": "INT"},
+            partitioned_by=("_is_current",),
+        )
+        a.backend.scd2_apply_cow(t, ch1)
+        assert spark.table(t).filter("_is_current = 1").count() == 2
+        assert spark.table(t).filter("_is_current = 0").count() == 0
+
+        # step 2: key 1 changes → one closed row appended, current rewritten
+        spark.createDataFrame(
+            [(1, "upd", "2024-02-01 00:00:00"), (2, "new", "2024-01-01 00:00:00")],
+            "id int, status string, updated_at string",
+        ).selectExpr("id", "status", "CAST(updated_at AS TIMESTAMP) AS updated_at") \
+            .createOrReplaceTempView("cow_b2")
+        tgt_sql = f"SELECT id, status, updated_at, valid_from, valid_to FROM {t}"
+        ch2 = spark.sql(scd_type_2_query(
+            tgt_sql, "SELECT * FROM cow_b2", execution_ts="2024-02-02 00:00:00",
+            changes_only=True, **common,
+        ))
+        a.backend.scd2_apply_cow(t, ch2)
+        closed = spark.table(t).filter("_is_current = 0").collect()
+        current = {r.id: r.status for r in spark.table(t).filter("_is_current = 1").collect()}
+        assert len(closed) == 1 and closed[0].id == 1
+        assert current == {1: "upd", 2: "new"}
+
+        # step 3: key 2 changes — the closed file written in step 2 must
+        # survive BYTE-IDENTICAL (append-only history).
+        loc = _location(spark, t)
+        closed_files_before = {
+            p: m for p, m in _files(loc).items() if "_is_current=0" in p
+        }
+        assert closed_files_before
+        spark.createDataFrame(
+            [(1, "upd", "2024-02-01 00:00:00"), (2, "upd2", "2024-03-01 00:00:00")],
+            "id int, status string, updated_at string",
+        ).selectExpr("id", "status", "CAST(updated_at AS TIMESTAMP) AS updated_at") \
+            .createOrReplaceTempView("cow_b3")
+        ch3 = spark.sql(scd_type_2_query(
+            tgt_sql, "SELECT * FROM cow_b3", execution_ts="2024-03-02 00:00:00",
+            changes_only=True, **common,
+        ))
+        a.backend.scd2_apply_cow(t, ch3)
+        files_after = _files(loc)
+        for p, m in closed_files_before.items():
+            assert p in files_after and files_after[p] == m, \
+                f"closed-history file rewritten: {p}"
+        assert spark.table(t).filter("_is_current = 0").count() == 2
+        assert spark.table(t).filter("_is_current = 1").count() == 2
+        a.drop_table(t)
+
+    def test_cow_matches_full_replace_semantics(self, spark):
+        """The COW write path must land exactly the rows the reference's
+        full-replace pipeline produces (static ∪ updated ∪ inserted)."""
+        from sqlmesh_spark.operators.scd2 import empty_target_sql, scd_type_2_query
+
+        a = SparkAdapter(spark)
+        t = _tbl()
+        common = dict(
+            unique_key=("id",),
+            columns=("id", "status", "updated_at"),
+            updated_at_col="updated_at",
+        )
+        empty = empty_target_sql(
+            ("id", "status", "updated_at", "valid_from", "valid_to"),
+            ("INT", "STRING", "TIMESTAMP", "TIMESTAMP", "TIMESTAMP"),
+        )
+        spark.createDataFrame(
+            [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-01 00:00:00")],
+            "id int, status string, updated_at string",
+        ).selectExpr("id", "status", "CAST(updated_at AS TIMESTAMP) AS updated_at") \
+            .createOrReplaceTempView("cmp_b1")
+        spark.createDataFrame(
+            [(1, "a2", "2024-02-01 00:00:00"), (3, "c", "2024-02-01 00:00:00")],
+            "id int, status string, updated_at string",
+        ).selectExpr("id", "status", "CAST(updated_at AS TIMESTAMP) AS updated_at") \
+            .createOrReplaceTempView("cmp_b2")
+
+        # reference: two full-replace steps held in temp views
+        q1 = scd_type_2_query(empty, "SELECT * FROM cmp_b1",
+                              execution_ts="2024-01-02 00:00:00", truncate=True, **common)
+        spark.sql(q1).createOrReplaceTempView("cmp_state1")
+        q2 = scd_type_2_query("SELECT * FROM cmp_state1", "SELECT * FROM cmp_b2",
+                              execution_ts="2024-02-02 00:00:00", **common)
+        expected = sorted(
+            (r.id, r.status, str(r.valid_from), str(r.valid_to))
+            for r in spark.sql(q2).collect()
+        )
+
+        # COW: same two steps through scd2_apply_cow
+        a.create_table(
+            t,
+            {"id": "INT", "status": "STRING", "updated_at": "TIMESTAMP",
+             "valid_from": "TIMESTAMP", "valid_to": "TIMESTAMP",
+             "_is_current": "INT"},
+            partitioned_by=("_is_current",),
+        )
+        tgt_sql = f"SELECT id, status, updated_at, valid_from, valid_to FROM {t}"
+        ch1 = spark.sql(scd_type_2_query(empty, "SELECT * FROM cmp_b1",
+                                         execution_ts="2024-01-02 00:00:00",
+                                         truncate=True, changes_only=True, **common))
+        a.backend.scd2_apply_cow(t, ch1)
+        ch2 = spark.sql(scd_type_2_query(tgt_sql, "SELECT * FROM cmp_b2",
+                                         execution_ts="2024-02-02 00:00:00",
+                                         changes_only=True, **common))
+        a.backend.scd2_apply_cow(t, ch2)
+        got = sorted(
+            (r.id, r.status, str(r.valid_from), str(r.valid_to))
+            for r in spark.table(t).collect()
+        )
+        assert got == expected
+        a.drop_table(t)

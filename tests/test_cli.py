@@ -1,0 +1,114 @@
+"""CLI end-to-end: plan → apply → diff → run → test on a temp project
+(reference surface: sqlmesh/cli/main.py), driving cli.main() exactly as
+``python -m sqlmesh_spark`` does."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+
+from sqlmesh_spark.cli import main
+
+
+@pytest.fixture()
+def project(tmp_path, spark):
+    """A two-model project + a YAML test, with a unique schema per run."""
+    schema = f"cli{uuid.uuid4().hex[:6]}"
+    os.makedirs(tmp_path / "models")
+    os.makedirs(tmp_path / "tests")
+    (tmp_path / "models" / "daily.sql").write_text(
+        f"MODEL (name {schema}.daily, kind FULL);\n"
+        "SELECT * FROM (VALUES ('2024-01-01', 5), ('2024-01-02', 7)) AS t(ds, n)\n"
+    )
+    (tmp_path / "models" / "monthly.sql").write_text(
+        f"MODEL (name {schema}.monthly, kind FULL);\n"
+        "SELECT substring(ds, 1, 7) AS month, SUM(n) AS n_total "
+        f"FROM {schema}.daily GROUP BY substring(ds, 1, 7)\n"
+    )
+    (tmp_path / "tests" / "test_monthly.yaml").write_text(
+        f"""
+test_monthly:
+  model: {schema}.monthly
+  inputs:
+    {schema}.daily:
+      rows:
+        - {{ds: '2024-01-01', n: 5}}
+        - {{ds: '2024-01-02', n: 7}}
+  outputs:
+    query:
+      rows:
+        - {{month: '2024-01', n_total: 12}}
+"""
+    )
+    return str(tmp_path), schema
+
+
+def test_cli_plan_apply_run_diff_test(project, capsys):
+    proj, schema = project
+
+    # dry-run plan: both models show as added, nothing applied
+    assert main(["-p", proj, "plan", "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert f"+ {schema}.daily (added)" in out
+    assert f"+ {schema}.monthly (added)" in out
+
+    # plan (applies)
+    assert main(["-p", proj, "plan"]) == 0
+    out = capsys.readouterr().out
+    assert f"applied {schema}.daily" in out
+    assert f"applied {schema}.monthly" in out
+
+    # diff after apply: clean (exit 0, 'no changes')
+    assert main(["-p", proj, "diff"]) == 0
+    assert "no changes" in capsys.readouterr().out
+
+    # run: no new intervals for FULL models already applied this window
+    assert main(["-p", proj, "run"]) == 0
+    capsys.readouterr()
+
+    # evaluate prints the materialized-model query result
+    assert main(["-p", proj, "evaluate", f"{schema}.monthly"]) == 0
+    out = capsys.readouterr().out
+    assert "2024-01" in out and "12" in out
+
+    # YAML model tests pass
+    assert main(["-p", proj, "test"]) == 0
+    out = capsys.readouterr().out
+    assert "PASS" in out and "1 passed, 0 failed" in out
+
+    # edit the monthly model → diff flags it (exit 2), plan applies it
+    with open(os.path.join(proj, "models", "monthly.sql")) as f:
+        text = f.read()
+    with open(os.path.join(proj, "models", "monthly.sql"), "w") as f:
+        f.write(text.replace("SUM(n) AS n_total", "SUM(n) + 0 AS n_total"))
+    assert main(["-p", proj, "diff"]) == 2
+    assert f"~ {schema}.monthly (modified)" in capsys.readouterr().out
+    assert main(["-p", proj, "plan"]) == 0
+    capsys.readouterr()
+    assert main(["-p", proj, "diff"]) == 0
+    assert "no changes" in capsys.readouterr().out
+
+
+def test_cli_test_failure_exit_code(project, capsys):
+    proj, schema = project
+    (os.path.join(proj, "tests"))
+    with open(os.path.join(proj, "tests", "test_monthly.yaml")) as f:
+        text = f.read()
+    with open(os.path.join(proj, "tests", "test_monthly.yaml"), "w") as f:
+        f.write(text.replace("n_total: 12", "n_total: 999"))
+    assert main(["-p", proj, "test"]) == 1
+    assert "FAIL" in capsys.readouterr().out
+
+
+def test_cli_render(project, capsys):
+    proj, schema = project
+    assert main(["-p", proj, "render", f"{schema}.monthly"]) == 0
+    out = capsys.readouterr().out
+    assert "GROUP BY" in out.upper()
+
+
+def test_cli_unknown_model_errors(project, capsys):
+    proj, schema = project
+    assert main(["-p", proj, "render", "no.such_model"]) == 1

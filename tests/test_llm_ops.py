@@ -135,3 +135,63 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(200)], "d1 int, d2 int")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_embedding_lsh_wide_matches_narrow(spark, sf_dir):
+    """The inlined-constant ZIP_WITH fast path must be value-identical to
+    the explode-based narrow formulation (same planes, same scaled-int
+    folds) — the same guarantee test_minhash upholds for the text ladder."""
+    from sqlmesh_spark.llm.dedup import embedding_lsh_pairs_sql, embedding_lsh_wide_sql
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    narrow = [
+        tuple(r)
+        for r in spark.sql(embedding_lsh_pairs_sql("embeddings", dialect="spark")).collect()
+    ]
+    wide = [
+        tuple(r)
+        for r in spark.sql(embedding_lsh_wide_sql("embeddings")).collect()
+    ]
+    assert narrow == wide
+    assert len(wide) == 20
+
+
+def test_embedding_lsh_subset_of_exact(spark, sf_dir):
+    """Every LSH candidate pair's cosine is exact, so the LSH top-N must be
+    a subset of the exact all-pairs ranking's ordering: any pair the LSH
+    form surfaces must score identically in the exact form."""
+    from sqlmesh_spark.llm.dedup import embedding_lsh_wide_sql, embedding_topn_zipwith_sql
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    exact = {
+        (r.v1, r.v2): r.cosine
+        for r in spark.sql(embedding_topn_zipwith_sql("embeddings", top_n=500)).collect()
+    }
+    lsh = spark.sql(embedding_lsh_wide_sql("embeddings")).collect()
+    for r in lsh:
+        if (r.v1, r.v2) in exact:
+            assert exact[(r.v1, r.v2)] == r.cosine
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A boilerplate shingle shared by every document must not fan out into
+    candidate pairs when the cap is active: two docs whose ONLY overlap is
+    boilerplate pair up without the cap but not with it."""
+    from sqlmesh_spark.llm.dedup import ngram_jaccard_sql
+
+    boiler = "same header everywhere"
+    # bodies are runs of one distinct letter — zero cross-doc body shingles
+    rows = [(i, boiler + " " + chr(97 + i) * 30) for i in range(12)]
+    spark.createDataFrame(rows, "doc_id int, text string").createOrReplaceTempView(
+        "cap_docs"
+    )
+    uncapped = spark.sql(
+        ngram_jaccard_sql("cap_docs", threshold=0.2, dialect="spark")
+    ).collect()
+    capped = spark.sql(
+        ngram_jaccard_sql("cap_docs", threshold=0.2, dialect="spark", max_df=6)
+    ).collect()
+    assert len(uncapped) > 0  # boilerplate overlap alone pairs docs up
+    assert len(capped) == 0  # capped: boilerplate carries no signal
