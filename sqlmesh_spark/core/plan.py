@@ -396,7 +396,15 @@ class PlanEvaluator:
                 # (possibly absent) rather than pointing at nothing.
                 continue
             env_view = f"{env_schema}.{snap.model.view_name}"
-            self.adapter.create_view(env_view, f"SELECT * FROM {snap.table_name}")
+            # The virtual layer exposes the MODEL's schema exactly: engine-
+            # managed physical columns (the derived `_ds` time partition,
+            # the SCD2-COW `_is_current` partition — always `_`-prefixed)
+            # stay behind the view, matching the reference where
+            # Iceberg/Delta partitioning is table metadata, not columns.
+            cols = [c for c in self.adapter.columns(snap.table_name) if not c.startswith("_")]
+            self.adapter.create_view(
+                env_view, f"SELECT {', '.join(cols)} FROM {snap.table_name}"
+            )
             # on_virtual_update statements (definition.py:158; rendered
             # with @this_model bound to the ENV VIEW — :452) run right
             # after the view repoints: grants, invalidations, notifies.

@@ -344,7 +344,30 @@ class SnapshotEvaluator:
             kwargs["check_columns"] = tuple(
                 c.strip() for c in check.split(",") if c.strip()
             ) or tuple(c for c in source_cols if c not in model.unique_key)
-        adapter.replace_query(table, self.spark.sql(scd_type_2_query(**kwargs)))
+        # partition_by_current: opt the dimension into the copy-on-write
+        # tail (backends.py scd2_apply_cow) — the table partitions on the
+        # engine-managed _is_current flag, closed history is APPEND-ONLY,
+        # and each apply rewrites O(|current| + |batch|), never O(history).
+        # The _is_current column stays physical-only: the virtual layer
+        # view hides `_`-prefixed engine columns (plan.py promote).
+        cow = model.kind_args.get("partition_by_current", "").lower() in ("true", "1")
+        if not cow:
+            adapter.replace_query(table, self.spark.sql(scd_type_2_query(**kwargs)))
+            return
+        if first:
+            types = dict(self.spark.sql(source_sql).dtypes)
+            schema = {c: types[c] for c in source_cols}
+            schema["valid_from"] = "TIMESTAMP"
+            schema["valid_to"] = "TIMESTAMP"
+            schema[adapter.backend.CURRENT_COL] = "INT"
+            adapter.create_table(
+                table, schema, partitioned_by=(adapter.backend.CURRENT_COL,)
+            )
+        else:
+            managed = ", ".join(source_cols + ["valid_from", "valid_to"])
+            kwargs["target_sql"] = f"SELECT {managed} FROM {table}"
+        changes = self.spark.sql(scd_type_2_query(changes_only=True, **kwargs))
+        adapter.backend.scd2_apply_cow(table, changes)
 
     # -- audits (evaluator.py:547; scheduler.py:887) ------------------------
 

@@ -34,12 +34,21 @@ _WS = re.compile(r"\s+")
 
 
 def _normalize_sql(sql: str) -> str:
-    """Whitespace/case-stable text for fingerprinting (the reference
-    normalizes via sqlglot render; textual normalization is our analog —
-    comments stripped, whitespace collapsed, keywords untouched)."""
-    sql = re.sub(r"--[^\n]*", "", sql)
-    sql = re.sub(r"/\*.*?\*/", "", sql, flags=re.DOTALL)
-    return _WS.sub(" ", sql).strip().lower()
+    """Canonical text for fingerprinting (the reference fingerprints the
+    sqlglot-rendered AST, snapshot/definition.py:1861; the analog here is
+    the canonical token stream from core/sqlparse.py): comments dropped,
+    identifiers/keywords lowercased, whitespace irrelevant — while STRING
+    LITERALS keep their exact bytes, so `WHERE s = 'OPEN'` and `= 'open'`
+    version differently (the old whole-text lower() conflated them).
+    Unlexable text (macro edge cases) falls back to regex normalization."""
+    from sqlmesh_spark.core.sqlparse import SqlParseError, tokenize
+
+    try:
+        return " ".join(t.value for t in tokenize(sql))
+    except SqlParseError:
+        sql = re.sub(r"--[^\n]*", "", sql)
+        sql = re.sub(r"/\*.*?\*/", "", sql, flags=re.DOTALL)
+        return _WS.sub(" ", sql).strip().lower()
 
 
 def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> str:

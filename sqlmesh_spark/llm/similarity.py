@@ -214,12 +214,16 @@ def ann_ivf_sql(
     k: int = 5,
     n_clusters: int = 8,
     dialect: str = "spark",
+    nprobe: int = 1,
 ) -> str:
     """IVF (inverted-file) ANN: a deterministic one-Lloyd-iteration k-means
-    coarse quantizer buckets vectors into cells; queries probe only their
-    nearest cell. The third rung of the similarity ladder (brute force →
-    sign-LSH → IVF): at 100 TB the cell assignment is one scan + one small
-    broadcast join, and the probe touches |corpus|/n_clusters vectors.
+    coarse quantizer buckets vectors into cells; queries probe their
+    ``nprobe`` nearest cells. The third rung of the similarity ladder
+    (brute force → sign-LSH → IVF): at 100 TB the cell assignment is one
+    scan + one small broadcast join, and the probe touches
+    nprobe·|corpus|/n_clusters vectors — nprobe is THE recall/cost knob
+    (faiss semantics): each extra probe is one more cell's UNION of
+    candidates, recovering neighbors that fell across a Voronoi boundary.
 
     Everything is exact scaled-integer arithmetic over deterministic seeds
     (cells seeded from vec_id < n_clusters), so both engines converge to
@@ -267,7 +271,12 @@ assign1 AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
     FROM a1) t WHERE rn = 1
 ),
-qset AS (SELECT vec_id, cid FROM assign1 WHERE vec_id < {n_queries}),
+qset AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM a1 WHERE vec_id < {n_queries}) t WHERE rn <= {nprobe}
+),
 sims AS (
   SELECT q.vec_id AS query_id, cvec.vec_id AS neighbor_id,
          ROUND(CAST(SUM(CAST(ROUND(qe.val * ce.val * 1000000) AS BIGINT)) AS DOUBLE)
@@ -294,6 +303,73 @@ register(
     oracle=ann_ivf_sql("embeddings", dialect="duckdb"),
     tags=("llm", "similarity"),
 )(_case(ann_ivf_sql))
+
+
+def _ivf_nprobe_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(ann_ivf_sql("embeddings", dialect="spark", nprobe=3))
+
+
+# nprobe=3: three-cell probes recover cross-boundary neighbors the
+# single-probe case misses — the standard recall/cost knob, value-oracled.
+register(
+    "ann_ivf_nprobe",
+    oracle=ann_ivf_sql("embeddings", dialect="duckdb", nprobe=3),
+    tags=("llm", "similarity"),
+)(_ivf_nprobe_case)
+
+
+def embedding_quantize_int8_sql(table: str, dialect: str = "spark") -> str:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth op a
+    100 TB embedding corpus runs before ANN serving (4× smaller than f32,
+    SIMD-dot-friendly): scale = max|x|/127, qᵢ = round(xᵢ/scale) ∈
+    [-127,127]. Output is the quantization QA frame per vector — l1 mass
+    of the quantized codes, the scale, and the reconstruction error — the
+    signals a pipeline monitors to catch outlier-dominated vectors where
+    symmetric int8 loses rank fidelity.
+
+    Per-element doubles are IEEE-identical on both engines and every
+    aggregate is an order-insensitive integer sum (ROUND to ppb before
+    SUM), so the oracle matches bit-for-bit."""
+    if dialect == "duckdb":
+        elems = f"""
+  SELECT vec_id, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+  FROM {table}, unnest(generate_series(1, len(embedding))) AS _i(i)
+"""
+    else:
+        elems = f"""
+  SELECT vec_id, CAST(val AS DOUBLE) AS val
+  FROM {table} LATERAL VIEW explode(embedding) AS val
+"""
+    return f"""
+WITH elems AS ({elems}),
+scales AS (
+  SELECT vec_id, MAX(ABS(val)) / 127.0 AS scale, COUNT(*) AS n_dims
+  FROM elems GROUP BY vec_id
+),
+quant AS (
+  SELECT e.vec_id,
+         CAST(GREATEST(-127, LEAST(127, ROUND(e.val / s.scale))) AS BIGINT) AS q,
+         e.val, s.scale
+  FROM elems e JOIN scales s ON e.vec_id = s.vec_id
+  WHERE s.scale > 0
+)
+SELECT q.vec_id,
+       MAX(s.n_dims) AS n_dims,
+       CAST(SUM(ABS(q.q)) AS BIGINT) AS q_l1,
+       CAST(ROUND(MAX(q.scale) * 1000000000) AS BIGINT) AS scale_ppb,
+       CAST(SUM(CAST(ROUND(ABS(q.val - q.q * q.scale) * 1000000000) AS BIGINT)) AS BIGINT)
+         AS err_ppb
+FROM quant q JOIN scales s ON q.vec_id = s.vec_id
+GROUP BY q.vec_id
+"""
+
+
+register(
+    "embedding_quantize_int8",
+    oracle=embedding_quantize_int8_sql("embeddings", dialect="duckdb"),
+    tags=("llm", "similarity"),
+)(_case(embedding_quantize_int8_sql))
 
 
 def knn_label_vote_sql(table: str, n_queries: int = 50, k: int = 5, dialect: str = "spark") -> str:

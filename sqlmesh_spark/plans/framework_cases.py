@@ -515,6 +515,46 @@ SELECT customer_id, status, updated_at FROM demo_scd_src.stage
     return spark.table("env_scd_views.dim_customers")
 
 
+@register("framework_scd2_cow_kind", oracle=SCD2_BY_TIME_ORACLE, tags=("framework", "scd2"))
+def framework_scd2_cow_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD_TYPE_2_BY_TIME with ``partition_by_current true`` — the
+    copy-on-write tail (backends.py scd2_apply_cow) driven end-to-end
+    through plan/apply: the physical table partitions on the
+    engine-managed _is_current flag, closed history appends (never
+    rewrites), only the current slice overwrites per apply, and the
+    virtual-layer view hides the partition column so the environment
+    schema is identical to the full-replace kind. Same oracle as
+    framework_scd2_kind: a write strategy must never change the data."""
+    from sqlmesh_spark.operators.scd2_cases import BATCH1, BATCH2
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "demo_scdcow_src", "sqlmesh__demo_scdcow", "env_scdcow_views")
+    spark.sql("CREATE DATABASE demo_scdcow_src")
+    register_views(spark, sf_dir, ("customer",))
+    spark.sql(f"CREATE TABLE demo_scdcow_src.stage AS {BATCH1}")
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_scdcow.dim_customers,
+  kind SCD_TYPE_2_BY_TIME (
+    unique_key customer_id,
+    updated_at_name updated_at,
+    partition_by_current true
+  ),
+  start '2024-01-01'
+);
+SELECT customer_id, status, updated_at FROM demo_scdcow_src.stage
+"""
+    )
+    ctx.run(environment="env_scdcow", start="2024-01-01", end="2024-01-02")
+    spark.sql("DROP TABLE demo_scdcow_src.stage")
+    spark.sql(f"CREATE TABLE demo_scdcow_src.stage AS {BATCH2}")
+    ctx.run(environment="env_scdcow", start="2024-01-01", end="2024-02-02")
+    return spark.table("env_scdcow_views.dim_customers")
+
+
 SIGNAL_GATED_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds, COUNT(*) AS n_orders
 FROM orders

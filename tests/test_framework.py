@@ -14,6 +14,7 @@ from sqlmesh_spark.core.plan import _categorize, build_snapshots, context_diff
 from sqlmesh_spark.core.snapshot import (
     DAY,
     batch_intervals,
+    fingerprint_model,
     merge_intervals,
     missing_intervals,
     to_epoch,
@@ -481,3 +482,19 @@ def test_select_model_wildcards_and_guards(spark):
     # child selected but its NEW parent excluded → refuse.
     with _pytest.raises(PlanError, match="depend on it"):
         ctx.plan("env_selw", "1995-01-01", "1995-01-02", select_models=["s_sel.child"])
+
+
+def test_fingerprint_formatting_insensitive_but_literal_sensitive():
+    """Fingerprints hash the canonical token stream: reformatting and
+    comments don't change a version; string-literal CASE does (the old
+    whole-text lower() conflated 'OPEN' with 'open')."""
+    base = dict(kind=ModelKind.FULL, kind_args={})
+    a = Model(name="s.a", query="SELECT x FROM t WHERE s = 'OPEN'", **base)
+    reformatted = Model(
+        name="s.a",
+        query="SELECT  x\nFROM t  -- comment\nWHERE s = 'OPEN'",
+        **base,
+    )
+    literal_changed = Model(name="s.a", query="SELECT x FROM t WHERE s = 'open'", **base)
+    assert fingerprint_model(a) == fingerprint_model(reformatted)
+    assert fingerprint_model(a) != fingerprint_model(literal_changed)
