@@ -8,6 +8,9 @@ invalidate / janitor) wrapping ``core.context.Context``.
     python -m sqlmesh_spark -p <project_dir> test
     python -m sqlmesh_spark -p <project_dir> render   <model> [--start --end]
     python -m sqlmesh_spark -p <project_dir> evaluate <model> [--start --end] [--limit N]
+    python -m sqlmesh_spark -p <project_dir> restate <model>... --start --end
+    python -m sqlmesh_spark -p <project_dir> environments | table_name <model>
+    python -m sqlmesh_spark -p <project_dir> fetchdf <sql> | lint
     python -m sqlmesh_spark -p <project_dir> janitor
     python -m sqlmesh_spark -p <project_dir> invalidate <env>
 
@@ -130,6 +133,75 @@ def cmd_test(args) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_restate(args) -> int:
+    """Clear processed intervals for the named models (and dependents)
+    over [start, end) and re-run — reference `sqlmesh plan --restate-model`."""
+    ctx = _context(args)
+    executed = ctx.restate(
+        args.model, start=args.start, end=args.end, environment=args.environment
+    )
+    for name, n in sorted(executed.items()):
+        print(f"  restated {name}: {n} interval(s)")
+    return 0
+
+
+def cmd_environments(args) -> int:
+    """List environments with their model→version pointer sets —
+    reference `sqlmesh environments`."""
+    ctx = _context(args)
+    envs = ctx.state._read("environments")
+    if not envs:
+        print("no environments")
+        return 0
+    for env in sorted(envs):
+        meta = ctx.state.get_environment_meta(env)
+        flags = []
+        if meta.get("invalidated"):
+            flags.append("invalidated")
+        if meta.get("expiration_ts"):
+            flags.append(f"expires@{meta['expiration_ts']}")
+        suffix = f" [{', '.join(flags)}]" if flags else ""
+        print(f"{env}{suffix}")
+        for model, version in sorted(envs[env].items()):
+            print(f"  {model} -> {version}")
+    return 0
+
+
+def cmd_table_name(args) -> int:
+    """Print the physical snapshot table backing a model — reference
+    `sqlmesh table_name`."""
+    from sqlmesh_spark.core.plan import build_snapshots
+
+    ctx = _context(args)
+    snaps = build_snapshots(ctx.models)
+    name = args.model.lower()
+    if name not in snaps:
+        print(f"error: unknown model {args.model!r}", file=sys.stderr)
+        return 1
+    print(snaps[name].table_name)
+    return 0
+
+
+def cmd_fetchdf(args) -> int:
+    """Run an ad-hoc SQL query and print rows — reference `sqlmesh fetchdf`."""
+    ctx = _context(args)
+    print(ctx.spark.sql(args.sql).limit(args.limit).toPandas().to_string(index=False))
+    return 0
+
+
+def cmd_lint(args) -> int:
+    """Run the builtin lint rules over the project's models — reference
+    `sqlmesh lint`. Exit 1 when violations exist."""
+    from sqlmesh_spark.core.linter import lint_models
+
+    ctx = _context(args)
+    violations = lint_models(ctx.models)
+    for v in violations:
+        print(f"  {v.model}: {v.rule} — {v.message}")
+    print(f"{len(violations)} violation(s)")
+    return 1 if violations else 0
+
+
 def cmd_janitor(args) -> int:
     ctx = _context(args)
     removed = ctx.janitor()
@@ -189,6 +261,28 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("test", help="run YAML model tests")
     sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("restate", help="re-process a window for models + dependents")
+    sp.add_argument("model", nargs="+")
+    sp.add_argument("environment", nargs="?", default="prod")
+    sp.add_argument("--start", required=True)
+    sp.add_argument("--end", required=True)
+    sp.set_defaults(fn=cmd_restate)
+
+    sp = sub.add_parser("environments", help="list environments and their pointers")
+    sp.set_defaults(fn=cmd_environments)
+
+    sp = sub.add_parser("table_name", help="physical snapshot table for a model")
+    sp.add_argument("model")
+    sp.set_defaults(fn=cmd_table_name)
+
+    sp = sub.add_parser("fetchdf", help="run ad-hoc SQL and print rows")
+    sp.add_argument("sql")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_fetchdf)
+
+    sp = sub.add_parser("lint", help="run builtin lint rules over the project")
+    sp.set_defaults(fn=cmd_lint)
 
     sp = sub.add_parser("janitor", help="clean expired environments/snapshots")
     sp.set_defaults(fn=cmd_janitor)

@@ -191,6 +191,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+# ---------------------------------------------------------------------------
+# Resize (image-shaped payloads)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "doc_id bigint, orig_len int, resized_len int, resized_md5 string"
+
+
+def resize_payloads(df: DataFrame, target: int = 64) -> DataFrame:
+    """Image-resize plumbing: nearest-neighbor downsample of each payload
+    to ≤``target`` bytes (stride = ceil(len/target), keep every stride-th
+    byte) — the 1-D analog of nearest-neighbor image resampling, with the
+    real pixel decode stubbed per environment (decode_image raises). The
+    shape is exactly what a real thumbnailer needs: per-payload bounded
+    output inside the executor's Arrow batch, no shuffle, memory bounded
+    by batch_size × payload size at any corpus scale."""
+
+    def resize_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, olens, rlens, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                stride = max(1, -(-n // target))  # ceil(n/target)
+                sampled = payload[::stride]
+                ids.append(doc_id)
+                olens.append(n)
+                rlens.append(len(sampled))
+                md5s.append(hashlib.md5(sampled).hexdigest())
+            yield _pd.DataFrame(
+                {"doc_id": ids, "orig_len": olens, "resized_len": rlens, "resized_md5": md5s}
+            )
+
+    return df.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+# ASCII text ⇒ byte stride == char stride: DuckDB rebuilds the sampled
+# byte string with a stepped generate_series and hashes the same bytes.
+MULTIMODAL_RESIZE_ORACLE = """
+WITH r AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         GREATEST(CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT), 1) AS stride
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, n, stride), i -> substr(text, CAST(i AS INT), 1)) AS picked
+  FROM r
+)
+SELECT doc_id, CAST(n AS INT) AS orig_len,
+       CAST(len(picked) AS INT) AS resized_len,
+       md5(array_to_string(picked, '')) AS resized_md5
+FROM s
+"""
+
+
+@register("multimodal_resize", oracle=MULTIMODAL_RESIZE_ORACLE, tags=("llm", "multimodal"))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_payloads(attach_binary_payload(docs))
+
+
 TREND_ORACLE = """
 WITH pts AS (
   SELECT user_id,

@@ -112,3 +112,40 @@ def test_cli_render(project, capsys):
 def test_cli_unknown_model_errors(project, capsys):
     proj, schema = project
     assert main(["-p", proj, "render", "no.such_model"]) == 1
+
+
+def test_cli_table_name_environments_fetchdf_lint(project, capsys):
+    proj, schema = project
+    assert main(["-p", proj, "plan"]) == 0
+    capsys.readouterr()
+
+    # table_name prints the snapshot-versioned physical table
+    assert main(["-p", proj, "table_name", f"{schema}.monthly"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out.startswith(f"sqlmesh__{schema}.")
+
+    # environments lists prod with both model pointers
+    assert main(["-p", proj, "environments"]) == 0
+    out = capsys.readouterr().out
+    assert "prod" in out and f"{schema}.monthly ->" in out
+
+    # fetchdf runs ad-hoc SQL through the session
+    assert main(["-p", proj, "fetchdf", "SELECT 41 + 1 AS answer"]) == 0
+    assert "42" in capsys.readouterr().out
+
+    # lint: both models are materialized with no audits → violations, exit 1
+    assert main(["-p", proj, "lint"]) == 1
+    out = capsys.readouterr().out
+    assert "no_missing_audits" in out
+
+
+def test_cli_restate(project, capsys):
+    proj, schema = project
+    assert main(["-p", proj, "plan"]) == 0
+    capsys.readouterr()
+    assert main(
+        ["-p", proj, "restate", f"{schema}.daily",
+         "--start", "1992-01-01", "--end", "1998-12-31"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert f"restated {schema}.daily" in out
