@@ -251,6 +251,43 @@ def docset_sql(table: str, k: int = 5) -> str:
 """
 
 
+def minhash_bands_sql(
+    docsets_relation: str,
+    num_hashes: int = 32,
+    band_size: int = 4,
+) -> str:
+    """(doc_id, band, bkey) rows from per-doc shingle-hash arrays — the
+    banded-signature relation the candidate self-join probes. Split out so
+    the runtime can CACHE it: the self-join references it twice, and Spark
+    inlines CTEs, so an uncached bands relation computes signatures + md5
+    band keys TWICE (measured ~0.4 s of the wide pipeline at sf0.1)."""
+    p = 4294967311
+    consts = [
+        ((_hash60_py(f"a{i}") % 1073741823) + 1, _hash60_py(f"b{i}") % 4294967296)
+        for i in range(num_hashes)
+    ]
+    mins = ",\n         ".join(
+        f"ARRAY_MIN(TRANSFORM(hs, x -> ({a} * (x % 4294967296) + {b}) % {p})) AS mh{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    n_bands = num_hashes // band_size
+    bkeys = []
+    for band in range(n_bands):
+        terms = [
+            _hash60(f"CONCAT('{i}_', CAST(mh{i} AS STRING))", "spark")
+            for i in range(band * band_size, (band + 1) * band_size)
+        ]
+        bkeys.append(" ^ ".join(f"({t})" for t in terms) + f" AS bkey{band}")
+    stack_args = ", ".join(f"{band}, bkey{band}" for band in range(n_bands))
+    return f"""
+SELECT doc_id, STACK({n_bands}, {stack_args}) AS (band, bkey)
+FROM (SELECT doc_id, {", ".join(bkeys)}
+      FROM (SELECT doc_id,
+       {mins}
+            FROM {docsets_relation}))
+"""
+
+
 def minhash_lsh_wide_sql(
     table: str,
     k: int = 5,
@@ -258,6 +295,7 @@ def minhash_lsh_wide_sql(
     band_size: int = 4,
     threshold: float = 0.6,
     docsets_relation: str | None = None,
+    bands_relation: str | None = None,
 ) -> str:
     """Spark fast path for minhash_lsh_sql, value-identical to the narrow
     oracle formulation but with a fundamentally lighter shuffle profile:
@@ -286,40 +324,23 @@ def minhash_lsh_wide_sql(
     canonicalizes differently than the cached plan), silently recomputing
     the relation once per reference.
     """
-    p = 4294967311
-    consts = [
-        ((_hash60_py(f"a{i}") % 1073741823) + 1, _hash60_py(f"b{i}") % 4294967296)
-        for i in range(num_hashes)
-    ]
-    mins = ",\n         ".join(
-        f"ARRAY_MIN(TRANSFORM(hs, x -> ({a} * (x % 4294967296) + {b}) % {p})) AS mh{i}"
-        for i, (a, b) in enumerate(consts)
-    )
-    n_bands = num_hashes // band_size
-    bkeys = []
-    for band in range(n_bands):
-        terms = [
-            _hash60(f"CONCAT('{i}_', CAST(mh{i} AS STRING))", "spark")
-            for i in range(band * band_size, (band + 1) * band_size)
-        ]
-        bkeys.append(" ^ ".join(f"({t})" for t in terms) + f" AS bkey{band}")
-    stack_args = ", ".join(f"{band}, bkey{band}" for band in range(n_bands))
     if docsets_relation:
         ds, with_ds = docsets_relation, ""
     else:
         ds = "docsets"
         with_ds = f"docsets AS ({docset_sql(table, k)}),\n"
+    if bands_relation:
+        # Reference the cached view DIRECTLY in both join legs — routing it
+        # through a `WITH bands AS (SELECT * FROM v)` alias would hit the
+        # same CTERelationRef cache-miss pitfall the docsets note describes.
+        bands_rel, with_bands = bands_relation, ""
+    else:
+        bands_rel = "bands"
+        with_bands = f"bands AS ({minhash_bands_sql(ds, num_hashes, band_size)}),\n"
     return f"""
-WITH {with_ds}bands AS (
-  SELECT doc_id, STACK({n_bands}, {stack_args}) AS (band, bkey)
-  FROM (SELECT doc_id, {", ".join(bkeys)}
-        FROM (SELECT doc_id,
-         {mins}
-              FROM {ds}))
-),
-candidates AS (
+WITH {with_ds}{with_bands}candidates AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bands a JOIN bands b
+  FROM {bands_rel} a JOIN {bands_rel} b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
 verified AS (
@@ -469,10 +490,19 @@ def _minhash_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(spark, "documents", "mh_docs")
     # docset_sql is a pure projection now, so it inherits the spread scan's
     # partitioning directly (no repartition). Cache it: the docset relation
-    # is read 3× (signatures + both sides of the verify join).
+    # is read 3× (signatures + both sides of the verify join). Cache the
+    # BANDS relation too — the candidate self-join reads it twice, and
+    # uncached that recomputes signatures + md5 band keys per leg
+    # (~0.4 s at sf0.1; at corpus scale, a full second signature pass).
     ds = spark.sql(docset_sql(docs, 5))
     ds.cache().createOrReplaceTempView("mh_docsets")
-    return spark.sql(minhash_lsh_wide_sql(docs, docsets_relation="mh_docsets"))
+    bands = spark.sql(minhash_bands_sql("mh_docsets"))
+    bands.cache().createOrReplaceTempView("mh_bands")
+    return spark.sql(
+        minhash_lsh_wide_sql(
+            docs, docsets_relation="mh_docsets", bands_relation="mh_bands"
+        )
+    )
 
 
 register(
