@@ -510,24 +510,13 @@ register(
     oracle=minhash_lsh_sql("documents", dialect="duckdb"),
     tags=("llm", "dedup", "bench"),
 )(_minhash_case)
-def simhash_banded_sql(table: str, max_hamming: int = 3, n_bands: int = 4) -> str:
-    """Spark fast path for simhash_sql, value-identical output.
-
-    The narrow oracle form compares all O(n²) signature pairs. Here the
-    60-bit signature splits into ``n_bands`` 15-bit bands; by pigeonhole,
-    any pair within Hamming distance ≤ n_bands-1 matches at least one band
-    EXACTLY, so an equi self-join per band (one shuffle on the band value)
-    finds every qualifying pair — 100% recall, zero approximation — and
-    the exact popcount filter prunes false candidates. At 100 TB the pair
-    space collapses from |docs|² to Σ|band bucket|².
-
-    Signature computation is also one group-by (doc word-sets) + an
-    interpreted fold per bit instead of a |words|·60-row exchange.
-    """
-    assert max_hamming < n_bands, "pigeonhole recall requires max_hamming < n_bands"
+def simhash_bands_sql(table: str, n_bands: int = 4) -> str:
+    """(doc_id, simhash, band, bval) — the banded-signature relation the
+    candidate self-join probes; split out so the runtime caches it (the
+    self-join reads it twice and Spark inlines CTEs — same pitfall as
+    minhash_bands_sql)."""
     width = 60 // n_bands
     h = _hash60("w", "spark")
-    # Per-doc word-hash array: the only wide shuffle.
     words = (
         f"SELECT doc_id, COLLECT_SET({h}) AS hs FROM "
         f"(SELECT doc_id, w FROM {table} LATERAL VIEW explode(split(lower(text), ' ')) AS w "
@@ -543,24 +532,47 @@ def simhash_banded_sql(table: str, max_hamming: int = 3, n_bands: int = 4) -> st
     )
     stack = ", ".join(f"{i}, band{i}" for i in range(n_bands))
     return f"""
-WITH words AS ({words}),
-sigs AS (
-  SELECT doc_id,
-         AGGREGATE(TRANSFORM(SEQUENCE(0, 59), b -> {bit}), 0L, (a, v) -> a + v) AS simhash
-  FROM words
-),
-bands AS (
-  SELECT doc_id, simhash, STACK({n_bands}, {stack}) AS (band, bval)
-  FROM (SELECT doc_id, simhash, {bands} FROM sigs)
-),
-candidates AS (
+SELECT doc_id, simhash, STACK({n_bands}, {stack}) AS (band, bval)
+FROM (SELECT doc_id, simhash, {bands} FROM
+  (SELECT doc_id,
+          AGGREGATE(TRANSFORM(SEQUENCE(0, 59), b -> {bit}), 0L, (a, v) -> a + v) AS simhash
+   FROM ({words})))
+"""
+
+
+def simhash_banded_sql(
+    table: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bands_relation: str | None = None,
+) -> str:
+    """Spark fast path for simhash_sql, value-identical output.
+
+    The narrow oracle form compares all O(n²) signature pairs. Here the
+    60-bit signature splits into ``n_bands`` 15-bit bands; by pigeonhole,
+    any pair within Hamming distance ≤ n_bands-1 matches at least one band
+    EXACTLY, so an equi self-join per band (one shuffle on the band value)
+    finds every qualifying pair — 100% recall, zero approximation — and
+    the exact popcount filter prunes false candidates. At 100 TB the pair
+    space collapses from |docs|² to Σ|band bucket|².
+
+    Signature computation is also one group-by (doc word-sets) + an
+    interpreted fold per bit instead of a |words|·60-row exchange.
+    """
+    assert max_hamming < n_bands, "pigeonhole recall requires max_hamming < n_bands"
+    if bands_relation:
+        bands_rel, with_bands = bands_relation, ""
+    else:
+        bands_rel = "bands"
+        with_bands = f"WITH bands AS ({simhash_bands_sql(table, n_bands)})\n"
+    return f"""
+{with_bands}SELECT d1, d2, bit_count(s1 ^ s2) AS hamming
+FROM (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
          a.simhash AS s1, b.simhash AS s2
-  FROM bands a JOIN bands b
+  FROM {bands_rel} a JOIN {bands_rel} b
     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-)
-SELECT d1, d2, bit_count(s1 ^ s2) AS hamming
-FROM candidates
+) candidates
 WHERE bit_count(s1 ^ s2) <= {max_hamming}
 """
 
@@ -568,7 +580,9 @@ WHERE bit_count(s1 ^ s2) <= {max_hamming}
 def _simhash_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     docs = spread_scan(spark, "documents", "sh_docs")
-    return spark.sql(simhash_banded_sql(docs))
+    bands = spark.sql(simhash_bands_sql(docs))
+    bands.cache().createOrReplaceTempView("sh_bands")
+    return spark.sql(simhash_banded_sql(docs, bands_relation="sh_bands"))
 
 
 register(
@@ -721,23 +735,14 @@ LIMIT {top_n}
 """
 
 
-def embedding_lsh_wide_sql(
+def embedding_lsh_bands_sql(
     table: str,
     dim: int = 64,
     n_planes: int = 16,
     band_size: int = 4,
-    top_n: int = 20,
 ) -> str:
-    """Spark fast path for embedding_lsh_pairs_sql, value-identical output
-    with NO element explosion: plane weights inline as ±1 literal arrays
-    (md5-derived exactly as the oracle derives them in SQL), each sign bit
-    is one ZIP_WITH/AGGREGATE fold over the embedding array, and band keys
-    STACK into rows for the bucket self-join. The only shuffles are the
-    band-key join and the final top-N — signature computation is a pure
-    projection inside whole-stage codegen. Candidate verification is a
-    ZIP_WITH cosine against the two broadcast-joined embedding arrays —
-    |candidates| folds, not an |elems|² join.
-    """
+    """(vec_id, band, bkey) sign-LSH band rows — split out for runtime
+    caching (the candidate self-join reads it twice; Spark inlines CTEs)."""
     n_bands = n_planes // band_size
 
     def sgns(p: int) -> str:
@@ -746,7 +751,6 @@ def embedding_lsh_wide_sql(
             for o in range(1, dim + 1)
         )
 
-    # one fold per plane: SUM over j of round(val_j*1e6)*sgn_j, then >0 bit
     bits = []
     for p in range(n_planes):
         fold = (
@@ -760,6 +764,30 @@ def embedding_lsh_wide_sql(
         for b in range(n_bands)
     )
     stack_args = ", ".join(f"{b}, bkey{b}" for b in range(n_bands))
+    return f"""
+SELECT vec_id, STACK({n_bands}, {stack_args}) AS (band, bkey)
+FROM (SELECT vec_id, {bkeys} FROM (SELECT vec_id, {", ".join(bits)} FROM {table}))
+"""
+
+
+def embedding_lsh_wide_sql(
+    table: str,
+    dim: int = 64,
+    n_planes: int = 16,
+    band_size: int = 4,
+    top_n: int = 20,
+    bands_relation: str | None = None,
+) -> str:
+    """Spark fast path for embedding_lsh_pairs_sql, value-identical output
+    with NO element explosion: plane weights inline as ±1 literal arrays
+    (md5-derived exactly as the oracle derives them in SQL), each sign bit
+    is one ZIP_WITH/AGGREGATE fold over the embedding array, and band keys
+    STACK into rows for the bucket self-join. The only shuffles are the
+    band-key join and the final top-N — signature computation is a pure
+    projection inside whole-stage codegen. Candidate verification is a
+    ZIP_WITH cosine against the two broadcast-joined embedding arrays —
+    |candidates| folds, not an |elems|² join.
+    """
     dot = (
         "AGGREGATE(ZIP_WITH(a.embedding, b.embedding, "
         "(x, y) -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
@@ -770,18 +798,16 @@ def embedding_lsh_wide_sql(
         "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
+    if bands_relation:
+        bands_rel, with_bands = bands_relation, ""
+    else:
+        bands_rel = "bands"
+        with_bands = f"bands AS ({embedding_lsh_bands_sql(table, dim, n_planes, band_size)}),\n"
     return f"""
 WITH vecs AS (SELECT vec_id, embedding, {norm} AS nrm FROM {table}),
-sigs AS (
-  SELECT vec_id, {", ".join(bits)} FROM {table}
-),
-bands AS (
-  SELECT vec_id, STACK({n_bands}, {stack_args}) AS (band, bkey)
-  FROM (SELECT vec_id, {bkeys} FROM sigs)
-),
-candidates AS (
+{with_bands}candidates AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-  FROM bands a JOIN bands b
+  FROM {bands_rel} a JOIN {bands_rel} b
     ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 ),
 verified AS (
@@ -800,7 +826,11 @@ LIMIT {top_n}
 def _emb_lsh_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     corpus = spread_scan(spark, "embeddings", "emb_lsh_corpus")
-    return spark.sql(embedding_lsh_wide_sql(corpus))
+    bands = spark.sql(embedding_lsh_bands_sql(corpus))
+    bands.cache().createOrReplaceTempView("emb_lsh_bands")
+    return spark.sql(
+        embedding_lsh_wide_sql(corpus, bands_relation="emb_lsh_bands")
+    )
 
 
 register(
