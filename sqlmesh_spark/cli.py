@@ -11,7 +11,11 @@ invalidate / janitor) wrapping ``core.context.Context``.
     python -m sqlmesh_spark -p <project_dir> restate <model>... --start --end
     python -m sqlmesh_spark -p <project_dir> environments | table_name <model>
     python -m sqlmesh_spark -p <project_dir> fetchdf <sql> | lint
-    python -m sqlmesh_spark -p <project_dir> janitor
+    python -m sqlmesh_spark -p <project_dir> audit [model] | check_intervals
+    python -m sqlmesh_spark -p <project_dir> dag | info | create_external_models
+    python -m sqlmesh_spark -p <project_dir> create_test <model> | table_diff src:tgt <model>
+    python -m sqlmesh_spark -p <project_dir> state export|import <file>
+    python -m sqlmesh_spark -p <project_dir> janitor | destroy --yes
     python -m sqlmesh_spark -p <project_dir> invalidate <env>
 
 argparse instead of click (no extra deps in the sandbox); commands map
@@ -202,6 +206,217 @@ def cmd_lint(args) -> int:
     return 1 if violations else 0
 
 
+def cmd_audit(args) -> int:
+    """Run a model's attached audits against its physical table —
+    reference `sqlmesh audit`. Exit 1 on blocking failures."""
+    from sqlmesh_spark.core.plan import build_snapshots
+    from sqlmesh_spark.core.scheduler import SnapshotEvaluator
+
+    ctx = _context(args)
+    snaps = build_snapshots(ctx.models)
+    ev = SnapshotEvaluator(ctx.spark)
+    ev.custom_audits = ctx.custom_audits
+    names = [args.model.lower()] if args.model else [
+        n for n, m in ctx.models.items() if m.audits
+    ]
+    n_fail = 0
+    for name in names:
+        snap = snaps[name]
+        if not ev.adapter.table_exists(snap.table_name):
+            print(f"  SKIP {name} (no physical table — run plan first)")
+            continue
+        failures = ev.run_audits(snap)
+        if failures:
+            n_fail += len(failures)
+            for f in failures:
+                print(f"  FAIL {name}: {f}")
+        else:
+            print(f"  PASS {name} ({len(snap.model.audits)} audit(s))")
+    return 1 if n_fail else 0
+
+
+def cmd_check_intervals(args) -> int:
+    """Show missing (unprocessed) intervals per model over [start, end) —
+    reference `sqlmesh check_intervals`."""
+    from sqlmesh_spark.core.model import ModelKind
+    from sqlmesh_spark.core.plan import build_snapshots
+    from sqlmesh_spark.core.snapshot import interval_unit, missing_intervals, to_epoch
+
+    _INCREMENTAL = (
+        ModelKind.INCREMENTAL_BY_TIME_RANGE,
+        ModelKind.INCREMENTAL_BY_UNIQUE_KEY,
+        ModelKind.INCREMENTAL_BY_PARTITION,
+        ModelKind.INCREMENTAL_UNMANAGED,
+        ModelKind.SCD_TYPE_2_BY_TIME,
+        ModelKind.SCD_TYPE_2_BY_COLUMN,
+    )
+    ctx = _context(args)
+    snaps = build_snapshots(ctx.models)
+    any_missing = False
+    for name in sorted(ctx.models):
+        snap = snaps[name]
+        if snap.model.kind not in _INCREMENTAL:
+            # Wholesale kinds (FULL/VIEW/SEED/...) re-run each tick and
+            # record no intervals — interval accounting doesn't apply.
+            print(f"{name}: wholesale kind ({snap.model.kind.value}), re-runs each tick")
+            continue
+        processed = ctx.state.get_intervals(name, snap.version)
+        missing = missing_intervals(
+            to_epoch(args.start),
+            to_epoch(args.end),
+            processed,
+            interval_unit(snap.model.cron),
+        )
+        if missing:
+            import datetime as dt
+
+            def iso(ts: int) -> str:
+                return dt.datetime.fromtimestamp(ts, dt.timezone.utc).strftime(
+                    "%Y-%m-%d %H:%M"
+                )
+
+            any_missing = True
+            print(f"{name}: {len(missing)} missing interval(s)")
+            for s, e in missing[:5]:
+                print(f"  [{iso(s)} .. {iso(e)})")
+            if len(missing) > 5:
+                print(f"  ... and {len(missing) - 5} more")
+        else:
+            print(f"{name}: up to date")
+    return 2 if any_missing else 0
+
+
+def cmd_dag(args) -> int:
+    """Print the model DAG as indented parent lists — reference
+    `sqlmesh dag` (text form instead of the HTML render)."""
+    ctx = _context(args)
+    known = set(ctx.models)
+    for name in sorted(ctx.models):
+        print(name)
+        for dep in sorted(ctx.models[name].depends_on):
+            marker = "" if dep in known else "  (external)"
+            print(f"  <- {dep}{marker}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    """Project summary — reference `sqlmesh info`."""
+    from collections import Counter
+
+    ctx = _context(args)
+    kinds = Counter(m.kind.value for m in ctx.models.values())
+    print(f"project: {args.project}")
+    print(f"models: {len(ctx.models)}")
+    for kind, n in sorted(kinds.items()):
+        print(f"  {kind}: {n}")
+    print(f"audits: {len(ctx.custom_audits)} custom, {len(ctx.standalone_audits)} standalone")
+    envs = ctx.state._read("environments")
+    print(f"environments: {len(envs)}" + (f" ({', '.join(sorted(envs))})" if envs else ""))
+    return 0
+
+
+def cmd_destroy(args) -> int:
+    """Drop every managed object (snapshot schemas, environment view
+    schemas) and the state store — reference `sqlmesh destroy`. Requires
+    --yes (the reference prompts)."""
+    import shutil
+
+    if not args.yes:
+        print("error: destroy is irreversible; pass --yes to confirm", file=sys.stderr)
+        return 1
+    ctx = _context(args)
+    dropped = []
+    for db in ctx.spark.catalog.listDatabases():
+        if db.name.startswith("sqlmesh__") or db.name.endswith("_views"):
+            ctx.spark.sql(f"DROP DATABASE IF EXISTS {db.name} CASCADE")
+            dropped.append(db.name)
+    shutil.rmtree(ctx.state.path, ignore_errors=True)
+    for db in dropped:
+        print(f"  dropped {db}")
+    print(f"destroy: {len(dropped)} schema(s) + state removed")
+    return 0
+
+
+def cmd_create_external_models(args) -> int:
+    """Write external_models.yaml describing every non-model dependency's
+    schema from the live catalog — reference `sqlmesh create_external_models`
+    (context.py create_external_models)."""
+    import yaml
+
+    ctx = _context(args)
+    known = set(ctx.models)
+    externals = sorted(
+        {d for m in ctx.models.values() for d in m.depends_on if d not in known}
+    )
+    entries = []
+    for name in externals:
+        try:
+            cols = {
+                f.name: f.dataType.simpleString()
+                for f in ctx.spark.table(name).schema
+            }
+        except Exception:
+            print(f"  SKIP {name} (not in catalog)")
+            continue
+        entries.append({"name": name, "columns": cols})
+    out_path = os.path.join(args.project, "external_models.yaml")
+    with open(out_path, "w") as f:
+        yaml.safe_dump(entries, f, sort_keys=False)
+    print(f"wrote {len(entries)} external model(s) to {out_path}")
+    return 0
+
+
+def cmd_create_test(args) -> int:
+    """Generate a golden YAML test for a model from live upstream data —
+    reference `sqlmesh create_test` (context.py:2183)."""
+    import yaml
+
+    ctx = _context(args)
+    spec = ctx.generate_test(args.model, input_limits=args.limit)
+    os.makedirs(os.path.join(args.project, "tests"), exist_ok=True)
+    name = args.model.rsplit(".", 1)[-1]
+    out_path = os.path.join(args.project, "tests", f"test_{name}.yaml")
+    with open(out_path, "w") as f:
+        yaml.safe_dump(spec, f, sort_keys=False, default_flow_style=False)
+    print(f"wrote {out_path}")
+    return 0
+
+
+def cmd_table_diff(args) -> int:
+    """Row-diff a model between two environments — reference
+    `sqlmesh table_diff src:tgt model`."""
+    src, sep, tgt = args.envs.partition(":")
+    if not sep:
+        print("error: envs must be source:target", file=sys.stderr)
+        return 1
+    ctx = _context(args)
+    df = ctx.table_diff(args.model, src, tgt, on=args.on or None)
+    print(df.toPandas().to_string(index=False))
+    return 0
+
+
+def cmd_state_export(args) -> int:
+    """Dump the state store to a JSON file — reference `sqlmesh state export`."""
+    import json
+
+    ctx = _context(args)
+    with open(args.file, "w") as f:
+        json.dump(ctx.state.export_state(), f, indent=2)
+    print(f"state exported to {args.file}")
+    return 0
+
+
+def cmd_state_import(args) -> int:
+    """Load a state blob into the store — reference `sqlmesh state import`."""
+    import json
+
+    ctx = _context(args)
+    with open(args.file) as f:
+        ctx.state.import_state(json.load(f))
+    print(f"state imported from {args.file}")
+    return 0
+
+
 def cmd_janitor(args) -> int:
     ctx = _context(args)
     removed = ctx.janitor()
@@ -283,6 +498,50 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("lint", help="run builtin lint rules over the project")
     sp.set_defaults(fn=cmd_lint)
+
+    sp = sub.add_parser("audit", help="run model audits against physical tables")
+    sp.add_argument("model", nargs="?")
+    sp.set_defaults(fn=cmd_audit)
+
+    sp = sub.add_parser("check_intervals", help="show missing intervals per model")
+    sp.add_argument("--start", default="1992-01-01")
+    sp.add_argument("--end", default="1998-12-31")
+    sp.set_defaults(fn=cmd_check_intervals)
+
+    sp = sub.add_parser("dag", help="print the model dependency graph")
+    sp.set_defaults(fn=cmd_dag)
+
+    sp = sub.add_parser("info", help="project summary")
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("destroy", help="drop all managed objects and state")
+    sp.add_argument("--yes", action="store_true")
+    sp.set_defaults(fn=cmd_destroy)
+
+    sp = sub.add_parser(
+        "create_external_models", help="write external_models.yaml from the catalog"
+    )
+    sp.set_defaults(fn=cmd_create_external_models)
+
+    sp = sub.add_parser("create_test", help="generate a golden YAML test for a model")
+    sp.add_argument("model")
+    sp.add_argument("--limit", type=int, default=5)
+    sp.set_defaults(fn=cmd_create_test)
+
+    sp = sub.add_parser("table_diff", help="row-diff a model between environments")
+    sp.add_argument("envs", help="source:target")
+    sp.add_argument("model")
+    sp.add_argument("--on", action="append", help="join key (repeatable)")
+    sp.set_defaults(fn=cmd_table_diff)
+
+    sp = sub.add_parser("state", help="export/import the state store")
+    ssub = sp.add_subparsers(dest="state_cmd", required=True)
+    se = ssub.add_parser("export")
+    se.add_argument("file")
+    se.set_defaults(fn=cmd_state_export)
+    si = ssub.add_parser("import")
+    si.add_argument("file")
+    si.set_defaults(fn=cmd_state_import)
 
     sp = sub.add_parser("janitor", help="clean expired environments/snapshots")
     sp.set_defaults(fn=cmd_janitor)

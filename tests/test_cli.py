@@ -149,3 +149,77 @@ def test_cli_restate(project, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert f"restated {schema}.daily" in out
+
+
+def test_cli_dag_info_check_intervals(project, capsys):
+    proj, schema = project
+    assert main(["-p", proj, "dag"]) == 0
+    out = capsys.readouterr().out
+    assert f"{schema}.monthly" in out and f"<- {schema}.daily" in out
+
+    assert main(["-p", proj, "info"]) == 0
+    out = capsys.readouterr().out
+    assert "models: 2" in out and "FULL: 2" in out
+
+    # FULL models are wholesale — interval accounting doesn't apply
+    assert main(["-p", proj, "check_intervals",
+                 "--start", "2024-01-01", "--end", "2024-01-03"]) == 0
+    out = capsys.readouterr().out
+    assert "wholesale kind" in out
+
+    # an incremental model: missing before its window runs, clean after
+    (os.path.join(proj, "models"))
+    with open(os.path.join(proj, "models", "inc.sql"), "w") as f:
+        f.write(
+            f"MODEL (name {schema}.inc, kind INCREMENTAL_BY_TIME_RANGE "
+            "(time_column ts), start '2024-01-01');\n"
+            "SELECT CAST('2024-01-01 12:00:00' AS TIMESTAMP) AS ts, 1 AS v\n"
+            "WHERE CAST('2024-01-01 12:00:00' AS TIMESTAMP) >= CAST(@start_ts AS TIMESTAMP)\n"
+            "  AND CAST('2024-01-01 12:00:00' AS TIMESTAMP) <  CAST(@end_ts AS TIMESTAMP)\n"
+        )
+    assert main(["-p", proj, "check_intervals",
+                 "--start", "2024-01-01", "--end", "2024-01-03"]) == 2
+    assert "missing interval" in capsys.readouterr().out
+    assert main(["-p", proj, "run", "--start", "2024-01-01", "--end", "2024-01-03"]) == 0
+    capsys.readouterr()
+    assert main(["-p", proj, "check_intervals",
+                 "--start", "2024-01-01", "--end", "2024-01-03"]) == 0
+    assert "up to date" in capsys.readouterr().out
+
+
+def test_cli_state_export_import_and_destroy(project, capsys, tmp_path):
+    proj, schema = project
+    assert main(["-p", proj, "plan"]) == 0
+    capsys.readouterr()
+    blob = str(tmp_path / "state.json")
+    assert main(["-p", proj, "state", "export", blob]) == 0
+    capsys.readouterr()
+    assert main(["-p", proj, "state", "import", blob]) == 0
+    capsys.readouterr()
+    # destroy refuses without --yes
+    assert main(["-p", proj, "destroy"]) == 1
+    capsys.readouterr()
+    assert main(["-p", proj, "destroy", "--yes"]) == 0
+    out = capsys.readouterr().out
+    assert f"sqlmesh__{schema}" in out
+    # after destroy: diff sees everything as added again
+    assert main(["-p", proj, "diff"]) == 2
+    capsys.readouterr()
+
+
+def test_cli_create_test_roundtrip(project, capsys):
+    proj, schema = project
+    # daily has no external deps (VALUES literal), so the generated test
+    # has empty inputs and a captured golden output; it must round-trip.
+    assert main(["-p", proj, "create_test", f"{schema}.daily"]) == 0
+    capsys.readouterr()
+    assert main(["-p", proj, "test"]) == 0
+    out = capsys.readouterr().out
+    assert "0 failed" in out
+
+
+def test_cli_audit_skips_unmaterialized(project, capsys):
+    proj, schema = project
+    assert main(["-p", proj, "audit", f"{schema}.daily"]) == 0
+    out = capsys.readouterr().out
+    assert "SKIP" in out or "PASS" in out
