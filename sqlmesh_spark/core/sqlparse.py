@@ -822,12 +822,23 @@ class _Parser:
 
 
 def parse_query(sql: str) -> Query:
-    toks = tokenize(sql)
-    # strip trailing semicolons
-    while toks and toks[-1].kind == "op" and toks[-1].value == ";":
-        toks.pop()
-    p = _Parser(toks)
-    q = p.parse_query(None)
+    """Parse one SELECT statement into its scope tree. EVERY failure mode
+    — lexer, structural, or an internal bug on adversarial input — is
+    normalized to SqlParseError: this runs on every loaded model query,
+    and callers (extract_depends_on, column_lineage, fingerprinting) are
+    contracted to catch SqlParseError and fall back to the regex path, so
+    no malformed model may crash project loading with anything else."""
+    try:
+        toks = tokenize(sql)
+        # strip trailing semicolons
+        while toks and toks[-1].kind == "op" and toks[-1].value == ";":
+            toks.pop()
+        p = _Parser(toks)
+        q = p.parse_query(None)
+    except SqlParseError:
+        raise
+    except (RecursionError, IndexError, KeyError, ValueError, TypeError) as exc:
+        raise SqlParseError(f"internal parse failure: {type(exc).__name__}: {exc}") from exc
     if p.i < len(p.toks):
         raise SqlParseError(
             f"trailing tokens at {p.i}/{len(p.toks)}: {p.toks[p.i : p.i + 5]}"

@@ -356,3 +356,68 @@ def test_missing_intervals_partial_tail_law(processed, start_day, span, tail_sec
     for chunks in (strict, partial):
         for (s1, e1), (s2, e2) in zip(chunks, chunks[1:]):
             assert e1 <= s2
+
+
+# ---------------------------------------------------------------------------
+# sqlparse robustness: every model query goes through the tokenizer/scope
+# walk at load time, so the ONLY exception it may ever raise is
+# SqlParseError (callers fall back to regex on that; anything else would
+# crash project loading).
+# ---------------------------------------------------------------------------
+
+_sql_atoms = st.sampled_from([
+    "SELECT", "FROM", "WHERE", "JOIN", "ON", "GROUP", "BY", "WITH", "AS",
+    "UNION", "ALL", "(", ")", ",", ".", "*", "=", "<", "'lit'", "1", "a",
+    "b", "t1", "sch", "x", "--c\n", "/*c*/", "@m", "CASE", "END", "->",
+    ";", "`q`", '"d"', "0L", "1.5e3",
+])
+
+
+@given(st.lists(_sql_atoms, min_size=0, max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_parser_only_raises_sqlparse_error(parts):
+    from sqlmesh_spark.core.sqlparse import SqlParseError, parse_query
+
+    try:
+        parse_query(" ".join(parts))
+    except SqlParseError:
+        pass  # the contracted failure mode
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_depends_on_total_on_arbitrary_text(text):
+    """extract_depends_on must be TOTAL: any text (valid SQL, macro soup,
+    binary noise) yields a frozenset, never an exception."""
+    from sqlmesh_spark.core.model import extract_depends_on
+
+    deps = extract_depends_on(text, known_models={"demo.daily"})
+    assert isinstance(deps, frozenset)
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_fingerprint_normalization_total(text):
+    """_normalize_sql (canonical-token fingerprint text) must accept any
+    input — unlexable text falls back to regex normalization."""
+    from sqlmesh_spark.core.snapshot import _normalize_sql
+
+    assert isinstance(_normalize_sql(text), str)
+
+
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "revenue", "ds"]), min_size=1, max_size=4, unique=True
+    ),
+    st.sampled_from(["t1", "sch.t2", "ext.orders"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_lineage_of_simple_projection_is_exact(cols, table):
+    """For a plain projection every output column's lineage is exactly its
+    own (table, column) pair."""
+    from sqlmesh_spark.core.sqlparse import query_lineage
+
+    sql = f"SELECT {', '.join(cols)} FROM {table}"
+    lin = query_lineage(sql)
+    for c in cols:
+        assert lin[c] == {(table, c)}
