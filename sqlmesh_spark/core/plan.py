@@ -63,32 +63,80 @@ def _categorize(old_query: str | None, new_query: str) -> str:
     """NON_BREAKING iff the change is additive-projections-only
     (categorizer.py:10: added projections ⇒ NON_BREAKING): both queries are
     single outer SELECTs over an IDENTICAL tail (FROM onward), and the new
-    projection list is a superset of the old. Anything unparseable by this
-    conservative splitter is BREAKING."""
-    from sqlmesh_spark.macros import split_top_level
-
-    def split(q: str):
-        s = q.strip().rstrip(";").strip()
-        if not s.upper().startswith("SELECT"):
-            return None
-        body = s[6:]
-        # First top-level FROM: prefix must have balanced parens/quotes.
-        for m in re.finditer(r"\bFROM\b", body, re.IGNORECASE):
-            prefix = body[: m.start()]
-            if prefix.count("(") == prefix.count(")") and prefix.count("'") % 2 == 0:
-                projections = {p.strip() for p in split_top_level(prefix)}
-                tail = re.sub(r"\s+", " ", body[m.start() :]).strip()
-                return projections, tail
-        return None
-
+    projection list is a superset of the old. Comparison is over CANONICAL
+    TOKEN STREAMS (core/sqlparse.py), so whitespace, comments, and
+    identifier case never make an additive change read as breaking.
+    Anything unlexable falls back to the textual splitter; anything
+    unsplittable is BREAKING (conservative)."""
     if old_query is None:
         return "BREAKING"
-    old_parts, new_parts = split(old_query), split(new_query)
+    old_parts = _projection_split(old_query)
+    new_parts = _projection_split(new_query)
     if not old_parts or not new_parts:
         return "BREAKING"
     if old_parts[1] == new_parts[1] and old_parts[0] <= new_parts[0]:
         return "NON_BREAKING"
     return "BREAKING"
+
+
+def _projection_split(q: str):
+    """(projection set, tail) for a single outer SELECT, both as canonical
+    token strings; None when the shape doesn't apply."""
+    from sqlmesh_spark.core.sqlparse import SqlParseError, tokenize
+
+    try:
+        toks = tokenize(q)
+    except SqlParseError:
+        return _projection_split_textual(q)
+    while toks and toks[-1].kind == "op" and toks[-1].value == ";":
+        toks.pop()
+    if not toks or toks[0].upper != "SELECT":
+        return None
+    projections: set[str] = set()
+    cur: list[str] = []
+    depth = 0
+    i = 1
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t.kind == "op" and t.value == "(":
+            depth += 1
+        elif t.kind == "op" and t.value == ")":
+            depth -= 1
+            if depth < 0:
+                return None  # not a single outer SELECT
+        elif depth == 0 and t.kind == "op" and t.value == ",":
+            projections.add(" ".join(cur))
+            cur = []
+            i += 1
+            continue
+        elif depth == 0 and t.kind == "ident" and t.upper == "FROM":
+            break
+        cur.append(t.value)
+        i += 1
+    if i == n:
+        return None  # no top-level FROM
+    if cur:
+        projections.add(" ".join(cur))
+    tail = " ".join(t.value for t in toks[i:])
+    return projections, tail
+
+
+def _projection_split_textual(q: str):
+    """Legacy splitter for unlexable (macro-soup) queries."""
+    from sqlmesh_spark.macros import split_top_level
+
+    s = q.strip().rstrip(";").strip()
+    if not s.upper().startswith("SELECT"):
+        return None
+    body = s[6:]
+    for m in re.finditer(r"\bFROM\b", body, re.IGNORECASE):
+        prefix = body[: m.start()]
+        if prefix.count("(") == prefix.count(")") and prefix.count("'") % 2 == 0:
+            projections = {p.strip() for p in split_top_level(prefix)}
+            tail = re.sub(r"\s+", " ", body[m.start() :]).strip()
+            return projections, tail
+    return None
 
 
 def build_snapshots(models: Mapping[str, Model]) -> dict[str, Snapshot]:

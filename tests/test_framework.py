@@ -498,3 +498,16 @@ def test_fingerprint_formatting_insensitive_but_literal_sensitive():
     literal_changed = Model(name="s.a", query="SELECT x FROM t WHERE s = 'open'", **base)
     assert fingerprint_model(a) == fingerprint_model(reformatted)
     assert fingerprint_model(a) != fingerprint_model(literal_changed)
+
+
+def test_categorize_is_formatting_insensitive():
+    """Token-level categorization: reformatting/comments on an additive
+    change must not flip NON_BREAKING to BREAKING (the old textual
+    comparison required byte-identical tails)."""
+    old = "SELECT a, b FROM t WHERE a > 1"
+    reformatted_superset = "SELECT  A,\n  b,   c -- new col\nFROM t\nWHERE a > 1"
+    assert _categorize(old, reformatted_superset) == "NON_BREAKING"
+    # tail change is still breaking no matter the formatting
+    assert _categorize(old, "SELECT a, b, c FROM t WHERE a > 2") == "BREAKING"
+    # removed projection is breaking
+    assert _categorize(old, "SELECT a FROM t WHERE a > 1") == "BREAKING"
