@@ -15,6 +15,7 @@ invalidate / janitor) wrapping ``core.context.Context``.
     python -m sqlmesh_spark -p <project_dir> dag | info | create_external_models
     python -m sqlmesh_spark -p <project_dir> create_test <model> | table_diff src:tgt <model>
     python -m sqlmesh_spark -p <project_dir> state export|import <file>
+    python -m sqlmesh_spark -p <project_dir> init | format [--check]
     python -m sqlmesh_spark -p <project_dir> janitor | destroy --yes
     python -m sqlmesh_spark -p <project_dir> invalidate <env>
 
@@ -417,6 +418,159 @@ def cmd_state_import(args) -> int:
     return 0
 
 
+def cmd_init(args) -> int:
+    """Scaffold a new project (models/ audits/ seeds/ tests/ + a working
+    example pipeline) — reference `sqlmesh init` (cli/project_init.py
+    init_example_project, 'default' template)."""
+    proj = args.project
+    for sub in ("models", "audits", "seeds", "tests"):
+        os.makedirs(os.path.join(proj, sub), exist_ok=True)
+    seed_path = os.path.join(proj, "seeds", "seed_data.csv")
+    if os.path.exists(os.path.join(proj, "models", "full_model.sql")):
+        print("error: project already initialized", file=sys.stderr)
+        return 1
+    with open(seed_path, "w") as f:
+        f.write("id,item_id,event_date\n1,2,2020-01-01\n2,1,2020-01-01\n3,3,2020-01-03\n")
+    with open(os.path.join(proj, "models", "incremental_model.sql"), "w") as f:
+        f.write(
+            """MODEL (
+  name example.incremental_model,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_date),
+  start '2020-01-01',
+  cron '@daily',
+  grain (id, event_date)
+);
+SELECT id, item_id, CAST(event_date AS TIMESTAMP) AS event_date
+FROM seed.seed_data
+WHERE CAST(event_date AS TIMESTAMP) >= CAST(@start_ts AS TIMESTAMP)
+  AND CAST(event_date AS TIMESTAMP) <  CAST(@end_ts AS TIMESTAMP)
+"""
+        )
+    with open(os.path.join(proj, "models", "full_model.sql"), "w") as f:
+        f.write(
+            """MODEL (
+  name example.full_model,
+  kind FULL,
+  cron '@daily',
+  grain item_id,
+  audits (not_null(columns = (item_id)))
+);
+SELECT item_id, COUNT(DISTINCT id) AS num_orders
+FROM example.incremental_model
+GROUP BY item_id
+"""
+        )
+    print(f"initialized project at {proj} (2 models, 1 seed)")
+    print("next: python -m sqlmesh_spark -p", proj, "plan")
+    return 0
+
+
+def _format_tokens(sql: str) -> str:
+    """Canonical formatting from the token stream: UPPERCASE keywords,
+    one top-level clause per line, single-space elsewhere. String
+    literals keep their exact bytes."""
+    from sqlmesh_spark.core.sqlparse import tokenize
+
+    _CLAUSES = {
+        "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+        "UNION", "INTERSECT", "EXCEPT", "WITH", "QUALIFY", "WINDOW",
+    }
+    _KEYWORDS = {
+        "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
+        "LIMIT", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER",
+        "CROSS", "SEMI", "ANTI", "ON", "USING", "AS", "AND", "OR", "NOT",
+        "CASE", "WHEN", "THEN", "ELSE", "END", "NULL", "TRUE", "FALSE",
+        "IS", "IN", "LIKE", "BETWEEN", "EXISTS", "DISTINCT", "UNION",
+        "ALL", "INTERSECT", "EXCEPT", "WITH", "RECURSIVE", "CAST",
+        "INTERVAL", "OVER", "PARTITION", "ROWS", "RANGE", "ASC", "DESC",
+        "QUALIFY", "WINDOW", "LATERAL", "VIEW", "VALUES", "NULLS",
+        "FIRST", "LAST", "IGNORE", "RESPECT",
+    }
+    toks = tokenize(sql)
+    pieces: list[str] = []
+    depth = 0
+    prev = None
+    for i, t in enumerate(toks):
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        is_call = (
+            t.kind == "ident"
+            and t.upper not in _KEYWORDS
+            and nxt is not None
+            and nxt.kind == "op"
+            and nxt.value == "("
+        )
+        if t.kind == "ident":
+            # keywords AND function-call names uppercase (sqlglot style)
+            word = t.upper if (t.upper in _KEYWORDS or is_call) else t.value
+        elif t.kind == "qident":
+            word = f"`{t.value}`"
+        else:
+            word = t.value
+        newline = (
+            depth == 0
+            and t.kind == "ident"
+            and t.upper in _CLAUSES
+            and pieces
+            and not (prev is not None and prev.upper in ("UNION", "INTERSECT", "EXCEPT", "ALL"))
+        )
+        no_space = (
+            prev is None
+            or word in (",", ")", ".", ";")
+            or (prev.kind == "op" and prev.value in ("(", "."))
+            # function call / struct access: attach '(' to the callee
+            or (
+                word == "("
+                and prev.kind in ("ident", "qident")
+                and prev.upper not in _KEYWORDS
+            )
+        )
+        if newline:
+            pieces.append("\n" + word)
+        elif no_space and pieces:
+            pieces.append(word)
+        else:
+            pieces.append((" " if pieces else "") + word)
+        if t.kind == "op" and t.value == "(":
+            depth += 1
+        elif t.kind == "op" and t.value == ")":
+            depth -= 1
+        prev = t
+    return "".join(pieces).strip() + "\n"
+
+
+def cmd_format(args) -> int:
+    """Rewrite model-file SQL bodies into canonical form — reference
+    `sqlmesh format`. --check reports files that would change (exit 2)
+    without writing."""
+    from sqlmesh_spark.core.sqlparse import SqlParseError
+
+    changed = []
+    for path in sorted(glob.glob(os.path.join(args.project, "models", "**", "*.sql"), recursive=True)):
+        with open(path) as f:
+            text = f.read()
+        # split header MODEL(...) ; body
+        idx = text.find(";")
+        if idx < 0:
+            continue
+        header, body = text[: idx + 1], text[idx + 1 :]
+        try:
+            formatted = _format_tokens(body)
+        except SqlParseError:
+            continue  # macro-heavy body: leave untouched
+        new_text = header + "\n" + formatted
+        if new_text != text:
+            changed.append(path)
+            if not args.check:
+                with open(path, "w") as f:
+                    f.write(new_text)
+    for path in changed:
+        print(("would format " if args.check else "formatted ") + path)
+    if args.check and changed:
+        return 2
+    print(f"{len(changed)} file(s) {'need formatting' if args.check else 'formatted'}")
+    return 0
+
+
 def cmd_janitor(args) -> int:
     ctx = _context(args)
     removed = ctx.janitor()
@@ -542,6 +696,13 @@ def build_parser() -> argparse.ArgumentParser:
     si = ssub.add_parser("import")
     si.add_argument("file")
     si.set_defaults(fn=cmd_state_import)
+
+    sp = sub.add_parser("init", help="scaffold a new project with example models")
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("format", help="canonically format model SQL bodies")
+    sp.add_argument("--check", action="store_true", help="report only, exit 2 if dirty")
+    sp.set_defaults(fn=cmd_format)
 
     sp = sub.add_parser("janitor", help="clean expired environments/snapshots")
     sp.set_defaults(fn=cmd_janitor)

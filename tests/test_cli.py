@@ -223,3 +223,48 @@ def test_cli_audit_skips_unmaterialized(project, capsys):
     assert main(["-p", proj, "audit", f"{schema}.daily"]) == 0
     out = capsys.readouterr().out
     assert "SKIP" in out or "PASS" in out
+
+
+def test_cli_init_scaffold_runs_end_to_end(tmp_path, capsys, spark):
+    proj = str(tmp_path / "newproj")
+    os.makedirs(proj)
+    assert main(["-p", proj, "init"]) == 0
+    capsys.readouterr()
+    # re-init refuses
+    assert main(["-p", proj, "init"]) == 1
+    capsys.readouterr()
+    # the scaffold must plan/apply cleanly end-to-end
+    assert main(["-p", proj, "plan", "--start", "2020-01-01", "--end", "2020-01-05"]) == 0
+    out = capsys.readouterr().out
+    assert "applied example.full_model" in out
+    assert main(["-p", proj, "evaluate", "example.full_model",
+                 "--start", "2020-01-01", "--end", "2020-01-05"]) == 0
+    assert "num_orders" in capsys.readouterr().out
+
+
+def test_cli_format_canonicalizes_and_check_mode(project, capsys):
+    proj, schema = project
+    messy = os.path.join(proj, "models", "messy.sql")
+    with open(messy, "w") as f:
+        f.write(
+            f"MODEL (name {schema}.messy, kind FULL);\n"
+            "select   a.ds ,  sum( a.n )   as  total\n"
+            f"from {schema}.daily   a group   by a.ds -- trailing comment\n"
+        )
+    # check mode: dirty → exit 2, file untouched
+    before = open(messy).read()
+    assert main(["-p", proj, "format", "--check"]) == 2
+    capsys.readouterr()
+    assert open(messy).read() == before
+    # write mode
+    assert main(["-p", proj, "format"]) == 0
+    capsys.readouterr()
+    text = open(messy).read()
+    assert "SELECT a.ds, SUM(a.n) AS total" in text
+    assert "\nFROM " in text and "\nGROUP BY" in text
+    # idempotent: second format changes nothing
+    assert main(["-p", proj, "format", "--check"]) == 0
+    capsys.readouterr()
+    # the formatted model still parses and plans
+    assert main(["-p", proj, "plan", "--dry-run"]) == 0
+    assert f"{schema}.messy" in capsys.readouterr().out
