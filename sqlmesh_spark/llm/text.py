@@ -225,13 +225,21 @@ register(
 )(_case(hashed_classifier_sql))
 
 
-def training_pipeline_sql(table: str, dialect: str = "spark") -> str:
+def training_pipeline_sql(
+    table: str, dialect: str = "spark", kept_relation: str | None = None
+) -> str:
     """The end-to-end pre-training data pipeline as ONE statement:
     quality-filter (C4/Gopher-style) → language filter (en) → exact dedup
     on normalized text (keep min doc_id) → deterministic train/valid split
     (hash mod 10). All per-doc signals are computed in a single fused scan
     projection (at 100 TB this runs at scan speed; the only shuffle is the
     fingerprint group-by), with the split hash portable across engines.
+
+    The ``kept`` relation feeds BOTH the dedup group-by and the final
+    join; Spark inlines CTEs, so uncached that runs the multi-regex scan
+    twice — the runtime case passes a cached ``kept_relation`` (DuckDB
+    auto-materializes multiply-referenced CTEs, so the oracle form is
+    already single-scan).
     """
     from sqlmesh_spark.llm.dedup import _hash60
 
@@ -246,8 +254,42 @@ def training_pipeline_sql(table: str, dialect: str = "spark") -> str:
     ]
     norm = _norm("text")
     split_hash = _hash60("CAST(doc_id AS STRING)", dialect)
+    if kept_relation:
+        kept_rel, with_kept = kept_relation, ""
+    else:
+        kept_rel = "kept"
+        with_kept = f"""WITH signals AS ({training_pipeline_kept_sql(table, dialect, signals_only=True)}),
+kept AS (SELECT * FROM signals WHERE keep = 1 AND is_en = 1),
+"""
+    dedup_cte = (
+        f"dedup AS (\n  SELECT fingerprint, MIN(doc_id) AS keeper FROM {kept_rel} GROUP BY fingerprint\n)"
+    )
+    prefix = with_kept + dedup_cte if with_kept else "WITH " + dedup_cte
     return f"""
-WITH signals AS (
+{prefix}
+SELECT k.doc_id, k.bpe_tokens,
+       CASE WHEN {split_hash} % 10 < 9 THEN 'train' ELSE 'valid' END AS split
+FROM {kept_rel} k JOIN dedup d ON k.doc_id = d.keeper
+"""
+
+
+def training_pipeline_kept_sql(
+    table: str, dialect: str = "spark", signals_only: bool = False
+) -> str:
+    """The fused signal scan (quality + language + fingerprint + token
+    count) with the keep filters — the expensive single-scan stage the
+    runtime caches before the dedup join."""
+    n_words = _rx_count("text", "[^ ]+", dialect)
+    n_punct = _rx_count("text", "[.,!?;:]", dialect)
+    bpe = _rx_count("text", "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]", dialect)
+    en = _rx_count("lower(text)", _LANG_PROFILES["en"], dialect)
+    others = [
+        _rx_count("lower(text)", pat, dialect)
+        for lang, pat in _LANG_PROFILES.items()
+        if lang != "en"
+    ]
+    norm = _norm("text")
+    signals = f"""
   SELECT doc_id,
          {bpe} AS bpe_tokens,
          MD5({norm}) AS fingerprint,
@@ -256,22 +298,26 @@ WITH signals AS (
          CASE WHEN {en} >= GREATEST({', '.join(others)}) AND {en} > 0
               THEN 1 ELSE 0 END AS is_en
   FROM {table}
-),
-kept AS (SELECT * FROM signals WHERE keep = 1 AND is_en = 1),
-dedup AS (
-  SELECT fingerprint, MIN(doc_id) AS keeper FROM kept GROUP BY fingerprint
-)
-SELECT k.doc_id, k.bpe_tokens,
-       CASE WHEN {split_hash} % 10 < 9 THEN 'train' ELSE 'valid' END AS split
-FROM kept k JOIN dedup d ON k.doc_id = d.keeper
 """
+    if signals_only:
+        return signals
+    return f"SELECT * FROM ({signals}) s WHERE keep = 1 AND is_en = 1"
+
+
+def _pipeline_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    kept = spark.sql(training_pipeline_kept_sql("documents", "spark"))
+    kept.cache().createOrReplaceTempView("pipeline_kept")
+    return spark.sql(
+        training_pipeline_sql("documents", "spark", kept_relation="pipeline_kept")
+    )
 
 
 register(
     "pipeline_training_data",
     oracle=training_pipeline_sql("documents", "duckdb"),
     tags=("llm", "text", "pipeline", "bench"),
-)(_case(training_pipeline_sql))
+)(_pipeline_case)
 
 
 def langid_eval_sql(table: str, dialect: str = "spark") -> str:
