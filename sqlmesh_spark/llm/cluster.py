@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sqlmesh_spark.llm.dedup import minhash_lsh_sql, minhash_lsh_wide_sql
+from sqlmesh_spark.llm.dedup import (
+    embedding_lsh_pairs_sql,
+    minhash_lsh_sql,
+    minhash_lsh_wide_sql,
+)
 from sqlmesh_spark.registry import register
 from sqlmesh_spark.sources.tables import register_views
 
@@ -135,3 +139,51 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds.cache().createOrReplaceTempView("cc_docsets")
     pairs = spark.sql(minhash_lsh_wide_sql(docs, docsets_relation="cc_docsets"))
     return connected_components(pairs)
+
+
+EMB_CLUSTER_ORACLE = (
+    """
+WITH RECURSIVE pairs AS ("""
+    + embedding_lsh_pairs_sql("embeddings", dialect="duckdb", threshold=0.42)
+    + """),
+edges AS (
+  SELECT v1 AS u, v2 AS v FROM pairs
+  UNION
+  SELECT v2 AS u, v1 AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS vec_id, MIN(v) AS component FROM reach GROUP BY u
+"""
+)
+
+
+@register("dedup_embedding_clusters", oracle=EMB_CLUSTER_ORACLE, tags=("llm", "dedup"))
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END embedding dedup: sign-LSH bucketed candidate pairs
+    (threshold-verified exact cosine, never an n² exchange) → distributed
+    connected components → (vec_id, component) with component = the
+    cluster keeper (min vec_id). The embedding twin of
+    dedup_cluster_components: what a pipeline actually runs to drop
+    semantic near-duplicates at corpus scale — pairs alone under-dedupe
+    chains (A~B, B~C must collapse together)."""
+    from sqlmesh_spark.llm.dedup import (
+        embedding_lsh_bands_sql,
+        embedding_lsh_wide_sql,
+        spread_scan,
+    )
+
+    register_views(spark, sf_dir, ("embeddings",))
+    corpus = spread_scan(spark, "embeddings", "embcl_corpus")
+    bands = spark.sql(embedding_lsh_bands_sql(corpus))
+    bands.cache().createOrReplaceTempView("embcl_bands")
+    pairs = spark.sql(
+        embedding_lsh_wide_sql(
+            corpus, bands_relation="embcl_bands", threshold=0.42
+        )
+    ).selectExpr("v1 AS d1", "v2 AS d2")
+    out = connected_components(pairs)
+    return out.selectExpr("doc_id AS vec_id", "component")

@@ -659,6 +659,7 @@ def embedding_lsh_pairs_sql(
     band_size: int = 4,
     top_n: int = 20,
     dialect: str = "spark",
+    threshold: float | None = None,
 ) -> str:
     """Sign-LSH bucketed embedding near-dup: the SCALE path the round-2
     verdict asked for next to the exact all-pairs rung
@@ -740,8 +741,7 @@ dots AS (
 SELECT d.v1, d.v2,
        ROUND(CAST(d.dot AS DOUBLE) / SQRT(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)), 6) AS cosine
 FROM dots d JOIN norms n1 ON d.v1 = n1.vec_id JOIN norms n2 ON d.v2 = n2.vec_id
-ORDER BY cosine DESC, d.v1, d.v2
-LIMIT {top_n}
+{f"WHERE ROUND(CAST(d.dot AS DOUBLE) / SQRT(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)), 6) >= {threshold}" if threshold is not None else f"ORDER BY cosine DESC, d.v1, d.v2 LIMIT {top_n}"}
 """
 
 
@@ -787,6 +787,7 @@ def embedding_lsh_wide_sql(
     band_size: int = 4,
     top_n: int = 20,
     bands_relation: str | None = None,
+    threshold: float | None = None,
 ) -> str:
     """Spark fast path for embedding_lsh_pairs_sql, value-identical output
     with NO element explosion: plane weights inline as ±1 literal arrays
@@ -828,8 +829,7 @@ verified AS (
   JOIN vecs b ON b.vec_id = c.v2
 )
 SELECT v1, v2, cosine FROM verified
-ORDER BY cosine DESC, v1, v2
-LIMIT {top_n}
+{f"WHERE cosine >= {threshold}" if threshold is not None else f"ORDER BY cosine DESC, v1, v2 LIMIT {top_n}"}
 """
 
 
