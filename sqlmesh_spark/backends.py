@@ -29,7 +29,7 @@ closed history is append-only; only the current slice rewrites.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Mapping, Optional, Sequence
+from typing import TYPE_CHECKING, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

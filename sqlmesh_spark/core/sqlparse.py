@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Iterator, Optional
+from typing import Optional
 
 
 class SqlParseError(ValueError):
@@ -421,8 +421,6 @@ class _Parser:
         if self.at_kw("VALUES"):
             body = self._parse_values(scope)
             rel = Relation(name="_values", derived=body)
-            if body.columns:
-                pass
             alias = self._opt_alias(body)
             if alias:
                 rel.name = alias

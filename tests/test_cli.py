@@ -93,7 +93,6 @@ def test_cli_plan_apply_run_diff_test(project, capsys):
 
 def test_cli_test_failure_exit_code(project, capsys):
     proj, schema = project
-    (os.path.join(proj, "tests"))
     with open(os.path.join(proj, "tests", "test_monthly.yaml")) as f:
         text = f.read()
     with open(os.path.join(proj, "tests", "test_monthly.yaml"), "w") as f:
@@ -168,7 +167,6 @@ def test_cli_dag_info_check_intervals(project, capsys):
     assert "wholesale kind" in out
 
     # an incremental model: missing before its window runs, clean after
-    (os.path.join(proj, "models"))
     with open(os.path.join(proj, "models", "inc.sql"), "w") as f:
         f.write(
             f"MODEL (name {schema}.inc, kind INCREMENTAL_BY_TIME_RANGE "
