@@ -135,6 +135,8 @@ class SparkAdapter:
         query_or_df: QueryOrDF,
         partitioned_by: Sequence[str] = (),
         storage_format: str = "parquet",
+        clustered_by: Sequence[str] = (),
+        buckets: int = 0,
     ) -> None:
         df = self._df(query_or_df)
         if not self.table_exists(table):
@@ -146,6 +148,11 @@ class SparkAdapter:
         writer = df.write.format(storage_format).mode("errorifexists")
         if partitioned_by:
             writer = writer.partitionBy(*partitioned_by)
+        if clustered_by and buckets:
+            # Hash-bucketed layout: later joins/aggs on these keys read
+            # co-located buckets with no exchange (bucketed_join_colocated
+            # plan-asserts the zero-shuffle property).
+            writer = writer.bucketBy(buckets, *clustered_by).sortBy(*clustered_by)
         writer.saveAsTable(table)
 
     def _clear_orphan_location(self, table: str) -> None:
@@ -355,20 +362,46 @@ class SparkAdapter:
         """
         self.backend.merge(target, self._df(source), unique_key, merge_filter)
 
-    def replace_query(self, table: str, query_or_df: QueryOrDF) -> None:
-        """base.py:459 — atomic full refresh (CREATE OR REPLACE TABLE)."""
+    def replace_query(
+        self,
+        table: str,
+        query_or_df: QueryOrDF,
+        partitioned_by: Sequence[str] = (),
+        clustered_by: Sequence[str] = (),
+        buckets: int = 0,
+    ) -> None:
+        """base.py:459 — atomic full refresh (CREATE OR REPLACE TABLE),
+        preserving the declared physical layout on every rewrite."""
         df = self._df(query_or_df)
         if self.table_exists(table):
-            self._atomic_rewrite(table, df)
+            self._atomic_rewrite(
+                table, df, partitioned_by=partitioned_by,
+                clustered_by=clustered_by, buckets=buckets,
+            )
         else:
-            self.ctas(table, df)
+            self.ctas(
+                table, df, partitioned_by=partitioned_by,
+                clustered_by=clustered_by, buckets=buckets,
+            )
 
-    def _atomic_rewrite(self, table: str, df: DataFrame) -> None:
+    def _atomic_rewrite(
+        self,
+        table: str,
+        df: DataFrame,
+        partitioned_by: Sequence[str] = (),
+        clustered_by: Sequence[str] = (),
+        buckets: int = 0,
+    ) -> None:
         """Stage to a temp table, then swap via rename — the no-transaction
         atomicity discipline (immutable tables + pointer swap) the
         reference's virtual layer uses (plan/stages.py:165)."""
         tmp = self._tmp_name(table)
-        df.write.format("parquet").saveAsTable(tmp)
+        writer = df.write.format("parquet")
+        if partitioned_by:
+            writer = writer.partitionBy(*partitioned_by)
+        if clustered_by and buckets:
+            writer = writer.bucketBy(buckets, *clustered_by).sortBy(*clustered_by)
+        writer.saveAsTable(tmp)
         self.drop_table(table)
         self.rename_table(tmp, table)
 

@@ -56,6 +56,12 @@ class Model:
     cron: str = "@daily"
     start: Optional[str] = None
     partitioned_by: tuple[str, ...] = ()
+    # Physical clustering (model/meta.py:94 clustered_by): Spark CLUSTERED
+    # BY ... INTO BUCKETS — co-locates joins/aggs on these keys with no
+    # exchange (see bucketed_join_colocated). `buckets` defaults to 8 when
+    # clustering is requested without an explicit count.
+    clustered_by: tuple[str, ...] = ()
+    buckets: int = 0
     grain: tuple[str, ...] = ()
     audits: tuple[tuple[str, dict], ...] = ()
     signals: tuple[str, ...] = ()
@@ -334,6 +340,8 @@ def parse_model_text(text: str) -> Model:
         cron=_unquote(props.get("cron", "'@daily'")),
         start=_unquote(props["start"]) if "start" in props else None,
         partitioned_by=_parse_tuple(props["partitioned_by"]) if "partitioned_by" in props else (),
+        clustered_by=_parse_tuple(props["clustered_by"]) if "clustered_by" in props else (),
+        buckets=int(props.get("buckets", "8" if "clustered_by" in props else "0") or 0),
         grain=_parse_tuple(props["grain"]) if "grain" in props else (),
         audits=_parse_audits(props["audits"]) if "audits" in props else (),
         signals=tuple(x.lower() for x in _parse_tuple(props["signals"])) if "signals" in props else (),

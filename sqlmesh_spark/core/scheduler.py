@@ -257,7 +257,12 @@ class SnapshotEvaluator:
                 adapter.create_view(table, sql)
                 return
             if model.kind == ModelKind.FULL:
-                adapter.replace_query(table, sql)
+                adapter.replace_query(
+                    table, sql,
+                    partitioned_by=model.partitioned_by,
+                    clustered_by=model.clustered_by,
+                    buckets=model.buckets,
+                )
                 return
             if model.kind == ModelKind.MANAGED:
                 # EngineManagedStrategy (evaluator.py:3089): create a

@@ -62,6 +62,13 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
     for k in sorted(model.variables):
         # Blueprint-bound variables change rendered SQL via @VAR lookups.
         h.update(f"var:{k}={model.variables[k]}".encode())
+    # Physical layout is part of the DATA hash (reference
+    # snapshot/definition.py:1861 hashes partitioned_by/clustered_by):
+    # changing partitioning or bucketing must rebuild the table.
+    if model.partitioned_by:
+        h.update(f"part:{','.join(model.partitioned_by)}".encode())
+    if model.clustered_by:
+        h.update(f"clus:{','.join(model.clustered_by)}@{model.buckets}".encode())
     for group, stmts in (
         ("pre", model.pre_statements),
         ("post", model.post_statements),

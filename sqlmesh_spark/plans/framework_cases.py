@@ -2132,3 +2132,49 @@ def framework_python_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT ds, n_orders, revenue_cents FROM env_pyinc_views.daily"
     )
+
+
+CLUSTERED_MODEL_ORACLE = """
+SELECT c_custkey AS cust, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders WHERE o_custkey <= 500
+GROUP BY c_custkey
+"""
+
+
+@register("framework_clustered_model", oracle="""
+WITH m AS (
+  SELECT o_custkey AS cust, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders WHERE o_custkey <= 500 GROUP BY o_custkey
+)
+SELECT cust, revenue_cents FROM m
+""", tags=("framework",))
+def framework_clustered_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A FULL model declaring ``clustered_by`` + ``buckets`` through
+    plan/apply (model/meta.py:94): the physical snapshot table is written
+    hash-bucketed on the cluster key, so downstream joins/aggregations on
+    that key read co-located buckets with no exchange (the framework-level
+    twin of the engine case bucketed_join_colocated; the zero-shuffle plan
+    property is asserted in tests/test_framework.py). Layout is part of
+    the data fingerprint — changing buckets rebuilds the table."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_clus", "env_clus_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_clus.revenue_by_cust,
+  kind FULL,
+  clustered_by (cust),
+  buckets 4
+);
+SELECT o_custkey AS cust,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders WHERE o_custkey <= 500
+GROUP BY o_custkey
+"""
+    )
+    ctx.run(environment="env_clus")
+    return spark.table("env_clus_views.revenue_by_cust")

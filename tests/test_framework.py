@@ -511,3 +511,35 @@ def test_categorize_is_formatting_insensitive():
     assert _categorize(old, "SELECT a, b, c FROM t WHERE a > 2") == "BREAKING"
     # removed projection is breaking
     assert _categorize(old, "SELECT a FROM t WHERE a > 1") == "BREAKING"
+
+
+def test_clustered_model_layout_and_zero_shuffle(spark, sf_dir):
+    """framework_clustered_model's physical table must be hash-bucketed as
+    declared, an aggregate on the cluster key must plan with ZERO
+    exchanges, and changing buckets must change the version (layout is in
+    the data fingerprint)."""
+    case = load_all()["framework_clustered_model"]
+    case.fn(spark, sf_dir)
+    tables = spark.sql("SHOW TABLES IN sqlmesh__demo_clus").collect()
+    t = f"sqlmesh__demo_clus.{tables[0].tableName}"
+    desc = "\n".join(str(r) for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect())
+    assert "Num Buckets" in desc and "cust" in desc
+    plan = (
+        spark.sql(f"SELECT cust, COUNT(*) FROM {t} GROUP BY cust")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    base = parse_model_text(
+        "MODEL (name s.c, kind FULL, clustered_by (k), buckets 4);\nSELECT 1 AS k"
+    )
+    assert base.clustered_by == ("k",) and base.buckets == 4
+    # default bucket count when clustering is requested bare
+    bare = parse_model_text(
+        "MODEL (name s.c, kind FULL, clustered_by (k));\nSELECT 1 AS k"
+    )
+    assert bare.buckets == 8
+    rebucketed = parse_model_text(
+        "MODEL (name s.c, kind FULL, clustered_by (k), buckets 8);\nSELECT 1 AS k"
+    )
+    assert fingerprint_model(base) != fingerprint_model(rebucketed)
