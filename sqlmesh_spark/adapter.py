@@ -369,6 +369,7 @@ class SparkAdapter:
         partitioned_by: Sequence[str] = (),
         clustered_by: Sequence[str] = (),
         buckets: int = 0,
+        storage_format: str = "parquet",
     ) -> None:
         """base.py:459 — atomic full refresh (CREATE OR REPLACE TABLE),
         preserving the declared physical layout on every rewrite."""
@@ -377,11 +378,13 @@ class SparkAdapter:
             self._atomic_rewrite(
                 table, df, partitioned_by=partitioned_by,
                 clustered_by=clustered_by, buckets=buckets,
+                storage_format=storage_format,
             )
         else:
             self.ctas(
                 table, df, partitioned_by=partitioned_by,
                 clustered_by=clustered_by, buckets=buckets,
+                storage_format=storage_format,
             )
 
     def _atomic_rewrite(
@@ -391,12 +394,13 @@ class SparkAdapter:
         partitioned_by: Sequence[str] = (),
         clustered_by: Sequence[str] = (),
         buckets: int = 0,
+        storage_format: str = "parquet",
     ) -> None:
         """Stage to a temp table, then swap via rename — the no-transaction
         atomicity discipline (immutable tables + pointer swap) the
         reference's virtual layer uses (plan/stages.py:165)."""
         tmp = self._tmp_name(table)
-        writer = df.write.format("parquet")
+        writer = df.write.format(storage_format)
         if partitioned_by:
             writer = writer.partitionBy(*partitioned_by)
         if clustered_by and buckets:

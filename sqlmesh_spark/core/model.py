@@ -62,6 +62,9 @@ class Model:
     # clustering is requested without an explicit count.
     clustered_by: tuple[str, ...] = ()
     buckets: int = 0
+    # model/meta.py:95 storage_format: the physical file format of the
+    # snapshot table (parquet default; orc/json/csv ride the same writer).
+    storage_format: str = "parquet"
     grain: tuple[str, ...] = ()
     audits: tuple[tuple[str, dict], ...] = ()
     signals: tuple[str, ...] = ()
@@ -342,6 +345,7 @@ def parse_model_text(text: str) -> Model:
         partitioned_by=_parse_tuple(props["partitioned_by"]) if "partitioned_by" in props else (),
         clustered_by=_parse_tuple(props["clustered_by"]) if "clustered_by" in props else (),
         buckets=int(props.get("buckets", "8" if "clustered_by" in props else "0") or 0),
+        storage_format=_unquote(props.get("storage_format", "parquet")).lower(),
         grain=_parse_tuple(props["grain"]) if "grain" in props else (),
         audits=_parse_audits(props["audits"]) if "audits" in props else (),
         signals=tuple(x.lower() for x in _parse_tuple(props["signals"])) if "signals" in props else (),

@@ -262,6 +262,7 @@ class SnapshotEvaluator:
                     partitioned_by=model.partitioned_by,
                     clustered_by=model.clustered_by,
                     buckets=model.buckets,
+                    storage_format=model.storage_format,
                 )
                 return
             if model.kind == ModelKind.MANAGED:

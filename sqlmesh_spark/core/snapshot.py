@@ -69,6 +69,8 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
         h.update(f"part:{','.join(model.partitioned_by)}".encode())
     if model.clustered_by:
         h.update(f"clus:{','.join(model.clustered_by)}@{model.buckets}".encode())
+    if model.storage_format != "parquet":
+        h.update(f"fmt:{model.storage_format}".encode())
     for group, stmts in (
         ("pre", model.pre_statements),
         ("post", model.post_statements),

@@ -543,3 +543,29 @@ def test_clustered_model_layout_and_zero_shuffle(spark, sf_dir):
         "MODEL (name s.c, kind FULL, clustered_by (k), buckets 8);\nSELECT 1 AS k"
     )
     assert fingerprint_model(base) != fingerprint_model(rebucketed)
+
+
+def test_storage_format_from_model_dsl(spark, sf_dir):
+    """A FULL model declaring storage_format orc materializes as an ORC
+    table (meta.py:95), and the format is part of the data fingerprint."""
+    import tempfile as _tf
+
+    from sqlmesh_spark.core.context import Context
+
+    spark.sql("DROP DATABASE IF EXISTS sqlmesh__demo_fmt CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS env_fmt_views CASCADE")
+    ctx = Context(spark, state_dir=_tf.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        "MODEL (name demo_fmt.t, kind FULL, storage_format orc);\n"
+        "SELECT 1 AS k, 'x' AS v"
+    )
+    ctx.run(environment="env_fmt")
+    tables = spark.sql("SHOW TABLES IN sqlmesh__demo_fmt").collect()
+    t = f"sqlmesh__demo_fmt.{tables[0].tableName}"
+    desc = "\n".join(str(r) for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect())
+    assert "orc" in desc.lower()
+    assert spark.table("env_fmt_views.t").collect()[0].k == 1
+
+    pq = parse_model_text("MODEL (name s.f, kind FULL);\nSELECT 1 AS k")
+    orc = parse_model_text("MODEL (name s.f, kind FULL, storage_format orc);\nSELECT 1 AS k")
+    assert fingerprint_model(pq) != fingerprint_model(orc)
