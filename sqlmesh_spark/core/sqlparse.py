@@ -274,7 +274,12 @@ class _Parser:
             self.i += 1
             if self.at_kw("ALL", "DISTINCT"):
                 self.i += 1
-            nxt = self._parse_select_core(Scope(scope.parent))
+            # Each set-op branch gets its own alias scope, but it must
+            # CHAIN to the statement scope so the WITH clause's CTEs stay
+            # visible — chaining to scope.parent instead skipped them and
+            # misresolved `... UNION ALL SELECT FROM cte` as an external
+            # table reference.
+            nxt = self._parse_select_core(Scope(scope))
             first.tables |= nxt.tables
             # positional merge of output-column sources
             for a, b in zip(first.columns, nxt.columns):

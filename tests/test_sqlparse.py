@@ -207,3 +207,24 @@ class TestColumnLineage:
         )
         lin = column_lineage(m)
         assert lin["s"] == {("ext.t", "hs")}
+
+
+class TestSetOpScoping:
+    def test_cte_visible_in_all_set_op_branches(self):
+        # The second branch must resolve x as the CTE, not an external.
+        sql = "WITH x AS (SELECT a FROM sch.t) SELECT a FROM x UNION ALL SELECT a FROM x"
+        assert find_tables(sql) == {"sch.t"}
+
+    def test_set_op_branches_do_not_leak_aliases_wrongly(self):
+        sql = (
+            "WITH x AS (SELECT a FROM t1) "
+            "SELECT a FROM x UNION ALL SELECT a FROM t2"
+        )
+        assert find_tables(sql) == {"t1", "t2"}
+
+    def test_lineage_through_set_op_cte(self):
+        lin = query_lineage(
+            "WITH x AS (SELECT p AS a FROM t1) "
+            "SELECT a FROM x UNION ALL SELECT a FROM x"
+        )
+        assert lin["a"] == {("t1", "p")}
