@@ -661,10 +661,11 @@ class _Parser:
     def _resolve_ref(self, parts: list[str], scope: Scope) -> set:
         """Resolve an identifier chain to external (table, column) pairs."""
         if len(parts) >= 2:
-            # try alias.col first, then sch.tbl.col
+            # try alias.col first (covers alias.struct_col.field too — the
+            # struct column is the lineage source), then sch.tbl.col
             alias = parts[0]
             rel = scope.resolve_alias(alias)
-            if rel is not None and len(parts) == 2:
+            if rel is not None:
                 return self._rel_column_sources(rel, parts[1])
             if len(parts) >= 3:
                 rel = scope.resolve_alias(".".join(parts[:-1]))
@@ -672,8 +673,6 @@ class _Parser:
                     return self._rel_column_sources(rel, parts[-1])
                 # sch.tbl.col on an unaliased external
                 return {(".".join(parts[:-1]), parts[-1])}
-            if rel is not None:
-                return self._rel_column_sources(rel, parts[1])
             # alias unknown — maybe struct field access on a bare column
             return self._resolve_ref([parts[0]], scope)
         col = parts[0]

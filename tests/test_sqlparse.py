@@ -228,3 +228,15 @@ class TestSetOpScoping:
             "SELECT a FROM x UNION ALL SELECT a FROM x"
         )
         assert lin["a"] == {("t1", "p")}
+
+
+class TestStructFieldAccess:
+    def test_alias_struct_field_attributes_to_struct_column(self):
+        lin = query_lineage(
+            "SELECT t.meta.n_bytes AS nb FROM ext.media t"
+        )
+        assert lin["nb"] == {("ext.media", "meta")}
+
+    def test_schema_qualified_column_still_resolves(self):
+        lin = query_lineage("SELECT sch.t.col AS c FROM sch.t")
+        assert lin["c"] == {("sch.t", "col")}
