@@ -303,3 +303,21 @@ class TestScd2CopyOnWrite:
         )
         assert got == expected
         a.drop_table(t)
+
+
+def test_cow_merge_null_partition_value(spark):
+    """NULL partition values land in Hive's default partition; the COW
+    touched-partition predicate must match them (isNull, not = NULL) and
+    replace rows there without touching other partitions."""
+    a = SparkAdapter(spark)
+    t = _tbl()
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", None), (3, "c", "2024-01-02")],
+        "id int, v string, ds string",
+    )
+    a.ctas(t, df, partitioned_by=("ds",))
+    src = spark.createDataFrame([(2, "B2", None)], "id int, v string, ds string")
+    a.merge(t, src, unique_key=("id",))
+    rows = {r.id: (r.v, r.ds) for r in spark.table(t).collect()}
+    assert rows == {1: ("a", "2024-01-01"), 2: ("B2", None), 3: ("c", "2024-01-02")}
+    a.drop_table(t)
