@@ -65,6 +65,12 @@ class Model:
     # model/meta.py:95 storage_format: the physical file format of the
     # snapshot table (parquet default; orc/json/csv ride the same writer).
     storage_format: str = "parquet"
+    # meta.py:107 physical_properties → TBLPROPERTIES on the snapshot
+    # table; meta.py:109 session_properties → Spark confs set for the
+    # duration of this model's evaluation (per-model tuning knobs like
+    # spark.sql.shuffle.partitions) and restored afterward.
+    physical_properties: dict[str, str] = field(default_factory=dict)
+    session_properties: dict[str, str] = field(default_factory=dict)
     grain: tuple[str, ...] = ()
     audits: tuple[tuple[str, dict], ...] = ()
     signals: tuple[str, ...] = ()
@@ -238,6 +244,18 @@ def _parse_blueprints(raw: str) -> list[dict[str, str]]:
     return out
 
 
+def _parse_kv_props(raw: str) -> dict[str, str]:
+    """physical_properties ('key' = 'value', other = 3) → {key: value}.
+    Keys/values unquote; bare tokens pass through as written."""
+    out: dict[str, str] = {}
+    for kv in _parse_tuple(raw):
+        k, sep, v = kv.partition("=")
+        if not sep:
+            raise ValueError(f"properties need key = value, got {kv!r}")
+        out[_unquote(k.strip())] = _unquote(v.strip())
+    return out
+
+
 _CURLY_VAR_RE = re.compile(r"@\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 
@@ -346,6 +364,8 @@ def parse_model_text(text: str) -> Model:
         clustered_by=_parse_tuple(props["clustered_by"]) if "clustered_by" in props else (),
         buckets=int(props.get("buckets", "8" if "clustered_by" in props else "0") or 0),
         storage_format=_unquote(props.get("storage_format", "parquet")).lower(),
+        physical_properties=_parse_kv_props(props.get("physical_properties", "")),
+        session_properties=_parse_kv_props(props.get("session_properties", "")),
         grain=_parse_tuple(props["grain"]) if "grain" in props else (),
         audits=_parse_audits(props["audits"]) if "audits" in props else (),
         signals=tuple(x.lower() for x in _parse_tuple(props["signals"])) if "signals" in props else (),

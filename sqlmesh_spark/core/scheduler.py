@@ -170,9 +170,35 @@ class SnapshotEvaluator:
         # scope as the evaluation — definition.py:156 pre_statements_).
         for stmt in model.pre_statements:
             self.spark.sql(self.render_statement(stmt, snapshot, start, end, table_mapping))
+        # session_properties (meta.py:109): per-model Spark confs for the
+        # duration of this evaluation (shuffle partitions, AQE knobs, ...),
+        # restored afterward so models can't leak tuning into each other.
+        saved: dict[str, object] = {}
+        for k, v in model.session_properties.items():
+            try:
+                saved[k] = self.spark.conf.get(k)
+            except Exception:  # noqa: BLE001 - unset conf
+                saved[k] = None
+            self.spark.conf.set(k, v)
         try:
             self._evaluate_inner(snapshot, start, end, table_mapping, is_first_insert)
+            # physical_properties (meta.py:107) → TBLPROPERTIES on the
+            # physical snapshot table (views excluded), re-applied after
+            # every write since full refreshes recreate the table.
+            if model.physical_properties and model.kind != ModelKind.VIEW and \
+                    self.adapter.table_exists(snapshot.table_name):
+                props = ", ".join(
+                    f"'{k}' = '{v}'" for k, v in sorted(model.physical_properties.items())
+                )
+                self.spark.sql(
+                    f"ALTER TABLE {snapshot.table_name} SET TBLPROPERTIES ({props})"
+                )
         finally:
+            for k, v in saved.items():
+                if v is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, v)
             # Post-statements run even when the evaluation fails — they
             # release what pre-statements acquired (caches, temp objects).
             for stmt in model.post_statements:

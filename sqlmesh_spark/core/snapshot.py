@@ -71,6 +71,10 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
         h.update(f"clus:{','.join(model.clustered_by)}@{model.buckets}".encode())
     if model.storage_format != "parquet":
         h.update(f"fmt:{model.storage_format}".encode())
+    for k in sorted(model.physical_properties):
+        h.update(f"pprop:{k}={model.physical_properties[k]}".encode())
+    for k in sorted(model.session_properties):
+        h.update(f"sprop:{k}={model.session_properties[k]}".encode())
     for group, stmts in (
         ("pre", model.pre_statements),
         ("post", model.post_statements),

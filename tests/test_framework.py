@@ -569,3 +569,51 @@ def test_storage_format_from_model_dsl(spark, sf_dir):
     pq = parse_model_text("MODEL (name s.f, kind FULL);\nSELECT 1 AS k")
     orc = parse_model_text("MODEL (name s.f, kind FULL, storage_format orc);\nSELECT 1 AS k")
     assert fingerprint_model(pq) != fingerprint_model(orc)
+
+
+def test_physical_and_session_properties(spark, sf_dir):
+    """physical_properties land as TBLPROPERTIES on the snapshot table;
+    session_properties hold ONLY during the model's evaluation (observed
+    from inside a python model) and restore afterward; both are in the
+    data fingerprint."""
+    import tempfile as _tf
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.python_model import python_model
+
+    spark.sql("DROP DATABASE IF EXISTS sqlmesh__demo_props CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS env_props_views CASCADE")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    @python_model(name="demo_props.probe")
+    def probe(context):
+        return context.spark.createDataFrame(
+            [(context.spark.conf.get("spark.sql.shuffle.partitions"),)],
+            "shuffle_parts string",
+        )
+
+    probe.physical_properties = {"owner.team": "data-eng", "pii": "false"}
+    probe.session_properties = {"spark.sql.shuffle.partitions": "7"}
+
+    ctx = Context(spark, state_dir=_tf.mkdtemp(prefix="sqlmesh_state_"),
+                  models={probe.name: probe})
+    ctx.run(environment="env_props")
+
+    # observed inside evaluation: the per-model conf
+    assert spark.table("env_props_views.probe").collect()[0].shuffle_parts == "7"
+    # restored afterward
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # TBLPROPERTIES on the physical table
+    tables = spark.sql("SHOW TABLES IN sqlmesh__demo_props").collect()
+    t = f"sqlmesh__demo_props.{tables[0].tableName}"
+    props = {r.key: r.value for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+    assert props.get("owner.team") == "data-eng" and props.get("pii") == "false"
+    # fingerprint sensitivity
+    a = parse_model_text(
+        "MODEL (name s.p, kind FULL, physical_properties (k = 'v'));\nSELECT 1 AS x"
+    )
+    b = parse_model_text(
+        "MODEL (name s.p, kind FULL, physical_properties (k = 'w'));\nSELECT 1 AS x"
+    )
+    assert a.physical_properties == {"k": "v"}
+    assert fingerprint_model(a) != fingerprint_model(b)
