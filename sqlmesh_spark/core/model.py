@@ -71,6 +71,9 @@ class Model:
     # spark.sql.shuffle.partitions) and restored afterward.
     physical_properties: dict[str, str] = field(default_factory=dict)
     session_properties: dict[str, str] = field(default_factory=dict)
+    # node.py:131 stamp: arbitrary string that forces a new version
+    # without any functional change (operator-driven rebuild lever).
+    stamp: Optional[str] = None
     grain: tuple[str, ...] = ()
     audits: tuple[tuple[str, dict], ...] = ()
     signals: tuple[str, ...] = ()
@@ -366,6 +369,7 @@ def parse_model_text(text: str) -> Model:
         storage_format=_unquote(props.get("storage_format", "parquet")).lower(),
         physical_properties=_parse_kv_props(props.get("physical_properties", "")),
         session_properties=_parse_kv_props(props.get("session_properties", "")),
+        stamp=_unquote(props["stamp"]) if "stamp" in props else None,
         grain=_parse_tuple(props["grain"]) if "grain" in props else (),
         audits=_parse_audits(props["audits"]) if "audits" in props else (),
         signals=tuple(x.lower() for x in _parse_tuple(props["signals"])) if "signals" in props else (),

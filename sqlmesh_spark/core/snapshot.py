@@ -75,6 +75,9 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
         h.update(f"pprop:{k}={model.physical_properties[k]}".encode())
     for k in sorted(model.session_properties):
         h.update(f"sprop:{k}={model.session_properties[k]}".encode())
+    if model.stamp:
+        # node.py:131 — versioning lever with no functional change
+        h.update(f"stamp:{model.stamp}".encode())
     for group, stmts in (
         ("pre", model.pre_statements),
         ("post", model.post_statements),

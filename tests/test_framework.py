@@ -617,3 +617,13 @@ def test_physical_and_session_properties(spark, sf_dir):
     )
     assert a.physical_properties == {"k": "v"}
     assert fingerprint_model(a) != fingerprint_model(b)
+
+
+def test_stamp_forces_new_version():
+    """node.py:131 stamp: same query, different stamp → different version."""
+    a = parse_model_text("MODEL (name s.s, kind FULL, stamp 'v1');\nSELECT 1 AS x")
+    b = parse_model_text("MODEL (name s.s, kind FULL, stamp 'v2');\nSELECT 1 AS x")
+    plain = parse_model_text("MODEL (name s.s, kind FULL);\nSELECT 1 AS x")
+    assert a.stamp == "v1"
+    assert fingerprint_model(a) != fingerprint_model(b)
+    assert fingerprint_model(a) != fingerprint_model(plain)
