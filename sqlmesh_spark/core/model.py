@@ -74,6 +74,11 @@ class Model:
     # node.py:131 stamp: arbitrary string that forces a new version
     # without any functional change (operator-driven rebuild lever).
     stamp: Optional[str] = None
+    # node.py:280 interval_unit: explicit interval duration overriding the
+    # one computed from cron ('day', 'hour', 'half_hour', 'quarter_hour',
+    # 'five_minute', 'month', 'year') — e.g. an hourly-cron model whose
+    # data is day-grained.
+    interval_unit_override: Optional[str] = None
     grain: tuple[str, ...] = ()
     audits: tuple[tuple[str, dict], ...] = ()
     signals: tuple[str, ...] = ()
@@ -370,6 +375,9 @@ def parse_model_text(text: str) -> Model:
         physical_properties=_parse_kv_props(props.get("physical_properties", "")),
         session_properties=_parse_kv_props(props.get("session_properties", "")),
         stamp=_unquote(props["stamp"]) if "stamp" in props else None,
+        interval_unit_override=_unquote(props["interval_unit"]).lower()
+        if "interval_unit" in props
+        else None,
         grain=_parse_tuple(props["grain"]) if "grain" in props else (),
         audits=_parse_audits(props["audits"]) if "audits" in props else (),
         signals=tuple(x.lower() for x in _parse_tuple(props["signals"])) if "signals" in props else (),

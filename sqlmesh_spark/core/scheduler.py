@@ -28,6 +28,7 @@ from sqlmesh_spark.core.snapshot import (
     from_epoch,
     interval_unit,
     missing_intervals,
+    model_interval_unit,
     prev_unit,
     snapshots_to_dag,
     to_epoch,
@@ -305,12 +306,26 @@ class SnapshotEvaluator:
             df = self.spark.sql(sql)
         if model.kind == ModelKind.INCREMENTAL_BY_TIME_RANGE:
             time_col = model.time_column or "ds"
-            if is_first_insert and not adapter.table_exists(table):
-                # Partition on a derived day column so interval overwrites
-                # prune to exactly the touched partitions.
-                with_ds = df.withColumn("_ds", F.date_format(F.col(time_col), "yyyy-MM-dd"))
-                adapter.ctas(table, with_ds.limit(0), partitioned_by=("_ds",))
-            batch = df.withColumn("_ds", F.date_format(F.col(time_col), "yyyy-MM-dd"))
+            # kind.py:471 partition_by_time_column (default true): false
+            # opts out of the derived-day partitioning — the table stays
+            # unpartitioned and interval overwrites take the adapter's
+            # DELETE_INSERT fallback (engines/layouts where partitioning
+            # on time is wrong, e.g. when the model partitions by
+            # something else entirely).
+            part_by_time = model.kind_args.get(
+                "partition_by_time_column", "true"
+            ).strip("'\"").lower() != "false"
+            if part_by_time:
+                if is_first_insert and not adapter.table_exists(table):
+                    # Partition on a derived day column so interval
+                    # overwrites prune to exactly the touched partitions.
+                    with_ds = df.withColumn("_ds", F.date_format(F.col(time_col), "yyyy-MM-dd"))
+                    adapter.ctas(table, with_ds.limit(0), partitioned_by=("_ds",))
+                batch = df.withColumn("_ds", F.date_format(F.col(time_col), "yyyy-MM-dd"))
+            else:
+                if is_first_insert and not adapter.table_exists(table):
+                    adapter.ctas(table, df.limit(0))
+                batch = df
             adapter.insert_overwrite_by_time_partition(table, batch, time_col, start, end)
         elif model.kind == ModelKind.INCREMENTAL_BY_UNIQUE_KEY:
             if is_first_insert and not adapter.table_exists(table):
@@ -552,7 +567,7 @@ class Scheduler:
         self, snapshot: Snapshot, start: str, end: str, mapping: Mapping[str, str]
     ) -> int:
         model = snapshot.model
-        unit = interval_unit(model.cron)
+        unit = model_interval_unit(model)
         eff_start = model.start or start
         processed = self.state.get_intervals(model.name, snapshot.version)
 

@@ -184,6 +184,25 @@ def interval_unit(cron: str) -> int:
     return YEAR
 
 
+def model_interval_unit(model: "Model") -> int:
+    """The model's interval unit: explicit interval_unit override
+    (node.py:280) when declared, else computed from cron."""
+    if model.interval_unit_override:
+        named = {
+            "year": YEAR, "month": MONTH, "day": DAY, "hour": HOUR,
+            "half_hour": HALF_HOUR, "quarter_hour": QUARTER_HOUR,
+            "five_minute": FIVE_MINUTE,
+        }
+        try:
+            return named[model.interval_unit_override]
+        except KeyError:
+            raise ValueError(
+                f"unknown interval_unit {model.interval_unit_override!r} "
+                f"(expected one of {sorted(named)})"
+            ) from None
+    return interval_unit(model.cron)
+
+
 def floor_to(epoch: int, unit: int) -> int:
     """Floor to a unit boundary. Fixed-width units are epoch-modular;
     calendar units (MONTH/YEAR) floor to the first of the period."""

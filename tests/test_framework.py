@@ -627,3 +627,58 @@ def test_stamp_forces_new_version():
     assert a.stamp == "v1"
     assert fingerprint_model(a) != fingerprint_model(b)
     assert fingerprint_model(a) != fingerprint_model(plain)
+
+
+def test_interval_unit_override_and_unpartitioned_time_range(spark, sf_dir):
+    """node.py:280 interval_unit: an hourly-cron model declaring
+    interval_unit day batches daily; kind.py:471 partition_by_time_column
+    false keeps the physical table unpartitioned (DELETE_INSERT path) with
+    identical data."""
+    import tempfile as _tf
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.snapshot import DAY, HOUR, model_interval_unit
+
+    m = parse_model_text(
+        "MODEL (name s.iu, kind FULL, cron '@hourly', interval_unit 'day');\nSELECT 1 AS x"
+    )
+    assert model_interval_unit(m) == DAY
+    plain = parse_model_text("MODEL (name s.iu, kind FULL, cron '@hourly');\nSELECT 1 AS x")
+    assert model_interval_unit(plain) == HOUR
+    with pytest.raises(ValueError, match="unknown interval_unit"):
+        model_interval_unit(
+            parse_model_text("MODEL (name s.iu, kind FULL, interval_unit 'fortnight');\nSELECT 1 AS x")
+        )
+
+    spark.sql("DROP DATABASE IF EXISTS sqlmesh__demo_nopart CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS env_nopart_views CASCADE")
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_nopart.daily,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate, partition_by_time_column false),
+  start '1995-01-01'
+);
+SELECT o_orderkey, o_orderdate FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+"""
+    )
+    ctx.run(environment="env_nopart", start="1995-01-01", end="1995-01-05")
+    tables = spark.sql("SHOW TABLES IN sqlmesh__demo_nopart").collect()
+    t = f"sqlmesh__demo_nopart.{tables[0].tableName}"
+    desc = "\n".join(str(r) for r in spark.sql(f"DESCRIBE TABLE {t}").collect())
+    assert "_ds" not in desc  # unpartitioned: no derived day column
+    n1 = spark.table("env_nopart_views.daily").count()
+    # second run over an overlapping window must be idempotent (DELETE_INSERT)
+    ctx.run(environment="env_nopart", start="1995-01-01", end="1995-01-08")
+    n2 = spark.table("env_nopart_views.daily").count()
+    assert n2 >= n1
+    # no duplicate keys after the overlapping re-run
+    total = spark.table("env_nopart_views.daily").count()
+    distinct = spark.table("env_nopart_views.daily").distinct().count()
+    assert total == distinct
