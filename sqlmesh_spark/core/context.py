@@ -59,9 +59,11 @@ class Context:
     def _load(self, project_dir: str) -> None:
         from sqlmesh_spark.core.model import parse_model_text_all
 
+        self._load_config(project_dir)
         for path in sorted(glob.glob(os.path.join(project_dir, "models", "**", "*.sql"), recursive=True)):
             with open(path) as f:
                 for model in parse_model_text_all(f.read()):
+                    self._apply_model_defaults(model)
                     self.models[model.name] = model
         for path in sorted(glob.glob(os.path.join(project_dir, "seeds", "*.csv"))):
             name = os.path.splitext(os.path.basename(path))[0]
@@ -85,6 +87,42 @@ class Context:
         known = set(self.models)
         for m in self.models.values():
             m.depends_on = extract_depends_on(m.query, known) | m.declared_depends_on
+
+    def _load_config(self, project_dir: str) -> None:
+        """Project config.yaml (reference core/config/root.py — the
+        Spark-relevant core): ``model_defaults`` (start/cron/owner/
+        session_properties filled onto models that don't declare them),
+        ``environment_ttl`` (seconds), ``before_all``/``after_all``
+        environment statements. Gateways/dialects don't apply — the
+        engine IS Spark."""
+        path = os.path.join(project_dir, "config.yaml")
+        if not os.path.exists(path):
+            self.model_defaults: dict = {}
+            return
+        import yaml
+
+        with open(path) as f:
+            cfg = yaml.safe_load(f) or {}
+        self.model_defaults = cfg.get("model_defaults") or {}
+        if cfg.get("environment_ttl") is not None and self.environment_ttl is None:
+            self.environment_ttl = int(cfg["environment_ttl"])
+        self.before_all = list(cfg.get("before_all") or []) + self.before_all
+        self.after_all = list(cfg.get("after_all") or []) + self.after_all
+
+    def _apply_model_defaults(self, model: Model) -> None:
+        d = getattr(self, "model_defaults", None) or {}
+        if not d:
+            return
+        if model.start is None and "start" in d:
+            model.start = str(d["start"])
+        if model.cron == "@daily" and "cron" in d:
+            model.cron = str(d["cron"])
+        if model.owner is None and "owner" in d:
+            model.owner = str(d["owner"])
+        if "session_properties" in d:
+            merged = {str(k): str(v) for k, v in d["session_properties"].items()}
+            merged.update(model.session_properties)
+            model.session_properties = merged
 
     def add_audit(self, text: str):
         """AUDIT(...) artifact: ``standalone true`` audits schedule on

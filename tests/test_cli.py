@@ -266,3 +266,28 @@ def test_cli_format_canonicalizes_and_check_mode(project, capsys):
     # the formatted model still parses and plans
     assert main(["-p", proj, "plan", "--dry-run"]) == 0
     assert f"{schema}.messy" in capsys.readouterr().out
+
+
+def test_project_config_yaml_model_defaults(project, capsys):
+    """config.yaml model_defaults fill unset model fields (reference
+    core/config/root.py): start/owner apply, a model's own declarations
+    win, and before_all statements run on apply."""
+    proj, schema = project
+    with open(os.path.join(proj, "config.yaml"), "w") as f:
+        f.write(
+            "model_defaults:\n"
+            "  start: '2024-01-01'\n"
+            "  owner: data-eng\n"
+            "environment_ttl: 3600\n"
+        )
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.session import build_session
+
+    ctx = Context(build_session(cpus=4), project_dir=proj)
+    m = ctx.models[f"{schema}.daily"]
+    assert m.start == "2024-01-01"
+    assert m.owner == "data-eng"
+    assert ctx.environment_ttl == 3600
+    # CLI path loads the same config
+    assert main(["-p", proj, "plan", "--dry-run"]) == 0
+    capsys.readouterr()
