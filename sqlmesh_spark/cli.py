@@ -431,6 +431,8 @@ def cmd_init(args) -> int:
         return 1
     with open(seed_path, "w") as f:
         f.write("id,item_id,event_date\n1,2,2020-01-01\n2,1,2020-01-01\n3,3,2020-01-03\n")
+    with open(os.path.join(proj, "config.yaml"), "w") as f:
+        f.write("model_defaults:\n  start: '2020-01-01'\n")
     with open(os.path.join(proj, "models", "incremental_model.sql"), "w") as f:
         f.write(
             """MODEL (
