@@ -607,18 +607,19 @@ def embedding_topn_zipwith_sql(table: str, top_n: int = 20) -> str:
     vector, dot products fold pairs in place (ZIP_WITH + AGGREGATE) —
     no element explosion, no |vectors|·dim join. Scaled-int folds keep
     results bit-identical to the explode-based oracle."""
+    # casts hoisted out of the pair loop (see ann_topk_zipwith_sql note)
     dot = (
-        "AGGREGATE(ZIP_WITH(a.embedding, b.embedding, "
-        "(x, y) -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
+        "AGGREGATE(ZIP_WITH(a.emb, b.emb, "
+        "(x, y) -> CAST(ROUND(x * y * 1000000) AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     norm = (
-        "AGGREGATE(TRANSFORM(embedding, "
-        "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+        "AGGREGATE(TRANSFORM(CAST(embedding AS ARRAY<DOUBLE>), "
+        "x -> CAST(ROUND(x * x * 1000000) AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     return f"""
-WITH nrm AS (SELECT vec_id, embedding, {norm} AS nrm FROM {table}),
+WITH nrm AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS emb, {norm} AS nrm FROM {table}),
 sims AS (
   SELECT a.vec_id AS v1, b.vec_id AS v2,
          ROUND(CAST({dot} AS DOUBLE) / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 6) AS cosine
@@ -799,14 +800,15 @@ def embedding_lsh_wide_sql(
     ZIP_WITH cosine against the two broadcast-joined embedding arrays —
     |candidates| folds, not an |elems|² join.
     """
+    # casts hoisted out of the candidate loop (ann_topk_zipwith_sql note)
     dot = (
-        "AGGREGATE(ZIP_WITH(a.embedding, b.embedding, "
-        "(x, y) -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
+        "AGGREGATE(ZIP_WITH(a.emb, b.emb, "
+        "(x, y) -> CAST(ROUND(x * y * 1000000) AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     norm = (
-        "AGGREGATE(TRANSFORM(embedding, "
-        "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+        "AGGREGATE(TRANSFORM(CAST(embedding AS ARRAY<DOUBLE>), "
+        "x -> CAST(ROUND(x * x * 1000000) AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     if bands_relation:
@@ -815,7 +817,7 @@ def embedding_lsh_wide_sql(
         bands_rel = "bands"
         with_bands = f"bands AS ({embedding_lsh_bands_sql(table, dim, n_planes, band_size)}),\n"
     return f"""
-WITH vecs AS (SELECT vec_id, embedding, {norm} AS nrm FROM {table}),
+WITH vecs AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS emb, {norm} AS nrm FROM {table}),
 {with_bands}candidates AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM {bands_rel} a JOIN {bands_rel} b
