@@ -110,9 +110,10 @@ class Model:
     # query-extracted references and preserved across re-resolution —
     # covers refs the scanner can't see (macro-built names, dynamic SQL).
     declared_depends_on: frozenset[str] = frozenset()
-    # Destructive-change policy for forward-only migrations
-    # (model/kind.py:195-226 on_destructive_change): error | warn | allow.
+    # Change policies for forward-only migrations (model/kind.py:195-226
+    # on_destructive_change / on_additive_change): error | warn | allow.
     on_destructive_change: str = "error"
+    on_additive_change: str = "allow"
     # Python models (model/definition.py:1876): evaluated by calling this
     # instead of rendering `query` (which then only carries the code hash).
     python_fn: Optional[object] = None
@@ -402,6 +403,9 @@ def parse_model_text(text: str) -> Model:
         tags=tuple(_unquote(t).lower() for t in _parse_tuple(props["tags"]))
         if "tags" in props
         else (),
+        on_additive_change=_unquote(
+            props.get("on_additive_change", "allow")
+        ).lower(),
         on_destructive_change=_unquote(
             props.get("on_destructive_change", "error")
         ).lower(),

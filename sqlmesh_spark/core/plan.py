@@ -350,6 +350,7 @@ class PlanEvaluator:
                 if target_cols is not None:
                     deltas = differ.compare(current_cols, target_cols)
                     destructive = [d for d in deltas if differ.is_destructive(d)]
+                    additive = [d for d in deltas if d.op == "add"]
                     policy = new.model.on_destructive_change
                     if destructive and policy == "error":
                         detail = ", ".join(
@@ -365,6 +366,20 @@ class PlanEvaluator:
                             "forward-only destructive change(s) on %s: %s",
                             name,
                             destructive,
+                        )
+                    # on_additive_change (kind.py:195-226): same ladder for
+                    # column ADDs — teams that version schemas externally
+                    # set error to force an explicit (breaking) migration.
+                    add_policy = new.model.on_additive_change
+                    if additive and add_policy == "error":
+                        detail = ", ".join(f"add {d.column} {d.new_type}" for d in additive)
+                        raise PlanError(
+                            f"forward-only plan for {name} requires additive "
+                            f"change(s) [{detail}] but on_additive_change=error"
+                        )
+                    if additive and add_policy == "warn":
+                        logging.getLogger("sqlmesh_spark").warning(
+                            "forward-only additive change(s) on %s: %s", name, additive,
                         )
                     self.adapter.alter_table(
                         pinned.table_name,

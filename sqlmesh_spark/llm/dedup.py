@@ -931,3 +931,50 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     docs = spread_scan(spark, "documents", "recall_docs")
     return spark.sql(lsh_recall_eval_sql(docs))
+
+
+def incremental_dedup_sql(table: str, dialect: str = "spark", prefix: int = 40) -> str:
+    """INCREMENTAL corpus dedup: classify a new ingest batch against the
+    persisted fingerprint STATE of everything already accepted — the op a
+    continuously-fed training corpus runs every cycle (the batch analog
+    of streaming_dedup_exactly_once, composing with the adapter's
+    insert_append to grow the state table).
+
+    Each batch-2 document is 'dup_of_corpus' (fingerprint already in
+    state), 'dup_in_batch' (a smaller doc_id in the same batch owns the
+    fingerprint), or 'new'. At 100 TB the state side is a fingerprint
+    table joined on an 8-byte-ish hash key (bucket it on fp and the join
+    is co-located); the batch side is one scan + one group-by — cost is
+    O(batch), never O(corpus), which is the entire point.
+
+    Here the 'state' is modeled as the even-doc_id half of the corpus and
+    the batch as the odd half, so both engines compute the identical
+    relation from the same table. The fingerprint hashes the normalized
+    LEADING ``prefix`` characters (boilerplate-prefix dedup — catches
+    mirrored articles whose tails diverge in ads/footers); prefix=None
+    semantics would be the whole-text exact form already covered by
+    dedup_exact."""
+    norm = f"substr(trim(regexp_replace(lower(text), ' +', ' ')), 1, {prefix})"
+    return f"""
+WITH state AS (
+  SELECT DISTINCT MD5({norm}) AS fp FROM {table} WHERE doc_id % 2 = 0
+),
+batch AS (
+  SELECT doc_id, MD5({norm}) AS fp FROM {table} WHERE doc_id % 2 = 1
+),
+firsts AS (SELECT fp, MIN(doc_id) AS keeper FROM batch GROUP BY fp)
+SELECT b.doc_id, b.fp AS fingerprint,
+       CASE WHEN s.fp IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.doc_id <> f.keeper THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM batch b
+LEFT JOIN state s ON b.fp = s.fp
+JOIN firsts f ON b.fp = f.fp
+"""
+
+
+register(
+    "dedup_incremental_fingerprints",
+    oracle=incremental_dedup_sql("documents", "duckdb"),
+    tags=("llm", "dedup"),
+)(_doc_case(incremental_dedup_sql))

@@ -682,3 +682,26 @@ WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
     total = spark.table("env_nopart_views.daily").count()
     distinct = spark.table("env_nopart_views.daily").distinct().count()
     assert total == distinct
+
+
+def test_on_additive_change_policy(spark, sf_dir):
+    """kind.py:195-226 on_additive_change: error rejects a forward-only
+    plan that would ADD a column; the default (allow) proceeds."""
+    import tempfile as _tf
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError
+
+    spark.sql("DROP DATABASE IF EXISTS sqlmesh__demo_addpol CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS env_addpol_views CASCADE")
+    base = (
+        "MODEL (name demo_addpol.t, kind FULL, on_additive_change error);\n"
+        "SELECT 1 AS a{extra}"
+    )
+    ctx = Context(spark, state_dir=_tf.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(base.format(extra=""))
+    ctx.run(environment="env_addpol")
+    ctx.models.clear()
+    ctx.add_model(base.format(extra=", 2 AS b"))
+    with pytest.raises(PlanError, match="on_additive_change=error"):
+        ctx.run(environment="env_addpol", forward_only=True)
