@@ -33,6 +33,9 @@ class Context:
         self.spark = spark
         self.project_dir = project_dir
         self.models: dict[str, Model] = dict(models or {})
+        # Semantic-layer metrics (metric/definition.py:68), loaded from
+        # metrics/*.sql; evaluated via evaluate_metrics.
+        self.metrics: dict[str, "Metric"] = {}
         # Standalone audits (audit/definition.py:157) — scheduled after
         # their upstream models, reported (never blocking).
         self.standalone_audits: dict[str, "StandaloneAudit"] = {}
@@ -83,6 +86,14 @@ class Context:
         for path in sorted(glob.glob(os.path.join(project_dir, "audits", "*.sql"))):
             with open(path) as f:
                 self.add_audit(f.read())
+        # Metric definitions (reference loader walks metrics/*.sql —
+        # definition.py:18 load_metric_ddl).
+        from sqlmesh_spark.metrics import parse_metric_text
+
+        for path in sorted(glob.glob(os.path.join(project_dir, "metrics", "*.sql"))):
+            with open(path) as f:
+                for metric in parse_metric_text(f.read(), set(self.metrics)):
+                    self.metrics[metric.name] = metric
         # Re-resolve depends_on now that all model names are known.
         known = set(self.models)
         for m in self.models.values():
@@ -328,6 +339,47 @@ class Context:
             decimal_scale=decimal_scale,
         )
         return self.spark.sql(sql)
+
+    def evaluate_metrics(
+        self,
+        metric_names: list[str],
+        dimensions: list[str],
+        environment: str = "prod",
+    ) -> DataFrame:
+        """Evaluate loaded metrics grouped by shared dimensions — the
+        semantic-layer query surface (reference rewriter.py:21-120 via
+        `SELECT METRIC(...)` rewriting). Base metrics aggregate their own
+        source (a model's environment view or an external table); derived
+        metrics compose in the outer projection. Dimensions must be
+        columns of every involved source."""
+        from sqlmesh_spark.metrics import rewrite
+
+        requested = []
+        frontier = [n.lower() for n in metric_names]
+        while frontier:
+            n = frontier.pop()
+            m = self.metrics[n]
+            if m not in requested:
+                requested.append(m)
+            if m.source is None:
+                # pull in base metrics the derived expr references
+                for name in self.metrics:
+                    if name != n and name in m.expr and self.metrics[name] not in requested:
+                        frontier.append(name)
+        env_schema = "prod_views" if environment == "prod" else f"{environment}_views"
+        sources: dict[str, str] = {}
+        for m in requested:
+            if m.source is None:
+                continue
+            rel = m.source
+            if rel in self.models:
+                rel = f"{env_schema}.{self.models[rel].view_name}"
+            sources[m.source] = f"SELECT * FROM {rel}"
+        # base metrics before derived so rewrite() finds a base to build on
+        ordered = [m for m in requested if m.source is not None] + [
+            m for m in requested if m.source is None
+        ]
+        return self.spark.sql(rewrite(ordered, dimensions, sources))
 
     def columns_to_types(self, model_name: str) -> Optional[dict[str, str]]:
         """Render-time inferred schema (definition.py:1449-1482): analyzed,

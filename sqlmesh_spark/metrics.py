@@ -28,6 +28,76 @@ class Metric:
     name: str
     expr: str
     source: str | None = None  # key into the sources mapping; None = derived
+    owner: str | None = None
+
+
+def parse_metric_text(text: str, known_metrics: set[str] | None = None) -> list["Metric"]:
+    """Parse METRIC(...) blocks (reference metric DDL,
+    definition.py:18 load_metric_ddl; format as in
+    examples/sushi/metrics/metrics.sql):
+
+        METRIC (name total_orders, owner jen,
+                expression COUNT(sch.orders.id));
+
+    The SOURCE derives from the expression's fully-qualified
+    ``schema.table.column`` references: exactly one table → a base metric
+    over it (the per-source expr drops the table prefix); zero tables and
+    references to other metric names → a derived metric. Expressions
+    spanning MULTIPLE tables need the reference's grain-based join
+    derivation and are rejected loudly (declare an intermediate model
+    joining them and aggregate over that instead).
+    """
+    import re as _re
+
+    from sqlmesh_spark.core.model import _find_close, _parse_props, _unquote
+
+    out: list[Metric] = []
+    seen = set(known_metrics or set())
+    pos = 0
+    pat = _re.compile(r"\bMETRIC\s*\(", _re.IGNORECASE)
+    while True:
+        m = pat.search(text, pos)
+        if not m:
+            break
+        open_idx = text.index("(", m.start())
+        close_idx = _find_close(text, open_idx)
+        props = _parse_props(text[open_idx + 1 : close_idx])
+        pos = close_idx + 1
+        name = _unquote(props["name"]).lower()
+        expr = props["expression"].strip()
+        # fully-qualified column refs → candidate source tables
+        tables = {
+            mm.group(1).lower()
+            for mm in _re.finditer(
+                r"\b([A-Za-z_][\w]*\.[A-Za-z_][\w]*)\.[A-Za-z_][\w]*\b", expr
+            )
+        }
+        if len(tables) > 1:
+            raise ValueError(
+                f"metric {name!r} spans tables {sorted(tables)}; multi-table "
+                "metrics need grain-join derivation — aggregate over a "
+                "joining model instead"
+            )
+        if tables:
+            source = next(iter(tables))
+            # strip the table prefix so the expr runs inside the per-source
+            # aggregate subquery (rewrite() wraps the source relation)
+            local_expr = _re.sub(
+                rf"\b{_re.escape(source)}\.([A-Za-z_][\w]*)\b", r"\1", expr,
+                flags=_re.IGNORECASE,
+            )
+            out.append(Metric(name, local_expr, source, owner=_unquote(props.get("owner", "")) or None))
+        else:
+            # derived: must reference at least one known metric name
+            refs = {t.lower() for t in _re.findall(r"[A-Za-z_][\w]*", expr)}
+            if not (refs & seen):
+                raise ValueError(
+                    f"metric {name!r} has no table references and no known "
+                    "metric references — nothing to derive from"
+                )
+            out.append(Metric(name, expr, None, owner=_unquote(props.get("owner", "")) or None))
+        seen.add(name)
+    return out
 
 
 def rewrite(

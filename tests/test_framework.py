@@ -705,3 +705,68 @@ def test_on_additive_change_policy(spark, sf_dir):
     ctx.add_model(base.format(extra=", 2 AS b"))
     with pytest.raises(PlanError, match="on_additive_change=error"):
         ctx.run(environment="env_addpol", forward_only=True)
+
+
+def test_metrics_from_project_files(spark, sf_dir, tmp_path):
+    """METRIC(...) definitions load from metrics/*.sql (reference
+    definition.py:18 load_metric_ddl) and evaluate through
+    Context.evaluate_metrics: base metrics derive their source from the
+    fully-qualified refs, derived metrics compose, multi-table
+    expressions are rejected loudly."""
+    import os as _os
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.metrics import parse_metric_text
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    _os.makedirs(tmp_path / "metrics")
+    _os.makedirs(tmp_path / "models")
+    (tmp_path / "metrics" / "metrics.sql").write_text(
+        """
+METRIC (
+  name total_revenue_cents,
+  owner jen,
+  expression CAST(SUM(CAST(ROUND(default.orders.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+);
+
+METRIC (
+  name n_orders,
+  expression COUNT(default.orders.o_orderkey)
+);
+
+METRIC (
+  name revenue_per_order,
+  expression ROUND(CAST(total_revenue_cents AS DOUBLE) / n_orders, 4)
+);
+"""
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS default")
+    spark.table("orders").createOrReplaceTempView("orders")
+    spark.sql("DROP TABLE IF EXISTS default.orders")
+    spark.table("orders").write.saveAsTable("default.orders")
+    ctx = Context(spark, project_dir=str(tmp_path))
+    assert set(ctx.metrics) == {"total_revenue_cents", "n_orders", "revenue_per_order"}
+    assert ctx.metrics["total_revenue_cents"].source == "default.orders"
+    assert ctx.metrics["revenue_per_order"].source is None
+    assert ctx.metrics["total_revenue_cents"].owner == "jen"
+
+    df = ctx.evaluate_metrics(
+        ["revenue_per_order"], dimensions=["o_orderstatus"]
+    )
+    rows = {r.o_orderstatus: r for r in df.collect()}
+    # cross-check one group against direct SQL
+    expect = spark.sql(
+        "SELECT o_orderstatus, "
+        "ROUND(CAST(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)"
+        " / COUNT(o_orderkey), 4) AS rpo "
+        "FROM default.orders GROUP BY o_orderstatus"
+    ).collect()
+    for e in expect:
+        assert abs(rows[e.o_orderstatus].revenue_per_order - e.rpo) < 1e-9
+    spark.sql("DROP TABLE IF EXISTS default.orders")
+
+    with pytest.raises(ValueError, match="spans tables"):
+        parse_metric_text(
+            "METRIC (name bad, expression COUNT(IF(a.c.x = 1, b.d.y, NULL)));"
+        )
