@@ -14,6 +14,7 @@ invalidate / janitor) wrapping ``core.context.Context``.
     python -m sqlmesh_spark -p <project_dir> audit [model] | check_intervals
     python -m sqlmesh_spark -p <project_dir> dag | info | create_external_models
     python -m sqlmesh_spark -p <project_dir> create_test <model> | table_diff src:tgt <model>
+    python -m sqlmesh_spark -p <project_dir> metrics [name...] [--dim d]
     python -m sqlmesh_spark -p <project_dir> state export|import <file>
     python -m sqlmesh_spark -p <project_dir> init | format [--check]
     python -m sqlmesh_spark -p <project_dir> janitor | destroy --yes
@@ -573,6 +574,25 @@ def cmd_format(args) -> int:
     return 0
 
 
+def cmd_metrics(args) -> int:
+    """List loaded metrics, or evaluate them grouped by dimensions —
+    the semantic-layer query surface over metrics/*.sql."""
+    ctx = _context(args)
+    if not ctx.metrics:
+        print("no metrics defined (add metrics/*.sql)")
+        return 0
+    if not args.name:
+        for name, m in sorted(ctx.metrics.items()):
+            kind = f"base over {m.source}" if m.source else "derived"
+            owner = f"  [{m.owner}]" if m.owner else ""
+            print(f"{name}: {kind}{owner}\n    {m.expr}")
+        return 0
+    df = ctx.evaluate_metrics(args.name, dimensions=args.dim or [],
+                              environment=args.environment)
+    print(df.limit(args.limit).toPandas().to_string(index=False))
+    return 0
+
+
 def cmd_janitor(args) -> int:
     ctx = _context(args)
     removed = ctx.janitor()
@@ -698,6 +718,13 @@ def build_parser() -> argparse.ArgumentParser:
     si = ssub.add_parser("import")
     si.add_argument("file")
     si.set_defaults(fn=cmd_state_import)
+
+    sp = sub.add_parser("metrics", help="list metrics or evaluate them by dimensions")
+    sp.add_argument("name", nargs="*")
+    sp.add_argument("--dim", action="append")
+    sp.add_argument("environment", nargs="?", default="prod")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_metrics)
 
     sp = sub.add_parser("init", help="scaffold a new project with example models")
     sp.set_defaults(fn=cmd_init)

@@ -291,3 +291,22 @@ def test_project_config_yaml_model_defaults(project, capsys):
     # CLI path loads the same config
     assert main(["-p", proj, "plan", "--dry-run"]) == 0
     capsys.readouterr()
+
+
+def test_cli_metrics(project, capsys, spark):
+    proj, schema = project
+    os.makedirs(os.path.join(proj, "metrics"))
+    with open(os.path.join(proj, "metrics", "m.sql"), "w") as f:
+        f.write(
+            f"METRIC (name total_n, expression CAST(SUM({schema}.daily.n) AS BIGINT));\n"
+        )
+    # listing
+    assert main(["-p", proj, "metrics"]) == 0
+    out = capsys.readouterr().out
+    assert "total_n" in out and f"base over {schema}.daily" in out
+    # evaluation against the materialized environment view
+    assert main(["-p", proj, "plan"]) == 0
+    capsys.readouterr()
+    assert main(["-p", proj, "metrics", "total_n", "--dim", "ds"]) == 0
+    out = capsys.readouterr().out
+    assert "total_n" in out and ("5" in out and "7" in out)
