@@ -367,14 +367,58 @@ class Context:
                     if name != n and name in m.expr and self.metrics[name] not in requested:
                         frontier.append(name)
         env_schema = "prod_views" if environment == "prod" else f"{environment}_views"
+
+        def resolve(rel: str) -> str:
+            if rel in self.models:
+                return f"{env_schema}.{self.models[rel].view_name}"
+            return rel
+
         sources: dict[str, str] = {}
         for m in requested:
             if m.source is None:
                 continue
-            rel = m.source
-            if rel in self.models:
-                rel = f"{env_schema}.{self.models[rel].view_name}"
-            sources[m.source] = f"SELECT * FROM {rel}"
+            parts = m.source.split("|")
+            if len(parts) == 1:
+                sources[m.source] = f"SELECT * FROM {resolve(parts[0])}"
+                continue
+            # Multi-table metric: derive the join from the models' shared
+            # GRAIN (the reference's references/grain join graph). Every
+            # involved table must be a model declaring a grain, and the
+            # grains must intersect.
+            grains = []
+            for p in parts:
+                if p not in self.models or not self.models[p].grain:
+                    raise ValueError(
+                        f"metric {m.name!r} spans {parts}; every table must be "
+                        f"a model with a declared grain to derive the join "
+                        f"({p!r} is not)"
+                    )
+                grains.append(set(self.models[p].grain))
+            shared = set.intersection(*grains)
+            if not shared:
+                raise ValueError(
+                    f"metric {m.name!r}: models {parts} share no grain "
+                    f"columns — no join path"
+                )
+            keys = sorted(shared)
+            aliases = [f"__s{i}" for i in range(len(parts))]
+            join = f"{resolve(parts[0])} {aliases[0]}"
+            for i in range(1, len(parts)):
+                on = " AND ".join(
+                    f"{aliases[0]}.{k} = {aliases[i]}.{k}" for k in keys
+                )
+                join += f" JOIN {resolve(parts[i])} {aliases[i]} ON {on}"
+            # project every column once: the first relation wins the shared
+            # grain columns, each relation contributes its own columns
+            cols: list[str] = []
+            seen_cols: set[str] = set()
+            for alias, p in zip(aliases, parts):
+                for c in self.spark.table(resolve(p)).columns:
+                    if c.lower() in seen_cols:
+                        continue
+                    seen_cols.add(c.lower())
+                    cols.append(f"{alias}.{c}")
+            sources[m.source] = f"SELECT {', '.join(cols)} FROM {join}"
         # base metrics before derived so rewrite() finds a base to build on
         ordered = [m for m in requested if m.source is not None] + [
             m for m in requested if m.source is None

@@ -72,20 +72,20 @@ def parse_metric_text(text: str, known_metrics: set[str] | None = None) -> list[
                 r"\b([A-Za-z_][\w]*\.[A-Za-z_][\w]*)\.[A-Za-z_][\w]*\b", expr
             )
         }
-        if len(tables) > 1:
-            raise ValueError(
-                f"metric {name!r} spans tables {sorted(tables)}; multi-table "
-                "metrics need grain-join derivation — aggregate over a "
-                "joining model instead"
-            )
         if tables:
-            source = next(iter(tables))
-            # strip the table prefix so the expr runs inside the per-source
-            # aggregate subquery (rewrite() wraps the source relation)
-            local_expr = _re.sub(
-                rf"\b{_re.escape(source)}\.([A-Za-z_][\w]*)\b", r"\1", expr,
-                flags=_re.IGNORECASE,
-            )
+            # Multi-table metrics carry a composite source key; the caller
+            # (Context.evaluate_metrics) derives the join from the models'
+            # shared grain — the reference's references/grain join graph
+            # (metric/definition.py to_metric + rewriter join synthesis).
+            source = "|".join(sorted(tables)) if len(tables) > 1 else next(iter(tables))
+            # strip every table prefix so the expr runs inside the
+            # (possibly joined) aggregate subquery
+            local_expr = expr
+            for t in tables:
+                local_expr = _re.sub(
+                    rf"\b{_re.escape(t)}\.([A-Za-z_][\w]*)\b", r"\1", local_expr,
+                    flags=_re.IGNORECASE,
+                )
             out.append(Metric(name, local_expr, source, owner=_unquote(props.get("owner", "")) or None))
         else:
             # derived: must reference at least one known metric name

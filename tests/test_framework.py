@@ -766,7 +766,58 @@ METRIC (
         assert abs(rows[e.o_orderstatus].revenue_per_order - e.rpo) < 1e-9
     spark.sql("DROP TABLE IF EXISTS default.orders")
 
-    with pytest.raises(ValueError, match="spans tables"):
-        parse_metric_text(
-            "METRIC (name bad, expression COUNT(IF(a.c.x = 1, b.d.y, NULL)));"
-        )
+    # multi-table metrics parse with a composite source key
+    [mt] = parse_metric_text(
+        "METRIC (name cross, expression COUNT(IF(a.c.x = 1, b.d.y, NULL)));"
+    )
+    assert mt.source == "a.c|b.d"
+
+
+def test_multi_table_metric_grain_join(spark, sf_dir, tmp_path):
+    """A metric spanning two models joins them on their SHARED GRAIN —
+    the reference's auto-derived join graph (rewriter join synthesis).
+    Models without a grain are rejected with guidance."""
+    import os as _os
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    spark.sql("DROP DATABASE IF EXISTS sqlmesh__demo_mm CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS env_mm_views CASCADE")
+    _os.makedirs(tmp_path / "metrics")
+    (tmp_path / "metrics" / "m.sql").write_text(
+        """
+METRIC (
+  name active_revenue_cents,
+  expression CAST(SUM(CASE WHEN demo_mm.cust.c_acctbal > 0
+                           THEN CAST(ROUND(demo_mm.ord.o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT)
+);
+"""
+    )
+    import tempfile as _tf
+
+    ctx = Context(spark, project_dir=str(tmp_path),
+                  state_dir=_tf.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        "MODEL (name demo_mm.ord, kind FULL, grain o_custkey);\n"
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders"
+    )
+    ctx.add_model(
+        "MODEL (name demo_mm.cust, kind FULL, grain o_custkey);\n"
+        "SELECT c_custkey AS o_custkey, c_acctbal FROM customer"
+    )
+    ctx.run(environment="env_mm")
+    df = ctx.evaluate_metrics(
+        ["active_revenue_cents"], dimensions=["o_orderstatus"], environment="env_mm"
+    )
+    got = {r.o_orderstatus: r.active_revenue_cents for r in df.collect()}
+    expect = spark.sql(
+        "SELECT o.o_orderstatus, CAST(SUM(CASE WHEN c.c_acctbal > 0 "
+        "THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY o.o_orderstatus"
+    ).collect()
+    for e in expect:
+        assert got[e.o_orderstatus] == e.v
