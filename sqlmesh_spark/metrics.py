@@ -42,10 +42,10 @@ def parse_metric_text(text: str, known_metrics: set[str] | None = None) -> list[
     The SOURCE derives from the expression's fully-qualified
     ``schema.table.column`` references: exactly one table → a base metric
     over it (the per-source expr drops the table prefix); zero tables and
-    references to other metric names → a derived metric. Expressions
-    spanning MULTIPLE tables need the reference's grain-based join
-    derivation and are rejected loudly (declare an intermediate model
-    joining them and aggregate over that instead).
+    references to other metric names → a derived metric; MULTIPLE tables
+    → a composite source key whose join Context.evaluate_metrics derives
+    from the models' shared grain (the reference's references/grain join
+    graph).
     """
     import re as _re
 
@@ -213,3 +213,52 @@ def metric_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated SQL runs verbatim on both engines."""
     register_views(spark, sf_dir, ("orders", "customer"))
     return spark.sql(_METRIC_SQL)
+
+
+METRIC_GRAIN_JOIN_ORACLE = """
+SELECT o.o_orderstatus,
+       CAST(SUM(CASE WHEN c.c_acctbal > 0
+                     THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS active_revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@register("metric_grain_join", oracle=METRIC_GRAIN_JOIN_ORACLE, tags=("metric",))
+def metric_grain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A METRIC(...) whose expression spans two models, evaluated through
+    Context with the join AUTO-DERIVED from the models' shared grain —
+    the reference's references/grain join synthesis, end-to-end from the
+    metric DDL text to the grouped result."""
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+
+    spark.sql("DROP DATABASE IF EXISTS sqlmesh__demo_mgj CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS env_mgj_views CASCADE")
+    register_views(spark, sf_dir, ("orders", "customer"))
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        "MODEL (name demo_mgj.ord, kind FULL, grain o_custkey);\n"
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders"
+    )
+    ctx.add_model(
+        "MODEL (name demo_mgj.cust, kind FULL, grain o_custkey);\n"
+        "SELECT c_custkey AS o_custkey, c_acctbal FROM customer"
+    )
+    ctx.run(environment="env_mgj")
+    for metric in parse_metric_text(
+        """
+METRIC (
+  name active_revenue_cents,
+  expression CAST(SUM(CASE WHEN demo_mgj.cust.c_acctbal > 0
+                           THEN CAST(ROUND(demo_mgj.ord.o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT)
+);
+"""
+    ):
+        ctx.metrics[metric.name] = metric
+    return ctx.evaluate_metrics(
+        ["active_revenue_cents"], dimensions=["o_orderstatus"], environment="env_mgj"
+    )
