@@ -115,12 +115,23 @@ class Context:
         with open(path) as f:
             cfg = yaml.safe_load(f) or {}
         self.model_defaults = cfg.get("model_defaults") or {}
+        # Global @VAR values (reference config `variables:`): available to
+        # every model's render; a model's own (blueprint) bindings win.
+        # They merge into model.variables, which is FINGERPRINTED — so
+        # changing a global variable rebuilds exactly the models whose
+        # rendered SQL could change.
+        self.config_variables = {
+            str(k): str(v) for k, v in (cfg.get("variables") or {}).items()
+        }
         if cfg.get("environment_ttl") is not None and self.environment_ttl is None:
             self.environment_ttl = int(cfg["environment_ttl"])
         self.before_all = list(cfg.get("before_all") or []) + self.before_all
         self.after_all = list(cfg.get("after_all") or []) + self.after_all
 
     def _apply_model_defaults(self, model: Model) -> None:
+        gvars = getattr(self, "config_variables", None) or {}
+        if gvars:
+            model.variables = {**gvars, **model.variables}
         d = getattr(self, "model_defaults", None) or {}
         if not d:
             return

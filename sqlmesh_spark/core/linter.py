@@ -84,6 +84,16 @@ def ambiguous_or_invalid_column(
         return f"analysis failed: {str(e).splitlines()[0][:160]}"
 
 
+# User-defined lint rules (reference linter/rule.py Rule subclasses,
+# registered per-project): name → fn(model) -> Optional[str] (violation
+# message or None). Applied to every model after the builtins.
+CUSTOM_RULES: dict[str, "RuleFn"] = {}
+
+
+def register_lint_rule(name: str, fn) -> None:
+    CUSTOM_RULES[name.lower()] = fn
+
+
 def lint_models(
     models: Mapping[str, Model],
     spark: Optional[SparkSession] = None,
@@ -93,6 +103,7 @@ def lint_models(
     out: list[LintViolation] = []
     for name, model in models.items():
         for rule, msg in (
+            *((rname, rfn(model)) for rname, rfn in sorted(CUSTOM_RULES.items())),
             ("no_select_star", no_select_star(model)),
             ("no_missing_audits", no_missing_audits(model)),
             ("no_missing_external_models", no_missing_external_models(model, known)),

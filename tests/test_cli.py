@@ -310,3 +310,21 @@ def test_cli_metrics(project, capsys, spark):
     assert main(["-p", proj, "metrics", "total_n", "--dim", "ds"]) == 0
     out = capsys.readouterr().out
     assert "total_n" in out and ("5" in out and "7" in out)
+
+
+def test_config_variables_render_in_models(project, capsys):
+    """config.yaml `variables:` bind as @VAR defaults in every model's
+    render (reference config variables)."""
+    proj, schema = project
+    with open(os.path.join(proj, "config.yaml"), "w") as f:
+        f.write("variables:\n  min_n: '6'\n")
+    with open(os.path.join(proj, "models", "filtered.sql"), "w") as f:
+        f.write(
+            f"MODEL (name {schema}.filtered, kind FULL);\n"
+            f"SELECT ds, n FROM {schema}.daily WHERE n >= @VAR('min_n', '0')\n"
+        )
+    assert main(["-p", proj, "plan"]) == 0
+    capsys.readouterr()
+    assert main(["-p", proj, "evaluate", f"{schema}.filtered"]) == 0
+    out = capsys.readouterr().out
+    assert "7" in out and " 5" not in out  # min_n=6 keeps only the n=7 row

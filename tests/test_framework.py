@@ -821,3 +821,24 @@ METRIC (
     ).collect()
     for e in expect:
         assert got[e.o_orderstatus] == e.v
+
+
+def test_custom_lint_rule_registration():
+    """User lint rules (reference linter/rule.py custom Rule classes)
+    apply to every model after the builtins."""
+    from sqlmesh_spark.core.linter import CUSTOM_RULES, lint_models, register_lint_rule
+
+    def must_have_owner(model):
+        return None if model.owner else "model has no owner"
+
+    register_lint_rule("must_have_owner", must_have_owner)
+    try:
+        anon = parse_model_text("MODEL (name s.anon, kind VIEW);\nSELECT 1 AS x")
+        owned = parse_model_text(
+            "MODEL (name s.owned, kind VIEW, owner jen);\nSELECT 1 AS x"
+        )
+        rules = {(v.model, v.rule) for v in lint_models({m.name: m for m in (anon, owned)})}
+        assert ("s.anon", "must_have_owner") in rules
+        assert ("s.owned", "must_have_owner") not in rules
+    finally:
+        CUSTOM_RULES.clear()
