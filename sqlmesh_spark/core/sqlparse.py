@@ -325,7 +325,7 @@ class _Parser:
                 if depth == 0:
                     break
                 depth -= 1
-            elif depth == 0 and t.kind == "ident" and t.upper == "AS" or t.upper in _CLAUSE_STARTERS:
+            elif depth == 0 and t.kind == "ident" and (t.upper == "AS" or t.upper in _CLAUSE_STARTERS):
                 break
             self.i += 1
         q = Query()
@@ -507,7 +507,7 @@ class _Parser:
                 cur = []
                 self.i += 1
                 continue
-            elif depth == 0 and t.kind == "ident" and t.upper == "FROM" or t.upper in _CLAUSE_STARTERS:
+            elif depth == 0 and t.kind == "ident" and (t.upper == "FROM" or t.upper in _CLAUSE_STARTERS):
                 break
             cur.append(self.take())
             continue

@@ -240,3 +240,27 @@ class TestStructFieldAccess:
     def test_schema_qualified_column_still_resolves(self):
         lin = query_lineage("SELECT sch.t.col AS c FROM sch.t")
         assert lin["c"] == {("sch.t", "col")}
+
+
+class TestProjectionClauseKeywordsInsideParens:
+    """Regression: a clause keyword INSIDE parens in a projection (window
+    OVER (... ORDER BY ...), aggregate FILTER (WHERE ...)) must not
+    terminate the projection split — an unparenthesized and/or chain once
+    made any nested clause keyword break the parse."""
+
+    def test_window_over_clause(self):
+        sql = "SELECT a, ROW_NUMBER() OVER (PARTITION BY b ORDER BY c DESC) AS rn FROM sch.t"
+        assert find_tables(sql) == {"sch.t"}
+        lin = query_lineage(sql)
+        assert lin["rn"] == {("sch.t", "b"), ("sch.t", "c")}
+
+    def test_aggregate_filter_clause(self):
+        sql = "SELECT COUNT(*) FILTER (WHERE a > 0) AS n FROM t1"
+        assert find_tables(sql) == {"t1"}
+
+    def test_rows_between_frame(self):
+        sql = (
+            "SELECT SUM(x) OVER (ORDER BY ts ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s "
+            "FROM t1"
+        )
+        assert find_tables(sql) == {"t1"}
