@@ -485,6 +485,20 @@ class _Parser:
         return name
 
     # -- projections --------------------------------------------------------
+    # Clause starters that only open a clause when followed by BY — a bare
+    # GROUP inside `WITHIN GROUP (...)` or ORDER inside an OVER clause at
+    # depth 0 is part of an expression, not a clause boundary.
+    _BY_CLAUSES = {"GROUP", "ORDER", "DISTRIBUTE", "CLUSTER", "SORT"}
+
+    def _is_clause_start(self, i: int) -> bool:
+        t = self.toks[i]
+        if t.kind != "ident" or t.upper not in _CLAUSE_STARTERS:
+            return False
+        if t.upper in self._BY_CLAUSES:
+            nxt = self.toks[i + 1] if i + 1 < len(self.toks) else None
+            return nxt is not None and nxt.kind == "ident" and nxt.upper == "BY"
+        return True
+
     def _split_projections(self) -> list[list[Token]]:
         """Collect token slices for each projection, ending at top-level
         FROM or statement end. Subqueries inside projections are kept as
@@ -507,7 +521,9 @@ class _Parser:
                 cur = []
                 self.i += 1
                 continue
-            elif depth == 0 and t.kind == "ident" and (t.upper == "FROM" or t.upper in _CLAUSE_STARTERS):
+            elif depth == 0 and t.kind == "ident" and (
+                t.upper == "FROM" or self._is_clause_start(self.i)
+            ):
                 break
             cur.append(self.take())
             continue

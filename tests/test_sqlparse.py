@@ -264,3 +264,8 @@ class TestProjectionClauseKeywordsInsideParens:
             "FROM t1"
         )
         assert find_tables(sql) == {"t1"}
+
+    def test_within_group_ordered_set_aggregate(self):
+        sql = "SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY x) AS med FROM t1"
+        assert find_tables(sql) == {"t1"}
+        assert query_lineage(sql)["med"] == {("t1", "x")}
