@@ -31,8 +31,14 @@ def main() -> None:
     # Two passes, report min per query: shared-host noise is one-sided
     # (only ever adds time), so min-of-2 is the stable estimator of the
     # query's true cost while still including plan+codegen for pass 1.
+    # The cache is cleared between passes so pass 2 re-executes every
+    # query cold: within-query .cache() of a multiply-referenced relation
+    # is a legitimate plan optimization (Spark inlines CTEs), but a cached
+    # relation surviving into the next pass would make min-of-2 report a
+    # warm-memory read instead of query cost.
     timings: dict[str, float] = {}
     for _pass in range(2):
+        spark.catalog.clearCache()
         for name, case in cases.items():
             t0 = time.perf_counter()
             try:

@@ -118,6 +118,14 @@ class SnapshotEvaluator:
         if needs_schemas(snapshot.model.query):
             schemas = upstream_schemas(self.spark, snapshot.model, table_mapping)
         sql = MacroEvaluator(variables=variables, schemas=schemas).render(snapshot.model.query)
+        # Read-dialect transpilation AFTER macro expansion (macros emit
+        # Spark SQL; the model author's text is what carries the dialect —
+        # reference renderer.py:517 normalizes through model.dialect) and
+        # BEFORE physical-name resolution (transpile never touches tables).
+        if snapshot.model.dialect and snapshot.model.dialect != "spark":
+            from sqlmesh_spark.core.transpile import transpile
+
+            sql = transpile(sql, snapshot.model.dialect)
         # Physical-name resolution: longest names first so db.a.b wins.
         for logical, physical in sorted(table_mapping.items(), key=lambda kv: -len(kv[0])):
             sql = _replace_table_ref(sql, logical, physical)
@@ -147,6 +155,10 @@ class SnapshotEvaluator:
         variables["model_kind_name"] = f"'{snapshot.model.kind.value}'"
         variables.update(snapshot.model.variables)
         sql = MacroEvaluator(variables=variables).render(stmt)
+        if snapshot.model.dialect and snapshot.model.dialect != "spark":
+            from sqlmesh_spark.core.transpile import transpile
+
+            sql = transpile(sql, snapshot.model.dialect)
         for logical, physical in sorted(table_mapping.items(), key=lambda kv: -len(kv[0])):
             sql = _replace_table_ref(sql, logical, physical)
         return sql

@@ -78,6 +78,9 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
     if model.stamp:
         # node.py:131 — versioning lever with no functional change
         h.update(f"stamp:{model.stamp}".encode())
+    if model.dialect and model.dialect != "spark":
+        # Same query text in a different read dialect renders differently.
+        h.update(f"dialect:{model.dialect}".encode())
     for group, stmts in (
         ("pre", model.pre_statements),
         ("post", model.post_statements),

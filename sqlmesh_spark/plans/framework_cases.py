@@ -2178,3 +2178,50 @@ GROUP BY o_custkey
     )
     ctx.run(environment="env_clus")
     return spark.table("env_clus_views.revenue_by_cust")
+
+
+DDB_DIALECT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       string_to_array('a|b', '|')[1] AS first_tag
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_duckdb_dialect_model", oracle=DDB_DIALECT_ORACLE, tags=("framework",))
+def framework_duckdb_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in DUCKDB dialect loaded through plan/apply: the
+    reference renders model SQL in any SQLGlot dialect and transpiles to
+    the execution engine at render time (renderer.py:517, node.py:235
+    ``dialect``). Here the model text uses strftime C-formats, ``::``
+    casts, string_to_array and 1-based subscripts — core/transpile.py
+    rewrites it to Spark SQL after macro expansion; the DuckDB oracle runs
+    the SAME text natively, so the hash match proves dialect fidelity, not
+    just executability."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_ddb", "env_ddb_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_ddb.monthly_stats,
+  kind FULL,
+  dialect duckdb
+);
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       (SUM(ROUND(o_totalprice * 100)::BIGINT))::BIGINT AS revenue_cents,
+       COUNT(*)::BIGINT AS n_orders,
+       string_to_array('a|b', '|')[1] AS first_tag
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+    )
+    ctx.run(environment="env_ddb")
+    return spark.table("env_ddb_views.monthly_stats")

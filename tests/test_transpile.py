@@ -1,0 +1,237 @@
+"""Unit tests for the read-dialect → Spark SQL transpile layer.
+
+Reference capability: sqlmesh renders model SQL written in any SQLGlot
+dialect and transpiles to the execution dialect at render time
+(sqlmesh/core/renderer.py:517, dialect.py:1040). These tests pin the
+mapping table and the span-preserving editing contract.
+"""
+
+import pytest
+
+from sqlmesh_spark.core.transpile import (
+    TranspileError,
+    convert_pg_format,
+    convert_strftime_format,
+    transpile,
+)
+
+
+# ---------------------------------------------------------------------------
+# format-string conversion
+# ---------------------------------------------------------------------------
+
+
+def test_strftime_format_basic():
+    assert convert_strftime_format("%Y-%m-%d") == "yyyy-MM-dd"
+
+
+def test_strftime_format_literal_letter_quoted():
+    assert convert_strftime_format("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def test_strftime_format_percent_escape():
+    assert convert_strftime_format("%d%%") == "dd%"
+
+
+def test_strftime_format_unknown_code_raises():
+    with pytest.raises(TranspileError):
+        convert_strftime_format("%U")  # week-of-year (Sunday) — no mapping
+
+
+def test_pg_format():
+    assert convert_pg_format("YYYY-MM-DD HH24:MI:SS") == "yyyy-MM-dd HH:mm:ss"
+
+
+# ---------------------------------------------------------------------------
+# transpile: no-op paths
+# ---------------------------------------------------------------------------
+
+
+def test_spark_dialect_is_identity():
+    sql = "SELECT strftime(ts, '%Y') FROM t"  # even weird SQL: untouched
+    assert transpile(sql, "spark") == sql
+    assert transpile(sql, None) == sql
+    assert transpile(sql, "") == sql
+
+
+def test_already_spark_sql_unchanged():
+    sql = (
+        "SELECT date_format(o_orderdate, 'yyyy-MM') AS ym,\n"
+        "       CAST(SUM(o_totalprice) AS DOUBLE) AS rev -- comment\n"
+        "FROM orders GROUP BY 1"
+    )
+    assert transpile(sql, "duckdb") == sql
+
+
+def test_unknown_dialect_raises():
+    with pytest.raises(TranspileError):
+        transpile("SELECT 1", "oracle")
+
+
+# ---------------------------------------------------------------------------
+# transpile: function renames
+# ---------------------------------------------------------------------------
+
+
+def test_strftime_call():
+    out = transpile("SELECT strftime(ts, '%Y-%m-%d') AS d FROM t", "duckdb")
+    assert out == "SELECT date_format(ts, 'yyyy-MM-dd') AS d FROM t"
+
+
+def test_strptime_call():
+    out = transpile("SELECT strptime(s, '%Y/%m/%d') FROM t", "duckdb")
+    assert out == "SELECT to_timestamp(s, 'yyyy/MM/dd') FROM t"
+
+
+def test_epoch_family():
+    out = transpile("SELECT epoch(ts), epoch_ms(ts) FROM t", "duckdb")
+    assert out == "SELECT unix_timestamp(ts), unix_millis(ts) FROM t"
+
+
+def test_list_functions():
+    out = transpile(
+        "SELECT list_contains(tags, 'x'), array_length(tags), "
+        "list_extract(tags, 1), array_to_string(tags, ',') FROM t",
+        "duckdb",
+    )
+    assert out == (
+        "SELECT array_contains(tags, 'x'), size(tags), "
+        "element_at(tags, 1), array_join(tags, ',') FROM t"
+    )
+
+
+def test_column_named_like_function_untouched():
+    # `epoch` as a column (no call parens) must not be rewritten
+    sql = "SELECT epoch FROM t WHERE epoch > 5"
+    assert transpile(sql, "duckdb") == sql
+
+
+def test_string_in_literal_untouched():
+    sql = "SELECT 'strftime(x, %Y)' AS s FROM t"
+    assert transpile(sql, "duckdb") == sql
+
+
+def test_log_arity():
+    out = transpile("SELECT log(x), log(2, x) FROM t", "duckdb")
+    # 1-arg log is log10 in DuckDB; 2-arg log(base, x) matches Spark
+    assert out == "SELECT log10(x), log(2, x) FROM t"
+
+
+def test_string_agg():
+    out = transpile("SELECT string_agg(name, ', ') FROM t", "duckdb")
+    assert out == "SELECT listagg(name, ', ') FROM t"
+
+
+def test_array_agg_and_list_aggregate():
+    out = transpile("SELECT array_agg(x) FROM t", "postgres")
+    assert out == "SELECT collect_list(x) FROM t"
+
+
+def test_string_to_array_escapes_regex_separator():
+    out = transpile("SELECT string_to_array(s, '|') FROM t", "duckdb")
+    assert out == "SELECT split(s, '\\|') FROM t"
+
+
+def test_regexp_matches():
+    out = transpile("SELECT * FROM t WHERE regexp_matches(s, 'ab+')", "duckdb")
+    assert out == "SELECT * FROM t WHERE regexp_like(s, 'ab+')"
+
+
+def test_no_spark_equivalent_raises():
+    with pytest.raises(TranspileError):
+        transpile("SELECT list_aggr(x, 'sum') FROM t", "duckdb")
+
+
+# ---------------------------------------------------------------------------
+# transpile: casts, operators, star modifiers
+# ---------------------------------------------------------------------------
+
+
+def test_double_colon_type_rename():
+    out = transpile("SELECT x::HUGEINT, y::TEXT, z::REAL FROM t", "duckdb")
+    assert out == "SELECT x::DECIMAL(38,0), y::STRING, z::FLOAT FROM t"
+
+
+def test_cast_as_type_rename():
+    out = transpile("SELECT CAST(x AS HUGEINT) FROM t", "duckdb")
+    assert out == "SELECT CAST(x AS DECIMAL(38,0)) FROM t"
+
+
+def test_varchar_with_length_untouched():
+    # VARCHAR(10) is valid Spark; only bare VARCHAR maps to STRING
+    sql = "SELECT CAST(x AS VARCHAR(10)) FROM t"
+    assert transpile(sql, "duckdb") == sql
+
+
+def test_integer_division():
+    out = transpile("SELECT a // b FROM t", "duckdb")
+    assert out == "SELECT a  DIV  b FROM t"
+
+
+def test_star_exclude():
+    out = transpile("SELECT * EXCLUDE (a, b) FROM t", "duckdb")
+    assert out == "SELECT * EXCEPT (a, b) FROM t"
+
+
+def test_list_literal_brackets():
+    out = transpile("SELECT [1, 2, 3] AS l FROM t", "duckdb")
+    assert out == "SELECT array(1, 2, 3) AS l FROM t"
+
+
+def test_postgres_array_literal():
+    out = transpile("SELECT ARRAY[1, 2] FROM t", "postgres")
+    assert out == "SELECT array(1, 2) FROM t"
+
+
+def test_subscript_one_based():
+    out = transpile("SELECT tags[1] FROM t", "duckdb")
+    assert out == "SELECT element_at(tags, 1) FROM t"
+
+
+def test_subscript_dotted():
+    out = transpile("SELECT t.tags[2] FROM t", "duckdb")
+    assert out == "SELECT element_at(t.tags, 2) FROM t"
+
+
+def test_subscript_chained():
+    out = transpile("SELECT x[1][2] FROM t", "duckdb")
+    assert out == "SELECT element_at(element_at(x, 1), 2) FROM t"
+
+
+def test_subscript_on_call_result():
+    out = transpile("SELECT split(s, ',')[1] FROM t", "duckdb")
+    assert out == "SELECT element_at(split(s, ','), 1) FROM t"
+
+
+def test_nested_list_literal():
+    out = transpile("SELECT [[1], [2]] FROM t", "duckdb")
+    assert out == "SELECT array(array(1), array(2)) FROM t"
+
+
+def test_comments_and_whitespace_preserved():
+    sql = "SELECT epoch(ts)  -- keep me\nFROM t"
+    out = transpile(sql, "duckdb")
+    assert out == "SELECT unix_timestamp(ts)  -- keep me\nFROM t"
+
+
+# ---------------------------------------------------------------------------
+# executed end-to-end: transpiled SQL runs on Spark and matches DuckDB
+# ---------------------------------------------------------------------------
+
+
+def test_transpiled_sql_executes(spark):
+    import duckdb
+
+    ddb_sql = (
+        "SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%dT%H:%M:%S') AS s, "
+        "epoch(TIMESTAMP '2024-03-05 07:08:09') AS e, "
+        "list_contains(['a','b'], 'a') AS c, "
+        "CAST(7 AS HUGEINT) AS h"
+    )
+    spark_sql = transpile(ddb_sql, "duckdb")
+    got = spark.sql(spark_sql).collect()[0]
+    want = duckdb.sql(ddb_sql).fetchone()
+    assert got.s == want[0]
+    assert got.e == int(want[1])
+    assert got.c == want[2]
+    assert int(got.h) == int(want[3])
