@@ -37,6 +37,16 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:  # pragma: no cover
     from sqlmesh_spark.adapter import SparkAdapter
 
+_log = __import__("logging").getLogger("sqlmesh_spark.backends")
+
+# COW merge collects the touched-partition VALUES to the driver (bounded
+# by the table's partition count, not its rows). A merge touching more
+# partitions than this cap falls back to the full logical rewrite: at that
+# point the COW rewrite would reprocess ~the whole table anyway, and a
+# 100 TB table with hourly partitions must not materialize a six-figure
+# value list on the driver.
+MAX_COW_PARTITIONS = 10_000
+
 
 class UnsupportedTableFormatError(NotImplementedError):
     """Raised when a native-format operation is requested without the
@@ -102,7 +112,24 @@ class TableFormatBackend:
             .distinct()
         )
         touched_src = src.select(*part_cols).distinct()
-        touched = [tuple(r) for r in touched_tgt.union(touched_src).distinct().collect()]
+        # limit(cap+1) bounds the driver-side list BEFORE collecting — the
+        # executors never ship more than cap+1 partition-value rows.
+        touched_rows = (
+            touched_tgt.union(touched_src)
+            .distinct()
+            .limit(MAX_COW_PARTITIONS + 1)
+            .collect()
+        )
+        if len(touched_rows) > MAX_COW_PARTITIONS:
+            _log.warning(
+                "merge into %s touches more than %d partitions; "
+                "falling back to the full logical rewrite",
+                target,
+                MAX_COW_PARTITIONS,
+            )
+            self._merge_full_rewrite(target, src, keys, merge_filter)
+            return
+        touched = [tuple(r) for r in touched_rows]
         if not touched:
             return
         in_touched = self._partition_predicate(part_cols, touched)
@@ -244,6 +271,15 @@ class DeltaBackend(TableFormatBackend):
                 "Delta is not available in this Spark session", statement
             )
 
+    # Alias convention of the reference's merge builder (base.py:2203;
+    # acceptance spec tests/core/engine_adapter/test_base.py:1140): target
+    # aliased __MERGE_TARGET__, source __MERGE_SOURCE__, ON is the
+    # key-equality conjunction (merge_filter ANDed in), UPDATE SET lists
+    # every column target-qualified, INSERT lists bare columns with
+    # source-qualified VALUES.
+    TARGET_ALIAS = "__MERGE_TARGET__"
+    SOURCE_ALIAS = "__MERGE_SOURCE__"
+
     def merge_statement(
         self,
         target: str,
@@ -252,14 +288,15 @@ class DeltaBackend(TableFormatBackend):
         columns: Sequence[str],
         merge_filter: Optional[str] = None,
     ) -> str:
-        on = " AND ".join(f"t.{k} = s.{k}" for k in unique_key)
+        t, s = self.TARGET_ALIAS, self.SOURCE_ALIAS
+        on = " AND ".join(f"{t}.{k} = {s}.{k}" for k in unique_key)
         if merge_filter:
             on = f"({on}) AND ({merge_filter})"
-        sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
+        sets = ", ".join(f"{t}.{c} = {s}.{c}" for c in columns)
         cols = ", ".join(columns)
-        vals = ", ".join(f"s.{c}" for c in columns)
+        vals = ", ".join(f"{s}.{c}" for c in columns)
         return (
-            f"MERGE INTO {target} t USING {source_view} s ON {on} "
+            f"MERGE INTO {target} AS {t} USING {source_view} AS {s} ON {on} "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
         )
@@ -299,23 +336,66 @@ class IcebergBackend(TableFormatBackend):
                 "Iceberg is not available in this Spark session", statement
             )
 
+    # Branch-name + statement forms mirror the reference byte-for-byte
+    # (engine_adapter/spark.py:499-534; acceptance spec
+    # tests/core/engine_adapter/test_spark.py:790-827): branch `wap_{id}`,
+    # writes target `{catalog}.{db}.{table}.branch_wap_{id}`, publish is
+    # refs-lookup → cherrypick with the RESOLVED snapshot id → drop branch.
+    BRANCH_PREFIX = "branch_"
+
+    def _fqn(self, table: str) -> str:
+        if table.count(".") >= 2:
+            return table
+        catalog = self.spark.catalog.currentCatalog()
+        return f"{catalog}.{table}"
+
+    @staticmethod
+    def wap_branch_name(wap_id: str) -> str:
+        return f"wap_{wap_id}"
+
+    def wap_table_name(self, table: str, wap_id: str) -> str:
+        return f"{self._fqn(table)}.{self.BRANCH_PREFIX}{self.wap_branch_name(wap_id)}"
+
+    def wap_prepare_statement(self, table: str, wap_id: str) -> str:
+        return f"ALTER TABLE {self._fqn(table)} CREATE BRANCH {self.wap_branch_name(wap_id)}"
+
+    def wap_snapshot_query(self, table: str, wap_id: str) -> str:
+        return (
+            f"SELECT snapshot_id FROM {self._fqn(table)}.refs "
+            f"WHERE name = '{self.wap_branch_name(wap_id)}'"
+        )
+
+    def wap_publish_statements(
+        self, table: str, wap_id: str, snapshot_id: int
+    ) -> list[str]:
+        fqn = self._fqn(table)
+        catalog, rest = fqn.split(".", 1)
+        return [
+            f"CALL {catalog}.system.cherrypick_snapshot('{rest}', {snapshot_id})",
+            f"ALTER TABLE {fqn} DROP BRANCH {self.wap_branch_name(wap_id)}",
+        ]
+
     def wap_prepare(self, table: str) -> str:
-        branch = f"wap_{self.adapter._tmp_name('b').split('_')[-1]}"
-        stmt = f"ALTER TABLE {table} CREATE BRANCH {branch}"
+        wap_id = self.adapter._tmp_name("b").split("_")[-1]
+        stmt = self.wap_prepare_statement(table, wap_id)
         self._require(stmt)
         self.spark.sql(stmt)
-        self.spark.conf.set("spark.wap.branch", branch)
-        return branch
+        # Route subsequent writes to the branch for the audit window.
+        self.spark.conf.set("spark.wap.branch", self.wap_branch_name(wap_id))
+        return self.wap_branch_name(wap_id)
 
     def wap_publish(self, table: str, staging: str) -> None:
-        stmt = (
-            f"CALL system.cherrypick_snapshot('{table}', "
-            f"(SELECT snapshot_id FROM {table}.refs WHERE name = '{staging}'))"
-        )
-        self._require(stmt)
-        self.spark.sql(stmt)
+        wap_id = staging.removeprefix("wap_")
+        query = self.wap_snapshot_query(table, wap_id)
+        self._require(query)
+        rows = self.spark.sql(query).collect()
+        if not rows:
+            raise UnsupportedTableFormatError(
+                f"could not find Iceberg branch '{staging}'", query
+            )
         self.spark.conf.unset("spark.wap.branch")
-        self.spark.sql(f"ALTER TABLE {table} DROP BRANCH {staging}")
+        for stmt in self.wap_publish_statements(table, wap_id, rows[0][0]):
+            self.spark.sql(stmt)
 
     def merge(
         self,

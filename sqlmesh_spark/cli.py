@@ -44,7 +44,7 @@ def _context(args):
     from sqlmesh_spark.core.context import Context
 
     spark = _build_spark(args.cpus)
-    return Context(spark, project_dir=args.project)
+    return Context(spark, project_dir=args.project, gateway=getattr(args, "gateway", None))
 
 
 def _plan_summary(plan) -> str:
@@ -616,6 +616,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-p", "--project", required=True, help="project directory")
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    p.add_argument(
+        "--gateway",
+        default=None,
+        help="named gateway profile from config.yaml (default: default_gateway)",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     def common(sp, env_positional: bool = True):

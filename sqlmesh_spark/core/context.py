@@ -29,6 +29,7 @@ class Context:
         before_all: Optional[list[str]] = None,
         after_all: Optional[list[str]] = None,
         environment_ttl: Optional[int] = None,
+        gateway: Optional[str] = None,
     ):
         self.spark = spark
         self.project_dir = project_dir
@@ -51,9 +52,20 @@ class Context:
         # the janitor reclaims them like the reference's cleanup of
         # expired environments.
         self.environment_ttl = environment_ttl
+        # Multi-gateway config (reference core/config/root.py `gateways:` +
+        # `default_gateway:`; connection.py per-gateway connections). In a
+        # Spark-only engine a gateway is a NAMED SESSION PROFILE, not a new
+        # cluster: Spark confs applied for the context's lifetime, an
+        # optional state_dir (separate deployment state per gateway), and
+        # an optional default database. test_connection() is the analog of
+        # the reference's per-gateway connection check (test/runner.py:43).
+        self.gateways: dict[str, dict] = {}
+        self.default_gateway: Optional[str] = None
         if project_dir:
             self._load(project_dir)
-        state_dir = state_dir or os.path.join(project_dir or ".", ".sqlmesh_state")
+        self.gateway = self._apply_gateway(gateway)
+        gw_state = (self.gateways.get(self.gateway or "") or {}).get("state_dir")
+        state_dir = state_dir or gw_state or os.path.join(project_dir or ".", ".sqlmesh_state")
         self.state = StateStore(state_dir)
         self._evaluator = PlanEvaluator(spark, self.state, self.custom_audits)
 
@@ -127,6 +139,43 @@ class Context:
             self.environment_ttl = int(cfg["environment_ttl"])
         self.before_all = list(cfg.get("before_all") or []) + self.before_all
         self.after_all = list(cfg.get("after_all") or []) + self.after_all
+        # Gateways: each entry may carry `connection: {spark_conf: {...},
+        # database: ...}` and `state_dir:`. default_gateway falls back to
+        # the first declared one (reference root.py gateway selection).
+        raw_gateways = cfg.get("gateways") or {}
+        self.gateways = {str(k): dict(v or {}) for k, v in raw_gateways.items()}
+        self.default_gateway = cfg.get("default_gateway") or (
+            next(iter(self.gateways)) if self.gateways else None
+        )
+
+    def _apply_gateway(self, gateway: Optional[str]) -> Optional[str]:
+        """Select and apply a gateway profile: session confs set for this
+        context's lifetime, optional default database. Returns the selected
+        gateway name (None when the project declares no gateways)."""
+        name = gateway or self.default_gateway
+        if name is None:
+            return None
+        if name not in self.gateways:
+            raise ValueError(
+                f"unknown gateway {name!r}; configured: {sorted(self.gateways)}"
+            )
+        conn = self.gateways[name].get("connection") or {}
+        for k, v in (conn.get("spark_conf") or {}).items():
+            self.spark.conf.set(str(k), str(v))
+        db = conn.get("database")
+        if db:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+            self.spark.catalog.setCurrentDatabase(str(db))
+        return name
+
+    def test_connection(self, gateway: Optional[str] = None) -> bool:
+        """Per-gateway connection check (reference test/runner.py:43-77
+        get_test_connection → create_engine_adapter): validates the named
+        gateway's profile applies cleanly and the session answers a
+        trivial query. Raises on an unknown gateway; returns True on
+        success."""
+        self._apply_gateway(gateway or self.gateway)
+        return self.spark.sql("SELECT 1").collect()[0][0] == 1
 
     def _apply_model_defaults(self, model: Model) -> None:
         gvars = getattr(self, "config_variables", None) or {}
@@ -141,6 +190,11 @@ class Context:
             model.cron = str(d["cron"])
         if model.owner is None and "owner" in d:
             model.owner = str(d["owner"])
+        # model_defaults.dialect is the reference's standard way to set a
+        # project-wide read dialect (config/model.py ModelDefaultsConfig —
+        # it is REQUIRED there); a model's own `dialect` property wins.
+        if not model.dialect and "dialect" in d:
+            model.dialect = str(d["dialect"]).lower()
         if "session_properties" in d:
             merged = {str(k): str(v) for k, v in d["session_properties"].items()}
             merged.update(model.session_properties)

@@ -125,16 +125,49 @@ def _out_name(projection: str, idx: int) -> str:
     return f"_col{idx}"
 
 
+_log = __import__("logging").getLogger("sqlmesh_spark.lineage")
+
+
 def column_lineage(model: Model) -> dict[str, set[tuple[str, str]]]:
     """Output column → {(relation, column), ...} for one model. Relations
     here may be upstream models (expanded by transitive_column_lineage) or
-    true external tables."""
+    true external tables.
+
+    Resolution ladder (the reference always resolves structurally through
+    SQLGlot scopes, lineage.py:1-114 — the regex rung exists only because
+    this engine's parser is in-repo):
+
+    1. structural parse of the raw query;
+    2. for macro-bearing text the parser rejects: expand macros with
+       placeholder temporal bindings, then structural parse — macro
+       EXPANSION is what makes the text parseable, the placeholders never
+       appear in lineage output (they are literals, not column refs);
+    3. regex projection scan, logged as a WARNING — silently degrading to
+       the weaker resolver can mis-attribute columns, so the fallback is
+       loud."""
     from sqlmesh_spark.core.sqlparse import SqlParseError, query_lineage
 
     try:
         return query_lineage(model.query)
     except SqlParseError:
-        return _column_lineage_regex(model)
+        pass
+    try:
+        from sqlmesh_spark.macros import MacroEvaluator, temporal_variables
+
+        variables = temporal_variables("1970-01-01", "1970-01-02")
+        variables["this_model"] = model.name
+        variables.update(model.variables)
+        expanded = MacroEvaluator(variables=variables).render(model.query)
+        return query_lineage(expanded)
+    except Exception:  # noqa: BLE001 - any macro/parse failure → regex rung
+        pass
+    _log.warning(
+        "column lineage for %s fell back to the regex resolver "
+        "(query is unparseable even after macro expansion); "
+        "attribution may be incomplete",
+        model.name,
+    )
+    return _column_lineage_regex(model)
 
 
 def _column_lineage_regex(model: Model) -> dict[str, set[tuple[str, str]]]:

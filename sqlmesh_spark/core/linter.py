@@ -84,6 +84,34 @@ def ambiguous_or_invalid_column(
         return f"analysis failed: {str(e).splitlines()[0][:160]}"
 
 
+def undeclared_read_dialect(model: Model) -> Optional[str]:
+    """Spark-specific extension rule: the model's SQL uses constructs that
+    only exist in a non-Spark read dialect (strftime C-formats, epoch(),
+    list_* functions, DuckDB bracket list literals) but the model declares
+    no ``dialect`` — it will fail or silently misbehave at render time.
+    The fix is one header property; core/transpile.py does the rest."""
+    if model.dialect:
+        return None
+    hits = sorted(
+        set(
+            re.findall(
+                r"\b(strftime|strptime|epoch|epoch_ms|list_contains|list_value"
+                r"|list_extract|array_to_string|string_to_array|string_agg"
+                r"|regexp_matches|list_transform|list_filter)\s*\(",
+                model.query,
+                re.IGNORECASE,
+            )
+        )
+    )
+    if hits:
+        return (
+            f"query calls non-Spark function(s) {[h.lower() for h in hits]} "
+            "but declares no dialect; add `dialect duckdb` (or postgres/ansi) "
+            "to transpile at render time"
+        )
+    return None
+
+
 # User-defined lint rules (reference linter/rule.py Rule subclasses,
 # registered per-project): name → fn(model) -> Optional[str] (violation
 # message or None). Applied to every model after the builtins.
@@ -105,6 +133,7 @@ def lint_models(
         for rule, msg in (
             *((rname, rfn(model)) for rname, rfn in sorted(CUSTOM_RULES.items())),
             ("no_select_star", no_select_star(model)),
+            ("undeclared_read_dialect", undeclared_read_dialect(model)),
             ("no_missing_audits", no_missing_audits(model)),
             ("no_missing_external_models", no_missing_external_models(model, known)),
             (

@@ -76,9 +76,10 @@ class Model:
     stamp: Optional[str] = None
     # Read dialect of the model's SQL (reference node.py:235 ``dialect``;
     # renderer.py:517 transpiles to the execution dialect at render time).
-    # "spark" (default) renders as-is; "duckdb"/"postgres"/"ansi" route
-    # through core/transpile.py after macro expansion.
-    dialect: str = "spark"
+    # "" means UNDECLARED (model_defaults.dialect may fill it); "spark"
+    # renders as-is; "duckdb"/"postgres"/"ansi" route through
+    # core/transpile.py after macro expansion.
+    dialect: str = ""
     # node.py:280 interval_unit: explicit interval duration overriding the
     # one computed from cron ('day', 'hour', 'half_hour', 'quarter_hour',
     # 'five_minute', 'month', 'year') — e.g. an hourly-cron model whose
@@ -381,7 +382,7 @@ def parse_model_text(text: str) -> Model:
         physical_properties=_parse_kv_props(props.get("physical_properties", "")),
         session_properties=_parse_kv_props(props.get("session_properties", "")),
         stamp=_unquote(props["stamp"]) if "stamp" in props else None,
-        dialect=_unquote(props.get("dialect", "spark")).lower(),
+        dialect=_unquote(props["dialect"]).lower() if "dialect" in props else "",
         interval_unit_override=_unquote(props["interval_unit"]).lower()
         if "interval_unit" in props
         else None,

@@ -118,6 +118,13 @@ class ModelTestRunner:
             str(body.get("vars", {}).get("end", "2100-01-01")),
         )
         sql = MacroEvaluator(variables=variables).render(model.query)
+        # YAML tests run the same dialect pipeline as real evaluation
+        # (scheduler render): a duckdb-dialect model's golden test must
+        # exercise the transpiled SQL, not the raw text.
+        if model.dialect and model.dialect != "spark":
+            from sqlmesh_spark.core.transpile import transpile
+
+            sql = transpile(sql, model.dialect)
         for logical, view in sorted(mapping.items(), key=lambda kv: -len(kv[0])):
             sql = _replace_table_ref(sql, logical, view)
 

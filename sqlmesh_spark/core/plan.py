@@ -207,6 +207,7 @@ class PlanEvaluator:
             # unchanged and never rebuild it (permanently stale).
             models = self._select_models(models, env_state, select_models)
         snapshots = build_snapshots(models)
+        self._warn_unpartitioned_merges(models)
         diff = context_diff(snapshots, env_state)
         self._categorize_and_revert(snapshots, diff, env_state)
         if forward_only:
@@ -219,6 +220,35 @@ class PlanEvaluator:
             diff=diff,
             forward_only=forward_only,
         )
+
+    _MERGE_KINDS = frozenset(
+        {"INCREMENTAL_BY_UNIQUE_KEY", "SCD_TYPE_2_BY_TIME", "SCD_TYPE_2_BY_COLUMN"}
+    )
+
+    def _warn_unpartitioned_merges(self, models: Mapping[str, Model]) -> None:
+        """Plan-time scale guard: a MERGE/SCD2 model with no partition
+        layout gets the parquet backend's full-rewrite tail — every apply
+        is O(table) (backends.py _merge_full_rewrite). With
+        ``partitioned_by``/``clustered_by`` declared, the copy-on-write
+        path rewrites only touched partitions (SCALE.md). Warn once per
+        plan so the cost is a choice, not a surprise."""
+        import logging
+
+        log = logging.getLogger("sqlmesh_spark.plan")
+        for name, model in models.items():
+            if (
+                model.kind.value in self._MERGE_KINDS
+                and not model.partitioned_by
+                and not model.clustered_by
+            ):
+                log.warning(
+                    "model %s has kind %s but no partitioned_by/clustered_by: "
+                    "every apply rewrites the whole table (O(table)); declare a "
+                    "partition layout to enable the partition-scoped "
+                    "copy-on-write merge path",
+                    name,
+                    model.kind.value,
+                )
 
     def _select_models(
         self,

@@ -541,7 +541,12 @@ class Scheduler:
         out: dict[str, str] = {}
         for name, s in self.snapshots.items():
             if s.model.kind == ModelKind.EMBEDDED:
-                out[name] = "(" + MacroEvaluator().render(s.model.query) + ")"
+                inlined = MacroEvaluator().render(s.model.query)
+                if s.model.dialect and s.model.dialect != "spark":
+                    from sqlmesh_spark.core.transpile import transpile
+
+                    inlined = transpile(inlined, s.model.dialect)
+                out[name] = "(" + inlined + ")"
             elif s.model.kind == ModelKind.EXTERNAL:
                 out[name] = name
             else:

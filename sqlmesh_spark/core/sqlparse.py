@@ -510,9 +510,9 @@ class _Parser:
             t = self.peek()
             if t is None:
                 break
-            if t.kind == "op" and t.value == "(":
+            if t.kind == "op" and t.value in ("(", "["):
                 depth += 1
-            elif t.kind == "op" and t.value == ")":
+            elif t.kind == "op" and t.value in (")", "]"):
                 if depth == 0:
                     break
                 depth -= 1
@@ -747,9 +747,9 @@ class _Parser:
             t = self.peek()
             if t is None:
                 break
-            if t.kind == "op" and t.value == "(":
+            if t.kind == "op" and t.value in ("(", "["):
                 depth += 1
-            elif t.kind == "op" and t.value == ")":
+            elif t.kind == "op" and t.value in (")", "]"):
                 if depth == 0:
                     break
                 depth -= 1

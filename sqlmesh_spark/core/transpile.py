@@ -244,9 +244,11 @@ def _tokenize_spans(sql: str) -> list[tuple[str, str, int, int]]:
 def _escape_regex_literal(lit: str) -> str:
     """Escape a SQL string literal's content for use as a Java regex —
     DuckDB string_to_array splits on a PLAIN separator; Spark split's
-    second arg is a regex."""
+    second arg is a regex. Backslashes are DOUBLED because Spark string
+    literals themselves process escapes ('\\|' is the literal two-char
+    regex \\| only when written with two backslashes)."""
     inner = lit[1:-1].replace("''", "'")
-    escaped = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", inner)
+    escaped = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\\\1", inner)
     return "'" + escaped.replace("'", "''") + "'"
 
 

@@ -558,3 +558,49 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     vecs = spread_scan(spark, "embeddings", "drift_vecs")
     return spark.sql(centroid_drift_sql(vecs))
+
+
+def ann_ivf_recall_eval_sql(table: str, dialect: str = "spark") -> str:
+    """Recall bridge for the ANN ladder (the faiss-style recall/cost
+    curve): recall@k of IVF at nprobe ∈ {1, 2, 4} against the exact
+    brute-force top-k TRUTH — the measurement a production vector
+    pipeline runs on a sample before trusting nprobe at 100 TB, mirroring
+    dedup_lsh_recall_eval on the dedup side. One row per nprobe:
+    truth_pairs / ivf_pairs / hits / recall (hits ÷ truth_pairs).
+
+    Both sides share the scaled-integer cosine kernel, so a hit is an
+    exact pair match and recall is deterministic — monotone in nprobe by
+    construction (each extra probe only ADDS candidate cells)."""
+    truth = ann_topk_bruteforce_sql(table, dialect=dialect)
+    branches = []
+    for p in (1, 2, 4):
+        ivf = ann_ivf_sql(table, dialect=dialect, nprobe=p)
+        branches.append(
+            f"""
+SELECT {p} AS nprobe,
+       CAST(COUNT(t.query_id) AS BIGINT) AS truth_pairs,
+       CAST(COUNT(i.query_id) AS BIGINT) AS ivf_pairs,
+       CAST(SUM(CASE WHEN t.query_id IS NOT NULL AND i.query_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       ROUND(CAST(SUM(CASE WHEN t.query_id IS NOT NULL AND i.query_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(t.query_id), 6) AS recall
+FROM (
+{truth}
+) t FULL OUTER JOIN (
+{ivf}
+) i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+def _ivf_recall_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(ann_ivf_recall_eval_sql("embeddings", dialect="spark"))
+
+
+register(
+    "ann_ivf_recall_eval",
+    oracle=ann_ivf_recall_eval_sql("embeddings", dialect="duckdb"),
+    tags=("llm", "similarity"),
+)(_ivf_recall_case)

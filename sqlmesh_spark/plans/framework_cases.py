@@ -2225,3 +2225,48 @@ GROUP BY strftime(o_orderdate, '%Y-%m')
     )
     ctx.run(environment="env_ddb")
     return spark.table("env_ddb_views.monthly_stats")
+
+
+PG_DIALECT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       ['open', 'closed'][1] AS first_status
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_postgres_dialect_model", oracle=PG_DIALECT_ORACLE, tags=("framework",))
+def framework_postgres_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second read dialect through plan/apply: a POSTGRES-dialect model
+    using to_char (Postgres patterns, converted to Spark datetime
+    patterns), ARRAY[...] literals, and 1-based subscripts. The DuckDB
+    oracle computes the same values through its own functions — proving
+    dialect-to-dialect value parity, not just text rewriting (reference
+    renderer.py:517 renders any SQLGlot read dialect)."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_pg", "env_pg_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_pg.monthly_orders,
+  kind FULL,
+  dialect postgres
+);
+SELECT to_char(o_orderdate, 'YYYY-MM') AS month,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+       (ARRAY['open', 'closed'])[1] AS first_status
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY to_char(o_orderdate, 'YYYY-MM')
+"""
+    )
+    ctx.run(environment="env_pg")
+    return spark.table("env_pg_views.monthly_orders")

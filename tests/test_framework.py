@@ -842,3 +842,63 @@ def test_custom_lint_rule_registration():
         assert ("s.owned", "must_have_owner") not in rules
     finally:
         CUSTOM_RULES.clear()
+
+
+class TestGateways:
+    """Multi-gateway config (reference core/config/root.py gateways +
+    default_gateway; per-gateway connection checks test/runner.py:43-77).
+    A gateway here is a named session profile: Spark confs + state_dir +
+    optional default database."""
+
+    def _project(self, tmp_path):
+        (tmp_path / "models").mkdir()
+        (tmp_path / "config.yaml").write_text(
+            """
+default_gateway: dev
+gateways:
+  dev:
+    connection:
+      spark_conf:
+        spark.sql.shuffle.partitions: "7"
+    state_dir: {base}/state_dev
+  prod:
+    connection:
+      spark_conf:
+        spark.sql.shuffle.partitions: "13"
+    state_dir: {base}/state_prod
+""".format(base=tmp_path)
+        )
+        return str(tmp_path)
+
+    def test_default_gateway_selected_and_applied(self, spark, tmp_path):
+        from sqlmesh_spark.core.context import Context
+
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ctx = Context(spark, project_dir=self._project(tmp_path))
+            assert ctx.gateway == "dev"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+            assert "state_dev" in ctx.state.path
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    def test_explicit_gateway_overrides_default(self, spark, tmp_path):
+        from sqlmesh_spark.core.context import Context
+
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ctx = Context(spark, project_dir=self._project(tmp_path), gateway="prod")
+            assert ctx.gateway == "prod"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
+            assert "state_prod" in ctx.state.path
+            assert ctx.test_connection() is True
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    def test_unknown_gateway_raises(self, spark, tmp_path):
+        import pytest
+
+        from sqlmesh_spark.core.context import Context
+
+        with pytest.raises(ValueError, match="unknown gateway"):
+            Context(spark, project_dir=self._project(tmp_path), gateway="nope")

@@ -50,3 +50,59 @@ FROM ext.orders o
     assert srcs == {("ext.orders", "o_totalprice")}
     srcs_ds = transitive_column_lineage(models, "demo.monthly", "ds")
     assert srcs_ds == {("ext.orders", "o_orderdate")}
+
+
+def test_macro_bearing_model_resolves_structurally(caplog):
+    """A query the raw parser rejects (@macro tokens in clauses) must
+    resolve through macro-expansion + structural parse, NOT the regex
+    fallback — and the regex rung, when truly forced, logs a warning."""
+    import logging
+
+    from sqlmesh_spark.core.lineage import column_lineage
+    from sqlmesh_spark.core.model import Model, ModelKind
+
+    m = Model(
+        name="db.m",
+        kind=ModelKind.FULL,
+        query=(
+            "SELECT o.o_custkey AS cust, @IF(TRUE, o.o_totalprice, 0) AS price "
+            "FROM db.orders o WHERE o.o_orderdate >= @start_ts"
+        ),
+    )
+    with caplog.at_level(logging.WARNING, logger="sqlmesh_spark.lineage"):
+        lin = column_lineage(m)
+    assert lin["cust"] == {("db.orders", "o_custkey")}
+    assert ("db.orders", "o_totalprice") in lin["price"]
+    assert not caplog.records  # structural path: no fallback warning
+
+    # Genuinely unparseable even after expansion → regex rung, loudly.
+    broken = Model(name="db.broken", kind=ModelKind.FULL, query="SELECT FROM WHERE ((")
+    with caplog.at_level(logging.WARNING, logger="sqlmesh_spark.lineage"):
+        column_lineage(broken)
+    assert any("regex resolver" in r.message for r in caplog.records)
+
+
+def test_lint_undeclared_read_dialect():
+    """The dialect-hygiene rule fires only for non-Spark function calls in
+    models with NO dialect declaration."""
+    from sqlmesh_spark.core.linter import undeclared_read_dialect
+    from sqlmesh_spark.core.model import Model, ModelKind
+
+    bad = Model(
+        name="d.b", kind=ModelKind.FULL,
+        query="SELECT strftime(ts, '%Y') AS y, epoch(ts) AS e FROM d.t",
+    )
+    msg = undeclared_read_dialect(bad)
+    assert msg and "strftime" in msg and "dialect duckdb" in msg
+
+    declared = Model(
+        name="d.ok", kind=ModelKind.FULL, dialect="duckdb",
+        query="SELECT strftime(ts, '%Y') AS y FROM d.t",
+    )
+    assert undeclared_read_dialect(declared) is None
+
+    spark_sql = Model(
+        name="d.s", kind=ModelKind.FULL,
+        query="SELECT date_format(ts, 'yyyy') AS y FROM d.t",
+    )
+    assert undeclared_read_dialect(spark_sql) is None

@@ -269,3 +269,36 @@ class TestProjectionClauseKeywordsInsideParens:
         sql = "SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY x) AS med FROM t1"
         assert find_tables(sql) == {"t1"}
         assert query_lineage(sql)["med"] == {("t1", "x")}
+
+
+def test_bracket_literal_and_subscript_projections():
+    """DuckDB-dialect models carry bracket list literals and subscripts;
+    the projection split must not break on commas inside brackets, and a
+    subscripted column's lineage is the array column itself."""
+    from sqlmesh_spark.core.sqlparse import parse_query, query_lineage
+
+    q = parse_query("SELECT [1, 2, 3] AS l, t.x AS x FROM db.t t")
+    assert [c.name for c in q.columns] == ["l", "x"]
+    lin = query_lineage("SELECT a.tags[1] AS first_tag FROM db.docs a")
+    assert lin["first_tag"] == {("db.docs", "tags")}
+
+
+def test_model_defaults_dialect_applies(spark, tmp_path):
+    """model_defaults.dialect (the reference's project-wide dialect knob,
+    config/model.py ModelDefaultsConfig) flows onto models that don't
+    declare their own."""
+    from sqlmesh_spark.core.context import Context
+
+    (tmp_path / "models").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        "model_defaults:\n  dialect: duckdb\n"
+    )
+    (tmp_path / "models" / "m.sql").write_text(
+        "MODEL (name d.m, kind FULL);\nSELECT 1 AS x"
+    )
+    (tmp_path / "models" / "n.sql").write_text(
+        "MODEL (name d.n, kind FULL, dialect spark);\nSELECT 1 AS x"
+    )
+    ctx = Context(spark, project_dir=str(tmp_path))
+    assert ctx.models["d.m"].dialect == "duckdb"
+    assert ctx.models["d.n"].dialect == "spark"  # own declaration wins

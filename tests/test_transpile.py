@@ -128,8 +128,9 @@ def test_array_agg_and_list_aggregate():
 
 
 def test_string_to_array_escapes_regex_separator():
+    # doubled backslash: Spark string literals process escapes themselves
     out = transpile("SELECT string_to_array(s, '|') FROM t", "duckdb")
-    assert out == "SELECT split(s, '\\|') FROM t"
+    assert out == "SELECT split(s, '\\\\|') FROM t"
 
 
 def test_regexp_matches():
@@ -235,3 +236,29 @@ def test_transpiled_sql_executes(spark):
     assert got.e == int(want[1])
     assert got.c == want[2]
     assert int(got.h) == int(want[3])
+
+
+def test_transpiled_expression_parity_matrix(spark):
+    """Value parity on a matrix of transpiled scalar expressions: DuckDB
+    runs the original, Spark runs the transpile — results must agree."""
+    import duckdb
+
+    cases = [
+        "SELECT epoch_ms(TIMESTAMP '2024-06-01 12:00:00') AS v",
+        "SELECT log(100.0) AS v",                      # 1-arg log = log10
+        "SELECT list_extract([10, 20, 30], 2) AS v",   # 1-based
+        "SELECT array_length([1, 2, 3]) AS v",
+        "SELECT strpos('hello', 'll') AS v",
+        "SELECT array_to_string(['a', 'b'], '-') AS v",
+        "SELECT string_to_array('a|b|c', '|')[2] AS v",
+        "SELECT 17 // 5 AS v",
+        "SELECT regexp_matches('abc123', '[0-9]+') AS v",
+        "SELECT list_contains([1, 2], 2) AS v",
+    ]
+    for ddb_sql in cases:
+        want = duckdb.sql(ddb_sql).fetchone()[0]
+        got = spark.sql(transpile(ddb_sql, "duckdb")).collect()[0][0]
+        if isinstance(want, float):
+            assert abs(got - want) < 1e-9, (ddb_sql, got, want)
+        else:
+            assert got == want, (ddb_sql, got, want)
