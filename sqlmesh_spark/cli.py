@@ -19,6 +19,8 @@ invalidate / janitor) wrapping ``core.context.Context``.
     python -m sqlmesh_spark -p <project_dir> init | format [--check]
     python -m sqlmesh_spark -p <project_dir> janitor | destroy --yes
     python -m sqlmesh_spark -p <project_dir> invalidate <env>
+    python -m sqlmesh_spark -p <project_dir> rewrite <sql> [--read duckdb]
+    python -m sqlmesh_spark -p <project_dir> clean | migrate | rollback
 
 argparse instead of click (no extra deps in the sandbox); commands map
 1:1 onto Context methods so programmatic and CLI behavior can't drift.
@@ -602,6 +604,45 @@ def cmd_janitor(args) -> int:
     return 0
 
 
+def cmd_rewrite(args) -> int:
+    """`sqlmesh rewrite` (reference cli/main.py:1057): semantic METRIC(...)
+    query -> executable joined-aggregates SQL; --read transpiles the input
+    dialect first. The write dialect is always Spark SQL."""
+    ctx = _context(args)
+    if args.write not in ("", "spark"):
+        print(f"unsupported write dialect {args.write!r}: this engine emits Spark SQL")
+        return 2
+    print(ctx.rewrite(args.sql, dialect=args.read, environment=args.environment))
+    return 0
+
+
+def cmd_clean(args) -> int:
+    """`sqlmesh clean` (reference cli/main.py:1086): clear caches/artifacts."""
+    ctx = _context(args)
+    ctx.clear_caches()
+    print("caches cleared")
+    return 0
+
+
+def cmd_migrate(args) -> int:
+    """`sqlmesh migrate` (reference cli/main.py:938): upgrade state schema."""
+    ctx = _context(args)
+    ran = ctx.migrate()
+    print(
+        "state migrated to version "
+        f"{ctx.state.SCHEMA_VERSION}" if ran else "state already current"
+    )
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    """`sqlmesh rollback` (reference cli/main.py:943): restore pre-migration state."""
+    ctx = _context(args)
+    ctx.rollback()
+    print("state rolled back to pre-migration backup")
+    return 0
+
+
 def cmd_invalidate(args) -> int:
     ctx = _context(args)
     ctx.invalidate_environment(args.environment)
@@ -740,6 +781,22 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("janitor", help="clean expired environments/snapshots")
     sp.set_defaults(fn=cmd_janitor)
+
+    sp = sub.add_parser("rewrite", help="rewrite a METRIC(...) semantic query to executable SQL")
+    sp.add_argument("sql")
+    sp.add_argument("--read", default="", help="input dialect (duckdb/postgres/ansi)")
+    sp.add_argument("--write", default="", help="output dialect (spark only)")
+    sp.add_argument("--environment", default="prod")
+    sp.set_defaults(fn=cmd_rewrite)
+
+    sp = sub.add_parser("clean", help="clear caches and build artifacts")
+    sp.set_defaults(fn=cmd_clean)
+
+    sp = sub.add_parser("migrate", help="migrate the state store schema")
+    sp.set_defaults(fn=cmd_migrate)
+
+    sp = sub.add_parser("rollback", help="restore the pre-migration state backup")
+    sp.set_defaults(fn=cmd_rollback)
 
     sp = sub.add_parser("invalidate", help="mark an environment for cleanup")
     sp.add_argument("environment")

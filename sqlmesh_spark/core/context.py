@@ -95,6 +95,28 @@ class Context:
                 columns={c: "STRING" for c in header},
             )
             self.models.setdefault(model.name, model)
+        # external_models.yaml (reference loader reads the schema file
+        # `create_external_models` writes — schema.yaml/external_models.yaml,
+        # loader.py external model resolution): each entry becomes an
+        # EXTERNAL-kind model with declared columns, so linting, schema
+        # inference, and star expansion see the external table's shape
+        # without touching the catalog at load time.
+        ext_path = os.path.join(project_dir, "external_models.yaml")
+        if os.path.exists(ext_path):
+            import yaml
+
+            with open(ext_path) as f:
+                for entry in yaml.safe_load(f) or []:
+                    name = str(entry["name"]).lower()
+                    model = Model(
+                        name=name,
+                        kind=ModelKind.EXTERNAL,
+                        query="",
+                        columns={
+                            str(c): str(t) for c, t in (entry.get("columns") or {}).items()
+                        },
+                    )
+                    self.models.setdefault(name, model)
         for path in sorted(glob.glob(os.path.join(project_dir, "audits", "*.sql"))):
             with open(path) as f:
                 self.add_audit(f.read())
@@ -405,6 +427,35 @@ class Context:
         )
         return self.spark.sql(sql)
 
+    def rewrite(self, sql: str, dialect: str = "", environment: str = "prod") -> str:
+        """`sqlmesh rewrite` (cli/main.py:1057 → context.rewrite): turn a
+        semantic query — ``SELECT ds, METRIC(total_orders) FROM
+        __semantic.__table GROUP BY ds`` — into the executable joined-
+        aggregates SQL. Projections that aren't METRIC(...) calls are the
+        dimensions. ``dialect`` transpiles the INPUT before extraction
+        (the reference's --read); output is always Spark SQL."""
+        import re as _re
+
+        if dialect and dialect != "spark":
+            from sqlmesh_spark.core.transpile import transpile
+
+            sql = transpile(sql, dialect)
+        metric_names = [
+            m.group(1).lower()
+            for m in _re.finditer(r"\bMETRIC\s*\(\s*([A-Za-z_][\w]*)\s*\)", sql)
+        ]
+        if not metric_names:
+            raise ValueError("no METRIC(...) references in query")
+        m = _re.search(r"\bSELECT\s+(.*?)\s+FROM\b", sql, _re.IGNORECASE | _re.DOTALL)
+        dimensions = []
+        if m:
+            from sqlmesh_spark.macros import split_top_level
+
+            for proj in split_top_level(m.group(1)):
+                if proj and not _re.search(r"\bMETRIC\s*\(", proj, _re.IGNORECASE):
+                    dimensions.append(proj.split(" AS ")[0].strip())
+        return self._metric_query(metric_names, dimensions, environment)
+
     def evaluate_metrics(
         self,
         metric_names: list[str],
@@ -413,7 +464,19 @@ class Context:
     ) -> DataFrame:
         """Evaluate loaded metrics grouped by shared dimensions — the
         semantic-layer query surface (reference rewriter.py:21-120 via
-        `SELECT METRIC(...)` rewriting). Base metrics aggregate their own
+        `SELECT METRIC(...)` rewriting)."""
+        return self.spark.sql(
+            self._metric_query(metric_names, dimensions, environment)
+        )
+
+    def _metric_query(
+        self,
+        metric_names: list[str],
+        dimensions: list[str],
+        environment: str = "prod",
+    ) -> str:
+        """Build the joined-aggregates SQL for the requested metrics
+        grouped by shared dimensions. Base metrics aggregate their own
         source (a model's environment view or an external table); derived
         metrics compose in the outer projection. Dimensions must be
         columns of every involved source."""
@@ -488,7 +551,7 @@ class Context:
         ordered = [m for m in requested if m.source is not None] + [
             m for m in requested if m.source is None
         ]
-        return self.spark.sql(rewrite(ordered, dimensions, sources))
+        return rewrite(ordered, dimensions, sources)
 
     def columns_to_types(self, model_name: str) -> Optional[dict[str, str]]:
         """Render-time inferred schema (definition.py:1449-1482): analyzed,
@@ -496,6 +559,33 @@ class Context:
         from sqlmesh_spark.core.inference import infer_columns_to_types
 
         return infer_columns_to_types(self.spark, self.models, model_name)
+
+    def clear_caches(self) -> None:
+        """`sqlmesh clean` (cli/main.py:1086 → context.clear_caches):
+        drops every derived cache — the render cache (re-renders on next
+        plan), Spark's relation cache, and the project's on-disk .cache
+        dir if one exists. State and physical tables are untouched."""
+        import shutil
+
+        from sqlmesh_spark.core import scheduler as _sched
+
+        _sched._RENDER_CACHE.clear()
+        self.spark.catalog.clearCache()
+        if self.project_dir:
+            shutil.rmtree(
+                os.path.join(self.project_dir, ".cache"), ignore_errors=True
+            )
+
+    def migrate(self) -> bool:
+        """`sqlmesh migrate` (cli/main.py:938): upgrade the state store's
+        schema to the running version (pre-migration backup retained for
+        rollback)."""
+        return self.state.migrate()
+
+    def rollback(self) -> None:
+        """`sqlmesh rollback` (cli/main.py:943): restore the state backup
+        taken by the last migrate."""
+        self.state.rollback()
 
     def janitor(self) -> list[str]:
         """Drop (1) environments that are invalidated or past their TTL —

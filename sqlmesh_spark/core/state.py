@@ -196,3 +196,60 @@ class StateStore:
         with self._lock:
             for name, data in blob["tables"].items():
                 self._write(name, data)
+
+    # -- migrate / rollback (the reference's `sqlmesh migrate`/`rollback`:
+    # state_sync migrations with a pre-migration backup, migration.py) ------
+
+    def current_version(self) -> int:
+        """Stored schema version of this state directory (a fresh or
+        pre-versioning store reads as version 1 — the first schema)."""
+        return int(self._read("meta").get("schema_version", 1))
+
+    def migrate(self) -> bool:
+        """Bring the store's on-disk schema to SCHEMA_VERSION, taking a
+        full pre-migration backup first (the reference backs up state
+        tables before applying migrations and `rollback` restores them).
+        Returns True when a migration ran, False when already current.
+        Per-version upgrade hooks live in _MIGRATIONS; version 1 has none
+        yet — the machinery exists so a future schema change is a hook,
+        not a redesign."""
+        import shutil
+
+        with self._lock:
+            current = self.current_version()
+            if current >= self.SCHEMA_VERSION:
+                return False
+            backup = os.path.join(self.path, "_backup")
+            shutil.rmtree(backup, ignore_errors=True)
+            os.makedirs(backup)
+            for f in os.listdir(self.path):
+                if f.startswith("_") and f.endswith(".json"):
+                    shutil.copy2(os.path.join(self.path, f), os.path.join(backup, f))
+            for v in range(current, self.SCHEMA_VERSION):
+                hook = self._MIGRATIONS.get(v + 1)
+                if hook is not None:
+                    hook(self)
+            meta = self._read("meta")
+            meta["schema_version"] = self.SCHEMA_VERSION
+            meta["migrated_from"] = current
+            self._write("meta", meta)
+            return True
+
+    def rollback(self) -> None:
+        """Restore the pre-migration backup taken by the last migrate()
+        (reference `sqlmesh rollback`). Raises when no backup exists."""
+        import shutil
+
+        with self._lock:
+            backup = os.path.join(self.path, "_backup")
+            if not os.path.isdir(backup):
+                raise ValueError("no migration backup to roll back to")
+            for f in os.listdir(self.path):
+                if f.startswith("_") and f.endswith(".json"):
+                    os.remove(os.path.join(self.path, f))
+            for f in os.listdir(backup):
+                shutil.copy2(os.path.join(backup, f), os.path.join(self.path, f))
+            shutil.rmtree(backup)
+
+    # version → upgrade hook applied in order by migrate()
+    _MIGRATIONS: dict = {}

@@ -101,6 +101,12 @@ _COMMON_FN = {
     "unnest": "explode",
     # regex
     "regexp_matches": "regexp_like",    # both partial-match
+    "string_split_regex": "split",      # second arg already a regex
+    # aggregates
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "list_sum": None,                   # Spark aggregate() needs init+lambda → loud
+    "list_avg": None,
 }
 
 _DIALECT_FN: dict[str, dict[str, str | None]] = {
@@ -490,6 +496,32 @@ def _transpile_once(sql: str, read: str) -> str:
                         (toks[args[1]][2], toks[args[1]][3],
                          _escape_regex_literal(toks[args[1]][1]))
                     )
+                i += 1
+                continue
+
+            if name in ("date_diff", "datediff") and read in ("duckdb", "postgres"):
+                # DuckDB date_diff('day', a, b) → Spark timestampdiff(DAY, a, b)
+                # (unit becomes a bare keyword). 2-arg datediff matches
+                # Spark's own datediff(end, start) — leave it alone.
+                args = _call_args(toks, i + 1)
+                if len(args) - 1 == 3:
+                    if toks[args[0]][0] != "string":
+                        raise TranspileError(
+                            f"{name} unit must be a literal to transpile"
+                        )
+                    unit = toks[args[0]][1][1:-1].replace("''", "'").upper()
+                    edits.append((start, end, "timestampdiff"))
+                    edits.append((toks[args[0]][2], toks[args[0]][3], unit))
+                i += 1
+                continue
+
+            if name in ("dayname", "monthname") and read in ("duckdb", "postgres"):
+                # dayname(x) → date_format(x, 'EEEE'); monthname → 'MMMM'
+                args = _call_args(toks, i + 1)
+                close = args[-1]
+                fmt = "'EEEE'" if name == "dayname" else "'MMMM'"
+                edits.append((start, end, "date_format"))
+                edits.append((toks[close][2], toks[close][2], f", {fmt}"))
                 i += 1
                 continue
 

@@ -262,3 +262,35 @@ def test_transpiled_expression_parity_matrix(spark):
             assert abs(got - want) < 1e-9, (ddb_sql, got, want)
         else:
             assert got == want, (ddb_sql, got, want)
+
+
+def test_arg_max_min():
+    out = transpile("SELECT arg_max(name, score), arg_min(name, score) FROM t", "duckdb")
+    assert out == "SELECT max_by(name, score), min_by(name, score) FROM t"
+
+
+def test_date_diff_unit_keyword():
+    out = transpile("SELECT date_diff('day', a, b) FROM t", "duckdb")
+    assert out == "SELECT timestampdiff(DAY, a, b) FROM t"
+    # Spark's own 2-arg datediff untouched
+    sql2 = "SELECT datediff(a, b) FROM t"
+    assert transpile(sql2, "duckdb") == sql2
+
+
+def test_dayname_monthname():
+    out = transpile("SELECT dayname(d), monthname(d) FROM t", "duckdb")
+    assert out == "SELECT date_format(d, 'EEEE'), date_format(d, 'MMMM') FROM t"
+
+
+def test_executed_extras_parity(spark):
+    import duckdb
+
+    cases = [
+        "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-05') AS v",
+        "SELECT dayname(DATE '2024-01-01') AS v",
+        "SELECT monthname(DATE '2024-03-01') AS v",
+    ]
+    for ddb_sql in cases:
+        want = duckdb.sql(ddb_sql).fetchone()[0]
+        got = spark.sql(transpile(ddb_sql, "duckdb")).collect()[0][0]
+        assert got == want, (ddb_sql, got, want)
