@@ -2270,3 +2270,55 @@ GROUP BY to_char(o_orderdate, 'YYYY-MM')
     )
     ctx.run(environment="env_pg")
     return spark.table("env_pg_views.monthly_orders")
+
+
+DDB_INCR_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-12-31 00:00:00'
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("framework_dialect_incremental", oracle=DDB_INCR_ORACLE, tags=("framework",))
+def framework_dialect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect × temporal-macro interplay — the realistic reference usage
+    (sushi models are DuckDB-dialect incrementals): a duckdb-dialect
+    INCREMENTAL_BY_TIME_RANGE model whose query mixes @start_ts/@end_ts
+    macros with strftime/:: casts. Macros expand FIRST, transpile second
+    (scheduler render order), so the temporal literals the macros inject
+    survive the dialect rewrite. Two plan/apply rounds verify the
+    incremental contract holds for transpiled models."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_ddbi", "env_ddbi_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_ddbi.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  dialect duckdb,
+  cron '@daily'
+);
+SELECT o_orderdate AS event_ts,
+       strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       COUNT(*)::BIGINT AS n_orders,
+       (SUM(ROUND(o_totalprice * 100)::BIGINT))::BIGINT AS revenue_cents
+FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, strftime(o_orderdate, '%Y-%m-%d')
+"""
+    )
+    ctx.run(environment="env_ddbi", start="1995-01-01", end="1995-06-30")
+    executed = ctx.run(environment="env_ddbi", start="1995-01-01", end="1995-12-31")
+    assert executed["demo_ddbi.daily_orders"] >= 1
+    return spark.table("env_ddbi_views.daily_orders").select(
+        "ds", "n_orders", "revenue_cents"
+    )

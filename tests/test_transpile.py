@@ -294,3 +294,20 @@ def test_executed_extras_parity(spark):
         want = duckdb.sql(ddb_sql).fetchone()[0]
         got = spark.sql(transpile(ddb_sql, "duckdb")).collect()[0][0]
         assert got == want, (ddb_sql, got, want)
+
+
+def test_transpile_idempotent_on_corpus():
+    """transpile(transpile(x)) == transpile(x): the output of a rewrite is
+    valid Spark SQL that a second pass must leave untouched — guards
+    against a mapping whose TARGET is itself a mapped name."""
+    corpus = [
+        "SELECT strftime(ts, '%Y-%m-%d') AS d, epoch(ts) AS e FROM t",
+        "SELECT [1, 2][1] + x // y FROM t WHERE regexp_matches(s, 'a+')",
+        "SELECT arg_max(a, b), string_agg(c, ','), log(x) FROM t",
+        "SELECT date_diff('day', a, b), dayname(d) FROM t",
+        "SELECT list_extract(string_to_array(s, '|'), 2)::HUGEINT FROM t",
+        "SELECT * EXCLUDE (a) FROM t",
+    ]
+    for sql in corpus:
+        once = transpile(sql, "duckdb")
+        assert transpile(once, "duckdb") == once, sql
