@@ -262,7 +262,7 @@ def _ann_arrow_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "ann_topk_arrow",
     oracle=ann_topk_bruteforce_sql("embeddings", dialect="duckdb"),
-    tags=("llm", "similarity"),
+    tags=("similarity", "llm"),
 )(_ann_arrow_case)
 
 
@@ -287,13 +287,13 @@ def _ann_bruteforce_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "ann_topk_bruteforce",
     oracle=ann_topk_bruteforce_sql("embeddings", dialect="duckdb"),
-    tags=("llm", "similarity", "bench"),
+    tags=("similarity", "llm", "bench"),
 )(_ann_bruteforce_case)
 
 register(
     "ann_lsh_bucketed",
     oracle=ann_lsh_bucketed_sql("embeddings", dialect="duckdb"),
-    tags=("llm", "similarity"),
+    tags=("similarity", "llm"),
 )(_case(ann_lsh_bucketed_sql))
 
 
@@ -390,7 +390,7 @@ SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {k}
 register(
     "ann_ivf",
     oracle=ann_ivf_sql("embeddings", dialect="duckdb"),
-    tags=("llm", "similarity"),
+    tags=("similarity", "llm"),
 )(_case(ann_ivf_sql))
 
 
@@ -404,7 +404,7 @@ def _ivf_nprobe_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "ann_ivf_nprobe",
     oracle=ann_ivf_sql("embeddings", dialect="duckdb", nprobe=3),
-    tags=("llm", "similarity"),
+    tags=("similarity", "llm"),
 )(_ivf_nprobe_case)
 
 
@@ -457,7 +457,7 @@ GROUP BY q.vec_id
 register(
     "embedding_quantize_int8",
     oracle=embedding_quantize_int8_sql("embeddings", dialect="duckdb"),
-    tags=("llm", "similarity"),
+    tags=("similarity", "llm"),
 )(_case(embedding_quantize_int8_sql))
 
 
@@ -502,7 +502,7 @@ def _knn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "ann_knn_label_vote",
     oracle=knn_label_vote_sql("embeddings", dialect="duckdb"),
-    tags=("llm", "similarity"),
+    tags=("similarity", "llm"),
 )(_knn_case)
 
 
@@ -550,7 +550,7 @@ JOIN norms nb ON p.label_b = nb.label
 @register(
     "embedding_centroid_drift",
     oracle=centroid_drift_sql("embeddings", "duckdb"),
-    tags=("llm", "ann"),
+    tags=("similarity", "llm"),
 )
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlmesh_spark.llm.dedup import spread_scan
@@ -602,5 +602,5 @@ def _ivf_recall_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "ann_ivf_recall_eval",
     oracle=ann_ivf_recall_eval_sql("embeddings", dialect="duckdb"),
-    tags=("llm", "similarity"),
+    tags=("similarity", "llm"),
 )(_ivf_recall_case)

@@ -2191,7 +2191,7 @@ GROUP BY strftime(o_orderdate, '%Y-%m')
 """
 
 
-@register("framework_duckdb_dialect_model", oracle=DDB_DIALECT_ORACLE, tags=("framework",))
+@register("framework_duckdb_dialect_model", oracle=DDB_DIALECT_ORACLE, tags=("dialect", "framework"))
 def framework_duckdb_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A model written in DUCKDB dialect loaded through plan/apply: the
     reference renders model SQL in any SQLGlot dialect and transpiles to
@@ -2238,7 +2238,7 @@ GROUP BY strftime(o_orderdate, '%Y-%m')
 """
 
 
-@register("framework_postgres_dialect_model", oracle=PG_DIALECT_ORACLE, tags=("framework",))
+@register("framework_postgres_dialect_model", oracle=PG_DIALECT_ORACLE, tags=("dialect", "framework"))
 def framework_postgres_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second read dialect through plan/apply: a POSTGRES-dialect model
     using to_char (Postgres patterns, converted to Spark datetime
@@ -2283,7 +2283,7 @@ GROUP BY strftime(o_orderdate, '%Y-%m-%d')
 """
 
 
-@register("framework_dialect_incremental", oracle=DDB_INCR_ORACLE, tags=("framework",))
+@register("framework_dialect_incremental", oracle=DDB_INCR_ORACLE, tags=("dialect", "framework"))
 def framework_dialect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialect × temporal-macro interplay — the realistic reference usage
     (sushi models are DuckDB-dialect incrementals): a duckdb-dialect

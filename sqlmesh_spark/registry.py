@@ -90,11 +90,14 @@ def _interleaved(registry: dict[str, QueryCase]) -> dict[str, QueryCase]:
     whichever module happened to import first.
 
     Within each family, cases NOT yet covered by a prior round's external
-    sweep sort first (stable), so successive capped sweeps rotate through
-    the registry instead of re-checking the same prefix every round."""
+    sweep sort first, NEWEST-REGISTERED first among those (a brand-new
+    operator is the least-proven thing in the repo — it should reach an
+    external sweep in its first round, not after the backlog drains);
+    already-sampled cases follow in registration order."""
     from itertools import zip_longest
 
     sampled = _previously_sampled()
+    reg_index = {name: i for i, name in enumerate(registry)}
     families: dict[str, list[QueryCase]] = {}
     for case in registry.values():
         # scd2 is its own rotation family: nested under materialization it
@@ -106,7 +109,14 @@ def _interleaved(registry: dict[str, QueryCase]) -> dict[str, QueryCase]:
         families.setdefault(fam, []).append(case)
     out: dict[str, QueryCase] = {}
     ordered = [
-        sorted(cases, key=lambda c: c.name in sampled)  # stable: unsampled first
+        sorted(
+            cases,
+            key=lambda c: (
+                (1, reg_index[c.name])
+                if c.name in sampled
+                else (0, -reg_index[c.name])
+            ),
+        )
         for cases in families.values()
     ]
     for batch in zip_longest(*ordered):
