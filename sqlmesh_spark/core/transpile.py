@@ -143,12 +143,15 @@ _TYPE_MAP = {
     "bool": "BOOLEAN",
 }
 
-# C-style (strftime/strptime) → Spark datetime pattern letters.
+# C-style (strftime/strptime) → Spark datetime pattern letters. %G (ISO
+# week year) and %V (ISO week) are deliberately ABSENT: Spark 3+ rejects
+# the Y/w week patterns (DATETIME_PATTERN_RECOGNITION), so those codes
+# raise TranspileError instead of emitting SQL that fails at run time.
 _C_FMT = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
     "M": "mm", "S": "ss", "f": "SSSSSS", "g": "SSS", "p": "a", "j": "DDD",
     "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM", "Z": "zzz",
-    "z": "xx", "G": "YYYY", "V": "ww", "%": "%",
+    "z": "xx", "%": "%",
 }
 
 # Postgres to_char/to_timestamp patterns → Spark (longest first).
@@ -194,7 +197,16 @@ def convert_strftime_format(fmt: str) -> str:
                     f"strftime code %{code} has no Spark datetime pattern"
                 )
             flush()
-            out.append(_C_FMT[code])
+            rep = _C_FMT[code]
+            # Two adjacent identical codes (%Y%Y) would merge into one
+            # longer Java field (yyyyyyyy = one 8-padded year, not two
+            # years) — inexpressible without a separator, so refuse.
+            if rep != "%" and out and out[-1] and out[-1][-1] == rep[0]:
+                raise TranspileError(
+                    f"adjacent %{code} codes merge in Spark datetime "
+                    f"patterns; separate them in format {fmt!r}"
+                )
+            out.append(rep)
             i += 2
         else:
             literal.append(c)

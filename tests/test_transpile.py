@@ -311,3 +311,50 @@ def test_transpile_idempotent_on_corpus():
     for sql in corpus:
         once = transpile(sql, "duckdb")
         assert transpile(once, "duckdb") == once, sql
+
+
+# ---------------------------------------------------------------------------
+# property test: random strftime formats agree across engines
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    # %a/%A/%b/%B excluded only because they are locale-dependent in the
+    # JVM; the fixed-format tests above pin them for the default locale.
+    _CODES = list("YymdHIMSpj")
+    _SEPS = list("-/ :._,")
+
+    _fmt_pieces = st.lists(
+        st.one_of(
+            st.sampled_from(["%" + c for c in _CODES]),
+            st.sampled_from(_SEPS),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(pieces=_fmt_pieces)
+    def test_strftime_random_formats_agree(spark, pieces):
+        import duckdb
+
+        fmt = "".join(pieces)
+        ts = "2024-03-05 07:08:09"
+        try:
+            sql = transpile(
+                f"SELECT strftime(TIMESTAMP '{ts}', '{fmt}') AS v", "duckdb"
+            )
+        except TranspileError:
+            return  # loudly-unsupported shape (e.g. adjacent same codes)
+        want = duckdb.sql(
+            f"SELECT strftime(TIMESTAMP '{ts}', '{fmt}')"
+        ).fetchone()[0]
+        got = spark.sql(sql).collect()[0][0]
+        assert got == want, (fmt, sql, got, want)
