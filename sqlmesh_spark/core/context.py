@@ -453,7 +453,9 @@ class Context:
 
             for proj in split_top_level(m.group(1)):
                 if proj and not _re.search(r"\bMETRIC\s*\(", proj, _re.IGNORECASE):
-                    dimensions.append(proj.split(" AS ")[0].strip())
+                    dimensions.append(
+                        _re.split(r"\s+AS\s+", proj, flags=_re.IGNORECASE)[0].strip()
+                    )
         return self._metric_query(metric_names, dimensions, environment)
 
     def evaluate_metrics(

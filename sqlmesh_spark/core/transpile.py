@@ -216,7 +216,14 @@ def convert_strftime_format(fmt: str) -> str:
 
 
 def convert_pg_format(fmt: str) -> str:
-    """Postgres TO_CHAR pattern → Spark datetime pattern."""
+    """Postgres TO_CHAR pattern → Spark datetime pattern. Numeric
+    to_char patterns ('999D99', 'FM...') have no Spark date_format
+    equivalent — they raise rather than converting to a wrong literal."""
+    if not any(c.isalpha() for c in fmt):
+        raise TranspileError(
+            f"to_char pattern {fmt!r} looks numeric; only datetime "
+            "patterns transpile to date_format"
+        )
     out: list[str] = []
     i = 0
     n = len(fmt)
@@ -367,9 +374,36 @@ def transpile(sql: str, read: str | None = "duckdb") -> str:
     raise TranspileError("transpile did not converge (pathological nesting)")
 
 
+def _cast_spans(toks: list) -> list[tuple[int, int]]:
+    """Token-index ranges of CAST(...)/TRY_CAST(...) bodies — the ONLY
+    places an `AS <type>` rename may apply (an output alias named `text`
+    or `real` must never be rewritten)."""
+    spans: list[tuple[int, int]] = []
+    for i, (kind, text, _, _) in enumerate(toks):
+        if (
+            kind == "ident"
+            and text.lower() in ("cast", "try_cast")
+            and i + 1 < len(toks)
+            and toks[i + 1][0] == "op"
+            and toks[i + 1][1] == "("
+        ):
+            depth = 0
+            for j in range(i + 1, len(toks)):
+                k, t_, _, _ = toks[j]
+                if k == "op" and t_ == "(":
+                    depth += 1
+                elif k == "op" and t_ == ")":
+                    depth -= 1
+                    if depth == 0:
+                        spans.append((i + 1, j))
+                        break
+    return spans
+
+
 def _transpile_once(sql: str, read: str) -> str:
     fn_map = _DIALECT_FN[read]
     toks = _tokenize_spans(sql)
+    cast_spans = _cast_spans(toks)
     edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
 
     def is_op(i: int, val: str) -> bool:
@@ -428,7 +462,9 @@ def _transpile_once(sql: str, read: str) -> str:
             i += 1  # keep scanning inside the subscript expression
             continue
 
-        # `* EXCLUDE (...)` → `* EXCEPT (...)` (DuckDB star modifier)
+        # `* EXCLUDE (...)` → `* EXCEPT (...)` (DuckDB star modifier).
+        # DuckDB also allows a bare single column (`* EXCLUDE a`); Spark
+        # EXCEPT requires parens, so the bare form gains them.
         if (
             kind == "ident"
             and text.upper() == "EXCLUDE"
@@ -436,6 +472,16 @@ def _transpile_once(sql: str, read: str) -> str:
             and is_op(i - 1, "*")
         ):
             edits.append((start, end, "EXCEPT"))
+            if not is_op(i + 1, "(") and i + 1 < n and toks[i + 1][0] in ("ident", "qident"):
+                j = i + 1
+                while (
+                    j + 2 < n
+                    and toks[j + 1][0] == "op" and toks[j + 1][1] == "."
+                    and toks[j + 2][0] in ("ident", "qident")
+                ):
+                    j += 2
+                edits.append((toks[i + 1][2], toks[i + 1][2], "("))
+                edits.append((toks[j][3], toks[j][3], ")"))
             i += 1
             continue
 
@@ -447,7 +493,8 @@ def _transpile_once(sql: str, read: str) -> str:
             i += 2
             continue
 
-        # CAST(x AS type): rename the type after AS when inside parens
+        # CAST(x AS type): rename the type after AS — ONLY inside a
+        # CAST/TRY_CAST body; an alias named like a type stays untouched.
         if (
             kind == "ident"
             and text.upper() == "AS"
@@ -455,6 +502,7 @@ def _transpile_once(sql: str, read: str) -> str:
             and toks[i + 1][0] == "ident"
             and toks[i + 1][1].lower() in _TYPE_MAP
             and not is_op(i + 2, "(")
+            and any(a < i < b for a, b in cast_spans)
         ):
             edits.append((toks[i + 1][2], toks[i + 1][3], _TYPE_MAP[toks[i + 1][1].lower()]))
             i += 2

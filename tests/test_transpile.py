@@ -358,3 +358,24 @@ if _HAS_HYPOTHESIS:
         ).fetchone()[0]
         got = spark.sql(sql).collect()[0][0]
         assert got == want, (fmt, sql, got, want)
+
+
+def test_alias_named_like_type_untouched():
+    """`AS text` as an OUTPUT ALIAS must never be rewritten — the type
+    rename applies only inside CAST/TRY_CAST bodies."""
+    sql = "SELECT x AS text, y AS real FROM t"
+    assert transpile(sql, "duckdb") == sql
+    out = transpile("SELECT CAST(x AS TEXT) AS text FROM t", "duckdb")
+    assert out == "SELECT CAST(x AS STRING) AS text FROM t"
+
+
+def test_bare_exclude_gains_parens():
+    out = transpile("SELECT * EXCLUDE a FROM t", "duckdb")
+    assert out == "SELECT * EXCEPT (a) FROM t"
+    out2 = transpile("SELECT t.* EXCLUDE t.a FROM t", "duckdb")
+    assert out2 == "SELECT t.* EXCEPT (t.a) FROM t"
+
+
+def test_numeric_to_char_raises():
+    with pytest.raises(TranspileError, match="numeric"):
+        transpile("SELECT to_char(x, '999.99') FROM t", "postgres")
