@@ -388,12 +388,15 @@ class IcebergBackend(TableFormatBackend):
         wap_id = staging.removeprefix("wap_")
         query = self.wap_snapshot_query(table, wap_id)
         self._require(query)
+        # Un-route writes from the branch BEFORE any failure path: a
+        # publish that raises (branch already dropped, retry after partial
+        # publish) must not leave the session writing to a dead branch.
+        self.spark.conf.unset("spark.wap.branch")
         rows = self.spark.sql(query).collect()
         if not rows:
             raise UnsupportedTableFormatError(
                 f"could not find Iceberg branch '{staging}'", query
             )
-        self.spark.conf.unset("spark.wap.branch")
         for stmt in self.wap_publish_statements(table, wap_id, rows[0][0]):
             self.spark.sql(stmt)
 

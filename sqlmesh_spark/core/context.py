@@ -195,9 +195,35 @@ class Context:
         get_test_connection → create_engine_adapter): validates the named
         gateway's profile applies cleanly and the session answers a
         trivial query. Raises on an unknown gateway; returns True on
-        success."""
-        self._apply_gateway(gateway or self.gateway)
-        return self.spark.sql("SELECT 1").collect()[0][0] == 1
+        success. A PROBE, not a switch: every conf it touches and the
+        current database are restored afterward, so checking a different
+        gateway never re-points the live context's work."""
+        name = gateway or self.gateway
+        if name is None:
+            return self.spark.sql("SELECT 1").collect()[0][0] == 1
+        if name not in self.gateways:
+            raise ValueError(
+                f"unknown gateway {name!r}; configured: {sorted(self.gateways)}"
+            )
+        conn = self.gateways[name].get("connection") or {}
+        touched = list((conn.get("spark_conf") or {}).keys())
+        saved: dict[str, Optional[str]] = {}
+        for k in touched:
+            try:
+                saved[k] = self.spark.conf.get(k)
+            except Exception:  # noqa: BLE001 - unset conf
+                saved[k] = None
+        saved_db = self.spark.catalog.currentDatabase()
+        try:
+            self._apply_gateway(name)
+            return self.spark.sql("SELECT 1").collect()[0][0] == 1
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, v)
+            self.spark.catalog.setCurrentDatabase(saved_db)
 
     def _apply_model_defaults(self, model: Model) -> None:
         gvars = getattr(self, "config_variables", None) or {}

@@ -92,17 +92,37 @@ def undeclared_read_dialect(model: Model) -> Optional[str]:
     The fix is one header property; core/transpile.py does the rest."""
     if model.dialect:
         return None
-    hits = sorted(
-        set(
-            re.findall(
-                r"\b(strftime|strptime|epoch|epoch_ms|list_contains|list_value"
-                r"|list_extract|array_to_string|string_to_array|string_agg"
-                r"|regexp_matches|list_transform|list_filter)\s*\(",
-                model.query,
-                re.IGNORECASE,
+    non_spark = {
+        "strftime", "strptime", "epoch", "epoch_ms", "list_contains",
+        "list_value", "list_extract", "array_to_string", "string_to_array",
+        "string_agg", "regexp_matches", "list_transform", "list_filter",
+    }
+    # Token-level call detection: an ident immediately followed by '(' —
+    # never matches inside string literals or comments (a regex over raw
+    # text flagged models MENTIONING these names in strings/comments).
+    hits: set[str] = set()
+    try:
+        from sqlmesh_spark.core.sqlparse import SqlParseError, tokenize
+
+        toks = tokenize(model.query)
+        for i, t in enumerate(toks):
+            if (
+                t.kind == "ident"
+                and t.value in non_spark
+                and i + 1 < len(toks)
+                and toks[i + 1].kind == "op"
+                and toks[i + 1].value == "("
+            ):
+                hits.add(t.value)
+    except SqlParseError:
+        # unlexable text (macro-heavy): fall back to the raw scan
+        hits = {
+            m.lower()
+            for m in re.findall(
+                r"\b(" + "|".join(non_spark) + r")\s*\(", model.query, re.IGNORECASE
             )
-        )
-    )
+        }
+    hits = sorted(hits)
     if hits:
         return (
             f"query calls non-Spark function(s) {[h.lower() for h in hits]} "

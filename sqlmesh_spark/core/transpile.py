@@ -91,16 +91,14 @@ _COMMON_FN = {
     "list_filter": "filter",
     "list_reduce": None,                # Spark reduce() needs an init arg → loud
     "list_reverse": "reverse",
-    "array_length": "size",
-    "list_length": "size",
+    # array_length/list_length route through a special handler (Postgres
+    # passes a dimension arg that size() lacks); cardinality is 1-arg.
     "cardinality": "size",
     "array_to_string": "array_join",
     "list_aggr": None,                  # needs lambda restructure → loud
     "array_agg": "collect_list",
     "list": "collect_list",             # DuckDB LIST(x) aggregate
     "unnest": "explode",
-    # regex
-    "regexp_matches": "regexp_like",    # both partial-match
     "string_split_regex": "split",      # second arg already a regex
     # aggregates
     "arg_max": "max_by",
@@ -110,8 +108,11 @@ _COMMON_FN = {
 }
 
 _DIALECT_FN: dict[str, dict[str, str | None]] = {
-    "duckdb": _COMMON_FN,
-    "postgres": _COMMON_FN,
+    # regexp_matches is boolean partial-match in DuckDB only; in Postgres
+    # it returns SETOF text[] (captured groups), so the rename is correct
+    # for duckdb and LOUD for postgres.
+    "duckdb": {**_COMMON_FN, "regexp_matches": "regexp_like"},
+    "postgres": {**_COMMON_FN, "regexp_matches": None},
     "ansi": {},                         # ANSI names that differ are below
 }
 
@@ -143,6 +144,14 @@ _TYPE_MAP = {
     "bool": "BOOLEAN",
 }
 
+# date_diff units both timestampdiff and date_trunc accept (DuckDB also
+# takes plurals; anything else raises).
+_DIFF_UNITS = {
+    u: u.upper()
+    for u in ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
+}
+_DIFF_UNITS.update({u + "s": u.upper() for u in list(_DIFF_UNITS)})
+
 # C-style (strftime/strptime) → Spark datetime pattern letters. %G (ISO
 # week year) and %V (ISO week) are deliberately ABSENT: Spark 3+ rejects
 # the Y/w week patterns (DATETIME_PATTERN_RECOGNITION), so those codes
@@ -154,14 +163,19 @@ _C_FMT = {
     "z": "xx", "%": "%",
 }
 
-# Postgres to_char/to_timestamp patterns → Spark (longest first).
-_PG_FMT = [
-    ("YYYY", "yyyy"), ("YY", "yy"), ("MON", "MMM"), ("MONTH", "MMMM"),
-    ("MM", "MM"), ("DDD", "DDD"), ("DD", "dd"), ("DY", "EEE"),
-    ("DAY", "EEEE"), ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
-    ("MI", "mm"), ("SS", "ss"), ("MS", "SSS"), ("US", "SSSSSS"),
-    ("AM", "a"), ("PM", "a"), ("TZ", "zzz"),
-]
+# Postgres to_char/to_timestamp patterns → Spark. Sorted longest-first at
+# use time so MONTH wins over its prefix MON (a literal-order list had
+# made the MONTH mapping unreachable).
+_PG_FMT = sorted(
+    [
+        ("YYYY", "yyyy"), ("YY", "yy"), ("MON", "MMM"), ("MONTH", "MMMM"),
+        ("MM", "MM"), ("DDD", "DDD"), ("DD", "dd"), ("DY", "EEE"),
+        ("DAY", "EEEE"), ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
+        ("MI", "mm"), ("SS", "ss"), ("MS", "SSS"), ("US", "SSSSSS"),
+        ("AM", "a"), ("PM", "a"), ("TZ", "zzz"),
+    ],
+    key=lambda p: -len(p[0]),
+)
 
 
 def convert_strftime_format(fmt: str) -> str:
@@ -273,7 +287,13 @@ def _escape_regex_literal(lit: str) -> str:
     literals themselves process escapes ('\\|' is the literal two-char
     regex \\| only when written with two backslashes)."""
     inner = lit[1:-1].replace("''", "'")
-    escaped = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\\\1", inner)
+    # A literal backslash separator needs FOUR backslashes (regex \\ with
+    # each \ doubled for the SQL literal); other metachars need two + self.
+    escaped = re.sub(
+        r"([.^$*+?()\[\]{}|\\])",
+        lambda m: "\\\\\\\\" if m.group(1) == "\\" else "\\\\" + m.group(1),
+        inner,
+    )
     return "'" + escaped.replace("'", "''") + "'"
 
 
@@ -323,30 +343,45 @@ def _backtrack_primary(toks: list, close_idx: int):
 def _call_args(toks: list, open_idx: int) -> list[int]:
     """Indices of top-level argument-start tokens for the call whose '('
     is at open_idx; also returns close paren index via sentinel last item."""
-    args: list[int] = []
+    spans, close = _call_arg_spans(toks, open_idx)
+    return [s for s, _ in spans] + [close]
+
+
+def _call_arg_spans(toks: list, open_idx: int):
+    """(first_token, last_token) index pair per top-level argument of the
+    call whose '(' is at open_idx, plus the close-paren index."""
+    spans: list[tuple[int, int]] = []
     depth = 0
+    bdepth = 0  # bracket nesting — commas inside [1, 2] are not arg splits
+    first = None
+    last = None
     i = open_idx
-    expecting = True
     while i < len(toks):
         kind, text, _, _ = toks[i]
         if kind == "op" and text == "(":
             depth += 1
             if depth == 1:
-                expecting = True
                 i += 1
                 continue
         elif kind == "op" and text == ")":
             depth -= 1
             if depth == 0:
-                args.append(i)  # sentinel: close-paren index
-                return args
-        elif depth == 1 and kind == "op" and text == ",":
-            expecting = True
+                if first is not None:
+                    spans.append((first, last))
+                return spans, i
+        elif kind == "op" and text == "[":
+            bdepth += 1
+        elif kind == "op" and text == "]":
+            bdepth -= 1
+        elif depth == 1 and bdepth == 0 and kind == "op" and text == ",":
+            spans.append((first, last))
+            first = None
             i += 1
             continue
-        if depth >= 1 and expecting:
-            args.append(i)
-            expecting = False
+        if depth >= 1:
+            if first is None:
+                first = i
+            last = i
         i += 1
     raise TranspileError("unbalanced parens in function call")
 
@@ -366,8 +401,8 @@ def transpile(sql: str, read: str | None = "duckdb") -> str:
             f"unknown read dialect {read!r}; supported: {READ_DIALECTS}"
         )
     out = sql
-    for _ in range(8):
-        nxt = _transpile_once(out, read)
+    for pass_no in range(8):
+        nxt = _transpile_once(out, read, first_pass=(pass_no == 0))
         if nxt == out:
             return nxt
         out = nxt
@@ -400,7 +435,7 @@ def _cast_spans(toks: list) -> list[tuple[int, int]]:
     return spans
 
 
-def _transpile_once(sql: str, read: str) -> str:
+def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     fn_map = _DIALECT_FN[read]
     toks = _tokenize_spans(sql)
     cast_spans = _cast_spans(toks)
@@ -424,6 +459,19 @@ def _transpile_once(sql: str, read: str) -> str:
         # in DuckDB/Postgres, matching element_at) → element_at(...).
         if kind == "op" and text == "[":
             close = _match_bracket(toks, i)
+            # DuckDB slice syntax x[1:3] has no element_at analog — LOUD.
+            bdepth = 0
+            for j in range(i + 1, close):
+                k_, t_, _, _ = toks[j]
+                if k_ == "op" and t_ in ("(", "["):
+                    bdepth += 1
+                elif k_ == "op" and t_ in (")", "]"):
+                    bdepth -= 1
+                elif bdepth == 0 and k_ == "op" and t_ == ":":
+                    raise TranspileError(
+                        "array slice syntax [a:b] has no Spark rewrite; "
+                        "use slice(arr, start, length) explicitly"
+                    )
             prev = toks[i - 1] if i > 0 else None
             # Postgres/DuckDB ARRAY[...] literal
             if prev is not None and prev[0] == "ident" and prev[1].lower() == "array":
@@ -560,18 +608,84 @@ def _transpile_once(sql: str, read: str) -> str:
                 continue
 
             if name in ("date_diff", "datediff") and read in ("duckdb", "postgres"):
-                # DuckDB date_diff('day', a, b) → Spark timestampdiff(DAY, a, b)
-                # (unit becomes a bare keyword). 2-arg datediff matches
-                # Spark's own datediff(end, start) — leave it alone.
-                args = _call_args(toks, i + 1)
-                if len(args) - 1 == 3:
-                    if toks[args[0]][0] != "string":
+                # DuckDB date_diff counts UNIT-BOUNDARY CROSSINGS while
+                # Spark timestampdiff counts complete elapsed units
+                # (date_diff('month', Jan-31, Feb-01) is 1 in DuckDB, 0 as
+                # a naive timestampdiff). Truncating both operands to the
+                # unit makes complete-units == boundary-crossings:
+                #   timestampdiff(U, date_trunc('u', s), date_trunc('u', e))
+                # 2-arg datediff matches Spark's own datediff — untouched.
+                spans, _close = _call_arg_spans(toks, i + 1)
+                if len(spans) == 3:
+                    if toks[spans[0][0]][0] != "string":
                         raise TranspileError(
                             f"{name} unit must be a literal to transpile"
                         )
-                    unit = toks[args[0]][1][1:-1].replace("''", "'").upper()
+                    raw_unit = toks[spans[0][0]][1][1:-1].replace("''", "'").lower()
+                    unit = _DIFF_UNITS.get(raw_unit)
+                    if unit is None:
+                        raise TranspileError(
+                            f"{name} unit {raw_unit!r} has no Spark "
+                            "timestampdiff/date_trunc equivalent"
+                        )
                     edits.append((start, end, "timestampdiff"))
-                    edits.append((toks[args[0]][2], toks[args[0]][3], unit))
+                    edits.append(
+                        (toks[spans[0][0]][2], toks[spans[0][0]][3], unit.upper())
+                    )
+                    for s_idx, e_idx in spans[1:]:
+                        edits.append(
+                            (toks[s_idx][2], toks[s_idx][2],
+                             f"date_trunc('{unit.lower()}', ")
+                        )
+                        edits.append((toks[e_idx][3], toks[e_idx][3], ")"))
+                i += 1
+                continue
+
+            if name in ("array_length", "list_length") and is_op(i + 1, "("):
+                # Postgres array_length(arr, dim) is always 2-arg; Spark
+                # size() takes one. dim=1 drops; any other dim is LOUD.
+                spans, close = _call_arg_spans(toks, i + 1)
+                edits.append((start, end, "size"))
+                if len(spans) == 2:
+                    d_first, d_last = spans[1]
+                    if (
+                        d_first == d_last
+                        and toks[d_first][0] == "number"
+                        and toks[d_first][1] == "1"
+                    ):
+                        # drop ", 1" — from the end of arg 1 to end of arg 2
+                        edits.append((toks[spans[0][1]][3], toks[d_last][3], ""))
+                    else:
+                        raise TranspileError(
+                            "array_length with a dimension other than 1 has "
+                            "no Spark equivalent (arrays are 1-D)"
+                        )
+                elif len(spans) > 2:
+                    raise TranspileError("array_length takes at most 2 args")
+                i += 1
+                continue
+
+            if name in ("to_timestamp", "to_date") and read == "postgres":
+                # Postgres to_timestamp(s, fmt)/to_date(s, fmt) carry
+                # Postgres patterns; Spark reuses the same function names
+                # with DIFFERENT pattern letters (DD = day-of-year), so
+                # passing them through silently would parse wrong dates —
+                # convert the literal format. 1-arg to_timestamp(epoch)
+                # becomes timestamp_seconds.
+                spans, _close = _call_arg_spans(toks, i + 1)
+                if len(spans) == 1 and name == "to_timestamp":
+                    edits.append((start, end, "timestamp_seconds"))
+                elif len(spans) == 2 and toks[spans[1][0]][0] == "string":
+                    fmt_tok = toks[spans[1][0]]
+                    converted = convert_pg_format(fmt_tok[1][1:-1].replace("''", "'"))
+                    edits.append(
+                        (fmt_tok[2], fmt_tok[3],
+                         "'" + converted.replace("'", "''") + "'")
+                    )
+                else:
+                    raise TranspileError(
+                        f"{name} needs a literal format to transpile from postgres"
+                    )
                 i += 1
                 continue
 
@@ -605,6 +719,23 @@ def _transpile_once(sql: str, read: str) -> str:
             continue
 
         i += 1
+
+    # Literal-semantics pass: DuckDB/Postgres string literals are standard
+    # SQL (backslash is an ordinary character); Spark's default parser
+    # processes C-style escapes ('a\b' is 'a'+backspace). Double every
+    # backslash in untouched literals so content survives byte-identical.
+    # Literals a special handler already rewrote (regex separators,
+    # converted formats) are skipped — those were emitted Spark-ready.
+    # FIRST PASS ONLY: all literal-deriving handlers complete in pass 1;
+    # later fixpoint passes (deferred subscripts) must not re-double.
+    if first_pass and read in ("duckdb", "postgres"):
+        for kind, text, start, end in toks:
+            if (
+                kind == "string"
+                and "\\" in text
+                and not any(e_start < end and start < e_end for e_start, e_end, _ in edits)
+            ):
+                edits.append((start, end, text.replace("\\", "\\\\")))
 
     if not edits:
         return sql

@@ -902,3 +902,36 @@ gateways:
 
         with pytest.raises(ValueError, match="unknown gateway"):
             Context(spark, project_dir=self._project(tmp_path), gateway="nope")
+
+
+def test_test_connection_is_a_probe(spark, tmp_path):
+    """test_connection of ANOTHER gateway must not re-point the session:
+    confs and current database restore afterward."""
+    from sqlmesh_spark.core.context import Context
+
+    (tmp_path / "models").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        """
+default_gateway: dev
+gateways:
+  dev:
+    connection:
+      spark_conf:
+        spark.sql.shuffle.partitions: "7"
+  staging:
+    connection:
+      spark_conf:
+        spark.sql.shuffle.partitions: "13"
+"""
+    )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ctx = Context(spark, project_dir=str(tmp_path),
+                      state_dir=str(tmp_path / "s"))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert ctx.test_connection("staging") is True
+        # probe restored dev's conf
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert ctx.gateway == "dev"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)

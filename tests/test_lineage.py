@@ -106,3 +106,17 @@ def test_lint_undeclared_read_dialect():
         query="SELECT date_format(ts, 'yyyy') AS y FROM d.t",
     )
     assert undeclared_read_dialect(spark_sql) is None
+
+
+def test_lint_dialect_rule_ignores_strings_and_comments():
+    from sqlmesh_spark.core.linter import undeclared_read_dialect
+    from sqlmesh_spark.core.model import Model, ModelKind
+
+    m = Model(
+        name="d.s", kind=ModelKind.FULL,
+        query=(
+            "SELECT 'call strftime(x) upstream' AS note "
+            "-- string_agg(y, z)\nFROM d.t"
+        ),
+    )
+    assert undeclared_read_dialect(m) is None

@@ -270,8 +270,16 @@ def test_arg_max_min():
 
 
 def test_date_diff_unit_keyword():
+    # boundary-crossing semantics: truncate both operands to the unit
     out = transpile("SELECT date_diff('day', a, b) FROM t", "duckdb")
-    assert out == "SELECT timestampdiff(DAY, a, b) FROM t"
+    assert out == (
+        "SELECT timestampdiff(DAY, date_trunc('day', a), date_trunc('day', b)) FROM t"
+    )
+    # plural unit normalizes; unknown unit raises
+    out2 = transpile("SELECT date_diff('months', a, b) FROM t", "duckdb")
+    assert "timestampdiff(MONTH" in out2
+    with pytest.raises(TranspileError):
+        transpile("SELECT date_diff('century', a, b) FROM t", "duckdb")
     # Spark's own 2-arg datediff untouched
     sql2 = "SELECT datediff(a, b) FROM t"
     assert transpile(sql2, "duckdb") == sql2
@@ -297,15 +305,19 @@ def test_executed_extras_parity(spark):
 
 
 def test_transpile_idempotent_on_corpus():
-    """transpile(transpile(x)) == transpile(x): the output of a rewrite is
-    valid Spark SQL that a second pass must leave untouched — guards
-    against a mapping whose TARGET is itself a mapped name."""
+    """transpile(transpile(x)) == transpile(x) for structural rewrites:
+    the output is valid Spark SQL a second pass must leave untouched —
+    guards against a mapping whose TARGET is itself a mapped name.
+    Literals whose content the conversion itself rewrites (regex escapes,
+    backslash doubling) are excluded BY DESIGN: transpile's output is
+    Spark SQL, and feeding it back as DuckDB re-applies standard-SQL
+    literal semantics."""
     corpus = [
         "SELECT strftime(ts, '%Y-%m-%d') AS d, epoch(ts) AS e FROM t",
         "SELECT [1, 2][1] + x // y FROM t WHERE regexp_matches(s, 'a+')",
         "SELECT arg_max(a, b), string_agg(c, ','), log(x) FROM t",
         "SELECT date_diff('day', a, b), dayname(d) FROM t",
-        "SELECT list_extract(string_to_array(s, '|'), 2)::HUGEINT FROM t",
+        "SELECT list_extract(string_to_array(s, ','), 2)::HUGEINT FROM t",
         "SELECT * EXCLUDE (a) FROM t",
     ]
     for sql in corpus:
@@ -379,3 +391,69 @@ def test_bare_exclude_gains_parens():
 def test_numeric_to_char_raises():
     with pytest.raises(TranspileError, match="numeric"):
         transpile("SELECT to_char(x, '999.99') FROM t", "postgres")
+
+
+def test_date_diff_boundary_crossing_parity(spark):
+    """The cases where naive timestampdiff differs from DuckDB's
+    boundary-crossing count: month across Jan-31→Feb-01, day across
+    midnight."""
+    import duckdb
+
+    cases = [
+        "SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS v",
+        "SELECT date_diff('day', TIMESTAMP '2024-01-01 23:00:00', TIMESTAMP '2024-01-02 01:00:00') AS v",
+        "SELECT date_diff('year', DATE '2023-12-31', DATE '2024-01-01') AS v",
+        "SELECT date_diff('hour', TIMESTAMP '2024-01-01 10:59:00', TIMESTAMP '2024-01-01 11:01:00') AS v",
+    ]
+    for ddb_sql in cases:
+        want = duckdb.sql(ddb_sql).fetchone()[0]
+        got = spark.sql(transpile(ddb_sql, "duckdb")).collect()[0][0]
+        assert got == want, (ddb_sql, got, want)
+
+
+def test_slice_syntax_raises():
+    with pytest.raises(TranspileError, match="slice"):
+        transpile("SELECT x[1:3] FROM t", "duckdb")
+
+
+def test_pg_month_pattern_reachable():
+    assert convert_pg_format("DD MONTH YYYY") == "dd MMMM yyyy"
+    assert convert_pg_format("MON") == "MMM"
+
+
+def test_pg_to_timestamp_format_converted(spark):
+    out = transpile("SELECT to_timestamp(s, 'YYYY-MM-DD') FROM t", "postgres")
+    assert out == "SELECT to_timestamp(s, 'yyyy-MM-dd') FROM t"
+    out2 = transpile("SELECT to_timestamp(1700000000) AS v", "postgres")
+    assert out2 == "SELECT timestamp_seconds(1700000000) AS v"
+    # executed: DD must not become day-of-year
+    got = spark.sql(
+        transpile("SELECT to_date(s, 'MM/DD/YYYY') AS v FROM (SELECT '03/05/2024' AS s)", "postgres")
+    ).collect()[0][0]
+    assert str(got) == "2024-03-05"
+
+
+def test_postgres_array_length_dim():
+    out = transpile("SELECT array_length(a, 1) FROM t", "postgres")
+    assert out == "SELECT size(a) FROM t"
+    with pytest.raises(TranspileError):
+        transpile("SELECT array_length(a, 2) FROM t", "postgres")
+    # duckdb 1-arg form still renames
+    assert transpile("SELECT array_length(a) FROM t", "duckdb") == "SELECT size(a) FROM t"
+
+
+def test_postgres_regexp_matches_loud():
+    with pytest.raises(TranspileError):
+        transpile("SELECT regexp_matches(s, 'x') FROM t", "postgres")
+    # duckdb form still maps
+    out = transpile("SELECT regexp_matches(s, 'x') FROM t", "duckdb")
+    assert out == "SELECT regexp_like(s, 'x') FROM t"
+
+
+def test_backslash_separator_escape(spark):
+    import duckdb
+
+    ddb_sql = r"SELECT string_to_array('a\b', '\') AS v"
+    want = duckdb.sql(ddb_sql).fetchone()[0]
+    got = spark.sql(transpile(ddb_sql, "duckdb")).collect()[0][0]
+    assert list(got) == list(want), (got, want)
