@@ -135,8 +135,9 @@ class TableFormatBackend:
         in_touched = self._partition_predicate(part_cols, touched)
         scoped = tgt.filter(in_touched)
         if merge_filter:
-            eligible = scoped.filter(merge_filter)
-            frozen = scoped.filter(f"NOT ({merge_filter})")
+            mf = self._filter_for_dataframe(merge_filter)
+            eligible = scoped.filter(mf)
+            frozen = scoped.filter(f"NOT ({mf})")
         else:
             eligible, frozen = scoped, None
         kept = eligible.join(src, on=keys, how="left_anti")
@@ -163,8 +164,9 @@ class TableFormatBackend:
         adapter = self.adapter
         tgt = self.spark.table(target)
         if merge_filter:
-            eligible = tgt.filter(merge_filter)
-            frozen = tgt.filter(f"NOT ({merge_filter})")
+            mf = self._filter_for_dataframe(merge_filter)
+            eligible = tgt.filter(mf)
+            frozen = tgt.filter(f"NOT ({mf})")
         else:
             eligible, frozen = tgt, None
         kept = eligible.join(src, on=keys, how="left_anti")
@@ -183,6 +185,29 @@ class TableFormatBackend:
                 p = cond if p is None else (p & cond)
             preds = p if preds is None else (preds | p)
         return preds if preds is not None else F.lit(False)
+
+    # merge_filter contract (both backends): written against TARGET
+    # columns, bare (`ds >= '2024-01-01'`) or qualified with the
+    # reference's target alias (`__MERGE_TARGET__.ds >= ...`). The
+    # parquet path strips the alias for DataFrame.filter; the Delta path
+    # qualifies bare refs so the MERGE ON clause is unambiguous.
+    @staticmethod
+    def _filter_for_dataframe(merge_filter: str) -> str:
+        import re as _re
+
+        return _re.sub(r"\b__MERGE_TARGET__\.", "", merge_filter)
+
+    @staticmethod
+    def _filter_for_merge_on(merge_filter: str, columns: Sequence[str]) -> str:
+        import re as _re
+
+        cols = sorted(set(columns), key=len, reverse=True)
+        pattern = _re.compile(r"(?<![\w.])(" + "|".join(_re.escape(c) for c in cols) + r")\b")
+        # rewrite only outside string literals
+        parts = _re.split(r"('(?:[^']|'')*')", merge_filter)
+        for idx in range(0, len(parts), 2):
+            parts[idx] = pattern.sub(r"__MERGE_TARGET__.\1", parts[idx])
+        return "".join(parts)
 
     @staticmethod
     def _sql_literal(v) -> str:
@@ -291,7 +316,7 @@ class DeltaBackend(TableFormatBackend):
         t, s = self.TARGET_ALIAS, self.SOURCE_ALIAS
         on = " AND ".join(f"{t}.{k} = {s}.{k}" for k in unique_key)
         if merge_filter:
-            on = f"({on}) AND ({merge_filter})"
+            on = f"({on}) AND ({self._filter_for_merge_on(merge_filter, columns)})"
         sets = ", ".join(f"{t}.{c} = {s}.{c}" for c in columns)
         cols = ", ".join(columns)
         vals = ", ".join(f"{s}.{c}" for c in columns)
@@ -344,10 +369,19 @@ class IcebergBackend(TableFormatBackend):
     BRANCH_PREFIX = "branch_"
 
     def _fqn(self, table: str) -> str:
-        if table.count(".") >= 2:
+        """Fully qualify to catalog.db.table (reference _ensure_fqn,
+        spark.py:536-544) — a bare name picks up BOTH the current catalog
+        and the current database, so a later catalog/database switch
+        between prepare and publish can't re-point the refs lookup or the
+        cherry-pick at a different table."""
+        parts = table.count(".")
+        if parts >= 2:
             return table
         catalog = self.spark.catalog.currentCatalog()
-        return f"{catalog}.{table}"
+        if parts == 1:
+            return f"{catalog}.{table}"
+        db = self.spark.catalog.currentDatabase()
+        return f"{catalog}.{db}.{table}"
 
     @staticmethod
     def wap_branch_name(wap_id: str) -> str:

@@ -213,9 +213,17 @@ class Context:
                 saved[k] = self.spark.conf.get(k)
             except Exception:  # noqa: BLE001 - unset conf
                 saved[k] = None
-        saved_db = self.spark.catalog.currentDatabase()
         try:
-            self._apply_gateway(name)
+            for k, v in (conn.get("spark_conf") or {}).items():
+                self.spark.conf.set(str(k), str(v))
+            # Validate (never create) the gateway's database: a health
+            # check must not mutate the catalog — a typo'd database name
+            # should FAIL here, not be permanently created.
+            db = conn.get("database")
+            if db and not self.spark.catalog.databaseExists(str(db)):
+                raise ValueError(
+                    f"gateway {name!r} database {db!r} does not exist"
+                )
             return self.spark.sql("SELECT 1").collect()[0][0] == 1
         finally:
             for k, v in saved.items():
@@ -223,7 +231,6 @@ class Context:
                     self.spark.conf.unset(k)
                 else:
                     self.spark.conf.set(k, v)
-            self.spark.catalog.setCurrentDatabase(saved_db)
 
     def _apply_model_defaults(self, model: Model) -> None:
         gvars = getattr(self, "config_variables", None) or {}
@@ -468,7 +475,9 @@ class Context:
             sql = transpile(sql, dialect)
         metric_names = [
             m.group(1).lower()
-            for m in _re.finditer(r"\bMETRIC\s*\(\s*([A-Za-z_][\w]*)\s*\)", sql)
+            for m in _re.finditer(
+                r"\bMETRIC\s*\(\s*([A-Za-z_][\w]*)\s*\)", sql, _re.IGNORECASE
+            )
         ]
         if not metric_names:
             raise ValueError("no METRIC(...) references in query")

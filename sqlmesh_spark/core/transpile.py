@@ -409,11 +409,13 @@ def transpile(sql: str, read: str | None = "duckdb") -> str:
     raise TranspileError("transpile did not converge (pathological nesting)")
 
 
-def _cast_spans(toks: list) -> list[tuple[int, int]]:
-    """Token-index ranges of CAST(...)/TRY_CAST(...) bodies — the ONLY
-    places an `AS <type>` rename may apply (an output alias named `text`
-    or `real` must never be rewritten)."""
-    spans: list[tuple[int, int]] = []
+def _cast_as_indices(toks: list) -> set[int]:
+    """Token indices of the TYPE-introducing ``AS`` of each
+    CAST(...)/TRY_CAST(...) — the LAST depth-1 AS before the close paren.
+    Only these positions may have their following type name renamed: an
+    output alias named `text`, even inside a subquery nested in a CAST
+    body, must never be rewritten."""
+    out: set[int] = set()
     for i, (kind, text, _, _) in enumerate(toks):
         if (
             kind == "ident"
@@ -423,6 +425,7 @@ def _cast_spans(toks: list) -> list[tuple[int, int]]:
             and toks[i + 1][1] == "("
         ):
             depth = 0
+            last_as = None
             for j in range(i + 1, len(toks)):
                 k, t_, _, _ = toks[j]
                 if k == "op" and t_ == "(":
@@ -430,15 +433,18 @@ def _cast_spans(toks: list) -> list[tuple[int, int]]:
                 elif k == "op" and t_ == ")":
                     depth -= 1
                     if depth == 0:
-                        spans.append((i + 1, j))
+                        if last_as is not None:
+                            out.add(last_as)
                         break
-    return spans
+                elif depth == 1 and k == "ident" and t_.upper() == "AS":
+                    last_as = j
+    return out
 
 
 def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     fn_map = _DIALECT_FN[read]
     toks = _tokenize_spans(sql)
-    cast_spans = _cast_spans(toks)
+    cast_as_idx = _cast_as_indices(toks)
     edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
 
     def is_op(i: int, val: str) -> bool:
@@ -473,6 +479,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         "use slice(arr, start, length) explicitly"
                     )
             prev = toks[i - 1] if i > 0 else None
+            # DuckDB string subscript: 'abc'[2] is 1-based single-char
+            # extraction → substr(lit, idx, 1).
+            if prev is not None and prev[0] == "string":
+                edits.append((prev[2], prev[2], "substr("))
+                edits.append((start, end, ", "))
+                edits.append((toks[close][2], toks[close][3], ", 1)"))
+                i += 1
+                continue
             # Postgres/DuckDB ARRAY[...] literal
             if prev is not None and prev[0] == "ident" and prev[1].lower() == "array":
                 edits.append((prev[2], end, "array("))
@@ -533,26 +547,40 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             i += 1
             continue
 
-        # `::type` cast target rename
+        # `::type` cast target rename; `::type[]` (Postgres array-type
+        # cast) becomes `::ARRAY<type>`.
         if kind == "op" and text == "::" and i + 1 < n and toks[i + 1][0] == "ident":
             tname = toks[i + 1][1].lower()
+            if is_op(i + 2, "[") and is_op(i + 3, "]"):
+                elem = _TYPE_MAP.get(tname, toks[i + 1][1].upper())
+                edits.append((toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>"))
+                i += 4
+                continue
             if tname in _TYPE_MAP and not is_op(i + 2, "("):
                 edits.append((toks[i + 1][2], toks[i + 1][3], _TYPE_MAP[tname]))
             i += 2
             continue
 
-        # CAST(x AS type): rename the type after AS — ONLY inside a
-        # CAST/TRY_CAST body; an alias named like a type stays untouched.
+        # CAST(x AS type): rename — ONLY the type-introducing AS of a
+        # CAST/TRY_CAST (the last depth-1 AS); aliases named like types,
+        # even inside subqueries nested in a CAST body, stay untouched.
         if (
             kind == "ident"
             and text.upper() == "AS"
+            and i in cast_as_idx
             and i + 1 < n
             and toks[i + 1][0] == "ident"
-            and toks[i + 1][1].lower() in _TYPE_MAP
-            and not is_op(i + 2, "(")
-            and any(a < i < b for a, b in cast_spans)
         ):
-            edits.append((toks[i + 1][2], toks[i + 1][3], _TYPE_MAP[toks[i + 1][1].lower()]))
+            tname = toks[i + 1][1].lower()
+            if is_op(i + 2, "[") and is_op(i + 3, "]"):
+                elem = _TYPE_MAP.get(tname, toks[i + 1][1].upper())
+                edits.append((toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>"))
+                i += 4
+                continue
+            if tname in _TYPE_MAP and not is_op(i + 2, "("):
+                edits.append(
+                    (toks[i + 1][2], toks[i + 1][3], _TYPE_MAP[tname])
+                )
             i += 2
             continue
 
@@ -560,7 +588,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             name = text.lower()
 
             # ---- special handlers (arg restructuring / literal rewrites)
-            if name in ("strftime", "strptime") and read in ("duckdb", "postgres"):
+            if name in ("strftime", "strptime") and read in ("duckdb", "postgres") and first_pass:
                 args = _call_args(toks, i + 1)
                 if len(args) - 1 != 2:
                     raise TranspileError(f"{name} expects 2 args")
@@ -578,7 +606,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i += 1
                 continue
 
-            if name in ("to_char",) and read == "postgres":
+            if name in ("to_char",) and read == "postgres" and first_pass:
                 args = _call_args(toks, i + 1)
                 if len(args) - 1 == 2 and toks[args[1]][0] == "string":
                     fmt_lit = toks[args[1]][1]
@@ -595,11 +623,16 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             if name in ("string_to_array", "str_split", "string_split") and read in (
                 "duckdb",
                 "postgres",
-            ):
+            ) and first_pass:
                 # Spark split()'s separator is a REGEX; escape literal seps.
                 args = _call_args(toks, i + 1)
+                if len(args) - 1 >= 2 and toks[args[1]][0] != "string":
+                    raise TranspileError(
+                        f"{name} separator must be a literal to transpile "
+                        "(Spark split() treats it as a regex)"
+                    )
                 edits.append((start, end, "split"))
-                if len(args) - 1 >= 2 and toks[args[1]][0] == "string":
+                if len(args) - 1 >= 2:
                     edits.append(
                         (toks[args[1]][2], toks[args[1]][3],
                          _escape_regex_literal(toks[args[1]][1]))
@@ -665,7 +698,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i += 1
                 continue
 
-            if name in ("to_timestamp", "to_date") and read == "postgres":
+            if name in ("to_timestamp", "to_date") and read == "postgres" and first_pass:
                 # Postgres to_timestamp(s, fmt)/to_date(s, fmt) carry
                 # Postgres patterns; Spark reuses the same function names
                 # with DIFFERENT pattern letters (DD = day-of-year), so

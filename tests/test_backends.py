@@ -78,11 +78,20 @@ class TestSeamDispatch:
             a.create_catalog("analytics")
 
     def test_merge_statement_includes_merge_filter(self, spark):
+        # contract: merge_filter targets TARGET columns, bare or
+        # __MERGE_TARGET__-qualified; Delta qualifies bare refs in ON
         a = SparkAdapter(spark, backend_cls=DeltaBackend)
         stmt = a.backend.merge_statement(
-            "t", "s_view", ("id",), ("id", "v"), merge_filter="t.ds >= '2024-01-01'"
+            "t", "s_view", ("id",), ("id", "v", "ds"), merge_filter="ds >= '2024-01-01'"
         )
-        assert "t.ds >= '2024-01-01'" in stmt
+        assert "__MERGE_TARGET__.ds >= '2024-01-01'" in stmt
+        # already-qualified and string-literal content stay untouched
+        stmt2 = a.backend.merge_statement(
+            "t", "s_view", ("id",), ("id", "ds"),
+            merge_filter="__MERGE_TARGET__.ds >= 'ds marker'",
+        )
+        assert "__MERGE_TARGET__.__MERGE_TARGET__" not in stmt2
+        assert "'ds marker'" in stmt2
 
 
 class TestCopyOnWriteMerge:
@@ -470,3 +479,27 @@ class TestGoldenStatements:
             f"CALL {cat}.system.cherrypick_snapshot('test_db.test_table', 123)",
             f"ALTER TABLE {cat}.test_db.test_table DROP BRANCH wap_test_wap_id",
         ]
+
+
+def test_merge_filter_alias_accepted_by_parquet_path(spark):
+    """A __MERGE_TARGET__-qualified merge_filter works on the parquet COW
+    path too (alias stripped before DataFrame.filter)."""
+    from sqlmesh_spark.adapter import SparkAdapter
+
+    a = SparkAdapter(spark)
+    t = _tbl()
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "id int, v string, ds string",
+    )
+    a.ctas(t, df, partitioned_by=("ds",))
+    src = spark.createDataFrame(
+        [(1, "A", "2024-01-01"), (2, "B", "2024-01-02")],
+        "id int, v string, ds string",
+    )
+    a.merge(t, src, unique_key=("id",),
+            merge_filter="__MERGE_TARGET__.ds >= '2024-01-02'")
+    # the eligible row (ds within the filter) took the update
+    rows = {r.id: r.v for r in spark.table(t).filter("ds = '2024-01-02'").collect()}
+    assert rows[2] == "B"
+    a.drop_table(t)

@@ -445,3 +445,19 @@ def test_external_models_yaml_roundtrip(spark, tmp_path):
         v for v in lint_models(ctx.models)
         if v.rule == "no_missing_external_models"
     ]
+
+
+def test_rewrite_lowercase_metric(spark, tmp_path):
+    from sqlmesh_spark.core.context import Context
+
+    (tmp_path / "models").mkdir()
+    (tmp_path / "metrics").mkdir()
+    (tmp_path / "metrics" / "m.sql").write_text(
+        "METRIC (name total_rows, expression COUNT(demo_rwl.t.k));\n"
+    )
+    (tmp_path / "models" / "t.sql").write_text(
+        "MODEL (name demo_rwl.t, kind FULL);\nSELECT 1 AS k, 'x' AS ds"
+    )
+    ctx = Context(spark, project_dir=str(tmp_path), state_dir=str(tmp_path / "state"))
+    sql = ctx.rewrite("select ds, metric(total_rows) from __semantic.__table group by ds")
+    assert "total_rows" in sql and "metric(" not in sql.lower().replace("metric(total", "")

@@ -457,3 +457,43 @@ def test_backslash_separator_escape(spark):
     want = duckdb.sql(ddb_sql).fetchone()[0]
     got = spark.sql(transpile(ddb_sql, "duckdb")).collect()[0][0]
     assert list(got) == list(want), (got, want)
+
+
+def test_pg_format_not_reconverted_on_later_passes():
+    """A query where pass 1 makes OTHER edits (forcing pass 2) must not
+    re-convert the already-converted to_timestamp format — 'HH:mm:ss'
+    would corrupt to 'hh:MM:ss' (12-hour, month-as-minute)."""
+    out = transpile(
+        "SELECT epoch(x), to_timestamp(s, 'YYYY-MM-DD HH24:MI:SS') FROM t",
+        "postgres",
+    )
+    assert "'yyyy-MM-dd HH:mm:ss'" in out, out
+    # MON output (MMM) must not re-parse as MM + stray M either
+    out2 = transpile("SELECT epoch(x), to_timestamp(s, 'DD MON YYYY') FROM t", "postgres")
+    assert "'dd MMM yyyy'" in out2, out2
+
+
+def test_string_to_array_nonliteral_separator_raises():
+    with pytest.raises(TranspileError, match="literal"):
+        transpile("SELECT string_to_array(x, sep) FROM t", "postgres")
+
+
+def test_pg_array_type_cast():
+    out = transpile("SELECT x::text[] FROM t", "postgres")
+    assert out == "SELECT x::ARRAY<STRING> FROM t"
+    out2 = transpile("SELECT CAST(x AS int4[]) FROM t", "postgres")
+    assert out2 == "SELECT CAST(x AS ARRAY<INT>) FROM t"
+
+
+def test_string_literal_subscript_becomes_substr(spark):
+    import duckdb
+
+    ddb_sql = "SELECT 'abc'[2] AS v"
+    out = transpile(ddb_sql, "duckdb")
+    assert out == "SELECT substr('abc', 2, 1) AS v"
+    assert spark.sql(out).collect()[0][0] == duckdb.sql(ddb_sql).fetchone()[0]
+
+
+def test_alias_in_subquery_inside_cast_untouched():
+    sql = "SELECT CAST((SELECT x AS text FROM t LIMIT 1) AS STRING) AS v"
+    assert transpile(sql, "duckdb") == sql
