@@ -186,11 +186,16 @@ _EXPR_KEYWORDS = {
     "LAST", "ESCAPE", "ALL", "ANY", "SOME", "FILTER", "WITHIN", "ORDER",
     "GROUP", "LIMIT", "OFFSET", "HAVING", "WHERE", "FROM", "SELECT", "ON",
     "USING", "CAST", "TRY_CAST", "DIV", "END",
-    # type names (CAST targets and :: casts)
+    # type names (CAST targets and :: casts) — including DuckDB/Postgres
+    # names that read-dialect models carry (core/transpile.py renames
+    # them at render; lineage must not see them as column refs)
     "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "FLOAT", "DOUBLE",
     "REAL", "DECIMAL", "NUMERIC", "STRING", "VARCHAR", "CHAR", "TEXT",
     "BOOLEAN", "DATE", "TIMESTAMP", "TIMESTAMP_NTZ", "BINARY", "ARRAY",
     "MAP", "STRUCT", "VOID", "LONG",
+    "HUGEINT", "INT128", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+    "INT1", "INT2", "INT4", "INT8", "SIGNED", "BPCHAR", "BLOB", "BYTEA",
+    "FLOAT4", "FLOAT8", "TIMESTAMPTZ", "LOGICAL", "BOOL",
     # interval units
     "YEAR", "YEARS", "QUARTER", "MONTH", "MONTHS", "WEEK", "WEEKS", "DAY",
     "DAYS", "HOUR", "HOURS", "MINUTE", "MINUTES", "SECOND", "SECONDS",

@@ -761,7 +761,8 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     # converted formats) are skipped — those were emitted Spark-ready.
     # FIRST PASS ONLY: all literal-deriving handlers complete in pass 1;
     # later fixpoint passes (deferred subscripts) must not re-double.
-    if first_pass and read in ("duckdb", "postgres"):
+    # Applies to every read dialect — ANSI literals are standard SQL too.
+    if first_pass:
         for kind, text, start, end in toks:
             if (
                 kind == "string"

@@ -302,3 +302,13 @@ def test_model_defaults_dialect_applies(spark, tmp_path):
     ctx = Context(spark, project_dir=str(tmp_path))
     assert ctx.models["d.m"].dialect == "duckdb"
     assert ctx.models["d.n"].dialect == "spark"  # own declaration wins
+
+
+def test_dialect_type_names_not_column_refs():
+    """x::HUGEINT in a duckdb-dialect model must not attribute a phantom
+    'hugeint' column in lineage."""
+    from sqlmesh_spark.core.sqlparse import query_lineage
+
+    lin = query_lineage("SELECT x::HUGEINT AS h, y::BYTEA AS b FROM db.t")
+    assert lin["h"] == {("db.t", "x")}
+    assert lin["b"] == {("db.t", "y")}
