@@ -71,6 +71,7 @@ def cmd_plan(args) -> int:
         end=args.end,
         forward_only=args.forward_only,
         select_models=args.select_model or None,
+        no_gaps=getattr(args, "no_gaps", False),
     )
     print(_plan_summary(plan))
     if args.dry_run:
@@ -673,6 +674,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("plan", help="compute and apply a plan")
     common(sp)
     sp.add_argument("--forward-only", action="store_true")
+    sp.add_argument(
+        "--no-gaps",
+        action="store_true",
+        help="refuse promotion when a replacement snapshot misses intervals "
+        "its predecessor had processed",
+    )
     sp.add_argument("--select-model", action="append")
     sp.add_argument("--dry-run", action="store_true", help="show the plan, don't apply")
     sp.set_defaults(fn=cmd_plan)

@@ -299,9 +299,11 @@ class Context:
         end: str = "1998-12-31",
         forward_only: bool = False,
         select_models: Optional[list[str]] = None,
+        no_gaps: bool = False,
     ) -> Plan:
         return self._evaluator.plan(
-            self.models, environment, start, end, forward_only, select_models
+            self.models, environment, start, end, forward_only, select_models,
+            no_gaps=no_gaps,
         )
 
     def apply(self, plan: Plan) -> dict[str, int]:

@@ -57,6 +57,9 @@ class Plan:
     # (pinned to the previous version), additive schema changes apply as
     # ALTERs, and history is not recomputed — only new intervals run.
     forward_only: bool = False
+    # no_gaps (plan/builder.py:72): refuse promotion of a replacement
+    # snapshot whose processed intervals don't cover its predecessor's.
+    no_gaps: bool = False
 
 
 def _categorize(old_query: str | None, new_query: str) -> str:
@@ -193,6 +196,7 @@ class PlanEvaluator:
         end: str,
         forward_only: bool = False,
         select_models: Optional[Sequence[str]] = None,
+        no_gaps: bool = False,
     ) -> Plan:
         env_state = self.state.get_environment(environment)
         if select_models is not None:
@@ -219,6 +223,7 @@ class PlanEvaluator:
             snapshots=snapshots,
             diff=diff,
             forward_only=forward_only,
+            no_gaps=no_gaps,
         )
 
     _MERGE_KINDS = frozenset(
@@ -453,6 +458,57 @@ class PlanEvaluator:
             cols["_ds"] = "string"
         return cols
 
+    @staticmethod
+    def _merge_intervals(raw: list) -> list[tuple[int, int]]:
+        out: list[tuple[int, int]] = []
+        for s, e in sorted(tuple(p) for p in raw):
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    def _ensure_no_gaps(self, plan: Plan) -> None:
+        """For each model whose version CHANGES in this environment and
+        whose kind records intervals, the new version's processed set must
+        cover the old version's — otherwise raise PlanError and leave the
+        environment's views untouched (reference promote(no_gaps)
+        semantics, state_sync/base.py:419-422)."""
+        env_state = self.state.get_environment(plan.environment)
+        problems: list[str] = []
+        for name, snap in plan.snapshots.items():
+            old_version = env_state.get(name)
+            if old_version is None or old_version == snap.version:
+                continue
+            old_iv = self._merge_intervals(
+                self.state.get_intervals(name, old_version)
+            )
+            if not old_iv:
+                continue  # wholesale kinds record no intervals
+            new_iv = self._merge_intervals(
+                self.state.get_intervals(name, snap.version)
+            )
+            gaps: list[tuple[int, int]] = []
+            for s, e in old_iv:
+                pos = s
+                for ns, ne in new_iv:
+                    if ne <= pos or ns >= e:
+                        continue
+                    if ns > pos:
+                        gaps.append((pos, ns))
+                    pos = max(pos, ne)
+                    if pos >= e:
+                        break
+                if pos < e:
+                    gaps.append((pos, e))
+            if gaps:
+                problems.append(f"{name}: {len(gaps)} gap(s) vs previous version")
+        if problems:
+            raise PlanError(
+                "no_gaps violation — replacement snapshots do not cover "
+                "their predecessors' processed intervals: " + "; ".join(problems)
+            )
+
     def apply(self, plan: Plan) -> dict[str, int]:
         # Stage 1: snapshot records.
         for name, snap in plan.snapshots.items():
@@ -474,6 +530,14 @@ class PlanEvaluator:
             self.spark, self.state, plan.snapshots, custom_audits=self.custom_audits
         )
         executed = scheduler.run(plan.start, plan.end)
+        # no_gaps promotion guard (reference state_sync/base.py:407-426
+        # promote(no_gaps_snapshot_names), plan/builder.py:72): a snapshot
+        # REPLACING one already serving this environment must cover every
+        # interval its predecessor had processed — otherwise promoting it
+        # would silently serve a table with data gaps. Checked BEFORE the
+        # view swap so a violation leaves the environment untouched.
+        if plan.no_gaps:
+            self._ensure_no_gaps(plan)
         # Stage 3: virtual layer swap — views repoint atomically after data
         # exists (plan/stages.py:165).
         env_schema = (

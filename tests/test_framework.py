@@ -935,3 +935,62 @@ gateways:
         assert ctx.gateway == "dev"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_no_gaps_promotion_guard(spark, tmp_path):
+    """A modified incremental model applied over a NARROWER window than
+    its predecessor processed must be refused under no_gaps (reference
+    promote(no_gaps_snapshot_names), state_sync/base.py:419-422) and
+    admitted without the flag — and the guard failure leaves the
+    environment's previous view intact."""
+    import pytest
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    for db in ("sqlmesh__demo_ng", "env_ng_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    def model_text(extra_col: str = "") -> str:
+        return f"""
+MODEL (
+  name demo_ng.daily,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily'
+);
+SELECT o_orderdate AS event_ts, COUNT(*) AS n{extra_col}
+FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate
+"""
+
+    state = str(tmp_path / "state")
+    ctx = Context(spark, state_dir=state)
+    ctx.add_model(model_text())
+    ctx.run(environment="env_ng", start="1995-01-01", end="1995-03-31")
+
+    # Breaking change, applied over February only → January/March gaps.
+    ctx2 = Context(spark, state_dir=state)
+    ctx2.add_model(model_text(", SUM(o_totalprice) AS tp"))
+    plan = ctx2.plan(environment="env_ng", start="1995-02-01", end="1995-02-28",
+                     no_gaps=True)
+    with pytest.raises(PlanError, match="no_gaps"):
+        ctx2.apply(plan)
+    # old view still serves the previous version (no tp column)
+    assert "tp" not in spark.table("env_ng_views.daily").columns
+
+    # Same narrow window WITHOUT the flag: promotion proceeds.
+    ctx3 = Context(spark, state_dir=state)
+    ctx3.add_model(model_text(", SUM(o_totalprice) AS tp"))
+    ctx3.run(environment="env_ng", start="1995-02-01", end="1995-02-28")
+    assert "tp" in spark.table("env_ng_views.daily").columns
+
+    # Full-window re-apply with no_gaps: passes.
+    ctx4 = Context(spark, state_dir=state)
+    ctx4.add_model(model_text(", SUM(o_totalprice) AS tp"))
+    plan4 = ctx4.plan(environment="env_ng", start="1995-01-01", end="1995-03-31",
+                      no_gaps=True)
+    ctx4.apply(plan4)
