@@ -72,6 +72,7 @@ def cmd_plan(args) -> int:
         forward_only=args.forward_only,
         select_models=args.select_model or None,
         no_gaps=getattr(args, "no_gaps", False),
+        effective_from=getattr(args, "effective_from", None),
     )
     print(_plan_summary(plan))
     if args.dry_run:
@@ -674,6 +675,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("plan", help="compute and apply a plan")
     common(sp)
     sp.add_argument("--forward-only", action="store_true")
+    sp.add_argument(
+        "--effective-from",
+        default=None,
+        help="forward-only plans: date the new logic takes effect; intervals "
+        "from it onward recompute with the new query",
+    )
     sp.add_argument(
         "--no-gaps",
         action="store_true",

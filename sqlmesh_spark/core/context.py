@@ -300,10 +300,11 @@ class Context:
         forward_only: bool = False,
         select_models: Optional[list[str]] = None,
         no_gaps: bool = False,
+        effective_from: Optional[str] = None,
     ) -> Plan:
         return self._evaluator.plan(
             self.models, environment, start, end, forward_only, select_models,
-            no_gaps=no_gaps,
+            no_gaps=no_gaps, effective_from=effective_from,
         )
 
     def apply(self, plan: Plan) -> dict[str, int]:

@@ -60,6 +60,12 @@ class Plan:
     # no_gaps (plan/builder.py:72): refuse promotion of a replacement
     # snapshot whose processed intervals don't cover its predecessor's.
     no_gaps: bool = False
+    # effective_from (plan/builder.py: effective_from; snapshot
+    # definition's effective_from): on a forward-only plan, the date the
+    # new logic takes effect — processed intervals from it onward are
+    # dropped from the pinned snapshot so they recompute with the new
+    # query; history before it is preserved as-is.
+    effective_from: Optional[str] = None
 
 
 def _categorize(old_query: str | None, new_query: str) -> str:
@@ -197,6 +203,7 @@ class PlanEvaluator:
         forward_only: bool = False,
         select_models: Optional[Sequence[str]] = None,
         no_gaps: bool = False,
+        effective_from: Optional[str] = None,
     ) -> Plan:
         env_state = self.state.get_environment(environment)
         if select_models is not None:
@@ -214,8 +221,12 @@ class PlanEvaluator:
         self._warn_unpartitioned_merges(models)
         diff = context_diff(snapshots, env_state)
         self._categorize_and_revert(snapshots, diff, env_state)
+        if effective_from and not forward_only:
+            raise PlanError("effective_from requires a forward-only plan")
         if forward_only:
             self._pin_forward_only(snapshots, diff, env_state)
+            if effective_from:
+                self._apply_effective_from(snapshots, diff, effective_from)
         return Plan(
             environment=environment,
             start=start,
@@ -224,6 +235,7 @@ class PlanEvaluator:
             diff=diff,
             forward_only=forward_only,
             no_gaps=no_gaps,
+            effective_from=effective_from,
         )
 
     _MERGE_KINDS = frozenset(
@@ -425,6 +437,26 @@ class PlanEvaluator:
                         ],
                     )
             snapshots[name] = pinned
+
+    def _apply_effective_from(
+        self,
+        snapshots: dict[str, Snapshot],
+        diff: ContextDiff,
+        effective_from: str,
+    ) -> None:
+        """Drop the pinned snapshots' processed intervals from
+        ``effective_from`` onward: the scheduler then sees them as missing
+        and recomputes exactly that span with the NEW query over the OLD
+        physical table — the reference's effective_from contract (the
+        forward-only change 'takes effect' at a chosen date instead of
+        only for future intervals)."""
+        from sqlmesh_spark.core.snapshot import to_epoch
+
+        efrom = to_epoch(effective_from)
+        horizon = 2**62  # clear everything after efrom
+        for name in diff.modified:
+            snap = snapshots[name]
+            self.state.remove_intervals(name, snap.version, efrom, horizon)
 
     def _mapping(self, snapshots: Mapping[str, Snapshot]) -> dict[str, str]:
         return {n: s.table_name for n, s in snapshots.items()}

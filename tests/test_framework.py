@@ -994,3 +994,58 @@ GROUP BY o_orderdate
     plan4 = ctx4.plan(environment="env_ng", start="1995-01-01", end="1995-03-31",
                       no_gaps=True)
     ctx4.apply(plan4)
+
+
+def test_effective_from_forward_only(spark, tmp_path):
+    """effective_from on a forward-only plan: intervals from the date
+    onward recompute with the NEW query over the SAME pinned table;
+    history before it keeps the old logic's values."""
+    import pytest
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    for db in ("sqlmesh__demo_ef", "env_ef_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    def model_text(marker: str) -> str:
+        return f"""
+MODEL (
+  name demo_ef.daily,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily'
+);
+SELECT o_orderdate AS event_ts, COUNT(*) AS n, '{marker}' AS logic
+FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate
+"""
+
+    state = str(tmp_path / "state")
+    ctx = Context(spark, state_dir=state)
+    ctx.add_model(model_text("v1"))
+    ctx.run(environment="env_ef", start="1995-01-01", end="1995-03-31")
+
+    # effective_from without forward-only is rejected
+    ctx2 = Context(spark, state_dir=state)
+    ctx2.add_model(model_text("v2"))
+    with pytest.raises(PlanError, match="forward-only"):
+        ctx2.plan(environment="env_ef", start="1995-01-01", end="1995-03-31",
+                  effective_from="1995-02-01")
+
+    plan = ctx2.plan(environment="env_ef", start="1995-01-01", end="1995-03-31",
+                     forward_only=True, effective_from="1995-02-01")
+    ctx2.apply(plan)
+    logic = {
+        r.month: set(r.logics)
+        for r in spark.sql(
+            "SELECT date_format(event_ts, 'yyyy-MM') AS month, "
+            "collect_set(logic) AS logics FROM env_ef_views.daily GROUP BY 1"
+        ).collect()
+    }
+    assert logic["1995-01"] == {"v1"}  # history before effective_from kept
+    assert logic["1995-02"] == {"v2"}  # recomputed with new logic
+    assert logic["1995-03"] == {"v2"}
