@@ -73,6 +73,8 @@ def cmd_plan(args) -> int:
         select_models=args.select_model or None,
         no_gaps=getattr(args, "no_gaps", False),
         effective_from=getattr(args, "effective_from", None),
+        skip_backfill=getattr(args, "skip_backfill", False),
+        empty_backfill=getattr(args, "empty_backfill", False),
     )
     print(_plan_summary(plan))
     if args.dry_run:
@@ -675,6 +677,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("plan", help="compute and apply a plan")
     common(sp)
     sp.add_argument("--forward-only", action="store_true")
+    sp.add_argument("--skip-backfill", action="store_true",
+                    help="record snapshots and promote without processing intervals")
+    sp.add_argument("--empty-backfill", action="store_true",
+                    help="create empty tables and mark the window processed")
     sp.add_argument(
         "--effective-from",
         default=None,

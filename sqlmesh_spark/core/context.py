@@ -301,10 +301,13 @@ class Context:
         select_models: Optional[list[str]] = None,
         no_gaps: bool = False,
         effective_from: Optional[str] = None,
+        skip_backfill: bool = False,
+        empty_backfill: bool = False,
     ) -> Plan:
         return self._evaluator.plan(
             self.models, environment, start, end, forward_only, select_models,
             no_gaps=no_gaps, effective_from=effective_from,
+            skip_backfill=skip_backfill, empty_backfill=empty_backfill,
         )
 
     def apply(self, plan: Plan) -> dict[str, int]:

@@ -60,6 +60,15 @@ class Plan:
     # no_gaps (plan/builder.py:72): refuse promotion of a replacement
     # snapshot whose processed intervals don't cover its predecessor's.
     no_gaps: bool = False
+    # skip_backfill (plan/builder.py:73-80): record snapshots and promote
+    # whatever physical data already exists WITHOUT processing intervals —
+    # the operator explicitly accepts missing data (mutually exclusive
+    # with no_gaps in the reference; enforced here too).
+    skip_backfill: bool = False
+    # empty_backfill: create the physical tables with the models' schemas
+    # but NO rows, marking the plan window processed — onboarding lever
+    # for models whose history will arrive later via restatement.
+    empty_backfill: bool = False
     # effective_from (plan/builder.py: effective_from; snapshot
     # definition's effective_from): on a forward-only plan, the date the
     # new logic takes effect — processed intervals from it onward are
@@ -204,6 +213,8 @@ class PlanEvaluator:
         select_models: Optional[Sequence[str]] = None,
         no_gaps: bool = False,
         effective_from: Optional[str] = None,
+        skip_backfill: bool = False,
+        empty_backfill: bool = False,
     ) -> Plan:
         env_state = self.state.get_environment(environment)
         if select_models is not None:
@@ -223,6 +234,10 @@ class PlanEvaluator:
         self._categorize_and_revert(snapshots, diff, env_state)
         if effective_from and not forward_only:
             raise PlanError("effective_from requires a forward-only plan")
+        if skip_backfill and no_gaps:
+            raise PlanError("skip_backfill and no_gaps are mutually exclusive")
+        if skip_backfill and empty_backfill:
+            raise PlanError("skip_backfill and empty_backfill are mutually exclusive")
         if forward_only:
             self._pin_forward_only(snapshots, diff, env_state)
             if effective_from:
@@ -236,6 +251,8 @@ class PlanEvaluator:
             forward_only=forward_only,
             no_gaps=no_gaps,
             effective_from=effective_from,
+            skip_backfill=skip_backfill,
+            empty_backfill=empty_backfill,
         )
 
     _MERGE_KINDS = frozenset(
@@ -438,6 +455,39 @@ class PlanEvaluator:
                     )
             snapshots[name] = pinned
 
+    def _empty_backfill(self, plan: Plan) -> dict[str, int]:
+        """Create each snapshot's physical table with the model's analyzed
+        schema and zero rows, then mark the plan window processed for
+        interval-recording kinds — the scheduler will never revisit it
+        (backfill-later models use restatement to fill real data)."""
+        from sqlmesh_spark.core.snapshot import to_epoch
+
+        mapping = self._mapping(plan.snapshots)
+        executed: dict[str, int] = {}
+        for name, snap in plan.snapshots.items():
+            model = snap.model
+            if model.kind.value in ("EMBEDDED", "EXTERNAL", "VIEW", "SEED"):
+                continue
+            if not self.adapter.table_exists(snap.table_name):
+                cols = self._query_schema(snap, mapping, plan.snapshots)
+                if cols is None:
+                    continue
+                self.adapter.create_schema(snap.physical_schema)
+                self.adapter.create_table(
+                    snap.table_name,
+                    cols,
+                    partitioned_by=model.partitioned_by,
+                    clustered_by=model.clustered_by,
+                    buckets=model.buckets,
+                    storage_format=model.storage_format,
+                )
+            if model.kind.value.startswith("INCREMENTAL") or model.kind.value.startswith("SCD"):
+                self.state.add_interval(
+                    name, snap.version, to_epoch(plan.start), to_epoch(plan.end)
+                )
+            executed[name] = 0
+        return executed
+
     def _apply_effective_from(
         self,
         snapshots: dict[str, Snapshot],
@@ -561,7 +611,12 @@ class PlanEvaluator:
         scheduler = Scheduler(
             self.spark, self.state, plan.snapshots, custom_audits=self.custom_audits
         )
-        executed = scheduler.run(plan.start, plan.end)
+        if plan.skip_backfill:
+            executed = {}
+        elif plan.empty_backfill:
+            executed = self._empty_backfill(plan)
+        else:
+            executed = scheduler.run(plan.start, plan.end)
         # no_gaps promotion guard (reference state_sync/base.py:407-426
         # promote(no_gaps_snapshot_names), plan/builder.py:72): a snapshot
         # REPLACING one already serving this environment must cover every

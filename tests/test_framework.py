@@ -1049,3 +1049,48 @@ GROUP BY o_orderdate
     assert logic["1995-01"] == {"v1"}  # history before effective_from kept
     assert logic["1995-02"] == {"v2"}  # recomputed with new logic
     assert logic["1995-03"] == {"v2"}
+
+
+def test_skip_and_empty_backfill(spark, tmp_path):
+    """skip_backfill promotes without processing; empty_backfill creates
+    schema-correct empty tables and marks the window processed so a later
+    run computes nothing — restatement is the backfill lever."""
+    import pytest
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    for db in ("sqlmesh__demo_eb", "env_eb_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    text = """
+MODEL (
+  name demo_eb.daily,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily'
+);
+SELECT o_orderdate AS event_ts, COUNT(*) AS n
+FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate
+"""
+    state = str(tmp_path / "state")
+    ctx = Context(spark, state_dir=state)
+    ctx.add_model(text)
+    with pytest.raises(PlanError, match="mutually exclusive"):
+        ctx.plan(environment="env_eb", skip_backfill=True, no_gaps=True)
+
+    plan = ctx.plan(environment="env_eb", start="1995-01-01", end="1995-01-31",
+                    empty_backfill=True)
+    ctx.apply(plan)
+    assert spark.table("env_eb_views.daily").count() == 0
+    # the window is marked processed: a normal run computes nothing new
+    executed = ctx.run(environment="env_eb", start="1995-01-01", end="1995-01-31")
+    assert executed.get("demo_eb.daily", 0) == 0
+    # restatement fills real data
+    ctx.restate(["demo_eb.daily"], start="1995-01-01", end="1995-01-31",
+                environment="env_eb")
+    assert spark.table("env_eb_views.daily").count() > 0
