@@ -101,6 +101,9 @@ class Model:
     # editing a description must not rebuild a 100 TB table. Mirrored here
     # by keeping them out of fingerprint_model entirely.
     description: Optional[str] = None
+    # meta.py:100 column_descriptions: per-column comments, registered on
+    # the physical table (ALTER COLUMN ... COMMENT); metadata-only.
+    column_descriptions: dict[str, str] = field(default_factory=dict)
     owner: Optional[str] = None
     tags: tuple[str, ...] = ()
     # Blueprint-bound variables (definition.py:2035 _extract_blueprint_
@@ -406,6 +409,7 @@ def parse_model_text(text: str) -> Model:
         allow_partials=_unquote(props.get("allow_partials", "false")).lower()
         in ("true", "1"),
         description=_unquote(props["description"]) if "description" in props else None,
+        column_descriptions=_parse_kv_props(props.get("column_descriptions", "")),
         owner=_unquote(props["owner"]) if "owner" in props else None,
         tags=tuple(_unquote(t).lower() for t in _parse_tuple(props["tags"]))
         if "tags" in props

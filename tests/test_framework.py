@@ -1094,3 +1094,43 @@ GROUP BY o_orderdate
     ctx.restate(["demo_eb.daily"], start="1995-01-01", end="1995-01-31",
                 environment="env_eb")
     assert spark.table("env_eb_views.daily").count() > 0
+
+
+def test_table_and_column_comments_registered(spark, tmp_path):
+    """description -> table comment, column_descriptions -> per-column
+    comments on the physical snapshot table (reference spark.py:545-554
+    ALTER COLUMN ... COMMENT form); metadata-only, not fingerprinted."""
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import build_snapshots
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    for db in ("sqlmesh__demo_cmt", "env_cmt_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    ctx = Context(spark, state_dir=str(tmp_path / "state"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_cmt.t,
+  kind FULL,
+  description 'daily order rollup',
+  column_descriptions (n = 'order count')
+);
+SELECT COUNT(*) AS n FROM orders
+"""
+    )
+    ctx.run(environment="env_cmt")
+    snap = build_snapshots(ctx.models)["demo_cmt.t"]
+    detail = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {snap.table_name}").collect()
+    }
+    assert "daily order rollup" in detail.get("Comment", "")
+    cols = {f.name: f.metadata for f in spark.table(snap.table_name).schema}
+    assert cols["n"].get("comment") == "order count"
+
+    # metadata-only: dropping the description must not change the version
+    ctx2 = Context(spark, state_dir=str(tmp_path / "state2"))
+    ctx2.add_model("MODEL (name demo_cmt.t, kind FULL);\nSELECT COUNT(*) AS n FROM orders")
+    assert build_snapshots(ctx2.models)["demo_cmt.t"].version == snap.version
