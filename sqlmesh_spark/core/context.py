@@ -303,12 +303,65 @@ class Context:
         effective_from: Optional[str] = None,
         skip_backfill: bool = False,
         empty_backfill: bool = False,
+        create_from: Optional[str] = None,
+        allow_destructive_models: Optional[list[str]] = None,
+        allow_additive_models: Optional[list[str]] = None,
+        skip_tests: bool = False,
+        skip_linter: bool = False,
     ) -> Plan:
+        # The reference's plan gates (context.py:1314 plan args
+        # skip_tests/skip_linter): project YAML tests must pass before a
+        # plan is produced; lint violations are surfaced as warnings.
+        if not skip_tests:
+            failures = self._run_project_tests()
+            if failures:
+                from sqlmesh_spark.core.plan import PlanError
+
+                raise PlanError(
+                    "model tests failed (pass skip_tests=True to bypass): "
+                    + "; ".join(failures[:5])
+                )
+        if not skip_linter:
+            import logging
+
+            from sqlmesh_spark.core.linter import lint_models
+
+            for v in lint_models(self.models):
+                logging.getLogger("sqlmesh_spark.plan").warning(
+                    "lint %s on %s: %s", v.rule, v.model, v.message
+                )
         return self._evaluator.plan(
             self.models, environment, start, end, forward_only, select_models,
             no_gaps=no_gaps, effective_from=effective_from,
             skip_backfill=skip_backfill, empty_backfill=empty_backfill,
+            create_from=create_from,
+            allow_destructive_models=allow_destructive_models,
+            allow_additive_models=allow_additive_models,
         )
+
+    def _run_project_tests(self) -> list[str]:
+        """Run the project's YAML model tests (tests/*.yaml|yml); returns
+        failure descriptions (empty = green or no tests)."""
+        if not self.project_dir:
+            return []
+        paths = sorted(
+            glob.glob(os.path.join(self.project_dir, "tests", "*.yaml"))
+        ) + sorted(glob.glob(os.path.join(self.project_dir, "tests", "*.yml")))
+        if not paths:
+            return []
+        from sqlmesh_spark.core.model_test import ModelTestRunner
+
+        runner = ModelTestRunner(self.spark)
+        failures: list[str] = []
+        for path in paths:
+            with open(path) as f:
+                for r in runner.run_yaml(f.read(), self.models):
+                    if not r.passed:
+                        failures.append(
+                            f"{os.path.basename(path)}::{r.name}: "
+                            + "; ".join(r.failures)
+                        )
+        return failures
 
     def apply(self, plan: Plan) -> dict[str, int]:
         """Environment statements bracket the application (BeforeAllStage /

@@ -215,8 +215,17 @@ class PlanEvaluator:
         effective_from: Optional[str] = None,
         skip_backfill: bool = False,
         empty_backfill: bool = False,
+        create_from: Optional[str] = None,
+        allow_destructive_models: Optional[Sequence[str]] = None,
+        allow_additive_models: Optional[Sequence[str]] = None,
     ) -> Plan:
         env_state = self.state.get_environment(environment)
+        if not env_state and create_from:
+            # create_from (reference plan:1314 arg): a brand-new target
+            # environment diffs/categorizes against ANOTHER environment's
+            # state instead of empty — branching envs off staging rather
+            # than recomputing everything.
+            env_state = self.state.get_environment(create_from)
         if select_models is not None:
             # Selection happens at the MODEL level BEFORE fingerprinting
             # (reference node_selector semantics): a deferred parent's model
@@ -239,7 +248,13 @@ class PlanEvaluator:
         if skip_backfill and empty_backfill:
             raise PlanError("skip_backfill and empty_backfill are mutually exclusive")
         if forward_only:
-            self._pin_forward_only(snapshots, diff, env_state)
+            self._pin_forward_only(
+                snapshots,
+                diff,
+                env_state,
+                allow_destructive={m.lower() for m in (allow_destructive_models or [])},
+                allow_additive={m.lower() for m in (allow_additive_models or [])},
+            )
             if effective_from:
                 self._apply_effective_from(snapshots, diff, effective_from)
         return Plan(
@@ -387,6 +402,8 @@ class PlanEvaluator:
         snapshots: dict[str, Snapshot],
         diff: ContextDiff,
         env_state: Mapping[str, str],
+        allow_destructive: Optional[set] = None,
+        allow_additive: Optional[set] = None,
     ) -> None:
         """Pin modified models to their previous version (same physical
         table), migrate the table schema additively, and carry the old
@@ -416,6 +433,11 @@ class PlanEvaluator:
                     destructive = [d for d in deltas if differ.is_destructive(d)]
                     additive = [d for d in deltas if d.op == "add"]
                     policy = new.model.on_destructive_change
+                    if name in (allow_destructive or set()):
+                        # plan-level override (reference plan arg
+                        # allow_destructive_models): the operator accepts
+                        # the destructive change for THIS plan only.
+                        policy = "allow"
                     if destructive and policy == "error":
                         detail = ", ".join(
                             f"{d.op} {d.column} ({d.current_type} -> {d.new_type})"
@@ -435,6 +457,8 @@ class PlanEvaluator:
                     # column ADDs — teams that version schemas externally
                     # set error to force an explicit (breaking) migration.
                     add_policy = new.model.on_additive_change
+                    if name in (allow_additive or set()):
+                        add_policy = "allow"
                     if additive and add_policy == "error":
                         detail = ", ".join(f"add {d.column} {d.new_type}" for d in additive)
                         raise PlanError(

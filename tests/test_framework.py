@@ -1134,3 +1134,68 @@ SELECT COUNT(*) AS n FROM orders
     ctx2 = Context(spark, state_dir=str(tmp_path / "state2"))
     ctx2.add_model("MODEL (name demo_cmt.t, kind FULL);\nSELECT COUNT(*) AS n FROM orders")
     assert build_snapshots(ctx2.models)["demo_cmt.t"].version == snap.version
+
+
+def test_plan_gates_and_create_from(spark, tmp_path):
+    """plan runs project YAML tests first (PlanError on failure,
+    skip_tests bypasses — reference context.plan gates), and create_from
+    seeds a new environment's diff baseline from another environment."""
+    import pytest
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "tests").mkdir()
+    (proj / "models" / "m.sql").write_text(
+        "MODEL (name demo_gate.m, kind FULL);\nSELECT 1 AS x"
+    )
+    (proj / "tests" / "test_m.yaml").write_text(
+        """
+test_m:
+  model: demo_gate.m
+  inputs: {}
+  outputs:
+    query:
+      rows:
+        - x: 999
+"""
+    )
+    ctx = Context(spark, project_dir=str(proj), state_dir=str(tmp_path / "s"))
+    with pytest.raises(PlanError, match="tests failed"):
+        ctx.plan(environment="env_gate")
+    plan = ctx.plan(environment="env_gate", skip_tests=True)  # bypass works
+    assert plan.snapshots
+
+    # create_from: a new env diffs against staging's state
+    ctx2 = Context(spark, state_dir=str(tmp_path / "s2"))
+    ctx2.add_model("MODEL (name demo_cf.m, kind FULL);\nSELECT 1 AS x")
+    ctx2.run(environment="env_cf_stage")
+    plan_fresh = ctx2.plan(environment="env_cf_new")
+    assert plan_fresh.diff.added == ["demo_cf.m"]  # empty baseline
+    plan_branch = ctx2.plan(environment="env_cf_new", create_from="env_cf_stage")
+    assert plan_branch.diff.unchanged == ["demo_cf.m"]  # staged baseline
+
+
+def test_allow_destructive_models_override(spark, tmp_path):
+    """allow_destructive_models lets ONE plan apply a destructive
+    forward-only change on a model whose policy is error."""
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError
+    import pytest
+
+    for db in ("sqlmesh__demo_adm", "env_adm_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    state = str(tmp_path / "state")
+    ctx = Context(spark, state_dir=state)
+    ctx.add_model("MODEL (name demo_adm.m, kind FULL);\nSELECT 1 AS a, 2 AS b")
+    ctx.run(environment="env_adm")
+
+    ctx2 = Context(spark, state_dir=state)
+    ctx2.add_model("MODEL (name demo_adm.m, kind FULL);\nSELECT 1 AS a")  # drops b
+    with pytest.raises(PlanError, match="destructive"):
+        ctx2.plan(environment="env_adm", forward_only=True)
+    plan = ctx2.plan(environment="env_adm", forward_only=True,
+                     allow_destructive_models=["demo_adm.m"])
+    ctx2.apply(plan)
