@@ -308,6 +308,7 @@ class Context:
         allow_additive_models: Optional[list[str]] = None,
         skip_tests: bool = False,
         skip_linter: bool = False,
+        execution_time: Optional[str] = None,
     ) -> Plan:
         # The reference's plan gates (context.py:1314 plan args
         # skip_tests/skip_linter): project YAML tests must pass before a
@@ -337,6 +338,7 @@ class Context:
             create_from=create_from,
             allow_destructive_models=allow_destructive_models,
             allow_additive_models=allow_additive_models,
+            execution_time=execution_time,
         )
 
     def _run_project_tests(self) -> list[str]:

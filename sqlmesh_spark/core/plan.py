@@ -69,6 +69,9 @@ class Plan:
     # but NO rows, marking the plan window processed — onboarding lever
     # for models whose history will arrive later via restatement.
     empty_backfill: bool = False
+    # execution_time (plan arg): pins @execution_ts/@execution_ds in
+    # rendered SQL (defaults to each interval's end) — reproducible runs.
+    execution_time: Optional[str] = None
     # effective_from (plan/builder.py: effective_from; snapshot
     # definition's effective_from): on a forward-only plan, the date the
     # new logic takes effect — processed intervals from it onward are
@@ -218,6 +221,7 @@ class PlanEvaluator:
         create_from: Optional[str] = None,
         allow_destructive_models: Optional[Sequence[str]] = None,
         allow_additive_models: Optional[Sequence[str]] = None,
+        execution_time: Optional[str] = None,
     ) -> Plan:
         env_state = self.state.get_environment(environment)
         if not env_state and create_from:
@@ -268,6 +272,7 @@ class PlanEvaluator:
             effective_from=effective_from,
             skip_backfill=skip_backfill,
             empty_backfill=empty_backfill,
+            execution_time=execution_time,
         )
 
     _MERGE_KINDS = frozenset(
@@ -633,7 +638,11 @@ class PlanEvaluator:
         # physical tables and processed intervals — the virtual-environment
         # zero-recompute property: only new versions do work.
         scheduler = Scheduler(
-            self.spark, self.state, plan.snapshots, custom_audits=self.custom_audits
+            self.spark,
+            self.state,
+            plan.snapshots,
+            custom_audits=self.custom_audits,
+            execution_time=plan.execution_time,
         )
         if plan.skip_backfill:
             executed = {}

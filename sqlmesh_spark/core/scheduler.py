@@ -73,9 +73,17 @@ class SnapshotEvaluator:
     """kind → materialization strategy dispatch
     (evaluator.py:1643 _evaluation_strategy)."""
 
-    def __init__(self, spark: SparkSession, adapter: Optional[SparkAdapter] = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        adapter: Optional[SparkAdapter] = None,
+        execution_time: Optional[str] = None,
+    ):
         self.spark = spark
         self.adapter = adapter or SparkAdapter(spark)
+        # reference plan/run arg execution_time: pins @execution_ts/_ds
+        # (defaults to the interval end) — reproducible re-renders.
+        self.execution_time = execution_time
 
     def render(
         self,
@@ -96,6 +104,7 @@ class SnapshotEvaluator:
                 snapshot.model.name,
                 start,
                 end,
+                self.execution_time,
                 tuple(sorted(table_mapping.items())),
             )
             cached = _RENDER_CACHE.get(key)
@@ -103,7 +112,7 @@ class SnapshotEvaluator:
                 RENDER_STATS["hits"] += 1
                 return cached
             RENDER_STATS["misses"] += 1
-        variables = temporal_variables(start, end)
+        variables = temporal_variables(start, end, execution=self.execution_time)
         variables["this_model"] = snapshot.table_name
         # Evaluation-context vars (renderer.py:140-151).
         variables["model_kind_name"] = f"'{snapshot.model.kind.value}'"
@@ -147,7 +156,7 @@ class SnapshotEvaluator:
         """Render a pre/post/on_virtual_update statement (definition.py:357
         render_pre_statements): same macro + table-resolution pipeline as
         the query, uncached."""
-        variables = temporal_variables(start, end)
+        variables = temporal_variables(start, end, execution=self.execution_time)
         variables["this_model"] = this_model or snapshot.table_name
         # Pre-quoted literal form, for statements that need the resolved
         # name as a STRING (logs, messages) rather than a table ref.
@@ -546,11 +555,12 @@ class Scheduler:
         snapshots: Mapping[str, Snapshot],
         max_workers: int = 4,
         custom_audits: Optional[Mapping[str, object]] = None,
+        execution_time: Optional[str] = None,
     ):
         self.spark = spark
         self.state = state
         self.snapshots = dict(snapshots)
-        self.evaluator = SnapshotEvaluator(spark)
+        self.evaluator = SnapshotEvaluator(spark, execution_time=execution_time)
         self.evaluator.custom_audits = dict(custom_audits or {})
         self.max_workers = max_workers
 

@@ -1199,3 +1199,22 @@ def test_allow_destructive_models_override(spark, tmp_path):
     plan = ctx2.plan(environment="env_adm", forward_only=True,
                      allow_destructive_models=["demo_adm.m"])
     ctx2.apply(plan)
+
+
+def test_execution_time_pins_execution_vars(spark, tmp_path):
+    """plan(execution_time=...) pins @execution_ds in rendered SQL instead
+    of defaulting to the interval end (reference plan/run execution_time)."""
+    from sqlmesh_spark.core.context import Context
+
+    for db in ("sqlmesh__demo_et", "env_et_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    ctx = Context(spark, state_dir=str(tmp_path / "state"))
+    ctx.add_model(
+        "MODEL (name demo_et.m, kind FULL);\n"
+        "SELECT @execution_ds AS exec_ds, 1 AS x"
+    )
+    plan = ctx.plan(environment="env_et", start="1995-01-01", end="1995-01-31",
+                    execution_time="2020-06-15")
+    ctx.apply(plan)
+    row = spark.table("env_et_views.m").collect()[0]
+    assert row.exec_ds == "2020-06-15"
