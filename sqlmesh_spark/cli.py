@@ -75,6 +75,12 @@ def cmd_plan(args) -> int:
         effective_from=getattr(args, "effective_from", None),
         skip_backfill=getattr(args, "skip_backfill", False),
         empty_backfill=getattr(args, "empty_backfill", False),
+        create_from=getattr(args, "create_from", None),
+        execution_time=getattr(args, "execution_time", None),
+        allow_destructive_models=getattr(args, "allow_destructive_model", None),
+        allow_additive_models=getattr(args, "allow_additive_model", None),
+        skip_tests=getattr(args, "skip_tests", False),
+        skip_linter=getattr(args, "skip_linter", False),
     )
     print(_plan_summary(plan))
     if args.dry_run:
@@ -677,6 +683,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("plan", help="compute and apply a plan")
     common(sp)
     sp.add_argument("--forward-only", action="store_true")
+    sp.add_argument("--create-from", default=None,
+                    help="seed a new environment's baseline from another environment")
+    sp.add_argument("--execution-time", default=None,
+                    help="pin @execution_ts/@execution_ds in rendered SQL")
+    sp.add_argument("--allow-destructive-model", action="append", default=None,
+                    help="permit a destructive forward-only change on this model")
+    sp.add_argument("--allow-additive-model", action="append", default=None,
+                    help="permit an additive forward-only change on this model")
+    sp.add_argument("--skip-tests", action="store_true",
+                    help="skip the project YAML model tests gate")
+    sp.add_argument("--skip-linter", action="store_true",
+                    help="skip lint warnings during planning")
     sp.add_argument("--skip-backfill", action="store_true",
                     help="record snapshots and promote without processing intervals")
     sp.add_argument("--empty-backfill", action="store_true",

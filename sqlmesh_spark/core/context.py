@@ -356,13 +356,19 @@ class Context:
         runner = ModelTestRunner(self.spark)
         failures: list[str] = []
         for path in paths:
-            with open(path) as f:
-                for r in runner.run_yaml(f.read(), self.models):
-                    if not r.passed:
-                        failures.append(
-                            f"{os.path.basename(path)}::{r.name}: "
-                            + "; ".join(r.failures)
-                        )
+            try:
+                with open(path) as f:
+                    for r in runner.run_yaml(f.read(), self.models):
+                        if not r.passed:
+                            failures.append(
+                                f"{os.path.basename(path)}::{r.name}: "
+                                + "; ".join(r.failures)
+                            )
+            except Exception as exc:  # noqa: BLE001 - broken spec = failure
+                failures.append(
+                    f"{os.path.basename(path)}: unrunnable test spec "
+                    f"({type(exc).__name__}: {exc})"
+                )
         return failures
 
     def apply(self, plan: Plan) -> dict[str, int]:
@@ -371,7 +377,9 @@ class Context:
         after backfill, against the environment's physical tables."""
         from sqlmesh_spark.macros import MacroEvaluator, temporal_variables
 
-        variables = temporal_variables(plan.start, plan.end)
+        variables = temporal_variables(
+            plan.start, plan.end, execution=plan.execution_time
+        )
         # Pre-quoted like the temporal _ds/_ts vars — the renderer never
         # substitutes inside quoted strings, so statements use it bare.
         variables["this_env"] = f"'{plan.environment}'"
@@ -434,9 +442,15 @@ class Context:
         select_models: Optional[list[str]] = None,
     ) -> dict[str, int]:
         """plan+apply in one step (context.py:756 run semantics: process
-        missing intervals for the environment)."""
+        missing intervals for the environment). Scheduled execution — the
+        test/linter gates belong to plan(), not run (a failing YAML test
+        must not block cron runs; matches the reference, whose run path
+        never test-gates)."""
         return self.apply(
-            self.plan(environment, start, end, forward_only, select_models)
+            self.plan(
+                environment, start, end, forward_only, select_models,
+                skip_tests=True, skip_linter=True,
+            )
         )
 
     def restate(

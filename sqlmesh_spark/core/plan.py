@@ -259,8 +259,9 @@ class PlanEvaluator:
                 allow_destructive={m.lower() for m in (allow_destructive_models or [])},
                 allow_additive={m.lower() for m in (allow_additive_models or [])},
             )
-            if effective_from:
-                self._apply_effective_from(snapshots, diff, effective_from)
+            # effective_from's interval removal is deferred to apply():
+            # plan() must stay read-only so a dry-run or abandoned plan
+            # never mutates the serving version's processed state.
         return Plan(
             environment=environment,
             start=start,
@@ -488,7 +489,16 @@ class PlanEvaluator:
         """Create each snapshot's physical table with the model's analyzed
         schema and zero rows, then mark the plan window processed for
         interval-recording kinds — the scheduler will never revisit it
-        (backfill-later models use restatement to fill real data)."""
+        (backfill-later models use restatement to fill real data).
+
+        The physical LAYOUT mirrors what the evaluator's first insert
+        would build: time-range incrementals get the derived ``_ds``
+        partition (scheduler first-insert path) so later writes stay
+        partition-pruned instead of falling into the unpartitioned
+        full-rewrite tail forever. SCD2 kinds are REFUSED: their
+        engine-managed history columns (valid_from/valid_to, the COW
+        ``_is_current`` partition) only exist through a real evaluation —
+        an empty table would poison every later apply."""
         from sqlmesh_spark.core.snapshot import to_epoch
 
         mapping = self._mapping(plan.snapshots)
@@ -497,20 +507,34 @@ class PlanEvaluator:
             model = snap.model
             if model.kind.value in ("EMBEDDED", "EXTERNAL", "VIEW", "SEED"):
                 continue
+            if model.kind.value.startswith("SCD"):
+                raise PlanError(
+                    f"empty_backfill is unsupported for {model.kind.value} "
+                    f"({name}): SCD2 history columns require a real evaluation"
+                )
             if not self.adapter.table_exists(snap.table_name):
                 cols = self._query_schema(snap, mapping, plan.snapshots)
                 if cols is None:
                     continue
+                partitioned_by = model.partitioned_by
+                if model.kind.value == "INCREMENTAL_BY_TIME_RANGE":
+                    part_by_time = model.kind_args.get(
+                        "partition_by_time_column", "true"
+                    ).strip("'\"").lower() != "false"
+                    if part_by_time:
+                        partitioned_by = ("_ds",)
+                    else:
+                        cols.pop("_ds", None)
                 self.adapter.create_schema(snap.physical_schema)
                 self.adapter.create_table(
                     snap.table_name,
                     cols,
-                    partitioned_by=model.partitioned_by,
+                    partitioned_by=partitioned_by,
                     clustered_by=model.clustered_by,
                     buckets=model.buckets,
                     storage_format=model.storage_format,
                 )
-            if model.kind.value.startswith("INCREMENTAL") or model.kind.value.startswith("SCD"):
+            if model.kind.value.startswith("INCREMENTAL"):
                 self.state.add_interval(
                     name, snap.version, to_epoch(plan.start), to_epoch(plan.end)
                 )
@@ -644,6 +668,8 @@ class PlanEvaluator:
             custom_audits=self.custom_audits,
             execution_time=plan.execution_time,
         )
+        if plan.forward_only and plan.effective_from:
+            self._apply_effective_from(plan.snapshots, plan.diff, plan.effective_from)
         if plan.skip_backfill:
             executed = {}
         elif plan.empty_backfill:
@@ -672,6 +698,30 @@ class PlanEvaluator:
                 # no physical data yet; leave the env view where it was
                 # (possibly absent) rather than pointing at nothing.
                 continue
+            # Comment registration (reference base.py COMMENT creation;
+            # spark.py:545-554 ALTER COLUMN ... COMMENT) happens HERE in
+            # the apply stage — once per model per apply, not per backfill
+            # batch, and it lands even when no batch ran (a
+            # description-only edit is metadata-only by design: no new
+            # version, no data work, but the comment still updates).
+            model = snap.model
+            if model.kind.value != "VIEW" and (
+                model.description or model.column_descriptions
+            ):
+                tbl = snap.table_name
+                if model.description:
+                    c = model.description.replace("'", "''")
+                    self.spark.sql(
+                        f"ALTER TABLE {tbl} SET TBLPROPERTIES ('comment' = '{c}')"
+                    )
+                existing = set(self.adapter.columns(tbl))
+                for col, desc in sorted(model.column_descriptions.items()):
+                    if col not in existing:
+                        continue
+                    c = desc.replace("'", "''")
+                    self.spark.sql(
+                        f"ALTER TABLE {tbl} ALTER COLUMN {col} COMMENT '{c}'"
+                    )
             env_view = f"{env_schema}.{snap.model.view_name}"
             # The virtual layer exposes the MODEL's schema exactly: engine-
             # managed physical columns (the derived `_ds` time partition,
@@ -688,7 +738,9 @@ class PlanEvaluator:
             from sqlmesh_spark.core.scheduler import SnapshotEvaluator
 
             for stmt in snap.model.on_virtual_update:
-                sql = SnapshotEvaluator(self.spark, self.adapter).render_statement(
+                sql = SnapshotEvaluator(
+                    self.spark, self.adapter, execution_time=plan.execution_time
+                ).render_statement(
                     stmt,
                     snap,
                     plan.start,

@@ -215,28 +215,6 @@ class SnapshotEvaluator:
                 self.spark.sql(
                     f"ALTER TABLE {snapshot.table_name} SET TBLPROPERTIES ({props})"
                 )
-            # Comment registration (reference base.py COMMENT creation;
-            # spark.py:545-554 builds ALTER COLUMN ... COMMENT): the model
-            # description lands as the table comment, column_descriptions
-            # as per-column comments. Metadata-only — never fingerprinted,
-            # so editing a description rebuilds nothing.
-            if model.kind != ModelKind.VIEW and (
-                model.description or model.column_descriptions
-            ) and self.adapter.table_exists(snapshot.table_name):
-                tbl = snapshot.table_name
-                if model.description:
-                    c = model.description.replace("'", "''")
-                    self.spark.sql(
-                        f"ALTER TABLE {tbl} SET TBLPROPERTIES ('comment' = '{c}')"
-                    )
-                existing = set(self.adapter.columns(tbl))
-                for col, desc in sorted(model.column_descriptions.items()):
-                    if col not in existing:
-                        continue
-                    c = desc.replace("'", "''")
-                    self.spark.sql(
-                        f"ALTER TABLE {tbl} ALTER COLUMN {col} COMMENT '{c}'"
-                    )
         finally:
             for k, v in saved.items():
                 if v is None:

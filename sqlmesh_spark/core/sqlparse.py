@@ -186,16 +186,13 @@ _EXPR_KEYWORDS = {
     "LAST", "ESCAPE", "ALL", "ANY", "SOME", "FILTER", "WITHIN", "ORDER",
     "GROUP", "LIMIT", "OFFSET", "HAVING", "WHERE", "FROM", "SELECT", "ON",
     "USING", "CAST", "TRY_CAST", "DIV", "END",
-    # type names (CAST targets and :: casts) — including DuckDB/Postgres
-    # names that read-dialect models carry (core/transpile.py renames
-    # them at render; lineage must not see them as column refs)
+    # Spark type names (CAST targets and :: casts). DuckDB/Postgres-only
+    # type names live in _DIALECT_TYPE_KEYWORDS below — syntax only in
+    # cast position, never shadowing same-named columns.
     "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "FLOAT", "DOUBLE",
     "REAL", "DECIMAL", "NUMERIC", "STRING", "VARCHAR", "CHAR", "TEXT",
     "BOOLEAN", "DATE", "TIMESTAMP", "TIMESTAMP_NTZ", "BINARY", "ARRAY",
     "MAP", "STRUCT", "VOID", "LONG",
-    "HUGEINT", "INT128", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
-    "INT1", "INT2", "INT4", "INT8", "SIGNED", "BPCHAR", "BLOB", "BYTEA",
-    "FLOAT4", "FLOAT8", "TIMESTAMPTZ", "LOGICAL", "BOOL",
     # interval units
     "YEAR", "YEARS", "QUARTER", "MONTH", "MONTHS", "WEEK", "WEEKS", "DAY",
     "DAYS", "HOUR", "HOURS", "MINUTE", "MINUTES", "SECOND", "SECONDS",
@@ -204,6 +201,17 @@ _EXPR_KEYWORDS = {
     "SEPARATOR", "PLACING", "FOR", "BOTH", "LEADING", "TRAILING", "AT",
     "TIME", "ZONE", "GROUPING", "SETS", "ROLLUP", "CUBE", "LATERAL",
     "VIEW", "OUTER", "TABLESAMPLE", "VALUES", "WITH", "RECURSIVE",
+}
+
+
+# DuckDB/Postgres type names that read-dialect models carry. These are
+# syntax ONLY in cast position (after `::` or a CAST body's AS) — a
+# Spark-dialect column legitimately named `signed` or `blob` must still
+# resolve as a column ref, so they are NOT in _EXPR_KEYWORDS.
+_DIALECT_TYPE_KEYWORDS = {
+    "HUGEINT", "INT128", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+    "INT1", "INT2", "INT4", "INT8", "SIGNED", "BPCHAR", "BLOB", "BYTEA",
+    "FLOAT4", "FLOAT8", "TIMESTAMPTZ", "LOGICAL", "BOOL",
 }
 
 
@@ -668,6 +676,13 @@ class _Parser:
                 # struct-field access after ')' etc is caught above; bare ref:
                 prev = toks[i - 1] if i > 0 else None
                 if prev is not None and prev.kind == "op" and prev.value == ".":
+                    i += 1
+                    continue
+                # dialect type names are syntax only in cast position
+                if t.upper in _DIALECT_TYPE_KEYWORDS and prev is not None and (
+                    (prev.kind == "op" and prev.value == "::")
+                    or (prev.kind == "ident" and prev.upper == "AS")
+                ):
                     i += 1
                     continue
                 if t.value in lambda_params:

@@ -1218,3 +1218,111 @@ def test_execution_time_pins_execution_vars(spark, tmp_path):
     ctx.apply(plan)
     row = spark.table("env_et_views.m").collect()[0]
     assert row.exec_ds == "2020-06-15"
+
+
+def test_effective_from_dry_run_is_stateless(spark, tmp_path):
+    """plan() with effective_from must NOT mutate interval state — only
+    apply() does (a dry-run or abandoned plan leaves the serving version
+    untouched)."""
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import build_snapshots
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    for db in ("sqlmesh__demo_efd", "env_efd_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    def model_text(marker):
+        return f"""
+MODEL (
+  name demo_efd.daily,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  cron '@daily'
+);
+SELECT o_orderdate AS event_ts, COUNT(*) AS n, '{marker}' AS logic
+FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate
+"""
+
+    state = str(tmp_path / "state")
+    ctx = Context(spark, state_dir=state)
+    ctx.add_model(model_text("v1"))
+    ctx.run(environment="env_efd", start="1995-01-01", end="1995-02-28")
+    version = build_snapshots(ctx.models)["demo_efd.daily"].version
+    before = ctx.state.get_intervals("demo_efd.daily", version)
+
+    ctx2 = Context(spark, state_dir=state)
+    ctx2.add_model(model_text("v2"))
+    ctx2.plan(environment="env_efd", start="1995-01-01", end="1995-02-28",
+              forward_only=True, effective_from="1995-02-01")  # never applied
+    assert ctx2.state.get_intervals("demo_efd.daily", version) == before
+
+
+def test_run_is_not_test_gated(spark, tmp_path):
+    """A failing YAML test blocks plan() but must not block run() —
+    scheduled execution never test-gates (reference run path)."""
+    import pytest
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "tests").mkdir()
+    (proj / "models" / "m.sql").write_text(
+        "MODEL (name demo_rg.m, kind FULL);\nSELECT 1 AS x"
+    )
+    (proj / "tests" / "bad.yaml").write_text(
+        "bad:\n  model: demo_rg.missing_model\n  inputs: {}\n  outputs:\n    query:\n      rows: []\n"
+    )
+    ctx = Context(spark, project_dir=str(proj), state_dir=str(tmp_path / "s"))
+    # malformed spec surfaces as a PlanError, not a KeyError
+    with pytest.raises(PlanError, match="tests failed"):
+        ctx.plan(environment="env_rg")
+    # run() bypasses the gate
+    ctx.run(environment="env_rg")
+
+
+def test_empty_backfill_scd2_refused_and_time_range_partitioned(spark, tmp_path):
+    """empty_backfill refuses SCD2 kinds loudly; a time-range incremental
+    gets the evaluator's _ds partition layout so later writes stay
+    partition-pruned."""
+    import pytest
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError, build_snapshots
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    for db in ("sqlmesh__demo_ebs",):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    ctx = Context(spark, state_dir=str(tmp_path / "s1"))
+    ctx.add_model(
+        """
+MODEL (name demo_ebs.scd, kind SCD_TYPE_2_BY_TIME (unique_key id, updated_at_name event_ts));
+SELECT 1 AS id, CAST('1995-01-01' AS TIMESTAMP) AS event_ts
+"""
+    )
+    plan = ctx.plan(environment="env_ebs", empty_backfill=True)
+    with pytest.raises(PlanError, match="SCD"):
+        ctx.apply(plan)
+
+    ctx2 = Context(spark, state_dir=str(tmp_path / "s2"))
+    ctx2.add_model(
+        """
+MODEL (name demo_ebs.inc, kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts));
+SELECT o_orderdate AS event_ts, COUNT(*) AS n FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate < CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate
+"""
+    )
+    plan2 = ctx2.plan(environment="env_ebs2", start="1995-01-01",
+                      end="1995-01-31", empty_backfill=True)
+    ctx2.apply(plan2)
+    snap = build_snapshots(ctx2.models)["demo_ebs.inc"]
+    ddl = spark.sql(f"SHOW CREATE TABLE {snap.table_name}").collect()[0][0]
+    assert "_ds" in ddl and "PARTITIONED BY" in ddl
