@@ -81,6 +81,8 @@ def cmd_plan(args) -> int:
         allow_additive_models=getattr(args, "allow_additive_model", None),
         skip_tests=getattr(args, "skip_tests", False),
         skip_linter=getattr(args, "skip_linter", False),
+        backfill_models=getattr(args, "backfill_model", None),
+        include_unmodified=getattr(args, "include_unmodified", True),
     )
     print(_plan_summary(plan))
     if args.dry_run:
@@ -94,7 +96,8 @@ def cmd_plan(args) -> int:
 def cmd_run(args) -> int:
     ctx = _context(args)
     executed = ctx.run(
-        environment=args.environment, start=args.start, end=args.end
+        environment=args.environment, start=args.start, end=args.end,
+        ignore_cron=getattr(args, "ignore_cron", False),
     )
     for name, n in sorted(executed.items()):
         print(f"  ran {name}: {n} interval(s)")
@@ -695,6 +698,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip the project YAML model tests gate")
     sp.add_argument("--skip-linter", action="store_true",
                     help="skip lint warnings during planning")
+    sp.add_argument("--backfill-model", action="append", default=None,
+                    help="restrict interval processing to this model (repeatable)")
+    sp.add_argument("--include-unmodified", dest="include_unmodified",
+                    action="store_true", default=True)
+    sp.add_argument("--no-include-unmodified", dest="include_unmodified",
+                    action="store_false",
+                    help="new environments get views only for changed models")
     sp.add_argument("--skip-backfill", action="store_true",
                     help="record snapshots and promote without processing intervals")
     sp.add_argument("--empty-backfill", action="store_true",
@@ -719,6 +729,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.set_defaults(fn=cmd_run)
 
+    sp.add_argument("--ignore-cron", action="store_true",
+                    help="process the trailing partial interval without waiting for cron")
     sp = sub.add_parser("diff", help="show pending changes vs an environment")
     common(sp)
     sp.set_defaults(fn=cmd_diff)

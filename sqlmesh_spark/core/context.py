@@ -309,6 +309,9 @@ class Context:
         skip_tests: bool = False,
         skip_linter: bool = False,
         execution_time: Optional[str] = None,
+        backfill_models: Optional[list[str]] = None,
+        include_unmodified: bool = True,
+        ignore_cron: bool = False,
     ) -> Plan:
         # The reference's plan gates (context.py:1314 plan args
         # skip_tests/skip_linter): project YAML tests must pass before a
@@ -339,6 +342,9 @@ class Context:
             allow_destructive_models=allow_destructive_models,
             allow_additive_models=allow_additive_models,
             execution_time=execution_time,
+            backfill_models=backfill_models,
+            include_unmodified=include_unmodified,
+            ignore_cron=ignore_cron,
         )
 
     def _run_project_tests(self) -> list[str]:
@@ -440,16 +446,18 @@ class Context:
         end: str = "1998-12-31",
         forward_only: bool = False,
         select_models: Optional[list[str]] = None,
+        ignore_cron: bool = False,
     ) -> dict[str, int]:
         """plan+apply in one step (context.py:756 run semantics: process
         missing intervals for the environment). Scheduled execution — the
         test/linter gates belong to plan(), not run (a failing YAML test
         must not block cron runs; matches the reference, whose run path
-        never test-gates)."""
+        never test-gates). ignore_cron (reference run arg) processes the
+        trailing partial unit without waiting for cron completion."""
         return self.apply(
             self.plan(
                 environment, start, end, forward_only, select_models,
-                skip_tests=True, skip_linter=True,
+                skip_tests=True, skip_linter=True, ignore_cron=ignore_cron,
             )
         )
 

@@ -69,6 +69,15 @@ class Plan:
     # but NO rows, marking the plan window processed — onboarding lever
     # for models whose history will arrive later via restatement.
     empty_backfill: bool = False
+    # backfill_models (plan arg): only these models process intervals;
+    # the rest get snapshots + views over whatever data already exists.
+    backfill_models: Optional[tuple] = None
+    # include_unmodified (plan arg): when False, a new environment gets
+    # views only for ADDED/MODIFIED models (leaner dev envs).
+    include_unmodified: bool = True
+    # ignore_cron (reference run arg): process the trailing partial unit
+    # regardless of cron completion for this one execution.
+    ignore_cron: bool = False
     # execution_time (plan arg): pins @execution_ts/@execution_ds in
     # rendered SQL (defaults to each interval's end) — reproducible runs.
     execution_time: Optional[str] = None
@@ -222,6 +231,9 @@ class PlanEvaluator:
         allow_destructive_models: Optional[Sequence[str]] = None,
         allow_additive_models: Optional[Sequence[str]] = None,
         execution_time: Optional[str] = None,
+        backfill_models: Optional[Sequence[str]] = None,
+        include_unmodified: bool = True,
+        ignore_cron: bool = False,
     ) -> Plan:
         env_state = self.state.get_environment(environment)
         if not env_state and create_from:
@@ -274,6 +286,11 @@ class PlanEvaluator:
             skip_backfill=skip_backfill,
             empty_backfill=empty_backfill,
             execution_time=execution_time,
+            backfill_models=tuple(m.lower() for m in backfill_models)
+            if backfill_models
+            else None,
+            include_unmodified=include_unmodified,
+            ignore_cron=ignore_cron,
         )
 
     _MERGE_KINDS = frozenset(
@@ -667,6 +684,10 @@ class PlanEvaluator:
             plan.snapshots,
             custom_audits=self.custom_audits,
             execution_time=plan.execution_time,
+            backfill_models=set(plan.backfill_models)
+            if plan.backfill_models is not None
+            else None,
+            ignore_cron=plan.ignore_cron,
         )
         if plan.forward_only and plan.effective_from:
             self._apply_effective_from(plan.snapshots, plan.diff, plan.effective_from)
@@ -690,8 +711,11 @@ class PlanEvaluator:
             "prod_views" if plan.environment == "prod" else f"{plan.environment}_views"
         )
         self.adapter.create_schema(env_schema)
+        modified_or_added = set(plan.diff.added) | set(plan.diff.modified)
         for name, snap in plan.snapshots.items():
             if snap.model.kind.value in ("EMBEDDED", "EXTERNAL"):
+                continue
+            if not plan.include_unmodified and name not in modified_or_added:
                 continue
             if not self.adapter.table_exists(snap.table_name):
                 # Signals may have gated every interval — the snapshot has

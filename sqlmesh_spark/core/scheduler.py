@@ -534,10 +534,19 @@ class Scheduler:
         max_workers: int = 4,
         custom_audits: Optional[Mapping[str, object]] = None,
         execution_time: Optional[str] = None,
+        ignore_cron: bool = False,
+        backfill_models: Optional[set] = None,
     ):
         self.spark = spark
         self.state = state
         self.snapshots = dict(snapshots)
+        # reference run arg ignore_cron: process the trailing partial unit
+        # regardless of cron completion (allow_partials for every model,
+        # one run only).
+        self.ignore_cron = ignore_cron
+        # reference plan arg backfill_models: restrict interval processing
+        # to these models; everything else gets snapshots and views only.
+        self.backfill_models = backfill_models
         self.evaluator = SnapshotEvaluator(spark, execution_time=execution_time)
         self.evaluator.custom_audits = dict(custom_audits or {})
         self.max_workers = max_workers
@@ -594,6 +603,8 @@ class Scheduler:
         self, snapshot: Snapshot, start: str, end: str, mapping: Mapping[str, str]
     ) -> int:
         model = snapshot.model
+        if self.backfill_models is not None and model.name not in self.backfill_models:
+            return 0
         unit = model_interval_unit(model)
         eff_start = model.start or start
         processed = self.state.get_intervals(model.name, snapshot.version)
@@ -632,7 +643,7 @@ class Scheduler:
                 processed,
                 unit=unit,
                 lookback=model.lookback,
-                allow_partials=model.allow_partials,
+                allow_partials=model.allow_partials or self.ignore_cron,
             )
             if model.signals:
                 # Signal gating (scheduler.py:950 _check_ready_intervals):

@@ -1326,3 +1326,63 @@ GROUP BY o_orderdate
     snap = build_snapshots(ctx2.models)["demo_ebs.inc"]
     ddl = spark.sql(f"SHOW CREATE TABLE {snap.table_name}").collect()[0][0]
     assert "_ds" in ddl and "PARTITIONED BY" in ddl
+
+
+def test_backfill_models_and_include_unmodified(spark, tmp_path):
+    """backfill_models restricts interval processing; include_unmodified=
+    False gives a new environment views only for changed models."""
+    from sqlmesh_spark.core.context import Context
+
+    for db in ("sqlmesh__demo_bm", "env_bm_views", "env_bm2_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    state = str(tmp_path / "state")
+    ctx = Context(spark, state_dir=state)
+    ctx.add_model("MODEL (name demo_bm.a, kind FULL);\nSELECT 1 AS x")
+    ctx.add_model("MODEL (name demo_bm.b, kind FULL);\nSELECT 2 AS y")
+    plan = ctx.plan(environment="env_bm", backfill_models=["demo_bm.a"])
+    executed = ctx.apply(plan)
+    assert executed["demo_bm.a"] >= 1
+    assert executed["demo_bm.b"] == 0
+    assert spark.catalog.tableExists("env_bm_views.a")
+    assert not spark.catalog.tableExists("env_bm_views.b")  # no data yet
+
+    # full apply to env_bm, then branch env_bm2 with only b modified
+    ctx.run(environment="env_bm")
+    ctx2 = Context(spark, state_dir=state)
+    ctx2.add_model("MODEL (name demo_bm.a, kind FULL);\nSELECT 1 AS x")
+    ctx2.add_model("MODEL (name demo_bm.b, kind FULL);\nSELECT 2 AS y, 3 AS z")
+    plan2 = ctx2.plan(environment="env_bm2", create_from="env_bm",
+                      include_unmodified=False)
+    ctx2.apply(plan2)
+    assert spark.catalog.tableExists("env_bm2_views.b")
+    assert not spark.catalog.tableExists("env_bm2_views.a")  # unmodified skipped
+
+
+def test_ignore_cron_processes_partial_interval(spark, tmp_path):
+    """run(ignore_cron=True) processes the trailing partial unit a normal
+    run would defer until the cron period completes."""
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    for db in ("sqlmesh__demo_ic", "env_ic_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    text = """
+MODEL (name demo_ic.daily, kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts), cron '@daily');
+SELECT o_orderdate AS event_ts, COUNT(*) AS n FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate < CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate
+"""
+    state = str(tmp_path / "s")
+    ctx = Context(spark, state_dir=state)
+    ctx.add_model(text)
+    # mid-day end: the partial Jan-4 day is deferred normally...
+    ctx.run(environment="env_ic", start="1995-01-01", end="1995-01-04 12:00:00")
+    n1 = spark.table("env_ic_views.daily").count()
+    assert n1 == 1  # only Jan 1 (Jan 4's order sits in the partial unit)
+    # ...but processed under ignore_cron
+    ctx.run(environment="env_ic", start="1995-01-01", end="1995-01-04 12:00:00",
+            ignore_cron=True)
+    n2 = spark.table("env_ic_views.daily").count()
+    assert n2 == 2  # Jan 4 midnight order now included
