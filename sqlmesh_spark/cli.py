@@ -83,6 +83,7 @@ def cmd_plan(args) -> int:
         skip_linter=getattr(args, "skip_linter", False),
         backfill_models=getattr(args, "backfill_model", None),
         include_unmodified=getattr(args, "include_unmodified", True),
+        no_auto_categorization=getattr(args, "no_auto_categorization", False),
     )
     print(_plan_summary(plan))
     if args.dry_run:
@@ -698,6 +699,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip the project YAML model tests gate")
     sp.add_argument("--skip-linter", action="store_true",
                     help="skip lint warnings during planning")
+    sp.add_argument("--no-auto-categorization", action="store_true",
+                    help="treat every change as breaking (no additive heuristic)")
     sp.add_argument("--backfill-model", action="append", default=None,
                     help="restrict interval processing to this model (repeatable)")
     sp.add_argument("--include-unmodified", dest="include_unmodified",

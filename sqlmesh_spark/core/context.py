@@ -312,6 +312,7 @@ class Context:
         backfill_models: Optional[list[str]] = None,
         include_unmodified: bool = True,
         ignore_cron: bool = False,
+        no_auto_categorization: bool = False,
     ) -> Plan:
         # The reference's plan gates (context.py:1314 plan args
         # skip_tests/skip_linter): project YAML tests must pass before a
@@ -345,6 +346,7 @@ class Context:
             backfill_models=backfill_models,
             include_unmodified=include_unmodified,
             ignore_cron=ignore_cron,
+            no_auto_categorization=no_auto_categorization,
         )
 
     def _run_project_tests(self) -> list[str]:

@@ -234,6 +234,7 @@ class PlanEvaluator:
         backfill_models: Optional[Sequence[str]] = None,
         include_unmodified: bool = True,
         ignore_cron: bool = False,
+        no_auto_categorization: bool = False,
     ) -> Plan:
         env_state = self.state.get_environment(environment)
         if not env_state and create_from:
@@ -256,7 +257,11 @@ class PlanEvaluator:
         snapshots = build_snapshots(models)
         self._warn_unpartitioned_merges(models)
         diff = context_diff(snapshots, env_state)
-        self._categorize_and_revert(snapshots, diff, env_state)
+        # no_auto_categorization (reference plan arg): treat EVERY change
+        # as breaking — teams that review categorization manually opt out
+        # of the additive-projection heuristic entirely.
+        if not no_auto_categorization:
+            self._categorize_and_revert(snapshots, diff, env_state)
         if effective_from and not forward_only:
             raise PlanError("effective_from requires a forward-only plan")
         if skip_backfill and no_gaps:

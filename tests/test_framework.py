@@ -1386,3 +1386,26 @@ GROUP BY o_orderdate
             ignore_cron=True)
     n2 = spark.table("env_ic_views.daily").count()
     assert n2 == 2  # Jan 4 midnight order now included
+
+
+def test_no_auto_categorization_treats_additive_as_breaking(spark, tmp_path):
+    """With no_auto_categorization, an additive-projection change (normally
+    NON_BREAKING → child keeps its version) rebuilds the child too."""
+    from sqlmesh_spark.core.context import Context
+
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("region",))
+    state = str(tmp_path / "state")
+    ctx = Context(spark, state_dir=state)
+    ctx.add_model("MODEL (name demo_nac.p, kind FULL);\nSELECT r_regionkey AS a FROM region")
+    ctx.add_model("MODEL (name demo_nac.c, kind FULL);\nSELECT a FROM demo_nac.p")
+    ctx.run(environment="env_nac")
+
+    ctx2 = Context(spark, state_dir=state)
+    ctx2.add_model("MODEL (name demo_nac.p, kind FULL);\nSELECT r_regionkey AS a, r_name AS b FROM region")
+    ctx2.add_model("MODEL (name demo_nac.c, kind FULL);\nSELECT a FROM demo_nac.p")
+    auto = ctx2.plan(environment="env_nac")
+    assert "demo_nac.c" in auto.diff.unchanged  # additive heuristic reverts child
+    manual = ctx2.plan(environment="env_nac", no_auto_categorization=True)
+    assert "demo_nac.c" in manual.diff.modified  # everything breaking
