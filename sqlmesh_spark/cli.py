@@ -703,11 +703,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="treat every change as breaking (no additive heuristic)")
     sp.add_argument("--backfill-model", action="append", default=None,
                     help="restrict interval processing to this model (repeatable)")
-    sp.add_argument("--include-unmodified", dest="include_unmodified",
-                    action="store_true", default=True)
     sp.add_argument("--no-include-unmodified", dest="include_unmodified",
-                    action="store_false",
-                    help="new environments get views only for changed models")
+                    action="store_false", default=True,
+                    help="create/refresh environment views only for models in "
+                    "this plan's change surface (added/modified/indirect)")
     sp.add_argument("--skip-backfill", action="store_true",
                     help="record snapshots and promote without processing intervals")
     sp.add_argument("--empty-backfill", action="store_true",

@@ -39,6 +39,11 @@ class ContextDiff:
     removed: list[str] = field(default_factory=list)
     modified: list[str] = field(default_factory=list)
     unchanged: list[str] = field(default_factory=list)
+    # Children reverted to their old version by the NON_BREAKING
+    # categorization: no data work, but they are part of the change
+    # surface and must still be virtual-updated (even under
+    # include_unmodified=False).
+    indirectly_modified: list[str] = field(default_factory=list)
 
     @property
     def has_changes(self) -> bool:
@@ -78,6 +83,10 @@ class Plan:
     # ignore_cron (reference run arg): process the trailing partial unit
     # regardless of cron completion for this one execution.
     ignore_cron: bool = False
+    # Forward-only schema migrations computed at plan time, EXECUTED at
+    # apply time (table → ALTER statements): plan() stays read-only, so a
+    # dry-run never alters the serving table (MigrateSchemasStage:150).
+    pending_migrations: dict = field(default_factory=dict)
     # execution_time (plan arg): pins @execution_ts/@execution_ds in
     # rendered SQL (defaults to each interval's end) — reproducible runs.
     execution_time: Optional[str] = None
@@ -268,8 +277,9 @@ class PlanEvaluator:
             raise PlanError("skip_backfill and no_gaps are mutually exclusive")
         if skip_backfill and empty_backfill:
             raise PlanError("skip_backfill and empty_backfill are mutually exclusive")
+        pending_migrations: dict[str, list[str]] = {}
         if forward_only:
-            self._pin_forward_only(
+            pending_migrations = self._pin_forward_only(
                 snapshots,
                 diff,
                 env_state,
@@ -291,11 +301,12 @@ class PlanEvaluator:
             skip_backfill=skip_backfill,
             empty_backfill=empty_backfill,
             execution_time=execution_time,
-            backfill_models=tuple(m.lower() for m in backfill_models)
-            if backfill_models
-            else None,
+            backfill_models=self._resolve_backfill_models(
+                backfill_models, snapshots
+            ),
             include_unmodified=include_unmodified,
             ignore_cron=ignore_cron,
+            pending_migrations=pending_migrations,
         )
 
     _MERGE_KINDS = frozenset(
@@ -421,6 +432,7 @@ class PlanEvaluator:
                 )
                 diff.modified.remove(name)
                 diff.unchanged.append(name)
+                diff.indirectly_modified.append(name)
                 taint[name] = False
             else:
                 taint[name] = True
@@ -432,7 +444,7 @@ class PlanEvaluator:
         env_state: Mapping[str, str],
         allow_destructive: Optional[set] = None,
         allow_additive: Optional[set] = None,
-    ) -> None:
+    ) -> dict[str, list[str]]:
         """Pin modified models to their previous version (same physical
         table), migrate the table schema additively, and carry the old
         version's processed intervals — the forward-only contract
@@ -447,6 +459,7 @@ class PlanEvaluator:
         from sqlmesh_spark.diff import SchemaDiffer
 
         differ = SchemaDiffer()
+        pending: dict[str, list[str]] = {}
         for name in diff.modified:
             old_version = env_state[name]
             new = snapshots[name]
@@ -497,15 +510,18 @@ class PlanEvaluator:
                         logging.getLogger("sqlmesh_spark").warning(
                             "forward-only additive change(s) on %s: %s", name, additive,
                         )
-                    self.adapter.alter_table(
-                        pinned.table_name,
-                        [
-                            f"ALTER TABLE {pinned.table_name} ADD COLUMN {d.column} {d.new_type}"
-                            for d in deltas
-                            if d.op == "add"
-                        ],
-                    )
+                    stmts = [
+                        f"ALTER TABLE {pinned.table_name} ADD COLUMN {d.column} {d.new_type}"
+                        for d in deltas
+                        if d.op == "add"
+                    ]
+                    if stmts:
+                        # Collected, not executed: plan() is read-only —
+                        # apply() runs these (a dry-run must never alter
+                        # the serving table's schema).
+                        pending[pinned.table_name] = stmts
             snapshots[name] = pinned
+        return pending
 
     def _empty_backfill(self, plan: Plan) -> dict[str, int]:
         """Create each snapshot's physical table with the model's analyzed
@@ -528,6 +544,8 @@ class PlanEvaluator:
         for name, snap in plan.snapshots.items():
             model = snap.model
             if model.kind.value in ("EMBEDDED", "EXTERNAL", "VIEW", "SEED"):
+                continue
+            if plan.backfill_models is not None and name not in plan.backfill_models:
                 continue
             if model.kind.value.startswith("SCD"):
                 raise PlanError(
@@ -615,6 +633,47 @@ class PlanEvaluator:
             cols["_ds"] = "string"
         return cols
 
+    def _resolve_backfill_models(
+        self,
+        backfill_models: Optional[Sequence[str]],
+        snapshots: Mapping[str, Snapshot],
+    ) -> Optional[tuple]:
+        """Expand/validate the backfill allow-list (same fnmatch wildcard
+        semantics as select_models). A pattern matching nothing is a
+        PlanError — a typo must not silently promote an empty backfill.
+        Selecting a model whose NOT-selected parent has no physical table
+        yet is also an error: its evaluation would crash mid-apply."""
+        if backfill_models is None:
+            return None
+        import fnmatch
+
+        selected = {
+            name
+            for name in snapshots
+            for pat in backfill_models
+            if fnmatch.fnmatch(name, pat.lower())
+        }
+        unknown = [
+            p
+            for p in backfill_models
+            if not any(fnmatch.fnmatch(n, p.lower()) for n in snapshots)
+        ]
+        if unknown:
+            raise PlanError(f"backfill_models matched nothing: {unknown}")
+        for name in sorted(selected):
+            for parent in snapshots[name].parents:
+                if parent in selected or parent not in snapshots:
+                    continue
+                psnap = snapshots[parent]
+                if psnap.model.kind.value in ("EMBEDDED", "EXTERNAL", "SEED"):
+                    continue
+                if not self.adapter.table_exists(psnap.table_name):
+                    raise PlanError(
+                        f"backfill_models selects {name} but excludes its "
+                        f"parent {parent}, which has no physical table yet"
+                    )
+        return tuple(sorted(selected))
+
     @staticmethod
     def _merge_intervals(raw: list) -> list[tuple[int, int]]:
         out: list[tuple[int, int]] = []
@@ -694,6 +753,11 @@ class PlanEvaluator:
             else None,
             ignore_cron=plan.ignore_cron,
         )
+        # Forward-only schema migrations (MigrateSchemasStage:150): the
+        # ALTERs plan() computed run now, before any backfill reads the
+        # pinned tables.
+        for table, stmts in plan.pending_migrations.items():
+            self.adapter.alter_table(table, stmts)
         if plan.forward_only and plan.effective_from:
             self._apply_effective_from(plan.snapshots, plan.diff, plan.effective_from)
         if plan.skip_backfill:
@@ -716,7 +780,11 @@ class PlanEvaluator:
             "prod_views" if plan.environment == "prod" else f"{plan.environment}_views"
         )
         self.adapter.create_schema(env_schema)
-        modified_or_added = set(plan.diff.added) | set(plan.diff.modified)
+        modified_or_added = (
+            set(plan.diff.added)
+            | set(plan.diff.modified)
+            | set(plan.diff.indirectly_modified)
+        )
         for name, snap in plan.snapshots.items():
             if snap.model.kind.value in ("EMBEDDED", "EXTERNAL"):
                 continue

@@ -99,8 +99,16 @@ class SnapshotEvaluator:
         cacheable = not needs_schemas(snapshot.model.query)
         key = ()
         if cacheable:
+            # The key carries a hash of the RAW QUERY TEXT in addition to
+            # the version: a forward-only plan pins a snapshot to its OLD
+            # version while carrying NEW query text, so version alone no
+            # longer determines the rendered SQL (a stale hit would
+            # evaluate the old logic and silently drop the change).
+            import hashlib as _hashlib
+
             key = (
                 snapshot.version,
+                _hashlib.md5(snapshot.model.query.encode()).hexdigest()[:12],
                 snapshot.model.name,
                 start,
                 end,

@@ -1409,3 +1409,47 @@ def test_no_auto_categorization_treats_additive_as_breaking(spark, tmp_path):
     assert "demo_nac.c" in auto.diff.unchanged  # additive heuristic reverts child
     manual = ctx2.plan(environment="env_nac", no_auto_categorization=True)
     assert "demo_nac.c" in manual.diff.modified  # everything breaking
+
+
+def test_forward_only_dry_run_does_not_alter_schema(spark, tmp_path):
+    """plan(forward_only) computes schema migrations but does NOT execute
+    them — an abandoned plan leaves the serving table's schema untouched;
+    apply() runs the ALTERs."""
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import build_snapshots
+
+    for db in ("sqlmesh__demo_fod", "env_fod_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    state = str(tmp_path / "state")
+    ctx = Context(spark, state_dir=state)
+    ctx.add_model("MODEL (name demo_fod.m, kind FULL);\nSELECT 1 AS a")
+    ctx.run(environment="env_fod")
+    table = build_snapshots(ctx.models)["demo_fod.m"].table_name
+
+    ctx2 = Context(spark, state_dir=state)
+    ctx2.add_model("MODEL (name demo_fod.m, kind FULL);\nSELECT 1 AS a, 2 AS b")
+    plan = ctx2.plan(environment="env_fod", forward_only=True)  # never applied
+    assert plan.pending_migrations  # the migration is recorded...
+    assert "b" not in spark.table(table).columns  # ...but NOT executed
+    ctx2.apply(plan)
+    assert "b" in spark.table(table).columns
+
+
+def test_backfill_models_typo_and_parent_guard(spark, tmp_path):
+    """A backfill_models pattern matching nothing raises; selecting a
+    child while excluding its unbuilt parent raises at plan time."""
+    import pytest
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import PlanError
+
+    ctx = Context(spark, state_dir=str(tmp_path / "s"))
+    ctx.add_model("MODEL (name demo_bg.p, kind FULL);\nSELECT 1 AS a")
+    ctx.add_model("MODEL (name demo_bg.c, kind FULL);\nSELECT a FROM demo_bg.p")
+    with pytest.raises(PlanError, match="matched nothing"):
+        ctx.plan(environment="env_bg", backfill_models=["demo_bg.typo"])
+    with pytest.raises(PlanError, match="excludes its parent"):
+        ctx.plan(environment="env_bg", backfill_models=["demo_bg.c"])
+    # wildcard selection works
+    plan = ctx.plan(environment="env_bg", backfill_models=["demo_bg.*"])
+    assert set(plan.backfill_models) == {"demo_bg.p", "demo_bg.c"}
