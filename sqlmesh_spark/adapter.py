@@ -398,7 +398,18 @@ class SparkAdapter:
     ) -> None:
         """Stage to a temp table, then swap via rename — the no-transaction
         atomicity discipline (immutable tables + pointer swap) the
-        reference's virtual layer uses (plan/stages.py:165)."""
+        reference's virtual layer uses (plan/stages.py:165).
+
+        When the caller doesn't pass a layout and the target already
+        exists, its partition columns are INHERITED: delete_from /
+        update_table / optimize / managed refresh must never silently
+        flatten a partitioned table into an unpartitioned one (that would
+        lock every later interval write into full-table rewrites)."""
+        if not partitioned_by and self.table_exists(table):
+            inherited = self._partition_columns(table)
+            # engine-managed partition columns (_ds, _is_current) live in
+            # df too — inherit only columns the frame actually carries
+            partitioned_by = tuple(c for c in inherited if c in df.columns)
         tmp = self._tmp_name(table)
         writer = df.write.format(storage_format)
         if partitioned_by:
@@ -408,6 +419,12 @@ class SparkAdapter:
         writer.saveAsTable(tmp)
         self.drop_table(table)
         self.rename_table(tmp, table)
+        if partitioned_by:
+            # RENAME moves a managed table's directory but leaves the
+            # catalog's per-partition locations pointing at the OLD path
+            # (the table reads empty) — re-register partitions from the
+            # filesystem after the swap.
+            self.spark.sql(f"MSCK REPAIR TABLE {table}")
 
     def optimize_compact(
         self, table: str, sort_by: list[str], target_files: int

@@ -42,6 +42,15 @@ class AuditError(Exception):
     pass
 
 
+import contextlib as _contextlib
+import threading as _threading
+
+# Serializes evaluations that set session-global Spark confs (see
+# SnapshotEvaluator.evaluate); conf-less models never take it.
+_SESSION_CONF_LOCK = _threading.Lock()
+_NULL_LOCK = _contextlib.nullcontext()
+
+
 import re as _re
 
 _NUMERIC_RE = _re.compile(r"^-?\d+(\.\d+)?$")
@@ -203,13 +212,30 @@ class SnapshotEvaluator:
         # session_properties (meta.py:109): per-model Spark confs for the
         # duration of this evaluation (shuffle partitions, AQE knobs, ...),
         # restored afterward so models can't leak tuning into each other.
-        saved: dict[str, object] = {}
-        for k, v in model.session_properties.items():
-            try:
-                saved[k] = self.spark.conf.get(k)
-            except Exception:  # noqa: BLE001 - unset conf
-                saved[k] = None
-            self.spark.conf.set(k, v)
+        # Spark confs are SESSION-GLOBAL and the scheduler runs DAG levels
+        # on a thread pool, so models that declare session_properties
+        # serialize behind a lock — otherwise a concurrent model's
+        # save/restore interleaving can permanently clobber a conf (and
+        # its evaluation would silently run under the other model's
+        # tuning). Models without session_properties never touch confs
+        # and proceed fully parallel.
+        lock = _SESSION_CONF_LOCK if model.session_properties else _NULL_LOCK
+        with lock:
+            saved: dict[str, object] = {}
+            for k, v in model.session_properties.items():
+                try:
+                    saved[k] = self.spark.conf.get(k)
+                except Exception:  # noqa: BLE001 - unset conf
+                    saved[k] = None
+                self.spark.conf.set(k, v)
+            self._evaluate_scoped(
+                snapshot, start, end, table_mapping, is_first_insert, saved
+            )
+
+    def _evaluate_scoped(
+        self, snapshot, start, end, table_mapping, is_first_insert, saved
+    ) -> None:
+        model = snapshot.model
         try:
             self._evaluate_inner(snapshot, start, end, table_mapping, is_first_insert)
             # physical_properties (meta.py:107) → TBLPROPERTIES on the
@@ -224,17 +250,32 @@ class SnapshotEvaluator:
                     f"ALTER TABLE {snapshot.table_name} SET TBLPROPERTIES ({props})"
                 )
         finally:
-            for k, v in saved.items():
-                if v is None:
-                    self.spark.conf.unset(k)
-                else:
-                    self.spark.conf.set(k, v)
             # Post-statements run even when the evaluation fails — they
             # release what pre-statements acquired (caches, temp objects).
-            for stmt in model.post_statements:
-                self.spark.sql(
-                    self.render_statement(stmt, snapshot, start, end, table_mapping)
-                )
+            # They run INSIDE the conf scope (the same-scope contract with
+            # pre-statements) and a post failure during an in-flight
+            # evaluation exception is logged, never allowed to MASK it.
+            try:
+                for stmt in model.post_statements:
+                    self.spark.sql(
+                        self.render_statement(stmt, snapshot, start, end, table_mapping)
+                    )
+            except Exception:  # noqa: BLE001
+                import logging as _logging
+                import sys as _sys
+
+                if _sys.exc_info()[0] is not None:
+                    _logging.getLogger("sqlmesh_spark").exception(
+                        "post-statement failed for %s", model.name
+                    )
+                if not _sys.exc_info()[1].__context__:
+                    raise
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        self.spark.conf.unset(k)
+                    else:
+                        self.spark.conf.set(k, v)
 
     def _evaluate_inner(
         self,
@@ -527,7 +568,15 @@ class SnapshotEvaluator:
 def _replace_table_ref(sql: str, logical: str, physical: str) -> str:
     import re
 
-    return re.sub(rf"(?<![\w.]){re.escape(logical)}(?![\w.])", physical, sql, flags=re.IGNORECASE)
+    # The replacement is a CALLABLE: `physical` may be an EMBEDDED model's
+    # inlined query text containing backslashes (regexp_extract patterns)
+    # that a template-string re.sub would reinterpret ('bad escape \d').
+    return re.sub(
+        rf"(?<![\w.]){re.escape(logical)}(?![\w.])",
+        lambda _m: physical,
+        sql,
+        flags=re.IGNORECASE,
+    )
 
 
 class Scheduler:
@@ -578,6 +627,26 @@ class Scheduler:
                 out[name] = name
             else:
                 out[name] = s.table_name
+        # Resolve model refs INSIDE embedded inlined text here (to a
+        # fixpoint, for embedded-of-embedded): render()'s single
+        # longest-first pass over the final SQL cannot reach a parent name
+        # that only appears after the embedded text is substituted in.
+        for _ in range(5):
+            changed = False
+            for name, s in self.snapshots.items():
+                if s.model.kind != ModelKind.EMBEDDED:
+                    continue
+                text = out[name]
+                for logical, physical in sorted(out.items(), key=lambda kv: -len(kv[0])):
+                    if logical == name:
+                        continue
+                    new_text = _replace_table_ref(text, logical, physical)
+                    if new_text != text:
+                        text = new_text
+                        changed = True
+                out[name] = text
+            if not changed:
+                break
         return out
 
     def run(self, start: str, end: str) -> dict[str, int]:
@@ -626,7 +695,19 @@ class Scheduler:
         ar_cron = model.kind_args.get("auto_restatement_cron", "").strip("'\"")
         if ar_cron and processed:
             ar_n = int(model.kind_args.get("auto_restatement_intervals", "1").strip("'\"") or 1)
-            boundary = floor_to(to_epoch(end), interval_unit(ar_cron))
+            # Weekly crons ('0 0 * * 1': dow restricted, dom free) have no
+            # rung on the interval-unit ladder — interval_unit would floor
+            # them to DAY and fire the restatement EVERY day (7× the
+            # intended recompute). Use a fixed 7-day cadence for them.
+            ar_fields = ar_cron.split()
+            if (
+                len(ar_fields) == 5
+                and ar_fields[2] == "*"
+                and ar_fields[4] not in ("*", "?")
+            ):
+                boundary = (to_epoch(end) // (7 * 86400)) * (7 * 86400)
+            else:
+                boundary = floor_to(to_epoch(end), interval_unit(ar_cron))
             last = self.state.get_auto_restatement(model.name, snapshot.version)
             if last is None or last < boundary:
                 hi = max(e for _, e in processed)
@@ -661,8 +742,10 @@ class Scheduler:
                 chunks = check_ready_intervals(model.signals, chunks)
             batches = batch_intervals(chunks, model.batch_size)
         else:
-            # Non-incremental kinds re-run wholesale each scheduled tick.
-            batches = [(0, 0)] if processed else [(0, 0)]
+            # Non-incremental kinds re-run wholesale each scheduled tick
+            # (FULL-refresh semantics); the single sentinel batch carries
+            # no interval.
+            batches = [(0, 0)]
             batches = [] if model.kind in (ModelKind.EMBEDDED, ModelKind.EXTERNAL) else batches
         first = not processed
         n = 0
@@ -682,12 +765,24 @@ class Scheduler:
                 self.evaluator.evaluate(
                     snapshot, from_epoch(bs), from_epoch(be), mapping, first and n == 0
                 )
-                done.append((bs, be))
+                if model.kind == ModelKind.INCREMENTAL_UNMANAGED:
+                    # Unmanaged appends are NOT idempotent: a written-but-
+                    # unrecorded batch would re-append on the next run and
+                    # duplicate rows forever. Record immediately after the
+                    # write; a blocking-audit failure still raises below
+                    # (alerting), it just can't trigger a reprocess of an
+                    # append-only target (the reference likewise exempts
+                    # unmanaged models from restatement).
+                    self.state.add_interval(model.name, snapshot.version, bs, be)
+                else:
+                    done.append((bs, be))
             n += 1
         # Audits gate interval recording (reference scheduler.py:191→:254:
         # evaluate → audits → add_interval): a blocking-audit failure leaves
         # the batch UNRECORDED, so the next run reprocesses it — safe because
-        # every incremental write path here is idempotent per interval.
+        # every REMAINING incremental write path is idempotent per interval
+        # (time-range overwrite, keyed merge, partition overwrite, SCD2;
+        # unmanaged recorded above).
         if batches:
             a_start = a_end = None
             if done:

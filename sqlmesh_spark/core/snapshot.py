@@ -57,11 +57,14 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
     h = hashlib.md5()
     h.update(_normalize_sql(model.query).encode())
     h.update(model.kind.value.encode())
+    # NUL-delimited entries: without a terminator, {'a': '1b=2'} and
+    # {'a': '1', 'b': '2'} would feed identical bytes and collide onto one
+    # version hash.
     for k in sorted(model.kind_args):
-        h.update(f"{k}={model.kind_args[k]}".encode())
+        h.update(f"{k}={model.kind_args[k]}\x00".encode())
     for k in sorted(model.variables):
         # Blueprint-bound variables change rendered SQL via @VAR lookups.
-        h.update(f"var:{k}={model.variables[k]}".encode())
+        h.update(f"var:{k}={model.variables[k]}\x00".encode())
     # Physical layout is part of the DATA hash (reference
     # snapshot/definition.py:1861 hashes partitioned_by/clustered_by):
     # changing partitioning or bucketing must rebuild the table.
@@ -72,9 +75,9 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
     if model.storage_format != "parquet":
         h.update(f"fmt:{model.storage_format}".encode())
     for k in sorted(model.physical_properties):
-        h.update(f"pprop:{k}={model.physical_properties[k]}".encode())
+        h.update(f"pprop:{k}={model.physical_properties[k]}\x00".encode())
     for k in sorted(model.session_properties):
-        h.update(f"sprop:{k}={model.session_properties[k]}".encode())
+        h.update(f"sprop:{k}={model.session_properties[k]}\x00".encode())
     if model.stamp:
         # node.py:131 — versioning lever with no functional change
         h.update(f"stamp:{model.stamp}".encode())
@@ -218,15 +221,25 @@ def floor_to(epoch: int, unit: int) -> int:
     return epoch - (epoch % unit)
 
 
+def _safe_month_shift(d: "dt.datetime", year: int, month: int) -> "dt.datetime":
+    """Shift to (year, month) clamping day-of-month — an off-boundary
+    input (partial interval ends like Mar-30 12:00, leap days) must not
+    raise 'day is out of range for month'."""
+    import calendar
+
+    day = min(d.day, calendar.monthrange(year, month)[1])
+    return d.replace(year=year, month=month, day=day)
+
+
 def next_unit(epoch: int, unit: int) -> int:
     """The boundary one unit after ``epoch`` (``epoch`` on a boundary)."""
     if unit == MONTH:
         d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
         y, m = (d.year + 1, 1) if d.month == 12 else (d.year, d.month + 1)
-        return to_epoch(d.replace(year=y, month=m))
+        return to_epoch(_safe_month_shift(d, y, m))
     if unit == YEAR:
         d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
-        return to_epoch(d.replace(year=d.year + 1))
+        return to_epoch(_safe_month_shift(d, d.year + 1, d.month))
     return epoch + unit
 
 
@@ -235,10 +248,10 @@ def prev_unit(epoch: int, unit: int) -> int:
     if unit == MONTH:
         d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
         y, m = (d.year - 1, 12) if d.month == 1 else (d.year, d.month - 1)
-        return to_epoch(d.replace(year=y, month=m))
+        return to_epoch(_safe_month_shift(d, y, m))
     if unit == YEAR:
         d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
-        return to_epoch(d.replace(year=d.year - 1))
+        return to_epoch(_safe_month_shift(d, d.year - 1, d.month))
     return epoch - unit
 
 

@@ -141,3 +141,63 @@ def test_optimize_compact_layout(spark, sf_dir):
     spans = sorted([(r.lo, r.hi) for r in ranges])
     for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
         assert ahi <= blo  # disjoint (boundary date may be shared)
+
+
+def test_delete_from_preserves_partition_layout(spark):
+    """delete_from (and every _atomic_rewrite caller) must keep the
+    table's partition columns — flattening would lock later interval
+    writes into full-table rewrites."""
+    from sqlmesh_spark.adapter import SparkAdapter
+
+    a = SparkAdapter(spark)
+    t = "default.part_preserve_test"
+    a.drop_table(t)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id int, ds string"
+    )
+    a.ctas(t, df, partitioned_by=("ds",))
+    a.delete_from(t, "id = 1")
+    part_cols = a._partition_columns(t)
+    assert part_cols == ["ds"], part_cols
+    assert {r.id for r in spark.table(t).collect()} == {2}
+    a.drop_table(t)
+
+
+def test_unmanaged_records_intervals_despite_audit_failure(spark, tmp_path):
+    """INCREMENTAL_UNMANAGED appends are not idempotent: a blocking-audit
+    failure must still record the written interval so the next run cannot
+    re-append duplicates."""
+    import pytest
+
+    from sqlmesh_spark.core.context import Context
+    from sqlmesh_spark.core.plan import build_snapshots
+    from sqlmesh_spark.core.scheduler import AuditError
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    for db in ("sqlmesh__demo_unm2", "env_unm2_views"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    text = """
+MODEL (
+  name demo_unm2.log,
+  kind INCREMENTAL_UNMANAGED,
+  cron '@daily',
+  audits (number_of_rows(threshold = 100000))
+);
+SELECT o_orderkey, o_orderdate AS event_ts FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+"""
+    ctx = Context(spark, state_dir=str(tmp_path / "s"))
+    ctx.add_model(text)
+    with pytest.raises(Exception) as ei:
+        ctx.run(environment="env_unm2", start="1995-01-01", end="1995-01-31")
+    assert "audit" in str(ei.value).lower()
+    snap = build_snapshots(ctx.models)["demo_unm2.log"]
+    n1 = spark.table(snap.table_name).count()
+    assert n1 > 0  # the batch WAS written
+    # second run: intervals already recorded → clean no-op, NO duplicate
+    # append (and no batches means the audit doesn't re-fire)
+    executed = ctx.run(environment="env_unm2", start="1995-01-01", end="1995-01-31")
+    assert executed["demo_unm2.log"] == 0
+    assert spark.table(snap.table_name).count() == n1
