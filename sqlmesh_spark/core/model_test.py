@@ -36,6 +36,15 @@ def _rows_to_df(spark: SparkSession, rows: list[dict], types: Optional[Mapping[s
     behave like the real table (e.g. '2024-01-02' vs TIMESTAMP)."""
     import pandas as pd
 
+    if not rows:
+        # empty fixture (anti-join/left-join edge cases): build the schema
+        # from the declared column types — pandas can't infer from nothing
+        if not types:
+            raise ValueError(
+                "empty fixture rows need declared `columns` types"
+            )
+        schema = ", ".join(f"{c} {t}" for c, t in types.items())
+        return spark.createDataFrame([], schema)
     df = spark.createDataFrame(pd.DataFrame(rows))
     if types:
         from pyspark.sql import functions as F
@@ -57,10 +66,21 @@ def _canon(rows: list[dict]) -> list[tuple]:
 
 
 def _canon_val(v: Any) -> str:
+    import decimal
+    import math
+
     if v is None:
         return "<null>"
-    if isinstance(v, float) and v == int(v):
-        return str(int(v))
+    if isinstance(v, float):
+        # NaN/Inf must canonicalize (a mismatch report), not crash int()
+        if math.isnan(v) or math.isinf(v):
+            return str(v)
+        if v == int(v):
+            return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        # DECIMAL('1.50') and YAML 1.5 are the same value
+        f = float(v)
+        return str(int(f)) if f == int(f) else str(f)
     return str(v)
 
 
@@ -68,7 +88,11 @@ _CTE_RE = re.compile(r"\b([A-Za-z_][\w]*)\s+AS\s*\(", re.IGNORECASE)
 
 
 def extract_cte(sql: str, name: str) -> Optional[str]:
-    """Pull a CTE body out of the rendered query (for outputs.ctes)."""
+    """Runnable SELECT for one CTE of the rendered query (outputs.ctes):
+    the WITH chain is TRUNCATED at the target and selected from, so a CTE
+    referencing earlier CTEs still resolves (`WITH a AS (...), b AS
+    (SELECT * FROM a)` tests b as `WITH a AS (...), b AS (...) SELECT *
+    FROM b`, never b's bare body)."""
     for m in _CTE_RE.finditer(sql):
         if m.group(1).lower() != name.lower():
             continue
@@ -80,7 +104,10 @@ def extract_cte(sql: str, name: str) -> Optional[str]:
             elif sql[i] == ")":
                 depth -= 1
                 if depth == 0:
-                    return sql[start + 1 : i]
+                    prefix = sql[: i + 1]
+                    if not re.match(r"\s*WITH\b", prefix, re.IGNORECASE):
+                        return sql[start + 1 : i]  # not a WITH chain
+                    return f"{prefix} SELECT * FROM {name}"
             i += 1
     return None
 
@@ -117,7 +144,15 @@ class ModelTestRunner:
             str(body.get("vars", {}).get("start", "1970-01-01")),
             str(body.get("vars", {}).get("end", "2100-01-01")),
         )
-        sql = MacroEvaluator(variables=variables).render(model.query)
+        # Render parity with the production scheduler (core/scheduler.py
+        # render): model/blueprint variables bind, and schema-consuming
+        # macros (@STAR/@UNION) resolve against the FIXTURE views.
+        variables.update(model.variables)
+        schemas = {
+            upstream: dict(self.spark.table(view).dtypes)
+            for upstream, view in mapping.items()
+        }
+        sql = MacroEvaluator(variables=variables, schemas=schemas).render(model.query)
         # YAML tests run the same dialect pipeline as real evaluation
         # (scheduler render): a duckdb-dialect model's golden test must
         # exercise the transpiled SQL, not the raw text.

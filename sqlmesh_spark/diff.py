@@ -77,15 +77,35 @@ class SchemaDiffer:
     def alter_statements(
         self, table: str, current: Mapping[str, str], new: Mapping[str, str]
     ) -> list[str]:
-        """ALTER TABLE plan; raises on destructive changes under the
-        'error' policy (the reference's forward-only guardrail)."""
+        """ALTER TABLE plan, governed by BOTH policies: 'error' raises,
+        'warn' logs, 'allow' proceeds silently (model/kind.py:195-226) —
+        for destructive AND additive changes alike."""
+        import logging
+
+        log = logging.getLogger("sqlmesh_spark.diff")
         stmts = []
         for d in self.compare(current, new):
-            if self.is_destructive(d) and self.on_destructive_change == "error":
-                raise ValueError(
-                    f"destructive change on {table}.{d.column}: {d.op} "
-                    f"{d.current_type} -> {d.new_type} (on_destructive_change=error)"
-                )
+            if self.is_destructive(d):
+                if self.on_destructive_change == "error":
+                    raise ValueError(
+                        f"destructive change on {table}.{d.column}: {d.op} "
+                        f"{d.current_type} -> {d.new_type} (on_destructive_change=error)"
+                    )
+                if self.on_destructive_change == "warn":
+                    log.warning(
+                        "destructive change on %s.%s: %s %s -> %s",
+                        table, d.column, d.op, d.current_type, d.new_type,
+                    )
+            elif d.op == "add":
+                if self.on_additive_change == "error":
+                    raise ValueError(
+                        f"additive change on {table}.{d.column}: add "
+                        f"{d.new_type} (on_additive_change=error)"
+                    )
+                if self.on_additive_change == "warn":
+                    log.warning(
+                        "additive change on %s.%s: add %s", table, d.column, d.new_type
+                    )
             if d.op == "add":
                 stmts.append(f"ALTER TABLE {table} ADD COLUMN {d.column} {d.new_type}")
             elif d.op == "drop":
@@ -157,12 +177,25 @@ def sample_mismatches_query(
     on: Sequence[str],
     value_columns: Sequence[str],
     limit: int = 20,
+    decimal_columns: Sequence[str] = (),
+    decimal_scale: int = 4,
 ) -> str:
     """Deterministic sample of mismatching rows (table_diff.py samples) —
-    ordered by key so the sample is stable across engines/runs."""
+    ordered by key so the sample is stable across engines/runs. The SAME
+    decimal normalization as row_diff_query applies: a row the stats
+    count as matching must never appear in the sample."""
     key_eq = " AND ".join(f"s.{k} = t.{k}" for k in on)
+    unit = 10 ** decimal_scale
+
+    def _norm(side: str, c: str) -> str:
+        if c in decimal_columns:
+            return f"CAST(ROUND({side}.{c} * {unit}) AS BIGINT)"
+        return f"{side}.{c}"
+
     any_diff = " OR ".join(
-        f"NOT (s.{c} = t.{c} OR (s.{c} IS NULL AND t.{c} IS NULL))" for c in value_columns
+        f"NOT ({_norm('s', c)} = {_norm('t', c)}"
+        f" OR (s.{c} IS NULL AND t.{c} IS NULL))"
+        for c in value_columns
     )
     keys = ", ".join(f"s.{k} AS {k}" for k in on)
     cols = ", ".join(f"s.{c} AS s_{c}, t.{c} AS t_{c}" for c in value_columns)

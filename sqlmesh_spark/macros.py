@@ -115,7 +115,11 @@ class Lambda:
             # @{x} interpolates inside identifiers (sum_@{x} → sum_l_qty);
             # bare params substitute whole-word only so `x` won't hit `max`.
             out = out.replace("@{" + p + "}", a.strip())
-            out = re.sub(rf"\b{re.escape(p)}\b", a.strip(), out)
+            # callable replacement: an argument containing backslashes
+            # (regex literals) must not be read as a re.sub template
+            out = re.sub(
+                rf"\b{re.escape(p)}\b", lambda _m, _a=a: _a.strip(), out
+            )
         return out
 
 
@@ -276,8 +280,9 @@ def macro_pivot(args: list[str], ev: "MacroEvaluator") -> str:
     outs = []
     for v in values:
         safe = re.sub(r"[^A-Za-z0-9_]", "_", v)
+        lit = v.replace("'", "''")  # re-escape after _unquote (O'Brien)
         outs.append(
-            f"{agg}(CASE WHEN {col} = '{v}' THEN {value_expr} ELSE NULL END) AS pivot_{safe}"
+            f"{agg}(CASE WHEN {col} = '{lit}' THEN {value_expr} ELSE NULL END) AS pivot_{safe}"
         )
     return ", ".join(outs)
 
@@ -426,6 +431,22 @@ class MacroEvaluator:
         n = len(sql)
         while i < n:
             ch = sql[i]
+            # Comments pass through verbatim BEFORE the quote scan: an
+            # apostrophe inside `-- user's note` or /* ... */ must not
+            # open a phantom string literal that swallows the rest of the
+            # query (silently disabling @macro expansion after it).
+            if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+                j = sql.find("\n", i)
+                j = n if j == -1 else j
+                out.append(sql[i:j])
+                i = j
+                continue
+            if ch == "/" and i + 1 < n and sql[i + 1] == "*":
+                j = sql.find("*/", i + 2)
+                j = n if j == -1 else j + 2
+                out.append(sql[i:j])
+                i = j
+                continue
             if ch == "'":
                 j = i + 1
                 while j < n:

@@ -65,11 +65,14 @@ def parse_metric_text(text: str, known_metrics: set[str] | None = None) -> list[
         pos = close_idx + 1
         name = _unquote(props["name"]).lower()
         expr = props["expression"].strip()
-        # fully-qualified column refs → candidate source tables
+        # fully-qualified column refs → candidate source tables (string
+        # literals stripped first: date_format(x, 'yyyy.MM.dd') must not
+        # fabricate a bogus source table 'yyyy.mm')
+        expr_no_str = _re.sub(r"'(?:[^']|'')*'", "''", expr)
         tables = {
             mm.group(1).lower()
             for mm in _re.finditer(
-                r"\b([A-Za-z_][\w]*\.[A-Za-z_][\w]*)\.[A-Za-z_][\w]*\b", expr
+                r"\b([A-Za-z_][\w]*\.[A-Za-z_][\w]*)\.[A-Za-z_][\w]*\b", expr_no_str
             )
         }
         if tables:

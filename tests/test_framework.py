@@ -1453,3 +1453,41 @@ def test_backfill_models_typo_and_parent_guard(spark, tmp_path):
     # wildcard selection works
     plan = ctx.plan(environment="env_bg", backfill_models=["demo_bg.*"])
     assert set(plan.backfill_models) == {"demo_bg.p", "demo_bg.c"}
+
+
+def test_yaml_cte_chain_and_empty_fixture(spark):
+    """CTE expectations resolve earlier CTEs in the chain, and an empty
+    fixture with declared columns builds a typed empty DataFrame."""
+    from sqlmesh_spark.core.model import parse_model_text
+    from sqlmesh_spark.core.model_test import ModelTestRunner
+
+    model = parse_model_text(
+        """
+MODEL (name demo_yt.m, kind FULL);
+WITH a AS (SELECT id, v FROM raw.src),
+b AS (SELECT id, v * 2 AS v2 FROM a)
+SELECT b.id, b.v2 FROM b LEFT JOIN raw.empty e ON b.id = e.id
+"""
+    )
+    spec = """
+chain_test:
+  model: demo_yt.m
+  inputs:
+    raw.src:
+      columns: {id: bigint, v: bigint}
+      rows:
+        - {id: 1, v: 10}
+    raw.empty:
+      columns: {id: bigint}
+      rows: []
+  outputs:
+    ctes:
+      b:
+        rows:
+          - {id: 1, v2: 20}
+    query:
+      rows:
+        - {id: 1, v2: 20}
+"""
+    results = ModelTestRunner(spark).run_yaml(spec, {"demo_yt.m": model})
+    assert results[0].passed, results[0].failures

@@ -66,3 +66,29 @@ def test_nested_macros():
     ev = MacroEvaluator()
     out = ev.render("@REDUCE(@FILTER([1,2,3,4,5], x -> x % 2 == 1), (a,b) -> a + b)")
     assert out == "1 + 3 + 5"
+
+
+def test_render_comment_aware():
+    """An apostrophe in a -- comment must not open a phantom string
+    literal that swallows macro expansion after it."""
+    from sqlmesh_spark.macros import MacroEvaluator
+
+    ev = MacroEvaluator(variables={"start_ds": "'2024-01-01'"})
+    out = ev.render("SELECT 1 -- user's note\nFROM t WHERE ds = @start_ds")
+    assert "'2024-01-01'" in out
+    out2 = ev.render("SELECT 1 /* it's fine */ , @start_ds AS d")
+    assert "'2024-01-01'" in out2
+
+
+def test_each_with_regex_backslash_arg():
+    from sqlmesh_spark.macros import MacroEvaluator
+
+    out = MacroEvaluator().render("SELECT @EACH(['^\\d+$'], p -> col RLIKE p) FROM t")
+    assert "RLIKE '^\\d+$'" in out
+
+
+def test_pivot_requotes_embedded_quote():
+    from sqlmesh_spark.macros import MacroEvaluator
+
+    out = MacroEvaluator().render("SELECT @PIVOT(n, ['O''Brien']) FROM t")
+    assert "= 'O''Brien'" in out
