@@ -236,6 +236,12 @@ class SnapshotEvaluator:
         self, snapshot, start, end, table_mapping, is_first_insert, saved
     ) -> None:
         model = snapshot.model
+        # Explicit success flag rather than inspecting __context__ on the
+        # post-statement exception: PySpark raises converted exceptions
+        # inside its own except handlers (`raise ... from None` still sets
+        # __context__), so __context__ is set even when OUR evaluation
+        # succeeded — the old check silently swallowed real post failures.
+        evaluation_raised = True
         try:
             self._evaluate_inner(snapshot, start, end, table_mapping, is_first_insert)
             # physical_properties (meta.py:107) → TBLPROPERTIES on the
@@ -249,12 +255,14 @@ class SnapshotEvaluator:
                 self.spark.sql(
                     f"ALTER TABLE {snapshot.table_name} SET TBLPROPERTIES ({props})"
                 )
+            evaluation_raised = False
         finally:
             # Post-statements run even when the evaluation fails — they
             # release what pre-statements acquired (caches, temp objects).
             # They run INSIDE the conf scope (the same-scope contract with
-            # pre-statements) and a post failure during an in-flight
-            # evaluation exception is logged, never allowed to MASK it.
+            # pre-statements). A post failure during an in-flight
+            # evaluation exception is logged, never allowed to MASK it; a
+            # post failure after a SUCCESSFUL evaluation propagates.
             try:
                 for stmt in model.post_statements:
                     self.spark.sql(
@@ -262,13 +270,11 @@ class SnapshotEvaluator:
                     )
             except Exception:  # noqa: BLE001
                 import logging as _logging
-                import sys as _sys
 
-                if _sys.exc_info()[0] is not None:
-                    _logging.getLogger("sqlmesh_spark").exception(
-                        "post-statement failed for %s", model.name
-                    )
-                if not _sys.exc_info()[1].__context__:
+                _logging.getLogger("sqlmesh_spark").exception(
+                    "post-statement failed for %s", model.name
+                )
+                if not evaluation_raised:
                     raise
             finally:
                 for k, v in saved.items():
@@ -579,6 +585,30 @@ def _replace_table_ref(sql: str, logical: str, physical: str) -> str:
     )
 
 
+def _weekly_cron_boundary(epoch: int, dow_field: str) -> int:
+    """Most recent occurrence (epoch seconds, UTC midnight) of a weekly
+    cron's day-of-week at or before ``epoch``.
+
+    A bare ``epoch // 7d`` floor lands on Thursdays (epoch day 0,
+    1970-01-01, was a Thursday), so ``'0 0 * * 1'`` would restate on a
+    Thursday grid — up to 6 days off the declared Monday. Anchor the
+    7-day grid to the cron's target day instead. Lists/ranges/steps in
+    the field use their FIRST day (one weekly cadence per model).
+    """
+    dow_names = {
+        "sun": 0, "mon": 1, "tue": 2, "wed": 3, "thu": 4, "fri": 5, "sat": 6,
+    }
+    tok = _re.split(r"[,/-]", dow_field)[0].strip().lower()
+    if tok.isdigit():
+        cron_dow = int(tok) % 7  # cron allows 7 == Sunday
+    else:
+        cron_dow = dow_names.get(tok[:3], 4)
+    # epoch day d falls on cron dow w exactly when d % 7 == (w - 4) % 7.
+    off = ((cron_dow - 4) % 7) * 86400
+    week = 7 * 86400
+    return (epoch - off) // week * week + off
+
+
 class Scheduler:
     """Missing-interval computation + ordered (parallel) evaluation
     (scheduler.py:259 run)."""
@@ -705,7 +735,7 @@ class Scheduler:
                 and ar_fields[2] == "*"
                 and ar_fields[4] not in ("*", "?")
             ):
-                boundary = (to_epoch(end) // (7 * 86400)) * (7 * 86400)
+                boundary = _weekly_cron_boundary(to_epoch(end), ar_fields[4])
             else:
                 boundary = floor_to(to_epoch(end), interval_unit(ar_cron))
             last = self.state.get_auto_restatement(model.name, snapshot.version)

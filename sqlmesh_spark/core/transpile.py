@@ -774,6 +774,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     if not edits:
         return sql
     out = sql
-    for start, end, rep in sorted(edits, key=lambda e: -e[0]):
+    # Right-to-left by start; at EQUAL start the consuming replacement
+    # (larger end) must apply before a zero-width insert, else the insert's
+    # text lands inside the span the replacement then deletes (e.g. the
+    # date_trunc wrapper inserted at now()'s start, or substr( prefixed to
+    # a backslash literal that the doubling pass also replaces).
+    for start, end, rep in sorted(edits, key=lambda e: (-e[0], -e[1])):
         out = out[:start] + rep + out[end:]
     return out

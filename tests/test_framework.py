@@ -1491,3 +1491,68 @@ chain_test:
 """
     results = ModelTestRunner(spark).run_yaml(spec, {"demo_yt.m": model})
     assert results[0].passed, results[0].failures
+
+
+def test_post_statement_failure_propagates_after_success(spark, sf_dir):
+    """Round-5 advice: PySpark's converted exceptions always carry
+    __context__ (raised inside its own except handler), so the old
+    __context__-based masking check swallowed REAL post-statement
+    failures after a successful evaluation. They must propagate."""
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(
+        """
+MODEL (name poststmt.bad, kind FULL);
+SELECT 1 AS id;
+DROP VIEW nonexistent_view_post_xyz
+"""
+    )
+    with pytest.raises(Exception) as exc_info:
+        ctx.run(environment="env_poststmt")
+    assert "nonexistent_view_post_xyz" in str(exc_info.value)
+
+
+def test_post_statement_failure_never_masks_evaluation_error(spark, sf_dir):
+    import tempfile
+
+    from sqlmesh_spark.core.context import Context
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp())
+    ctx.add_model(
+        """
+MODEL (name poststmt.bothfail, kind FULL);
+SELECT no_such_col FROM range(1);
+DROP VIEW also_missing_post_xyz
+"""
+    )
+    with pytest.raises(Exception) as exc_info:
+        ctx.run(environment="env_poststmt2")
+    # The EVALUATION error surfaces, not the post-statement one.
+    assert "no_such_col" in str(exc_info.value)
+
+
+def test_weekly_cron_boundary_anchored_to_dow():
+    """Round-5 advice: epoch//7d floors to a Thursday grid; the weekly
+    auto-restatement boundary must land on the cron's declared day."""
+    from datetime import datetime, timezone
+
+    from sqlmesh_spark.core.scheduler import _weekly_cron_boundary
+
+    def epoch(s):
+        return int(datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp())
+
+    # 2024-01-10 is a Wednesday. Most recent Monday = 2024-01-08.
+    b = _weekly_cron_boundary(epoch("2024-01-10"), "1")
+    assert datetime.fromtimestamp(b, tz=timezone.utc).strftime("%Y-%m-%d %a") == "2024-01-08 Mon"
+    # On the target day itself, the boundary is that day.
+    assert _weekly_cron_boundary(epoch("2024-01-08"), "1") == epoch("2024-01-08")
+    # Named day, Sunday as 0 and as 7, list takes first entry.
+    b_sun = _weekly_cron_boundary(epoch("2024-01-10"), "SUN")
+    assert datetime.fromtimestamp(b_sun, tz=timezone.utc).strftime("%a") == "Sun"
+    assert _weekly_cron_boundary(epoch("2024-01-10"), "7") == b_sun
+    assert _weekly_cron_boundary(epoch("2024-01-10"), "0") == b_sun
+    b_list = _weekly_cron_boundary(epoch("2024-01-10"), "2,5")
+    assert datetime.fromtimestamp(b_list, tz=timezone.utc).strftime("%a") == "Tue"

@@ -497,3 +497,37 @@ def test_string_literal_subscript_becomes_substr(spark):
 def test_alias_in_subquery_inside_cast_untouched():
     sql = "SELECT CAST((SELECT x AS text FROM t LIMIT 1) AS STRING) AS v"
     assert transpile(sql, "duckdb") == sql
+
+
+# ---------------------------------------------------------------------------
+# same-start edit ordering (round-5 advice: a zero-width insert sharing its
+# start with a consuming replacement must not be clobbered)
+# ---------------------------------------------------------------------------
+
+
+def test_renamed_function_inside_date_diff_arg():
+    # now() is renamed at the same offset where the date_trunc wrapper is
+    # inserted — the replacement must apply first, the insert prepend after.
+    out = transpile("SELECT date_diff('day', now(), x)", "duckdb")
+    assert out == (
+        "SELECT timestampdiff(DAY, date_trunc('day', current_timestamp()), "
+        "date_trunc('day', x))"
+    )
+
+
+def test_subscripted_backslash_literal():
+    # substr( insert shares its start with the backslash-doubling literal
+    # replacement.
+    out = transpile(r"SELECT 'a\b'[2]", "duckdb")
+    assert out == r"SELECT substr('a\\b', 2, 1)"
+
+
+def test_renamed_functions_both_date_diff_args(spark):
+    out = transpile(
+        "SELECT date_diff('month', now(), today()) AS d", "duckdb"
+    )
+    assert out == (
+        "SELECT timestampdiff(MONTH, date_trunc('month', current_timestamp()), "
+        "date_trunc('month', current_date())) AS d"
+    )
+    assert spark.sql(out).collect()[0]["d"] == 0
