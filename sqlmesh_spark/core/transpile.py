@@ -7,7 +7,7 @@ transpiles it to the target engine's dialect at render time
 dialect surface). sqlglot is not available in this sandbox, so this module
 implements the same *capability* directly on the tokenizer from
 ``core/sqlparse.py``: a span-preserving token rewrite from a read dialect
-(DuckDB-ish / Postgres-ish / ANSI) to Spark SQL.
+(DuckDB / Postgres / ANSI / Snowflake / BigQuery) to Spark SQL.
 
 Design rules:
 
@@ -51,7 +51,13 @@ class TranspileError(ValueError):
 SPARK = "spark"
 
 #: read dialects accepted by ``transpile``; "" / None / "spark" are no-ops.
-READ_DIALECTS = ("duckdb", "postgres", "ansi")
+READ_DIALECTS = ("duckdb", "postgres", "ansi", "snowflake", "bigquery")
+
+#: dialects whose string literals are standard SQL (backslash is an
+#: ordinary character) and need backslash-doubling for Spark's C-style
+#: escape parser. Snowflake and BigQuery literals already treat backslash
+#: as an escape character, matching Spark — no doubling.
+_STD_LITERAL_DIALECTS = ("duckdb", "postgres", "ansi")
 
 # ---------------------------------------------------------------------------
 # Function maps: read-dialect function name → Spark function name, applied
@@ -107,6 +113,79 @@ _COMMON_FN = {
     "list_avg": None,
 }
 
+# Snowflake renames (ref dialect.py:1040 — the reference accepts every
+# SQLGlot dialect; Snowflake is the most common migration source). Names
+# with IDENTICAL Spark semantics pass through unmapped (nvl2, split_part —
+# both plain-string delimiter + 1-based + negative-from-end, ifnull,
+# regexp_count, arrays_overlap). None = loud failure.
+_SNOWFLAKE_FN: dict[str, str | None] = {
+    "iff": "if",
+    "len": "length",
+    "editdistance": "levenshtein",
+    "charindex": "position",            # both (substr, str[, start]), 1-based
+    "array_construct": "array",
+    "array_size": "size",
+    "array_cat": "concat",
+    "array_position": None,             # 0-based AND (elem, arr) order → loud
+    "arrayagg": "collect_list",
+    "array_agg": "collect_list",
+    "getdate": "current_timestamp",
+    "sysdate": "current_timestamp",     # note: sysdate is UTC; session tz applies
+    "systimestamp": "current_timestamp",
+    "uuid_string": "uuid",
+    "random": None,                     # 64-bit int gen vs Spark rand() double
+    "seq1": None, "seq2": None, "seq4": None, "seq8": None,
+    "object_construct": None,
+    "object_construct_keep_null": None,
+    "get": None, "get_path": None, "flatten": None,
+    "decode": None,                     # Oracle-style decode → CASE by hand
+    "timediff": None,
+    "hash": None,                       # different hash function → silent wrong
+    "to_variant": None,
+    "strtok": None,                     # 1-based tokenizer w/ charset delim
+}
+
+# BigQuery renames. Identical-semantics pass-throughs: regexp_extract_all,
+# last_day, unix_date, date_from_unix_date, timestamp_seconds/millis/micros,
+# unix_seconds/millis/micros, string(), net-new EXCEPT DISTINCT and
+# `SELECT * EXCEPT (...)` are native Spark syntax already.
+_BIGQUERY_FN: dict[str, str | None] = {
+    "safe_cast": "try_cast",
+    "safe_divide": "try_divide",
+    "safe_add": "try_add",
+    "safe_subtract": "try_subtract",
+    "safe_multiply": "try_multiply",
+    "countif": "count_if",
+    "logical_and": "bool_and",
+    "logical_or": "bool_or",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "format": "format_string",          # both printf-style
+    "generate_uuid": "uuid",
+    "regexp_contains": "regexp_like",
+    "array_concat": "concat",
+    "array_to_string": "array_join",
+    "array_reverse": "reverse",
+    "strpos": "instr",                  # both 1-based, 0 when absent
+    "byte_length": "octet_length",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "sha256": None,                     # returns BYTES; Spark sha2 returns hex
+    "sha512": None,
+    "farm_fingerprint": None,           # different hash → silent wrong values
+    "generate_array": "sequence",
+    "generate_date_array": "sequence",  # both default to a 1-day step
+    "current_datetime": "localtimestamp",
+    "datetime": "make_timestamp_ntz",   # DATETIME(y,m,d,h,mi,s) constructor
+    "json_extract_scalar": "get_json_object",
+    "json_value": "get_json_object",
+    "json_extract": None,               # returns JSON (not scalar) → loud
+    "json_query": None,
+    "parse_json": None,                 # BQ JSON type vs Spark VARIANT → loud
+    "safe_negate": None,
+    "time": None, "time_diff": None, "time_add": None, "time_sub": None,
+}
+
 _DIALECT_FN: dict[str, dict[str, str | None]] = {
     # regexp_matches is boolean partial-match in DuckDB only; in Postgres
     # it returns SETOF text[] (captured groups), so the rename is correct
@@ -114,6 +193,8 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
     "duckdb": {**_COMMON_FN, "regexp_matches": "regexp_like"},
     "postgres": {**_COMMON_FN, "regexp_matches": None},
     "ansi": {},                         # ANSI names that differ are below
+    "snowflake": _SNOWFLAKE_FN,
+    "bigquery": _BIGQUERY_FN,
 }
 
 # Type names (CAST targets and `::` casts) that differ from Spark's.
@@ -143,6 +224,50 @@ _TYPE_MAP = {
     "logical": "BOOLEAN",
     "bool": "BOOLEAN",
 }
+
+# Per-dialect overlays on _TYPE_MAP. A value of None is LOUD — the type
+# has no faithful Spark representation (silently narrowing BIGNUMERIC's
+# 76 digits to DECIMAL(38) would corrupt data, not transpile it).
+_DIALECT_TYPES: dict[str, dict[str, str | None]] = {
+    "snowflake": {
+        "number": "DECIMAL(38,0)",      # bare NUMBER; NUMBER(p,s) passes through
+        "float": "DOUBLE",              # Snowflake FLOAT/FLOAT4/FLOAT8 are all fp64
+        "float4": "DOUBLE",
+        "timestamp_ltz": "TIMESTAMP",
+        "timestamp_tz": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP_NTZ",
+        "byteint": "DECIMAL(38,0)",     # byteint is NUMBER(38,0) in Snowflake
+        "geography": None,
+        "geometry": None,
+    },
+    "bigquery": {
+        "int64": "BIGINT",
+        "float64": "DOUBLE",
+        "bytes": "BINARY",
+        "numeric": "DECIMAL(38,9)",
+        "bignumeric": None,             # 76.76 digits exceed Spark DECIMAL(38)
+        "datetime": "TIMESTAMP_NTZ",
+        "geography": None,
+        "json": None,                   # BQ JSON type vs Spark VARIANT → loud
+    },
+}
+
+
+def _type_map(read: str) -> dict[str, str | None]:
+    base: dict[str, str | None] = dict(_TYPE_MAP)
+    base.update(_DIALECT_TYPES.get(read, {}))
+    return base
+
+
+def _lookup_type(read: str, tname: str) -> str | None:
+    """Spark rename for ``tname`` in ``read`` dialect; None when the name
+    needs no rewrite. Raises for types with no faithful Spark form."""
+    mapped = _type_map(read).get(tname)
+    if mapped is None and tname in _type_map(read):
+        raise TranspileError(
+            f"type {tname!r} has no faithful Spark representation"
+        )
+    return mapped
 
 # date_diff units both timestampdiff and date_trunc accept (DuckDB also
 # takes plurals; anything else raises).
@@ -256,6 +381,79 @@ def convert_pg_format(fmt: str) -> str:
             out.append(c)
             i += 1
     return "".join(out)
+
+
+def convert_sf_format(fmt: str) -> str:
+    """Snowflake TO_CHAR/TO_VARCHAR/TO_DATE/TO_TIMESTAMP pattern → Spark.
+    Snowflake's pattern language is Postgres-like plus ``FF[0-9]``
+    fractional seconds (bare FF = 9 digits)."""
+    out: list[str] = []
+    i = 0
+    n = len(fmt)
+    while i < n:
+        if fmt[i : i + 2].upper() == "FF":
+            digits = 9
+            skip = 2
+            if i + 2 < n and fmt[i + 2].isdigit():
+                digits = int(fmt[i + 2])
+                skip = 3
+            if digits == 0:
+                raise TranspileError("FF0 fractional seconds is not a pattern")
+            out.append("S" * digits)
+            i += skip
+            continue
+        for pat, rep in _PG_FMT:
+            if fmt[i : i + len(pat)].upper() == pat:
+                out.append(rep)
+                i += len(pat)
+                break
+        else:
+            c = fmt[i]
+            if c.isalpha():
+                raise TranspileError(
+                    f"snowflake format fragment {fmt[i:]!r} has no Spark mapping"
+                )
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark-version gating: rename targets that only exist on Spark >= 4.0 must
+# fail at RENDER time on older sessions (loud-failure contract), not at
+# execution on the cluster.
+# ---------------------------------------------------------------------------
+
+_SPARK4_TARGETS = frozenset({"listagg"})
+
+
+def _spark_version() -> tuple[int, int]:
+    """(major, minor) of the active session if any, else the pyspark lib."""
+    v = None
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            v = s.version
+    except Exception:  # pragma: no cover - session probing is best-effort
+        v = None
+    if v is None:
+        import pyspark
+
+        v = pyspark.__version__
+    parts = v.split(".")
+    return int(parts[0]), int(parts[1])
+
+
+def _require_spark4(fn_name: str, target: str) -> None:
+    if target in _SPARK4_TARGETS and _spark_version() < (4, 0):
+        major, minor = _spark_version()
+        raise TranspileError(
+            f"{fn_name}() transpiles to {target}(), which requires Spark >= "
+            f"4.0 (session is {major}.{minor}); rewrite as "
+            "concat_ws(delim, collect_list(expr)) or upgrade Spark"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +617,7 @@ def _cast_as_indices(toks: list) -> set[int]:
     for i, (kind, text, _, _) in enumerate(toks):
         if (
             kind == "ident"
-            and text.lower() in ("cast", "try_cast")
+            and text.lower() in ("cast", "try_cast", "safe_cast")
             and i + 1 < len(toks)
             and toks[i + 1][0] == "op"
             and toks[i + 1][1] == "("
@@ -552,12 +750,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         if kind == "op" and text == "::" and i + 1 < n and toks[i + 1][0] == "ident":
             tname = toks[i + 1][1].lower()
             if is_op(i + 2, "[") and is_op(i + 3, "]"):
-                elem = _TYPE_MAP.get(tname, toks[i + 1][1].upper())
+                elem = _lookup_type(read, tname) or toks[i + 1][1].upper()
                 edits.append((toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>"))
                 i += 4
                 continue
-            if tname in _TYPE_MAP and not is_op(i + 2, "("):
-                edits.append((toks[i + 1][2], toks[i + 1][3], _TYPE_MAP[tname]))
+            mapped = _lookup_type(read, tname)
+            if mapped is not None and not is_op(i + 2, "("):
+                edits.append((toks[i + 1][2], toks[i + 1][3], mapped))
             i += 2
             continue
 
@@ -573,19 +772,346 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         ):
             tname = toks[i + 1][1].lower()
             if is_op(i + 2, "[") and is_op(i + 3, "]"):
-                elem = _TYPE_MAP.get(tname, toks[i + 1][1].upper())
+                elem = _lookup_type(read, tname) or toks[i + 1][1].upper()
                 edits.append((toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>"))
                 i += 4
                 continue
-            if tname in _TYPE_MAP and not is_op(i + 2, "("):
-                edits.append(
-                    (toks[i + 1][2], toks[i + 1][3], _TYPE_MAP[tname])
-                )
+            mapped = _lookup_type(read, tname)
+            if mapped is not None and not is_op(i + 2, "("):
+                edits.append((toks[i + 1][2], toks[i + 1][3], mapped))
             i += 2
             continue
 
         if kind == "ident" and is_op(i + 1, "("):
             name = text.lower()
+
+            def _arg_text(span: tuple[int, int]) -> str:
+                return sql[toks[span[0]][2] : toks[span[1]][3]]
+
+            # listagg (snowflake native, or any dialect passing it through)
+            # only exists on Spark >= 4.0 — gate at render time.
+            if name == "listagg":
+                _require_spark4(name, "listagg")
+
+            # ---- Snowflake-specific handlers
+            if read == "snowflake":
+                if name in ("to_varchar", "to_char") and first_pass:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 1:
+                        edits.append((start, end, "CAST"))
+                        edits.append((toks[close][2], toks[close][2], " AS STRING"))
+                    elif len(spans) == 2 and toks[spans[1][0]][0] == "string":
+                        fmt_tok = toks[spans[1][0]]
+                        converted = convert_sf_format(
+                            fmt_tok[1][1:-1].replace("''", "'")
+                        )
+                        edits.append((start, end, "date_format"))
+                        edits.append(
+                            (fmt_tok[2], fmt_tok[3],
+                             "'" + converted.replace("'", "''") + "'")
+                        )
+                    else:
+                        raise TranspileError(
+                            f"{name} needs a literal format to transpile from snowflake"
+                        )
+                    i += 1
+                    continue
+
+                if name in (
+                    "to_date", "to_timestamp", "to_timestamp_ntz",
+                    "to_timestamp_ltz", "to_timestamp_tz", "try_to_timestamp",
+                    "try_to_date",
+                ) and first_pass:
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    target = {
+                        "to_date": "to_date",
+                        "try_to_date": "to_date",  # Spark lacks try_to_date
+                        "try_to_timestamp": "try_to_timestamp",
+                    }.get(name, "to_timestamp")
+                    if len(spans) == 2:
+                        if toks[spans[1][0]][0] != "string":
+                            raise TranspileError(
+                                f"{name} needs a literal format to transpile "
+                                "from snowflake (2nd arg may be a scale, which "
+                                "Spark's to_timestamp cannot express)"
+                            )
+                        fmt_tok = toks[spans[1][0]]
+                        converted = convert_sf_format(
+                            fmt_tok[1][1:-1].replace("''", "'")
+                        )
+                        edits.append(
+                            (fmt_tok[2], fmt_tok[3],
+                             "'" + converted.replace("'", "''") + "'")
+                        )
+                    elif len(spans) != 1:
+                        raise TranspileError(f"{name} takes 1 or 2 args")
+                    if name != target:
+                        edits.append((start, end, target))
+                    i += 1
+                    continue
+
+                if name == "nullifzero":
+                    _spans, close = _call_arg_spans(toks, i + 1)
+                    edits.append((start, end, "nullif"))
+                    edits.append((toks[close][2], toks[close][2], ", 0"))
+                    i += 1
+                    continue
+                if name == "zeroifnull":
+                    _spans, close = _call_arg_spans(toks, i + 1)
+                    edits.append((start, end, "coalesce"))
+                    edits.append((toks[close][2], toks[close][2], ", 0"))
+                    i += 1
+                    continue
+                if name == "square":
+                    _spans, close = _call_arg_spans(toks, i + 1)
+                    edits.append((start, end, "power"))
+                    edits.append((toks[close][2], toks[close][2], ", 2"))
+                    i += 1
+                    continue
+                if name == "div0":
+                    _spans, close = _call_arg_spans(toks, i + 1)
+                    edits.append((start, end, "coalesce(try_divide"))
+                    edits.append((toks[close][3], toks[close][3], ", 0)"))
+                    i += 1
+                    continue
+                if name == "regexp_substr":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError(
+                            "regexp_substr with position/occurrence/parameter "
+                            "args has no direct Spark rewrite"
+                        )
+                    # whole-match extraction → regexp_extract(s, re, 0)
+                    edits.append((start, end, "regexp_extract"))
+                    edits.append((toks[close][2], toks[close][2], ", 0"))
+                    i += 1
+                    continue
+                if name in ("to_number", "to_decimal", "to_numeric",
+                            "try_to_number", "try_to_decimal", "try_to_numeric"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    cast_fn = "TRY_CAST" if name.startswith("try_") else "CAST"
+                    if len(spans) == 1:
+                        edits.append((start, end, cast_fn))
+                        edits.append(
+                            (toks[close][2], toks[close][2], " AS DECIMAL(38,0)")
+                        )
+                    elif (
+                        len(spans) == 3
+                        and toks[spans[1][0]][0] == "number"
+                        and toks[spans[2][0]][0] == "number"
+                    ):
+                        p = toks[spans[1][0]][1]
+                        s_ = toks[spans[2][0]][1]
+                        edits.append((start, end, cast_fn))
+                        edits.append(
+                            (toks[spans[0][1]][3], toks[close][2],
+                             f" AS DECIMAL({p},{s_})")
+                        )
+                    else:
+                        raise TranspileError(
+                            f"{name} with a format string has no Spark CAST rewrite"
+                        )
+                    i += 1
+                    continue
+                if name in ("dateadd", "timeadd", "timestampadd") and first_pass:
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 3:
+                        raise TranspileError(f"{name} expects 3 args")
+                    u_tok = toks[spans[0][0]]
+                    if u_tok[0] == "string":
+                        raw_unit = u_tok[1][1:-1].replace("''", "'").lower()
+                    elif u_tok[0] == "ident" and spans[0][0] == spans[0][1]:
+                        raw_unit = u_tok[1].lower()
+                    else:
+                        raise TranspileError(f"{name} unit must be a literal")
+                    unit = _DIFF_UNITS.get(raw_unit)
+                    if unit is None:
+                        raise TranspileError(
+                            f"{name} unit {raw_unit!r} has no Spark "
+                            "timestampadd equivalent"
+                        )
+                    edits.append((start, end, "timestampadd"))
+                    edits.append((u_tok[2], toks[spans[0][1]][3], unit))
+                    i += 1
+                    continue
+
+            # ---- BigQuery-specific handlers
+            if read == "bigquery":
+                if name in ("timestamp_diff", "date_diff", "datetime_diff") and first_pass:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 3:
+                        raise TranspileError(f"bigquery {name} expects 3 args")
+                    u_tok = toks[spans[2][0]]
+                    if u_tok[0] != "ident" or spans[2][0] != spans[2][1]:
+                        raise TranspileError(f"{name} unit must be a bare keyword")
+                    raw_unit = u_tok[1].lower()
+                    unit = _DIFF_UNITS.get(raw_unit)
+                    if unit is None or raw_unit.startswith("week"):
+                        # BigQuery WEEK boundaries start Sunday; Spark
+                        # date_trunc weeks start Monday → silent off-by-one.
+                        raise TranspileError(
+                            f"{name} unit {raw_unit!r} has no faithful Spark rewrite"
+                        )
+                    later = _arg_text(spans[0])
+                    earlier = _arg_text(spans[1])
+                    if name == "timestamp_diff":
+                        # complete elapsed units (truncation toward zero)
+                        repl = f"timestampdiff({unit}, {earlier}, {later})"
+                    else:
+                        # DATE_DIFF/DATETIME_DIFF count boundary crossings
+                        u = unit.lower()
+                        repl = (
+                            f"timestampdiff({unit}, date_trunc('{u}', {earlier}), "
+                            f"date_trunc('{u}', {later}))"
+                        )
+                    edits.append((start, toks[close][3], repl))
+                    i = close + 1
+                    continue
+
+                if name in (
+                    "timestamp_add", "timestamp_sub", "date_add", "date_sub",
+                    "datetime_add", "datetime_sub",
+                ) and first_pass:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    # Spark's own date_add(d, n) / date_sub(d, n) share these
+                    # names — only the INTERVAL form is BigQuery syntax.
+                    if (
+                        len(spans) == 2
+                        and toks[spans[1][0]][0] == "ident"
+                        and toks[spans[1][0]][1].upper() == "INTERVAL"
+                    ):
+                        unit_tok = toks[spans[1][1]]
+                        raw_unit = unit_tok[1].lower() if unit_tok[0] == "ident" else ""
+                        unit = _DIFF_UNITS.get(raw_unit)
+                        if unit is None:
+                            raise TranspileError(
+                                f"{name} interval unit {raw_unit!r} has no "
+                                "Spark timestampadd equivalent"
+                            )
+                        n_text = sql[
+                            toks[spans[1][0] + 1][2] : toks[spans[1][1] - 1][3]
+                        ].strip()
+                        if not n_text:
+                            raise TranspileError(f"{name} interval missing count")
+                        if name.endswith("_sub"):
+                            n_text = f"-({n_text})"
+                        base = _arg_text(spans[0])
+                        repl = f"timestampadd({unit}, {n_text}, {base})"
+                        edits.append((start, toks[close][3], repl))
+                        i = close + 1
+                        continue
+
+                if name in ("format_date", "format_timestamp", "format_datetime") and first_pass:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2 or toks[spans[0][0]][0] != "string":
+                        raise TranspileError(
+                            f"{name} needs (literal_format, expr) to transpile"
+                        )
+                    fmt = toks[spans[0][0]][1][1:-1]
+                    converted = convert_strftime_format(fmt)
+                    repl = (
+                        f"date_format({_arg_text(spans[1])}, "
+                        f"'{converted.replace(chr(39), chr(39) * 2)}')"
+                    )
+                    edits.append((start, toks[close][3], repl))
+                    i = close + 1
+                    continue
+
+                if name in ("parse_date", "parse_timestamp", "parse_datetime") and first_pass:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2 or toks[spans[0][0]][0] != "string":
+                        raise TranspileError(
+                            f"{name} needs (literal_format, expr) to transpile"
+                        )
+                    fmt = toks[spans[0][0]][1][1:-1]
+                    converted = convert_strftime_format(fmt)
+                    target = "to_date" if name == "parse_date" else "to_timestamp"
+                    repl = (
+                        f"{target}({_arg_text(spans[1])}, "
+                        f"'{converted.replace(chr(39), chr(39) * 2)}')"
+                    )
+                    edits.append((start, toks[close][3], repl))
+                    i = close + 1
+                    continue
+
+                if name in ("date_trunc", "timestamp_trunc", "datetime_trunc"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    # BigQuery puts the unit LAST as a bare keyword; the
+                    # already-Spark form (unit first, as a string) does not
+                    # match this shape, so the rewrite is naturally
+                    # idempotent.
+                    if (
+                        len(spans) == 2
+                        and spans[1][0] == spans[1][1]
+                        and toks[spans[1][0]][0] == "ident"
+                        and toks[spans[1][0]][1].lower() in _DIFF_UNITS
+                        and toks[spans[0][0]][0] != "string"
+                    ):
+                        raw_unit = toks[spans[1][0]][1].lower()
+                        if raw_unit.startswith("week"):
+                            raise TranspileError(
+                                "bigquery WEEK truncation starts Sunday; Spark "
+                                "weeks start Monday — no faithful rewrite"
+                            )
+                        u = _DIFF_UNITS[raw_unit].lower()
+                        repl = f"date_trunc('{u}', {_arg_text(spans[0])})"
+                        edits.append((start, toks[close][3], repl))
+                        i = close + 1
+                        continue
+
+                if name == "date":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 3:
+                        edits.append((start, end, "make_date"))
+                    elif len(spans) == 1:
+                        edits.append((start, end, "to_date"))
+                    else:
+                        raise TranspileError(
+                            "DATE(ts, tz) timezone form has no direct Spark rewrite"
+                        )
+                    i += 1
+                    continue
+
+                if name == "split" and first_pass:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 1:
+                        edits.append((toks[close][2], toks[close][2], ", ','"))
+                    elif len(spans) == 2:
+                        sep = toks[spans[1][0]]
+                        if sep[0] != "string" or spans[1][0] != spans[1][1]:
+                            raise TranspileError(
+                                "bigquery split separator must be a literal to "
+                                "transpile (Spark split() treats it as a regex)"
+                            )
+                        if "\\" in sep[1]:
+                            raise TranspileError(
+                                "bigquery split separator containing backslash "
+                                "escapes is not supported; use a plain literal"
+                            )
+                        inner = sep[1][1:-1]
+                        escaped = re.sub(
+                            r"([.^$*+?()\[\]{}|])", r"\\\\\1", inner
+                        )
+                        edits.append(
+                            (sep[2], sep[3], "'" + escaped + "'")
+                        )
+                    i += 1
+                    continue
+
+                if name == "ordinal":
+                    # arr[ORDINAL(i)] arrives here (pass 2) as
+                    # element_at(arr, ordinal(i)); 1-based matches → strip.
+                    _spans, close = _call_arg_spans(toks, i + 1)
+                    edits.append((start, end, ""))
+                    i += 1
+                    continue
+                if name == "offset":
+                    # 0-based → element_at's 1-based: (i)+1
+                    _spans, close = _call_arg_spans(toks, i + 1)
+                    edits.append((start, end, ""))
+                    edits.append((toks[close][3], toks[close][3], " + 1"))
+                    i += 1
+                    continue
 
             # ---- special handlers (arg restructuring / literal rewrites)
             if name in ("strftime", "strptime") and read in ("duckdb", "postgres") and first_pass:
@@ -640,7 +1166,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i += 1
                 continue
 
-            if name in ("date_diff", "datediff") and read in ("duckdb", "postgres"):
+            if name in ("date_diff", "datediff") and read in (
+                "duckdb", "postgres", "snowflake"
+            ):
                 # DuckDB date_diff counts UNIT-BOUNDARY CROSSINGS while
                 # Spark timestampdiff counts complete elapsed units
                 # (date_diff('month', Jan-31, Feb-01) is 1 in DuckDB, 0 as
@@ -650,11 +1178,20 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 # 2-arg datediff matches Spark's own datediff — untouched.
                 spans, _close = _call_arg_spans(toks, i + 1)
                 if len(spans) == 3:
-                    if toks[spans[0][0]][0] != "string":
+                    u_tok = toks[spans[0][0]]
+                    if u_tok[0] == "string":
+                        raw_unit = u_tok[1][1:-1].replace("''", "'").lower()
+                    elif (
+                        read == "snowflake"
+                        and u_tok[0] == "ident"
+                        and spans[0][0] == spans[0][1]
+                    ):
+                        # Snowflake allows a bare unit keyword: datediff(day, a, b)
+                        raw_unit = u_tok[1].lower()
+                    else:
                         raise TranspileError(
                             f"{name} unit must be a literal to transpile"
                         )
-                    raw_unit = toks[spans[0][0]][1][1:-1].replace("''", "'").lower()
                     unit = _DIFF_UNITS.get(raw_unit)
                     if unit is None:
                         raise TranspileError(
@@ -747,7 +1284,21 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     raise TranspileError(
                         f"function {name}() has no direct Spark equivalent"
                     )
+                _require_spark4(name, target)
                 edits.append((start, end, target))
+            i += 1
+            continue
+
+        # BigQuery quotes whole dotted paths in ONE backtick span
+        # (`project.dataset.table`); Spark would read that as a single
+        # identifier whose name contains dots. Split into per-part quoting.
+        if kind == "bquote" and read == "bigquery" and "." in text:
+            inner = text[1:-1]
+            if "`" not in inner.replace("``", ""):
+                parts = inner.split(".")
+                edits.append(
+                    (start, end, ".".join(f"`{p}`" for p in parts))
+                )
             i += 1
             continue
 
@@ -761,8 +1312,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     # converted formats) are skipped — those were emitted Spark-ready.
     # FIRST PASS ONLY: all literal-deriving handlers complete in pass 1;
     # later fixpoint passes (deferred subscripts) must not re-double.
-    # Applies to every read dialect — ANSI literals are standard SQL too.
-    if first_pass:
+    # Applies only to standard-SQL-literal dialects (duckdb/postgres/ansi);
+    # Snowflake and BigQuery literals already use backslash escapes,
+    # matching Spark's parser — doubling would corrupt them.
+    if first_pass and read in _STD_LITERAL_DIALECTS:
         for kind, text, start, end in toks:
             if (
                 kind == "string"

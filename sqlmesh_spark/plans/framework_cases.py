@@ -2322,3 +2322,103 @@ GROUP BY o_orderdate, strftime(o_orderdate, '%Y-%m-%d')
     return spark.table("env_ddbi_views.daily_orders").select(
         "ds", "n_orders", "revenue_cents"
     )
+
+
+SF_DIALECT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', MAX(o_orderdate)) AS BIGINT) AS days_since,
+       split_part('eu-west-1', '-', 2) AS region_part
+FROM orders
+WHERE o_custkey % 7 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_snowflake_dialect_model", oracle=SF_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_snowflake_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in SNOWFLAKE dialect loaded through plan/apply —
+    the largest real-world migration source (reference renderer.py:517
+    accepts any SQLGlot read dialect). The text uses IFF, TO_VARCHAR with
+    Snowflake format patterns, TO_TIMESTAMP(s, fmt), bare-keyword DATEDIFF
+    (boundary-crossing semantics), SPLIT_PART and ``::`` casts;
+    core/transpile.py rewrites all of it to Spark SQL at render time. The
+    DuckDB oracle computes the same VALUES through its own functions, so
+    the hash match proves dialect-to-dialect value parity."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_sf", "env_sf_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_sf.order_stats,
+  kind FULL,
+  dialect snowflake
+);
+SELECT TO_VARCHAR(o_orderdate, 'YYYY-MM') AS month,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(IFF(o_orderpriority = '1-URGENT', 1, 0))::BIGINT AS n_urgent,
+       DATEDIFF(day, TO_TIMESTAMP('1995-01-01', 'YYYY-MM-DD'), MAX(o_orderdate))::BIGINT AS days_since,
+       SPLIT_PART('eu-west-1', '-', 2) AS region_part
+FROM orders
+WHERE o_custkey % 7 = 0
+GROUP BY TO_VARCHAR(o_orderdate, 'YYYY-MM')
+"""
+    )
+    ctx.run(environment="env_sf")
+    return spark.table("env_sf_views.order_stats")
+
+
+BQ_DIALECT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(date_diff('hour', TIMESTAMP '1995-01-01', MAX(o_orderdate)) AS BIGINT) AS hours_since,
+       string_split('a|b|c', '|')[2] AS second_tag,
+       CAST(NULL AS DOUBLE) AS null_div
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_bigquery_dialect_model", oracle=BQ_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_bigquery_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in BIGQUERY dialect loaded through plan/apply
+    (reference renderer.py:517 / dialect.py:1040). The text uses
+    FORMAT_DATE with C-style %-codes (arg order swapped vs Spark),
+    COUNTIF, TIMESTAMP_DIFF's (later, earlier, UNIT) arg order,
+    SAFE_DIVIDE, plain-string SPLIT with an OFFSET() 0-based subscript,
+    and INT64 casts. TIMESTAMP_DIFF counts complete elapsed units; the
+    orderdate column holds midnight timestamps so elapsed == crossings
+    and the DuckDB date_diff oracle matches exactly."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_bq", "env_bq_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_bq.order_stats,
+  kind FULL,
+  dialect bigquery
+);
+SELECT FORMAT_DATE('%Y-%m', o_orderdate) AS month,
+       CAST(COUNT(*) AS INT64) AS n_orders,
+       CAST(COUNTIF(o_orderpriority = '1-URGENT') AS INT64) AS n_urgent,
+       CAST(TIMESTAMP_DIFF(MAX(o_orderdate), TIMESTAMP '1995-01-01', HOUR) AS INT64) AS hours_since,
+       SPLIT('a|b|c', '|')[OFFSET(1)] AS second_tag,
+       SAFE_DIVIDE(1, 0) AS null_div
+FROM orders
+WHERE MOD(o_orderkey, 3) = 0
+GROUP BY FORMAT_DATE('%Y-%m', o_orderdate)
+"""
+    )
+    ctx.run(environment="env_bq")
+    return spark.table("env_bq_views.order_stats")

@@ -531,3 +531,220 @@ def test_renamed_functions_both_date_diff_args(spark):
         "date_trunc('month', current_date())) AS d"
     )
     assert spark.sql(out).collect()[0]["d"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Snowflake read dialect
+# ---------------------------------------------------------------------------
+
+
+def test_snowflake_iff_nvl2_split_part(spark):
+    out = transpile(
+        "SELECT IFF(1 > 0, 'x', 'y') AS a, NVL2(NULL, 1, 2) AS b, "
+        "SPLIT_PART('a-b-c', '-', -1) AS c",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c) == ("x", 2, "c")
+
+
+def test_snowflake_to_varchar_format(spark):
+    out = transpile(
+        "SELECT TO_VARCHAR(TIMESTAMP '2024-03-05 07:08:09.123', "
+        "'YYYY-MM-DD HH24:MI:SS.FF3') AS s",
+        "snowflake",
+    )
+    assert spark.sql(out).collect()[0].s == "2024-03-05 07:08:09.123"
+
+
+def test_snowflake_to_varchar_1arg_is_cast():
+    assert (
+        transpile("SELECT TO_VARCHAR(x) FROM t", "snowflake")
+        == "SELECT CAST(x AS STRING) FROM t"
+    )
+
+
+def test_snowflake_to_date_format(spark):
+    out = transpile("SELECT TO_DATE('05/03/2024', 'DD/MM/YYYY') AS d", "snowflake")
+    assert str(spark.sql(out).collect()[0].d) == "2024-03-05"
+
+
+def test_snowflake_dateadd_bare_unit(spark):
+    out = transpile("SELECT DATEADD(day, 5, DATE '2024-01-01') AS d", "snowflake")
+    assert out == "SELECT timestampadd(DAY, 5, DATE '2024-01-01') AS d"
+    assert str(spark.sql(out).collect()[0].d)[:10] == "2024-01-06"
+
+
+def test_snowflake_datediff_boundary_crossing(spark):
+    # Snowflake DATEDIFF counts boundary crossings: Jan-31 → Feb-01 = 1 month.
+    out = transpile(
+        "SELECT DATEDIFF(month, DATE '2024-01-31', DATE '2024-02-01') AS m",
+        "snowflake",
+    )
+    assert spark.sql(out).collect()[0].m == 1
+
+
+def test_snowflake_null_zero_helpers(spark):
+    out = transpile(
+        "SELECT NULLIFZERO(0) AS a, ZEROIFNULL(NULL) AS b, "
+        "DIV0(1, 0) AS c, SQUARE(3) AS d",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a is None and row.b == 0 and row.c == 0 and row.d == 9.0
+
+
+def test_snowflake_to_number_precision():
+    out = transpile("SELECT TO_NUMBER(s, 10, 2) FROM t", "snowflake")
+    assert out == "SELECT CAST(s AS DECIMAL(10,2)) FROM t"
+
+
+def test_snowflake_regexp_substr(spark):
+    out = transpile("SELECT REGEXP_SUBSTR('ab12cd', '[0-9]+') AS m", "snowflake")
+    assert spark.sql(out).collect()[0].m == "12"
+
+
+def test_snowflake_loud_functions():
+    for sql in (
+        "SELECT RANDOM()",            # int64 gen vs rand() double
+        "SELECT HASH(x) FROM t",      # different hash → silent wrong values
+        "SELECT OBJECT_CONSTRUCT('a', 1)",
+        "SELECT ARRAY_POSITION(1, arr) FROM t",  # 0-based + reversed args
+    ):
+        with pytest.raises(TranspileError):
+            transpile(sql, "snowflake")
+
+
+def test_snowflake_backslash_literal_not_doubled():
+    # Snowflake literals already use backslash escapes like Spark.
+    sql = r"SELECT 'a\nb' AS s"
+    assert transpile(sql, "snowflake") == sql
+
+
+# ---------------------------------------------------------------------------
+# BigQuery read dialect
+# ---------------------------------------------------------------------------
+
+
+def test_bigquery_safe_family(spark):
+    out = transpile(
+        "SELECT SAFE_DIVIDE(1, 0) AS a, SAFE_CAST('x' AS INT64) AS b, "
+        "SAFE_ADD(1, 2) AS c",
+        "bigquery",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a is None and row.b is None and row.c == 3
+
+
+def test_bigquery_timestamp_diff_arg_order(spark):
+    # TIMESTAMP_DIFF(later, earlier, unit) — complete elapsed units.
+    out = transpile(
+        "SELECT TIMESTAMP_DIFF(TIMESTAMP '2024-01-02 03:00:00', "
+        "TIMESTAMP '2024-01-01 00:00:00', HOUR) AS h",
+        "bigquery",
+    )
+    assert spark.sql(out).collect()[0].h == 27
+
+
+def test_bigquery_date_diff_boundary_crossing(spark):
+    # DATE_DIFF counts boundary crossings: Jan-31 → Feb-01 = 1 month.
+    out = transpile(
+        "SELECT DATE_DIFF(DATE '2024-02-01', DATE '2024-01-31', MONTH) AS m",
+        "bigquery",
+    )
+    assert spark.sql(out).collect()[0].m == 1
+
+
+def test_bigquery_interval_add_sub(spark):
+    out = transpile(
+        "SELECT DATE_ADD(DATE '2024-01-01', INTERVAL 5 DAY) AS a, "
+        "TIMESTAMP_SUB(TIMESTAMP '2024-01-10 00:00:00', INTERVAL 2 HOUR) AS b",
+        "bigquery",
+    )
+    row = spark.sql(out).collect()[0]
+    assert str(row.a)[:10] == "2024-01-06" and str(row.b) == "2024-01-09 22:00:00"
+
+
+def test_bigquery_format_parse_swap(spark):
+    out = transpile(
+        "SELECT FORMAT_DATE('%Y-%m', DATE '2024-03-05') AS a, "
+        "PARSE_DATE('%d/%m/%Y', '05/03/2024') AS b",
+        "bigquery",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == "2024-03" and str(row.b) == "2024-03-05"
+
+
+def test_bigquery_date_trunc_swap(spark):
+    out = transpile("SELECT DATE_TRUNC(DATE '2024-03-15', MONTH) AS d", "bigquery")
+    assert out == "SELECT date_trunc('month', DATE '2024-03-15') AS d"
+    # Already-Spark form untouched (idempotent shape check).
+    spark_form = "SELECT date_trunc('month', d) FROM t"
+    assert transpile(spark_form, "bigquery") == spark_form
+
+
+def test_bigquery_backtick_dotted_path_split():
+    out = transpile("SELECT x FROM `proj.ds.tbl`", "bigquery")
+    assert out == "SELECT x FROM `proj`.`ds`.`tbl`"
+    # Non-dotted backtick identifiers untouched.
+    assert transpile("SELECT `a b` FROM t", "bigquery") == "SELECT `a b` FROM t"
+
+
+def test_bigquery_split_plain_separator(spark):
+    out = transpile("SELECT SPLIT('a|b|c', '|') AS a, SPLIT('x,y') AS b", "bigquery")
+    row = spark.sql(out).collect()[0]
+    assert row.a == ["a", "b", "c"] and row.b == ["x", "y"]
+
+
+def test_bigquery_offset_ordinal_subscripts(spark):
+    out = transpile("SELECT arr[OFFSET(0)] AS a, arr[ORDINAL(2)] AS b "
+                    "FROM (SELECT array(10, 20) AS arr)", "bigquery")
+    row = spark.sql(out).collect()[0]
+    assert row.a == 10 and row.b == 20
+
+
+def test_bigquery_date_constructor(spark):
+    out = transpile("SELECT DATE(2024, 3, 5) AS d", "bigquery")
+    assert str(spark.sql(out).collect()[0].d) == "2024-03-05"
+
+
+def test_bigquery_aggregate_renames(spark):
+    out = transpile(
+        "SELECT COUNTIF(x > 1) AS a, LOGICAL_AND(x > 0) AS b, "
+        "LOGICAL_OR(x > 2) AS c FROM (SELECT 1 AS x UNION ALL SELECT 3)",
+        "bigquery",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c) == (1, True, True)
+
+
+def test_bigquery_loud():
+    for sql in (
+        "SELECT CAST(x AS BIGNUMERIC) FROM t",   # 76 digits > DECIMAL(38)
+        "SELECT DATE_DIFF(a, b, WEEK) FROM t",   # Sunday vs Monday weeks
+        "SELECT FARM_FINGERPRINT(s) FROM t",
+        "SELECT SHA256(s) FROM t",               # BYTES vs hex string
+        "SELECT JSON_EXTRACT(j, '$.a') FROM t",  # returns JSON, not scalar
+    ):
+        with pytest.raises(TranspileError):
+            transpile(sql, "bigquery")
+
+
+# ---------------------------------------------------------------------------
+# Spark-version gate (round-5 directive 3)
+# ---------------------------------------------------------------------------
+
+
+def test_listagg_gated_on_spark3(monkeypatch):
+    import sqlmesh_spark.core.transpile as tp
+
+    monkeypatch.setattr(tp, "_spark_version", lambda: (3, 5))
+    with pytest.raises(TranspileError, match="requires Spark >= 4.0"):
+        transpile("SELECT string_agg(x, ',') FROM t", "duckdb")
+    with pytest.raises(TranspileError, match="requires Spark >= 4.0"):
+        transpile("SELECT LISTAGG(x, ',') FROM t", "snowflake")
+    monkeypatch.setattr(tp, "_spark_version", lambda: (4, 0))
+    assert (
+        transpile("SELECT string_agg(x, ',') FROM t", "duckdb")
+        == "SELECT listagg(x, ',') FROM t"
+    )
