@@ -117,9 +117,23 @@ class ModelTestRunner:
         self.spark = spark
 
     def run_spec(self, spec: Mapping[str, Any], models: Mapping[str, Model]) -> list[ModelTestResult]:
-        return [
-            self._run_one(name, body, models) for name, body in spec.items()
-        ]
+        # An execution error (unresolvable function, bad fixture SQL) is a
+        # FAILED test result, not a crashed run — the reference runner
+        # reports per-test errors the same way (test/result.py collects
+        # errors alongside assertion failures).
+        out = []
+        for name, body in spec.items():
+            try:
+                out.append(self._run_one(name, body, models))
+            except Exception as exc:  # noqa: BLE001
+                out.append(
+                    ModelTestResult(
+                        name=name,
+                        passed=False,
+                        failures=[f"error: {type(exc).__name__}: {exc}"],
+                    )
+                )
+        return out
 
     def run_yaml(self, text: str, models: Mapping[str, Model]) -> list[ModelTestResult]:
         return self.run_spec(yaml.safe_load(text), models)
@@ -155,11 +169,15 @@ class ModelTestRunner:
         sql = MacroEvaluator(variables=variables, schemas=schemas).render(model.query)
         # YAML tests run the same dialect pipeline as real evaluation
         # (scheduler render): a duckdb-dialect model's golden test must
-        # exercise the transpiled SQL, not the raw text.
-        if model.dialect and model.dialect != "spark":
+        # exercise the transpiled SQL, not the raw text. A test may also
+        # declare its own `dialect:` (reference test/runner.py:43-77 runs
+        # model tests on the test connection in the model's dialect) —
+        # the body-level key wins over the model's.
+        dialect = body.get("dialect") or model.dialect
+        if dialect and dialect != "spark":
             from sqlmesh_spark.core.transpile import transpile
 
-            sql = transpile(sql, model.dialect)
+            sql = transpile(sql, dialect)
         for logical, view in sorted(mapping.items(), key=lambda kv: -len(kv[0])):
             sql = _replace_table_ref(sql, logical, view)
 

@@ -127,7 +127,7 @@ FROM customer WHERE c_custkey <= 1500
 """
 
 
-@register("mat_merge_by_key", oracle=MERGE_ORACLE, tags=("materialization",))
+@register("mat_merge_by_key", oracle=MERGE_ORACLE, tags=("materialization", "bench"))
 def mat_merge_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert: keys 500-1000 updated, 1001-1500 inserted, <500 untouched —
     the logical-merge (anti-join + union) path."""

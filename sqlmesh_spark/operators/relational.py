@@ -1469,7 +1469,7 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day_num
 """
 
 
-@register("rolling_range_window", oracle=ROLLING_RANGE_ORACLE, tags=("relational",))
+@register("rolling_range_window", oracle=ROLLING_RANGE_ORACLE, tags=("relational", "bench"))
 def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day aggregate via a RANGE frame keyed on an integer day
     number — a VALUE-based frame (missing days still count toward the

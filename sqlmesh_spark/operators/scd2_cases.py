@@ -73,7 +73,7 @@ _Q1_TIME, _ = _by_time_queries(EMPTY_BY_TIME, "__placeholder__")
 SCD2_BY_TIME_ORACLE = _by_time_queries(EMPTY_BY_TIME, f"({_Q1_TIME})")[1]
 
 
-@register("scd_type_2_by_time", oracle=SCD2_BY_TIME_ORACLE, tags=("materialization", "scd2"))
+@register("scd_type_2_by_time", oracle=SCD2_BY_TIME_ORACLE, tags=("materialization", "scd2", "bench"))
 def scd_type_2_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 driven by a source updated_at column (kind SCD_TYPE_2_BY_TIME,
     reference base.py:1738/model/kind.py:700s)."""

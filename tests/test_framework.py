@@ -1556,3 +1556,69 @@ def test_weekly_cron_boundary_anchored_to_dow():
     assert _weekly_cron_boundary(epoch("2024-01-10"), "0") == b_sun
     b_list = _weekly_cron_boundary(epoch("2024-01-10"), "2,5")
     assert datetime.fromtimestamp(b_list, tz=timezone.utc).strftime("%a") == "Tue"
+
+
+def test_yaml_test_dialect_key_routes_transpile(spark):
+    """Round-5 directive: a YAML test can declare `dialect:` and the
+    fixture query routes through core/transpile.py before execution
+    (reference test/runner.py:43-77 runs tests in the model's dialect).
+    The model text below is DuckDB SQL — strftime C-formats and a `::`
+    cast — unrunnable on Spark without transpilation."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    model = parse_model_text(
+        "MODEL (name demo.ddb_rev, kind FULL);\n"
+        "SELECT strftime(ds::TIMESTAMP, '%Y-%m') AS month,\n"
+        "       SUM(amount)::DOUBLE AS revenue\n"
+        "FROM src.order_items GROUP BY strftime(ds::TIMESTAMP, '%Y-%m')"
+    )
+    yaml_text = """
+test_ddb_rev:
+  model: demo.ddb_rev
+  dialect: duckdb
+  inputs:
+    src.order_items:
+      rows:
+        - {amount: 5.0, ds: '2024-01-01'}
+        - {amount: 7.0, ds: '2024-02-01'}
+  outputs:
+    query:
+      rows:
+        - {month: '2024-01', revenue: 5.0}
+        - {month: '2024-02', revenue: 7.0}
+"""
+    results = ModelTestRunner(spark).run_yaml(yaml_text, {model.name: model})
+    assert results[0].passed, results[0].failures
+    # Without the dialect key (and no model dialect) the raw DuckDB text
+    # must fail on Spark — proving the transpile hop did the work.
+    no_dialect = yaml_text.replace("  dialect: duckdb\n", "")
+    results = ModelTestRunner(spark).run_yaml(no_dialect, {model.name: model})
+    assert not results[0].passed
+
+
+def test_yaml_test_snowflake_dialect(spark):
+    from sqlmesh_spark.core.model import parse_model_text
+
+    model = parse_model_text(
+        "MODEL (name demo.sf_m, kind FULL, dialect snowflake);\n"
+        "SELECT IFF(amount > 6, 'big', 'small') AS bucket,\n"
+        "       COUNT(*)::BIGINT AS n\n"
+        "FROM src.order_items GROUP BY IFF(amount > 6, 'big', 'small')"
+    )
+    yaml_text = """
+test_sf_m:
+  model: demo.sf_m
+  inputs:
+    src.order_items:
+      rows:
+        - {amount: 5.0}
+        - {amount: 7.0}
+        - {amount: 9.0}
+  outputs:
+    query:
+      rows:
+        - {bucket: small, n: 1}
+        - {bucket: big, n: 2}
+"""
+    results = ModelTestRunner(spark).run_yaml(yaml_text, {model.name: model})
+    assert results[0].passed, results[0].failures

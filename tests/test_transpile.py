@@ -748,3 +748,58 @@ def test_listagg_gated_on_spark3(monkeypatch):
         transpile("SELECT string_agg(x, ',') FROM t", "duckdb")
         == "SELECT listagg(x, ',') FROM t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Idempotence / fixpoint property over the registry's own SQL corpus
+# (round-5 directive 8)
+# ---------------------------------------------------------------------------
+
+
+def test_transpile_fixpoint_over_registry_corpus():
+    """transpile(transpile(x)) == transpile(x) for every oracle text in the
+    registry (each written in DuckDB dialect): the output of a transpile
+    must be a fixpoint — re-reading it as the same dialect changes
+    nothing. Exception, by design: texts whose OUTPUT contains
+    backslashes in string literals (escaped regex separators), since
+    re-reading a Spark literal as a standard-SQL literal re-doubles them —
+    that's dialect re-interpretation, not instability."""
+    import re as _re
+
+    from sqlmesh_spark.registry import load_all
+
+    checked = 0
+    skipped_loud = 0
+    skipped_backslash = 0
+    for name, case in load_all().items():
+        if case.oracle is None:
+            continue
+        x = case.oracle
+        try:
+            y = transpile(x, "duckdb")
+        except TranspileError:
+            skipped_loud += 1
+            continue
+        if _re.search(r"'[^']*\\", y):
+            skipped_backslash += 1
+            continue
+        assert transpile(y, "duckdb") == y, f"{name}: transpile is not a fixpoint"
+        checked += 1
+    assert checked >= 50, (checked, skipped_loud, skipped_backslash)
+
+
+def test_transpile_noop_on_plain_spark_sql_corpus():
+    """Already-Spark SQL (no dialect-specific constructs) round-trips
+    byte-identical through every read dialect — the no-op guarantee the
+    module docstring promises."""
+    corpus = [
+        "SELECT a, SUM(b) AS s FROM t WHERE c >= DATE '2024-01-01' GROUP BY a",
+        "SELECT date_format(ts, 'yyyy-MM') AS ym, COUNT(*) AS n FROM t GROUP BY 1",
+        "WITH x AS (SELECT 1 AS a) SELECT a, ROW_NUMBER() OVER (ORDER BY a) FROM x",
+        "SELECT CAST(x AS DECIMAL(12,2)), element_at(arr, 1) FROM t -- note\n",
+        "SELECT timestampdiff(DAY, a, b), date_trunc('month', ts) FROM t",
+        "SELECT /* block */ concat_ws('-', a, b) AS k FROM t ORDER BY k LIMIT 5",
+    ]
+    for sql in corpus:
+        for dialect in ("duckdb", "postgres", "ansi", "snowflake", "bigquery"):
+            assert transpile(sql, dialect) == sql, (dialect, sql)
