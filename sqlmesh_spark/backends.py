@@ -146,6 +146,10 @@ class TableFormatBackend:
             out = frozen.unionByName(out)
         adapter._insert_overwrite_partitions(target, out)
         # Drop touched partitions that ended up empty (stale-file guard).
+        # This collect is bounded by the SAME MAX_COW_PARTITIONS cap as the
+        # touched-partition list above: `out` only contains rows from
+        # partitions in `touched` (plus frozen rows from those partitions),
+        # so its distinct partition values are a subset of the capped list.
         produced = {tuple(r) for r in out.select(*part_cols).distinct().collect()}
         for values in touched:
             if values not in produced:

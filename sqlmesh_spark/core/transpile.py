@@ -782,6 +782,104 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             i += 2
             continue
 
+        # QUALIFY (DuckDB/Snowflake/BigQuery window filter; Spark has no
+        # equivalent clause). Rewrite the SELECT block:
+        #   SELECT <list> FROM ... QUALIFY <pred> [ORDER BY ...]
+        # →
+        #   SELECT * EXCEPT (__sqlmesh_qualify__) FROM (
+        #     SELECT <list>, (<pred>) AS __sqlmesh_qualify__ FROM ...
+        #   ) WHERE __sqlmesh_qualify__ [ORDER BY ...]
+        # The predicate (window exprs included — they're legal in a select
+        # list) evaluates inside; the outer WHERE filters on the boolean
+        # and `* EXCEPT` drops the synthetic column. ORDER BY / LIMIT
+        # after QUALIFY land in the OUTER query, preserving their scope.
+        if (
+            kind == "ident"
+            and text.upper() == "QUALIFY"
+            and read in ("duckdb", "snowflake", "bigquery")
+        ):
+            # locate the owning SELECT (nearest, scanning back at depth 0)
+            depth = 0
+            sel_idx = None
+            for j in range(i - 1, -1, -1):
+                k_, t_, _, _ = toks[j]
+                if k_ == "op" and t_ == ")":
+                    depth += 1
+                elif k_ == "op" and t_ == "(":
+                    depth -= 1
+                    if depth < 0:
+                        break
+                elif depth == 0 and k_ == "ident" and t_.upper() == "SELECT":
+                    sel_idx = j
+                    break
+            if sel_idx is None:
+                raise TranspileError("QUALIFY without an owning SELECT")
+            if toks[sel_idx + 1][0] == "ident" and toks[sel_idx + 1][1].upper() == "DISTINCT":
+                # Snowflake applies QUALIFY BEFORE DISTINCT; injecting the
+                # predicate column would change the distinct key set.
+                raise TranspileError(
+                    "QUALIFY with SELECT DISTINCT has no faithful Spark "
+                    "rewrite; deduplicate in an outer query instead"
+                )
+            # matching FROM of that SELECT (forward, same depth)
+            depth = 0
+            from_idx = None
+            for j in range(sel_idx + 1, i):
+                k_, t_, _, _ = toks[j]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                elif depth == 0 and k_ == "ident" and t_.upper() == "FROM":
+                    from_idx = j
+                    break
+            if from_idx is None:
+                raise TranspileError("QUALIFY in a SELECT without FROM")
+            # predicate span: from after QUALIFY to the next same-depth
+            # terminator (ORDER/LIMIT/OFFSET/FETCH/WINDOW/set-op/;/close)
+            terminators = {
+                "ORDER", "LIMIT", "OFFSET", "FETCH", "WINDOW",
+                "UNION", "EXCEPT", "INTERSECT", "MINUS",
+            }
+            depth = 0
+            pred_end_tok = len(toks)
+            for j in range(i + 1, len(toks)):
+                k_, t_, _, _ = toks[j]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                    if depth < 0:
+                        pred_end_tok = j
+                        break
+                elif depth == 0 and (
+                    (k_ == "ident" and t_.upper() in terminators)
+                    or (k_ == "op" and t_ == ";")
+                ):
+                    pred_end_tok = j
+                    break
+            if pred_end_tok == i + 1:
+                raise TranspileError("QUALIFY with an empty predicate")
+            pred_text = sql[toks[i + 1][2] : toks[pred_end_tok - 1][3]]
+            q_col = "__sqlmesh_qualify__"
+            edits.append(
+                (toks[sel_idx][2], toks[sel_idx][2],
+                 f"SELECT * EXCEPT ({q_col}) FROM (")
+            )
+            edits.append(
+                (toks[from_idx][2], toks[from_idx][2],
+                 f", ({pred_text}) AS {q_col} ")
+            )
+            pred_span_end = toks[pred_end_tok - 1][3]
+            edits.append((start, pred_span_end, f") WHERE {q_col}"))
+            # Skip the consumed predicate tokens — their spans are inside
+            # the replacement; the COPY in the select list transpiles on
+            # later fixpoint passes (plain renames; first-pass-only
+            # literal handlers inside a QUALIFY predicate fail loudly at
+            # execution rather than silently).
+            i = pred_end_tok
+            continue
+
         if kind == "ident" and is_op(i + 1, "("):
             name = text.lower()
 

@@ -2422,3 +2422,48 @@ GROUP BY FORMAT_DATE('%Y-%m', o_orderdate)
     )
     ctx.run(environment="env_bq")
     return spark.table("env_bq_views.order_stats")
+
+
+QUALIFY_ORACLE = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+@register("framework_qualify_dedup_model", oracle=QUALIFY_ORACLE, tags=("dialect", "framework"))
+def framework_qualify_dedup_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY — the single most common construct in Snowflake/BigQuery
+    migration SQL (latest-row-per-key dedup) and absent from Spark SQL.
+    core/transpile.py rewrites the clause into a wrapped subquery with the
+    predicate as a synthetic boolean column (window exprs stay legal in
+    the select list; Spark lateral aliases resolve select-list references
+    like `rn`). The DuckDB oracle runs QUALIFY natively — value parity
+    proves the rewrite preserves clause semantics, including the
+    before-projection evaluation order."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_qf", "env_qf_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_qf.latest_order,
+  kind FULL,
+  dialect snowflake
+);
+SELECT o_custkey,
+       o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+    )
+    ctx.run(environment="env_qf")
+    return spark.table("env_qf_views.latest_order")

@@ -803,3 +803,83 @@ def test_transpile_noop_on_plain_spark_sql_corpus():
     for sql in corpus:
         for dialect in ("duckdb", "postgres", "ansi", "snowflake", "bigquery"):
             assert transpile(sql, dialect) == sql, (dialect, sql)
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY rewrite (DuckDB / Snowflake / BigQuery window filter)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def qualify_view(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW q_t AS "
+        "SELECT * FROM VALUES (1, 10), (1, 20), (2, 30) AS q_t(a, b)"
+    )
+    return "q_t"
+
+
+def test_qualify_alias_reference(spark, qualify_view):
+    # The canonical migration pattern: rn defined in the select list,
+    # filtered in QUALIFY (resolves via Spark's lateral column aliases).
+    out = transpile(
+        "SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rn "
+        "FROM q_t QUALIFY rn = 1",
+        "snowflake",
+    )
+    rows = sorted((r.a, r.b, r.rn) for r in spark.sql(out).collect())
+    assert rows == [(1, 10, 1), (2, 30, 1)]
+
+
+def test_qualify_window_in_predicate(spark, qualify_view):
+    out = transpile(
+        "SELECT a, b FROM q_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b DESC) = 1",
+        "bigquery",
+    )
+    rows = sorted((r.a, r.b) for r in spark.sql(out).collect())
+    assert rows == [(1, 20), (2, 30)]
+    # the synthetic column must NOT leak into the output schema
+    assert spark.sql(out).columns == ["a", "b"]
+
+
+def test_qualify_order_limit_outer_scope(spark, qualify_view):
+    out = transpile(
+        "SELECT a FROM q_t QUALIFY RANK() OVER (ORDER BY a) <= 3 "
+        "ORDER BY a DESC LIMIT 2",
+        "duckdb",
+    )
+    assert [r.a for r in spark.sql(out).collect()] == [2, 1]
+
+
+def test_qualify_in_subquery(spark, qualify_view):
+    out = transpile(
+        "SELECT x FROM (SELECT b AS x FROM q_t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY b) = 1) WHERE x > 0",
+        "snowflake",
+    )
+    assert [r.x for r in spark.sql(out).collect()] == [10]
+
+
+def test_qualify_union_scope(spark, qualify_view):
+    out = transpile(
+        "SELECT a FROM q_t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1 "
+        "UNION ALL SELECT 99",
+        "snowflake",
+    )
+    assert sorted(r.a for r in spark.sql(out).collect()) == [1, 99]
+
+
+def test_qualify_distinct_loud():
+    with pytest.raises(TranspileError, match="DISTINCT"):
+        transpile(
+            "SELECT DISTINCT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1",
+            "snowflake",
+        )
+
+
+def test_qualify_not_rewritten_for_postgres():
+    # Postgres has no QUALIFY; the clause passes through (and fails loudly
+    # at execution) rather than being silently reinterpreted.
+    sql = "SELECT a FROM t QUALIFY rn = 1"
+    assert transpile(sql, "postgres") == sql
