@@ -1011,6 +1011,72 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         )
                     i += 1
                     continue
+                if name == "flatten" and i > 0 and toks[i - 1][0] == "ident" \
+                        and toks[i - 1][1].upper() == "LATERAL":
+                    # LATERAL FLATTEN(input => arr) f  →
+                    #   LATERAL VIEW posexplode(arr) f AS index, value
+                    # Snowflake's f.value / f.index references resolve
+                    # against the generated column list (both 0-based).
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    expr_text = None
+                    outer = False
+                    for a_first, a_last in spans:
+                        if (
+                            toks[a_first][0] == "ident"
+                            and a_first + 2 <= a_last
+                            and is_op(a_first + 1, "=")
+                            and is_op(a_first + 2, ">")
+                        ):
+                            key = toks[a_first][1].lower()
+                            val_text = sql[toks[a_first + 3][2] : toks[a_last][3]]
+                            if key == "input":
+                                expr_text = val_text
+                            elif key == "outer":
+                                outer = val_text.strip().lower() == "true"
+                            else:
+                                raise TranspileError(
+                                    f"FLATTEN({key} => ...) has no Spark rewrite "
+                                    "(only input/outer transpile)"
+                                )
+                        elif expr_text is None:
+                            expr_text = sql[toks[a_first][2] : toks[a_last][3]]
+                        else:
+                            raise TranspileError(
+                                "FLATTEN with multiple positional args has no "
+                                "Spark rewrite"
+                            )
+                    if expr_text is None:
+                        raise TranspileError("FLATTEN needs an input argument")
+                    # optional [AS] alias after the close paren
+                    j = close + 1
+                    if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
+                        j += 1
+                    if j < n and toks[j][0] in ("ident", "qident") and \
+                            toks[j][1].upper() not in _EXPR_KEYWORDS:
+                        alias = toks[j][1]
+                        region_end_tok = j
+                    else:
+                        alias = "_flattened"
+                        region_end_tok = close
+                    # swallow a preceding comma / CROSS|INNER JOIN connector
+                    lat_idx = i - 1
+                    region_start_tok = lat_idx
+                    p = lat_idx - 1
+                    if p >= 0 and is_op(p, ","):
+                        region_start_tok = p
+                    elif p >= 0 and toks[p][0] == "ident" and toks[p][1].upper() == "JOIN":
+                        region_start_tok = p
+                        if p - 1 >= 0 and toks[p - 1][0] == "ident" and \
+                                toks[p - 1][1].upper() in ("CROSS", "INNER"):
+                            region_start_tok = p - 1
+                    fn = "posexplode_outer" if outer else "posexplode"
+                    repl = f" LATERAL VIEW {fn}({expr_text}) {alias} AS index, value"
+                    edits.append(
+                        (toks[region_start_tok][2], toks[region_end_tok][3], repl)
+                    )
+                    i = region_end_tok + 1
+                    continue
+
                 if name in ("dateadd", "timeadd", "timestampadd") and first_pass:
                     spans, _close = _call_arg_spans(toks, i + 1)
                     if len(spans) != 3:
@@ -1035,6 +1101,109 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
             # ---- BigQuery-specific handlers
             if read == "bigquery":
+                if name == "unnest":
+                    # FROM-clause UNNEST — four shapes:
+                    #   t, UNNEST(x) AS e [WITH OFFSET [AS] o]
+                    #   t CROSS|INNER JOIN UNNEST(x) e ...
+                    #   t LEFT [OUTER] JOIN UNNEST(x) e ON TRUE  (outer)
+                    #   FROM UNNEST(x) AS e                      (standalone)
+                    # → LATERAL VIEW [pos]explode[_outer](x) _u AS [o,] e
+                    # (standalone → FROM (SELECT explode(x) AS e)).
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError("UNNEST takes exactly one array arg")
+                    expr_text = sql[toks[spans[0][0]][2] : toks[spans[0][1]][3]]
+                    # alias
+                    j = close + 1
+                    if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
+                        j += 1
+                    if j < n and toks[j][0] in ("ident", "qident") and \
+                            toks[j][1].upper() not in _EXPR_KEYWORDS and \
+                            toks[j][1].upper() not in ("WITH", "ON"):
+                        alias = toks[j][1]
+                        region_end_tok = j
+                        j += 1
+                    else:
+                        raise TranspileError(
+                            "UNNEST without an alias cannot be referenced "
+                            "after transpile; add `AS name`"
+                        )
+                    # WITH OFFSET [AS] o
+                    offset_alias = None
+                    if (
+                        j + 1 < n
+                        and toks[j][0] == "ident" and toks[j][1].upper() == "WITH"
+                        and toks[j + 1][0] == "ident"
+                        and toks[j + 1][1].upper() == "OFFSET"
+                    ):
+                        j += 2
+                        if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
+                            j += 1
+                        if j < n and toks[j][0] in ("ident", "qident"):
+                            offset_alias = toks[j][1]
+                            region_end_tok = j
+                            j += 1
+                        else:
+                            offset_alias = "offset"
+                            region_end_tok = j - 1
+                    # preceding connector
+                    p = i - 1
+                    outer = False
+                    standalone = False
+                    region_start_tok = i
+                    if p >= 0 and is_op(p, ","):
+                        region_start_tok = p
+                    elif p >= 0 and toks[p][0] == "ident" and toks[p][1].upper() == "JOIN":
+                        region_start_tok = p
+                        q = p - 1
+                        if q >= 0 and toks[q][0] == "ident" and toks[q][1].upper() == "OUTER":
+                            q -= 1
+                        if q >= 0 and toks[q][0] == "ident" and \
+                                toks[q][1].upper() in ("CROSS", "INNER", "LEFT"):
+                            region_start_tok = q
+                            outer = toks[q][1].upper() == "LEFT"
+                    elif p >= 0 and toks[p][0] == "ident" and toks[p][1].upper() == "FROM":
+                        standalone = True
+                    # LEFT JOIN form carries a mandatory ON TRUE — swallow it.
+                    if outer:
+                        if (
+                            j + 1 < n
+                            and toks[j][0] == "ident" and toks[j][1].upper() == "ON"
+                            and toks[j + 1][0] == "ident"
+                            and toks[j + 1][1].upper() == "TRUE"
+                        ):
+                            region_end_tok = j + 1
+                        else:
+                            raise TranspileError(
+                                "LEFT JOIN UNNEST with a non-TRUE ON condition "
+                                "has no LATERAL VIEW rewrite"
+                            )
+                    if standalone:
+                        if offset_alias is not None:
+                            repl = (
+                                f"(SELECT posexplode({expr_text}) "
+                                f"AS ({offset_alias}, {alias}))"
+                            )
+                        else:
+                            repl = f"(SELECT explode({expr_text}) AS {alias})"
+                    else:
+                        suffix = "_outer" if outer else ""
+                        if offset_alias is not None:
+                            repl = (
+                                f" LATERAL VIEW posexplode{suffix}({expr_text}) "
+                                f"_u_{alias} AS {offset_alias}, {alias}"
+                            )
+                        else:
+                            repl = (
+                                f" LATERAL VIEW explode{suffix}({expr_text}) "
+                                f"_u_{alias} AS {alias}"
+                            )
+                    edits.append(
+                        (toks[region_start_tok][2], toks[region_end_tok][3], repl)
+                    )
+                    i = region_end_tok + 1
+                    continue
+
                 if name in ("timestamp_diff", "date_diff", "datetime_diff") and first_pass:
                     spans, close = _call_arg_spans(toks, i + 1)
                     if len(spans) != 3:

@@ -2467,3 +2467,104 @@ QUALIFY ROW_NUMBER() OVER (
     )
     ctx.run(environment="env_qf")
     return spark.table("env_qf_views.latest_order")
+
+
+SF_INCR_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-12-31 00:00:00'
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("framework_snowflake_incremental", oracle=SF_INCR_ORACLE, tags=("dialect", "framework"))
+def framework_snowflake_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dialect × temporal-macro interplay: an
+    INCREMENTAL_BY_TIME_RANGE model whose query mixes @start_ts/@end_ts
+    macros with TO_VARCHAR format conversion, IFF and `::` casts. Macros
+    expand FIRST, transpile second (scheduler render order), so the
+    temporal literals the macros inject survive the dialect rewrite —
+    the same contract framework_dialect_incremental pins for DuckDB,
+    proven here for the round-5 Snowflake table."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_sfi", "env_sfi_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_sfi.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  dialect snowflake,
+  cron '@daily'
+);
+SELECT o_orderdate AS event_ts,
+       TO_VARCHAR(o_orderdate, 'YYYY-MM-DD') AS ds,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(IFF(o_orderpriority = '1-URGENT', 1, 0))::BIGINT AS n_urgent
+FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(@end_ts AS TIMESTAMP)
+GROUP BY o_orderdate, TO_VARCHAR(o_orderdate, 'YYYY-MM-DD')
+"""
+    )
+    ctx.run(environment="env_sfi", start="1995-01-01", end="1995-06-30")
+    executed = ctx.run(environment="env_sfi", start="1995-01-01", end="1995-12-31")
+    assert executed["demo_sfi.daily_orders"] >= 1
+    return spark.table("env_sfi_views.daily_orders").select(
+        "ds", "n_orders", "n_urgent"
+    )
+
+
+BQ_UNNEST_ORACLE = """
+SELECT o AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+FROM (
+  SELECT vec_id,
+         unnest(embedding) AS e,
+         unnest(range(len(embedding))) AS o
+  FROM embeddings
+  WHERE vec_id % 10 = 0
+)
+GROUP BY o
+"""
+
+
+@register("framework_bigquery_unnest_model", oracle=BQ_UNNEST_ORACLE, tags=("dialect", "framework"))
+def framework_bigquery_unnest_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery UNNEST ... WITH OFFSET through plan/apply — the FROM-clause
+    table function every BigQuery array query uses. core/transpile.py
+    rewrites the comma-join form to `LATERAL VIEW posexplode` (0-based
+    offset parity). The DuckDB oracle zips parallel unnests
+    (unnest(list) + unnest(range(len))) — value parity proves element AND
+    position fidelity. Float comparisons stay exact (e > 0), no float
+    aggregation, so the hash match is representation-safe."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_un", "env_un_views")
+    register_views(spark, sf_dir, ("embeddings",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_un.dim_stats,
+  kind FULL,
+  dialect bigquery
+);
+SELECT o AS dim,
+       CAST(COUNT(*) AS INT64) AS n,
+       CAST(COUNTIF(e > 0) AS INT64) AS n_pos
+FROM embeddings, UNNEST(embedding) AS e WITH OFFSET AS o
+WHERE MOD(vec_id, 10) = 0
+GROUP BY o
+"""
+    )
+    ctx.run(environment="env_un")
+    return spark.table("env_un_views.dim_stats")

@@ -883,3 +883,88 @@ def test_qualify_not_rewritten_for_postgres():
     # at execution) rather than being silently reinterpreted.
     sql = "SELECT a FROM t QUALIFY rn = 1"
     assert transpile(sql, "postgres") == sql
+
+
+# ---------------------------------------------------------------------------
+# Snowflake LATERAL FLATTEN / BigQuery UNNEST table functions
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def arr_views(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW arr_t AS "
+        "SELECT 1 AS id, array(10, 20) AS arr "
+        "UNION ALL SELECT 2, array(30)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW arr_e AS "
+        "SELECT 1 AS id, array(10, 20) AS arr "
+        "UNION ALL SELECT 2, CAST(array() AS array<int>)"
+    )
+
+
+def test_snowflake_lateral_flatten(spark, arr_views):
+    out = transpile(
+        "SELECT id, f.value, f.index FROM arr_t, "
+        "LATERAL FLATTEN(input => arr) f",
+        "snowflake",
+    )
+    rows = sorted(tuple(r) for r in spark.sql(out).collect())
+    assert rows == [(1, 10, 0), (1, 20, 1), (2, 30, 0)]
+
+
+def test_snowflake_lateral_flatten_outer(spark, arr_views):
+    # outer => true keeps empty-array rows (posexplode_outer).
+    out = transpile(
+        "SELECT id, f.value FROM arr_e, "
+        "LATERAL FLATTEN(input => arr, outer => true) f",
+        "snowflake",
+    )
+    rows = sorted(tuple(r) for r in spark.sql(out).collect())
+    assert rows == [(1, 10), (1, 20), (2, None)]
+
+
+def test_snowflake_flatten_unsupported_args_loud():
+    with pytest.raises(TranspileError, match="path"):
+        transpile(
+            "SELECT f.value FROM t, LATERAL FLATTEN(input => x, path => 'a') f",
+            "snowflake",
+        )
+    # non-LATERAL FLATTEN stays loud via the function map
+    with pytest.raises(TranspileError):
+        transpile("SELECT FLATTEN(x) FROM t", "snowflake")
+
+
+def test_bigquery_unnest_comma_form(spark, arr_views):
+    out = transpile("SELECT id, e FROM arr_t, UNNEST(arr) AS e", "bigquery")
+    rows = sorted(tuple(r) for r in spark.sql(out).collect())
+    assert rows == [(1, 10), (1, 20), (2, 30)]
+
+
+def test_bigquery_unnest_with_offset(spark, arr_views):
+    out = transpile(
+        "SELECT id, e, o FROM arr_t, UNNEST(arr) AS e WITH OFFSET AS o",
+        "bigquery",
+    )
+    rows = sorted(tuple(r) for r in spark.sql(out).collect())
+    assert rows == [(1, 10, 0), (1, 20, 1), (2, 30, 0)]
+
+
+def test_bigquery_unnest_left_join_on_true(spark, arr_views):
+    out = transpile(
+        "SELECT id, e FROM arr_e LEFT JOIN UNNEST(arr) AS e ON TRUE",
+        "bigquery",
+    )
+    rows = sorted(tuple(r) for r in spark.sql(out).collect())
+    assert rows == [(1, 10), (1, 20), (2, None)]
+
+
+def test_bigquery_unnest_standalone(spark):
+    out = transpile("SELECT e FROM UNNEST(ARRAY[7, 8]) AS e", "bigquery")
+    assert sorted(r.e for r in spark.sql(out).collect()) == [7, 8]
+
+
+def test_bigquery_unnest_without_alias_loud():
+    with pytest.raises(TranspileError, match="alias"):
+        transpile("SELECT x FROM t, UNNEST(arr)", "bigquery")
