@@ -601,8 +601,15 @@ def _weekly_cron_boundary(epoch: int, dow_field: str) -> int:
     tok = _re.split(r"[,/-]", dow_field)[0].strip().lower()
     if tok.isdigit():
         cron_dow = int(tok) % 7  # cron allows 7 == Sunday
+    elif tok[:3] in dow_names:
+        cron_dow = dow_names[tok[:3]]
     else:
-        cron_dow = dow_names.get(tok[:3], 4)
+        # Defaulting would silently reintroduce the Thursday grid this
+        # function exists to fix — unsupported fields fail loudly.
+        raise ValueError(
+            f"unsupported day-of-week field {dow_field!r} in "
+            "auto_restatement_cron; use 0-7 or SUN..SAT"
+        )
     # epoch day d falls on cron dow w exactly when d % 7 == (w - 4) % 7.
     off = ((cron_dow - 4) % 7) * 86400
     week = 7 * 86400

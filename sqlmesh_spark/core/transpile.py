@@ -176,7 +176,8 @@ _BIGQUERY_FN: dict[str, str | None] = {
     "generate_array": "sequence",
     "generate_date_array": "sequence",  # both default to a 1-day step
     "current_datetime": "localtimestamp",
-    "datetime": "make_timestamp_ntz",   # DATETIME(y,m,d,h,mi,s) constructor
+    # "datetime" has an arity-dependent handler (6-arg constructor vs
+    # 1-arg conversion vs 2-arg tz/date+time forms)
     "json_extract_scalar": "get_json_object",
     "json_value": "get_json_object",
     "json_extract": None,               # returns JSON (not scalar) → loud
@@ -253,17 +254,36 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
 }
 
 
-def _type_map(read: str) -> dict[str, str | None]:
+# Parameterized type names: the base word renames, the (p[,s]) argument
+# list is preserved (CAST(x AS NUMBER(10,2)) → CAST(x AS DECIMAL(10,2))).
+# Spark has no NUMBER; bare NUMBER is handled by _DIALECT_TYPES.
+_PARAM_TYPES: dict[str, dict[str, str]] = {
+    "snowflake": {"number": "DECIMAL"},
+}
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _type_map(read: str):
+    """Merged base+overlay type map, built once per dialect — this sits on
+    the per-token render hot path (every :: and CAST)."""
     base: dict[str, str | None] = dict(_TYPE_MAP)
     base.update(_DIALECT_TYPES.get(read, {}))
     return base
 
 
+_LOUD_TYPE = object()  # sentinel distinguishing "no rewrite" from "loud"
+
+
 def _lookup_type(read: str, tname: str) -> str | None:
     """Spark rename for ``tname`` in ``read`` dialect; None when the name
     needs no rewrite. Raises for types with no faithful Spark form."""
-    mapped = _type_map(read).get(tname)
-    if mapped is None and tname in _type_map(read):
+    mapped = _type_map(read).get(tname, _LOUD_TYPE)
+    if mapped is _LOUD_TYPE:
+        return None
+    if mapped is None:
         raise TranspileError(
             f"type {tname!r} has no faithful Spark representation"
         )
@@ -386,7 +406,14 @@ def convert_pg_format(fmt: str) -> str:
 def convert_sf_format(fmt: str) -> str:
     """Snowflake TO_CHAR/TO_VARCHAR/TO_DATE/TO_TIMESTAMP pattern → Spark.
     Snowflake's pattern language is Postgres-like plus ``FF[0-9]``
-    fractional seconds (bare FF = 9 digits)."""
+    fractional seconds (bare FF = 9 digits). Numeric patterns
+    ('$99,999.00') have no date_format equivalent — loud, same rule as
+    convert_pg_format."""
+    if not any(c.isalpha() for c in fmt):
+        raise TranspileError(
+            f"format {fmt!r} looks numeric; only datetime patterns "
+            "transpile to date_format"
+        )
     out: list[str] = []
     i = 0
     n = len(fmt)
@@ -754,8 +781,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 edits.append((toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>"))
                 i += 4
                 continue
+            if is_op(i + 2, "("):
+                ptype = _PARAM_TYPES.get(read, {}).get(tname)
+                if ptype is not None:
+                    edits.append((toks[i + 1][2], toks[i + 1][3], ptype))
+                i += 2
+                continue
             mapped = _lookup_type(read, tname)
-            if mapped is not None and not is_op(i + 2, "("):
+            if mapped is not None:
                 edits.append((toks[i + 1][2], toks[i + 1][3], mapped))
             i += 2
             continue
@@ -776,8 +809,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 edits.append((toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>"))
                 i += 4
                 continue
+            if is_op(i + 2, "("):
+                ptype = _PARAM_TYPES.get(read, {}).get(tname)
+                if ptype is not None:
+                    edits.append((toks[i + 1][2], toks[i + 1][3], ptype))
+                i += 2
+                continue
             mapped = _lookup_type(read, tname)
-            if mapped is not None and not is_op(i + 2, "("):
+            if mapped is not None:
                 edits.append((toks[i + 1][2], toks[i + 1][3], mapped))
             i += 2
             continue
@@ -842,6 +881,8 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 "UNION", "EXCEPT", "INTERSECT", "MINUS",
             }
             depth = 0
+            bdepth = 0  # [...] nesting — OFFSET/ORDER-class idents inside
+            # a subscript are not clause terminators
             pred_end_tok = len(toks)
             for j in range(i + 1, len(toks)):
                 k_, t_, _, _ = toks[j]
@@ -852,7 +893,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     if depth < 0:
                         pred_end_tok = j
                         break
-                elif depth == 0 and (
+                elif k_ == "op" and t_ == "[":
+                    bdepth += 1
+                elif k_ == "op" and t_ == "]":
+                    bdepth -= 1
+                elif depth == 0 and bdepth == 0 and (
                     (k_ == "ident" and t_.upper() in terminators)
                     or (k_ == "op" and t_ == ";")
                 ):
@@ -860,7 +905,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     break
             if pred_end_tok == i + 1:
                 raise TranspileError("QUALIFY with an empty predicate")
-            pred_text = sql[toks[i + 1][2] : toks[pred_end_tok - 1][3]]
+            pred_text = transpile(
+                sql[toks[i + 1][2] : toks[pred_end_tok - 1][3]], read
+            )
             q_col = "__sqlmesh_qualify__"
             edits.append(
                 (toks[sel_idx][2], toks[sel_idx][2],
@@ -884,7 +931,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             name = text.lower()
 
             def _arg_text(span: tuple[int, int]) -> str:
-                return sql[toks[span[0]][2] : toks[span[1]][3]]
+                # Recursively transpile copied argument text: the tokens of
+                # a consumed region are SKIPPED by the outer scan, and
+                # later fixpoint passes run with first_pass handlers off —
+                # a plain copy would silently ship untranspiled literals
+                # (e.g. a SPLIT separator inside UNNEST). The fragment is a
+                # balanced expression, so the full pipeline (including
+                # literal doubling for standard-literal dialects) applies.
+                return transpile(sql[toks[span[0]][2] : toks[span[1]][3]], read)
 
             # listagg (snowflake native, or any dialect passing it through)
             # only exists on Spark >= 4.0 — gate at render time.
@@ -979,9 +1033,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             "regexp_substr with position/occurrence/parameter "
                             "args has no direct Spark rewrite"
                         )
-                    # whole-match extraction → regexp_extract(s, re, 0)
-                    edits.append((start, end, "regexp_extract"))
+                    # Whole-match extraction. Snowflake returns NULL on no
+                    # match; Spark regexp_extract returns '' — wrap in
+                    # nullif so IS NULL filters / COALESCE defaults keep
+                    # their Snowflake behavior.
+                    edits.append((start, end, "nullif(regexp_extract"))
                     edits.append((toks[close][2], toks[close][2], ", 0"))
+                    edits.append((toks[close][3], toks[close][3], ", '')"))
                     i += 1
                     continue
                 if name in ("to_number", "to_decimal", "to_numeric",
@@ -1030,7 +1088,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             key = toks[a_first][1].lower()
                             val_text = sql[toks[a_first + 3][2] : toks[a_last][3]]
                             if key == "input":
-                                expr_text = val_text
+                                expr_text = transpile(val_text, read)
                             elif key == "outer":
                                 outer = val_text.strip().lower() == "true"
                             else:
@@ -1039,7 +1097,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                                     "(only input/outer transpile)"
                                 )
                         elif expr_text is None:
-                            expr_text = sql[toks[a_first][2] : toks[a_last][3]]
+                            expr_text = transpile(
+                                sql[toks[a_first][2] : toks[a_last][3]], read
+                            )
                         else:
                             raise TranspileError(
                                 "FLATTEN with multiple positional args has no "
@@ -1112,7 +1172,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     spans, close = _call_arg_spans(toks, i + 1)
                     if len(spans) != 1:
                         raise TranspileError("UNNEST takes exactly one array arg")
-                    expr_text = sql[toks[spans[0][0]][2] : toks[spans[0][1]][3]]
+                    expr_text = transpile(
+                        sql[toks[spans[0][0]][2] : toks[spans[0][1]][3]], read
+                    )
                     # alias
                     j = close + 1
                     if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
@@ -1137,15 +1199,26 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         and toks[j + 1][1].upper() == "OFFSET"
                     ):
                         j += 2
+                        region_end_tok = j - 1  # ...WITH OFFSET consumed
+                        had_as = False
                         if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
                             j += 1
-                        if j < n and toks[j][0] in ("ident", "qident"):
+                            had_as = True
+                        # Same keyword guard as the element alias: a bare
+                        # WHERE/GROUP/ORDER after `WITH OFFSET` is the next
+                        # clause, not the alias.
+                        if j < n and toks[j][0] in ("ident", "qident") and (
+                            had_as
+                            or (
+                                toks[j][1].upper() not in _EXPR_KEYWORDS
+                                and toks[j][1].upper() not in ("WITH", "ON")
+                            )
+                        ):
                             offset_alias = toks[j][1]
                             region_end_tok = j
                             j += 1
                         else:
                             offset_alias = "offset"
-                            region_end_tok = j - 1
                     # preceding connector
                     p = i - 1
                     outer = False
@@ -1255,9 +1328,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                                 f"{name} interval unit {raw_unit!r} has no "
                                 "Spark timestampadd equivalent"
                             )
-                        n_text = sql[
-                            toks[spans[1][0] + 1][2] : toks[spans[1][1] - 1][3]
-                        ].strip()
+                        n_text = transpile(
+                            sql[
+                                toks[spans[1][0] + 1][2] : toks[spans[1][1] - 1][3]
+                            ].strip(),
+                            read,
+                        )
                         if not n_text:
                             raise TranspileError(f"{name} interval missing count")
                         if name.endswith("_sub"):
@@ -1335,6 +1411,25 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     else:
                         raise TranspileError(
                             "DATE(ts, tz) timezone form has no direct Spark rewrite"
+                        )
+                    i += 1
+                    continue
+
+                if name == "datetime":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 6:
+                        # DATETIME(y, m, d, h, mi, s) constructor
+                        edits.append((start, end, "make_timestamp_ntz"))
+                    elif len(spans) == 1:
+                        # DATETIME(date_or_ts) → wall-clock conversion
+                        edits.append((start, end, "CAST"))
+                        edits.append(
+                            (toks[close][2], toks[close][2], " AS TIMESTAMP_NTZ")
+                        )
+                    else:
+                        raise TranspileError(
+                            "DATETIME(date, time) / DATETIME(ts, tz) forms "
+                            "have no direct Spark rewrite"
                         )
                     i += 1
                     continue

@@ -968,3 +968,97 @@ def test_bigquery_unnest_standalone(spark):
 def test_bigquery_unnest_without_alias_loud():
     with pytest.raises(TranspileError, match="alias"):
         transpile("SELECT x FROM t, UNNEST(arr)", "bigquery")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 review findings — regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_copied_regions_recursively_transpile(spark):
+    """Consumed-region handlers (UNNEST/FLATTEN/QUALIFY/BQ date fns) must
+    run the FULL pipeline on copied argument text — first-pass-only
+    rewrites included — not defer to gated fixpoint passes."""
+    # BQ SPLIT separator escaping inside UNNEST
+    out = transpile("SELECT p FROM (SELECT 'a|b' AS s), UNNEST(SPLIT(s, '|')) AS p", "bigquery")
+    assert sorted(r.p for r in spark.sql(out).collect()) == ["a", "b"]
+    # PARSE_TIMESTAMP nested in TIMESTAMP_DIFF args
+    out = transpile(
+        "SELECT TIMESTAMP_DIFF(PARSE_TIMESTAMP('%Y-%m-%d', '2024-01-02'), "
+        "TIMESTAMP '2024-01-01 00:00:00', HOUR) AS h",
+        "bigquery",
+    )
+    assert spark.sql(out).collect()[0].h == 24
+    # duckdb QUALIFY predicate literal doubling
+    out = transpile(r"SELECT s FROM (SELECT 'a\b' AS s) t QUALIFY s = 'a\b'", "duckdb")
+    assert [r.s for r in spark.sql(out).collect()] == ["a\\b"]
+
+
+def test_qualify_predicate_with_bracket_subscript(spark):
+    out = transpile(
+        "SELECT a FROM (SELECT 1 AS a, [1, 2] AS arr) t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = arr[1]",
+        "duckdb",
+    )
+    assert [r.a for r in spark.sql(out).collect()] == [1]
+    # BigQuery OFFSET subscript inside the predicate must not terminate it
+    out = transpile(
+        "SELECT a FROM (SELECT 1 AS a, ARRAY[1, 9] AS arr) t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = arr[OFFSET(0)]",
+        "bigquery",
+    )
+    assert out.count("(") == out.count(")")
+    assert [r.a for r in spark.sql(out).collect()] == [1]
+
+
+def test_regexp_substr_null_on_no_match(spark):
+    out = transpile(
+        "SELECT REGEXP_SUBSTR('abc', '[0-9]+') AS m1, "
+        "REGEXP_SUBSTR('ab12', '[0-9]+') AS m2",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.m1 is None and row.m2 == "12"
+
+
+def test_snowflake_numeric_to_char_loud():
+    with pytest.raises(TranspileError, match="numeric"):
+        transpile("SELECT TO_CHAR(amount, '$99,999.00') FROM t", "snowflake")
+    with pytest.raises(TranspileError, match="numeric"):
+        transpile("SELECT TO_VARCHAR(amount, '9999') FROM t", "snowflake")
+
+
+def test_snowflake_parameterized_number(spark):
+    out = transpile("SELECT CAST(x AS NUMBER(10,2)) AS a, x::NUMBER(12,3) AS b "
+                    "FROM (SELECT 1.5 AS x)", "snowflake")
+    assert "DECIMAL(10,2)" in out and "DECIMAL(12,3)" in out
+    row = spark.sql(out).collect()[0]
+    assert float(row.a) == 1.5
+
+
+def test_bigquery_unnest_offset_default_alias_keyword_guard(spark):
+    out = transpile(
+        "SELECT e FROM (SELECT array(5) AS arr) t, UNNEST(arr) AS e "
+        "WITH OFFSET WHERE e > 0",
+        "bigquery",
+    )
+    assert [r.e for r in spark.sql(out).collect()] == [5]
+
+
+def test_bigquery_datetime_arity(spark):
+    out = transpile(
+        "SELECT DATETIME(TIMESTAMP '2024-01-01 05:00:00') AS a, "
+        "DATETIME(2024, 3, 5, 6, 7, 8) AS b",
+        "bigquery",
+    )
+    row = spark.sql(out).collect()[0]
+    assert str(row.a) == "2024-01-01 05:00:00" and str(row.b) == "2024-03-05 06:07:08"
+    with pytest.raises(TranspileError):
+        transpile("SELECT DATETIME(d, tz) FROM t", "bigquery")
+
+
+def test_weekly_cron_unknown_dow_raises():
+    from sqlmesh_spark.core.scheduler import _weekly_cron_boundary
+
+    with pytest.raises(ValueError, match="day-of-week"):
+        _weekly_cron_boundary(0, "L")
