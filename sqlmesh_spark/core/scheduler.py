@@ -741,6 +741,9 @@ class Scheduler:
                 len(ar_fields) == 5
                 and ar_fields[2] == "*"
                 and ar_fields[4] not in ("*", "?")
+                # `*/N` step fields fire multiple days a week — not a
+                # weekly cadence; they stay on the interval-unit ladder.
+                and not ar_fields[4].startswith("*")
             ):
                 boundary = _weekly_cron_boundary(to_epoch(end), ar_fields[4])
             else:

@@ -488,38 +488,64 @@ def _require_spark4(fn_name: str, target: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _tokenize_spans(sql: str) -> list[tuple[str, str, int, int]]:
+# Escape-aware token grammar for Snowflake/BigQuery: their string
+# literals use backslash escapes ('O\'Brien'), which the standard-SQL
+# grammar would mis-lex (literal ends at the escaped quote). BigQuery
+# additionally uses double quotes for STRINGS, not identifiers.
+_ESC_TOKEN_RE = re.compile(
+    _TOKEN_RE.pattern.replace(
+        r"(?P<string>'(?:[^']|'')*')",
+        r"(?P<string>'(?:[^'\\]|\\.|'')*')",
+    ).replace(
+        r'(?P<dquote>"(?:[^"]|"")*")',
+        r'(?P<dquote>"(?:[^"\\]|\\.|"")*")',
+    ),
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]:
     """(kind, text, start, end) per token, comments/ws skipped but their
-    bytes preserved by span-based editing."""
+    bytes preserved by span-based editing. For escape-literal dialects the
+    grammar understands backslash-escaped quotes; BigQuery double-quoted
+    tokens are re-kinded as strings (Spark's default parser also treats
+    them as string literals, so they pass through valid)."""
+    token_re = _ESC_TOKEN_RE if read in ("snowflake", "bigquery") else _TOKEN_RE
     out: list[tuple[str, str, int, int]] = []
     pos = 0
     n = len(sql)
     while pos < n:
-        m = _TOKEN_RE.match(sql, pos)
+        m = token_re.match(sql, pos)
         if not m:
             raise TranspileError(f"unexpected character {sql[pos]!r} at offset {pos}")
         kind = m.lastgroup or ""
+        if kind == "dquote" and read == "bigquery":
+            kind = "string"
         if kind not in ("ws", "line_comment", "block_comment"):
             out.append((kind, m.group(), m.start(), m.end()))
         pos = m.end()
     return out
 
 
-def _escape_regex_literal(lit: str) -> str:
-    """Escape a SQL string literal's content for use as a Java regex —
-    DuckDB string_to_array splits on a PLAIN separator; Spark split's
-    second arg is a regex. Backslashes are DOUBLED because Spark string
-    literals themselves process escapes ('\\|' is the literal two-char
-    regex \\| only when written with two backslashes)."""
-    inner = lit[1:-1].replace("''", "'")
-    # A literal backslash separator needs FOUR backslashes (regex \\ with
-    # each \ doubled for the SQL literal); other metachars need two + self.
-    escaped = re.sub(
+def _regex_escape_content(inner: str) -> str:
+    """Escape regex metachars in plain text destined for a Spark string
+    literal used as a regex. A literal backslash needs FOUR backslashes
+    (regex ``\\\\`` with each ``\\`` doubled for the SQL literal); other
+    metachars need the doubled escape + themselves. Shared by every
+    plain-separator→regex rewrite so the metachar table lives once."""
+    return re.sub(
         r"([.^$*+?()\[\]{}|\\])",
         lambda m: "\\\\\\\\" if m.group(1) == "\\" else "\\\\" + m.group(1),
         inner,
     )
-    return "'" + escaped.replace("'", "''") + "'"
+
+
+def _escape_regex_literal(lit: str) -> str:
+    """Escape a SQL string literal's content for use as a Java regex —
+    DuckDB string_to_array splits on a PLAIN separator; Spark split's
+    second arg is a regex."""
+    inner = lit[1:-1].replace("''", "'")
+    return "'" + _regex_escape_content(inner).replace("'", "''") + "'"
 
 
 def _match_bracket(toks: list, open_idx: int) -> int:
@@ -668,7 +694,7 @@ def _cast_as_indices(toks: list) -> set[int]:
 
 def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     fn_map = _DIALECT_FN[read]
-    toks = _tokenize_spans(sql)
+    toks = _tokenize_spans(sql, read)
     cast_as_idx = _cast_as_indices(toks)
     edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
 
@@ -688,6 +714,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
         # Bracket syntax: list literals → array(...), subscripts (1-based
         # in DuckDB/Postgres, matching element_at) → element_at(...).
+        # Snowflake/BigQuery bare subscripts are 0-BASED — exactly Spark's
+        # native arr[i] semantics — so for those reads subscripts pass
+        # through untouched (rewriting via 1-based element_at would be a
+        # silent off-by-one); only the bracket LITERAL forms rewrite.
         if kind == "op" and text == "[":
             close = _match_bracket(toks, i)
             # DuckDB slice syntax x[1:3] has no element_at analog — LOUD.
@@ -704,9 +734,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         "use slice(arr, start, length) explicitly"
                     )
             prev = toks[i - 1] if i > 0 else None
+            zero_based = read in ("snowflake", "bigquery")
             # DuckDB string subscript: 'abc'[2] is 1-based single-char
             # extraction → substr(lit, idx, 1).
-            if prev is not None and prev[0] == "string":
+            if prev is not None and prev[0] == "string" and not zero_based:
                 edits.append((prev[2], prev[2], "substr("))
                 edits.append((start, end, ", "))
                 edits.append((toks[close][2], toks[close][3], ", 1)"))
@@ -728,6 +759,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             if not is_subscript:
                 edits.append((start, end, "array("))
                 edits.append((toks[close][2], toks[close][3], ")"))
+                i += 1
+                continue
+            if zero_based:
+                # Spark's arr[i] is 0-based like Snowflake/BigQuery —
+                # pass the subscript through (OFFSET/ORDINAL wrappers are
+                # compensated by their own handlers).
                 i += 1
                 continue
             if prev[0] == "op":
@@ -952,7 +989,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     if len(spans) == 1:
                         edits.append((start, end, "CAST"))
                         edits.append((toks[close][2], toks[close][2], " AS STRING"))
-                    elif len(spans) == 2 and toks[spans[1][0]][0] == "string":
+                    elif (
+                        len(spans) == 2
+                        and toks[spans[1][0]][0] == "string"
+                        and spans[1][0] == spans[1][1]
+                    ):
                         fmt_tok = toks[spans[1][0]]
                         converted = convert_sf_format(
                             fmt_tok[1][1:-1].replace("''", "'")
@@ -981,11 +1022,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         "try_to_timestamp": "try_to_timestamp",
                     }.get(name, "to_timestamp")
                     if len(spans) == 2:
-                        if toks[spans[1][0]][0] != "string":
+                        if toks[spans[1][0]][0] != "string" or spans[1][0] != spans[1][1]:
                             raise TranspileError(
-                                f"{name} needs a literal format to transpile "
-                                "from snowflake (2nd arg may be a scale, which "
-                                "Spark's to_timestamp cannot express)"
+                                f"{name} needs a single literal format to "
+                                "transpile from snowflake (2nd arg may be a "
+                                "scale or an expression, which Spark's "
+                                "to_timestamp cannot express)"
                             )
                         fmt_tok = toks[spans[1][0]]
                         converted = convert_sf_format(
@@ -995,6 +1037,22 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             (fmt_tok[2], fmt_tok[3],
                              "'" + converted.replace("'", "''") + "'")
                         )
+                    elif len(spans) == 1 and target in ("to_timestamp", "try_to_timestamp"):
+                        # Snowflake 1-arg TO_TIMESTAMP accepts BOTH
+                        # timestamp strings AND epoch seconds (numbers or
+                        # numeric strings) — a bare Spark to_timestamp
+                        # NULLs/errors on epochs. Try the string parse
+                        # first, fall back to epoch-seconds; exactly one
+                        # branch is non-NULL for any given value.
+                        arg = _arg_text(spans[0])
+                        close_tok = _close
+                        repl = (
+                            f"coalesce(try_to_timestamp(CAST({arg} AS STRING)), "
+                            f"timestamp_seconds(TRY_CAST({arg} AS BIGINT)))"
+                        )
+                        edits.append((start, toks[close_tok][3], repl))
+                        i = close_tok + 1
+                        continue
                     elif len(spans) != 1:
                         raise TranspileError(f"{name} takes 1 or 2 args")
                     if name != target:
@@ -1021,10 +1079,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     i += 1
                     continue
                 if name == "div0":
-                    _spans, close = _call_arg_spans(toks, i + 1)
-                    edits.append((start, end, "coalesce(try_divide"))
-                    edits.append((toks[close][3], toks[close][3], ", 0)"))
-                    i += 1
+                    # DIV0(a, b): 0 when b = 0, but NULL inputs stay NULL —
+                    # coalesce(try_divide(a,b), 0) would turn NULL inputs
+                    # into 0. IF(b = 0, 0, a / b) preserves both: b NULL
+                    # makes the condition NULL→false→NULL result.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError("div0 expects 2 args")
+                    a_text = _arg_text(spans[0])
+                    b_text = _arg_text(spans[1])
+                    repl = f"if(({b_text}) = 0, 0, ({a_text}) / ({b_text}))"
+                    edits.append((start, toks[close][3], repl))
+                    i = close + 1
                     continue
                 if name == "regexp_substr":
                     spans, close = _call_arg_spans(toks, i + 1)
@@ -1138,6 +1204,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     continue
 
                 if name in ("dateadd", "timeadd", "timestampadd") and first_pass:
+                    # Type caveat (documented, not fixable statically):
+                    # Snowflake DATEADD returns its input's type, but the
+                    # operand type is unknowable at render time, so the
+                    # result is always TIMESTAMP. Values are correct; a
+                    # DATE-typed operand gains a 00:00:00 time part.
                     spans, _close = _call_arg_spans(toks, i + 1)
                     if len(spans) != 3:
                         raise TranspileError(f"{name} expects 3 args")
@@ -1340,13 +1411,23 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             n_text = f"-({n_text})"
                         base = _arg_text(spans[0])
                         repl = f"timestampadd({unit}, {n_text}, {base})"
+                        # BigQuery's DATE_ADD/DATE_SUB return DATE and the
+                        # DATETIME variants return DATETIME; timestampadd
+                        # yields TIMESTAMP — cast back so the materialized
+                        # schema and string renderings don't silently
+                        # change type.
+                        if name.startswith("date_"):
+                            repl = f"CAST({repl} AS DATE)"
+                        elif name.startswith("datetime_"):
+                            repl = f"CAST({repl} AS TIMESTAMP_NTZ)"
                         edits.append((start, toks[close][3], repl))
                         i = close + 1
                         continue
 
                 if name in ("format_date", "format_timestamp", "format_datetime") and first_pass:
                     spans, close = _call_arg_spans(toks, i + 1)
-                    if len(spans) != 2 or toks[spans[0][0]][0] != "string":
+                    if len(spans) != 2 or toks[spans[0][0]][0] != "string" \
+                            or spans[0][0] != spans[0][1]:
                         raise TranspileError(
                             f"{name} needs (literal_format, expr) to transpile"
                         )
@@ -1362,7 +1443,8 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name in ("parse_date", "parse_timestamp", "parse_datetime") and first_pass:
                     spans, close = _call_arg_spans(toks, i + 1)
-                    if len(spans) != 2 or toks[spans[0][0]][0] != "string":
+                    if len(spans) != 2 or toks[spans[0][0]][0] != "string" \
+                            or spans[0][0] != spans[0][1]:
                         raise TranspileError(
                             f"{name} needs (literal_format, expr) to transpile"
                         )
@@ -1451,38 +1533,37 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                                 "escapes is not supported; use a plain literal"
                             )
                         inner = sep[1][1:-1]
-                        escaped = re.sub(
-                            r"([.^$*+?()\[\]{}|])", r"\\\\\1", inner
-                        )
                         edits.append(
-                            (sep[2], sep[3], "'" + escaped + "'")
+                            (sep[2], sep[3],
+                             "'" + _regex_escape_content(inner) + "'")
                         )
                     i += 1
                     continue
 
-                if name == "ordinal":
-                    # arr[ORDINAL(i)] arrives here (pass 2) as
-                    # element_at(arr, ordinal(i)); 1-based matches → strip.
+                if name == "offset":
+                    # arr[OFFSET(i)] — bare subscripts pass through for
+                    # bigquery and Spark's arr[i] is 0-based like OFFSET,
+                    # so just strip the wrapper: arr[(i)].
                     _spans, close = _call_arg_spans(toks, i + 1)
                     edits.append((start, end, ""))
                     i += 1
                     continue
-                if name == "offset":
-                    # 0-based → element_at's 1-based: (i)+1
+                if name == "ordinal":
+                    # ORDINAL is 1-based → Spark's 0-based subscript: (i)-1
                     _spans, close = _call_arg_spans(toks, i + 1)
                     edits.append((start, end, ""))
-                    edits.append((toks[close][3], toks[close][3], " + 1"))
+                    edits.append((toks[close][3], toks[close][3], " - 1"))
                     i += 1
                     continue
 
             # ---- special handlers (arg restructuring / literal rewrites)
             if name in ("strftime", "strptime") and read in ("duckdb", "postgres") and first_pass:
-                args = _call_args(toks, i + 1)
-                if len(args) - 1 != 2:
+                spans_, _close_ = _call_arg_spans(toks, i + 1)
+                if len(spans_) != 2:
                     raise TranspileError(f"{name} expects 2 args")
-                fmt_idx = args[1]
-                if toks[fmt_idx][0] != "string":
-                    raise TranspileError(f"{name} format must be a literal to transpile")
+                fmt_idx = spans_[1][0]
+                if toks[fmt_idx][0] != "string" or spans_[1][0] != spans_[1][1]:
+                    raise TranspileError(f"{name} format must be a single literal to transpile")
                 fmt_lit = toks[fmt_idx][1]
                 converted = convert_strftime_format(fmt_lit[1:-1].replace("''", "'"))
                 new_fn = "date_format" if name == "strftime" else "to_timestamp"
@@ -1495,8 +1576,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
             if name in ("to_char",) and read == "postgres" and first_pass:
-                args = _call_args(toks, i + 1)
-                if len(args) - 1 == 2 and toks[args[1]][0] == "string":
+                spans_, _close_ = _call_arg_spans(toks, i + 1)
+                args = [sp[0] for sp in spans_]
+                if len(args) == 2 and toks[args[1]][0] == "string" \
+                        and spans_[1][0] == spans_[1][1]:
                     fmt_lit = toks[args[1]][1]
                     converted = convert_pg_format(fmt_lit[1:-1].replace("''", "'"))
                     edits.append((start, end, "date_format"))
@@ -1607,7 +1690,8 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 spans, _close = _call_arg_spans(toks, i + 1)
                 if len(spans) == 1 and name == "to_timestamp":
                     edits.append((start, end, "timestamp_seconds"))
-                elif len(spans) == 2 and toks[spans[1][0]][0] == "string":
+                elif len(spans) == 2 and toks[spans[1][0]][0] == "string" \
+                        and spans[1][0] == spans[1][1]:
                     fmt_tok = toks[spans[1][0]]
                     converted = convert_pg_format(fmt_tok[1][1:-1].replace("''", "'"))
                     edits.append(

@@ -1062,3 +1062,89 @@ def test_weekly_cron_unknown_dow_raises():
 
     with pytest.raises(ValueError, match="day-of-week"):
         _weekly_cron_boundary(0, "L")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 second review pass — regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_sf_bq_bare_subscripts_zero_based(spark):
+    """Snowflake/BigQuery bare subscripts are 0-based — Spark's native
+    arr[i] semantics — and must NOT route through 1-based element_at."""
+    assert transpile("SELECT arr[1] FROM t", "bigquery") == "SELECT arr[1] FROM t"
+    assert transpile("SELECT arr[0] FROM t", "snowflake") == "SELECT arr[0] FROM t"
+    # duckdb/postgres remain 1-based element_at
+    assert (
+        transpile("SELECT arr[1] FROM t", "duckdb")
+        == "SELECT element_at(arr, 1) FROM t"
+    )
+    out = transpile(
+        "SELECT arr[0] AS a, arr[OFFSET(1)] AS b, arr[ORDINAL(1)] AS c "
+        "FROM (SELECT array(10, 20) AS arr)",
+        "bigquery",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c) == (10, 20, 10)
+
+
+def test_snowflake_div0_null_semantics(spark):
+    out = transpile(
+        "SELECT DIV0(10, 0) AS a, DIV0(NULL, 2) AS b, DIV0(10, NULL) AS c, "
+        "DIV0(10, 4) AS d",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == 0 and row.b is None and row.c is None and row.d == 2.5
+
+
+def test_escaped_quote_literals(spark):
+    out = transpile(r"SELECT IFF('O\'Brien' = 'O\'Brien', 1, 0) AS x", "snowflake")
+    assert spark.sql(out).collect()[0].x == 1
+
+
+def test_bigquery_double_quoted_strings(spark):
+    out = transpile('SELECT SPLIT("a.b", ".") AS parts', "bigquery")
+    assert spark.sql(out).collect()[0].parts == ["a", "b"]
+    out = transpile('SELECT FORMAT_DATE("%Y-%m", DATE \'2024-03-05\') AS m', "bigquery")
+    assert spark.sql(out).collect()[0].m == "2024-03"
+
+
+def test_multi_token_format_expressions_loud():
+    for sql, d in [
+        ("SELECT FORMAT_DATE('%Y' || '-%m', d) FROM t", "bigquery"),
+        ("SELECT PARSE_DATE('%Y' || '-%m', s) FROM t", "bigquery"),
+        ("SELECT TO_VARCHAR(d, 'YYYY' || 'MM') FROM t", "snowflake"),
+        ("SELECT TO_DATE(s, 'YYYY' || 'MM') FROM t", "snowflake"),
+        ("SELECT strftime(d, '%Y' || '-%m') FROM t", "duckdb"),
+        ("SELECT to_char(d, 'YYYY' || 'MM') FROM t", "postgres"),
+        ("SELECT to_timestamp(s, 'YYYY' || 'MM') FROM t", "postgres"),
+    ]:
+        with pytest.raises(TranspileError):
+            transpile(sql, d)
+
+
+def test_bigquery_date_add_keeps_date_type(spark):
+    out = transpile("SELECT DATE_ADD(DATE '2024-01-01', INTERVAL 5 DAY) AS d", "bigquery")
+    df = spark.sql(out)
+    assert dict(df.dtypes)["d"] == "date"
+    assert str(df.collect()[0].d) == "2024-01-06"
+
+
+def test_snowflake_to_timestamp_one_arg_epoch_and_string(spark):
+    out = transpile(
+        "SELECT TO_TIMESTAMP(1700000000) AS a, "
+        "TO_TIMESTAMP('2024-01-02 03:04:05') AS b, "
+        "TO_TIMESTAMP('1700000000') AS c",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a is not None and row.a == row.c
+    assert str(row.b) == "2024-01-02 03:04:05"
+
+
+def test_weekly_cron_step_field_not_weekly():
+    # `*/2` fires several days a week — the weekly anchor must not claim
+    # it (caller falls back to the interval-unit ladder).
+    fields = "0 0 * * */2".split()
+    assert fields[4].startswith("*")  # the caller-side guard condition
