@@ -130,8 +130,8 @@ _SNOWFLAKE_FN: dict[str, str | None] = {
     "arrayagg": "collect_list",
     "array_agg": "collect_list",
     "getdate": "current_timestamp",
-    "sysdate": "current_timestamp",     # note: sysdate is UTC; session tz applies
-    "systimestamp": "current_timestamp",
+    # sysdate/systimestamp return UTC wall-clock — handled below with a
+    # to_utc_timestamp rewrite, not a bare rename
     "uuid_string": "uuid",
     "random": None,                     # 64-bit int gen vs Spark rand() double
     "seq1": None, "seq2": None, "seq4": None, "seq8": None,
@@ -374,51 +374,21 @@ def convert_strftime_format(fmt: str) -> str:
     return "".join(out)
 
 
-def convert_pg_format(fmt: str) -> str:
-    """Postgres TO_CHAR pattern → Spark datetime pattern. Numeric
-    to_char patterns ('999D99', 'FM...') have no Spark date_format
-    equivalent — they raise rather than converting to a wrong literal."""
+def _convert_pg_like_format(fmt: str, allow_ff: bool) -> str:
+    """Shared Postgres-style pattern scan (longest-first _PG_FMT table,
+    numeric-pattern guard, loud on unmapped alpha). ``allow_ff`` adds
+    Snowflake's ``FF[0-9]`` fractional-seconds prefix case — the ONLY
+    difference between the two dialects' pattern languages."""
     if not any(c.isalpha() for c in fmt):
         raise TranspileError(
-            f"to_char pattern {fmt!r} looks numeric; only datetime "
+            f"format {fmt!r} looks numeric; only datetime "
             "patterns transpile to date_format"
         )
     out: list[str] = []
     i = 0
     n = len(fmt)
     while i < n:
-        for pat, rep in _PG_FMT:
-            if fmt[i : i + len(pat)].upper() == pat:
-                out.append(rep)
-                i += len(pat)
-                break
-        else:
-            c = fmt[i]
-            if c.isalpha():
-                raise TranspileError(
-                    f"to_char pattern fragment {fmt[i:]!r} has no Spark mapping"
-                )
-            out.append(c)
-            i += 1
-    return "".join(out)
-
-
-def convert_sf_format(fmt: str) -> str:
-    """Snowflake TO_CHAR/TO_VARCHAR/TO_DATE/TO_TIMESTAMP pattern → Spark.
-    Snowflake's pattern language is Postgres-like plus ``FF[0-9]``
-    fractional seconds (bare FF = 9 digits). Numeric patterns
-    ('$99,999.00') have no date_format equivalent — loud, same rule as
-    convert_pg_format."""
-    if not any(c.isalpha() for c in fmt):
-        raise TranspileError(
-            f"format {fmt!r} looks numeric; only datetime patterns "
-            "transpile to date_format"
-        )
-    out: list[str] = []
-    i = 0
-    n = len(fmt)
-    while i < n:
-        if fmt[i : i + 2].upper() == "FF":
+        if allow_ff and fmt[i : i + 2].upper() == "FF":
             digits = 9
             skip = 2
             if i + 2 < n and fmt[i + 2].isdigit():
@@ -438,11 +408,27 @@ def convert_sf_format(fmt: str) -> str:
             c = fmt[i]
             if c.isalpha():
                 raise TranspileError(
-                    f"snowflake format fragment {fmt[i:]!r} has no Spark mapping"
+                    f"format fragment {fmt[i:]!r} has no Spark mapping"
                 )
             out.append(c)
             i += 1
     return "".join(out)
+
+
+def convert_pg_format(fmt: str) -> str:
+    """Postgres TO_CHAR pattern → Spark datetime pattern. Numeric
+    to_char patterns ('999D99', 'FM...') have no Spark date_format
+    equivalent — they raise rather than converting to a wrong literal."""
+    return _convert_pg_like_format(fmt, allow_ff=False)
+
+
+def convert_sf_format(fmt: str) -> str:
+    """Snowflake TO_CHAR/TO_VARCHAR/TO_DATE/TO_TIMESTAMP pattern → Spark.
+    Snowflake's pattern language is Postgres-like plus ``FF[0-9]``
+    fractional seconds (bare FF = 9 digits). Numeric patterns
+    ('$99,999.00') have no date_format equivalent — loud, same rule as
+    convert_pg_format."""
+    return _convert_pg_like_format(fmt, allow_ff=True)
 
 
 # ---------------------------------------------------------------------------
@@ -492,16 +478,22 @@ def _require_spark4(fn_name: str, target: str) -> None:
 # literals use backslash escapes ('O\'Brien'), which the standard-SQL
 # grammar would mis-lex (literal ends at the escaped quote). BigQuery
 # additionally uses double quotes for STRINGS, not identifiers.
-_ESC_TOKEN_RE = re.compile(
-    _TOKEN_RE.pattern.replace(
-        r"(?P<string>'(?:[^']|'')*')",
-        r"(?P<string>'(?:[^'\\]|\\.|'')*')",
-    ).replace(
-        r'(?P<dquote>"(?:[^"]|"")*")',
-        r'(?P<dquote>"(?:[^"\\]|\\.|"")*")',
-    ),
-    re.VERBOSE | re.DOTALL,
+_ESC_PATTERN = _TOKEN_RE.pattern.replace(
+    r"(?P<string>'(?:[^']|'')*')",
+    r"(?P<string>'(?:[^'\\]|\\.|'')*')",
+).replace(
+    r'(?P<dquote>"(?:[^"]|"")*")',
+    r'(?P<dquote>"(?:[^"\\]|\\.|"")*")',
 )
+# Loud guard: the escape grammar is derived by exact-substring replacement
+# on sqlparse's _TOKEN_RE — if that pattern is ever reformatted, the
+# replace silently no-ops and escaped literals would mis-lex downstream.
+if _ESC_PATTERN == _TOKEN_RE.pattern:  # pragma: no cover - build-time guard
+    raise AssertionError(
+        "escape-literal token grammar failed to derive from sqlparse._TOKEN_RE; "
+        "its string/dquote alternatives changed — update transpile._ESC_PATTERN"
+    )
+_ESC_TOKEN_RE = re.compile(_ESC_PATTERN, re.VERBOSE | re.DOTALL)
 
 
 def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]:
@@ -1046,9 +1038,17 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         # branch is non-NULL for any given value.
                         arg = _arg_text(spans[0])
                         close_tok = _close
+                        # Snowflake auto-scales numeric epochs by
+                        # magnitude: seconds < 31536000000 <= millis <
+                        # 31536000000000 <= micros < 31536000000000000 <=
+                        # nanos (docs: TO_TIMESTAMP numeric handling).
+                        v = f"TRY_CAST({arg} AS BIGINT)"
                         repl = (
                             f"coalesce(try_to_timestamp(CAST({arg} AS STRING)), "
-                            f"timestamp_seconds(TRY_CAST({arg} AS BIGINT)))"
+                            f"CASE WHEN abs({v}) < 31536000000 THEN timestamp_seconds({v}) "
+                            f"WHEN abs({v}) < 31536000000000 THEN timestamp_millis({v}) "
+                            f"WHEN abs({v}) < 31536000000000000 THEN timestamp_micros({v}) "
+                            f"ELSE timestamp_micros({v} DIV 1000) END)"
                         )
                         edits.append((start, toks[close_tok][3], repl))
                         i = close_tok + 1
@@ -1058,6 +1058,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     if name != target:
                         edits.append((start, end, target))
                     i += 1
+                    continue
+
+                if name in ("sysdate", "systimestamp"):
+                    # UTC wall-clock, regardless of session timezone.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if spans:
+                        raise TranspileError(f"{name} takes no arguments")
+                    edits.append(
+                        (start, toks[close][3],
+                         "to_utc_timestamp(current_timestamp(), current_timezone())")
+                    )
+                    i = close + 1
                     continue
 
                 if name == "nullifzero":
@@ -1088,7 +1100,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         raise TranspileError("div0 expects 2 args")
                     a_text = _arg_text(spans[0])
                     b_text = _arg_text(spans[1])
-                    repl = f"if(({b_text}) = 0, 0, ({a_text}) / ({b_text}))"
+                    # NULL dividend propagates even when the divisor is 0
+                    # (Snowflake only substitutes 0 where division would
+                    # otherwise error on a real dividend).
+                    repl = (
+                        f"if(({b_text}) = 0 AND ({a_text}) IS NOT NULL, 0, "
+                        f"({a_text}) / ({b_text}))"
+                    )
                     edits.append((start, toks[close][3], repl))
                     i = close + 1
                     continue
@@ -1118,12 +1136,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             (toks[close][2], toks[close][2], " AS DECIMAL(38,0)")
                         )
                     elif (
-                        len(spans) == 3
-                        and toks[spans[1][0]][0] == "number"
-                        and toks[spans[2][0]][0] == "number"
+                        len(spans) in (2, 3)
+                        and all(
+                            sp[0] == sp[1] and toks[sp[0]][0] == "number"
+                            for sp in spans[1:]
+                        )
                     ):
                         p = toks[spans[1][0]][1]
-                        s_ = toks[spans[2][0]][1]
+                        s_ = toks[spans[2][0]][1] if len(spans) == 3 else "0"
                         edits.append((start, end, cast_fn))
                         edits.append(
                             (toks[spans[0][1]][3], toks[close][2],
@@ -1540,19 +1560,16 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     i += 1
                     continue
 
-                if name == "offset":
-                    # arr[OFFSET(i)] — bare subscripts pass through for
-                    # bigquery and Spark's arr[i] is 0-based like OFFSET,
-                    # so just strip the wrapper: arr[(i)].
+                if name in ("offset", "ordinal") and i > 0 and is_op(i - 1, "["):
+                    # Only in subscript position: arr[OFFSET(i)] — bare
+                    # subscripts pass through for bigquery and Spark's
+                    # arr[i] is 0-based like OFFSET, so strip the wrapper
+                    # (ORDINAL is 1-based → subtract 1). The `[` guard
+                    # keeps `LIMIT 10 OFFSET (5)` untouched.
                     _spans, close = _call_arg_spans(toks, i + 1)
                     edits.append((start, end, ""))
-                    i += 1
-                    continue
-                if name == "ordinal":
-                    # ORDINAL is 1-based → Spark's 0-based subscript: (i)-1
-                    _spans, close = _call_arg_spans(toks, i + 1)
-                    edits.append((start, end, ""))
-                    edits.append((toks[close][3], toks[close][3], " - 1"))
+                    if name == "ordinal":
+                        edits.append((toks[close][3], toks[close][3], " - 1"))
                     i += 1
                     continue
 

@@ -11,6 +11,7 @@ import pytest
 from sqlmesh_spark.core.transpile import (
     TranspileError,
     convert_pg_format,
+    convert_sf_format,
     convert_strftime_format,
     transpile,
 )
@@ -1148,3 +1149,52 @@ def test_weekly_cron_step_field_not_weekly():
     # it (caller falls back to the interval-unit ladder).
     fields = "0 0 * * */2".split()
     assert fields[4].startswith("*")  # the caller-side guard condition
+
+
+# ---------------------------------------------------------------------------
+# Round-5 third review pass — regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_div0_null_dividend_with_zero_divisor(spark):
+    # Snowflake: NULL dividend propagates even when divisor = 0.
+    out = transpile("SELECT DIV0(NULL, 0) AS a, DIV0(1, 0) AS b", "snowflake")
+    row = spark.sql(out).collect()[0]
+    assert row.a is None and row.b == 0
+
+
+def test_snowflake_to_timestamp_magnitude_autoscale(spark):
+    # Snowflake scales numeric epochs by magnitude: s / ms / us / ns.
+    out = transpile(
+        "SELECT TO_TIMESTAMP(1700000000) AS s, TO_TIMESTAMP(1700000000000) AS ms, "
+        "TO_TIMESTAMP(1700000000000000) AS us, "
+        "TO_TIMESTAMP(1700000000000000000) AS ns",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert str(row.s) == str(row.ms) == str(row.us) == str(row.ns)
+
+
+def test_bigquery_limit_offset_untouched():
+    sql = "SELECT x FROM t LIMIT 10 OFFSET (5)"
+    assert transpile(sql, "bigquery") == sql
+
+
+def test_snowflake_sysdate_is_utc(spark):
+    out = transpile("SELECT SYSDATE() AS t1", "snowflake")
+    assert "to_utc_timestamp" in out
+    spark.sql(out).collect()  # executes
+
+
+def test_snowflake_to_number_two_arg_precision():
+    assert (
+        transpile("SELECT TO_NUMBER(x, 10) FROM t", "snowflake")
+        == "SELECT CAST(x AS DECIMAL(10,0)) FROM t"
+    )
+
+
+def test_sf_pg_format_share_scan_loop():
+    # FF only valid for Snowflake; everything else identical.
+    assert convert_sf_format("YYYY.FF3") == "yyyy.SSS"
+    with pytest.raises(TranspileError):
+        convert_pg_format("YYYY.FF3")
