@@ -173,8 +173,9 @@ _BIGQUERY_FN: dict[str, str | None] = {
     "sha256": None,                     # returns BYTES; Spark sha2 returns hex
     "sha512": None,
     "farm_fingerprint": None,           # different hash → silent wrong values
-    "generate_array": "sequence",
-    "generate_date_array": "sequence",  # both default to a 1-day step
+    # generate_array / generate_date_array have a handler below: BigQuery
+    # returns [] when start > end with the default step; Spark sequence
+    # returns a DESCENDING array.
     "current_datetime": "localtimestamp",
     # "datetime" has an arity-dependent handler (6-arg constructor vs
     # 1-arg conversion vs 2-arg tz/date+time forms)
@@ -437,7 +438,7 @@ def convert_sf_format(fmt: str) -> str:
 # execution on the cluster.
 # ---------------------------------------------------------------------------
 
-_SPARK4_TARGETS = frozenset({"listagg"})
+_SPARK4_TARGETS = frozenset({"listagg", "try_to_date"})
 
 
 def _spark_version() -> tuple[int, int]:
@@ -753,12 +754,6 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 edits.append((toks[close][2], toks[close][3], ")"))
                 i += 1
                 continue
-            if zero_based:
-                # Spark's arr[i] is 0-based like Snowflake/BigQuery —
-                # pass the subscript through (OFFSET/ORDINAL wrappers are
-                # compensated by their own handlers).
-                i += 1
-                continue
             if prev[0] == "op":
                 j = _backtrack_primary(toks, i - 1)
             else:
@@ -769,6 +764,41 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     and toks[j - 2][0] in ("ident", "qident")
                 ):
                     j -= 2
+            if zero_based:
+                # BigQuery arr[SAFE_OFFSET(i)] / arr[SAFE_ORDINAL(i)]
+                # return NULL out of bounds (plain subscripts error under
+                # ANSI) → try_element_at, compensating its 1-based index.
+                if (
+                    read == "bigquery"
+                    and j is not None
+                    and toks[i + 1][0] == "ident"
+                    and toks[i + 1][1].lower() in ("safe_offset", "safe_ordinal")
+                    and is_op(i + 2, "(")
+                    and not any(e[0] >= toks[j][2] for e in edits)
+                ):
+                    fn_close = _call_args(toks, i + 2)[-1]
+                    if fn_close == close - 1:
+                        safe_name = toks[i + 1][1].lower()
+                        edits.append((toks[j][2], toks[j][2], "try_element_at("))
+                        # `[ SAFE_OFFSET (` → `, (`
+                        edits.append((start, toks[i + 2][3], ", ("))
+                        if safe_name == "safe_offset":
+                            # 0-based → 1-based
+                            edits.append(
+                                (toks[fn_close][2], toks[close][3], ") + 1)")
+                            )
+                        else:
+                            edits.append(
+                                (toks[fn_close][2], toks[close][3], "))")
+                            )
+                        i += 1
+                        continue
+                # Otherwise Spark's arr[i] is 0-based like
+                # Snowflake/BigQuery — pass the subscript through
+                # (OFFSET/ORDINAL wrappers are compensated by their own
+                # handlers).
+                i += 1
+                continue
             if j is None or any(e[0] >= toks[j][2] for e in edits):
                 i += 1  # defer the bracket to the next fixpoint pass
                 continue
@@ -1010,9 +1040,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     spans, _close = _call_arg_spans(toks, i + 1)
                     target = {
                         "to_date": "to_date",
-                        "try_to_date": "to_date",  # Spark lacks try_to_date
+                        "try_to_date": "try_to_date",  # native on Spark 4.0+
                         "try_to_timestamp": "try_to_timestamp",
                     }.get(name, "to_timestamp")
+                    _require_spark4(name, target)
                     if len(spans) == 2:
                         if toks[spans[1][0]][0] != "string" or spans[1][0] != spans[1][1]:
                             raise TranspileError(
@@ -1038,17 +1069,23 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         # branch is non-NULL for any given value.
                         arg = _arg_text(spans[0])
                         close_tok = _close
-                        # Snowflake auto-scales numeric epochs by
+                        # Snowflake treats numeric values AND integer-
+                        # shaped strings as epochs, auto-scaled by
                         # magnitude: seconds < 31536000000 <= millis <
                         # 31536000000000 <= micros < 31536000000000000 <=
-                        # nanos (docs: TO_TIMESTAMP numeric handling).
+                        # nanos. The epoch branch must be FIRST: '2023'
+                        # is epoch-seconds in Snowflake, but a string
+                        # parser would read it as year 2023. (The argument
+                        # repeats in the rendered SQL — Spark dedups
+                        # common subexpressions; accepted for fidelity.)
                         v = f"TRY_CAST({arg} AS BIGINT)"
                         repl = (
-                            f"coalesce(try_to_timestamp(CAST({arg} AS STRING)), "
-                            f"CASE WHEN abs({v}) < 31536000000 THEN timestamp_seconds({v}) "
+                            f"CASE WHEN {v} IS NULL "
+                            f"THEN try_to_timestamp(CAST({arg} AS STRING)) "
+                            f"WHEN abs({v}) < 31536000000 THEN timestamp_seconds({v}) "
                             f"WHEN abs({v}) < 31536000000000 THEN timestamp_millis({v}) "
                             f"WHEN abs({v}) < 31536000000000000 THEN timestamp_micros({v}) "
-                            f"ELSE timestamp_micros({v} DIV 1000) END)"
+                            f"ELSE timestamp_micros({v} DIV 1000) END"
                         )
                         edits.append((start, toks[close_tok][3], repl))
                         i = close_tok + 1
@@ -1500,6 +1537,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             )
                         u = _DIFF_UNITS[raw_unit].lower()
                         repl = f"date_trunc('{u}', {_arg_text(spans[0])})"
+                        # BigQuery DATE_TRUNC returns DATE, DATETIME_TRUNC
+                        # returns DATETIME; Spark date_trunc returns
+                        # TIMESTAMP — cast back (same rule as DATE_ADD).
+                        if name == "date_trunc":
+                            repl = f"CAST({repl} AS DATE)"
+                        elif name == "datetime_trunc":
+                            repl = f"CAST({repl} AS TIMESTAMP_NTZ)"
                         edits.append((start, toks[close][3], repl))
                         i = close + 1
                         continue
@@ -1514,6 +1558,30 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         raise TranspileError(
                             "DATE(ts, tz) timezone form has no direct Spark rewrite"
                         )
+                    i += 1
+                    continue
+
+                if name in ("generate_array", "generate_date_array"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 2:
+                        # BigQuery returns [] when start > end with the
+                        # default (positive) step; Spark sequence returns a
+                        # DESCENDING array. slice(single-elem, 1, 0) makes
+                        # a correctly-TYPED empty array (bare array() is
+                        # array<string> and breaks the conditional's type).
+                        a = _arg_text(spans[0])
+                        b = _arg_text(spans[1])
+                        repl = (
+                            f"if(({a}) <= ({b}), sequence(({a}), ({b})), "
+                            f"slice(sequence(({a}), ({a})), 1, 0))"
+                        )
+                        edits.append((start, toks[close][3], repl))
+                        i = close + 1
+                        continue
+                    # explicit-step form: Spark sequence errors loudly when
+                    # the step sign disagrees with the bound order, which
+                    # surfaces the (rare) divergence instead of hiding it.
+                    edits.append((start, end, "sequence"))
                     i += 1
                     continue
 

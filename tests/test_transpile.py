@@ -678,7 +678,7 @@ def test_bigquery_format_parse_swap(spark):
 
 def test_bigquery_date_trunc_swap(spark):
     out = transpile("SELECT DATE_TRUNC(DATE '2024-03-15', MONTH) AS d", "bigquery")
-    assert out == "SELECT date_trunc('month', DATE '2024-03-15') AS d"
+    assert out == "SELECT CAST(date_trunc('month', DATE '2024-03-15') AS DATE) AS d"
     # Already-Spark form untouched (idempotent shape check).
     spark_form = "SELECT date_trunc('month', d) FROM t"
     assert transpile(spark_form, "bigquery") == spark_form
@@ -1198,3 +1198,50 @@ def test_sf_pg_format_share_scan_loop():
     assert convert_sf_format("YYYY.FF3") == "yyyy.SSS"
     with pytest.raises(TranspileError):
         convert_pg_format("YYYY.FF3")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 fourth review pass — regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_try_to_date_stays_try(spark):
+    # Spark 4.0+ has native try_to_date; renaming to plain to_date would
+    # ERROR on malformed input under ANSI mode instead of returning NULL.
+    out = transpile("SELECT TRY_TO_DATE('garbage') AS a", "snowflake")
+    assert spark.sql(out).collect()[0].a is None
+
+
+def test_to_timestamp_digit_string_is_epoch(spark):
+    # '2023' is epoch-seconds in Snowflake, NOT year 2023 — the epoch
+    # branch must win over the string parser for digit-shaped input.
+    out = transpile("SELECT TO_TIMESTAMP('2023') AS a, TO_TIMESTAMP(2023) AS b", "snowflake")
+    row = spark.sql(out).collect()[0]
+    assert str(row.a) == str(row.b) and str(row.a).startswith("1970-01-01")
+
+
+def test_generate_array_empty_when_start_gt_end(spark):
+    out = transpile(
+        "SELECT GENERATE_ARRAY(5, 1) AS a, GENERATE_ARRAY(1, 3) AS b, "
+        "GENERATE_DATE_ARRAY(DATE '2023-01-05', DATE '2023-01-01') AS c",
+        "bigquery",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == [] and row.b == [1, 2, 3] and row.c == []
+
+
+def test_bigquery_date_trunc_keeps_date_type(spark):
+    out = transpile("SELECT DATE_TRUNC(DATE '2024-03-15', MONTH) AS d", "bigquery")
+    df = spark.sql(out)
+    assert dict(df.dtypes)["d"] == "date"
+    assert str(df.collect()[0].d) == "2024-03-01"
+
+
+def test_bigquery_safe_offset_ordinal(spark):
+    out = transpile(
+        "SELECT arr[SAFE_OFFSET(5)] AS a, arr[SAFE_OFFSET(0)] AS b, "
+        "arr[SAFE_ORDINAL(2)] AS c FROM (SELECT array(10, 20) AS arr)",
+        "bigquery",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a is None and row.b == 10 and row.c == 20
