@@ -233,8 +233,9 @@ _TYPE_MAP = {
 _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
     "snowflake": {
         "number": "DECIMAL(38,0)",      # bare NUMBER; NUMBER(p,s) passes through
-        "float": "DOUBLE",              # Snowflake FLOAT/FLOAT4/FLOAT8 are all fp64
+        "float": "DOUBLE",              # Snowflake FLOAT/FLOAT4/FLOAT8/REAL are all fp64
         "float4": "DOUBLE",
+        "real": "DOUBLE",
         "timestamp_ltz": "TIMESTAMP",
         "timestamp_tz": "TIMESTAMP",
         "timestamp_ntz": "TIMESTAMP_NTZ",
@@ -479,22 +480,28 @@ def _require_spark4(fn_name: str, target: str) -> None:
 # literals use backslash escapes ('O\'Brien'), which the standard-SQL
 # grammar would mis-lex (literal ends at the escaped quote). BigQuery
 # additionally uses double quotes for STRINGS, not identifiers.
-_ESC_PATTERN = _TOKEN_RE.pattern.replace(
-    r"(?P<string>'(?:[^']|'')*')",
-    r"(?P<string>'(?:[^'\\]|\\.|'')*')",
-).replace(
-    r'(?P<dquote>"(?:[^"]|"")*")',
-    r'(?P<dquote>"(?:[^"\\]|\\.|"")*")',
-)
-# Loud guard: the escape grammar is derived by exact-substring replacement
-# on sqlparse's _TOKEN_RE — if that pattern is ever reformatted, the
-# replace silently no-ops and escaped literals would mis-lex downstream.
-if _ESC_PATTERN == _TOKEN_RE.pattern:  # pragma: no cover - build-time guard
-    raise AssertionError(
-        "escape-literal token grammar failed to derive from sqlparse._TOKEN_RE; "
-        "its string/dquote alternatives changed — update transpile._ESC_PATTERN"
-    )
-_ESC_TOKEN_RE = re.compile(_ESC_PATTERN, re.VERBOSE | re.DOTALL)
+def _derive_esc_pattern() -> str:
+    """Escape-aware grammar derived from sqlparse's _TOKEN_RE by exact
+    substring replacement. EACH replacement is individually asserted —
+    a reformat of either alternative in sqlparse would otherwise no-op
+    silently and that literal class would mis-lex downstream."""
+    pattern = _TOKEN_RE.pattern
+    for old_alt, new_alt in (
+        (r"(?P<string>'(?:[^']|'')*')", r"(?P<string>'(?:[^'\\]|\\.|'')*')"),
+        (r'(?P<dquote>"(?:[^"]|"")*")', r'(?P<dquote>"(?:[^"\\]|\\.|"")*")'),
+    ):
+        replaced = pattern.replace(old_alt, new_alt)
+        if replaced == pattern:  # pragma: no cover - build-time guard
+            raise AssertionError(
+                f"escape-literal grammar failed to derive: alternative "
+                f"{old_alt!r} not found in sqlparse._TOKEN_RE — update "
+                "transpile._derive_esc_pattern"
+            )
+        pattern = replaced
+    return pattern
+
+
+_ESC_TOKEN_RE = re.compile(_derive_esc_pattern(), re.VERBOSE | re.DOTALL)
 
 
 def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]:
@@ -541,6 +548,22 @@ def _escape_regex_literal(lit: str) -> str:
     return "'" + _regex_escape_content(inner).replace("'", "''") + "'"
 
 
+
+#: token kinds that can act as an identifier/name in expression position.
+#: ("qident" is kept for compatibility; the span tokenizer emits
+#: "bquote"/"dquote" for quoted names.)
+_NAME_KINDS = ("ident", "qident", "bquote", "dquote")
+
+
+def _ident_text(tok_kind: str, tok_text: str) -> str:
+    """Identifier token text normalized for Spark: double-quoted names
+    become backtick-quoted (Spark reads "x" as a string literal)."""
+    if tok_kind == "dquote":
+        inner = tok_text[1:-1].replace('""', '"')
+        return "`" + inner.replace("`", "``") + "`"
+    return tok_text
+
+
 def _match_bracket(toks: list, open_idx: int) -> int:
     """Index of the ']' matching the '[' at open_idx."""
     depth = 0
@@ -570,13 +593,13 @@ def _backtrack_primary(toks: list, close_idx: int):
         elif k == "op" and t == "(":
             depth -= 1
             if depth == 0:
-                if j > 0 and toks[j - 1][0] in ("ident", "qident"):
+                if j > 0 and toks[j - 1][0] in _NAME_KINDS:
                     # function call: include the (possibly dotted) name
                     i = j - 1
                     while (
                         i >= 2
                         and toks[i - 1][0] == "op" and toks[i - 1][1] == "."
-                        and toks[i - 2][0] in ("ident", "qident")
+                        and toks[i - 2][0] in _NAME_KINDS
                     ):
                         i -= 2
                     return i
@@ -685,6 +708,25 @@ def _cast_as_indices(toks: list) -> set[int]:
     return out
 
 
+def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
+    """Shared type-rewrite decision tree for the token FOLLOWING ``::`` or
+    a CAST's type-introducing AS (both syntaxes must stay in lockstep).
+    Returns (edits, tokens_consumed_after_i)."""
+    tname = toks[i + 1][1].lower()
+    if is_op(i + 2, "[") and is_op(i + 3, "]"):
+        elem = _lookup_type(read, tname) or toks[i + 1][1].upper()
+        return [(toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>")], 4
+    if is_op(i + 2, "("):
+        ptype = _PARAM_TYPES.get(read, {}).get(tname)
+        if ptype is not None:
+            return [(toks[i + 1][2], toks[i + 1][3], ptype)], 2
+        return [], 2
+    mapped = _lookup_type(read, tname)
+    if mapped is not None:
+        return [(toks[i + 1][2], toks[i + 1][3], mapped)], 2
+    return [], 2
+
+
 def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     fn_map = _DIALECT_FN[read]
     toks = _tokenize_spans(sql, read)
@@ -745,7 +787,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             is_subscript = (
                 prev is not None
                 and (
-                    (prev[0] in ("ident", "qident") and prev[1].upper() not in _EXPR_KEYWORDS)
+                    (prev[0] in _NAME_KINDS and prev[1].upper() not in _EXPR_KEYWORDS)
                     or (prev[0] == "op" and prev[1] in (")", "]"))
                 )
             )
@@ -761,7 +803,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 while (
                     j >= 2
                     and toks[j - 1][0] == "op" and toks[j - 1][1] == "."
-                    and toks[j - 2][0] in ("ident", "qident")
+                    and toks[j - 2][0] in _NAME_KINDS
                 ):
                     j -= 2
             if zero_based:
@@ -818,12 +860,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             and is_op(i - 1, "*")
         ):
             edits.append((start, end, "EXCEPT"))
-            if not is_op(i + 1, "(") and i + 1 < n and toks[i + 1][0] in ("ident", "qident"):
+            if not is_op(i + 1, "(") and i + 1 < n and toks[i + 1][0] in _NAME_KINDS:
                 j = i + 1
                 while (
                     j + 2 < n
                     and toks[j + 1][0] == "op" and toks[j + 1][1] == "."
-                    and toks[j + 2][0] in ("ident", "qident")
+                    and toks[j + 2][0] in _NAME_KINDS
                 ):
                     j += 2
                 edits.append((toks[i + 1][2], toks[i + 1][2], "("))
@@ -834,22 +876,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # `::type` cast target rename; `::type[]` (Postgres array-type
         # cast) becomes `::ARRAY<type>`.
         if kind == "op" and text == "::" and i + 1 < n and toks[i + 1][0] == "ident":
-            tname = toks[i + 1][1].lower()
-            if is_op(i + 2, "[") and is_op(i + 3, "]"):
-                elem = _lookup_type(read, tname) or toks[i + 1][1].upper()
-                edits.append((toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>"))
-                i += 4
-                continue
-            if is_op(i + 2, "("):
-                ptype = _PARAM_TYPES.get(read, {}).get(tname)
-                if ptype is not None:
-                    edits.append((toks[i + 1][2], toks[i + 1][3], ptype))
-                i += 2
-                continue
-            mapped = _lookup_type(read, tname)
-            if mapped is not None:
-                edits.append((toks[i + 1][2], toks[i + 1][3], mapped))
-            i += 2
+            type_edits, consumed = _type_token_edits(toks, i, read, is_op)
+            edits.extend(type_edits)
+            i += consumed
             continue
 
         # CAST(x AS type): rename — ONLY the type-introducing AS of a
@@ -862,22 +891,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             and i + 1 < n
             and toks[i + 1][0] == "ident"
         ):
-            tname = toks[i + 1][1].lower()
-            if is_op(i + 2, "[") and is_op(i + 3, "]"):
-                elem = _lookup_type(read, tname) or toks[i + 1][1].upper()
-                edits.append((toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>"))
-                i += 4
-                continue
-            if is_op(i + 2, "("):
-                ptype = _PARAM_TYPES.get(read, {}).get(tname)
-                if ptype is not None:
-                    edits.append((toks[i + 1][2], toks[i + 1][3], ptype))
-                i += 2
-                continue
-            mapped = _lookup_type(read, tname)
-            if mapped is not None:
-                edits.append((toks[i + 1][2], toks[i + 1][3], mapped))
-            i += 2
+            type_edits, consumed = _type_token_edits(toks, i, read, is_op)
+            edits.extend(type_edits)
+            i += consumed
             continue
 
         # QUALIFY (DuckDB/Snowflake/BigQuery window filter; Spark has no
@@ -1075,10 +1091,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         # 31536000000000 <= micros < 31536000000000000 <=
                         # nanos. The epoch branch must be FIRST: '2023'
                         # is epoch-seconds in Snowflake, but a string
-                        # parser would read it as year 2023. (The argument
-                        # repeats in the rendered SQL — Spark dedups
-                        # common subexpressions; accepted for fidelity.)
-                        v = f"TRY_CAST({arg} AS BIGINT)"
+                        # parser would read it as year 2023. The probe
+                        # goes THROUGH STRING (TRY_CAST(ts AS BIGINT)
+                        # fails ANALYSIS for timestamp/date columns, and
+                        # a timestamp rendered to string is not digit-
+                        # shaped, so such columns correctly fall to the
+                        # parse branch with full sub-second precision).
+                        # Divergence, documented: unparseable garbage
+                        # yields NULL here where Snowflake's non-TRY
+                        # form errors. (The argument repeats in the
+                        # rendered SQL — Spark dedups common
+                        # subexpressions; accepted for fidelity.)
+                        v = f"TRY_CAST(CAST({arg} AS STRING) AS BIGINT)"
                         repl = (
                             f"CASE WHEN {v} IS NULL "
                             f"THEN try_to_timestamp(CAST({arg} AS STRING)) "
@@ -1234,9 +1258,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     j = close + 1
                     if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
                         j += 1
-                    if j < n and toks[j][0] in ("ident", "qident") and \
+                    if j < n and toks[j][0] in _NAME_KINDS and \
                             toks[j][1].upper() not in _EXPR_KEYWORDS:
-                        alias = toks[j][1]
+                        alias = _ident_text(toks[j][0], toks[j][1])
                         region_end_tok = j
                     else:
                         alias = "_flattened"
@@ -1307,10 +1331,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     j = close + 1
                     if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
                         j += 1
-                    if j < n and toks[j][0] in ("ident", "qident") and \
+                    if j < n and toks[j][0] in _NAME_KINDS and \
                             toks[j][1].upper() not in _EXPR_KEYWORDS and \
                             toks[j][1].upper() not in ("WITH", "ON"):
-                        alias = toks[j][1]
+                        alias = _ident_text(toks[j][0], toks[j][1])
                         region_end_tok = j
                         j += 1
                     else:
@@ -1335,14 +1359,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         # Same keyword guard as the element alias: a bare
                         # WHERE/GROUP/ORDER after `WITH OFFSET` is the next
                         # clause, not the alias.
-                        if j < n and toks[j][0] in ("ident", "qident") and (
+                        if j < n and toks[j][0] in _NAME_KINDS and (
                             had_as
                             or (
                                 toks[j][1].upper() not in _EXPR_KEYWORDS
                                 and toks[j][1].upper() not in ("WITH", "ON")
                             )
                         ):
-                            offset_alias = toks[j][1]
+                            offset_alias = _ident_text(toks[j][0], toks[j][1])
                             region_end_tok = j
                             j += 1
                         else:
@@ -1389,15 +1413,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             repl = f"(SELECT explode({expr_text}) AS {alias})"
                     else:
                         suffix = "_outer" if outer else ""
+                        # the generated VIEW name must be a plain
+                        # identifier even when the alias is quoted
+                        view = "_u_" + re.sub(r"\W+", "", alias)
                         if offset_alias is not None:
                             repl = (
                                 f" LATERAL VIEW posexplode{suffix}({expr_text}) "
-                                f"_u_{alias} AS {offset_alias}, {alias}"
+                                f"{view} AS {offset_alias}, {alias}"
                             )
                         else:
                             repl = (
                                 f" LATERAL VIEW explode{suffix}({expr_text}) "
-                                f"_u_{alias} AS {alias}"
+                                f"{view} AS {alias}"
                             )
                     edits.append(
                         (toks[region_start_tok][2], toks[region_end_tok][3], repl)
@@ -1817,6 +1844,17 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     )
                 _require_spark4(name, target)
                 edits.append((start, end, target))
+            i += 1
+            continue
+
+        # Double-quoted IDENTIFIERS (standard SQL + Snowflake): Spark's
+        # default parser reads "MyCol" as a STRING LITERAL, silently
+        # substituting the constant for the column — rewrite to backticks.
+        # (BigQuery never reaches here: its dquote tokens are re-kinded
+        # to strings by the tokenizer, which matches Spark's reading.)
+        if kind == "dquote":
+            inner = text[1:-1].replace('""', '"')
+            edits.append((start, end, "`" + inner.replace("`", "``") + "`"))
             i += 1
             continue
 

@@ -1245,3 +1245,61 @@ def test_bigquery_safe_offset_ordinal(spark):
     )
     row = spark.sql(out).collect()[0]
     assert row.a is None and row.b == 10 and row.c == 20
+
+
+# ---------------------------------------------------------------------------
+# Round-5 fifth review pass — regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_double_quoted_identifiers_become_backticks(spark):
+    """Spark's default parser reads "x" as a STRING literal; standard-SQL
+    and Snowflake double-quoted IDENTIFIERS must re-quote to backticks."""
+    out = transpile('SELECT "MyCol" FROM (SELECT 7 AS `MyCol`)', "snowflake")
+    assert out == "SELECT `MyCol` FROM (SELECT 7 AS `MyCol`)"
+    assert spark.sql(out).collect()[0][0] == 7
+    out = transpile('SELECT "a col" AS c FROM (SELECT 1 AS `a col`)', "duckdb")
+    assert spark.sql(out).collect()[0].c == 1
+    # dquoted subscript base still recognized as a subscript
+    assert (
+        transpile('SELECT "My Arr"[1] FROM t', "duckdb")
+        == "SELECT element_at(`My Arr`, 1) FROM t"
+    )
+    # BigQuery double quotes are STRINGS — untouched semantics
+    out = transpile('SELECT SPLIT("a.b", ".") AS p', "bigquery")
+    assert spark.sql(out).collect()[0].p == ["a", "b"]
+
+
+def test_to_timestamp_on_timestamp_and_date_columns(spark):
+    # TRY_CAST(ts AS BIGINT) fails ANALYSIS — the epoch probe must go
+    # through STRING, and timestamp inputs keep sub-second precision.
+    out = transpile(
+        "SELECT TO_TIMESTAMP(ts) AS a, TO_TIMESTAMP(d) AS b FROM "
+        "(SELECT TIMESTAMP '2024-01-01 12:00:00.123' AS ts, "
+        "DATE '2024-03-05' AS d)",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert str(row.a) == "2024-01-01 12:00:00.123000"
+    assert str(row.b) == "2024-03-05 00:00:00"
+
+
+def test_flatten_unnest_quoted_aliases(spark):
+    out = transpile(
+        'SELECT f.value FROM (SELECT array(1) AS arr) t, '
+        'LATERAL FLATTEN(input => arr) "f"',
+        "snowflake",
+    )
+    assert spark.sql(out).collect()[0][0] == 1
+    out = transpile(
+        "SELECT e FROM (SELECT array(2) AS arr) t, UNNEST(arr) AS `e`",
+        "bigquery",
+    )
+    assert spark.sql(out).collect()[0][0] == 2
+
+
+def test_snowflake_real_is_double_single_pass():
+    # overlay entry, not the accidental two-pass real→FLOAT→DOUBLE chain
+    from sqlmesh_spark.core.transpile import _type_map
+
+    assert _type_map("snowflake")["real"] == "DOUBLE"
