@@ -131,7 +131,7 @@ class Context:
         # Re-resolve depends_on now that all model names are known.
         known = set(self.models)
         for m in self.models.values():
-            m.depends_on = extract_depends_on(m.query, known) | m.declared_depends_on
+            m.depends_on = extract_depends_on(m.query, known, m.dialect) | m.declared_depends_on
 
     def _load_config(self, project_dir: str) -> None:
         """Project config.yaml (reference core/config/root.py — the
@@ -287,7 +287,7 @@ class Context:
             self.models[model.name] = model
         known = set(self.models)
         for m in self.models.values():
-            m.depends_on = extract_depends_on(m.query, known) | m.declared_depends_on
+            m.depends_on = extract_depends_on(m.query, known, m.dialect) | m.declared_depends_on
         return models[0]
 
     # -- plan/apply (context.py:plan/apply) ---------------------------------

@@ -148,7 +148,7 @@ def column_lineage(model: Model) -> dict[str, set[tuple[str, str]]]:
     from sqlmesh_spark.core.sqlparse import SqlParseError, query_lineage
 
     try:
-        return query_lineage(model.query)
+        return query_lineage(model.query, model.dialect)
     except SqlParseError:
         pass
     try:
@@ -158,7 +158,7 @@ def column_lineage(model: Model) -> dict[str, set[tuple[str, str]]]:
         variables["this_model"] = model.name
         variables.update(model.variables)
         expanded = MacroEvaluator(variables=variables).render(model.query)
-        return query_lineage(expanded)
+        return query_lineage(expanded, model.dialect)
     except Exception:  # noqa: BLE001 - any macro/parse failure → regex rung
         pass
     _log.warning(

@@ -228,15 +228,22 @@ _TABLE_REF_RE = re.compile(
 _DOTTED_RE = re.compile(r"\b([A-Za-z_][\w]*\.[A-Za-z_][\w]*)\b")
 
 
-def extract_depends_on(query: str, known_models: Optional[set[str]] = None) -> frozenset[str]:
+def extract_depends_on(
+    query: str,
+    known_models: Optional[set[str]] = None,
+    dialect: str = "",
+) -> frozenset[str]:
     from sqlmesh_spark.core.sqlparse import SqlParseError, dotted_names, find_tables
 
     try:
         # Keep only dotted externals: model references are schema-qualified
         # in this engine, and bare names (registered temp views, seeds) are
-        # caught by the known_models membership scan below.
-        deps = {t for t in find_tables(query) if "." in t}
-        dotted = dotted_names(query)
+        # caught by the known_models membership scan below. The model's
+        # read dialect selects literal lexing — snowflake/bigquery
+        # backslash-escaped quotes would otherwise drop this to the lossy
+        # regex fallback, which scans literals and comments too.
+        deps = {t for t in find_tables(query, dialect) if "." in t}
+        dotted = dotted_names(query, dialect)
     except SqlParseError:
         deps = set(m.group(1).lower() for m in _TABLE_REF_RE.finditer(query))
         dotted = {m.group(1).lower() for m in _DOTTED_RE.finditer(query)}
@@ -392,7 +399,10 @@ def parse_model_text(text: str) -> Model:
         grain=_parse_tuple(props["grain"]) if "grain" in props else (),
         audits=_parse_audits(props["audits"]) if "audits" in props else (),
         signals=tuple(x.lower() for x in _parse_tuple(props["signals"])) if "signals" in props else (),
-        depends_on=extract_depends_on(query)
+        depends_on=extract_depends_on(
+            query,
+            dialect=_unquote(props["dialect"]).lower() if "dialect" in props else "",
+        )
         | (
             frozenset(d.lower() for d in _parse_tuple(props["depends_on"]))
             if "depends_on" in props

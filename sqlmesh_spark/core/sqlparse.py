@@ -63,6 +63,37 @@ _TOKEN_RE = re.compile(
 )
 
 
+#: dialects whose string literals use backslash escapes ('O\'Brien'),
+#: which the standard-SQL grammar above would mis-lex (the literal would
+#: end at the escaped quote). Spark's own default parser also processes
+#: backslash escapes, so text in these dialects stays lexable end-to-end.
+ESCAPE_LITERAL_DIALECTS = ("snowflake", "bigquery")
+
+
+def _derive_esc_pattern() -> str:
+    """Escape-aware grammar derived from _TOKEN_RE by exact substring
+    replacement. EACH replacement is individually asserted — a reformat of
+    either alternative above would otherwise no-op silently and that
+    literal class would mis-lex downstream."""
+    pattern = _TOKEN_RE.pattern
+    for old_alt, new_alt in (
+        (r"(?P<string>'(?:[^']|'')*')", r"(?P<string>'(?:[^'\\]|\\.|'')*')"),
+        (r'(?P<dquote>"(?:[^"]|"")*")', r'(?P<dquote>"(?:[^"\\]|\\.|"")*")'),
+    ):
+        replaced = pattern.replace(old_alt, new_alt)
+        if replaced == pattern:  # pragma: no cover - build-time guard
+            raise AssertionError(
+                f"escape-literal grammar failed to derive: alternative "
+                f"{old_alt!r} not found in sqlparse._TOKEN_RE — update "
+                "sqlparse._derive_esc_pattern"
+            )
+        pattern = replaced
+    return pattern
+
+
+_ESC_TOKEN_RE = re.compile(_derive_esc_pattern(), re.VERBOSE | re.DOTALL)
+
+
 @dataclass(frozen=True)
 class Token:
     kind: str  # 'ident' | 'qident' | 'string' | 'number' | 'macro' | 'op'
@@ -70,12 +101,17 @@ class Token:
     upper: str  # uppercase form for keyword checks ('' for non-idents)
 
 
-def tokenize(sql: str) -> list[Token]:
+def tokenize(sql: str, dialect: str = "") -> list[Token]:
+    """Lex ``sql``; ``dialect`` selects literal semantics: snowflake and
+    bigquery literals use backslash escapes, and bigquery double-quoted
+    tokens are STRINGS, not identifiers (matching how core/transpile.py
+    and Spark's parser read the same text)."""
+    token_re = _ESC_TOKEN_RE if dialect in ESCAPE_LITERAL_DIALECTS else _TOKEN_RE
     out: list[Token] = []
     pos = 0
     n = len(sql)
     while pos < n:
-        m = _TOKEN_RE.match(sql, pos)
+        m = token_re.match(sql, pos)
         if not m:
             raise SqlParseError(f"unexpected character {sql[pos]!r} at offset {pos}")
         pos = m.end()
@@ -83,6 +119,8 @@ def tokenize(sql: str) -> list[Token]:
         text = m.group()
         if kind in ("ws", "line_comment", "block_comment"):
             continue
+        if kind == "dquote" and dialect == "bigquery":
+            kind = "string"
         if kind == "ident":
             out.append(Token("ident", text.lower(), text.upper()))
         elif kind in ("dquote", "bquote"):
@@ -859,15 +897,16 @@ class _Parser:
 # ---------------------------------------------------------------------------
 
 
-def parse_query(sql: str) -> Query:
+def parse_query(sql: str, dialect: str = "") -> Query:
     """Parse one SELECT statement into its scope tree. EVERY failure mode
     — lexer, structural, or an internal bug on adversarial input — is
     normalized to SqlParseError: this runs on every loaded model query,
     and callers (extract_depends_on, column_lineage, fingerprinting) are
     contracted to catch SqlParseError and fall back to the regex path, so
-    no malformed model may crash project loading with anything else."""
+    no malformed model may crash project loading with anything else.
+    ``dialect`` selects the literal grammar (see ``tokenize``)."""
     try:
-        toks = tokenize(sql)
+        toks = tokenize(sql, dialect)
         # strip trailing semicolons
         while toks and toks[-1].kind == "op" and toks[-1].value == ";":
             toks.pop()
@@ -884,29 +923,29 @@ def parse_query(sql: str) -> Query:
     return q
 
 
-def find_tables(sql: str) -> frozenset[str]:
+def find_tables(sql: str, dialect: str = "") -> frozenset[str]:
     """External table references with CTE shadowing resolved — the
     tokenizer-level equivalent of reference dialect.py:1270 find_tables."""
-    return frozenset(parse_query(sql).tables)
+    return frozenset(parse_query(sql, dialect).tables)
 
 
-def query_lineage(sql: str) -> dict[str, set]:
+def query_lineage(sql: str, dialect: str = "") -> dict[str, set]:
     """Output column name → {(external_table, column), ...} resolved
     through CTEs, subqueries, aliases, and set operations."""
-    q = parse_query(sql)
+    q = parse_query(sql, dialect)
     out: dict[str, set] = {}
     for c in q.columns:
         out.setdefault(c.name, set()).update(c.sources)
     return out
 
 
-def dotted_names(sql: str) -> frozenset[str]:
+def dotted_names(sql: str, dialect: str = "") -> frozenset[str]:
     """All dotted identifier chains at the token level — unlike a raw regex
     scan this never matches inside string literals or comments. Used as the
     known-model fallback for macro-wrapped relations (@DEDUPLICATE(m, ...))
     that the structural parse can't see as FROM entries."""
     try:
-        toks = tokenize(sql)
+        toks = tokenize(sql, dialect)
     except SqlParseError:
         return frozenset()
     out: set[str] = set()

@@ -121,7 +121,9 @@ _COMMON_FN = {
 _SNOWFLAKE_FN: dict[str, str | None] = {
     "iff": "if",
     "len": "length",
-    "editdistance": "levenshtein",
+    # editdistance has an arity-dependent handler: the 2-arg form renames
+    # to levenshtein, but the 3-arg capped form diverges (Spark returns -1
+    # above the threshold, Snowflake returns the cap).
     "charindex": "position",            # both (substr, str[, start]), 1-based
     "array_construct": "array",
     "array_size": "size",
@@ -479,29 +481,10 @@ def _require_spark4(fn_name: str, target: str) -> None:
 # Escape-aware token grammar for Snowflake/BigQuery: their string
 # literals use backslash escapes ('O\'Brien'), which the standard-SQL
 # grammar would mis-lex (literal ends at the escaped quote). BigQuery
-# additionally uses double quotes for STRINGS, not identifiers.
-def _derive_esc_pattern() -> str:
-    """Escape-aware grammar derived from sqlparse's _TOKEN_RE by exact
-    substring replacement. EACH replacement is individually asserted —
-    a reformat of either alternative in sqlparse would otherwise no-op
-    silently and that literal class would mis-lex downstream."""
-    pattern = _TOKEN_RE.pattern
-    for old_alt, new_alt in (
-        (r"(?P<string>'(?:[^']|'')*')", r"(?P<string>'(?:[^'\\]|\\.|'')*')"),
-        (r'(?P<dquote>"(?:[^"]|"")*")', r'(?P<dquote>"(?:[^"\\]|\\.|"")*")'),
-    ):
-        replaced = pattern.replace(old_alt, new_alt)
-        if replaced == pattern:  # pragma: no cover - build-time guard
-            raise AssertionError(
-                f"escape-literal grammar failed to derive: alternative "
-                f"{old_alt!r} not found in sqlparse._TOKEN_RE — update "
-                "transpile._derive_esc_pattern"
-            )
-        pattern = replaced
-    return pattern
-
-
-_ESC_TOKEN_RE = re.compile(_derive_esc_pattern(), re.VERBOSE | re.DOTALL)
+# additionally uses double quotes for STRINGS, not identifiers. The
+# grammar itself lives in core/sqlparse.py so depends_on / lineage /
+# linter lexing of the same dialect text shares one derivation.
+from sqlmesh_spark.core.sqlparse import _ESC_TOKEN_RE
 
 
 def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]:
@@ -1102,14 +1085,26 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         # form errors. (The argument repeats in the
                         # rendered SQL — Spark dedups common
                         # subexpressions; accepted for fidelity.)
+                        # Fractional numeric epochs (DOUBLE/DECIMAL columns,
+                        # '1.5e9' strings) fail the BIGINT probe but are
+                        # still epochs in Snowflake — a second DOUBLE probe
+                        # catches them (same magnitude ladder, fraction
+                        # preserved to micros). Timestamp/date columns fail
+                        # both probes (their string forms contain dashes)
+                        # and correctly fall to the parse branch.
                         v = f"TRY_CAST(CAST({arg} AS STRING) AS BIGINT)"
+                        d = f"TRY_CAST(CAST({arg} AS STRING) AS DOUBLE)"
                         repl = (
-                            f"CASE WHEN {v} IS NULL "
-                            f"THEN try_to_timestamp(CAST({arg} AS STRING)) "
-                            f"WHEN abs({v}) < 31536000000 THEN timestamp_seconds({v}) "
-                            f"WHEN abs({v}) < 31536000000000 THEN timestamp_millis({v}) "
-                            f"WHEN abs({v}) < 31536000000000000 THEN timestamp_micros({v}) "
-                            f"ELSE timestamp_micros({v} DIV 1000) END"
+                            f"CASE "
+                            f"WHEN {v} IS NOT NULL AND abs({v}) < 31536000000 THEN timestamp_seconds({v}) "
+                            f"WHEN {v} IS NOT NULL AND abs({v}) < 31536000000000 THEN timestamp_millis({v}) "
+                            f"WHEN {v} IS NOT NULL AND abs({v}) < 31536000000000000 THEN timestamp_micros({v}) "
+                            f"WHEN {v} IS NOT NULL THEN timestamp_micros({v} DIV 1000) "
+                            f"WHEN {d} IS NOT NULL AND abs({d}) < 31536000000 THEN timestamp_micros(CAST({d} * 1000000 AS BIGINT)) "
+                            f"WHEN {d} IS NOT NULL AND abs({d}) < 31536000000000 THEN timestamp_micros(CAST({d} * 1000 AS BIGINT)) "
+                            f"WHEN {d} IS NOT NULL AND abs({d}) < 31536000000000000 THEN timestamp_micros(CAST({d} AS BIGINT)) "
+                            f"WHEN {d} IS NOT NULL THEN timestamp_micros(CAST({d} / 1000 AS BIGINT)) "
+                            f"ELSE try_to_timestamp(CAST({arg} AS STRING)) END"
                         )
                         edits.append((start, toks[close_tok][3], repl))
                         i = close_tok + 1
@@ -1132,6 +1127,37 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     )
                     i = close + 1
                     continue
+
+                if name == "editdistance":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 2:
+                        edits.append((start, end, "levenshtein"))
+                        i += 1
+                        continue
+                    if len(spans) == 3:
+                        # Spark's 3-arg levenshtein returns -1 when the
+                        # distance exceeds the threshold; Snowflake returns
+                        # the capped max_distance. Distance is never
+                        # negative, so nullif(-1) is unambiguous. Literal
+                        # non-negative max only — a negative max's Snowflake
+                        # behavior is undocumented, so it stays LOUD.
+                        m_tok = toks[spans[2][0]]
+                        if not (spans[2][0] == spans[2][1] and m_tok[0] == "number"):
+                            raise TranspileError(
+                                "editdistance max_distance must be a literal "
+                                "non-negative number to transpile"
+                            )
+                        a = _arg_text(spans[0])
+                        b = _arg_text(spans[1])
+                        m_text = m_tok[1]
+                        edits.append(
+                            (start, toks[close][3],
+                             f"coalesce(nullif(levenshtein({a}, {b}, "
+                             f"{m_text}), -1), {m_text})")
+                        )
+                        i = close + 1
+                        continue
+                    raise TranspileError("editdistance takes 2 or 3 args")
 
                 if name == "nullifzero":
                     _spans, close = _call_arg_spans(toks, i + 1)
@@ -1374,23 +1400,34 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     # preceding connector
                     p = i - 1
                     outer = False
+                    is_join = False
                     standalone = False
                     region_start_tok = i
                     if p >= 0 and is_op(p, ","):
                         region_start_tok = p
                     elif p >= 0 and toks[p][0] == "ident" and toks[p][1].upper() == "JOIN":
                         region_start_tok = p
+                        is_join = True
                         q = p - 1
                         if q >= 0 and toks[q][0] == "ident" and toks[q][1].upper() == "OUTER":
                             q -= 1
+                        if q >= 0 and toks[q][0] == "ident" and \
+                                toks[q][1].upper() in ("RIGHT", "FULL"):
+                            raise TranspileError(
+                                f"{toks[q][1].upper()} JOIN UNNEST has no "
+                                "LATERAL VIEW rewrite"
+                            )
                         if q >= 0 and toks[q][0] == "ident" and \
                                 toks[q][1].upper() in ("CROSS", "INNER", "LEFT"):
                             region_start_tok = q
                             outer = toks[q][1].upper() == "LEFT"
                     elif p >= 0 and toks[p][0] == "ident" and toks[p][1].upper() == "FROM":
                         standalone = True
-                    # LEFT JOIN form carries a mandatory ON TRUE — swallow it.
-                    if outer:
+                    # Join forms may carry ON TRUE (mandatory for LEFT,
+                    # legal for [INNER] JOIN) — swallow it; any other ON
+                    # condition (or a missing one on LEFT) is LOUD rather
+                    # than leaving an orphaned ON clause in the output.
+                    if is_join or outer:
                         if (
                             j + 1 < n
                             and toks[j][0] == "ident" and toks[j][1].upper() == "ON"
@@ -1398,9 +1435,15 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             and toks[j + 1][1].upper() == "TRUE"
                         ):
                             region_end_tok = j + 1
-                        else:
+                        elif outer:
                             raise TranspileError(
                                 "LEFT JOIN UNNEST with a non-TRUE ON condition "
+                                "has no LATERAL VIEW rewrite"
+                            )
+                        elif j < n and toks[j][0] == "ident" and \
+                                toks[j][1].upper() == "ON":
+                            raise TranspileError(
+                                "JOIN UNNEST with a non-TRUE ON condition "
                                 "has no LATERAL VIEW rewrite"
                             )
                     if standalone:
@@ -1548,21 +1591,64 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     # BigQuery puts the unit LAST as a bare keyword; the
                     # already-Spark form (unit first, as a string) does not
                     # match this shape, so the rewrite is naturally
-                    # idempotent.
-                    if (
+                    # idempotent. A 3-arg TIMESTAMP_TRUNC(ts, unit, tz)
+                    # timezone form has no Spark rewrite — LOUD.
+                    if len(spans) == 3 and toks[spans[0][0]][0] != "string":
+                        raise TranspileError(
+                            f"{name} with a timezone argument has no Spark "
+                            "date_trunc rewrite"
+                        )
+                    unit_tok_ok = (
                         len(spans) == 2
-                        and spans[1][0] == spans[1][1]
                         and toks[spans[1][0]][0] == "ident"
-                        and toks[spans[1][0]][1].lower() in _DIFF_UNITS
                         and toks[spans[0][0]][0] != "string"
-                    ):
-                        raw_unit = toks[spans[1][0]][1].lower()
+                    )
+                    if unit_tok_ok:
+                        # WEEK(MONDAY) is call-shaped: ident '(' ident ')'.
+                        if (
+                            spans[1][0] + 3 == spans[1][1]
+                            and toks[spans[1][0]][1].lower() == "week"
+                            and is_op(spans[1][0] + 1, "(")
+                            and toks[spans[1][0] + 2][0] == "ident"
+                            and is_op(spans[1][0] + 3, ")")
+                        ):
+                            if toks[spans[1][0] + 2][1].lower() != "monday":
+                                raise TranspileError(
+                                    f"bigquery WEEK({toks[spans[1][0] + 2][1].upper()}) "
+                                    "truncation has no Spark rewrite (Spark "
+                                    "weeks start Monday)"
+                                )
+                            raw_unit = "isoweek"  # Monday-start, = Spark week
+                        elif spans[1][0] != spans[1][1]:
+                            raise TranspileError(
+                                f"bigquery {name} unit must be a bare date "
+                                "part keyword"
+                            )
+                        else:
+                            raw_unit = toks[spans[1][0]][1].lower()
                         if raw_unit.startswith("week"):
                             raise TranspileError(
                                 "bigquery WEEK truncation starts Sunday; Spark "
-                                "weeks start Monday — no faithful rewrite"
+                                "weeks start Monday — no faithful rewrite "
+                                "(WEEK(MONDAY)/ISOWEEK do transpile)"
                             )
-                        u = _DIFF_UNITS[raw_unit].lower()
+                        # Spark date_trunc accepts MILLISECOND/MICROSECOND
+                        # beyond the timestampdiff unit set; ISOWEEK and
+                        # Spark WEEK both truncate to the Monday on-or-
+                        # before. ISOYEAR (ISO year start) has no Spark
+                        # equivalent.
+                        _TRUNC_EXTRA = {
+                            "millisecond": "MILLISECOND",
+                            "microsecond": "MICROSECOND",
+                            "isoweek": "WEEK",
+                        }
+                        u_mapped = _DIFF_UNITS.get(raw_unit) or _TRUNC_EXTRA.get(raw_unit)
+                        if u_mapped is None:
+                            raise TranspileError(
+                                f"bigquery {name} unit {raw_unit!r} has no "
+                                "Spark date_trunc equivalent"
+                            )
+                        u = u_mapped.lower()
                         repl = f"date_trunc('{u}', {_arg_text(spans[0])})"
                         # BigQuery DATE_TRUNC returns DATE, DATETIME_TRUNC
                         # returns DATETIME; Spark date_trunc returns
@@ -1574,6 +1660,25 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         edits.append((start, toks[close][3], repl))
                         i = close + 1
                         continue
+
+                if name == "log":
+                    # BigQuery LOG(x, base) vs Spark log(base, expr) —
+                    # REVERSED arg order, silent wrong values if passed
+                    # through. Rewrite as an ln ratio (what Spark's own
+                    # Logarithm lowers to), which is also idempotent under
+                    # re-transpile (a bare arg swap would flip every pass).
+                    # 1-arg LOG is ln in both — untouched.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 2:
+                        x = _arg_text(spans[0])
+                        b = _arg_text(spans[1])
+                        edits.append(
+                            (start, toks[close][3], f"(ln({x}) / ln({b}))")
+                        )
+                        i = close + 1
+                        continue
+                    i += 1
+                    continue
 
                 if name == "date":
                     spans, close = _call_arg_spans(toks, i + 1)

@@ -1303,3 +1303,122 @@ def test_snowflake_real_is_double_single_pass():
     from sqlmesh_spark.core.transpile import _type_map
 
     assert _type_map("snowflake")["real"] == "DOUBLE"
+
+
+# ---------------------------------------------------------------------------
+# Sixth-pass review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_bigquery_two_arg_log_base_order(spark):
+    # BigQuery LOG(x, base) — Spark log() takes (base, expr); the ln-ratio
+    # rewrite keeps BigQuery's order AND is idempotent under re-transpile.
+    out = transpile("SELECT LOG(100, 10) AS v", "bigquery")
+    assert transpile(out, "bigquery") == out
+    assert spark.sql(out).collect()[0][0] == 2.0
+    # 1-arg LOG is ln in both — untouched.
+    assert transpile("SELECT LOG(x) FROM t", "bigquery") == "SELECT LOG(x) FROM t"
+
+
+def test_snowflake_to_timestamp_fractional_epoch(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        out = transpile(
+            "SELECT TO_TIMESTAMP(1687000000.5) AS ts, "
+            "TO_TIMESTAMP(1687000000500.25) AS tm",
+            "snowflake",
+        )
+        row = spark.sql(out).collect()[0]
+        assert row.ts.microsecond == 500000 and row.ts.year == 2023
+        # millis-magnitude fractional epoch keeps sub-milli precision
+        assert row.tm.microsecond == 500250
+        # DOUBLE column (not just literals) routes through the epoch branch
+        spark.sql("SELECT CAST(1687000000.5 AS DOUBLE) AS e").createOrReplaceTempView(
+            "_frac_epoch"
+        )
+        got = spark.sql(
+            transpile("SELECT TO_TIMESTAMP(e) AS ts FROM _frac_epoch", "snowflake")
+        ).collect()[0]
+        assert got.ts.microsecond == 500000
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
+        spark.catalog.dropTempView("_frac_epoch")
+
+
+def test_bigquery_join_unnest_on_true(spark):
+    # INNER/bare JOIN UNNEST ... ON TRUE is legal BigQuery — the ON TRUE
+    # must be swallowed, not left orphaned after LATERAL VIEW.
+    for j in ("JOIN", "INNER JOIN", "CROSS JOIN"):
+        out = transpile(
+            f"SELECT e FROM (SELECT array(1, 2) AS arr) t {j} UNNEST(arr) AS e ON TRUE"
+            if j != "CROSS JOIN"
+            else f"SELECT e FROM (SELECT array(1, 2) AS arr) t {j} UNNEST(arr) AS e",
+            "bigquery",
+        )
+        assert "ON" not in out.split("LATERAL")[1].upper().split("AS")[1]
+        assert [r[0] for r in spark.sql(out).collect()] == [1, 2]
+    for bad in (
+        "SELECT e FROM t RIGHT JOIN UNNEST(t.arr) e ON TRUE",
+        "SELECT e FROM t FULL OUTER JOIN UNNEST(t.arr) e ON TRUE",
+        "SELECT e FROM t JOIN UNNEST(t.arr) e ON e > 1",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(bad, "bigquery")
+
+
+def test_bigquery_trunc_units_loud_and_extended(spark):
+    # Spark-native MILLISECOND/MICROSECOND and Monday-start weeks transpile;
+    # Sunday weeks, ISOYEAR, and the timezone form raise at render.
+    out = transpile("SELECT TIMESTAMP_TRUNC(ts, MILLISECOND) AS t FROM v", "bigquery")
+    assert "date_trunc('millisecond'" in out
+    assert "date_trunc('week'" in transpile("SELECT DATE_TRUNC(d, ISOWEEK) FROM v", "bigquery")
+    assert "date_trunc('week'" in transpile(
+        "SELECT DATE_TRUNC(d, WEEK(MONDAY)) FROM v", "bigquery"
+    )
+    for bad in (
+        "SELECT DATE_TRUNC(d, WEEK) FROM v",
+        "SELECT DATE_TRUNC(d, ISOYEAR) FROM v",
+        "SELECT DATE_TRUNC(d, WEEK(SUNDAY)) FROM v",
+        "SELECT TIMESTAMP_TRUNC(ts, DAY, 'America/New_York') FROM v",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(bad, "bigquery")
+
+
+def test_snowflake_editdistance_capped(spark):
+    out = transpile(
+        "SELECT EDITDISTANCE('abc', 'xyz', 2) AS a, "
+        "EDITDISTANCE('abc', 'abd', 2) AS b, "
+        "EDITDISTANCE('abc', 'xyz', 0) AS c, "
+        "EDITDISTANCE('abc', 'abd') AS d",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    # Snowflake caps at max_distance; Spark's raw 3-arg form returns -1.
+    assert (row.a, row.b, row.c, row.d) == (2, 1, 0, 1)
+    with pytest.raises(TranspileError):
+        transpile("SELECT EDITDISTANCE(a, b, -2) FROM t", "snowflake")
+    with pytest.raises(TranspileError):
+        transpile("SELECT EDITDISTANCE(a, b, n) FROM t", "snowflake")
+
+
+def test_escape_dialect_depends_on_and_lineage():
+    # Backslash-escaped literals must lex structurally (not drop to the
+    # regex fallback that scans literals/comments for phantom deps).
+    from sqlmesh_spark.core.model import extract_depends_on
+    from sqlmesh_spark.core.sqlparse import query_lineage
+
+    q = (
+        "SELECT name FROM raw.users "
+        "WHERE name = 'O\\'Brien' AND note != 'FROM fake.table'"
+    )
+    for d in ("snowflake", "bigquery"):
+        deps = extract_depends_on(q, dialect=d)
+        assert deps == frozenset({"raw.users"})
+        lin = query_lineage(q, d)
+        assert ("raw.users", "name") in lin["name"]
+    # bigquery double-quoted STRINGS lex as strings, not identifiers
+    deps = extract_depends_on(
+        'SELECT x FROM raw.t WHERE y = "FROM phantom.tbl"', dialect="bigquery"
+    )
+    assert deps == frozenset({"raw.t"})
