@@ -135,6 +135,12 @@ _SNOWFLAKE_FN: dict[str, str | None] = {
     # sysdate/systimestamp return UTC wall-clock — handled below with a
     # to_utc_timestamp rewrite, not a bare rename
     "uuid_string": "uuid",
+    "weekiso": "weekofyear",            # both ISO week-of-year
+    # dayofweek/week depend on the session's WEEK_START parameter (and the
+    # common default disagrees with Spark's 1=Sunday) — silent off-by-one,
+    # so LOUD; the ISO variants have exact rewrites (handlers below).
+    "dayofweek": None,
+    "week": None,
     "random": None,                     # 64-bit int gen vs Spark rand() double
     "seq1": None, "seq2": None, "seq4": None, "seq8": None,
     "object_construct": None,
@@ -168,6 +174,11 @@ _BIGQUERY_FN: dict[str, str | None] = {
     "array_concat": "concat",
     "array_to_string": "array_join",
     "array_reverse": "reverse",
+    # collect_list drops NULLs = BigQuery's IGNORE NULLS arm; plain BQ
+    # ARRAY_AGG over a NULL element would have ERRORED, so no silent value
+    # divergence is possible. ORDER BY/LIMIT modifiers inside the call
+    # fail Spark's parser loudly at execution.
+    "array_agg": "collect_list",
     "strpos": "instr",                  # both 1-based, 0 when absent
     "byte_length": "octet_length",
     "to_hex": "hex",
@@ -531,6 +542,80 @@ def _escape_regex_literal(lit: str) -> str:
     return "'" + _regex_escape_content(inner).replace("'", "''") + "'"
 
 
+_SIMPLE_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    "\\": "\\", "'": "'", '"': '"', "`": "`",
+}
+
+
+def _literal_content(lit: str, read: str) -> str:
+    """Decode a string literal token's body to its character content per
+    the read dialect's escape rules: '' doubling everywhere; backslash
+    escapes additionally in snowflake/bigquery (snowflake reads an
+    unknown escape as the bare character; bigquery rejects it — LOUD
+    here rather than guessing)."""
+    body = lit[1:-1]
+    if read in _STD_LITERAL_DIALECTS:
+        return body.replace("''", "'")
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt in _SIMPLE_ESCAPES:
+                out.append(_SIMPLE_ESCAPES[nxt])
+            elif read == "snowflake":
+                out.append(nxt)
+            else:
+                raise TranspileError(
+                    f"escape sequence \\{nxt} in {lit!r} has no decoder"
+                )
+            i += 2
+        elif c == "'" and i + 1 < len(body) and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _regex_replacement_to_spark(content: str) -> str:
+    """Convert a read-dialect regex REPLACEMENT string (backrefs ``\\1`` …
+    ``\\9``, ``\\\\`` literal backslash, ``$`` ordinary) to Java/Spark
+    replacement syntax (``$1`` backrefs, ``\\$`` literal dollar). Passing
+    a read-dialect replacement through unconverted silently rewrites
+    every backreference as literal text — this is the fidelity seam."""
+    out: list[str] = []
+    i = 0
+    n = len(content)
+    while i < n:
+        c = content[i]
+        if c == "\\":
+            if i + 1 >= n:
+                raise TranspileError(
+                    "regexp_replace replacement ends with a lone backslash"
+                )
+            nxt = content[i + 1]
+            if nxt.isdigit():
+                out.append("$" + nxt)
+            elif nxt == "\\":
+                out.append("\\\\")
+            else:
+                raise TranspileError(
+                    f"replacement escape \\{nxt} has no Spark rewrite"
+                )
+            i += 2
+        elif c == "$":
+            out.append("\\$")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 
 #: token kinds that can act as an identifier/name in expression position.
 #: ("qident" is kept for compatibility; the span tokenizer emits
@@ -727,6 +812,31 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # `//` integer division → DIV (adjacent '/' '/' spans)
         if kind == "op" and text == "/" and is_op(i + 1, "/") and toks[i + 1][2] == end:
             edits.append((start, toks[i + 1][3], " DIV "))
+            i += 2
+            continue
+
+        # BigQuery raw/bytes string prefixes: r'...' keeps backslashes
+        # literal (ubiquitous for regex patterns) — re-emit as a Spark
+        # literal with the backslashes escaped; b'...'/rb'...' BYTES
+        # literals have no Spark string form — LOUD. The prefix lexes as
+        # a separate ident, so adjacency (no whitespace) is the signature.
+        if (
+            read == "bigquery"
+            and kind == "ident"
+            and text.lower() in ("r", "b", "rb", "br")
+            and i + 1 < n
+            and toks[i + 1][0] == "string"
+            and toks[i + 1][2] == end
+            and not any(e_start <= start < e_end for e_start, e_end, _ in edits)
+        ):
+            if "b" in text.lower():
+                raise TranspileError(
+                    "BigQuery bytes literals (b'...') have no Spark string "
+                    "rewrite; use an explicit CAST or unhex"
+                )
+            body = toks[i + 1][1][1:-1]
+            lit = "'" + body.replace("\\", "\\\\").replace("'", "''") + "'"
+            edits.append((start, toks[i + 1][3], lit))
             i += 2
             continue
 
@@ -988,6 +1098,25 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         if kind == "ident" and is_op(i + 1, "("):
             name = text.lower()
 
+            # Dotted call: `schema.fn(...)` is a qualified UDF whose LAST
+            # segment must not be renamed by the builtin maps (renaming
+            # s.epoch() to s.unix_timestamp() would corrupt a user UDF
+            # reference). BigQuery's SAFE. prefix (NULL-on-error calls) is
+            # a semantic wrapper with no Spark rewrite — LOUD.
+            if i > 0 and is_op(i - 1, "."):
+                if (
+                    read == "bigquery"
+                    and i >= 2
+                    and toks[i - 2][0] == "ident"
+                    and toks[i - 2][1].lower() == "safe"
+                ):
+                    raise TranspileError(
+                        f"SAFE.{text}() has no Spark rewrite; use the "
+                        "try_-prefixed function if one exists"
+                    )
+                i += 1
+                continue
+
             def _arg_text(span: tuple[int, int]) -> str:
                 # Recursively transpile copied argument text: the tokens of
                 # a consumed region are SKIPPED by the outer scan, and
@@ -1125,6 +1254,74 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         (start, toks[close][3],
                          "to_utc_timestamp(current_timestamp(), current_timezone())")
                     )
+                    i = close + 1
+                    continue
+
+                if name == "split" and first_pass:
+                    # Snowflake SPLIT separates on a PLAIN string; Spark
+                    # split()'s separator is a regex — escape metachars.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError("snowflake split takes 2 args")
+                    sep = toks[spans[1][0]]
+                    if sep[0] != "string" or spans[1][0] != spans[1][1]:
+                        raise TranspileError(
+                            "snowflake split separator must be a literal to "
+                            "transpile (Spark split() treats it as a regex)"
+                        )
+                    content = _literal_content(sep[1], read)
+                    edits.append(
+                        (sep[2], sep[3],
+                         "'" + _regex_escape_content(content).replace("'", "''") + "'")
+                    )
+                    i += 1
+                    continue
+
+                if name == "dayofweekiso":
+                    # 1=Monday..7=Sunday — Spark weekday() is 0=Monday..6.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError("dayofweekiso takes 1 arg")
+                    edits.append(
+                        (start, toks[close][3],
+                         f"(weekday({_arg_text(spans[0])}) + 1)")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "yearofweekiso":
+                    # ISO week-numbering year — Spark extract(YEAROFWEEK).
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError("yearofweekiso takes 1 arg")
+                    edits.append(
+                        (start, toks[close][3],
+                         f"extract(YEAROFWEEK FROM {_arg_text(spans[0])})")
+                    )
+                    i = close + 1
+                    continue
+
+                if name in ("to_double", "try_to_double"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(
+                            f"{name} with a format argument has no Spark "
+                            "CAST rewrite"
+                        )
+                    cast_fn = "TRY_CAST" if name.startswith("try_") else "CAST"
+                    edits.append((start, end, cast_fn))
+                    edits.append((toks[close][2], toks[close][2], " AS DOUBLE"))
+                    i += 1
+                    continue
+
+                if name in ("bitand", "bitor", "bitxor"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError(f"{name} takes 2 args")
+                    op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[name]
+                    a = _arg_text(spans[0])
+                    b = _arg_text(spans[1])
+                    edits.append((start, toks[close][3], f"(({a}) {op} ({b}))"))
                     i = close + 1
                     continue
 
@@ -1873,6 +2070,89 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i += 1
                 continue
 
+            if name == "regexp_replace" and first_pass:
+                # Two fidelity seams: replacement BACKREF syntax differs
+                # (\1 in every read dialect vs Java's $1), and duckdb/
+                # postgres default to FIRST-match-only replacement while
+                # Spark replaces all. Snowflake (occurrence 0 = all) and
+                # BigQuery (always all) already match Spark's scope.
+                spans, close = _call_arg_spans(toks, i + 1)
+                nargs = len(spans)
+
+                def _convert_replacement(span) -> None:
+                    tok_ = toks[span[0]]
+                    # r'...' raw replacement: ident prefix + adjacent string
+                    if (
+                        read == "bigquery"
+                        and span[0] + 1 == span[1]
+                        and tok_[0] == "ident"
+                        and tok_[1].lower() == "r"
+                        and toks[span[1]][0] == "string"
+                        and toks[span[1]][2] == tok_[3]
+                    ):
+                        content = toks[span[1]][1][1:-1]  # raw: no unescaping
+                    elif span[0] == span[1] and tok_[0] == "string":
+                        content = _literal_content(tok_[1], read)
+                    else:
+                        raise TranspileError(
+                            "regexp_replace replacement must be a string "
+                            "literal to transpile (backreference syntax "
+                            "\\1 vs $1 cannot be checked on expressions)"
+                        )
+                    converted = _regex_replacement_to_spark(content)
+                    lit = "'" + converted.replace("\\", "\\\\").replace("'", "''") + "'"
+                    # emit even when unchanged: marks the literal handler-
+                    # owned so the std-dialect doubling pass skips it
+                    edits.append((tok_[2], toks[span[1]][3], lit))
+
+                # ansi falls through every branch untouched: generic
+                # standard SQL carries no first-only/backref contract here.
+                if read in ("duckdb", "postgres"):
+                    if nargs == 4 and toks[spans[3][0]][0] == "number":
+                        pass  # Spark's position arg — already-Spark shape
+                    elif nargs == 4:
+                        f_tok = toks[spans[3][0]]
+                        if not (
+                            spans[3][0] == spans[3][1]
+                            and f_tok[0] == "string"
+                            and _literal_content(f_tok[1], read) == "g"
+                        ):
+                            raise TranspileError(
+                                "regexp_replace options other than 'g' have "
+                                "no Spark rewrite"
+                            )
+                        _convert_replacement(spans[2])
+                        # 'g' (global) IS Spark's scope; rewrite the flag to
+                        # Spark's position arg 1 (the default) so the output
+                        # is not re-readable as a first-only 3-arg form
+                        edits.append((f_tok[2], toks[spans[3][1]][3], "1"))
+                    elif nargs == 3:
+                        raise TranspileError(
+                            f"{read} regexp_replace replaces only the FIRST "
+                            "match; Spark replaces all occurrences — add "
+                            "the 'g' option if global replacement is "
+                            "intended"
+                        )
+                    else:
+                        raise TranspileError("regexp_replace takes 3 or 4 args")
+                elif read == "snowflake":
+                    if nargs == 2:
+                        # 2-arg form strips matches (replacement = '')
+                        edits.append((toks[close][2], toks[close][2], ", ''"))
+                    elif nargs == 3:
+                        _convert_replacement(spans[2])
+                    else:
+                        raise TranspileError(
+                            "regexp_replace with position/occurrence/"
+                            "parameters args has no direct Spark rewrite"
+                        )
+                elif read == "bigquery":
+                    if nargs != 3:
+                        raise TranspileError("bigquery regexp_replace takes 3 args")
+                    _convert_replacement(spans[2])
+                i += 1
+                continue
+
             if name in ("array_length", "list_length") and is_op(i + 1, "("):
                 # Postgres array_length(arr, dim) is always 2-arg; Spark
                 # size() takes one. dim=1 drops; any other dim is LOUD.
@@ -1922,11 +2202,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i += 1
                 continue
 
-            if name in ("dayname", "monthname") and read in ("duckdb", "postgres"):
-                # dayname(x) → date_format(x, 'EEEE'); monthname → 'MMMM'
+            if name in ("dayname", "monthname") and read in (
+                "duckdb", "postgres", "snowflake"
+            ):
+                # dayname(x) → date_format(x, 'EEEE'); monthname → 'MMMM'.
+                # Snowflake returns the ABBREVIATED names ('Mon'/'Jan') —
+                # 'EEE'/'MMM'.
                 args = _call_args(toks, i + 1)
                 close = args[-1]
-                fmt = "'EEEE'" if name == "dayname" else "'MMMM'"
+                if read == "snowflake":
+                    fmt = "'EEE'" if name == "dayname" else "'MMM'"
+                else:
+                    fmt = "'EEEE'" if name == "dayname" else "'MMMM'"
                 edits.append((start, end, "date_format"))
                 edits.append((toks[close][2], toks[close][2], f", {fmt}"))
                 i += 1

@@ -86,7 +86,8 @@ def shingle_hashes_sql(table: str, k: int, dialect: str) -> str:
 def exact_dedup_sql(table: str, dialect: str = "spark") -> str:
     """Hash-groupBy exact dedup on normalized text: emit the keeper
     (min doc_id) and the duplicate count per content hash."""
-    norm = "trim(regexp_replace(lower(text), ' +', ' '))"
+    g = ", 'g'" if dialect == "duckdb" else ""  # DuckDB 3-arg replaces FIRST only
+    norm = f"trim(regexp_replace(lower(text), ' +', ' '{g}))"
     return f"""
 SELECT MD5({norm}) AS content_hash,
        MIN(doc_id) AS keeper_doc_id,
@@ -954,7 +955,8 @@ def incremental_dedup_sql(table: str, dialect: str = "spark", prefix: int = 40) 
     mirrored articles whose tails diverge in ads/footers); prefix=None
     semantics would be the whole-text exact form already covered by
     dedup_exact."""
-    norm = f"substr(trim(regexp_replace(lower(text), ' +', ' ')), 1, {prefix})"
+    g = ", 'g'" if dialect == "duckdb" else ""  # DuckDB 3-arg replaces FIRST only
+    norm = f"substr(trim(regexp_replace(lower(text), ' +', ' '{g})), 1, {prefix})"
     return f"""
 WITH state AS (
   SELECT DISTINCT MD5({norm}) AS fp FROM {table} WHERE doc_id % 2 = 0

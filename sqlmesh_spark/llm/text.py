@@ -23,12 +23,15 @@ def _rx_count(col: str, pat: str, dialect: str) -> str:
     return f"regexp_count({col}, '{pat.replace(chr(92), chr(92) * 2)}')"
 
 
-def _norm(col: str) -> str:
+def _norm(col: str, dialect: str = "spark") -> str:
     """Normalization for fingerprinting: lowercase, strip punctuation,
-    collapse whitespace. Identical regex semantics in both engines."""
+    collapse whitespace. DuckDB's 3-arg regexp_replace replaces only the
+    FIRST match (Spark replaces all) — the 'g' flag makes it global so
+    both engines normalize identically on text with multiple hits."""
+    g = ", 'g'" if dialect == "duckdb" else ""
     return (
-        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ''),"
-        f" ' +', ' '))"
+        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ''{g}),"
+        f" ' +', ' '{g}))"
     )
 
 
@@ -98,7 +101,7 @@ def fingerprint_sql(table: str, dialect: str = "spark") -> str:
     """Document fingerprint: md5 over normalized text plus a coarse
     locality bucket (md5 of the first 64 normalized chars) — the cheap
     prefilter for fuzzy dedup at scale."""
-    norm = _norm("text")
+    norm = _norm("text", dialect)
     return f"""
 SELECT doc_id,
        MD5({norm}) AS fingerprint,
@@ -252,7 +255,7 @@ def training_pipeline_sql(
         for lang, pat in _LANG_PROFILES.items()
         if lang != "en"
     ]
-    norm = _norm("text")
+    norm = _norm("text", dialect)
     split_hash = _hash60("CAST(doc_id AS STRING)", dialect)
     if kept_relation:
         kept_rel, with_kept = kept_relation, ""
@@ -288,7 +291,7 @@ def training_pipeline_kept_sql(
         for lang, pat in _LANG_PROFILES.items()
         if lang != "en"
     ]
-    norm = _norm("text")
+    norm = _norm("text", dialect)
     signals = f"""
   SELECT doc_id,
          {bpe} AS bpe_tokens,

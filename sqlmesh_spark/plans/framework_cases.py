@@ -2568,3 +2568,45 @@ GROUP BY o
     )
     ctx.run(environment="env_un")
     return spark.table("env_un_views.dim_stats")
+
+
+BQ_REGEX_ORACLE = r"""
+SELECT o_orderkey,
+       regexp_replace(o_orderpriority, '(\d)-', '[\1] ', 'g') AS tagged,
+       regexp_matches(o_orderpriority, '^\d-URG') AS is_urgent
+FROM orders
+WHERE o_orderkey % 5 = 0
+"""
+
+
+@register("framework_bigquery_regex_model", oracle=BQ_REGEX_ORACLE, tags=("dialect", "framework"))
+def framework_bigquery_regex_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery regex surface through plan/apply: raw string literals
+    (r'...' keeps backslashes literal — the idiomatic BigQuery regex
+    form), REGEXP_REPLACE with \\1 BACKREFERENCES (Java/Spark uses $1 —
+    passing the replacement through unconverted would emit literal
+    backslash-one), and REGEXP_CONTAINS. The DuckDB oracle uses RE2
+    \\1 syntax and the 'g' flag (DuckDB defaults to first-match-only);
+    the value hash proves replacement-scope AND backref fidelity."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_rx", "env_rx_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        r"""
+MODEL (
+  name demo_rx.order_tags,
+  kind FULL,
+  dialect bigquery
+);
+SELECT o_orderkey,
+       REGEXP_REPLACE(o_orderpriority, r'(\d)-', r'[\1] ') AS tagged,
+       REGEXP_CONTAINS(o_orderpriority, r'^\d-URG') AS is_urgent
+FROM orders
+WHERE MOD(o_orderkey, 5) = 0
+"""
+    )
+    ctx.run(environment="env_rx")
+    return spark.table("env_rx_views.order_tags")

@@ -195,3 +195,23 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     ).collect()
     assert len(uncapped) > 0  # boilerplate overlap alone pairs docs up
     assert len(capped) == 0  # capped: boilerplate carries no signal
+
+
+def test_duckdb_oracles_use_global_regex_flag():
+    # DuckDB's 3-arg regexp_replace replaces only the FIRST match; Spark
+    # replaces all. Every normalization oracle must carry the 'g' flag —
+    # the sf test corpus has no multi-hit docs, so parity alone cannot
+    # catch a regression here.
+    import duckdb
+
+    from sqlmesh_spark.llm.dedup import exact_dedup_sql, incremental_dedup_sql
+    from sqlmesh_spark.llm.text import _norm, fingerprint_sql
+
+    for sql in (
+        exact_dedup_sql("t", "duckdb"),
+        incremental_dedup_sql("t", "duckdb"),
+        fingerprint_sql("t", "duckdb"),
+    ):
+        assert "'g'" in sql
+    got = duckdb.sql("SELECT " + _norm("'a  b!!c  d'", "duckdb")).fetchone()[0]
+    assert got == "a bc d"

@@ -1422,3 +1422,108 @@ def test_escape_dialect_depends_on_and_lineage():
         'SELECT x FROM raw.t WHERE y = "FROM phantom.tbl"', dialect="bigquery"
     )
     assert deps == frozenset({"raw.t"})
+
+
+# ---------------------------------------------------------------------------
+# regexp_replace fidelity + dialect breadth batch
+# ---------------------------------------------------------------------------
+
+
+def test_regexp_replace_scope_and_backrefs(spark):
+    # duckdb/postgres default to FIRST-only replacement (Spark replaces
+    # all): 3-arg raises; the 'g' flag rewrites to Spark's position arg so
+    # the output is a fixpoint under re-transpile.
+    out = transpile("SELECT regexp_replace('a  b  c', ' +', '_', 'g') AS v", "duckdb")
+    assert transpile(out, "duckdb") == out
+    assert spark.sql(out).collect()[0][0] == "a_b_c"
+    out = transpile(
+        r"SELECT regexp_replace('ab', '(a)(b)', '\2\1', 'g') AS v", "postgres"
+    )
+    assert spark.sql(out).collect()[0][0] == "ba"
+    with pytest.raises(TranspileError):
+        transpile("SELECT regexp_replace(s, ' +', ' ') FROM t", "duckdb")
+    with pytest.raises(TranspileError):
+        transpile("SELECT regexp_replace(s, ' +', ' ', 'i') FROM t", "duckdb")
+    with pytest.raises(TranspileError):
+        transpile("SELECT regexp_replace(s, 'x', col, 'g') FROM t", "duckdb")
+    # ansi carries no first-only contract — passthrough
+    sql = "SELECT regexp_replace(s, 'a', 'b') FROM t"
+    assert transpile(sql, "ansi") == sql
+
+
+def test_regexp_replace_snowflake_bigquery(spark):
+    # snowflake 2-arg strips matches; 3-arg converts \1 backrefs to $1
+    out = transpile("SELECT regexp_replace('a1b2', '[0-9]') AS v", "snowflake")
+    assert spark.sql(out).collect()[0][0] == "ab"
+    out = transpile(
+        r"SELECT regexp_replace('cost: 5', '(\\d+)', '\\1 USD') AS v", "snowflake"
+    )
+    assert spark.sql(out).collect()[0][0] == "cost: 5 USD"
+    with pytest.raises(TranspileError):
+        transpile("SELECT regexp_replace(s, 'p', 'r', 2) FROM t", "snowflake")
+    out = transpile(
+        r"SELECT REGEXP_REPLACE('a1.b2.', r'(\d)\.', r'[\1]') AS v", "bigquery"
+    )
+    assert spark.sql(out).collect()[0][0] == "a[1]b[2]"
+
+
+def test_bigquery_raw_string_literals(spark):
+    out = transpile(r"SELECT REGEXP_CONTAINS('foo bar', r'\bfoo\b') AS v", "bigquery")
+    assert spark.sql(out).collect()[0][0] is True
+    with pytest.raises(TranspileError):
+        transpile(r"SELECT b'\x01' FROM t", "bigquery")
+
+
+def test_snowflake_split_plain_separator(spark):
+    out = transpile("SELECT split('a.b.c', '.') AS v", "snowflake")
+    assert spark.sql(out).collect()[0][0] == ["a", "b", "c"]
+    with pytest.raises(TranspileError):
+        transpile("SELECT split(s, sep_col) FROM t", "snowflake")
+
+
+def test_snowflake_iso_week_functions(spark):
+    out = transpile(
+        "SELECT dayofweekiso(DATE'2026-08-14') AS dw, "
+        "yearofweekiso(DATE'2021-01-01') AS yw, "
+        "WEEKISO(DATE'2021-01-01') AS wk",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.dw, row.yw, row.wk) == (5, 2020, 53)  # Friday; ISO 2020-W53
+    with pytest.raises(TranspileError):
+        transpile("SELECT DAYOFWEEK(d) FROM t", "snowflake")
+    with pytest.raises(TranspileError):
+        transpile("SELECT WEEK(d) FROM t", "snowflake")
+
+
+def test_snowflake_bit_double_names(spark):
+    out = transpile(
+        "SELECT BITAND(12, 10) AS a, BITOR(12, 10) AS o, BITXOR(12, 10) AS x, "
+        "TO_DOUBLE('1.5') AS d, TRY_TO_DOUBLE('nope') AS n",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.o, row.x, row.d, row.n) == (8, 14, 6, 1.5, None)
+    # abbreviated day/month names, unlike duckdb's full forms
+    out = transpile(
+        "SELECT DAYNAME(DATE'2026-08-14') AS d, MONTHNAME(DATE'2026-08-14') AS m",
+        "snowflake",
+    )
+    assert tuple(spark.sql(out).collect()[0]) == ("Fri", "Aug")
+
+
+def test_bigquery_array_agg(spark):
+    out = transpile(
+        "SELECT ARRAY_AGG(x) AS xs FROM (SELECT 1 AS x UNION ALL SELECT 2) GROUP BY 'k'",
+        "bigquery",
+    )
+    assert sorted(spark.sql(out).collect()[0][0]) == [1, 2]
+
+
+def test_dotted_function_calls_not_renamed():
+    # schema.fn(...) is a qualified UDF — the builtin maps must not rename
+    # its last segment; BigQuery's SAFE. prefix is LOUD.
+    sql = "SELECT s.epoch(x) FROM t"
+    assert transpile(sql, "duckdb") == sql
+    with pytest.raises(TranspileError):
+        transpile("SELECT SAFE.LOG(x, 10) FROM t", "bigquery")
