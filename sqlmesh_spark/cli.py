@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import re
 import os
 import sys
 from typing import Optional
@@ -484,7 +485,7 @@ GROUP BY item_id
     return 0
 
 
-def _format_tokens(sql: str) -> str:
+def _format_tokens(sql: str, dialect: str = "") -> str:
     """Canonical formatting from the token stream: UPPERCASE keywords,
     one top-level clause per line, single-space elsewhere. String
     literals keep their exact bytes."""
@@ -505,7 +506,7 @@ def _format_tokens(sql: str) -> str:
         "QUALIFY", "WINDOW", "LATERAL", "VIEW", "VALUES", "NULLS",
         "FIRST", "LAST", "IGNORE", "RESPECT",
     }
-    toks = tokenize(sql)
+    toks = tokenize(sql, dialect)
     pieces: list[str] = []
     depth = 0
     prev = None
@@ -572,8 +573,9 @@ def cmd_format(args) -> int:
         if idx < 0:
             continue
         header, body = text[: idx + 1], text[idx + 1 :]
+        d_m = re.search(r"\bdialect\s+['\"]?(\w+)", header, re.IGNORECASE)
         try:
-            formatted = _format_tokens(body)
+            formatted = _format_tokens(body, d_m.group(1).lower() if d_m else "")
         except SqlParseError:
             continue  # macro-heavy body: leave untouched
         new_text = header + "\n" + formatted

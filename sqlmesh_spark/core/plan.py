@@ -98,7 +98,7 @@ class Plan:
     effective_from: Optional[str] = None
 
 
-def _categorize(old_query: str | None, new_query: str) -> str:
+def _categorize(old_query: str | None, new_query: str, dialect: str = "") -> str:
     """NON_BREAKING iff the change is additive-projections-only
     (categorizer.py:10: added projections ⇒ NON_BREAKING): both queries are
     single outer SELECTs over an IDENTICAL tail (FROM onward), and the new
@@ -109,8 +109,8 @@ def _categorize(old_query: str | None, new_query: str) -> str:
     unsplittable is BREAKING (conservative)."""
     if old_query is None:
         return "BREAKING"
-    old_parts = _projection_split(old_query)
-    new_parts = _projection_split(new_query)
+    old_parts = _projection_split(old_query, dialect)
+    new_parts = _projection_split(new_query, dialect)
     if not old_parts or not new_parts:
         return "BREAKING"
     if old_parts[1] == new_parts[1] and old_parts[0] <= new_parts[0]:
@@ -118,13 +118,13 @@ def _categorize(old_query: str | None, new_query: str) -> str:
     return "BREAKING"
 
 
-def _projection_split(q: str):
+def _projection_split(q: str, dialect: str = ""):
     """(projection set, tail) for a single outer SELECT, both as canonical
     token strings; None when the shape doesn't apply."""
     from sqlmesh_spark.core.sqlparse import SqlParseError, tokenize
 
     try:
-        toks = tokenize(q)
+        toks = tokenize(q, dialect)
     except SqlParseError:
         return _projection_split_textual(q)
     while toks and toks[-1].kind == "op" and toks[-1].value == ";":
@@ -421,7 +421,7 @@ class PlanEvaluator:
             own_changed = old_query is None or old_query != snap.model.query
             parent_taint = any(taint.get(p, False) for p in snap.parents)
             if own_changed:
-                breaking = _categorize(old_query, snap.model.query) == "BREAKING"
+                breaking = _categorize(old_query, snap.model.query, snap.model.dialect) == "BREAKING"
                 taint[name] = breaking or parent_taint
             elif not parent_taint:
                 # Modified only via a NON_BREAKING ancestor: revert to the

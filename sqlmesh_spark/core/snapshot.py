@@ -33,7 +33,7 @@ YEAR = -2
 _WS = re.compile(r"\s+")
 
 
-def _normalize_sql(sql: str) -> str:
+def _normalize_sql(sql: str, dialect: str = "") -> str:
     """Canonical text for fingerprinting (the reference fingerprints the
     sqlglot-rendered AST, snapshot/definition.py:1861; the analog here is
     the canonical token stream from core/sqlparse.py): comments dropped,
@@ -44,7 +44,7 @@ def _normalize_sql(sql: str) -> str:
     from sqlmesh_spark.core.sqlparse import SqlParseError, tokenize
 
     try:
-        return " ".join(t.value for t in tokenize(sql))
+        return " ".join(t.value for t in tokenize(sql, dialect))
     except SqlParseError:
         sql = re.sub(r"--[^\n]*", "", sql)
         sql = re.sub(r"/\*.*?\*/", "", sql, flags=re.DOTALL)
@@ -55,7 +55,7 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
     """Content-addressed version hash: query + kind + kind args + parents
     (snapshot/definition.py:1861 fingerprint_from_node)."""
     h = hashlib.md5()
-    h.update(_normalize_sql(model.query).encode())
+    h.update(_normalize_sql(model.query, model.dialect).encode())
     h.update(model.kind.value.encode())
     # NUL-delimited entries: without a terminator, {'a': '1b=2'} and
     # {'a': '1', 'b': '2'} would feed identical bytes and collide onto one
@@ -90,7 +90,7 @@ def fingerprint_model(model: Model, parent_fingerprints: Sequence[str] = ()) -> 
         ("virtual", model.on_virtual_update),
     ):
         for s in stmts:
-            h.update(f"{group}:{_normalize_sql(s)}".encode())
+            h.update(f"{group}:{_normalize_sql(s, model.dialect)}".encode())
     for fp in sorted(parent_fingerprints):
         h.update(fp.encode())
     if model.seed_csv:

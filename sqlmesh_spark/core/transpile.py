@@ -495,7 +495,7 @@ def _require_spark4(fn_name: str, target: str) -> None:
 # additionally uses double quotes for STRINGS, not identifiers. The
 # grammar itself lives in core/sqlparse.py so depends_on / lineage /
 # linter lexing of the same dialect text shares one derivation.
-from sqlmesh_spark.core.sqlparse import _ESC_TOKEN_RE
+from sqlmesh_spark.core.sqlparse import _ESC_TOKEN_RE, ESCAPE_LITERAL_DIALECTS
 
 
 def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]:
@@ -504,7 +504,7 @@ def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]
     grammar understands backslash-escaped quotes; BigQuery double-quoted
     tokens are re-kinded as strings (Spark's default parser also treats
     them as string literals, so they pass through valid)."""
-    token_re = _ESC_TOKEN_RE if read in ("snowflake", "bigquery") else _TOKEN_RE
+    token_re = _ESC_TOKEN_RE if read in ESCAPE_LITERAL_DIALECTS else _TOKEN_RE
     out: list[tuple[str, str, int, int]] = []
     pos = 0
     n = len(sql)
@@ -544,16 +544,16 @@ def _escape_regex_literal(lit: str) -> str:
 
 _SIMPLE_ESCAPES = {
     "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
-    "\\": "\\", "'": "'", '"': '"', "`": "`",
+    "\\": "\\", "'": "'", '"': '"', "`": "`", "0": "\0",
 }
 
 
 def _literal_content(lit: str, read: str) -> str:
     """Decode a string literal token's body to its character content per
     the read dialect's escape rules: '' doubling everywhere; backslash
-    escapes additionally in snowflake/bigquery (snowflake reads an
-    unknown escape as the bare character; bigquery rejects it — LOUD
-    here rather than guessing)."""
+    escapes additionally in snowflake/bigquery, including ``\\uXXXX``
+    unicode escapes (snowflake reads any other unknown escape as the bare
+    character; bigquery rejects it — LOUD here rather than guessing)."""
     body = lit[1:-1]
     if read in _STD_LITERAL_DIALECTS:
         return body.replace("''", "'")
@@ -563,6 +563,10 @@ def _literal_content(lit: str, read: str) -> str:
         c = body[i]
         if c == "\\" and i + 1 < len(body):
             nxt = body[i + 1]
+            if nxt == "u" and re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 2 : i + 6]):
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+                continue
             if nxt in _SIMPLE_ESCAPES:
                 out.append(_SIMPLE_ESCAPES[nxt])
             elif read == "snowflake":
@@ -1347,10 +1351,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         a = _arg_text(spans[0])
                         b = _arg_text(spans[1])
                         m_text = m_tok[1]
+                        # levenshtein yields NULL only for NULL inputs and
+                        # -1 only above the threshold, so the CASE maps
+                        # -1 → cap while a NULL stays NULL (a coalesce
+                        # would wrongly turn NULL inputs into the cap).
+                        lv = f"levenshtein({a}, {b}, {m_text})"
                         edits.append(
                             (start, toks[close][3],
-                             f"coalesce(nullif(levenshtein({a}, {b}, "
-                             f"{m_text}), -1), {m_text})")
+                             f"CASE WHEN {lv} = -1 THEN {m_text} ELSE {lv} END")
                         )
                         i = close + 1
                         continue
@@ -2109,7 +2117,15 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 # standard SQL carries no first-only/backref contract here.
                 if read in ("duckdb", "postgres"):
                     if nargs == 4 and toks[spans[3][0]][0] == "number":
-                        pass  # Spark's position arg — already-Spark shape
+                        # Spark's position arg — already-Spark shape. Mark
+                        # its string-literal args handler-owned (identity
+                        # edits) so the std-dialect doubling pass skips
+                        # them: this is what makes the 'g'→position-1
+                        # rewrite a true fixpoint for backslash patterns.
+                        for a_first, a_last in spans[:3]:
+                            t_ = toks[a_first]
+                            if a_first == a_last and t_[0] == "string":
+                                edits.append((t_[2], t_[3], t_[1]))
                     elif nargs == 4:
                         f_tok = toks[spans[3][0]]
                         if not (

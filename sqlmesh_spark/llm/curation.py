@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sqlmesh_spark.llm.dedup import _hash60, shingle_hashes_sql
+from sqlmesh_spark.llm.dedup import _hash60, _rx_replace_all, shingle_hashes_sql
 from sqlmesh_spark.registry import register
 from sqlmesh_spark.sources.tables import register_views
 
@@ -65,15 +65,6 @@ def _amax(arr: str, dialect: str) -> str:
 def _aslice(arr: str, lo: str, n: str, dialect: str) -> str:
     fn = "list_slice" if dialect == "duckdb" else "slice"
     return f"{fn}({arr}, {lo}, {n})"
-
-
-def _rx_replace_all(col: str, pat: str, rep: str, dialect: str) -> str:
-    """Replace-ALL semantics in both engines (DuckDB needs the 'g' flag;
-    Spark replaces all by default but wants backslashes doubled in SQL
-    string literals)."""
-    if dialect == "duckdb":
-        return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
-    return f"regexp_replace({col}, '{pat.replace(chr(92), chr(92) * 2)}', '{rep}')"
 
 
 def _rx_count(col: str, pat: str, dialect: str) -> str:

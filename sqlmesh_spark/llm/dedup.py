@@ -23,6 +23,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from sqlmesh_spark.registry import register
+
+
+def _rx_replace_all(col: str, pat: str, rep: str, dialect: str) -> str:
+    """Replace-ALL semantics in both engines: DuckDB's 3-arg
+    regexp_replace replaces only the FIRST match, so it needs the 'g'
+    flag; Spark replaces all by default but wants backslashes doubled in
+    SQL string literals. Every replace-all dialect seam routes through
+    here — do not hand-roll the flag."""
+    if dialect == "duckdb":
+        return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
+    return f"regexp_replace({col}, '{pat.replace(chr(92), chr(92) * 2)}', '{rep}')"
 from sqlmesh_spark.sources.tables import register_views
 
 
@@ -86,8 +97,7 @@ def shingle_hashes_sql(table: str, k: int, dialect: str) -> str:
 def exact_dedup_sql(table: str, dialect: str = "spark") -> str:
     """Hash-groupBy exact dedup on normalized text: emit the keeper
     (min doc_id) and the duplicate count per content hash."""
-    g = ", 'g'" if dialect == "duckdb" else ""  # DuckDB 3-arg replaces FIRST only
-    norm = f"trim(regexp_replace(lower(text), ' +', ' '{g}))"
+    norm = f"trim({_rx_replace_all('lower(text)', ' +', ' ', dialect)})"
     return f"""
 SELECT MD5({norm}) AS content_hash,
        MIN(doc_id) AS keeper_doc_id,
@@ -955,8 +965,10 @@ def incremental_dedup_sql(table: str, dialect: str = "spark", prefix: int = 40) 
     mirrored articles whose tails diverge in ads/footers); prefix=None
     semantics would be the whole-text exact form already covered by
     dedup_exact."""
-    g = ", 'g'" if dialect == "duckdb" else ""  # DuckDB 3-arg replaces FIRST only
-    norm = f"substr(trim(regexp_replace(lower(text), ' +', ' '{g})), 1, {prefix})"
+    norm = (
+        f"substr(trim({_rx_replace_all('lower(text)', ' +', ' ', dialect)}),"
+        f" 1, {prefix})"
+    )
     return f"""
 WITH state AS (
   SELECT DISTINCT MD5({norm}) AS fp FROM {table} WHERE doc_id % 2 = 0

@@ -25,14 +25,12 @@ def _rx_count(col: str, pat: str, dialect: str) -> str:
 
 def _norm(col: str, dialect: str = "spark") -> str:
     """Normalization for fingerprinting: lowercase, strip punctuation,
-    collapse whitespace. DuckDB's 3-arg regexp_replace replaces only the
-    FIRST match (Spark replaces all) — the 'g' flag makes it global so
-    both engines normalize identically on text with multiple hits."""
-    g = ", 'g'" if dialect == "duckdb" else ""
-    return (
-        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ''{g}),"
-        f" ' +', ' '{g}))"
-    )
+    collapse whitespace — replace-ALL in both engines via the shared
+    dialect seam (DuckDB's 3-arg regexp_replace is first-match-only)."""
+    from sqlmesh_spark.llm.dedup import _rx_replace_all
+
+    inner = _rx_replace_all(f"lower({col})", "[^a-z0-9 ]", "", dialect)
+    return f"trim({_rx_replace_all(inner, ' +', ' ', dialect)})"
 
 
 def token_count_sql(table: str, dialect: str = "spark") -> str:

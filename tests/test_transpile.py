@@ -1527,3 +1527,57 @@ def test_dotted_function_calls_not_renamed():
     assert transpile(sql, "duckdb") == sql
     with pytest.raises(TranspileError):
         transpile("SELECT SAFE.LOG(x, 10) FROM t", "bigquery")
+
+
+# ---------------------------------------------------------------------------
+# Seventh-pass review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_editdistance_null_inputs_stay_null(spark):
+    out = transpile(
+        "SELECT EDITDISTANCE(NULL, 'abc', 5) AS a, "
+        "EDITDISTANCE('abc', NULL, 5) AS b, "
+        "EDITDISTANCE('abc', 'xyz', 2) AS c",
+        "snowflake",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c) == (None, None, 2)
+
+
+def test_regexp_replace_backslash_pattern_fixpoint():
+    # the 'g'→position-1 rewrite must be a true fixpoint even when the
+    # pattern contains backslashes (the passthrough arm owns the literals
+    # so the doubling pass cannot re-double them)
+    out1 = transpile(r"SELECT regexp_replace(s, '\d', 'x', 'g') FROM t", "duckdb")
+    assert transpile(out1, "duckdb") == out1
+    assert r"'\\d'" in out1
+
+
+def test_unicode_escapes_decode(spark):
+    # \uXXXX and \0 decode in snowflake/bigquery literal content
+    out = transpile("SELECT split(s, '\\u002E') FROM t", "snowflake")
+    assert spark.sql(
+        out.replace("FROM t", "FROM (SELECT 'a.b' AS s)")
+    ).collect()[0][0] == ["a", "b"]
+
+
+def test_fingerprint_lexes_dialect_literals():
+    # escaped-quote literals must lex structurally so literal edits
+    # produce a DIFFERENT fingerprint (regex fallback lowercases text
+    # and would conflate them → stale snapshots that never re-run)
+    from sqlmesh_spark.core.snapshot import _normalize_sql
+
+    a = _normalize_sql(r"SELECT 'O\'Brien' AS n FROM t", "snowflake")
+    b = _normalize_sql(r"SELECT 'O\'BRIEN' AS n FROM t", "snowflake")
+    assert a != b
+
+
+def test_categorize_dialect_literals():
+    # additive projection change on a snowflake model with an escaped
+    # literal must still categorize NON_BREAKING via the token path
+    from sqlmesh_spark.core.plan import _categorize
+
+    old = r"SELECT a FROM t WHERE n = 'O\'Brien'"
+    new = r"SELECT a, b FROM t WHERE n = 'O\'Brien'"
+    assert _categorize(old, new, "snowflake") == "NON_BREAKING"
