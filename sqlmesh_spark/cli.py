@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import re
 import os
 import sys
 from typing import Optional
@@ -562,7 +561,23 @@ def cmd_format(args) -> int:
     """Rewrite model-file SQL bodies into canonical form — reference
     `sqlmesh format`. --check reports files that would change (exit 2)
     without writing."""
+    import yaml
+
+    from sqlmesh_spark.core.model import parse_model_text
     from sqlmesh_spark.core.sqlparse import SqlParseError
+
+    # model_defaults.dialect is the project-wide read dialect (the same
+    # resolution the loader does, context.py _apply_model_defaults) —
+    # formatting with the wrong literal grammar could rewrite bytes
+    # INSIDE escaped-quote literals.
+    default_dialect = ""
+    cfg_path = os.path.join(args.project, "config.yaml")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = yaml.safe_load(f) or {}
+        default_dialect = str(
+            (cfg.get("model_defaults") or {}).get("dialect", "")
+        ).lower()
 
     changed = []
     for path in sorted(glob.glob(os.path.join(args.project, "models", "**", "*.sql"), recursive=True)):
@@ -573,9 +588,12 @@ def cmd_format(args) -> int:
         if idx < 0:
             continue
         header, body = text[: idx + 1], text[idx + 1 :]
-        d_m = re.search(r"\bdialect\s+['\"]?(\w+)", header, re.IGNORECASE)
         try:
-            formatted = _format_tokens(body, d_m.group(1).lower() if d_m else "")
+            dialect = parse_model_text(text).dialect or default_dialect
+        except Exception:  # noqa: BLE001 - header the loader can't parse
+            continue  # leave untouched rather than guess the grammar
+        try:
+            formatted = _format_tokens(body, dialect)
         except SqlParseError:
             continue  # macro-heavy body: leave untouched
         new_text = header + "\n" + formatted

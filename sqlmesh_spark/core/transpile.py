@@ -544,16 +544,45 @@ def _escape_regex_literal(lit: str) -> str:
 
 _SIMPLE_ESCAPES = {
     "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
-    "\\": "\\", "'": "'", '"': '"', "`": "`", "0": "\0",
+    "\\": "\\", "'": "'", '"': '"', "`": "`",
 }
+
+
+def _decode_u_escape(body: str, i: int) -> tuple[str, int] | None:
+    """Decode ``\\uXXXX`` at body[i:]; combines UTF-16 surrogate PAIRS
+    (non-BMP chars are written as two \\u escapes) — a lone surrogate
+    would make the output string unencodable, crashing far from here."""
+    if not (body[i + 1 : i + 2] == "u"
+            and re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 2 : i + 6])):
+        return None
+    cp = int(body[i + 2 : i + 6], 16)
+    if 0xD800 <= cp <= 0xDBFF:
+        if (
+            body[i + 6 : i + 8] == "\\u"
+            and re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 8 : i + 12])
+        ):
+            lo = int(body[i + 8 : i + 12], 16)
+            if 0xDC00 <= lo <= 0xDFFF:
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                return chr(cp), i + 12
+        raise TranspileError(
+            f"lone UTF-16 high surrogate \\u{cp:04x} in string literal"
+        )
+    if 0xDC00 <= cp <= 0xDFFF:
+        raise TranspileError(
+            f"lone UTF-16 low surrogate \\u{cp:04x} in string literal"
+        )
+    return chr(cp), i + 6
 
 
 def _literal_content(lit: str, read: str) -> str:
     """Decode a string literal token's body to its character content per
     the read dialect's escape rules: '' doubling everywhere; backslash
     escapes additionally in snowflake/bigquery, including ``\\uXXXX``
-    unicode escapes (snowflake reads any other unknown escape as the bare
-    character; bigquery rejects it — LOUD here rather than guessing)."""
+    unicode escapes (surrogate pairs combined), snowflake ``\\0``/``\\xhh``
+    and bigquery ``\\ooo`` octal. Snowflake reads any other unknown escape
+    as the bare character; bigquery rejects it — LOUD here rather than
+    guessing."""
     body = lit[1:-1]
     if read in _STD_LITERAL_DIALECTS:
         return body.replace("''", "'")
@@ -563,9 +592,31 @@ def _literal_content(lit: str, read: str) -> str:
         c = body[i]
         if c == "\\" and i + 1 < len(body):
             nxt = body[i + 1]
-            if nxt == "u" and re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 2 : i + 6]):
-                out.append(chr(int(body[i + 2 : i + 6], 16)))
-                i += 6
+            u = _decode_u_escape(body, i)
+            if u is not None:
+                out.append(u[0])
+                i = u[1]
+                continue
+            if read == "bigquery" and nxt in "01234567":
+                # bigquery octal is EXACTLY three digits (\ooo); there is
+                # no bare \0 escape
+                if re.fullmatch(r"[0-7]{3}", body[i + 1 : i + 4]):
+                    out.append(chr(int(body[i + 1 : i + 4], 8)))
+                    i += 4
+                    continue
+                raise TranspileError(
+                    f"bigquery octal escape in {lit!r} needs exactly "
+                    "three digits (\\ooo)"
+                )
+            if read == "snowflake" and nxt == "0":
+                out.append("\0")
+                i += 2
+                continue
+            if read == "snowflake" and nxt == "x" and re.fullmatch(
+                r"[0-9a-fA-F]{2}", body[i + 2 : i + 4]
+            ):
+                out.append(chr(int(body[i + 2 : i + 4], 16)))
+                i += 4
                 continue
             if nxt in _SIMPLE_ESCAPES:
                 out.append(_SIMPLE_ESCAPES[nxt])
@@ -1351,14 +1402,17 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         a = _arg_text(spans[0])
                         b = _arg_text(spans[1])
                         m_text = m_tok[1]
-                        # levenshtein yields NULL only for NULL inputs and
-                        # -1 only above the threshold, so the CASE maps
-                        # -1 → cap while a NULL stays NULL (a coalesce
-                        # would wrongly turn NULL inputs into the cap).
-                        lv = f"levenshtein({a}, {b}, {m_text})"
+                        # -1 means over-threshold (→ cap); NULL inputs must
+                        # stay NULL, so the coalesce is guarded by cheap IS
+                        # NULL checks rather than repeating the expensive
+                        # levenshtein in both CASE arms (Spark does not
+                        # guarantee common-subexpression elimination).
                         edits.append(
                             (start, toks[close][3],
-                             f"CASE WHEN {lv} = -1 THEN {m_text} ELSE {lv} END")
+                             f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                             f"THEN NULL ELSE coalesce(nullif("
+                             f"levenshtein({a}, {b}, {m_text}), -1), "
+                             f"{m_text}) END")
                         )
                         i = close + 1
                         continue
@@ -2117,11 +2171,22 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 # standard SQL carries no first-only/backref contract here.
                 if read in ("duckdb", "postgres"):
                     if nargs == 4 and toks[spans[3][0]][0] == "number":
-                        # Spark's position arg — already-Spark shape. Mark
-                        # its string-literal args handler-owned (identity
-                        # edits) so the std-dialect doubling pass skips
-                        # them: this is what makes the 'g'→position-1
-                        # rewrite a true fixpoint for backslash patterns.
+                        if read == "postgres":
+                            # PG 15's regexp_replace(src, pat, rep, START)
+                            # is a REAL dialect form — numeric 4th arg,
+                            # first-match-only from that position. Not
+                            # Spark's replace-all-from-position. LOUD.
+                            raise TranspileError(
+                                "postgres regexp_replace(source, pattern, "
+                                "replacement, start) is first-match-only; "
+                                "no Spark rewrite — use the 'g' flag form"
+                            )
+                        # duckdb has no numeric 4th arg, so this is
+                        # already-Spark text (our own 'g'→position-1
+                        # output included). Mark its string-literal args
+                        # handler-owned (identity edits) so the doubling
+                        # pass skips them: this is what makes the rewrite
+                        # a true fixpoint for backslash patterns.
                         for a_first, a_last in spans[:3]:
                             t_ = toks[a_first]
                             if a_first == a_last and t_[0] == "string":

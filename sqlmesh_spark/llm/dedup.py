@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from sqlmesh_spark.registry import register
+from sqlmesh_spark.sources.tables import register_views
 
 
 def _rx_replace_all(col: str, pat: str, rep: str, dialect: str) -> str:
@@ -34,7 +35,6 @@ def _rx_replace_all(col: str, pat: str, rep: str, dialect: str) -> str:
     if dialect == "duckdb":
         return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
     return f"regexp_replace({col}, '{pat.replace(chr(92), chr(92) * 2)}', '{rep}')"
-from sqlmesh_spark.sources.tables import register_views
 
 
 def _hash60(expr: str, dialect: str) -> str:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sqlmesh_spark.llm.dedup import _rx_replace_all
 from sqlmesh_spark.registry import register
 from sqlmesh_spark.sources.tables import register_views
 
@@ -27,8 +28,6 @@ def _norm(col: str, dialect: str = "spark") -> str:
     """Normalization for fingerprinting: lowercase, strip punctuation,
     collapse whitespace — replace-ALL in both engines via the shared
     dialect seam (DuckDB's 3-arg regexp_replace is first-match-only)."""
-    from sqlmesh_spark.llm.dedup import _rx_replace_all
-
     inner = _rx_replace_all(f"lower({col})", "[^a-z0-9 ]", "", dialect)
     return f"trim({_rx_replace_all(inner, ' +', ' ', dialect)})"
 

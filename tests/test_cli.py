@@ -461,3 +461,24 @@ def test_rewrite_lowercase_metric(spark, tmp_path):
     ctx = Context(spark, project_dir=str(tmp_path), state_dir=str(tmp_path / "state"))
     sql = ctx.rewrite("select ds, metric(total_rows) from __semantic.__table group by ds")
     assert "total_rows" in sql and "metric(" not in sql.lower().replace("metric(total", "")
+
+
+def test_cli_format_respects_default_dialect(project, capsys):
+    # model_defaults.dialect governs the literal grammar: a snowflake
+    # model with escaped-quote literals must format without corrupting
+    # literal bytes (the std grammar would mis-pair the quotes).
+    proj, schema = project
+    with open(os.path.join(proj, "config.yaml"), "w") as f:
+        f.write("model_defaults:\n  dialect: snowflake\n")
+    sf = os.path.join(proj, "models", "sf_lit.sql")
+    with open(sf, "w") as f:
+        f.write(
+            f"MODEL (name {schema}.sf_lit, kind FULL);\n"
+            "select   'O\\'Brien'  as  a ,  'O\\'DELL'   as b\n"
+        )
+    assert main(["-p", proj, "format"]) == 0
+    capsys.readouterr()
+    text = open(sf).read()
+    assert "'O\\'Brien'" in text and "'O\\'DELL'" in text
+    assert "SELECT" in text
+    os.remove(os.path.join(proj, "config.yaml"))

@@ -1581,3 +1581,42 @@ def test_categorize_dialect_literals():
     old = r"SELECT a FROM t WHERE n = 'O\'Brien'"
     new = r"SELECT a, b FROM t WHERE n = 'O\'Brien'"
     assert _categorize(old, new, "snowflake") == "NON_BREAKING"
+
+
+# ---------------------------------------------------------------------------
+# Eighth-pass review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_postgres_numeric_fourth_arg_regexp_replace_loud():
+    # PG 15's regexp_replace(src, pat, rep, START) is first-match-only —
+    # it must NOT ride the duckdb already-Spark passthrough arm (which
+    # would also disable backslash doubling in its pattern).
+    with pytest.raises(TranspileError):
+        transpile(r"SELECT regexp_replace(s, '\d+', 'x', 2) FROM t", "postgres")
+    # duckdb keeps the passthrough (its own 'g'→1 output round-trips)
+    sql = r"SELECT regexp_replace(s, '\\d+', 'x', 1) FROM t"
+    assert transpile(sql, "duckdb") == sql
+
+
+def test_escape_decoding_per_dialect():
+    from sqlmesh_spark.core.transpile import _literal_content
+
+    # bigquery octal is exactly three digits; \011 = TAB, bare \0 is LOUD
+    assert _literal_content(r"'a\011b'", "bigquery") == "a\tb"
+    with pytest.raises(TranspileError):
+        _literal_content(r"'a\0b'", "bigquery")
+    # snowflake \0 is NUL, \x41 is 'A'
+    assert _literal_content(r"'a\0b'", "snowflake") == "a\0b"
+    assert _literal_content(r"'\x41'", "snowflake") == "A"
+    # \uXXXX surrogate pairs combine; lone surrogates are LOUD
+    assert _literal_content(r"'\ud83d\ude00'", "snowflake") == "\U0001F600"
+    with pytest.raises(TranspileError):
+        _literal_content(r"'\ud83d'", "snowflake")
+    with pytest.raises(TranspileError):
+        _literal_content(r"'\ude00x'", "bigquery")
+
+
+def test_editdistance_single_levenshtein_call():
+    out = transpile("SELECT EDITDISTANCE(a, b, 3) FROM t", "snowflake")
+    assert out.count("levenshtein") == 1
