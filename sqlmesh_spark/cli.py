@@ -561,23 +561,17 @@ def cmd_format(args) -> int:
     """Rewrite model-file SQL bodies into canonical form — reference
     `sqlmesh format`. --check reports files that would change (exit 2)
     without writing."""
-    import yaml
-
-    from sqlmesh_spark.core.model import parse_model_text
+    from sqlmesh_spark.core.context import load_model_defaults
+    from sqlmesh_spark.core.model import parse_model_header_props
     from sqlmesh_spark.core.sqlparse import SqlParseError
 
     # model_defaults.dialect is the project-wide read dialect (the same
     # resolution the loader does, context.py _apply_model_defaults) —
     # formatting with the wrong literal grammar could rewrite bytes
     # INSIDE escaped-quote literals.
-    default_dialect = ""
-    cfg_path = os.path.join(args.project, "config.yaml")
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            cfg = yaml.safe_load(f) or {}
-        default_dialect = str(
-            (cfg.get("model_defaults") or {}).get("dialect", "")
-        ).lower()
+    default_dialect = str(
+        load_model_defaults(args.project).get("dialect", "")
+    ).lower()
 
     changed = []
     for path in sorted(glob.glob(os.path.join(args.project, "models", "**", "*.sql"), recursive=True)):
@@ -589,7 +583,8 @@ def cmd_format(args) -> int:
             continue
         header, body = text[: idx + 1], text[idx + 1 :]
         try:
-            dialect = parse_model_text(text).dialect or default_dialect
+            props = parse_model_header_props(text)
+            dialect = props.get("dialect", "").strip("'\"").lower() or default_dialect
         except Exception:  # noqa: BLE001 - header the loader can't parse
             continue  # leave untouched rather than guess the grammar
         try:

@@ -19,6 +19,28 @@ from sqlmesh_spark.core.scheduler import SnapshotEvaluator
 from sqlmesh_spark.core.state import StateStore
 
 
+def load_model_defaults(project_dir: str) -> dict:
+    """``model_defaults`` from the project's config.yaml — the ONE
+    resolution shared by the loader and SparkSession-free callers (the
+    CLI formatter needs the project dialect). Tolerates a missing,
+    malformed, or non-mapping file (returns {}) so read-only tooling
+    never crashes on a broken config."""
+    path = os.path.join(project_dir, "config.yaml")
+    try:
+        import yaml
+
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+        if not isinstance(cfg, dict):
+            return {}
+        defaults = cfg.get("model_defaults")
+        return defaults if isinstance(defaults, dict) else {}
+    except FileNotFoundError:
+        return {}
+    except Exception:  # noqa: BLE001 - unparseable YAML → no defaults
+        return {}
+
+
 class Context:
     def __init__(
         self,
@@ -148,7 +170,7 @@ class Context:
 
         with open(path) as f:
             cfg = yaml.safe_load(f) or {}
-        self.model_defaults = cfg.get("model_defaults") or {}
+        self.model_defaults = load_model_defaults(project_dir)
         # Global @VAR values (reference config `variables:`): available to
         # every model's render; a model's own (blueprint) bindings win.
         # They merge into model.variables, which is FINGERPRINTED — so

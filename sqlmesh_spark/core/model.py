@@ -351,6 +351,18 @@ def _split_statements(body: str) -> tuple[tuple[str, ...], str, tuple[str, ...],
     return tuple(pre), query, tuple(post), tuple(virtual)
 
 
+def parse_model_header_props(text: str) -> dict[str, str]:
+    """Just the MODEL(...) header's raw properties — for callers (CLI
+    format) that need e.g. the dialect without building the full Model
+    (which tokenizes the whole body for depends_on)."""
+    m = _MODEL_RE.search(text)
+    if not m:
+        raise ValueError("no MODEL(...) header found")
+    open_idx = text.index("(", m.start())
+    close_idx = _find_close(text, open_idx)
+    return _parse_props(text[open_idx + 1 : close_idx])
+
+
 def parse_model_text(text: str) -> Model:
     m = _MODEL_RE.search(text)
     if not m:

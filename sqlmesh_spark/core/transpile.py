@@ -542,22 +542,37 @@ def _escape_regex_literal(lit: str) -> str:
     return "'" + _regex_escape_content(inner).replace("'", "''") + "'"
 
 
+#: escapes shared by snowflake AND bigquery string grammars.
 _SIMPLE_ESCAPES = {
     "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
     "\\": "\\", "'": "'", '"': '"', "`": "`",
 }
 
+#: bigquery-only escapes (GoogleSQL); snowflake reads these as the bare
+#: character via its unknown-escape rule.
+_BQ_EXTRA_ESCAPES = {"a": "\a", "v": "\v", "?": "?"}
 
-def _decode_u_escape(body: str, i: int) -> tuple[str, int] | None:
-    """Decode ``\\uXXXX`` at body[i:]; combines UTF-16 surrogate PAIRS
-    (non-BMP chars are written as two \\u escapes) — a lone surrogate
-    would make the output string unencodable, crashing far from here."""
-    if not (body[i + 1 : i + 2] == "u"
-            and re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 2 : i + 6])):
+
+def _decode_u_escape(body: str, i: int, read: str) -> tuple[str, int] | None:
+    """Decode ``\\uXXXX`` (and bigquery ``\\Uhhhhhhhh``) at body[i:].
+    Snowflake writes non-BMP chars as UTF-16 surrogate PAIRS of \\u
+    escapes — combined here (a lone surrogate would make the output
+    unencodable, crashing far from the source). BigQuery FORBIDS
+    surrogate code points in \\u (non-BMP uses \\U) — LOUD, matching the
+    source dialect's own rejection."""
+    esc = body[i + 1 : i + 2]
+    if read == "bigquery" and esc == "U":
+        if not re.fullmatch(r"[0-9a-fA-F]{8}", body[i + 2 : i + 10]):
+            raise TranspileError(r"\U escape needs exactly eight hex digits")
+        cp = int(body[i + 2 : i + 10], 16)
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            raise TranspileError(f"\\U{cp:08x} is not a valid code point")
+        return chr(cp), i + 10
+    if not (esc == "u" and re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 2 : i + 6])):
         return None
     cp = int(body[i + 2 : i + 6], 16)
     if 0xD800 <= cp <= 0xDBFF:
-        if (
+        if read == "snowflake" and (
             body[i + 6 : i + 8] == "\\u"
             and re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 8 : i + 12])
         ):
@@ -566,7 +581,8 @@ def _decode_u_escape(body: str, i: int) -> tuple[str, int] | None:
                 cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
                 return chr(cp), i + 12
         raise TranspileError(
-            f"lone UTF-16 high surrogate \\u{cp:04x} in string literal"
+            f"surrogate \\u{cp:04x} in string literal"
+            + (r" (bigquery non-BMP uses \U........)" if read == "bigquery" else "")
         )
     if 0xDC00 <= cp <= 0xDFFF:
         raise TranspileError(
@@ -575,24 +591,40 @@ def _decode_u_escape(body: str, i: int) -> tuple[str, int] | None:
     return chr(cp), i + 6
 
 
+#: character → Spark-literal escape for re-emitting decoded content. Raw
+#: chars pass through (py4j ships any unicode); only chars Spark's parser
+#: would misread unescaped, plus common controls for readability, map.
+_SPARK_EMIT = {
+    "\\": "\\\\", "'": "\\'", "\n": "\\n", "\t": "\\t",
+    "\r": "\\r", "\b": "\\b",
+}
+
+
+def _spark_string_literal(content: str) -> str:
+    """Render character content as a single-quoted Spark SQL literal."""
+    return "'" + "".join(_SPARK_EMIT.get(c, c) for c in content) + "'"
+
+
 def _literal_content(lit: str, read: str) -> str:
     """Decode a string literal token's body to its character content per
     the read dialect's escape rules: '' doubling everywhere; backslash
-    escapes additionally in snowflake/bigquery, including ``\\uXXXX``
-    unicode escapes (surrogate pairs combined), snowflake ``\\0``/``\\xhh``
-    and bigquery ``\\ooo`` octal. Snowflake reads any other unknown escape
-    as the bare character; bigquery rejects it — LOUD here rather than
+    escapes additionally in snowflake/bigquery — ``\\uXXXX`` unicode
+    (snowflake surrogate pairs combined), snowflake ``\\0``/``\\xhh``,
+    bigquery ``\\ooo`` octal / ``\\[xX]hh`` hex / ``\\Uhhhhhhhh`` /
+    ``\\a``/``\\v``/``\\?``. Snowflake reads any other unknown escape as
+    the bare character; bigquery rejects it — LOUD here rather than
     guessing."""
     body = lit[1:-1]
     if read in _STD_LITERAL_DIALECTS:
         return body.replace("''", "'")
+    q = lit[0]  # quote-doubling collapses the literal's OWN quote char
     out: list[str] = []
     i = 0
     while i < len(body):
         c = body[i]
         if c == "\\" and i + 1 < len(body):
             nxt = body[i + 1]
-            u = _decode_u_escape(body, i)
+            u = _decode_u_escape(body, i, read)
             if u is not None:
                 out.append(u[0])
                 i = u[1]
@@ -612,14 +644,18 @@ def _literal_content(lit: str, read: str) -> str:
                 out.append("\0")
                 i += 2
                 continue
-            if read == "snowflake" and nxt == "x" and re.fullmatch(
-                r"[0-9a-fA-F]{2}", body[i + 2 : i + 4]
+            if (
+                nxt in ("x", "X")
+                and (read == "bigquery" or (read == "snowflake" and nxt == "x"))
+                and re.fullmatch(r"[0-9a-fA-F]{2}", body[i + 2 : i + 4])
             ):
                 out.append(chr(int(body[i + 2 : i + 4], 16)))
                 i += 4
                 continue
             if nxt in _SIMPLE_ESCAPES:
                 out.append(_SIMPLE_ESCAPES[nxt])
+            elif read == "bigquery" and nxt in _BQ_EXTRA_ESCAPES:
+                out.append(_BQ_EXTRA_ESCAPES[nxt])
             elif read == "snowflake":
                 out.append(nxt)
             else:
@@ -627,8 +663,8 @@ def _literal_content(lit: str, read: str) -> str:
                     f"escape sequence \\{nxt} in {lit!r} has no decoder"
                 )
             i += 2
-        elif c == "'" and i + 1 < len(body) and body[i + 1] == "'":
-            out.append("'")
+        elif c == q and i + 1 < len(body) and body[i + 1] == q:
+            out.append(q)
             i += 2
         else:
             out.append(c)
@@ -2354,9 +2390,6 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     # converted formats) are skipped — those were emitted Spark-ready.
     # FIRST PASS ONLY: all literal-deriving handlers complete in pass 1;
     # later fixpoint passes (deferred subscripts) must not re-double.
-    # Applies only to standard-SQL-literal dialects (duckdb/postgres/ansi);
-    # Snowflake and BigQuery literals already use backslash escapes,
-    # matching Spark's parser — doubling would corrupt them.
     if first_pass and read in _STD_LITERAL_DIALECTS:
         for kind, text, start, end in toks:
             if (
@@ -2365,6 +2398,24 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 and not any(e_start < end and start < e_end for e_start, e_end, _ in edits)
             ):
                 edits.append((start, end, text.replace("\\", "\\\\")))
+
+    # Snowflake/BigQuery literals also use backslash escapes, but the
+    # escape TABLES differ from Spark's (\f, \xhh, \a, \v, \ooo... have no
+    # Spark decoding — Spark drops the backslash, silently yielding 'x41'
+    # from '\x41'). Untouched literals containing a backslash are decoded
+    # per the READ dialect and re-emitted in Spark-safe form; common regex
+    # escapes (\\d) round-trip byte-identical. Invalid bigquery escapes
+    # raise here — faithful, since BigQuery itself rejects them.
+    if first_pass and read in ESCAPE_LITERAL_DIALECTS:
+        for kind, text, start, end in toks:
+            if (
+                kind == "string"
+                and "\\" in text
+                and not any(e_start < end and start < e_end for e_start, e_end, _ in edits)
+            ):
+                lit = _spark_string_literal(_literal_content(text, read))
+                if lit != text:
+                    edits.append((start, end, lit))
 
     if not edits:
         return sql

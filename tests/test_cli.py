@@ -482,3 +482,18 @@ def test_cli_format_respects_default_dialect(project, capsys):
     assert "'O\\'Brien'" in text and "'O\\'DELL'" in text
     assert "SELECT" in text
     os.remove(os.path.join(proj, "config.yaml"))
+
+
+def test_cli_format_tolerates_broken_config(project, capsys):
+    # malformed / non-mapping config.yaml must not crash format
+    proj, schema = project
+    cfg = os.path.join(proj, "config.yaml")
+    with open(cfg, "w") as f:
+        f.write("model_defaults: snowflake\n")  # string, not a mapping
+    assert main(["-p", proj, "format", "--check"]) in (0, 2)
+    capsys.readouterr()
+    with open(cfg, "w") as f:
+        f.write(":\t bad yaml [\n")
+    assert main(["-p", proj, "format", "--check"]) in (0, 2)
+    capsys.readouterr()
+    os.remove(cfg)

@@ -1620,3 +1620,37 @@ def test_escape_decoding_per_dialect():
 def test_editdistance_single_levenshtein_call():
     out = transpile("SELECT EDITDISTANCE(a, b, 3) FROM t", "snowflake")
     assert out.count("levenshtein") == 1
+
+
+# ---------------------------------------------------------------------------
+# Ninth-pass review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_passthrough_literals_reencode_for_spark(spark):
+    # Spark's parser has no \x or \f escape (it drops the backslash) —
+    # untouched snowflake/bigquery literals containing backslashes must
+    # re-emit in Spark-safe form, not pass through raw.
+    out = transpile(r"SELECT '\x41' AS a FROM (SELECT 1)", "snowflake")
+    assert spark.sql(out).collect()[0][0] == "A"
+    out = transpile(r"SELECT length('\f') AS n FROM (SELECT 1)", "snowflake")
+    assert spark.sql(out).collect()[0][0] == 1
+    # common regex escapes round-trip byte-identical
+    sql = r"SELECT '\\d+' AS r FROM t"
+    assert transpile(sql, "snowflake") == sql
+    # bigquery octal in a plain (non-handler) literal position
+    out = transpile(r"SELECT '\011' AS t FROM (SELECT 1)", "bigquery")
+    assert spark.sql(out).collect()[0][0] == "\t"
+
+
+def test_bigquery_valid_escape_breadth():
+    from sqlmesh_spark.core.transpile import _literal_content
+
+    assert _literal_content(r"'\x2c\X41'", "bigquery") == ",A"
+    assert _literal_content(r"'\U0001F600'", "bigquery") == "\U0001F600"
+    assert _literal_content(r"'\a\v\?'", "bigquery") == "\a\v?"
+    # bigquery forbids surrogate code points in \u (snowflake pairs them)
+    pair = "'" + chr(92) + "ud83d" + chr(92) + "ude00'"
+    assert _literal_content(pair, "snowflake") == "\U0001F600"
+    with pytest.raises(TranspileError):
+        _literal_content(pair, "bigquery")
