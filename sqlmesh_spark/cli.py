@@ -562,16 +562,22 @@ def cmd_format(args) -> int:
     `sqlmesh format`. --check reports files that would change (exit 2)
     without writing."""
     from sqlmesh_spark.core.context import load_model_defaults
-    from sqlmesh_spark.core.model import parse_model_header_props
+    from sqlmesh_spark.core.model import _unquote, parse_model_header_props
     from sqlmesh_spark.core.sqlparse import SqlParseError
 
     # model_defaults.dialect is the project-wide read dialect (the same
     # resolution the loader does, context.py _apply_model_defaults) —
     # formatting with the wrong literal grammar could rewrite bytes
-    # INSIDE escaped-quote literals.
-    default_dialect = str(
-        load_model_defaults(args.project).get("dialect", "")
-    ).lower()
+    # INSIDE escaped-quote literals. A broken config must fail LOUDLY:
+    # silently formatting with dialect "" would skip (or mis-lex) every
+    # dialect model while --check reports green.
+    try:
+        default_dialect = str(
+            load_model_defaults(args.project).get("dialect", "")
+        ).lower()
+    except Exception as exc:  # noqa: BLE001 - malformed config.yaml
+        print(f"error: cannot resolve model_defaults from config.yaml: {exc}")
+        return 1
 
     changed = []
     for path in sorted(glob.glob(os.path.join(args.project, "models", "**", "*.sql"), recursive=True)):
@@ -584,7 +590,8 @@ def cmd_format(args) -> int:
         header, body = text[: idx + 1], text[idx + 1 :]
         try:
             props = parse_model_header_props(text)
-            dialect = props.get("dialect", "").strip("'\"").lower() or default_dialect
+            # same unquoting the loader applies (model.py parse_model_text)
+            dialect = _unquote(props.get("dialect", "")).lower() or default_dialect
         except Exception:  # noqa: BLE001 - header the loader can't parse
             continue  # leave untouched rather than guess the grammar
         try:

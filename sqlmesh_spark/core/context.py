@@ -19,26 +19,38 @@ from sqlmesh_spark.core.scheduler import SnapshotEvaluator
 from sqlmesh_spark.core.state import StateStore
 
 
+def _model_defaults_from_cfg(cfg) -> dict:
+    """``model_defaults`` from an already-parsed config mapping. LOUD on a
+    non-mapping value: silently dropping a malformed ``model_defaults``
+    would e.g. lose the project dialect and lex every model under the
+    wrong literal grammar."""
+    if not isinstance(cfg, dict):
+        raise ValueError("config.yaml must be a YAML mapping")
+    defaults = cfg.get("model_defaults")
+    if defaults is None:
+        return {}
+    if not isinstance(defaults, dict):
+        raise ValueError(
+            f"model_defaults must be a mapping, got {type(defaults).__name__}"
+        )
+    return defaults
+
+
 def load_model_defaults(project_dir: str) -> dict:
     """``model_defaults`` from the project's config.yaml — the ONE
     resolution shared by the loader and SparkSession-free callers (the
-    CLI formatter needs the project dialect). Tolerates a missing,
-    malformed, or non-mapping file (returns {}) so read-only tooling
-    never crashes on a broken config."""
+    CLI formatter needs the project dialect). A missing file means no
+    defaults ({}); a malformed file raises (callers decide how to
+    surface it)."""
     path = os.path.join(project_dir, "config.yaml")
     try:
         import yaml
 
         with open(path) as f:
             cfg = yaml.safe_load(f)
-        if not isinstance(cfg, dict):
-            return {}
-        defaults = cfg.get("model_defaults")
-        return defaults if isinstance(defaults, dict) else {}
     except FileNotFoundError:
         return {}
-    except Exception:  # noqa: BLE001 - unparseable YAML → no defaults
-        return {}
+    return _model_defaults_from_cfg(cfg if cfg is not None else {})
 
 
 class Context:
@@ -170,7 +182,7 @@ class Context:
 
         with open(path) as f:
             cfg = yaml.safe_load(f) or {}
-        self.model_defaults = load_model_defaults(project_dir)
+        self.model_defaults = _model_defaults_from_cfg(cfg)
         # Global @VAR values (reference config `variables:`): available to
         # every model's render; a model's own (blueprint) bindings win.
         # They merge into model.variables, which is FINGERPRINTED — so

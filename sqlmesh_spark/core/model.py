@@ -289,12 +289,7 @@ def parse_model_text_all(text: str) -> list[Model]:
     blueprints): a MODEL header with ``blueprints`` yields ONE model per
     variable mapping — ``@{var}`` interpolates everywhere (name included),
     and the mapping is bound for @VAR/@BLUEPRINT_VAR at render time."""
-    m = _MODEL_RE.search(text)
-    if not m:
-        raise ValueError("no MODEL(...) header found")
-    open_idx = text.index("(", m.start())
-    close_idx = _find_close(text, open_idx)
-    props = _parse_props(text[open_idx + 1 : close_idx])
+    props, open_idx, close_idx = _parse_header(text)
     if "blueprints" not in props:
         return [parse_model_text(text)]
     bp_raw = props["blueprints"]
@@ -351,25 +346,27 @@ def _split_statements(body: str) -> tuple[tuple[str, ...], str, tuple[str, ...],
     return tuple(pre), query, tuple(post), tuple(virtual)
 
 
+def _parse_header(text: str) -> tuple[dict[str, str], int, int]:
+    """(props, open_idx, close_idx) of the MODEL(...) header — the ONE
+    extraction shared by parse_model_text / parse_model_text_all /
+    parse_model_header_props."""
+    m = _MODEL_RE.search(text)
+    if not m:
+        raise ValueError("no MODEL(...) header found")
+    open_idx = text.index("(", m.start())
+    close_idx = _find_close(text, open_idx)
+    return _parse_props(text[open_idx + 1 : close_idx]), open_idx, close_idx
+
+
 def parse_model_header_props(text: str) -> dict[str, str]:
     """Just the MODEL(...) header's raw properties — for callers (CLI
     format) that need e.g. the dialect without building the full Model
     (which tokenizes the whole body for depends_on)."""
-    m = _MODEL_RE.search(text)
-    if not m:
-        raise ValueError("no MODEL(...) header found")
-    open_idx = text.index("(", m.start())
-    close_idx = _find_close(text, open_idx)
-    return _parse_props(text[open_idx + 1 : close_idx])
+    return _parse_header(text)[0]
 
 
 def parse_model_text(text: str) -> Model:
-    m = _MODEL_RE.search(text)
-    if not m:
-        raise ValueError("no MODEL(...) header found")
-    open_idx = text.index("(", m.start())
-    close_idx = _find_close(text, open_idx)
-    props = _parse_props(text[open_idx + 1 : close_idx])
+    props, open_idx, close_idx = _parse_header(text)
     body = text[close_idx + 1 :].lstrip(" \t\n;").rstrip()
     pre_stmts, query, post_stmts, virtual_stmts = _split_statements(body)
 

@@ -618,6 +618,12 @@ def _literal_content(lit: str, read: str) -> str:
     if read in _STD_LITERAL_DIALECTS:
         return body.replace("''", "'")
     q = lit[0]  # quote-doubling collapses the literal's OWN quote char
+    # BigQuery triple-quoted strings ('''...''' / \"\"\"...\"\"\") lex as one
+    # token under the ('')* folding; inside them quote chars are LITERAL
+    # (no doubling rule), only backslash escapes apply.
+    if len(lit) >= 6 and lit[:3] == q * 3 and lit[-3:] == q * 3:
+        body = lit[3:-3]
+        q = ""  # disables the doubling branch below
     out: list[str] = []
     i = 0
     while i < len(body):

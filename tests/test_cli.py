@@ -484,16 +484,17 @@ def test_cli_format_respects_default_dialect(project, capsys):
     os.remove(os.path.join(proj, "config.yaml"))
 
 
-def test_cli_format_tolerates_broken_config(project, capsys):
-    # malformed / non-mapping config.yaml must not crash format
+def test_cli_format_fails_loudly_on_broken_config(project, capsys):
+    # malformed / non-mapping config.yaml must fail LOUDLY (exit 1), not
+    # silently format with dialect "" while --check reports green
     proj, schema = project
     cfg = os.path.join(proj, "config.yaml")
     with open(cfg, "w") as f:
         f.write("model_defaults: snowflake\n")  # string, not a mapping
-    assert main(["-p", proj, "format", "--check"]) in (0, 2)
-    capsys.readouterr()
+    assert main(["-p", proj, "format", "--check"]) == 1
+    assert "model_defaults" in capsys.readouterr().out
     with open(cfg, "w") as f:
         f.write(":\t bad yaml [\n")
-    assert main(["-p", proj, "format", "--check"]) in (0, 2)
+    assert main(["-p", proj, "format", "--check"]) == 1
     capsys.readouterr()
     os.remove(cfg)

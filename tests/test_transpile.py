@@ -1654,3 +1654,12 @@ def test_bigquery_valid_escape_breadth():
     assert _literal_content(pair, "snowflake") == "\U0001F600"
     with pytest.raises(TranspileError):
         _literal_content(pair, "bigquery")
+
+
+def test_bigquery_triple_quoted_strings(spark):
+    # triple-quoted literals fold into one token; inside them quote chars
+    # are literal (no doubling) and only backslash escapes apply
+    out = transpile("SELECT '''a\\nb''' AS v FROM (SELECT 1)", "bigquery")
+    assert spark.sql(out).collect()[0][0] == "a\nb"
+    out = transpile('SELECT """x\\ty""" AS v FROM (SELECT 1)', "bigquery")
+    assert spark.sql(out).collect()[0][0] == "x\ty"
