@@ -576,7 +576,10 @@ def cmd_format(args) -> int:
             load_model_defaults(args.project).get("dialect", "")
         ).lower()
     except Exception as exc:  # noqa: BLE001 - malformed config.yaml
-        print(f"error: cannot resolve model_defaults from config.yaml: {exc}")
+        print(
+            f"error: cannot resolve model_defaults from config.yaml: {exc}",
+            file=sys.stderr,
+        )
         return 1
 
     changed = []

@@ -70,15 +70,24 @@ _TOKEN_RE = re.compile(
 ESCAPE_LITERAL_DIALECTS = ("snowflake", "bigquery")
 
 
-def _derive_esc_pattern() -> str:
+def _derive_esc_pattern(triple: bool = False) -> str:
     """Escape-aware grammar derived from _TOKEN_RE by exact substring
     replacement. EACH replacement is individually asserted — a reformat of
     either alternative above would otherwise no-op silently and that
-    literal class would mis-lex downstream."""
+    literal class would mis-lex downstream. ``triple`` additionally lexes
+    BigQuery triple-quoted strings ('''...''' / \"\"\"...\"\"\") as ONE
+    token — inside them a lone quote char is literal, which the
+    ('')-doubling fold cannot represent (it would split the token at the
+    embedded quote). Snowflake has no triple-quoted form, so its grammar
+    keeps the standard fold."""
+    sq3 = r"'''(?:[^'\\]|\\.|'(?!''))*'''|" if triple else ""
+    dq3 = r'"""(?:[^"\\]|\\.|"(?!""))*"""|' if triple else ""
     pattern = _TOKEN_RE.pattern
     for old_alt, new_alt in (
-        (r"(?P<string>'(?:[^']|'')*')", r"(?P<string>'(?:[^'\\]|\\.|'')*')"),
-        (r'(?P<dquote>"(?:[^"]|"")*")', r'(?P<dquote>"(?:[^"\\]|\\.|"")*")'),
+        (r"(?P<string>'(?:[^']|'')*')",
+         r"(?P<string>" + sq3 + r"'(?:[^'\\]|\\.|'')*')"),
+        (r'(?P<dquote>"(?:[^"]|"")*")',
+         r'(?P<dquote>' + dq3 + r'"(?:[^"\\]|\\.|"")*")'),
     ):
         replaced = pattern.replace(old_alt, new_alt)
         if replaced == pattern:  # pragma: no cover - build-time guard
@@ -92,6 +101,17 @@ def _derive_esc_pattern() -> str:
 
 
 _ESC_TOKEN_RE = re.compile(_derive_esc_pattern(), re.VERBOSE | re.DOTALL)
+_BQ_TOKEN_RE = re.compile(_derive_esc_pattern(triple=True), re.VERBOSE | re.DOTALL)
+
+
+def _token_re_for(dialect: str):
+    """The ONE grammar choice shared by sqlparse.tokenize and
+    transpile._tokenize_spans."""
+    if dialect == "bigquery":
+        return _BQ_TOKEN_RE
+    if dialect in ESCAPE_LITERAL_DIALECTS:
+        return _ESC_TOKEN_RE
+    return _TOKEN_RE
 
 
 @dataclass(frozen=True)
@@ -106,7 +126,7 @@ def tokenize(sql: str, dialect: str = "") -> list[Token]:
     bigquery literals use backslash escapes, and bigquery double-quoted
     tokens are STRINGS, not identifiers (matching how core/transpile.py
     and Spark's parser read the same text)."""
-    token_re = _ESC_TOKEN_RE if dialect in ESCAPE_LITERAL_DIALECTS else _TOKEN_RE
+    token_re = _token_re_for(dialect)
     out: list[Token] = []
     pos = 0
     n = len(sql)

@@ -495,7 +495,7 @@ def _require_spark4(fn_name: str, target: str) -> None:
 # additionally uses double quotes for STRINGS, not identifiers. The
 # grammar itself lives in core/sqlparse.py so depends_on / lineage /
 # linter lexing of the same dialect text shares one derivation.
-from sqlmesh_spark.core.sqlparse import _ESC_TOKEN_RE, ESCAPE_LITERAL_DIALECTS
+from sqlmesh_spark.core.sqlparse import _token_re_for, ESCAPE_LITERAL_DIALECTS
 
 
 def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]:
@@ -504,7 +504,7 @@ def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]
     grammar understands backslash-escaped quotes; BigQuery double-quoted
     tokens are re-kinded as strings (Spark's default parser also treats
     them as string literals, so they pass through valid)."""
-    token_re = _ESC_TOKEN_RE if read in ESCAPE_LITERAL_DIALECTS else _TOKEN_RE
+    token_re = _token_re_for(read)
     out: list[tuple[str, str, int, int]] = []
     pos = 0
     n = len(sql)
@@ -619,9 +619,16 @@ def _literal_content(lit: str, read: str) -> str:
         return body.replace("''", "'")
     q = lit[0]  # quote-doubling collapses the literal's OWN quote char
     # BigQuery triple-quoted strings ('''...''' / \"\"\"...\"\"\") lex as one
-    # token under the ('')* folding; inside them quote chars are LITERAL
-    # (no doubling rule), only backslash escapes apply.
-    if len(lit) >= 6 and lit[:3] == q * 3 and lit[-3:] == q * 3:
+    # token (dedicated _BQ_TOKEN_RE alternatives); inside them quote chars
+    # are LITERAL (no doubling rule), only backslash escapes apply.
+    # BIGQUERY ONLY: snowflake has no triple form — there '''abc''' is the
+    # standard doubling fold with content 'abc' INCLUDING the quotes.
+    if (
+        read == "bigquery"
+        and len(lit) >= 6
+        and lit[:3] == q * 3
+        and lit[-3:] == q * 3
+    ):
         body = lit[3:-3]
         q = ""  # disables the doubling branch below
     out: list[str] = []
@@ -2414,9 +2421,16 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     # raise here — faithful, since BigQuery itself rejects them.
     if first_pass and read in ESCAPE_LITERAL_DIALECTS:
         for kind, text, start, end in toks:
+            # Triple-quoted bigquery literals re-encode even WITHOUT a
+            # backslash — Spark has no triple-quoted form at all (it
+            # would parse the trailing '' as an adjacent empty literal /
+            # alias, silently corrupting results).
+            needs_reencode = "\\" in text or (
+                read == "bigquery" and text[:3] in ("'''", '"""')
+            )
             if (
                 kind == "string"
-                and "\\" in text
+                and needs_reencode
                 and not any(e_start < end and start < e_end for e_start, e_end, _ in edits)
             ):
                 lit = _spark_string_literal(_literal_content(text, read))

@@ -492,7 +492,7 @@ def test_cli_format_fails_loudly_on_broken_config(project, capsys):
     with open(cfg, "w") as f:
         f.write("model_defaults: snowflake\n")  # string, not a mapping
     assert main(["-p", proj, "format", "--check"]) == 1
-    assert "model_defaults" in capsys.readouterr().out
+    assert "model_defaults" in capsys.readouterr().err
     with open(cfg, "w") as f:
         f.write(":\t bad yaml [\n")
     assert main(["-p", proj, "format", "--check"]) == 1

@@ -1663,3 +1663,18 @@ def test_bigquery_triple_quoted_strings(spark):
     assert spark.sql(out).collect()[0][0] == "a\nb"
     out = transpile('SELECT """x\\ty""" AS v FROM (SELECT 1)', "bigquery")
     assert spark.sql(out).collect()[0][0] == "x\ty"
+
+
+def test_bigquery_triple_quote_embedded_quotes(spark):
+    # a lone quote inside a triple-quoted string must lex as ONE token
+    # (the doubling fold would split it) and re-encode Spark-safe even
+    # without any backslash in the literal
+    out = transpile('SELECT """say "hi" ok""" AS v FROM (SELECT 1)', "bigquery")
+    assert spark.sql(out).collect()[0][0] == 'say "hi" ok'
+    out = transpile("SELECT '''it's fine''' AS v FROM (SELECT 1)", "bigquery")
+    assert spark.sql(out).collect()[0][0] == "it's fine"
+    # snowflake: '''abc''' is the standard doubling fold — content keeps
+    # the quotes
+    from sqlmesh_spark.core.transpile import _literal_content
+
+    assert _literal_content("'''abc'''", "snowflake") == "'abc'"
