@@ -605,6 +605,11 @@ def _spark_string_literal(content: str) -> str:
     return "'" + "".join(_SPARK_EMIT.get(c, c) for c in content) + "'"
 
 
+def _raw_body(lit: str) -> str:
+    """Body of a BigQuery RAW string token (after the r prefix) - no
+    escape processing, but triple-quoted raw forms strip three quotes."""
+    return lit[3:-3] if lit[:3] in ("'''", '"""') else lit[1:-1]
+
 def _literal_content(lit: str, read: str) -> str:
     """Decode a string literal token's body to its character content per
     the read dialect's escape rules: '' doubling everywhere; backslash
@@ -938,7 +943,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     "BigQuery bytes literals (b'...') have no Spark string "
                     "rewrite; use an explicit CAST or unhex"
                 )
-            body = toks[i + 1][1][1:-1]
+            body = _raw_body(toks[i + 1][1])
             lit = "'" + body.replace("\\", "\\\\").replace("'", "''") + "'"
             edits.append((start, toks[i + 1][3], lit))
             i += 2
@@ -1250,7 +1255,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     ):
                         fmt_tok = toks[spans[1][0]]
                         converted = convert_sf_format(
-                            fmt_tok[1][1:-1].replace("''", "'")
+                            _literal_content(fmt_tok[1], read)
                         )
                         edits.append((start, end, "date_format"))
                         edits.append(
@@ -1286,7 +1291,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             )
                         fmt_tok = toks[spans[1][0]]
                         converted = convert_sf_format(
-                            fmt_tok[1][1:-1].replace("''", "'")
+                            _literal_content(fmt_tok[1], read)
                         )
                         edits.append(
                             (fmt_tok[2], fmt_tok[3],
@@ -1629,7 +1634,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         raise TranspileError(f"{name} expects 3 args")
                     u_tok = toks[spans[0][0]]
                     if u_tok[0] == "string":
-                        raw_unit = u_tok[1][1:-1].replace("''", "'").lower()
+                        raw_unit = _literal_content(u_tok[1], read).lower()
                     elif u_tok[0] == "ident" and spans[0][0] == spans[0][1]:
                         raw_unit = u_tok[1].lower()
                     else:
@@ -1866,7 +1871,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         raise TranspileError(
                             f"{name} needs (literal_format, expr) to transpile"
                         )
-                    fmt = toks[spans[0][0]][1][1:-1]
+                    fmt = _literal_content(toks[spans[0][0]][1], read)
                     converted = convert_strftime_format(fmt)
                     repl = (
                         f"date_format({_arg_text(spans[1])}, "
@@ -1883,7 +1888,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         raise TranspileError(
                             f"{name} needs (literal_format, expr) to transpile"
                         )
-                    fmt = toks[spans[0][0]][1][1:-1]
+                    fmt = _literal_content(toks[spans[0][0]][1], read)
                     converted = convert_strftime_format(fmt)
                     target = "to_date" if name == "parse_date" else "to_timestamp"
                     repl = (
@@ -2055,15 +2060,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                                 "bigquery split separator must be a literal to "
                                 "transpile (Spark split() treats it as a regex)"
                             )
-                        if "\\" in sep[1]:
-                            raise TranspileError(
-                                "bigquery split separator containing backslash "
-                                "escapes is not supported; use a plain literal"
-                            )
-                        inner = sep[1][1:-1]
+                        inner = _literal_content(sep[1], read)
                         edits.append(
                             (sep[2], sep[3],
-                             "'" + _regex_escape_content(inner) + "'")
+                             "'" + _regex_escape_content(inner).replace("'", "''") + "'")
                         )
                     i += 1
                     continue
@@ -2150,7 +2150,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 if len(spans) == 3:
                     u_tok = toks[spans[0][0]]
                     if u_tok[0] == "string":
-                        raw_unit = u_tok[1][1:-1].replace("''", "'").lower()
+                        raw_unit = _literal_content(u_tok[1], read).lower()
                     elif (
                         read == "snowflake"
                         and u_tok[0] == "ident"
@@ -2201,7 +2201,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         and toks[span[1]][0] == "string"
                         and toks[span[1]][2] == tok_[3]
                     ):
-                        content = toks[span[1]][1][1:-1]  # raw: no unescaping
+                        content = _raw_body(toks[span[1]][1])  # raw: no unescaping
                     elif span[0] == span[1] and tok_[0] == "string":
                         content = _literal_content(tok_[1], read)
                     else:

@@ -1678,3 +1678,21 @@ def test_bigquery_triple_quote_embedded_quotes(spark):
     from sqlmesh_spark.core.transpile import _literal_content
 
     assert _literal_content("'''abc'''", "snowflake") == "'abc'"
+
+
+def test_triple_quoted_literals_in_handlers(spark):
+    # handlers must decode literal CONTENT via _literal_content/_raw_body,
+    # not a one-character [1:-1] slice — triple-quoted tokens otherwise
+    # bake stray quotes into separators/formats/replacements
+    SQ3 = "'" * 3
+
+    def run(sql):
+        return spark.sql(transpile(sql, "bigquery")).collect()[0][0]
+
+    assert run(f"SELECT SPLIT('a,b,c', {SQ3},{SQ3}) AS v") == ["a", "b", "c"]
+    assert run(f"SELECT FORMAT_DATE({SQ3}%Y%m%d{SQ3}, DATE '2024-03-05') AS v") == "20240305"
+    assert run(f"SELECT REGEXP_CONTAINS('x123', r{SQ3}\\d+{SQ3}) AS v") is True
+    assert run(f"SELECT REGEXP_REPLACE('a1', '(\\\\d)', r{SQ3}[\\1]{SQ3}) AS v") == "a[1]"
+    assert str(run(f"SELECT PARSE_DATE({SQ3}%Y{SQ3}, '2024') AS v")) == "2024-01-01"
+    # escaped separators decode instead of raising
+    assert run("SELECT SPLIT('a\\tb', '\\t') AS v") == ["a", "b"]
