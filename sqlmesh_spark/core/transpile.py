@@ -534,12 +534,17 @@ def _regex_escape_content(inner: str) -> str:
     )
 
 
+def _regex_literal(content: str) -> str:
+    """Spark literal whose CONTENT is the regex-escaped plain text — the
+    ONE emitter for every plain-separator→regex rewrite."""
+    return "'" + _regex_escape_content(content).replace("'", "''") + "'"
+
+
 def _escape_regex_literal(lit: str) -> str:
     """Escape a SQL string literal's content for use as a Java regex —
     DuckDB string_to_array splits on a PLAIN separator; Spark split's
     second arg is a regex."""
-    inner = lit[1:-1].replace("''", "'")
-    return "'" + _regex_escape_content(inner).replace("'", "''") + "'"
+    return _regex_literal(lit[1:-1].replace("''", "'"))
 
 
 #: escapes shared by snowflake AND bigquery string grammars.
@@ -595,7 +600,9 @@ def _decode_u_escape(body: str, i: int, read: str) -> tuple[str, int] | None:
 #: chars pass through (py4j ships any unicode); only chars Spark's parser
 #: would misread unescaped, plus common controls for readability, map.
 _SPARK_EMIT = {
-    "\\": "\\\\", "'": "\\'", "\n": "\\n", "\t": "\\t",
+    # quotes double ('' — valid in Spark AND re-lexable under EVERY read
+    # grammar; \' would break the std grammar on later fixpoint passes)
+    "\\": "\\\\", "'": "''", "\n": "\\n", "\t": "\\t",
     "\r": "\\r", "\b": "\\b",
 }
 
@@ -1260,7 +1267,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         edits.append((start, end, "date_format"))
                         edits.append(
                             (fmt_tok[2], fmt_tok[3],
-                             "'" + converted.replace("'", "''") + "'")
+                             _spark_string_literal(converted))
                         )
                     else:
                         raise TranspileError(
@@ -1295,7 +1302,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         )
                         edits.append(
                             (fmt_tok[2], fmt_tok[3],
-                             "'" + converted.replace("'", "''") + "'")
+                             _spark_string_literal(converted))
                         )
                     elif len(spans) == 1 and target in ("to_timestamp", "try_to_timestamp"):
                         # Snowflake 1-arg TO_TIMESTAMP accepts BOTH
@@ -1379,10 +1386,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             "transpile (Spark split() treats it as a regex)"
                         )
                     content = _literal_content(sep[1], read)
-                    edits.append(
-                        (sep[2], sep[3],
-                         "'" + _regex_escape_content(content).replace("'", "''") + "'")
-                    )
+                    edits.append((sep[2], sep[3], _regex_literal(content)))
                     i += 1
                     continue
 
@@ -1875,7 +1879,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     converted = convert_strftime_format(fmt)
                     repl = (
                         f"date_format({_arg_text(spans[1])}, "
-                        f"'{converted.replace(chr(39), chr(39) * 2)}')"
+                        f"{_spark_string_literal(converted)})"
                     )
                     edits.append((start, toks[close][3], repl))
                     i = close + 1
@@ -1893,7 +1897,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     target = "to_date" if name == "parse_date" else "to_timestamp"
                     repl = (
                         f"{target}({_arg_text(spans[1])}, "
-                        f"'{converted.replace(chr(39), chr(39) * 2)}')"
+                        f"{_spark_string_literal(converted)})"
                     )
                     edits.append((start, toks[close][3], repl))
                     i = close + 1
@@ -2061,10 +2065,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                                 "transpile (Spark split() treats it as a regex)"
                             )
                         inner = _literal_content(sep[1], read)
-                        edits.append(
-                            (sep[2], sep[3],
-                             "'" + _regex_escape_content(inner).replace("'", "''") + "'")
-                        )
+                        edits.append((sep[2], sep[3], _regex_literal(inner)))
                     i += 1
                     continue
 
@@ -2095,7 +2096,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 edits.append((start, end, new_fn))
                 edits.append(
                     (toks[fmt_idx][2], toks[fmt_idx][3],
-                     "'" + converted.replace("'", "''") + "'")
+                     _spark_string_literal(converted))
                 )
                 i += 1
                 continue
@@ -2110,7 +2111,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     edits.append((start, end, "date_format"))
                     edits.append(
                         (toks[args[1]][2], toks[args[1]][3],
-                         "'" + converted.replace("'", "''") + "'")
+                         _spark_string_literal(converted))
                     )
                     i += 1
                     continue
@@ -2211,7 +2212,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             "\\1 vs $1 cannot be checked on expressions)"
                         )
                     converted = _regex_replacement_to_spark(content)
-                    lit = "'" + converted.replace("\\", "\\\\").replace("'", "''") + "'"
+                    lit = _spark_string_literal(converted)
                     # emit even when unchanged: marks the literal handler-
                     # owned so the std-dialect doubling pass skips it
                     edits.append((tok_[2], toks[span[1]][3], lit))
@@ -2323,7 +2324,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     converted = convert_pg_format(fmt_tok[1][1:-1].replace("''", "'"))
                     edits.append(
                         (fmt_tok[2], fmt_tok[3],
-                         "'" + converted.replace("'", "''") + "'")
+                         _spark_string_literal(converted))
                     )
                 else:
                     raise TranspileError(

@@ -1696,3 +1696,17 @@ def test_triple_quoted_literals_in_handlers(spark):
     assert str(run(f"SELECT PARSE_DATE({SQ3}%Y{SQ3}, '2024') AS v")) == "2024-01-01"
     # escaped separators decode instead of raising
     assert run("SELECT SPLIT('a\\tb', '\\t') AS v") == ["a", "b"]
+
+
+def test_format_literals_preserve_backslashes(spark):
+    # decoded format content must re-emit through the shared Spark
+    # emitter — quote-only doubling silently ate literal backslashes
+    out = transpile("SELECT FORMAT_DATE('%Y\\\\%m', DATE '2024-03-05') AS v", "bigquery")
+    assert spark.sql(out).collect()[0][0] == "2024\\03"
+    out = transpile("SELECT PARSE_DATE('%Y\\\\%m', '2024\\\\03') AS v", "bigquery")
+    assert str(spark.sql(out).collect()[0][0]) == "2024-03-01"
+    out = transpile("SELECT TO_VARCHAR(DATE '2024-03-05', 'YYYY\\\\MM') AS v", "snowflake")
+    assert spark.sql(out).collect()[0][0] == "2024\\03"
+    # std-literal dialect: single backslash char in the format
+    out = transpile(r"SELECT strftime(DATE '2024-03-05', '%Y\%m') AS v", "duckdb")
+    assert spark.sql(out).collect()[0][0] == "2024\\03"
