@@ -534,17 +534,21 @@ def _regex_escape_content(inner: str) -> str:
     )
 
 
-def _regex_literal(content: str) -> str:
+def _regex_literal(content: str, read: str) -> str:
     """Spark literal whose CONTENT is the regex-escaped plain text — the
     ONE emitter for every plain-separator→regex rewrite."""
-    return "'" + _regex_escape_content(content).replace("'", "''") + "'"
+    return (
+        "'"
+        + _regex_escape_content(content).replace("'", _quote_escape(read))
+        + "'"
+    )
 
 
 def _escape_regex_literal(lit: str) -> str:
     """Escape a SQL string literal's content for use as a Java regex —
-    DuckDB string_to_array splits on a PLAIN separator; Spark split's
-    second arg is a regex."""
-    return _regex_literal(lit[1:-1].replace("''", "'"))
+    DuckDB string_to_array splits on a PLAIN separator (std dialects
+    only; Spark split's second arg is a regex)."""
+    return _regex_literal(lit[1:-1].replace("''", "'"), "duckdb")
 
 
 #: escapes shared by snowflake AND bigquery string grammars.
@@ -600,16 +604,31 @@ def _decode_u_escape(body: str, i: int, read: str) -> tuple[str, int] | None:
 #: chars pass through (py4j ships any unicode); only chars Spark's parser
 #: would misread unescaped, plus common controls for readability, map.
 _SPARK_EMIT = {
-    # quotes double ('' — valid in Spark AND re-lexable under EVERY read
-    # grammar; \' would break the std grammar on later fixpoint passes)
-    "\\": "\\\\", "'": "''", "\n": "\\n", "\t": "\\t",
+    "\\": "\\\\", "\n": "\\n", "\t": "\\t",
     "\r": "\\r", "\b": "\\b",
 }
 
 
-def _spark_string_literal(content: str) -> str:
-    """Render character content as a single-quoted Spark SQL literal."""
-    return "'" + "".join(_SPARK_EMIT.get(c, c) for c in content) + "'"
+def _quote_escape(read: str) -> str:
+    """How an embedded quote re-emits, per READ grammar (later fixpoint
+    passes re-lex our own output): doubled for std grammars (they cannot
+    lex a backslash-quote), backslash-quote for snowflake/bigquery — a
+    doubled-quote literal whose content STARTS with a quote would open
+    with a triple-quote run that the bigquery grammar reads as a
+    triple-quoted string, mis-spanning across tokens. Both forms are
+    valid Spark."""
+    return "''" if read in _STD_LITERAL_DIALECTS or not read else "\\'"
+
+
+def _spark_string_literal(content: str, read: str) -> str:
+    """Render character content as a single-quoted Spark SQL literal,
+    re-lexable under the READ dialect grammar."""
+    qe = _quote_escape(read)
+    return (
+        "'"
+        + "".join(qe if c == "'" else _SPARK_EMIT.get(c, c) for c in content)
+        + "'"
+    )
 
 
 def _raw_body(lit: str) -> str:
@@ -1267,7 +1286,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         edits.append((start, end, "date_format"))
                         edits.append(
                             (fmt_tok[2], fmt_tok[3],
-                             _spark_string_literal(converted))
+                             _spark_string_literal(converted, read))
                         )
                     else:
                         raise TranspileError(
@@ -1302,7 +1321,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         )
                         edits.append(
                             (fmt_tok[2], fmt_tok[3],
-                             _spark_string_literal(converted))
+                             _spark_string_literal(converted, read))
                         )
                     elif len(spans) == 1 and target in ("to_timestamp", "try_to_timestamp"):
                         # Snowflake 1-arg TO_TIMESTAMP accepts BOTH
@@ -1386,7 +1405,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             "transpile (Spark split() treats it as a regex)"
                         )
                     content = _literal_content(sep[1], read)
-                    edits.append((sep[2], sep[3], _regex_literal(content)))
+                    edits.append((sep[2], sep[3], _regex_literal(content, read)))
                     i += 1
                     continue
 
@@ -1879,7 +1898,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     converted = convert_strftime_format(fmt)
                     repl = (
                         f"date_format({_arg_text(spans[1])}, "
-                        f"{_spark_string_literal(converted)})"
+                        f"{_spark_string_literal(converted, read)})"
                     )
                     edits.append((start, toks[close][3], repl))
                     i = close + 1
@@ -1897,7 +1916,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     target = "to_date" if name == "parse_date" else "to_timestamp"
                     repl = (
                         f"{target}({_arg_text(spans[1])}, "
-                        f"{_spark_string_literal(converted)})"
+                        f"{_spark_string_literal(converted, read)})"
                     )
                     edits.append((start, toks[close][3], repl))
                     i = close + 1
@@ -2065,7 +2084,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                                 "transpile (Spark split() treats it as a regex)"
                             )
                         inner = _literal_content(sep[1], read)
-                        edits.append((sep[2], sep[3], _regex_literal(inner)))
+                        edits.append((sep[2], sep[3], _regex_literal(inner, read)))
                     i += 1
                     continue
 
@@ -2096,7 +2115,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 edits.append((start, end, new_fn))
                 edits.append(
                     (toks[fmt_idx][2], toks[fmt_idx][3],
-                     _spark_string_literal(converted))
+                     _spark_string_literal(converted, read))
                 )
                 i += 1
                 continue
@@ -2111,7 +2130,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     edits.append((start, end, "date_format"))
                     edits.append(
                         (toks[args[1]][2], toks[args[1]][3],
-                         _spark_string_literal(converted))
+                         _spark_string_literal(converted, read))
                     )
                     i += 1
                     continue
@@ -2212,7 +2231,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             "\\1 vs $1 cannot be checked on expressions)"
                         )
                     converted = _regex_replacement_to_spark(content)
-                    lit = _spark_string_literal(converted)
+                    lit = _spark_string_literal(converted, read)
                     # emit even when unchanged: marks the literal handler-
                     # owned so the std-dialect doubling pass skips it
                     edits.append((tok_[2], toks[span[1]][3], lit))
@@ -2324,7 +2343,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     converted = convert_pg_format(fmt_tok[1][1:-1].replace("''", "'"))
                     edits.append(
                         (fmt_tok[2], fmt_tok[3],
-                         _spark_string_literal(converted))
+                         _spark_string_literal(converted, read))
                     )
                 else:
                     raise TranspileError(
@@ -2434,7 +2453,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 and needs_reencode
                 and not any(e_start < end and start < e_end for e_start, e_end, _ in edits)
             ):
-                lit = _spark_string_literal(_literal_content(text, read))
+                lit = _spark_string_literal(_literal_content(text, read), read)
                 if lit != text:
                     edits.append((start, end, lit))
 

@@ -1710,3 +1710,23 @@ def test_format_literals_preserve_backslashes(spark):
     # std-literal dialect: single backslash char in the format
     out = transpile(r"SELECT strftime(DATE '2024-03-05', '%Y\%m') AS v", "duckdb")
     assert spark.sql(out).collect()[0][0] == "2024\\03"
+
+
+def test_quote_leading_literals_relex_per_grammar(spark):
+    # emissions must re-lex under the READ grammar on later fixpoint
+    # passes: a ''-doubled quote-leading literal would open a bigquery
+    # triple-quote span across tokens — esc dialects emit \' instead
+    BS, SQ = chr(92), chr(39)
+    out = transpile(f"SELECT '{BS}{SQ}a' AS x, '{BS}{SQ}b' AS y", "bigquery")
+    assert [tuple(r) for r in spark.sql(out).collect()] == [("'a", "'b")]
+    out = transpile(
+        "SELECT FORMAT_DATE('T%Y', DATE '2024-03-05') AS a, "
+        "FORMAT_DATE('T%m', DATE '2024-03-05') AS b",
+        "bigquery",
+    )
+    assert tuple(spark.sql(out).collect()[0]) == ("T2024", "T03")
+    # std grammar keeps '' doubling (it cannot lex backslash-quote)
+    out = transpile(
+        "SELECT strftime(DATE '2024-03-05', 'T%Y') AS v", "duckdb"
+    )
+    assert spark.sql(out).collect()[0][0] == "T2024"
