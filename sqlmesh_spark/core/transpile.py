@@ -544,13 +544,6 @@ def _regex_literal(content: str, read: str) -> str:
     )
 
 
-def _escape_regex_literal(lit: str) -> str:
-    """Escape a SQL string literal's content for use as a Java regex —
-    DuckDB string_to_array splits on a PLAIN separator (std dialects
-    only; Spark split's second arg is a regex)."""
-    return _regex_literal(lit[1:-1].replace("''", "'"), "duckdb")
-
-
 #: escapes shared by snowflake AND bigquery string grammars.
 _SIMPLE_ESCAPES = {
     "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
@@ -617,7 +610,7 @@ def _quote_escape(read: str) -> str:
     with a triple-quote run that the bigquery grammar reads as a
     triple-quoted string, mis-spanning across tokens. Both forms are
     valid Spark."""
-    return "''" if read in _STD_LITERAL_DIALECTS or not read else "\\'"
+    return "\\'" if read in ESCAPE_LITERAL_DIALECTS else "''"
 
 
 def _spark_string_literal(content: str, read: str) -> str:
@@ -970,7 +963,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     "rewrite; use an explicit CAST or unhex"
                 )
             body = _raw_body(toks[i + 1][1])
-            lit = "'" + body.replace("\\", "\\\\").replace("'", "''") + "'"
+            lit = _spark_string_literal(body, read)
             edits.append((start, toks[i + 1][3], lit))
             i += 2
             continue
@@ -2151,7 +2144,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 if len(args) - 1 >= 2:
                     edits.append(
                         (toks[args[1]][2], toks[args[1]][3],
-                         _escape_regex_literal(toks[args[1]][1]))
+                         _regex_literal(_literal_content(toks[args[1]][1], read), read))
                     )
                 i += 1
                 continue

@@ -1730,3 +1730,12 @@ def test_quote_leading_literals_relex_per_grammar(spark):
         "SELECT strftime(DATE '2024-03-05', 'T%Y') AS v", "duckdb"
     )
     assert spark.sql(out).collect()[0][0] == "T2024"
+
+
+def test_raw_string_reemission_per_grammar(spark):
+    # the raw-string re-emitter must use the shared per-grammar emitter:
+    # '' doubling on quote-leading raw content formed bigquery
+    # triple-quote runs on the next fixpoint pass
+    BS, SQ = chr(92), chr(39)
+    out = transpile(f'SELECT r"{BS}{SQ}a" AS x, r"{BS}{SQ}b" AS y', "bigquery")
+    assert [tuple(r) for r in spark.sql(out).collect()] == [("\\'a", "\\'b")]
