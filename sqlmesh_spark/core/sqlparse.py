@@ -67,10 +67,14 @@ _TOKEN_RE = re.compile(
 #: which the standard-SQL grammar above would mis-lex (the literal would
 #: end at the escaped quote). Spark's own default parser also processes
 #: backslash escapes, so text in these dialects stays lexable end-to-end.
-ESCAPE_LITERAL_DIALECTS = ("snowflake", "bigquery")
+#: Redshift inherits PostgreSQL 8.0's escape-on literals (its
+#: standard_conforming_strings default is off — the famous "nonstandard
+#: use of \\ in a string literal" warning); MySQL literals always
+#: backslash-escape.
+ESCAPE_LITERAL_DIALECTS = ("snowflake", "bigquery", "redshift", "mysql")
 
 
-def _derive_esc_pattern(triple: bool = False) -> str:
+def _derive_esc_pattern(triple: bool = False, hash_comments: bool = False) -> str:
     """Escape-aware grammar derived from _TOKEN_RE by exact substring
     replacement. EACH replacement is individually asserted — a reformat of
     either alternative above would otherwise no-op silently and that
@@ -79,16 +83,24 @@ def _derive_esc_pattern(triple: bool = False) -> str:
     token — inside them a lone quote char is literal, which the
     ('')-doubling fold cannot represent (it would split the token at the
     embedded quote). Snowflake has no triple-quoted form, so its grammar
-    keeps the standard fold."""
+    keeps the standard fold. ``hash_comments`` additionally lexes MySQL's
+    ``# ...`` line comments (the ``#`` op alternative would otherwise
+    reject the rest of the line)."""
     sq3 = r"'''(?:[^'\\]|\\.|'(?!''))*'''|" if triple else ""
     dq3 = r'"""(?:[^"\\]|\\.|"(?!""))*"""|' if triple else ""
     pattern = _TOKEN_RE.pattern
-    for old_alt, new_alt in (
+    alts = [
         (r"(?P<string>'(?:[^']|'')*')",
          r"(?P<string>" + sq3 + r"'(?:[^'\\]|\\.|'')*')"),
         (r'(?P<dquote>"(?:[^"]|"")*")',
          r'(?P<dquote>' + dq3 + r'"(?:[^"\\]|\\.|"")*")'),
-    ):
+    ]
+    if hash_comments:
+        alts.append(
+            (r"(?P<line_comment>--[^\n]*)",
+             r"(?P<line_comment>--[^\n]*|\#[^\n]*)")
+        )
+    for old_alt, new_alt in alts:
         replaced = pattern.replace(old_alt, new_alt)
         if replaced == pattern:  # pragma: no cover - build-time guard
             raise AssertionError(
@@ -102,6 +114,9 @@ def _derive_esc_pattern(triple: bool = False) -> str:
 
 _ESC_TOKEN_RE = re.compile(_derive_esc_pattern(), re.VERBOSE | re.DOTALL)
 _BQ_TOKEN_RE = re.compile(_derive_esc_pattern(triple=True), re.VERBOSE | re.DOTALL)
+_MYSQL_TOKEN_RE = re.compile(
+    _derive_esc_pattern(hash_comments=True), re.VERBOSE | re.DOTALL
+)
 
 
 def _token_re_for(dialect: str):
@@ -109,6 +124,8 @@ def _token_re_for(dialect: str):
     transpile._tokenize_spans."""
     if dialect == "bigquery":
         return _BQ_TOKEN_RE
+    if dialect == "mysql":
+        return _MYSQL_TOKEN_RE
     if dialect in ESCAPE_LITERAL_DIALECTS:
         return _ESC_TOKEN_RE
     return _TOKEN_RE
@@ -122,10 +139,11 @@ class Token:
 
 
 def tokenize(sql: str, dialect: str = "") -> list[Token]:
-    """Lex ``sql``; ``dialect`` selects literal semantics: snowflake and
-    bigquery literals use backslash escapes, and bigquery double-quoted
-    tokens are STRINGS, not identifiers (matching how core/transpile.py
-    and Spark's parser read the same text)."""
+    """Lex ``sql``; ``dialect`` selects literal semantics: snowflake /
+    bigquery / redshift / mysql literals use backslash escapes, and
+    bigquery + mysql double-quoted tokens are STRINGS, not identifiers
+    (matching how core/transpile.py and Spark's parser read the same
+    text)."""
     token_re = _token_re_for(dialect)
     out: list[Token] = []
     pos = 0
@@ -139,7 +157,7 @@ def tokenize(sql: str, dialect: str = "") -> list[Token]:
         text = m.group()
         if kind in ("ws", "line_comment", "block_comment"):
             continue
-        if kind == "dquote" and dialect == "bigquery":
+        if kind == "dquote" and dialect in ("bigquery", "mysql"):
             kind = "string"
         if kind == "ident":
             out.append(Token("ident", text.lower(), text.upper()))

@@ -7,7 +7,8 @@ transpiles it to the target engine's dialect at render time
 dialect surface). sqlglot is not available in this sandbox, so this module
 implements the same *capability* directly on the tokenizer from
 ``core/sqlparse.py``: a span-preserving token rewrite from a read dialect
-(DuckDB / Postgres / ANSI / Snowflake / BigQuery) to Spark SQL.
+(DuckDB / Postgres / ANSI / Snowflake / BigQuery / Redshift / MySQL) to
+Spark SQL.
 
 Design rules:
 
@@ -51,12 +52,17 @@ class TranspileError(ValueError):
 SPARK = "spark"
 
 #: read dialects accepted by ``transpile``; "" / None / "spark" are no-ops.
-READ_DIALECTS = ("duckdb", "postgres", "ansi", "snowflake", "bigquery")
+READ_DIALECTS = (
+    "duckdb", "postgres", "ansi", "snowflake", "bigquery", "redshift", "mysql"
+)
 
 #: dialects whose string literals are standard SQL (backslash is an
 #: ordinary character) and need backslash-doubling for Spark's C-style
-#: escape parser. Snowflake and BigQuery literals already treat backslash
-#: as an escape character, matching Spark — no doubling.
+#: escape parser. Snowflake/BigQuery/Redshift/MySQL literals already treat
+#: backslash as an escape character, matching Spark — no doubling
+#: (Redshift's standard_conforming_strings defaults to off, inherited
+#: from its PostgreSQL 8.0 base; models written against a cluster with it
+#: flipped on should declare dialect postgres instead).
 _STD_LITERAL_DIALECTS = ("duckdb", "postgres", "ansi")
 
 # ---------------------------------------------------------------------------
@@ -201,6 +207,103 @@ _BIGQUERY_FN: dict[str, str | None] = {
     "time": None, "time_diff": None, "time_add": None, "time_sub": None,
 }
 
+# Redshift renames (PostgreSQL-8.0-derived; ref dialect.py:1040 — second
+# most common warehouse migration source after Snowflake). Identical-
+# semantics pass-throughs: nvl, nvl2, split_part (1-based), btrim/initcap,
+# md5, sha2, date_trunc, date_part, extract, regexp_substr/regexp_instr/
+# regexp_count (POSIX-enough for the common cases), median,
+# percentile_cont, listagg (render-time Spark>=4 gate below), greatest/
+# least (both ignore NULLs). DATEADD/DATEDIFF (boundary-crossing, bare
+# unit keywords) and TO_CHAR/TO_DATE/TO_TIMESTAMP (postgres-style format
+# patterns) route through the shared handlers below. None = loud failure.
+_REDSHIFT_FN: dict[str, str | None] = {
+    "getdate": None,                    # UTC wall-clock — handler below
+    "len": "length",                    # both character counts
+    "charindex": "position",            # both (substr, str), 1-based
+    "strpos": "instr",                  # both 1-based, 0 when absent
+    "random": "rand",                   # both uniform [0,1) doubles
+    "array": None,                      # builds SUPER array → no faithful type
+    "strtol": None,                     # arbitrary-base parse → loud
+    "to_number": None,                  # numeric format language differs
+    "trunc": None,                      # type-overloaded (ts→date / numeric
+                                        # scale) vs Spark's (date, fmt) →
+                                        # use CAST(x AS DATE) or floor
+    "sysdate": None,                    # bare-keyword form handled above;
+                                        # a parenthesized call is not
+                                        # Redshift syntax → loud
+    "text_to_int_alt": None,
+    "text_to_numeric_alt": None,
+    "decode": None,                     # Oracle-style decode → CASE by hand
+    "json_parse": None,                 # SUPER type has no Spark analog
+    "json_serialize": None,
+    "is_valid_json": None,
+    "json_array_length": None,
+    # APPROXIMATE COUNT(DISTINCT ...) is a keyword prefix, not a call —
+    # it reaches Spark's parser unchanged and fails loudly there.
+    "dexp": "exp",
+    "dlog1": "ln",
+    "dlog10": "log10",
+    "checksum": None,                   # different hash → silent wrong values
+    "func_sha1": "sha1",
+    "crc32": None,                      # Redshift returns hex string; Spark bigint
+    "timeofday": None,
+    "getutcdate": None,                 # handler below (UTC wall-clock)
+    "interval_cmp": None,
+    "date_cmp": None, "date_cmp_timestamp": None, "timestamp_cmp": None,
+}
+
+# MySQL renames (ref dialect.py:1040; the most common OLTP-source dialect
+# for replicated reporting models). Identical-semantics pass-throughs:
+# ifnull, nullif, if, concat/concat_ws (NULL-propagating in both... concat
+# of NULL is NULL in MySQL; Spark concat also returns NULL on any NULL
+# arg), locate, instr, substring_index, lpad/rpad, repeat, reverse, space,
+# elt, conv, bin, hex, unhex, crc32, md5, sha/sha1, sha2, last_day,
+# datediff (both count whole days), dayofweek (both 1=Sunday), weekofyear
+# (both ISO), dayofyear, quarter, timestampdiff (both count COMPLETE
+# elapsed units — verified against Spark 4.1), rand, pow/power, truncate
+# handled loud, DIV passes natively. None = loud failure.
+_MYSQL_FN: dict[str, str | None] = {
+    "length": "octet_length",           # MySQL LENGTH() counts BYTES
+    "curdate": "current_date",
+    "curtime": None,                    # TIME type has no Spark analog
+    "now": "current_timestamp",
+    "sysdate": "current_timestamp",     # per-call vs per-statement clock:
+                                        # sub-statement skew accepted
+    "localtime": "localtimestamp",
+    "utc_timestamp": None,              # handler below (UTC wall-clock)
+    "utc_date": None,
+    "utc_time": None,
+    "format": "format_number",          # both add thousands separators
+    "field": None,                      # no Spark equivalent
+    # find_in_set passes through (Spark's matches MySQL's 1-based index)
+    "make_set": None,
+    "export_set": None,
+    # weekday passes through (0=Monday..6 in both MySQL and Spark)
+    "week": None,                       # mode-dependent numbering → loud
+    "yearweek": None,
+    "to_days": None, "from_days": None,
+    "time_to_sec": None, "sec_to_time": None,
+    "timediff": None, "maketime": None, "makedate": None,
+    # date_format is handled below (format conversion; same name in Spark,
+    # so NOT mapped None here — the fixpoint's later passes must leave the
+    # handler's own Spark-ready output untouched)
+    "str_to_date": None,                # handler below
+    "get_format": None,
+    "group_concat": None,               # handler below (SEPARATOR syntax)
+    "json_extract": None, "json_unquote": None, "json_object": None,
+    "json_arrayagg": None, "json_objectagg": None,
+    "convert_tz": None,
+    "truncate": None,                   # numeric truncate → loud
+    "least": None,                      # MySQL returns NULL on any NULL arg;
+    "greatest": None,                   # Spark ignores NULLs → silent wrong
+    "password": None, "encrypt": None, "aes_encrypt": None,
+    "aes_decrypt": None, "compress": None, "uncompress": None,
+    "uuid_short": None,
+    "connection_id": None, "database": None, "schema": None, "user": None,
+    "session_user": None, "system_user": None, "version": None,
+    "benchmark": None, "sleep": None, "get_lock": None, "release_lock": None,
+}
+
 _DIALECT_FN: dict[str, dict[str, str | None]] = {
     # regexp_matches is boolean partial-match in DuckDB only; in Postgres
     # it returns SETOF text[] (captured groups), so the rename is correct
@@ -210,6 +313,8 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
     "ansi": {},                         # ANSI names that differ are below
     "snowflake": _SNOWFLAKE_FN,
     "bigquery": _BIGQUERY_FN,
+    "redshift": _REDSHIFT_FN,
+    "mysql": _MYSQL_FN,
 }
 
 # Type names (CAST targets and `::` casts) that differ from Spark's.
@@ -265,6 +370,37 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
         "datetime": "TIMESTAMP_NTZ",
         "geography": None,
         "json": None,                   # BQ JSON type vs Spark VARIANT → loud
+    },
+    "redshift": {
+        "super": None,                  # semi-structured SUPER → no analog
+        "varbyte": "BINARY",
+        "geometry": None,
+        "geography": None,
+        "hllsketch": None,
+        "timetz": None,                 # TIME types have no Spark analog
+        "time": None,
+    },
+    "mysql": {
+        "datetime": "TIMESTAMP_NTZ",    # wall-clock, no zone
+        "unsigned": "DECIMAL(20,0)",    # CAST(x AS UNSIGNED)
+        "char": "STRING",               # CAST(x AS CHAR) = string conversion
+        "nchar": "STRING",
+        "mediumint": "INT",
+        "real": "DOUBLE",               # MySQL REAL is fp64 (REAL_AS_FLOAT off)
+        "tinytext": "STRING",
+        "mediumtext": "STRING",
+        "longtext": "STRING",
+        "tinyblob": "BINARY",
+        "mediumblob": "BINARY",
+        "longblob": "BINARY",
+        "json": None,                   # MySQL JSON type → loud
+        "enum": None,
+        "set": None,
+        "year": None,                   # YEAR type (1901-2155) → loud
+        "time": None,
+        "bit": None,                    # BIT(n) bitfield → loud
+        "geometry": None,
+        "point": None, "linestring": None, "polygon": None,
     },
 }
 
@@ -446,6 +582,85 @@ def convert_sf_format(fmt: str) -> str:
     return _convert_pg_like_format(fmt, allow_ff=True)
 
 
+# MySQL DATE_FORMAT/STR_TO_DATE %-codes → Spark datetime pattern letters.
+# The code SET differs from C strftime (%i is minutes, %M is the month
+# NAME, %s/%S both seconds); week-based codes (%U %u %V %v %X %x) and
+# day-of-week-number (%w) are deliberately ABSENT — Spark 3+ rejects the
+# week patterns, and there is no numeric-day letter — so they raise.
+# %D (1st/2nd ordinal suffix) has no Spark form either.
+_MYSQL_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h",
+    "i": "mm", "s": "ss", "S": "ss", "f": "SSSSSS", "p": "a",
+    "M": "MMMM", "b": "MMM", "a": "EEE", "W": "EEEE", "j": "DDD",
+    "r": "hh:mm:ss a", "T": "HH:mm:ss", "%": "%",
+}
+
+#: %-codes that indicate a TIME component — used by the STR_TO_DATE
+#: handler to pick to_timestamp vs to_date (MySQL returns a DATETIME when
+#: the format has time parts, a DATE otherwise).
+_MYSQL_TIME_CODES = frozenset("HkhIlisSfprT")
+
+
+def convert_mysql_format(fmt: str) -> str:
+    """MySQL %-code pattern → Spark datetime pattern, quoting literal
+    letter runs (same emitter rules as convert_strftime_format). Raises
+    on codes with no Spark equivalent (%U week, %w weekday number, %D
+    ordinal-suffix day).
+
+    A format with NO %-codes never reaches here (the callers pass it
+    through / reject it) — date_format shares its NAME with Spark, so the
+    fixpoint's later passes re-read our own emitted Java pattern; blindly
+    quoting its letters would corrupt it."""
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush() -> None:
+        if not literal:
+            return
+        run = "".join(literal)
+        if re.search(r"[A-Za-z']", run):
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+        literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise TranspileError(f"dangling % in format {fmt!r}")
+            code = fmt[i + 1]
+            if code not in _MYSQL_FMT:
+                raise TranspileError(
+                    f"mysql date format code %{code} has no Spark "
+                    "datetime pattern"
+                )
+            flush()
+            rep = _MYSQL_FMT[code]
+            if rep != "%" and out and out[-1] and out[-1][-1] == rep[0]:
+                raise TranspileError(
+                    f"adjacent %{code} codes merge in Spark datetime "
+                    f"patterns; separate them in format {fmt!r}"
+                )
+            out.append(rep)
+            i += 2
+        else:
+            literal.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _mysql_fmt_has_time(fmt: str) -> bool:
+    """True when the MySQL format string carries any time-of-day code."""
+    return any(
+        fmt[i] == "%" and i + 1 < len(fmt) and fmt[i + 1] in _MYSQL_TIME_CODES
+        for i in range(len(fmt))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-version gating: rename targets that only exist on Spark >= 4.0 must
 # fail at RENDER time on older sessions (loud-failure contract), not at
@@ -513,7 +728,7 @@ def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]
         if not m:
             raise TranspileError(f"unexpected character {sql[pos]!r} at offset {pos}")
         kind = m.lastgroup or ""
-        if kind == "dquote" and read == "bigquery":
+        if kind == "dquote" and read in ("bigquery", "mysql"):
             kind = "string"
         if kind not in ("ws", "line_comment", "block_comment"):
             out.append((kind, m.group(), m.start(), m.end()))
@@ -661,11 +876,46 @@ def _literal_content(lit: str, read: str) -> str:
         c = body[i]
         if c == "\\" and i + 1 < len(body):
             nxt = body[i + 1]
-            u = _decode_u_escape(body, i, read)
+            # \uXXXX decoding is a snowflake/bigquery feature; redshift
+            # (PG-8.0 escape strings) and mysql read \u as a bare 'u'.
+            u = (
+                _decode_u_escape(body, i, read)
+                if read in ("snowflake", "bigquery")
+                else None
+            )
             if u is not None:
                 out.append(u[0])
                 i = u[1]
                 continue
+            if read == "mysql":
+                # MySQL's fixed escape set: \0 NUL, \Z ctrl-Z, \b \n \r
+                # \t, quotes, backslash; \% and \_ keep their backslash
+                # (two-character output, per the manual); anything else
+                # drops the backslash.
+                if nxt == "0":
+                    out.append("\0")
+                elif nxt == "Z":
+                    out.append("\x1a")
+                elif nxt in ("%", "_"):
+                    out.append("\\" + nxt)
+                elif nxt in ("'", '"', "\\", "b", "n", "r", "t"):
+                    out.append(_SIMPLE_ESCAPES[nxt])
+                else:
+                    out.append(nxt)
+                i += 2
+                continue
+            if read == "redshift" and nxt in "01234567":
+                m_oct = re.match(r"[0-7]{1,3}", body[i + 1 : i + 4])
+                out.append(chr(int(m_oct.group(), 8)))
+                i += 1 + len(m_oct.group())
+                continue
+            if read == "redshift" and nxt == "x":
+                m_hex = re.match(r"[0-9a-fA-F]{1,2}", body[i + 2 : i + 4])
+                if m_hex:
+                    out.append(chr(int(m_hex.group(), 16)))
+                    i += 2 + len(m_hex.group())
+                    continue
+                # \x with no hex digit → bare 'x' (PG unknown-escape rule)
             if read == "bigquery" and nxt in "01234567":
                 # bigquery octal is EXACTLY three digits (\ooo); there is
                 # no bare \0 escape
@@ -693,7 +943,9 @@ def _literal_content(lit: str, read: str) -> str:
                 out.append(_SIMPLE_ESCAPES[nxt])
             elif read == "bigquery" and nxt in _BQ_EXTRA_ESCAPES:
                 out.append(_BQ_EXTRA_ESCAPES[nxt])
-            elif read == "snowflake":
+            elif read in ("snowflake", "redshift"):
+                # unknown escape → the bare character (both dialects'
+                # documented rule; redshift inherits PG 8.0's)
                 out.append(nxt)
             else:
                 raise TranspileError(
@@ -929,6 +1181,22 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     cast_as_idx = _cast_as_indices(toks)
     edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
 
+    if read == "mysql" and first_pass:
+        # MySQL `# ...` line comments: comments normally pass through
+        # byte-identical (they're skipped, not tokens), but Spark's parser
+        # rejects `#` — re-lex including comment matches and rewrite the
+        # marker to `--`. The lexer guarantees a `#` inside a string or
+        # backtick span never matches as a comment.
+        token_re = _token_re_for(read)
+        pos = 0
+        while pos < len(sql):
+            m = token_re.match(sql, pos)
+            if not m:
+                break  # main loop raises the proper error
+            if m.lastgroup == "line_comment" and m.group().startswith("#"):
+                edits.append((m.start(), m.start() + 1, "--"))
+            pos = m.end()
+
     def is_op(i: int, val: str) -> bool:
         return 0 <= i < len(toks) and toks[i][0] == "op" and toks[i][1] == val
 
@@ -942,6 +1210,60 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             edits.append((start, toks[i + 1][3], " DIV "))
             i += 2
             continue
+
+        # Redshift SYSDATE is a bare keyword (no parens) returning the UTC
+        # transaction timestamp.
+        if (
+            read == "redshift"
+            and kind == "ident"
+            and text.lower() == "sysdate"
+            and not is_op(i + 1, "(")
+        ):
+            edits.append(
+                (start, end,
+                 "to_utc_timestamp(current_timestamp(), current_timezone())")
+            )
+            i += 1
+            continue
+
+        if read == "mysql":
+            # MySQL `||` is logical OR (PIPES_AS_CONCAT off, the default);
+            # Spark reads it as string concat — silent wrong values.
+            if kind == "op" and text == "||":
+                edits.append((start, end, " OR "))
+                i += 1
+                continue
+            # JSON column->path / column->>path operators — loud (the
+            # MySQL JSON type itself is unmapped).
+            if kind == "op" and text == "->":
+                raise TranspileError(
+                    "mysql JSON -> / ->> operators have no Spark rewrite"
+                )
+            # XOR is a reserved MySQL boolean operator Spark lacks.
+            if kind == "ident" and text.upper() == "XOR":
+                raise TranspileError(
+                    "mysql XOR operator has no Spark equivalent; rewrite "
+                    "as (a OR b) AND NOT (a AND b)"
+                )
+            # LIMIT offset, count → LIMIT count OFFSET offset. LIMIT is
+            # reserved in MySQL, so a bare ident here is the clause (a
+            # column of that name would be backtick-quoted).
+            if (
+                kind == "ident"
+                and text.upper() == "LIMIT"
+                and i + 3 < n
+                and toks[i + 1][0] == "number"
+                and is_op(i + 2, ",")
+                and toks[i + 3][0] == "number"
+            ):
+                off_txt = toks[i + 1][1]
+                cnt_txt = toks[i + 3][1]
+                edits.append(
+                    (toks[i + 1][2], toks[i + 3][3],
+                     f"{cnt_txt} OFFSET {off_txt}")
+                )
+                i += 4
+                continue
 
         # BigQuery raw/bytes string prefixes: r'...' keeps backslashes
         # literal (ubiquitous for regex patterns) — re-emit as a Spark
@@ -975,6 +1297,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # through untouched (rewriting via 1-based element_at would be a
         # silent off-by-one); only the bracket LITERAL forms rewrite.
         if kind == "op" and text == "[":
+            if read == "mysql":
+                raise TranspileError(
+                    "mysql has no array/bracket expression syntax; "
+                    "brackets in mysql-dialect model SQL are not "
+                    "transpilable"
+                )
             close = _match_bracket(toks, i)
             # DuckDB slice syntax x[1:3] has no element_at analog — LOUD.
             bdepth = 0
@@ -990,7 +1318,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         "use slice(arr, start, length) explicitly"
                     )
             prev = toks[i - 1] if i > 0 else None
-            zero_based = read in ("snowflake", "bigquery")
+            # Redshift SUPER-array subscripts are 0-based too (pass-through
+            # = Spark's native semantics).
+            zero_based = read in ("snowflake", "bigquery", "redshift")
             # DuckDB string subscript: 'abc'[2] is 1-based single-char
             # extraction → substr(lit, idx, 1).
             if prev is not None and prev[0] == "string" and not zero_based:
@@ -1131,7 +1461,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         if (
             kind == "ident"
             and text.upper() == "QUALIFY"
-            and read in ("duckdb", "snowflake", "bigquery")
+            and read in ("duckdb", "snowflake", "bigquery", "redshift")
         ):
             # locate the owning SELECT (nearest, scanning back at depth 0)
             depth = 0
@@ -1639,33 +1969,6 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     i = region_end_tok + 1
                     continue
 
-                if name in ("dateadd", "timeadd", "timestampadd") and first_pass:
-                    # Type caveat (documented, not fixable statically):
-                    # Snowflake DATEADD returns its input's type, but the
-                    # operand type is unknowable at render time, so the
-                    # result is always TIMESTAMP. Values are correct; a
-                    # DATE-typed operand gains a 00:00:00 time part.
-                    spans, _close = _call_arg_spans(toks, i + 1)
-                    if len(spans) != 3:
-                        raise TranspileError(f"{name} expects 3 args")
-                    u_tok = toks[spans[0][0]]
-                    if u_tok[0] == "string":
-                        raw_unit = _literal_content(u_tok[1], read).lower()
-                    elif u_tok[0] == "ident" and spans[0][0] == spans[0][1]:
-                        raw_unit = u_tok[1].lower()
-                    else:
-                        raise TranspileError(f"{name} unit must be a literal")
-                    unit = _DIFF_UNITS.get(raw_unit)
-                    if unit is None:
-                        raise TranspileError(
-                            f"{name} unit {raw_unit!r} has no Spark "
-                            "timestampadd equivalent"
-                        )
-                    edits.append((start, end, "timestampadd"))
-                    edits.append((u_tok[2], toks[spans[0][1]][3], unit))
-                    i += 1
-                    continue
-
             # ---- BigQuery-specific handlers
             if read == "bigquery":
                 if name == "unnest":
@@ -2094,6 +2397,319 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     i += 1
                     continue
 
+            # ---- Redshift-specific handlers
+            if read == "redshift":
+                if name in ("getdate", "getutcdate"):
+                    # Both return UTC wall-clock regardless of session TZ
+                    # (Redshift stores timestamps normalized to UTC).
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if spans:
+                        raise TranspileError(f"{name} takes no arguments")
+                    edits.append(
+                        (start, toks[close][3],
+                         "to_utc_timestamp(current_timestamp(), current_timezone())")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "convert" and first_pass:
+                    # Redshift CONVERT(type, expr) — type first. Rewrite to
+                    # CAST(expr AS TYPE) with the type name run through the
+                    # dialect type map. Parameterized types (DECIMAL(10,2))
+                    # keep their argument list.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError("convert takes (type, expression)")
+                    t_first, t_last = spans[0]
+                    t_tok = toks[t_first]
+                    if t_tok[0] != "ident":
+                        raise TranspileError(
+                            "convert type must be a plain type name"
+                        )
+                    tname = t_tok[1].lower()
+                    if t_first == t_last:
+                        type_text = _lookup_type(read, tname) or t_tok[1].upper()
+                    elif (
+                        toks[t_first + 1][0] == "op"
+                        and toks[t_first + 1][1] == "("
+                    ):
+                        base_ = _PARAM_TYPES.get(read, {}).get(tname, t_tok[1].upper())
+                        type_text = base_ + sql[toks[t_first + 1][2] : toks[t_last][3]]
+                    else:
+                        raise TranspileError(
+                            "convert type must be a plain type name"
+                        )
+                    expr_text = _arg_text(spans[1])
+                    edits.append(
+                        (start, toks[close][3],
+                         f"CAST({expr_text} AS {type_text})")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "json_extract_path_text" and first_pass:
+                    # json_extract_path_text(j, 'a', 'b'[, null_if_invalid])
+                    # → get_json_object(j, '$.a.b'). Literal path elements
+                    # only ($-path assembly needs them at render time).
+                    # Divergence, documented: on malformed JSON Spark
+                    # returns NULL where Redshift without null_if_invalid
+                    # errors — NULL-on-garbage accepted for fidelity of the
+                    # well-formed path.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) < 2:
+                        raise TranspileError(
+                            "json_extract_path_text needs at least one path "
+                            "element"
+                        )
+                    path_spans = spans[1:]
+                    if (
+                        path_spans
+                        and toks[path_spans[-1][0]][0] == "ident"
+                        and toks[path_spans[-1][0]][1].lower() in ("true", "false")
+                    ):
+                        path_spans = path_spans[:-1]
+                    parts = []
+                    for p_first, p_last in path_spans:
+                        p_tok = toks[p_first]
+                        if p_first != p_last or p_tok[0] != "string":
+                            raise TranspileError(
+                                "json_extract_path_text path elements must "
+                                "be string literals to transpile"
+                            )
+                        elem = _literal_content(p_tok[1], read)
+                        if "'" in elem or "." in elem or "[" in elem:
+                            raise TranspileError(
+                                f"json path element {elem!r} cannot be "
+                                "embedded in a $.a.b path"
+                            )
+                        parts.append(elem)
+                    j_text = _arg_text(spans[0])
+                    path = "$." + ".".join(parts)
+                    edits.append(
+                        (start, toks[close][3],
+                         f"get_json_object({j_text}, '{path}')")
+                    )
+                    i = close + 1
+                    continue
+
+            # ---- MySQL-specific handlers
+            if read == "mysql":
+                if name == "utc_timestamp":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if spans:
+                        raise TranspileError("utc_timestamp takes no arguments")
+                    edits.append(
+                        (start, toks[close][3],
+                         "to_utc_timestamp(current_timestamp(), current_timezone())")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "date_format" and first_pass:
+                    # Same name + arg order as Spark, but MySQL %-codes.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2 or toks[spans[1][0]][0] != "string" \
+                            or spans[1][0] != spans[1][1]:
+                        raise TranspileError(
+                            "mysql date_format needs a literal format to "
+                            "transpile"
+                        )
+                    fmt_tok = toks[spans[1][0]]
+                    raw_fmt = _literal_content(fmt_tok[1], read)
+                    if "%" not in raw_fmt:
+                        # No %-codes: either our OWN already-converted Java
+                        # pattern re-read on a later logical pass (must
+                        # stay untouched for idempotence) or a pure-literal
+                        # MySQL format. Letters are ambiguous between the
+                        # two readings — loud; letterless formats mean the
+                        # same in both.
+                        if re.search(r"[A-Za-z]", raw_fmt):
+                            raise TranspileError(
+                                f"date_format pattern {raw_fmt!r} has no "
+                                "%-codes; cannot tell a literal MySQL "
+                                "format from an already-Spark pattern"
+                            )
+                        i += 1
+                        continue
+                    converted = convert_mysql_format(raw_fmt)
+                    edits.append((start, end, "date_format"))
+                    edits.append(
+                        (fmt_tok[2], fmt_tok[3],
+                         _spark_string_literal(converted, read))
+                    )
+                    i += 1
+                    continue
+
+                if name == "str_to_date" and first_pass:
+                    # → to_timestamp when the format has time codes, else
+                    # to_date (MySQL returns DATETIME vs DATE on the same
+                    # rule).
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2 or toks[spans[1][0]][0] != "string" \
+                            or spans[1][0] != spans[1][1]:
+                        raise TranspileError(
+                            "str_to_date needs a literal format to transpile"
+                        )
+                    fmt_tok = toks[spans[1][0]]
+                    raw_fmt = _literal_content(fmt_tok[1], read)
+                    converted = convert_mysql_format(raw_fmt)
+                    target = (
+                        "to_timestamp" if _mysql_fmt_has_time(raw_fmt)
+                        else "to_date"
+                    )
+                    edits.append((start, end, target))
+                    edits.append(
+                        (fmt_tok[2], fmt_tok[3],
+                         _spark_string_literal(converted, read))
+                    )
+                    i += 1
+                    continue
+
+                if name == "from_unixtime" and first_pass:
+                    # 1-arg matches Spark; 2-arg format is MySQL %-codes
+                    # (Spark's is a Java pattern).
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 2:
+                        fmt_tok = toks[spans[1][0]]
+                        if toks[spans[1][0]][0] != "string" \
+                                or spans[1][0] != spans[1][1]:
+                            raise TranspileError(
+                                "from_unixtime format must be a literal to "
+                                "transpile"
+                            )
+                        converted = convert_mysql_format(
+                            _literal_content(fmt_tok[1], read)
+                        )
+                        edits.append((start, end, "from_unixtime"))
+                        edits.append(
+                            (fmt_tok[2], fmt_tok[3],
+                             _spark_string_literal(converted, read))
+                        )
+                    i += 1
+                    continue
+
+                if name == "group_concat" and first_pass:
+                    # GROUP_CONCAT([DISTINCT] expr [SEPARATOR 'sep']) →
+                    # listagg([DISTINCT] expr, sep), default separator ','.
+                    # ORDER BY inside the call has no pre-4.0 rewrite and
+                    # WITHIN GROUP placement differs — LOUD.
+                    _require_spark4(name, "listagg")
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(
+                            "group_concat with multiple exprs has no "
+                            "direct Spark rewrite (concatenate explicitly)"
+                        )
+                    s_first, s_last = spans[0]
+                    sep_lit = "','"
+                    arg_end = toks[s_last][3]
+                    # scan the single arg span for ORDER BY / SEPARATOR
+                    # at bracket depth 0
+                    depth_ = 0
+                    sep_at = None
+                    for j in range(s_first, s_last + 1):
+                        k_, t_, _, _ = toks[j]
+                        if k_ == "op" and t_ in ("(", "["):
+                            depth_ += 1
+                        elif k_ == "op" and t_ in (")", "]"):
+                            depth_ -= 1
+                        elif depth_ == 0 and k_ == "ident":
+                            up = t_.upper()
+                            if up == "ORDER":
+                                raise TranspileError(
+                                    "group_concat ORDER BY has no Spark "
+                                    "rewrite (listagg WITHIN GROUP differs "
+                                    "in placement); order in an outer query"
+                                )
+                            if up == "SEPARATOR":
+                                sep_at = j
+                    if sep_at is not None:
+                        if (
+                            sep_at + 1 > s_last
+                            or toks[sep_at + 1][0] != "string"
+                            or sep_at + 1 != s_last
+                        ):
+                            raise TranspileError(
+                                "group_concat SEPARATOR must be a trailing "
+                                "string literal"
+                            )
+                        sep_lit = _spark_string_literal(
+                            _literal_content(toks[sep_at + 1][1], read), read
+                        )
+                        # expr ends just before SEPARATOR
+                        arg_end = toks[sep_at - 1][3]
+                        # drop "SEPARATOR 'sep'"
+                        edits.append((arg_end, toks[s_last][3], ""))
+                    edits.append((start, end, "listagg"))
+                    edits.append((arg_end, arg_end, f", {sep_lit}"))
+                    i += 1
+                    continue
+
+                if name in ("date_add", "date_sub", "adddate", "subdate") \
+                        and first_pass:
+                    # INTERVAL form → timestampadd(UNIT, [-]expr, date) —
+                    # Spark INTERVAL literals need constant quantities, but
+                    # MySQL allows expressions, so timestampadd is the
+                    # general rewrite (type caveat as dateadd: result is
+                    # TIMESTAMP). adddate(d, n) day-shorthand matches
+                    # Spark's own date_add(d, n).
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError(f"{name} takes 2 args")
+                    s2_first, s2_last = spans[1]
+                    neg = name in ("date_sub", "subdate")
+                    if (
+                        toks[s2_first][0] == "ident"
+                        and toks[s2_first][1].upper() == "INTERVAL"
+                    ):
+                        if s2_last < s2_first + 2:
+                            raise TranspileError(
+                                f"{name} INTERVAL needs a quantity and unit"
+                            )
+                        u_tok = toks[s2_last]
+                        if u_tok[0] != "ident":
+                            raise TranspileError(
+                                f"{name} INTERVAL unit must be a keyword"
+                            )
+                        unit = _DIFF_UNITS.get(u_tok[1].lower())
+                        if unit is None and u_tok[1].lower() == "microsecond":
+                            unit = "MICROSECOND"
+                        if unit is None:
+                            raise TranspileError(
+                                f"{name} unit {u_tok[1]!r} has no Spark "
+                                "timestampadd equivalent (composite units "
+                                "like SECOND_MICROSECOND are unsupported)"
+                            )
+                        qty = transpile(
+                            sql[toks[s2_first + 1][2] : toks[s2_last - 1][3]],
+                            read,
+                        )
+                        date_text = _arg_text(spans[0])
+                        qty_text = f"-({qty})" if neg else qty
+                        edits.append(
+                            (start, toks[close][3],
+                             f"timestampadd({unit}, {qty_text}, {date_text})")
+                        )
+                        i = close + 1
+                        continue
+                    if name in ("adddate", "subdate"):
+                        # integer-days shorthand
+                        if neg:
+                            d_text = _arg_text(spans[0])
+                            n_text = _arg_text(spans[1])
+                            edits.append(
+                                (start, toks[close][3],
+                                 f"date_sub({d_text}, {n_text})")
+                            )
+                            i = close + 1
+                        else:
+                            edits.append((start, end, "date_add"))
+                            i += 1
+                        continue
+                    raise TranspileError(
+                        f"mysql {name} needs an INTERVAL second argument"
+                    )
+
             # ---- special handlers (arg restructuring / literal rewrites)
             if name in ("strftime", "strptime") and read in ("duckdb", "postgres") and first_pass:
                 spans_, _close_ = _call_arg_spans(toks, i + 1)
@@ -2113,7 +2729,37 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i += 1
                 continue
 
-            if name in ("to_char",) and read == "postgres" and first_pass:
+            if name in ("ltrim", "rtrim", "btrim", "trim") and read in (
+                "duckdb", "postgres", "redshift"
+            ) and first_pass:
+                # These dialects' 2-arg forms are (str, chars); Spark's
+                # 2-arg ltrim/rtrim are the REVERSED (trimStr, str) —
+                # passing through silently trims the wrong operand. Rewrite
+                # to the unambiguous keyword syntax
+                # TRIM(LEADING|TRAILING|BOTH chars FROM str); both engines
+                # treat chars as a SET. 1-arg forms match Spark — untouched.
+                # (TRIM(BOTH x FROM y) keyword syntax has no top-level
+                # comma → single span → also untouched.)
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) == 2:
+                    side = {
+                        "ltrim": "LEADING", "rtrim": "TRAILING",
+                        "btrim": "BOTH", "trim": "BOTH",
+                    }[name]
+                    s_text = _arg_text(spans[0])
+                    c_text = _arg_text(spans[1])
+                    edits.append(
+                        (start, toks[close][3],
+                         f"TRIM({side} {c_text} FROM {s_text})")
+                    )
+                    i = close + 1
+                    continue
+                elif len(spans) > 2:
+                    raise TranspileError(f"{name} takes at most 2 args")
+                i += 1
+                continue
+
+            if name in ("to_char",) and read in ("postgres", "redshift") and first_pass:
                 spans_, _close_ = _call_arg_spans(toks, i + 1)
                 args = [sp[0] for sp in spans_]
                 if len(args) == 2 and toks[args[1]][0] == "string" \
@@ -2149,8 +2795,38 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i += 1
                 continue
 
+            if name in ("dateadd", "timeadd", "timestampadd") and read in (
+                "snowflake", "redshift"
+            ) and first_pass:
+                # Snowflake + Redshift DATEADD(unit, n, expr) — same shape,
+                # same bare-or-quoted unit keyword. Type caveat (documented,
+                # not fixable statically): both return their input's type,
+                # but the operand type is unknowable at render time, so the
+                # result is always TIMESTAMP. Values are correct; a
+                # DATE-typed operand gains a 00:00:00 time part.
+                spans, _close = _call_arg_spans(toks, i + 1)
+                if len(spans) != 3:
+                    raise TranspileError(f"{name} expects 3 args")
+                u_tok = toks[spans[0][0]]
+                if u_tok[0] == "string":
+                    raw_unit = _literal_content(u_tok[1], read).lower()
+                elif u_tok[0] == "ident" and spans[0][0] == spans[0][1]:
+                    raw_unit = u_tok[1].lower()
+                else:
+                    raise TranspileError(f"{name} unit must be a literal")
+                unit = _DIFF_UNITS.get(raw_unit)
+                if unit is None:
+                    raise TranspileError(
+                        f"{name} unit {raw_unit!r} has no Spark "
+                        "timestampadd equivalent"
+                    )
+                edits.append((start, end, "timestampadd"))
+                edits.append((u_tok[2], toks[spans[0][1]][3], unit))
+                i += 1
+                continue
+
             if name in ("date_diff", "datediff") and read in (
-                "duckdb", "postgres", "snowflake"
+                "duckdb", "postgres", "snowflake", "redshift"
             ):
                 # DuckDB date_diff counts UNIT-BOUNDARY CROSSINGS while
                 # Spark timestampdiff counts complete elapsed units
@@ -2165,11 +2841,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     if u_tok[0] == "string":
                         raw_unit = _literal_content(u_tok[1], read).lower()
                     elif (
-                        read == "snowflake"
+                        read in ("snowflake", "redshift")
                         and u_tok[0] == "ident"
                         and spans[0][0] == spans[0][1]
                     ):
-                        # Snowflake allows a bare unit keyword: datediff(day, a, b)
+                        # Snowflake/Redshift allow a bare unit keyword:
+                        # datediff(day, a, b)
                         raw_unit = u_tok[1].lower()
                     else:
                         raise TranspileError(
@@ -2320,11 +2997,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i += 1
                 continue
 
-            if name in ("to_timestamp", "to_date") and read == "postgres" and first_pass:
-                # Postgres to_timestamp(s, fmt)/to_date(s, fmt) carry
-                # Postgres patterns; Spark reuses the same function names
-                # with DIFFERENT pattern letters (DD = day-of-year), so
-                # passing them through silently would parse wrong dates —
+            if name in ("to_timestamp", "to_date") and read in (
+                "postgres", "redshift"
+            ) and first_pass:
+                # Postgres/Redshift to_timestamp(s, fmt)/to_date(s, fmt)
+                # carry Postgres patterns; Spark reuses the same function
+                # names with DIFFERENT pattern letters (DD = day-of-year),
+                # so passing them through silently would parse wrong dates —
                 # convert the literal format. 1-arg to_timestamp(epoch)
                 # becomes timestamp_seconds.
                 spans, _close = _call_arg_spans(toks, i + 1)
@@ -2346,11 +3025,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
             if name in ("dayname", "monthname") and read in (
-                "duckdb", "postgres", "snowflake"
+                "duckdb", "postgres", "snowflake", "mysql"
             ):
-                # dayname(x) → date_format(x, 'EEEE'); monthname → 'MMMM'.
-                # Snowflake returns the ABBREVIATED names ('Mon'/'Jan') —
-                # 'EEE'/'MMM'.
+                # dayname(x) → date_format(x, 'EEEE'); monthname → 'MMMM'
+                # (MySQL also returns full names). Snowflake returns the
+                # ABBREVIATED names ('Mon'/'Jan') — 'EEE'/'MMM'.
                 args = _call_args(toks, i + 1)
                 close = args[-1]
                 if read == "snowflake":
@@ -2440,6 +3119,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             # alias, silently corrupting results).
             needs_reencode = "\\" in text or (
                 read == "bigquery" and text[:3] in ("'''", '"""')
+            ) or (
+                # mysql double-quoted STRINGS re-emit single-quoted: Spark
+                # reads "..." as a literal too, but its handling of the
+                # mysql ("")-doubling differs — re-encoding removes the
+                # ambiguity entirely.
+                read == "mysql" and text[0] == '"'
             )
             if (
                 kind == "string"

@@ -2610,3 +2610,167 @@ WHERE MOD(o_orderkey, 5) = 0
     )
     ctx.run(environment="env_rx")
     return spark.table("env_rx_views.order_tags")
+
+
+RS_DIALECT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN instr(o_orderpriority, 'URGENT') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', CAST(MAX(o_orderdate) AS TIMESTAMP)) AS BIGINT) AS days_since,
+       CAST(length(ltrim(MAX(o_orderpriority), '0123456789-')) AS BIGINT) AS prio_len,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       'eu' AS region_code
+FROM orders
+WHERE o_custkey % 5 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_redshift_dialect_model", oracle=RS_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_redshift_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in REDSHIFT dialect loaded through plan/apply —
+    the second-largest warehouse migration source (reference
+    renderer.py:517 / dialect.py:1040 accept any SQLGlot read dialect).
+    The text exercises Redshift-specific seams: TO_CHAR with
+    Postgres-style patterns, bare-keyword DATEDIFF (boundary-crossing
+    semantics), LEN, CHARINDEX, the (str, chars) LTRIM form (Spark's
+    2-arg ltrim has REVERSED operands — silent wrong values without the
+    TRIM-keyword rewrite), CONVERT(type, expr), JSON_EXTRACT_PATH_TEXT
+    → get_json_object, and ``::`` casts. The DuckDB oracle computes the
+    same VALUES through its own functions, so the hash match proves
+    dialect-to-dialect value parity."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_rs", "env_rs_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_rs.order_stats,
+  kind FULL,
+  dialect redshift
+);
+SELECT TO_CHAR(o_orderdate, 'YYYY-MM') AS month,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(CASE WHEN CHARINDEX('URGENT', o_orderpriority) > 0 THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+       DATEDIFF(day, TIMESTAMP '1995-01-01', MAX(o_orderdate))::BIGINT AS days_since,
+       LEN(LTRIM(MAX(o_orderpriority), '0123456789-'))::BIGINT AS prio_len,
+       CONVERT(BIGINT, MIN(o_orderkey)) AS min_key,
+       JSON_EXTRACT_PATH_TEXT('{"region": {"code": "eu"}}', 'region', 'code') AS region_code
+FROM orders
+WHERE o_custkey % 5 = 0
+GROUP BY TO_CHAR(o_orderdate, 'YYYY-MM')
+"""
+    )
+    ctx.run(environment="env_rs")
+    return spark.table("env_rs_views.order_stats")
+
+
+MY_DIALECT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(date_diff('day', DATE '1995-01-01', MAX(o_orderdate)) AS BIGINT) AS days_since,
+       split_part(MAX(o_orderpriority), '-', 1) AS prio_rank,
+       CAST(length(MAX(o_orderpriority)) AS BIGINT) AS prio_chars
+FROM orders
+WHERE o_custkey % 7 = 0 OR o_custkey % 11 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_mysql_dialect_model", oracle=MY_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_mysql_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in MYSQL dialect loaded through plan/apply — the
+    most common OLTP-source dialect for replicated reporting models
+    (reference renderer.py:517 / dialect.py:1040). The text exercises
+    MySQL-specific seams: DATE_FORMAT with MySQL %-codes (%i = minutes
+    class — here %Y-%m), IF(), STR_TO_DATE, bare ``||`` meaning logical
+    OR (PIPES_AS_CONCAT off — Spark would read string concat: silent
+    wrong rows), SUBSTRING_INDEX, CHAR_LENGTH vs byte-LENGTH, backtick
+    identifiers, CAST AS SIGNED, ``#`` line comments, and TIMESTAMPDIFF
+    (complete-units semantics, matching Spark's — midnight dates make it
+    equal to the oracle's boundary count). DuckDB computes the same
+    values natively; the hash match proves parity."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_my", "env_my_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_my.order_stats,
+  kind FULL,
+  dialect mysql
+);
+SELECT DATE_FORMAT(o_orderdate, '%Y-%m') AS month,  # month bucket
+       CAST(COUNT(*) AS SIGNED) AS n_orders,
+       CAST(SUM(IF(o_orderpriority = '1-URGENT', 1, 0)) AS SIGNED) AS n_urgent,
+       CAST(TIMESTAMPDIFF(DAY, STR_TO_DATE('1995-01-01', '%Y-%m-%d'), MAX(o_orderdate)) AS SIGNED) AS days_since,
+       SUBSTRING_INDEX(MAX(`o_orderpriority`), '-', 1) AS prio_rank,
+       CAST(CHAR_LENGTH(MAX(o_orderpriority)) AS SIGNED) AS prio_chars
+FROM orders
+WHERE o_custkey % 7 = 0 || o_custkey % 11 = 0
+GROUP BY DATE_FORMAT(o_orderdate, '%Y-%m')
+"""
+    )
+    ctx.run(environment="env_my")
+    return spark.table("env_my_views.order_stats")
+
+
+MY_INCR_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-12-31 00:00:00'
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("framework_mysql_dialect_incremental", oracle=MY_INCR_ORACLE, tags=("dialect", "framework"))
+def framework_mysql_dialect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect × temporal-macro interplay for the MYSQL grammar (the
+    mysql lexer has the most divergent literal rules: backslash escapes,
+    double-quoted strings, ``#`` comments): an INCREMENTAL_BY_TIME_RANGE
+    model mixing @start_ts/@end_ts macros with DATE_FORMAT %-codes and
+    CAST AS SIGNED. Macros expand FIRST, transpile second (scheduler
+    render order), so the temporal literals the macros inject must
+    survive the mysql literal re-reading. Two plan/apply rounds verify
+    the incremental contract holds for transpiled models (mirrors
+    framework_dialect_incremental, the duckdb twin)."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_myi", "env_myi_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_myi.daily_orders,
+  kind INCREMENTAL_BY_TIME_RANGE (time_column event_ts),
+  dialect mysql,
+  cron '@daily'
+);
+SELECT o_orderdate AS event_ts,  # time column
+       DATE_FORMAT(o_orderdate, '%Y-%m-%d') AS ds,
+       CAST(COUNT(*) AS SIGNED) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS SIGNED)) AS SIGNED) AS revenue_cents
+FROM orders
+WHERE o_orderdate >= CAST(@start_ts AS DATETIME)
+  AND o_orderdate <  CAST(@end_ts AS DATETIME)
+GROUP BY o_orderdate, DATE_FORMAT(o_orderdate, '%Y-%m-%d')
+"""
+    )
+    ctx.run(environment="env_myi", start="1995-01-01", end="1995-06-30")
+    executed = ctx.run(environment="env_myi", start="1995-01-01", end="1995-12-31")
+    assert executed["demo_myi.daily_orders"] >= 1
+    return spark.table("env_myi_views.daily_orders").select(
+        "ds", "n_orders", "revenue_cents"
+    )

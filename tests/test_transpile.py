@@ -1739,3 +1739,322 @@ def test_raw_string_reemission_per_grammar(spark):
     BS, SQ = chr(92), chr(39)
     out = transpile(f'SELECT r"{BS}{SQ}a" AS x, r"{BS}{SQ}b" AS y', "bigquery")
     assert [tuple(r) for r in spark.sql(out).collect()] == [("\\'a", "\\'b")]
+
+
+# ---------------------------------------------------------------------------
+# Redshift read dialect (round-5: second-largest warehouse migration source;
+# reference renderer.py:517 / dialect.py:1040 accept it like any other)
+# ---------------------------------------------------------------------------
+
+
+def test_redshift_function_renames():
+    out = transpile(
+        "SELECT LEN(x) AS a, CHARINDEX('q', x) AS b, STRPOS(x, 'q') AS c, "
+        "NVL(x, y) AS d FROM t",
+        "redshift",
+    )
+    assert "length(x)" in out
+    assert "position('q', x)" in out
+    assert "instr(x, 'q')" in out
+    assert "NVL(x, y)" in out  # identical in Spark — untouched
+
+
+def test_redshift_getdate_sysdate_utc(spark):
+    out = transpile("SELECT GETDATE() AS g, SYSDATE AS s", "redshift")
+    assert out.count("to_utc_timestamp(current_timestamp()") == 2
+    row = spark.sql(out).collect()[0]
+    assert row.g is not None and row.s is not None
+
+
+def test_redshift_dateadd_datediff_bare_units(spark):
+    out = transpile(
+        "SELECT DATEDIFF(month, DATE '2024-01-31', DATE '2024-02-01') AS d, "
+        "DATEADD(day, 3, DATE '2024-01-01') AS a",
+        "redshift",
+    )
+    row = spark.sql(out).collect()[0]
+    # Redshift datediff counts BOUNDARY CROSSINGS: Jan-31 → Feb-01 is 1
+    assert row.d == 1
+    assert str(row.a).startswith("2024-01-04")
+
+
+def test_redshift_to_char_pg_patterns(spark):
+    out = transpile(
+        "SELECT TO_CHAR(TIMESTAMP '2024-03-05 07:08:09', "
+        "'YYYY-MM-DD HH24:MI:SS') AS v",
+        "redshift",
+    )
+    assert spark.sql(out).collect()[0][0] == "2024-03-05 07:08:09"
+
+
+def test_redshift_convert_to_cast(spark):
+    out = transpile(
+        "SELECT CONVERT(INTEGER, '42') AS a, CONVERT(DECIMAL(10,2), '1.5') AS b",
+        "redshift",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == 42
+    assert float(row.b) == 1.5
+
+
+def test_redshift_json_extract_path_text(spark):
+    out = transpile(
+        """SELECT JSON_EXTRACT_PATH_TEXT('{"a": {"b": "v"}}', 'a', 'b') AS v""",
+        "redshift",
+    )
+    assert spark.sql(out).collect()[0][0] == "v"
+    # trailing null_if_invalid flag is dropped
+    out2 = transpile(
+        """SELECT JSON_EXTRACT_PATH_TEXT('{"a": 1}', 'a', true) AS v""",
+        "redshift",
+    )
+    assert spark.sql(out2).collect()[0][0] == "1"
+
+
+def test_redshift_trim_family_arg_order(spark):
+    # Redshift/PG (str, chars) vs Spark 2-arg (trimStr, str): must rewrite
+    # to keyword TRIM or the wrong operand is trimmed silently.
+    out = transpile(
+        "SELECT LTRIM('xyhix', 'xy') AS l, RTRIM('hixyx', 'xy') AS r, "
+        "BTRIM('xyhixy', 'xy') AS b",
+        "redshift",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.l, row.r, row.b) == ("hix", "hi", "hi")
+
+
+def test_duckdb_trim_two_arg_parity(spark):
+    # same latent seam existed for duckdb/postgres reads — execution parity
+    import duckdb
+
+    sql = "SELECT ltrim('xyhix', 'xy') AS l, trim('xyhixy', 'xy') AS b"
+    want = duckdb.sql(sql).fetchone()
+    got = tuple(spark.sql(transpile(sql, "duckdb")).collect()[0])
+    assert got == want
+
+
+def test_redshift_escape_literals(spark):
+    # octal + hex + unknown-escape-drops-backslash (PG 8.0 rules)
+    out = transpile(r"SELECT '\101\x42' AS a, '\d' AS b", "redshift")
+    row = spark.sql(out).collect()[0]
+    assert row.a == "AB"
+    assert row.b == "d"
+
+
+def test_redshift_qualify(spark):
+    out = transpile(
+        "SELECT * FROM VALUES (1, 10), (1, 20) AS t(g, v) "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1",
+        "redshift",
+    )
+    assert [tuple(r) for r in spark.sql(out).collect()] == [(1, 20)]
+
+
+def test_redshift_loud_surface():
+    for sql in (
+        "SELECT STRTOL('ff', 16) FROM t",
+        "SELECT TRUNC(ts) FROM t",
+        "SELECT CAST(x AS SUPER) FROM t",
+        "SELECT DECODE(x, 1, 'a', 'b') FROM t",
+        "SELECT SYSDATE() FROM t",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(sql, "redshift")
+
+
+# ---------------------------------------------------------------------------
+# MySQL read dialect (most common OLTP migration source)
+# ---------------------------------------------------------------------------
+
+
+def test_mysql_date_format_codes(spark):
+    out = transpile(
+        "SELECT DATE_FORMAT(TIMESTAMP '2024-03-05 07:08:09', "
+        "'%Y-%m-%d %H:%i:%s') AS v",
+        "mysql",
+    )
+    assert spark.sql(out).collect()[0][0] == "2024-03-05 07:08:09"
+
+
+def test_mysql_date_format_names_and_12h(spark):
+    out = transpile(
+        "SELECT DATE_FORMAT(TIMESTAMP '2024-03-05 13:08:09', "
+        "'%M %b %W %a %h %p') AS v",
+        "mysql",
+    )
+    assert spark.sql(out).collect()[0][0] == "March Mar Tuesday Tue 01 PM"
+
+
+def test_mysql_str_to_date_date_vs_datetime(spark):
+    out = transpile(
+        "SELECT STR_TO_DATE('05,3,2024', '%d,%c,%Y') AS d, "
+        "STR_TO_DATE('2024-03-05 07:08', '%Y-%m-%d %H:%i') AS ts",
+        "mysql",
+    )
+    assert "to_date(" in out and "to_timestamp(" in out
+    row = spark.sql(out).collect()[0]
+    assert str(row.d) == "2024-03-05"
+    assert str(row.ts) == "2024-03-05 07:08:00"
+
+
+def test_mysql_group_concat(spark):
+    out = transpile(
+        "SELECT g, GROUP_CONCAT(v SEPARATOR '|') AS s "
+        "FROM VALUES (1,'a'),(1,'b'),(2,'c') AS t(g, v) GROUP BY g",
+        "mysql",
+    )
+    rows = {r.g: r.s for r in spark.sql(out).collect()}
+    assert set(rows[1].split("|")) == {"a", "b"}
+    assert rows[2] == "c"
+    # default separator is ','
+    out2 = transpile(
+        "SELECT GROUP_CONCAT(v) AS s FROM VALUES ('a'),('a'),('b') AS t(v)",
+        "mysql",
+    )
+    assert set(spark.sql(out2).collect()[0][0].split(",")) == {"a", "b"}
+    # DISTINCT folds duplicates
+    out3 = transpile(
+        "SELECT GROUP_CONCAT(DISTINCT v) AS s "
+        "FROM VALUES ('a'),('a'),('b') AS t(v)",
+        "mysql",
+    )
+    assert sorted(spark.sql(out3).collect()[0][0].split(",")) == ["a", "b"]
+
+
+def test_mysql_interval_arithmetic(spark):
+    out = transpile(
+        "SELECT DATE_ADD(DATE '2024-01-01', INTERVAL 2 WEEK) AS a, "
+        "DATE_SUB(TIMESTAMP '2024-01-10 00:00:00', INTERVAL 9 DAY) AS s, "
+        "ADDDATE(DATE '2024-01-01', 5) AS p",
+        "mysql",
+    )
+    row = spark.sql(out).collect()[0]
+    assert str(row.a).startswith("2024-01-15")
+    assert str(row.s).startswith("2024-01-01")
+    assert str(row.p) == "2024-01-06"
+
+
+def test_mysql_interval_expression_quantity(spark):
+    # MySQL allows expression quantities; Spark INTERVAL literals don't —
+    # the timestampadd rewrite must carry the expression through.
+    out = transpile(
+        "SELECT DATE_ADD(DATE '2024-01-01', INTERVAL n + 1 DAY) AS v "
+        "FROM VALUES (1) AS t(n)",
+        "mysql",
+    )
+    assert str(spark.sql(out).collect()[0][0]).startswith("2024-01-03")
+
+
+def test_mysql_length_is_bytes(spark):
+    out = transpile("SELECT LENGTH('héllo') AS b, CHAR_LENGTH('héllo') AS c", "mysql")
+    row = spark.sql(out).collect()[0]
+    assert (row.b, row.c) == (6, 5)
+
+
+def test_mysql_pipes_are_or(spark):
+    out = transpile(
+        "SELECT v FROM VALUES (1),(2),(3) AS t(v) WHERE v = 1 || v = 3",
+        "mysql",
+    )
+    assert sorted(r.v for r in spark.sql(out).collect()) == [1, 3]
+
+
+def test_mysql_limit_offset_form(spark):
+    out = transpile(
+        "SELECT v FROM VALUES (1),(2),(3),(4) AS t(v) ORDER BY v LIMIT 1, 2",
+        "mysql",
+    )
+    assert [r.v for r in spark.sql(out).collect()] == [2, 3]
+
+
+def test_mysql_hash_comments(spark):
+    out = transpile(
+        "SELECT 1 AS v # trailing\nFROM range(1) # another", "mysql"
+    )
+    assert "# trailing" not in out and "-- trailing" in out
+    assert spark.sql(out).collect()[0][0] == 1
+    # '#' inside a literal is NOT a comment
+    keep = transpile("SELECT '#tag' AS v", "mysql")
+    assert keep == "SELECT '#tag' AS v"
+
+
+def test_mysql_identifier_and_string_quoting(spark):
+    out = transpile('SELECT `v` AS a, "lit" AS b FROM VALUES (7) AS t(v)', "mysql")
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b) == (7, "lit")
+
+
+def test_mysql_escape_rules():
+    # \% and \_ keep the backslash (two-char output); \d drops it; \Z is
+    # ctrl-Z; doubled '' still folds
+    out = transpile(r"SELECT 'p\%q' AS a, '\d' AS b, 'it''s' AS c", "mysql")
+    assert r"'p\\%q'" in out
+    assert "'d'" in out
+    # no backslash → untouched; ''-doubling is valid Spark as-is
+    assert "'it''s'" in out
+
+
+def test_mysql_cast_targets(spark):
+    out = transpile(
+        "SELECT CAST('12' AS UNSIGNED) AS u, CAST(3.7 AS CHAR) AS c, "
+        "CAST('2024-01-01 01:02:03' AS DATETIME) AS d",
+        "mysql",
+    )
+    row = spark.sql(out).collect()[0]
+    assert int(row.u) == 12
+    assert row.c == "3.7"
+    assert str(row.d) == "2024-01-01 01:02:03"
+
+
+def test_mysql_misc_passthrough_and_renames(spark):
+    out = transpile(
+        "SELECT IFNULL(NULL, 'x') AS a, SUBSTRING_INDEX('a.b.c', '.', 2) AS b, "
+        "FORMAT(12345.678, 1) AS c, WEEKDAY(DATE '2024-03-05') AS d, "
+        "TIMESTAMPDIFF(MONTH, DATE '2024-01-15', DATE '2024-03-14') AS e",
+        "mysql",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == "x"
+    assert row.b == "a.b"
+    assert row.c == "12,345.7"
+    assert row.d == 1  # Tuesday, 0=Monday in both engines
+    assert row.e == 1  # complete months — MySQL semantics match Spark
+
+
+def test_mysql_loud_surface():
+    for sql in (
+        "SELECT a XOR b FROM t",
+        "SELECT j->'$.a' FROM t",
+        "SELECT WEEK(d) FROM t",
+        "SELECT TRUNCATE(x, 2) FROM t",
+        "SELECT LEAST(a, b) FROM t",          # NULL handling differs
+        "SELECT GROUP_CONCAT(v ORDER BY v) FROM t",
+        "SELECT DATE_FORMAT(d, '%D') FROM t",  # ordinal-suffix day
+        "SELECT DATE_FORMAT(d, 'abc') FROM t",  # no %-codes + letters
+        "SELECT CAST(x AS JSON) FROM t",
+        "SELECT arr[1] FROM t",
+        "SELECT DATE_ADD(d, INTERVAL 1 SECOND_MICROSECOND) FROM t",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(sql, "mysql")
+
+
+def test_new_dialects_in_noop_corpus():
+    # redshift joins the full no-op guarantee; mysql no-ops everything
+    # except date_format (that NAME is claimed by MySQL's own %-code
+    # semantics, where an already-Java pattern is ambiguous → loud).
+    corpus = [
+        "SELECT a, SUM(b) AS s FROM t WHERE c >= DATE '2024-01-01' GROUP BY a",
+        "WITH x AS (SELECT 1 AS a) SELECT a, ROW_NUMBER() OVER (ORDER BY a) FROM x",
+        "SELECT timestampdiff(DAY, a, b), date_trunc('month', ts) FROM t",
+        "SELECT /* block */ concat_ws('-', a, b) AS k FROM t ORDER BY k LIMIT 5",
+    ]
+    for sql in corpus:
+        assert transpile(sql, "redshift") == sql, sql
+        assert transpile(sql, "mysql") == sql, sql
+    assert (
+        transpile("SELECT date_format(ts, 'yyyy-MM') AS ym FROM t", "redshift")
+        == "SELECT date_format(ts, 'yyyy-MM') AS ym FROM t"
+    )
+    with pytest.raises(TranspileError):
+        transpile("SELECT date_format(ts, 'yyyy-MM') AS ym FROM t", "mysql")
