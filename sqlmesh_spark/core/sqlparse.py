@@ -119,6 +119,28 @@ _MYSQL_TOKEN_RE = re.compile(
 )
 
 
+def _derive_tsql_pattern() -> str:
+    """T-SQL grammar derived from the STANDARD grammar (T-SQL literals are
+    standard '' doubling, no backslash escapes) plus one alternative:
+    ``[Name]`` bracket-quoted identifiers (``]]`` doubles a bracket),
+    placed before the number/op classes so ``[`` never lexes as an op.
+    Same assert-on-derive rule as _derive_esc_pattern."""
+    old_alt = r"| (?P<number>"
+    new_alt = r"| (?P<brident>\[(?:[^\]]|\]\])*\])" + "\n  " + old_alt
+    pattern = _TOKEN_RE.pattern
+    replaced = pattern.replace(old_alt, new_alt, 1)
+    if replaced == pattern:  # pragma: no cover - build-time guard
+        raise AssertionError(
+            "tsql bracket-identifier grammar failed to derive: number "
+            "alternative not found in sqlparse._TOKEN_RE — update "
+            "sqlparse._derive_tsql_pattern"
+        )
+    return replaced
+
+
+_TSQL_TOKEN_RE = re.compile(_derive_tsql_pattern(), re.VERBOSE | re.DOTALL)
+
+
 def _token_re_for(dialect: str):
     """The ONE grammar choice shared by sqlparse.tokenize and
     transpile._tokenize_spans."""
@@ -126,6 +148,8 @@ def _token_re_for(dialect: str):
         return _BQ_TOKEN_RE
     if dialect == "mysql":
         return _MYSQL_TOKEN_RE
+    if dialect == "tsql":
+        return _TSQL_TOKEN_RE
     if dialect in ESCAPE_LITERAL_DIALECTS:
         return _ESC_TOKEN_RE
     return _TOKEN_RE
@@ -161,6 +185,10 @@ def tokenize(sql: str, dialect: str = "") -> list[Token]:
             kind = "string"
         if kind == "ident":
             out.append(Token("ident", text.lower(), text.upper()))
+        elif kind == "brident":
+            out.append(
+                Token("qident", text[1:-1].replace("]]", "]").lower(), "")
+            )
         elif kind in ("dquote", "bquote"):
             out.append(Token("qident", text[1:-1].lower(), ""))
         elif kind == "string":

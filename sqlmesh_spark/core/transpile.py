@@ -7,8 +7,8 @@ transpiles it to the target engine's dialect at render time
 dialect surface). sqlglot is not available in this sandbox, so this module
 implements the same *capability* directly on the tokenizer from
 ``core/sqlparse.py``: a span-preserving token rewrite from a read dialect
-(DuckDB / Postgres / ANSI / Snowflake / BigQuery / Redshift / MySQL) to
-Spark SQL.
+(DuckDB / Postgres / ANSI / Snowflake / BigQuery / Redshift / MySQL /
+Oracle / T-SQL) to Spark SQL.
 
 Design rules:
 
@@ -53,7 +53,8 @@ SPARK = "spark"
 
 #: read dialects accepted by ``transpile``; "" / None / "spark" are no-ops.
 READ_DIALECTS = (
-    "duckdb", "postgres", "ansi", "snowflake", "bigquery", "redshift", "mysql"
+    "duckdb", "postgres", "ansi", "snowflake", "bigquery", "redshift",
+    "mysql", "oracle", "tsql",
 )
 
 #: dialects whose string literals are standard SQL (backslash is an
@@ -62,8 +63,9 @@ READ_DIALECTS = (
 #: backslash as an escape character, matching Spark — no doubling
 #: (Redshift's standard_conforming_strings defaults to off, inherited
 #: from its PostgreSQL 8.0 base; models written against a cluster with it
-#: flipped on should declare dialect postgres instead).
-_STD_LITERAL_DIALECTS = ("duckdb", "postgres", "ansi")
+#: flipped on should declare dialect postgres instead). Oracle and T-SQL
+#: literals are standard '' doubling.
+_STD_LITERAL_DIALECTS = ("duckdb", "postgres", "ansi", "oracle", "tsql")
 
 # ---------------------------------------------------------------------------
 # Function maps: read-dialect function name → Spark function name, applied
@@ -304,6 +306,99 @@ _MYSQL_FN: dict[str, str | None] = {
     "benchmark": None, "sleep": None, "get_lock": None, "release_lock": None,
 }
 
+# Oracle renames (ref dialect.py:1040; the classic enterprise migration
+# source). Huge identical-semantics overlap with Spark — these pass
+# through: nvl, nvl2, decode (Spark's decode IS Oracle's NULL-safe
+# comparison form, verified on 4.1), months_between (same 31-day-month
+# formula), add_months, last_day, next_day, instr (2-arg), substr
+# (negative-from-end), lpad/rpad, translate, initcap, greatest/least
+# (Oracle propagates NULL... see map), ceil/floor/round/trunc-numeric
+# handled loud, listagg (Spark>=4 gate), sign, power, mod, chr, ascii,
+# soundex, concat (2-arg), coalesce, abs. TO_CHAR/TO_DATE/TO_TIMESTAMP
+# route through the shared Postgres-pattern handler (Oracle is that
+# pattern language's origin). Known documented divergence with no static
+# rewrite: Oracle '' IS NULL — Spark treats '' as a value.
+_ORACLE_FN: dict[str, str | None] = {
+    "sysdate": None,                    # bare-keyword handler below
+    "systimestamp": None,
+    "to_number": None,                  # unknown target scale → loud; use
+                                        # CAST(x AS DECIMAL(p,s))
+    "rownum": None,                     # pseudo-column guard (ident form
+                                        # handled below) — use ROW_NUMBER()
+    "rowid": None, "rowidtochar": None,
+    "least": None,                      # Oracle returns NULL on any NULL
+    "greatest": None,                   # arg; Spark ignores NULLs
+    "lnnvl": None,
+    "sys_guid": None,                   # RAW(16) vs uuid() string
+    "userenv": None, "sys_context": None, "ora_hash": None,
+    "empty_clob": None, "empty_blob": None,
+    "xmlelement": None, "xmlagg": None,
+    "regexp_instr": None,               # Spark regexp_instr exists but
+                                        # Oracle's pos/occ/return_opt args
+                                        # diverge → loud beats silent-wrong
+    "ratio_to_report": None,
+    "wm_concat": None,                  # use LISTAGG
+    "dbms_random": None,
+    "nanvl": None,
+    "remainder": None,                  # IEEE remainder ≠ Spark mod
+    "bitand": None,                     # handler shared w/ snowflake below
+}
+
+# T-SQL / SQL Server renames. Identical pass-throughs: substring, left,
+# right, ltrim/rtrim (1-arg), upper/lower, abs, ceiling, floor, round,
+# sign, exp, log (T-SQL 1-arg LOG is ln = Spark), log10, power, sqrt,
+# ascii, concat, concat_ws, year/month/day, string_agg (→ listagg via
+# common map semantics, Spark>=4 gate), count_big→count handled in map.
+# Known documented divergence with no static rewrite: `+` is string
+# concat when both operands are strings (T-SQL) but numeric addition in
+# Spark — rewrite to CONCAT() before migrating.
+_TSQL_FN: dict[str, str | None] = {
+    "iif": "if",
+    "getdate": "current_timestamp",     # server-local clock = session tz
+    "sysdatetime": "current_timestamp",
+    "getutcdate": None,                 # UTC handler below
+    "sysutcdatetime": None,
+    "sysdatetimeoffset": None,
+    "charindex": "position",            # (substr, str[, start]), 1-based
+    "len": None,                        # handler: length(rtrim(x)) —
+                                        # T-SQL LEN ignores trailing spaces
+    "datalength": "octet_length",
+    "replicate": "repeat",
+    "str": None,                        # numeric→padded string w/ style
+    "stuff": None,
+    "patindex": None,                   # %-wildcard pattern lang
+    "format": None,                     # .NET format strings
+    "isnull": None,                     # handler: 2-arg → nvl (Spark's
+                                        # 1-arg isnull is a boolean test!)
+    "isnumeric": None, "isdate": None,
+    "count_big": "count",
+    "square": None,                     # handler shared w/ snowflake
+    "string_agg": "listagg",
+    "string_split": None,               # returns a TABLE, not an array
+    "newid": "uuid",
+    "scope_identity": None, "ident_current": None,
+    "datename": None,                   # month/weekday NAMES — handler
+    "datepart": None,                   # handler (bare unit keyword)
+    "day": "day", "month": "month", "year": "year",
+    "eomonth": None,                    # handler: last_day(+offset loud)
+    "dateadd": None,                    # handler (shared, alias units)
+    "datediff": None,                   # handler (shared, alias units)
+    "datediff_big": None,
+    "switchoffset": None, "todatetimeoffset": None,
+    "convert": None,                    # handler (type-first + style arg)
+    "try_convert": None,
+    "choose": "elt",                    # both 1-based, NULL out of range
+    "nchar": "chr",
+    "unicode": "ascii",
+    "quotename": None,
+    "host_name": None, "db_name": None, "user_name": None,
+    "suser_sname": None, "object_id": None,
+    "rand": None,                       # RAND(seed) repeats per seed per
+                                        # CALL in T-SQL; Spark rand(seed)
+                                        # is per-row — silent divergence
+    "checksum": None, "binary_checksum": None, "hashbytes": None,
+}
+
 _DIALECT_FN: dict[str, dict[str, str | None]] = {
     # regexp_matches is boolean partial-match in DuckDB only; in Postgres
     # it returns SETOF text[] (captured groups), so the rename is correct
@@ -315,6 +410,8 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
     "bigquery": _BIGQUERY_FN,
     "redshift": _REDSHIFT_FN,
     "mysql": _MYSQL_FN,
+    "oracle": _ORACLE_FN,
+    "tsql": _TSQL_FN,
 }
 
 # Type names (CAST targets and `::` casts) that differ from Spark's.
@@ -380,6 +477,55 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
         "timetz": None,                 # TIME types have no Spark analog
         "time": None,
     },
+    "oracle": {
+        "varchar2": "STRING",           # bare; VARCHAR2(n) via _PARAM_TYPES
+        "nvarchar2": "STRING",
+        "clob": "STRING",
+        "nclob": "STRING",
+        "long": None,                   # deprecated 2GB text → migrate first
+        "raw": "BINARY",
+        "long_raw": None,
+        "blob": "BINARY",
+        "number": None,                 # bare NUMBER has arbitrary scale
+                                        # (fractions allowed) — DECIMAL(38,0)
+                                        # would truncate; NUMBER(p,s) maps
+        "binary_float": "FLOAT",
+        "binary_double": "DOUBLE",
+        "float": "DOUBLE",              # Oracle FLOAT is NUMBER-backed fp
+        # Oracle DATE carries TIME-OF-DAY (second precision) — mapping to
+        # Spark DATE would silently drop it.
+        "date": "TIMESTAMP_NTZ",
+        "timestamp": "TIMESTAMP_NTZ",   # Oracle TIMESTAMP is zone-less
+        "rowid": None, "urowid": None,
+        "xmltype": None,
+        "sdo_geometry": None,
+    },
+    "tsql": {
+        "datetime": "TIMESTAMP_NTZ",
+        "datetime2": "TIMESTAMP_NTZ",
+        "smalldatetime": "TIMESTAMP_NTZ",
+        "datetimeoffset": "TIMESTAMP",
+        "bit": "BOOLEAN",
+        "uniqueidentifier": "STRING",
+        "nvarchar": "STRING",           # bare; NVARCHAR(n) via _PARAM_TYPES
+        "nchar": "STRING",
+        "ntext": "STRING",
+        "text": "STRING",
+        "image": "BINARY",
+        "varbinary": "BINARY",
+        "binary": "BINARY",
+        "money": "DECIMAL(19,4)",
+        "smallmoney": "DECIMAL(10,4)",
+        # T-SQL TINYINT is UNSIGNED 0..255; Spark's is signed -128..127 —
+        # widen to keep values representable.
+        "tinyint": "SMALLINT",
+        "float": "DOUBLE",              # bare FLOAT defaults to fp64
+        "real": "FLOAT",
+        "time": None,
+        "sql_variant": None,
+        "xml": None,
+        "geography": None, "geometry": None, "hierarchyid": None,
+    },
     "mysql": {
         "datetime": "TIMESTAMP_NTZ",    # wall-clock, no zone
         "unsigned": "DECIMAL(20,0)",    # CAST(x AS UNSIGNED)
@@ -410,6 +556,33 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
 # Spark has no NUMBER; bare NUMBER is handled by _DIALECT_TYPES.
 _PARAM_TYPES: dict[str, dict[str, str]] = {
     "snowflake": {"number": "DECIMAL"},
+    "oracle": {
+        "number": "DECIMAL",
+        "varchar2": "VARCHAR",
+        "nvarchar2": "VARCHAR",
+        "raw": "BINARY",                # RAW(n) → length dropped by Spark
+    },
+    "tsql": {
+        "nvarchar": "VARCHAR",
+        "nchar": "CHAR",
+        "varbinary": "BINARY",
+        "binary": "BINARY",
+    },
+}
+
+# Parameterized types whose precision argument has no Spark form — the
+# whole ``name(args)`` span is replaced, args DROPPED (TIMESTAMP_NTZ(3)
+# would not parse). Widening precision is lossless in every entry.
+_PARAM_DROP_TYPES: dict[str, dict[str, str]] = {
+    "tsql": {
+        "datetime2": "TIMESTAMP_NTZ",
+        "datetimeoffset": "TIMESTAMP",
+        "float": "DOUBLE",              # FLOAT(n): n≤24 is fp32 — widened
+    },
+    "oracle": {
+        "timestamp": "TIMESTAMP_NTZ",   # TIMESTAMP(6) fractional precision
+        "float": "DOUBLE",              # FLOAT(binary_precision)
+    },
 }
 
 
@@ -447,6 +620,33 @@ _DIFF_UNITS = {
     for u in ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
 }
 _DIFF_UNITS.update({u + "s": u.upper() for u in list(_DIFF_UNITS)})
+
+# T-SQL DATEADD/DATEDIFF/DATEPART unit abbreviations → canonical unit.
+# dayofyear/dy/y are ABSENT on purpose: DATEADD treats them as day but
+# DATEPART returns day-of-year — context-dependent, so loud beats a
+# guess. millisecond/microsecond work for dateadd via Spark units.
+_TSQL_UNIT_ALIASES = {
+    "yy": "year", "yyyy": "year",
+    "qq": "quarter", "q": "quarter",
+    "mm": "month", "m": "month",
+    "dd": "day", "d": "day",
+    "wk": "week", "ww": "week",
+    "hh": "hour",
+    "mi": "minute", "n": "minute",
+    "ss": "second", "s": "second",
+    "ms": "millisecond", "mcs": "microsecond",
+    "millisecond": "millisecond", "microsecond": "microsecond",
+}
+
+
+def _resolve_unit(read: str, raw_unit: str) -> str | None:
+    """Canonical UPPER unit for dateadd/datediff/datepart keywords, with
+    T-SQL abbreviation folding. Returns None when unmapped."""
+    if read == "tsql":
+        raw_unit = _TSQL_UNIT_ALIASES.get(raw_unit, raw_unit)
+        if raw_unit in ("millisecond", "microsecond"):
+            return raw_unit.upper()
+    return _DIFF_UNITS.get(raw_unit)
 
 # C-style (strftime/strptime) → Spark datetime pattern letters. %G (ISO
 # week year) and %V (ISO week) are deliberately ABSENT: Spark 3+ rejects
@@ -1000,14 +1200,18 @@ def _regex_replacement_to_spark(content: str) -> str:
 #: token kinds that can act as an identifier/name in expression position.
 #: ("qident" is kept for compatibility; the span tokenizer emits
 #: "bquote"/"dquote" for quoted names.)
-_NAME_KINDS = ("ident", "qident", "bquote", "dquote")
+_NAME_KINDS = ("ident", "qident", "bquote", "dquote", "brident")
 
 
 def _ident_text(tok_kind: str, tok_text: str) -> str:
-    """Identifier token text normalized for Spark: double-quoted names
-    become backtick-quoted (Spark reads "x" as a string literal)."""
+    """Identifier token text normalized for Spark: double-quoted and
+    T-SQL bracket-quoted names become backtick-quoted (Spark reads "x"
+    as a string literal and [x] as a subscript)."""
     if tok_kind == "dquote":
         inner = tok_text[1:-1].replace('""', '"')
+        return "`" + inner.replace("`", "``") + "`"
+    if tok_kind == "brident":
+        inner = tok_text[1:-1].replace("]]", "]")
         return "`" + inner.replace("`", "``") + "`"
     return tok_text
 
@@ -1161,10 +1365,45 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
     a CAST's type-introducing AS (both syntaxes must stay in lockstep).
     Returns (edits, tokens_consumed_after_i)."""
     tname = toks[i + 1][1].lower()
+    if (
+        read == "mysql"
+        and tname in ("signed", "unsigned")
+        and i + 2 < len(toks)
+        and toks[i + 2][0] == "ident"
+        and toks[i + 2][1].lower() == "integer"
+    ):
+        # MySQL's two-word CAST targets: SIGNED [INTEGER] / UNSIGNED
+        # [INTEGER] — consume the optional INTEGER into the rewrite.
+        mapped2 = _lookup_type(read, tname) or toks[i + 1][1].upper()
+        return [(toks[i + 1][2], toks[i + 2][3], mapped2)], 3
     if is_op(i + 2, "[") and is_op(i + 3, "]"):
         elem = _lookup_type(read, tname) or toks[i + 1][1].upper()
         return [(toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>")], 4
     if is_op(i + 2, "("):
+        # find the matching close paren of the type-arg list
+        depth = 0
+        close_j = None
+        for j in range(i + 2, len(toks)):
+            if toks[j][0] == "op" and toks[j][1] == "(":
+                depth += 1
+            elif toks[j][0] == "op" and toks[j][1] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_j = j
+                    break
+        dtype = _PARAM_DROP_TYPES.get(read, {}).get(tname)
+        if dtype is not None and close_j is not None:
+            return [(toks[i + 1][2], toks[close_j][3], dtype)], close_j + 1 - i
+        # T-SQL (MAX) length specifier — no Spark form; drop to the
+        # unbounded base type (VARCHAR(MAX)→STRING, VARBINARY(MAX)→BINARY)
+        if (
+            read == "tsql"
+            and close_j == i + 4
+            and toks[i + 3][0] == "ident"
+            and toks[i + 3][1].lower() == "max"
+        ):
+            base_u = "BINARY" if "binary" in tname else "STRING"
+            return [(toks[i + 1][2], toks[close_j][3], base_u)], close_j + 1 - i
         ptype = _PARAM_TYPES.get(read, {}).get(tname)
         if ptype is not None:
             return [(toks[i + 1][2], toks[i + 1][3], ptype)], 2
@@ -1224,6 +1463,212 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                  "to_utc_timestamp(current_timestamp(), current_timezone())")
             )
             i += 1
+            continue
+
+        if read == "oracle" and kind == "ident":
+            low = text.lower()
+            # SYSDATE / SYSTIMESTAMP bare keywords: DB-server wall clock →
+            # session clock (documented equivalence; Oracle has no session
+            # TZ notion for SYSDATE).
+            if low in ("sysdate", "systimestamp") and not is_op(i + 1, "("):
+                edits.append((start, end, "current_timestamp()"))
+                i += 1
+                continue
+            # FROM dual → remove (Spark SELECT needs no FROM clause).
+            if (
+                low == "dual"
+                and i > 0
+                and toks[i - 1][0] == "ident"
+                and toks[i - 1][1].upper() == "FROM"
+            ):
+                edits.append((toks[i - 1][2], end, ""))
+                i += 1
+                continue
+            # MINUS set operator → EXCEPT (reserved in Oracle, so a bare
+            # ident is always the operator).
+            if low == "minus":
+                edits.append((start, end, "EXCEPT"))
+                i += 1
+                continue
+            if low == "rownum":
+                raise TranspileError(
+                    "oracle ROWNUM has no Spark rewrite; use ROW_NUMBER() "
+                    "OVER (...) or LIMIT"
+                )
+            # q'[...]' alternative quoting mis-lexes under the standard
+            # grammar — loud before it can corrupt.
+            if (
+                low in ("q", "nq")
+                and i + 1 < n
+                and toks[i + 1][0] == "string"
+                and toks[i + 1][2] == end
+            ):
+                raise TranspileError(
+                    "oracle q'...' alternative quoting is not supported; "
+                    "rewrite as a standard quoted literal"
+                )
+
+        # Oracle (+) outer-join marker — no Spark rewrite.
+        if (
+            read == "oracle"
+            and kind == "op" and text == "("
+            and is_op(i + 1, "+") and is_op(i + 2, ")")
+        ):
+            raise TranspileError(
+                "oracle (+) outer-join syntax has no Spark rewrite; use "
+                "ANSI LEFT/RIGHT JOIN"
+            )
+
+        # ANSI/Oracle/Postgres row-limiting clauses Spark lacks:
+        #   OFFSET m ROWS [FETCH FIRST|NEXT n ROWS|ROW ONLY] → LIMIT n OFFSET m
+        #   FETCH FIRST|NEXT n ROWS|ROW ONLY → LIMIT n
+        # (T-SQL's OFFSET..FETCH is the same grammar.)
+        if (
+            read in ("oracle", "ansi", "postgres", "tsql")
+            and kind == "ident"
+            and text.upper() in ("OFFSET", "FETCH")
+        ):
+            j = i
+            off_txt = None
+            if toks[j][1].upper() == "OFFSET":
+                if (
+                    j + 2 < n
+                    and toks[j + 1][0] == "number"
+                    and toks[j + 2][0] == "ident"
+                    and toks[j + 2][1].upper() in ("ROW", "ROWS")
+                ):
+                    off_txt = toks[j + 1][1]
+                    j += 3
+                else:
+                    i += 1  # plain OFFSET n (already Spark) — untouched
+                    continue
+            cnt_txt = None
+            if (
+                j < n
+                and toks[j][0] == "ident"
+                and toks[j][1].upper() == "FETCH"
+                and j + 1 < n
+                and toks[j + 1][0] == "ident"
+                and toks[j + 1][1].upper() in ("FIRST", "NEXT")
+            ):
+                k_ = j + 2
+                if k_ < n and toks[k_][0] == "number":
+                    cnt_txt = toks[k_][1]
+                    k_ += 1
+                else:
+                    cnt_txt = "1"
+                if not (
+                    k_ + 1 < n
+                    and toks[k_][0] == "ident"
+                    and toks[k_][1].upper() in ("ROW", "ROWS")
+                    and toks[k_ + 1][0] == "ident"
+                    and toks[k_ + 1][1].upper() == "ONLY"
+                ):
+                    raise TranspileError(
+                        "FETCH FIRST ... requires ROWS ONLY (WITH TIES / "
+                        "PERCENT have no Spark rewrite)"
+                    )
+                j = k_ + 2
+            elif off_txt is None:
+                i += 1  # bare FETCH ident (not the clause) — untouched
+                continue
+            parts = []
+            if cnt_txt is not None:
+                parts.append(f"LIMIT {cnt_txt}")
+            if off_txt is not None:
+                parts.append(f"OFFSET {off_txt}")
+            edits.append((start, toks[j - 1][3], " ".join(parts)))
+            i = j
+            continue
+
+        # T-SQL N'...' unicode literal prefix: Spark strings are already
+        # unicode — drop the N (adjacency = no whitespace, so a column
+        # named n is never touched).
+        if (
+            read == "tsql"
+            and kind == "ident"
+            and text.lower() == "n"
+            and i + 1 < n
+            and toks[i + 1][0] == "string"
+            and toks[i + 1][2] == end
+        ):
+            edits.append((start, end, ""))
+            i += 1
+            continue
+
+        # T-SQL SELECT TOP n [select-list...] → LIMIT n at the scope end.
+        if (
+            read == "tsql"
+            and kind == "ident"
+            and text.upper() == "TOP"
+            and i > 0
+            and toks[i - 1][0] == "ident"
+            and toks[i - 1][1].upper() in ("SELECT", "DISTINCT")
+            and i + 1 < n
+            and toks[i + 1][0] == "number"
+        ):
+            n_txt = toks[i + 1][1]
+            after = i + 2
+            if (
+                after < n
+                and toks[after][0] == "ident"
+                and toks[after][1].upper() in ("PERCENT", "WITH")
+            ):
+                raise TranspileError(
+                    "TOP n PERCENT / WITH TIES has no Spark rewrite"
+                )
+            # find this SELECT's scope end: depth-0 ')' or set-op keyword
+            # or end of text
+            depth = 0
+            end_pos = len(sql)
+            setop_after = False
+            for j in range(i + 2, n):
+                k_, t_, s_, _e = toks[j]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                    if depth < 0:
+                        end_pos = s_
+                        break
+                elif (
+                    depth == 0
+                    and k_ == "ident"
+                    and t_.upper() in ("UNION", "INTERSECT", "EXCEPT", "MINUS")
+                ):
+                    end_pos = s_
+                    setop_after = True
+                    break
+            # a set-op BEFORE this SELECT at the same depth means we're a
+            # non-first union branch
+            setop_before = False
+            sel_idx = i - 1 if toks[i - 1][1].upper() == "SELECT" else i - 2
+            depth = 0
+            for j in range(sel_idx - 1, -1, -1):
+                k_, t_, _s, _e = toks[j]
+                if k_ == "op" and t_ == ")":
+                    depth += 1
+                elif k_ == "op" and t_ == "(":
+                    depth -= 1
+                    if depth < 0:
+                        break
+                elif (
+                    depth == 0
+                    and k_ == "ident"
+                    and t_.upper() in ("UNION", "INTERSECT", "EXCEPT", "MINUS")
+                ):
+                    setop_before = True
+                    break
+            # drop "TOP n" and attach LIMIT at the scope end. A trailing
+            # LIMIT in a set operation binds to the WHOLE union in Spark,
+            # so a union branch gets parenthesized: (SELECT ... LIMIT n).
+            edits.append((start, toks[i + 1][3], ""))
+            if setop_after or setop_before:
+                edits.append((toks[sel_idx][2], toks[sel_idx][2], "("))
+                edits.append((end_pos, end_pos, f" LIMIT {n_txt}) "))
+            else:
+                edits.append((end_pos, end_pos, f" LIMIT {n_txt} "))
+            i += 2
             continue
 
         if read == "mysql":
@@ -2412,41 +2857,6 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     i = close + 1
                     continue
 
-                if name == "convert" and first_pass:
-                    # Redshift CONVERT(type, expr) — type first. Rewrite to
-                    # CAST(expr AS TYPE) with the type name run through the
-                    # dialect type map. Parameterized types (DECIMAL(10,2))
-                    # keep their argument list.
-                    spans, close = _call_arg_spans(toks, i + 1)
-                    if len(spans) != 2:
-                        raise TranspileError("convert takes (type, expression)")
-                    t_first, t_last = spans[0]
-                    t_tok = toks[t_first]
-                    if t_tok[0] != "ident":
-                        raise TranspileError(
-                            "convert type must be a plain type name"
-                        )
-                    tname = t_tok[1].lower()
-                    if t_first == t_last:
-                        type_text = _lookup_type(read, tname) or t_tok[1].upper()
-                    elif (
-                        toks[t_first + 1][0] == "op"
-                        and toks[t_first + 1][1] == "("
-                    ):
-                        base_ = _PARAM_TYPES.get(read, {}).get(tname, t_tok[1].upper())
-                        type_text = base_ + sql[toks[t_first + 1][2] : toks[t_last][3]]
-                    else:
-                        raise TranspileError(
-                            "convert type must be a plain type name"
-                        )
-                    expr_text = _arg_text(spans[1])
-                    edits.append(
-                        (start, toks[close][3],
-                         f"CAST({expr_text} AS {type_text})")
-                    )
-                    i = close + 1
-                    continue
-
                 if name == "json_extract_path_text" and first_pass:
                     # json_extract_path_text(j, 'a', 'b'[, null_if_invalid])
                     # → get_json_object(j, '$.a.b'). Literal path elements
@@ -2567,7 +2977,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name == "from_unixtime" and first_pass:
                     # 1-arg matches Spark; 2-arg format is MySQL %-codes
-                    # (Spark's is a Java pattern).
+                    # (Spark's is a Java pattern). Same shared-name
+                    # ambiguity rule as date_format: a no-% format with
+                    # letters cannot be told apart from our own emitted
+                    # Java pattern — loud; letterless means the same.
                     spans, _close = _call_arg_spans(toks, i + 1)
                     if len(spans) == 2:
                         fmt_tok = toks[spans[1][0]]
@@ -2577,9 +2990,17 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                                 "from_unixtime format must be a literal to "
                                 "transpile"
                             )
-                        converted = convert_mysql_format(
-                            _literal_content(fmt_tok[1], read)
-                        )
+                        raw_fmt = _literal_content(fmt_tok[1], read)
+                        if "%" not in raw_fmt:
+                            if re.search(r"[A-Za-z]", raw_fmt):
+                                raise TranspileError(
+                                    f"from_unixtime pattern {raw_fmt!r} has "
+                                    "no %-codes; cannot tell a literal MySQL "
+                                    "format from an already-Spark pattern"
+                                )
+                            i += 1
+                            continue
+                        converted = convert_mysql_format(raw_fmt)
                         edits.append((start, end, "from_unixtime"))
                         edits.append(
                             (fmt_tok[2], fmt_tok[3],
@@ -2624,6 +3045,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             if up == "SEPARATOR":
                                 sep_at = j
                     if sep_at is not None:
+                        if sep_at == s_first:
+                            raise TranspileError(
+                                "group_concat needs an expression before "
+                                "SEPARATOR"
+                            )
                         if (
                             sep_at + 1 > s_last
                             or toks[sep_at + 1][0] != "string"
@@ -2710,7 +3136,247 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         f"mysql {name} needs an INTERVAL second argument"
                     )
 
+            # ---- Oracle-specific handlers
+            if read == "oracle":
+                if name == "trunc" and first_pass:
+                    # TRUNC(d, 'fmt') with a literal DATE format is the
+                    # unambiguous form → date_trunc. 1-arg TRUNC(x) is
+                    # type-overloaded (date-to-midnight vs numeric) and
+                    # TRUNC(x, n) is numeric — both LOUD.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if (
+                        len(spans) == 2
+                        and spans[1][0] == spans[1][1]
+                        and toks[spans[1][0]][0] == "string"
+                    ):
+                        fmt_ = _literal_content(
+                            toks[spans[1][0]][1], read
+                        ).upper()
+                        unit = {
+                            "MM": "MONTH", "MON": "MONTH", "MONTH": "MONTH",
+                            "RM": "MONTH",
+                            "YYYY": "YEAR", "SYYYY": "YEAR", "YEAR": "YEAR",
+                            "YYY": "YEAR", "YY": "YEAR", "Y": "YEAR",
+                            "DD": "DAY", "DDD": "DAY", "J": "DAY",
+                            "HH": "HOUR", "HH12": "HOUR", "HH24": "HOUR",
+                            "MI": "MINUTE",
+                            "Q": "QUARTER",
+                            "IW": "WEEK",   # ISO week = Spark WEEK (Monday)
+                        }.get(fmt_)
+                        if unit is None:
+                            raise TranspileError(
+                                f"oracle TRUNC format {fmt_!r} has no Spark "
+                                "date_trunc unit (W/WW/DAY are NLS- or "
+                                "month-anchored weeks)"
+                            )
+                        arg = _arg_text(spans[0])
+                        edits.append(
+                            (start, toks[close][3],
+                             f"date_trunc('{unit}', {arg})")
+                        )
+                        i = close + 1
+                        continue
+                    raise TranspileError(
+                        "oracle TRUNC is type-overloaded; only the "
+                        "TRUNC(date, 'fmt') literal-format form "
+                        "transpiles — use floor()/CAST for numerics"
+                    )
+
+            # ---- T-SQL-specific handlers
+            if read == "tsql":
+                if name in ("getutcdate", "sysutcdatetime"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if spans:
+                        raise TranspileError(f"{name} takes no arguments")
+                    edits.append(
+                        (start, toks[close][3],
+                         "to_utc_timestamp(current_timestamp(), current_timezone())")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "isnull":
+                    # T-SQL ISNULL(a, b) = nvl. Spark's own 1-arg isnull()
+                    # is a boolean test — arity disambiguates; a 1-arg call
+                    # in T-SQL text is invalid T-SQL, loud.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError("tsql isnull takes 2 args")
+                    edits.append((start, end, "nvl"))
+                    i += 1
+                    continue
+
+                if name == "len" and first_pass:
+                    # T-SQL LEN ignores trailing spaces.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError("len takes 1 arg")
+                    arg = _arg_text(spans[0])
+                    edits.append(
+                        (start, toks[close][3], f"length(rtrim({arg}))")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "square" and first_pass:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError("square takes 1 arg")
+                    arg = _arg_text(spans[0])
+                    edits.append(
+                        (start, toks[close][3], f"power(({arg}), 2)")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "eomonth" and first_pass:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 1:
+                        arg = _arg_text(spans[0])
+                        edits.append(
+                            (start, toks[close][3], f"last_day({arg})")
+                        )
+                    elif len(spans) == 2:
+                        arg = _arg_text(spans[0])
+                        off_ = _arg_text(spans[1])
+                        edits.append(
+                            (start, toks[close][3],
+                             f"last_day(add_months({arg}, {off_}))")
+                        )
+                    else:
+                        raise TranspileError("eomonth takes 1 or 2 args")
+                    i = close + 1
+                    continue
+
+                if name == "datepart" and first_pass:
+                    # DATEPART(unit, d) → date_part('UNIT', d). WEEK and
+                    # WEEKDAY depend on SET DATEFIRST — loud; ISO_WEEK is
+                    # exact.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2 or spans[0][0] != spans[0][1] \
+                            or toks[spans[0][0]][0] != "ident":
+                        raise TranspileError(
+                            "datepart needs a bare unit keyword"
+                        )
+                    raw_u = toks[spans[0][0]][1].lower()
+                    d_arg = _arg_text(spans[1])
+                    if raw_u in ("iso_week", "isowk", "isoww"):
+                        edits.append(
+                            (start, toks[close][3], f"weekofyear({d_arg})")
+                        )
+                        i = close + 1
+                        continue
+                    if raw_u in ("wk", "ww", "week", "dw", "weekday", "dy",
+                                 "y", "dayofyear", "tzoffset", "tz",
+                                 "ms", "mcs", "millisecond", "microsecond",
+                                 "ns", "nanosecond"):
+                        raise TranspileError(
+                            f"datepart unit {raw_u!r} is SET-DATEFIRST/"
+                            "context dependent or unmapped; no Spark "
+                            "rewrite (use iso_week / dayofweek explicitly)"
+                        )
+                    unit = _resolve_unit(read, raw_u)
+                    if unit is None:
+                        raise TranspileError(
+                            f"datepart unit {raw_u!r} has no Spark "
+                            "date_part equivalent"
+                        )
+                    edits.append(
+                        (start, toks[close][3],
+                         f"date_part('{unit}', {d_arg})")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "datename" and first_pass:
+                    # month/weekday NAMES; everything else is DATEPART
+                    # territory (T-SQL returns digits-as-strings — an
+                    # implicit-cast seam, loud).
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2 or spans[0][0] != spans[0][1] \
+                            or toks[spans[0][0]][0] != "ident":
+                        raise TranspileError(
+                            "datename needs a bare unit keyword"
+                        )
+                    raw_u = toks[spans[0][0]][1].lower()
+                    fmt_ = {"month": "MMMM", "mm": "MMMM", "m": "MMMM",
+                            "weekday": "EEEE", "dw": "EEEE"}.get(raw_u)
+                    if fmt_ is None:
+                        raise TranspileError(
+                            f"datename unit {raw_u!r} has no Spark rewrite "
+                            "(numeric units return strings in T-SQL — use "
+                            "datepart + CAST explicitly)"
+                        )
+                    d_arg = _arg_text(spans[1])
+                    edits.append(
+                        (start, toks[close][3],
+                         f"date_format({d_arg}, '{fmt_}')")
+                    )
+                    i = close + 1
+                    continue
+
             # ---- special handlers (arg restructuring / literal rewrites)
+            if name in ("convert", "try_convert") and read in (
+                "redshift", "tsql"
+            ) and first_pass:
+                # Redshift/T-SQL CONVERT(type, expr[, style]) — type first.
+                # Rewrite to CAST(expr AS TYPE) with the type name run
+                # through the dialect maps (drop-arg types and (MAX)
+                # included). A T-SQL style argument selects locale-specific
+                # datetime/number FORMATS — no Spark rewrite, loud.
+                if name == "try_convert":
+                    _require_spark4(name, "try_cast")
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) == 3:
+                    raise TranspileError(
+                        f"{name} with a style argument has no Spark rewrite"
+                        " (locale datetime formats); use date_format"
+                    )
+                if len(spans) != 2:
+                    raise TranspileError(f"{name} takes (type, expression)")
+                t_first, t_last = spans[0]
+                t_tok = toks[t_first]
+                if t_tok[0] != "ident":
+                    raise TranspileError(
+                        f"{name} type must be a plain type name"
+                    )
+                tname = t_tok[1].lower()
+                if t_first == t_last:
+                    type_text = _lookup_type(read, tname) or t_tok[1].upper()
+                elif (
+                    toks[t_first + 1][0] == "op"
+                    and toks[t_first + 1][1] == "("
+                ):
+                    dtype = _PARAM_DROP_TYPES.get(read, {}).get(tname)
+                    if dtype is not None:
+                        type_text = dtype
+                    elif (
+                        read == "tsql"
+                        and t_last == t_first + 3
+                        and toks[t_first + 2][0] == "ident"
+                        and toks[t_first + 2][1].lower() == "max"
+                    ):
+                        type_text = "BINARY" if "binary" in tname else "STRING"
+                    else:
+                        base_ = _PARAM_TYPES.get(read, {}).get(
+                            tname, _lookup_type(read, tname) or t_tok[1].upper()
+                        )
+                        type_text = base_ + sql[
+                            toks[t_first + 1][2] : toks[t_last][3]
+                        ]
+                else:
+                    raise TranspileError(
+                        f"{name} type must be a plain type name"
+                    )
+                expr_text = _arg_text(spans[1])
+                cast_fn = "TRY_CAST" if name == "try_convert" else "CAST"
+                edits.append(
+                    (start, toks[close][3],
+                     f"{cast_fn}({expr_text} AS {type_text})")
+                )
+                i = close + 1
+                continue
+
             if name in ("strftime", "strptime") and read in ("duckdb", "postgres") and first_pass:
                 spans_, _close_ = _call_arg_spans(toks, i + 1)
                 if len(spans_) != 2:
@@ -2759,7 +3425,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i += 1
                 continue
 
-            if name in ("to_char",) and read in ("postgres", "redshift") and first_pass:
+            if name in ("to_char",) and read in (
+                "postgres", "redshift", "oracle"
+            ) and first_pass:
                 spans_, _close_ = _call_arg_spans(toks, i + 1)
                 args = [sp[0] for sp in spans_]
                 if len(args) == 2 and toks[args[1]][0] == "string" \
@@ -2796,11 +3464,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
             if name in ("dateadd", "timeadd", "timestampadd") and read in (
-                "snowflake", "redshift"
+                "snowflake", "redshift", "tsql"
             ) and first_pass:
-                # Snowflake + Redshift DATEADD(unit, n, expr) — same shape,
-                # same bare-or-quoted unit keyword. Type caveat (documented,
-                # not fixable statically): both return their input's type,
+                # Snowflake + Redshift + T-SQL DATEADD(unit, n, expr) —
+                # same shape, same bare-or-quoted unit keyword (T-SQL adds
+                # yy/qq/mm/... abbreviations). Type caveat (documented,
+                # not fixable statically): all return their input's type,
                 # but the operand type is unknowable at render time, so the
                 # result is always TIMESTAMP. Values are correct; a
                 # DATE-typed operand gains a 00:00:00 time part.
@@ -2814,7 +3483,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     raw_unit = u_tok[1].lower()
                 else:
                     raise TranspileError(f"{name} unit must be a literal")
-                unit = _DIFF_UNITS.get(raw_unit)
+                unit = _resolve_unit(read, raw_unit)
                 if unit is None:
                     raise TranspileError(
                         f"{name} unit {raw_unit!r} has no Spark "
@@ -2826,7 +3495,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
             if name in ("date_diff", "datediff") and read in (
-                "duckdb", "postgres", "snowflake", "redshift"
+                "duckdb", "postgres", "snowflake", "redshift", "tsql"
             ):
                 # DuckDB date_diff counts UNIT-BOUNDARY CROSSINGS while
                 # Spark timestampdiff counts complete elapsed units
@@ -2841,18 +3510,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     if u_tok[0] == "string":
                         raw_unit = _literal_content(u_tok[1], read).lower()
                     elif (
-                        read in ("snowflake", "redshift")
+                        read in ("snowflake", "redshift", "tsql")
                         and u_tok[0] == "ident"
                         and spans[0][0] == spans[0][1]
                     ):
-                        # Snowflake/Redshift allow a bare unit keyword:
-                        # datediff(day, a, b)
+                        # Snowflake/Redshift/T-SQL allow a bare unit
+                        # keyword: datediff(day, a, b)
                         raw_unit = u_tok[1].lower()
                     else:
                         raise TranspileError(
                             f"{name} unit must be a literal to transpile"
                         )
-                    unit = _DIFF_UNITS.get(raw_unit)
+                    unit = _resolve_unit(read, raw_unit)
                     if unit is None:
                         raise TranspileError(
                             f"{name} unit {raw_unit!r} has no Spark "
@@ -2998,15 +3667,22 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
             if name in ("to_timestamp", "to_date") and read in (
-                "postgres", "redshift"
+                "postgres", "redshift", "oracle"
             ) and first_pass:
-                # Postgres/Redshift to_timestamp(s, fmt)/to_date(s, fmt)
-                # carry Postgres patterns; Spark reuses the same function
-                # names with DIFFERENT pattern letters (DD = day-of-year),
-                # so passing them through silently would parse wrong dates —
-                # convert the literal format. 1-arg to_timestamp(epoch)
-                # becomes timestamp_seconds.
+                # Postgres/Redshift/Oracle to_timestamp(s, fmt)/to_date(s,
+                # fmt) carry Oracle-heritage patterns; Spark reuses the
+                # same function names with DIFFERENT pattern letters (DD =
+                # day-of-year), so passing them through silently would
+                # parse wrong dates — convert the literal format. 1-arg
+                # postgres to_timestamp(epoch) becomes timestamp_seconds;
+                # Oracle's 1-arg form parses the SESSION NLS format — not
+                # knowable at render time, LOUD.
                 spans, _close = _call_arg_spans(toks, i + 1)
+                if len(spans) == 1 and read == "oracle":
+                    raise TranspileError(
+                        f"oracle 1-arg {name} depends on the session NLS "
+                        "format; pass an explicit format to transpile"
+                    )
                 if len(spans) == 1 and name == "to_timestamp":
                     edits.append((start, end, "timestamp_seconds"))
                 elif len(spans) == 2 and toks[spans[1][0]][0] == "string" \
@@ -3068,6 +3744,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # to strings by the tokenizer, which matches Spark's reading.)
         if kind == "dquote":
             inner = text[1:-1].replace('""', '"')
+            edits.append((start, end, "`" + inner.replace("`", "``") + "`"))
+            i += 1
+            continue
+
+        # T-SQL [Name] bracket identifiers → backticks (Spark would read
+        # a subscript expression).
+        if kind == "brident":
+            inner = text[1:-1].replace("]]", "]")
             edits.append((start, end, "`" + inner.replace("`", "``") + "`"))
             i += 1
             continue

@@ -2774,3 +2774,118 @@ GROUP BY o_orderdate, DATE_FORMAT(o_orderdate, '%Y-%m-%d')
     return spark.table("env_myi_views.daily_orders").select(
         "ds", "n_orders", "revenue_cents"
     )
+
+
+ORA_DIALECT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) AS n_urgent,
+       strftime(date_trunc('month', MIN(o_orderdate)), '%Y-%m-%d') AS month_start,
+       COALESCE(MAX(o_orderstatus), 'none') AS top_status
+FROM orders
+WHERE mod(o_orderkey, 4) = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+ORDER BY month
+LIMIT 24
+"""
+
+
+@register("framework_oracle_dialect_model", oracle=ORA_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_oracle_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in ORACLE dialect loaded through plan/apply — the
+    classic enterprise migration source (reference renderer.py:517 /
+    dialect.py:1040). The text exercises Oracle-specific seams: TO_CHAR
+    with Oracle-heritage patterns, DECODE (Spark's decode IS the
+    NULL-safe Oracle form), TRUNC(date, 'MM') → date_trunc, NVL, MOD
+    (Oracle has no %), BINARY_DOUBLE casts, deterministic ORDER BY +
+    FETCH FIRST n ROWS ONLY → LIMIT. The DuckDB oracle computes the same
+    values natively; the hash match proves parity."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_ora", "env_ora_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_ora.order_stats,
+  kind FULL,
+  dialect oracle
+);
+SELECT TO_CHAR(o_orderdate, 'YYYY-MM') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(DECODE(o_orderpriority, '1-URGENT', 1, 0)) AS BINARY_DOUBLE) AS n_urgent,
+       TO_CHAR(TRUNC(MIN(o_orderdate), 'MM'), 'YYYY-MM-DD') AS month_start,
+       NVL(MAX(o_orderstatus), 'none') AS top_status
+FROM orders
+WHERE MOD(o_orderkey, 4) = 0
+GROUP BY TO_CHAR(o_orderdate, 'YYYY-MM')
+ORDER BY month
+FETCH FIRST 24 ROWS ONLY
+"""
+    )
+    ctx.run(environment="env_ora")
+    return spark.table("env_ora_views.order_stats")
+
+
+TS_DIALECT_ORACLE = """
+SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+       CAST(date_part('month', o_orderdate) AS BIGINT) AS mon,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) AS n_urgent,
+       CAST(date_diff('day', DATE '1995-01-01', MAX(o_orderdate)) AS BIGINT) AS days_since,
+       COALESCE(MAX(o_orderstatus), 'none') AS top_status,
+       CAST(length(MAX(o_orderpriority)) AS BIGINT) AS prio_len,
+       strftime(last_day(MAX(o_orderdate)), '%Y-%m-%d') AS month_end
+FROM orders
+WHERE o_orderkey % 6 = 0
+GROUP BY date_part('year', o_orderdate), date_part('month', o_orderdate)
+ORDER BY yr, mon
+LIMIT 24
+"""
+
+
+@register("framework_tsql_dialect_model", oracle=TS_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_tsql_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in T-SQL dialect loaded through plan/apply — the
+    SQL Server migration source (reference renderer.py:517 /
+    dialect.py:1040). The text exercises T-SQL-specific seams: SELECT
+    TOP n → LIMIT placed at the scope end (after ORDER BY), [bracket]
+    identifiers → backticks (the dedicated tsql grammar keeps them out
+    of the subscript path), DATEPART with yy/mm abbreviations,
+    bare-keyword DATEDIFF (boundary-crossing semantics), ISNULL → nvl
+    (Spark's own 1-arg isnull is a boolean test), LEN's
+    trailing-space-insensitive length, COUNT_BIG, EOMONTH → last_day,
+    and CONVERT(NVARCHAR(10), date). DuckDB computes the same values
+    natively; the hash match proves parity."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_ts", "env_ts_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_ts.order_stats,
+  kind FULL,
+  dialect tsql
+);
+SELECT TOP 24
+       CAST(DATEPART(yy, o_orderdate) AS BIGINT) AS yr,
+       CAST(DATEPART(mm, [o_orderdate]) AS BIGINT) AS mon,
+       COUNT_BIG(*) AS n_orders,
+       CAST(SUM(IIF(o_orderpriority = '1-URGENT', 1, 0)) AS FLOAT) AS n_urgent,
+       CAST(DATEDIFF(dd, CAST('1995-01-01' AS DATE), MAX(o_orderdate)) AS BIGINT) AS days_since,
+       ISNULL(MAX(o_orderstatus), 'none') AS top_status,
+       CAST(LEN(MAX(o_orderpriority)) AS BIGINT) AS prio_len,
+       CONVERT(NVARCHAR(10), EOMONTH(MAX(o_orderdate))) AS month_end
+FROM orders
+WHERE o_orderkey % 6 = 0
+GROUP BY DATEPART(yy, o_orderdate), DATEPART(mm, o_orderdate)
+ORDER BY yr, mon
+"""
+    )
+    ctx.run(environment="env_ts")
+    return spark.table("env_ts_views.order_stats")

@@ -1622,3 +1622,56 @@ test_sf_m:
 """
     results = ModelTestRunner(spark).run_yaml(yaml_text, {model.name: model})
     assert results[0].passed, results[0].failures
+
+
+def test_yaml_test_mysql_and_redshift_dialects(spark):
+    """Round-5b: YAML unit tests route the two new read dialects through
+    core/transpile.py exactly like scheduler render (reference
+    test/runner.py:43-77 runs tests in the model's dialect)."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    my_model = parse_model_text(
+        "MODEL (name demo.my_m, kind FULL, dialect mysql);\n"
+        "SELECT DATE_FORMAT(d, '%Y-%m') AS ym,  # mysql comment\n"
+        "       CAST(COUNT(*) AS SIGNED) AS n\n"
+        "FROM src.events_in WHERE flag = 1 || flag = 3\n"
+        "GROUP BY DATE_FORMAT(d, '%Y-%m')"
+    )
+    yaml_text = """
+test_my_m:
+  model: demo.my_m
+  inputs:
+    src.events_in:
+      rows:
+        - {d: 2024-01-05, flag: 1}
+        - {d: 2024-01-09, flag: 2}
+        - {d: 2024-02-01, flag: 3}
+  outputs:
+    query:
+      rows:
+        - {ym: '2024-01', n: 1}
+        - {ym: '2024-02', n: 1}
+"""
+    results = ModelTestRunner(spark).run_yaml(yaml_text, {my_model.name: my_model})
+    assert results[0].passed, results[0].failures
+
+    rs_model = parse_model_text(
+        "MODEL (name demo.rs_m, kind FULL, dialect redshift);\n"
+        "SELECT TO_CHAR(d, 'YYYY-MM') AS ym,\n"
+        "       LEN(LTRIM(tag, '0123456789'))::BIGINT AS tag_len\n"
+        "FROM src.tagged"
+    )
+    rs_yaml = """
+test_rs_m:
+  model: demo.rs_m
+  inputs:
+    src.tagged:
+      rows:
+        - {d: 2024-03-05, tag: '42abc'}
+  outputs:
+    query:
+      rows:
+        - {ym: '2024-03', tag_len: 3}
+"""
+    results = ModelTestRunner(spark).run_yaml(rs_yaml, {rs_model.name: rs_model})
+    assert results[0].passed, results[0].failures

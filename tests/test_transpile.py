@@ -66,7 +66,7 @@ def test_already_spark_sql_unchanged():
 
 def test_unknown_dialect_raises():
     with pytest.raises(TranspileError):
-        transpile("SELECT 1", "oracle")
+        transpile("SELECT 1", "teradata")
 
 
 # ---------------------------------------------------------------------------
@@ -2058,3 +2058,256 @@ def test_new_dialects_in_noop_corpus():
     )
     with pytest.raises(TranspileError):
         transpile("SELECT date_format(ts, 'yyyy-MM') AS ym FROM t", "mysql")
+
+
+def test_mysql_from_unixtime_shared_name_rule(spark):
+    out = transpile("SELECT FROM_UNIXTIME(86400, '%Y-%m-%d') AS v", "mysql")
+    assert spark.sql(out).collect()[0][0] == "1970-01-02"
+    # double-transpile of our own Java-pattern output raises, never corrupts
+    with pytest.raises(TranspileError):
+        transpile(out, "mysql")
+    # 1-arg passes through
+    assert (
+        transpile("SELECT FROM_UNIXTIME(e) FROM t", "mysql")
+        == "SELECT FROM_UNIXTIME(e) FROM t"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle read dialect (round-5b: classic enterprise migration source)
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_passthrough_and_renames(spark):
+    out = transpile(
+        "SELECT NVL(NULL, 'x') AS a, DECODE(2, 1, 'one', 2, 'two', 'other') AS b, "
+        "DECODE(NULL, NULL, 'null-match', 'other') AS c, "
+        "MONTHS_BETWEEN(DATE '2024-03-15', DATE '2024-01-15') AS d, "
+        "ADD_MONTHS(DATE '2024-01-31', 1) AS e FROM dual",
+        "oracle",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == "x"
+    assert row.b == "two"
+    assert row.c == "null-match"   # Spark decode IS Oracle's NULL-safe form
+    assert float(row.d) == 2.0
+    assert str(row.e) == "2024-02-29"
+
+
+def test_oracle_from_dual_removed(spark):
+    out = transpile("SELECT 1 AS v FROM dual", "oracle")
+    assert "dual" not in out.lower()
+    assert spark.sql(out).collect()[0][0] == 1
+
+
+def test_oracle_to_char_to_date_formats(spark):
+    out = transpile(
+        "SELECT TO_CHAR(TIMESTAMP '2024-03-05 07:08:09', 'YYYY-MM-DD HH24:MI') AS a, "
+        "TO_DATE('05-03-2024', 'DD-MM-YYYY') AS b FROM dual",
+        "oracle",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == "2024-03-05 07:08"
+    assert str(row.b) == "2024-03-05"
+
+
+def test_oracle_trunc_date_format(spark):
+    out = transpile(
+        "SELECT TRUNC(TIMESTAMP '2024-03-15 13:14:15', 'MM') AS m, "
+        "TRUNC(TIMESTAMP '2024-03-15 13:14:15', 'YYYY') AS y FROM dual",
+        "oracle",
+    )
+    row = spark.sql(out).collect()[0]
+    assert str(row.m) == "2024-03-01 00:00:00"
+    assert str(row.y) == "2024-01-01 00:00:00"
+
+
+def test_oracle_minus_and_fetch_first(spark):
+    out = transpile(
+        "SELECT v FROM VALUES (1),(2),(3) AS t(v) "
+        "MINUS SELECT v FROM VALUES (2) AS s(v)",
+        "oracle",
+    )
+    assert sorted(r.v for r in spark.sql(out).collect()) == [1, 3]
+    out2 = transpile(
+        "SELECT v FROM VALUES (3),(1),(2) AS t(v) ORDER BY v "
+        "FETCH FIRST 2 ROWS ONLY",
+        "oracle",
+    )
+    assert [r.v for r in spark.sql(out2).collect()] == [1, 2]
+    out3 = transpile(
+        "SELECT v FROM VALUES (3),(1),(2),(4) AS t(v) ORDER BY v "
+        "OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY",
+        "oracle",
+    )
+    assert [r.v for r in spark.sql(out3).collect()] == [2, 3]
+
+
+def test_oracle_types():
+    out = transpile(
+        "SELECT CAST(a AS NUMBER(12,2)), CAST(b AS VARCHAR2(30)), "
+        "CAST(c AS BINARY_DOUBLE), CAST(d AS DATE), CAST(e AS TIMESTAMP(6)) "
+        "FROM t",
+        "oracle",
+    )
+    assert "DECIMAL(12,2)" in out
+    assert "VARCHAR(30)" in out
+    assert "DOUBLE" in out
+    # Oracle DATE carries time-of-day; TIMESTAMP is zone-less
+    assert out.count("TIMESTAMP_NTZ") == 2
+
+
+def test_oracle_loud_surface():
+    for sql in (
+        "SELECT ROWNUM FROM t",
+        "SELECT a FROM t1, t2 WHERE t1.k = t2.k (+)",
+        "SELECT TRUNC(x) FROM t",
+        "SELECT TO_NUMBER(s) FROM t",
+        "SELECT CAST(x AS NUMBER) FROM t",       # bare NUMBER: unknown scale
+        "SELECT LEAST(a, b) FROM t",             # NULL-propagation differs
+        "SELECT SYS_GUID() FROM dual",
+        "SELECT TO_DATE(s) FROM t",              # session NLS format
+    ):
+        with pytest.raises(TranspileError):
+            transpile(sql, "oracle")
+
+
+# ---------------------------------------------------------------------------
+# T-SQL read dialect (round-5b: SQL Server migration source)
+# ---------------------------------------------------------------------------
+
+
+def test_tsql_bracket_identifiers(spark):
+    out = transpile(
+        'SELECT [v] AS [col one], [x]] y] FROM VALUES (1, 2) AS t([v], [x]] y])',
+        "tsql",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row["col one"] == 1
+    assert row["x] y"] == 2
+
+
+def test_tsql_top_to_limit(spark):
+    out = transpile(
+        "SELECT TOP 2 v FROM VALUES (3),(1),(2) AS t(v) ORDER BY v", "tsql"
+    )
+    assert [r.v for r in spark.sql(out).collect()] == [1, 2]
+
+
+def test_tsql_top_union_branch_parenthesized(spark):
+    out = transpile(
+        "SELECT v FROM VALUES (9) AS a(v) "
+        "UNION ALL SELECT TOP 1 v FROM VALUES (1),(2) AS b(v)",
+        "tsql",
+    )
+    # LIMIT must bind to the branch, not the whole union
+    assert len(spark.sql(out).collect()) == 2
+
+
+def test_tsql_functions(spark):
+    out = transpile(
+        "SELECT ISNULL(NULL, 'x') AS a, IIF(2 > 1, 'y', 'n') AS b, "
+        "LEN('ab  ') AS c, DATALENGTH('héllo') AS d, "
+        "REPLICATE('ab', 3) AS e, CHOOSE(2, 'p', 'q') AS f, "
+        "SQUARE(3) AS g, EOMONTH(DATE '2024-02-05') AS h",
+        "tsql",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == "x"
+    assert row.b == "y"
+    assert row.c == 2          # LEN ignores trailing spaces
+    assert row.d == 6          # byte length
+    assert row.e == "ababab"
+    assert row.f == "q"
+    assert float(row.g) == 9.0
+    assert str(row.h) == "2024-02-29"
+
+
+def test_tsql_date_functions(spark):
+    out = transpile(
+        "SELECT DATEADD(mm, 1, DATE '2024-01-15') AS a, "
+        "DATEDIFF(dd, DATE '2024-01-01', DATE '2024-01-08') AS b, "
+        "DATEDIFF(month, TIMESTAMP '2024-01-31 23:00:00', "
+        "TIMESTAMP '2024-02-01 01:00:00') AS c, "
+        "DATEPART(yy, DATE '2024-03-05') AS d, "
+        "DATEPART(iso_week, DATE '2024-01-04') AS e, "
+        "DATENAME(weekday, DATE '2024-03-05') AS f",
+        "tsql",
+    )
+    row = spark.sql(out).collect()[0]
+    assert str(row.a).startswith("2024-02-15")
+    assert row.b == 7
+    assert row.c == 1          # T-SQL datediff counts boundary crossings
+    assert float(row.d) == 2024
+    assert row.e == 1
+    assert row.f == "Tuesday"
+
+
+def test_tsql_convert(spark):
+    out = transpile(
+        "SELECT CONVERT(INT, '42') AS a, CONVERT(NVARCHAR(5), 123) AS b, "
+        "TRY_CONVERT(INT, 'zzz') AS c",
+        "tsql",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == 42
+    assert row.b == "123"
+    assert row.c is None
+
+
+def test_tsql_types(spark):
+    out = transpile(
+        "SELECT CAST(200 AS TINYINT) AS a, CAST(1.5 AS MONEY) AS b, "
+        "CAST('x' AS NVARCHAR(MAX)) AS c, "
+        "CAST('2024-01-02 03:04:05.123' AS DATETIME2(3)) AS d",
+        "tsql",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == 200        # T-SQL TINYINT is unsigned → SMALLINT
+    assert float(row.b) == 1.5
+    assert row.c == "x"
+    assert str(row.d).startswith("2024-01-02 03:04:05")
+
+
+def test_tsql_offset_fetch(spark):
+    out = transpile(
+        "SELECT v FROM VALUES (3),(1),(2),(4) AS t(v) ORDER BY v "
+        "OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY",
+        "tsql",
+    )
+    assert [r.v for r in spark.sql(out).collect()] == [2, 3]
+
+
+def test_tsql_loud_surface():
+    for sql in (
+        "SELECT TOP 5 PERCENT a FROM t",
+        "SELECT TOP 5 WITH TIES a FROM t ORDER BY a",
+        "SELECT STUFF(s, 1, 2, 'x') FROM t",
+        "SELECT FORMAT(d, 'dd/MM/yyyy') FROM t",
+        "SELECT CONVERT(VARCHAR(10), d, 120) FROM t",  # style arg
+        "SELECT ISNULL(a) FROM t",
+        "SELECT DATEPART(dw, d) FROM t",               # DATEFIRST-dependent
+        "SELECT DATEPART(week, d) FROM t",
+        "SELECT CAST(x AS SQL_VARIANT) FROM t",
+        "SELECT RAND(42) FROM t",                      # per-call vs per-row
+        "SELECT HASHBYTES('MD5', x) FROM t",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(sql, "tsql")
+
+
+def test_oracle_tsql_in_noop_corpus():
+    corpus = [
+        "SELECT a, SUM(b) AS s FROM t WHERE c >= DATE '2024-01-01' GROUP BY a",
+        "WITH x AS (SELECT 1 AS a) SELECT a, ROW_NUMBER() OVER (ORDER BY a) FROM x",
+        "SELECT /* block */ concat_ws('-', a, b) AS k FROM t ORDER BY k LIMIT 5",
+    ]
+    for sql in corpus:
+        assert transpile(sql, "oracle") == sql, sql
+        assert transpile(sql, "tsql") == sql, sql
+
+
+def test_tsql_unicode_literal_prefix(spark):
+    out = transpile("SELECT N'héllo' AS v, n FROM VALUES (1) AS t(n)", "tsql")
+    row = spark.sql(out).collect()[0]
+    assert (row.v, row.n) == ("héllo", 1)
