@@ -154,7 +154,9 @@ _SNOWFLAKE_FN: dict[str, str | None] = {
     "object_construct": None,
     "object_construct_keep_null": None,
     "get": None, "get_path": None, "flatten": None,
-    "decode": None,                     # Oracle-style decode → CASE by hand
+    # decode passes through: Snowflake DECODE is the Oracle NULL-safe
+    # comparison form, which Spark's decode implements exactly
+    # (verified on 4.1: decode(NULL, NULL, 'm', 'z') = 'm')
     "timediff": None,
     "hash": None,                       # different hash function → silent wrong
     "to_variant": None,
@@ -235,7 +237,7 @@ _REDSHIFT_FN: dict[str, str | None] = {
                                         # Redshift syntax → loud
     "text_to_int_alt": None,
     "text_to_numeric_alt": None,
-    "decode": None,                     # Oracle-style decode → CASE by hand
+    # decode passes through (Oracle NULL-safe form = Spark's decode)
     "json_parse": None,                 # SUPER type has no Spark analog
     "json_serialize": None,
     "is_valid_json": None,

@@ -1675,3 +1675,52 @@ test_rs_m:
 """
     results = ModelTestRunner(spark).run_yaml(rs_yaml, {rs_model.name: rs_model})
     assert results[0].passed, results[0].failures
+
+
+def test_yaml_test_oracle_and_tsql_dialects(spark):
+    """YAML unit tests route the round-5c dialects through
+    core/transpile.py like scheduler render."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    ora_model = parse_model_text(
+        "MODEL (name demo.ora_m, kind FULL, dialect oracle);\n"
+        "SELECT TO_CHAR(d, 'YYYY-MM') AS ym,\n"
+        "       NVL(MAX(tag), 'none') AS top_tag\n"
+        "FROM src.ora_rows GROUP BY TO_CHAR(d, 'YYYY-MM')"
+    )
+    ora_yaml = """
+test_ora_m:
+  model: demo.ora_m
+  inputs:
+    src.ora_rows:
+      rows:
+        - {d: 2024-03-05, tag: 'x'}
+        - {d: 2024-03-09, tag: null}
+  outputs:
+    query:
+      rows:
+        - {ym: '2024-03', top_tag: 'x'}
+"""
+    results = ModelTestRunner(spark).run_yaml(ora_yaml, {ora_model.name: ora_model})
+    assert results[0].passed, results[0].failures
+
+    ts_model = parse_model_text(
+        "MODEL (name demo.ts_m, kind FULL, dialect tsql);\n"
+        "SELECT TOP 1 [v] AS val, ISNULL([note], 'n/a') AS note\n"
+        "FROM src.ts_rows ORDER BY [v] DESC"
+    )
+    ts_yaml = """
+test_ts_m:
+  model: demo.ts_m
+  inputs:
+    src.ts_rows:
+      rows:
+        - {v: 1, note: 'a'}
+        - {v: 9, note: null}
+  outputs:
+    query:
+      rows:
+        - {val: 9, note: 'n/a'}
+"""
+    results = ModelTestRunner(spark).run_yaml(ts_yaml, {ts_model.name: ts_model})
+    assert results[0].passed, results[0].failures

@@ -1855,11 +1855,19 @@ def test_redshift_loud_surface():
         "SELECT STRTOL('ff', 16) FROM t",
         "SELECT TRUNC(ts) FROM t",
         "SELECT CAST(x AS SUPER) FROM t",
-        "SELECT DECODE(x, 1, 'a', 'b') FROM t",
         "SELECT SYSDATE() FROM t",
     ):
         with pytest.raises(TranspileError):
             transpile(sql, "redshift")
+
+
+def test_decode_passthrough_snowflake_redshift(spark):
+    # Snowflake/Redshift DECODE is the Oracle NULL-safe comparison form —
+    # exactly Spark's decode, so it passes through.
+    sql = "SELECT DECODE(NULL, NULL, 'null-match', 'other') AS v"
+    for d in ("snowflake", "redshift"):
+        assert transpile(sql, d) == sql
+    assert spark.sql(sql).collect()[0][0] == "null-match"
 
 
 # ---------------------------------------------------------------------------
