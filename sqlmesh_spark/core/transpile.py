@@ -54,8 +54,22 @@ SPARK = "spark"
 #: read dialects accepted by ``transpile``; "" / None / "spark" are no-ops.
 READ_DIALECTS = (
     "duckdb", "postgres", "ansi", "snowflake", "bigquery", "redshift",
-    "mysql", "oracle", "tsql",
+    "mysql", "oracle", "tsql", "trino",
 )
+
+#: alias dialects normalized before any table lookup. Presto and Athena
+#: (engine v3) ARE Trino's grammar (ref engine_adapter/athena.py builds on
+#: trino.py); RisingWave speaks Postgres (ref engine_adapter/risingwave.py
+#: extends base_postgres); Fabric warehouse SQL is T-SQL (ref
+#: engine_adapter/fabric.py extends mssql); Databricks SQL IS Spark SQL,
+#: so it transpiles as a no-op (ref engine_adapter/databricks.py).
+DIALECT_ALIASES: dict[str, str] = {
+    "presto": "trino",
+    "athena": "trino",
+    "risingwave": "postgres",
+    "fabric": "tsql",
+    "databricks": SPARK,
+}
 
 #: dialects whose string literals are standard SQL (backslash is an
 #: ordinary character) and need backslash-doubling for Spark's C-style
@@ -63,9 +77,9 @@ READ_DIALECTS = (
 #: backslash as an escape character, matching Spark — no doubling
 #: (Redshift's standard_conforming_strings defaults to off, inherited
 #: from its PostgreSQL 8.0 base; models written against a cluster with it
-#: flipped on should declare dialect postgres instead). Oracle and T-SQL
-#: literals are standard '' doubling.
-_STD_LITERAL_DIALECTS = ("duckdb", "postgres", "ansi", "oracle", "tsql")
+#: flipped on should declare dialect postgres instead). Oracle, T-SQL and
+#: Trino literals are standard '' doubling.
+_STD_LITERAL_DIALECTS = ("duckdb", "postgres", "ansi", "oracle", "tsql", "trino")
 
 # ---------------------------------------------------------------------------
 # Function maps: read-dialect function name → Spark function name, applied
@@ -401,6 +415,152 @@ _TSQL_FN: dict[str, str | None] = {
     "checksum": None, "binary_checksum": None, "hashbytes": None,
 }
 
+# Trino / Presto / Athena renames (ref engine_adapter/trino.py,
+# athena.py — Athena engine v3 is Trino). Identical pass-throughs (same
+# name, arg shape, semantics in Spark): if, nullif, coalesce, try_cast,
+# abs, cbrt, ceil/ceiling, exp, floor, ln, log2, log10, log(b, x) (both
+# base-first 2-arg), mod, pi, e, pow/power, radians, degrees, round,
+# sign, sqrt, chr, concat, concat_ws, length, lower/upper, lpad/rpad
+# (both pad AND truncate), ltrim/rtrim/trim, replace (2-arg strips),
+# reverse, soundex, split_part (literal delim, 1-based), substr/
+# substring, translate, position grammar, luhn_check, url_encode/
+# url_decode, crc32 (via to_utf8→encode), date/day/month/year/quarter/
+# hour/minute/second, date_trunc (unit-string-first, Monday weeks),
+# last_day via rename, extract (field names mapped below), uuid,
+# width_bucket (4-arg), regexp_like/regexp_count, lambda syntax x -> e,
+# filter/transform/zip_with/array_sort comparator/map_filter/
+# transform_keys/transform_values/map_zip_with/map_concat/map_keys/
+# map_values/map_entries/map_from_entries, array_distinct/except/
+# intersect/union/join/max/min/position/remove, arrays_overlap, flatten,
+# sequence, shuffle, slice, count_if, bool_and/bool_or/every, max_by/
+# min_by (2-arg), approx_percentile (2-arg), corr/covar/stddev/var
+# family, kurtosis/skewness, json_array_length. None = loud failure.
+_TRINO_FN: dict[str, str | None] = {
+    # temporal
+    "now": "current_timestamp",
+    "last_day_of_month": "last_day",
+    "day_of_month": "dayofmonth",
+    "day_of_year": "dayofyear",
+    "doy": "dayofyear",
+    "week": "weekofyear",               # ISO weeks in both
+    "week_of_year": "weekofyear",
+    "millisecond": None,                # no Spark scalar
+    "timezone_hour": None, "timezone_minute": None,
+    "from_iso8601_timestamp": "to_timestamp",
+    "from_iso8601_date": "to_date",
+    "to_iso8601": None,                 # output shape depends on arg type
+    "parse_datetime": None,             # Joda patterns → loud
+    "format_datetime": None,            # Joda patterns → loud; use
+                                        # date_format's MySQL %-codes
+    "date_parse": None,                 # handler below (MySQL %-codes)
+    "with_timezone": None, "at_timezone": None,
+    "from_unixtime_nanos": None,
+    "to_milliseconds": None, "parse_duration": None,
+    "human_readable_seconds": None,
+    "current_time": None, "localtime": None,  # TIME type has no analog
+    # date_format / from_unixtime / to_unixtime / date_add / date_diff /
+    # day_of_week / dow / year_of_week / yow are handlers below.
+    # string
+    "codepoint": "ascii",
+    "levenshtein_distance": "levenshtein",
+    "hamming_distance": None,
+    "starts_with": "startswith",
+    "strpos": "instr",                  # 2-arg, same order + 1-based;
+                                        # 3-arg instance form is louded by
+                                        # a handler below
+    "format": "format_string",          # both java.lang.String.format
+    "split_to_map": None,               # Spark str_to_map splits on REGEX
+    "split_to_multimap": None,
+    "word_stem": None, "normalize": None,
+    "to_utf8": None,                    # handler: encode(x, 'UTF-8')
+    "from_utf8": None,                  # handler: decode(x, 'UTF-8')
+    # binary / hash
+    "to_hex": "hex",                    # both emit uppercase
+    "from_hex": "unhex",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "to_base64url": None, "from_base64url": None,
+    "to_big_endian_64": None, "from_big_endian_64": None,
+    "to_big_endian_32": None, "from_big_endian_32": None,
+    "md5": None,                        # Trino md5 returns VARBINARY;
+                                        # Spark's returns a hex STRING —
+    "sha1": None, "sha256": None,       # silent type+value divergence
+    "sha512": None, "xxhash64": None,
+    "spooky_hash_v2_32": None, "spooky_hash_v2_64": None,
+    "murmur3": None,
+    # conditional / misc
+    "try": None,                        # NULL-on-error wrapper; use the
+                                        # try_-prefixed Spark function
+    "typeof": None,
+    "random": None,                     # handler (0-arg → rand(); the
+    "rand": None,                       # bounded int forms have no analog)
+    "infinity": None, "nan": None,      # handlers (CAST literals)
+    "is_nan": "isnan",
+    "is_finite": None, "is_infinite": None,
+    "greatest": None, "least": None,    # Trino NULL-propagates; Spark
+                                        # ignores NULLs → silent wrong
+    "cosine_similarity": None,          # sparse-map vectors
+    "truncate": None,                   # toward-zero numeric truncation
+    "bit_count": None,                  # Trino 2-arg (value, bits)
+    "bitwise_left_shift": "shiftleft",
+    "bitwise_right_shift": "shiftrightunsigned",   # logical shift
+    "bitwise_right_shift_arithmetic": "shiftright",
+    "bitwise_and": None, "bitwise_or": None,       # handlers → (a & b)
+    "bitwise_xor": None, "bitwise_not": None,
+    # json
+    "json_extract_scalar": "get_json_object",      # same $.path language
+    "json_extract": None,               # returns JSON type
+    "json_parse": None, "json_format": None,
+    "json_size": None, "json_array_contains": None,
+    "json_array_get": None, "is_json_scalar": None,
+    # arrays / maps
+    "contains": "array_contains",
+    "element_at": "try_element_at",     # Trino returns NULL out-of-bounds /
+                                        # missing key; Spark 4 (ANSI on)
+                                        # raises without try_
+    "repeat": "array_repeat",           # Trino repeat builds an ARRAY
+    "zip": "arrays_zip",
+    "any_match": "exists",
+    "all_match": "forall",
+    "none_match": None,                 # handler: (NOT exists(...))
+    "reduce": "aggregate",              # same (arr, init, merge[, finish])
+    "array_agg": "collect_list",        # caveat: Trino keeps NULL elements,
+                                        # collect_list drops them (same
+                                        # mapping precedent as _COMMON_FN)
+    "trim_array": None, "ngrams": None, "combinations": None,
+    "array_sort_desc": None,
+    "map": None,                        # handler (2 array args →
+                                        # map_from_arrays; 0-arg empty map)
+    "map_agg": None, "multimap_agg": None, "map_union": None,
+    "multimap_from_entries": None,
+    "histogram": None, "numeric_histogram": None,
+    # aggregates
+    "approx_distinct": "approx_count_distinct",
+    "arbitrary": "any_value",
+    "geometric_mean": None, "checksum": None,
+    "approx_set": None, "merge": None,
+    "qdigest_agg": None, "tdigest_agg": None,
+    "approx_most_frequent": None,
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
+    "reduce_agg": None,
+    # regexp
+    "regexp_split": "split",            # both split on a Java regex
+    "regexp_position": None,            # -1 vs 0 when absent
+    # url
+    "url_extract_port": None,           # parse_url has no PORT part
+    # url_extract_host/path/protocol/query/fragment/parameter: handlers
+}
+
+#: Trino url_extract_* → Spark parse_url(url, PART) part keyword.
+_TRINO_URL_PARTS = {
+    "url_extract_host": "HOST",
+    "url_extract_path": "PATH",
+    "url_extract_protocol": "PROTOCOL",
+    "url_extract_query": "QUERY",
+    "url_extract_fragment": "REF",
+}
+
 _DIALECT_FN: dict[str, dict[str, str | None]] = {
     # regexp_matches is boolean partial-match in DuckDB only; in Postgres
     # it returns SETOF text[] (captured groups), so the rename is correct
@@ -414,6 +574,7 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
     "mysql": _MYSQL_FN,
     "oracle": _ORACLE_FN,
     "tsql": _TSQL_FN,
+    "trino": _TRINO_FN,
 }
 
 # Type names (CAST targets and `::` casts) that differ from Spark's.
@@ -528,6 +689,20 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
         "xml": None,
         "geography": None, "geometry": None, "hierarchyid": None,
     },
+    "trino": {
+        "varbinary": "BINARY",
+        # Trino TIMESTAMP is zone-less; TIMESTAMP WITH TIME ZONE (the
+        # multiword form, handled in _type_token_edits) maps to TIMESTAMP.
+        "timestamp": "TIMESTAMP_NTZ",
+        "json": None,                   # JSON type vs Spark VARIANT → loud
+        "time": None, "timetz": None,
+        "uuid": "STRING",               # canonical-text round-trip
+        "ipaddress": None, "ipprefix": None,
+        "hyperloglog": None, "p4hyperloglog": None,
+        "qdigest": None, "tdigest": None,
+        "geometry": None, "sphericalgeography": None,
+        "row": None,                    # ROW(...) → rewrite as STRUCT<...>
+    },
     "mysql": {
         "datetime": "TIMESTAMP_NTZ",    # wall-clock, no zone
         "unsigned": "DECIMAL(20,0)",    # CAST(x AS UNSIGNED)
@@ -584,6 +759,9 @@ _PARAM_DROP_TYPES: dict[str, dict[str, str]] = {
     "oracle": {
         "timestamp": "TIMESTAMP_NTZ",   # TIMESTAMP(6) fractional precision
         "float": "DOUBLE",              # FLOAT(binary_precision)
+    },
+    "trino": {
+        "timestamp": "TIMESTAMP_NTZ",   # TIMESTAMP(3) fractional precision
     },
 }
 
@@ -1310,16 +1488,21 @@ def _call_arg_spans(toks: list, open_idx: int):
 def transpile(sql: str, read: str | None = "duckdb") -> str:
     """Rewrite ``sql`` written in ``read`` dialect into Spark SQL.
 
-    ``read`` of ``None``/``""``/``"spark"`` returns ``sql`` unchanged.
-    Unknown dialects raise (loud, per module contract). Runs the edit
-    pass to a fixpoint (bounded) so chained constructs — ``x[1][2]``,
-    nested list literals — resolve one layer per pass.
+    ``read`` of ``None``/``""``/``"spark"``/``"databricks"`` returns
+    ``sql`` unchanged. Alias dialects (presto/athena → trino, risingwave
+    → postgres, fabric → tsql) normalize before table lookup. Unknown
+    dialects raise (loud, per module contract). Runs the edit pass to a
+    fixpoint (bounded) so chained constructs — ``x[1][2]``, nested list
+    literals — resolve one layer per pass.
     """
+    if read:
+        read = DIALECT_ALIASES.get(read, read)
     if not read or read == SPARK:
         return sql
     if read not in READ_DIALECTS:
         raise TranspileError(
-            f"unknown read dialect {read!r}; supported: {READ_DIALECTS}"
+            f"unknown read dialect {read!r}; supported: "
+            f"{READ_DIALECTS + tuple(DIALECT_ALIASES)}"
         )
     out = sql
     for pass_no in range(8):
@@ -1367,6 +1550,46 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
     a CAST's type-introducing AS (both syntaxes must stay in lockstep).
     Returns (edits, tokens_consumed_after_i)."""
     tname = toks[i + 1][1].lower()
+    if tname in ("timestamp", "time") and read in (
+        "trino", "postgres", "oracle", "ansi", "duckdb"
+    ):
+        # Multiword WITH[OUT] TIME ZONE forms, optionally after a
+        # precision list: TIMESTAMP(3) WITH TIME ZONE → TIMESTAMP;
+        # TIMESTAMP WITHOUT TIME ZONE → TIMESTAMP_NTZ. The single-word
+        # names fall through to the per-dialect tables below.
+        j = i + 2
+        if is_op(j, "("):
+            depth = 0
+            while j < len(toks):
+                if toks[j][0] == "op" and toks[j][1] == "(":
+                    depth += 1
+                elif toks[j][0] == "op" and toks[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+        if (
+            j + 2 < len(toks)
+            and all(toks[k][0] == "ident" for k in (j, j + 1, j + 2))
+            and toks[j][1].upper() in ("WITH", "WITHOUT")
+            and toks[j + 1][1].upper() == "TIME"
+            and toks[j + 2][1].upper() == "ZONE"
+        ):
+            if tname == "time":
+                raise TranspileError(
+                    "TIME types have no Spark analog; store as STRING or "
+                    "seconds-since-midnight"
+                )
+            # TIMESTAMP_LTZ, not bare TIMESTAMP: for trino the bare name
+            # means zone-LESS, so a later fixpoint pass would re-read an
+            # emitted TIMESTAMP and map it to TIMESTAMP_NTZ. The _LTZ
+            # spelling is the same Spark type and is fixpoint-stable.
+            mapped_tz = (
+                "TIMESTAMP_LTZ" if toks[j][1].upper() == "WITH"
+                else "TIMESTAMP_NTZ"
+            )
+            return [(toks[i + 1][2], toks[j + 2][3], mapped_tz)], j + 3 - i
     if (
         read == "mysql"
         and tname in ("signed", "unsigned")
@@ -1409,6 +1632,12 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
         ptype = _PARAM_TYPES.get(read, {}).get(tname)
         if ptype is not None:
             return [(toks[i + 1][2], toks[i + 1][3], ptype)], 2
+        # a type that is LOUD in bare form (mapped None) is just as
+        # unrepresentable with parameters: ROW(x int), TIME(3), BIT(3)
+        if _type_map(read).get(tname, _LOUD_TYPE) is None:
+            raise TranspileError(
+                f"type {tname!r} has no faithful Spark representation"
+            )
         return [], 2
     mapped = _lookup_type(read, tname)
     if mapped is not None:
@@ -1466,6 +1695,25 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             )
             i += 1
             continue
+
+        # Trino AT TIME ZONE: changes the display zone of the same
+        # instant — Spark timestamps are session-zone-normalized with no
+        # per-value zone, so there is no faithful rewrite. LOUD.
+        if (
+            read == "trino"
+            and kind == "ident"
+            and text.upper() == "AT"
+            and i + 2 < n
+            and toks[i + 1][0] == "ident"
+            and toks[i + 1][1].upper() == "TIME"
+            and toks[i + 2][0] == "ident"
+            and toks[i + 2][1].upper() == "ZONE"
+        ):
+            raise TranspileError(
+                "AT TIME ZONE has no faithful Spark rewrite (Spark "
+                "timestamps carry no per-value zone); rewrite with "
+                "to_utc_timestamp/from_utc_timestamp explicitly"
+            )
 
         if read == "oracle" and kind == "ident":
             low = text.lower()
@@ -1526,7 +1774,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         #   FETCH FIRST|NEXT n ROWS|ROW ONLY → LIMIT n
         # (T-SQL's OFFSET..FETCH is the same grammar.)
         if (
-            read in ("oracle", "ansi", "postgres", "tsql")
+            read in ("oracle", "ansi", "postgres", "tsql", "trino")
             and kind == "ident"
             and text.upper() in ("OFFSET", "FETCH")
         ):
@@ -3497,7 +3745,8 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
             if name in ("date_diff", "datediff") and read in (
-                "duckdb", "postgres", "snowflake", "redshift", "tsql"
+                "duckdb", "postgres", "snowflake", "redshift", "tsql",
+                "trino",
             ):
                 # DuckDB date_diff counts UNIT-BOUNDARY CROSSINGS while
                 # Spark timestampdiff counts complete elapsed units
@@ -3505,6 +3754,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 # a naive timestampdiff). Truncating both operands to the
                 # unit makes complete-units == boundary-crossings:
                 #   timestampdiff(U, date_trunc('u', s), date_trunc('u', e))
+                # Trino's date_diff counts complete elapsed units already
+                # (java.time between semantics) — timestampdiff directly,
+                # NO truncation.
                 # 2-arg datediff matches Spark's own datediff — untouched.
                 spans, _close = _call_arg_spans(toks, i + 1)
                 if len(spans) == 3:
@@ -3533,12 +3785,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     edits.append(
                         (toks[spans[0][0]][2], toks[spans[0][0]][3], unit.upper())
                     )
-                    for s_idx, e_idx in spans[1:]:
-                        edits.append(
-                            (toks[s_idx][2], toks[s_idx][2],
-                             f"date_trunc('{unit.lower()}', ")
-                        )
-                        edits.append((toks[e_idx][3], toks[e_idx][3], ")"))
+                    if read != "trino":
+                        for s_idx, e_idx in spans[1:]:
+                            edits.append(
+                                (toks[s_idx][2], toks[s_idx][2],
+                                 f"date_trunc('{unit.lower()}', ")
+                            )
+                            edits.append((toks[e_idx][3], toks[e_idx][3], ")"))
                 i += 1
                 continue
 
@@ -3641,6 +3894,27 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     if nargs != 3:
                         raise TranspileError("bigquery regexp_replace takes 3 args")
                     _convert_replacement(spans[2])
+                elif read == "trino":
+                    # Trino replaces ALL matches and already uses Java's
+                    # $-backreference syntax (escaped literal $ is \$,
+                    # same as Java) — only the 2-arg strip form rewrites;
+                    # the lambda form has no Spark analog.
+                    if nargs == 2:
+                        edits.append((toks[close][2], toks[close][2], ", ''"))
+                    elif nargs == 3:
+                        s_, e_ = spans[2]
+                        if any(
+                            toks[k_][0] == "op" and toks[k_][1] == "->"
+                            for k_ in range(s_, e_ + 1)
+                        ):
+                            raise TranspileError(
+                                "regexp_replace with a lambda replacement "
+                                "has no Spark rewrite"
+                            )
+                    else:
+                        raise TranspileError(
+                            "trino regexp_replace takes 2 or 3 args"
+                        )
                 i += 1
                 continue
 
@@ -3718,6 +3992,445 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 edits.append((toks[close][2], toks[close][2], f", {fmt}"))
                 i += 1
                 continue
+
+            # ---- Trino-specific handlers
+            if read == "trino":
+                if name == "unnest":
+                    # FROM-clause UNNEST. Shapes:
+                    #   t CROSS|INNER JOIN UNNEST(x) AS u(e) | t, UNNEST(x) AS u(e)
+                    #   t LEFT [OUTER] JOIN UNNEST(x) AS u(e) ON TRUE
+                    #   FROM UNNEST(x) AS u(e)               (standalone)
+                    # → LATERAL VIEW [OUTER] explode[_outer](x) u AS e.
+                    # A 2-column alias unnests a MAP (explode yields key,
+                    # value). WITH ORDINALITY is 1-based with a TRAILING
+                    # ordinal; posexplode is 0-based and LEADS — no
+                    # faithful alias-only rewrite, so LOUD.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(
+                            "UNNEST of multiple arrays zips them; no Spark "
+                            "rewrite — arrays_zip + a single UNNEST instead"
+                        )
+                    expr_text = _arg_text(spans[0])
+                    j = close + 1
+                    if (
+                        j + 1 < n
+                        and toks[j][0] == "ident"
+                        and toks[j][1].upper() == "WITH"
+                        and toks[j + 1][0] == "ident"
+                        and toks[j + 1][1].upper() == "ORDINALITY"
+                    ):
+                        raise TranspileError(
+                            "UNNEST ... WITH ORDINALITY is 1-based with a "
+                            "trailing ordinal column; rewrite with Spark "
+                            "posexplode and pos + 1 explicitly"
+                        )
+                    if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
+                        j += 1
+                    if not (
+                        j < n
+                        and toks[j][0] in _NAME_KINDS
+                        and toks[j][1].upper() not in _EXPR_KEYWORDS
+                    ):
+                        raise TranspileError(
+                            "UNNEST needs `AS alias(column[, column])` to "
+                            "be referenceable after transpile"
+                        )
+                    tbl_alias = _ident_text(toks[j][0], toks[j][1])
+                    j += 1
+                    if not is_op(j, "("):
+                        raise TranspileError(
+                            "trino UNNEST alias needs a column list: "
+                            "AS alias(column[, column])"
+                        )
+                    col_spans, col_close = _call_arg_spans(toks, j)
+                    cols: list[str] = []
+                    for s_, e_ in col_spans:
+                        if s_ != e_ or toks[s_][0] not in _NAME_KINDS:
+                            raise TranspileError(
+                                "UNNEST column alias list must be plain names"
+                            )
+                        cols.append(_ident_text(toks[s_][0], toks[s_][1]))
+                    if not cols or len(cols) > 2:
+                        raise TranspileError(
+                            "UNNEST alias takes 1 column (array) or 2 (map)"
+                        )
+                    region_end_tok = col_close
+                    outer = False
+                    standalone = False
+                    p = i - 1
+                    region_start_tok = i
+                    if p >= 0 and is_op(p, ","):
+                        region_start_tok = p
+                    elif (
+                        p >= 0
+                        and toks[p][0] == "ident"
+                        and toks[p][1].upper() == "JOIN"
+                    ):
+                        region_start_tok = p
+                        q = p - 1
+                        if q >= 0 and toks[q][0] == "ident" and \
+                                toks[q][1].upper() in ("CROSS", "INNER"):
+                            region_start_tok = q
+                        elif q >= 0 and toks[q][0] == "ident" and \
+                                toks[q][1].upper() in ("LEFT", "OUTER"):
+                            outer = True
+                            region_start_tok = q
+                            if (
+                                toks[q][1].upper() == "OUTER"
+                                and q - 1 >= 0
+                                and toks[q - 1][0] == "ident"
+                                and toks[q - 1][1].upper() == "LEFT"
+                            ):
+                                region_start_tok = q - 1
+                            # consume the mandatory ON TRUE
+                            if (
+                                region_end_tok + 2 < n
+                                and toks[region_end_tok + 1][0] == "ident"
+                                and toks[region_end_tok + 1][1].upper() == "ON"
+                                and toks[region_end_tok + 2][0] == "ident"
+                                and toks[region_end_tok + 2][1].upper() == "TRUE"
+                            ):
+                                region_end_tok += 2
+                            else:
+                                raise TranspileError(
+                                    "LEFT JOIN UNNEST requires ON TRUE"
+                                )
+                    elif (
+                        p >= 0
+                        and toks[p][0] == "ident"
+                        and toks[p][1].upper() == "FROM"
+                    ):
+                        standalone = True
+                    else:
+                        raise TranspileError(
+                            "UNNEST must follow FROM, a comma, or a "
+                            "CROSS/INNER/LEFT JOIN"
+                        )
+                    col_list = ", ".join(cols)
+                    if standalone:
+                        repl = (
+                            f"(SELECT explode({expr_text}) AS ({col_list})) "
+                            f"AS {tbl_alias}"
+                        )
+                        edits.append((toks[i][2], toks[region_end_tok][3], repl))
+                    else:
+                        fn_ = "explode_outer" if outer else "explode"
+                        lv = "LATERAL VIEW OUTER" if outer else "LATERAL VIEW"
+                        repl = (
+                            f" {lv} {fn_}({expr_text}) {tbl_alias} "
+                            f"AS {col_list}"
+                        )
+                        edits.append(
+                            (toks[region_start_tok][2],
+                             toks[region_end_tok][3], repl)
+                        )
+                    i = region_end_tok + 1
+                    continue
+
+                if name == "extract":
+                    # Trino DOW is ISO (1=Mon..7=Sun; Spark's bare DOW is
+                    # 0=Sun) and YOW is the ISO week year — map the field
+                    # names to Spark's ISO spellings. Other fields match.
+                    if i + 2 < n and toks[i + 2][0] == "ident":
+                        f_tok = toks[i + 2]
+                        mapped_f = {
+                            "dow": "DAYOFWEEK_ISO",
+                            "day_of_week": "DAYOFWEEK_ISO",
+                            "yow": "YEAROFWEEK",
+                            "year_of_week": "YEAROFWEEK",
+                            "doy": "DOY",
+                            "day_of_year": "DOY",
+                        }.get(f_tok[1].lower())
+                        if mapped_f and mapped_f != f_tok[1].upper():
+                            edits.append((f_tok[2], f_tok[3], mapped_f))
+                    i += 1
+                    continue
+
+                if name == "date_format" and first_pass:
+                    # Same name + arg order as Spark, but Trino uses MySQL
+                    # %-codes (trino.io/docs: "MySQL date functions").
+                    # Same shared-name ambiguity rule as the MySQL handler.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2 or toks[spans[1][0]][0] != "string" \
+                            or spans[1][0] != spans[1][1]:
+                        raise TranspileError(
+                            "trino date_format needs a literal format to "
+                            "transpile"
+                        )
+                    fmt_tok = toks[spans[1][0]]
+                    raw_fmt = _literal_content(fmt_tok[1], read)
+                    if "%" not in raw_fmt:
+                        if re.search(r"[A-Za-z]", raw_fmt):
+                            raise TranspileError(
+                                f"date_format pattern {raw_fmt!r} has no "
+                                "%-codes; cannot tell a literal Trino "
+                                "format from an already-Spark pattern"
+                            )
+                        i += 1
+                        continue
+                    converted = convert_mysql_format(raw_fmt)
+                    edits.append((start, end, "date_format"))
+                    edits.append(
+                        (fmt_tok[2], fmt_tok[3],
+                         _spark_string_literal(converted, read))
+                    )
+                    i += 1
+                    continue
+
+                if name == "date_parse" and first_pass:
+                    # date_parse(s, '%Y-%m-%d') always returns TIMESTAMP.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2 or toks[spans[1][0]][0] != "string" \
+                            or spans[1][0] != spans[1][1]:
+                        raise TranspileError(
+                            "date_parse needs a literal format to transpile"
+                        )
+                    fmt_tok = toks[spans[1][0]]
+                    converted = convert_mysql_format(
+                        _literal_content(fmt_tok[1], read)
+                    )
+                    edits.append((start, end, "to_timestamp"))
+                    edits.append(
+                        (fmt_tok[2], fmt_tok[3],
+                         _spark_string_literal(converted, read))
+                    )
+                    i += 1
+                    continue
+
+                if name == "from_unixtime":
+                    # Trino returns TIMESTAMP (Spark's from_unixtime
+                    # returns a formatted STRING) → timestamp_seconds,
+                    # which also keeps Trino's fractional seconds.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(
+                            "trino from_unixtime with a zone/offset has no "
+                            "Spark rewrite"
+                        )
+                    edits.append((start, end, "timestamp_seconds"))
+                    i += 1
+                    continue
+
+                if name == "to_unixtime":
+                    # Returns DOUBLE epoch seconds with fraction —
+                    # unix_timestamp() would truncate to BIGINT.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError("to_unixtime takes 1 arg")
+                    edits.append((start, end, "(unix_micros"))
+                    edits.append((toks[close][3], toks[close][3], " / 1e6)"))
+                    i += 1
+                    continue
+
+                if name == "date_add" and first_pass:
+                    # date_add('unit', n, x) → timestampadd(UNIT, n, x).
+                    # The 2-arg form is already-Spark text — untouched.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 3:
+                        u_tok = toks[spans[0][0]]
+                        if not (
+                            u_tok[0] == "string" and spans[0][0] == spans[0][1]
+                        ):
+                            raise TranspileError(
+                                "date_add unit must be a string literal"
+                            )
+                        raw_unit = _literal_content(u_tok[1], read).lower()
+                        unit = _resolve_unit(read, raw_unit)
+                        if unit is None:
+                            raise TranspileError(
+                                f"date_add unit {raw_unit!r} has no Spark "
+                                "timestampadd equivalent"
+                            )
+                        edits.append((start, end, "timestampadd"))
+                        edits.append((u_tok[2], u_tok[3], unit))
+                    i += 1
+                    continue
+
+                if name in ("day_of_week", "dow"):
+                    # ISO 1=Monday..7=Sunday; Spark weekday is 0=Monday.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(f"{name} takes 1 arg")
+                    edits.append((start, end, "(weekday"))
+                    edits.append((toks[close][3], toks[close][3], " + 1)"))
+                    i += 1
+                    continue
+
+                if name in ("year_of_week", "yow"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(f"{name} takes 1 arg")
+                    edits.append(
+                        (start, toks[i + 1][3], "extract(YEAROFWEEK FROM ")
+                    )
+                    i += 1
+                    continue
+
+                if name in ("regexp_extract", "regexp_extract_all"):
+                    # Trino's 2-arg form returns the WHOLE match; Spark
+                    # defaults to group 1 — pin group 0. 3-arg matches.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 2:
+                        edits.append((toks[close][2], toks[close][2], ", 0"))
+                    i += 1
+                    continue
+
+                if name == "split" and first_pass:
+                    # Trino splits on a PLAIN string; Spark's split is a
+                    # regex — regex-escape a literal delimiter.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) not in (2, 3):
+                        raise TranspileError("split takes 2 or 3 args")
+                    d_tok = toks[spans[1][0]]
+                    if not (
+                        d_tok[0] == "string" and spans[1][0] == spans[1][1]
+                    ):
+                        raise TranspileError(
+                            "trino split delimiter must be a string "
+                            "literal to transpile (plain string vs Spark "
+                            "regex)"
+                        )
+                    edits.append(
+                        (d_tok[2], d_tok[3],
+                         _regex_literal(_literal_content(d_tok[1], read), read))
+                    )
+                    i += 1
+                    continue
+
+                if name == "strpos":
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 3:
+                        raise TranspileError(
+                            "strpos(string, substring, instance) has no "
+                            "Spark equivalent"
+                        )
+                    # 2-arg falls through to the instr rename below
+
+                if name == "approx_percentile":
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) >= 3:
+                        raise TranspileError(
+                            "approx_percentile with a weight arg has no "
+                            "Spark form (Spark's 3rd arg is accuracy)"
+                        )
+                    # 2-arg matches Spark — untouched
+
+                if name == "map":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 2:
+                        # map(keys_array, values_array)
+                        edits.append((start, end, "map_from_arrays"))
+                        i += 1
+                        continue
+                    if len(spans) == 0:
+                        i += 1  # map() is the empty map in both
+                        continue
+                    raise TranspileError(
+                        "trino map() takes 0 args or 2 array args"
+                    )
+
+                if name in _TRINO_URL_PARTS:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(f"{name} takes 1 arg")
+                    edits.append((start, end, "parse_url"))
+                    edits.append(
+                        (toks[close][2], toks[close][2],
+                         f", '{_TRINO_URL_PARTS[name]}'")
+                    )
+                    i += 1
+                    continue
+
+                if name == "url_extract_parameter":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError("url_extract_parameter takes 2 args")
+                    edits.append((start, end, "parse_url"))
+                    edits.append(
+                        (toks[spans[0][1]][3], toks[spans[0][1]][3], ", 'QUERY'")
+                    )
+                    i += 1
+                    continue
+
+                if name == "to_utf8":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError("to_utf8 takes 1 arg")
+                    edits.append((start, end, "encode"))
+                    edits.append((toks[close][2], toks[close][2], ", 'UTF-8'"))
+                    i += 1
+                    continue
+
+                if name == "from_utf8":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(
+                            "from_utf8 with a replacement arg has no Spark "
+                            "equivalent" if len(spans) == 2
+                            else "from_utf8 takes 1 arg"
+                        )
+                    edits.append((start, end, "decode"))
+                    edits.append((toks[close][2], toks[close][2], ", 'UTF-8'"))
+                    i += 1
+                    continue
+
+                if name == "none_match":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError("none_match takes 2 args")
+                    edits.append((start, end, "(NOT exists"))
+                    edits.append((toks[close][3], toks[close][3], ")"))
+                    i += 1
+                    continue
+
+                if name in ("infinity", "nan"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if spans:
+                        raise TranspileError(f"{name} takes no args")
+                    lit = "Infinity" if name == "infinity" else "NaN"
+                    edits.append(
+                        (start, toks[close][3], f"CAST('{lit}' AS DOUBLE)")
+                    )
+                    i = close + 1
+                    continue
+
+                if name in ("random", "rand"):
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if spans:
+                        raise TranspileError(
+                            f"{name}(n) returns a bounded INTEGER in "
+                            "Trino; use floor(rand() * n)"
+                        )
+                    if name == "random":
+                        edits.append((start, end, "rand"))
+                    i += 1
+                    continue
+
+                if name in ("bitwise_and", "bitwise_or", "bitwise_xor"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError(f"{name} takes 2 args")
+                    op_ = {
+                        "bitwise_and": "&", "bitwise_or": "|",
+                        "bitwise_xor": "^",
+                    }[name]
+                    a = _arg_text(spans[0])
+                    b = _arg_text(spans[1])
+                    edits.append(
+                        (start, toks[close][3], f"(({a}) {op_} ({b}))")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "bitwise_not":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError("bitwise_not takes 1 arg")
+                    a = _arg_text(spans[0])
+                    edits.append((start, toks[close][3], f"(~({a}))"))
+                    i = close + 1
+                    continue
 
             if name == "log" and read in ("duckdb", "postgres"):
                 # 1-arg log is log10 in DuckDB/Postgres, ln in Spark.

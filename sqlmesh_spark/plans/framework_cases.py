@@ -2889,3 +2889,57 @@ ORDER BY yr, mon
     )
     ctx.run(environment="env_ts")
     return spark.table("env_ts_views.order_stats")
+
+
+TRINO_DIALECT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       str_split('a|b|c', '|')[2] AS second_tag,
+       CAST(date_diff('day', DATE '1995-01-01', DATE '1995-03-01') AS BIGINT) AS span_days,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_trino_dialect_model", oracle=TRINO_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_trino_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in TRINO dialect loaded through plan/apply — the
+    Trino/Presto/Athena migration source (reference
+    engine_adapter/trino.py, athena.py; renderer.py:517 renders any read
+    dialect). The text exercises Trino-specific seams: date_format with
+    MySQL %-codes (converted to Spark datetime patterns), split on a
+    PLAIN delimiter (regex-escaped for Spark's regex split), element_at
+    → try_element_at (Trino is NULL out-of-bounds; Spark 4 ANSI raises),
+    date_diff('unit', a, b) with complete-elapsed-unit semantics →
+    timestampdiff (NO boundary truncation, unlike the DuckDB handler),
+    and starts_with → startswith. DuckDB computes the same values
+    natively; the hash match proves dialect value parity."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_trino", "env_trino_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_trino.monthly_stats,
+  kind FULL,
+  dialect trino
+);
+SELECT date_format(o_orderdate, '%Y-%m') AS month,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       element_at(split('a|b|c', '|'), 2) AS second_tag,
+       date_diff('day', DATE '1995-01-01', DATE '1995-03-01') AS span_days,
+       CAST(SUM(CASE WHEN starts_with(o_orderpriority, '1') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY date_format(o_orderdate, '%Y-%m')
+"""
+    )
+    ctx.run(environment="env_trino")
+    return spark.table("env_trino_views.monthly_stats")

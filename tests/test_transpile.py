@@ -2319,3 +2319,284 @@ def test_tsql_unicode_literal_prefix(spark):
     out = transpile("SELECT N'héllo' AS v, n FROM VALUES (1) AS t(n)", "tsql")
     row = spark.sql(out).collect()[0]
     assert (row.v, row.n) == ("héllo", 1)
+
+
+# ---------------------------------------------------------------------------
+# Trino / Presto / Athena read dialect (ref engine_adapter/trino.py,
+# athena.py — Athena engine v3 is Trino) + alias dialects
+# ---------------------------------------------------------------------------
+
+
+def test_trino_renames_execute(spark):
+    out = transpile(
+        "SELECT approx_distinct(n) AS a, arbitrary(n) AS b, "
+        "strpos('hello', 'lo') AS c, codepoint('A') AS d, "
+        "starts_with('hello', 'he') AS e, "
+        "levenshtein_distance('kitten', 'sitting') AS f, "
+        "format('%s=%d', 'n', 5) AS g, to_hex(to_utf8('AB')) AS h, "
+        "from_utf8(to_utf8('hé')) AS i, is_nan(nan()) AS j "
+        "FROM VALUES (1), (2) AS t(n)",
+        "trino",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.c, row.d, row.e, row.f) == (2, 4, 65, True, 3)
+    assert (row.g, row.h, row.i, row.j) == ("n=5", "4142", "hé", True)
+
+
+def test_trino_date_functions(spark):
+    out = transpile(
+        "SELECT date_add('day', 3, DATE '2024-03-05') AS a, "
+        "date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS b, "
+        "date_diff('day', TIMESTAMP '2024-01-01 23:00:00', "
+        "TIMESTAMP '2024-01-02 01:00:00') AS c, "
+        "day_of_week(DATE '2024-03-05') AS d, "
+        "year_of_week(DATE '2021-01-01') AS e, "
+        "week(DATE '2024-01-04') AS f, "
+        "last_day_of_month(DATE '2024-02-05') AS g",
+        "trino",
+    )
+    row = spark.sql(out).collect()[0]
+    assert str(row.a).startswith("2024-03-08")
+    # Trino date_diff counts complete elapsed units, NOT boundary
+    # crossings: Jan-31→Feb-01 is 0 months, 23:00→01:00 is 0 days.
+    assert row.b == 0
+    assert row.c == 0
+    assert row.d == 2          # ISO: Tuesday = 2
+    assert row.e == 2020       # ISO week year of 2021-01-01
+    assert row.f == 1
+    assert str(row.g) == "2024-02-29"
+
+
+def test_trino_extract_fields(spark):
+    out = transpile(
+        "SELECT extract(dow FROM DATE '2024-03-10') AS a, "
+        "extract(yow FROM DATE '2021-01-01') AS b, "
+        "extract(doy FROM DATE '2024-02-01') AS c",
+        "trino",
+    )
+    assert "DAYOFWEEK_ISO" in out and "YEAROFWEEK" in out
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c) == (7, 2020, 32)  # Sunday = ISO 7
+
+
+def test_trino_mysql_format_codes(spark):
+    out = transpile(
+        "SELECT date_format(TIMESTAMP '2024-03-05 10:30:00', '%Y-%m %H:%i') AS a, "
+        "date_parse('2024-03-05', '%Y-%m-%d') AS b",
+        "trino",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == "2024-03 10:30"
+    assert str(row.b).startswith("2024-03-05")
+    # already-Java pattern with letters and no %-codes is ambiguous → loud
+    with pytest.raises(TranspileError):
+        transpile("SELECT date_format(ts, 'yyyy-MM') FROM t", "trino")
+
+
+def test_trino_unixtime_round_trip(spark):
+    out = transpile(
+        "SELECT from_unixtime(1700000000.25) AS a, "
+        "to_unixtime(TIMESTAMP '2024-03-05 10:30:00') AS b",
+        "trino",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a.microsecond == 250000   # fractional seconds preserved
+    assert isinstance(row.b, float)
+    with pytest.raises(TranspileError):
+        transpile("SELECT from_unixtime(e, 'UTC') FROM t", "trino")
+
+
+def test_trino_regexp_and_split(spark):
+    out = transpile(
+        "SELECT regexp_extract('a12b', '[0-9]+') AS a, "
+        "regexp_extract('a12b', '([a-z])([0-9]+)', 2) AS b, "
+        "regexp_replace('aaa-bbb', 'a+') AS c, "
+        "regexp_replace('ab', '(a)(b)', '$2$1') AS d, "
+        "split('x|y|z', '|') AS e, "
+        "regexp_split('a1b2', '[0-9]') AS f",
+        "trino",
+    )
+    row = spark.sql(out).collect()[0]
+    # 2-arg regexp_extract returns the WHOLE match in Trino (group 0)
+    assert (row.a, row.b, row.c, row.d) == ("12", "12", "-bbb", "ba")
+    # split's delimiter is a PLAIN string — '|' must not act as a regex
+    assert row.e == ["x", "y", "z"]
+    assert row.f == ["a", "b", ""]
+    with pytest.raises(TranspileError):
+        transpile("SELECT regexp_replace(s, 'p', x -> x) FROM t", "trino")
+    with pytest.raises(TranspileError):
+        transpile("SELECT split(s, d) FROM t", "trino")
+
+
+def test_trino_array_map_functions(spark):
+    out = transpile(
+        "SELECT element_at(ARRAY(1, 2), 9) AS a, "
+        "contains(ARRAY(1, 2), 2) AS b, "
+        "repeat('q', 2) AS c, "
+        "reduce(ARRAY(1, 2, 3), 0, (acc, v) -> acc + v) AS d, "
+        "any_match(ARRAY(1, 2), v -> v > 1) AS e, "
+        "none_match(ARRAY(1, 2), v -> v > 10) AS f, "
+        "map(ARRAY('k'), ARRAY(9)) AS g, "
+        "cardinality(ARRAY(1, 2)) AS h",
+        "trino",
+    )
+    row = spark.sql(out).collect()[0]
+    # Trino element_at returns NULL out of bounds; Spark 4 runs ANSI mode
+    # where plain element_at raises — the rename targets try_element_at.
+    assert row.a is None
+    assert (row.b, row.c, row.d, row.e, row.f) == (True, ["q", "q"], 6, True, True)
+    assert row.g == {"k": 9}
+    assert row.h == 2
+
+
+def test_trino_unnest_shapes(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW trino_un AS "
+        "SELECT array(1, 2) AS arr, map('a', 1) AS m"
+    )
+    for sql, expect in [
+        ("SELECT e FROM trino_un CROSS JOIN UNNEST(arr) AS u(e)", [(1,), (2,)]),
+        ("SELECT e FROM trino_un, UNNEST(arr) AS u(e)", [(1,), (2,)]),
+        ("SELECT k, v FROM trino_un CROSS JOIN UNNEST(m) AS kv(k, v)", [("a", 1)]),
+        ("SELECT e FROM trino_un LEFT JOIN UNNEST(arr) AS u(e) ON TRUE", [(1,), (2,)]),
+        ("SELECT e FROM UNNEST(sequence(1, 2)) AS u(e)", [(1,), (2,)]),
+    ]:
+        out = transpile(sql, "trino")
+        got = sorted(tuple(r) for r in spark.sql(out).collect())
+        assert got == sorted(expect), (sql, out, got)
+    for bad in (
+        "SELECT x FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)",
+        "SELECT e, o FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(e, o)",
+        "SELECT e FROM t LEFT JOIN UNNEST(a) AS u(e)",   # missing ON TRUE
+        "SELECT e FROM t CROSS JOIN UNNEST(a) AS u",     # no column list
+    ):
+        with pytest.raises(TranspileError):
+            transpile(bad, "trino")
+
+
+def test_trino_types(spark):
+    out = transpile(
+        "SELECT CAST('ab' AS varbinary) AS a, "
+        "CAST(TIMESTAMP '2024-01-01 00:00:00' AS timestamp(3)) AS b, "
+        "CAST('2024-01-01 00:00:00' AS timestamp) AS c",
+        "trino",
+    )
+    assert "BINARY" in out and out.count("TIMESTAMP_NTZ") == 2
+    spark.sql(out).collect()
+    for bad in ("json", "time", "ipaddress", "hyperloglog", "row(x int)"):
+        with pytest.raises(TranspileError):
+            transpile(f"SELECT CAST(x AS {bad}) FROM t", "trino")
+
+
+def test_timestamp_with_time_zone_multiword():
+    # trino/postgres/oracle/ansi/duckdb multiword forms, incl. after a
+    # precision list
+    assert transpile(
+        "SELECT CAST(x AS timestamp with time zone) FROM t", "trino"
+    ) == "SELECT CAST(x AS TIMESTAMP_LTZ) FROM t"
+    assert transpile(
+        "SELECT CAST(x AS timestamp(6) without time zone) FROM t", "trino"
+    ) == "SELECT CAST(x AS TIMESTAMP_NTZ) FROM t"
+    assert transpile(
+        "SELECT x::timestamp with time zone FROM t", "postgres"
+    ) == "SELECT x::TIMESTAMP_LTZ FROM t"
+    with pytest.raises(TranspileError):
+        transpile("SELECT CAST(x AS time with time zone) FROM t", "trino")
+
+
+def test_trino_offset_fetch_and_listagg(spark):
+    assert transpile(
+        "SELECT n FROM t OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY", "trino"
+    ) == "SELECT n FROM t LIMIT 10 OFFSET 5"
+    out = transpile(
+        "SELECT listagg(n, '-') WITHIN GROUP (ORDER BY n) AS a "
+        "FROM VALUES ('x'), ('y') AS t(n)",
+        "trino",
+    )
+    assert spark.sql(out).collect()[0].a == "x-y"
+
+
+def test_trino_bitwise(spark):
+    out = transpile(
+        "SELECT bitwise_and(5, 3) AS a, bitwise_or(5, 3) AS b, "
+        "bitwise_xor(5, 3) AS c, bitwise_not(5) AS d, "
+        "bitwise_left_shift(1, 3) AS e, bitwise_right_shift(-8, 1) AS f, "
+        "bitwise_right_shift_arithmetic(-8, 1) AS g",
+        "trino",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == (1, 7, 6, -6, 8)
+    assert row.f == 2147483644          # logical (zero-fill) shift
+    assert row.g == -4                  # arithmetic shift
+
+
+def test_trino_url_functions(spark):
+    out = transpile(
+        "SELECT url_extract_host(u) AS a, url_extract_path(u) AS b, "
+        "url_extract_protocol(u) AS c, url_extract_query(u) AS d, "
+        "url_extract_fragment(u) AS e, url_extract_parameter(u, 'k') AS f "
+        "FROM VALUES ('http://h.io/p?k=v&z=2#frag') AS t(u)",
+        "trino",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c) == ("h.io", "/p", "http")
+    assert (row.d, row.e, row.f) == ("k=v&z=2", "frag", "v")
+
+
+def test_trino_at_time_zone_loud():
+    with pytest.raises(TranspileError):
+        transpile("SELECT ts AT TIME ZONE 'UTC' FROM t", "trino")
+
+
+def test_trino_loud_surface():
+    for sql in (
+        "SELECT try(1/0) FROM t",
+        "SELECT md5(to_utf8(s)) FROM t",          # VARBINARY vs hex STRING
+        "SELECT greatest(a, b) FROM t",            # NULL-propagation differs
+        "SELECT approx_percentile(x, w, 0.5) FROM t",
+        "SELECT strpos(s, 'x', 2) FROM t",
+        "SELECT format_datetime(ts, 'yyyy') FROM t",
+        "SELECT random(5) FROM t",
+        "SELECT array_sort_desc(a) FROM t",
+        "SELECT json_parse(j) FROM t",
+        "SELECT histogram(x) FROM t",
+        "SELECT truncate(x) FROM t",
+        "SELECT split_to_map(s, ';', '=') FROM t",
+        "SELECT regexp_position(s, 'p') FROM t",
+        "SELECT url_extract_port(u) FROM t",
+        "SELECT map(a) FROM t",
+        "SELECT hamming_distance(a, b) FROM t",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(sql, "trino")
+
+
+def test_trino_in_noop_corpus():
+    # Already-Spark text round-trips untouched — except the names Trino
+    # claims with different semantics (date_format %-codes, plain-string
+    # split, whole-match regexp_extract), mirroring the MySQL rule.
+    corpus = [
+        "SELECT a, SUM(b) AS s FROM t WHERE c >= DATE '2024-01-01' GROUP BY a",
+        "WITH x AS (SELECT 1 AS a) SELECT a, ROW_NUMBER() OVER (ORDER BY a) FROM x",
+        "SELECT timestampdiff(DAY, a, b), date_trunc('month', ts) FROM t",
+        "SELECT /* block */ concat_ws('-', a, b) AS k FROM t ORDER BY k LIMIT 5",
+    ]
+    for sql in corpus:
+        assert transpile(sql, "trino") == sql, sql
+
+
+def test_dialect_aliases():
+    # databricks IS Spark SQL — byte-identical no-op
+    weird = "SELECT anything_at_all(x, '\\d') FROM t QUALIFY 1"
+    assert transpile(weird, "databricks") == weird
+    # presto/athena → trino; risingwave → postgres; fabric → tsql
+    assert transpile("SELECT strpos(s, 'x') FROM t", "athena") \
+        == "SELECT instr(s, 'x') FROM t"
+    assert transpile("SELECT arbitrary(x) FROM t", "presto") \
+        == "SELECT any_value(x) FROM t"
+    assert transpile("SELECT x::int8 FROM t", "risingwave") \
+        == "SELECT x::BIGINT FROM t"
+    assert transpile("SELECT ISNULL(a, 0) FROM t", "fabric") \
+        == "SELECT nvl(a, 0) FROM t"
+    with pytest.raises(TranspileError):
+        transpile("SELECT 1", "not_a_dialect")
