@@ -69,9 +69,9 @@ _TOKEN_RE = re.compile(
 #: backslash escapes, so text in these dialects stays lexable end-to-end.
 #: Redshift inherits PostgreSQL 8.0's escape-on literals (its
 #: standard_conforming_strings default is off — the famous "nonstandard
-#: use of \\ in a string literal" warning); MySQL literals always
-#: backslash-escape.
-ESCAPE_LITERAL_DIALECTS = ("snowflake", "bigquery", "redshift", "mysql")
+#: use of \\ in a string literal" warning); MySQL and ClickHouse literals
+#: always backslash-escape.
+ESCAPE_LITERAL_DIALECTS = ("snowflake", "bigquery", "redshift", "mysql", "clickhouse")
 
 
 def _derive_esc_pattern(triple: bool = False, hash_comments: bool = False) -> str:

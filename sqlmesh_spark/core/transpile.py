@@ -54,7 +54,7 @@ SPARK = "spark"
 #: read dialects accepted by ``transpile``; "" / None / "spark" are no-ops.
 READ_DIALECTS = (
     "duckdb", "postgres", "ansi", "snowflake", "bigquery", "redshift",
-    "mysql", "oracle", "tsql", "trino",
+    "mysql", "oracle", "tsql", "trino", "clickhouse",
 )
 
 #: alias dialects normalized before any table lookup. Presto and Athena
@@ -552,6 +552,189 @@ _TRINO_FN: dict[str, str | None] = {
     # url_extract_host/path/protocol/query/fragment/parameter: handlers
 }
 
+# ClickHouse renames (ref engine_adapter/clickhouse.py — the reference's
+# last remaining engine dialect). ClickHouse function names are
+# case-sensitive camelCase; lookup is lowercased, which accepts any
+# spelling (a harmless relaxation). Identical pass-throughs: if, ifnull,
+# nullif, coalesce, isnull/isnotnull (1-arg boolean in both), concat,
+# substring (1-based, negative-from-end), lower/upper, abs, exp, ln,
+# log (1-arg = ln in both), log2, log10, sqrt, cbrt, pow/power, e, pi,
+# floor, ceil/ceiling, sign, isnan, hex/unhex (both uppercase hex of the
+# UTF-8 bytes), startswith/endswith, repeat (string), format_string via
+# map below, map(k1, v1, ...) variadic literal, round (caveat: ClickHouse
+# rounds Float32/64 banker's-style on exact .5 — Spark rounds half-up;
+# documented, no static rewrite). None = loud failure; functions whose
+# name does not exist in Spark at all are left to fail at analysis
+# (already loud) unless a faithful rewrite exists.
+_CLICKHOUSE_FN: dict[str, str | None] = {
+    # temporal
+    "now": "current_timestamp",
+    "today": "current_date",
+    "yesterday": None,                  # handler: date_sub(current_date(), 1)
+    "toyear": "year", "tomonth": "month",
+    "todayofmonth": "dayofmonth", "todayofyear": "dayofyear",
+    "tohour": "hour", "tominute": "minute", "tosecond": "second",
+    "toquarter": "quarter",
+    "todayofweek": None,                # handler: ISO Monday=1
+    "tomonday": None,                   # handler
+    "tolastdayofmonth": "last_day",
+    "tounixtimestamp": "unix_timestamp",
+    "fromunixtimestamp": None,          # handler → timestamp_seconds
+    "formatdatetime": None,             # handler (%-codes, CH table)
+    "parsedatetime": None,              # MySQL-syntax but %M differs by
+                                        # server version → loud
+    "parsedatetimebesteffort": None,
+    "tostartofweek": None,              # mode-dependent (default SUNDAY
+                                        # weeks) — date_trunc is Monday
+    "totimezone": None,
+    # toStartOf{Year,Quarter,Month,Day,Hour,Minute} / toYYYYMM[DD] /
+    # date_add / dateDiff / addDays family: handlers below.
+    # string
+    # length and reverse are LOUD via first_pass handlers below (their
+    # Spark-named rewrites length()/reverse() must survive later fixpoint
+    # passes): CH length is BYTES for strings / size for arrays; CH
+    # reverse is byte-wise (garbled UTF-8). Use lengthUTF8 / reverseUTF8.
+    "lengthutf8": "length",
+    "lowerutf8": "lower", "upperutf8": "upper",
+    "trimleft": "ltrim", "trimright": "rtrim", "trimboth": "trim",
+    "reverseutf8": "reverse",
+    "replaceall": "replace",
+    "replaceone": None,                 # first-only; Spark replaces all
+    "replaceregexpall": None,           # handler (\1 backrefs → $1)
+    "replaceregexpone": None,           # first-only
+    "match": "regexp_like",             # RE2 partial match = rlike search
+    "position": None,                   # handler: CH is (haystack,
+                                        # needle) — Spark position() is
+                                        # REVERSED; instr matches CH
+    "positioncaseinsensitive": None,
+    "locate": None,                     # arg order flipped across CH
+                                        # versions (24.x) → loud
+    # extract: handler below (comma form is a regex fragment match; the
+    # EXTRACT(field FROM x) grammar form passes through)
+    "splitbychar": None,                # handler (arg swap + regex escape)
+    "splitbystring": None,              # handler
+    "splitbyregexp": None,              # handler (arg swap, regex kept)
+    "concatws": "concat_ws",
+    "leftpad": "lpad", "rightpad": "rpad",
+    "base64encode": "base64", "base64decode": "unbase64",
+    "trybase64decode": None,
+    "md5": None,                        # returns FixedString(16) BINARY;
+    "sha1": None, "sha224": None,       # Spark returns hex STRING
+    "sha256": None, "sha512": None,
+    "empty": None, "notempty": None,    # strings AND arrays → ambiguous
+    # conditional / misc
+    "multiif": None,                    # handler → CASE
+    "assumenotnull": None,              # handler: unwrap to the arg
+    "tonullable": None,                 # handler: unwrap
+    "tolowcardinality": None,           # handler: unwrap
+    "any": "any_value",                 # CH any() is first-value — NOT
+                                        # Spark's bool_or-style any()!
+    "anylast": "any_value",
+    "anyheavy": None,
+    # rand is a first_pass handler below (CH rand() is a random UInt32,
+    # not a [0,1) float; the rewrite's own inner rand() must survive
+    # later passes)
+    "rand64": None, "randcanonical": "rand",
+    "least": None, "greatest": None,    # NULL-propagation differs
+    "intdiv": None,                     # handler → (a DIV b)
+    "intdivorzero": None,
+    "modulo": "mod",
+    "moduloorzero": None,
+    "plus": None, "minus": None,        # handlers → operators
+    "multiply": None, "divide": None,
+    "roundbankers": "bround",
+    "todecimal32": None, "todecimal64": None, "todecimal128": None,
+    "tofixedstring": None,
+    "uniqexact": None,                  # use COUNT(DISTINCT ...)
+    "tuple": "struct",
+    "tupleelement": None,               # 1-based positional field access
+    "arrayelement": None,               # returns the TYPE DEFAULT (0, '')
+                                        # out of bounds, not NULL
+    # aggregates
+    "uniq": "approx_count_distinct",
+    "uniqcombined": None, "uniqhll12": None, "uniqtheta": None,
+    "grouparray": "collect_list",
+    "groupuniqarray": "collect_set",
+    "argmax": "max_by", "argmin": "min_by",
+    "countif": "count_if",
+    "sumif": None, "avgif": None,       # handlers → agg(if(cond, x, NULL))
+    "minif": None, "maxif": None,
+    "quantile": None, "quantileexact": None,   # parameterized-combinator
+    "median": "median",                 # gate-free: Spark median (3.4+)
+    "corrstable": "corr", "covarpopstable": "covar_pop",
+    "covarsampstable": "covar_samp",
+    "stddevpop": "stddev_pop", "stddevsamp": "stddev_samp",
+    "varpop": "var_pop", "varsamp": "var_samp",
+    # arrays (CH higher-order functions take the LAMBDA FIRST)
+    "arrayjoin": "explode",
+    "has": "array_contains",
+    "indexof": "array_position",
+    "arraydistinct": "array_distinct",
+    "arrayconcat": "concat",
+    "arrayslice": "slice",
+    "arrayreverse": "reverse",
+    "arrayflatten": "flatten",
+    "arraycompact": None,
+    "arrayzip": "arrays_zip",
+    "arraymap": None, "arrayfilter": None,      # handlers (lambda swap)
+    "arrayexists": None, "arrayall": None,      # handlers
+    "arraysort": None,                          # handler (1-arg ok)
+    "arraysum": None, "arrayavg": None,
+    "arraymin": "array_min", "arraymax": "array_max",
+    "arraystringconcat": "array_join",
+    "arrayenumerate": None,
+    "emptyarraystring": None, "emptyarrayint64": None,
+    # json
+    "jsonextractstring": None,          # handler → get_json_object
+    "jsonextractint": None, "jsonextractfloat": None,   # handlers (+CAST)
+    "jsonextractbool": None,
+    "jsonextractraw": None, "jsonextractarrayraw": None,
+    "jsonhas": None, "jsonlength": None,
+    "visitparamextractstring": None, "visitparamextractraw": None,
+    # type conversions: handlers (toString/toDate/toInt.../toFloat...)
+}
+
+#: ClickHouse to<Type>(x) conversion functions → Spark CAST target.
+#: Unsigned types widen to stay representable (same rule as the MySQL
+#: UNSIGNED and T-SQL TINYINT mappings).
+_CH_CAST_FN = {
+    "tostring": "STRING",
+    "todate": "DATE", "todate32": "DATE",
+    "todatetime": "TIMESTAMP", "todatetime64": "TIMESTAMP",
+    "toint8": "TINYINT", "toint16": "SMALLINT",
+    "toint32": "INT", "toint64": "BIGINT",
+    "toint128": "DECIMAL(38,0)",
+    "touint8": "SMALLINT", "touint16": "INT",
+    "touint32": "BIGINT", "touint64": "DECIMAL(20,0)",
+    "tofloat32": "FLOAT", "tofloat64": "DOUBLE",
+    "tobool": "BOOLEAN",
+}
+
+#: ClickHouse addDays/subtractDays family → timestampadd unit (+negation).
+#: Arg order flips: addDays(date, n) → timestampadd(DAY, n, date).
+_CH_ADD_FN = {
+    "addyears": ("YEAR", False), "addquarters": ("QUARTER", False),
+    "addmonths": ("MONTH", False), "addweeks": ("WEEK", False),
+    "adddays": ("DAY", False), "addhours": ("HOUR", False),
+    "addminutes": ("MINUTE", False), "addseconds": ("SECOND", False),
+    "subtractyears": ("YEAR", True), "subtractquarters": ("QUARTER", True),
+    "subtractmonths": ("MONTH", True), "subtractweeks": ("WEEK", True),
+    "subtractdays": ("DAY", True), "subtracthours": ("HOUR", True),
+    "subtractminutes": ("MINUTE", True), "subtractseconds": ("SECOND", True),
+}
+
+#: ClickHouse toStartOf<unit> → date_trunc unit; the date-valued ones
+#: re-wrap in a DATE cast (CH returns Date, date_trunc a timestamp).
+_CH_TRUNC_FN = {
+    "tostartofyear": ("year", True),
+    "tostartofquarter": ("quarter", True),
+    "tostartofmonth": ("month", True),
+    "tomonday": ("week", True),         # ISO Monday weeks in both
+    "tostartofday": ("day", False),
+    "tostartofhour": ("hour", False),
+    "tostartofminute": ("minute", False),
+}
+
 #: Trino url_extract_* → Spark parse_url(url, PART) part keyword.
 _TRINO_URL_PARTS = {
     "url_extract_host": "HOST",
@@ -575,6 +758,7 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
     "oracle": _ORACLE_FN,
     "tsql": _TSQL_FN,
     "trino": _TRINO_FN,
+    "clickhouse": _CLICKHOUSE_FN,
 }
 
 # Type names (CAST targets and `::` casts) that differ from Spark's.
@@ -689,6 +873,29 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
         "xml": None,
         "geography": None, "geometry": None, "hierarchyid": None,
     },
+    "clickhouse": {
+        # CH Int8 is 8 BITS (TINYINT) — the base map's int8→BIGINT is the
+        # Postgres/DuckDB byte-width spelling, overridden here.
+        "int8": "TINYINT", "int16": "SMALLINT",
+        "int32": "INT", "int64": "BIGINT",
+        "int128": "DECIMAL(38,0)", "int256": None,
+        "uint8": "SMALLINT", "uint16": "INT",
+        "uint32": "BIGINT", "uint64": "DECIMAL(20,0)",
+        "uint128": None, "uint256": None,
+        "float32": "FLOAT", "float64": "DOUBLE",
+        "string": "STRING",
+        "date32": "DATE",
+        "datetime": "TIMESTAMP",        # epoch-stored, session-zone shown
+        "datetime64": "TIMESTAMP",
+        "uuid": "STRING",
+        "ipv4": None, "ipv6": None,
+        "json": None, "object": None,
+        "enum8": None, "enum16": None, "enum": None,
+        "fixedstring": None,            # value-padded equality semantics
+        "tuple": None,                  # rewrite as STRUCT<...>
+        "aggregatefunction": None, "simpleaggregatefunction": None,
+        "point": None, "ring": None, "polygon": None, "multipolygon": None,
+    },
     "trino": {
         "varbinary": "BINARY",
         # Trino TIMESTAMP is zone-less; TIMESTAMP WITH TIME ZONE (the
@@ -762,6 +969,12 @@ _PARAM_DROP_TYPES: dict[str, dict[str, str]] = {
     },
     "trino": {
         "timestamp": "TIMESTAMP_NTZ",   # TIMESTAMP(3) fractional precision
+    },
+    "clickhouse": {
+        "datetime": "TIMESTAMP",        # DateTime('UTC') zone arg dropped:
+                                        # CH stores epoch seconds; the zone
+                                        # only affects display
+        "datetime64": "TIMESTAMP",      # DateTime64(3[, 'UTC'])
     },
 }
 
@@ -854,12 +1067,22 @@ _PG_FMT = sorted(
 )
 
 
-def convert_strftime_format(fmt: str) -> str:
-    """C-style → Spark datetime pattern, quoting literal letter runs.
+# ClickHouse formatDateTime %-codes → Spark datetime patterns. %M is
+# deliberately ABSENT: legacy servers read it as MINUTE, 23.x+ (with
+# formatdatetime_format_without_leading_zeros defaults) as MONTH NAME —
+# version-ambiguous, so it raises; %i is the unambiguous minute.
+_CH_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
+    "i": "mm", "S": "ss", "p": "a", "j": "DDD", "a": "EEE", "W": "EEEE",
+    "b": "MMM", "f": "SSSSSS", "Q": "Q",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm", "r": "hh:mm:ss a",
+    "n": "\n", "t": "\t", "%": "%",
+}
 
-    ``%Y-%m-%dT%H:%M:%S`` → ``yyyy-MM-dd'T'HH:mm:ss``. Raises on a ``%``
-    code with no Spark equivalent (e.g. ``%U`` week-of-year-Sunday).
-    """
+
+def _convert_pct_format(fmt: str, table: dict[str, str], what: str) -> str:
+    """Shared %-code → Spark datetime pattern conversion, quoting literal
+    letter runs. Raises on a code absent from ``table``."""
     out: list[str] = []
     literal: list[str] = []
 
@@ -882,12 +1105,19 @@ def convert_strftime_format(fmt: str) -> str:
             if i + 1 >= len(fmt):
                 raise TranspileError(f"dangling % in format {fmt!r}")
             code = fmt[i + 1]
-            if code not in _C_FMT:
+            if code not in table:
+                extra = (
+                    " (legacy minute vs 23.x month name — use %i for "
+                    "minutes or the MMMM Spark pattern directly)"
+                    if what == "clickhouse formatDateTime" and code == "M"
+                    else ""
+                )
                 raise TranspileError(
-                    f"strftime code %{code} has no Spark datetime pattern"
+                    f"{what} code %{code} has no Spark datetime "
+                    f"pattern{extra}"
                 )
             flush()
-            rep = _C_FMT[code]
+            rep = table[code]
             # Two adjacent identical codes (%Y%Y) would merge into one
             # longer Java field (yyyyyyyy = one 8-padded year, not two
             # years) — inexpressible without a separator, so refuse.
@@ -903,6 +1133,20 @@ def convert_strftime_format(fmt: str) -> str:
             i += 1
     flush()
     return "".join(out)
+
+
+def convert_strftime_format(fmt: str) -> str:
+    """C-style → Spark datetime pattern, quoting literal letter runs.
+
+    ``%Y-%m-%dT%H:%M:%S`` → ``yyyy-MM-dd'T'HH:mm:ss``. Raises on a ``%``
+    code with no Spark equivalent (e.g. ``%U`` week-of-year-Sunday).
+    """
+    return _convert_pct_format(fmt, _C_FMT, "strftime")
+
+
+def convert_ch_format(fmt: str) -> str:
+    """ClickHouse formatDateTime %-codes → Spark datetime pattern."""
+    return _convert_pct_format(fmt, _CH_FMT, "clickhouse formatDateTime")
 
 
 def _convert_pg_like_format(fmt: str, allow_ff: bool) -> str:
@@ -1311,6 +1555,38 @@ def _literal_content(lit: str, read: str) -> str:
                 out.append("\0")
                 i += 2
                 continue
+            if read == "clickhouse":
+                # ClickHouse's documented set: C escapes + \0, \xHH and
+                # the \/ \= \` forms; anything else is LOUD rather than
+                # guessed (the server itself warns on unknown escapes).
+                if nxt == "0":
+                    out.append("\0")
+                    i += 2
+                    continue
+                if nxt in ("/", "="):
+                    out.append(nxt)
+                    i += 2
+                    continue
+                if nxt in ("a", "v"):
+                    out.append(_BQ_EXTRA_ESCAPES[nxt])
+                    i += 2
+                    continue
+                if nxt == "x" and re.fullmatch(
+                    r"[0-9a-fA-F]{2}", body[i + 2 : i + 4]
+                ):
+                    out.append(chr(int(body[i + 2 : i + 4], 16)))
+                    i += 4
+                    continue
+                if nxt in _SIMPLE_ESCAPES:
+                    out.append(_SIMPLE_ESCAPES[nxt])
+                    i += 2
+                    continue
+                # unknown escape: ClickHouse keeps BOTH characters
+                # (parseComplexEscapeSequence) — how \1 regex backrefs
+                # survive in replaceRegexpAll replacements
+                out.append("\\" + nxt)
+                i += 2
+                continue
             if (
                 nxt in ("x", "X")
                 and (read == "bigquery" or (read == "snowflake" and nxt == "x"))
@@ -1550,6 +1826,62 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
     a CAST's type-introducing AS (both syntaxes must stay in lockstep).
     Returns (edits, tokens_consumed_after_i)."""
     tname = toks[i + 1][1].lower()
+    if read == "clickhouse" and is_op(i + 2, "("):
+        if tname in ("nullable", "lowcardinality"):
+            # Unwrap: CAST(x AS Nullable(Int64)) → CAST(x AS Int64) —
+            # every Spark type is nullable and LowCardinality is a
+            # storage hint. The inner type (possibly itself
+            # parameterized) is rewritten on the next fixpoint pass.
+            depth = 0
+            close_j = None
+            for j in range(i + 2, len(toks)):
+                if toks[j][0] == "op" and toks[j][1] == "(":
+                    depth += 1
+                elif toks[j][0] == "op" and toks[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_j = j
+                        break
+            if close_j is not None:
+                return (
+                    [
+                        (toks[i + 1][2], toks[i + 2][3], ""),
+                        (toks[close_j][2], toks[close_j][3], ""),
+                    ],
+                    2,
+                )
+        if tname in ("array", "map"):
+            # Array(T) → ARRAY<T>, Map(K, V) → MAP<K, V> for plain
+            # single-ident element types; nested element shapes have no
+            # single-pass rewrite → LOUD.
+            arg_spans, close_j = _call_arg_spans(toks, i + 2)
+            elems: list[str] = []
+            for s_, e_ in arg_spans:
+                if s_ != e_ or toks[s_][0] != "ident":
+                    raise TranspileError(
+                        f"clickhouse {toks[i + 1][1]}(...) with a nested "
+                        "element type has no one-pass Spark rewrite; "
+                        "write the Spark ARRAY<...>/MAP<...> form"
+                    )
+                elems.append(
+                    _lookup_type(read, toks[s_][1].lower())
+                    or toks[s_][1].upper()
+                )
+            if tname == "array" and len(elems) == 1:
+                return (
+                    [(toks[i + 1][2], toks[close_j][3], f"ARRAY<{elems[0]}>")],
+                    close_j + 1 - i,
+                )
+            if tname == "map" and len(elems) == 2:
+                return (
+                    [(toks[i + 1][2], toks[close_j][3],
+                      f"MAP<{elems[0]}, {elems[1]}>")],
+                    close_j + 1 - i,
+                )
+            raise TranspileError(
+                f"clickhouse {toks[i + 1][1]} type takes "
+                f"{'1 element' if tname == 'array' else '2 elements'}"
+            )
     if tname in ("timestamp", "time") and read in (
         "trino", "postgres", "oracle", "ansi", "duckdb"
     ):
@@ -1714,6 +2046,90 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 "timestamps carry no per-value zone); rewrite with "
                 "to_utc_timestamp/from_utc_timestamp explicitly"
             )
+
+        if read == "clickhouse" and kind == "ident":
+            up_ = text.upper()
+            # FROM t FINAL forces merge-time dedup; Spark would silently
+            # read FINAL as a table alias, dropping the semantic. A column
+            # genuinely named final can be backtick/double-quoted.
+            if up_ == "FINAL" and not is_op(i + 1, "("):
+                raise TranspileError(
+                    "clickhouse FINAL has no Spark rewrite (deduplicate "
+                    "explicitly, e.g. ROW_NUMBER() = 1); quote the "
+                    "identifier if a column is named final"
+                )
+            # SAMPLE 0.1 / SAMPLE 10000 — approximate sampling clause
+            if (
+                up_ == "SAMPLE"
+                and i + 1 < n
+                and toks[i + 1][0] == "number"
+            ):
+                raise TranspileError(
+                    "clickhouse SAMPLE has no direct Spark rewrite; use "
+                    "TABLESAMPLE explicitly"
+                )
+            # trailing SETTINGS name = value
+            if (
+                up_ == "SETTINGS"
+                and i + 2 < n
+                and toks[i + 1][0] == "ident"
+                and is_op(i + 2, "=")
+            ):
+                raise TranspileError(
+                    "clickhouse SETTINGS clause has no Spark equivalent; "
+                    "move session settings to the gateway config"
+                )
+            # LIMIT n BY cols — per-group limit
+            if (
+                up_ == "LIMIT"
+                and i + 2 < n
+                and toks[i + 1][0] == "number"
+                and toks[i + 2][0] == "ident"
+                and toks[i + 2][1].upper() == "BY"
+            ):
+                raise TranspileError(
+                    "clickhouse LIMIT n BY has no Spark clause; rewrite "
+                    "with ROW_NUMBER() OVER (PARTITION BY ...) <= n"
+                )
+            # Join strictness/locality modifiers precede the direction in
+            # ClickHouse: [GLOBAL] [ANY|ALL|ASOF|SEMI|ANTI] LEFT|... JOIN.
+            # SEMI/ANTI LEFT reorder to Spark's LEFT SEMI/ANTI; ALL is the
+            # standard-SQL default and drops; ANY (row-dedup), ASOF and
+            # GLOBAL (distributed locality) have no Spark semantic.
+            _JOIN_DIRS = ("JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS")
+            if i + 1 < n and toks[i + 1][0] == "ident" and (
+                toks[i + 1][1].upper() in _JOIN_DIRS
+                or toks[i + 1][1].upper() in ("ANY", "ALL", "SEMI", "ANTI")
+            ):
+                nxt_up = toks[i + 1][1].upper()
+                if up_ in ("GLOBAL", "ASOF", "ANY") and (
+                    nxt_up in _JOIN_DIRS or nxt_up in ("ANY", "ALL", "SEMI", "ANTI")
+                ):
+                    raise TranspileError(
+                        f"clickhouse {up_} join modifier has no Spark rewrite"
+                    )
+                if up_ in ("ALL", "SEMI", "ANTI") and nxt_up in _JOIN_DIRS:
+                    if up_ == "ALL":
+                        # standard join semantics — drop the keyword
+                        edits.append((start, toks[i + 1][2], ""))
+                        i += 1
+                        continue
+                    if nxt_up == "LEFT":
+                        # SEMI LEFT JOIN → LEFT SEMI JOIN
+                        edits.append((start, toks[i + 1][3], f"LEFT {up_}"))
+                        i += 2
+                        continue
+                    if nxt_up == "JOIN" and i > 0 and \
+                            toks[i - 1][0] == "ident" and \
+                            toks[i - 1][1].upper() == "LEFT":
+                        # LEFT SEMI JOIN — already Spark's order (our own
+                        # rewrite output on a later fixpoint pass)
+                        i += 1
+                        continue
+                    raise TranspileError(
+                        f"clickhouse {up_} {nxt_up} JOIN has no Spark "
+                        "rewrite (Spark supports LEFT SEMI/ANTI only)"
+                    )
 
         if read == "oracle" and kind == "ident":
             low = text.lower()
@@ -3746,7 +4162,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
             if name in ("date_diff", "datediff") and read in (
                 "duckdb", "postgres", "snowflake", "redshift", "tsql",
-                "trino",
+                "trino", "clickhouse",
             ):
                 # DuckDB date_diff counts UNIT-BOUNDARY CROSSINGS while
                 # Spark timestampdiff counts complete elapsed units
@@ -3992,6 +4408,443 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 edits.append((toks[close][2], toks[close][2], f", {fmt}"))
                 i += 1
                 continue
+
+            # ---- ClickHouse-specific handlers
+            if read == "clickhouse":
+                # quantile(0.9)(x)-style parameterized aggregate
+                # combinators: the second argument list is CH-only
+                # grammar with no Spark analog — LOUD before it can lex
+                # into nonsense.
+                _spans0, _close0 = _call_arg_spans(toks, i + 1)
+                if is_op(_close0 + 1, "("):
+                    raise TranspileError(
+                        f"clickhouse parameterized combinator "
+                        f"{text}(...)(...) has no Spark rewrite"
+                    )
+
+                if name in _CH_CAST_FN:
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(
+                            f"{text} with a timezone/precision argument "
+                            "has no Spark CAST rewrite"
+                        )
+                    edits.append((start, end, "CAST"))
+                    edits.append(
+                        (toks[close][2], toks[close][2],
+                         f" AS {_CH_CAST_FN[name]}")
+                    )
+                    i += 1
+                    continue
+
+                if name in _CH_TRUNC_FN:
+                    unit_, as_date = _CH_TRUNC_FN[name]
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(
+                            f"{text} with a timezone argument has no "
+                            "Spark rewrite"
+                        )
+                    if as_date:
+                        # CH returns Date; date_trunc a timestamp
+                        edits.append(
+                            (start, toks[i + 1][3],
+                             f"CAST(date_trunc('{unit_}', ")
+                        )
+                        edits.append(
+                            (toks[close][2], toks[close][3], ") AS DATE)")
+                        )
+                    else:
+                        edits.append(
+                            (start, toks[i + 1][3], f"date_trunc('{unit_}', ")
+                        )
+                    i += 1
+                    continue
+
+                if name in ("toyyyymm", "toyyyymmdd"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(f"{text} takes 1 arg")
+                    fmt_ = "yyyyMM" if name == "toyyyymm" else "yyyyMMdd"
+                    edits.append((start, toks[i + 1][3], "CAST(date_format("))
+                    edits.append(
+                        (toks[close][2], toks[close][3],
+                         f", '{fmt_}') AS INT)")
+                    )
+                    i += 1
+                    continue
+
+                if name == "yesterday":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if spans:
+                        raise TranspileError("yesterday takes no args")
+                    edits.append(
+                        (start, toks[close][3], "date_sub(current_date(), 1)")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "todayofweek":
+                    # default mode 0: ISO Monday=1 — same as weekday()+1;
+                    # any explicit mode argument is LOUD.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(
+                            "toDayOfWeek with a mode/timezone argument "
+                            "has no Spark rewrite"
+                        )
+                    edits.append((start, end, "(weekday"))
+                    edits.append((toks[close][3], toks[close][3], " + 1)"))
+                    i += 1
+                    continue
+
+                if name == "fromunixtimestamp":
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(
+                            "fromUnixTimestamp with a format/timezone "
+                            "argument has no Spark rewrite"
+                        )
+                    edits.append((start, end, "timestamp_seconds"))
+                    i += 1
+                    continue
+
+                if name == "formatdatetime" and first_pass:
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2 or toks[spans[1][0]][0] != "string" \
+                            or spans[1][0] != spans[1][1]:
+                        raise TranspileError(
+                            "formatDateTime needs a literal format (and "
+                            "no timezone arg) to transpile"
+                        )
+                    fmt_tok = toks[spans[1][0]]
+                    converted = convert_ch_format(
+                        _literal_content(fmt_tok[1], read)
+                    )
+                    edits.append((start, end, "date_format"))
+                    edits.append(
+                        (fmt_tok[2], fmt_tok[3],
+                         _spark_string_literal(converted, read))
+                    )
+                    i += 1
+                    continue
+
+                if name in ("date_add", "dateadd") and first_pass:
+                    # date_add(unit, n, date) — bare keyword or quoted
+                    # unit. 2-arg date_add(date, n) matches Spark.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 3:
+                        u_tok = toks[spans[0][0]]
+                        if u_tok[0] == "string":
+                            raw_unit = _literal_content(u_tok[1], read).lower()
+                        elif u_tok[0] == "ident" and spans[0][0] == spans[0][1]:
+                            raw_unit = u_tok[1].lower()
+                        else:
+                            raise TranspileError(
+                                f"{text} unit must be a literal"
+                            )
+                        unit = _resolve_unit(read, raw_unit)
+                        if unit is None:
+                            raise TranspileError(
+                                f"{text} unit {raw_unit!r} has no Spark "
+                                "timestampadd equivalent"
+                            )
+                        edits.append((start, end, "timestampadd"))
+                        edits.append(
+                            (u_tok[2], toks[spans[0][1]][3], unit)
+                        )
+                    i += 1
+                    continue
+
+                if name in _CH_ADD_FN:
+                    unit_, neg = _CH_ADD_FN[name]
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError(f"{text} takes 2 args")
+                    d_text = _arg_text(spans[0])
+                    n_text = _arg_text(spans[1])
+                    qty = f"-({n_text})" if neg else n_text
+                    edits.append(
+                        (start, toks[close][3],
+                         f"timestampadd({unit_}, {qty}, {d_text})")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "position":
+                    # CH position(haystack, needle[, start]) — REVERSED
+                    # from Spark's position(substr, str); instr matches
+                    # the CH order. The grammar form position(x IN y)
+                    # already means the same in both.
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 1:
+                        i += 1  # position(x IN y) — Spark grammar form
+                        continue
+                    if len(spans) == 2:
+                        edits.append((start, end, "instr"))
+                        i += 1
+                        continue
+                    raise TranspileError(
+                        "position with a start offset has no Spark "
+                        "rewrite in the ClickHouse argument order"
+                    )
+
+                if name in ("length", "reverse") and first_pass:
+                    # CH length is BYTES for strings and size for arrays;
+                    # CH reverse is byte-wise on strings (garbled UTF-8).
+                    # The operand type is unknowable at render — LOUD.
+                    # first_pass only: length()/reverse() in later passes
+                    # are our own lengthUTF8/reverseUTF8 rewrites.
+                    raise TranspileError(
+                        f"clickhouse {name}() is byte/array-ambiguous; "
+                        f"use {name}UTF8 for strings"
+                        + (" or cardinality-style size for arrays"
+                           if name == "length" else "")
+                    )
+
+                if name == "extract":
+                    # comma form extract(haystack, pattern) is a regex
+                    # fragment match: group 1 when the pattern has a
+                    # capture group, else the whole match. The EXTRACT
+                    # (field FROM x) grammar form passes through.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 1:
+                        i += 1
+                        continue
+                    if len(spans) != 2:
+                        raise TranspileError("extract takes 2 args")
+                    p_tok = toks[spans[1][0]]
+                    if not (
+                        p_tok[0] == "string" and spans[1][0] == spans[1][1]
+                    ):
+                        raise TranspileError(
+                            "clickhouse extract(haystack, pattern) needs "
+                            "a literal pattern (group selection depends "
+                            "on its capture groups)"
+                        )
+                    pat = _literal_content(p_tok[1], read)
+                    group = 1 if re.search(r"(?<!\\)\((?!\?)", pat) else 0
+                    edits.append((start, end, "regexp_extract"))
+                    edits.append(
+                        (toks[close][2], toks[close][2], f", {group}")
+                    )
+                    i += 1
+                    continue
+
+                if name in ("splitbychar", "splitbystring", "splitbyregexp"):
+                    # separator FIRST in CH; plain-string separators are
+                    # regex-escaped for Spark's regex split.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError(
+                            f"{text} with a max_substrings argument has "
+                            "no Spark rewrite (Spark's limit keeps the "
+                            "remainder; ClickHouse discards it)"
+                        )
+                    sep_tok = toks[spans[0][0]]
+                    s_text = _arg_text(spans[1])
+                    if name == "splitbyregexp":
+                        sep_text = _arg_text(spans[0])
+                    else:
+                        if not (
+                            sep_tok[0] == "string"
+                            and spans[0][0] == spans[0][1]
+                        ):
+                            raise TranspileError(
+                                f"{text} separator must be a string "
+                                "literal to transpile (plain string vs "
+                                "Spark regex)"
+                            )
+                        sep_text = _regex_literal(
+                            _literal_content(sep_tok[1], read), read
+                        )
+                    edits.append(
+                        (start, toks[close][3],
+                         f"split({s_text}, {sep_text})")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "multiif":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) < 3 or len(spans) % 2 == 0:
+                        raise TranspileError(
+                            "multiIf takes cond/value pairs plus an else"
+                        )
+                    parts = ["CASE"]
+                    for k_ in range(0, len(spans) - 1, 2):
+                        parts.append(
+                            f"WHEN ({_arg_text(spans[k_])}) "
+                            f"THEN ({_arg_text(spans[k_ + 1])})"
+                        )
+                    parts.append(f"ELSE ({_arg_text(spans[-1])}) END")
+                    edits.append((start, toks[close][3], " ".join(parts)))
+                    i = close + 1
+                    continue
+
+                if name in ("assumenotnull", "tonullable", "tolowcardinality"):
+                    # nullability/storage wrappers — unwrap to the arg
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 1:
+                        raise TranspileError(f"{text} takes 1 arg")
+                    edits.append(
+                        (start, toks[close][3], f"({_arg_text(spans[0])})")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "rand" and first_pass:
+                    # CH rand() is a uniform UInt32, not a [0,1) float.
+                    # first_pass only: the rewrite contains rand() itself.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if spans:
+                        raise TranspileError(
+                            "rand(expr) has no Spark rewrite; use "
+                            "randCanonical for a [0,1) float"
+                        )
+                    edits.append(
+                        (start, toks[close][3],
+                         "CAST(floor(rand() * 4294967296) AS BIGINT)")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "intdiv":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError("intDiv takes 2 args")
+                    a = _arg_text(spans[0])
+                    b = _arg_text(spans[1])
+                    edits.append(
+                        (start, toks[close][3], f"(({a}) DIV ({b}))")
+                    )
+                    i = close + 1
+                    continue
+
+                if name in ("plus", "minus", "multiply", "divide"):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError(f"{text} takes 2 args")
+                    op_ = {
+                        "plus": "+", "minus": "-",
+                        "multiply": "*", "divide": "/",
+                    }[name]
+                    a = _arg_text(spans[0])
+                    b = _arg_text(spans[1])
+                    edits.append(
+                        (start, toks[close][3], f"(({a}) {op_} ({b}))")
+                    )
+                    i = close + 1
+                    continue
+
+                if name in ("sumif", "avgif", "minif", "maxif"):
+                    # aggIf(x, cond) → agg(if(cond, x, NULL)) — the agg
+                    # ignores NULL, matching the CH row filter
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError(f"{text} takes 2 args")
+                    agg = name[:-2]
+                    x = _arg_text(spans[0])
+                    c = _arg_text(spans[1])
+                    edits.append(
+                        (start, toks[close][3],
+                         f"{agg}(if(({c}), ({x}), NULL))")
+                    )
+                    i = close + 1
+                    continue
+
+                if name in ("arraymap", "arrayfilter", "arrayexists", "arrayall"):
+                    # CH higher-order functions take the LAMBDA FIRST
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 2:
+                        raise TranspileError(
+                            f"{text} over multiple arrays has no direct "
+                            "Spark rewrite (zip the arrays first)"
+                        )
+                    target_ = {
+                        "arraymap": "transform", "arrayfilter": "filter",
+                        "arrayexists": "exists", "arrayall": "forall",
+                    }[name]
+                    lam = _arg_text(spans[0])
+                    arr = _arg_text(spans[1])
+                    edits.append(
+                        (start, toks[close][3],
+                         f"{target_}(({arr}), {lam})")
+                    )
+                    i = close + 1
+                    continue
+
+                if name == "arraysort":
+                    spans, _close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 1:
+                        edits.append((start, end, "array_sort"))
+                        i += 1
+                        continue
+                    raise TranspileError(
+                        "arraySort with a key-extractor lambda has no "
+                        "Spark rewrite (Spark's comparator takes 2 args)"
+                    )
+
+                if name in (
+                    "jsonextractstring", "jsonextractint",
+                    "jsonextractfloat", "jsonextractbool",
+                ):
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) < 2:
+                        raise TranspileError(f"{text} needs a key path")
+                    keys: list[str] = []
+                    for s_, e_ in spans[1:]:
+                        t_ = toks[s_]
+                        if not (s_ == e_ and t_[0] == "string"):
+                            raise TranspileError(
+                                f"{text} keys must be string literals "
+                                "(numeric indices are 1-based in "
+                                "ClickHouse, 0-based in JSONPath)"
+                            )
+                        key = _literal_content(t_[1], read)
+                        if re.search(r"[.\[\]'\"$\\]", key):
+                            raise TranspileError(
+                                f"{text} key {key!r} needs JSONPath "
+                                "quoting; rewrite with get_json_object"
+                            )
+                        keys.append(key)
+                    path = "$." + ".".join(keys)
+                    j_text = _arg_text(spans[0])
+                    inner = f"get_json_object({j_text}, '{path}')"
+                    cast_t = {
+                        "jsonextractstring": None,
+                        "jsonextractint": "BIGINT",
+                        "jsonextractfloat": "DOUBLE",
+                        "jsonextractbool": "BOOLEAN",
+                    }[name]
+                    if cast_t:
+                        inner = f"CAST({inner} AS {cast_t})"
+                    edits.append((start, toks[close][3], inner))
+                    i = close + 1
+                    continue
+
+                if name == "replaceregexpall":
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 3:
+                        raise TranspileError("replaceRegexpAll takes 3 args")
+                    r_first, r_last = spans[2]
+                    r_tok = toks[r_first]
+                    if not (r_first == r_last and r_tok[0] == "string"):
+                        raise TranspileError(
+                            "replaceRegexpAll replacement must be a "
+                            "string literal to transpile (backreference "
+                            "syntax \\1 vs $1)"
+                        )
+                    converted = _regex_replacement_to_spark(
+                        _literal_content(r_tok[1], read)
+                    )
+                    edits.append((start, end, "regexp_replace"))
+                    edits.append(
+                        (r_tok[2], toks[r_last][3],
+                         _spark_string_literal(converted, read))
+                    )
+                    i += 1
+                    continue
 
             # ---- Trino-specific handlers
             if read == "trino":

@@ -2943,3 +2943,55 @@ GROUP BY date_format(o_orderdate, '%Y-%m')
     )
     ctx.run(environment="env_trino")
     return spark.table("env_trino_views.monthly_stats")
+
+
+CH_DIALECT_ORACLE = """
+SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS yyyymm,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE NULL END) AS BIGINT) AS urgent_cents,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(date_diff('month', DATE '1995-01-31', DATE '1995-02-01') AS BIGINT) AS month_cross,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY CAST(strftime(o_orderdate, '%Y%m') AS INT)
+"""
+
+
+@register("framework_clickhouse_dialect_model", oracle=CH_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_clickhouse_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in CLICKHOUSE dialect through plan/apply — the
+    reference's last engine dialect (engine_adapter/clickhouse.py;
+    renderer.py:517 renders any read dialect). The text exercises
+    CH-specific seams: toYYYYMM → CAST(date_format(..) AS INT), camelCase
+    conversion functions (toInt64/toString), sumIf/countIf aggregate
+    combinators (→ agg-over-if / count_if), multiIf → CASE, boundary-
+    crossing dateDiff (Jan-31→Feb-01 is 1 month — the date_trunc-wrapped
+    timestampdiff), formatDateTime %-codes, and startsWith. DuckDB
+    computes the same values natively; the hash match proves parity."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_ch", "env_ch_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_ch.monthly_stats,
+  kind FULL,
+  dialect clickhouse
+);
+SELECT toYYYYMM(o_orderdate) AS yyyymm,
+       toInt64(COUNT(*)) AS n_orders,
+       toInt64(sumIf(toInt64(ROUND(o_totalprice * 100)), startsWith(o_orderpriority, '1'))) AS urgent_cents,
+       toInt64(countIf(o_orderstatus = 'F')) AS n_finished,
+       dateDiff('month', toDate('1995-01-31'), toDate('1995-02-01')) AS month_cross,
+       formatDateTime(MAX(o_orderdate), '%F') AS last_day
+FROM orders
+WHERE modulo(o_orderkey, 3) = 0
+GROUP BY toYYYYMM(o_orderdate)
+"""
+    )
+    ctx.run(environment="env_ch")
+    return spark.table("env_ch_views.monthly_stats")

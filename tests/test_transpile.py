@@ -2600,3 +2600,240 @@ def test_dialect_aliases():
         == "SELECT nvl(a, 0) FROM t"
     with pytest.raises(TranspileError):
         transpile("SELECT 1", "not_a_dialect")
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse read dialect (ref engine_adapter/clickhouse.py — the last
+# reference engine dialect)
+# ---------------------------------------------------------------------------
+
+
+def test_clickhouse_cast_functions(spark):
+    out = transpile(
+        "SELECT toString(5) AS a, toInt64('42') AS b, toInt8(7) AS c, "
+        "toUInt32(9) AS d, toFloat64('2.5') AS e, toDate('2024-03-05') AS f, "
+        "toBool(1) AS g",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == ("5", 42, 7, 9)
+    assert (float(row.e), str(row.f), row.g) == (2.5, "2024-03-05", True)
+    with pytest.raises(TranspileError):
+        transpile("SELECT toDateTime(x, 'UTC') FROM t", "clickhouse")
+
+
+def test_clickhouse_date_functions(spark):
+    out = transpile(
+        "SELECT toYear(DATE '2024-03-05') AS a, "
+        "toDayOfWeek(DATE '2024-03-05') AS b, "
+        "toMonday(DATE '2024-03-05') AS c, "
+        "toStartOfMonth(DATE '2024-03-17') AS d, "
+        "toYYYYMM(DATE '2024-03-05') AS e, "
+        "toLastDayOfMonth(DATE '2024-02-05') AS f, "
+        "dateDiff('month', toDate('2024-01-31'), toDate('2024-02-01')) AS g, "
+        "date_add(MONTH, 2, DATE '2024-01-15') AS h, "
+        "addDays(DATE '2024-03-05', 3) AS i, "
+        "subtractMonths(DATE '2024-03-05', 1) AS j",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b) == (2024, 2)        # ISO Tuesday = 2
+    assert (str(row.c), str(row.d)) == ("2024-03-04", "2024-03-01")
+    assert (row.e, str(row.f)) == (202403, "2024-02-29")
+    assert row.g == 1                          # boundary-crossing months
+    assert str(row.h).startswith("2024-03-15")
+    assert str(row.i).startswith("2024-03-08")
+    assert str(row.j).startswith("2024-02-05")
+
+
+def test_clickhouse_format_datetime(spark):
+    out = transpile(
+        "SELECT formatDateTime(TIMESTAMP '2024-03-05 10:30:45', '%Y-%m %H:%i') AS a, "
+        "formatDateTime(TIMESTAMP '2024-03-05 10:30:45', '%F %T') AS b",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.a == "2024-03 10:30"
+    assert row.b == "2024-03-05 10:30:45"
+    # %M is minute on legacy servers, month name on 23.x+ → ambiguous
+    with pytest.raises(TranspileError):
+        transpile("SELECT formatDateTime(ts, '%H:%M') FROM t", "clickhouse")
+
+
+def test_clickhouse_string_regex(spark):
+    out = transpile(
+        "SELECT position('hello', 'lo') AS a, match('hello', 'l+') AS b, "
+        "extract('a12b', '([0-9]+)') AS c, extract('a12b', '[0-9]+') AS d, "
+        "splitByChar('|', 'x|y') AS e, splitByRegexp('[0-9]', 'a1b') AS f, "
+        "replaceAll('aba', 'a', 'c') AS g, "
+        "replaceRegexpAll('ab', '(a)(b)', '\\\\2\\\\1') AS h, "
+        "lengthUTF8('héllo') AS i, startsWith('ab', 'a') AS j",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (4, True, "12", "12")
+    assert (row.e, row.f, row.g, row.h) == (["x", "y"], ["a", "b"], "cbc", "ba")
+    assert (row.i, row.j) == (5, True)
+    # EXTRACT(field FROM x) grammar form passes through untouched
+    assert transpile(
+        "SELECT extract(YEAR FROM d) FROM t", "clickhouse"
+    ) == "SELECT extract(YEAR FROM d) FROM t"
+
+
+def test_clickhouse_conditionals_and_arith(spark):
+    out = transpile(
+        "SELECT multiIf(5 > 10, 'big', 5 > 4, 'mid', 'small') AS a, "
+        "assumeNotNull(7) AS b, intDiv(7, 2) AS c, modulo(7, 2) AS d, "
+        "plus(1, 2) AS e, divide(5, 2) AS f, roundBankers(2.5) AS g",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == ("mid", 7, 3, 1, 3)
+    assert float(row.f) == 2.5
+    assert float(row.g) == 2.0                 # banker's rounding
+
+
+def test_clickhouse_aggregates(spark):
+    out = transpile(
+        "SELECT groupArray(n) AS a, uniq(n) AS b, any(n) AS c, "
+        "argMax(n, w) AS d, countIf(n > 1) AS e, sumIf(n, n > 1) AS f "
+        "FROM VALUES (1, 10), (2, 20) AS t(n, w)",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert sorted(row.a) == [1, 2]
+    assert (row.b, row.d, row.e, row.f) == (2, 2, 1, 2)
+    # CH any() is FIRST-VALUE — must not become Spark's boolean any()
+    assert "any_value" in out
+
+
+def test_clickhouse_array_functions(spark):
+    out = transpile(
+        "SELECT arrayMap(x -> x * 2, ARRAY(3, 1)) AS a, "
+        "arrayFilter(x -> x > 1, ARRAY(3, 1)) AS b, "
+        "arrayExists(x -> x > 2, ARRAY(3, 1)) AS c, "
+        "arraySort(ARRAY(3, 1)) AS d, has(ARRAY(3, 1), 1) AS e, "
+        "indexOf(ARRAY(3, 1), 1) AS f, "
+        "arrayStringConcat(ARRAY('a', 'b'), '-') AS g",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c) == ([6, 2], [3], True)
+    assert (row.d, row.e, row.f, row.g) == ([1, 3], True, 2, "a-b")
+    with pytest.raises(TranspileError):
+        transpile("SELECT arraySort(x -> -x, arr) FROM t", "clickhouse")
+
+
+def test_clickhouse_json(spark):
+    out = transpile(
+        "SELECT JSONExtractString(j, 'k') AS a, "
+        "JSONExtractInt(j, 'k2', 'n') AS b "
+        """FROM VALUES ('{"k": "v", "k2": {"n": 7}}') AS t(j)""",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b) == ("v", 7)  # both return the UNQUOTED string
+    with pytest.raises(TranspileError):
+        transpile("SELECT JSONExtractString(j, 1) FROM t", "clickhouse")
+
+
+def test_clickhouse_types(spark):
+    out = transpile(
+        "SELECT CAST(5 AS Nullable(Int64)) AS a, "
+        "CAST('x' AS LowCardinality(String)) AS b, "
+        "CAST(ARRAY(1, 2) AS Array(Int64)) AS c, "
+        "CAST(7 AS UInt32) AS d, CAST(1 AS Int8) AS e, "
+        "CAST(TIMESTAMP '2024-01-01 00:00:00' AS DateTime64(3)) AS f",
+        "clickhouse",
+    )
+    assert "Nullable" not in out and "LowCardinality" not in out
+    assert "ARRAY<BIGINT>" in out
+    row = spark.sql(out).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == (5, "x", [1, 2], 7, 1)
+    for bad in (
+        "FixedString(8)", "Tuple(Int32, String)", "Enum8('a' = 1)",
+        "IPv4", "UInt256",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(f"SELECT CAST(x AS {bad}) FROM t", "clickhouse")
+    out2 = transpile(
+        "SELECT CAST(m AS Map(String, UInt64)) FROM t", "clickhouse"
+    )
+    assert "MAP<STRING, DECIMAL(20,0)>" in out2
+
+
+def test_clickhouse_join_modifiers(spark):
+    # SEMI/ANTI LEFT reorder to Spark's LEFT SEMI/ANTI; ALL drops
+    assert transpile(
+        "SELECT a.x FROM a SEMI LEFT JOIN b ON a.x = b.x", "clickhouse"
+    ) == "SELECT a.x FROM a LEFT SEMI JOIN b ON a.x = b.x"
+    assert transpile(
+        "SELECT a.x FROM a ANTI LEFT JOIN b ON a.x = b.x", "clickhouse"
+    ) == "SELECT a.x FROM a LEFT ANTI JOIN b ON a.x = b.x"
+    assert transpile(
+        "SELECT * FROM a ALL INNER JOIN b ON a.x = b.x", "clickhouse"
+    ) == "SELECT * FROM a INNER JOIN b ON a.x = b.x"
+    for bad in (
+        "SELECT * FROM a ANY LEFT JOIN b USING (x)",
+        "SELECT * FROM a ASOF JOIN b ON a.x = b.x",
+        "SELECT * FROM a GLOBAL JOIN b USING (x)",
+        "SELECT * FROM a SEMI RIGHT JOIN b ON a.x = b.x",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(bad, "clickhouse")
+
+
+def test_clickhouse_rand_and_unixtime(spark):
+    out = transpile(
+        "SELECT rand() AS a, randCanonical() AS b, "
+        "toUnixTimestamp(TIMESTAMP '2024-01-01 00:00:00') AS c, "
+        "fromUnixTimestamp(1700000000) AS d",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert isinstance(row.a, int) and 0 <= row.a < 2**32   # UInt32 range
+    assert isinstance(row.b, float) and 0.0 <= row.b < 1.0
+    assert isinstance(row.c, int)
+    assert str(row.d).startswith("2023-11-14")
+
+
+def test_clickhouse_literal_escapes(spark):
+    # backslash escapes incl. \xHH; unknown escapes keep BOTH chars
+    # (parseComplexEscapeSequence), which is how \1 backrefs survive
+    out = transpile(r"SELECT 'a\tb\x41' AS s, 'it''s' AS q", "clickhouse")
+    row = spark.sql(out).collect()[0]
+    assert row.s == "a\tbA"
+    assert row.q == "it's"
+
+
+def test_clickhouse_loud_surface():
+    for sql in (
+        "SELECT length(s) FROM t",             # bytes vs chars vs size
+        "SELECT reverse(s) FROM t",            # byte-wise reverse
+        "SELECT quantile(0.9)(x) FROM t",      # parameterized combinator
+        "SELECT * FROM t FINAL",
+        "SELECT * FROM t SAMPLE 0.1",
+        "SELECT x FROM t LIMIT 3 BY g",
+        "SELECT x FROM t SETTINGS max_threads = 4",
+        "SELECT least(a, b) FROM t",           # NULL propagation
+        "SELECT md5(s) FROM t",                # binary vs hex string
+        "SELECT arrayElement(arr, 9) FROM t",  # type-default out of bounds
+        "SELECT locate(a, b) FROM t",          # arg order flips by version
+        "SELECT uniqExact(x) FROM t",
+        "SELECT position(s, 'x', 3) FROM t",
+        "SELECT splitByChar(d, s) FROM t",     # non-literal separator
+        "SELECT rand(7) FROM t",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(sql, "clickhouse")
+
+
+def test_clickhouse_in_noop_corpus():
+    corpus = [
+        "SELECT a, SUM(b) AS s FROM t WHERE c >= DATE '2024-01-01' GROUP BY a",
+        "WITH x AS (SELECT 1 AS a) SELECT a, ROW_NUMBER() OVER (ORDER BY a) FROM x",
+        "SELECT /* block */ concat_ws('-', a, b) AS k FROM t ORDER BY k LIMIT 5",
+        "SELECT timestampdiff(DAY, a, b), date_trunc('month', ts) FROM t",
+    ]
+    for sql in corpus:
+        assert transpile(sql, "clickhouse") == sql, sql
