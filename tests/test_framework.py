@@ -1724,3 +1724,56 @@ test_ts_m:
 """
     results = ModelTestRunner(spark).run_yaml(ts_yaml, {ts_model.name: ts_model})
     assert results[0].passed, results[0].failures
+
+
+def test_yaml_test_trino_and_clickhouse_dialects(spark):
+    """YAML unit tests route the trino and clickhouse dialects through
+    core/transpile.py like scheduler render (ref test/runner.py:43-77
+    runs model tests in the model's dialect)."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    tr_model = parse_model_text(
+        "MODEL (name demo.tr_m, kind FULL, dialect trino);\n"
+        "SELECT date_format(d, '%Y-%m') AS ym,\n"
+        "       arbitrary(tag) AS a_tag,\n"
+        "       date_diff('day', DATE '2024-03-01', MAX(d)) AS span\n"
+        "FROM src.tr_rows GROUP BY date_format(d, '%Y-%m')"
+    )
+    tr_yaml = """
+test_tr_m:
+  model: demo.tr_m
+  inputs:
+    src.tr_rows:
+      rows:
+        - {d: 2024-03-05, tag: 'x'}
+        - {d: 2024-03-05, tag: 'x'}
+  outputs:
+    query:
+      rows:
+        - {ym: '2024-03', a_tag: 'x', span: 4}
+"""
+    results = ModelTestRunner(spark).run_yaml(tr_yaml, {tr_model.name: tr_model})
+    assert results[0].passed, results[0].failures
+
+    ch_model = parse_model_text(
+        "MODEL (name demo.ch_m, kind FULL, dialect clickhouse);\n"
+        "SELECT toYYYYMM(d) AS ym,\n"
+        "       toInt64(countIf(v > 1)) AS n_big,\n"
+        "       multiIf(MAX(v) > 10, 'big', 'small') AS bucket\n"
+        "FROM src.ch_rows GROUP BY toYYYYMM(d)"
+    )
+    ch_yaml = """
+test_ch_m:
+  model: demo.ch_m
+  inputs:
+    src.ch_rows:
+      rows:
+        - {d: 2024-03-05, v: 1}
+        - {d: 2024-03-09, v: 5}
+  outputs:
+    query:
+      rows:
+        - {ym: 202403, n_big: 1, bucket: 'small'}
+"""
+    results = ModelTestRunner(spark).run_yaml(ch_yaml, {ch_model.name: ch_model})
+    assert results[0].passed, results[0].failures
