@@ -67,7 +67,11 @@ DIALECT_ALIASES: dict[str, str] = {
     "presto": "trino",
     "athena": "trino",
     "risingwave": "postgres",
+    "gcp_postgres": "postgres",
     "fabric": "tsql",
+    "mssql": "tsql",
+    "azuresql": "tsql",
+    "motherduck": "duckdb",
     "databricks": SPARK,
 }
 
@@ -4196,6 +4200,16 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         raise TranspileError(
                             f"{name} unit {raw_unit!r} has no Spark "
                             "timestampdiff/date_trunc equivalent"
+                        )
+                    if read == "clickhouse" and unit == "WEEK":
+                        # CH week boundaries follow toRelativeWeekNum's
+                        # epoch anchoring, not date_trunc's ISO Monday —
+                        # a silent off-by-one risk. LOUD.
+                        raise TranspileError(
+                            "clickhouse dateDiff('week', ...) boundary "
+                            "anchoring differs from ISO weeks; use "
+                            "intDiv(dateDiff('day', ...), 7) semantics "
+                            "explicitly"
                         )
                     edits.append((start, end, "timestampdiff"))
                     edits.append(

@@ -2598,6 +2598,15 @@ def test_dialect_aliases():
         == "SELECT x::BIGINT FROM t"
     assert transpile("SELECT ISNULL(a, 0) FROM t", "fabric") \
         == "SELECT nvl(a, 0) FROM t"
+    # reference connection-type names (connection.py type_ literals)
+    assert transpile("SELECT IIF(a > 1, 'y', 'n') FROM t", "mssql") \
+        == "SELECT if(a > 1, 'y', 'n') FROM t"
+    assert transpile("SELECT LEN('ab ') FROM t", "azuresql") \
+        == "SELECT length(rtrim('ab ')) FROM t"
+    assert transpile("SELECT strftime(d, '%Y') FROM t", "motherduck") \
+        == "SELECT date_format(d, 'yyyy') FROM t"
+    assert transpile("SELECT x::int8 FROM t", "gcp_postgres") \
+        == "SELECT x::BIGINT FROM t"
     with pytest.raises(TranspileError):
         transpile("SELECT 1", "not_a_dialect")
 
@@ -2823,6 +2832,7 @@ def test_clickhouse_loud_surface():
         "SELECT position(s, 'x', 3) FROM t",
         "SELECT splitByChar(d, s) FROM t",     # non-literal separator
         "SELECT rand(7) FROM t",
+        "SELECT dateDiff('week', a, b) FROM t",  # non-ISO week anchoring
     ):
         with pytest.raises(TranspileError):
             transpile(sql, "clickhouse")
