@@ -421,3 +421,51 @@ def test_lineage_of_simple_projection_is_exact(cols, table):
     lin = query_lineage(sql)
     for c in cols:
         assert lin[c] == {(table, c)}
+
+
+# ---------------------------------------------------------------------------
+# Literal round-trip property for the escape-literal dialects (r5:
+# clickhouse joined snowflake/bigquery/redshift/mysql): character content
+# decoded per the READ grammar and re-emitted as a Spark literal must
+# survive byte-identically when Spark evaluates it.
+# ---------------------------------------------------------------------------
+
+_lit_chars = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        # exclude lone surrogates; controls are in via explicit escapes
+        categories=("L", "N", "P", "S", "Z"),
+    ),
+    max_size=24,
+)
+
+
+@given(_lit_chars)
+@settings(max_examples=60, deadline=None)
+def test_clickhouse_literal_roundtrip_through_spark(spark_global, content):
+    from sqlmesh_spark.core.transpile import (
+        _literal_content,
+        _spark_string_literal,
+    )
+
+    lit = _spark_string_literal(content, "clickhouse")
+    # the emitted literal must re-lex under the CH grammar to the same
+    # content (fixpoint passes re-read our own output)...
+    assert _literal_content(lit, "clickhouse") == content
+    # ...and Spark must evaluate it to the same content
+    got = spark_global.sql(f"SELECT {lit} AS v").collect()[0].v
+    assert got == content
+
+
+@given(_lit_chars)
+@settings(max_examples=60, deadline=None)
+def test_trino_literal_doubling_through_spark(spark_global, content):
+    """Trino literals are standard SQL (backslash ordinary): the
+    transpiler's doubling pass must make Spark read back the same
+    characters the Trino grammar meant."""
+    from sqlmesh_spark.core.transpile import transpile
+
+    trino_lit = "'" + content.replace("'", "''") + "'"
+    out = transpile(f"SELECT {trino_lit} AS v", "trino")
+    got = spark_global.sql(out).collect()[0].v
+    assert got == content
