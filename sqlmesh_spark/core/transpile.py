@@ -3076,6 +3076,19 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         if p - 1 >= 0 and toks[p - 1][0] == "ident" and \
                                 toks[p - 1][1].upper() in ("CROSS", "INNER"):
                             region_start_tok = p - 1
+                        elif p - 1 >= 0 and toks[p - 1][0] == "ident" and \
+                                toks[p - 1][1].upper() in (
+                                    "LEFT", "RIGHT", "FULL", "OUTER"
+                                ):
+                            # outer-ness comes from FLATTEN's outer =>
+                            # TRUE param; a directional JOIN would leave
+                            # its keyword dangling before LATERAL VIEW
+                            raise TranspileError(
+                                f"{toks[p - 1][1].upper()} JOIN LATERAL "
+                                "FLATTEN has no Spark rewrite; use "
+                                "FLATTEN(..., outer => TRUE) with a "
+                                "CROSS JOIN"
+                            )
                     fn = "posexplode_outer" if outer else "posexplode"
                     repl = f" LATERAL VIEW {fn}({expr_text}) {alias} AS index, value"
                     edits.append(
@@ -4937,18 +4950,30 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         region_start_tok = p
                         q = p - 1
                         if q >= 0 and toks[q][0] == "ident" and \
+                                toks[q][1].upper() in ("RIGHT", "FULL"):
+                            raise TranspileError(
+                                f"{toks[q][1].upper()} JOIN UNNEST has no "
+                                "Spark rewrite (LATERAL VIEW is left-"
+                                "anchored); use LEFT JOIN ... ON TRUE"
+                            )
+                        if q >= 0 and toks[q][0] == "ident" and \
                                 toks[q][1].upper() in ("CROSS", "INNER"):
                             region_start_tok = q
                         elif q >= 0 and toks[q][0] == "ident" and \
                                 toks[q][1].upper() in ("LEFT", "OUTER"):
                             outer = True
                             region_start_tok = q
-                            if (
-                                toks[q][1].upper() == "OUTER"
-                                and q - 1 >= 0
-                                and toks[q - 1][0] == "ident"
-                                and toks[q - 1][1].upper() == "LEFT"
-                            ):
+                            if toks[q][1].upper() == "OUTER":
+                                if not (
+                                    q - 1 >= 0
+                                    and toks[q - 1][0] == "ident"
+                                    and toks[q - 1][1].upper() == "LEFT"
+                                ):
+                                    raise TranspileError(
+                                        "only LEFT [OUTER] JOIN UNNEST "
+                                        "has a Spark rewrite (LATERAL "
+                                        "VIEW is left-anchored)"
+                                    )
                                 region_start_tok = q - 1
                             # consume the mandatory ON TRUE
                             if (

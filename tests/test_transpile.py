@@ -2847,3 +2847,20 @@ def test_clickhouse_in_noop_corpus():
     ]
     for sql in corpus:
         assert transpile(sql, "clickhouse") == sql, sql
+
+
+def test_directional_join_unnest_flatten_loud():
+    """RIGHT/FULL [OUTER] JOIN before UNNEST / LATERAL FLATTEN would leave
+    the direction keyword dangling in front of LATERAL VIEW — render-time
+    loud, never corrupted SQL (first-pass review finding)."""
+    for d, sql in [
+        ("trino", "SELECT e FROM t RIGHT JOIN UNNEST(arr) AS u(e) ON TRUE"),
+        ("trino", "SELECT e FROM t FULL JOIN UNNEST(arr) AS u(e) ON TRUE"),
+        ("trino", "SELECT e FROM t FULL OUTER JOIN UNNEST(arr) AS u(e) ON TRUE"),
+        ("snowflake",
+         "SELECT f.value FROM t RIGHT JOIN LATERAL FLATTEN(input => arr) f"),
+        ("snowflake",
+         "SELECT f.value FROM t LEFT JOIN LATERAL FLATTEN(input => arr) f"),
+    ]:
+        with pytest.raises(TranspileError):
+            transpile(sql, d)
