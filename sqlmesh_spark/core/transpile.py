@@ -2051,8 +2051,24 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 "to_utc_timestamp/from_utc_timestamp explicitly"
             )
 
+        # ClickHouse ternary `cond ? a : b` — rewriting needs expression
+        # boundaries the token pass doesn't model; Spark would misparse.
+        if read == "clickhouse" and kind == "op" and text == "?":
+            raise TranspileError(
+                "clickhouse ternary `cond ? a : b` has no token-level "
+                "Spark rewrite; use if(cond, a, b)"
+            )
+
         if read == "clickhouse" and kind == "ident":
             up_ = text.upper()
+            # PREWHERE is WHERE plus a storage-level early-filter hint;
+            # Spark would read the keyword as a table alias. Rewrite to
+            # WHERE — if the query also has its own WHERE, the doubled
+            # keyword fails Spark's parser (loud, never silent).
+            if up_ == "PREWHERE":
+                edits.append((start, end, "WHERE"))
+                i += 1
+                continue
             # FROM t FINAL forces merge-time dedup; Spark would silently
             # read FINAL as a table alias, dropping the semantic. A column
             # genuinely named final can be backtick/double-quoted.
@@ -2134,6 +2150,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         f"clickhouse {up_} {nxt_up} JOIN has no Spark "
                         "rewrite (Spark supports LEFT SEMI/ANTI only)"
                     )
+            # GLOBAL IN / GLOBAL NOT IN — distributed-locality subquery
+            if up_ == "GLOBAL" and i + 1 < n and toks[i + 1][0] == "ident" \
+                    and toks[i + 1][1].upper() in ("IN", "NOT"):
+                raise TranspileError(
+                    "clickhouse GLOBAL IN has no Spark rewrite (Spark "
+                    "subqueries are already cluster-wide); drop GLOBAL"
+                )
 
         if read == "oracle" and kind == "ident":
             low = text.lower()

@@ -2864,3 +2864,25 @@ def test_directional_join_unnest_flatten_loud():
     ]:
         with pytest.raises(TranspileError):
             transpile(sql, d)
+
+
+def test_clickhouse_prewhere_ternary_global_in(spark):
+    assert transpile(
+        "SELECT x FROM t PREWHERE a = 1", "clickhouse"
+    ) == "SELECT x FROM t WHERE a = 1"
+    # PREWHERE + WHERE doubles the keyword → Spark parser rejects (loud)
+    out = transpile("SELECT x FROM t PREWHERE a = 1 WHERE b = 2", "clickhouse")
+    assert out.count("WHERE") == 2
+    for sql in (
+        "SELECT a > 1 ? 'y' : 'n' FROM t",
+        "SELECT x FROM t WHERE a GLOBAL IN (SELECT a FROM s)",
+        "SELECT x FROM t WHERE a GLOBAL NOT IN (SELECT a FROM s)",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(sql, "clickhouse")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ch_pw AS SELECT 1 AS a, 2 AS x"
+    )
+    assert spark.sql(
+        transpile("SELECT x FROM ch_pw PREWHERE a = 1", "clickhouse")
+    ).collect()[0].x == 2
