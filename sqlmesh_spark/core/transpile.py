@@ -2111,6 +2111,73 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     "clickhouse LIMIT n BY has no Spark clause; rewrite "
                     "with ROW_NUMBER() OVER (PARTITION BY ...) <= n"
                 )
+            # [LEFT] ARRAY JOIN — ClickHouse's unnest clause. Spark would
+            # read `t ARRAY` as a table alias and join a RELATION named
+            # after the array — silent corruption, so rewrite:
+            #   t [LEFT] ARRAY JOIN expr AS e
+            #   → t LATERAL VIEW explode[_outer](expr) e_lv AS e
+            if (
+                up_ == "ARRAY"
+                and i + 1 < n
+                and toks[i + 1][0] == "ident"
+                and toks[i + 1][1].upper() == "JOIN"
+            ):
+                aj_outer = (
+                    i > 0
+                    and toks[i - 1][0] == "ident"
+                    and toks[i - 1][1].upper() == "LEFT"
+                )
+                region_start_tok = i - 1 if aj_outer else i
+                j = i + 2
+                if not (
+                    j < n
+                    and toks[j][0] in _NAME_KINDS
+                    and toks[j][1].upper() not in _EXPR_KEYWORDS
+                ):
+                    raise TranspileError(
+                        "ARRAY JOIN operand must be a column or call "
+                        "to transpile"
+                    )
+                k_ = j
+                while (
+                    k_ + 2 < n
+                    and toks[k_ + 1][0] == "op" and toks[k_ + 1][1] == "."
+                    and toks[k_ + 2][0] in _NAME_KINDS
+                ):
+                    k_ += 2
+                if is_op(k_ + 1, "("):
+                    _aj_spans, k_ = _call_arg_spans(toks, k_ + 1)
+                aj_expr = transpile(sql[toks[j][2] : toks[k_][3]], read)
+                j = k_ + 1
+                if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
+                    j += 1
+                if not (
+                    j < n
+                    and toks[j][0] in _NAME_KINDS
+                    and toks[j][1].upper() not in _EXPR_KEYWORDS
+                ):
+                    raise TranspileError(
+                        "ARRAY JOIN without an element alias SHADOWS the "
+                        "source column in ClickHouse — no Spark rewrite; "
+                        "add `AS alias`"
+                    )
+                aj_alias = _ident_text(toks[j][0], toks[j][1])
+                region_end_tok = j
+                if is_op(j + 1, ","):
+                    raise TranspileError(
+                        "multi-array ARRAY JOIN iterates arrays in "
+                        "LOCKSTEP; zip them with arrays_zip and unnest "
+                        "the single zipped array"
+                    )
+                fn_ = "explode_outer" if aj_outer else "explode"
+                edits.append(
+                    (toks[region_start_tok][2], toks[region_end_tok][3],
+                     f" LATERAL VIEW {fn_}({aj_expr}) {aj_alias}_lv "
+                     f"AS {aj_alias}")
+                )
+                i = region_end_tok + 1
+                continue
+
             # Join strictness/locality modifiers precede the direction in
             # ClickHouse: [GLOBAL] [ANY|ALL|ASOF|SEMI|ANTI] LEFT|... JOIN.
             # SEMI/ANTI LEFT reorder to Spark's LEFT SEMI/ANTI; ALL is the

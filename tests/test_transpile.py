@@ -2886,3 +2886,26 @@ def test_clickhouse_prewhere_ternary_global_in(spark):
     assert spark.sql(
         transpile("SELECT x FROM ch_pw PREWHERE a = 1", "clickhouse")
     ).collect()[0].x == 2
+
+
+def test_clickhouse_array_join_clause(spark):
+    """CH's idiomatic unnest: [LEFT] ARRAY JOIN → LATERAL VIEW explode —
+    Spark would otherwise read `t ARRAY` as a table alias and join a
+    RELATION named after the array (silent corruption)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ch_aj AS "
+        "SELECT array(1, 2) AS arr, 'x,y' AS s"
+    )
+    out = transpile("SELECT e FROM ch_aj ARRAY JOIN arr AS e", "clickhouse")
+    assert sorted(r.e for r in spark.sql(out).collect()) == [1, 2]
+    out = transpile(
+        "SELECT e FROM ch_aj LEFT ARRAY JOIN splitByChar(',', s) AS e",
+        "clickhouse",
+    )
+    assert sorted(r.e for r in spark.sql(out).collect()) == ["x", "y"]
+    for bad in (
+        "SELECT x FROM t ARRAY JOIN arr",          # alias-less shadows
+        "SELECT x FROM t ARRAY JOIN a AS x, b AS y",  # lockstep multi
+    ):
+        with pytest.raises(TranspileError):
+            transpile(bad, "clickhouse")
