@@ -4891,6 +4891,17 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     i = close + 1
                     continue
 
+                if name == "arraystringconcat":
+                    # 1-arg form joins with the empty-string default that
+                    # Spark's 2-arg array_join has no default for
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) == 1:
+                        edits.append((start, end, "array_join"))
+                        edits.append((toks[close][2], toks[close][2], ", ''"))
+                        i += 1
+                        continue
+                    # 2-arg falls through to the array_join rename
+
                 if name == "arraysort":
                     spans, _close = _call_arg_spans(toks, i + 1)
                     if len(spans) == 1:
@@ -5288,6 +5299,41 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                             "Spark equivalent"
                         )
                     # 2-arg falls through to the instr rename below
+
+                if name == "split_part" and first_pass:
+                    # Same shape (plain delimiter, 1-based), but Trino
+                    # returns NULL for an out-of-range index where Spark
+                    # returns '' — a silent IS NULL filter hazard. Guard
+                    # with the actual field count; needs a literal
+                    # delimiter for the regex-escaped count probe.
+                    spans, close = _call_arg_spans(toks, i + 1)
+                    if len(spans) != 3:
+                        raise TranspileError("split_part takes 3 args")
+                    d_tok = toks[spans[1][0]]
+                    if not (
+                        d_tok[0] == "string" and spans[1][0] == spans[1][1]
+                    ):
+                        raise TranspileError(
+                            "trino split_part delimiter must be a string "
+                            "literal to transpile (the out-of-range NULL "
+                            "guard needs a regex-escaped copy)"
+                        )
+                    s_text = _arg_text(spans[0])
+                    n_text = _arg_text(spans[2])
+                    d_lit = _spark_string_literal(
+                        _literal_content(d_tok[1], read), read
+                    )
+                    d_re = _regex_literal(
+                        _literal_content(d_tok[1], read), read
+                    )
+                    edits.append(
+                        (start, toks[close][3],
+                         f"if(abs({n_text}) <= size(split({s_text}, "
+                         f"{d_re})), split_part({s_text}, {d_lit}, "
+                         f"{n_text}), NULL)")
+                    )
+                    i = close + 1
+                    continue
 
                 if name == "approx_percentile":
                     spans, _close = _call_arg_spans(toks, i + 1)

@@ -2909,3 +2909,30 @@ def test_clickhouse_array_join_clause(spark):
     ):
         with pytest.raises(TranspileError):
             transpile(bad, "clickhouse")
+
+
+def test_trino_split_part_oob_null(spark):
+    # Trino returns NULL past the last field; Spark's split_part returns
+    # '' — the rewrite guards with the actual field count.
+    out = transpile(
+        "SELECT split_part('a,b', ',', 5) AS x, "
+        "split_part('a,,b', ',', 2) AS y, "
+        "split_part('a.b', '.', 2) AS z",
+        "trino",
+    )
+    row = spark.sql(out).collect()[0]
+    assert row.x is None            # out of range → NULL, not ''
+    assert row.y == ""              # genuinely-empty field stays ''
+    assert row.z == "b"             # '.' treated as a PLAIN delimiter
+    with pytest.raises(TranspileError):
+        transpile("SELECT split_part(s, d, 2) FROM t", "trino")
+
+
+def test_clickhouse_array_string_concat_default_sep(spark):
+    out = transpile(
+        "SELECT arrayStringConcat(ARRAY('a', 'b')) AS x, "
+        "arrayStringConcat(ARRAY('a', 'b'), '-') AS y",
+        "clickhouse",
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.x, row.y) == ("ab", "a-b")
