@@ -73,6 +73,33 @@ _TOKEN_RE = re.compile(
 #: always backslash-escape.
 ESCAPE_LITERAL_DIALECTS = ("snowflake", "bigquery", "redshift", "mysql", "clickhouse")
 
+#: alias dialects normalized before ANY dialect-keyed decision — grammar
+#: selection here as well as core/transpile.py's function/type tables.
+#: Living at the lexing seam matters: depends_on / lineage / fingerprints
+#: / the formatter all lex raw model text, and a model declaring
+#: `dialect mssql` must select the T-SQL bracket grammar, not fall to a
+#: SqlParseError + lossy regex scan. Presto and Athena (engine v3) ARE
+#: Trino's grammar (ref engine_adapter/athena.py builds on trino.py);
+#: RisingWave and GCP Postgres speak Postgres; Fabric/MSSQL/AzureSQL are
+#: T-SQL (ref fabric.py extends mssql); MotherDuck is DuckDB; Databricks
+#: SQL IS Spark SQL.
+DIALECT_ALIASES: dict[str, str] = {
+    "presto": "trino",
+    "athena": "trino",
+    "risingwave": "postgres",
+    "gcp_postgres": "postgres",
+    "fabric": "tsql",
+    "mssql": "tsql",
+    "azuresql": "tsql",
+    "motherduck": "duckdb",
+    "databricks": "spark",
+}
+
+
+def normalize_dialect(dialect: str) -> str:
+    """Resolve an alias dialect to its grammar; unknown names unchanged."""
+    return DIALECT_ALIASES.get(dialect, dialect) if dialect else dialect
+
 
 def _derive_esc_pattern(triple: bool = False, hash_comments: bool = False) -> str:
     """Escape-aware grammar derived from _TOKEN_RE by exact substring
@@ -144,6 +171,7 @@ _TSQL_TOKEN_RE = re.compile(_derive_tsql_pattern(), re.VERBOSE | re.DOTALL)
 def _token_re_for(dialect: str):
     """The ONE grammar choice shared by sqlparse.tokenize and
     transpile._tokenize_spans."""
+    dialect = normalize_dialect(dialect)
     if dialect == "bigquery":
         return _BQ_TOKEN_RE
     if dialect == "mysql":
@@ -167,7 +195,8 @@ def tokenize(sql: str, dialect: str = "") -> list[Token]:
     bigquery / redshift / mysql literals use backslash escapes, and
     bigquery + mysql double-quoted tokens are STRINGS, not identifiers
     (matching how core/transpile.py and Spark's parser read the same
-    text)."""
+    text). Alias dialects (mssql, athena, ...) normalize first."""
+    dialect = normalize_dialect(dialect)
     token_re = _token_re_for(dialect)
     out: list[Token] = []
     pos = 0

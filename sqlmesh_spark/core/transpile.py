@@ -57,23 +57,13 @@ READ_DIALECTS = (
     "mysql", "oracle", "tsql", "trino", "clickhouse",
 )
 
-#: alias dialects normalized before any table lookup. Presto and Athena
-#: (engine v3) ARE Trino's grammar (ref engine_adapter/athena.py builds on
-#: trino.py); RisingWave speaks Postgres (ref engine_adapter/risingwave.py
-#: extends base_postgres); Fabric warehouse SQL is T-SQL (ref
-#: engine_adapter/fabric.py extends mssql); Databricks SQL IS Spark SQL,
-#: so it transpiles as a no-op (ref engine_adapter/databricks.py).
-DIALECT_ALIASES: dict[str, str] = {
-    "presto": "trino",
-    "athena": "trino",
-    "risingwave": "postgres",
-    "gcp_postgres": "postgres",
-    "fabric": "tsql",
-    "mssql": "tsql",
-    "azuresql": "tsql",
-    "motherduck": "duckdb",
-    "databricks": SPARK,
-}
+#: alias dialects (presto/athena → trino, mssql/fabric/azuresql → tsql,
+#: risingwave/gcp_postgres → postgres, motherduck → duckdb, databricks →
+#: spark no-op) live in core/sqlparse.py — the LEXING seam — so that
+#: depends_on / lineage / fingerprints / the formatter select the right
+#: grammar too, not just this module's tables. Re-exported here for the
+#: public transpile API.
+from sqlmesh_spark.core.sqlparse import DIALECT_ALIASES  # noqa: E402
 
 #: dialects whose string literals are standard SQL (backslash is an
 #: ordinary character) and need backslash-doubling for Spark's C-style
@@ -1364,6 +1354,13 @@ def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]
     return out
 
 
+def _emit_iso_dow(edits: list, start: int, end: int, close_end: int) -> None:
+    """Emit ``(weekday(x) + 1)`` — the ISO Monday=1 day-of-week rewrite
+    shared by trino day_of_week/dow and clickhouse toDayOfWeek."""
+    edits.append((start, end, "(weekday"))
+    edits.append((close_end, close_end, " + 1)"))
+
+
 def _regex_escape_content(inner: str) -> str:
     """Escape regex metachars in plain text destined for a Spark string
     literal used as a regex. A literal backslash needs FOUR backslashes
@@ -2063,9 +2060,41 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             up_ = text.upper()
             # PREWHERE is WHERE plus a storage-level early-filter hint;
             # Spark would read the keyword as a table alias. Rewrite to
-            # WHERE — if the query also has its own WHERE, the doubled
-            # keyword fails Spark's parser (loud, never silent).
+            # WHERE — but ONLY in FROM-target position (walk back over
+            # `[AS] alias` + a dotted path / subquery close to FROM), so
+            # a column or alias named prewhere never corrupts; those and
+            # post-join placements raise with guidance instead. If the
+            # query also has its own WHERE, the doubled keyword fails
+            # Spark's parser (loud, never silent).
             if up_ == "PREWHERE":
+                j = i - 1
+                pw_ok = False
+                for _hop in range(10):
+                    if j < 0:
+                        break
+                    tk_, tv_ = toks[j][0], toks[j][1]
+                    if tk_ == "op" and tv_ == ")":
+                        pw_ok = True  # subquery close in FROM
+                        break
+                    if tk_ == "ident" and tv_.upper() == "FROM":
+                        pw_ok = True
+                        break
+                    if tk_ == "ident" and tv_.upper() == "AS":
+                        j -= 1
+                        continue
+                    if tk_ in _NAME_KINDS and tv_.upper() not in _EXPR_KEYWORDS:
+                        j -= 1
+                        if j >= 0 and toks[j][0] == "op" and toks[j][1] == ".":
+                            j -= 1
+                        continue
+                    break
+                if not pw_ok:
+                    raise TranspileError(
+                        "PREWHERE outside FROM-target position has no "
+                        "safe rewrite; move the condition into WHERE, or "
+                        "quote the identifier if a column is named "
+                        "prewhere"
+                    )
                 edits.append((start, end, "WHERE"))
                 i += 1
                 continue
@@ -4532,6 +4561,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 # combinators: the second argument list is CH-only
                 # grammar with no Spark analog — LOUD before it can lex
                 # into nonsense.
+                # computed ONCE here and reused by every handler in
+                # this block (the guard needs only the close index,
+                # but handlers need the spans anyway)
                 _spans0, _close0 = _call_arg_spans(toks, i + 1)
                 if is_op(_close0 + 1, "("):
                     raise TranspileError(
@@ -4540,7 +4572,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     )
 
                 if name in _CH_CAST_FN:
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 1:
                         raise TranspileError(
                             f"{text} with a timezone/precision argument "
@@ -4556,7 +4588,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name in _CH_TRUNC_FN:
                     unit_, as_date = _CH_TRUNC_FN[name]
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 1:
                         raise TranspileError(
                             f"{text} with a timezone argument has no "
@@ -4579,7 +4611,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     continue
 
                 if name in ("toyyyymm", "toyyyymmdd"):
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 1:
                         raise TranspileError(f"{text} takes 1 arg")
                     fmt_ = "yyyyMM" if name == "toyyyymm" else "yyyyMMdd"
@@ -4592,7 +4624,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     continue
 
                 if name == "yesterday":
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if spans:
                         raise TranspileError("yesterday takes no args")
                     edits.append(
@@ -4604,19 +4636,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 if name == "todayofweek":
                     # default mode 0: ISO Monday=1 — same as weekday()+1;
                     # any explicit mode argument is LOUD.
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 1:
                         raise TranspileError(
                             "toDayOfWeek with a mode/timezone argument "
                             "has no Spark rewrite"
                         )
-                    edits.append((start, end, "(weekday"))
-                    edits.append((toks[close][3], toks[close][3], " + 1)"))
+                    _emit_iso_dow(edits, start, end, toks[close][3])
                     i += 1
                     continue
 
                 if name == "fromunixtimestamp":
-                    spans, _close = _call_arg_spans(toks, i + 1)
+                    spans, _close = _spans0, _close0
                     if len(spans) != 1:
                         raise TranspileError(
                             "fromUnixTimestamp with a format/timezone "
@@ -4627,7 +4658,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     continue
 
                 if name == "formatdatetime" and first_pass:
-                    spans, _close = _call_arg_spans(toks, i + 1)
+                    spans, _close = _spans0, _close0
                     if len(spans) != 2 or toks[spans[1][0]][0] != "string" \
                             or spans[1][0] != spans[1][1]:
                         raise TranspileError(
@@ -4649,7 +4680,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 if name in ("date_add", "dateadd") and first_pass:
                     # date_add(unit, n, date) — bare keyword or quoted
                     # unit. 2-arg date_add(date, n) matches Spark.
-                    spans, _close = _call_arg_spans(toks, i + 1)
+                    spans, _close = _spans0, _close0
                     if len(spans) == 3:
                         u_tok = toks[spans[0][0]]
                         if u_tok[0] == "string":
@@ -4675,7 +4706,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name in _CH_ADD_FN:
                     unit_, neg = _CH_ADD_FN[name]
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 2:
                         raise TranspileError(f"{text} takes 2 args")
                     d_text = _arg_text(spans[0])
@@ -4693,7 +4724,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     # from Spark's position(substr, str); instr matches
                     # the CH order. The grammar form position(x IN y)
                     # already means the same in both.
-                    spans, _close = _call_arg_spans(toks, i + 1)
+                    spans, _close = _spans0, _close0
                     if len(spans) == 1:
                         i += 1  # position(x IN y) — Spark grammar form
                         continue
@@ -4724,7 +4755,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     # fragment match: group 1 when the pattern has a
                     # capture group, else the whole match. The EXTRACT
                     # (field FROM x) grammar form passes through.
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) == 1:
                         i += 1
                         continue
@@ -4751,7 +4782,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 if name in ("splitbychar", "splitbystring", "splitbyregexp"):
                     # separator FIRST in CH; plain-string separators are
                     # regex-escaped for Spark's regex split.
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 2:
                         raise TranspileError(
                             f"{text} with a max_substrings argument has "
@@ -4783,7 +4814,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     continue
 
                 if name == "multiif":
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) < 3 or len(spans) % 2 == 0:
                         raise TranspileError(
                             "multiIf takes cond/value pairs plus an else"
@@ -4801,7 +4832,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name in ("assumenotnull", "tonullable", "tolowcardinality"):
                     # nullability/storage wrappers — unwrap to the arg
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 1:
                         raise TranspileError(f"{text} takes 1 arg")
                     edits.append(
@@ -4813,7 +4844,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 if name == "rand" and first_pass:
                     # CH rand() is a uniform UInt32, not a [0,1) float.
                     # first_pass only: the rewrite contains rand() itself.
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if spans:
                         raise TranspileError(
                             "rand(expr) has no Spark rewrite; use "
@@ -4827,7 +4858,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     continue
 
                 if name == "intdiv":
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 2:
                         raise TranspileError("intDiv takes 2 args")
                     a = _arg_text(spans[0])
@@ -4839,7 +4870,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     continue
 
                 if name in ("plus", "minus", "multiply", "divide"):
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 2:
                         raise TranspileError(f"{text} takes 2 args")
                     op_ = {
@@ -4857,7 +4888,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 if name in ("sumif", "avgif", "minif", "maxif"):
                     # aggIf(x, cond) → agg(if(cond, x, NULL)) — the agg
                     # ignores NULL, matching the CH row filter
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 2:
                         raise TranspileError(f"{text} takes 2 args")
                     agg = name[:-2]
@@ -4872,7 +4903,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name in ("arraymap", "arrayfilter", "arrayexists", "arrayall"):
                     # CH higher-order functions take the LAMBDA FIRST
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 2:
                         raise TranspileError(
                             f"{text} over multiple arrays has no direct "
@@ -4894,7 +4925,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 if name == "arraystringconcat":
                     # 1-arg form joins with the empty-string default that
                     # Spark's 2-arg array_join has no default for
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) == 1:
                         edits.append((start, end, "array_join"))
                         edits.append((toks[close][2], toks[close][2], ", ''"))
@@ -4903,7 +4934,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     # 2-arg falls through to the array_join rename
 
                 if name == "arraysort":
-                    spans, _close = _call_arg_spans(toks, i + 1)
+                    spans, _close = _spans0, _close0
                     if len(spans) == 1:
                         edits.append((start, end, "array_sort"))
                         i += 1
@@ -4917,7 +4948,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     "jsonextractstring", "jsonextractint",
                     "jsonextractfloat", "jsonextractbool",
                 ):
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) < 2:
                         raise TranspileError(f"{text} needs a key path")
                     keys: list[str] = []
@@ -4952,7 +4983,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     continue
 
                 if name == "replaceregexpall":
-                    spans, close = _call_arg_spans(toks, i + 1)
+                    spans, close = _spans0, _close0
                     if len(spans) != 3:
                         raise TranspileError("replaceRegexpAll takes 3 args")
                     r_first, r_last = spans[2]
@@ -5057,9 +5088,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                                 "Spark rewrite (LATERAL VIEW is left-"
                                 "anchored); use LEFT JOIN ... ON TRUE"
                             )
+                        is_inner = True  # bare JOIN = INNER in Trino
                         if q >= 0 and toks[q][0] == "ident" and \
                                 toks[q][1].upper() in ("CROSS", "INNER"):
                             region_start_tok = q
+                            is_inner = toks[q][1].upper() == "INNER"
                         elif q >= 0 and toks[q][0] == "ident" and \
                                 toks[q][1].upper() in ("LEFT", "OUTER"):
                             outer = True
@@ -5089,6 +5122,19 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                                 raise TranspileError(
                                     "LEFT JOIN UNNEST requires ON TRUE"
                                 )
+                            is_inner = False
+                        # Trino requires ON for INNER JOIN, so
+                        # `[INNER] JOIN UNNEST(..) u(e) ON TRUE` is a
+                        # standard spelling — consume the trivial ON
+                        if (
+                            is_inner
+                            and region_end_tok + 2 < n
+                            and toks[region_end_tok + 1][0] == "ident"
+                            and toks[region_end_tok + 1][1].upper() == "ON"
+                            and toks[region_end_tok + 2][0] == "ident"
+                            and toks[region_end_tok + 2][1].upper() == "TRUE"
+                        ):
+                            region_end_tok += 2
                     elif (
                         p >= 0
                         and toks[p][0] == "ident"
@@ -5245,8 +5291,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     spans, close = _call_arg_spans(toks, i + 1)
                     if len(spans) != 1:
                         raise TranspileError(f"{name} takes 1 arg")
-                    edits.append((start, end, "(weekday"))
-                    edits.append((toks[close][3], toks[close][3], " + 1)"))
+                    _emit_iso_dow(edits, start, end, toks[close][3])
                     i += 1
                     continue
 
@@ -5302,10 +5347,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name == "split_part" and first_pass:
                     # Same shape (plain delimiter, 1-based), but Trino
-                    # returns NULL for an out-of-range index where Spark
-                    # returns '' — a silent IS NULL filter hazard. Guard
-                    # with the actual field count; needs a literal
-                    # delimiter for the regex-escaped count probe.
+                    # returns NULL for an out-of-range index where
+                    # Spark's split_part returns '' — a silent IS NULL
+                    # filter hazard. try_element_at over the regex-escaped
+                    # split carries Trino's exact semantics (NULL out of
+                    # range, '' for genuinely-empty fields) and evaluates
+                    # each operand ONCE. Needs a literal delimiter for
+                    # the regex escape.
                     spans, close = _call_arg_spans(toks, i + 1)
                     if len(spans) != 3:
                         raise TranspileError("split_part takes 3 args")
@@ -5315,22 +5363,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     ):
                         raise TranspileError(
                             "trino split_part delimiter must be a string "
-                            "literal to transpile (the out-of-range NULL "
-                            "guard needs a regex-escaped copy)"
+                            "literal to transpile (plain string vs Spark "
+                            "regex)"
                         )
                     s_text = _arg_text(spans[0])
                     n_text = _arg_text(spans[2])
-                    d_lit = _spark_string_literal(
-                        _literal_content(d_tok[1], read), read
-                    )
                     d_re = _regex_literal(
                         _literal_content(d_tok[1], read), read
                     )
                     edits.append(
                         (start, toks[close][3],
-                         f"if(abs({n_text}) <= size(split({s_text}, "
-                         f"{d_re})), split_part({s_text}, {d_lit}, "
-                         f"{n_text}), NULL)")
+                         f"try_element_at(split({s_text}, {d_re}), "
+                         f"{n_text})")
                     )
                     i = close + 1
                     continue

@@ -2913,7 +2913,8 @@ def test_clickhouse_array_join_clause(spark):
 
 def test_trino_split_part_oob_null(spark):
     # Trino returns NULL past the last field; Spark's split_part returns
-    # '' — the rewrite guards with the actual field count.
+    # '' — the rewrite is try_element_at over the regex-escaped split
+    # (single evaluation of every operand).
     out = transpile(
         "SELECT split_part('a,b', ',', 5) AS x, "
         "split_part('a,,b', ',', 2) AS y, "
@@ -2936,3 +2937,46 @@ def test_clickhouse_array_string_concat_default_sep(spark):
     )
     row = spark.sql(out).collect()[0]
     assert (row.x, row.y) == ("ab", "a-b")
+
+
+def test_review_fixes_aliases_unnest_prewhere(spark):
+    """Second review pass over the round-5 dialect work (alias lexing,
+    INNER JOIN UNNEST ON TRUE, PREWHERE position, operand duplication)."""
+    from sqlmesh_spark.core.sqlparse import find_tables
+
+    # alias dialects select the right GRAMMAR at the lexing seam, not
+    # just inside transpile(): mssql brackets must lex as identifiers
+    assert find_tables(
+        "SELECT a FROM [db].[tbl] WHERE note = 'from fake.table'", "mssql"
+    ) == frozenset({"db.tbl"})
+    assert find_tables(
+        "SELECT a FROM `sch`.`tbl` AS x", "athena"
+    ) == frozenset({"sch.tbl"})
+
+    # Trino requires ON for INNER JOIN — the trivial ON TRUE is consumed
+    for sql in (
+        "SELECT e FROM t INNER JOIN UNNEST(arr) AS u(e) ON TRUE",
+        "SELECT e FROM t JOIN UNNEST(arr) AS u(e) ON TRUE",
+    ):
+        assert transpile(sql, "trino") \
+            == "SELECT e FROM t  LATERAL VIEW explode(arr) u AS e", sql
+
+    # split_part rewrite evaluates the string operand exactly once
+    out = transpile("SELECT split_part(s, ',', 2) FROM t", "trino")
+    assert out.count("s") - out.count("split") * 0 >= 1
+    assert out == "SELECT try_element_at(split(s, ','), 2) FROM t"
+
+    # PREWHERE only rewrites in FROM-target position
+    assert transpile(
+        "SELECT x FROM db.tbl AS z PREWHERE a = 1", "clickhouse"
+    ) == "SELECT x FROM db.tbl AS z WHERE a = 1"
+    assert transpile(
+        "SELECT x FROM (SELECT 1 AS a) s PREWHERE a = 1", "clickhouse"
+    ) == "SELECT x FROM (SELECT 1 AS a) s WHERE a = 1"
+    for bad in (
+        "SELECT a AS prewhere FROM t",
+        "SELECT prewhere FROM t",
+        "SELECT a, prewhere FROM t",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(bad, "clickhouse")
