@@ -502,7 +502,11 @@ _TRINO_FN: dict[str, str | None] = {
     "bitwise_and": None, "bitwise_or": None,       # handlers → (a & b)
     "bitwise_xor": None, "bitwise_not": None,
     # json
-    "json_extract_scalar": "get_json_object",      # same $.path language
+    "json_extract_scalar": "get_json_object",      # same $.path language;
+                                        # caveat (shared with the bigquery
+                                        # mapping): a NON-scalar path
+                                        # returns NULL in Trino but the
+                                        # serialized JSON here
     "json_extract": None,               # returns JSON type
     "json_parse": None, "json_format": None,
     "json_size": None, "json_array_contains": None,
@@ -706,6 +710,10 @@ _CH_CAST_FN = {
 
 #: ClickHouse addDays/subtractDays family → timestampadd unit (+negation).
 #: Arg order flips: addDays(date, n) → timestampadd(DAY, n, date).
+#: Type caveat (documented, not statically fixable — same as the
+#: snowflake/tsql DATEADD handler): the source returns its operand's
+#: type (Date in → Date out) while timestampadd always returns
+#: TIMESTAMP; values are correct, a Date operand gains 00:00:00.
 _CH_ADD_FN = {
     "addyears": ("YEAR", False), "addquarters": ("QUARTER", False),
     "addmonths": ("MONTH", False), "addweeks": ("WEEK", False),
@@ -1951,6 +1959,20 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
                     break
         dtype = _PARAM_DROP_TYPES.get(read, {}).get(tname)
         if dtype is not None and close_j is not None:
+            # ClickHouse DateTime('Asia/Tokyo') / DateTime64(3, 'tz'): a
+            # STRING argument is a parse/display timezone that changes
+            # which INSTANT a string operand parses to — dropping it
+            # silently would shift values (the toDateTime(x, 'tz')
+            # function form raises for the same reason).
+            if read == "clickhouse" and any(
+                toks[k][0] == "string" for k in range(i + 2, close_j)
+            ):
+                raise TranspileError(
+                    f"clickhouse {toks[i + 1][1]}(...) with a timezone "
+                    "argument has no faithful Spark CAST (the zone "
+                    "changes the parsed instant); convert explicitly "
+                    "with to_utc_timestamp/from_utc_timestamp"
+                )
             return [(toks[i + 1][2], toks[close_j][3], dtype)], close_j + 1 - i
         # T-SQL (MAX) length specifier — no Spark form; drop to the
         # unbounded base type (VARCHAR(MAX)→STRING, VARBINARY(MAX)→BINARY)
@@ -2027,6 +2049,21 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                  "to_utc_timestamp(current_timestamp(), current_timezone())")
             )
             i += 1
+            continue
+
+        # Trino TIMESTAMP '...' typed literals are zone-LESS (the same
+        # type CAST(x AS timestamp) maps to TIMESTAMP_NTZ); Spark's bare
+        # TIMESTAMP literal is session-zone LTZ — emit the NTZ spelling
+        # so both spellings of the type agree.
+        if (
+            read == "trino"
+            and kind == "ident"
+            and text.upper() == "TIMESTAMP"
+            and i + 1 < n
+            and toks[i + 1][0] == "string"
+        ):
+            edits.append((start, end, "TIMESTAMP_NTZ"))
+            i += 2
             continue
 
         # Trino AT TIME ZONE: changes the display zone of the same
@@ -5253,12 +5290,21 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name == "to_unixtime":
                     # Returns DOUBLE epoch seconds with fraction —
-                    # unix_timestamp() would truncate to BIGINT.
+                    # unix_timestamp() would truncate to BIGINT. The CAST
+                    # interprets zone-less operands (Trino's plain
+                    # timestamp → our TIMESTAMP_NTZ) in the session zone,
+                    # exactly Trino's rule; LTZ operands pass unchanged.
                     spans, close = _call_arg_spans(toks, i + 1)
                     if len(spans) != 1:
                         raise TranspileError("to_unixtime takes 1 arg")
-                    edits.append((start, end, "(unix_micros"))
-                    edits.append((toks[close][3], toks[close][3], " / 1e6)"))
+                    # TIMESTAMP_LTZ spelling: bare TIMESTAMP would be
+                    # re-read as trino's zone-less type on the next
+                    # fixpoint pass and remapped to NTZ
+                    edits.append((start, end, "(unix_micros(CAST"))
+                    edits.append(
+                        (toks[close][2], toks[close][2], " AS TIMESTAMP_LTZ")
+                    )
+                    edits.append((toks[close][3], toks[close][3], ") / 1e6)"))
                     i += 1
                     continue
 

@@ -2481,7 +2481,8 @@ def test_trino_types(spark):
         "CAST('2024-01-01 00:00:00' AS timestamp) AS c",
         "trino",
     )
-    assert "BINARY" in out and out.count("TIMESTAMP_NTZ") == 2
+    # 3 = the typed literal (zone-less in Trino) + the two cast targets
+    assert "BINARY" in out and out.count("TIMESTAMP_NTZ") == 3
     spark.sql(out).collect()
     for bad in ("json", "time", "ipaddress", "hyperloglog", "row(x int)"):
         with pytest.raises(TranspileError):
@@ -2980,3 +2981,27 @@ def test_review_fixes_aliases_unnest_prewhere(spark):
     ):
         with pytest.raises(TranspileError):
             transpile(bad, "clickhouse")
+
+
+def test_trino_timestamp_literal_and_tz_cast(spark):
+    """Trino TIMESTAMP '...' literals are zone-less → TIMESTAMP_NTZ (the
+    same type both spellings of the type map to); clickhouse
+    DateTime('tz') casts raise (the zone changes the parsed instant)."""
+    out = transpile("SELECT TIMESTAMP '2024-01-01 10:00:00' AS x", "trino")
+    assert out == "SELECT TIMESTAMP_NTZ '2024-01-01 10:00:00' AS x"
+    assert "TimestampNTZType" in str(spark.sql(out).schema)
+    # to_unixtime over a zone-less operand casts through the session zone
+    out2 = transpile(
+        "SELECT to_unixtime(TIMESTAMP '2024-03-05 10:30:00') AS x", "trino"
+    )
+    assert isinstance(spark.sql(out2).collect()[0].x, float)
+    for bad in (
+        "SELECT CAST(x AS DateTime('Asia/Tokyo')) FROM t",
+        "SELECT CAST(x AS DateTime64(3, 'UTC')) FROM t",
+    ):
+        with pytest.raises(TranspileError):
+            transpile(bad, "clickhouse")
+    # precision-only parameters still drop fine
+    assert transpile(
+        "SELECT CAST(x AS DateTime64(3)) FROM t", "clickhouse"
+    ) == "SELECT CAST(x AS TIMESTAMP) FROM t"

@@ -32,15 +32,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from sqlmesh_spark.registry import load_all
 from sqlmesh_spark.session import build_session
 
-#: fact table → integer key columns shifted per replica (content columns
-#: copy through unchanged; foreign keys into DIMENSIONS stay put so the
-#: dimensions keep resolving).
-_FACT_KEYS = {
-    "lineitem": ("l_orderkey",),
-    "orders": ("o_orderkey",),
-    "events": ("event_id", "user_id"),
-    "documents": ("doc_id",),
-    "embeddings": ("id",),
+#: fact table → (key column, shared key DOMAIN) shifted per replica.
+#: Columns in the same domain shift by ONE stride computed over every
+#: member (l_orderkey and o_orderkey must move in lockstep or the
+#: lineitem→orders join in the replicas silently mismatches). Content
+#: columns and foreign keys into DIMENSIONS stay put so dimensions keep
+#: resolving; events.user_id shifts deliberately (distinct users per
+#: replica — nothing joins events to a user dimension).
+_FACT_KEYS: dict[str, tuple[tuple[str, str], ...]] = {
+    "lineitem": (("l_orderkey", "orderkey"),),
+    "orders": (("o_orderkey", "orderkey"),),
+    "events": (("event_id", "event_id"), ("user_id", "user_id")),
+    "documents": (("doc_id", "doc_id"),),
+    "embeddings": (("id", "embedding_id"),),
 }
 
 _ALL_TABLES = (
@@ -51,6 +55,17 @@ _ALL_TABLES = (
 
 def _replicate(spark: SparkSession, src: str, dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
+    # one stride per key DOMAIN, maxed over every member column
+    domain_stride: dict[str, int] = {}
+    for table, keys in _FACT_KEYS.items():
+        src_path = os.path.join(src, f"{table}.parquet")
+        if not os.path.exists(src_path):
+            continue
+        df = spark.read.parquet(src_path)
+        for col, domain in keys:
+            if col in df.columns:
+                mx = (df.agg(F.max(col)).collect()[0][0] or 0) + 1
+                domain_stride[domain] = max(domain_stride.get(domain, 0), mx)
     for table in _ALL_TABLES:
         src_path = os.path.join(src, f"{table}.parquet")
         if not os.path.exists(src_path):
@@ -62,16 +77,15 @@ def _replicate(spark: SparkSession, src: str, dst: str, factor: int) -> None:
                 else shutil.copy(src_path, dst_path)
             continue
         df = spark.read.parquet(src_path)
-        present = [k for k in keys if k in df.columns]
-        strides = {
-            k: (df.agg(F.max(k)).collect()[0][0] or 0) + 1 for k in present
-        }
+        present = [(c, d) for c, d in keys if c in df.columns]
         parts: list[DataFrame] = []
         for i in range(factor):
             rep = df
-            for k in present:
+            for col, domain in present:
                 rep = rep.withColumn(
-                    k, (F.col(k) + F.lit(i * strides[k])).cast(df.schema[k].dataType)
+                    col,
+                    (F.col(col) + F.lit(i * domain_stride[domain]))
+                    .cast(df.schema[col].dataType),
                 )
             parts.append(rep)
         out = parts[0]
