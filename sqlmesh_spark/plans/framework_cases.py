@@ -2995,3 +2995,72 @@ GROUP BY toYYYYMM(o_orderdate)
     )
     ctx.run(environment="env_ch")
     return spark.table("env_ch_views.monthly_stats")
+
+
+TRINO_UNNEST_ORACLE = """
+SELECT o_orderkey AS key, unnest(str_split(o_orderpriority, '-')) AS tag
+FROM orders WHERE o_orderkey <= 200
+"""
+
+
+@register("framework_trino_unnest_model", oracle=TRINO_UNNEST_ORACLE, tags=("dialect", "framework"))
+def framework_trino_unnest_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino FROM-clause UNNEST through plan/apply: CROSS JOIN
+    UNNEST(split(...)) AS t(col) → LATERAL VIEW explode with the
+    plain-string split delimiter regex-escaped (trino.io lateral forms;
+    ref renderer.py:517). DuckDB's unnest computes the same rows."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_trun", "env_trun_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_trun.order_tags,
+  kind FULL,
+  dialect trino
+);
+SELECT o_orderkey AS key, t.tag AS tag
+FROM orders CROSS JOIN UNNEST(split(o_orderpriority, '-')) AS t(tag)
+WHERE o_orderkey <= 200
+"""
+    )
+    ctx.run(environment="env_trun")
+    return spark.table("env_trun_views.order_tags")
+
+
+CH_ARRAY_JOIN_ORACLE = """
+SELECT o_orderkey AS key, unnest(str_split(o_orderpriority, '-')) AS tag
+FROM orders WHERE o_orderkey <= 200
+"""
+
+
+@register("framework_clickhouse_array_join_model", oracle=CH_ARRAY_JOIN_ORACLE, tags=("dialect", "framework"))
+def framework_clickhouse_array_join_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's idiomatic unnest — the ARRAY JOIN clause — through
+    plan/apply: `FROM t ARRAY JOIN splitByChar(...) AS tag` → LATERAL
+    VIEW explode (Spark would otherwise read `t ARRAY` as a table alias
+    and join a relation named after the array). Same DuckDB oracle as
+    the trino UNNEST twin proves both lateral forms value-identical."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_chaj", "env_chaj_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_chaj.order_tags,
+  kind FULL,
+  dialect clickhouse
+);
+SELECT o_orderkey AS key, tag
+FROM orders ARRAY JOIN splitByChar('-', o_orderpriority) AS tag
+WHERE o_orderkey <= 200
+"""
+    )
+    ctx.run(environment="env_chaj")
+    return spark.table("env_chaj_views.order_tags")
