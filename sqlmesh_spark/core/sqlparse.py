@@ -93,6 +93,10 @@ DIALECT_ALIASES: dict[str, str] = {
     "azuresql": "tsql",
     "motherduck": "duckdb",
     "databricks": "spark",
+    "hive": "spark",                    # Spark SQL is the Hive-QL
+                                        # superset (LATERAL VIEW,
+                                        # DISTRIBUTE/CLUSTER BY, backtick
+                                        # idents are all native)
 }
 
 

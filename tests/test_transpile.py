@@ -2608,6 +2608,8 @@ def test_dialect_aliases():
         == "SELECT date_format(d, 'yyyy') FROM t"
     assert transpile("SELECT x::int8 FROM t", "gcp_postgres") \
         == "SELECT x::BIGINT FROM t"
+    hive_sql = "SELECT a FROM t LATERAL VIEW explode(arr) u AS e DISTRIBUTE BY a"
+    assert transpile(hive_sql, "hive") == hive_sql
     with pytest.raises(TranspileError):
         transpile("SELECT 1", "not_a_dialect")
 
