@@ -973,10 +973,12 @@ _PARAM_DROP_TYPES: dict[str, dict[str, str]] = {
         "timestamp": "TIMESTAMP_NTZ",   # TIMESTAMP(3) fractional precision
     },
     "clickhouse": {
-        "datetime": "TIMESTAMP",        # DateTime('UTC') zone arg dropped:
-                                        # CH stores epoch seconds; the zone
-                                        # only affects display
-        "datetime64": "TIMESTAMP",      # DateTime64(3[, 'UTC'])
+        "datetime": "TIMESTAMP",        # precision-only args drop; a
+                                        # STRING (timezone) argument
+                                        # RAISES in _type_token_edits —
+                                        # the zone changes which instant
+                                        # a string operand parses to
+        "datetime64": "TIMESTAMP",      # DateTime64(3)
     },
 }
 
@@ -2051,18 +2053,27 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             i += 1
             continue
 
-        # Trino TIMESTAMP '...' typed literals are zone-LESS (the same
-        # type CAST(x AS timestamp) maps to TIMESTAMP_NTZ); Spark's bare
-        # TIMESTAMP literal is session-zone LTZ — emit the NTZ spelling
-        # so both spellings of the type agree.
+        # Trino/Oracle TIMESTAMP '...' typed literals are zone-LESS (the
+        # same type CAST(x AS timestamp) maps to TIMESTAMP_NTZ); Spark's
+        # bare TIMESTAMP literal is session-zone LTZ — emit the NTZ
+        # spelling so both spellings of the type agree. ONLY for plain
+        # date-time content: a literal carrying a zone/offset suffix
+        # ('... America/Los_Angeles', '... +02:00') is a WITH TIME ZONE
+        # literal whose instant Spark's LTZ literal already honors —
+        # left untouched (an NTZ rewrite would silently drop the zone).
         if (
-            read == "trino"
+            read in ("trino", "oracle")
             and kind == "ident"
             and text.upper() == "TIMESTAMP"
             and i + 1 < n
             and toks[i + 1][0] == "string"
         ):
-            edits.append((start, end, "TIMESTAMP_NTZ"))
+            lit_content = _literal_content(toks[i + 1][1], read)
+            if re.fullmatch(
+                r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?",
+                lit_content.strip(),
+            ):
+                edits.append((start, end, "TIMESTAMP_NTZ"))
             i += 2
             continue
 

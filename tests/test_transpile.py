@@ -3007,3 +3007,26 @@ def test_trino_timestamp_literal_and_tz_cast(spark):
     assert transpile(
         "SELECT CAST(x AS DateTime64(3)) FROM t", "clickhouse"
     ) == "SELECT CAST(x AS TIMESTAMP) FROM t"
+
+
+def test_timestamp_literal_zone_suffix_preserved(spark):
+    """Zone-carrying TIMESTAMP literals stay LTZ (Spark honors the zone
+    → correct instant); only plain date-time content rewrites to NTZ.
+    Oracle shares the rule (its zone-less TIMESTAMP maps to NTZ too)."""
+    out = transpile(
+        "SELECT TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles' AS x",
+        "trino",
+    )
+    assert "TIMESTAMP_NTZ" not in out
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        assert str(spark.sql(out).collect()[0].x) == "2001-08-22 10:04:05"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    assert transpile(
+        "SELECT TIMESTAMP '2024-01-01 10:00:00' AS x", "oracle"
+    ) == "SELECT TIMESTAMP_NTZ '2024-01-01 10:00:00' AS x"
+    assert "TIMESTAMP_NTZ" not in transpile(
+        "SELECT TIMESTAMP '2024-01-01 10:00:00+02:00' AS x", "trino"
+    )

@@ -36,13 +36,13 @@ from sqlmesh_spark.session import build_session
 #: Columns in the same domain shift by ONE stride computed over every
 #: member (l_orderkey and o_orderkey must move in lockstep or the
 #: lineitem→orders join in the replicas silently mismatches). Content
-#: columns and foreign keys into DIMENSIONS stay put so dimensions keep
-#: resolving; events.user_id shifts deliberately (distinct users per
-#: replica — nothing joins events to a user dimension).
+#: columns and ALL foreign keys stay put so joins keep resolving —
+#: events.user_id included (skew/streaming cases join it to customer),
+#: which means replicas model the same users emitting N× the events.
 _FACT_KEYS: dict[str, tuple[tuple[str, str], ...]] = {
     "lineitem": (("l_orderkey", "orderkey"),),
     "orders": (("o_orderkey", "orderkey"),),
-    "events": (("event_id", "event_id"), ("user_id", "user_id")),
+    "events": (("event_id", "event_id"),),
     "documents": (("doc_id", "doc_id"),),
     "embeddings": (("id", "embedding_id"),),
 }
@@ -55,13 +55,17 @@ _ALL_TABLES = (
 
 def _replicate(spark: SparkSession, src: str, dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
-    # one stride per key DOMAIN, maxed over every member column
+    # one stride per key DOMAIN, maxed over every member column; the
+    # DataFrames are kept and reused by the replication loop below (one
+    # parquet read per table, not two)
     domain_stride: dict[str, int] = {}
+    fact_dfs: dict[str, DataFrame] = {}
     for table, keys in _FACT_KEYS.items():
         src_path = os.path.join(src, f"{table}.parquet")
         if not os.path.exists(src_path):
             continue
         df = spark.read.parquet(src_path)
+        fact_dfs[table] = df
         for col, domain in keys:
             if col in df.columns:
                 mx = (df.agg(F.max(col)).collect()[0][0] or 0) + 1
@@ -76,7 +80,7 @@ def _replicate(spark: SparkSession, src: str, dst: str, factor: int) -> None:
             shutil.copytree(src_path, dst_path) if os.path.isdir(src_path) \
                 else shutil.copy(src_path, dst_path)
             continue
-        df = spark.read.parquet(src_path)
+        df = fact_dfs[table]
         present = [(c, d) for c, d in keys if c in df.columns]
         parts: list[DataFrame] = []
         for i in range(factor):
