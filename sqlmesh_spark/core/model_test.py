@@ -154,9 +154,15 @@ class ModelTestRunner:
             _rows_to_df(self.spark, data["rows"], types).createOrReplaceTempView(view)
             mapping[upstream.lower()] = view
 
+        test_vars = body.get("vars", {}) or {}
         variables = temporal_variables(
-            str(body.get("vars", {}).get("start", "1970-01-01")),
-            str(body.get("vars", {}).get("end", "2100-01-01")),
+            str(test_vars.get("start", "1970-01-01")),
+            str(test_vars.get("end", "2100-01-01")),
+            # vars.execution_time freezes @execution_* like the reference
+            # runner (test/definition.py:120 _execution_time)
+            str(test_vars["execution_time"])
+            if test_vars.get("execution_time") is not None
+            else None,
         )
         # Render parity with the production scheduler (core/scheduler.py
         # render): model/blueprint variables bind, and schema-consuming
@@ -182,12 +188,24 @@ class ModelTestRunner:
             sql = _replace_table_ref(sql, logical, view)
 
         outputs = body.get("outputs") or {}
+        # outputs.partial: true compares only the columns the expected
+        # rows spell out (reference test/definition.py:228-235, 456-510);
+        # a per-output `partial` overrides the outputs-level default.
+        partial_all = bool(outputs.get("partial"))
+
+        def _maybe_project(got_rows: list[dict], expected: Mapping[str, Any]) -> list[dict]:
+            if not expected.get("partial", partial_all):
+                return got_rows
+            cols = {k for row in expected["rows"] for k in row}
+            return [{k: r.get(k) for k in cols} for r in got_rows]
+
         for cte_name, expected in (outputs.get("ctes") or {}).items():
             cte_sql = extract_cte(sql, cte_name)
             if cte_sql is None:
                 failures.append(f"cte {cte_name!r} not found")
                 continue
             got = [r.asDict() for r in self.spark.sql(cte_sql).collect()]
+            got = _maybe_project(got, expected)
             if _canon(got) != _canon(expected["rows"]):
                 failures.append(
                     f"cte {cte_name}: expected {_canon(expected['rows'])}, got {_canon(got)}"
@@ -195,6 +213,7 @@ class ModelTestRunner:
 
         if "query" in outputs:
             got = [r.asDict() for r in self.spark.sql(sql).collect()]
+            got = _maybe_project(got, outputs["query"])
             if _canon(got) != _canon(outputs["query"]["rows"]):
                 failures.append(
                     f"query: expected {_canon(outputs['query']['rows'])}, got {_canon(got)}"

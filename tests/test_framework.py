@@ -1777,3 +1777,41 @@ test_ch_m:
 """
     results = ModelTestRunner(spark).run_yaml(ch_yaml, {ch_model.name: ch_model})
     assert results[0].passed, results[0].failures
+
+
+def test_yaml_test_partial_outputs_and_execution_time(spark):
+    """outputs.partial compares only the columns the expected rows name
+    (ref test/definition.py:228-235), per-output partial overrides, and
+    vars.execution_time freezes @execution_* (ref definition.py:120)."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    model = parse_model_text(
+        "MODEL (name demo.partial_m, kind FULL);\n"
+        "SELECT id, val * 2 AS doubled, UPPER(tag) AS tag_up,\n"
+        "       @execution_ds AS exec_day\n"
+        "FROM src.p_rows"
+    )
+    yaml_text = """
+test_partial:
+  model: demo.partial_m
+  vars:
+    execution_time: 2024-06-15
+  inputs:
+    src.p_rows:
+      rows:
+        - {id: 1, val: 10, tag: 'a'}
+        - {id: 2, val: 20, tag: 'b'}
+  outputs:
+    partial: true
+    query:
+      rows:
+        - {id: 1, doubled: 20, exec_day: '2024-06-15'}
+        - {id: 2, doubled: 40, exec_day: '2024-06-15'}
+"""
+    results = ModelTestRunner(spark).run_yaml(yaml_text, {model.name: model})
+    assert results[0].passed, results[0].failures
+
+    # without partial, the missing tag_up column must FAIL the test
+    strict = yaml_text.replace("    partial: true\n", "")
+    results = ModelTestRunner(spark).run_yaml(strict, {model.name: model})
+    assert not results[0].passed
