@@ -144,14 +144,55 @@ class ModelTestRunner:
 
         # Fixture views for upstreams (definition.py:112-117 uses a
         # randomized schema; temp views are the Spark-local equivalent).
+        # Input shapes match the reference's _normalize_rows
+        # (definition.py:461-512): a bare list is rows; `query:` is a SQL
+        # fixture (routed through the same dialect pipeline as the model
+        # query); `format: csv` reads inline text or `path` with optional
+        # csv_settings; a yaml `path` loads rows from a file.
+        test_dialect = body.get("dialect") or model.dialect
         mapping = {}
         for upstream, data in (body.get("inputs") or {}).items():
             view = "test_" + upstream.replace(".", "__")
+            if not isinstance(data, Mapping):
+                data = {"rows": data}
+            rows = data.get("rows")
+            fmt = data.get("format")
+            path = data.get("path")
+            if fmt == "csv":
+                import io as _io
+
+                import pandas as pd
+
+                csv_settings = data.get("csv_settings") or {}
+                rows = pd.read_csv(
+                    path or _io.StringIO(rows), **csv_settings
+                ).to_dict(orient="records")
+            elif fmt in (None, "yaml") and path:
+                with open(path) as fh:
+                    loaded = yaml.safe_load(fh)
+                rows = loaded.get("rows") if isinstance(loaded, Mapping) else loaded
+            elif fmt not in (None, "yaml", "csv"):
+                raise ValueError(f"unsupported input format {fmt!r} for {upstream}")
+            if data.get("query") is not None:
+                if rows is not None:
+                    raise ValueError(
+                        f"cannot set both 'query' and 'rows' for {upstream}"
+                    )
+                fixture_sql = data["query"]
+                if test_dialect and test_dialect != "spark":
+                    from sqlmesh_spark.core.transpile import transpile
+
+                    fixture_sql = transpile(fixture_sql, test_dialect)
+                self.spark.sql(fixture_sql).createOrReplaceTempView(view)
+                mapping[upstream.lower()] = view
+                continue
+            if rows is None:
+                raise ValueError(f"missing row data for {upstream}")
             types = data.get("columns")
             if types is None and upstream.lower() in models:
                 up = models[upstream.lower()]
                 types = {c: t for c, t in up.columns.items()} or None
-            _rows_to_df(self.spark, data["rows"], types).createOrReplaceTempView(view)
+            _rows_to_df(self.spark, rows, types).createOrReplaceTempView(view)
             mapping[upstream.lower()] = view
 
         test_vars = body.get("vars", {}) or {}
@@ -179,11 +220,10 @@ class ModelTestRunner:
         # declare its own `dialect:` (reference test/runner.py:43-77 runs
         # model tests on the test connection in the model's dialect) —
         # the body-level key wins over the model's.
-        dialect = body.get("dialect") or model.dialect
-        if dialect and dialect != "spark":
+        if test_dialect and test_dialect != "spark":
             from sqlmesh_spark.core.transpile import transpile
 
-            sql = transpile(sql, dialect)
+            sql = transpile(sql, test_dialect)
         for logical, view in sorted(mapping.items(), key=lambda kv: -len(kv[0])):
             sql = _replace_table_ref(sql, logical, view)
 

@@ -1815,3 +1815,59 @@ test_partial:
     strict = yaml_text.replace("    partial: true\n", "")
     results = ModelTestRunner(spark).run_yaml(strict, {model.name: model})
     assert not results[0].passed
+
+
+def test_yaml_test_input_shapes(spark, tmp_path):
+    """Reference input shapes (test/definition.py:461-512): bare-list
+    rows, SQL `query:` fixtures in the test dialect, inline CSV, and a
+    yaml `path` file."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    model = parse_model_text(
+        "MODEL (name demo.shapes_m, kind FULL);\n"
+        "SELECT a.id AS id, a.v + b.v AS total\n"
+        "FROM src.a_rows AS a JOIN src.b_rows AS b ON a.id = b.id"
+    )
+    yml = tmp_path / "rows.yaml"
+    yml.write_text("rows:\n  - {id: 1, v: 10}\n  - {id: 2, v: 20}\n")
+    spec = {
+        "test_shapes": {
+            "model": "demo.shapes_m",
+            "inputs": {
+                # yaml path file
+                "src.a_rows": {"path": str(yml)},
+                # bare-list shorthand
+                "src.b_rows": [{"id": 1, "v": 1}, {"id": 2, "v": 2}],
+            },
+            "outputs": {
+                "query": {"rows": [
+                    {"id": 1, "total": 11}, {"id": 2, "total": 22},
+                ]},
+            },
+        }
+    }
+    results = ModelTestRunner(spark).run_spec(spec, {model.name: model})
+    assert results[0].passed, results[0].failures
+
+    # SQL fixture in the model's dialect + inline CSV
+    ddb_model = parse_model_text(
+        "MODEL (name demo.shapes_q, kind FULL, dialect duckdb);\n"
+        "SELECT a.id AS id, a.v + b.v AS total\n"
+        "FROM src.qa AS a JOIN src.qb AS b ON a.id = b.id"
+    )
+    spec2 = {
+        "test_shapes_q": {
+            "model": "demo.shapes_q",
+            "inputs": {
+                # duckdb-dialect fixture query (// integer division)
+                "src.qa": {"query": "SELECT 1 AS id, 21 // 2 AS v"},
+                "src.qb": {
+                    "format": "csv",
+                    "rows": "id,v\n1,5\n",
+                },
+            },
+            "outputs": {"query": {"rows": [{"id": 1, "total": 15}]}},
+        }
+    }
+    results = ModelTestRunner(spark).run_spec(spec2, {ddb_model.name: ddb_model})
+    assert results[0].passed, results[0].failures
