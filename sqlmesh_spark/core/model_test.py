@@ -150,6 +150,16 @@ class ModelTestRunner:
         # query); `format: csv` reads inline text or `path` with optional
         # csv_settings; a yaml `path` loads rows from a file.
         test_dialect = body.get("dialect") or model.dialect
+
+        def _to_spark_sql(sql_text: str) -> str:
+            """The ONE dialect pipeline for test SQL — fixture queries
+            and the model query must render identically."""
+            if test_dialect and test_dialect != "spark":
+                from sqlmesh_spark.core.transpile import transpile
+
+                return transpile(sql_text, test_dialect)
+            return sql_text
+
         mapping = {}
         for upstream, data in (body.get("inputs") or {}).items():
             view = "test_" + upstream.replace(".", "__")
@@ -158,7 +168,23 @@ class ModelTestRunner:
             rows = data.get("rows")
             fmt = data.get("format")
             path = data.get("path")
+            if data.get("query") is not None:
+                if rows is not None or path is not None or fmt is not None:
+                    raise ValueError(
+                        f"cannot combine 'query' with 'rows'/'path'/"
+                        f"'format' for {upstream}"
+                    )
+                self.spark.sql(
+                    _to_spark_sql(data["query"])
+                ).createOrReplaceTempView(view)
+                mapping[upstream.lower()] = view
+                continue
             if fmt == "csv":
+                if path is None and not isinstance(rows, str):
+                    raise ValueError(
+                        f"csv input for {upstream} needs a 'path' or an "
+                        "inline CSV string in 'rows'"
+                    )
                 import io as _io
 
                 import pandas as pd
@@ -168,24 +194,15 @@ class ModelTestRunner:
                     path or _io.StringIO(rows), **csv_settings
                 ).to_dict(orient="records")
             elif fmt in (None, "yaml") and path:
+                if rows is not None:
+                    raise ValueError(
+                        f"cannot set both 'path' and 'rows' for {upstream}"
+                    )
                 with open(path) as fh:
                     loaded = yaml.safe_load(fh)
                 rows = loaded.get("rows") if isinstance(loaded, Mapping) else loaded
             elif fmt not in (None, "yaml", "csv"):
                 raise ValueError(f"unsupported input format {fmt!r} for {upstream}")
-            if data.get("query") is not None:
-                if rows is not None:
-                    raise ValueError(
-                        f"cannot set both 'query' and 'rows' for {upstream}"
-                    )
-                fixture_sql = data["query"]
-                if test_dialect and test_dialect != "spark":
-                    from sqlmesh_spark.core.transpile import transpile
-
-                    fixture_sql = transpile(fixture_sql, test_dialect)
-                self.spark.sql(fixture_sql).createOrReplaceTempView(view)
-                mapping[upstream.lower()] = view
-                continue
             if rows is None:
                 raise ValueError(f"missing row data for {upstream}")
             types = data.get("columns")
@@ -220,10 +237,7 @@ class ModelTestRunner:
         # declare its own `dialect:` (reference test/runner.py:43-77 runs
         # model tests on the test connection in the model's dialect) —
         # the body-level key wins over the model's.
-        if test_dialect and test_dialect != "spark":
-            from sqlmesh_spark.core.transpile import transpile
-
-            sql = transpile(sql, test_dialect)
+        sql = _to_spark_sql(sql)
         for logical, view in sorted(mapping.items(), key=lambda kv: -len(kv[0])):
             sql = _replace_table_ref(sql, logical, view)
 
@@ -233,30 +247,38 @@ class ModelTestRunner:
         # a per-output `partial` overrides the outputs-level default.
         partial_all = bool(outputs.get("partial"))
 
-        def _maybe_project(got_rows: list[dict], expected: Mapping[str, Any]) -> list[dict]:
-            if not expected.get("partial", partial_all):
-                return got_rows
-            cols = {k for row in expected["rows"] for k in row}
-            return [{k: r.get(k) for k in cols} for r in got_rows]
+        def _check(sql_text: str, expected: Mapping[str, Any], label: str) -> None:
+            df = self.spark.sql(sql_text)
+            got = [r.asDict() for r in df.collect()]
+            exp_rows = expected["rows"]
+            if expected.get("partial", partial_all):
+                cols = {k for row in exp_rows for k in row}
+                # a typo'd expected column must FAIL, not compare a
+                # silent NULL against a null expectation
+                unknown = sorted(cols - set(df.columns))
+                if unknown:
+                    failures.append(
+                        f"{label}: partial output references unknown "
+                        f"column(s) {unknown}"
+                    )
+                    return
+                got = [{k: r.get(k) for k in cols} for r in got]
+                # ragged expected rows: a row omitting a column asserts
+                # NULL for it (the reference's pandas normalization)
+                exp_rows = [{k: row.get(k) for k in cols} for row in exp_rows]
+            if _canon(got) != _canon(exp_rows):
+                failures.append(
+                    f"{label}: expected {_canon(exp_rows)}, got {_canon(got)}"
+                )
 
         for cte_name, expected in (outputs.get("ctes") or {}).items():
             cte_sql = extract_cte(sql, cte_name)
             if cte_sql is None:
                 failures.append(f"cte {cte_name!r} not found")
                 continue
-            got = [r.asDict() for r in self.spark.sql(cte_sql).collect()]
-            got = _maybe_project(got, expected)
-            if _canon(got) != _canon(expected["rows"]):
-                failures.append(
-                    f"cte {cte_name}: expected {_canon(expected['rows'])}, got {_canon(got)}"
-                )
+            _check(cte_sql, expected, f"cte {cte_name}")
 
         if "query" in outputs:
-            got = [r.asDict() for r in self.spark.sql(sql).collect()]
-            got = _maybe_project(got, outputs["query"])
-            if _canon(got) != _canon(outputs["query"]["rows"]):
-                failures.append(
-                    f"query: expected {_canon(outputs['query']['rows'])}, got {_canon(got)}"
-                )
+            _check(sql, outputs["query"], "query")
 
         return ModelTestResult(name=name, passed=not failures, failures=failures)

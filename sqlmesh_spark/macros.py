@@ -377,7 +377,17 @@ def temporal_variables(start: str, end: str, execution: Optional[str] = None) ->
     execution = execution or end
 
     def parse(s: str) -> dt.datetime:
-        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        # accepts the full ISO-8601 family the reference's date utils do
+        # (utils/date.py to_datetime): T or space separator, optional
+        # fractional seconds, optional seconds.
+        for fmt in (
+            "%Y-%m-%d %H:%M:%S",
+            "%Y-%m-%dT%H:%M:%S",
+            "%Y-%m-%d %H:%M:%S.%f",
+            "%Y-%m-%dT%H:%M:%S.%f",
+            "%Y-%m-%d %H:%M",
+            "%Y-%m-%d",
+        ):
             try:
                 return dt.datetime.strptime(s, fmt)
             except ValueError:

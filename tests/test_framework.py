@@ -1871,3 +1871,61 @@ def test_yaml_test_input_shapes(spark, tmp_path):
     }
     results = ModelTestRunner(spark).run_spec(spec2, {ddb_model.name: ddb_model})
     assert results[0].passed, results[0].failures
+
+
+def test_yaml_test_partial_validation_and_input_conflicts(spark, tmp_path):
+    """Fifth review pass: a typo'd partial column FAILS (never a silent
+    null-vs-null pass), ragged expected rows assert NULL for omitted
+    columns, and conflicting input keys error with the right names."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    model = parse_model_text(
+        "MODEL (name demo.pv_m, kind FULL);\n"
+        "SELECT id, note FROM src.pv_rows"
+    )
+    base_inputs = {
+        "src.pv_rows": {"rows": [
+            {"id": 1, "note": "x"}, {"id": 2, "note": None},
+        ]},
+    }
+    # typo'd column under partial → explicit failure
+    spec = {"t": {"model": "demo.pv_m", "inputs": base_inputs, "outputs": {
+        "partial": True,
+        "query": {"rows": [{"id": 1, "nonexistent_col": None},
+                           {"id": 2, "nonexistent_col": None}]},
+    }}}
+    res = ModelTestRunner(spark).run_spec(spec, {model.name: model})[0]
+    assert not res.passed and "unknown column" in res.failures[0]
+
+    # ragged rows: omitting a NULL column passes (pandas-normalization
+    # semantics of the reference)
+    spec = {"t": {"model": "demo.pv_m", "inputs": base_inputs, "outputs": {
+        "partial": True,
+        "query": {"rows": [{"id": 1, "note": "x"}, {"id": 2}]},
+    }}}
+    res = ModelTestRunner(spark).run_spec(spec, {model.name: model})[0]
+    assert res.passed, res.failures
+
+    # input conflicts / malformed csv report framework errors
+    for bad_input, needle in [
+        ({"format": "csv"}, "csv input"),
+        ({"query": "SELECT 1 AS id, 'x' AS note", "rows": []}, "cannot combine"),
+        ({"path": str(tmp_path / "r.yaml"), "rows": [{"id": 1}]}, "cannot set both"),
+    ]:
+        spec = {"t": {"model": "demo.pv_m",
+                      "inputs": {"src.pv_rows": bad_input},
+                      "outputs": {"query": {"rows": []}}}}
+        res = ModelTestRunner(spark).run_spec(spec, {model.name: model})[0]
+        assert not res.passed and needle in res.failures[0], (bad_input, res.failures)
+
+    # execution_time accepts ISO-8601 with T separator
+    iso_model = parse_model_text(
+        "MODEL (name demo.pv_iso, kind FULL);\n"
+        "SELECT @execution_ds AS d FROM src.pv_rows"
+    )
+    spec = {"t": {"model": "demo.pv_iso",
+                  "vars": {"execution_time": "2024-06-15T12:30:00"},
+                  "inputs": {"src.pv_rows": [{"id": 1}]},
+                  "outputs": {"query": {"rows": [{"d": "2024-06-15"}]}}}}
+    res = ModelTestRunner(spark).run_spec(spec, {iso_model.name: iso_model})[0]
+    assert res.passed, res.failures
