@@ -180,6 +180,10 @@ class ModelTestRunner:
                 mapping[upstream.lower()] = view
                 continue
             if fmt == "csv":
+                if path is not None and rows is not None:
+                    raise ValueError(
+                        f"cannot set both 'path' and 'rows' for {upstream}"
+                    )
                 if path is None and not isinstance(rows, str):
                     raise ValueError(
                         f"csv input for {upstream} needs a 'path' or an "
@@ -249,12 +253,13 @@ class ModelTestRunner:
 
         def _check(sql_text: str, expected: Mapping[str, Any], label: str) -> None:
             df = self.spark.sql(sql_text)
-            got = [r.asDict() for r in df.collect()]
             exp_rows = expected["rows"]
-            if expected.get("partial", partial_all):
-                cols = {k for row in exp_rows for k in row}
+            partial = expected.get("partial", partial_all)
+            if partial:
                 # a typo'd expected column must FAIL, not compare a
-                # silent NULL against a null expectation
+                # silent NULL against a null expectation — checked
+                # BEFORE collect() (analysis-only, no Spark job)
+                cols = {k for row in exp_rows for k in row}
                 unknown = sorted(cols - set(df.columns))
                 if unknown:
                     failures.append(
@@ -262,6 +267,8 @@ class ModelTestRunner:
                         f"column(s) {unknown}"
                     )
                     return
+            got = [r.asDict() for r in df.collect()]
+            if partial:
                 got = [{k: r.get(k) for k in cols} for r in got]
                 # ragged expected rows: a row omitting a column asserts
                 # NULL for it (the reference's pandas normalization)

@@ -379,15 +379,16 @@ def temporal_variables(start: str, end: str, execution: Optional[str] = None) ->
     def parse(s: str) -> dt.datetime:
         # accepts the full ISO-8601 family the reference's date utils do
         # (utils/date.py to_datetime): T or space separator, optional
-        # fractional seconds, optional seconds.
-        for fmt in (
-            "%Y-%m-%d %H:%M:%S",
-            "%Y-%m-%dT%H:%M:%S",
-            "%Y-%m-%d %H:%M:%S.%f",
-            "%Y-%m-%dT%H:%M:%S.%f",
-            "%Y-%m-%d %H:%M",
-            "%Y-%m-%d",
-        ):
+        # seconds/fractions, trailing Z or a UTC offset (normalized to
+        # the UTC wall clock, like to_datetime).
+        try:
+            d = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+            if d.tzinfo is not None:
+                d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return d
+        except ValueError:
+            pass
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
             try:
                 return dt.datetime.strptime(s, fmt)
             except ValueError:

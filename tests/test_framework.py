@@ -1911,6 +1911,8 @@ def test_yaml_test_partial_validation_and_input_conflicts(spark, tmp_path):
         ({"format": "csv"}, "csv input"),
         ({"query": "SELECT 1 AS id, 'x' AS note", "rows": []}, "cannot combine"),
         ({"path": str(tmp_path / "r.yaml"), "rows": [{"id": 1}]}, "cannot set both"),
+        ({"format": "csv", "path": str(tmp_path / "r.csv"),
+          "rows": "id\n1\n"}, "cannot set both"),
     ]:
         spec = {"t": {"model": "demo.pv_m",
                       "inputs": {"src.pv_rows": bad_input},
@@ -1924,7 +1926,7 @@ def test_yaml_test_partial_validation_and_input_conflicts(spark, tmp_path):
         "SELECT @execution_ds AS d FROM src.pv_rows"
     )
     spec = {"t": {"model": "demo.pv_iso",
-                  "vars": {"execution_time": "2024-06-15T12:30:00"},
+                  "vars": {"execution_time": "2024-06-15T12:30:00+00:00"},
                   "inputs": {"src.pv_rows": [{"id": 1}]},
                   "outputs": {"query": {"rows": [{"d": "2024-06-15"}]}}}}
     res = ModelTestRunner(spark).run_spec(spec, {iso_model.name: iso_model})[0]
