@@ -278,14 +278,19 @@ class ModelTestRunner:
                     f"{label}: expected {_canon(exp_rows)}, got {_canon(got)}"
                 )
 
+        def _norm_out(expected: Any) -> Mapping[str, Any]:
+            # bare-list expected rows — same shorthand inputs accept
+            # (reference _normalize_rows wraps non-dict values)
+            return expected if isinstance(expected, Mapping) else {"rows": expected}
+
         for cte_name, expected in (outputs.get("ctes") or {}).items():
             cte_sql = extract_cte(sql, cte_name)
             if cte_sql is None:
                 failures.append(f"cte {cte_name!r} not found")
                 continue
-            _check(cte_sql, expected, f"cte {cte_name}")
+            _check(cte_sql, _norm_out(expected), f"cte {cte_name}")
 
         if "query" in outputs:
-            _check(sql, outputs["query"], "query")
+            _check(sql, _norm_out(outputs["query"]), "query")
 
         return ModelTestResult(name=name, passed=not failures, failures=failures)

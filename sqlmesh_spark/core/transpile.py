@@ -416,7 +416,7 @@ _TSQL_FN: dict[str, str | None] = {
 # base-first 2-arg), mod, pi, e, pow/power, radians, degrees, round,
 # sign, sqrt, chr, concat, concat_ws, length, lower/upper, lpad/rpad
 # (both pad AND truncate), ltrim/rtrim/trim, replace (2-arg strips),
-# reverse, soundex, split_part (literal delim, 1-based), substr/
+# reverse, soundex (split_part is a HANDLER: NULL out-of-range), substr/
 # substring, translate, position grammar, luhn_check, url_encode/
 # url_decode, crc32 (via to_utf8→encode), date/day/month/year/quarter/
 # hour/minute/second, date_trunc (unit-string-first, Monday weeks),
@@ -513,9 +513,11 @@ _TRINO_FN: dict[str, str | None] = {
     "json_array_get": None, "is_json_scalar": None,
     # arrays / maps
     "contains": "array_contains",
-    "element_at": "try_element_at",     # Trino returns NULL out-of-bounds /
-                                        # missing key; Spark 4 (ANSI on)
-                                        # raises without try_
+    # element_at: first_pass handler below (Trino's element_at() returns
+    # NULL out of bounds → try_element_at, but the BRACKET subscript
+    # arr[i] ERRORS out of bounds in Trino — its element_at emission from
+    # the subscript rewrite must stay plain so Spark's ANSI error
+    # preserves that semantic)
     "repeat": "array_repeat",           # Trino repeat builds an ARRAY
     "zip": "arrays_zip",
     "any_match": "exists",
@@ -642,6 +644,8 @@ _CLICKHOUSE_FN: dict[str, str | None] = {
     "multiply": None, "divide": None,
     "roundbankers": "bround",
     "todecimal32": None, "todecimal64": None, "todecimal128": None,
+    "toint128": None, "toint256": None,  # exceed DECIMAL(38,0)'s range
+    "touint128": None, "touint256": None,
     "tofixedstring": None,
     "uniqexact": None,                  # use COUNT(DISTINCT ...)
     "tuple": "struct",
@@ -701,7 +705,7 @@ _CH_CAST_FN = {
     "todatetime": "TIMESTAMP", "todatetime64": "TIMESTAMP",
     "toint8": "TINYINT", "toint16": "SMALLINT",
     "toint32": "INT", "toint64": "BIGINT",
-    "toint128": "DECIMAL(38,0)",
+    # toInt128 absent on purpose: Int128's range exceeds DECIMAL(38,0)
     "touint8": "SMALLINT", "touint16": "INT",
     "touint32": "BIGINT", "touint64": "DECIMAL(20,0)",
     "tofloat32": "FLOAT", "tofloat64": "DOUBLE",
@@ -880,7 +884,9 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
         # Postgres/DuckDB byte-width spelling, overridden here.
         "int8": "TINYINT", "int16": "SMALLINT",
         "int32": "INT", "int64": "BIGINT",
-        "int128": "DECIMAL(38,0)", "int256": None,
+        # Int128 max (~1.7e38) exceeds DECIMAL(38,0)'s 10^38-1 — a
+        # narrowing cast would break data-dependently → loud like int256
+        "int128": None, "int256": None,
         "uint8": "SMALLINT", "uint16": "INT",
         "uint32": "BIGINT", "uint64": "DECIMAL(20,0)",
         "uint128": None, "uint256": None,
@@ -901,7 +907,8 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
     "trino": {
         "varbinary": "BINARY",
         # Trino TIMESTAMP is zone-less; TIMESTAMP WITH TIME ZONE (the
-        # multiword form, handled in _type_token_edits) maps to TIMESTAMP.
+        # multiword form, handled in _type_token_edits) maps to the
+        # fixpoint-stable TIMESTAMP_LTZ spelling.
         "timestamp": "TIMESTAMP_NTZ",
         "json": None,                   # JSON type vs Spark VARIANT → loud
         "time": None, "timetz": None,
@@ -1362,6 +1369,20 @@ def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]
             out.append((kind, m.group(), m.start(), m.end()))
         pos = m.end()
     return out
+
+
+def _emit_infix_call(
+    edits: list, toks: list, start: int, close: int, spans: list,
+    op_: str, arg_text, fname: str,
+) -> None:
+    """Replace ``fname(a, b)`` with ``((a) op (b))`` — the ONE 2-arg
+    function→infix-operator emitter (snowflake bitand family, clickhouse
+    plus/minus/multiply/divide/intDiv, trino bitwise_*)."""
+    if len(spans) != 2:
+        raise TranspileError(f"{fname} takes 2 args")
+    a = arg_text(spans[0])
+    b = arg_text(spans[1])
+    edits.append((start, toks[close][3], f"(({a}) {op_} ({b}))"))
 
 
 def _emit_iso_dow(edits: list, start: int, end: int, close_end: int) -> None:
@@ -2629,6 +2650,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 edits.append((toks[close][2], toks[close][3], ")"))
                 i += 1
                 continue
+            if read == "clickhouse":
+                # CH subscripts return the element type's DEFAULT (0, '')
+                # out of bounds / for a missing map key — the common
+                # arr[indexOf(keys, k)] idiom RELIES on arr[0] being the
+                # default. element_at raises for index 0 and (under
+                # Spark 4 ANSI) out of bounds — same loud stance as the
+                # arrayElement() function spelling.
+                raise TranspileError(
+                    "clickhouse [..] subscripts return the element "
+                    "type's default out of bounds; no faithful Spark "
+                    "rewrite — use try_element_at + coalesce explicitly"
+                )
             if prev[0] == "op":
                 j = _backtrack_primary(toks, i - 1)
             else:
@@ -3053,12 +3086,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name in ("bitand", "bitor", "bitxor"):
                     spans, close = _call_arg_spans(toks, i + 1)
-                    if len(spans) != 2:
-                        raise TranspileError(f"{name} takes 2 args")
                     op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[name]
-                    a = _arg_text(spans[0])
-                    b = _arg_text(spans[1])
-                    edits.append((start, toks[close][3], f"(({a}) {op} ({b}))"))
+                    _emit_infix_call(
+                        edits, toks, start, close, spans, op, _arg_text, name
+                    )
                     i = close + 1
                     continue
 
@@ -4907,28 +4938,20 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name == "intdiv":
                     spans, close = _spans0, _close0
-                    if len(spans) != 2:
-                        raise TranspileError("intDiv takes 2 args")
-                    a = _arg_text(spans[0])
-                    b = _arg_text(spans[1])
-                    edits.append(
-                        (start, toks[close][3], f"(({a}) DIV ({b}))")
+                    _emit_infix_call(
+                        edits, toks, start, close, spans, "DIV", _arg_text, name
                     )
                     i = close + 1
                     continue
 
                 if name in ("plus", "minus", "multiply", "divide"):
                     spans, close = _spans0, _close0
-                    if len(spans) != 2:
-                        raise TranspileError(f"{text} takes 2 args")
                     op_ = {
                         "plus": "+", "minus": "-",
                         "multiply": "*", "divide": "/",
                     }[name]
-                    a = _arg_text(spans[0])
-                    b = _arg_text(spans[1])
-                    edits.append(
-                        (start, toks[close][3], f"(({a}) {op_} ({b}))")
+                    _emit_infix_call(
+                        edits, toks, start, close, spans, op_, _arg_text, text
                     )
                     i = close + 1
                     continue
@@ -5393,6 +5416,16 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     i += 1
                     continue
 
+                if name == "element_at" and first_pass:
+                    # Trino element_at() is NULL out of bounds / missing
+                    # key; Spark 4 (ANSI on) raises without try_. FIRST
+                    # PASS only: the element_at the subscript rewrite
+                    # emits for arr[i] must stay plain — Trino brackets
+                    # ERROR out of bounds, which ANSI element_at matches.
+                    edits.append((start, end, "try_element_at"))
+                    i += 1
+                    continue
+
                 if name == "strpos":
                     spans, _close = _call_arg_spans(toks, i + 1)
                     if len(spans) == 3:
@@ -5538,16 +5571,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
                 if name in ("bitwise_and", "bitwise_or", "bitwise_xor"):
                     spans, close = _call_arg_spans(toks, i + 1)
-                    if len(spans) != 2:
-                        raise TranspileError(f"{name} takes 2 args")
                     op_ = {
                         "bitwise_and": "&", "bitwise_or": "|",
                         "bitwise_xor": "^",
                     }[name]
-                    a = _arg_text(spans[0])
-                    b = _arg_text(spans[1])
-                    edits.append(
-                        (start, toks[close][3], f"(({a}) {op_} ({b}))")
+                    _emit_infix_call(
+                        edits, toks, start, close, spans, op_, _arg_text, name
                     )
                     i = close + 1
                     continue

@@ -3030,3 +3030,23 @@ def test_timestamp_literal_zone_suffix_preserved(spark):
     assert "TIMESTAMP_NTZ" not in transpile(
         "SELECT TIMESTAMP '2024-01-01 10:00:00+02:00' AS x", "trino"
     )
+
+
+def test_trino_bracket_vs_element_at_oob(spark):
+    """Trino's BRACKET subscript errors out of bounds (→ plain
+    element_at, which Spark-4 ANSI also errors on), while element_at()
+    returns NULL (→ try_element_at); clickhouse subscripts return the
+    element-type default and have no faithful rewrite (loud)."""
+    assert transpile("SELECT arr[2] FROM t", "trino") \
+        == "SELECT element_at(arr, 2) FROM t"
+    assert transpile("SELECT element_at(arr, 2) FROM t", "trino") \
+        == "SELECT try_element_at(arr, 2) FROM t"
+    with pytest.raises(TranspileError):
+        transpile("SELECT arr[1] FROM t", "clickhouse")
+    # CH [..] array LITERALS still rewrite
+    assert transpile("SELECT [1, 2] AS a FROM t", "clickhouse") \
+        == "SELECT array(1, 2) AS a FROM t"
+    with pytest.raises(TranspileError):
+        transpile("SELECT CAST(x AS Int128) FROM t", "clickhouse")
+    with pytest.raises(TranspileError):
+        transpile("SELECT toInt128(x) FROM t", "clickhouse")
