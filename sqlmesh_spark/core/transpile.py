@@ -105,8 +105,9 @@ _COMMON_FN = {
     "list_append": "array_append",
     "list_concat": "concat",
     "list_cat": "concat",
-    "list_extract": "element_at",       # both 1-based
-    "array_extract": "element_at",
+    # list_extract / array_extract: handler below (both 1-based, but
+    # DuckDB/Postgres return NULL out of bounds AND for index 0 where
+    # Spark-4 ANSI element_at raises → try_element_at + nullif(i, 0)).
     "list_position": "array_position",
     "list_indexof": "array_position",
     "list_transform": "transform",
@@ -1733,7 +1734,17 @@ def _backtrack_primary(toks: list, close_idx: int):
         elif k == "op" and t == "(":
             depth -= 1
             if depth == 0:
-                if j > 0 and toks[j - 1][0] in _NAME_KINDS:
+                if (
+                    j > 0
+                    and toks[j - 1][0] in _NAME_KINDS
+                    and (
+                        toks[j - 1][1].upper() not in _EXPR_KEYWORDS
+                        # keywords that ARE call-like heads whose result
+                        # can be subscripted (SELECT/WHERE/AND/… are not)
+                        or toks[j - 1][1].upper()
+                        in ("CAST", "TRY_CAST", "ARRAY", "MAP", "STRUCT")
+                    )
+                ):
                     # function call: include the (possibly dotted) name
                     i = j - 1
                     while (
@@ -2709,6 +2720,20 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
             if j is None or any(e[0] >= toks[j][2] for e in edits):
                 i += 1  # defer the bracket to the next fixpoint pass
+                continue
+            if read in ("duckdb", "postgres"):
+                # DuckDB/Postgres subscripts return NULL out of bounds
+                # AND for index 0 (verified: ([1,2,3])[10] → NULL,
+                # ([1,2,3])[0] → NULL); Spark-4 ANSI element_at raises
+                # on both (try_element_at still raises for index 0) →
+                # try_element_at + nullif(i, 0). Negative indexes count
+                # from the end in both engines. Trino/ANSI keep plain
+                # element_at below: their bracket subscripts ERROR out
+                # of bounds, which ANSI element_at matches.
+                edits.append((toks[j][2], toks[j][2], "try_element_at("))
+                edits.append((start, end, ", nullif("))
+                edits.append((toks[close][2], toks[close][3], ", 0))"))
+                i += 1
                 continue
             edits.append((toks[j][2], toks[j][2], "element_at("))
             edits.append((start, end, ", "))
@@ -5589,6 +5614,28 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     edits.append((start, toks[close][3], f"(~({a}))"))
                     i = close + 1
                     continue
+
+            if (
+                name in ("list_extract", "array_extract")
+                and read in ("duckdb", "postgres")
+            ):
+                # DuckDB list_extract/array_extract return NULL out of
+                # bounds and for index 0 (verified: list_extract([1,2,3],
+                # 0) → NULL); Spark-4 ANSI element_at RAISES on both, and
+                # try_element_at still raises INVALID_INDEX_OF_ZERO for
+                # index 0. nullif(i, 0) maps 0 → NULL, and
+                # try_element_at(arr, NULL) is NULL — exact parity
+                # (negative indexes count from the end in both engines).
+                spans, _close = _call_arg_spans(toks, i + 1)
+                if len(spans) != 2:
+                    raise TranspileError(f"{name} takes 2 args")
+                edits.append((start, end, "try_element_at"))
+                i2_start = toks[spans[1][0]][2]
+                i2_end = toks[spans[1][1]][3]
+                edits.append((i2_start, i2_start, "nullif("))
+                edits.append((i2_end, i2_end, ", 0)"))
+                i += 1  # keep scanning inside the args
+                continue
 
             if name == "log" and read in ("duckdb", "postgres"):
                 # 1-arg log is log10 in DuckDB/Postgres, ln in Spark.

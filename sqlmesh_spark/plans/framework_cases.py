@@ -2184,7 +2184,9 @@ DDB_DIALECT_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       string_to_array('a|b', '|')[1] AS first_tag
+       string_to_array('a|b', '|')[1] AS first_tag,
+       string_to_array('a|b', '|')[5] AS oob_tag,
+       string_to_array('a|b', '|')[0] AS zero_tag
 FROM orders
 WHERE o_orderkey % 2 = 0
 GROUP BY strftime(o_orderdate, '%Y-%m')
@@ -2197,10 +2199,12 @@ def framework_duckdb_dialect_model(spark: SparkSession, sf_dir: str) -> DataFram
     reference renders model SQL in any SQLGlot dialect and transpiles to
     the execution engine at render time (renderer.py:517, node.py:235
     ``dialect``). Here the model text uses strftime C-formats, ``::``
-    casts, string_to_array and 1-based subscripts — core/transpile.py
-    rewrites it to Spark SQL after macro expansion; the DuckDB oracle runs
-    the SAME text natively, so the hash match proves dialect fidelity, not
-    just executability."""
+    casts, string_to_array and 1-based subscripts — including OUT-OF-BOUNDS
+    and INDEX-0 subscripts, which DuckDB returns NULL for while Spark-4
+    ANSI element_at raises (rewritten to try_element_at + nullif(i, 0)) —
+    core/transpile.py rewrites it to Spark SQL after macro expansion; the
+    DuckDB oracle runs the SAME text natively, so the hash match proves
+    dialect fidelity, not just executability."""
     from sqlmesh_spark.sources.tables import register_views
 
     _clean_dbs(spark, "sqlmesh__demo_ddb", "env_ddb_views")
@@ -2217,7 +2221,9 @@ MODEL (
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        (SUM(ROUND(o_totalprice * 100)::BIGINT))::BIGINT AS revenue_cents,
        COUNT(*)::BIGINT AS n_orders,
-       string_to_array('a|b', '|')[1] AS first_tag
+       string_to_array('a|b', '|')[1] AS first_tag,
+       string_to_array('a|b', '|')[5] AS oob_tag,
+       string_to_array('a|b', '|')[0] AS zero_tag
 FROM orders
 WHERE o_orderkey % 2 = 0
 GROUP BY strftime(o_orderdate, '%Y-%m')

@@ -97,7 +97,7 @@ def test_list_functions():
     )
     assert out == (
         "SELECT array_contains(tags, 'x'), size(tags), "
-        "element_at(tags, 1), array_join(tags, ',') FROM t"
+        "try_element_at(tags, nullif(1, 0)), array_join(tags, ',') FROM t"
     )
 
 
@@ -187,22 +187,22 @@ def test_postgres_array_literal():
 
 def test_subscript_one_based():
     out = transpile("SELECT tags[1] FROM t", "duckdb")
-    assert out == "SELECT element_at(tags, 1) FROM t"
+    assert out == "SELECT try_element_at(tags, nullif(1, 0)) FROM t"
 
 
 def test_subscript_dotted():
     out = transpile("SELECT t.tags[2] FROM t", "duckdb")
-    assert out == "SELECT element_at(t.tags, 2) FROM t"
+    assert out == "SELECT try_element_at(t.tags, nullif(2, 0)) FROM t"
 
 
 def test_subscript_chained():
     out = transpile("SELECT x[1][2] FROM t", "duckdb")
-    assert out == "SELECT element_at(element_at(x, 1), 2) FROM t"
+    assert out == "SELECT try_element_at(try_element_at(x, nullif(1, 0)), nullif(2, 0)) FROM t"
 
 
 def test_subscript_on_call_result():
     out = transpile("SELECT split(s, ',')[1] FROM t", "duckdb")
-    assert out == "SELECT element_at(split(s, ','), 1) FROM t"
+    assert out == "SELECT try_element_at(split(s, ','), nullif(1, 0)) FROM t"
 
 
 def test_nested_list_literal():
@@ -1078,7 +1078,7 @@ def test_sf_bq_bare_subscripts_zero_based(spark):
     # duckdb/postgres remain 1-based element_at
     assert (
         transpile("SELECT arr[1] FROM t", "duckdb")
-        == "SELECT element_at(arr, 1) FROM t"
+        == "SELECT try_element_at(arr, nullif(1, 0)) FROM t"
     )
     out = transpile(
         "SELECT arr[0] AS a, arr[OFFSET(1)] AS b, arr[ORDINAL(1)] AS c "
@@ -1263,7 +1263,7 @@ def test_double_quoted_identifiers_become_backticks(spark):
     # dquoted subscript base still recognized as a subscript
     assert (
         transpile('SELECT "My Arr"[1] FROM t', "duckdb")
-        == "SELECT element_at(`My Arr`, 1) FROM t"
+        == "SELECT try_element_at(`My Arr`, nullif(1, 0)) FROM t"
     )
     # BigQuery double quotes are STRINGS — untouched semantics
     out = transpile('SELECT SPLIT("a.b", ".") AS p', "bigquery")
@@ -3050,3 +3050,25 @@ def test_trino_bracket_vs_element_at_oob(spark):
         transpile("SELECT CAST(x AS Int128) FROM t", "clickhouse")
     with pytest.raises(TranspileError):
         transpile("SELECT toInt128(x) FROM t", "clickhouse")
+
+
+def test_duckdb_postgres_subscript_oob_and_zero_null(spark):
+    """DuckDB/Postgres subscripts (and list_extract/array_extract) return
+    NULL out of bounds AND for index 0; Spark-4 ANSI element_at raises on
+    both (try_element_at still raises INVALID_INDEX_OF_ZERO). The rewrite
+    is try_element_at + nullif(i, 0) — verified NULL-not-error here."""
+    out = transpile(
+        "SELECT ([1,2,3])[10] AS oob, ([1,2,3])[0] AS zero, "
+        "([1,2,3])[-1] AS neg, list_extract([1,2,3], 10) AS f_oob, "
+        "array_extract([1,2,3], 0) AS f_zero", "duckdb")
+    assert out.startswith("SELECT try_element_at((array(1,2,3)), nullif(10, 0)) AS oob")
+    row = spark.sql(out).collect()[0]
+    assert row.oob is None and row.zero is None and row.f_oob is None
+    assert row.f_zero is None and row.neg == 3
+    # postgres bracket subscripts: same NULL semantics
+    out_pg = transpile("SELECT (ARRAY[1,2])[9] AS oob FROM (SELECT 1)", "postgres")
+    assert spark.sql(out_pg).collect()[0].oob is None
+    # dynamic (non-literal) index 0 must also be NULL, not a runtime error
+    out_dyn = transpile(
+        "SELECT ([10,20])[n - 1] AS v FROM (SELECT 1 AS n)", "duckdb")
+    assert spark.sql(out_dyn).collect()[0].v is None

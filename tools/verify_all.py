@@ -23,6 +23,11 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--twice", action="store_true", help="also check idempotency")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument(
+        "--case", action="append", default=None,
+        help="run only the named case(s); repeatable; substring match "
+             "when the exact name is not registered",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -34,6 +39,19 @@ def main() -> int:
     assert entrymod.entry(spark).count() > 0, "entry() smoke failed"
 
     cases = load_all()
+    if args.case:
+        picked = {}
+        for pat in args.case:
+            if pat in cases:
+                picked[pat] = cases[pat]
+            else:
+                picked.update(
+                    {n: c for n, c in cases.items() if pat in n}
+                )
+        if not picked:
+            print(f"verify_all: no case matches {args.case}")
+            return 1
+        cases = picked
     failures: list[tuple[str, str]] = []
     for name, case in cases.items():
         try:
