@@ -100,11 +100,11 @@ _COMMON_FN = {
     "list_contains": "array_contains",
     "list_has": "array_contains",
     "array_has": "array_contains",
-    "list_distinct": "array_distinct",
+    # list_distinct: handler below (duckdb drops NULL elements)
     "list_sort": "array_sort",
     "list_append": "array_append",
-    "list_concat": "concat",
-    "list_cat": "concat",
+    # list_concat / list_cat / array_cat: handler below (NULL args are
+    # SKIPPED in duckdb/postgres; Spark concat returns NULL)
     # list_extract / array_extract: handler below (both 1-based, but
     # DuckDB/Postgres return NULL out of bounds AND for index 0 where
     # Spark-4 ANSI element_at raises → try_element_at + nullif(i, 0)).
@@ -119,8 +119,8 @@ _COMMON_FN = {
     "cardinality": "size",
     "array_to_string": "array_join",
     "list_aggr": None,                  # needs lambda restructure → loud
-    "array_agg": "collect_list",
-    "list": "collect_list",             # DuckDB LIST(x) aggregate
+    # array_agg / list: handler below (these engines KEEP NULL elements
+    # and return NULL on empty; collect_list drops/returns [])
     "unnest": "explode",
     "string_split_regex": "split",      # second arg already a regex
     # aggregates
@@ -128,6 +128,12 @@ _COMMON_FN = {
     "arg_min": "min_by",
     "list_sum": None,                   # Spark aggregate() needs init+lambda → loud
     "list_avg": None,
+    # string predicates (same 2-arg shape and ''-needle semantics)
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    # no Spark equivalent
+    "gcd": None,
+    "lcm": None,
 }
 
 # Snowflake renames (ref dialect.py:1040 — the reference accepts every
@@ -525,9 +531,8 @@ _TRINO_FN: dict[str, str | None] = {
     "all_match": "forall",
     "none_match": None,                 # handler: (NOT exists(...))
     "reduce": "aggregate",              # same (arr, init, merge[, finish])
-    "array_agg": "collect_list",        # caveat: Trino keeps NULL elements,
-                                        # collect_list drops them (same
-                                        # mapping precedent as _COMMON_FN)
+    # array_agg: shared keep-NULLs handler (Trino keeps NULL elements
+    # and returns NULL on empty; collect_list drops/returns [])
     "trim_array": None, "ngrams": None, "combinations": None,
     "array_sort_desc": None,
     "map": None,                        # handler (2 array args →
@@ -751,11 +756,49 @@ _TRINO_URL_PARTS = {
     "url_extract_fragment": "REF",
 }
 
+#: date_part/extract fields whose VALUE differs between duckdb/postgres
+#: and Spark (see tests/test_dialect_edges.py): dow is Sunday=0..6
+#: (Spark DOW: Sunday=1..7), isodow is Monday=1..Sunday=7 (Spark:
+#: DAYOFWEEK_ISO), second truncates to the integer second (Spark SECOND
+#: carries the fraction), epoch is fractional seconds as DOUBLE (no
+#: Spark field), and micro/milliseconds include the seconds component.
+#: Values are CAST to the BIGINT these engines return (driver hash is
+#: dtype-sensitive).
+#: Every template is FIXPOINT-STABLE: the emitted spelling re-lexes
+#: under the same read grammar without re-triggering any handler
+#: (pmod/weekday guarded by the pmod-parent sentinel, second() and
+#: date_format() have no duckdb/postgres handlers, try_divide avoids
+#: the `/` divisor wrap).
+_DOW_TEMPLATE = "CAST(pmod(weekday({x}) + 1, 7) AS BIGINT)"
+_DP_FIELD_TEMPLATES = {
+    "dow": _DOW_TEMPLATE,
+    "dayofweek": _DOW_TEMPLATE,
+    "weekday": _DOW_TEMPLATE,
+    "isodow": "CAST(date_part('DAYOFWEEK_ISO', {x}) AS BIGINT)",
+    "epoch": "try_divide(unix_micros(CAST({x} AS TIMESTAMP)), 1000000)",
+    "second": "CAST(second({x}) AS BIGINT)",
+    "seconds": "CAST(second({x}) AS BIGINT)",
+    "microseconds": "CAST(date_format({x}, 'ssSSSSSS') AS BIGINT)",
+    "microsecond": "CAST(date_format({x}, 'ssSSSSSS') AS BIGINT)",
+    "milliseconds": "CAST(date_format({x}, 'ssSSS') AS BIGINT)",
+    "millisecond": "CAST(date_format({x}, 'ssSSS') AS BIGINT)",
+}
+
 _DIALECT_FN: dict[str, dict[str, str | None]] = {
     # regexp_matches is boolean partial-match in DuckDB only; in Postgres
     # it returns SETOF text[] (captured groups), so the rename is correct
     # for duckdb and LOUD for postgres.
-    "duckdb": {**_COMMON_FN, "regexp_matches": "regexp_like"},
+    "duckdb": {
+        **_COMMON_FN,
+        "regexp_matches": "regexp_like",
+        "suffix": "endswith",
+        "prefix": "startswith",
+        # zero-divisor → NULL in duckdb (Spark-4 ANSI mod/div raise);
+        # sign semantics are C-style in both. divide() is duckdb's
+        # TRUNCATING integer division (divide(7,2)=3) — handler below.
+        "mod": "try_mod",
+        "fmod": "try_mod",
+    },
     "postgres": {**_COMMON_FN, "regexp_matches": None},
     "ansi": {},                         # ANSI names that differ are below
     "snowflake": _SNOWFLAKE_FN,
@@ -1758,6 +1801,145 @@ def _backtrack_primary(toks: list, close_idx: int):
     return None
 
 
+#: literal keywords that form a primary expression on their own
+_PRIMARY_KEYWORDS = ("NULL", "TRUE", "FALSE")
+
+#: keywords that can head a call-like primary — `CAST(x AS T)[1]`,
+#: `ARRAY(1,2) ^ 2` — unlike clause keywords (SELECT/WHERE/AND/…)
+_CALLABLE_KEYWORDS = ("CAST", "TRY_CAST", "ARRAY", "MAP", "STRUCT")
+
+
+def _forward_primary(toks: list, idx: int):
+    """(first, last) token-index span of the primary expression starting
+    at idx — optional unary +/-/~ chain, then a literal, (possibly
+    dotted) identifier with optional call parens, parenthesized
+    expression, or CASE..END — plus trailing `[..]` subscript and
+    `::type` cast postfixes. Returns None when the shape isn't
+    recognized; callers leave the SQL untouched (loud downstream rather
+    than a mis-scoped rewrite)."""
+    n = len(toks)
+    j = idx
+    while j < n and toks[j][0] == "op" and toks[j][1] in ("+", "-", "~"):
+        j += 1
+    if j >= n:
+        return None
+    kind, text = toks[j][0], toks[j][1]
+    if kind == "op" and text == "(":
+        last = _call_arg_spans(toks, j)[1]
+    elif kind in ("number", "string"):
+        last = j
+    elif kind in _NAME_KINDS:
+        up = text.upper()
+        if up == "CASE":
+            depth = 1
+            last = None
+            for k in range(j + 1, n):
+                tu = toks[k][1].upper() if toks[k][0] in _NAME_KINDS else ""
+                if tu == "CASE":
+                    depth += 1
+                elif tu == "END":
+                    depth -= 1
+                    if depth == 0:
+                        last = k
+                        break
+            if last is None:
+                return None
+        elif up in _EXPR_KEYWORDS and up not in _PRIMARY_KEYWORDS + _CALLABLE_KEYWORDS:
+            return None
+        else:
+            last = j
+            while (
+                last + 2 < n
+                and toks[last + 1][0] == "op" and toks[last + 1][1] == "."
+                and toks[last + 2][0] in _NAME_KINDS
+            ):
+                last += 2
+            if (
+                last + 1 < n
+                and toks[last + 1][0] == "op" and toks[last + 1][1] == "("
+            ):
+                last = _call_arg_spans(toks, last + 1)[1]
+    else:
+        return None
+    # postfixes: subscripts and :: casts (both bind tighter than any
+    # infix operator)
+    while last + 1 < n and toks[last + 1][0] == "op":
+        t1 = toks[last + 1][1]
+        if t1 == "[":
+            last = _match_bracket(toks, last + 1)
+        elif t1 == "::" and last + 2 < n and toks[last + 2][0] in _NAME_KINDS:
+            last += 2
+            if (
+                last + 1 < n
+                and toks[last + 1][0] == "op" and toks[last + 1][1] == "("
+            ):
+                last = _call_arg_spans(toks, last + 1)[1]
+        else:
+            break
+    return (idx, last)
+
+
+def _backward_primary(toks: list, idx: int, include_unary: bool):
+    """First token index of the primary expression ENDING at idx —
+    mirror of _forward_primary for infix left operands (the `a` of
+    `a ^ b`). include_unary pulls a leading unary +/- into the primary
+    (DuckDB binds unary minus tighter than ^; Postgres does not).
+    Returns None when unrecognized or when the primary ends in `]`
+    (defer to the next fixpoint pass, after subscripts rewrite)."""
+    kind, text = toks[idx][0], toks[idx][1]
+    if kind == "op" and text in ("]", "::"):
+        return None  # subscript/cast tail — resolves next pass
+    if kind == "op" and text == ")":
+        first = _backtrack_primary(toks, idx)
+    elif kind in ("number", "string"):
+        first = idx
+    elif kind in _NAME_KINDS:
+        up = text.upper()
+        if up == "END":
+            depth = 1
+            first = None
+            for k in range(idx - 1, -1, -1):
+                tu = toks[k][1].upper() if toks[k][0] in _NAME_KINDS else ""
+                if tu == "END":
+                    depth += 1
+                elif tu == "CASE":
+                    depth -= 1
+                    if depth == 0:
+                        first = k
+                        break
+            if first is None:
+                return None
+        elif up in _EXPR_KEYWORDS and up not in _PRIMARY_KEYWORDS:
+            return None
+        else:
+            first = idx
+            while (
+                first >= 2
+                and toks[first - 1][0] == "op" and toks[first - 1][1] == "."
+                and toks[first - 2][0] in _NAME_KINDS
+            ):
+                first -= 2
+    else:
+        return None
+    if first is None:
+        return None
+    if include_unary and first > 0:
+        k = first
+        while k > 0 and toks[k - 1][0] == "op" and toks[k - 1][1] in ("+", "-", "~"):
+            k -= 1
+        if k < first:
+            # the sign chain is unary only if what precedes it cannot end
+            # an expression (operator other than )/], or a clause keyword)
+            p = toks[k - 1] if k > 0 else None
+            if p is None or (
+                (p[0] == "op" and p[1] not in (")", "]"))
+                or (p[0] in _NAME_KINDS and p[1].upper() in _EXPR_KEYWORDS
+                    and p[1].upper() not in _PRIMARY_KEYWORDS)
+            ):
+                first = k
+    return first
+
+
 def _call_args(toks: list, open_idx: int) -> list[int]:
     """Indices of top-level argument-start tokens for the call whose '('
     is at open_idx; also returns close paren index via sentinel last item."""
@@ -1827,6 +2009,17 @@ def transpile(sql: str, read: str | None = "duckdb") -> str:
     for pass_no in range(8):
         nxt = _transpile_once(out, read, first_pass=(pass_no == 0))
         if nxt == out:
+            if read in ("duckdb", "postgres"):
+                # `^` is POWER in these dialects but XOR in Spark; any
+                # occurrence the power() rewrite could not scope must
+                # fail loud, never pass through as XOR.
+                for k, t, _, _ in _tokenize_spans(nxt, read):
+                    if k == "op" and t == "^":
+                        raise TranspileError(
+                            f"{read} ^ is exponentiation (Spark ^ is "
+                            "XOR) and this operand shape has no scoped "
+                            "rewrite; use power(a, b) explicitly"
+                        )
             return nxt
         out = nxt
     raise TranspileError("transpile did not converge (pathological nesting)")
@@ -2064,10 +2257,98 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     while i < n:
         kind, text, start, end = toks[i]
 
-        # `//` integer division → DIV (adjacent '/' '/' spans)
+        # `//` integer division → DIV (adjacent '/' '/' spans). For
+        # duckdb the next pass wraps DIV's divisor in nullif (below).
         if kind == "op" and text == "/" and is_op(i + 1, "/") and toks[i + 1][2] == end:
             edits.append((start, toks[i + 1][3], " DIV "))
             i += 2
+            continue
+
+        # DuckDB `/`, `%` and `//`(→DIV above) return NULL on a zero
+        # divisor; Spark 4 (ANSI on) raises DIVIDE_BY_ZERO — wrap the
+        # divisor in nullif(d, 0) (x / NULL is NULL in both engines).
+        # Runs every pass: pending rewrites inside the divisor (subscripts,
+        # :: casts) defer it to the next pass, and the nullif(…, 0) guard
+        # keeps the fixpoint convergent. Postgres raises on zero division
+        # like ANSI — no rewrite. Unrecognized divisor shapes stay
+        # untouched (ANSI raise: loud, never silent-wrong).
+        if (
+            read == "duckdb"
+            and (
+                (kind == "op" and text in ("/", "%") and not is_op(i + 1, "/"))
+                or (kind in _NAME_KINDS and text.upper() == "DIV")
+            )
+        ):
+            span = _forward_primary(toks, i + 1)
+            if span is not None:
+                ps = toks[span[0]][2]
+                pe = toks[span[1]][3]
+                k0 = span[0]
+                while toks[k0][0] == "op" and toks[k0][1] in ("+", "-", "~"):
+                    k0 += 1
+                already = False
+                if (
+                    toks[k0][0] in _NAME_KINDS
+                    and toks[k0][1].lower() == "nullif"
+                    and is_op(k0 + 1, "(")
+                ):
+                    nspans, _nc = _call_arg_spans(toks, k0 + 1)
+                    if (
+                        len(nspans) == 2
+                        and nspans[1][0] == nspans[1][1]
+                        and toks[nspans[1][0]][0] == "number"
+                        and toks[nspans[1][0]][1] == "0"
+                    ):
+                        already = True
+                if not already and not any(
+                    e[1] >= ps and e[0] <= pe for e in edits
+                ):
+                    edits.append((ps, ps, "nullif("))
+                    edits.append((pe, pe, ", 0)"))
+            i += 1
+            continue
+
+        # DuckDB/Postgres `^` (and DuckDB `**`) are POWER; Spark's `^` is
+        # bitwise XOR — passing it through would be silently wrong
+        # (2 ^ 3 = 1). Rewrite a ^ b → power(a, b); left-associative
+        # chains resolve over fixpoint passes (both engines' ^ is
+        # left-assoc). DuckDB binds unary minus tighter than ^
+        # (-2 ^ 2 = 4); Postgres does not (-2 ^ 2 = -4) — include_unary
+        # per dialect. A `^` whose operands never resolve is caught by
+        # the post-fixpoint guard in transpile() (loud, never XOR).
+        if (
+            read in ("duckdb", "postgres")
+            and kind == "op"
+            and (
+                text == "^"
+                or (
+                    read == "duckdb"
+                    and text == "*"
+                    and is_op(i + 1, "*")
+                    and toks[i + 1][2] == end
+                )
+            )
+        ):
+            two_star = text == "*"
+            op_end = toks[i + 1][3] if two_star else end
+            right_idx = i + 2 if two_star else i + 1
+            lfirst = (
+                _backward_primary(toks, i - 1, include_unary=(read == "duckdb"))
+                if i > 0 else None
+            )
+            rspan = _forward_primary(toks, right_idx)
+            if lfirst is not None and rspan is not None:
+                ls = toks[lfirst][2]
+                re_ = toks[rspan[1]][3]
+                if not any(e[1] >= ls and e[0] <= re_ for e in edits):
+                    edits.append((ls, ls, "power("))
+                    edits.append((start, op_end, ", "))
+                    edits.append((re_, re_, ")"))
+                    # keep scanning INSIDE the right operand so its own
+                    # first-pass handlers still run this pass
+                    i = right_idx
+                    continue
+            i += 1
             continue
 
         # Redshift SYSDATE is a bare keyword (no parens) returning the UTC
@@ -4300,6 +4581,341 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 )
                 i += 1
                 continue
+
+            # ---- DuckDB/Postgres NULL-and-edge fidelity handlers.
+            # These engines return NULL / '' / keep NULLs on edges where
+            # Spark's builtins raise (ANSI), drop NULLs, or compute a
+            # different value. Each rewrite is pinned value-by-value
+            # against the DuckDB oracle in tests/test_dialect_edges.py.
+
+            if (
+                (
+                    name == "array_agg"
+                    or (name == "list" and read == "duckdb")
+                )
+                and read in ("duckdb", "postgres", "trino")
+                and first_pass
+            ):
+                # These engines' array_agg KEEPS NULL elements and returns
+                # NULL (not []) for an empty input set; Spark's
+                # array_agg/collect_list drops NULLs and returns [].
+                # struct-wrap preserves NULLs (a struct row is never
+                # null); the CASE restores NULL-on-empty. Catalyst
+                # deduplicates the two identical aggregate expressions.
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) != 1:
+                    raise TranspileError("array_agg takes 1 argument")
+                depth_ = 0
+                for j_ in range(spans[0][0], spans[0][1] + 1):
+                    k_, t_, _, _ = toks[j_]
+                    if k_ == "op" and t_ in ("(", "["):
+                        depth_ += 1
+                    elif k_ == "op" and t_ in (")", "]"):
+                        depth_ -= 1
+                    elif (
+                        depth_ == 0 and k_ in _NAME_KINDS
+                        and t_.upper() == "ORDER"
+                    ):
+                        raise TranspileError(
+                            "array_agg(x ORDER BY ...) has no Spark "
+                            "rewrite (Spark aggregates reject inline "
+                            "ORDER BY); aggregate then array_sort/"
+                            "sort_array explicitly"
+                        )
+                dist = ""
+                a0, a1 = spans[0]
+                if toks[a0][0] in _NAME_KINDS and toks[a0][1].upper() == "DISTINCT":
+                    dist = "DISTINCT "
+                    a0 += 1
+                if (
+                    toks[a0][0] in _NAME_KINDS
+                    and toks[a0][1].lower() == "struct"
+                    and is_op(a0 + 1, "(")
+                ):
+                    # already our emitted struct((x) AS _v) wrap (a
+                    # re-transpile of transpiled output; none of these
+                    # dialects has a struct() function) — struct rows are
+                    # never NULL, so the native agg is faithful
+                    i += 1
+                    continue
+                expr_text = _arg_text((a0, a1))
+                fend = close
+                ftext = ""
+                if (
+                    close + 2 < len(toks)
+                    and toks[close + 1][0] in _NAME_KINDS
+                    and toks[close + 1][1].upper() == "FILTER"
+                    and is_op(close + 2, "(")
+                ):
+                    fend = _call_arg_spans(toks, close + 2)[1]
+                    ftext = " " + transpile(
+                        sql[toks[close + 1][2]: toks[fend][3]], read
+                    )
+                agg = f"array_agg({dist}struct(({expr_text}) AS _v)){ftext}"
+                edits.append(
+                    (start, toks[fend][3],
+                     f"(CASE WHEN size({agg}) = 0 THEN NULL "
+                     f"ELSE transform({agg}, _s -> _s._v) END)")
+                )
+                i = fend + 1
+                continue
+
+            if name == "concat" and read in ("duckdb", "postgres") and first_pass:
+                # duckdb/postgres concat casts every argument to text and
+                # SKIPS NULLs (concat('a', NULL) = 'a', concat(NULL, NULL)
+                # = ''); Spark concat returns NULL if any input is NULL.
+                # Wrap each argument; keep scanning inside them.
+                spans, _close = _call_arg_spans(toks, i + 1)
+                if all(
+                    toks[sp[0]][0] in _NAME_KINDS
+                    and toks[sp[0]][1].lower() == "coalesce"
+                    and toks[sp[0] + 1][1] == "("
+                    and toks[sp[0] + 2][1].upper() in ("CAST", "TRY_CAST")
+                    for sp in spans
+                ):
+                    i += 1  # already-wrapped re-transpile of our output
+                    continue
+                for sp in spans:
+                    edits.append((toks[sp[0]][2], toks[sp[0]][2], "coalesce(CAST("))
+                    edits.append((toks[sp[1]][3], toks[sp[1]][3], " AS STRING), '')"))
+                i += 1
+                continue
+
+            if (
+                name in ("list_concat", "list_cat", "array_cat")
+                and read in ("duckdb", "postgres")
+                and first_pass
+            ):
+                # NULL list arguments are SKIPPED (list_concat([1], NULL)
+                # = [1]) and all-NULL yields NULL; Spark concat(a, NULL)
+                # is NULL. (The emitted concat is the ARRAY concat — the
+                # string-concat handler above is first-pass-only.)
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) != 2:
+                    raise TranspileError(f"{name} takes 2 args")
+                a_ = _arg_text(spans[0])
+                b_ = _arg_text(spans[1])
+                edits.append(
+                    (start, toks[close][3],
+                     f"(CASE WHEN ({a_}) IS NULL AND ({b_}) IS NULL THEN NULL "
+                     f"ELSE coalesce(({a_}), array()) || "
+                     f"coalesce(({b_}), array()) END)")
+                )
+                i = close + 1
+                continue
+
+            if (
+                name in ("list_distinct", "array_distinct")
+                and read == "duckdb"
+                and first_pass
+            ):
+                # duckdb list_distinct/array_distinct REMOVE NULL
+                # elements; Spark array_distinct keeps one. (Result order
+                # is unspecified in duckdb — element SET parity is what's
+                # contracted.)
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) != 1:
+                    raise TranspileError(f"{name} takes 1 arg")
+                if (
+                    toks[spans[0][0]][0] in _NAME_KINDS
+                    and toks[spans[0][0]][1].lower() == "filter"
+                ):
+                    i += 1  # already our filter(...) wrap — re-transpile
+                    continue
+                a_ = _arg_text(spans[0])
+                edits.append(
+                    (start, toks[close][3],
+                     f"array_distinct(filter(({a_}), _ld -> _ld IS NOT NULL))")
+                )
+                i = close + 1
+                continue
+
+            if (
+                name in ("substr", "substring")
+                and read in ("duckdb", "postgres")
+                and first_pass
+            ):
+                # 3-arg substr edge semantics (verified against duckdb):
+                # both engines treat positions VIRTUALLY — substr('hello',
+                # 0, 3) = 'he' (the span [0,3) clipped to [1,..]), and
+                # duckdb additionally resolves a NEGATIVE start from the
+                # end (p = len+b+1) and allows negative LENGTH (span
+                # walked backwards: substr('hello', 2, -1) = 'h');
+                # postgres keeps negative starts virtual. Spark's substr
+                # treats 0 as 1 and keeps the full length. The emitted
+                # span arithmetic reproduces each engine exactly; 2-arg
+                # forms agree natively and pass through.
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) == 3:
+                    s_ = _arg_text(spans[0])
+                    b_ = _arg_text(spans[1])
+                    n_ = _arg_text(spans[2])
+                    if read == "duckdb":
+                        p = (f"(CASE WHEN ({b_}) < 0 "
+                             f"THEN length(({s_})) + ({b_}) + 1 "
+                             f"ELSE ({b_}) END)")
+                        lo = f"least({p}, {p} + ({n_}))"
+                        hi = f"greatest({p}, {p} + ({n_}))"
+                    else:
+                        lo = f"({b_})"
+                        hi = f"(({b_}) + ({n_}))"
+                    st = f"greatest({lo}, 1)"
+                    # keyword form: no top-level commas, so the emitted
+                    # call has a single arg span and re-reads untouched
+                    edits.append(
+                        (start, toks[close][3],
+                         f"substring(({s_}) FROM {st} "
+                         f"FOR greatest({hi} - {st}, 0))")
+                    )
+                    i = close + 1
+                    continue
+
+            if (
+                name in ("left", "right")
+                and read in ("duckdb", "postgres")
+                and first_pass
+            ):
+                # Negative n means "all but the last/first |n| chars" in
+                # duckdb/postgres; Spark returns ''. (first-pass only:
+                # the emitted call contains its own trigger name.)
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) == 2:
+                    s_ = _arg_text(spans[0])
+                    n_ = _arg_text(spans[1])
+                    if name == "left":
+                        repl = (
+                            f"substring(({s_}) FROM 1 FOR "
+                            f"if(({n_}) < 0, length(({s_})) + ({n_}), ({n_})))"
+                        )
+                    else:
+                        repl = (
+                            f"substring(({s_}) FROM if(({n_}) < 0, 1 - ({n_}), "
+                            f"greatest(length(({s_})) + 1 - ({n_}), 1)))"
+                        )
+                    edits.append((start, toks[close][3], repl))
+                    i = close + 1
+                    continue
+
+            if (
+                name in ("date_part", "datepart")
+                and read in ("duckdb", "postgres")
+                and first_pass
+            ):
+                spans, close = _call_arg_spans(toks, i + 1)
+                if (
+                    len(spans) == 2
+                    and toks[spans[0][0]][0] == "string"
+                    and spans[0][0] == spans[0][1]
+                ):
+                    field = _literal_content(toks[spans[0][0]][1], read).lower()
+                    tmpl = _DP_FIELD_TEMPLATES.get(field)
+                    if tmpl is not None:
+                        x_ = _arg_text(spans[1])
+                        edits.append(
+                            (start, toks[close][3], tmpl.format(x=f"({x_})"))
+                        )
+                        i = close + 1
+                        continue
+
+            if name == "extract" and read in ("duckdb", "postgres") and first_pass:
+                # extract(FIELD FROM x) spelling of the same field fixes
+                if (
+                    i + 4 < len(toks)
+                    and toks[i + 2][0] in _NAME_KINDS
+                    and toks[i + 3][0] in _NAME_KINDS
+                    and toks[i + 3][1].upper() == "FROM"
+                ):
+                    field = toks[i + 2][1].lower()
+                    tmpl = _DP_FIELD_TEMPLATES.get(field)
+                    if tmpl is not None:
+                        close = _call_arg_spans(toks, i + 1)[1]
+                        x_ = transpile(
+                            sql[toks[i + 4][2]: toks[close - 1][3]], read
+                        )
+                        edits.append(
+                            (start, toks[close][3], tmpl.format(x=f"({x_})"))
+                        )
+                        i = close + 1
+                        continue
+
+            if name == "date_add" and read == "duckdb" and first_pass:
+                # duckdb date_add(x, INTERVAL) returns TIMESTAMP (even for
+                # DATE input); Spark's date_add is (date, int-days) and
+                # rejects intervals. `+` carries interval arithmetic.
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) == 2:
+                    a_ = _arg_text(spans[0])
+                    b_ = _arg_text(spans[1])
+                    edits.append(
+                        (start, toks[close][3],
+                         f"CAST(({a_}) + ({b_}) AS TIMESTAMP)")
+                    )
+                    i = close + 1
+                    continue
+
+            if (
+                name in ("weekday", "dayofweek")
+                and read == "duckdb"
+                and first_pass
+                and not (
+                    i >= 2
+                    and is_op(i - 1, "(")
+                    and toks[i - 2][0] in _NAME_KINDS
+                    and toks[i - 2][1].lower() == "pmod"
+                )
+            ):
+                # duckdb weekday()/dayofweek() are Sunday=0..Saturday=6;
+                # Spark weekday() is Monday=0 and dayofweek() Sunday=1.
+                # Same rewrite as the date_part('dow') field; the
+                # pmod-parent check skips our own emission on re-reads.
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) == 1:
+                    x_ = _arg_text(spans[0])
+                    edits.append(
+                        (start, toks[close][3],
+                         _DOW_TEMPLATE.format(x=f"({x_})"))
+                    )
+                    i = close + 1
+                    continue
+
+            if name in ("fdiv", "divide") and read == "duckdb" and first_pass:
+                # fdiv = floor division as DOUBLE; divide() = TRUNCATING
+                # integer division (the // function form). Both NULL on a
+                # zero divisor. (The emitted DIV's divisor is already
+                # nullif-wrapped — the infix wrap's guard accepts it.)
+                spans, close = _call_arg_spans(toks, i + 1)
+                if len(spans) != 2:
+                    raise TranspileError(f"{name} takes 2 args")
+                a_ = _arg_text(spans[0])
+                b_ = _arg_text(spans[1])
+                if name == "fdiv":
+                    repl = f"CAST(floor(try_divide(({a_}), ({b_}))) AS DOUBLE)"
+                else:
+                    repl = f"(({a_}) DIV nullif(({b_}), 0))"
+                edits.append((start, toks[close][3], repl))
+                i = close + 1
+                continue
+
+            if (
+                name in ("list_contains", "list_has", "array_has", "array_contains")
+                and read in ("duckdb", "postgres")
+                and first_pass
+            ):
+                # a literal NULL needle is NULL in duckdb; Spark's
+                # array_contains rejects the untyped NULL literal at
+                # analysis. (Typed null expressions agree — NULL both.)
+                spans, close = _call_arg_spans(toks, i + 1)
+                if (
+                    len(spans) == 2
+                    and spans[1][0] == spans[1][1]
+                    and toks[spans[1][0]][1].upper() == "NULL"
+                ):
+                    edits.append(
+                        (start, toks[close][3], "CAST(NULL AS BOOLEAN)")
+                    )
+                    i = close + 1
+                    continue
+                # else: fall through to the array_contains rename
 
             if name in ("ltrim", "rtrim", "btrim", "trim") and read in (
                 "duckdb", "postgres", "redshift"

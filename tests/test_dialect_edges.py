@@ -1,0 +1,289 @@
+"""NULL/OOB/empty-edge parity sweep across the read-dialect function maps.
+
+For every mapped function family whose source semantics DuckDB can
+express natively, an edge expression is evaluated BOTH ways — DuckDB
+running the original dialect text, Spark running the transpiled text —
+and the values must agree (the same gate the driver's CORRECTNESS check
+applies to whole queries). Reference parity target: the reference
+renders any SQLGlot read dialect and executes on the engine
+(renderer.py:517); these tests pin the seams where a naive rename would
+be silently wrong on Spark 4's ANSI defaults.
+
+Families covered: subscripts/list_extract (NULL OOB + index 0),
+division family (/, //, %, mod, fdiv, fmod, divide — NULL on zero
+divisor), exponentiation (^ and ** are POWER, not XOR), string edges
+(strpos no-match, substr virtual/negative positions, left/right
+negative n, split_part OOB, lpad truncation), concat NULL-skipping,
+array aggregation NULL-keeping and NULL-on-empty, list_distinct
+NULL-dropping, list_concat NULL-skipping, date_part field fixes
+(dow/isodow/epoch/second/micro/milliseconds, both date_part and
+extract spellings, plus the weekday/dayofweek function spellings),
+string predicates, and TRY_CAST.
+
+A final section PINS the documented divergences — places where DuckDB
+raises but Spark yields NULL/NaN (log/ln/sqrt of non-positives), or
+where the semantics are statically untypeable (CAST rounding modes,
+postgres integer `/`) — so any behavior drift is caught. Each is the
+reference's own behavior when executing a duckdb-dialect model on
+Spark (SQLGlot leaves these constructs unchanged), i.e. divergence
+from DuckDB-native, parity with the reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from sqlmesh_spark.core.transpile import TranspileError, transpile
+
+# (expression, read dialect) — evaluated in DuckDB natively and in Spark
+# after transpile; values must match. DuckDB is the oracle for both the
+# duckdb and postgres cases below ONLY where the two engines agree on
+# the construct (postgres-divergent constructs get their own cases).
+EDGES = [
+    # --- subscripts & element extraction (NULL out of bounds AND index 0)
+    "([1,2,3])[10]",
+    "([1,2,3])[0]",
+    "([1,2,3])[-1]",
+    "list_extract([1,2,3], 10)",
+    "list_extract([1,2,3], 0)",
+    "array_extract([1,2,3], -1)",
+    # --- division family: NULL on zero divisor (Spark ANSI raises bare)
+    "1 // 0",
+    "7 // 2",
+    "-7 // 2",
+    "1.0 / 0",
+    "7 / 2",
+    "7 % 0",
+    "-7 % 2",
+    "1.5 % 0",
+    "mod(7, 0)",
+    "mod(-7, 2)",
+    "fdiv(7, 2)",
+    "fdiv(7, 0)",
+    "fmod(7.5, 2)",
+    "fmod(7.5, 0)",
+    "divide(7, 0)",
+    "divide(7, 2)",
+    # --- exponentiation: duckdb/postgres ^ is POWER (Spark ^ is XOR)
+    "2 ^ 3",
+    "2 ^ 3 ^ 2",
+    "-2 ^ 2",
+    "2 ^ -2",
+    "2 ** 3",
+    "(1 + 1) ^ 3",
+    # --- string edges
+    "strpos('abcdef', 'zz')",
+    "strpos('', 'a')",
+    "substr('hello', 0, 3)",
+    "substr('hello', 0, 1)",
+    "substr('hello', -2, 3)",
+    "substr('hello', -2, 10)",
+    "substr('hello', -9, 3)",
+    "substr('hello', 2, -1)",
+    "substr('hello', 2, 3)",
+    "substring('hello', 0, 2)",
+    "substr('hello', 0)",
+    "substr('hello', -2)",
+    "left('hello', -2)",
+    "left('hello', -9)",
+    "left('hello', 2)",
+    "left('hello', 0)",
+    "right('hello', -2)",
+    "right('hello', -9)",
+    "right('hello', 2)",
+    "right('hello', 9)",
+    "split_part('a|b|c', '|', 5)",
+    "split_part('', '|', 1)",
+    "lpad('abc', 2, 'x')",
+    "rpad('abc', 0, 'x')",
+    "repeat('ab', -1)",
+    "starts_with('abc', '')",
+    "ends_with('abc', 'c')",
+    "suffix('abc', 'c')",
+    "prefix('abc', 'a')",
+    # --- concat: casts args to text and SKIPS NULLs
+    "concat('a', NULL)",
+    "concat(NULL, NULL)",
+    "concat('a', 1, NULL, 'b')",
+    "concat_ws(',', 'a', NULL, 'b')",
+    # --- arrays
+    "list_concat([1], NULL)",
+    "list_concat(NULL, [2])",
+    "list_concat([1], [2])",
+    "array_cat([1], NULL)",
+    "list_distinct([3,1,3,NULL])",
+    "list_sort([3,1,NULL])",
+    "array_position([1,2,3], 9)",
+    "list_contains([1,2], NULL)",
+    "list_contains([1,2], 2)",
+    # --- aggregates (keep NULL elements; NULL, not [], on empty)
+    "(SELECT array_agg(v) FROM (VALUES (1),(NULL),(2)) t(v))",
+    "(SELECT array_agg(v) FROM (VALUES (1)) t(v) WHERE FALSE)",
+    "(SELECT array_agg(DISTINCT v) FROM (VALUES (1),(1),(NULL)) t(v))",
+    "(SELECT array_agg(v) FILTER (WHERE v > 99) FROM (VALUES (1)) t(v))",
+    "(SELECT list(v) FROM (VALUES (1),(NULL)) t(v))",
+    # --- date_part / extract field semantics
+    "date_part('dow', DATE '2024-01-07')",
+    "date_part('dow', DATE '2024-01-08')",
+    "date_part('dow', DATE '2024-01-13')",
+    "date_part('weekday', DATE '2024-01-07')",
+    "date_part('isodow', DATE '2024-01-07')",
+    "date_part('isodow', DATE '2024-01-08')",
+    "date_part('epoch', TIMESTAMP '1969-12-31 23:59:59')",
+    "date_part('epoch', TIMESTAMP '2024-01-02 03:04:05.25')",
+    "date_part('second', TIMESTAMP '2024-01-01 00:00:01.5')",
+    "date_part('seconds', TIMESTAMP '2024-01-01 00:00:01.5')",
+    "date_part('microseconds', TIMESTAMP '2024-01-01 00:00:01.5')",
+    "date_part('milliseconds', TIMESTAMP '2024-01-01 00:00:01.5')",
+    "extract(dow FROM DATE '2024-01-07')",
+    "extract(isodow FROM DATE '2024-01-08')",
+    "extract(epoch FROM DATE '2024-01-02')",
+    "weekday(DATE '2024-01-07')",
+    "dayofweek(DATE '2024-01-08')",
+    "date_part('year', DATE '2024-01-07')",
+    # --- interval arithmetic
+    "date_add(DATE '2024-01-31', INTERVAL 1 MONTH)",
+    "date_add(TIMESTAMP '2024-01-31 01:00:00', INTERVAL 1 MONTH)",
+    # --- casts
+    "TRY_CAST('abc' AS INT)",
+    "TRY_CAST('' AS INT)",
+    "CAST('  42  ' AS INT)",
+    # --- misc numeric
+    "greatest(1, NULL, 3)",
+    "least(NULL, NULL)",
+    "round(2.5)",
+    "round(-2.5)",
+    "sign(-0.0)",
+    "power(0, -1)",
+    "exp(1000)",
+    "nullif(1, 1)",
+]
+
+
+def _norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, list):
+        # duckdb list_distinct/array_agg(DISTINCT) element ORDER is
+        # unspecified — compare as multisets
+        return sorted(((x is None, x) for x in v), key=repr)
+    return v
+
+
+@pytest.mark.parametrize("expr", EDGES, ids=lambda e: e[:48])
+def test_duckdb_edge_value_parity(spark, expr):
+    q = f"SELECT {expr} AS v"
+    duck_v = duckdb.sql(q).fetchall()[0][0]
+    sq = transpile(q, "duckdb")
+    # text-level fixpoint: re-transpiling transpiled output is a no-op
+    assert transpile(sq, "duckdb") == sq, f"not a fixpoint: {sq}"
+    spark_v = spark.sql(sq).collect()[0][0]
+    # repr equality catches None-vs-0 etc.; numeric equality admits the
+    # benign dtype widenings (Decimal 1.5 vs float 1.5, -0.0 vs 0)
+    assert repr(_norm(duck_v)) == repr(_norm(spark_v)) or _norm(duck_v) == _norm(spark_v), (
+        f"{expr}: duck={duck_v!r} spark={spark_v!r}\n  transpiled: {sq}"
+    )
+
+
+# postgres-specific: ^ binds looser than unary minus (unlike duckdb),
+# substr keeps negative starts virtual (no from-end), and zero division
+# RAISES (matching Spark ANSI — no rewrite).
+PG_CASES = [
+    ("SELECT -2 ^ 2 AS v", -4.0),
+    ("SELECT 2 ^ 3 ^ 2 AS v", 64.0),
+    ("SELECT substring('hello', -2, 3) AS v", ""),
+    ("SELECT substring('hello', 0, 3) AS v", "he"),
+    ("SELECT substring('hello', 2, 3) AS v", "ell"),
+    ("SELECT left('hello', -2) AS v", "hel"),
+    ("SELECT concat('a', NULL) AS v", "a"),
+    ("SELECT array_cat(ARRAY[1], NULL) AS v", [1]),
+]
+
+
+@pytest.mark.parametrize("q,expected", PG_CASES, ids=lambda c: str(c)[:40])
+def test_postgres_edge_values(spark, q, expected):
+    sq = transpile(q, "postgres")
+    assert transpile(sq, "postgres") == sq
+    assert spark.sql(sq).collect()[0][0] == expected
+
+
+def test_postgres_division_raises_like_ansi(spark):
+    # postgres raises on division by zero — exactly Spark ANSI; the
+    # divisor must NOT be nullif-wrapped for postgres reads
+    assert transpile("SELECT a / b FROM t", "postgres") == "SELECT a / b FROM t"
+    assert transpile("SELECT a % b FROM t", "postgres") == "SELECT a % b FROM t"
+
+
+def test_unscoped_caret_is_loud():
+    # a ^ whose operand shape the rewrite cannot scope must fail loud —
+    # letting it through would evaluate XOR
+    with pytest.raises(TranspileError, match="exponentiation"):
+        transpile("SELECT 2 ^ * FROM t", "duckdb")
+
+
+def test_array_agg_order_by_is_loud():
+    with pytest.raises(TranspileError, match="ORDER BY"):
+        transpile("SELECT array_agg(x ORDER BY x) FROM t", "duckdb")
+
+
+def test_gcd_lcm_are_loud():
+    for fn in ("gcd", "lcm"):
+        with pytest.raises(TranspileError):
+            transpile(f"SELECT {fn}(12, 8) FROM t", "duckdb")
+
+
+# ---------------------------------------------------------------------------
+# PINNED DIVERGENCES — reference-matching behavior that differs from
+# DuckDB-native execution. The reference transpiles dialect SQL via
+# SQLGlot, which leaves these constructs unchanged, so a duckdb-dialect
+# model executed on the Spark engine behaves exactly as below. Each is
+# either an engine-raises-vs-NULL asymmetry in the LOUDER direction or a
+# statically-untypeable cast/operator. Pinned so drift is caught.
+# ---------------------------------------------------------------------------
+
+def test_pinned_log_family_null_where_duck_raises(spark):
+    # DuckDB raises out-of-range for log/ln/log10(<=0) and sqrt(<0);
+    # Spark returns NULL (log family) / NaN (sqrt). Succeeding with
+    # NULL where duck would abort the whole query is the documented,
+    # reference-matching behavior.
+    for expr, expected in [
+        ("log(0)", None),
+        ("ln(0)", None),
+        ("log10(-1)", None),
+    ]:
+        with pytest.raises(Exception):
+            duckdb.sql(f"SELECT {expr}").fetchall()
+        assert spark.sql(transpile(f"SELECT {expr} AS v", "duckdb")).collect()[0][0] is expected
+    assert math.isnan(
+        spark.sql(transpile("SELECT sqrt(-1) AS v", "duckdb")).collect()[0][0]
+    )
+
+
+def test_pinned_cast_rounding_divergence(spark):
+    # DuckDB CAST(fractional AS INT) ROUNDS (decimal: half away from
+    # zero; double: half to even); Spark truncates toward zero. The
+    # operand type is statically unknowable, SQLGlot ships the cast
+    # unchanged, and wrapping bround() would corrupt >2^53 BIGINT casts
+    # — documented divergence, reference-matching.
+    assert duckdb.sql("SELECT CAST(2.7 AS INT)").fetchall()[0][0] == 3
+    sq = transpile("SELECT CAST(2.7 AS INT) AS v", "duckdb")
+    assert spark.sql(sq).collect()[0][0] == 2
+
+
+def test_pinned_date_trunc_date_type_divergence(spark):
+    # duck date_trunc('week', DATE) returns DATE; Spark date_trunc
+    # always returns TIMESTAMP — same instant, different type. Value
+    # parity holds after an explicit CAST (what fixtures do).
+    sq = transpile(
+        "SELECT CAST(date_trunc('week', DATE '2024-01-07') AS DATE) AS v",
+        "duckdb",
+    )
+    import datetime
+
+    assert spark.sql(sq).collect()[0][0] == datetime.date(2024, 1, 1)
+    assert duckdb.sql(
+        "SELECT CAST(date_trunc('week', DATE '2024-01-07') AS DATE) AS v"
+    ).fetchall()[0][0] == datetime.date(2024, 1, 1)

@@ -124,8 +124,15 @@ def test_string_agg():
 
 
 def test_array_agg_and_list_aggregate():
+    # duckdb/postgres array_agg KEEPS NULL elements and returns NULL on
+    # an empty input set; collect_list drops NULLs and returns [] — the
+    # rewrite struct-wraps elements and restores NULL-on-empty.
     out = transpile("SELECT array_agg(x) FROM t", "postgres")
-    assert out == "SELECT collect_list(x) FROM t"
+    assert out == (
+        "SELECT (CASE WHEN size(array_agg(struct((x) AS _v))) = 0 "
+        "THEN NULL ELSE transform(array_agg(struct((x) AS _v)), "
+        "_s -> _s._v) END) FROM t"
+    )
 
 
 def test_string_to_array_escapes_regex_separator():
@@ -166,8 +173,10 @@ def test_varchar_with_length_untouched():
 
 
 def test_integer_division():
+    # duckdb // is truncating integer division with NULL on a zero
+    # divisor (Spark-4 ANSI DIV raises) — nullif-wrapped divisor
     out = transpile("SELECT a // b FROM t", "duckdb")
-    assert out == "SELECT a  DIV  b FROM t"
+    assert out == "SELECT a  DIV  nullif(b, 0) FROM t"
 
 
 def test_star_exclude():
