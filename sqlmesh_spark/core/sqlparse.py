@@ -178,7 +178,8 @@ def _token_re_for(dialect: str):
     dialect = normalize_dialect(dialect)
     if dialect == "bigquery":
         return _BQ_TOKEN_RE
-    if dialect == "mysql":
+    if dialect in ("mysql", "clickhouse"):
+        # both: backslash-escape literals + `#` line comments
         return _MYSQL_TOKEN_RE
     if dialect == "tsql":
         return _TSQL_TOKEN_RE

@@ -2233,12 +2233,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
     cast_as_idx = _cast_as_indices(toks)
     edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
 
-    if read == "mysql" and first_pass:
-        # MySQL `# ...` line comments: comments normally pass through
-        # byte-identical (they're skipped, not tokens), but Spark's parser
-        # rejects `#` — re-lex including comment matches and rewrite the
-        # marker to `--`. The lexer guarantees a `#` inside a string or
-        # backtick span never matches as a comment.
+    if read in ("mysql", "clickhouse") and first_pass:
+        # MySQL/ClickHouse `# ...` line comments: comments normally pass
+        # through byte-identical (they're skipped, not tokens), but
+        # Spark's parser rejects `#` — re-lex including comment matches
+        # and rewrite the marker to `--`. The lexer guarantees a `#`
+        # inside a string or backtick span never matches as a comment.
         token_re = _token_re_for(read)
         pos = 0
         while pos < len(sql):

@@ -1931,3 +1931,57 @@ def test_yaml_test_partial_validation_and_input_conflicts(spark, tmp_path):
                   "outputs": {"query": {"rows": [{"d": "2024-06-15"}]}}}}
     res = ModelTestRunner(spark).run_spec(spec, {iso_model.name: iso_model})[0]
     assert res.passed, res.failures
+
+
+def test_yaml_dialect_key_trino_clickhouse_grammars(spark):
+    """Round-6 directive: the YAML `dialect:` key routes FIXTURE query SQL
+    through each dialect's DEDICATED grammar, not just the function maps —
+    ClickHouse `#` line comments and backslash-escaped string literals,
+    Trino standard ''-doubled literals + plain-string split semantics
+    (reference test/runner.py:43-77 runs tests in the declared dialect)."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    ch_model = parse_model_text(
+        "MODEL (name demo.ch_g, kind FULL, dialect clickhouse);\n"
+        "SELECT k, upper(s) AS u FROM src.ch_g_rows"
+    )
+    # the fixture query itself is ClickHouse SQL: a `#` comment (CH-only
+    # grammar) and a backslash-escaped quote inside a literal
+    ch_yaml = """
+test_ch_g:
+  model: demo.ch_g
+  dialect: clickhouse
+  inputs:
+    src.ch_g_rows:
+      query: |
+        SELECT 1 AS k, 'a|b\\'c|d' AS s  # CH line comment
+  outputs:
+    query:
+      rows:
+        - {k: 1, u: "A|B'C|D"}
+"""
+    results = ModelTestRunner(spark).run_yaml(ch_yaml, {ch_model.name: ch_model})
+    assert results[0].passed, results[0].failures
+
+    tr_model = parse_model_text(
+        "MODEL (name demo.tr_g, kind FULL, dialect trino);\n"
+        "SELECT k, cardinality(split(s, '.')) AS n_parts\n"
+        "FROM src.tr_g_rows"
+    )
+    # trino fixture: standard ''-doubled quote literal; split's plain
+    # '.' separator must be regex-escaped by the trino pipeline
+    tr_yaml = """
+test_tr_g:
+  model: demo.tr_g
+  dialect: trino
+  inputs:
+    src.tr_g_rows:
+      query: |
+        SELECT 1 AS k, 'it''s.a.b' AS s
+  outputs:
+    query:
+      rows:
+        - {k: 1, n_parts: 3}
+"""
+    results = ModelTestRunner(spark).run_yaml(tr_yaml, {tr_model.name: tr_model})
+    assert results[0].passed, results[0].failures
