@@ -1,0 +1,75 @@
+"""Dialect handler registry: function-map assembly and handler dispatch tables.
+
+Split out of core/transpile.py (round 6): the walker in
+core/transpile.py dispatches into this module's handler functions; see
+TokenCtx in core/transpile_shared.py for the contract. Handler bodies
+are the pre-split code verbatim (continue -> return i), so every
+file:line reference in docstrings and VERDICT history still applies.
+"""
+
+from sqlmesh_spark.core.dialects import (
+    bigquery,
+    clickhouse,
+    mysql,
+    oracle,
+    redshift,
+    snowflake,
+    standard,
+    trino,
+    tsql,
+)
+from sqlmesh_spark.core.dialects.standard import _COMMON_FN
+from sqlmesh_spark.core.dialects.snowflake import _SNOWFLAKE_FN
+from sqlmesh_spark.core.dialects.bigquery import _BIGQUERY_FN
+from sqlmesh_spark.core.dialects.redshift import _REDSHIFT_FN
+from sqlmesh_spark.core.dialects.mysql import _MYSQL_FN
+from sqlmesh_spark.core.dialects.oracle import _ORACLE_FN
+from sqlmesh_spark.core.dialects.tsql import _TSQL_FN
+from sqlmesh_spark.core.dialects.trino import _TRINO_FN
+from sqlmesh_spark.core.dialects.clickhouse import _CLICKHOUSE_FN
+
+_DIALECT_FN: dict[str, dict[str, str | None]] = {
+    # regexp_matches is boolean partial-match in DuckDB only; in Postgres
+    # it returns SETOF text[] (captured groups), so the rename is correct
+    # for duckdb and LOUD for postgres.
+    "duckdb": {
+        **_COMMON_FN,
+        "regexp_matches": "regexp_like",
+        "suffix": "endswith",
+        "prefix": "startswith",
+        # zero-divisor → NULL in duckdb (Spark-4 ANSI mod/div raise);
+        # sign semantics are C-style in both. divide() is duckdb's
+        # TRUNCATING integer division (divide(7,2)=3) — handler below.
+        "mod": "try_mod",
+        "fmod": "try_mod",
+    },
+    "postgres": {**_COMMON_FN, "regexp_matches": None},
+    "ansi": {},                         # ANSI names that differ are below
+    "snowflake": _SNOWFLAKE_FN,
+    "bigquery": _BIGQUERY_FN,
+    "redshift": _REDSHIFT_FN,
+    "mysql": _MYSQL_FN,
+    "oracle": _ORACLE_FN,
+    "tsql": _TSQL_FN,
+    "trino": _TRINO_FN,
+    "clickhouse": _CLICKHOUSE_FN,
+}
+
+# Type names (CAST targets and `::` casts) that differ from Spark's.
+
+#: per-read-dialect call handlers that run BEFORE the shared standard
+#: handlers (dispatch order preserved from the pre-split monolith)
+PRE_CALL_HANDLERS = {
+    "snowflake": snowflake.call_handlers,
+    "bigquery": bigquery.call_handlers,
+    "redshift": redshift.call_handlers,
+    "mysql": mysql.call_handlers,
+    "oracle": oracle.call_handlers,
+    "tsql": tsql.call_handlers,
+}
+
+#: call handlers that run AFTER the shared standard handlers
+POST_CALL_HANDLERS = {
+    "clickhouse": clickhouse.call_handlers,
+    "trino": trino.call_handlers,
+}

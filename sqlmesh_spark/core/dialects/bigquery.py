@@ -1,0 +1,519 @@
+"""BigQuery read-dialect function map and call handlers.
+
+Split out of core/transpile.py (round 6): the walker in
+core/transpile.py dispatches into this module's handler functions; see
+TokenCtx in core/transpile_shared.py for the contract. Handler bodies
+are the pre-split code verbatim (continue -> return i), so every
+file:line reference in docstrings and VERDICT history still applies.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sqlmesh_spark.core.transpile_shared import (
+    TranspileError,
+    _NAME_KINDS,
+    _ident_text,
+    _call_arg_spans,
+    _EXPR_KEYWORDS,
+)
+from sqlmesh_spark.core.transpile_text import (
+    _DIFF_UNITS,
+    convert_strftime_format,
+    _regex_literal,
+    _spark_string_literal,
+    _literal_content,
+)
+
+_BIGQUERY_FN: dict[str, str | None] = {
+    "safe_cast": "try_cast",
+    "safe_divide": "try_divide",
+    "safe_add": "try_add",
+    "safe_subtract": "try_subtract",
+    "safe_multiply": "try_multiply",
+    "countif": "count_if",
+    "logical_and": "bool_and",
+    "logical_or": "bool_or",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "format": "format_string",          # both printf-style
+    "generate_uuid": "uuid",
+    "regexp_contains": "regexp_like",
+    "array_concat": "concat",
+    "array_to_string": "array_join",
+    "array_reverse": "reverse",
+    # collect_list drops NULLs = BigQuery's IGNORE NULLS arm; plain BQ
+    # ARRAY_AGG over a NULL element would have ERRORED, so no silent value
+    # divergence is possible. ORDER BY/LIMIT modifiers inside the call
+    # fail Spark's parser loudly at execution.
+    "array_agg": "collect_list",
+    "strpos": "instr",                  # both 1-based, 0 when absent
+    "byte_length": "octet_length",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "sha256": None,                     # returns BYTES; Spark sha2 returns hex
+    "sha512": None,
+    "farm_fingerprint": None,           # different hash → silent wrong values
+    # generate_array / generate_date_array have a handler below: BigQuery
+    # returns [] when start > end with the default step; Spark sequence
+    # returns a DESCENDING array.
+    "current_datetime": "localtimestamp",
+    # "datetime" has an arity-dependent handler (6-arg constructor vs
+    # 1-arg conversion vs 2-arg tz/date+time forms)
+    "json_extract_scalar": "get_json_object",
+    "json_value": "get_json_object",
+    "json_extract": None,               # returns JSON (not scalar) → loud
+    "json_query": None,
+    "parse_json": None,                 # BQ JSON type vs Spark VARIANT → loud
+    "safe_negate": None,
+    "time": None, "time_diff": None, "time_add": None, "time_sub": None,
+}
+
+# Redshift renames (PostgreSQL-8.0-derived; ref dialect.py:1040 — second
+# most common warehouse migration source after Snowflake). Identical-
+# semantics pass-throughs: nvl, nvl2, split_part (1-based), btrim/initcap,
+# md5, sha2, date_trunc, date_part, extract, regexp_substr/regexp_instr/
+# regexp_count (POSIX-enough for the common cases), median,
+# percentile_cont, listagg (render-time Spark>=4 gate below), greatest/
+# least (both ignore NULLs). DATEADD/DATEDIFF (boundary-crossing, bare
+# unit keywords) and TO_CHAR/TO_DATE/TO_TIMESTAMP (postgres-style format
+# patterns) route through the shared handlers below. None = loud failure.
+
+
+def call_handlers(ctx) -> "int | None":
+    """BigQuery read-dialect function map and call handlers (pre-split code, verbatim)."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i, name = ctx.i, ctx.name
+    kind, text, start, end = ctx.kind, ctx.text, ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    n = len(toks)
+    _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name == "unnest":
+        # FROM-clause UNNEST — four shapes:
+        #   t, UNNEST(x) AS e [WITH OFFSET [AS] o]
+        #   t CROSS|INNER JOIN UNNEST(x) e ...
+        #   t LEFT [OUTER] JOIN UNNEST(x) e ON TRUE  (outer)
+        #   FROM UNNEST(x) AS e                      (standalone)
+        # → LATERAL VIEW [pos]explode[_outer](x) _u AS [o,] e
+        # (standalone → FROM (SELECT explode(x) AS e)).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError("UNNEST takes exactly one array arg")
+        expr_text = transpile(
+            sql[toks[spans[0][0]][2] : toks[spans[0][1]][3]], read
+        )
+        # alias
+        j = close + 1
+        if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
+            j += 1
+        if j < n and toks[j][0] in _NAME_KINDS and \
+                toks[j][1].upper() not in _EXPR_KEYWORDS and \
+                toks[j][1].upper() not in ("WITH", "ON"):
+            alias = _ident_text(toks[j][0], toks[j][1])
+            region_end_tok = j
+            j += 1
+        else:
+            raise TranspileError(
+                "UNNEST without an alias cannot be referenced "
+                "after transpile; add `AS name`"
+            )
+        # WITH OFFSET [AS] o
+        offset_alias = None
+        if (
+            j + 1 < n
+            and toks[j][0] == "ident" and toks[j][1].upper() == "WITH"
+            and toks[j + 1][0] == "ident"
+            and toks[j + 1][1].upper() == "OFFSET"
+        ):
+            j += 2
+            region_end_tok = j - 1  # ...WITH OFFSET consumed
+            had_as = False
+            if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
+                j += 1
+                had_as = True
+            # Same keyword guard as the element alias: a bare
+            # WHERE/GROUP/ORDER after `WITH OFFSET` is the next
+            # clause, not the alias.
+            if j < n and toks[j][0] in _NAME_KINDS and (
+                had_as
+                or (
+                    toks[j][1].upper() not in _EXPR_KEYWORDS
+                    and toks[j][1].upper() not in ("WITH", "ON")
+                )
+            ):
+                offset_alias = _ident_text(toks[j][0], toks[j][1])
+                region_end_tok = j
+                j += 1
+            else:
+                offset_alias = "offset"
+        # preceding connector
+        p = i - 1
+        outer = False
+        is_join = False
+        standalone = False
+        region_start_tok = i
+        if p >= 0 and is_op(p, ","):
+            region_start_tok = p
+        elif p >= 0 and toks[p][0] == "ident" and toks[p][1].upper() == "JOIN":
+            region_start_tok = p
+            is_join = True
+            q = p - 1
+            if q >= 0 and toks[q][0] == "ident" and toks[q][1].upper() == "OUTER":
+                q -= 1
+            if q >= 0 and toks[q][0] == "ident" and \
+                    toks[q][1].upper() in ("RIGHT", "FULL"):
+                raise TranspileError(
+                    f"{toks[q][1].upper()} JOIN UNNEST has no "
+                    "LATERAL VIEW rewrite"
+                )
+            if q >= 0 and toks[q][0] == "ident" and \
+                    toks[q][1].upper() in ("CROSS", "INNER", "LEFT"):
+                region_start_tok = q
+                outer = toks[q][1].upper() == "LEFT"
+        elif p >= 0 and toks[p][0] == "ident" and toks[p][1].upper() == "FROM":
+            standalone = True
+        # Join forms may carry ON TRUE (mandatory for LEFT,
+        # legal for [INNER] JOIN) — swallow it; any other ON
+        # condition (or a missing one on LEFT) is LOUD rather
+        # than leaving an orphaned ON clause in the output.
+        if is_join or outer:
+            if (
+                j + 1 < n
+                and toks[j][0] == "ident" and toks[j][1].upper() == "ON"
+                and toks[j + 1][0] == "ident"
+                and toks[j + 1][1].upper() == "TRUE"
+            ):
+                region_end_tok = j + 1
+            elif outer:
+                raise TranspileError(
+                    "LEFT JOIN UNNEST with a non-TRUE ON condition "
+                    "has no LATERAL VIEW rewrite"
+                )
+            elif j < n and toks[j][0] == "ident" and \
+                    toks[j][1].upper() == "ON":
+                raise TranspileError(
+                    "JOIN UNNEST with a non-TRUE ON condition "
+                    "has no LATERAL VIEW rewrite"
+                )
+        if standalone:
+            if offset_alias is not None:
+                repl = (
+                    f"(SELECT posexplode({expr_text}) "
+                    f"AS ({offset_alias}, {alias}))"
+                )
+            else:
+                repl = f"(SELECT explode({expr_text}) AS {alias})"
+        else:
+            suffix = "_outer" if outer else ""
+            # the generated VIEW name must be a plain
+            # identifier even when the alias is quoted
+            view = "_u_" + re.sub(r"\W+", "", alias)
+            if offset_alias is not None:
+                repl = (
+                    f" LATERAL VIEW posexplode{suffix}({expr_text}) "
+                    f"{view} AS {offset_alias}, {alias}"
+                )
+            else:
+                repl = (
+                    f" LATERAL VIEW explode{suffix}({expr_text}) "
+                    f"{view} AS {alias}"
+                )
+        edits.append(
+            (toks[region_start_tok][2], toks[region_end_tok][3], repl)
+        )
+        i = region_end_tok + 1
+        return i
+
+    if name in ("timestamp_diff", "date_diff", "datetime_diff") and first_pass:
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 3:
+            raise TranspileError(f"bigquery {name} expects 3 args")
+        u_tok = toks[spans[2][0]]
+        if u_tok[0] != "ident" or spans[2][0] != spans[2][1]:
+            raise TranspileError(f"{name} unit must be a bare keyword")
+        raw_unit = u_tok[1].lower()
+        unit = _DIFF_UNITS.get(raw_unit)
+        if unit is None or raw_unit.startswith("week"):
+            # BigQuery WEEK boundaries start Sunday; Spark
+            # date_trunc weeks start Monday → silent off-by-one.
+            raise TranspileError(
+                f"{name} unit {raw_unit!r} has no faithful Spark rewrite"
+            )
+        later = _arg_text(spans[0])
+        earlier = _arg_text(spans[1])
+        if name == "timestamp_diff":
+            # complete elapsed units (truncation toward zero)
+            repl = f"timestampdiff({unit}, {earlier}, {later})"
+        else:
+            # DATE_DIFF/DATETIME_DIFF count boundary crossings
+            u = unit.lower()
+            repl = (
+                f"timestampdiff({unit}, date_trunc('{u}', {earlier}), "
+                f"date_trunc('{u}', {later}))"
+            )
+        edits.append((start, toks[close][3], repl))
+        i = close + 1
+        return i
+
+    if name in (
+        "timestamp_add", "timestamp_sub", "date_add", "date_sub",
+        "datetime_add", "datetime_sub",
+    ) and first_pass:
+        spans, close = _call_arg_spans(toks, i + 1)
+        # Spark's own date_add(d, n) / date_sub(d, n) share these
+        # names — only the INTERVAL form is BigQuery syntax.
+        if (
+            len(spans) == 2
+            and toks[spans[1][0]][0] == "ident"
+            and toks[spans[1][0]][1].upper() == "INTERVAL"
+        ):
+            unit_tok = toks[spans[1][1]]
+            raw_unit = unit_tok[1].lower() if unit_tok[0] == "ident" else ""
+            unit = _DIFF_UNITS.get(raw_unit)
+            if unit is None:
+                raise TranspileError(
+                    f"{name} interval unit {raw_unit!r} has no "
+                    "Spark timestampadd equivalent"
+                )
+            n_text = transpile(
+                sql[
+                    toks[spans[1][0] + 1][2] : toks[spans[1][1] - 1][3]
+                ].strip(),
+                read,
+            )
+            if not n_text:
+                raise TranspileError(f"{name} interval missing count")
+            if name.endswith("_sub"):
+                n_text = f"-({n_text})"
+            base = _arg_text(spans[0])
+            repl = f"timestampadd({unit}, {n_text}, {base})"
+            # BigQuery's DATE_ADD/DATE_SUB return DATE and the
+            # DATETIME variants return DATETIME; timestampadd
+            # yields TIMESTAMP — cast back so the materialized
+            # schema and string renderings don't silently
+            # change type.
+            if name.startswith("date_"):
+                repl = f"CAST({repl} AS DATE)"
+            elif name.startswith("datetime_"):
+                repl = f"CAST({repl} AS TIMESTAMP_NTZ)"
+            edits.append((start, toks[close][3], repl))
+            i = close + 1
+            return i
+
+    if name in ("format_date", "format_timestamp", "format_datetime") and first_pass:
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2 or toks[spans[0][0]][0] != "string" \
+                or spans[0][0] != spans[0][1]:
+            raise TranspileError(
+                f"{name} needs (literal_format, expr) to transpile"
+            )
+        fmt = _literal_content(toks[spans[0][0]][1], read)
+        converted = convert_strftime_format(fmt)
+        repl = (
+            f"date_format({_arg_text(spans[1])}, "
+            f"{_spark_string_literal(converted, read)})"
+        )
+        edits.append((start, toks[close][3], repl))
+        i = close + 1
+        return i
+
+    if name in ("parse_date", "parse_timestamp", "parse_datetime") and first_pass:
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2 or toks[spans[0][0]][0] != "string" \
+                or spans[0][0] != spans[0][1]:
+            raise TranspileError(
+                f"{name} needs (literal_format, expr) to transpile"
+            )
+        fmt = _literal_content(toks[spans[0][0]][1], read)
+        converted = convert_strftime_format(fmt)
+        target = "to_date" if name == "parse_date" else "to_timestamp"
+        repl = (
+            f"{target}({_arg_text(spans[1])}, "
+            f"{_spark_string_literal(converted, read)})"
+        )
+        edits.append((start, toks[close][3], repl))
+        i = close + 1
+        return i
+
+    if name in ("date_trunc", "timestamp_trunc", "datetime_trunc"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        # BigQuery puts the unit LAST as a bare keyword; the
+        # already-Spark form (unit first, as a string) does not
+        # match this shape, so the rewrite is naturally
+        # idempotent. A 3-arg TIMESTAMP_TRUNC(ts, unit, tz)
+        # timezone form has no Spark rewrite — LOUD.
+        if len(spans) == 3 and toks[spans[0][0]][0] != "string":
+            raise TranspileError(
+                f"{name} with a timezone argument has no Spark "
+                "date_trunc rewrite"
+            )
+        unit_tok_ok = (
+            len(spans) == 2
+            and toks[spans[1][0]][0] == "ident"
+            and toks[spans[0][0]][0] != "string"
+        )
+        if unit_tok_ok:
+            # WEEK(MONDAY) is call-shaped: ident '(' ident ')'.
+            if (
+                spans[1][0] + 3 == spans[1][1]
+                and toks[spans[1][0]][1].lower() == "week"
+                and is_op(spans[1][0] + 1, "(")
+                and toks[spans[1][0] + 2][0] == "ident"
+                and is_op(spans[1][0] + 3, ")")
+            ):
+                if toks[spans[1][0] + 2][1].lower() != "monday":
+                    raise TranspileError(
+                        f"bigquery WEEK({toks[spans[1][0] + 2][1].upper()}) "
+                        "truncation has no Spark rewrite (Spark "
+                        "weeks start Monday)"
+                    )
+                raw_unit = "isoweek"  # Monday-start, = Spark week
+            elif spans[1][0] != spans[1][1]:
+                raise TranspileError(
+                    f"bigquery {name} unit must be a bare date "
+                    "part keyword"
+                )
+            else:
+                raw_unit = toks[spans[1][0]][1].lower()
+            if raw_unit.startswith("week"):
+                raise TranspileError(
+                    "bigquery WEEK truncation starts Sunday; Spark "
+                    "weeks start Monday — no faithful rewrite "
+                    "(WEEK(MONDAY)/ISOWEEK do transpile)"
+                )
+            # Spark date_trunc accepts MILLISECOND/MICROSECOND
+            # beyond the timestampdiff unit set; ISOWEEK and
+            # Spark WEEK both truncate to the Monday on-or-
+            # before. ISOYEAR (ISO year start) has no Spark
+            # equivalent.
+            _TRUNC_EXTRA = {
+                "millisecond": "MILLISECOND",
+                "microsecond": "MICROSECOND",
+                "isoweek": "WEEK",
+            }
+            u_mapped = _DIFF_UNITS.get(raw_unit) or _TRUNC_EXTRA.get(raw_unit)
+            if u_mapped is None:
+                raise TranspileError(
+                    f"bigquery {name} unit {raw_unit!r} has no "
+                    "Spark date_trunc equivalent"
+                )
+            u = u_mapped.lower()
+            repl = f"date_trunc('{u}', {_arg_text(spans[0])})"
+            # BigQuery DATE_TRUNC returns DATE, DATETIME_TRUNC
+            # returns DATETIME; Spark date_trunc returns
+            # TIMESTAMP — cast back (same rule as DATE_ADD).
+            if name == "date_trunc":
+                repl = f"CAST({repl} AS DATE)"
+            elif name == "datetime_trunc":
+                repl = f"CAST({repl} AS TIMESTAMP_NTZ)"
+            edits.append((start, toks[close][3], repl))
+            i = close + 1
+            return i
+
+    if name == "log":
+        # BigQuery LOG(x, base) vs Spark log(base, expr) —
+        # REVERSED arg order, silent wrong values if passed
+        # through. Rewrite as an ln ratio (what Spark's own
+        # Logarithm lowers to), which is also idempotent under
+        # re-transpile (a bare arg swap would flip every pass).
+        # 1-arg LOG is ln in both — untouched.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            x = _arg_text(spans[0])
+            b = _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3], f"(ln({x}) / ln({b}))")
+            )
+            i = close + 1
+            return i
+        i += 1
+        return i
+
+    if name == "date":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 3:
+            edits.append((start, end, "make_date"))
+        elif len(spans) == 1:
+            edits.append((start, end, "to_date"))
+        else:
+            raise TranspileError(
+                "DATE(ts, tz) timezone form has no direct Spark rewrite"
+            )
+        i += 1
+        return i
+
+    if name in ("generate_array", "generate_date_array"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            # BigQuery returns [] when start > end with the
+            # default (positive) step; Spark sequence returns a
+            # DESCENDING array. slice(single-elem, 1, 0) makes
+            # a correctly-TYPED empty array (bare array() is
+            # array<string> and breaks the conditional's type).
+            a = _arg_text(spans[0])
+            b = _arg_text(spans[1])
+            repl = (
+                f"if(({a}) <= ({b}), sequence(({a}), ({b})), "
+                f"slice(sequence(({a}), ({a})), 1, 0))"
+            )
+            edits.append((start, toks[close][3], repl))
+            i = close + 1
+            return i
+        # explicit-step form: Spark sequence errors loudly when
+        # the step sign disagrees with the bound order, which
+        # surfaces the (rare) divergence instead of hiding it.
+        edits.append((start, end, "sequence"))
+        i += 1
+        return i
+
+    if name == "datetime":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 6:
+            # DATETIME(y, m, d, h, mi, s) constructor
+            edits.append((start, end, "make_timestamp_ntz"))
+        elif len(spans) == 1:
+            # DATETIME(date_or_ts) → wall-clock conversion
+            edits.append((start, end, "CAST"))
+            edits.append(
+                (toks[close][2], toks[close][2], " AS TIMESTAMP_NTZ")
+            )
+        else:
+            raise TranspileError(
+                "DATETIME(date, time) / DATETIME(ts, tz) forms "
+                "have no direct Spark rewrite"
+            )
+        i += 1
+        return i
+
+    if name == "split" and first_pass:
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append((toks[close][2], toks[close][2], ", ','"))
+        elif len(spans) == 2:
+            sep = toks[spans[1][0]]
+            if sep[0] != "string" or spans[1][0] != spans[1][1]:
+                raise TranspileError(
+                    "bigquery split separator must be a literal to "
+                    "transpile (Spark split() treats it as a regex)"
+                )
+            inner = _literal_content(sep[1], read)
+            edits.append((sep[2], sep[3], _regex_literal(inner, read)))
+        i += 1
+        return i
+
+    if name in ("offset", "ordinal") and i > 0 and is_op(i - 1, "["):
+        # Only in subscript position: arr[OFFSET(i)] — bare
+        # subscripts pass through for bigquery and Spark's
+        # arr[i] is 0-based like OFFSET, so strip the wrapper
+        # (ORDINAL is 1-based → subtract 1). The `[` guard
+        # keeps `LIMIT 10 OFFSET (5)` untouched.
+        _spans, close = _call_arg_spans(toks, i + 1)
+        edits.append((start, end, ""))
+        if name == "ordinal":
+            edits.append((toks[close][3], toks[close][3], " - 1"))
+        i += 1
+        return i
+
+    return None

@@ -1,0 +1,380 @@
+"""MySQL read-dialect function map, operator fixes and call handlers.
+
+Split out of core/transpile.py (round 6): the walker in
+core/transpile.py dispatches into this module's handler functions; see
+TokenCtx in core/transpile_shared.py for the contract. Handler bodies
+are the pre-split code verbatim (continue -> return i), so every
+file:line reference in docstrings and VERDICT history still applies.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sqlmesh_spark.core.transpile_shared import (
+    TranspileError,
+    _require_spark4,
+    _call_arg_spans,
+)
+from sqlmesh_spark.core.transpile_text import (
+    _DIFF_UNITS,
+    convert_mysql_format,
+    _mysql_fmt_has_time,
+    _spark_string_literal,
+    _literal_content,
+)
+
+_MYSQL_FN: dict[str, str | None] = {
+    "length": "octet_length",           # MySQL LENGTH() counts BYTES
+    "curdate": "current_date",
+    "curtime": None,                    # TIME type has no Spark analog
+    "now": "current_timestamp",
+    "sysdate": "current_timestamp",     # per-call vs per-statement clock:
+                                        # sub-statement skew accepted
+    "localtime": "localtimestamp",
+    "utc_timestamp": None,              # handler below (UTC wall-clock)
+    "utc_date": None,
+    "utc_time": None,
+    "format": "format_number",          # both add thousands separators
+    "field": None,                      # no Spark equivalent
+    # find_in_set passes through (Spark's matches MySQL's 1-based index)
+    "make_set": None,
+    "export_set": None,
+    # weekday passes through (0=Monday..6 in both MySQL and Spark)
+    "week": None,                       # mode-dependent numbering → loud
+    "yearweek": None,
+    "to_days": None, "from_days": None,
+    "time_to_sec": None, "sec_to_time": None,
+    "timediff": None, "maketime": None, "makedate": None,
+    # date_format is handled below (format conversion; same name in Spark,
+    # so NOT mapped None here — the fixpoint's later passes must leave the
+    # handler's own Spark-ready output untouched)
+    "str_to_date": None,                # handler below
+    "get_format": None,
+    "group_concat": None,               # handler below (SEPARATOR syntax)
+    "json_extract": None, "json_unquote": None, "json_object": None,
+    "json_arrayagg": None, "json_objectagg": None,
+    "convert_tz": None,
+    "truncate": None,                   # numeric truncate → loud
+    "least": None,                      # MySQL returns NULL on any NULL arg;
+    "greatest": None,                   # Spark ignores NULLs → silent wrong
+    "password": None, "encrypt": None, "aes_encrypt": None,
+    "aes_decrypt": None, "compress": None, "uncompress": None,
+    "uuid_short": None,
+    "connection_id": None, "database": None, "schema": None, "user": None,
+    "session_user": None, "system_user": None, "version": None,
+    "benchmark": None, "sleep": None, "get_lock": None, "release_lock": None,
+}
+
+# Oracle renames (ref dialect.py:1040; the classic enterprise migration
+# source). Huge identical-semantics overlap with Spark — these pass
+# through: nvl, nvl2, decode (Spark's decode IS Oracle's NULL-safe
+# comparison form, verified on 4.1), months_between (same 31-day-month
+# formula), add_months, last_day, next_day, instr (2-arg), substr
+# (negative-from-end), lpad/rpad, translate, initcap, greatest/least
+# (Oracle propagates NULL... see map), ceil/floor/round/trunc-numeric
+# handled loud, listagg (Spark>=4 gate), sign, power, mod, chr, ascii,
+# soundex, concat (2-arg), coalesce, abs. TO_CHAR/TO_DATE/TO_TIMESTAMP
+# route through the shared Postgres-pattern handler (Oracle is that
+# pattern language's origin). Known documented divergence with no static
+# rewrite: Oracle '' IS NULL — Spark treats '' as a value.
+
+
+def token_handlers(ctx) -> "int | None":
+    """Walker-level (non-call) token handlers (pre-split code, verbatim)."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i, name = ctx.i, ctx.name
+    kind, text, start, end = ctx.kind, ctx.text, ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    n = len(toks)
+    _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if read == "mysql":
+        # MySQL `||` is logical OR (PIPES_AS_CONCAT off, the default);
+        # Spark reads it as string concat — silent wrong values.
+        if kind == "op" and text == "||":
+            edits.append((start, end, " OR "))
+            i += 1
+            return i
+        # JSON column->path / column->>path operators — loud (the
+        # MySQL JSON type itself is unmapped).
+        if kind == "op" and text == "->":
+            raise TranspileError(
+                "mysql JSON -> / ->> operators have no Spark rewrite"
+            )
+        # XOR is a reserved MySQL boolean operator Spark lacks.
+        if kind == "ident" and text.upper() == "XOR":
+            raise TranspileError(
+                "mysql XOR operator has no Spark equivalent; rewrite "
+                "as (a OR b) AND NOT (a AND b)"
+            )
+        # LIMIT offset, count → LIMIT count OFFSET offset. LIMIT is
+        # reserved in MySQL, so a bare ident here is the clause (a
+        # column of that name would be backtick-quoted).
+        if (
+            kind == "ident"
+            and text.upper() == "LIMIT"
+            and i + 3 < n
+            and toks[i + 1][0] == "number"
+            and is_op(i + 2, ",")
+            and toks[i + 3][0] == "number"
+        ):
+            off_txt = toks[i + 1][1]
+            cnt_txt = toks[i + 3][1]
+            edits.append(
+                (toks[i + 1][2], toks[i + 3][3],
+                 f"{cnt_txt} OFFSET {off_txt}")
+            )
+            i += 4
+            return i
+
+    # BigQuery raw/bytes string prefixes: r'...' keeps backslashes
+    # literal (ubiquitous for regex patterns) — re-emit as a Spark
+    # literal with the backslashes escaped; b'...'/rb'...' BYTES
+    # literals have no Spark string form — LOUD. The prefix lexes as
+    # a separate ident, so adjacency (no whitespace) is the signature.
+    return None
+
+
+def call_handlers(ctx) -> "int | None":
+    """MySQL read-dialect function map, operator fixes and call handlers (pre-split code, verbatim)."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i, name = ctx.i, ctx.name
+    kind, text, start, end = ctx.kind, ctx.text, ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    n = len(toks)
+    _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name == "utc_timestamp":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if spans:
+            raise TranspileError("utc_timestamp takes no arguments")
+        edits.append(
+            (start, toks[close][3],
+             "to_utc_timestamp(current_timestamp(), current_timezone())")
+        )
+        i = close + 1
+        return i
+
+    if name == "date_format" and first_pass:
+        # Same name + arg order as Spark, but MySQL %-codes.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2 or toks[spans[1][0]][0] != "string" \
+                or spans[1][0] != spans[1][1]:
+            raise TranspileError(
+                "mysql date_format needs a literal format to "
+                "transpile"
+            )
+        fmt_tok = toks[spans[1][0]]
+        raw_fmt = _literal_content(fmt_tok[1], read)
+        if "%" not in raw_fmt:
+            # No %-codes: either our OWN already-converted Java
+            # pattern re-read on a later logical pass (must
+            # stay untouched for idempotence) or a pure-literal
+            # MySQL format. Letters are ambiguous between the
+            # two readings — loud; letterless formats mean the
+            # same in both.
+            if re.search(r"[A-Za-z]", raw_fmt):
+                raise TranspileError(
+                    f"date_format pattern {raw_fmt!r} has no "
+                    "%-codes; cannot tell a literal MySQL "
+                    "format from an already-Spark pattern"
+                )
+            i += 1
+            return i
+        converted = convert_mysql_format(raw_fmt)
+        edits.append((start, end, "date_format"))
+        edits.append(
+            (fmt_tok[2], fmt_tok[3],
+             _spark_string_literal(converted, read))
+        )
+        i += 1
+        return i
+
+    if name == "str_to_date" and first_pass:
+        # → to_timestamp when the format has time codes, else
+        # to_date (MySQL returns DATETIME vs DATE on the same
+        # rule).
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2 or toks[spans[1][0]][0] != "string" \
+                or spans[1][0] != spans[1][1]:
+            raise TranspileError(
+                "str_to_date needs a literal format to transpile"
+            )
+        fmt_tok = toks[spans[1][0]]
+        raw_fmt = _literal_content(fmt_tok[1], read)
+        converted = convert_mysql_format(raw_fmt)
+        target = (
+            "to_timestamp" if _mysql_fmt_has_time(raw_fmt)
+            else "to_date"
+        )
+        edits.append((start, end, target))
+        edits.append(
+            (fmt_tok[2], fmt_tok[3],
+             _spark_string_literal(converted, read))
+        )
+        i += 1
+        return i
+
+    if name == "from_unixtime" and first_pass:
+        # 1-arg matches Spark; 2-arg format is MySQL %-codes
+        # (Spark's is a Java pattern). Same shared-name
+        # ambiguity rule as date_format: a no-% format with
+        # letters cannot be told apart from our own emitted
+        # Java pattern — loud; letterless means the same.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            fmt_tok = toks[spans[1][0]]
+            if toks[spans[1][0]][0] != "string" \
+                    or spans[1][0] != spans[1][1]:
+                raise TranspileError(
+                    "from_unixtime format must be a literal to "
+                    "transpile"
+                )
+            raw_fmt = _literal_content(fmt_tok[1], read)
+            if "%" not in raw_fmt:
+                if re.search(r"[A-Za-z]", raw_fmt):
+                    raise TranspileError(
+                        f"from_unixtime pattern {raw_fmt!r} has "
+                        "no %-codes; cannot tell a literal MySQL "
+                        "format from an already-Spark pattern"
+                    )
+                i += 1
+                return i
+            converted = convert_mysql_format(raw_fmt)
+            edits.append((start, end, "from_unixtime"))
+            edits.append(
+                (fmt_tok[2], fmt_tok[3],
+                 _spark_string_literal(converted, read))
+            )
+        i += 1
+        return i
+
+    if name == "group_concat" and first_pass:
+        # GROUP_CONCAT([DISTINCT] expr [SEPARATOR 'sep']) →
+        # listagg([DISTINCT] expr, sep), default separator ','.
+        # ORDER BY inside the call has no pre-4.0 rewrite and
+        # WITHIN GROUP placement differs — LOUD.
+        _require_spark4(name, "listagg")
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError(
+                "group_concat with multiple exprs has no "
+                "direct Spark rewrite (concatenate explicitly)"
+            )
+        s_first, s_last = spans[0]
+        sep_lit = "','"
+        arg_end = toks[s_last][3]
+        # scan the single arg span for ORDER BY / SEPARATOR
+        # at bracket depth 0
+        depth_ = 0
+        sep_at = None
+        for j in range(s_first, s_last + 1):
+            k_, t_, _, _ = toks[j]
+            if k_ == "op" and t_ in ("(", "["):
+                depth_ += 1
+            elif k_ == "op" and t_ in (")", "]"):
+                depth_ -= 1
+            elif depth_ == 0 and k_ == "ident":
+                up = t_.upper()
+                if up == "ORDER":
+                    raise TranspileError(
+                        "group_concat ORDER BY has no Spark "
+                        "rewrite (listagg WITHIN GROUP differs "
+                        "in placement); order in an outer query"
+                    )
+                if up == "SEPARATOR":
+                    sep_at = j
+        if sep_at is not None:
+            if sep_at == s_first:
+                raise TranspileError(
+                    "group_concat needs an expression before "
+                    "SEPARATOR"
+                )
+            if (
+                sep_at + 1 > s_last
+                or toks[sep_at + 1][0] != "string"
+                or sep_at + 1 != s_last
+            ):
+                raise TranspileError(
+                    "group_concat SEPARATOR must be a trailing "
+                    "string literal"
+                )
+            sep_lit = _spark_string_literal(
+                _literal_content(toks[sep_at + 1][1], read), read
+            )
+            # expr ends just before SEPARATOR
+            arg_end = toks[sep_at - 1][3]
+            # drop "SEPARATOR 'sep'"
+            edits.append((arg_end, toks[s_last][3], ""))
+        edits.append((start, end, "listagg"))
+        edits.append((arg_end, arg_end, f", {sep_lit}"))
+        i += 1
+        return i
+
+    if name in ("date_add", "date_sub", "adddate", "subdate") \
+            and first_pass:
+        # INTERVAL form → timestampadd(UNIT, [-]expr, date) —
+        # Spark INTERVAL literals need constant quantities, but
+        # MySQL allows expressions, so timestampadd is the
+        # general rewrite (type caveat as dateadd: result is
+        # TIMESTAMP). adddate(d, n) day-shorthand matches
+        # Spark's own date_add(d, n).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError(f"{name} takes 2 args")
+        s2_first, s2_last = spans[1]
+        neg = name in ("date_sub", "subdate")
+        if (
+            toks[s2_first][0] == "ident"
+            and toks[s2_first][1].upper() == "INTERVAL"
+        ):
+            if s2_last < s2_first + 2:
+                raise TranspileError(
+                    f"{name} INTERVAL needs a quantity and unit"
+                )
+            u_tok = toks[s2_last]
+            if u_tok[0] != "ident":
+                raise TranspileError(
+                    f"{name} INTERVAL unit must be a keyword"
+                )
+            unit = _DIFF_UNITS.get(u_tok[1].lower())
+            if unit is None and u_tok[1].lower() == "microsecond":
+                unit = "MICROSECOND"
+            if unit is None:
+                raise TranspileError(
+                    f"{name} unit {u_tok[1]!r} has no Spark "
+                    "timestampadd equivalent (composite units "
+                    "like SECOND_MICROSECOND are unsupported)"
+                )
+            qty = transpile(
+                sql[toks[s2_first + 1][2] : toks[s2_last - 1][3]],
+                read,
+            )
+            date_text = _arg_text(spans[0])
+            qty_text = f"-({qty})" if neg else qty
+            edits.append(
+                (start, toks[close][3],
+                 f"timestampadd({unit}, {qty_text}, {date_text})")
+            )
+            i = close + 1
+            return i
+        if name in ("adddate", "subdate"):
+            # integer-days shorthand
+            if neg:
+                d_text = _arg_text(spans[0])
+                n_text = _arg_text(spans[1])
+                edits.append(
+                    (start, toks[close][3],
+                     f"date_sub({d_text}, {n_text})")
+                )
+                i = close + 1
+            else:
+                edits.append((start, end, "date_add"))
+                i += 1
+            return i
+        raise TranspileError(
+            f"mysql {name} needs an INTERVAL second argument"
+        )
+
+    return None

@@ -1,0 +1,468 @@
+"""Snowflake read-dialect function map and call handlers.
+
+Split out of core/transpile.py (round 6): the walker in
+core/transpile.py dispatches into this module's handler functions; see
+TokenCtx in core/transpile_shared.py for the contract. Handler bodies
+are the pre-split code verbatim (continue -> return i), so every
+file:line reference in docstrings and VERDICT history still applies.
+"""
+
+from __future__ import annotations
+
+from sqlmesh_spark.core.transpile_shared import (
+    TranspileError,
+    _require_spark4,
+    _emit_infix_call,
+    _NAME_KINDS,
+    _ident_text,
+    _call_arg_spans,
+    _EXPR_KEYWORDS,
+)
+from sqlmesh_spark.core.transpile_text import (
+    convert_sf_format,
+    _regex_literal,
+    _spark_string_literal,
+    _literal_content,
+)
+
+_SNOWFLAKE_FN: dict[str, str | None] = {
+    "iff": "if",
+    "len": "length",
+    # editdistance has an arity-dependent handler: the 2-arg form renames
+    # to levenshtein, but the 3-arg capped form diverges (Spark returns -1
+    # above the threshold, Snowflake returns the cap).
+    "charindex": "position",            # both (substr, str[, start]), 1-based
+    "array_construct": "array",
+    "array_size": "size",
+    "array_cat": "concat",
+    "array_position": None,             # 0-based AND (elem, arr) order → loud
+    "arrayagg": "collect_list",
+    "array_agg": "collect_list",
+    "getdate": "current_timestamp",
+    # sysdate/systimestamp return UTC wall-clock — handled below with a
+    # to_utc_timestamp rewrite, not a bare rename
+    "uuid_string": "uuid",
+    "weekiso": "weekofyear",            # both ISO week-of-year
+    # dayofweek/week depend on the session's WEEK_START parameter (and the
+    # common default disagrees with Spark's 1=Sunday) — silent off-by-one,
+    # so LOUD; the ISO variants have exact rewrites (handlers below).
+    "dayofweek": None,
+    "week": None,
+    "random": None,                     # 64-bit int gen vs Spark rand() double
+    "seq1": None, "seq2": None, "seq4": None, "seq8": None,
+    "object_construct": None,
+    "object_construct_keep_null": None,
+    "get": None, "get_path": None, "flatten": None,
+    # decode passes through: Snowflake DECODE is the Oracle NULL-safe
+    # comparison form, which Spark's decode implements exactly
+    # (verified on 4.1: decode(NULL, NULL, 'm', 'z') = 'm')
+    "timediff": None,
+    "hash": None,                       # different hash function → silent wrong
+    "to_variant": None,
+    "strtok": None,                     # 1-based tokenizer w/ charset delim
+}
+
+# BigQuery renames. Identical-semantics pass-throughs: regexp_extract_all,
+# last_day, unix_date, date_from_unix_date, timestamp_seconds/millis/micros,
+# unix_seconds/millis/micros, string(), net-new EXCEPT DISTINCT and
+# `SELECT * EXCEPT (...)` are native Spark syntax already.
+
+
+def call_handlers(ctx) -> "int | None":
+    """Snowflake read-dialect function map and call handlers (pre-split code, verbatim)."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i, name = ctx.i, ctx.name
+    kind, text, start, end = ctx.kind, ctx.text, ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    n = len(toks)
+    _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name in ("to_varchar", "to_char") and first_pass:
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append((start, end, "CAST"))
+            edits.append((toks[close][2], toks[close][2], " AS STRING"))
+        elif (
+            len(spans) == 2
+            and toks[spans[1][0]][0] == "string"
+            and spans[1][0] == spans[1][1]
+        ):
+            fmt_tok = toks[spans[1][0]]
+            converted = convert_sf_format(
+                _literal_content(fmt_tok[1], read)
+            )
+            edits.append((start, end, "date_format"))
+            edits.append(
+                (fmt_tok[2], fmt_tok[3],
+                 _spark_string_literal(converted, read))
+            )
+        else:
+            raise TranspileError(
+                f"{name} needs a literal format to transpile from snowflake"
+            )
+        i += 1
+        return i
+
+    if name in (
+        "to_date", "to_timestamp", "to_timestamp_ntz",
+        "to_timestamp_ltz", "to_timestamp_tz", "try_to_timestamp",
+        "try_to_date",
+    ) and first_pass:
+        spans, _close = _call_arg_spans(toks, i + 1)
+        target = {
+            "to_date": "to_date",
+            "try_to_date": "try_to_date",  # native on Spark 4.0+
+            "try_to_timestamp": "try_to_timestamp",
+        }.get(name, "to_timestamp")
+        _require_spark4(name, target)
+        if len(spans) == 2:
+            if toks[spans[1][0]][0] != "string" or spans[1][0] != spans[1][1]:
+                raise TranspileError(
+                    f"{name} needs a single literal format to "
+                    "transpile from snowflake (2nd arg may be a "
+                    "scale or an expression, which Spark's "
+                    "to_timestamp cannot express)"
+                )
+            fmt_tok = toks[spans[1][0]]
+            converted = convert_sf_format(
+                _literal_content(fmt_tok[1], read)
+            )
+            edits.append(
+                (fmt_tok[2], fmt_tok[3],
+                 _spark_string_literal(converted, read))
+            )
+        elif len(spans) == 1 and target in ("to_timestamp", "try_to_timestamp"):
+            # Snowflake 1-arg TO_TIMESTAMP accepts BOTH
+            # timestamp strings AND epoch seconds (numbers or
+            # numeric strings) — a bare Spark to_timestamp
+            # NULLs/errors on epochs. Try the string parse
+            # first, fall back to epoch-seconds; exactly one
+            # branch is non-NULL for any given value.
+            arg = _arg_text(spans[0])
+            close_tok = _close
+            # Snowflake treats numeric values AND integer-
+            # shaped strings as epochs, auto-scaled by
+            # magnitude: seconds < 31536000000 <= millis <
+            # 31536000000000 <= micros < 31536000000000000 <=
+            # nanos. The epoch branch must be FIRST: '2023'
+            # is epoch-seconds in Snowflake, but a string
+            # parser would read it as year 2023. The probe
+            # goes THROUGH STRING (TRY_CAST(ts AS BIGINT)
+            # fails ANALYSIS for timestamp/date columns, and
+            # a timestamp rendered to string is not digit-
+            # shaped, so such columns correctly fall to the
+            # parse branch with full sub-second precision).
+            # Divergence, documented: unparseable garbage
+            # yields NULL here where Snowflake's non-TRY
+            # form errors. (The argument repeats in the
+            # rendered SQL — Spark dedups common
+            # subexpressions; accepted for fidelity.)
+            # Fractional numeric epochs (DOUBLE/DECIMAL columns,
+            # '1.5e9' strings) fail the BIGINT probe but are
+            # still epochs in Snowflake — a second DOUBLE probe
+            # catches them (same magnitude ladder, fraction
+            # preserved to micros). Timestamp/date columns fail
+            # both probes (their string forms contain dashes)
+            # and correctly fall to the parse branch.
+            v = f"TRY_CAST(CAST({arg} AS STRING) AS BIGINT)"
+            d = f"TRY_CAST(CAST({arg} AS STRING) AS DOUBLE)"
+            repl = (
+                f"CASE "
+                f"WHEN {v} IS NOT NULL AND abs({v}) < 31536000000 THEN timestamp_seconds({v}) "
+                f"WHEN {v} IS NOT NULL AND abs({v}) < 31536000000000 THEN timestamp_millis({v}) "
+                f"WHEN {v} IS NOT NULL AND abs({v}) < 31536000000000000 THEN timestamp_micros({v}) "
+                f"WHEN {v} IS NOT NULL THEN timestamp_micros({v} DIV 1000) "
+                f"WHEN {d} IS NOT NULL AND abs({d}) < 31536000000 THEN timestamp_micros(CAST({d} * 1000000 AS BIGINT)) "
+                f"WHEN {d} IS NOT NULL AND abs({d}) < 31536000000000 THEN timestamp_micros(CAST({d} * 1000 AS BIGINT)) "
+                f"WHEN {d} IS NOT NULL AND abs({d}) < 31536000000000000 THEN timestamp_micros(CAST({d} AS BIGINT)) "
+                f"WHEN {d} IS NOT NULL THEN timestamp_micros(CAST({d} / 1000 AS BIGINT)) "
+                f"ELSE try_to_timestamp(CAST({arg} AS STRING)) END"
+            )
+            edits.append((start, toks[close_tok][3], repl))
+            i = close_tok + 1
+            return i
+        elif len(spans) != 1:
+            raise TranspileError(f"{name} takes 1 or 2 args")
+        if name != target:
+            edits.append((start, end, target))
+        i += 1
+        return i
+
+    if name in ("sysdate", "systimestamp"):
+        # UTC wall-clock, regardless of session timezone.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if spans:
+            raise TranspileError(f"{name} takes no arguments")
+        edits.append(
+            (start, toks[close][3],
+             "to_utc_timestamp(current_timestamp(), current_timezone())")
+        )
+        i = close + 1
+        return i
+
+    if name == "split" and first_pass:
+        # Snowflake SPLIT separates on a PLAIN string; Spark
+        # split()'s separator is a regex — escape metachars.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError("snowflake split takes 2 args")
+        sep = toks[spans[1][0]]
+        if sep[0] != "string" or spans[1][0] != spans[1][1]:
+            raise TranspileError(
+                "snowflake split separator must be a literal to "
+                "transpile (Spark split() treats it as a regex)"
+            )
+        content = _literal_content(sep[1], read)
+        edits.append((sep[2], sep[3], _regex_literal(content, read)))
+        i += 1
+        return i
+
+    if name == "dayofweekiso":
+        # 1=Monday..7=Sunday — Spark weekday() is 0=Monday..6.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError("dayofweekiso takes 1 arg")
+        edits.append(
+            (start, toks[close][3],
+             f"(weekday({_arg_text(spans[0])}) + 1)")
+        )
+        i = close + 1
+        return i
+
+    if name == "yearofweekiso":
+        # ISO week-numbering year — Spark extract(YEAROFWEEK).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError("yearofweekiso takes 1 arg")
+        edits.append(
+            (start, toks[close][3],
+             f"extract(YEAROFWEEK FROM {_arg_text(spans[0])})")
+        )
+        i = close + 1
+        return i
+
+    if name in ("to_double", "try_to_double"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError(
+                f"{name} with a format argument has no Spark "
+                "CAST rewrite"
+            )
+        cast_fn = "TRY_CAST" if name.startswith("try_") else "CAST"
+        edits.append((start, end, cast_fn))
+        edits.append((toks[close][2], toks[close][2], " AS DOUBLE"))
+        i += 1
+        return i
+
+    if name in ("bitand", "bitor", "bitxor"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[name]
+        _emit_infix_call(
+            edits, toks, start, close, spans, op, _arg_text, name
+        )
+        i = close + 1
+        return i
+
+    if name == "editdistance":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            edits.append((start, end, "levenshtein"))
+            i += 1
+            return i
+        if len(spans) == 3:
+            # Spark's 3-arg levenshtein returns -1 when the
+            # distance exceeds the threshold; Snowflake returns
+            # the capped max_distance. Distance is never
+            # negative, so nullif(-1) is unambiguous. Literal
+            # non-negative max only — a negative max's Snowflake
+            # behavior is undocumented, so it stays LOUD.
+            m_tok = toks[spans[2][0]]
+            if not (spans[2][0] == spans[2][1] and m_tok[0] == "number"):
+                raise TranspileError(
+                    "editdistance max_distance must be a literal "
+                    "non-negative number to transpile"
+                )
+            a = _arg_text(spans[0])
+            b = _arg_text(spans[1])
+            m_text = m_tok[1]
+            # -1 means over-threshold (→ cap); NULL inputs must
+            # stay NULL, so the coalesce is guarded by cheap IS
+            # NULL checks rather than repeating the expensive
+            # levenshtein in both CASE arms (Spark does not
+            # guarantee common-subexpression elimination).
+            edits.append(
+                (start, toks[close][3],
+                 f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                 f"THEN NULL ELSE coalesce(nullif("
+                 f"levenshtein({a}, {b}, {m_text}), -1), "
+                 f"{m_text}) END")
+            )
+            i = close + 1
+            return i
+        raise TranspileError("editdistance takes 2 or 3 args")
+
+    if name == "nullifzero":
+        _spans, close = _call_arg_spans(toks, i + 1)
+        edits.append((start, end, "nullif"))
+        edits.append((toks[close][2], toks[close][2], ", 0"))
+        i += 1
+        return i
+    if name == "zeroifnull":
+        _spans, close = _call_arg_spans(toks, i + 1)
+        edits.append((start, end, "coalesce"))
+        edits.append((toks[close][2], toks[close][2], ", 0"))
+        i += 1
+        return i
+    if name == "square":
+        _spans, close = _call_arg_spans(toks, i + 1)
+        edits.append((start, end, "power"))
+        edits.append((toks[close][2], toks[close][2], ", 2"))
+        i += 1
+        return i
+    if name == "div0":
+        # DIV0(a, b): 0 when b = 0, but NULL inputs stay NULL —
+        # coalesce(try_divide(a,b), 0) would turn NULL inputs
+        # into 0. IF(b = 0, 0, a / b) preserves both: b NULL
+        # makes the condition NULL→false→NULL result.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError("div0 expects 2 args")
+        a_text = _arg_text(spans[0])
+        b_text = _arg_text(spans[1])
+        # NULL dividend propagates even when the divisor is 0
+        # (Snowflake only substitutes 0 where division would
+        # otherwise error on a real dividend).
+        repl = (
+            f"if(({b_text}) = 0 AND ({a_text}) IS NOT NULL, 0, "
+            f"({a_text}) / ({b_text}))"
+        )
+        edits.append((start, toks[close][3], repl))
+        i = close + 1
+        return i
+    if name == "regexp_substr":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError(
+                "regexp_substr with position/occurrence/parameter "
+                "args has no direct Spark rewrite"
+            )
+        # Whole-match extraction. Snowflake returns NULL on no
+        # match; Spark regexp_extract returns '' — wrap in
+        # nullif so IS NULL filters / COALESCE defaults keep
+        # their Snowflake behavior.
+        edits.append((start, end, "nullif(regexp_extract"))
+        edits.append((toks[close][2], toks[close][2], ", 0"))
+        edits.append((toks[close][3], toks[close][3], ", '')"))
+        i += 1
+        return i
+    if name in ("to_number", "to_decimal", "to_numeric",
+                "try_to_number", "try_to_decimal", "try_to_numeric"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        cast_fn = "TRY_CAST" if name.startswith("try_") else "CAST"
+        if len(spans) == 1:
+            edits.append((start, end, cast_fn))
+            edits.append(
+                (toks[close][2], toks[close][2], " AS DECIMAL(38,0)")
+            )
+        elif (
+            len(spans) in (2, 3)
+            and all(
+                sp[0] == sp[1] and toks[sp[0]][0] == "number"
+                for sp in spans[1:]
+            )
+        ):
+            p = toks[spans[1][0]][1]
+            s_ = toks[spans[2][0]][1] if len(spans) == 3 else "0"
+            edits.append((start, end, cast_fn))
+            edits.append(
+                (toks[spans[0][1]][3], toks[close][2],
+                 f" AS DECIMAL({p},{s_})")
+            )
+        else:
+            raise TranspileError(
+                f"{name} with a format string has no Spark CAST rewrite"
+            )
+        i += 1
+        return i
+    if name == "flatten" and i > 0 and toks[i - 1][0] == "ident" \
+            and toks[i - 1][1].upper() == "LATERAL":
+        # LATERAL FLATTEN(input => arr) f  →
+        #   LATERAL VIEW posexplode(arr) f AS index, value
+        # Snowflake's f.value / f.index references resolve
+        # against the generated column list (both 0-based).
+        spans, close = _call_arg_spans(toks, i + 1)
+        expr_text = None
+        outer = False
+        for a_first, a_last in spans:
+            if (
+                toks[a_first][0] == "ident"
+                and a_first + 2 <= a_last
+                and is_op(a_first + 1, "=")
+                and is_op(a_first + 2, ">")
+            ):
+                key = toks[a_first][1].lower()
+                val_text = sql[toks[a_first + 3][2] : toks[a_last][3]]
+                if key == "input":
+                    expr_text = transpile(val_text, read)
+                elif key == "outer":
+                    outer = val_text.strip().lower() == "true"
+                else:
+                    raise TranspileError(
+                        f"FLATTEN({key} => ...) has no Spark rewrite "
+                        "(only input/outer transpile)"
+                    )
+            elif expr_text is None:
+                expr_text = transpile(
+                    sql[toks[a_first][2] : toks[a_last][3]], read
+                )
+            else:
+                raise TranspileError(
+                    "FLATTEN with multiple positional args has no "
+                    "Spark rewrite"
+                )
+        if expr_text is None:
+            raise TranspileError("FLATTEN needs an input argument")
+        # optional [AS] alias after the close paren
+        j = close + 1
+        if j < n and toks[j][0] == "ident" and toks[j][1].upper() == "AS":
+            j += 1
+        if j < n and toks[j][0] in _NAME_KINDS and \
+                toks[j][1].upper() not in _EXPR_KEYWORDS:
+            alias = _ident_text(toks[j][0], toks[j][1])
+            region_end_tok = j
+        else:
+            alias = "_flattened"
+            region_end_tok = close
+        # swallow a preceding comma / CROSS|INNER JOIN connector
+        lat_idx = i - 1
+        region_start_tok = lat_idx
+        p = lat_idx - 1
+        if p >= 0 and is_op(p, ","):
+            region_start_tok = p
+        elif p >= 0 and toks[p][0] == "ident" and toks[p][1].upper() == "JOIN":
+            region_start_tok = p
+            if p - 1 >= 0 and toks[p - 1][0] == "ident" and \
+                    toks[p - 1][1].upper() in ("CROSS", "INNER"):
+                region_start_tok = p - 1
+            elif p - 1 >= 0 and toks[p - 1][0] == "ident" and \
+                    toks[p - 1][1].upper() in (
+                        "LEFT", "RIGHT", "FULL", "OUTER"
+                    ):
+                # outer-ness comes from FLATTEN's outer =>
+                # TRUE param; a directional JOIN would leave
+                # its keyword dangling before LATERAL VIEW
+                raise TranspileError(
+                    f"{toks[p - 1][1].upper()} JOIN LATERAL "
+                    "FLATTEN has no Spark rewrite; use "
+                    "FLATTEN(..., outer => TRUE) with a "
+                    "CROSS JOIN"
+                )
+        fn = "posexplode_outer" if outer else "posexplode"
+        repl = f" LATERAL VIEW {fn}({expr_text}) {alias} AS index, value"
+        edits.append(
+            (toks[region_start_tok][2], toks[region_end_tok][3], repl)
+        )
+        i = region_end_tok + 1
+        return i
+
+    return None

@@ -1,0 +1,922 @@
+"""Shared standard-SQL-family handlers: the DuckDB/Postgres function map and NULL-edge fidelity handlers, plus multi-dialect restructuring handlers (trim/to_char/strftime families shared with redshift/oracle). Runs for EVERY read dialect between the pre- and post-handlers; each handler is read-gated.
+
+Split out of core/transpile.py (round 6): the walker in
+core/transpile.py dispatches into this module's handler functions; see
+TokenCtx in core/transpile_shared.py for the contract. Handler bodies
+are the pre-split code verbatim (continue -> return i), so every
+file:line reference in docstrings and VERDICT history still applies.
+"""
+
+from __future__ import annotations
+
+from sqlmesh_spark.core.transpile_shared import (
+    TranspileError,
+    _PARAM_TYPES,
+    _PARAM_DROP_TYPES,
+    _lookup_type,
+    _require_spark4,
+    _NAME_KINDS,
+    _call_args,
+    _call_arg_spans,
+)
+from sqlmesh_spark.core.transpile_text import (
+    _resolve_unit,
+    convert_strftime_format,
+    convert_pg_format,
+    _regex_literal,
+    _spark_string_literal,
+    _raw_body,
+    _literal_content,
+    _regex_replacement_to_spark,
+)
+
+_COMMON_FN = {
+    # temporal
+    "epoch": "unix_timestamp",          # seconds since epoch
+    "epoch_ms": "unix_millis",
+    "epoch_us": "unix_micros",
+    "now": "current_timestamp",
+    "today": "current_date",
+    "datepart": "date_part",
+    "datetrunc": "date_trunc",
+    # string
+    "strpos": "instr",                  # both 1-based, 0 when absent
+    "string_agg": "listagg",            # Spark 4.0+ listagg(expr, delim)
+    # arrays (DuckDB list_* / Postgres array_*)
+    "list_value": "array",
+    "list_pack": "array",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "array_has": "array_contains",
+    # list_distinct: handler below (duckdb drops NULL elements)
+    "list_sort": "array_sort",
+    "list_append": "array_append",
+    # list_concat / list_cat / array_cat: handler below (NULL args are
+    # SKIPPED in duckdb/postgres; Spark concat returns NULL)
+    # list_extract / array_extract: handler below (both 1-based, but
+    # DuckDB/Postgres return NULL out of bounds AND for index 0 where
+    # Spark-4 ANSI element_at raises → try_element_at + nullif(i, 0)).
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_reduce": None,                # Spark reduce() needs an init arg → loud
+    "list_reverse": "reverse",
+    # array_length/list_length route through a special handler (Postgres
+    # passes a dimension arg that size() lacks); cardinality is 1-arg.
+    "cardinality": "size",
+    "array_to_string": "array_join",
+    "list_aggr": None,                  # needs lambda restructure → loud
+    # array_agg / list: handler below (these engines KEEP NULL elements
+    # and return NULL on empty; collect_list drops/returns [])
+    "unnest": "explode",
+    "string_split_regex": "split",      # second arg already a regex
+    # aggregates
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "list_sum": None,                   # Spark aggregate() needs init+lambda → loud
+    "list_avg": None,
+    # string predicates (same 2-arg shape and ''-needle semantics)
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    # no Spark equivalent
+    "gcd": None,
+    "lcm": None,
+}
+
+# Snowflake renames (ref dialect.py:1040 — the reference accepts every
+# SQLGlot dialect; Snowflake is the most common migration source). Names
+# with IDENTICAL Spark semantics pass through unmapped (nvl2, split_part —
+# both plain-string delimiter + 1-based + negative-from-end, ifnull,
+# regexp_count, arrays_overlap). None = loud failure.
+_DOW_TEMPLATE = "CAST(pmod(weekday({x}) + 1, 7) AS BIGINT)"
+_DP_FIELD_TEMPLATES = {
+    "dow": _DOW_TEMPLATE,
+    "dayofweek": _DOW_TEMPLATE,
+    "weekday": _DOW_TEMPLATE,
+    "isodow": "CAST(date_part('DAYOFWEEK_ISO', {x}) AS BIGINT)",
+    "epoch": "try_divide(unix_micros(CAST({x} AS TIMESTAMP)), 1000000)",
+    "second": "CAST(second({x}) AS BIGINT)",
+    "seconds": "CAST(second({x}) AS BIGINT)",
+    "microseconds": "CAST(date_format({x}, 'ssSSSSSS') AS BIGINT)",
+    "microsecond": "CAST(date_format({x}, 'ssSSSSSS') AS BIGINT)",
+    "milliseconds": "CAST(date_format({x}, 'ssSSS') AS BIGINT)",
+    "millisecond": "CAST(date_format({x}, 'ssSSS') AS BIGINT)",
+}
+
+
+
+def call_handlers(ctx) -> "int | None":
+    """Shared standard-SQL-family handlers: the DuckDB/Postgres function map and NULL-edge fidelity handlers, plus multi-dialect restructuring handlers (trim/to_char/strftime families shared with redshift/oracle) (pre-split code, verbatim)."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i, name = ctx.i, ctx.name
+    kind, text, start, end = ctx.kind, ctx.text, ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    n = len(toks)
+    _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    # ---- special handlers (arg restructuring / literal rewrites)
+    if name in ("convert", "try_convert") and read in (
+        "redshift", "tsql"
+    ) and first_pass:
+        # Redshift/T-SQL CONVERT(type, expr[, style]) — type first.
+        # Rewrite to CAST(expr AS TYPE) with the type name run
+        # through the dialect maps (drop-arg types and (MAX)
+        # included). A T-SQL style argument selects locale-specific
+        # datetime/number FORMATS — no Spark rewrite, loud.
+        if name == "try_convert":
+            _require_spark4(name, "try_cast")
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 3:
+            raise TranspileError(
+                f"{name} with a style argument has no Spark rewrite"
+                " (locale datetime formats); use date_format"
+            )
+        if len(spans) != 2:
+            raise TranspileError(f"{name} takes (type, expression)")
+        t_first, t_last = spans[0]
+        t_tok = toks[t_first]
+        if t_tok[0] != "ident":
+            raise TranspileError(
+                f"{name} type must be a plain type name"
+            )
+        tname = t_tok[1].lower()
+        if t_first == t_last:
+            type_text = _lookup_type(read, tname) or t_tok[1].upper()
+        elif (
+            toks[t_first + 1][0] == "op"
+            and toks[t_first + 1][1] == "("
+        ):
+            dtype = _PARAM_DROP_TYPES.get(read, {}).get(tname)
+            if dtype is not None:
+                type_text = dtype
+            elif (
+                read == "tsql"
+                and t_last == t_first + 3
+                and toks[t_first + 2][0] == "ident"
+                and toks[t_first + 2][1].lower() == "max"
+            ):
+                type_text = "BINARY" if "binary" in tname else "STRING"
+            else:
+                base_ = _PARAM_TYPES.get(read, {}).get(
+                    tname, _lookup_type(read, tname) or t_tok[1].upper()
+                )
+                type_text = base_ + sql[
+                    toks[t_first + 1][2] : toks[t_last][3]
+                ]
+        else:
+            raise TranspileError(
+                f"{name} type must be a plain type name"
+            )
+        expr_text = _arg_text(spans[1])
+        cast_fn = "TRY_CAST" if name == "try_convert" else "CAST"
+        edits.append(
+            (start, toks[close][3],
+             f"{cast_fn}({expr_text} AS {type_text})")
+        )
+        i = close + 1
+        return i
+
+    if name in ("strftime", "strptime") and read in ("duckdb", "postgres") and first_pass:
+        spans_, _close_ = _call_arg_spans(toks, i + 1)
+        if len(spans_) != 2:
+            raise TranspileError(f"{name} expects 2 args")
+        fmt_idx = spans_[1][0]
+        if toks[fmt_idx][0] != "string" or spans_[1][0] != spans_[1][1]:
+            raise TranspileError(f"{name} format must be a single literal to transpile")
+        fmt_lit = toks[fmt_idx][1]
+        converted = convert_strftime_format(fmt_lit[1:-1].replace("''", "'"))
+        new_fn = "date_format" if name == "strftime" else "to_timestamp"
+        edits.append((start, end, new_fn))
+        edits.append(
+            (toks[fmt_idx][2], toks[fmt_idx][3],
+             _spark_string_literal(converted, read))
+        )
+        i += 1
+        return i
+
+    # ---- DuckDB/Postgres NULL-and-edge fidelity handlers.
+    # These engines return NULL / '' / keep NULLs on edges where
+    # Spark's builtins raise (ANSI), drop NULLs, or compute a
+    # different value. Each rewrite is pinned value-by-value
+    # against the DuckDB oracle in tests/test_dialect_edges.py.
+
+    if (
+        (
+            name == "array_agg"
+            or (name == "list" and read == "duckdb")
+        )
+        and read in ("duckdb", "postgres", "trino")
+        and first_pass
+    ):
+        # These engines' array_agg KEEPS NULL elements and returns
+        # NULL (not []) for an empty input set; Spark's
+        # array_agg/collect_list drops NULLs and returns [].
+        # struct-wrap preserves NULLs (a struct row is never
+        # null); the CASE restores NULL-on-empty. Catalyst
+        # deduplicates the two identical aggregate expressions.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError("array_agg takes 1 argument")
+        depth_ = 0
+        for j_ in range(spans[0][0], spans[0][1] + 1):
+            k_, t_, _, _ = toks[j_]
+            if k_ == "op" and t_ in ("(", "["):
+                depth_ += 1
+            elif k_ == "op" and t_ in (")", "]"):
+                depth_ -= 1
+            elif (
+                depth_ == 0 and k_ in _NAME_KINDS
+                and t_.upper() == "ORDER"
+            ):
+                raise TranspileError(
+                    "array_agg(x ORDER BY ...) has no Spark "
+                    "rewrite (Spark aggregates reject inline "
+                    "ORDER BY); aggregate then array_sort/"
+                    "sort_array explicitly"
+                )
+        dist = ""
+        a0, a1 = spans[0]
+        if toks[a0][0] in _NAME_KINDS and toks[a0][1].upper() == "DISTINCT":
+            dist = "DISTINCT "
+            a0 += 1
+        if (
+            toks[a0][0] in _NAME_KINDS
+            and toks[a0][1].lower() == "struct"
+            and is_op(a0 + 1, "(")
+        ):
+            # already our emitted struct((x) AS _v) wrap (a
+            # re-transpile of transpiled output; none of these
+            # dialects has a struct() function) — struct rows are
+            # never NULL, so the native agg is faithful
+            i += 1
+            return i
+        expr_text = _arg_text((a0, a1))
+        fend = close
+        ftext = ""
+        if (
+            close + 2 < len(toks)
+            and toks[close + 1][0] in _NAME_KINDS
+            and toks[close + 1][1].upper() == "FILTER"
+            and is_op(close + 2, "(")
+        ):
+            fend = _call_arg_spans(toks, close + 2)[1]
+            ftext = " " + transpile(
+                sql[toks[close + 1][2]: toks[fend][3]], read
+            )
+        agg = f"array_agg({dist}struct(({expr_text}) AS _v)){ftext}"
+        edits.append(
+            (start, toks[fend][3],
+             f"(CASE WHEN size({agg}) = 0 THEN NULL "
+             f"ELSE transform({agg}, _s -> _s._v) END)")
+        )
+        i = fend + 1
+        return i
+
+    if name == "concat" and read in ("duckdb", "postgres") and first_pass:
+        # duckdb/postgres concat casts every argument to text and
+        # SKIPS NULLs (concat('a', NULL) = 'a', concat(NULL, NULL)
+        # = ''); Spark concat returns NULL if any input is NULL.
+        # Wrap each argument; keep scanning inside them.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if all(
+            toks[sp[0]][0] in _NAME_KINDS
+            and toks[sp[0]][1].lower() == "coalesce"
+            and toks[sp[0] + 1][1] == "("
+            and toks[sp[0] + 2][1].upper() in ("CAST", "TRY_CAST")
+            for sp in spans
+        ):
+            i += 1  # already-wrapped re-transpile of our output
+            return i
+        for sp in spans:
+            edits.append((toks[sp[0]][2], toks[sp[0]][2], "coalesce(CAST("))
+            edits.append((toks[sp[1]][3], toks[sp[1]][3], " AS STRING), '')"))
+        i += 1
+        return i
+
+    if (
+        name in ("list_concat", "list_cat", "array_cat")
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        # NULL list arguments are SKIPPED (list_concat([1], NULL)
+        # = [1]) and all-NULL yields NULL; Spark concat(a, NULL)
+        # is NULL. (The emitted concat is the ARRAY concat — the
+        # string-concat handler above is first-pass-only.)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError(f"{name} takes 2 args")
+        a_ = _arg_text(spans[0])
+        b_ = _arg_text(spans[1])
+        edits.append(
+            (start, toks[close][3],
+             f"(CASE WHEN ({a_}) IS NULL AND ({b_}) IS NULL THEN NULL "
+             f"ELSE coalesce(({a_}), array()) || "
+             f"coalesce(({b_}), array()) END)")
+        )
+        i = close + 1
+        return i
+
+    if (
+        name in ("list_distinct", "array_distinct")
+        and read == "duckdb"
+        and first_pass
+    ):
+        # duckdb list_distinct/array_distinct REMOVE NULL
+        # elements; Spark array_distinct keeps one. (Result order
+        # is unspecified in duckdb — element SET parity is what's
+        # contracted.)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError(f"{name} takes 1 arg")
+        if (
+            toks[spans[0][0]][0] in _NAME_KINDS
+            and toks[spans[0][0]][1].lower() == "filter"
+        ):
+            i += 1  # already our filter(...) wrap — re-transpile
+            return i
+        a_ = _arg_text(spans[0])
+        edits.append(
+            (start, toks[close][3],
+             f"array_distinct(filter(({a_}), _ld -> _ld IS NOT NULL))")
+        )
+        i = close + 1
+        return i
+
+    if (
+        name in ("substr", "substring")
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        # 3-arg substr edge semantics (verified against duckdb):
+        # both engines treat positions VIRTUALLY — substr('hello',
+        # 0, 3) = 'he' (the span [0,3) clipped to [1,..]), and
+        # duckdb additionally resolves a NEGATIVE start from the
+        # end (p = len+b+1) and allows negative LENGTH (span
+        # walked backwards: substr('hello', 2, -1) = 'h');
+        # postgres keeps negative starts virtual. Spark's substr
+        # treats 0 as 1 and keeps the full length. The emitted
+        # span arithmetic reproduces each engine exactly; 2-arg
+        # forms agree natively and pass through.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 3:
+            s_ = _arg_text(spans[0])
+            b_ = _arg_text(spans[1])
+            n_ = _arg_text(spans[2])
+            if read == "duckdb":
+                p = (f"(CASE WHEN ({b_}) < 0 "
+                     f"THEN length(({s_})) + ({b_}) + 1 "
+                     f"ELSE ({b_}) END)")
+                lo = f"least({p}, {p} + ({n_}))"
+                hi = f"greatest({p}, {p} + ({n_}))"
+            else:
+                lo = f"({b_})"
+                hi = f"(({b_}) + ({n_}))"
+            st = f"greatest({lo}, 1)"
+            # keyword form: no top-level commas, so the emitted
+            # call has a single arg span and re-reads untouched
+            edits.append(
+                (start, toks[close][3],
+                 f"substring(({s_}) FROM {st} "
+                 f"FOR greatest({hi} - {st}, 0))")
+            )
+            i = close + 1
+            return i
+
+    if (
+        name in ("left", "right")
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        # Negative n means "all but the last/first |n| chars" in
+        # duckdb/postgres; Spark returns ''. (first-pass only:
+        # the emitted call contains its own trigger name.)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            s_ = _arg_text(spans[0])
+            n_ = _arg_text(spans[1])
+            if name == "left":
+                repl = (
+                    f"substring(({s_}) FROM 1 FOR "
+                    f"if(({n_}) < 0, length(({s_})) + ({n_}), ({n_})))"
+                )
+            else:
+                repl = (
+                    f"substring(({s_}) FROM if(({n_}) < 0, 1 - ({n_}), "
+                    f"greatest(length(({s_})) + 1 - ({n_}), 1)))"
+                )
+            edits.append((start, toks[close][3], repl))
+            i = close + 1
+            return i
+
+    if (
+        name in ("date_part", "datepart")
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and toks[spans[0][0]][0] == "string"
+            and spans[0][0] == spans[0][1]
+        ):
+            field = _literal_content(toks[spans[0][0]][1], read).lower()
+            tmpl = _DP_FIELD_TEMPLATES.get(field)
+            if tmpl is not None:
+                x_ = _arg_text(spans[1])
+                edits.append(
+                    (start, toks[close][3], tmpl.format(x=f"({x_})"))
+                )
+                i = close + 1
+                return i
+
+    if name == "extract" and read in ("duckdb", "postgres") and first_pass:
+        # extract(FIELD FROM x) spelling of the same field fixes
+        if (
+            i + 4 < len(toks)
+            and toks[i + 2][0] in _NAME_KINDS
+            and toks[i + 3][0] in _NAME_KINDS
+            and toks[i + 3][1].upper() == "FROM"
+        ):
+            field = toks[i + 2][1].lower()
+            tmpl = _DP_FIELD_TEMPLATES.get(field)
+            if tmpl is not None:
+                close = _call_arg_spans(toks, i + 1)[1]
+                x_ = transpile(
+                    sql[toks[i + 4][2]: toks[close - 1][3]], read
+                )
+                edits.append(
+                    (start, toks[close][3], tmpl.format(x=f"({x_})"))
+                )
+                i = close + 1
+                return i
+
+    if name == "date_add" and read == "duckdb" and first_pass:
+        # duckdb date_add(x, INTERVAL) returns TIMESTAMP (even for
+        # DATE input); Spark's date_add is (date, int-days) and
+        # rejects intervals. `+` carries interval arithmetic.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_ = _arg_text(spans[0])
+            b_ = _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"CAST(({a_}) + ({b_}) AS TIMESTAMP)")
+            )
+            i = close + 1
+            return i
+
+    if (
+        name in ("weekday", "dayofweek")
+        and read == "duckdb"
+        and first_pass
+        and not (
+            i >= 2
+            and is_op(i - 1, "(")
+            and toks[i - 2][0] in _NAME_KINDS
+            and toks[i - 2][1].lower() == "pmod"
+        )
+    ):
+        # duckdb weekday()/dayofweek() are Sunday=0..Saturday=6;
+        # Spark weekday() is Monday=0 and dayofweek() Sunday=1.
+        # Same rewrite as the date_part('dow') field; the
+        # pmod-parent check skips our own emission on re-reads.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 _DOW_TEMPLATE.format(x=f"({x_})"))
+            )
+            i = close + 1
+            return i
+
+    if name in ("fdiv", "divide") and read == "duckdb" and first_pass:
+        # fdiv = floor division as DOUBLE; divide() = TRUNCATING
+        # integer division (the // function form). Both NULL on a
+        # zero divisor. (The emitted DIV's divisor is already
+        # nullif-wrapped — the infix wrap's guard accepts it.)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError(f"{name} takes 2 args")
+        a_ = _arg_text(spans[0])
+        b_ = _arg_text(spans[1])
+        if name == "fdiv":
+            repl = f"CAST(floor(try_divide(({a_}), ({b_}))) AS DOUBLE)"
+        else:
+            repl = f"(({a_}) DIV nullif(({b_}), 0))"
+        edits.append((start, toks[close][3], repl))
+        i = close + 1
+        return i
+
+    if (
+        name in ("list_contains", "list_has", "array_has", "array_contains")
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        # a literal NULL needle is NULL in duckdb; Spark's
+        # array_contains rejects the untyped NULL literal at
+        # analysis. (Typed null expressions agree — NULL both.)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][1].upper() == "NULL"
+        ):
+            edits.append(
+                (start, toks[close][3], "CAST(NULL AS BOOLEAN)")
+            )
+            i = close + 1
+            return i
+        # else: fall through to the array_contains rename
+
+    if name in ("ltrim", "rtrim", "btrim", "trim") and read in (
+        "duckdb", "postgres", "redshift"
+    ) and first_pass:
+        # These dialects' 2-arg forms are (str, chars); Spark's
+        # 2-arg ltrim/rtrim are the REVERSED (trimStr, str) —
+        # passing through silently trims the wrong operand. Rewrite
+        # to the unambiguous keyword syntax
+        # TRIM(LEADING|TRAILING|BOTH chars FROM str); both engines
+        # treat chars as a SET. 1-arg forms match Spark — untouched.
+        # (TRIM(BOTH x FROM y) keyword syntax has no top-level
+        # comma → single span → also untouched.)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            side = {
+                "ltrim": "LEADING", "rtrim": "TRAILING",
+                "btrim": "BOTH", "trim": "BOTH",
+            }[name]
+            s_text = _arg_text(spans[0])
+            c_text = _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"TRIM({side} {c_text} FROM {s_text})")
+            )
+            i = close + 1
+            return i
+        elif len(spans) > 2:
+            raise TranspileError(f"{name} takes at most 2 args")
+        i += 1
+        return i
+
+    if name in ("to_char",) and read in (
+        "postgres", "redshift", "oracle"
+    ) and first_pass:
+        spans_, _close_ = _call_arg_spans(toks, i + 1)
+        args = [sp[0] for sp in spans_]
+        if len(args) == 2 and toks[args[1]][0] == "string" \
+                and spans_[1][0] == spans_[1][1]:
+            fmt_lit = toks[args[1]][1]
+            converted = convert_pg_format(fmt_lit[1:-1].replace("''", "'"))
+            edits.append((start, end, "date_format"))
+            edits.append(
+                (toks[args[1]][2], toks[args[1]][3],
+                 _spark_string_literal(converted, read))
+            )
+            i += 1
+            return i
+        raise TranspileError("to_char needs a literal format to transpile")
+
+    if name in ("string_to_array", "str_split", "string_split") and read in (
+        "duckdb",
+        "postgres",
+    ) and first_pass:
+        # Spark split()'s separator is a REGEX; escape literal seps.
+        args = _call_args(toks, i + 1)
+        if len(args) - 1 >= 2 and toks[args[1]][0] != "string":
+            raise TranspileError(
+                f"{name} separator must be a literal to transpile "
+                "(Spark split() treats it as a regex)"
+            )
+        edits.append((start, end, "split"))
+        if len(args) - 1 >= 2:
+            edits.append(
+                (toks[args[1]][2], toks[args[1]][3],
+                 _regex_literal(_literal_content(toks[args[1]][1], read), read))
+            )
+        i += 1
+        return i
+
+    if name in ("dateadd", "timeadd", "timestampadd") and read in (
+        "snowflake", "redshift", "tsql"
+    ) and first_pass:
+        # Snowflake + Redshift + T-SQL DATEADD(unit, n, expr) —
+        # same shape, same bare-or-quoted unit keyword (T-SQL adds
+        # yy/qq/mm/... abbreviations). Type caveat (documented,
+        # not fixable statically): all return their input's type,
+        # but the operand type is unknowable at render time, so the
+        # result is always TIMESTAMP. Values are correct; a
+        # DATE-typed operand gains a 00:00:00 time part.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 3:
+            raise TranspileError(f"{name} expects 3 args")
+        u_tok = toks[spans[0][0]]
+        if u_tok[0] == "string":
+            raw_unit = _literal_content(u_tok[1], read).lower()
+        elif u_tok[0] == "ident" and spans[0][0] == spans[0][1]:
+            raw_unit = u_tok[1].lower()
+        else:
+            raise TranspileError(f"{name} unit must be a literal")
+        unit = _resolve_unit(read, raw_unit)
+        if unit is None:
+            raise TranspileError(
+                f"{name} unit {raw_unit!r} has no Spark "
+                "timestampadd equivalent"
+            )
+        edits.append((start, end, "timestampadd"))
+        edits.append((u_tok[2], toks[spans[0][1]][3], unit))
+        i += 1
+        return i
+
+    if name in ("date_diff", "datediff") and read in (
+        "duckdb", "postgres", "snowflake", "redshift", "tsql",
+        "trino", "clickhouse",
+    ):
+        # DuckDB date_diff counts UNIT-BOUNDARY CROSSINGS while
+        # Spark timestampdiff counts complete elapsed units
+        # (date_diff('month', Jan-31, Feb-01) is 1 in DuckDB, 0 as
+        # a naive timestampdiff). Truncating both operands to the
+        # unit makes complete-units == boundary-crossings:
+        #   timestampdiff(U, date_trunc('u', s), date_trunc('u', e))
+        # Trino's date_diff counts complete elapsed units already
+        # (java.time between semantics) — timestampdiff directly,
+        # NO truncation.
+        # 2-arg datediff matches Spark's own datediff — untouched.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 3:
+            u_tok = toks[spans[0][0]]
+            if u_tok[0] == "string":
+                raw_unit = _literal_content(u_tok[1], read).lower()
+            elif (
+                read in ("snowflake", "redshift", "tsql")
+                and u_tok[0] == "ident"
+                and spans[0][0] == spans[0][1]
+            ):
+                # Snowflake/Redshift/T-SQL allow a bare unit
+                # keyword: datediff(day, a, b)
+                raw_unit = u_tok[1].lower()
+            else:
+                raise TranspileError(
+                    f"{name} unit must be a literal to transpile"
+                )
+            unit = _resolve_unit(read, raw_unit)
+            if unit is None:
+                raise TranspileError(
+                    f"{name} unit {raw_unit!r} has no Spark "
+                    "timestampdiff/date_trunc equivalent"
+                )
+            if read == "clickhouse" and unit == "WEEK":
+                # CH week boundaries follow toRelativeWeekNum's
+                # epoch anchoring, not date_trunc's ISO Monday —
+                # a silent off-by-one risk. LOUD.
+                raise TranspileError(
+                    "clickhouse dateDiff('week', ...) boundary "
+                    "anchoring differs from ISO weeks; use "
+                    "intDiv(dateDiff('day', ...), 7) semantics "
+                    "explicitly"
+                )
+            edits.append((start, end, "timestampdiff"))
+            edits.append(
+                (toks[spans[0][0]][2], toks[spans[0][0]][3], unit.upper())
+            )
+            if read != "trino":
+                for s_idx, e_idx in spans[1:]:
+                    edits.append(
+                        (toks[s_idx][2], toks[s_idx][2],
+                         f"date_trunc('{unit.lower()}', ")
+                    )
+                    edits.append((toks[e_idx][3], toks[e_idx][3], ")"))
+        i += 1
+        return i
+
+    if name == "regexp_replace" and first_pass:
+        # Two fidelity seams: replacement BACKREF syntax differs
+        # (\1 in every read dialect vs Java's $1), and duckdb/
+        # postgres default to FIRST-match-only replacement while
+        # Spark replaces all. Snowflake (occurrence 0 = all) and
+        # BigQuery (always all) already match Spark's scope.
+        spans, close = _call_arg_spans(toks, i + 1)
+        nargs = len(spans)
+
+        def _convert_replacement(span) -> None:
+            tok_ = toks[span[0]]
+            # r'...' raw replacement: ident prefix + adjacent string
+            if (
+                read == "bigquery"
+                and span[0] + 1 == span[1]
+                and tok_[0] == "ident"
+                and tok_[1].lower() == "r"
+                and toks[span[1]][0] == "string"
+                and toks[span[1]][2] == tok_[3]
+            ):
+                content = _raw_body(toks[span[1]][1])  # raw: no unescaping
+            elif span[0] == span[1] and tok_[0] == "string":
+                content = _literal_content(tok_[1], read)
+            else:
+                raise TranspileError(
+                    "regexp_replace replacement must be a string "
+                    "literal to transpile (backreference syntax "
+                    "\\1 vs $1 cannot be checked on expressions)"
+                )
+            converted = _regex_replacement_to_spark(content)
+            lit = _spark_string_literal(converted, read)
+            # emit even when unchanged: marks the literal handler-
+            # owned so the std-dialect doubling pass skips it
+            edits.append((tok_[2], toks[span[1]][3], lit))
+
+        # ansi falls through every branch untouched: generic
+        # standard SQL carries no first-only/backref contract here.
+        if read in ("duckdb", "postgres"):
+            if nargs == 4 and toks[spans[3][0]][0] == "number":
+                if read == "postgres":
+                    # PG 15's regexp_replace(src, pat, rep, START)
+                    # is a REAL dialect form — numeric 4th arg,
+                    # first-match-only from that position. Not
+                    # Spark's replace-all-from-position. LOUD.
+                    raise TranspileError(
+                        "postgres regexp_replace(source, pattern, "
+                        "replacement, start) is first-match-only; "
+                        "no Spark rewrite — use the 'g' flag form"
+                    )
+                # duckdb has no numeric 4th arg, so this is
+                # already-Spark text (our own 'g'→position-1
+                # output included). Mark its string-literal args
+                # handler-owned (identity edits) so the doubling
+                # pass skips them: this is what makes the rewrite
+                # a true fixpoint for backslash patterns.
+                for a_first, a_last in spans[:3]:
+                    t_ = toks[a_first]
+                    if a_first == a_last and t_[0] == "string":
+                        edits.append((t_[2], t_[3], t_[1]))
+            elif nargs == 4:
+                f_tok = toks[spans[3][0]]
+                if not (
+                    spans[3][0] == spans[3][1]
+                    and f_tok[0] == "string"
+                    and _literal_content(f_tok[1], read) == "g"
+                ):
+                    raise TranspileError(
+                        "regexp_replace options other than 'g' have "
+                        "no Spark rewrite"
+                    )
+                _convert_replacement(spans[2])
+                # 'g' (global) IS Spark's scope; rewrite the flag to
+                # Spark's position arg 1 (the default) so the output
+                # is not re-readable as a first-only 3-arg form
+                edits.append((f_tok[2], toks[spans[3][1]][3], "1"))
+            elif nargs == 3:
+                raise TranspileError(
+                    f"{read} regexp_replace replaces only the FIRST "
+                    "match; Spark replaces all occurrences — add "
+                    "the 'g' option if global replacement is "
+                    "intended"
+                )
+            else:
+                raise TranspileError("regexp_replace takes 3 or 4 args")
+        elif read == "snowflake":
+            if nargs == 2:
+                # 2-arg form strips matches (replacement = '')
+                edits.append((toks[close][2], toks[close][2], ", ''"))
+            elif nargs == 3:
+                _convert_replacement(spans[2])
+            else:
+                raise TranspileError(
+                    "regexp_replace with position/occurrence/"
+                    "parameters args has no direct Spark rewrite"
+                )
+        elif read == "bigquery":
+            if nargs != 3:
+                raise TranspileError("bigquery regexp_replace takes 3 args")
+            _convert_replacement(spans[2])
+        elif read == "trino":
+            # Trino replaces ALL matches and already uses Java's
+            # $-backreference syntax (escaped literal $ is \$,
+            # same as Java) — only the 2-arg strip form rewrites;
+            # the lambda form has no Spark analog.
+            if nargs == 2:
+                edits.append((toks[close][2], toks[close][2], ", ''"))
+            elif nargs == 3:
+                s_, e_ = spans[2]
+                if any(
+                    toks[k_][0] == "op" and toks[k_][1] == "->"
+                    for k_ in range(s_, e_ + 1)
+                ):
+                    raise TranspileError(
+                        "regexp_replace with a lambda replacement "
+                        "has no Spark rewrite"
+                    )
+            else:
+                raise TranspileError(
+                    "trino regexp_replace takes 2 or 3 args"
+                )
+        i += 1
+        return i
+
+    if name in ("array_length", "list_length") and is_op(i + 1, "("):
+        # Postgres array_length(arr, dim) is always 2-arg; Spark
+        # size() takes one. dim=1 drops; any other dim is LOUD.
+        spans, close = _call_arg_spans(toks, i + 1)
+        edits.append((start, end, "size"))
+        if len(spans) == 2:
+            d_first, d_last = spans[1]
+            if (
+                d_first == d_last
+                and toks[d_first][0] == "number"
+                and toks[d_first][1] == "1"
+            ):
+                # drop ", 1" — from the end of arg 1 to end of arg 2
+                edits.append((toks[spans[0][1]][3], toks[d_last][3], ""))
+            else:
+                raise TranspileError(
+                    "array_length with a dimension other than 1 has "
+                    "no Spark equivalent (arrays are 1-D)"
+                )
+        elif len(spans) > 2:
+            raise TranspileError("array_length takes at most 2 args")
+        i += 1
+        return i
+
+    if name in ("to_timestamp", "to_date") and read in (
+        "postgres", "redshift", "oracle"
+    ) and first_pass:
+        # Postgres/Redshift/Oracle to_timestamp(s, fmt)/to_date(s,
+        # fmt) carry Oracle-heritage patterns; Spark reuses the
+        # same function names with DIFFERENT pattern letters (DD =
+        # day-of-year), so passing them through silently would
+        # parse wrong dates — convert the literal format. 1-arg
+        # postgres to_timestamp(epoch) becomes timestamp_seconds;
+        # Oracle's 1-arg form parses the SESSION NLS format — not
+        # knowable at render time, LOUD.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1 and read == "oracle":
+            raise TranspileError(
+                f"oracle 1-arg {name} depends on the session NLS "
+                "format; pass an explicit format to transpile"
+            )
+        if len(spans) == 1 and name == "to_timestamp":
+            edits.append((start, end, "timestamp_seconds"))
+        elif len(spans) == 2 and toks[spans[1][0]][0] == "string" \
+                and spans[1][0] == spans[1][1]:
+            fmt_tok = toks[spans[1][0]]
+            converted = convert_pg_format(fmt_tok[1][1:-1].replace("''", "'"))
+            edits.append(
+                (fmt_tok[2], fmt_tok[3],
+                 _spark_string_literal(converted, read))
+            )
+        else:
+            raise TranspileError(
+                f"{name} needs a literal format to transpile from postgres"
+            )
+        i += 1
+        return i
+
+    if name in ("dayname", "monthname") and read in (
+        "duckdb", "postgres", "snowflake", "mysql"
+    ):
+        # dayname(x) → date_format(x, 'EEEE'); monthname → 'MMMM'
+        # (MySQL also returns full names). Snowflake returns the
+        # ABBREVIATED names ('Mon'/'Jan') — 'EEE'/'MMM'.
+        args = _call_args(toks, i + 1)
+        close = args[-1]
+        if read == "snowflake":
+            fmt = "'EEE'" if name == "dayname" else "'MMM'"
+        else:
+            fmt = "'EEEE'" if name == "dayname" else "'MMMM'"
+        edits.append((start, end, "date_format"))
+        edits.append((toks[close][2], toks[close][2], f", {fmt}"))
+        i += 1
+        return i
+
+
+    if (
+        name in ("list_extract", "array_extract")
+        and read in ("duckdb", "postgres")
+    ):
+        # DuckDB list_extract/array_extract return NULL out of
+        # bounds and for index 0 (verified: list_extract([1,2,3],
+        # 0) → NULL); Spark-4 ANSI element_at RAISES on both, and
+        # try_element_at still raises INVALID_INDEX_OF_ZERO for
+        # index 0. nullif(i, 0) maps 0 → NULL, and
+        # try_element_at(arr, NULL) is NULL — exact parity
+        # (negative indexes count from the end in both engines).
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError(f"{name} takes 2 args")
+        edits.append((start, end, "try_element_at"))
+        i2_start = toks[spans[1][0]][2]
+        i2_end = toks[spans[1][1]][3]
+        edits.append((i2_start, i2_start, "nullif("))
+        edits.append((i2_end, i2_end, ", 0)"))
+        i += 1  # keep scanning inside the args
+        return i
+
+    if name == "log" and read in ("duckdb", "postgres"):
+        # 1-arg log is log10 in DuckDB/Postgres, ln in Spark.
+        args = _call_args(toks, i + 1)
+        if len(args) - 1 == 1:
+            edits.append((start, end, "log10"))
+        i += 1
+        return i
+
+    return None

@@ -1,0 +1,229 @@
+"""T-SQL read-dialect function map and call handlers.
+
+Split out of core/transpile.py (round 6): the walker in
+core/transpile.py dispatches into this module's handler functions; see
+TokenCtx in core/transpile_shared.py for the contract. Handler bodies
+are the pre-split code verbatim (continue -> return i), so every
+file:line reference in docstrings and VERDICT history still applies.
+"""
+
+from __future__ import annotations
+
+from sqlmesh_spark.core.transpile_shared import (
+    TranspileError,
+    _call_arg_spans,
+)
+from sqlmesh_spark.core.transpile_text import (
+    _resolve_unit,
+)
+
+_TSQL_FN: dict[str, str | None] = {
+    "iif": "if",
+    "getdate": "current_timestamp",     # server-local clock = session tz
+    "sysdatetime": "current_timestamp",
+    "getutcdate": None,                 # UTC handler below
+    "sysutcdatetime": None,
+    "sysdatetimeoffset": None,
+    "charindex": "position",            # (substr, str[, start]), 1-based
+    "len": None,                        # handler: length(rtrim(x)) —
+                                        # T-SQL LEN ignores trailing spaces
+    "datalength": "octet_length",
+    "replicate": "repeat",
+    "str": None,                        # numeric→padded string w/ style
+    "stuff": None,
+    "patindex": None,                   # %-wildcard pattern lang
+    "format": None,                     # .NET format strings
+    "isnull": None,                     # handler: 2-arg → nvl (Spark's
+                                        # 1-arg isnull is a boolean test!)
+    "isnumeric": None, "isdate": None,
+    "count_big": "count",
+    "square": None,                     # handler shared w/ snowflake
+    "string_agg": "listagg",
+    "string_split": None,               # returns a TABLE, not an array
+    "newid": "uuid",
+    "scope_identity": None, "ident_current": None,
+    "datename": None,                   # month/weekday NAMES — handler
+    "datepart": None,                   # handler (bare unit keyword)
+    "day": "day", "month": "month", "year": "year",
+    "eomonth": None,                    # handler: last_day(+offset loud)
+    "dateadd": None,                    # handler (shared, alias units)
+    "datediff": None,                   # handler (shared, alias units)
+    "datediff_big": None,
+    "switchoffset": None, "todatetimeoffset": None,
+    "convert": None,                    # handler (type-first + style arg)
+    "try_convert": None,
+    "choose": "elt",                    # both 1-based, NULL out of range
+    "nchar": "chr",
+    "unicode": "ascii",
+    "quotename": None,
+    "host_name": None, "db_name": None, "user_name": None,
+    "suser_sname": None, "object_id": None,
+    "rand": None,                       # RAND(seed) repeats per seed per
+                                        # CALL in T-SQL; Spark rand(seed)
+                                        # is per-row — silent divergence
+    "checksum": None, "binary_checksum": None, "hashbytes": None,
+}
+
+# Trino / Presto / Athena renames (ref engine_adapter/trino.py,
+# athena.py — Athena engine v3 is Trino). Identical pass-throughs (same
+# name, arg shape, semantics in Spark): if, nullif, coalesce, try_cast,
+# abs, cbrt, ceil/ceiling, exp, floor, ln, log2, log10, log(b, x) (both
+# base-first 2-arg), mod, pi, e, pow/power, radians, degrees, round,
+# sign, sqrt, chr, concat, concat_ws, length, lower/upper, lpad/rpad
+# (both pad AND truncate), ltrim/rtrim/trim, replace (2-arg strips),
+# reverse, soundex (split_part is a HANDLER: NULL out-of-range), substr/
+# substring, translate, position grammar, luhn_check, url_encode/
+# url_decode, crc32 (via to_utf8→encode), date/day/month/year/quarter/
+# hour/minute/second, date_trunc (unit-string-first, Monday weeks),
+# last_day via rename, extract (field names mapped below), uuid,
+# width_bucket (4-arg), regexp_like/regexp_count, lambda syntax x -> e,
+# filter/transform/zip_with/array_sort comparator/map_filter/
+# transform_keys/transform_values/map_zip_with/map_concat/map_keys/
+# map_values/map_entries/map_from_entries, array_distinct/except/
+# intersect/union/join/max/min/position/remove, arrays_overlap, flatten,
+# sequence, shuffle, slice, count_if, bool_and/bool_or/every, max_by/
+# min_by (2-arg), approx_percentile (2-arg), corr/covar/stddev/var
+# family, kurtosis/skewness, json_array_length. None = loud failure.
+
+
+def call_handlers(ctx) -> "int | None":
+    """T-SQL read-dialect function map and call handlers (pre-split code, verbatim)."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i, name = ctx.i, ctx.name
+    kind, text, start, end = ctx.kind, ctx.text, ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    n = len(toks)
+    _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name in ("getutcdate", "sysutcdatetime"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        if spans:
+            raise TranspileError(f"{name} takes no arguments")
+        edits.append(
+            (start, toks[close][3],
+             "to_utc_timestamp(current_timestamp(), current_timezone())")
+        )
+        i = close + 1
+        return i
+
+    if name == "isnull":
+        # T-SQL ISNULL(a, b) = nvl. Spark's own 1-arg isnull()
+        # is a boolean test — arity disambiguates; a 1-arg call
+        # in T-SQL text is invalid T-SQL, loud.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError("tsql isnull takes 2 args")
+        edits.append((start, end, "nvl"))
+        i += 1
+        return i
+
+    if name == "len" and first_pass:
+        # T-SQL LEN ignores trailing spaces.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError("len takes 1 arg")
+        arg = _arg_text(spans[0])
+        edits.append(
+            (start, toks[close][3], f"length(rtrim({arg}))")
+        )
+        i = close + 1
+        return i
+
+    if name == "square" and first_pass:
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError("square takes 1 arg")
+        arg = _arg_text(spans[0])
+        edits.append(
+            (start, toks[close][3], f"power(({arg}), 2)")
+        )
+        i = close + 1
+        return i
+
+    if name == "eomonth" and first_pass:
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            arg = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3], f"last_day({arg})")
+            )
+        elif len(spans) == 2:
+            arg = _arg_text(spans[0])
+            off_ = _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"last_day(add_months({arg}, {off_}))")
+            )
+        else:
+            raise TranspileError("eomonth takes 1 or 2 args")
+        i = close + 1
+        return i
+
+    if name == "datepart" and first_pass:
+        # DATEPART(unit, d) → date_part('UNIT', d). WEEK and
+        # WEEKDAY depend on SET DATEFIRST — loud; ISO_WEEK is
+        # exact.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2 or spans[0][0] != spans[0][1] \
+                or toks[spans[0][0]][0] != "ident":
+            raise TranspileError(
+                "datepart needs a bare unit keyword"
+            )
+        raw_u = toks[spans[0][0]][1].lower()
+        d_arg = _arg_text(spans[1])
+        if raw_u in ("iso_week", "isowk", "isoww"):
+            edits.append(
+                (start, toks[close][3], f"weekofyear({d_arg})")
+            )
+            i = close + 1
+            return i
+        if raw_u in ("wk", "ww", "week", "dw", "weekday", "dy",
+                     "y", "dayofyear", "tzoffset", "tz",
+                     "ms", "mcs", "millisecond", "microsecond",
+                     "ns", "nanosecond"):
+            raise TranspileError(
+                f"datepart unit {raw_u!r} is SET-DATEFIRST/"
+                "context dependent or unmapped; no Spark "
+                "rewrite (use iso_week / dayofweek explicitly)"
+            )
+        unit = _resolve_unit(read, raw_u)
+        if unit is None:
+            raise TranspileError(
+                f"datepart unit {raw_u!r} has no Spark "
+                "date_part equivalent"
+            )
+        edits.append(
+            (start, toks[close][3],
+             f"date_part('{unit}', {d_arg})")
+        )
+        i = close + 1
+        return i
+
+    if name == "datename" and first_pass:
+        # month/weekday NAMES; everything else is DATEPART
+        # territory (T-SQL returns digits-as-strings — an
+        # implicit-cast seam, loud).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2 or spans[0][0] != spans[0][1] \
+                or toks[spans[0][0]][0] != "ident":
+            raise TranspileError(
+                "datename needs a bare unit keyword"
+            )
+        raw_u = toks[spans[0][0]][1].lower()
+        fmt_ = {"month": "MMMM", "mm": "MMMM", "m": "MMMM",
+                "weekday": "EEEE", "dw": "EEEE"}.get(raw_u)
+        if fmt_ is None:
+            raise TranspileError(
+                f"datename unit {raw_u!r} has no Spark rewrite "
+                "(numeric units return strings in T-SQL — use "
+                "datepart + CAST explicitly)"
+            )
+        d_arg = _arg_text(spans[1])
+        edits.append(
+            (start, toks[close][3],
+             f"date_format({d_arg}, '{fmt_}')")
+        )
+        i = close + 1
+        return i
+
+    return None

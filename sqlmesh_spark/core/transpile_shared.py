@@ -1,0 +1,866 @@
+"""Shared transpile infrastructure: error type, dialect constants, type maps, Spark-version gates, tokenizer span helpers, and expression-primary parsers.
+
+Split out of core/transpile.py (round 6): the walker in
+core/transpile.py dispatches into this module's handler functions; see
+TokenCtx in core/transpile_shared.py for the contract. Handler bodies
+are the pre-split code verbatim (continue -> return i), so every
+file:line reference in docstrings and VERDICT history still applies.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sqlmesh_spark.core.sqlparse import DIALECT_ALIASES  # noqa: F401
+from sqlmesh_spark.core.sqlparse import _EXPR_KEYWORDS, _TOKEN_RE  # noqa: F401
+from sqlmesh_spark.core.sqlparse import ESCAPE_LITERAL_DIALECTS, _token_re_for  # noqa: F401
+
+class TranspileError(ValueError):
+    pass
+
+
+SPARK = "spark"
+
+#: read dialects accepted by ``transpile``; "" / None / "spark" are no-ops.
+READ_DIALECTS = (
+    "duckdb", "postgres", "ansi", "snowflake", "bigquery", "redshift",
+    "mysql", "oracle", "tsql", "trino", "clickhouse",
+)
+
+#: alias dialects (presto/athena → trino, mssql/fabric/azuresql → tsql,
+#: risingwave/gcp_postgres → postgres, motherduck → duckdb, databricks →
+#: spark no-op) live in core/sqlparse.py — the LEXING seam — so that
+#: depends_on / lineage / fingerprints / the formatter select the right
+#: grammar too, not just this module's tables. Re-exported here for the
+#: public transpile API.
+from sqlmesh_spark.core.sqlparse import DIALECT_ALIASES  # noqa: E402
+
+#: dialects whose string literals are standard SQL (backslash is an
+#: ordinary character) and need backslash-doubling for Spark's C-style
+#: escape parser. Snowflake/BigQuery/Redshift/MySQL literals already treat
+#: backslash as an escape character, matching Spark — no doubling
+#: (Redshift's standard_conforming_strings defaults to off, inherited
+#: from its PostgreSQL 8.0 base; models written against a cluster with it
+#: flipped on should declare dialect postgres instead). Oracle, T-SQL and
+#: Trino literals are standard '' doubling.
+_STD_LITERAL_DIALECTS = ("duckdb", "postgres", "ansi", "oracle", "tsql", "trino")
+
+# ---------------------------------------------------------------------------
+# Function maps: read-dialect function name → Spark function name, applied
+# only in call position (identifier immediately followed by '(') so column
+# names are never rewritten. Arg order/shape must match in both engines —
+# anything needing restructuring gets a special handler instead.
+# ---------------------------------------------------------------------------
+
+
+_TYPE_MAP = {
+    "hugeint": "DECIMAL(38,0)",
+    "int128": "DECIMAL(38,0)",
+    "ubigint": "DECIMAL(20,0)",
+    "uinteger": "BIGINT",
+    "usmallint": "INT",
+    "utinyint": "SMALLINT",
+    "int1": "TINYINT",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "signed": "BIGINT",
+    "text": "STRING",
+    "varchar": "STRING",                # bare VARCHAR (no length) → STRING
+    "bpchar": "STRING",
+    "blob": "BINARY",
+    "bytea": "BINARY",
+    "real": "FLOAT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "timestamptz": "TIMESTAMP",
+    "timestamp_s": "TIMESTAMP",
+    "timestamp_ms": "TIMESTAMP",
+    "logical": "BOOLEAN",
+    "bool": "BOOLEAN",
+}
+
+# Per-dialect overlays on _TYPE_MAP. A value of None is LOUD — the type
+# has no faithful Spark representation (silently narrowing BIGNUMERIC's
+# 76 digits to DECIMAL(38) would corrupt data, not transpile it).
+_DIALECT_TYPES: dict[str, dict[str, str | None]] = {
+    "snowflake": {
+        "number": "DECIMAL(38,0)",      # bare NUMBER; NUMBER(p,s) passes through
+        "float": "DOUBLE",              # Snowflake FLOAT/FLOAT4/FLOAT8/REAL are all fp64
+        "float4": "DOUBLE",
+        "real": "DOUBLE",
+        "timestamp_ltz": "TIMESTAMP",
+        "timestamp_tz": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP_NTZ",
+        "byteint": "DECIMAL(38,0)",     # byteint is NUMBER(38,0) in Snowflake
+        "geography": None,
+        "geometry": None,
+    },
+    "bigquery": {
+        "int64": "BIGINT",
+        "float64": "DOUBLE",
+        "bytes": "BINARY",
+        "numeric": "DECIMAL(38,9)",
+        "bignumeric": None,             # 76.76 digits exceed Spark DECIMAL(38)
+        "datetime": "TIMESTAMP_NTZ",
+        "geography": None,
+        "json": None,                   # BQ JSON type vs Spark VARIANT → loud
+    },
+    "redshift": {
+        "super": None,                  # semi-structured SUPER → no analog
+        "varbyte": "BINARY",
+        "geometry": None,
+        "geography": None,
+        "hllsketch": None,
+        "timetz": None,                 # TIME types have no Spark analog
+        "time": None,
+    },
+    "oracle": {
+        "varchar2": "STRING",           # bare; VARCHAR2(n) via _PARAM_TYPES
+        "nvarchar2": "STRING",
+        "clob": "STRING",
+        "nclob": "STRING",
+        "long": None,                   # deprecated 2GB text → migrate first
+        "raw": "BINARY",
+        "long_raw": None,
+        "blob": "BINARY",
+        "number": None,                 # bare NUMBER has arbitrary scale
+                                        # (fractions allowed) — DECIMAL(38,0)
+                                        # would truncate; NUMBER(p,s) maps
+        "binary_float": "FLOAT",
+        "binary_double": "DOUBLE",
+        "float": "DOUBLE",              # Oracle FLOAT is NUMBER-backed fp
+        # Oracle DATE carries TIME-OF-DAY (second precision) — mapping to
+        # Spark DATE would silently drop it.
+        "date": "TIMESTAMP_NTZ",
+        "timestamp": "TIMESTAMP_NTZ",   # Oracle TIMESTAMP is zone-less
+        "rowid": None, "urowid": None,
+        "xmltype": None,
+        "sdo_geometry": None,
+    },
+    "tsql": {
+        "datetime": "TIMESTAMP_NTZ",
+        "datetime2": "TIMESTAMP_NTZ",
+        "smalldatetime": "TIMESTAMP_NTZ",
+        "datetimeoffset": "TIMESTAMP",
+        "bit": "BOOLEAN",
+        "uniqueidentifier": "STRING",
+        "nvarchar": "STRING",           # bare; NVARCHAR(n) via _PARAM_TYPES
+        "nchar": "STRING",
+        "ntext": "STRING",
+        "text": "STRING",
+        "image": "BINARY",
+        "varbinary": "BINARY",
+        "binary": "BINARY",
+        "money": "DECIMAL(19,4)",
+        "smallmoney": "DECIMAL(10,4)",
+        # T-SQL TINYINT is UNSIGNED 0..255; Spark's is signed -128..127 —
+        # widen to keep values representable.
+        "tinyint": "SMALLINT",
+        "float": "DOUBLE",              # bare FLOAT defaults to fp64
+        "real": "FLOAT",
+        "time": None,
+        "sql_variant": None,
+        "xml": None,
+        "geography": None, "geometry": None, "hierarchyid": None,
+    },
+    "clickhouse": {
+        # CH Int8 is 8 BITS (TINYINT) — the base map's int8→BIGINT is the
+        # Postgres/DuckDB byte-width spelling, overridden here.
+        "int8": "TINYINT", "int16": "SMALLINT",
+        "int32": "INT", "int64": "BIGINT",
+        # Int128 max (~1.7e38) exceeds DECIMAL(38,0)'s 10^38-1 — a
+        # narrowing cast would break data-dependently → loud like int256
+        "int128": None, "int256": None,
+        "uint8": "SMALLINT", "uint16": "INT",
+        "uint32": "BIGINT", "uint64": "DECIMAL(20,0)",
+        "uint128": None, "uint256": None,
+        "float32": "FLOAT", "float64": "DOUBLE",
+        "string": "STRING",
+        "date32": "DATE",
+        "datetime": "TIMESTAMP",        # epoch-stored, session-zone shown
+        "datetime64": "TIMESTAMP",
+        "uuid": "STRING",
+        "ipv4": None, "ipv6": None,
+        "json": None, "object": None,
+        "enum8": None, "enum16": None, "enum": None,
+        "fixedstring": None,            # value-padded equality semantics
+        "tuple": None,                  # rewrite as STRUCT<...>
+        "aggregatefunction": None, "simpleaggregatefunction": None,
+        "point": None, "ring": None, "polygon": None, "multipolygon": None,
+    },
+    "trino": {
+        "varbinary": "BINARY",
+        # Trino TIMESTAMP is zone-less; TIMESTAMP WITH TIME ZONE (the
+        # multiword form, handled in _type_token_edits) maps to the
+        # fixpoint-stable TIMESTAMP_LTZ spelling.
+        "timestamp": "TIMESTAMP_NTZ",
+        "json": None,                   # JSON type vs Spark VARIANT → loud
+        "time": None, "timetz": None,
+        "uuid": "STRING",               # canonical-text round-trip
+        "ipaddress": None, "ipprefix": None,
+        "hyperloglog": None, "p4hyperloglog": None,
+        "qdigest": None, "tdigest": None,
+        "geometry": None, "sphericalgeography": None,
+        "row": None,                    # ROW(...) → rewrite as STRUCT<...>
+    },
+    "mysql": {
+        "datetime": "TIMESTAMP_NTZ",    # wall-clock, no zone
+        "unsigned": "DECIMAL(20,0)",    # CAST(x AS UNSIGNED)
+        "char": "STRING",               # CAST(x AS CHAR) = string conversion
+        "nchar": "STRING",
+        "mediumint": "INT",
+        "real": "DOUBLE",               # MySQL REAL is fp64 (REAL_AS_FLOAT off)
+        "tinytext": "STRING",
+        "mediumtext": "STRING",
+        "longtext": "STRING",
+        "tinyblob": "BINARY",
+        "mediumblob": "BINARY",
+        "longblob": "BINARY",
+        "json": None,                   # MySQL JSON type → loud
+        "enum": None,
+        "set": None,
+        "year": None,                   # YEAR type (1901-2155) → loud
+        "time": None,
+        "bit": None,                    # BIT(n) bitfield → loud
+        "geometry": None,
+        "point": None, "linestring": None, "polygon": None,
+    },
+}
+
+
+# Parameterized type names: the base word renames, the (p[,s]) argument
+# list is preserved (CAST(x AS NUMBER(10,2)) → CAST(x AS DECIMAL(10,2))).
+# Spark has no NUMBER; bare NUMBER is handled by _DIALECT_TYPES.
+_PARAM_TYPES: dict[str, dict[str, str]] = {
+    "snowflake": {"number": "DECIMAL"},
+    "oracle": {
+        "number": "DECIMAL",
+        "varchar2": "VARCHAR",
+        "nvarchar2": "VARCHAR",
+        "raw": "BINARY",                # RAW(n) → length dropped by Spark
+    },
+    "tsql": {
+        "nvarchar": "VARCHAR",
+        "nchar": "CHAR",
+        "varbinary": "BINARY",
+        "binary": "BINARY",
+    },
+}
+
+# Parameterized types whose precision argument has no Spark form — the
+# whole ``name(args)`` span is replaced, args DROPPED (TIMESTAMP_NTZ(3)
+# would not parse). Widening precision is lossless in every entry.
+_PARAM_DROP_TYPES: dict[str, dict[str, str]] = {
+    "tsql": {
+        "datetime2": "TIMESTAMP_NTZ",
+        "datetimeoffset": "TIMESTAMP",
+        "float": "DOUBLE",              # FLOAT(n): n≤24 is fp32 — widened
+    },
+    "oracle": {
+        "timestamp": "TIMESTAMP_NTZ",   # TIMESTAMP(6) fractional precision
+        "float": "DOUBLE",              # FLOAT(binary_precision)
+    },
+    "trino": {
+        "timestamp": "TIMESTAMP_NTZ",   # TIMESTAMP(3) fractional precision
+    },
+    "clickhouse": {
+        "datetime": "TIMESTAMP",        # precision-only args drop; a
+                                        # STRING (timezone) argument
+                                        # RAISES in _type_token_edits —
+                                        # the zone changes which instant
+                                        # a string operand parses to
+        "datetime64": "TIMESTAMP",      # DateTime64(3)
+    },
+}
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _type_map(read: str):
+    """Merged base+overlay type map, built once per dialect — this sits on
+    the per-token render hot path (every :: and CAST)."""
+    base: dict[str, str | None] = dict(_TYPE_MAP)
+    base.update(_DIALECT_TYPES.get(read, {}))
+    return base
+
+
+_LOUD_TYPE = object()  # sentinel distinguishing "no rewrite" from "loud"
+
+
+def _lookup_type(read: str, tname: str) -> str | None:
+    """Spark rename for ``tname`` in ``read`` dialect; None when the name
+    needs no rewrite. Raises for types with no faithful Spark form."""
+    mapped = _type_map(read).get(tname, _LOUD_TYPE)
+    if mapped is _LOUD_TYPE:
+        return None
+    if mapped is None:
+        raise TranspileError(
+            f"type {tname!r} has no faithful Spark representation"
+        )
+    return mapped
+
+# date_diff units both timestampdiff and date_trunc accept (DuckDB also
+
+_SPARK4_TARGETS = frozenset({"listagg", "try_to_date"})
+
+
+def _spark_version() -> tuple[int, int]:
+    """(major, minor) of the active session if any, else the pyspark lib."""
+    v = None
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            v = s.version
+    except Exception:  # pragma: no cover - session probing is best-effort
+        v = None
+    if v is None:
+        import pyspark
+
+        v = pyspark.__version__
+    parts = v.split(".")
+    return int(parts[0]), int(parts[1])
+
+
+def _require_spark4(fn_name: str, target: str) -> None:
+    if target in _SPARK4_TARGETS and _spark_version() < (4, 0):
+        major, minor = _spark_version()
+        raise TranspileError(
+            f"{fn_name}() transpiles to {target}(), which requires Spark >= "
+            f"4.0 (session is {major}.{minor}); rewrite as "
+            "concat_ws(delim, collect_list(expr)) or upgrade Spark"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Tokenization with source spans
+# ---------------------------------------------------------------------------
+
+
+# Escape-aware token grammar for Snowflake/BigQuery: their string
+# literals use backslash escapes ('O\'Brien'), which the standard-SQL
+# grammar would mis-lex (literal ends at the escaped quote). BigQuery
+# additionally uses double quotes for STRINGS, not identifiers. The
+# grammar itself lives in core/sqlparse.py so depends_on / lineage /
+# linter lexing of the same dialect text shares one derivation.
+
+
+def _tokenize_spans(sql: str, read: str = "") -> list[tuple[str, str, int, int]]:
+    """(kind, text, start, end) per token, comments/ws skipped but their
+    bytes preserved by span-based editing. For escape-literal dialects the
+    grammar understands backslash-escaped quotes; BigQuery double-quoted
+    tokens are re-kinded as strings (Spark's default parser also treats
+    them as string literals, so they pass through valid)."""
+    token_re = _token_re_for(read)
+    out: list[tuple[str, str, int, int]] = []
+    pos = 0
+    n = len(sql)
+    while pos < n:
+        m = token_re.match(sql, pos)
+        if not m:
+            raise TranspileError(f"unexpected character {sql[pos]!r} at offset {pos}")
+        kind = m.lastgroup or ""
+        if kind == "dquote" and read in ("bigquery", "mysql"):
+            kind = "string"
+        if kind not in ("ws", "line_comment", "block_comment"):
+            out.append((kind, m.group(), m.start(), m.end()))
+        pos = m.end()
+    return out
+
+
+def _emit_infix_call(
+    edits: list, toks: list, start: int, close: int, spans: list,
+    op_: str, arg_text, fname: str,
+) -> None:
+    """Replace ``fname(a, b)`` with ``((a) op (b))`` — the ONE 2-arg
+    function→infix-operator emitter (snowflake bitand family, clickhouse
+    plus/minus/multiply/divide/intDiv, trino bitwise_*)."""
+    if len(spans) != 2:
+        raise TranspileError(f"{fname} takes 2 args")
+    a = arg_text(spans[0])
+    b = arg_text(spans[1])
+    edits.append((start, toks[close][3], f"(({a}) {op_} ({b}))"))
+
+
+def _emit_iso_dow(edits: list, start: int, end: int, close_end: int) -> None:
+    """Emit ``(weekday(x) + 1)`` — the ISO Monday=1 day-of-week rewrite
+    shared by trino day_of_week/dow and clickhouse toDayOfWeek."""
+    edits.append((start, end, "(weekday"))
+    edits.append((close_end, close_end, " + 1)"))
+
+
+
+_NAME_KINDS = ("ident", "qident", "bquote", "dquote", "brident")
+
+
+def _ident_text(tok_kind: str, tok_text: str) -> str:
+    """Identifier token text normalized for Spark: double-quoted and
+    T-SQL bracket-quoted names become backtick-quoted (Spark reads "x"
+    as a string literal and [x] as a subscript)."""
+    if tok_kind == "dquote":
+        inner = tok_text[1:-1].replace('""', '"')
+        return "`" + inner.replace("`", "``") + "`"
+    if tok_kind == "brident":
+        inner = tok_text[1:-1].replace("]]", "]")
+        return "`" + inner.replace("`", "``") + "`"
+    return tok_text
+
+
+def _match_bracket(toks: list, open_idx: int) -> int:
+    """Index of the ']' matching the '[' at open_idx."""
+    depth = 0
+    for j in range(open_idx, len(toks)):
+        kind, text, _, _ = toks[j]
+        if kind == "op" and text == "[":
+            depth += 1
+        elif kind == "op" and text == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise TranspileError("unbalanced [ ] brackets")
+
+
+def _backtrack_primary(toks: list, close_idx: int):
+    """For a postfix subscript after ')' — `f(x)[1]`, `(a)[1]` — return the
+    token index where the subscripted primary starts, or None to defer the
+    rewrite to the next fixpoint pass (chained `][`)."""
+    kind, text, _, _ = toks[close_idx]
+    if text == "]":
+        return None  # resolves next pass, after the inner subscript rewrites
+    depth = 0
+    for j in range(close_idx, -1, -1):
+        k, t, _, _ = toks[j]
+        if k == "op" and t == ")":
+            depth += 1
+        elif k == "op" and t == "(":
+            depth -= 1
+            if depth == 0:
+                if (
+                    j > 0
+                    and toks[j - 1][0] in _NAME_KINDS
+                    and (
+                        toks[j - 1][1].upper() not in _EXPR_KEYWORDS
+                        # keywords that ARE call-like heads whose result
+                        # can be subscripted (SELECT/WHERE/AND/… are not)
+                        or toks[j - 1][1].upper()
+                        in ("CAST", "TRY_CAST", "ARRAY", "MAP", "STRUCT")
+                    )
+                ):
+                    # function call: include the (possibly dotted) name
+                    i = j - 1
+                    while (
+                        i >= 2
+                        and toks[i - 1][0] == "op" and toks[i - 1][1] == "."
+                        and toks[i - 2][0] in _NAME_KINDS
+                    ):
+                        i -= 2
+                    return i
+                return j
+    return None
+
+
+#: literal keywords that form a primary expression on their own
+_PRIMARY_KEYWORDS = ("NULL", "TRUE", "FALSE")
+
+#: keywords that can head a call-like primary — `CAST(x AS T)[1]`,
+#: `ARRAY(1,2) ^ 2` — unlike clause keywords (SELECT/WHERE/AND/…)
+_CALLABLE_KEYWORDS = ("CAST", "TRY_CAST", "ARRAY", "MAP", "STRUCT")
+
+
+def _forward_primary(toks: list, idx: int):
+    """(first, last) token-index span of the primary expression starting
+    at idx — optional unary +/-/~ chain, then a literal, (possibly
+    dotted) identifier with optional call parens, parenthesized
+    expression, or CASE..END — plus trailing `[..]` subscript and
+    `::type` cast postfixes. Returns None when the shape isn't
+    recognized; callers leave the SQL untouched (loud downstream rather
+    than a mis-scoped rewrite)."""
+    n = len(toks)
+    j = idx
+    while j < n and toks[j][0] == "op" and toks[j][1] in ("+", "-", "~"):
+        j += 1
+    if j >= n:
+        return None
+    kind, text = toks[j][0], toks[j][1]
+    if kind == "op" and text == "(":
+        last = _call_arg_spans(toks, j)[1]
+    elif kind in ("number", "string"):
+        last = j
+    elif kind in _NAME_KINDS:
+        up = text.upper()
+        if up == "CASE":
+            depth = 1
+            last = None
+            for k in range(j + 1, n):
+                tu = toks[k][1].upper() if toks[k][0] in _NAME_KINDS else ""
+                if tu == "CASE":
+                    depth += 1
+                elif tu == "END":
+                    depth -= 1
+                    if depth == 0:
+                        last = k
+                        break
+            if last is None:
+                return None
+        elif up in _EXPR_KEYWORDS and up not in _PRIMARY_KEYWORDS + _CALLABLE_KEYWORDS:
+            return None
+        else:
+            last = j
+            while (
+                last + 2 < n
+                and toks[last + 1][0] == "op" and toks[last + 1][1] == "."
+                and toks[last + 2][0] in _NAME_KINDS
+            ):
+                last += 2
+            if (
+                last + 1 < n
+                and toks[last + 1][0] == "op" and toks[last + 1][1] == "("
+            ):
+                last = _call_arg_spans(toks, last + 1)[1]
+    else:
+        return None
+    # postfixes: subscripts and :: casts (both bind tighter than any
+    # infix operator)
+    while last + 1 < n and toks[last + 1][0] == "op":
+        t1 = toks[last + 1][1]
+        if t1 == "[":
+            last = _match_bracket(toks, last + 1)
+        elif t1 == "::" and last + 2 < n and toks[last + 2][0] in _NAME_KINDS:
+            last += 2
+            if (
+                last + 1 < n
+                and toks[last + 1][0] == "op" and toks[last + 1][1] == "("
+            ):
+                last = _call_arg_spans(toks, last + 1)[1]
+        else:
+            break
+    return (idx, last)
+
+
+def _backward_primary(toks: list, idx: int, include_unary: bool):
+    """First token index of the primary expression ENDING at idx —
+    mirror of _forward_primary for infix left operands (the `a` of
+    `a ^ b`). include_unary pulls a leading unary +/- into the primary
+    (DuckDB binds unary minus tighter than ^; Postgres does not).
+    Returns None when unrecognized or when the primary ends in `]`
+    (defer to the next fixpoint pass, after subscripts rewrite)."""
+    kind, text = toks[idx][0], toks[idx][1]
+    if kind == "op" and text in ("]", "::"):
+        return None  # subscript/cast tail — resolves next pass
+    if kind == "op" and text == ")":
+        first = _backtrack_primary(toks, idx)
+    elif kind in ("number", "string"):
+        first = idx
+    elif kind in _NAME_KINDS:
+        up = text.upper()
+        if up == "END":
+            depth = 1
+            first = None
+            for k in range(idx - 1, -1, -1):
+                tu = toks[k][1].upper() if toks[k][0] in _NAME_KINDS else ""
+                if tu == "END":
+                    depth += 1
+                elif tu == "CASE":
+                    depth -= 1
+                    if depth == 0:
+                        first = k
+                        break
+            if first is None:
+                return None
+        elif up in _EXPR_KEYWORDS and up not in _PRIMARY_KEYWORDS:
+            return None
+        else:
+            first = idx
+            while (
+                first >= 2
+                and toks[first - 1][0] == "op" and toks[first - 1][1] == "."
+                and toks[first - 2][0] in _NAME_KINDS
+            ):
+                first -= 2
+    else:
+        return None
+    if first is None:
+        return None
+    if include_unary and first > 0:
+        k = first
+        while k > 0 and toks[k - 1][0] == "op" and toks[k - 1][1] in ("+", "-", "~"):
+            k -= 1
+        if k < first:
+            # the sign chain is unary only if what precedes it cannot end
+            # an expression (operator other than )/], or a clause keyword)
+            p = toks[k - 1] if k > 0 else None
+            if p is None or (
+                (p[0] == "op" and p[1] not in (")", "]"))
+                or (p[0] in _NAME_KINDS and p[1].upper() in _EXPR_KEYWORDS
+                    and p[1].upper() not in _PRIMARY_KEYWORDS)
+            ):
+                first = k
+    return first
+
+
+def _call_args(toks: list, open_idx: int) -> list[int]:
+    """Indices of top-level argument-start tokens for the call whose '('
+    is at open_idx; also returns close paren index via sentinel last item."""
+    spans, close = _call_arg_spans(toks, open_idx)
+    return [s for s, _ in spans] + [close]
+
+
+def _call_arg_spans(toks: list, open_idx: int):
+    """(first_token, last_token) index pair per top-level argument of the
+    call whose '(' is at open_idx, plus the close-paren index."""
+    spans: list[tuple[int, int]] = []
+    depth = 0
+    bdepth = 0  # bracket nesting — commas inside [1, 2] are not arg splits
+    first = None
+    last = None
+    i = open_idx
+    while i < len(toks):
+        kind, text, _, _ = toks[i]
+        if kind == "op" and text == "(":
+            depth += 1
+            if depth == 1:
+                i += 1
+                continue
+        elif kind == "op" and text == ")":
+            depth -= 1
+            if depth == 0:
+                if first is not None:
+                    spans.append((first, last))
+                return spans, i
+        elif kind == "op" and text == "[":
+            bdepth += 1
+        elif kind == "op" and text == "]":
+            bdepth -= 1
+        elif depth == 1 and bdepth == 0 and kind == "op" and text == ",":
+            spans.append((first, last))
+            first = None
+            i += 1
+            continue
+        if depth >= 1:
+            if first is None:
+                first = i
+            last = i
+        i += 1
+    raise TranspileError("unbalanced parens in function call")
+
+
+def _cast_as_indices(toks: list) -> set[int]:
+    """Token indices of the TYPE-introducing ``AS`` of each
+    CAST(...)/TRY_CAST(...) — the LAST depth-1 AS before the close paren.
+    Only these positions may have their following type name renamed: an
+    output alias named `text`, even inside a subquery nested in a CAST
+    body, must never be rewritten."""
+    out: set[int] = set()
+    for i, (kind, text, _, _) in enumerate(toks):
+        if (
+            kind == "ident"
+            and text.lower() in ("cast", "try_cast", "safe_cast")
+            and i + 1 < len(toks)
+            and toks[i + 1][0] == "op"
+            and toks[i + 1][1] == "("
+        ):
+            depth = 0
+            last_as = None
+            for j in range(i + 1, len(toks)):
+                k, t_, _, _ = toks[j]
+                if k == "op" and t_ == "(":
+                    depth += 1
+                elif k == "op" and t_ == ")":
+                    depth -= 1
+                    if depth == 0:
+                        if last_as is not None:
+                            out.add(last_as)
+                        break
+                elif depth == 1 and k == "ident" and t_.upper() == "AS":
+                    last_as = j
+    return out
+
+
+def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
+    """Shared type-rewrite decision tree for the token FOLLOWING ``::`` or
+    a CAST's type-introducing AS (both syntaxes must stay in lockstep).
+    Returns (edits, tokens_consumed_after_i)."""
+    tname = toks[i + 1][1].lower()
+    if read == "clickhouse" and is_op(i + 2, "("):
+        if tname in ("nullable", "lowcardinality"):
+            # Unwrap: CAST(x AS Nullable(Int64)) → CAST(x AS Int64) —
+            # every Spark type is nullable and LowCardinality is a
+            # storage hint. The inner type (possibly itself
+            # parameterized) is rewritten on the next fixpoint pass.
+            depth = 0
+            close_j = None
+            for j in range(i + 2, len(toks)):
+                if toks[j][0] == "op" and toks[j][1] == "(":
+                    depth += 1
+                elif toks[j][0] == "op" and toks[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_j = j
+                        break
+            if close_j is not None:
+                return (
+                    [
+                        (toks[i + 1][2], toks[i + 2][3], ""),
+                        (toks[close_j][2], toks[close_j][3], ""),
+                    ],
+                    2,
+                )
+        if tname in ("array", "map"):
+            # Array(T) → ARRAY<T>, Map(K, V) → MAP<K, V> for plain
+            # single-ident element types; nested element shapes have no
+            # single-pass rewrite → LOUD.
+            arg_spans, close_j = _call_arg_spans(toks, i + 2)
+            elems: list[str] = []
+            for s_, e_ in arg_spans:
+                if s_ != e_ or toks[s_][0] != "ident":
+                    raise TranspileError(
+                        f"clickhouse {toks[i + 1][1]}(...) with a nested "
+                        "element type has no one-pass Spark rewrite; "
+                        "write the Spark ARRAY<...>/MAP<...> form"
+                    )
+                elems.append(
+                    _lookup_type(read, toks[s_][1].lower())
+                    or toks[s_][1].upper()
+                )
+            if tname == "array" and len(elems) == 1:
+                return (
+                    [(toks[i + 1][2], toks[close_j][3], f"ARRAY<{elems[0]}>")],
+                    close_j + 1 - i,
+                )
+            if tname == "map" and len(elems) == 2:
+                return (
+                    [(toks[i + 1][2], toks[close_j][3],
+                      f"MAP<{elems[0]}, {elems[1]}>")],
+                    close_j + 1 - i,
+                )
+            raise TranspileError(
+                f"clickhouse {toks[i + 1][1]} type takes "
+                f"{'1 element' if tname == 'array' else '2 elements'}"
+            )
+    if tname in ("timestamp", "time") and read in (
+        "trino", "postgres", "oracle", "ansi", "duckdb"
+    ):
+        # Multiword WITH[OUT] TIME ZONE forms, optionally after a
+        # precision list: TIMESTAMP(3) WITH TIME ZONE → TIMESTAMP;
+        # TIMESTAMP WITHOUT TIME ZONE → TIMESTAMP_NTZ. The single-word
+        # names fall through to the per-dialect tables below.
+        j = i + 2
+        if is_op(j, "("):
+            depth = 0
+            while j < len(toks):
+                if toks[j][0] == "op" and toks[j][1] == "(":
+                    depth += 1
+                elif toks[j][0] == "op" and toks[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+        if (
+            j + 2 < len(toks)
+            and all(toks[k][0] == "ident" for k in (j, j + 1, j + 2))
+            and toks[j][1].upper() in ("WITH", "WITHOUT")
+            and toks[j + 1][1].upper() == "TIME"
+            and toks[j + 2][1].upper() == "ZONE"
+        ):
+            if tname == "time":
+                raise TranspileError(
+                    "TIME types have no Spark analog; store as STRING or "
+                    "seconds-since-midnight"
+                )
+            # TIMESTAMP_LTZ, not bare TIMESTAMP: for trino the bare name
+            # means zone-LESS, so a later fixpoint pass would re-read an
+            # emitted TIMESTAMP and map it to TIMESTAMP_NTZ. The _LTZ
+            # spelling is the same Spark type and is fixpoint-stable.
+            mapped_tz = (
+                "TIMESTAMP_LTZ" if toks[j][1].upper() == "WITH"
+                else "TIMESTAMP_NTZ"
+            )
+            return [(toks[i + 1][2], toks[j + 2][3], mapped_tz)], j + 3 - i
+    if (
+        read == "mysql"
+        and tname in ("signed", "unsigned")
+        and i + 2 < len(toks)
+        and toks[i + 2][0] == "ident"
+        and toks[i + 2][1].lower() == "integer"
+    ):
+        # MySQL's two-word CAST targets: SIGNED [INTEGER] / UNSIGNED
+        # [INTEGER] — consume the optional INTEGER into the rewrite.
+        mapped2 = _lookup_type(read, tname) or toks[i + 1][1].upper()
+        return [(toks[i + 1][2], toks[i + 2][3], mapped2)], 3
+    if is_op(i + 2, "[") and is_op(i + 3, "]"):
+        elem = _lookup_type(read, tname) or toks[i + 1][1].upper()
+        return [(toks[i + 1][2], toks[i + 3][3], f"ARRAY<{elem}>")], 4
+    if is_op(i + 2, "("):
+        # find the matching close paren of the type-arg list
+        depth = 0
+        close_j = None
+        for j in range(i + 2, len(toks)):
+            if toks[j][0] == "op" and toks[j][1] == "(":
+                depth += 1
+            elif toks[j][0] == "op" and toks[j][1] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_j = j
+                    break
+        dtype = _PARAM_DROP_TYPES.get(read, {}).get(tname)
+        if dtype is not None and close_j is not None:
+            # ClickHouse DateTime('Asia/Tokyo') / DateTime64(3, 'tz'): a
+            # STRING argument is a parse/display timezone that changes
+            # which INSTANT a string operand parses to — dropping it
+            # silently would shift values (the toDateTime(x, 'tz')
+            # function form raises for the same reason).
+            if read == "clickhouse" and any(
+                toks[k][0] == "string" for k in range(i + 2, close_j)
+            ):
+                raise TranspileError(
+                    f"clickhouse {toks[i + 1][1]}(...) with a timezone "
+                    "argument has no faithful Spark CAST (the zone "
+                    "changes the parsed instant); convert explicitly "
+                    "with to_utc_timestamp/from_utc_timestamp"
+                )
+            return [(toks[i + 1][2], toks[close_j][3], dtype)], close_j + 1 - i
+        # T-SQL (MAX) length specifier — no Spark form; drop to the
+        # unbounded base type (VARCHAR(MAX)→STRING, VARBINARY(MAX)→BINARY)
+        if (
+            read == "tsql"
+            and close_j == i + 4
+            and toks[i + 3][0] == "ident"
+            and toks[i + 3][1].lower() == "max"
+        ):
+            base_u = "BINARY" if "binary" in tname else "STRING"
+            return [(toks[i + 1][2], toks[close_j][3], base_u)], close_j + 1 - i
+        ptype = _PARAM_TYPES.get(read, {}).get(tname)
+        if ptype is not None:
+            return [(toks[i + 1][2], toks[i + 1][3], ptype)], 2
+        # a type that is LOUD in bare form (mapped None) is just as
+        # unrepresentable with parameters: ROW(x int), TIME(3), BIT(3)
+        if _type_map(read).get(tname, _LOUD_TYPE) is None:
+            raise TranspileError(
+                f"type {tname!r} has no faithful Spark representation"
+            )
+        return [], 2
+    mapped = _lookup_type(read, tname)
+    if mapped is not None:
+        return [(toks[i + 1][2], toks[i + 1][3], mapped)], 2
+    return [], 2
+
+
+
+class TokenCtx:
+    """Mutable per-pass token view handed to the dialect handler modules
+    (core/dialects/*). The walker in core/transpile.py updates the
+    per-token fields (i/kind/text/start/end/name) before each dispatch;
+    a handler returns the next scan index when it consumed or edited the
+    construct, or None to fall through to the shared handlers and plain
+    renames."""
+
+    __slots__ = (
+        "sql", "read", "first_pass", "toks", "edits",
+        "i", "kind", "text", "start", "end", "name",
+        "arg_text", "is_op", "transpile",
+    )

@@ -1,0 +1,598 @@
+"""Literal, regex and datetime-format machinery for the read-dialect transpiler: %-code and NLS format-table conversion, string-literal decoding/emission per dialect, and regex literal escaping.
+
+Split out of core/transpile.py (round 6): the walker in
+core/transpile.py dispatches into this module's handler functions; see
+TokenCtx in core/transpile_shared.py for the contract. Handler bodies
+are the pre-split code verbatim (continue -> return i), so every
+file:line reference in docstrings and VERDICT history still applies.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sqlmesh_spark.core.sqlparse import ESCAPE_LITERAL_DIALECTS  # noqa: F401
+from sqlmesh_spark.core.transpile_shared import (  # noqa: F401
+    _STD_LITERAL_DIALECTS,
+    TranspileError,
+)
+
+_DIFF_UNITS = {
+    u: u.upper()
+    for u in ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
+}
+_DIFF_UNITS.update({u + "s": u.upper() for u in list(_DIFF_UNITS)})
+
+# T-SQL DATEADD/DATEDIFF/DATEPART unit abbreviations → canonical unit.
+# dayofyear/dy/y are ABSENT on purpose: DATEADD treats them as day but
+# DATEPART returns day-of-year — context-dependent, so loud beats a
+# guess. millisecond/microsecond work for dateadd via Spark units.
+_TSQL_UNIT_ALIASES = {
+    "yy": "year", "yyyy": "year",
+    "qq": "quarter", "q": "quarter",
+    "mm": "month", "m": "month",
+    "dd": "day", "d": "day",
+    "wk": "week", "ww": "week",
+    "hh": "hour",
+    "mi": "minute", "n": "minute",
+    "ss": "second", "s": "second",
+    "ms": "millisecond", "mcs": "microsecond",
+    "millisecond": "millisecond", "microsecond": "microsecond",
+}
+
+
+def _resolve_unit(read: str, raw_unit: str) -> str | None:
+    """Canonical UPPER unit for dateadd/datediff/datepart keywords, with
+    T-SQL abbreviation folding. Returns None when unmapped."""
+    if read == "tsql":
+        raw_unit = _TSQL_UNIT_ALIASES.get(raw_unit, raw_unit)
+        if raw_unit in ("millisecond", "microsecond"):
+            return raw_unit.upper()
+    return _DIFF_UNITS.get(raw_unit)
+
+# C-style (strftime/strptime) → Spark datetime pattern letters. %G (ISO
+# week year) and %V (ISO week) are deliberately ABSENT: Spark 3+ rejects
+# the Y/w week patterns (DATETIME_PATTERN_RECOGNITION), so those codes
+# raise TranspileError instead of emitting SQL that fails at run time.
+_C_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
+    "M": "mm", "S": "ss", "f": "SSSSSS", "g": "SSS", "p": "a", "j": "DDD",
+    "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM", "Z": "zzz",
+    "z": "xx", "%": "%",
+}
+
+# Postgres to_char/to_timestamp patterns → Spark. Sorted longest-first at
+# use time so MONTH wins over its prefix MON (a literal-order list had
+# made the MONTH mapping unreachable).
+_PG_FMT = sorted(
+    [
+        ("YYYY", "yyyy"), ("YY", "yy"), ("MON", "MMM"), ("MONTH", "MMMM"),
+        ("MM", "MM"), ("DDD", "DDD"), ("DD", "dd"), ("DY", "EEE"),
+        ("DAY", "EEEE"), ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
+        ("MI", "mm"), ("SS", "ss"), ("MS", "SSS"), ("US", "SSSSSS"),
+        ("AM", "a"), ("PM", "a"), ("TZ", "zzz"),
+    ],
+    key=lambda p: -len(p[0]),
+)
+
+
+# ClickHouse formatDateTime %-codes → Spark datetime patterns. %M is
+# deliberately ABSENT: legacy servers read it as MINUTE, 23.x+ (with
+# formatdatetime_format_without_leading_zeros defaults) as MONTH NAME —
+# version-ambiguous, so it raises; %i is the unambiguous minute.
+_CH_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
+    "i": "mm", "S": "ss", "p": "a", "j": "DDD", "a": "EEE", "W": "EEEE",
+    "b": "MMM", "f": "SSSSSS", "Q": "Q",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm", "r": "hh:mm:ss a",
+    "n": "\n", "t": "\t", "%": "%",
+}
+
+
+def _convert_pct_format(fmt: str, table: dict[str, str], what: str) -> str:
+    """Shared %-code → Spark datetime pattern conversion, quoting literal
+    letter runs. Raises on a code absent from ``table``."""
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush() -> None:
+        if not literal:
+            return
+        run = "".join(literal)
+        # Java patterns treat a-zA-Z as pattern letters: quote runs that
+        # contain any; pure punctuation passes through unquoted.
+        if re.search(r"[A-Za-z']", run):
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+        literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise TranspileError(f"dangling % in format {fmt!r}")
+            code = fmt[i + 1]
+            if code not in table:
+                extra = (
+                    " (legacy minute vs 23.x month name — use %i for "
+                    "minutes or the MMMM Spark pattern directly)"
+                    if what == "clickhouse formatDateTime" and code == "M"
+                    else ""
+                )
+                raise TranspileError(
+                    f"{what} code %{code} has no Spark datetime "
+                    f"pattern{extra}"
+                )
+            flush()
+            rep = table[code]
+            # Two adjacent identical codes (%Y%Y) would merge into one
+            # longer Java field (yyyyyyyy = one 8-padded year, not two
+            # years) — inexpressible without a separator, so refuse.
+            if rep != "%" and out and out[-1] and out[-1][-1] == rep[0]:
+                raise TranspileError(
+                    f"adjacent %{code} codes merge in Spark datetime "
+                    f"patterns; separate them in format {fmt!r}"
+                )
+            out.append(rep)
+            i += 2
+        else:
+            literal.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def convert_strftime_format(fmt: str) -> str:
+    """C-style → Spark datetime pattern, quoting literal letter runs.
+
+    ``%Y-%m-%dT%H:%M:%S`` → ``yyyy-MM-dd'T'HH:mm:ss``. Raises on a ``%``
+    code with no Spark equivalent (e.g. ``%U`` week-of-year-Sunday).
+    """
+    return _convert_pct_format(fmt, _C_FMT, "strftime")
+
+
+def convert_ch_format(fmt: str) -> str:
+    """ClickHouse formatDateTime %-codes → Spark datetime pattern."""
+    return _convert_pct_format(fmt, _CH_FMT, "clickhouse formatDateTime")
+
+
+def _convert_pg_like_format(fmt: str, allow_ff: bool) -> str:
+    """Shared Postgres-style pattern scan (longest-first _PG_FMT table,
+    numeric-pattern guard, loud on unmapped alpha). ``allow_ff`` adds
+    Snowflake's ``FF[0-9]`` fractional-seconds prefix case — the ONLY
+    difference between the two dialects' pattern languages."""
+    if not any(c.isalpha() for c in fmt):
+        raise TranspileError(
+            f"format {fmt!r} looks numeric; only datetime "
+            "patterns transpile to date_format"
+        )
+    out: list[str] = []
+    i = 0
+    n = len(fmt)
+    while i < n:
+        if allow_ff and fmt[i : i + 2].upper() == "FF":
+            digits = 9
+            skip = 2
+            if i + 2 < n and fmt[i + 2].isdigit():
+                digits = int(fmt[i + 2])
+                skip = 3
+            if digits == 0:
+                raise TranspileError("FF0 fractional seconds is not a pattern")
+            out.append("S" * digits)
+            i += skip
+            continue
+        for pat, rep in _PG_FMT:
+            if fmt[i : i + len(pat)].upper() == pat:
+                out.append(rep)
+                i += len(pat)
+                break
+        else:
+            c = fmt[i]
+            if c.isalpha():
+                raise TranspileError(
+                    f"format fragment {fmt[i:]!r} has no Spark mapping"
+                )
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def convert_pg_format(fmt: str) -> str:
+    """Postgres TO_CHAR pattern → Spark datetime pattern. Numeric
+    to_char patterns ('999D99', 'FM...') have no Spark date_format
+    equivalent — they raise rather than converting to a wrong literal."""
+    return _convert_pg_like_format(fmt, allow_ff=False)
+
+
+def convert_sf_format(fmt: str) -> str:
+    """Snowflake TO_CHAR/TO_VARCHAR/TO_DATE/TO_TIMESTAMP pattern → Spark.
+    Snowflake's pattern language is Postgres-like plus ``FF[0-9]``
+    fractional seconds (bare FF = 9 digits). Numeric patterns
+    ('$99,999.00') have no date_format equivalent — loud, same rule as
+    convert_pg_format."""
+    return _convert_pg_like_format(fmt, allow_ff=True)
+
+
+# MySQL DATE_FORMAT/STR_TO_DATE %-codes → Spark datetime pattern letters.
+# The code SET differs from C strftime (%i is minutes, %M is the month
+# NAME, %s/%S both seconds); week-based codes (%U %u %V %v %X %x) and
+# day-of-week-number (%w) are deliberately ABSENT — Spark 3+ rejects the
+# week patterns, and there is no numeric-day letter — so they raise.
+# %D (1st/2nd ordinal suffix) has no Spark form either.
+_MYSQL_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h",
+    "i": "mm", "s": "ss", "S": "ss", "f": "SSSSSS", "p": "a",
+    "M": "MMMM", "b": "MMM", "a": "EEE", "W": "EEEE", "j": "DDD",
+    "r": "hh:mm:ss a", "T": "HH:mm:ss", "%": "%",
+}
+
+#: %-codes that indicate a TIME component — used by the STR_TO_DATE
+#: handler to pick to_timestamp vs to_date (MySQL returns a DATETIME when
+#: the format has time parts, a DATE otherwise).
+_MYSQL_TIME_CODES = frozenset("HkhIlisSfprT")
+
+
+def convert_mysql_format(fmt: str) -> str:
+    """MySQL %-code pattern → Spark datetime pattern, quoting literal
+    letter runs (same emitter rules as convert_strftime_format). Raises
+    on codes with no Spark equivalent (%U week, %w weekday number, %D
+    ordinal-suffix day).
+
+    A format with NO %-codes never reaches here (the callers pass it
+    through / reject it) — date_format shares its NAME with Spark, so the
+    fixpoint's later passes re-read our own emitted Java pattern; blindly
+    quoting its letters would corrupt it."""
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush() -> None:
+        if not literal:
+            return
+        run = "".join(literal)
+        if re.search(r"[A-Za-z']", run):
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+        literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise TranspileError(f"dangling % in format {fmt!r}")
+            code = fmt[i + 1]
+            if code not in _MYSQL_FMT:
+                raise TranspileError(
+                    f"mysql date format code %{code} has no Spark "
+                    "datetime pattern"
+                )
+            flush()
+            rep = _MYSQL_FMT[code]
+            if rep != "%" and out and out[-1] and out[-1][-1] == rep[0]:
+                raise TranspileError(
+                    f"adjacent %{code} codes merge in Spark datetime "
+                    f"patterns; separate them in format {fmt!r}"
+                )
+            out.append(rep)
+            i += 2
+        else:
+            literal.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _mysql_fmt_has_time(fmt: str) -> bool:
+    """True when the MySQL format string carries any time-of-day code."""
+    return any(
+        fmt[i] == "%" and i + 1 < len(fmt) and fmt[i + 1] in _MYSQL_TIME_CODES
+        for i in range(len(fmt))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-version gating: rename targets that only exist on Spark >= 4.0 must
+# fail at RENDER time on older sessions (loud-failure contract), not at
+# execution on the cluster.
+# ---------------------------------------------------------------------------
+
+
+def _regex_escape_content(inner: str) -> str:
+    """Escape regex metachars in plain text destined for a Spark string
+    literal used as a regex. A literal backslash needs FOUR backslashes
+    (regex ``\\\\`` with each ``\\`` doubled for the SQL literal); other
+    metachars need the doubled escape + themselves. Shared by every
+    plain-separator→regex rewrite so the metachar table lives once."""
+    return re.sub(
+        r"([.^$*+?()\[\]{}|\\])",
+        lambda m: "\\\\\\\\" if m.group(1) == "\\" else "\\\\" + m.group(1),
+        inner,
+    )
+
+
+def _regex_literal(content: str, read: str) -> str:
+    """Spark literal whose CONTENT is the regex-escaped plain text — the
+    ONE emitter for every plain-separator→regex rewrite."""
+    return (
+        "'"
+        + _regex_escape_content(content).replace("'", _quote_escape(read))
+        + "'"
+    )
+
+
+#: escapes shared by snowflake AND bigquery string grammars.
+_SIMPLE_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    "\\": "\\", "'": "'", '"': '"', "`": "`",
+}
+
+#: bigquery-only escapes (GoogleSQL); snowflake reads these as the bare
+#: character via its unknown-escape rule.
+_BQ_EXTRA_ESCAPES = {"a": "\a", "v": "\v", "?": "?"}
+
+
+def _decode_u_escape(body: str, i: int, read: str) -> tuple[str, int] | None:
+    """Decode ``\\uXXXX`` (and bigquery ``\\Uhhhhhhhh``) at body[i:].
+    Snowflake writes non-BMP chars as UTF-16 surrogate PAIRS of \\u
+    escapes — combined here (a lone surrogate would make the output
+    unencodable, crashing far from the source). BigQuery FORBIDS
+    surrogate code points in \\u (non-BMP uses \\U) — LOUD, matching the
+    source dialect's own rejection."""
+    esc = body[i + 1 : i + 2]
+    if read == "bigquery" and esc == "U":
+        if not re.fullmatch(r"[0-9a-fA-F]{8}", body[i + 2 : i + 10]):
+            raise TranspileError(r"\U escape needs exactly eight hex digits")
+        cp = int(body[i + 2 : i + 10], 16)
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            raise TranspileError(f"\\U{cp:08x} is not a valid code point")
+        return chr(cp), i + 10
+    if not (esc == "u" and re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 2 : i + 6])):
+        return None
+    cp = int(body[i + 2 : i + 6], 16)
+    if 0xD800 <= cp <= 0xDBFF:
+        if read == "snowflake" and (
+            body[i + 6 : i + 8] == "\\u"
+            and re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 8 : i + 12])
+        ):
+            lo = int(body[i + 8 : i + 12], 16)
+            if 0xDC00 <= lo <= 0xDFFF:
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                return chr(cp), i + 12
+        raise TranspileError(
+            f"surrogate \\u{cp:04x} in string literal"
+            + (r" (bigquery non-BMP uses \U........)" if read == "bigquery" else "")
+        )
+    if 0xDC00 <= cp <= 0xDFFF:
+        raise TranspileError(
+            f"lone UTF-16 low surrogate \\u{cp:04x} in string literal"
+        )
+    return chr(cp), i + 6
+
+
+#: character → Spark-literal escape for re-emitting decoded content. Raw
+#: chars pass through (py4j ships any unicode); only chars Spark's parser
+#: would misread unescaped, plus common controls for readability, map.
+_SPARK_EMIT = {
+    "\\": "\\\\", "\n": "\\n", "\t": "\\t",
+    "\r": "\\r", "\b": "\\b",
+}
+
+
+def _quote_escape(read: str) -> str:
+    """How an embedded quote re-emits, per READ grammar (later fixpoint
+    passes re-lex our own output): doubled for std grammars (they cannot
+    lex a backslash-quote), backslash-quote for snowflake/bigquery — a
+    doubled-quote literal whose content STARTS with a quote would open
+    with a triple-quote run that the bigquery grammar reads as a
+    triple-quoted string, mis-spanning across tokens. Both forms are
+    valid Spark."""
+    return "\\'" if read in ESCAPE_LITERAL_DIALECTS else "''"
+
+
+def _spark_string_literal(content: str, read: str) -> str:
+    """Render character content as a single-quoted Spark SQL literal,
+    re-lexable under the READ dialect grammar."""
+    qe = _quote_escape(read)
+    return (
+        "'"
+        + "".join(qe if c == "'" else _SPARK_EMIT.get(c, c) for c in content)
+        + "'"
+    )
+
+
+def _raw_body(lit: str) -> str:
+    """Body of a BigQuery RAW string token (after the r prefix) - no
+    escape processing, but triple-quoted raw forms strip three quotes."""
+    return lit[3:-3] if lit[:3] in ("'''", '"""') else lit[1:-1]
+
+def _literal_content(lit: str, read: str) -> str:
+    """Decode a string literal token's body to its character content per
+    the read dialect's escape rules: '' doubling everywhere; backslash
+    escapes additionally in snowflake/bigquery — ``\\uXXXX`` unicode
+    (snowflake surrogate pairs combined), snowflake ``\\0``/``\\xhh``,
+    bigquery ``\\ooo`` octal / ``\\[xX]hh`` hex / ``\\Uhhhhhhhh`` /
+    ``\\a``/``\\v``/``\\?``. Snowflake reads any other unknown escape as
+    the bare character; bigquery rejects it — LOUD here rather than
+    guessing."""
+    body = lit[1:-1]
+    if read in _STD_LITERAL_DIALECTS:
+        return body.replace("''", "'")
+    q = lit[0]  # quote-doubling collapses the literal's OWN quote char
+    # BigQuery triple-quoted strings ('''...''' / \"\"\"...\"\"\") lex as one
+    # token (dedicated _BQ_TOKEN_RE alternatives); inside them quote chars
+    # are LITERAL (no doubling rule), only backslash escapes apply.
+    # BIGQUERY ONLY: snowflake has no triple form — there '''abc''' is the
+    # standard doubling fold with content 'abc' INCLUDING the quotes.
+    if (
+        read == "bigquery"
+        and len(lit) >= 6
+        and lit[:3] == q * 3
+        and lit[-3:] == q * 3
+    ):
+        body = lit[3:-3]
+        q = ""  # disables the doubling branch below
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            # \uXXXX decoding is a snowflake/bigquery feature; redshift
+            # (PG-8.0 escape strings) and mysql read \u as a bare 'u'.
+            u = (
+                _decode_u_escape(body, i, read)
+                if read in ("snowflake", "bigquery")
+                else None
+            )
+            if u is not None:
+                out.append(u[0])
+                i = u[1]
+                continue
+            if read == "mysql":
+                # MySQL's fixed escape set: \0 NUL, \Z ctrl-Z, \b \n \r
+                # \t, quotes, backslash; \% and \_ keep their backslash
+                # (two-character output, per the manual); anything else
+                # drops the backslash.
+                if nxt == "0":
+                    out.append("\0")
+                elif nxt == "Z":
+                    out.append("\x1a")
+                elif nxt in ("%", "_"):
+                    out.append("\\" + nxt)
+                elif nxt in ("'", '"', "\\", "b", "n", "r", "t"):
+                    out.append(_SIMPLE_ESCAPES[nxt])
+                else:
+                    out.append(nxt)
+                i += 2
+                continue
+            if read == "redshift" and nxt in "01234567":
+                m_oct = re.match(r"[0-7]{1,3}", body[i + 1 : i + 4])
+                out.append(chr(int(m_oct.group(), 8)))
+                i += 1 + len(m_oct.group())
+                continue
+            if read == "redshift" and nxt == "x":
+                m_hex = re.match(r"[0-9a-fA-F]{1,2}", body[i + 2 : i + 4])
+                if m_hex:
+                    out.append(chr(int(m_hex.group(), 16)))
+                    i += 2 + len(m_hex.group())
+                    continue
+                # \x with no hex digit → bare 'x' (PG unknown-escape rule)
+            if read == "bigquery" and nxt in "01234567":
+                # bigquery octal is EXACTLY three digits (\ooo); there is
+                # no bare \0 escape
+                if re.fullmatch(r"[0-7]{3}", body[i + 1 : i + 4]):
+                    out.append(chr(int(body[i + 1 : i + 4], 8)))
+                    i += 4
+                    continue
+                raise TranspileError(
+                    f"bigquery octal escape in {lit!r} needs exactly "
+                    "three digits (\\ooo)"
+                )
+            if read == "snowflake" and nxt == "0":
+                out.append("\0")
+                i += 2
+                continue
+            if read == "clickhouse":
+                # ClickHouse's documented set: C escapes + \0, \xHH and
+                # the \/ \= \` forms; anything else is LOUD rather than
+                # guessed (the server itself warns on unknown escapes).
+                if nxt == "0":
+                    out.append("\0")
+                    i += 2
+                    continue
+                if nxt in ("/", "="):
+                    out.append(nxt)
+                    i += 2
+                    continue
+                if nxt in ("a", "v"):
+                    out.append(_BQ_EXTRA_ESCAPES[nxt])
+                    i += 2
+                    continue
+                if nxt == "x" and re.fullmatch(
+                    r"[0-9a-fA-F]{2}", body[i + 2 : i + 4]
+                ):
+                    out.append(chr(int(body[i + 2 : i + 4], 16)))
+                    i += 4
+                    continue
+                if nxt in _SIMPLE_ESCAPES:
+                    out.append(_SIMPLE_ESCAPES[nxt])
+                    i += 2
+                    continue
+                # unknown escape: ClickHouse keeps BOTH characters
+                # (parseComplexEscapeSequence) — how \1 regex backrefs
+                # survive in replaceRegexpAll replacements
+                out.append("\\" + nxt)
+                i += 2
+                continue
+            if (
+                nxt in ("x", "X")
+                and (read == "bigquery" or (read == "snowflake" and nxt == "x"))
+                and re.fullmatch(r"[0-9a-fA-F]{2}", body[i + 2 : i + 4])
+            ):
+                out.append(chr(int(body[i + 2 : i + 4], 16)))
+                i += 4
+                continue
+            if nxt in _SIMPLE_ESCAPES:
+                out.append(_SIMPLE_ESCAPES[nxt])
+            elif read == "bigquery" and nxt in _BQ_EXTRA_ESCAPES:
+                out.append(_BQ_EXTRA_ESCAPES[nxt])
+            elif read in ("snowflake", "redshift"):
+                # unknown escape → the bare character (both dialects'
+                # documented rule; redshift inherits PG 8.0's)
+                out.append(nxt)
+            else:
+                raise TranspileError(
+                    f"escape sequence \\{nxt} in {lit!r} has no decoder"
+                )
+            i += 2
+        elif c == q and i + 1 < len(body) and body[i + 1] == q:
+            out.append(q)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _regex_replacement_to_spark(content: str) -> str:
+    """Convert a read-dialect regex REPLACEMENT string (backrefs ``\\1`` …
+    ``\\9``, ``\\\\`` literal backslash, ``$`` ordinary) to Java/Spark
+    replacement syntax (``$1`` backrefs, ``\\$`` literal dollar). Passing
+    a read-dialect replacement through unconverted silently rewrites
+    every backreference as literal text — this is the fidelity seam."""
+    out: list[str] = []
+    i = 0
+    n = len(content)
+    while i < n:
+        c = content[i]
+        if c == "\\":
+            if i + 1 >= n:
+                raise TranspileError(
+                    "regexp_replace replacement ends with a lone backslash"
+                )
+            nxt = content[i + 1]
+            if nxt.isdigit():
+                out.append("$" + nxt)
+            elif nxt == "\\":
+                out.append("\\\\")
+            else:
+                raise TranspileError(
+                    f"replacement escape \\{nxt} has no Spark rewrite"
+                )
+            i += 2
+        elif c == "$":
+            out.append("\\$")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+
+#: token kinds that can act as an identifier/name in expression position.
+#: ("qident" is kept for compatibility; the span tokenizer emits

@@ -746,7 +746,7 @@ def test_bigquery_loud():
 
 
 def test_listagg_gated_on_spark3(monkeypatch):
-    import sqlmesh_spark.core.transpile as tp
+    import sqlmesh_spark.core.transpile_shared as tp
 
     monkeypatch.setattr(tp, "_spark_version", lambda: (3, 5))
     with pytest.raises(TranspileError, match="requires Spark >= 4.0"):
