@@ -26,6 +26,9 @@ from sqlmesh_spark.core.transpile_text import (
 
 _MYSQL_FN: dict[str, str | None] = {
     "length": "octet_length",           # MySQL LENGTH() counts BYTES
+    # MOD(a, 0) is NULL in MySQL (non-strict default); Spark-4 ANSI mod
+    # raises. Sign semantics are C-style in both.
+    "mod": "try_mod",
     "curdate": "current_date",
     "curtime": None,                    # TIME type has no Spark analog
     "now": "current_timestamp",

@@ -231,13 +231,16 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # DuckDB `/`, `%` and `//`(→DIV above) return NULL on a zero
         # divisor; Spark 4 (ANSI on) raises DIVIDE_BY_ZERO — wrap the
         # divisor in nullif(d, 0) (x / NULL is NULL in both engines).
-        # Runs every pass: pending rewrites inside the divisor (subscripts,
-        # :: casts) defer it to the next pass, and the nullif(…, 0) guard
-        # keeps the fixpoint convergent. Postgres raises on zero division
-        # like ANSI — no rewrite. Unrecognized divisor shapes stay
-        # untouched (ANSI raise: loud, never silent-wrong).
+        # MySQL has the same NULL-on-zero semantics for / % MOD and its
+        # native DIV keyword (non-strict default). Runs every pass:
+        # pending rewrites inside the divisor (subscripts, :: casts)
+        # defer it to the next pass, and the nullif(…, 0) guard keeps
+        # the fixpoint convergent. Postgres/oracle/tsql/snowflake/
+        # bigquery/trino raise on zero division like ANSI — no rewrite.
+        # Unrecognized divisor shapes stay untouched (ANSI raise: loud,
+        # never silent-wrong).
         if (
-            read == "duckdb"
+            read in ("duckdb", "mysql")
             and (
                 (kind == "op" and text in ("/", "%") and not is_op(i + 1, "/"))
                 or (kind in _NAME_KINDS and text.upper() == "DIV")

@@ -287,3 +287,23 @@ def test_pinned_date_trunc_date_type_divergence(spark):
     assert duckdb.sql(
         "SELECT CAST(date_trunc('week', DATE '2024-01-07') AS DATE) AS v"
     ).fetchall()[0][0] == datetime.date(2024, 1, 1)
+
+
+# MySQL: division/modulo by zero are NULL (non-strict default, the same
+# seam as duckdb); the divisor wrap extends there. Values hand-pinned
+# from MySQL 8 documented semantics and executed on Spark.
+MYSQL_DIV_CASES = [
+    ("SELECT 1 / 0 AS v", None),
+    ("SELECT 7 % 0 AS v", None),
+    ("SELECT MOD(7, 0) AS v", None),
+    ("SELECT 7 DIV 0 AS v", None),
+    ("SELECT 7 DIV 2 AS v", 3),
+    ("SELECT -7 % 2 AS v", -1),
+]
+
+
+@pytest.mark.parametrize("q,expected", MYSQL_DIV_CASES, ids=lambda c: str(c)[:32])
+def test_mysql_zero_divisor_null(spark, q, expected):
+    sq = transpile(q, "mysql")
+    assert transpile(sq, "mysql") == sq
+    assert spark.sql(sq).collect()[0][0] == expected
