@@ -104,6 +104,19 @@ _DP_FIELD_TEMPLATES = {
     "millisecond": "CAST(date_format({x}, 'ssSSS') AS BIGINT)",
 }
 
+#: Postgres overrides: unlike duckdb, Postgres date_part/extract of the
+#: seconds family carries the FRACTION (date_part('second',
+#: ..01.5) = 1.5, milliseconds = 1500.0) and returns DOUBLE.
+_DP_FIELD_TEMPLATES_PG = {
+    **_DP_FIELD_TEMPLATES,
+    "second": "CAST(date_format({x}, 'ss.SSSSSS') AS DOUBLE)",
+    "seconds": "CAST(date_format({x}, 'ss.SSSSSS') AS DOUBLE)",
+    "milliseconds": "(CAST(date_format({x}, 'ss.SSSSSS') AS DOUBLE) * 1000)",
+    "millisecond": "(CAST(date_format({x}, 'ss.SSSSSS') AS DOUBLE) * 1000)",
+    "microseconds": "CAST(date_format({x}, 'ssSSSSSS') AS DOUBLE)",
+    "microsecond": "CAST(date_format({x}, 'ssSSSSSS') AS DOUBLE)",
+}
+
 
 
 def call_handlers(ctx) -> "int | None":
@@ -265,6 +278,33 @@ def call_handlers(ctx) -> "int | None":
                 sql[toks[close + 1][2]: toks[fend][3]], read
             )
         agg = f"array_agg({dist}struct(({expr_text}) AS _v)){ftext}"
+        if (
+            fend + 1 < len(toks)
+            and toks[fend + 1][0] in _NAME_KINDS
+            and toks[fend + 1][1].upper() == "OVER"
+        ):
+            # window form: a CASE around the call would detach OVER
+            # from its function — wrap transform() AROUND the whole
+            # windowed aggregate instead. NULL elements still survive
+            # via the struct wrap; the default window frame is never
+            # empty, so the NULL-on-empty CASE is not needed (an
+            # explicitly empty frame yields [] here vs NULL natively —
+            # documented edge).
+            if not is_op(fend + 2, "("):
+                raise TranspileError(
+                    "array_agg(...) OVER window-name has no scoped "
+                    "rewrite; inline the window definition"
+                )
+            over_end = _call_arg_spans(toks, fend + 2)[1]
+            over_text = transpile(
+                sql[toks[fend + 2][2]: toks[over_end][3]], read
+            )
+            edits.append(
+                (start, toks[over_end][3],
+                 f"transform({agg} OVER {over_text}, _s -> _s._v)")
+            )
+            i = over_end + 1
+            return i
         edits.append(
             (start, toks[fend][3],
              f"(CASE WHEN size({agg}) = 0 THEN NULL "
@@ -332,8 +372,14 @@ def call_handlers(ctx) -> "int | None":
         if (
             toks[spans[0][0]][0] in _NAME_KINDS
             and toks[spans[0][0]][1].lower() == "filter"
+            and any(
+                toks[j_][1] == "_ld"
+                for j_ in range(spans[0][0], spans[0][1] + 1)
+            )
         ):
-            i += 1  # already our filter(...) wrap — re-transpile
+            # our own filter(..., _ld -> _ld IS NOT NULL) emission on a
+            # re-transpile; user-written filter() args don't use _ld
+            i += 1
             return i
         a_ = _arg_text(spans[0])
         edits.append(
@@ -363,22 +409,29 @@ def call_handlers(ctx) -> "int | None":
             s_ = _arg_text(spans[0])
             b_ = _arg_text(spans[1])
             n_ = _arg_text(spans[2])
+            # Each argument is bound ONCE into a struct and threaded
+            # through a one-element transform lambda (nested lambdas
+            # may shadow _t), so nested substr calls grow linearly —
+            # the naive inline form repeated s/b 6-18x per level. The
+            # emitted keyword-form substring has no top-level commas,
+            # so it re-reads untouched (fixpoint-stable).
             if read == "duckdb":
-                p = (f"(CASE WHEN ({b_}) < 0 "
-                     f"THEN length(({s_})) + ({b_}) + 1 "
-                     f"ELSE ({b_}) END)")
-                lo = f"least({p}, {p} + ({n_}))"
-                hi = f"greatest({p}, {p} + ({n_}))"
+                # negative start from the end; negative length walks
+                # the span backwards
+                p = "CASE WHEN _t._sb < 0 THEN length(_t._ss) + _t._sb + 1 ELSE _t._sb END"
+                st = f"greatest({p} + least(_t._sn, 0), 1)"
+                hi = f"{p} + greatest(_t._sn, 0)"
             else:
-                lo = f"({b_})"
-                hi = f"(({b_}) + ({n_}))"
-            st = f"greatest({lo}, 1)"
-            # keyword form: no top-level commas, so the emitted
-            # call has a single arg span and re-reads untouched
+                # postgres: virtual positions only; negative length
+                # clips to '' (pg raises natively — benign direction)
+                st = "greatest(_t._sb, 1)"
+                hi = "_t._sb + _t._sn"
             edits.append(
                 (start, toks[close][3],
-                 f"substring(({s_}) FROM {st} "
-                 f"FOR greatest({hi} - {st}, 0))")
+                 f"element_at(transform(array(struct(({s_}) AS _ss, "
+                 f"({b_}) AS _sb, ({n_}) AS _sn)), _t -> "
+                 f"substring(_t._ss FROM {st} "
+                 f"FOR greatest({hi} - {st}, 0))), 1)")
             )
             i = close + 1
             return i
@@ -421,7 +474,10 @@ def call_handlers(ctx) -> "int | None":
             and spans[0][0] == spans[0][1]
         ):
             field = _literal_content(toks[spans[0][0]][1], read).lower()
-            tmpl = _DP_FIELD_TEMPLATES.get(field)
+            tmpl = (
+                _DP_FIELD_TEMPLATES_PG if read == "postgres"
+                else _DP_FIELD_TEMPLATES
+            ).get(field)
             if tmpl is not None:
                 x_ = _arg_text(spans[1])
                 edits.append(
@@ -439,7 +495,10 @@ def call_handlers(ctx) -> "int | None":
             and toks[i + 3][1].upper() == "FROM"
         ):
             field = toks[i + 2][1].lower()
-            tmpl = _DP_FIELD_TEMPLATES.get(field)
+            tmpl = (
+                _DP_FIELD_TEMPLATES_PG if read == "postgres"
+                else _DP_FIELD_TEMPLATES
+            ).get(field)
             if tmpl is not None:
                 close = _call_arg_spans(toks, i + 1)[1]
                 x_ = transpile(

@@ -709,13 +709,20 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 # AND for index 0 (verified: ([1,2,3])[10] → NULL,
                 # ([1,2,3])[0] → NULL); Spark-4 ANSI element_at raises
                 # on both (try_element_at still raises for index 0) →
-                # try_element_at + nullif(i, 0). Negative indexes count
-                # from the end in both engines. Trino/ANSI keep plain
-                # element_at below: their bracket subscripts ERROR out
-                # of bounds, which ANSI element_at matches.
+                # try_element_at + nullif(i, 0). DuckDB resolves
+                # NEGATIVE indexes from the end (matching
+                # try_element_at); Postgres returns NULL for them —
+                # greatest(i, 0) folds every non-positive index into
+                # the NULL arm. Trino/ANSI keep plain element_at below:
+                # their bracket subscripts ERROR out of bounds, which
+                # ANSI element_at matches.
                 edits.append((toks[j][2], toks[j][2], "try_element_at("))
-                edits.append((start, end, ", nullif("))
-                edits.append((toks[close][2], toks[close][3], ", 0))"))
+                if read == "postgres":
+                    edits.append((start, end, ", nullif(greatest("))
+                    edits.append((toks[close][2], toks[close][3], ", 0), 0))"))
+                else:
+                    edits.append((start, end, ", nullif("))
+                    edits.append((toks[close][2], toks[close][3], ", 0))"))
                 i += 1
                 continue
             edits.append((toks[j][2], toks[j][2], "element_at("))

@@ -442,13 +442,7 @@ def _backtrack_primary(toks: list, close_idx: int):
                 if (
                     j > 0
                     and toks[j - 1][0] in _NAME_KINDS
-                    and (
-                        toks[j - 1][1].upper() not in _EXPR_KEYWORDS
-                        # keywords that ARE call-like heads whose result
-                        # can be subscripted (SELECT/WHERE/AND/… are not)
-                        or toks[j - 1][1].upper()
-                        in ("CAST", "TRY_CAST", "ARRAY", "MAP", "STRUCT")
-                    )
+                    and toks[j - 1][1].upper() not in _NONCALLABLE_KEYWORDS
                 ):
                     # function call: include the (possibly dotted) name
                     i = j - 1
@@ -466,8 +460,21 @@ def _backtrack_primary(toks: list, close_idx: int):
 #: literal keywords that form a primary expression on their own
 _PRIMARY_KEYWORDS = ("NULL", "TRUE", "FALSE")
 
-#: keywords that can head a call-like primary — `CAST(x AS T)[1]`,
-#: `ARRAY(1,2) ^ 2` — unlike clause keywords (SELECT/WHERE/AND/…)
+#: clause-head keywords that may precede a parenthesized EXPRESSION but
+#: are never call names. Everything else keyword-shaped before `(` is
+#: treated as a call head: CAST/TRY_CAST/ARRAY/MAP/STRUCT obviously, but
+#: also FILTER/RANGE/FIRST/LAST — real functions despite being keywords
+#: in other positions (`filter(ids, x -> x > 2)[1]` must include the
+#: name, or the rewrite splices between name and parens).
+_NONCALLABLE_KEYWORDS = frozenset({
+    "SELECT", "WHERE", "FROM", "ON", "HAVING", "AND", "OR", "NOT",
+    "WHEN", "THEN", "ELSE", "CASE", "END", "IN", "LIKE", "ILIKE",
+    "RLIKE", "BETWEEN", "IS", "AS", "BY", "DISTINCT", "ALL", "USING",
+    "LIMIT", "OFFSET", "ESCAPE", "ORDER", "GROUP", "DIV", "INTERVAL",
+    "OVER", "PARTITION", "UNION", "INTERSECT", "EXCEPT", "EXISTS",
+})
+
+#: kept for backward compatibility with pre-split imports
 _CALLABLE_KEYWORDS = ("CAST", "TRY_CAST", "ARRAY", "MAP", "STRUCT")
 
 
@@ -506,7 +513,7 @@ def _forward_primary(toks: list, idx: int):
                         break
             if last is None:
                 return None
-        elif up in _EXPR_KEYWORDS and up not in _PRIMARY_KEYWORDS + _CALLABLE_KEYWORDS:
+        elif up in _NONCALLABLE_KEYWORDS:
             return None
         else:
             last = j
@@ -585,20 +592,25 @@ def _backward_primary(toks: list, idx: int, include_unary: bool):
         return None
     if first is None:
         return None
-    if include_unary and first > 0:
-        k = first
-        while k > 0 and toks[k - 1][0] == "op" and toks[k - 1][1] in ("+", "-", "~"):
-            k -= 1
-        if k < first:
-            # the sign chain is unary only if what precedes it cannot end
-            # an expression (operator other than )/], or a clause keyword)
-            p = toks[k - 1] if k > 0 else None
+    if include_unary:
+        # walk back one sign at a time: a sign is unary only if what
+        # precedes IT cannot end an expression. `2 - -2 ^ 2` includes
+        # exactly the inner minus (DuckDB: 2 - ((-2)^2) = -2); the outer
+        # minus is the binary operator and stays outside.
+        while (
+            first > 0
+            and toks[first - 1][0] == "op"
+            and toks[first - 1][1] in ("+", "-", "~")
+        ):
+            p = toks[first - 2] if first >= 2 else None
             if p is None or (
                 (p[0] == "op" and p[1] not in (")", "]"))
                 or (p[0] in _NAME_KINDS and p[1].upper() in _EXPR_KEYWORDS
                     and p[1].upper() not in _PRIMARY_KEYWORDS)
             ):
-                first = k
+                first -= 1
+            else:
+                break
     return first
 
 

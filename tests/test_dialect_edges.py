@@ -307,3 +307,53 @@ def test_mysql_zero_divisor_null(spark, q, expected):
     sq = transpile(q, "mysql")
     assert transpile(sq, "mysql") == sq
     assert spark.sql(sq).collect()[0][0] == expected
+
+
+def test_review_r6_findings(spark):
+    """Regression pins for the round-6 code-review findings."""
+    # 1. postgres negative subscripts are NULL (duckdb counts from end)
+    assert spark.sql(
+        transpile("SELECT (ARRAY[1,2,3])[-1] AS v", "postgres")
+    ).collect()[0][0] is None
+    assert spark.sql(
+        transpile("SELECT ([1,2,3])[-1] AS v", "duckdb")
+    ).collect()[0][0] == 3
+    # 2. mixed binary/unary minus before ^: only the unary sign binds
+    out = transpile("SELECT 2 - -2 ^ 2 AS v", "duckdb")
+    assert spark.sql(out).collect()[0][0] == -2  # duck: 2 - ((-2)^2)
+    out_pg = transpile("SELECT 2 - -2 ^ 2 AS v", "postgres")
+    assert spark.sql(out_pg).collect()[0][0] == 6  # pg: 2 - (-(2^2))
+    # 3. postgres seconds family keeps the fraction (duckdb truncates)
+    ts = "TIMESTAMP '2024-01-01 00:00:01.5'"
+    assert spark.sql(
+        transpile(f"SELECT date_part('second', {ts}) AS v", "postgres")
+    ).collect()[0][0] == 1.5
+    assert spark.sql(
+        transpile(f"SELECT date_part('milliseconds', {ts}) AS v", "postgres")
+    ).collect()[0][0] == 1500.0
+    assert spark.sql(
+        transpile(f"SELECT date_part('second', {ts}) AS v", "duckdb")
+    ).collect()[0][0] == 1
+    # 4. windowed array_agg keeps OVER attached (and keeps NULLs)
+    out = transpile(
+        "SELECT array_agg(v) OVER (PARTITION BY g) AS a "
+        "FROM (VALUES (1, 1), (NULL, 1)) t(v, g)", "duckdb")
+    assert transpile(out, "duckdb") == out
+    rows = spark.sql(out).collect()
+    assert sorted(rows[0].a, key=lambda x: (x is None, x)) == [1, None]
+    # 5. keyword-named functions subscript/exponentiate correctly
+    out = transpile("SELECT filter([1,2,3], x -> x > 1)[1] AS v", "duckdb")
+    assert spark.sql(out).collect()[0][0] == 2
+    out = transpile("SELECT range(1, 5)[2] AS v", "duckdb")
+    assert "rangetry_element_at" not in out
+    # 6. user-written filter() inside list_distinct still NULL-drops
+    out = transpile(
+        "SELECT list_distinct(filter([1,NULL,1], x -> TRUE)) AS v", "duckdb")
+    assert transpile(out, "duckdb") == out
+    assert spark.sql(out).collect()[0][0] == [1]
+    # 7. nested 3-arg substr grows linearly (struct-bound args)
+    q = "substr(substr(substr(s, 0, 9), 0, 8), 0, 7)"
+    out = transpile(f"SELECT {q} AS v FROM (SELECT 'hello world' AS s)", "duckdb")
+    assert len(out) < 2500, len(out)
+    assert spark.sql(out).collect()[0][0] == duckdb.sql(
+        f"SELECT {q} AS v FROM (SELECT 'hello world' AS s)").fetchall()[0][0]
