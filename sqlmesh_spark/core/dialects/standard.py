@@ -283,6 +283,16 @@ def call_handlers(ctx) -> "int | None":
             and toks[fend + 1][0] in _NAME_KINDS
             and toks[fend + 1][1].upper() == "OVER"
         ):
+            if ftext or dist:
+                # Spark rejects windowed aggregates with a FILTER clause
+                # ("not supported yet") or DISTINCT
+                # (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED) — loud at
+                # render time instead of doomed SQL at execution.
+                raise TranspileError(
+                    "array_agg(DISTINCT ...)/FILTER(...) OVER a window "
+                    "is not executable on Spark; aggregate without the "
+                    "window or drop the DISTINCT/FILTER"
+                )
             # window form: a CASE around the call would detach OVER
             # from its function — wrap transform() AROUND the whole
             # windowed aggregate instead. NULL elements still survive
@@ -369,16 +379,21 @@ def call_handlers(ctx) -> "int | None":
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) != 1:
             raise TranspileError(f"{name} takes 1 arg")
+        tail = [
+            toks[j_][1].upper()
+            for j_ in range(max(spans[0][0], spans[0][1] - 5), spans[0][1] + 1)
+        ]
         if (
             toks[spans[0][0]][0] in _NAME_KINDS
             and toks[spans[0][0]][1].lower() == "filter"
-            and any(
-                toks[j_][1] == "_ld"
-                for j_ in range(spans[0][0], spans[0][1] + 1)
-            )
+            and tail == ["_LD", "->", "_LD", "IS", "NOT", "NULL", ")"][-len(tail):]
         ):
-            # our own filter(..., _ld -> _ld IS NOT NULL) emission on a
-            # re-transpile; user-written filter() args don't use _ld
+            # exactly our own filter(..., _ld -> _ld IS NOT NULL)
+            # emission (or user SQL that is semantically identical to
+            # it) on a re-transpile — the NULL-drop is already present;
+            # only the list_distinct NAME still needs the rename
+            if name == "list_distinct":
+                edits.append((start, end, "array_distinct"))
             i += 1
             return i
         a_ = _arg_text(spans[0])
@@ -426,12 +441,16 @@ def call_handlers(ctx) -> "int | None":
                 # clips to '' (pg raises natively — benign direction)
                 st = "greatest(_t._sb, 1)"
                 hi = "_t._sb + _t._sn"
+            # NULL start/length must poison the result (duckdb and
+            # postgres return NULL); Spark's greatest/least SKIP NULLs,
+            # so the bound arithmetic alone would yield '' instead.
             edits.append(
                 (start, toks[close][3],
                  f"element_at(transform(array(struct(({s_}) AS _ss, "
                  f"({b_}) AS _sb, ({n_}) AS _sn)), _t -> "
-                 f"substring(_t._ss FROM {st} "
-                 f"FOR greatest({hi} - {st}, 0))), 1)")
+                 f"CASE WHEN _t._sb IS NULL OR _t._sn IS NULL THEN NULL "
+                 f"ELSE substring(_t._ss FROM {st} "
+                 f"FOR greatest({hi} - {st}, 0)) END), 1)")
             )
             i = close + 1
             return i
@@ -549,6 +568,48 @@ def call_handlers(ctx) -> "int | None":
             )
             i = close + 1
             return i
+
+    if (
+        name == "array_position"
+        and read == "postgres"
+        and not (
+            i >= 2
+            and is_op(i - 1, "(")
+            and toks[i - 2][0] in _NAME_KINDS
+            and toks[i - 2][1].lower() == "nullif"
+        )
+    ):
+        # Postgres array_position returns NULL when the element is not
+        # found; Spark (and DuckDB) return 0 — wrap in nullif(..., 0).
+        # The nullif-parent check skips our own emission on re-reads.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            edits.append((start, start, "nullif("))
+            edits.append((toks[close][3], toks[close][3], ", 0)"))
+            i += 1  # keep scanning inside the args
+            return i
+
+    if name == "trunc" and read in ("duckdb", "postgres") and first_pass:
+        # numeric truncation toward zero (these dialects' trunc is
+        # numeric-only; Oracle's date TRUNC has its own handler). Spark
+        # trunc() is (date, fmt) — a bare rename would be an analysis
+        # error. floor/ceil return BIGINT/DECIMAL; CAST DOUBLE matches
+        # duckdb's double-in/double-out (decimal input returns DECIMAL
+        # natively — statically untypeable dtype seam, value exact).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 f"CAST(CASE WHEN ({x_}) < 0 THEN ceil(({x_})) "
+                 f"ELSE floor(({x_})) END AS DOUBLE)")
+            )
+            i = close + 1
+            return i
+        raise TranspileError(
+            "trunc(x, digits) has no Spark rewrite; use "
+            "floor/ceil arithmetic explicitly"
+        )
 
     if name in ("fdiv", "divide") and read == "duckdb" and first_pass:
         # fdiv = floor division as DOUBLE; divide() = TRUNCATING

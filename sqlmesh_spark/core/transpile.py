@@ -74,7 +74,7 @@ from sqlmesh_spark.core.transpile_shared import (  # noqa: F401
     _match_bracket,
     _backtrack_primary,
     _PRIMARY_KEYWORDS,
-    _CALLABLE_KEYWORDS,
+    _NONCALLABLE_KEYWORDS,
     _forward_primary,
     _backward_primary,
     _call_args,
@@ -279,10 +279,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # bitwise XOR — passing it through would be silently wrong
         # (2 ^ 3 = 1). Rewrite a ^ b → power(a, b); left-associative
         # chains resolve over fixpoint passes (both engines' ^ is
-        # left-assoc). DuckDB binds unary minus tighter than ^
-        # (-2 ^ 2 = 4); Postgres does not (-2 ^ 2 = -4) — include_unary
-        # per dialect. A `^` whose operands never resolve is caught by
-        # the post-fixpoint guard in transpile() (loud, never XOR).
+        # left-assoc), and BOTH bind unary minus tighter than ^
+        # (-2 ^ 2 = 4; verified live on PostgreSQL 15 — its docs'
+        # precedence table puts unary +/- above ^). A `^` whose
+        # operands never resolve is caught by the post-fixpoint guard
+        # in transpile() (loud, never XOR).
         if (
             read in ("duckdb", "postgres")
             and kind == "op"
@@ -300,7 +301,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             op_end = toks[i + 1][3] if two_star else end
             right_idx = i + 2 if two_star else i + 1
             lfirst = (
-                _backward_primary(toks, i - 1, include_unary=(read == "duckdb"))
+                _backward_primary(toks, i - 1, include_unary=True)
                 if i > 0 else None
             )
             rspan = _forward_primary(toks, right_idx)
@@ -635,7 +636,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             is_subscript = (
                 prev is not None
                 and (
-                    (prev[0] in _NAME_KINDS and prev[1].upper() not in _EXPR_KEYWORDS)
+                    (
+                        prev[0] in _NAME_KINDS
+                        and prev[1].upper() not in _NONCALLABLE_KEYWORDS
+                    )
                     or (prev[0] == "op" and prev[1] in (")", "]"))
                 )
             )

@@ -474,8 +474,7 @@ _NONCALLABLE_KEYWORDS = frozenset({
     "OVER", "PARTITION", "UNION", "INTERSECT", "EXCEPT", "EXISTS",
 })
 
-#: kept for backward compatibility with pre-split imports
-_CALLABLE_KEYWORDS = ("CAST", "TRY_CAST", "ARRAY", "MAP", "STRUCT")
+
 
 
 def _forward_primary(toks: list, idx: int):
@@ -595,8 +594,9 @@ def _backward_primary(toks: list, idx: int, include_unary: bool):
     if include_unary:
         # walk back one sign at a time: a sign is unary only if what
         # precedes IT cannot end an expression. `2 - -2 ^ 2` includes
-        # exactly the inner minus (DuckDB: 2 - ((-2)^2) = -2); the outer
-        # minus is the binary operator and stays outside.
+        # exactly the inner minus (DuckDB AND PostgreSQL: 2 - ((-2)^2)
+        # = -2, both bind unary minus tighter than ^); the outer minus
+        # is the binary operator and stays outside.
         while (
             first > 0
             and toks[first - 1][0] == "op"

@@ -188,11 +188,12 @@ def test_duckdb_edge_value_parity(spark, expr):
     )
 
 
-# postgres-specific: ^ binds looser than unary minus (unlike duckdb),
-# substr keeps negative starts virtual (no from-end), and zero division
-# RAISES (matching Spark ANSI — no rewrite).
+# postgres-specific: substr keeps negative starts virtual (no
+# from-end), zero division RAISES (matching Spark ANSI — no rewrite),
+# and like duckdb unary minus binds TIGHTER than ^ (-2 ^ 2 = 4;
+# verified live on PostgreSQL 15).
 PG_CASES = [
-    ("SELECT -2 ^ 2 AS v", -4.0),
+    ("SELECT -2 ^ 2 AS v", 4.0),
     ("SELECT 2 ^ 3 ^ 2 AS v", 64.0),
     ("SELECT substring('hello', -2, 3) AS v", ""),
     ("SELECT substring('hello', 0, 3) AS v", "he"),
@@ -322,7 +323,7 @@ def test_review_r6_findings(spark):
     out = transpile("SELECT 2 - -2 ^ 2 AS v", "duckdb")
     assert spark.sql(out).collect()[0][0] == -2  # duck: 2 - ((-2)^2)
     out_pg = transpile("SELECT 2 - -2 ^ 2 AS v", "postgres")
-    assert spark.sql(out_pg).collect()[0][0] == 6  # pg: 2 - (-(2^2))
+    assert spark.sql(out_pg).collect()[0][0] == -2  # PG 15 verified: -2
     # 3. postgres seconds family keeps the fraction (duckdb truncates)
     ts = "TIMESTAMP '2024-01-01 00:00:01.5'"
     assert spark.sql(
@@ -357,3 +358,60 @@ def test_review_r6_findings(spark):
     assert len(out) < 2500, len(out)
     assert spark.sql(out).collect()[0][0] == duckdb.sql(
         f"SELECT {q} AS v FROM (SELECT 'hello world' AS s)").fetchall()[0][0]
+
+
+def test_review_r6_second_pass_findings(spark):
+    """Regression pins for the second code-review pass (verified against
+    a live PostgreSQL 15 where postgres semantics were in question)."""
+    # NULL start/length poisons 3-arg substr (duck and pg both NULL;
+    # Spark greatest/least skip NULLs and would give '')
+    for d in ("duckdb", "postgres"):
+        out = transpile("SELECT substr('hello', NULL, 3) AS a, "
+                        "substr('hello', 2, NULL) AS b", d)
+        row = spark.sql(out).collect()[0]
+        assert row.a is None and row.b is None, (d, row)
+    # windowed array_agg with FILTER or DISTINCT is unexecutable on
+    # Spark — loud at render, not doomed SQL at execution
+    for q in (
+        "SELECT array_agg(v) FILTER (WHERE v > 0) OVER (PARTITION BY g) FROM t",
+        "SELECT array_agg(DISTINCT v) OVER (PARTITION BY g) FROM t",
+    ):
+        with pytest.raises(TranspileError, match="not executable"):
+            transpile(q, "duckdb")
+    # keyword-named COLUMN followed by a subscript is a subscript, not
+    # an array literal (was spliced to lastarray(1))
+    out = transpile("SELECT last[1] AS v FROM t", "duckdb")
+    assert "try_element_at(last, nullif(1, 0))" in out
+    # user lambda named _ld still gets the NULL-drop wrap (exact-tail
+    # sentinel), and plain list_distinct(filter-shaped) user SQL that
+    # matches our emission gets the rename without double-wrapping
+    out = transpile(
+        "SELECT list_distinct(filter([1,NULL,1], _ld -> TRUE)) AS v", "duckdb")
+    assert transpile(out, "duckdb") == out
+    assert spark.sql(out).collect()[0][0] == [1]
+    out2 = transpile(
+        "SELECT list_distinct(filter(x, _ld -> _ld IS NOT NULL)) FROM t",
+        "duckdb")
+    assert out2 == "SELECT array_distinct(filter(x, _ld -> _ld IS NOT NULL)) FROM t"
+
+
+def test_pg_array_position_and_numeric_trunc(spark):
+    """Live-PG-verified: pg array_position returns NULL when not found
+    (Spark and duckdb return 0), and pg/duckdb trunc() is numeric
+    truncation toward zero (Spark's trunc is (date, fmt))."""
+    out = transpile(
+        "SELECT array_position(ARRAY[1,2,3], 9) AS miss, "
+        "array_position(ARRAY[1,2,3], 2) AS hit, "
+        "trunc(2.7) AS t1, trunc(-2.7) AS t2 FROM (SELECT 1)", "postgres")
+    assert transpile(out, "postgres") == out
+    row = spark.sql(out).collect()[0]
+    assert row.miss is None and row.hit == 2
+    assert row.t1 == 2.0 and row.t2 == -2.0
+    # duckdb array_position returns 0 not-found (matches Spark): no wrap
+    assert transpile(
+        "SELECT array_position([1,2], 9) FROM t", "duckdb"
+    ) == "SELECT array_position(array(1,2), 9) FROM t"
+    assert spark.sql(
+        transpile("SELECT trunc(-2.7) AS v", "duckdb")).collect()[0][0] == -2.0
+    with pytest.raises(TranspileError, match="trunc"):
+        transpile("SELECT trunc(2.567, 2) FROM t", "postgres")
