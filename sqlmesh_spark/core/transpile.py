@@ -550,12 +550,15 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             # drop "TOP n" and attach LIMIT at the scope end. A trailing
             # LIMIT in a set operation binds to the WHOLE union in Spark,
             # so a union branch gets parenthesized: (SELECT ... LIMIT n).
-            edits.append((start, toks[i + 1][3], ""))
+            # absorb the whitespace between SELECT/DISTINCT and TOP so
+            # the emitted text has no doubled spaces
+            edits.append((toks[i - 1][3], toks[i + 1][3], ""))
+            lead = "" if end_pos > 0 and sql[end_pos - 1].isspace() else " "
             if setop_after or setop_before:
                 edits.append((toks[sel_idx][2], toks[sel_idx][2], "("))
-                edits.append((end_pos, end_pos, f" LIMIT {n_txt}) "))
+                edits.append((end_pos, end_pos, f"{lead}LIMIT {n_txt}) "))
             else:
-                edits.append((end_pos, end_pos, f" LIMIT {n_txt} "))
+                edits.append((end_pos, end_pos, f"{lead}LIMIT {n_txt}"))
             i += 2
             continue
 
