@@ -611,6 +611,16 @@ def call_handlers(ctx) -> "int | None":
             "floor/ceil arithmetic explicitly"
         )
 
+    if name in ("regexp_extract", "regexp_extract_all") and read == "duckdb":
+        # duckdb's 2-arg forms return the WHOLE match; Spark defaults to
+        # group 1 (an error when the pattern has no group) — pin group 0.
+        # 3-arg group indexes agree in both engines.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            edits.append((toks[close][2], toks[close][2], ", 0"))
+        i += 1
+        return i
+
     if name in ("fdiv", "divide") and read == "duckdb" and first_pass:
         # fdiv = floor division as DOUBLE; divide() = TRUNCATING
         # integer division (the // function form). Both NULL on a

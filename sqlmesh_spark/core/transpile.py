@@ -738,6 +738,36 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             i += 1  # keep scanning inside the subscript expression
             continue
 
+        # DuckDB LIKE/ILIKE have NO default escape character; Spark's is
+        # backslash. A literal pattern containing backslashes (plain DATA
+        # in duckdb) must have them doubled at the PATTERN level so Spark
+        # reads them literally; patterns with an explicit ESCAPE clause
+        # keep their author-chosen semantics. (Postgres' default LIKE
+        # escape IS backslash, matching Spark — no rewrite.) The emitted
+        # literal is Spark-ready — the generic doubling pass skips edited
+        # literals. Dynamic (non-literal) patterns can't be rewritten.
+        if (
+            read == "duckdb"
+            and first_pass
+            and kind == "string"
+            and "\\" in text
+            and i > 0
+            and toks[i - 1][0] in _NAME_KINDS
+            and toks[i - 1][1].upper() in ("LIKE", "ILIKE")
+            and not (
+                i + 1 < n
+                and toks[i + 1][0] in _NAME_KINDS
+                and toks[i + 1][1].upper() == "ESCAPE"
+            )
+        ):
+            content = _literal_content(text, read)
+            edits.append(
+                (start, end,
+                 _spark_string_literal(content.replace("\\", "\\\\"), read))
+            )
+            i += 1
+            continue
+
         # `* EXCLUDE (...)` → `* EXCEPT (...)` (DuckDB star modifier).
         # DuckDB also allows a bare single column (`* EXCLUDE a`); Spark
         # EXCEPT requires parens, so the bare form gains them.
