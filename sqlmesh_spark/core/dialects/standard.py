@@ -102,6 +102,17 @@ _DP_FIELD_TEMPLATES = {
     "microsecond": "CAST(date_format({x}, 'ssSSSSSS') AS BIGINT)",
     "milliseconds": "CAST(date_format({x}, 'ssSSS') AS BIGINT)",
     "millisecond": "CAST(date_format({x}, 'ssSSS') AS BIGINT)",
+    # Spark's extract has no isoyear/decade/century/millennium/yearweek
+    # fields — raise INVALID_EXTRACT_FIELD; these duckdb/postgres values
+    # are simple derivations (YEAROFWEEK is the ISO week-year)
+    "isoyear": "CAST(extract(YEAROFWEEK FROM {x}) AS BIGINT)",
+    "dayofmonth": "CAST(day({x}) AS BIGINT)",
+    "dayofyear": "CAST(dayofyear({x}) AS BIGINT)",
+    "decade": "CAST(floor(try_divide(year({x}), 10)) AS BIGINT)",
+    "century": "CAST(ceil(try_divide(year({x}), 100)) AS BIGINT)",
+    "millennium": "CAST(ceil(try_divide(year({x}), 1000)) AS BIGINT)",
+    "yearweek":
+        "CAST(extract(YEAROFWEEK FROM {x}) * 100 + weekofyear({x}) AS BIGINT)",
 }
 
 #: Postgres overrides: unlike duckdb, Postgres date_part/extract of the
@@ -611,6 +622,28 @@ def call_handlers(ctx) -> "int | None":
             "floor/ceil arithmetic explicitly"
         )
 
+    if (
+        name in ("epoch_ms", "epoch_us")
+        and read == "duckdb"
+        and first_pass
+    ):
+        # duckdb overloads these BY TYPE: epoch_ms(TIMESTAMP) = millis
+        # since epoch (the unix_millis rename), epoch_ms(BIGINT)
+        # CONSTRUCTS the timestamp. The integer-LITERAL form is
+        # detectable statically; dynamic integer args stay on the
+        # rename and fail loudly at analysis.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 1
+            and spans[0][0] == spans[0][1]
+            and toks[spans[0][0]][0] == "number"
+        ):
+            fn = "timestamp_millis" if name == "epoch_ms" else "timestamp_micros"
+            edits.append((start, end, fn))
+            i += 1
+            return i
+        # fall through to the unix_millis/unix_micros rename
+
     if name in ("regexp_extract", "regexp_extract_all") and read == "duckdb":
         # duckdb's 2-arg forms return the WHOLE match; Spark defaults to
         # group 1 (an error when the pattern has no group) — pin group 0.
@@ -759,19 +792,19 @@ def call_handlers(ctx) -> "int | None":
         i += 1
         return i
 
-    if name in ("date_diff", "datediff") and read in (
+    if name in ("date_diff", "datediff", "date_sub", "datesub") and read in (
         "duckdb", "postgres", "snowflake", "redshift", "tsql",
         "trino", "clickhouse",
-    ):
+    ) and not (name in ("date_sub", "datesub") and read != "duckdb"):
         # DuckDB date_diff counts UNIT-BOUNDARY CROSSINGS while
         # Spark timestampdiff counts complete elapsed units
         # (date_diff('month', Jan-31, Feb-01) is 1 in DuckDB, 0 as
         # a naive timestampdiff). Truncating both operands to the
         # unit makes complete-units == boundary-crossings:
         #   timestampdiff(U, date_trunc('u', s), date_trunc('u', e))
-        # Trino's date_diff counts complete elapsed units already
-        # (java.time between semantics) — timestampdiff directly,
-        # NO truncation.
+        # Trino's date_diff — and duckdb's date_sub/datesub —
+        # count complete elapsed units already (java.time between
+        # semantics): timestampdiff directly, NO truncation.
         # 2-arg datediff matches Spark's own datediff — untouched.
         spans, _close = _call_arg_spans(toks, i + 1)
         if len(spans) == 3:
@@ -796,6 +829,21 @@ def call_handlers(ctx) -> "int | None":
                     f"{name} unit {raw_unit!r} has no Spark "
                     "timestampdiff/date_trunc equivalent"
                 )
+            if (
+                name in ("date_sub", "datesub")
+                and unit.upper() in ("MONTH", "QUARTER", "YEAR")
+            ):
+                # duckdb's complete-unit rule CLAMPS month ends
+                # (date_sub('month', Jan-31, Feb-29) = 1); Spark's
+                # timestampdiff does not (0) and months_between's
+                # both-last-day rule differs in other corners — no
+                # faithful rewrite. Fixed-width units are exact.
+                raise TranspileError(
+                    f"duckdb {name}('{raw_unit}', ...) counts "
+                    "clamped complete months; no faithful Spark "
+                    "rewrite — use date_diff (boundary crossings) "
+                    "or day-based arithmetic"
+                )
             if read == "clickhouse" and unit == "WEEK":
                 # CH week boundaries follow toRelativeWeekNum's
                 # epoch anchoring, not date_trunc's ISO Monday —
@@ -810,7 +858,7 @@ def call_handlers(ctx) -> "int | None":
             edits.append(
                 (toks[spans[0][0]][2], toks[spans[0][0]][3], unit.upper())
             )
-            if read != "trino":
+            if read != "trino" and name not in ("date_sub", "datesub"):
                 for s_idx, e_idx in spans[1:]:
                     edits.append(
                         (toks[s_idx][2], toks[s_idx][2],

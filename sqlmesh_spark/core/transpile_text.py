@@ -59,6 +59,15 @@ _C_FMT = {
     "M": "mm", "S": "ss", "f": "SSSSSS", "g": "SSS", "p": "a", "j": "DDD",
     "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM", "Z": "zzz",
     "z": "xx", "%": "%",
+    # duckdb %x / %X are the ISO date / time representations
+    "x": "yyyy-MM-dd", "X": "HH:mm:ss",
+}
+
+#: `%-X` (no-padding modifier): Java single-letter fields already print
+#: the minimal digits. Codes whose unpadded form has no Java
+#: equivalent (e.g. %-y) stay loud.
+_C_FMT_NOPAD = {
+    "d": "d", "m": "M", "H": "H", "I": "h", "M": "m", "S": "s", "j": "D",
 }
 
 # Postgres to_char/to_timestamp patterns → Spark. Sorted longest-first at
@@ -114,6 +123,22 @@ def _convert_pct_format(fmt: str, table: dict[str, str], what: str) -> str:
             if i + 1 >= len(fmt):
                 raise TranspileError(f"dangling % in format {fmt!r}")
             code = fmt[i + 1]
+            if (
+                code == "-"
+                and table is _C_FMT
+                and i + 2 < len(fmt)
+                and fmt[i + 2] in _C_FMT_NOPAD
+            ):
+                rep = _C_FMT_NOPAD[fmt[i + 2]]
+                flush()
+                if out and out[-1] and out[-1][-1] == rep[0]:
+                    raise TranspileError(
+                        f"adjacent datetime codes %-{fmt[i + 2]} merge "
+                        "ambiguously in Java patterns"
+                    )
+                out.append(rep)
+                i += 3
+                continue
             if code not in table:
                 extra = (
                     " (legacy minute vs 23.x month name — use %i for "

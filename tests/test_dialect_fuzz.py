@@ -122,6 +122,37 @@ TEMPLATES += [
     "concat('a''b', '\', NULL)",
 ]
 
+# date/time fields, complete-vs-boundary diffs, strftime conversions
+TS = "TIMESTAMP '2024-03-09 15:04:05.25'"
+TEMPLATES += [
+    *(f"date_part('{f}', {TS})" for f in (
+        "year", "month", "day", "hour", "minute", "week", "quarter",
+        "doy", "dow", "isodow", "isoyear", "decade", "century",
+        "millennium", "yearweek", "dayofmonth", "dayofyear",
+        "second", "milliseconds", "microseconds", "epoch")),
+    f"date_diff('month', DATE '2024-01-31', DATE '2024-02-01')",
+    f"date_diff('year', DATE '2023-12-31', DATE '2024-01-01')",
+    f"date_diff('week', DATE '2024-01-01', DATE '2024-01-08')",
+    # month-family date_sub is LOUD (duckdb clamps month ends; no
+    # faithful Spark rewrite) — fixed-width units are exact:
+    f"date_sub('day', DATE '2024-01-31', DATE '2024-03-01')",
+    f"date_sub('week', DATE '2024-01-01', DATE '2024-01-15')",
+    f"datesub('hour', TIMESTAMP '2024-01-01 10:59:00', TIMESTAMP '2024-01-01 11:59:00')",
+    f"strftime({TS}, '%d/%m/%Y %H:%M:%S')",
+    f"strftime({TS}, '%y-%j %I %p')",
+    f"strftime({TS}, '%A %B %a %b')",
+    f"strftime({TS}, '%-d/%-m')",
+    f"strftime({TS}, '%x %X')",
+    f"strftime({TS}, '%f %g')",
+    "epoch_ms(1500)",
+    "epoch_us(1500000)",
+    f"epoch_ms({TS})",
+    "make_date(2024, 2, 29)",
+    f"last_day({TS})" if False else "CAST(last_day(DATE '2024-02-05') AS STRING)",
+    f"monthname(DATE '2024-01-31')",
+    f"dayname(DATE '2024-01-31')",
+]
+
 # compositions across families
 TEMPLATES += [
     "substr('hello', 1 // 0, 3)",
