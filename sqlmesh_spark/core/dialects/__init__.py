@@ -42,6 +42,18 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # TRUNCATING integer division (divide(7,2)=3) — handler below.
         "mod": "try_mod",
         "fmod": "try_mod",
+        "arbitrary": "any_value",
+        "quantile_cont": "percentile",  # same linear interpolation;
+                                        # the array-of-quantiles form
+                                        # maps shape-identically
+        # quantile_disc / quantile / skewness / kurtosis: handlers in
+        # dialects/standard.py (WITHIN GROUP restructure; duckdb's
+        # sample-vs-Spark's population statistics)
+        "fsum": "sum",                  # Kahan-summed float sum
+        "favg": "avg",
+        "product": None,                # no Spark aggregate (exp/ln
+        "geomean": None,                # breaks on zero/negatives)
+        "entropy": None,
     },
     "postgres": {**_COMMON_FN, "regexp_matches": None},
     "ansi": {},                         # ANSI names that differ are below

@@ -622,6 +622,69 @@ def call_handlers(ctx) -> "int | None":
             "floor/ceil arithmetic explicitly"
         )
 
+    if name in ("quantile_disc", "quantile") and read == "duckdb" and first_pass:
+        # lower-discrete quantile — Spark's percentile_disc is WITHIN
+        # GROUP syntax. (An array-of-quantiles argument emits an
+        # analysis error: loud.)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError(f"{name} takes (value, quantile)")
+        v_ = _arg_text(spans[0])
+        p_ = _arg_text(spans[1])
+        edits.append(
+            (start, toks[close][3],
+             f"percentile_disc(({p_})) WITHIN GROUP (ORDER BY ({v_}))")
+        )
+        i = close + 1
+        return i
+
+    if (
+        name in ("skewness", "kurtosis")
+        and read == "duckdb"
+        and first_pass
+        and not (
+            i >= 2
+            and is_op(i - 1, "(")
+            and toks[i - 2][0] in _NAME_KINDS
+            and toks[i - 2][1].lower() == "try_divide"
+        )
+    ):
+        # duckdb reports SAMPLE (bias-corrected) statistics; Spark's
+        # skewness/kurtosis are POPULATION — silently different values.
+        # Corrections (n = non-null count; verified value-exact against
+        # the duckdb oracle in tests/test_dialect_fuzz.py):
+        #   skew_samp = skew_pop * sqrt(n(n-1)) / (n-2)
+        #   kurt_samp = (n-1)/((n-2)(n-3)) * ((n+1) * kurt_pop + 6)
+        # Below the minimum n duckdb returns NULL (CASE guard; Spark
+        # would give NaN arithmetic). Catalyst deduplicates the
+        # repeated aggregate expressions.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError(f"{name} takes 1 argument")
+        x_ = _arg_text(spans[0])
+        n_ = f"count(({x_}))"
+        # both population aggregates sit as the FIRST argument of a
+        # try_divide — the sentinel above recognizes that parent on
+        # re-reads (try_divide is not a duckdb function, so user SQL
+        # never produces this shape)
+        if name == "skewness":
+            repl = (
+                f"(CASE WHEN {n_} < 3 THEN NULL ELSE "
+                f"try_divide(skewness(({x_})) * sqrt({n_} * ({n_} - 1)), "
+                f"{n_} - 2) END)"
+            )
+        else:
+            repl = (
+                f"(CASE WHEN {n_} < 4 THEN NULL ELSE "
+                f"try_divide(kurtosis(({x_})) * (({n_} - 1) * ({n_} + 1)), "
+                f"({n_} - 2) * ({n_} - 3)) + "
+                f"try_divide(6 * ({n_} - 1), "
+                f"({n_} - 2) * ({n_} - 3)) END)"
+            )
+        edits.append((start, toks[close][3], repl))
+        i = close + 1
+        return i
+
     if (
         name in ("epoch_ms", "epoch_us")
         and read == "duckdb"

@@ -122,6 +122,40 @@ TEMPLATES += [
     "concat('a''b', '\', NULL)",
 ]
 
+# aggregates as scalar subqueries (NULL handling, sample-vs-population
+# statistics, quantiles, keep-NULL list aggs)
+V = "FROM (VALUES (1),(NULL),(2),(2)) t(v)"
+TEMPLATES += [
+    f"(SELECT sum(v) {V})",
+    f"(SELECT avg(v) {V})",
+    f"(SELECT count(v) {V})",
+    f"(SELECT count(*) {V})",
+    f"(SELECT count(DISTINCT v) {V})",
+    f"(SELECT bool_and(v > 0) {V})",
+    f"(SELECT bool_or(v > 1) {V})",
+    f"(SELECT bit_xor(v) {V})",
+    f"(SELECT median(v) {V})",
+    f"(SELECT mode(v) {V})",
+    f"(SELECT var_samp(v) {V})",
+    f"(SELECT stddev_pop(v) {V})",
+    f"(SELECT arbitrary(v) FROM (VALUES (7)) t(v))",
+    f"(SELECT any_value(v) FROM (VALUES (7)) t(v))",
+    f"(SELECT string_agg(s, ',') FROM (VALUES ('b'),(NULL),('a')) t(s))",
+    f"(SELECT quantile_cont(v, 0.25) FROM (VALUES (1),(2),(3),(4)) t(v))",
+    f"(SELECT quantile_disc(v, 0.5) FROM (VALUES (1),(2),(3),(4)) t(v))",
+    f"(SELECT quantile(v, 0.25) FROM (VALUES (1),(2),(3),(4)) t(v))",
+    f"(SELECT skewness(v) FROM (VALUES (1),(2),(5),(9),(3),(0)) t(v))",
+    f"(SELECT kurtosis(v) FROM (VALUES (1),(2),(5),(9),(3),(0)) t(v))",
+    f"(SELECT skewness(v) FROM (VALUES (1),(2)) t(v))",
+    f"(SELECT kurtosis(v) FROM (VALUES (1),(2),(5)) t(v))",
+    f"(SELECT sum(v) FILTER (WHERE v > 1) {V})",
+    f"(SELECT sum(v) FROM (VALUES (1)) t(v) WHERE FALSE)",
+    f"(SELECT max_by(s, v) FROM (VALUES (1, 'a'),(2, 'b')) t(v, s))",
+    f"(SELECT arg_max(s, v) FROM (VALUES (1, 'a'),(2, 'b')) t(v, s))",
+    f"(SELECT corr(a, b) FROM (VALUES (1,2),(3,4),(5,7)) t(a, b))",
+    f"(SELECT fsum(v) FROM (VALUES (1.5),(2.5)) t(v))",
+]
+
 # date/time fields, complete-vs-boundary diffs, strftime conversions
 TS = "TIMESTAMP '2024-03-09 15:04:05.25'"
 TEMPLATES += [
