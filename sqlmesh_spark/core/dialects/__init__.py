@@ -49,8 +49,9 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # quantile_disc / quantile / skewness / kurtosis: handlers in
         # dialects/standard.py (WITHIN GROUP restructure; duckdb's
         # sample-vs-Spark's population statistics)
-        "fsum": "sum",                  # Kahan-summed float sum
-        "favg": "avg",
+        # fsum: handler in dialects/standard.py (always-DOUBLE dtype)
+        "favg": "avg",                  # Kahan mean; avg of floats is
+                                        # DOUBLE in both
         "product": None,                # no Spark aggregate (exp/ln
         "geomean": None,                # breaks on zero/negatives)
         "entropy": None,

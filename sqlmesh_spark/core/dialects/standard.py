@@ -108,9 +108,13 @@ _DP_FIELD_TEMPLATES = {
     "isoyear": "CAST(extract(YEAROFWEEK FROM {x}) AS BIGINT)",
     "dayofmonth": "CAST(day({x}) AS BIGINT)",
     "dayofyear": "CAST(dayofyear({x}) AS BIGINT)",
-    "decade": "CAST(floor(try_divide(year({x}), 10)) AS BIGINT)",
-    "century": "CAST(ceil(try_divide(year({x}), 100)) AS BIGINT)",
-    "millennium": "CAST(ceil(try_divide(year({x}), 1000)) AS BIGINT)",
+    # decade truncates toward zero; century/millennium count away from
+    # zero (year -4 is century -1) — sign-aware so BC years match
+    "decade": "CAST(year({x}) DIV nullif(10, 0) AS BIGINT)",
+    "century":
+        "CAST(sign(year({x})) * ceil(try_divide(abs(year({x})), 100)) AS BIGINT)",
+    "millennium":
+        "CAST(sign(year({x})) * ceil(try_divide(abs(year({x})), 1000)) AS BIGINT)",
     "yearweek":
         "CAST(extract(YEAROFWEEK FROM {x}) * 100 + weekofyear({x}) AS BIGINT)",
 }
@@ -622,10 +626,24 @@ def call_handlers(ctx) -> "int | None":
             "floor/ceil arithmetic explicitly"
         )
 
+    if name == "fsum" and read == "duckdb" and first_pass:
+        # duckdb fsum (Kahan) always returns DOUBLE; Spark sum(int) is
+        # BIGINT — cast the input so the output dtype matches
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3], f"sum(CAST(({x_}) AS DOUBLE))")
+            )
+            i = close + 1
+            return i
+
     if name in ("quantile_disc", "quantile") and read == "duckdb" and first_pass:
         # lower-discrete quantile — Spark's percentile_disc is WITHIN
         # GROUP syntax. (An array-of-quantiles argument emits an
-        # analysis error: loud.)
+        # analysis error: loud.) Value-exact; the result dtype is
+        # DOUBLE where duckdb returns the element type — statically
+        # untypeable, documented seam.
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) != 2:
             raise TranspileError(f"{name} takes (value, quantile)")
@@ -662,7 +680,31 @@ def call_handlers(ctx) -> "int | None":
         if len(spans) != 1:
             raise TranspileError(f"{name} takes 1 argument")
         x_ = _arg_text(spans[0])
-        n_ = f"count(({x_}))"
+        fend = close
+        ftext = ""
+        if (
+            close + 2 < len(toks)
+            and toks[close + 1][0] in _NAME_KINDS
+            and toks[close + 1][1].upper() == "FILTER"
+            and is_op(close + 2, "(")
+        ):
+            # fold the FILTER into every aggregate of the rewrite
+            # (including the count guards)
+            fend = _call_arg_spans(toks, close + 2)[1]
+            ftext = " " + transpile(
+                sql[toks[close + 1][2]: toks[fend][3]], read
+            )
+        if (
+            fend + 1 < len(toks)
+            and toks[fend + 1][0] in _NAME_KINDS
+            and toks[fend + 1][1].upper() == "OVER"
+        ):
+            raise TranspileError(
+                f"{name} OVER a window has no Spark rewrite (the "
+                "sample-statistic correction needs a CASE around the "
+                "aggregate, which cannot carry OVER)"
+            )
+        n_ = f"count(({x_})){ftext}"
         # both population aggregates sit as the FIRST argument of a
         # try_divide — the sentinel above recognizes that parent on
         # re-reads (try_divide is not a duckdb function, so user SQL
@@ -670,19 +712,19 @@ def call_handlers(ctx) -> "int | None":
         if name == "skewness":
             repl = (
                 f"(CASE WHEN {n_} < 3 THEN NULL ELSE "
-                f"try_divide(skewness(({x_})) * sqrt({n_} * ({n_} - 1)), "
+                f"try_divide(skewness(({x_})){ftext} * sqrt({n_} * ({n_} - 1)), "
                 f"{n_} - 2) END)"
             )
         else:
             repl = (
                 f"(CASE WHEN {n_} < 4 THEN NULL ELSE "
-                f"try_divide(kurtosis(({x_})) * (({n_} - 1) * ({n_} + 1)), "
+                f"try_divide(kurtosis(({x_})){ftext} * (({n_} - 1) * ({n_} + 1)), "
                 f"({n_} - 2) * ({n_} - 3)) + "
                 f"try_divide(6 * ({n_} - 1), "
                 f"({n_} - 2) * ({n_} - 3)) END)"
             )
-        edits.append((start, toks[close][3], repl))
-        i = close + 1
+        edits.append((start, toks[fend][3], repl))
+        i = fend + 1
         return i
 
     if (
@@ -707,10 +749,13 @@ def call_handlers(ctx) -> "int | None":
             return i
         # fall through to the unix_millis/unix_micros rename
 
-    if name in ("regexp_extract", "regexp_extract_all") and read == "duckdb":
-        # duckdb's 2-arg forms return the WHOLE match; Spark defaults to
-        # group 1 (an error when the pattern has no group) — pin group 0.
-        # 3-arg group indexes agree in both engines.
+    if (
+        name in ("regexp_extract", "regexp_extract_all")
+        and read in ("duckdb", "trino")
+    ):
+        # duckdb's and trino's 2-arg forms return the WHOLE match; Spark
+        # defaults to group 1 (an error when the pattern has no group) —
+        # pin group 0. 3-arg group indexes agree in all three engines.
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 2:
             edits.append((toks[close][2], toks[close][2], ", 0"))

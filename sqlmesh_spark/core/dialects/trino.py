@@ -503,14 +503,8 @@ def call_handlers(ctx) -> "int | None":
         i += 1
         return i
 
-    if name in ("regexp_extract", "regexp_extract_all"):
-        # Trino's 2-arg form returns the WHOLE match; Spark
-        # defaults to group 1 — pin group 0. 3-arg matches.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            edits.append((toks[close][2], toks[close][2], ", 0"))
-        i += 1
-        return i
+    # 2-arg regexp_extract[_all] group-0 pinning is shared with duckdb
+    # in dialects/standard.py (which runs before this block)
 
     if name == "split" and first_pass:
         # Trino splits on a PLAIN string; Spark's split is a

@@ -115,11 +115,11 @@ TEMPLATES += [
     "regexp_extract('ab12cd', '[0-9]+')",
     "regexp_matches('hello', 'ell')",
     "regexp_matches('a.b', '[.]')",
-    "like_escape('10%', '10!%', '!')" if False else "'10%' LIKE '10!%' ESCAPE '!'",
+    "'10%' LIKE '10!%' ESCAPE '!'",
     "'abc' LIKE 'a%'",
-    "'a_c' LIKE 'a\_c'",
+    r"'a_c' LIKE 'a\_c'",
     "md5('it''s')",
-    "concat('a''b', '\', NULL)",
+    r"concat('a''b', '\', NULL)",
 ]
 
 # aggregates as scalar subqueries (NULL handling, sample-vs-population
@@ -154,6 +154,11 @@ TEMPLATES += [
     f"(SELECT arg_max(s, v) FROM (VALUES (1, 'a'),(2, 'b')) t(v, s))",
     f"(SELECT corr(a, b) FROM (VALUES (1,2),(3,4),(5,7)) t(a, b))",
     f"(SELECT fsum(v) FROM (VALUES (1.5),(2.5)) t(v))",
+    f"(SELECT skewness(v) FILTER (WHERE v < 9) FROM (VALUES (1),(2),(5),(9)) t(v))",
+    f"(SELECT kurtosis(v) FILTER (WHERE v < 99) FROM (VALUES (1),(2),(5),(9)) t(v))",
+    "(SELECT date_part('decade', make_date(-4, 1, 1)))",
+    "(SELECT date_part('century', make_date(-4, 1, 1)))",
+    "(SELECT date_part('millennium', make_date(-4, 1, 1)))",
 ]
 
 # date/time fields, complete-vs-boundary diffs, strftime conversions
@@ -182,7 +187,7 @@ TEMPLATES += [
     "epoch_us(1500000)",
     f"epoch_ms({TS})",
     "make_date(2024, 2, 29)",
-    f"last_day({TS})" if False else "CAST(last_day(DATE '2024-02-05') AS STRING)",
+    "CAST(last_day(DATE '2024-02-05') AS STRING)",
     f"monthname(DATE '2024-01-31')",
     f"dayname(DATE '2024-01-31')",
 ]
