@@ -55,6 +55,11 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "product": None,                # no Spark aggregate (exp/ln
         "geomean": None,                # breaks on zero/negatives)
         "entropy": None,
+        # JSON-typed extraction: the text form differs from
+        # get_json_object for string scalars ('"x"' vs 'x') — loud;
+        # json_extract_string / ->> are the faithful text forms
+        "json_extract": None,
+        "json_extract_path": None,
     },
     "postgres": {**_COMMON_FN, "regexp_matches": None},
     "ansi": {},                         # ANSI names that differ are below

@@ -638,6 +638,64 @@ def call_handlers(ctx) -> "int | None":
             i = close + 1
             return i
 
+    if (
+        name in ("json_extract_string", "json_extract_path_text")
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        # TEXT-mode JSON extraction — exactly get_json_object (unquoted
+        # scalars, compact object text, 0-based array indexes). Postgres
+        # json_extract_path_text is VARIADIC key elements; duckdb takes
+        # one key or $-path. Non-literal paths have no faithful rewrite
+        # (get_json_object needs a foldable path) — loud.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) >= 2 and all(
+            toks[sp[0]][0] in ("string", "number") and sp[0] == sp[1]
+            for sp in spans[1:]
+        ):
+            j_ = _arg_text(spans[0])
+            parts = []
+            for sp in spans[1:]:
+                tok_ = toks[sp[0]]
+                if tok_[0] == "number":
+                    parts.append(f"[{tok_[1]}]")
+                else:
+                    key = _literal_content(tok_[1], read)
+                    if read == "duckdb" and key.startswith("$"):
+                        parts.append(key[1:])
+                    else:
+                        parts.append("." + key)
+            path = "$" + "".join(parts)
+            edits.append(
+                (start, toks[close][3],
+                 f"get_json_object(({j_}), "
+                 f"{_spark_string_literal(path, read)})")
+            )
+            i = close + 1
+            return i
+        raise TranspileError(
+            f"{name} needs literal key/path arguments to transpile "
+            "(Spark get_json_object paths are foldable)"
+        )
+
+    if (
+        name == "json_array_length"
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        # the 2-arg (json, path) form scopes through get_json_object;
+        # 1-arg matches Spark natively
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            j_ = _arg_text(spans[0])
+            p2 = _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"json_array_length(get_json_object(({j_}), ({p2})))")
+            )
+            i = close + 1
+            return i
+
     if name in ("quantile_disc", "quantile") and read == "duckdb" and first_pass:
         # lower-discrete quantile — Spark's percentile_disc is WITHIN
         # GROUP syntax. (An array-of-quantiles argument emits an

@@ -134,6 +134,43 @@ from sqlmesh_spark.core.dialects import oracle as _d_oracle
 _PRE_CALL_HANDLERS = _dialects.PRE_CALL_HANDLERS
 _POST_CALL_HANDLERS = _dialects.POST_CALL_HANDLERS
 
+#: builtins whose arguments are LAMBDAS (x -> expr) — a bare-identifier
+#: (or tuple) operand of -> directly inside one of these calls is lambda
+#: syntax, not JSON extraction
+_LAMBDA_HOFS = frozenset({
+    "transform", "filter", "aggregate", "reduce", "exists", "forall",
+    "zip_with", "map_filter", "map_zip_with", "array_sort",
+    "list_transform", "list_filter", "list_reduce", "list_aggr",
+    "list_sort", "list_reverse_sort", "any_match", "all_match",
+    "none_match", "transform_keys", "transform_values",
+})
+
+
+def _in_lambda_hof(toks: list, lfirst: int) -> bool:
+    """True when the -> left operand starting at ``lfirst`` is a lambda
+    parameter: a bare identifier (or parenthesized tuple) sitting
+    directly after '(' or ',' of an enclosing known lambda-HOF call."""
+    if lfirst == 0:
+        return False
+    prev = toks[lfirst - 1]
+    if not (prev[0] == "op" and prev[1] in ("(", ",")):
+        return False
+    depth = 0
+    for j in range(lfirst - 1, -1, -1):
+        k, t, _, _ = toks[j]
+        if k == "op" and t == ")":
+            depth += 1
+        elif k == "op" and t == "(":
+            if depth == 0:
+                return (
+                    j > 0
+                    and toks[j - 1][0] in _NAME_KINDS
+                    and toks[j - 1][1].lower() in _LAMBDA_HOFS
+                )
+            depth -= 1
+    return False
+
+
 def transpile(sql: str, read: str | None = "duckdb") -> str:
     """Rewrite ``sql`` written in ``read`` dialect into Spark SQL.
 
@@ -736,6 +773,73 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             edits.append((start, end, ", "))
             edits.append((toks[close][2], toks[close][3], ")"))
             i += 1  # keep scanning inside the subscript expression
+            continue
+
+        # duckdb/postgres JSON extraction arrows: j ->> k (text) maps
+        # EXACTLY to get_json_object (unquoted scalars, compact object/
+        # array text, 0-based $[n] indexes in both). j -> k returns the
+        # JSON-typed value whose TEXT form differs for string scalars
+        # ('"x"' vs 'x') — rewritten only MID-CHAIN (object/array hops,
+        # where the forms agree); a terminal -> is LOUD. Lambda arrows
+        # (x -> expr inside transform/filter/...) are excluded: their
+        # RHS is never a lone string/number literal in practice, and a
+        # bare-identifier LHS directly inside a known lambda-HOF call is
+        # skipped outright. Non-literal keys pass through untouched
+        # (Spark's parser rejects them — loud at render/analysis).
+        if (
+            read in ("duckdb", "postgres")
+            and kind == "op"
+            and text == "->"
+        ):
+            arrow2 = is_op(i + 1, ">") and toks[i + 1][2] == end
+            rhs_idx = i + (2 if arrow2 else 1)
+            rhs = toks[rhs_idx] if rhs_idx < n else None
+            lfirst = (
+                _backward_primary(toks, i - 1, include_unary=False)
+                if i > 0 else None
+            )
+            if (
+                rhs is not None
+                and rhs[0] in ("string", "number")
+                and lfirst is not None
+                and not _in_lambda_hof(toks, lfirst)
+            ):
+                ls = toks[lfirst][2]
+                if any(e[1] >= ls and e[0] <= rhs[3] for e in edits):
+                    i += 1  # chained arrows resolve left-to-right
+                    continue
+                j2 = rhs_idx + 1
+                while j2 < n and is_op(j2, ")"):
+                    j2 += 1  # (j -> 'a') ->> 'b' chains through parens
+                followed_by_arrow = (
+                    j2 < n and toks[j2][0] == "op" and toks[j2][1] == "->"
+                )
+                if not arrow2 and not followed_by_arrow:
+                    raise TranspileError(
+                        "terminal -> returns the JSON-typed value, whose "
+                        "text form differs from get_json_object for "
+                        "string scalars; use ->> (text) or "
+                        "json_extract_string"
+                    )
+                if rhs[0] == "number":
+                    path = f"$[{rhs[1]}]"
+                else:
+                    key = _literal_content(rhs[1], read)
+                    # duckdb accepts full $-paths; a postgres key is
+                    # always a literal key
+                    path = (
+                        key
+                        if read == "duckdb" and key.startswith("$")
+                        else "$." + key
+                    )
+                edits.append((ls, ls, "get_json_object("))
+                edits.append(
+                    (start, rhs[3],
+                     ", " + _spark_string_literal(path, read) + ")")
+                )
+                i = rhs_idx + 1
+                continue
+            i += 1
             continue
 
         # DuckDB LIKE/ILIKE have NO default escape character; Spark's is

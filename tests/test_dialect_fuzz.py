@@ -192,6 +192,26 @@ TEMPLATES += [
     f"dayname(DATE '2024-01-31')",
 ]
 
+# JSON extraction (->> maps exactly to get_json_object; -> only
+# mid-chain; lambdas must never be touched)
+_J = """'{"a": {"b": 2}, "s": "x", "l": [10, 20]}'"""
+TEMPLATES += [
+    f"{_J} ->> 'a'",
+    f"{_J} ->> '$.a.b'",
+    f"{_J} ->> 's'",
+    f"{_J} ->> 'missing'",
+    f"{_J} -> 'a' ->> 'b'",
+    f"({_J} -> 'a') ->> 'b'",
+    "('[10,20]') ->> 1",
+    "('[10,20]') ->> 9",
+    f"json_extract_string({_J}, '$.a.b')",
+    f"json_extract_path_text({_J}, 'a')",
+    f"json_array_length({_J}, '$.l')",
+    "json_array_length('[1,2]')",
+    f"list_transform([1,2], x -> x + 1)",
+    f"list_filter([1,2,3], x -> x > 1)",
+]
+
 # compositions across families
 TEMPLATES += [
     "substr('hello', 1 // 0, 3)",
