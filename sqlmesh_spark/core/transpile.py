@@ -775,6 +775,90 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             i += 1  # keep scanning inside the subscript expression
             continue
 
+        # Snowflake semi-structured colon paths: v:a.b[0]."Key"::TYPE.
+        # The ::cast form maps exactly — casting a VARIANT to STRING
+        # unquotes JSON strings, which is get_json_object's behavior,
+        # and other target types parse the extracted text just like
+        # Spark's ANSI CAST; the emitted CAST's type name is transpiled
+        # by the regular type machinery on the next fixpoint pass. A
+        # BARE colon path (no cast) yields a VARIANT whose text form
+        # quotes string scalars — no faithful rewrite, LOUD.
+        if (
+            read == "snowflake"
+            and kind == "op"
+            and text == ":"
+            and i + 1 < n
+            and toks[i + 1][0] in ("ident", "dquote")
+        ):
+            lfirst = (
+                _backward_primary(toks, i - 1, include_unary=False)
+                if i > 0 else None
+            )
+            if lfirst is not None and not any(
+                e[1] >= toks[lfirst][2] for e in edits
+            ):
+                parts = []
+                j2 = i + 1
+                while j2 < n:
+                    tk, tt, _, tend_ = toks[j2]
+                    if tk == "ident":
+                        parts.append("." + tt)
+                    elif tk == "dquote":
+                        parts.append("['" + tt[1:-1].replace('""', '"') + "']")
+                    else:
+                        break
+                    j2 += 1
+                    if j2 < n and is_op(j2, "."):
+                        j2 += 1
+                        continue
+                    while (
+                        j2 + 2 < n
+                        and is_op(j2, "[")
+                        and toks[j2 + 1][0] == "number"
+                        and is_op(j2 + 2, "]")
+                    ):
+                        parts.append(f"[{toks[j2 + 1][1]}]")
+                        j2 += 3
+                    if j2 < n and is_op(j2, "."):
+                        j2 += 1
+                        continue
+                    break
+                if parts:
+                    path = "$" + "".join(parts)
+                    if not (
+                        j2 < n
+                        and is_op(j2, "::")
+                        and j2 + 1 < n
+                        and toks[j2 + 1][0] == "ident"
+                    ):
+                        raise TranspileError(
+                            "bare snowflake :path returns VARIANT, whose "
+                            "text form quotes string scalars; append "
+                            "::STRING (exactly get_json_object) or a "
+                            "typed cast"
+                        )
+                    t_last = j2 + 1
+                    if is_op(t_last + 1, "("):
+                        t_last = _call_arg_spans(toks, t_last + 1)[1]
+                    type_text = sql[toks[j2 + 1][2]: toks[t_last][3]]
+                    ls = toks[lfirst][2]
+                    gjo = (
+                        "get_json_object("
+                        + sql[ls: toks[lfirst][3]]
+                        if lfirst == i - 1
+                        else "get_json_object(" + sql[ls: toks[i - 1][3]]
+                    )
+                    edits.append(
+                        (ls, toks[t_last][3],
+                         f"CAST({gjo}, "
+                         f"{_spark_string_literal(path, read)}) "
+                         f"AS {type_text})")
+                    )
+                    i = t_last + 1
+                    continue
+            i += 1
+            continue
+
         # duckdb/postgres JSON extraction arrows: j ->> k (text) maps
         # EXACTLY to get_json_object (unquoted scalars, compact object/
         # array text, 0-based $[n] indexes in both). j -> k returns the

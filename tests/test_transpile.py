@@ -3081,3 +3081,47 @@ def test_duckdb_postgres_subscript_oob_and_zero_null(spark):
     out_dyn = transpile(
         "SELECT ([10,20])[n - 1] AS v FROM (SELECT 1 AS n)", "duckdb")
     assert spark.sql(out_dyn).collect()[0].v is None
+
+
+def test_snowflake_colon_paths(spark):
+    """Snowflake semi-structured v:a.b[0]."Key"::TYPE → CAST(
+    get_json_object(...) AS type); ::STRING of a VARIANT unquotes JSON
+    strings exactly like get_json_object. Bare colon paths are loud
+    (VARIANT text form quotes string scalars)."""
+    q = transpile(
+        'SELECT j:a.b::string AS x, j:l[1]::int AS y, '
+        "j:s::string AS z, v:\"Key Name\"::int AS k "
+        "FROM (SELECT '{\"a\": {\"b\": 2}, \"l\": [10, 20], \"s\": \"hi\"}' AS j, "
+        "'{\"Key Name\": 5}' AS v)",
+        "snowflake",
+    )
+    assert transpile(q, "snowflake") == q
+    row = spark.sql(q).collect()[0]
+    assert (row.x, row.y, row.z, row.k) == ("2", 20, "hi", 5)
+    assert (
+        transpile("SELECT j:a.b::number(10,2) FROM t", "snowflake")
+        == "SELECT CAST(get_json_object(j, '$.a.b') AS DECIMAL(10,2)) FROM t"
+    )
+    with pytest.raises(TranspileError, match="VARIANT"):
+        transpile("SELECT j:a FROM t", "snowflake")
+
+
+def test_duckdb_json_arrows(spark):
+    """duckdb/postgres ->> maps exactly to get_json_object; -> only
+    mid-chain; lambdas untouched."""
+    q = transpile(
+        "SELECT j ->> 's' AS s1, j -> 'a' ->> 'b' AS b1, "
+        "(j -> 'a') ->> 'b' AS b2, j ->> '$.a.b' AS b3 "
+        "FROM (SELECT '{\"a\": {\"b\": 2}, \"s\": \"x\"}' AS j)",
+        "duckdb",
+    )
+    assert transpile(q, "duckdb") == q
+    row = spark.sql(q).collect()[0]
+    assert (row.s1, row.b1, row.b2, row.b3) == ("x", "2", "2", "2")
+    with pytest.raises(TranspileError, match="terminal"):
+        transpile("SELECT j -> 'a' FROM t", "duckdb")
+    # lambda arrows with literal bodies are never JSON-rewritten
+    assert (
+        transpile("SELECT list_filter(l, x -> 1) FROM t", "duckdb")
+        == "SELECT filter(l, x -> 1) FROM t"
+    )
