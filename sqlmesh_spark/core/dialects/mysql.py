@@ -99,12 +99,9 @@ def token_handlers(ctx) -> "int | None":
             edits.append((start, end, " OR "))
             i += 1
             return i
-        # JSON column->path / column->>path operators — loud (the
-        # MySQL JSON type itself is unmapped).
-        if kind == "op" and text == "->":
-            raise TranspileError(
-                "mysql JSON -> / ->> operators have no Spark rewrite"
-            )
+        # JSON -> / ->> operators are handled by the shared arrow
+        # branch in core/transpile.py (->> maps exactly to
+        # get_json_object; -> only mid-chain).
         # XOR is a reserved MySQL boolean operator Spark lacks.
         if kind == "ident" and text.upper() == "XOR":
             raise TranspileError(

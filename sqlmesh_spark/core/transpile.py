@@ -871,7 +871,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # skipped outright. Non-literal keys pass through untouched
         # (Spark's parser rejects them — loud at render/analysis).
         if (
-            read in ("duckdb", "postgres")
+            read in ("duckdb", "postgres", "mysql")
             and kind == "op"
             and text == "->"
         ):
@@ -903,19 +903,33 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         "terminal -> returns the JSON-typed value, whose "
                         "text form differs from get_json_object for "
                         "string scalars; use ->> (text) or "
-                        "json_extract_string"
+                        + ("JSON_UNQUOTE" if read == "mysql"
+                           else "json_extract_string")
                     )
                 if rhs[0] == "number":
+                    if read == "mysql":
+                        raise TranspileError(
+                            "mysql JSON arrows take '$...' path strings"
+                        )
                     path = f"$[{rhs[1]}]"
                 else:
                     key = _literal_content(rhs[1], read)
-                    # duckdb accepts full $-paths; a postgres key is
-                    # always a literal key
-                    path = (
-                        key
-                        if read == "duckdb" and key.startswith("$")
-                        else "$." + key
-                    )
+                    if read == "mysql":
+                        # mysql arrows ALWAYS take a $-path
+                        if not key.startswith("$"):
+                            raise TranspileError(
+                                "mysql JSON arrows take '$...' path "
+                                "strings"
+                            )
+                        path = key
+                    else:
+                        # duckdb accepts full $-paths; a postgres key
+                        # is always a literal key
+                        path = (
+                            key
+                            if read == "duckdb" and key.startswith("$")
+                            else "$." + key
+                        )
                 edits.append((ls, ls, "get_json_object("))
                 edits.append(
                     (start, rhs[3],
