@@ -27,12 +27,6 @@ from sqlmesh_spark.core.transpile_text import (
 )
 
 _BIGQUERY_FN: dict[str, str | None] = {
-    # JSON scalar extraction: unquoted text, same as get_json_object.
-    # (BigQuery returns NULL for non-scalar results where
-    # get_json_object returns the JSON text — SQLGlot ships the same
-    # mapping; reference-matching divergence.)
-    "json_value": "get_json_object",
-    "json_extract_scalar": "get_json_object",
     "safe_cast": "try_cast",
     "safe_divide": "try_divide",
     "safe_add": "try_add",

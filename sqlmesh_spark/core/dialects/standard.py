@@ -10,6 +10,7 @@ file:line reference in docstrings and VERDICT history still applies.
 from __future__ import annotations
 
 from sqlmesh_spark.core.transpile_shared import (
+    _json_key_to_path,
     TranspileError,
     _PARAM_TYPES,
     _PARAM_DROP_TYPES,
@@ -661,10 +662,20 @@ def call_handlers(ctx) -> "int | None":
                     parts.append(f"[{tok_[1]}]")
                 else:
                     key = _literal_content(tok_[1], read)
-                    if read == "duckdb" and key.startswith("$"):
-                        parts.append(key[1:])
+                    if len(spans) == 2:
+                        # single path argument: full $-path / JSON
+                        # Pointer / key semantics (same as the arrows)
+                        parts.append(_json_key_to_path(key, read)[1:])
                     else:
-                        parts.append("." + key)
+                        # postgres variadic path ELEMENTS are literal
+                        # keys — bracket form keeps dots literal
+                        if any(c in key for c in "'[]"):
+                            raise TranspileError(
+                                "JSON keys containing quotes or "
+                                "brackets cannot be expressed in "
+                                "Spark's JsonPath"
+                            )
+                        parts.append(f"['{key}']")
             path = "$" + "".join(parts)
             edits.append(
                 (start, toks[close][3],
@@ -682,16 +693,29 @@ def call_handlers(ctx) -> "int | None":
         name == "json_array_length"
         and read in ("duckdb", "postgres")
         and first_pass
+        and not (
+            i >= 2
+            and is_op(i - 1, "(")
+            and toks[i - 2][0] in _NAME_KINDS
+            and toks[i - 2][1].lower() == "coalesce"
+        )
     ):
-        # the 2-arg (json, path) form scopes through get_json_object;
-        # 1-arg matches Spark natively
+        # duckdb returns 0 for NON-ARRAY values where Spark's
+        # json_array_length is NULL — coalesce restores 0, the NULL-json
+        # guard keeps NULL inputs NULL. The 2-arg (json, path) form
+        # scopes through get_json_object. (The coalesce-parent check
+        # skips our own emission on re-reads.)
         spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
+        if len(spans) in (1, 2):
             j_ = _arg_text(spans[0])
-            p2 = _arg_text(spans[1])
+            inner = f"({j_})"
+            if len(spans) == 2:
+                p2 = _arg_text(spans[1])
+                inner = f"get_json_object(({j_}), ({p2}))"
             edits.append(
                 (start, toks[close][3],
-                 f"json_array_length(get_json_object(({j_}), ({p2})))")
+                 f"(CASE WHEN ({j_}) IS NULL THEN NULL ELSE "
+                 f"coalesce(json_array_length({inner}), 0) END)")
             )
             i = close + 1
             return i

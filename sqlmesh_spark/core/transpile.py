@@ -81,6 +81,7 @@ from sqlmesh_spark.core.transpile_shared import (  # noqa: F401
     _call_arg_spans,
     _cast_as_indices,
     _type_token_edits,
+    _json_key_to_path,
     TokenCtx,
     _EXPR_KEYWORDS,
 )
@@ -804,7 +805,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     if tk == "ident":
                         parts.append("." + tt)
                     elif tk == "dquote":
-                        parts.append("['" + tt[1:-1].replace('""', '"') + "']")
+                        inner = tt[1:-1].replace('""', '"')
+                        if any(c in inner for c in "'[]"):
+                            raise TranspileError(
+                                "snowflake path elements containing "
+                                "quotes or brackets cannot be expressed "
+                                "in Spark's JsonPath"
+                            )
+                        parts.append("['" + inner + "']")
                     else:
                         break
                     j2 += 1
@@ -842,12 +850,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         t_last = _call_arg_spans(toks, t_last + 1)[1]
                     type_text = sql[toks[j2 + 1][2]: toks[t_last][3]]
                     ls = toks[lfirst][2]
-                    gjo = (
-                        "get_json_object("
-                        + sql[ls: toks[lfirst][3]]
-                        if lfirst == i - 1
-                        else "get_json_object(" + sql[ls: toks[i - 1][3]]
-                    )
+                    gjo = "get_json_object(" + sql[ls: toks[i - 1][3]]
                     edits.append(
                         (ls, toks[t_last][3],
                          f"CAST({gjo}, "
@@ -859,9 +862,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             i += 1
             continue
 
-        # duckdb/postgres JSON extraction arrows: j ->> k (text) maps
-        # EXACTLY to get_json_object (unquoted scalars, compact object/
-        # array text, 0-based $[n] indexes in both). j -> k returns the
+        # duckdb/postgres/mysql JSON extraction arrows: j ->> k (text)
+        # maps to get_json_object — EXACT for scalar results (unquoted,
+        # 0-based $[n] indexes); object/array results re-serialize in
+        # Spark's compact form, which matches duckdb byte-for-byte but
+        # can differ in whitespace/key order from postgres-json source
+        # text and mysql's normalized printing (the mapping SQLGlot
+        # ships; documented divergence — scalars, the common case, are
+        # exact everywhere). j -> k returns the
         # JSON-typed value whose TEXT form differs for string scalars
         # ('"x"' vs 'x') — rewritten only MID-CHAIN (object/array hops,
         # where the forms agree); a terminal -> is LOUD. Lambda arrows
@@ -914,22 +922,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     path = f"$[{rhs[1]}]"
                 else:
                     key = _literal_content(rhs[1], read)
-                    if read == "mysql":
-                        # mysql arrows ALWAYS take a $-path
-                        if not key.startswith("$"):
-                            raise TranspileError(
-                                "mysql JSON arrows take '$...' path "
-                                "strings"
-                            )
-                        path = key
-                    else:
-                        # duckdb accepts full $-paths; a postgres key
-                        # is always a literal key
-                        path = (
-                            key
-                            if read == "duckdb" and key.startswith("$")
-                            else "$." + key
-                        )
+                    path = _json_key_to_path(key, read)
                 edits.append((ls, ls, "get_json_object("))
                 edits.append(
                     (start, rhs[3],

@@ -863,6 +863,58 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
 
 
 
+def _json_key_to_path(key: str, read: str) -> str:
+    """Spark JsonPath for a JSON-operator key/path argument.
+
+    duckdb accepts full ``$``-paths and ``/``-rooted JSON Pointers;
+    postgres keys are ALWAYS literal keys; mysql arrows always take
+    ``$``-paths. Literal keys emit the BRACKET form (``$['a.b']``) so
+    dots inside keys stay literal. Constructs Spark's JsonPath cannot
+    carry — wildcards/recursion (result shape changes), quoted or
+    bracketed members, quotes inside keys — are LOUD, never a silently
+    different value.
+    """
+    if read == "mysql":
+        if not key.startswith("$"):
+            raise TranspileError(
+                "mysql JSON arrows take '$...' path strings"
+            )
+        if any(c in key for c in "*\""):
+            raise TranspileError(
+                "mysql JSON path wildcards/quoted members have no "
+                "Spark JsonPath equivalent"
+            )
+        return key
+    if read == "duckdb" and key.startswith("$"):
+        if "*" in key:
+            raise TranspileError(
+                "JSON path wildcards return lists in duckdb; no Spark "
+                "JsonPath equivalent"
+            )
+        return key
+    if read == "duckdb" and key.startswith("/"):
+        segs = key.split("/")[1:]
+        if any("~" in g or "'" in g or "[" in g or "]" in g for g in segs):
+            raise TranspileError(
+                "JSON Pointer escapes/special characters have no Spark "
+                "JsonPath form"
+            )
+        return "$" + "".join(f"['{g}']" for g in segs)
+    # literal key lookup (postgres always; duckdb non-$/non-/ keys)
+    if any(c in key for c in "'[]"):
+        raise TranspileError(
+            "JSON keys containing quotes or brackets cannot be "
+            "expressed in Spark's JsonPath"
+        )
+    if read == "postgres" and key.isdigit():
+        raise TranspileError(
+            "postgres JSON element access with a numeric-string key is "
+            "an ARRAY INDEX on arrays but a KEY on objects — statically "
+            "ambiguous; use the integer form for indexes"
+        )
+    return f"$['{key}']"
+
+
 class TokenCtx:
     """Mutable per-pass token view handed to the dialect handler modules
     (core/dialects/*). The walker in core/transpile.py updates the

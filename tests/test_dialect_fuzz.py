@@ -210,6 +210,13 @@ TEMPLATES += [
     "json_array_length('[1,2]')",
     f"list_transform([1,2], x -> x + 1)",
     f"list_filter([1,2,3], x -> x > 1)",
+    # dotted keys are LITERAL in arrows (bracket-form JsonPath);
+    # '/'-rooted JSON Pointers; non-array json_array_length returns 0
+    "('{\"a.b\": 1, \"a\": {\"b\": 2}}') ->> 'a.b'",
+    "('{\"a\": {\"b\": 2}}') ->> '/a/b'",
+    "json_extract_string('{\"a.b\": 1}', 'a.b')",
+    "json_array_length('{\"s\":\"x\"}', '$.s')",
+    "json_array_length('{\"s\":1}')",
 ]
 
 # compositions across families
