@@ -689,9 +689,23 @@ def call_handlers(ctx) -> "int | None":
             "(Spark get_json_object paths are foldable)"
         )
 
+    if name == "json_array_length" and read == "postgres" and first_pass:
+        # postgres json_array_length RAISES on non-array input and has
+        # no 2-arg (json, path) form. Spark's native json_array_length
+        # (NULL on non-array) is the closest non-erroring behavior —
+        # pass the 1-arg form through untouched; the duckdb-only
+        # coalesce-0 wrap below would silently return 0 on inputs
+        # postgres rejects.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError(
+                "postgres json_array_length takes a single argument "
+                "(the 2-arg path form is duckdb-only)"
+            )
+
     if (
         name == "json_array_length"
-        and read in ("duckdb", "postgres")
+        and read == "duckdb"
         and first_pass
         and not (
             i >= 2

@@ -281,7 +281,25 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             read in ("duckdb", "mysql")
             and (
                 (kind == "op" and text in ("/", "%") and not is_op(i + 1, "/"))
-                or (kind in _NAME_KINDS and text.upper() == "DIV")
+                or (
+                    kind in _NAME_KINDS
+                    and text.upper() == "DIV"
+                    # only the infix-operator reading: the previous
+                    # token must END an expression (operand). Excludes
+                    # a COLUMN named div — `t.div + 1` (prev is '.') or
+                    # `SELECT div` (prev is a clause keyword) must not
+                    # wrap `nullif(+ 1, 0)` around what follows.
+                    and i > 0
+                    and (
+                        toks[i - 1][0] in ("number", "string", "dquote")
+                        or (toks[i - 1][0] == "op"
+                            and toks[i - 1][1] in (")", "]"))
+                        or (toks[i - 1][0] in _NAME_KINDS
+                            and (toks[i - 1][1].upper() == "END"
+                                 or toks[i - 1][1].upper()
+                                 not in _NONCALLABLE_KEYWORDS))
+                    )
+                )
             )
         ):
             span = _forward_primary(toks, i + 1)
@@ -761,6 +779,20 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 # the NULL arm. Trino/ANSI keep plain element_at below:
                 # their bracket subscripts ERROR out of bounds, which
                 # ANSI element_at matches.
+                if close == i + 1 + 1 and toks[i + 1][0] == "string":
+                    # duckdb struct['field'] / map['key'], postgres
+                    # jsonb['key']: a string-literal subscript is KEY
+                    # access — try_element_at's nullif('k', 0) guard is
+                    # a string-vs-int comparison that fails under ANSI
+                    # at EXECUTION; raise at render instead. (duckdb
+                    # map[k] additionally returns a LIST, not the
+                    # element — no faithful element_at form at all.)
+                    raise TranspileError(
+                        f"{read} ['...'] string-key subscripts (struct/"
+                        "map/jsonb key access) have no faithful Spark "
+                        "element_at rewrite; use dot access for struct "
+                        "fields or ->> for JSON keys"
+                    )
                 edits.append((toks[j][2], toks[j][2], "try_element_at("))
                 if read == "postgres":
                     edits.append((start, end, ", nullif(greatest("))
@@ -869,15 +901,24 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # can differ in whitespace/key order from postgres-json source
         # text and mysql's normalized printing (the mapping SQLGlot
         # ships; documented divergence — scalars, the common case, are
-        # exact everywhere). j -> k returns the
-        # JSON-typed value whose TEXT form differs for string scalars
-        # ('"x"' vs 'x') — rewritten only MID-CHAIN (object/array hops,
-        # where the forms agree); a terminal -> is LOUD. Lambda arrows
-        # (x -> expr inside transform/filter/...) are excluded: their
-        # RHS is never a lone string/number literal in practice, and a
-        # bare-identifier LHS directly inside a known lambda-HOF call is
-        # skipped outright. Non-literal keys pass through untouched
-        # (Spark's parser rejects them — loud at render/analysis).
+        # exact everywhere). A contiguous literal chain
+        # j -> 'a' -> 'b' ->> 'c' folds into ONE combined JsonPath
+        # ($['a']['b']['c']) so Spark navigates the ORIGINAL document —
+        # this matches the source engines when an intermediate hop is a
+        # JSON string scalar (both stop with NULL; per-hop nesting
+        # would unquote the scalar text and keep navigating). A terminal
+        # -> is LOUD (its JSON-typed text form quotes string scalars),
+        # and a chain interrupted by parentheses is LOUD too (the
+        # combined path cannot see through the grouping, and per-hop
+        # nesting diverges on string-scalar hops). Negative integer
+        # indexes (pg/duckdb count from the end) have no Spark JsonPath
+        # form — LOUD. An arrow chained onto ->> TEXT output re-parses:
+        # duckdb's VARCHAR→JSON implicit cast does exactly that (nested
+        # get_json_object is exact, resolved on the next fixpoint pass);
+        # postgres/mysql reject arrows on text — LOUD. Lambda arrows
+        # (x -> expr inside transform/filter/...) are excluded.
+        # Non-literal keys pass through untouched (Spark's parser
+        # rejects them — loud at render/analysis).
         if (
             read in ("duckdb", "postgres", "mysql")
             and kind == "op"
@@ -892,43 +933,152 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             )
             if (
                 rhs is not None
+                and lfirst is not None
+                and not _in_lambda_hof(toks, lfirst)
+                and rhs[0] == "op"
+                and rhs[1] == "-"
+                and rhs_idx + 1 < n
+                and toks[rhs_idx + 1][0] == "number"
+            ):
+                if read == "mysql":
+                    raise TranspileError(
+                        "mysql JSON arrows take '$...' path strings"
+                    )
+                raise TranspileError(
+                    f"negative JSON index counts from the end in {read}; "
+                    "Spark's JsonPath has no from-end form"
+                )
+            if (
+                rhs is not None
                 and rhs[0] in ("string", "number")
                 and lfirst is not None
                 and not _in_lambda_hof(toks, lfirst)
             ):
                 ls = toks[lfirst][2]
-                if any(e[1] >= ls and e[0] <= rhs[3] for e in edits):
-                    i += 1  # chained arrows resolve left-to-right
-                    continue
-                j2 = rhs_idx + 1
-                while j2 < n and is_op(j2, ")"):
-                    j2 += 1  # (j -> 'a') ->> 'b' chains through parens
-                followed_by_arrow = (
-                    j2 < n and toks[j2][0] == "op" and toks[j2][1] == "->"
-                )
-                if not arrow2 and not followed_by_arrow:
-                    raise TranspileError(
-                        "terminal -> returns the JSON-typed value, whose "
-                        "text form differs from get_json_object for "
-                        "string scalars; use ->> (text) or "
-                        + ("JSON_UNQUOTE" if read == "mysql"
-                           else "json_extract_string")
+                # collect the contiguous literal chain: (->|->>) lit,
+                # stopping at (and including) the first ->> hop
+                hops = []  # (is_text_arrow, rhs_token)
+                cur = i
+                chain_end = rhs[3]
+                terminated = False
+                while True:
+                    a2 = (
+                        is_op(cur + 1, ">")
+                        and toks[cur + 1][2] == toks[cur][3]
                     )
-                if rhs[0] == "number":
-                    if read == "mysql":
+                    ridx = cur + (2 if a2 else 1)
+                    r = toks[ridx] if ridx < n else None
+                    if (
+                        r is not None
+                        and r[0] == "op"
+                        and r[1] == "-"
+                        and ridx + 1 < n
+                        and toks[ridx + 1][0] == "number"
+                    ):
+                        if read == "mysql":
+                            raise TranspileError(
+                                "mysql JSON arrows take '$...' path "
+                                "strings"
+                            )
                         raise TranspileError(
-                            "mysql JSON arrows take '$...' path strings"
+                            "negative JSON index counts from the end "
+                            f"in {read}; Spark's JsonPath has no "
+                            "from-end form"
                         )
-                    path = f"$[{rhs[1]}]"
-                else:
-                    key = _literal_content(rhs[1], read)
-                    path = _json_key_to_path(key, read)
+                    if r is None or r[0] not in ("string", "number"):
+                        break  # non-literal continuation: pass through
+                    hops.append((a2, r))
+                    chain_end = r[3]
+                    if a2:
+                        terminated = True
+                        break
+                    cur = ridx + 1
+                    if not (
+                        cur < n
+                        and toks[cur][0] == "op"
+                        and toks[cur][1] == "->"
+                    ):
+                        break  # chain ends on a -> hop
+                if any(e[1] >= ls and e[0] <= chain_end for e in edits):
+                    i += 1  # LHS edited this pass; resolve next pass
+                    continue
+                if not terminated:
+                    # when the collection loop stopped with toks[cur]
+                    # still an arrow, the continuation key is
+                    # non-literal (pass through — Spark's parser
+                    # rejects the surviving arrow: loud at render);
+                    # otherwise the chain genuinely ends on a -> hop
+                    if hops and not (
+                        cur < n
+                        and toks[cur][0] == "op"
+                        and toks[cur][1] == "->"
+                    ):
+                        j2 = cur
+                        while j2 < n and is_op(j2, ")"):
+                            j2 += 1
+                        if (
+                            j2 > cur
+                            and j2 < n
+                            and toks[j2][0] == "op"
+                            and toks[j2][1] == "->"
+                        ):
+                            raise TranspileError(
+                                "parenthesized JSON arrow chains cannot "
+                                "fold into one Spark JsonPath (and "
+                                "per-hop rewrites diverge when a hop is "
+                                "a JSON string scalar); remove the "
+                                "parentheses so the -> chain ends in a "
+                                "single ->> extraction"
+                            )
+                        raise TranspileError(
+                            "terminal -> returns the JSON-typed "
+                            "value, whose text form differs from "
+                            "get_json_object for string scalars; "
+                            "use ->> (text) or "
+                            + ("JSON_UNQUOTE" if read == "mysql"
+                               else "json_extract_string")
+                        )
+                    i += 1  # non-literal continuation — loud at render
+                    continue
+                segs = []
+                for _a2, r in hops:
+                    if r[0] == "number":
+                        if read == "mysql":
+                            raise TranspileError(
+                                "mysql JSON arrows take '$...' path "
+                                "strings"
+                            )
+                        segs.append(f"[{r[1]}]")
+                    else:
+                        key = _literal_content(r[1], read)
+                        segs.append(_json_key_to_path(key, read)[1:])
+                path = "$" + "".join(segs)
+                # an arrow chained onto this ->> TEXT output re-parses
+                # the text: exact for duckdb (VARCHAR→JSON implicit
+                # cast, next-pass nesting), a type error in postgres
+                # and invalid mysql — loud for those
+                nxt_i = rhs_idx if not hops else (
+                    cur + (2 if hops[-1][0] else 1)
+                )
+                j2 = nxt_i + 1
+                while j2 < n and is_op(j2, ")"):
+                    j2 += 1
+                if (
+                    read in ("postgres", "mysql")
+                    and j2 < n
+                    and toks[j2][0] == "op"
+                    and toks[j2][1] == "->"
+                ):
+                    raise TranspileError(
+                        "->> returns text; chaining another JSON arrow "
+                        f"onto text is a type error in {read}"
+                    )
                 edits.append((ls, ls, "get_json_object("))
                 edits.append(
-                    (start, rhs[3],
+                    (start, chain_end,
                      ", " + _spark_string_literal(path, read) + ")")
                 )
-                i = rhs_idx + 1
+                i = nxt_i + 1
                 continue
             i += 1
             continue

@@ -899,6 +899,19 @@ def _json_key_to_path(key: str, read: str) -> str:
                 "JSON Pointer escapes/special characters have no Spark "
                 "JsonPath form"
             )
+        if any(g.isdigit() for g in segs):
+            # duckdb pointer segments are POLYMORPHIC: '/a/0' is an
+            # array INDEX when a is an array but a KEY when a is an
+            # object (verified live: '{"a":[10,20]}' → '10',
+            # '{"a":{"0":5}}' → '5'); Spark's bracket JsonPath ['0'] is
+            # a field name ONLY (NULL on arrays). Statically ambiguous
+            # — loud, mirroring the postgres numeric-string-key guard.
+            raise TranspileError(
+                "duckdb JSON Pointer digit segments are array indexes "
+                "on arrays but keys on objects — statically ambiguous "
+                "in Spark's JsonPath; use the '$'-path form ($.a[0] "
+                "for indexes, $.a['0'] is not expressible)"
+            )
         return "$" + "".join(f"['{g}']" for g in segs)
     # literal key lookup (postgres always; duckdb non-$/non-/ keys)
     if any(c in key for c in "'[]"):

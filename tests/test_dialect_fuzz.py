@@ -219,6 +219,43 @@ TEMPLATES += [
     "json_array_length('{\"s\":1}')",
 ]
 
+# composed JSON block (round-7): nested arrows over objects / arrays /
+# string-scalar hops / NULL, pointer-with-digit-segment over arrays
+# (the round-6 silent-wrong: duckdb '/l/0' indexes the array where
+# Spark's $['l']['0'] is key-only — now loud, but pre-fix this entry
+# value-diverged and would have caught it), number-index chains,
+# ->>-onto-text re-parse chains, and json functions inside scalar
+# compositions. The string-scalar doc: hopping INTO a scalar must stop
+# with NULL (per-hop nesting would unquote the scalar and keep going).
+_JS = """'{"a": "{\\"b\\": 1}", "n": 7}'"""  # a is a JSON STRING scalar
+_JD = """'{"a":{"b":{"c":[5,6]}}, "l":[{"k":1},{"k":2}]}'"""
+TEMPLATES += [
+    f"{_J} ->> '/l/0'",          # pointer digit segment (loud post-fix)
+    f"{_J} ->> '/a/b'",
+    f"{_J} ->> '/missing/x'",
+    f"{_J} -> 'l' ->> 0",        # chain ending in a number index
+    f"{_J} -> 'l' ->> 9",        # OOB index through a chain
+    f"{_JD} -> 'a' -> 'b' ->> 'c'",   # 3-hop literal chain
+    f"{_JD} -> 'l' -> 1 ->> 'k'",     # object/array/index mix
+    f"{_JS} -> 'a' ->> 'b'",     # string-scalar hop: NULL, not re-parse
+    f"{_JS} ->> 'a' ->> 'b'",    # text output re-parsed (duckdb cast)
+    f"{_JS} ->> 'n' ->> 'x'",    # re-parse of a non-object scalar
+    f"{_J} ->> 'a' ->> 'b'",     # object text re-parsed
+    f"{_J} -> 'missing' ->> 'b'",
+    f"(NULL::VARCHAR) ->> 'a'",
+    "('not json') ->> 'a'",
+    "('[[1,2],[3]]') -> 0 ->> 1",
+    f"json_extract_string({_JD}, '$.a.b.c[1]')",
+    f"json_extract_string({_JD}, '/a/b')",
+    f"json_array_length({_JD}, '$.a.b.c')",
+    f"json_array_length(({_JD}) ->> 'l')",
+    f"length({_J} ->> 's')",
+    f"coalesce({_J} ->> 'missing', 'dflt')",
+    f"({_J} ->> '$.a.b') + 1",
+    f"CAST({_J} ->> '$.l[1]' AS INT) % 3",
+    f"concat({_J} ->> 's', {_JS} ->> 'n')",
+]
+
 # compositions across families
 TEMPLATES += [
     "substr('hello', 1 // 0, 3)",

@@ -3107,21 +3107,59 @@ def test_snowflake_colon_paths(spark):
 
 
 def test_duckdb_json_arrows(spark):
-    """duckdb/postgres ->> maps exactly to get_json_object; -> only
-    mid-chain; lambdas untouched."""
+    """duckdb/postgres ->> maps exactly to get_json_object; literal ->
+    chains fold into ONE combined JsonPath (navigating the ORIGINAL
+    document, so a string-scalar hop yields NULL exactly like the
+    source engines); paren-interrupted chains and terminal -> are loud;
+    lambdas untouched."""
     q = transpile(
         "SELECT j ->> 's' AS s1, j -> 'a' ->> 'b' AS b1, "
-        "(j -> 'a') ->> 'b' AS b2, j ->> '$.a.b' AS b3 "
+        "j ->> '$.a.b' AS b3 "
         "FROM (SELECT '{\"a\": {\"b\": 2}, \"s\": \"x\"}' AS j)",
         "duckdb",
     )
     assert transpile(q, "duckdb") == q
+    # the chain folds to one get_json_object over the original doc
+    assert "$[''a''][''b'']" in q and q.count("get_json_object") == 3
     row = spark.sql(q).collect()[0]
-    assert (row.s1, row.b1, row.b2, row.b3) == ("x", "2", "2", "2")
+    assert (row.s1, row.b1, row.b3) == ("x", "2", "2")
+    # string-scalar intermediate hop: duckdb j -> 'a' is a JSON string
+    # scalar -> navigating further yields NULL (combined path matches;
+    # per-hop nesting would unquote and keep navigating — wrong)
+    q2 = transpile(
+        "SELECT j -> 'a' ->> 'b' AS v "
+        "FROM (SELECT '{\"a\": \"{\\\"b\\\": 1}\"}' AS j)",
+        "duckdb",
+    )
+    assert spark.sql(q2).collect()[0].v is None
     with pytest.raises(TranspileError, match="terminal"):
         transpile("SELECT j -> 'a' FROM t", "duckdb")
+    with pytest.raises(TranspileError, match="parenthes"):
+        transpile("SELECT (j -> 'a') ->> 'b' FROM t", "duckdb")
+    # negative indexes count from the end in pg/duckdb — loud
+    with pytest.raises(TranspileError, match="from-end"):
+        transpile("SELECT j ->> -1 FROM t", "duckdb")
+    with pytest.raises(TranspileError, match="from-end"):
+        transpile("SELECT j -> -2 ->> 0 FROM t", "postgres")
+    with pytest.raises(TranspileError, match="from-end"):
+        transpile("SELECT j -> 'a' ->> -1 FROM t", "duckdb")
+    # chaining an arrow onto ->> TEXT output: exact re-parse for duckdb
+    # (next-pass nesting), a type error in postgres — loud there
+    q3 = transpile("SELECT j ->> 'a' ->> 'b' FROM t", "duckdb")
+    assert q3.count("get_json_object") == 2
+    with pytest.raises(TranspileError, match="type error"):
+        transpile("SELECT j ->> 'a' ->> 'b' FROM t", "postgres")
+    # duckdb JSON Pointer digit segments are polymorphic — loud
+    with pytest.raises(TranspileError, match="digit"):
+        transpile("SELECT j ->> '/a/0' FROM t", "duckdb")
+    q4 = transpile("SELECT j ->> '/a/b' FROM t", "duckdb")
+    assert "$[''a''][''b'']" in q4
     # lambda arrows with literal bodies are never JSON-rewritten
     assert (
         transpile("SELECT list_filter(l, x -> 1) FROM t", "duckdb")
         == "SELECT filter(l, x -> 1) FROM t"
+    )
+    assert (
+        transpile("SELECT list_transform(l, x -> -1) FROM t", "duckdb")
+        == "SELECT transform(l, x -> -1) FROM t"
     )
