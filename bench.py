@@ -36,10 +36,21 @@ def main() -> None:
     # is a legitimate plan optimization (Spark inlines CTEs), but a cached
     # relation surviving into the next pass would make min-of-2 report a
     # warm-memory read instead of query cost.
+    #
+    # The interpreted-HOF queries (zip_with folds / Arrow batches /
+    # multi-stage LSH) have a wider noise band than the codegen'd
+    # relational set — observed ±30-60% on this shared host (r6: +61%
+    # on ann_topk_bruteforce with zero code change). They get a third
+    # pass so their min is drawn from 3 samples.
+    HOF_QUERIES = {
+        "ann_topk_bruteforce", "dedup_minhash_lsh", "pipeline_training_data",
+    }
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         spark.catalog.clearCache()
         for name, case in cases.items():
+            if _pass == 2 and name not in HOF_QUERIES:
+                continue
             t0 = time.perf_counter()
             try:
                 df = case.fn(spark, sf_dir)

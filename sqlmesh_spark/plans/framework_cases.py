@@ -3070,3 +3070,84 @@ WHERE o_orderkey <= 200
     )
     ctx.run(environment="env_chaj")
     return spark.table("env_chaj_views.order_tags")
+
+
+JSON_DIALECT_ORACLE = """
+SELECT e.event_id,
+       e.props ->> 'k' AS k_text,
+       CAST(e.props ->> 'k' AS BIGINT) AS k_num,
+       ('{"w": ' || e.props || '}') -> 'w' ->> 'k' AS k_nested,
+       ('[' || e.props || ', {"k": -1}]') -> 1 ->> 'k' AS k_second,
+       e.props ->> 'missing' AS k_missing,
+       json_extract_string(e.props, '$.k') AS k_path,
+       CAST(json_array_length('[1,2,3]') AS BIGINT) AS arr_len,
+       e.props ->> 'k' AS sf_k_text,
+       CAST(e.props ->> 'k' AS BIGINT) AS sf_k_num,
+       ('{"w": ' || e.props || '}') -> 'w' ->> 'k' AS sf_k_nested,
+       CAST(4 AS BIGINT) AS sf_arr_el
+FROM events e
+WHERE e.event_id % 50 = 0
+"""
+
+
+@register("framework_json_dialect_model", oracle=JSON_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_json_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction through plan/apply, end-to-end
+    over the round-6 dialect layer (ref: the reference delegates these
+    rewrites to SQLGlot — dialect.py:1040): a DUCKDB-dialect model
+    whose ``->>`` arrows cover a scalar key, a nested ``->`` chain
+    (folds into ONE combined JsonPath so string-scalar hops stop with
+    NULL exactly like duckdb), an array-index hop, a missing key,
+    json_extract_string's $-path form, and json_array_length; plus a
+    SNOWFLAKE twin model using colon paths ``v:a.b::TYPE`` /
+    ``v:l[1]::INT`` (→ CAST(get_json_object(...))). The two
+    environment views join on event_id; DuckDB computes every column
+    natively (snowflake colon semantics restated as duckdb arrows), so
+    the value-hash match proves the whole extraction layer."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_js", "env_js_views")
+    register_views(spark, sf_dir, ("events",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_js.duck_json,
+  kind FULL,
+  dialect duckdb
+);
+SELECT event_id,
+       props ->> 'k' AS k_text,
+       CAST(props ->> 'k' AS BIGINT) AS k_num,
+       ('{"w": ' || props || '}') -> 'w' ->> 'k' AS k_nested,
+       ('[' || props || ', {"k": -1}]') -> 1 ->> 'k' AS k_second,
+       props ->> 'missing' AS k_missing,
+       json_extract_string(props, '$.k') AS k_path,
+       CAST(json_array_length('[1,2,3]') AS BIGINT) AS arr_len
+FROM events
+WHERE event_id % 50 = 0
+"""
+    )
+    ctx.add_model(
+        """
+MODEL (
+  name demo_js.sf_json,
+  kind FULL,
+  dialect snowflake
+);
+SELECT event_id,
+       props:k::STRING AS sf_k_text,
+       props:k::BIGINT AS sf_k_num,
+       w:w.k::STRING AS sf_k_nested,
+       a:l[1]::BIGINT AS sf_arr_el
+FROM (SELECT event_id, props,
+             '{"w": ' || props || '}' AS w,
+             '{"l": [3, 4]}' AS a
+      FROM events WHERE event_id % 50 = 0)
+"""
+    )
+    ctx.run(environment="env_js")
+    return spark.table("env_js_views.duck_json").join(
+        spark.table("env_js_views.sf_json"), "event_id"
+    )
