@@ -44,7 +44,7 @@ _FACT_KEYS: dict[str, tuple[tuple[str, str], ...]] = {
     "orders": (("o_orderkey", "orderkey"),),
     "events": (("event_id", "event_id"),),
     "documents": (("doc_id", "doc_id"),),
-    "embeddings": (("id", "embedding_id"),),
+    "embeddings": (("vec_id", "embedding_id"),),
 }
 
 _ALL_TABLES = (
@@ -53,7 +53,69 @@ _ALL_TABLES = (
 )
 
 
-def _replicate(spark: SparkSession, src: str, dst: str, factor: int) -> None:
+def _perturb(table: str, rep: DataFrame, i: int) -> DataFrame:
+    """Make replica i content-DISJOINT from the base for the dedup/ANN
+    corpora. Content-identical replication turns every document into an
+    N-way duplicate (candidate pairs grow N², duplicate density → 100%)
+    — that models a pathological corpus, not a 100× bigger one. Real
+    corpora hold duplicate DENSITY roughly constant as they grow, so:
+
+    - documents.text: every word is replaced by the same-LENGTH prefix
+      of md5(word || replica_index) (replica 0 is the untouched base).
+      Word boundaries, word lengths, and word identity within a replica
+      are all preserved, so the char-5-gram shingle structure the dedup
+      ladder measures carries over (same doc lengths, same shared-word
+      overlaps → within-replica Jaccard ≈ base); across replicas the
+      vocabularies are disjoint hex strings → Jaccard ~ 0, and the
+      family is unbounded in the factor. Two rejected designs, measured
+      at factor 4 (expected ~100 pairs): a per-TOKEN suffix leaves long
+      words' interior 5-grams intact (66k cross-replica pairs), and a
+      per-CHAR digit interleave collapses each 5-gram to ~2-3 original
+      chars, inflating within-replica Jaccard (122k pairs).
+    - embeddings.embedding: rotate the vector by i positions and negate
+      on every second full rotation cycle (both cosine isometries —
+      within-replica structure exact; 2·dim distinct classes, 128 at
+      dim 64) so LSH buckets stay balanced instead of stacking N
+      identical twins per bucket.
+    """
+    if i == 0:
+        return rep
+    if table == "documents" and "text" in rep.columns:
+        rep = rep.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.substr(
+                        F.md5(F.concat(w, F.lit(str(i)))),
+                        F.lit(1),
+                        F.length(w),
+                    ),
+                ),
+                " ",
+            ),
+        )
+    if table == "embeddings" and "embedding" in rep.columns:
+        d = F.size(F.col("embedding"))
+        k = F.lit(i) % d
+        sign = F.when((F.lit(i) / d).cast("int") % 2 == 1, F.lit(-1.0)) \
+            .otherwise(F.lit(1.0)).cast("float")
+        rep = rep.withColumn(
+            "embedding",
+            F.transform(
+                F.concat(
+                    F.slice(F.col("embedding"), k + 1, d),
+                    F.slice(F.col("embedding"), 1, k),
+                ),
+                lambda x: (x * sign).cast("float"),
+            ),
+        )
+    return rep
+
+
+def _replicate(
+    spark: SparkSession, src: str, dst: str, factor: int, perturb: bool = False
+) -> None:
     os.makedirs(dst, exist_ok=True)
     # one stride per key DOMAIN, maxed over every member column; the
     # DataFrames are kept and reused by the replication loop below (one
@@ -91,6 +153,8 @@ def _replicate(spark: SparkSession, src: str, dst: str, factor: int) -> None:
                     (F.col(col) + F.lit(i * domain_stride[domain]))
                     .cast(df.schema[col].dataType),
                 )
+            if perturb:
+                rep = _perturb(table, rep, i)
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:
@@ -114,11 +178,17 @@ def main() -> None:
     ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--queries", nargs="+", required=True)
+    ap.add_argument(
+        "--perturb", action="store_true",
+        help="make documents/embeddings replicas content-disjoint "
+             "(constant duplicate density — the realistic corpus-growth "
+             "shape for dedup/ANN scaling runs)",
+    )
     args = ap.parse_args()
 
     spark = build_session(app_name="sqlmesh_spark_scale")
     scratch = tempfile.mkdtemp(prefix="sqlmesh_scale_")
-    _replicate(spark, args.base, scratch, args.factor)
+    _replicate(spark, args.base, scratch, args.factor, perturb=args.perturb)
 
     # Warm the JVM/codegen path for EVERY query (same rationale as
     # bench.py) so the base-dir pass doesn't absorb session startup or
@@ -126,14 +196,24 @@ def main() -> None:
     _time_queries(spark, args.base, args.queries)
     base_t = _time_queries(spark, args.base, args.queries)
     big_t = _time_queries(spark, scratch, args.queries)
+    cases = load_all()
+    rows = {
+        n: {
+            "base": cases[n].fn(spark, args.base).count(),
+            "replicated": cases[n].fn(spark, scratch).count(),
+        }
+        for n in args.queries
+    }
     report = {
         "factor": args.factor,
+        "perturb": args.perturb,
         "base": base_t,
         "replicated": big_t,
         "ratio": {
             n: (round(big_t[n] / base_t[n], 2) if base_t[n] > 0 else None)
             for n in args.queries
         },
+        "result_rows": rows,
     }
     print(json.dumps(report))
     shutil.rmtree(scratch, ignore_errors=True)
