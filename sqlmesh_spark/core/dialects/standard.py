@@ -9,6 +9,8 @@ file:line reference in docstrings and VERDICT history still applies.
 
 from __future__ import annotations
 
+import re
+
 from sqlmesh_spark.core.transpile_shared import (
     _json_key_to_path,
     TranspileError,
@@ -72,6 +74,9 @@ _COMMON_FN = {
     # and return NULL on empty; collect_list drops/returns [])
     "unnest": "explode",
     "string_split_regex": "split",      # second arg already a regex
+    "regexp_split_to_array": "split",   # same: POSIX regex separator
+    "age": None,                        # symbolic month/day INTERVAL
+                                        # (2 mons 3 days) → no analog
     # aggregates
     "arg_max": "max_by",
     "arg_min": "min_by",
@@ -223,6 +228,253 @@ def call_handlers(ctx) -> "int | None":
         )
         i += 1
         return i
+
+    if (
+        name == "generate_series"
+        and read in ("postgres", "duckdb")
+        and first_pass
+    ):
+        # Context-sensitive: pg generate_series always produces ROWS
+        # (set-returning function); duckdb returns a LIST in a select
+        # list but rows as a FROM-clause table function. Both ends
+        # INCLUSIVE — exactly Spark sequence(); explode() turns the
+        # array into rows (valid in both select-list and FROM-clause
+        # positions, `FROM explode(sequence(..)) AS t(i)` included).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) not in (2, 3):
+            raise TranspileError(
+                "generate_series takes (start, stop[, step])"
+            )
+        ctx_kind = "expr"  # inside a call/paren unless a clause says else
+        depth_b = 0
+        for j in range(i - 1, -1, -1):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == ")":
+                depth_b += 1
+            elif k_ == "op" and t_ == "(":
+                depth_b -= 1
+                if depth_b < 0:
+                    break  # nested inside a call argument / paren group
+            elif depth_b == 0 and k_ == "ident":
+                up_ = t_.upper()
+                if up_ == "SELECT":
+                    ctx_kind = "select"
+                    break
+                if up_ in ("FROM", "JOIN", "LATERAL"):
+                    ctx_kind = "table"
+                    break
+                if up_ in ("WHERE", "GROUP", "HAVING", "ORDER", "ON"):
+                    break  # predicate/clause: expression context
+        if ctx_kind == "table" or (read == "postgres" and ctx_kind == "select"):
+            edits.append((start, end, "explode(sequence"))
+            edits.append((toks[close][3], toks[close][3], ")"))
+        elif read == "duckdb":
+            edits.append((start, end, "sequence"))  # duckdb: a LIST
+        else:
+            # pg generate_series nested inside an expression is a
+            # set-returning function in a scalar slot — pre-PG10
+            # expansion rules, no Spark analog
+            raise TranspileError(
+                "postgres generate_series inside an expression has no "
+                "Spark rewrite; move it to the FROM clause"
+            )
+        return close + 1
+
+    # ---- Postgres-specific handlers (round 7, each found by the
+    # live-PG differential fuzz harness tests/test_dialect_fuzz_pg.py)
+    if read == "postgres" and first_pass:
+        if name in ("num_nonnulls", "num_nulls"):
+            # variadic NULL counters — unfold into an IF-sum (each arg
+            # referenced exactly once; args may have mixed types, so an
+            # array() fold is not an option)
+            spans, close = _call_arg_spans(toks, i + 1)
+            if not spans:
+                raise TranspileError(f"{name} takes at least one argument")
+            pred = "IS NOT NULL" if name == "num_nonnulls" else "IS NULL"
+            parts = [
+                f"(CASE WHEN ({_arg_text(sp)}) {pred} THEN 1 ELSE 0 END)"
+                for sp in spans
+            ]
+            edits.append((start, toks[close][3], "(" + " + ".join(parts) + ")"))
+            return close + 1
+        if name == "format":
+            # pg format() is exact only for %s/%% directives (with
+            # explicit argument positions loud): %I/%L quote
+            # identifiers/literals — no Spark analog. pg %s renders
+            # NULL as '' where Java's format_string prints "null" —
+            # each argument gets a coalesce(CAST(.. AS STRING), '').
+            spans, close = _call_arg_spans(toks, i + 1)
+            ftok = toks[spans[0][0]] if spans else None
+            if (
+                ftok is None
+                or spans[0][0] != spans[0][1]
+                or ftok[0] != "string"
+            ):
+                raise TranspileError(
+                    "postgres format() needs a literal format string "
+                    "to transpile"
+                )
+            fmt = _literal_content(ftok[1], read)
+            if re.search(r"%[^s%]", fmt) or fmt.endswith("%"):
+                raise TranspileError(
+                    "postgres format() directives other than %s/%% "
+                    "(%I identifier / %L literal quoting, positional "
+                    "%n$) have no Spark rewrite"
+                )
+            args = ", ".join(
+                f"coalesce(CAST(({_arg_text(sp)}) AS STRING), '')"
+                for sp in spans[1:]
+            )
+            fmt_lit = _spark_string_literal(fmt, read)
+            edits.append(
+                (start, toks[close][3],
+                 f"format_string({fmt_lit}{', ' + args if args else ''})")
+            )
+            return close + 1
+        if name in ("array_prepend", "list_prepend"):
+            # pg/duckdb take (element, array); Spark array_prepend
+            # takes (array, element) — a pure swap would re-swap on the
+            # next pass, so emit array_insert(arr, 1, elem) instead
+            spans, close = _call_arg_spans(toks, i + 1)
+            if len(spans) != 2:
+                raise TranspileError(f"{name} takes (element, array)")
+            edits.append(
+                (start, toks[close][3],
+                 f"array_insert(({_arg_text(spans[1])}), 1, "
+                 f"({_arg_text(spans[0])}))")
+            )
+            return close + 1
+        if name == "array_replace":
+            # transform with a null-safe comparison: pg array_replace
+            # also replaces NULL elements when `from` is NULL
+            spans, close = _call_arg_spans(toks, i + 1)
+            if len(spans) != 3:
+                raise TranspileError("array_replace takes (array, from, to)")
+            edits.append(
+                (start, toks[close][3],
+                 f"transform(({_arg_text(spans[0])}), _x -> "
+                 f"if(_x <=> ({_arg_text(spans[1])}), "
+                 f"({_arg_text(spans[2])}), _x))")
+            )
+            return close + 1
+        if name in ("quote_ident", "quote_literal", "quote_nullable"):
+            raise TranspileError(
+                f"postgres {name}() quotes conditionally (keyword and "
+                "character checks) — no Spark rewrite"
+            )
+
+    if (
+        name == "string_to_array"
+        and read == "postgres"
+        and first_pass
+    ):
+        # pg string_to_array('') is an EMPTY array; Spark split('', p)
+        # (and duckdb string_split) give ['']. Bind the source once and
+        # branch; the separator converts to the escaped-regex split()
+        # form INLINE (the shared handler below is first_pass-gated, so
+        # an emitted inner string_to_array would never convert).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            sep_first, sep_last = spans[1]
+            if not (sep_first == sep_last and toks[sep_first][0] == "string"):
+                raise TranspileError(
+                    "string_to_array separator must be a literal to "
+                    "transpile (Spark split() treats it as a regex)"
+                )
+            s_ = _arg_text(spans[0])
+            sep_lit = _regex_literal(
+                _literal_content(toks[sep_first][1], read), read
+            )
+            edits.append(
+                (start, toks[close][3],
+                 f"element_at(transform(array(struct(({s_}) AS _ss)), "
+                 f"_t -> CASE WHEN _t._ss = '' THEN "
+                 f"CAST(array() AS ARRAY<STRING>) ELSE "
+                 f"split(_t._ss, {sep_lit}) END), 1)")
+            )
+            return close + 1
+
+    if (
+        name == "substring"
+        and read == "postgres"
+        and first_pass
+        and is_op(i + 1, "(")
+    ):
+        # substring(s FROM 'pattern') — the pg POSIX-regex form (a
+        # STRING second operand; the positional form takes numbers).
+        # Returns group 1 when the pattern captures, else the whole
+        # match; NULL when no match (Spark regexp_extract gives '' —
+        # nullif). A pattern matching the EMPTY string diverges
+        # (pg '' vs NULL here) — documented, no non-matching shape.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            sp = spans[0]
+            from_idx = None
+            depth = 0
+            for j in range(sp[0], sp[1] + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                elif depth == 0 and k_ == "ident" and t_.upper() == "FROM":
+                    from_idx = j
+                    break
+            if (
+                from_idx is not None
+                and from_idx + 1 == sp[1]
+                and toks[sp[1]][0] == "string"
+            ):
+                pat = _literal_content(toks[sp[1]][1], read)
+                has_group = bool(re.search(r"(?<!\\)\((?!\?)", pat))
+                s_text = sql[toks[sp[0]][2]: toks[from_idx][2]]
+                edits.append(
+                    (start, toks[close][3],
+                     f"nullif(regexp_extract(({s_text.rstrip()}), "
+                     f"{_spark_string_literal(pat, read)}, "
+                     f"{1 if has_group else 0}), '')")
+                )
+                return close + 1
+
+    if (
+        name == "string_agg"
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        # string_agg(expr, sep ORDER BY k) — the rename below maps the
+        # plain form to listagg (Spark 4); an in-args ORDER BY must
+        # move into WITHIN GROUP (ORDER BY k), Spark's spelling.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            sp = spans[1]
+            ob_idx = None
+            depth = 0
+            for j in range(sp[0], sp[1] + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                elif (
+                    depth == 0 and k_ == "ident" and t_.upper() == "ORDER"
+                    and j + 1 <= sp[1]
+                    and toks[j + 1][0] == "ident"
+                    and toks[j + 1][1].upper() == "BY"
+                ):
+                    ob_idx = j
+                    break
+            if ob_idx is not None:
+                _require_spark4("string_agg", "listagg")
+                order_text = sql[toks[ob_idx][2]: toks[sp[1]][3]]
+                edits.append((start, end, "listagg"))
+                # drop the ORDER BY from the arg list (and the space
+                # before it), re-attach as WITHIN GROUP
+                edits.append((toks[ob_idx - 1][3], toks[sp[1]][3], ""))
+                edits.append(
+                    (toks[close][3], toks[close][3],
+                     f" WITHIN GROUP ({order_text})")
+                )
+                return close + 1
 
     # ---- DuckDB/Postgres NULL-and-edge fidelity handlers.
     # These engines return NULL / '' / keep NULLs on edges where
@@ -1116,6 +1368,9 @@ def call_handlers(ctx) -> "int | None":
                     # is a REAL dialect form — numeric 4th arg,
                     # first-match-only from that position. Not
                     # Spark's replace-all-from-position. LOUD.
+                    # (The pg 'g' rewrite below emits the THREE-arg
+                    # Spark form, never this one, so a numeric 4th
+                    # arg is always user input here.)
                     raise TranspileError(
                         "postgres regexp_replace(source, pattern, "
                         "replacement, start) is first-match-only; "
@@ -1143,17 +1398,41 @@ def call_handlers(ctx) -> "int | None":
                         "no Spark rewrite"
                     )
                 _convert_replacement(spans[2])
-                # 'g' (global) IS Spark's scope; rewrite the flag to
-                # Spark's position arg 1 (the default) so the output
-                # is not re-readable as a first-only 3-arg form
-                edits.append((f_tok[2], toks[spans[3][1]][3], "1"))
+                if read == "postgres":
+                    # 'g' (global) IS Spark's scope. Spark's numeric
+                    # position form regexp_replace(s, p, r, 1) is
+                    # text-identical to PG 15's START form (first-
+                    # match-only) — a true ambiguity — so for pg the
+                    # flag is DROPPED: Spark's 3-arg call replaces
+                    # all. The pg 3-arg first-only raise below is
+                    # first_pass-gated to keep this a fixpoint
+                    # (user input always lexes on pass 1; a 3-arg
+                    # call on later passes is this emission).
+                    edits.append(
+                        (toks[spans[2][1]][3], toks[spans[3][1]][3], "")
+                    )
+                else:
+                    # duckdb has no numeric 4th arg — rewrite the
+                    # flag to Spark's position arg 1 (the default)
+                    # so the output is not re-readable as a
+                    # first-only 3-arg form
+                    edits.append((f_tok[2], toks[spans[3][1]][3], "1"))
             elif nargs == 3:
-                raise TranspileError(
-                    f"{read} regexp_replace replaces only the FIRST "
-                    "match; Spark replaces all occurrences — add "
-                    "the 'g' option if global replacement is "
-                    "intended"
-                )
+                if read == "postgres" and not first_pass:
+                    # our own 'g'→3-arg emission re-read on a later
+                    # fixpoint pass — mark its string-literal args
+                    # handler-owned so the doubling pass skips them
+                    for a_first, a_last in spans[:3]:
+                        t_ = toks[a_first]
+                        if a_first == a_last and t_[0] == "string":
+                            edits.append((t_[2], t_[3], t_[1]))
+                else:
+                    raise TranspileError(
+                        f"{read} regexp_replace replaces only the "
+                        "FIRST match; Spark replaces all occurrences "
+                        "— add the 'g' option if global replacement "
+                        "is intended"
+                    )
             else:
                 raise TranspileError("regexp_replace takes 3 or 4 args")
         elif read == "snowflake":

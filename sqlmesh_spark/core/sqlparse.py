@@ -172,6 +172,33 @@ def _derive_tsql_pattern() -> str:
 _TSQL_TOKEN_RE = re.compile(_derive_tsql_pattern(), re.VERBOSE | re.DOTALL)
 
 
+def _derive_pg_pattern() -> str:
+    """Postgres grammar: the STANDARD grammar plus the ``#`` operator
+    family — ``#`` (bitwise XOR), ``#>`` / ``#>>`` (jsonb path
+    extraction) — which the standard op class rejects with 'unexpected
+    character'. Lexing ``#>>``/``#>`` as single op tokens keeps the
+    transpile handlers one-token lookups. Same assert-on-derive rule as
+    the other derived grammars."""
+    pattern = _TOKEN_RE.pattern
+    alts = [
+        (r"->|::|[(),.;*=<>+\-/%^&|\[\]{}?:!~]",
+         r"->|::|\#>>|\#>|[(),.;*=<>+\-/%^&|\[\]{}?:!~\#]"),
+    ]
+    for old_alt, new_alt in alts:
+        replaced = pattern.replace(old_alt, new_alt)
+        if replaced == pattern:  # pragma: no cover - build-time guard
+            raise AssertionError(
+                "postgres #-operator grammar failed to derive: op "
+                "alternative not found in sqlparse._TOKEN_RE — update "
+                "sqlparse._derive_pg_pattern"
+            )
+        pattern = replaced
+    return pattern
+
+
+_PG_TOKEN_RE = re.compile(_derive_pg_pattern(), re.VERBOSE | re.DOTALL)
+
+
 def _token_re_for(dialect: str):
     """The ONE grammar choice shared by sqlparse.tokenize and
     transpile._tokenize_spans."""
@@ -183,6 +210,8 @@ def _token_re_for(dialect: str):
         return _MYSQL_TOKEN_RE
     if dialect == "tsql":
         return _TSQL_TOKEN_RE
+    if dialect == "postgres":
+        return _PG_TOKEN_RE
     if dialect in ESCAPE_LITERAL_DIALECTS:
         return _ESC_TOKEN_RE
     return _TOKEN_RE

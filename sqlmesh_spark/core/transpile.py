@@ -81,6 +81,7 @@ from sqlmesh_spark.core.transpile_shared import (  # noqa: F401
     _call_arg_spans,
     _cast_as_indices,
     _type_token_edits,
+    _maybe_round_castee,
     _json_key_to_path,
     TokenCtx,
     _EXPR_KEYWORDS,
@@ -265,6 +266,56 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             edits.append((start, toks[i + 1][3], " DIV "))
             i += 2
             continue
+
+        # postgres `/` over INTEGERS truncates (7/2 = 3, -7/2 = -3);
+        # Spark `/` is always DOUBLE division. Statically provable only
+        # for integer-literal / integer-literal — rewrite that shape to
+        # DIV (Spark DIV truncates toward zero, same as pg). Guards:
+        # the LHS literal must be a standalone operand (the token
+        # before it must not be a tighter-or-equal operator — in
+        # `x / 7 / 2` the second division's real LHS is `(x / 7)`), and
+        # the RHS literal must not be captured by a tighter operator
+        # (`7 / 2 ^ x` is `7 / (2 ^ x)`; `7 / 2::float8` is DOUBLE).
+        # Non-literal operands pass through — a DOCUMENTED divergence
+        # (column int division needs the model's types, which a textual
+        # transpiler doesn't have; SQLGlot, and therefore the
+        # reference, passes it through identically). Pinned in
+        # tests/test_dialect_fuzz_pg.py.
+        if (
+            read == "postgres"
+            and kind == "op"
+            and text == "/"
+            and i > 0
+            and toks[i - 1][0] == "number"
+            and toks[i - 1][1].isdigit()
+            and not (
+                i >= 2
+                and (
+                    (toks[i - 2][0] == "op"
+                     and toks[i - 2][1] in ("*", "/", "%", "^", "::"))
+                    or (toks[i - 2][0] in _NAME_KINDS
+                        and toks[i - 2][1].upper() == "DIV")
+                )
+            )
+        ):
+            j = i + 1
+            while j < n and toks[j][0] == "op" and toks[j][1] in ("+", "-"):
+                j += 1
+            if (
+                j < n
+                and toks[j][0] == "number"
+                and toks[j][1].isdigit()
+                and not (
+                    j + 1 < n
+                    and toks[j + 1][0] == "op"
+                    and toks[j + 1][1] in ("^", "::", "[", ".")
+                )
+                and not any(e[1] >= toks[i - 1][2] and e[0] <= toks[j][3]
+                            for e in edits)
+            ):
+                edits.append((start, end, " DIV "))
+                i = j + 1
+                continue
 
         # DuckDB `/`, `%` and `//`(→DIV above) return NULL on a zero
         # divisor; Spark 4 (ANSI on) raises DIVIDE_BY_ZERO — wrap the
@@ -932,6 +983,30 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 if i > 0 else None
             )
             if (
+                lfirst is not None
+                and lfirst > 0
+                and toks[lfirst - 1][0] == "op"
+                and (
+                    toks[lfirst - 1][1] in ("->", "#>", "#>>")
+                    or (
+                        # the trailing > of a split ->> pair; a bare
+                        # comparison > is NOT an arrow tail
+                        toks[lfirst - 1][1] == ">"
+                        and lfirst >= 2
+                        and toks[lfirst - 2][0] == "op"
+                        and toks[lfirst - 2][1] == "->"
+                        and toks[lfirst - 2][3] == toks[lfirst - 1][2]
+                    )
+                )
+            ):
+                # the "primary" is itself the RHS of a preceding JSON
+                # operator (j -> 'a' ->> 'b' seen at the SECOND arrow
+                # when the first deferred to the next pass on a pending
+                # LHS edit) — never fold from mid-chain; the left arrow
+                # owns the whole chain
+                i += 1
+                continue
+            if (
                 rhs is not None
                 and lfirst is not None
                 and not _in_lambda_hof(toks, lfirst)
@@ -1083,6 +1158,575 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             i += 1
             continue
 
+        # Postgres SELECT DISTINCT ON (k, ...) — keep the FIRST row per
+        # key group under the statement's ORDER BY (pg requires the
+        # ORDER BY to start with the ON expressions). Spark has no
+        # DISTINCT ON; rewrite QUALIFY-style to a ROW_NUMBER window:
+        #   SELECT * EXCEPT (__don) FROM (
+        #     SELECT <list>, ROW_NUMBER() OVER (PARTITION BY <on>
+        #       ORDER BY <full order list>) AS __don FROM ...
+        #   ) WHERE __don = 1 ORDER BY <on>
+        # The outer ORDER BY needs only the ON prefix: the result has
+        # ONE row per distinct prefix, so the tail (which picked the
+        # row) cannot affect result order — and it may reference
+        # non-selected columns that the outer scope lacks.
+        if (
+            read == "postgres"
+            and kind == "ident"
+            and text.upper() == "DISTINCT"
+            and i > 0
+            and toks[i - 1][0] == "ident"
+            and toks[i - 1][1].upper() == "SELECT"
+            and i + 1 < n
+            and toks[i + 1][0] == "ident"
+            and toks[i + 1][1].upper() == "ON"
+            and is_op(i + 2, "(")
+        ):
+            on_spans, on_close = _call_arg_spans(toks, i + 2)
+            on_text = sql[toks[i + 2][3]: toks[on_close][2]].strip()
+            # matching FROM of this SELECT (forward, same depth)
+            depth = 0
+            from_idx = None
+            for j in range(on_close + 1, n):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                    if depth < 0:
+                        break
+                elif depth == 0 and k_ == "ident" and t_.upper() == "FROM":
+                    from_idx = j
+                    break
+            if from_idx is None:
+                raise TranspileError("DISTINCT ON in a SELECT without FROM")
+            # the ORDER BY of this SELECT (same depth, after FROM)
+            depth = 0
+            ord_idx = None
+            stop_idx = n
+            for j in range(from_idx + 1, n):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                    if depth < 0:
+                        stop_idx = j
+                        break
+                elif depth == 0 and k_ == "ident" and t_.upper() == "ORDER":
+                    ord_idx = j
+                    break
+                elif depth == 0 and (
+                    (k_ == "ident" and t_.upper() in (
+                        "UNION", "EXCEPT", "INTERSECT", "MINUS", "LIMIT",
+                        "OFFSET", "FETCH"))
+                    or (k_ == "op" and t_ == ";")
+                ):
+                    stop_idx = j
+                    break
+            if ord_idx is None:
+                raise TranspileError(
+                    "DISTINCT ON without ORDER BY picks an arbitrary row "
+                    "per group in postgres — add an ORDER BY starting "
+                    "with the ON expressions to make the pick "
+                    "deterministic"
+                )
+            # order-list span: from ORDER to the next same-depth
+            # terminator (LIMIT/OFFSET/FETCH/set-op/close/;)
+            depth = 0
+            ord_end = n
+            for j in range(ord_idx + 2, n):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                    if depth < 0:
+                        ord_end = j
+                        break
+                elif depth == 0 and (
+                    (k_ == "ident" and t_.upper() in (
+                        "LIMIT", "OFFSET", "FETCH",
+                        "UNION", "EXCEPT", "INTERSECT", "MINUS"))
+                    or (k_ == "op" and t_ == ";")
+                ):
+                    ord_end = j
+                    break
+            order_list = transpile(
+                sql[toks[ord_idx + 2][2]: toks[ord_end - 1][3]], read
+            )
+            on_conv = transpile(on_text, read)
+            d_col = "__sqlmesh_distinct_on__"
+            if any(e[1] >= toks[i - 1][2] and e[0] <= toks[ord_end - 1][3]
+                   for e in edits):
+                i += 1
+                continue
+            # the ON expressions may not be in the select list (pg
+            # allows ordering by non-selected columns); project them as
+            # hidden aliases so the outer ORDER BY always resolves, and
+            # EXCEPT them away. pg requires the ORDER BY to start with
+            # the ON expressions, so item k's trailing direction
+            # keywords (ASC/DESC/NULLS FIRST/LAST) carry to alias k.
+            on_items = [
+                transpile(sql[toks[s_][2]: toks[e_][3]], read)
+                for s_, e_ in on_spans
+            ]
+            # first len(on) ORDER BY items' trailing direction keywords
+            dirs: list[str] = []
+            depth_o = 0
+            item_toks: list[list[int]] = [[]]
+            for j in range(ord_idx + 2, ord_end):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == "(":
+                    depth_o += 1
+                elif k_ == "op" and t_ == ")":
+                    depth_o -= 1
+                if depth_o == 0 and k_ == "op" and t_ == ",":
+                    item_toks.append([])
+                else:
+                    item_toks[-1].append(j)
+            for item in item_toks[: len(on_items)]:
+                tail: list[str] = []
+                for j in reversed(item):
+                    if toks[j][0] == "ident" and toks[j][1].upper() in (
+                        "ASC", "DESC", "NULLS", "FIRST", "LAST"
+                    ):
+                        tail.insert(0, toks[j][1].upper())
+                    else:
+                        break
+                dirs.append((" " + " ".join(tail)) if tail else "")
+            while len(dirs) < len(on_items):
+                dirs.append("")
+            hidden = [
+                f"__sqlmesh_don_p{k}__" for k in range(len(on_items))
+            ]
+            hidden_sel = "".join(
+                f", ({e_}) AS {h}" for e_, h in zip(on_items, hidden)
+            )
+            outer_ord = ", ".join(
+                f"{h}{d}" for h, d in zip(hidden, dirs)
+            )
+            edits.append(
+                (toks[i - 1][2], toks[i - 1][2],
+                 f"SELECT * EXCEPT ({d_col}, {', '.join(hidden)}) FROM (")
+            )
+            # drop `DISTINCT ON (...)` from the select list
+            edits.append((start, toks[on_close][3], ""))
+            edits.append(
+                (toks[from_idx][2], toks[from_idx][2],
+                 f"{hidden_sel}, ROW_NUMBER() OVER (PARTITION BY {on_conv} "
+                 f"ORDER BY {order_list}) AS {d_col} ")
+            )
+            # close the subquery where the ORDER BY clause began; the
+            # outer orders by the hidden ON prefix only (one row per
+            # distinct prefix — the tail cannot affect result order)
+            edits.append(
+                (toks[ord_idx][2], toks[ord_end - 1][3],
+                 f") WHERE {d_col} = 1 ORDER BY {outer_ord}")
+            )
+            i = on_close + 1
+            continue
+
+        # Postgres TABLESAMPLE SYSTEM/BERNOULLI (n) → Spark
+        # TABLESAMPLE (n PERCENT). Both sample ~n% of rows (SYSTEM is
+        # page-level, BERNOULLI row-level; Spark's is split-level —
+        # the statistical contract, a ~n% sample, carries over).
+        # REPEATABLE has no Spark form — loud.
+        if (
+            read == "postgres"
+            and kind == "ident"
+            and text.upper() in ("SYSTEM", "BERNOULLI")
+            and i > 0
+            and toks[i - 1][0] == "ident"
+            and toks[i - 1][1].upper() == "TABLESAMPLE"
+            and is_op(i + 1, "(")
+        ):
+            spans_s, close_s = _call_arg_spans(toks, i + 1)
+            if (
+                close_s + 1 < n
+                and toks[close_s + 1][0] == "ident"
+                and toks[close_s + 1][1].upper() == "REPEATABLE"
+            ):
+                raise TranspileError(
+                    "TABLESAMPLE ... REPEATABLE(seed) has no Spark form"
+                )
+            if len(spans_s) == 1:
+                pct = sql[toks[spans_s[0][0]][2]: toks[spans_s[0][1]][3]]
+                edits.append(
+                    (start, toks[close_s][3], f"({pct} PERCENT)")
+                )
+                i = close_s + 1
+                continue
+            i += 1
+            continue
+
+        # Postgres SIMILAR TO: SQL wildcards (% _) over a regex-like
+        # grammar where . ^ $ are LITERAL characters and the match is
+        # ANCHORED. Literal patterns convert: % → .*, _ → ., literal
+        # . ^ $ escaped, everything else (| * + ? {} () [] \) already
+        # means the same in Java regex; emitted as RLIKE '^(?:..)$'
+        # (a preceding NOT keeps working: NOT RLIKE). Non-literal
+        # patterns and ESCAPE clauses are loud.
+        if (
+            read == "postgres"
+            and kind == "ident"
+            and text.upper() == "SIMILAR"
+            and i + 1 < n
+            and toks[i + 1][0] == "ident"
+            and toks[i + 1][1].upper() == "TO"
+        ):
+            pi = i + 2
+            if not (pi < n and toks[pi][0] == "string"):
+                raise TranspileError(
+                    "SIMILAR TO needs a literal pattern to transpile"
+                )
+            if (
+                pi + 1 < n
+                and toks[pi + 1][0] == "ident"
+                and toks[pi + 1][1].upper() == "ESCAPE"
+            ):
+                raise TranspileError(
+                    "SIMILAR TO ... ESCAPE has no Spark rewrite"
+                )
+            pat = _literal_content(toks[pi][1], read)
+            conv = []
+            esc = False
+            for c in pat:
+                if esc:
+                    conv.append("\\" + c)
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == "%":
+                    conv.append(".*")
+                elif c == "_":
+                    conv.append(".")
+                elif c in ".^$":
+                    conv.append("\\" + c)
+                else:
+                    conv.append(c)
+            rx = "^(?:" + "".join(conv) + ")$"
+            edits.append((start, toks[i + 1][3], "RLIKE"))
+            edits.append(
+                (toks[pi][2], toks[pi][3], _spark_string_literal(rx, read))
+            )
+            i = pi + 1
+            continue
+
+        # Postgres quantified comparisons: x = ANY(arr) → membership
+        # (array_contains), x = ALL(arr) → forall with an equality
+        # lambda (both keep SQL three-valued NULL semantics: Spark
+        # array_contains/forall return NULL when undetermined, matching
+        # pg). Only `=` rewrites; other comparison quantifiers pass
+        # through to a loud Spark analysis error. SUBQUERY operands
+        # (x = ANY(SELECT ...)) keep their Spark meaning (= ANY over a
+        # subquery is valid Spark) — only array-typed operands need the
+        # rewrite, and a subquery's SELECT keyword marks the difference.
+        if (
+            read == "postgres"
+            and kind == "ident"
+            and text.upper() in ("ANY", "ALL")
+            and is_op(i + 1, "(")
+            and i >= 2
+            and toks[i - 1][0] == "op"
+            and toks[i - 1][1] == "="
+            and not (
+                i + 2 < n
+                and toks[i + 2][0] == "ident"
+                and toks[i + 2][1].upper() == "SELECT"
+            )
+        ):
+            lfirst = _backward_primary(toks, i - 2, include_unary=True)
+            spans_q, close_q = _call_arg_spans(toks, i + 1)
+            if lfirst is None or len(spans_q) != 1:
+                raise TranspileError(
+                    f"postgres = {text.upper()}(...) needs a "
+                    "recognizable left operand to rewrite"
+                )
+            ls = toks[lfirst][2]
+            arr_text = _arg_text(spans_q[0])
+            lhs_text = sql[ls: toks[i - 2][3]]
+            if not any(e[1] >= ls and e[0] <= toks[close_q][3] for e in edits):
+                if text.upper() == "ANY":
+                    rewritten = f"array_contains(({arr_text}), ({lhs_text}))"
+                else:
+                    rewritten = (
+                        f"forall(({arr_text}), _e -> _e = ({lhs_text}))"
+                    )
+                edits.append((ls, toks[close_q][3], rewritten))
+                i = close_q + 1
+                continue
+            i += 1
+            continue
+
+        # Postgres COLLATE "name" — collation-dependent comparison
+        # semantics have no faithful Spark rewrite (Spark's collation
+        # names and defaults differ); silent pass-through would change
+        # comparison results. LOUD.
+        if (
+            read == "postgres"
+            and kind == "ident"
+            and text.upper() == "COLLATE"
+            and i + 1 < n
+            and toks[i + 1][0] in ("dquote", "string", "ident")
+        ):
+            raise TranspileError(
+                "postgres COLLATE has no Spark rewrite (collation "
+                "names/semantics differ); drop the clause or compare "
+                "via upper()/lower()"
+            )
+
+        # Postgres DATE - DATE returns INTEGER days; Spark date
+        # subtraction returns an INTERVAL. Only the literal shape
+        # DATE '..' - DATE '..' is statically provable → datediff
+        # (Spark datediff(end, start) = end - start in days). Typed
+        # column subtraction passes through: the INTERVAL result type
+        # breaks downstream integer arithmetic loudly, never silently.
+        if (
+            read == "postgres"
+            and kind == "op"
+            and text == "-"
+            and i >= 2
+            and toks[i - 1][0] == "string"
+            and toks[i - 2][0] == "ident"
+            and toks[i - 2][1].upper() == "DATE"
+            and i + 2 < n
+            and toks[i + 1][0] == "ident"
+            and toks[i + 1][1].upper() == "DATE"
+            and toks[i + 2][0] == "string"
+        ):
+            ls = toks[i - 2][2]
+            re_ = toks[i + 2][3]
+            if not any(e[1] >= ls and e[0] <= re_ for e in edits):
+                edits.append((ls, ls, "datediff("))
+                edits.append((start, end, ","))
+                edits.append((re_, re_, ")"))
+                i += 3
+                continue
+            i += 1
+            continue
+
+        # Postgres regex-match operators: a ~ p (partial match) → RLIKE,
+        # ~* → RLIKE with an inline (?i), !~ / !~* → NOT RLIKE, and the
+        # LIKE spellings ~~ / !~~ → LIKE / NOT LIKE. Spark RLIKE is also
+        # a partial (unanchored) match, and its precedence band (the
+        # LIKE predicates) matches pg's. Regex FLAVOR divergence (POSIX
+        # ARE vs Java) is documented: character classes, anchors,
+        # alternation, quantifiers — the common surface — agree;
+        # [[:alpha:]] POSIX classes exist in Java regex as \p{Alpha}
+        # only, so patterns using them fail loud at run time. Infix
+        # reading requires the previous token to END an expression —
+        # `SELECT ~ 5` stays Spark's unary bitwise NOT (same operator
+        # in pg).
+        if (
+            read == "postgres"
+            and kind == "op"
+            and text in ("~", "!")
+            and i > 0
+            and (
+                toks[i - 1][0] in ("number", "string", "dquote")
+                or (toks[i - 1][0] == "op" and toks[i - 1][1] in (")", "]"))
+                or (toks[i - 1][0] in _NAME_KINDS
+                    and (toks[i - 1][1].upper() == "END"
+                         or toks[i - 1][1].upper()
+                         not in _NONCALLABLE_KEYWORDS))
+            )
+        ):
+            neg = text == "!"
+            ti = i + 1 if neg else i
+            ok = not neg or (
+                ti < n and toks[ti][0] == "op" and toks[ti][1] == "~"
+                and toks[ti][2] == end
+            )
+            if ok:
+                # ~~ (LIKE spelling): second adjacent ~
+                like_form = (
+                    ti + 1 < n
+                    and toks[ti + 1][0] == "op" and toks[ti + 1][1] == "~"
+                    and toks[ti + 1][2] == toks[ti][3]
+                )
+                li = ti + 1 if like_form else ti
+                ci = (
+                    not like_form
+                    and li + 1 < n
+                    and toks[li + 1][0] == "op" and toks[li + 1][1] == "*"
+                    and toks[li + 1][2] == toks[li][3]
+                )
+                op_last = li + 1 if ci else li
+                rhs_idx = op_last + 1
+                if like_form:
+                    kw = " NOT LIKE " if neg else " LIKE "
+                else:
+                    kw = " NOT RLIKE " if neg else " RLIKE "
+                rspan = _forward_primary(toks, rhs_idx)
+                if rspan is None:
+                    raise TranspileError(
+                        f"postgres {'!' if neg else ''}~"
+                        f"{'*' if ci else ''} needs a recognizable "
+                        "right-hand pattern operand"
+                    )
+                rs, re_ = toks[rspan[0]][2], toks[rspan[1]][3]
+                if any(e[1] >= start and e[0] <= re_ for e in edits):
+                    i += 1  # pending rewrites — resolve next pass
+                    continue
+                edits.append((start, toks[op_last][3], kw))
+                if ci:
+                    if (
+                        rspan[0] == rspan[1]
+                        and toks[rspan[0]][0] == "string"
+                    ):
+                        pat = _literal_content(toks[rspan[0]][1], read)
+                        edits.append(
+                            (rs, re_,
+                             _spark_string_literal("(?i)" + pat, read))
+                        )
+                    else:
+                        # `||`, not concat(): the pg concat() handler
+                        # would re-rewrite the emission on a later pass
+                        # (fixpoint break); pg and Spark || agree
+                        # (NULL-propagating string concat)
+                        edits.append((rs, rs, "('(?i)' || "))
+                        edits.append((re_, re_, ")"))
+                i = rhs_idx
+                continue
+            i += 1
+            continue
+
+        # Postgres `#` bitwise XOR. Spark's XOR operator is `^`, but a
+        # pg-read emission of `^` would be re-read as POWER on the next
+        # fixpoint pass — emit the single-evaluation and/or/not
+        # composition over a struct binding instead (the substr-handler
+        # pattern). Only provably-scoped operand shapes rewrite: `#`
+        # binds LOOSER than + - * / in pg ("any other operator"), so a
+        # neighboring arithmetic operator would make the primary-level
+        # scoping silently wrong — loud there.
+        if read == "postgres" and kind == "op" and text == "#":
+            lfirst = (
+                _backward_primary(toks, i - 1, include_unary=True)
+                if i > 0 else None
+            )
+            rspan = _forward_primary(toks, i + 1)
+            prev_ok = lfirst is not None and (
+                lfirst == 0
+                or (toks[lfirst - 1][0] == "op"
+                    and toks[lfirst - 1][1] in ("(", ",", "=", "<", ">",
+                                                 "<=", ">=", "<>", "!="))
+                or (toks[lfirst - 1][0] in _NAME_KINDS
+                    and toks[lfirst - 1][1].upper()
+                    in _NONCALLABLE_KEYWORDS)
+            )
+            nxt_j = rspan[1] + 1 if rspan is not None else n
+            next_ok = rspan is not None and (
+                nxt_j >= n
+                or (toks[nxt_j][0] == "op"
+                    and toks[nxt_j][1] in (")", ",", ";", "=", "<", ">",
+                                            "<=", ">=", "<>", "!="))
+                or (toks[nxt_j][0] in _NAME_KINDS
+                    and toks[nxt_j][1].upper() in _NONCALLABLE_KEYWORDS)
+            )
+            if not (prev_ok and next_ok):
+                raise TranspileError(
+                    "postgres # (bitwise XOR) binds looser than "
+                    "arithmetic and this operand shape has no scoped "
+                    "one-pass rewrite; parenthesize both operands or "
+                    "the whole # expression"
+                )
+            ls = toks[lfirst][2]
+            re_ = toks[rspan[1]][3]
+            if any(e[1] >= ls and e[0] <= re_ for e in edits):
+                i += 1
+                continue
+            edits.append((ls, ls, "element_at(transform(array(struct(("))
+            edits.append((start, end, ") AS _x, ("))
+            edits.append(
+                (re_, re_,
+                 ") AS _y)), _t -> (_t._x | _t._y) & ~ (_t._x & _t._y)), 1)")
+            )
+            i = rspan[1] + 1
+            continue
+
+        # Postgres jsonb path extraction: j #>> '{a,b}' (text at path) →
+        # get_json_object with the combined bracket JsonPath — exact for
+        # scalars, same text-form caveats as ->> (documented there).
+        # All-digit segments are loud (array index on arrays, key on
+        # objects — the ->>/pointer polymorphism). `#>` is loud like
+        # terminal -> (JSON-typed result quotes string scalars), and an
+        # arrow chained onto #>> text is a pg type error — loud.
+        if read == "postgres" and kind == "op" and text in ("#>", "#>>"):
+            if text == "#>":
+                raise TranspileError(
+                    "postgres #> returns the JSON-typed value, whose "
+                    "text form differs from get_json_object for string "
+                    "scalars; use #>> (text at path)"
+                )
+            if not (i + 1 < n and toks[i + 1][0] == "string"):
+                i += 1  # non-literal path — loud at Spark render
+                continue
+            lfirst = (
+                _backward_primary(toks, i - 1, include_unary=False)
+                if i > 0 else None
+            )
+            if lfirst is None or _in_lambda_hof(toks, lfirst):
+                i += 1
+                continue
+            if (
+                lfirst > 0
+                and toks[lfirst - 1][0] == "op"
+                and toks[lfirst - 1][1] in ("->", "#>", "#>>")
+            ):
+                i += 1  # LHS is a preceding JSON operator's RHS
+                continue
+            raw = _literal_content(toks[i + 1][1], read)
+            inner = raw.strip()
+            if not (inner.startswith("{") and inner.endswith("}")):
+                raise TranspileError(
+                    "postgres #>> takes a text[] path literal like "
+                    "'{a,b}'"
+                )
+            segs = [s.strip() for s in inner[1:-1].split(",")] \
+                if inner[1:-1].strip() else []
+            if not segs:
+                raise TranspileError(
+                    "postgres #>> '{}' returns the whole document as "
+                    "text, whose form differs from Spark's — extract a "
+                    "concrete path"
+                )
+            if any(not s or any(c in s for c in "'\"[]{}") for s in segs):
+                raise TranspileError(
+                    "postgres #>> path segments with quotes/brackets "
+                    "have no Spark JsonPath form"
+                )
+            if any(s.isdigit() for s in segs):
+                raise TranspileError(
+                    "postgres #>> digit segments are array indexes on "
+                    "arrays but keys on objects — statically ambiguous "
+                    "in Spark's JsonPath"
+                )
+            j2 = i + 2
+            while j2 < n and is_op(j2, ")"):
+                j2 += 1
+            if (
+                j2 < n
+                and toks[j2][0] == "op"
+                and toks[j2][1] in ("->", "#>", "#>>")
+            ):
+                raise TranspileError(
+                    "#>> returns text; chaining another JSON operator "
+                    "onto text is a type error in postgres"
+                )
+            ls = toks[lfirst][2]
+            if any(e[1] >= ls and e[0] <= toks[i + 1][3] for e in edits):
+                i += 1
+                continue
+            path = "$" + "".join(f"['{s}']" for s in segs)
+            edits.append((ls, ls, "get_json_object("))
+            edits.append(
+                (start, toks[i + 1][3],
+                 ", " + _spark_string_literal(path, read) + ")")
+            )
+            i += 2
+            continue
+
         # DuckDB LIKE/ILIKE have NO default escape character; Spark's is
         # backslash. A literal pattern containing backslashes (plain DATA
         # in duckdb) must have them doubled at the PATTERN level so Spark
@@ -1139,6 +1783,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # `::type` cast target rename; `::type[]` (Postgres array-type
         # cast) becomes `::ARRAY<type>`.
         if kind == "op" and text == "::" and i + 1 < n and toks[i + 1][0] == "ident":
+            _maybe_round_castee(
+                toks, i - 1, toks[i + 1][1], read, edits, cast_form=False
+            )
             type_edits, consumed = _type_token_edits(toks, i, read, is_op)
             edits.extend(type_edits)
             i += consumed
@@ -1154,6 +1801,9 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             and i + 1 < n
             and toks[i + 1][0] == "ident"
         ):
+            _maybe_round_castee(
+                toks, i - 1, toks[i + 1][1], read, edits, cast_form=True
+            )
             type_edits, consumed = _type_token_edits(toks, i, read, is_op)
             edits.extend(type_edits)
             i += consumed

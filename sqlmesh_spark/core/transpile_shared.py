@@ -84,6 +84,29 @@ _TYPE_MAP = {
 # has no faithful Spark representation (silently narrowing BIGNUMERIC's
 # 76 digits to DECIMAL(38) would corrupt data, not transpile it).
 _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
+    "postgres": {
+        # bare numeric/decimal is ARBITRARY precision and scale in pg
+        # (fractions preserved); Spark's bare DECIMAL is DECIMAL(10,0)
+        # — a silent scale truncation. LOUD, like oracle bare NUMBER;
+        # numeric(p,s) passes through.
+        "numeric": None,
+        "decimal": None,
+        # json preserves source text exactly; jsonb normalizes its text
+        # form (whitespace/key order) — the STRING cast keeps the
+        # ORIGINAL text, which is exact for all extraction paths
+        # (get_json_object navigates structure, not text form) and
+        # diverges only when the jsonb TEXT form itself is compared —
+        # the documented ->> object/array text caveat.
+        "json": "STRING",
+        "jsonb": "STRING",
+    },
+    "duckdb": {
+        # duckdb bare DECIMAL/NUMERIC is DECIMAL(18,3) by spec; Spark's
+        # bare DECIMAL is DECIMAL(10,0)
+        "numeric": "DECIMAL(18,3)",
+        "decimal": "DECIMAL(18,3)",
+        "json": "STRING",               # duckdb JSON keeps source text
+    },
     "snowflake": {
         "number": "DECIMAL(38,0)",      # bare NUMBER; NUMBER(p,s) passes through
         "float": "DOUBLE",              # Snowflake FLOAT/FLOAT4/FLOAT8/REAL are all fp64
@@ -233,6 +256,9 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
 # list is preserved (CAST(x AS NUMBER(10,2)) → CAST(x AS DECIMAL(10,2))).
 # Spark has no NUMBER; bare NUMBER is handled by _DIALECT_TYPES.
 _PARAM_TYPES: dict[str, dict[str, str]] = {
+    # pg numeric(p,s)/decimal(p,s) are exact Spark DECIMAL(p,s); only
+    # the BARE forms are loud (arbitrary precision, _DIALECT_TYPES)
+    "postgres": {"numeric": "DECIMAL", "decimal": "DECIMAL"},
     "snowflake": {"number": "DECIMAL"},
     "oracle": {
         "number": "DECIMAL",
@@ -552,8 +578,20 @@ def _backward_primary(toks: list, idx: int, include_unary: bool):
     mirror of _forward_primary for infix left operands (the `a` of
     `a ^ b`). include_unary pulls a leading unary +/- into the primary
     (DuckDB binds unary minus tighter than ^; Postgres does not).
+    `::type` postfixes are part of the primary (they bind tighter than
+    any infix operator, mirroring _forward_primary) — the primary of
+    `j::jsonb ->> 'a'` is `j::jsonb`, never the bare type name.
     Returns None when unrecognized or when the primary ends in `]`
     (defer to the next fixpoint pass, after subscripts rewrite)."""
+    # step back over trailing bare `::type` postfixes so the walk
+    # starts at the CAST's operand, not its type name
+    while (
+        idx >= 2
+        and toks[idx][0] in _NAME_KINDS
+        and toks[idx - 1][0] == "op"
+        and toks[idx - 1][1] == "::"
+    ):
+        idx -= 2
     kind, text = toks[idx][0], toks[idx][1]
     if kind == "op" and text in ("]", "::"):
         return None  # subscript/cast tail — resolves next pass
@@ -591,6 +629,17 @@ def _backward_primary(toks: list, idx: int, include_unary: bool):
         return None
     if first is None:
         return None
+    # a parameterized `::type(args)` postfix backtracks to the type
+    # name (numeric(10,2) looks like a call) — extend to the operand
+    while (
+        first >= 2
+        and toks[first - 1][0] == "op"
+        and toks[first - 1][1] == "::"
+    ):
+        sub = _backward_primary(toks, first - 2, include_unary=False)
+        if sub is None:
+            return None
+        first = sub
     if include_unary:
         # walk back one sign at a time: a sign is unary only if what
         # precedes IT cannot end an expression. `2 - -2 ^ 2` includes
@@ -861,6 +910,106 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
         return [(toks[i + 1][2], toks[i + 1][3], mapped)], 2
     return [], 2
 
+
+
+#: integer cast targets whose duckdb/postgres semantics ROUND the input
+#: (half away from zero for NUMERIC/DECIMAL sources) where Spark's CAST
+#: truncates toward zero — 3.99::int is 4 there, 3 in Spark.
+_ROUNDING_INT_TYPES = frozenset({
+    # hugeint/int128/ubigint are NOT here: they map to Spark DECIMAL
+    # targets, and Spark's cast-to-decimal already rounds half-up
+    # (verified: CAST(3.99 AS DECIMAL(38,0)) = 4) — only casts to
+    # Spark INTEGRAL types truncate.
+    "int", "integer", "int1", "int2", "int4", "int8",
+    "bigint", "smallint", "tinyint", "signed",
+    "uinteger", "usmallint", "utinyint",
+})
+
+
+def _maybe_round_castee(
+    toks, end_idx: int, tname: str, read: str, edits: list, cast_form: bool
+) -> None:
+    """duckdb/postgres numeric→int casts ROUND (half away from zero:
+    3.99::int = 4, -2.5::int = -3 on both engines, verified live);
+    Spark CAST truncates toward zero. Wrap the castee in round(...) —
+    Spark's round is half-away-from-zero, so values match. Documented
+    residual divergences: DOUBLE-typed midpoints (x.5 exactly) round
+    half-EVEN in the source engines (rint) but half-away here, and
+    fractional STRINGS are accepted+rounded like duckdb where postgres
+    raises (the pg string-LITERAL case is left untouched — both
+    engines raise there, faithful). ``cast_form`` wraps the full
+    CAST(expr AS t) argument span; the ``::`` form wraps the tightly
+    bound primary ending at end_idx."""
+    if read not in ("duckdb", "postgres"):
+        return
+    if tname.lower() not in _ROUNDING_INT_TYPES:
+        return
+    # `::int[]` / CAST(x AS int[]) is an ARRAY cast — the operand is an
+    # array, never a roundable scalar
+    if (
+        end_idx + 3 < len(toks)
+        and toks[end_idx + 3][0] == "op"
+        and toks[end_idx + 3][1] == "["
+    ):
+        return
+    if cast_form:
+        # walk back from the AS to the CAST's open paren (depth -1)
+        depth = 0
+        jj = end_idx
+        while jj >= 0:
+            k_, t_ = toks[jj][0], toks[jj][1]
+            if k_ == "op" and t_ == ")":
+                depth += 1
+            elif k_ == "op" and t_ == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            jj -= 1
+        # CAST only — TRY_CAST is the tolerant form: duckdb
+        # TRY_CAST('abc' AS INT) is NULL, but round('abc') raises under
+        # ANSI even inside TRY_CAST. Its fractional-input rounding stays
+        # a pinned divergence (tests/test_dialect_edges.py).
+        if jj < 1 or not (
+            toks[jj - 1][0] in _NAME_KINDS
+            and toks[jj - 1][1].upper() == "CAST"
+        ):
+            return
+        lf = jj + 1
+    else:
+        # _backward_primary steps over inner `::type` postfixes itself
+        # (x::numeric::int anchors at x)
+        lf = _backward_primary(toks, end_idx, include_unary=False)
+        if lf is None:
+            return
+        # never wrap a window/filter clause mistaken for the operand
+        if toks[lf][0] in _NAME_KINDS and toks[lf][1].upper() in (
+            "OVER", "FILTER", "WITHIN"
+        ):
+            return
+        if (
+            lf > 0
+            and toks[lf - 1][0] in _NAME_KINDS
+            and toks[lf - 1][1].upper() in ("OVER", "FILTER", "WITHIN")
+        ):
+            return
+    ls, le = toks[lf][2], toks[end_idx][3]
+    if lf == end_idx and toks[lf][0] == "number" and toks[lf][1].isdigit():
+        return  # integer literal — identity
+    if lf == end_idx and toks[lf][0] == "string" and read == "postgres":
+        return  # pg rejects fractional strings; Spark ANSI raises too
+    if (
+        toks[lf][0] in _NAME_KINDS
+        and toks[lf][1].lower() == "round"
+        and lf + 1 <= end_idx
+        and toks[lf + 1][0] == "op"
+        and toks[lf + 1][1] == "("
+        and _call_arg_spans(toks, lf + 1)[1] == end_idx
+    ):
+        return  # already round-wrapped (fixpoint)
+    if any(e[1] >= ls and e[0] <= le for e in edits):
+        return  # pending rewrites inside — resolve next pass
+    edits.append((ls, ls, "round("))
+    edits.append((le, le, ")"))
 
 
 def _json_key_to_path(key: str, read: str) -> str:

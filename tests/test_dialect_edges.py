@@ -264,14 +264,30 @@ def test_pinned_log_family_null_where_duck_raises(spark):
 
 
 def test_pinned_cast_rounding_divergence(spark):
-    # DuckDB CAST(fractional AS INT) ROUNDS (decimal: half away from
-    # zero; double: half to even); Spark truncates toward zero. The
-    # operand type is statically unknowable, SQLGlot ships the cast
-    # unchanged, and wrapping bround() would corrupt >2^53 BIGINT casts
-    # — documented divergence, reference-matching.
+    # DuckDB/postgres CAST(fractional AS INT) ROUNDS (decimal: half
+    # away from zero; double: half to even); Spark truncates toward
+    # zero. CAST and `::` now wrap the castee in round() — Spark round
+    # is type-preserving (BIGINT/DECIMAL stay exact, no 2^53 double
+    # roundtrip) and half-away-from-zero, matching the source engines'
+    # NUMERIC behavior.
     assert duckdb.sql("SELECT CAST(2.7 AS INT)").fetchall()[0][0] == 3
     sq = transpile("SELECT CAST(2.7 AS INT) AS v", "duckdb")
-    assert spark.sql(sq).collect()[0][0] == 2
+    assert spark.sql(sq).collect()[0][0] == 3
+    assert spark.sql(transpile("SELECT (-2.5)::int AS v", "postgres")) \
+        .collect()[0][0] == -3
+    # residual pinned divergences: (a) TRY_CAST stays unwrapped — the
+    # tolerant form must keep NULL-on-garbage, so its fractional inputs
+    # still truncate; (b) DOUBLE-typed midpoints round half-even in the
+    # source engines but half-away here.
+    assert duckdb.sql("SELECT TRY_CAST('abc' AS INT)").fetchall()[0][0] is None
+    sq2 = transpile("SELECT TRY_CAST(2.7 AS INT) AS v", "duckdb")
+    assert spark.sql(sq2).collect()[0][0] == 2  # divergence: duck gives 3
+    assert duckdb.sql("SELECT CAST(CAST(2.5 AS DOUBLE) AS INT)").fetchall()[0][0] == 2
+    sq3 = transpile("SELECT CAST(CAST(2.5 AS DOUBLE) AS INT) AS v", "duckdb")
+    assert spark.sql(sq3).collect()[0][0] == 3  # divergence: half-even vs away
+    # big integers survive the wrap exactly (round is type-preserving)
+    sq4 = transpile("SELECT CAST(x AS BIGINT) AS v FROM (SELECT CAST(9007199254740993 AS BIGINT) AS x)", "duckdb")
+    assert spark.sql(sq4).collect()[0][0] == 9007199254740993
 
 
 def test_pinned_date_trunc_date_type_divergence(spark):

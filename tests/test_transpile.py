@@ -2605,7 +2605,7 @@ def test_dialect_aliases():
     assert transpile("SELECT arbitrary(x) FROM t", "presto") \
         == "SELECT any_value(x) FROM t"
     assert transpile("SELECT x::int8 FROM t", "risingwave") \
-        == "SELECT x::BIGINT FROM t"
+        == "SELECT round(x)::BIGINT FROM t"  # pg int casts round
     assert transpile("SELECT ISNULL(a, 0) FROM t", "fabric") \
         == "SELECT nvl(a, 0) FROM t"
     # reference connection-type names (connection.py type_ literals)
@@ -2616,7 +2616,7 @@ def test_dialect_aliases():
     assert transpile("SELECT strftime(d, '%Y') FROM t", "motherduck") \
         == "SELECT date_format(d, 'yyyy') FROM t"
     assert transpile("SELECT x::int8 FROM t", "gcp_postgres") \
-        == "SELECT x::BIGINT FROM t"
+        == "SELECT round(x)::BIGINT FROM t"
     hive_sql = "SELECT a FROM t LATERAL VIEW explode(arr) u AS e DISTRIBUTE BY a"
     assert transpile(hive_sql, "hive") == hive_sql
     with pytest.raises(TranspileError):
@@ -3162,4 +3162,179 @@ def test_duckdb_json_arrows(spark):
     assert (
         transpile("SELECT list_transform(l, x -> -1) FROM t", "duckdb")
         == "SELECT transform(l, x -> -1) FROM t"
+    )
+
+
+def test_pg_regex_match_operators(spark):
+    """pg ~ / ~* / !~ / !~* / ~~ / !~~ → RLIKE / NOT RLIKE / LIKE with
+    inline (?i) for the case-insensitive forms; unary ~ (bitwise NOT)
+    stays untouched. Values pinned against live-PG behavior (partial,
+    unanchored match)."""
+    q = transpile(
+        "SELECT 'Hello' ~ 'ell' AS a, 'Hello' ~ 'hel' AS b, "
+        "'Hello' ~* 'HEL' AS c, 'Hello' !~ 'z' AS d, "
+        "'a%b' ~~ 'a\\%b' AS e, 'axb' !~~ 'a_b' AS f, ~ 5 AS g",
+        "postgres",
+    )
+    # (no fixpoint assert: the LIKE pattern emission contains
+    # backslashes — the documented doubling-skip class)
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e, row.f, row.g) == (
+        True, False, True, True, True, False, -6,
+    )
+    # non-literal case-insensitive pattern binds via || (not concat —
+    # the pg concat handler would re-rewrite it)
+    q2 = transpile("SELECT a ~* upper(p) FROM t", "postgres")
+    assert "'(?i)' ||" in q2 and transpile(q2, "postgres") == q2
+
+
+def test_pg_xor_and_jsonb_path_operators(spark):
+    """pg # (XOR) → single-eval and/or/not struct binding (Spark's ^ is
+    pg POWER — unusable); #>> '{a,b}' → combined-bracket JsonPath; #>
+    and digit segments loud."""
+    q = transpile("SELECT 5 # 3 AS x, (5 # 3) / 2 AS h FROM t", "postgres")
+    assert transpile(q, "postgres") == q
+    row = spark.sql(q.replace("FROM t", "")).collect()[0]
+    assert (row.x, row.h) == (6, 3.0)
+    with pytest.raises(TranspileError, match="binds looser"):
+        transpile("SELECT a # b + 1 FROM t", "postgres")
+    q2 = transpile(
+        "SELECT j #>> '{a,b}' AS v FROM (SELECT '{\"a\": {\"b\": 2}}' AS j)",
+        "postgres",
+    )
+    assert spark.sql(q2).collect()[0].v == "2"
+    with pytest.raises(TranspileError, match="#>"):
+        transpile("SELECT j #> '{a}' FROM t", "postgres")
+    with pytest.raises(TranspileError, match="digit"):
+        transpile("SELECT j #>> '{a,0}' FROM t", "postgres")
+
+
+def test_pg_int_cast_rounding_and_literal_div(spark):
+    """pg/duckdb numeric→int casts ROUND half-away (round() wrap; pg
+    string literals excluded — both engines raise); literal-int / →
+    DIV (pg integer division truncates)."""
+    q = transpile(
+        "SELECT 3.99::int AS a, (-2.5)::int AS b, 7 / 2 AS c, "
+        "-7 / 2 AS d, 7.0 / 2 AS e",
+        "postgres",
+    )
+    assert transpile(q, "postgres") == q
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, row.c, row.d, float(row.e)) == (4, -3, 3, -3, 3.5)
+    # x / 7 / 2: the second division's LHS is (x / 7), not the literal
+    assert " DIV " not in transpile("SELECT x / 7 / 2 FROM t", "postgres")
+    # jsonb/json types cast to STRING (original text — exact for every
+    # get_json_object path); arrow chains fold across the cast
+    q2 = transpile(
+        "SELECT j::jsonb -> 'a' ->> 'b' AS v "
+        "FROM (SELECT '{\"a\": {\"b\": 2}}' AS j)",
+        "postgres",
+    )
+    assert spark.sql(q2).collect()[0].v == "2"
+    # bare numeric is LOUD (arbitrary precision); numeric(p,s) maps
+    with pytest.raises(TranspileError, match="numeric"):
+        transpile("SELECT x::numeric FROM t", "postgres")
+    assert transpile("SELECT x::numeric(10,2) FROM t", "postgres") \
+        == "SELECT x::DECIMAL(10,2) FROM t"
+
+
+def test_pg_quantified_and_misc_functions(spark):
+    """= ANY → array_contains, = ALL → forall; num_nonnulls/num_nulls
+    unfold; format → format_string with ''-for-NULL coalesce;
+    array_prepend/array_replace/regexp_split_to_array/substring-from-
+    regex/string_agg-ORDER-BY/string_to_array('') pg semantics."""
+    q = transpile(
+        "SELECT 2 = ANY(ARRAY[1,2]) AS a, 5 = ALL(ARRAY[5,5]) AS b, "
+        "num_nonnulls(1, NULL, 3) AS c, num_nulls(1, NULL, 3) AS d, "
+        "format('%s-%s', 'a', NULL) AS e, "
+        "array_prepend(0, ARRAY[1,2]) AS f, "
+        "array_replace(ARRAY[1,2,1], 1, 9) AS g, "
+        "regexp_split_to_array('a1b22c', '[0-9]+') AS h, "
+        "substring('ab12cd' from 'b([0-9]+)c') AS i2, "
+        "substring('ab12cd' from '[0-9]+') AS j, "
+        "substring('ab12cd' from 'zz') AS k, "
+        "string_to_array('', '.') AS l, "
+        "string_to_array('a.b', '.') AS m",
+        "postgres",
+    )
+    # (no fixpoint assert: the regex-escaped separators contain
+    # backslashes — the documented doubling-skip class)
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == (True, True, 2, 1, "a-")
+    assert (row.f, row.g, row.h) == ([0, 1, 2], [9, 2, 9], ["a", "b", "c"])
+    assert (row.i2, row.j, row.k) == ("12", "12", None)
+    assert (row.l, row.m) == ([], ["a", "b"])
+    q2 = transpile(
+        "SELECT string_agg(s, ',' ORDER BY s) AS v "
+        "FROM (VALUES ('b'),('a')) t(s)",
+        "postgres",
+    )
+    assert "WITHIN GROUP" in q2
+    assert spark.sql(q2.replace("(VALUES ('b'),('a')) t(s)",
+                                "(SELECT 'b' AS s UNION ALL SELECT 'a')")) \
+        .collect()[0].v == "a,b"
+    # DATE literal subtraction → datediff (pg date - date is int days)
+    q3 = transpile(
+        "SELECT DATE '2024-03-01' - DATE '2024-01-31' AS v", "postgres"
+    )
+    assert spark.sql(q3).collect()[0].v == 30
+    with pytest.raises(TranspileError, match="COLLATE"):
+        transpile("SELECT x COLLATE \"C\" FROM t", "postgres")
+    with pytest.raises(TranspileError, match="quote"):
+        transpile("SELECT quote_ident(x) FROM t", "postgres")
+    with pytest.raises(TranspileError, match="format"):
+        transpile("SELECT format('%I', x) FROM t", "postgres")
+
+
+def test_pg_distinct_on_and_series(spark):
+    """pg DISTINCT ON (k) → ROW_NUMBER window rewrite (first row per
+    group under the statement ORDER BY; outer order = the ON prefix via
+    hidden aliases, so non-selected order columns work);
+    generate_series → explode(sequence(...)) rows for pg (a LIST for
+    duckdb select-list context); TABLESAMPLE SYSTEM (n) → (n PERCENT);
+    SIMILAR TO → anchored RLIKE with % _ . ^ $ converted."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a',10),(1,'b',20),(2,'c',5) AS t(k, v, ts)"
+    ).createOrReplaceTempView("don_t")
+    out = transpile(
+        "SELECT DISTINCT ON (k) k, v FROM don_t ORDER BY k, ts DESC",
+        "postgres",
+    )
+    assert transpile(out, "postgres") == out
+    assert [tuple(r) for r in spark.sql(out).collect()] == [(1, "b"), (2, "c")]
+    # ON expr not in the select list + DESC prefix + LIMIT
+    out2 = transpile(
+        "SELECT DISTINCT ON (k) v FROM don_t ORDER BY k DESC, ts DESC "
+        "LIMIT 2",
+        "postgres",
+    )
+    assert [r.v for r in spark.sql(out2).collect()] == ["c", "b"]
+    with pytest.raises(TranspileError, match="arbitrary row"):
+        transpile("SELECT DISTINCT ON (k) k FROM t", "postgres")
+    # generate_series: rows for pg, list for duckdb select-list
+    out3 = transpile(
+        "SELECT sum(i) AS s FROM generate_series(1, 5) AS g(i)", "postgres"
+    )
+    assert spark.sql(out3).collect()[0].s == 15
+    assert transpile("SELECT generate_series(1, 3) AS g", "duckdb") \
+        == "SELECT sequence(1, 3) AS g"
+    with pytest.raises(TranspileError, match="expression"):
+        transpile("SELECT abs(generate_series(1, 3)) FROM t", "postgres")
+    assert transpile(
+        "SELECT a FROM t TABLESAMPLE SYSTEM (10)", "postgres"
+    ) == "SELECT a FROM t TABLESAMPLE (10 PERCENT)"
+    with pytest.raises(TranspileError, match="REPEATABLE"):
+        transpile(
+            "SELECT a FROM t TABLESAMPLE SYSTEM (10) REPEATABLE (42)",
+            "postgres",
+        )
+    q = transpile(
+        "SELECT 'abc' SIMILAR TO 'a%' AS a, 'a.c' SIMILAR TO 'a.c' AS b, "
+        "'axc' SIMILAR TO 'a.c' AS c, 'aaa' SIMILAR TO 'a+' AS d, "
+        "'abc' NOT SIMILAR TO 'z%' AS e",
+        "postgres",
+    )
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == (
+        True, True, False, True, True,
     )

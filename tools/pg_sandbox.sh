@@ -1,0 +1,20 @@
+#!/bin/sh
+# Bootstrap a local PostgreSQL for tests/test_dialect_fuzz_pg.py and
+# dialect-semantics verification. initdb refuses to run as root, so the
+# cluster lives under a throwaway user with a /tmp socket directory (no
+# TCP, no network). Idempotent: re-running starts the existing cluster.
+#
+#   sh tools/pg_sandbox.sh        # then: psql -h /tmp/pgv -U postgres
+set -e
+PGV=${SPARK_GRAFT_PGHOST:-/tmp/pgv}
+id pguser >/dev/null 2>&1 || useradd -m pguser
+mkdir -p "$PGV" && chown pguser "$PGV"
+if [ ! -d "$PGV/data" ]; then
+  su pguser -s /bin/sh -c "initdb -D '$PGV/data' -U postgres -A trust" \
+    > "$PGV/init.log" 2>&1
+fi
+su pguser -s /bin/sh -c \
+  "pg_ctl -D '$PGV/data' -o '-k $PGV -c listen_addresses=' -l '$PGV/pg.log' start" \
+  || true
+sleep 1
+psql -h "$PGV" -U postgres -tAc "SELECT 'pg_sandbox ready: ' || version()"
