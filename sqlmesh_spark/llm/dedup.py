@@ -792,6 +792,77 @@ FROM (SELECT vec_id, {bkeys} FROM (SELECT vec_id, {", ".join(bits)} FROM {table}
 """
 
 
+def embedding_lsh_bands_arrow(
+    spark: "SparkSession",
+    table: str,
+    dim: int = 64,
+    n_planes: int = 16,
+    band_size: int = 4,
+):
+    """(vec_id, band, bkey) sign-LSH band rows via an Arrow-batched
+    int64 matmul — bit-identical to embedding_lsh_bands_sql (and the
+    duckdb oracle) but vectorized: the SQL fold runs n_planes×dim
+    interpreted lambda evaluations PER ROW (measured as the wall-clock
+    ceiling of the 100× scale run), the numpy form one (rows × dim) @
+    (dim × planes) integer matmul per Arrow batch.
+
+    Exactness argument: each element is scaled to an int64
+    (ROUND(x·1e6), half away from zero — numpy's round is half-EVEN,
+    so the sign·floor(|x|+0.5) form is used), the ±1 plane weights come
+    from the same md5 derivation (_hash60_py == _hash60 SQL), and
+    int64 sums are order-insensitive — so every projection, sign bit,
+    and band key matches the SQL/duckdb formulation exactly, batch
+    order notwithstanding. Zero shuffles: a pure mapInPandas
+    projection; the band-key bucket join downstream is the first
+    exchange.
+    """
+    import numpy as np
+
+    P = np.array(
+        [
+            [
+                1 if _hash60_py(f"pl{p}_{o}") % 2 == 0 else -1
+                for o in range(1, dim + 1)
+            ]
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+    n_bands = n_planes // band_size
+    bit_vals = (2 ** (np.arange(n_planes, dtype=np.int64) % band_size))
+
+    def _bands(batches):  # closure: workers cannot import this module
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            s = emb * 1_000_000.0
+            scaled = (_np.sign(s) * _np.floor(_np.abs(s) + 0.5)).astype(
+                _np.int64
+            )
+            proj = scaled @ P.T  # (n, n_planes) exact int64
+            bits = (proj > 0).astype(_np.int64) * bit_vals
+            bk = bits.reshape(len(pdf), n_bands, band_size).sum(axis=2)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(
+                        pdf["vec_id"].to_numpy(), n_bands
+                    ),
+                    "band": _np.tile(
+                        _np.arange(n_bands, dtype=_np.int32), len(pdf)
+                    ),
+                    "bkey": bk.reshape(-1),
+                }
+            )
+
+    return spark.table(table).select("vec_id", "embedding").mapInPandas(
+        _bands, schema="vec_id bigint, band int, bkey bigint"
+    )
+
+
 def embedding_lsh_wide_sql(
     table: str,
     dim: int = 64,
@@ -849,7 +920,10 @@ SELECT v1, v2, cosine FROM verified
 def _emb_lsh_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     corpus = spread_scan(spark, "embeddings", "emb_lsh_corpus")
-    bands = spark.sql(embedding_lsh_bands_sql(corpus))
+    # Arrow matmul bands (bit-identical to embedding_lsh_bands_sql —
+    # pinned by tests/test_llm_ops.py); the SQL fold's interpreted
+    # lambdas were the wall-clock ceiling of the 100× scale run
+    bands = embedding_lsh_bands_arrow(spark, corpus)
     bands.cache().createOrReplaceTempView("emb_lsh_bands")
     return spark.sql(
         embedding_lsh_wide_sql(corpus, bands_relation="emb_lsh_bands")

@@ -215,3 +215,23 @@ def test_duckdb_oracles_use_global_regex_flag():
         assert "'g'" in sql
     got = duckdb.sql("SELECT " + _norm("'a  b!!c  d'", "duckdb")).fetchone()[0]
     assert got == "a bc d"
+
+
+def test_embedding_lsh_arrow_bands_bit_identical(spark, sf_dir):
+    """The Arrow int64-matmul bands producer must emit EXACTLY the rows
+    of the SQL zip_with fold formulation (same scaled-int rounding,
+    same md5-derived ±1 planes, int64 sums order-insensitive) — the
+    oracle parity of dedup_embedding_lsh rests on identical band
+    keys."""
+    from sqlmesh_spark.llm.dedup import (
+        embedding_lsh_bands_arrow,
+        embedding_lsh_bands_sql,
+    )
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    sql_b = spark.sql(embedding_lsh_bands_sql("embeddings"))
+    arrow_b = embedding_lsh_bands_arrow(spark, "embeddings")
+    assert sql_b.exceptAll(arrow_b).count() == 0
+    assert arrow_b.exceptAll(sql_b).count() == 0
+    assert arrow_b.count() == sql_b.count() > 0
