@@ -372,9 +372,12 @@ def call_handlers(ctx) -> "int | None":
         # (and duckdb string_split) give ['']. Bind the source once and
         # branch; the separator converts to the escaped-regex split()
         # form INLINE (the shared handler below is first_pass-gated, so
-        # an emitted inner string_to_array would never convert).
+        # an emitted inner string_to_array would never convert). The
+        # 3-arg form's null_string maps matching elements to NULL
+        # (never NULL-matches when null_string itself is NULL — split
+        # produces no NULL elements, so <=> reproduces pg exactly).
         spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
+        if len(spans) in (2, 3):
             sep_first, sep_last = spans[1]
             if not (sep_first == sep_last and toks[sep_first][0] == "string"):
                 raise TranspileError(
@@ -385,12 +388,19 @@ def call_handlers(ctx) -> "int | None":
             sep_lit = _regex_literal(
                 _literal_content(toks[sep_first][1], read), read
             )
+            split_expr = f"split(_t._ss, {sep_lit})"
+            if len(spans) == 3:
+                ns_ = _arg_text(spans[2])
+                split_expr = (
+                    f"transform({split_expr}, "
+                    f"_x -> IF(_x <=> ({ns_}), NULL, _x))"
+                )
             edits.append(
                 (start, toks[close][3],
                  f"element_at(transform(array(struct(({s_}) AS _ss)), "
                  f"_t -> CASE WHEN _t._ss = '' THEN "
                  f"CAST(array() AS ARRAY<STRING>) ELSE "
-                 f"split(_t._ss, {sep_lit}) END), 1)")
+                 f"{split_expr} END), 1)")
             )
             return close + 1
 
@@ -400,13 +410,28 @@ def call_handlers(ctx) -> "int | None":
         and first_pass
         and is_op(i + 1, "(")
     ):
-        # substring(s FROM 'pattern') — the pg POSIX-regex form (a
-        # STRING second operand; the positional form takes numbers).
-        # Returns group 1 when the pattern captures, else the whole
-        # match; NULL when no match (Spark regexp_extract gives '' —
-        # nullif). A pattern matching the EMPTY string diverges
-        # (pg '' vs NULL here) — documented, no non-matching shape.
+        # substring(s FROM 'pattern') / substring(s, 'pattern') — the
+        # pg POSIX-regex form (a STRING second operand; the positional
+        # form takes numbers). Returns group 1 when the pattern
+        # captures, else the whole match; NULL when no match (Spark
+        # regexp_extract gives '' — nullif). A pattern matching the
+        # EMPTY string diverges (pg '' vs NULL here) — documented, no
+        # non-matching shape.
         spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+        ):
+            pat = _literal_content(toks[spans[1][0]][1], read)
+            has_group = bool(re.search(r"(?<!\\)\((?!\?)", pat))
+            edits.append(
+                (start, toks[close][3],
+                 f"nullif(regexp_extract(({_arg_text(spans[0])}), "
+                 f"{_spark_string_literal(pat, read)}, "
+                 f"{1 if has_group else 0}), '')")
+            )
+            return close + 1
         if len(spans) == 1:
             sp = spans[0]
             from_idx = None

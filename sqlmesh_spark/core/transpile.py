@@ -257,8 +257,16 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
     i = 0
     n = len(toks)
+    #: char spans consumed WHOLESALE by a restructuring handler whose
+    #: replacement text was transpiled separately (DISTINCT ON's ORDER
+    #: BY clause) — tokens inside must reach NO other handler: a later
+    #: edit overlapping the wholesale replacement corrupts the splice.
+    dead_zones: list[tuple[int, int]] = []
     while i < n:
         kind, text, start, end = toks[i]
+        if dead_zones and any(z0 <= start < z1 for z0, z1 in dead_zones):
+            i += 1
+            continue
 
         # `//` integer division → DIV (adjacent '/' '/' spans). For
         # duckdb the next pass wraps DIV's divisor in nullif (below).
@@ -1142,11 +1150,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     read in ("postgres", "mysql")
                     and j2 < n
                     and toks[j2][0] == "op"
-                    and toks[j2][1] == "->"
+                    and toks[j2][1] in ("->", "#>", "#>>")
                 ):
                     raise TranspileError(
-                        "->> returns text; chaining another JSON arrow "
-                        f"onto text is a type error in {read}"
+                        "->> returns text; chaining another JSON "
+                        f"operator onto text is a type error in {read}"
                     )
                 edits.append((ls, ls, "get_json_object("))
                 edits.append(
@@ -1203,7 +1211,6 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             # the ORDER BY of this SELECT (same depth, after FROM)
             depth = 0
             ord_idx = None
-            stop_idx = n
             for j in range(from_idx + 1, n):
                 k_, t_ = toks[j][0], toks[j][1]
                 if k_ == "op" and t_ == "(":
@@ -1211,7 +1218,6 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 elif k_ == "op" and t_ == ")":
                     depth -= 1
                     if depth < 0:
-                        stop_idx = j
                         break
                 elif depth == 0 and k_ == "ident" and t_.upper() == "ORDER":
                     ord_idx = j
@@ -1222,7 +1228,6 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                         "OFFSET", "FETCH"))
                     or (k_ == "op" and t_ == ";")
                 ):
-                    stop_idx = j
                     break
             if ord_idx is None:
                 raise TranspileError(
@@ -1252,15 +1257,17 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 ):
                     ord_end = j
                     break
+            # defer BEFORE the recursive transpiles below (they are
+            # full fixpoint runs — wasted work on a deferred pass)
+            if any(e[1] >= toks[i - 1][2] and e[0] <= toks[ord_end - 1][3]
+                   for e in edits):
+                i += 1
+                continue
             order_list = transpile(
                 sql[toks[ord_idx + 2][2]: toks[ord_end - 1][3]], read
             )
             on_conv = transpile(on_text, read)
             d_col = "__sqlmesh_distinct_on__"
-            if any(e[1] >= toks[i - 1][2] and e[0] <= toks[ord_end - 1][3]
-                   for e in edits):
-                i += 1
-                continue
             # the ON expressions may not be in the select list (pg
             # allows ordering by non-selected columns); project them as
             # hidden aliases so the outer ORDER BY always resolves, and
@@ -1319,11 +1326,15 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             )
             # close the subquery where the ORDER BY clause began; the
             # outer orders by the hidden ON prefix only (one row per
-            # distinct prefix — the tail cannot affect result order)
+            # distinct prefix — the tail cannot affect result order).
+            # The clause's replacement text was transpiled separately
+            # above — mark the span DEAD so no later handler edits
+            # inside the wholesale replacement (overlap corrupts).
             edits.append(
                 (toks[ord_idx][2], toks[ord_end - 1][3],
                  f") WHERE {d_col} = 1 ORDER BY {outer_ord}")
             )
+            dead_zones.append((toks[ord_idx][2], toks[ord_end - 1][3]))
             i = on_close + 1
             continue
 
@@ -1443,6 +1454,23 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     f"postgres = {text.upper()}(...) needs a "
                     "recognizable left operand to rewrite"
                 )
+            # the primary must BE the whole left operand of `=`: a
+            # tighter-binding operator before it (|| + - * / etc.)
+            # means the real LHS is a larger expression and a
+            # primary-level splice would rewrite the wrong operand
+            if not (
+                lfirst == 0
+                or (toks[lfirst - 1][0] == "op"
+                    and toks[lfirst - 1][1] in ("(", ","))
+                or (toks[lfirst - 1][0] in _NAME_KINDS
+                    and toks[lfirst - 1][1].upper()
+                    in _NONCALLABLE_KEYWORDS)
+            ):
+                raise TranspileError(
+                    f"postgres = {text.upper()}(...) with an operator "
+                    "chain on the left has no scoped one-pass rewrite; "
+                    "parenthesize the left operand"
+                )
             ls = toks[lfirst][2]
             arr_text = _arg_text(spans_q[0])
             lhs_text = sql[ls: toks[i - 2][3]]
@@ -1547,15 +1575,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 )
                 li = ti + 1 if like_form else ti
                 ci = (
-                    not like_form
-                    and li + 1 < n
+                    li + 1 < n
                     and toks[li + 1][0] == "op" and toks[li + 1][1] == "*"
                     and toks[li + 1][2] == toks[li][3]
                 )
                 op_last = li + 1 if ci else li
                 rhs_idx = op_last + 1
                 if like_form:
-                    kw = " NOT LIKE " if neg else " LIKE "
+                    # ~~* / !~~* are pg's ILIKE spellings — Spark has
+                    # ILIKE natively, no pattern rewrite needed
+                    base_kw = "ILIKE" if ci else "LIKE"
+                    kw = f" NOT {base_kw} " if neg else f" {base_kw} "
+                    ci = False  # no (?i) injection for LIKE patterns
                 else:
                     kw = " NOT RLIKE " if neg else " RLIKE "
                 rspan = _forward_primary(toks, rhs_idx)
@@ -1672,7 +1703,16 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             if (
                 lfirst > 0
                 and toks[lfirst - 1][0] == "op"
-                and toks[lfirst - 1][1] in ("->", "#>", "#>>")
+                and (
+                    toks[lfirst - 1][1] in ("->", "#>", "#>>")
+                    or (
+                        toks[lfirst - 1][1] == ">"
+                        and lfirst >= 2
+                        and toks[lfirst - 2][0] == "op"
+                        and toks[lfirst - 2][1] == "->"
+                        and toks[lfirst - 2][3] == toks[lfirst - 1][2]
+                    )
+                )
             ):
                 i += 1  # LHS is a preceding JSON operator's RHS
                 continue

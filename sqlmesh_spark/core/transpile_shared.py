@@ -997,6 +997,35 @@ def _maybe_round_castee(
         return  # integer literal — identity
     if lf == end_idx and toks[lf][0] == "string" and read == "postgres":
         return  # pg rejects fractional strings; Spark ANSI raises too
+    if lf == end_idx and toks[lf][0] in _NAME_KINDS and \
+            toks[lf][1].upper() in ("TRUE", "FALSE"):
+        return  # boolean literal: bool::int is 1/0 natively (round
+        #         rejects BOOLEAN)
+    # the (cond)::int / CAST(cond AS INT) idiom: a castee whose TOP
+    # level contains a comparison/logical token is a BOOLEAN —
+    # pg/duckdb bool→int is 1/0, which Spark's CAST matches natively,
+    # and round() rejects BOOLEAN input. (Bare boolean COLUMNS are
+    # statically invisible and fail loudly at analysis — the
+    # AnalysisException names round(BOOLEAN) — never silently.) The
+    # "top level" is depth 1 for a parenthesized castee, depth 0 for a
+    # bare CAST-form expression.
+    bool_base = 1 if (toks[lf][0] == "op" and toks[lf][1] == "(") else 0
+    depth_c = 0
+    for j in range(lf, end_idx + 1):
+        k_, t_ = toks[j][0], toks[j][1]
+        if k_ == "op" and t_ == "(":
+            depth_c += 1
+        elif k_ == "op" and t_ == ")":
+            depth_c -= 1
+        elif depth_c == bool_base and (
+            (k_ == "op" and t_ in ("=", "<", ">", "<=", ">=", "<>",
+                                    "!=", "<=>", "~", "!"))
+            or (k_ in _NAME_KINDS and t_.upper() in (
+                "IS", "LIKE", "ILIKE", "RLIKE", "SIMILAR", "BETWEEN",
+                "IN", "AND", "OR", "NOT", "EXISTS", "ANY", "ALL",
+                "TRUE", "FALSE"))
+        ):
+            return
     if (
         toks[lf][0] in _NAME_KINDS
         and toks[lf][1].lower() == "round"
@@ -1004,6 +1033,11 @@ def _maybe_round_castee(
         and toks[lf + 1][0] == "op"
         and toks[lf + 1][1] == "("
         and _call_arg_spans(toks, lf + 1)[1] == end_idx
+        # only the SINGLE-arg form is this handler's own emission; a
+        # user's round(x, 2)::int still truncates-vs-rounds and needs
+        # the wrap (round(round(x, 2)) — the outer 1-arg form then
+        # satisfies this check on the next pass)
+        and len(_call_arg_spans(toks, lf + 1)[0]) == 1
     ):
         return  # already round-wrapped (fixpoint)
     if any(e[1] >= ls and e[0] <= le for e in edits):

@@ -195,7 +195,7 @@ TEMPLATES += [
     "to_char(make_date(2024, 2, 29), 'YYYY-MM-DD')",
     "make_date(2024, 2, 29) = DATE '2024-02-29'",
     "(DATE '2024-02-29' = DATE '2024-02-29')",
-    "extract(day from (DATE '2024-03-01' - DATE '2024-01-31')::interval)" if False else "floor(1.5)",
+    "floor(1.5)",
     "to_date('2024-02-29', 'YYYY-MM-DD')::text",
 ]
 
@@ -229,6 +229,12 @@ TEMPLATES += [
     "'a.c' SIMILAR TO 'a.c'", "'axc' SIMILAR TO 'a.c'",
     "'abc' NOT SIMILAR TO 'z%'", "'aaa' SIMILAR TO 'a+'",
     "'ab' SIMILAR TO 'a[bc]'",
+    "'ABC' ~~* 'ab%'", "'ABC' !~~* 'xy%'",
+    "round(2.504, 2)::int",
+    "(1 > 0)::int", "CAST(2 < 1 AS INT)", "(TRUE)::int",
+    "string_to_array('a.b.a', '.', 'a')",
+    "substring('ab12cd', 'b([0-9]+)c')",
+    "substring('ab12cd', '[0-9]+')",
 ]
 
 # compositions across families
