@@ -937,6 +937,44 @@ register(
 )(_emb_lsh_case)
 
 
+def _emb_lsh_wide_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SCALE parameterization of sign-LSH embedding dedup.
+
+    The default 16-plane/4-bit-band config has only 2^4 = 16 buckets
+    per band — a FIXED bucket count, so candidate pairs grow
+    Σ C(n_b, 2) ≈ n²/(2·16) per band: measured quadratic at the 100×
+    scale run (the candidate join exceeded the single-node scratch
+    disk). Bucket cardinality must grow with the corpus: 64 planes in
+    4 bands of 16 bits give 2^16 = 65,536 buckets per band — expected
+    bucket occupancy n/65k stays O(1) up to multi-million-vector
+    corpora and re-tunes by adding bits. Per-pair detection at
+    duplicate-grade cosine (≥0.99) is 1-(1-(1-θ/π)^16)^4 ≈ 0.93, and
+    the exact-cosine verify rung keeps precision exact. Same Arrow
+    int64-matmul signatures; the DuckDB oracle runs the identical
+    64-plane pipeline, so the hash match proves the whole path."""
+    register_views(spark, sf_dir, ("embeddings",))
+    corpus = spread_scan(spark, "embeddings", "emb_lshw_corpus")
+    bands = embedding_lsh_bands_arrow(
+        spark, corpus, n_planes=64, band_size=16
+    )
+    bands.cache().createOrReplaceTempView("emb_lshw_bands")
+    return spark.sql(
+        embedding_lsh_wide_sql(
+            corpus, n_planes=64, band_size=16,
+            bands_relation="emb_lshw_bands",
+        )
+    )
+
+
+register(
+    "dedup_embedding_lsh_wide",
+    oracle=embedding_lsh_pairs_sql(
+        "embeddings", n_planes=64, band_size=16, dialect="duckdb"
+    ),
+    tags=("llm", "dedup"),
+)(_emb_lsh_wide_case)
+
+
 def _source_matrix_oracle() -> str:
     pairs = minhash_lsh_sql("documents", dialect="duckdb")
     return f"""
