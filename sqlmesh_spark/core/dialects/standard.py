@@ -140,6 +140,46 @@ _DP_FIELD_TEMPLATES_PG = {
 
 
 
+def _regex_has_capture_group(pat: str) -> bool:
+    """True iff the POSIX/Java regex has a CAPTURING group: an
+    unescaped ``(`` outside a ``[...]`` bracket class not followed by
+    ``?``. A char-by-char scan (escape state + class state) — the
+    naive lookbehind regex misreads ``[(]`` (literal paren in a class:
+    zero groups) and ``a\\\\(b)`` (escaped backslash then a REAL
+    group)."""
+    esc = False
+    in_class = False
+    n_ = len(pat)
+    for idx, c in enumerate(pat):
+        if esc:
+            esc = False
+            continue
+        if c == "\\":
+            esc = True
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            continue
+        if c == "[":
+            in_class = True
+            continue
+        if c == "(" and not (idx + 1 < n_ and pat[idx + 1] == "?"):
+            return True
+    return False
+
+
+def _pg_regex_substring_emit(source_text: str, pat: str, read: str) -> str:
+    """Shared emission for BOTH pg regex-substring spellings
+    (substring(s FROM 'pat') and substring(s, 'pat')): group 1 when the
+    pattern captures, else the whole match; NULL on no match."""
+    g = 1 if _regex_has_capture_group(pat) else 0
+    return (
+        f"nullif(regexp_extract(({source_text}), "
+        f"{_spark_string_literal(pat, read)}, {g}), '')"
+    )
+
+
 def call_handlers(ctx) -> "int | None":
     """Shared standard-SQL-family handlers: the DuckDB/Postgres function map and NULL-edge fidelity handlers, plus multi-dialect restructuring handlers (trim/to_char/strftime families shared with redshift/oracle) (pre-split code, verbatim)."""
     toks, edits = ctx.toks, ctx.edits
@@ -278,6 +318,60 @@ def call_handlers(ctx) -> "int | None":
                 "postgres generate_series inside an expression has no "
                 "Spark rewrite; move it to the FROM clause"
             )
+        return close + 1
+
+    if name == "date_bin" and read == "postgres" and first_pass:
+        # date_bin(stride, source, origin): origin-aligned tumbling
+        # window (PG 14). Spark has no date_bin; for a fixed-width
+        # INTERVAL-literal stride the bin start is
+        # origin + floor((ts - origin)/stride)*stride, computed over
+        # epoch-second DOUBLEs (casts are exact to the microsecond) —
+        # source and origin bound once via the struct-transform
+        # pattern. Month/year strides are loud (pg itself rejects
+        # them); sub-second strides are loud (epoch math here is
+        # second-granular).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 3:
+            raise TranspileError("date_bin takes (stride, source, origin)")
+        stride_text = sql[toks[spans[0][0]][2]: toks[spans[0][1]][3]]
+        m = re.match(r"(?is)^\s*INTERVAL\s+'([^']*)'\s*$", stride_text)
+        if not m:
+            raise TranspileError(
+                "date_bin stride must be an INTERVAL literal to "
+                "transpile"
+            )
+        total = 0.0
+        body = m.group(1).strip()
+        for num, unit in re.findall(r"([\d.]+)\s*([a-zA-Z]+)", body):
+            u = unit.lower().rstrip("s")
+            mult = {
+                "week": 604800, "day": 86400, "d": 86400,
+                "hour": 3600, "hr": 3600, "h": 3600,
+                "minute": 60, "min": 60, "m": 60,
+                "second": 1, "sec": 1,
+            }.get(u)
+            if mult is None:
+                raise TranspileError(
+                    f"date_bin stride unit {unit!r} has no fixed width "
+                    "(pg rejects month/year strides; sub-second strides "
+                    "have no Spark rewrite here)"
+                )
+            total += float(num) * mult
+        if total <= 0 or total != int(total):
+            raise TranspileError(
+                "date_bin stride must be a positive whole number of "
+                "seconds to transpile"
+            )
+        s_ = int(total)
+        src_ = _arg_text(spans[1])
+        org_ = _arg_text(spans[2])
+        edits.append(
+            (start, toks[close][3],
+             f"element_at(transform(array(struct(({src_}) AS _ts, "
+             f"({org_}) AS _og)), _t -> _t._og + make_dt_interval(0, 0, "
+             f"0, FLOOR((CAST(_t._ts AS DOUBLE) - CAST(_t._og AS "
+             f"DOUBLE)) / {s_}) * {s_})), 1)")
+        )
         return close + 1
 
     # ---- Postgres-specific handlers (round 7, each found by the
@@ -424,12 +518,9 @@ def call_handlers(ctx) -> "int | None":
             and toks[spans[1][0]][0] == "string"
         ):
             pat = _literal_content(toks[spans[1][0]][1], read)
-            has_group = bool(re.search(r"(?<!\\)\((?!\?)", pat))
             edits.append(
                 (start, toks[close][3],
-                 f"nullif(regexp_extract(({_arg_text(spans[0])}), "
-                 f"{_spark_string_literal(pat, read)}, "
-                 f"{1 if has_group else 0}), '')")
+                 _pg_regex_substring_emit(_arg_text(spans[0]), pat, read))
             )
             return close + 1
         if len(spans) == 1:
@@ -451,13 +542,10 @@ def call_handlers(ctx) -> "int | None":
                 and toks[sp[1]][0] == "string"
             ):
                 pat = _literal_content(toks[sp[1]][1], read)
-                has_group = bool(re.search(r"(?<!\\)\((?!\?)", pat))
                 s_text = sql[toks[sp[0]][2]: toks[from_idx][2]]
                 edits.append(
                     (start, toks[close][3],
-                     f"nullif(regexp_extract(({s_text.rstrip()}), "
-                     f"{_spark_string_literal(pat, read)}, "
-                     f"{1 if has_group else 0}), '')")
+                     _pg_regex_substring_emit(s_text.rstrip(), pat, read))
                 )
                 return close + 1
 
@@ -807,6 +895,32 @@ def call_handlers(ctx) -> "int | None":
             and toks[i + 3][1].upper() == "FROM"
         ):
             field = toks[i + 2][1].lower()
+            if (
+                field == "epoch"
+                and toks[i + 4][0] in _NAME_KINDS
+                and toks[i + 4][1].upper() == "INTERVAL"
+            ):
+                # extract(epoch FROM INTERVAL ...) = total seconds of a
+                # duration. Spark can't cast an interval to a number,
+                # but epoch + interval → timestamp → DOUBLE is exact
+                # epoch seconds (fraction included) for DAY-TIME
+                # intervals. Year-month parts are LOUD: pg charges a
+                # fixed 30-day month into epoch; Spark's calendar
+                # shift from 1970-01-01 gives 31-day January months.
+                close = _call_arg_spans(toks, i + 1)[1]
+                iv_ = sql[toks[i + 4][2]: toks[close - 1][3]]
+                if re.search(r"(?i)\b(year|month|mon|yr)s?\b", iv_):
+                    raise TranspileError(
+                        "extract(epoch from INTERVAL) with year/month "
+                        "parts uses pg's fixed 30-day months — no "
+                        "faithful Spark form; use day-time units"
+                    )
+                edits.append(
+                    (start, toks[close][3],
+                     "CAST(CAST('1970-01-01 00:00:00' AS TIMESTAMP) + "
+                     f"({iv_}) AS DOUBLE)")
+                )
+                return close + 1
             tmpl = (
                 _DP_FIELD_TEMPLATES_PG if read == "postgres"
                 else _DP_FIELD_TEMPLATES
@@ -1212,7 +1326,9 @@ def call_handlers(ctx) -> "int | None":
         if len(args) == 2 and toks[args[1]][0] == "string" \
                 and spans_[1][0] == spans_[1][1]:
             fmt_lit = toks[args[1]][1]
-            converted = convert_pg_format(fmt_lit[1:-1].replace("''", "'"))
+            converted = convert_pg_format(
+                fmt_lit[1:-1].replace("''", "'"), formatting=True
+            )
             edits.append((start, end, "date_format"))
             edits.append(
                 (toks[args[1]][2], toks[args[1]][3],

@@ -1461,7 +1461,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             if not (
                 lfirst == 0
                 or (toks[lfirst - 1][0] == "op"
-                    and toks[lfirst - 1][1] in ("(", ","))
+                    and toks[lfirst - 1][1] in ("(", ",", "["))
                 or (toks[lfirst - 1][0] in _NAME_KINDS
                     and toks[lfirst - 1][1].upper()
                     in _NONCALLABLE_KEYWORDS)
@@ -1486,6 +1486,24 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
             i += 1
             continue
+
+        # Postgres (a, b) OVERLAPS (c, d) — interval-overlap predicate
+        # with endpoint normalization and point-interval edge semantics;
+        # no Spark spelling and the four operands would each need
+        # least/greatest duplication — LOUD with the manual form.
+        if (
+            read == "postgres"
+            and kind == "ident"
+            and text.upper() == "OVERLAPS"
+            and i > 0
+            and toks[i - 1][0] == "op"
+            and toks[i - 1][1] == ")"
+        ):
+            raise TranspileError(
+                "(start1, end1) OVERLAPS (start2, end2) has no Spark "
+                "spelling; write s1 < e2 AND s2 < e1 (with the "
+                "endpoints ordered)"
+            )
 
         # Postgres COLLATE "name" — collation-dependent comparison
         # semantics have no faithful Spark rewrite (Spark's collation

@@ -1008,15 +1008,27 @@ def _maybe_round_castee(
     # statically invisible and fail loudly at analysis — the
     # AnalysisException names round(BOOLEAN) — never silently.) The
     # "top level" is depth 1 for a parenthesized castee, depth 0 for a
-    # bare CAST-form expression.
+    # bare CAST-form expression; CASE..END bodies count as a nesting
+    # level too (a comparison inside WHEN does not make the CASE's
+    # RESULT boolean), and a castee containing a subquery SELECT is
+    # never boolean-classified (its WHERE comparisons say nothing
+    # about the selected column's type).
     bool_base = 1 if (toks[lf][0] == "op" and toks[lf][1] == "(") else 0
     depth_c = 0
+    is_bool_shape = False
     for j in range(lf, end_idx + 1):
         k_, t_ = toks[j][0], toks[j][1]
         if k_ == "op" and t_ == "(":
             depth_c += 1
         elif k_ == "op" and t_ == ")":
             depth_c -= 1
+        elif k_ in _NAME_KINDS and t_.upper() == "CASE":
+            depth_c += 1
+        elif k_ in _NAME_KINDS and t_.upper() == "END":
+            depth_c -= 1
+        elif k_ in _NAME_KINDS and t_.upper() == "SELECT":
+            is_bool_shape = False
+            break
         elif depth_c == bool_base and (
             (k_ == "op" and t_ in ("=", "<", ">", "<=", ">=", "<>",
                                     "!=", "<=>", "~", "!"))
@@ -1025,21 +1037,23 @@ def _maybe_round_castee(
                 "IN", "AND", "OR", "NOT", "EXISTS", "ANY", "ALL",
                 "TRUE", "FALSE"))
         ):
-            return
+            is_bool_shape = True
+    if is_bool_shape:
+        return
     if (
         toks[lf][0] in _NAME_KINDS
         and toks[lf][1].lower() == "round"
         and lf + 1 <= end_idx
         and toks[lf + 1][0] == "op"
         and toks[lf + 1][1] == "("
-        and _call_arg_spans(toks, lf + 1)[1] == end_idx
-        # only the SINGLE-arg form is this handler's own emission; a
-        # user's round(x, 2)::int still truncates-vs-rounds and needs
-        # the wrap (round(round(x, 2)) — the outer 1-arg form then
-        # satisfies this check on the next pass)
-        and len(_call_arg_spans(toks, lf + 1)[0]) == 1
     ):
-        return  # already round-wrapped (fixpoint)
+        r_spans, r_close = _call_arg_spans(toks, lf + 1)
+        # only the SINGLE-arg form spanning the whole castee is this
+        # handler's own emission; a user's round(x, 2)::int still
+        # truncates-vs-rounds and needs the wrap (round(round(x, 2)) —
+        # the outer 1-arg form then satisfies this check next pass)
+        if r_close == end_idx and len(r_spans) == 1:
+            return  # already round-wrapped (fixpoint)
     if any(e[1] >= ls and e[0] <= le for e in edits):
         return  # pending rewrites inside — resolve next pass
     edits.append((ls, ls, "round("))

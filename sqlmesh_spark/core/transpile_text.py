@@ -183,11 +183,35 @@ def convert_ch_format(fmt: str) -> str:
     return _convert_pct_format(fmt, _CH_FMT, "clickhouse formatDateTime")
 
 
-def _convert_pg_like_format(fmt: str, allow_ff: bool) -> str:
+#: FM (fill-mode) token map for FORMATTING: FM strips pg's padding —
+#: leading zeros on numeric fields (Java's single letters already print
+#: minimal digits) and the 9-char space padding of DAY/MONTH names.
+_PG_FM_FMT = {
+    "DD": "d", "MM": "M", "HH24": "H", "HH12": "h", "HH": "h",
+    "MI": "m", "SS": "s", "DDD": "D", "YYYY": "yyyy",
+    "DAY": "EEEE", "MONTH": "MMMM", "DY": "EEE", "MON": "MMM",
+}
+
+#: name tokens whose pg OUTPUT case FOLLOWS the pattern's case
+#: ('DY'→'SAT', 'Dy'→'Sat', 'dy'→'sat') — Java patterns always print
+#: the capitalized form, so only the capitalized spelling is faithful
+#: when formatting. Value = the required source spelling.
+_PG_CASED_NAMES = {"MON": "Mon", "DY": "Dy", "AM": ("AM", "PM"),
+                   "PM": ("AM", "PM")}
+
+
+def _convert_pg_like_format(
+    fmt: str, allow_ff: bool, formatting: bool = False
+) -> str:
     """Shared Postgres-style pattern scan (longest-first _PG_FMT table,
     numeric-pattern guard, loud on unmapped alpha). ``allow_ff`` adds
-    Snowflake's ``FF[0-9]`` fractional-seconds prefix case — the ONLY
-    difference between the two dialects' pattern languages."""
+    Snowflake's ``FF[0-9]`` fractional-seconds prefix case.
+    ``formatting=True`` (the to_char direction) enforces OUTPUT-exact
+    semantics the tolerant parsing direction doesn't need: pg prints
+    name tokens case-following-pattern (only 'Mon'/'Dy'/'AM' spellings
+    match Java's capitalized output), space-pads DAY/MONTH to 9 chars
+    unless FM — so plain DAY/MONTH are loud and FMDay/FMMonth map —
+    and FM strips numeric leading zeros (FMDD → 'd')."""
     if not any(c.isalpha() for c in fmt):
         raise TranspileError(
             f"format {fmt!r} looks numeric; only datetime "
@@ -208,8 +232,48 @@ def _convert_pg_like_format(fmt: str, allow_ff: bool) -> str:
             out.append("S" * digits)
             i += skip
             continue
+        if formatting and fmt[i : i + 2].upper() == "FM":
+            rest = fmt[i + 2 :]
+            for pat in sorted(_PG_FM_FMT, key=len, reverse=True):
+                if rest[: len(pat)].upper() == pat:
+                    src = rest[: len(pat)]
+                    if pat in ("DAY", "MONTH", "DY", "MON") and not (
+                        src[:1].isupper() and src[1:].islower()
+                    ):
+                        raise TranspileError(
+                            f"pg to_char prints FM{pat} case-following-"
+                            "pattern; Spark's names are capitalized — "
+                            f"use 'FM{pat.capitalize()}'"
+                        )
+                    out.append(_PG_FM_FMT[pat])
+                    i += 2 + len(pat)
+                    break
+            else:
+                raise TranspileError(
+                    f"FM prefix on {rest[:6]!r} has no Spark mapping"
+                )
+            continue
         for pat, rep in _PG_FMT:
             if fmt[i : i + len(pat)].upper() == pat:
+                src = fmt[i : i + len(pat)]
+                if formatting and pat in ("DAY", "MONTH"):
+                    raise TranspileError(
+                        f"pg to_char space-pads {pat} to 9 characters; "
+                        f"Spark does not — use FM{pat.capitalize()} "
+                        "(fill mode) for the unpadded name"
+                    )
+                if formatting and pat in _PG_CASED_NAMES:
+                    want = _PG_CASED_NAMES[pat]
+                    ok = src in want if isinstance(want, tuple) \
+                        else src == want
+                    if not ok:
+                        raise TranspileError(
+                            f"pg to_char prints {pat} case-following-"
+                            "pattern; Spark's output is fixed — "
+                            + ("use uppercase AM/PM"
+                               if pat in ("AM", "PM")
+                               else f"use '{pat.capitalize()}'")
+                        )
                 out.append(rep)
                 i += len(pat)
                 break
@@ -224,11 +288,16 @@ def _convert_pg_like_format(fmt: str, allow_ff: bool) -> str:
     return "".join(out)
 
 
-def convert_pg_format(fmt: str) -> str:
+def convert_pg_format(fmt: str, formatting: bool = False) -> str:
     """Postgres TO_CHAR pattern → Spark datetime pattern. Numeric
-    to_char patterns ('999D99', 'FM...') have no Spark date_format
-    equivalent — they raise rather than converting to a wrong literal."""
-    return _convert_pg_like_format(fmt, allow_ff=False)
+    to_char patterns ('999D99') have no Spark date_format equivalent —
+    they raise rather than converting to a wrong literal.
+    ``formatting=True`` for the to_char (output) direction: enforces
+    name-token case and DAY/MONTH padding fidelity and enables FM
+    (fill-mode) tokens; parsing (to_timestamp/to_date) stays tolerant —
+    pg parses names case-insensitively and a Java case mismatch is a
+    loud runtime parse error, never a silent value."""
+    return _convert_pg_like_format(fmt, allow_ff=False, formatting=formatting)
 
 
 def convert_sf_format(fmt: str) -> str:

@@ -219,6 +219,27 @@ TEMPLATES += [
     "num_nonnulls(1, NULL, 3)", "num_nulls(1, NULL, 3)",
 ]
 
+# to_char pattern edges, date_trunc fields, interval arithmetic
+TEMPLATES += [
+    f"to_char({TS}, 'Mon DY')",
+    f"to_char({TS}, 'Day')",
+    f"to_char({TS}, 'FMDay')",
+    f"to_char({TS}, 'HH12:MI AM')",
+    f"to_char({TS}, 'IW DDD Q')",
+    f"to_char({TS}, 'YYYY-MM-DD\"T\"HH24:MI')",
+    f"to_char({TS}, 'SS.MS')",
+    f"to_char(date_trunc('quarter', {TS}), 'YYYY-MM-DD')",
+    f"to_char(date_trunc('hour', {TS}), 'HH24:MI:SS')",
+    f"to_char({TS} + INTERVAL '90 minutes', 'HH24:MI')",
+    f"to_char({TS} - INTERVAL '1 week', 'YYYY-MM-DD')",
+    f"to_char({TS} + INTERVAL '2 years 3 months', 'YYYY-MM')",
+    "to_char(TIMESTAMP '2024-02-29 00:00:00' + INTERVAL '1 year', 'YYYY-MM-DD')",
+    "to_char(123.456, '999.99')",
+    "extract(epoch from INTERVAL '90 minutes')",
+    "(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00') OVERLAPS (TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-03-01 00:00:00')",
+    "date_bin(INTERVAL '15 minutes', TIMESTAMP '2024-03-09 15:04:05', TIMESTAMP '2024-01-01 00:00:00')::text",
+]
+
 # pg idioms: DISTINCT ON, generate_series, SIMILAR TO
 TEMPLATES += [
     "(SELECT v FROM (SELECT DISTINCT ON (k) k, v FROM (VALUES (1,'a'),(1,'b'),(2,'c')) t(k,v) ORDER BY k, v DESC) q WHERE k = 1)",

@@ -3338,3 +3338,67 @@ def test_pg_distinct_on_and_series(spark):
     assert (row.a, row.b, row.c, row.d, row.e) == (
         True, True, False, True, True,
     )
+
+
+def test_pg_round_wrap_boolean_and_case_shapes(spark):
+    """Round-wrap classification edges (second review pass): CASE..END
+    bodies and subquery WHERE comparisons do NOT make the castee
+    boolean (those numeric results must still get the round() wrap);
+    user round(x, n) is not the handler's own emission; = ANY inside
+    an array constructor rewrites; bracket classes / escaped
+    backslashes in substring patterns resolve the capture group
+    correctly."""
+    q = transpile(
+        "SELECT (CASE WHEN x > 5 THEN 1.5 ELSE 2.5 END)::int AS v "
+        "FROM (SELECT 9 AS x)",
+        "postgres",
+    )
+    assert spark.sql(q).collect()[0].v == 2  # pg rounds 1.5 -> 2
+    q2 = transpile("SELECT round(2.504, 2)::int AS v", "postgres")
+    assert spark.sql(q2).collect()[0].v == 3  # round(2.50) -> 3
+    assert "round(" not in transpile(
+        "SELECT (x > 0)::int FROM t", "postgres"
+    )
+    q3 = transpile("SELECT ARRAY[1 = ANY(arr)] FROM t", "postgres")
+    assert "array_contains" in q3
+    q4 = transpile("SELECT substring('f(x)', '[(]') AS v", "postgres")
+    assert spark.sql(q4).collect()[0].v == "("  # class paren: group 0
+
+
+def test_pg_to_char_case_padding_and_intervals(spark):
+    """pg to_char output fidelity (found by the live-PG harness): name
+    tokens print case-FOLLOWING-pattern ('DY'→'SAT') and DAY/MONTH are
+    space-padded to 9 chars unless FM — only the capitalized/FM forms
+    map; FM also strips numeric leading zeros. extract(epoch from
+    day-time INTERVAL) → epoch-double cast; date_bin → origin-aligned
+    floor arithmetic over bound operands."""
+    q = transpile(
+        "SELECT to_char(TIMESTAMP '2024-03-09 15:04:05', 'FMDay') AS a, "
+        "to_char(TIMESTAMP '2024-03-09 15:04:05', 'Mon Dy') AS b, "
+        "to_char(TIMESTAMP '2024-03-09 15:04:05', 'FMDD HH12') AS c, "
+        "extract(epoch from INTERVAL '90 minutes') AS d, "
+        "date_bin(INTERVAL '15 minutes', "
+        "TIMESTAMP '2024-03-09 15:04:05', "
+        "TIMESTAMP '2024-01-01 00:00:00')::text AS e",
+        "postgres",
+    )
+    assert transpile(q, "postgres") == q
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, row.c) == ("Saturday", "Mar Sat", "9 03")
+    assert row.d == 5400.0
+    assert row.e == "2024-03-09 15:00:00"
+    for bad in ("'Day'", "'DY'", "'MON'", "'am'"):
+        with pytest.raises(TranspileError):
+            transpile(f"SELECT to_char(ts, {bad}) FROM t", "postgres")
+    # parsing direction stays tolerant (to_timestamp case mismatch is a
+    # loud runtime parse error, not a silent value)
+    assert "MMM" in transpile(
+        "SELECT to_timestamp(s, 'DD MON YYYY') FROM t", "postgres"
+    )
+    with pytest.raises(TranspileError, match="30-day"):
+        transpile(
+            "SELECT extract(epoch from INTERVAL '2 months') FROM t",
+            "postgres",
+        )
+    with pytest.raises(TranspileError, match="OVERLAPS"):
+        transpile("SELECT (a, b) OVERLAPS (c, d) FROM t", "postgres")
