@@ -108,19 +108,30 @@ def _interleaved(registry: dict[str, QueryCase]) -> dict[str, QueryCase]:
             fam = case.tags[0] if case.tags else case.name.split("_", 1)[0]
         families.setdefault(fam, []).append(case)
     out: dict[str, QueryCase] = {}
-    ordered = [
+    # TWO-PHASE emission (round 7): every never-sampled case precedes
+    # every sampled one GLOBALLY, each phase still family-interleaved.
+    # The old single round-robin diluted the unsampled backlog across
+    # ~22 families, so a family's 4th-or-later unsampled case (the
+    # snowflake/bigquery dialect flagships) never reached a 50-case
+    # external sweep prefix even with fewer than 50 unsampled cases
+    # total.
+    unsampled_lists = [
         sorted(
-            cases,
-            key=lambda c: (
-                (1, reg_index[c.name])
-                if c.name in sampled
-                else (0, -reg_index[c.name])
-            ),
+            [c for c in cases if c.name not in sampled],
+            key=lambda c: -reg_index[c.name],
         )
         for cases in families.values()
     ]
-    for batch in zip_longest(*ordered):
-        for case in batch:
-            if case is not None:
-                out[case.name] = case
+    sampled_lists = [
+        sorted(
+            [c for c in cases if c.name in sampled],
+            key=lambda c: reg_index[c.name],
+        )
+        for cases in families.values()
+    ]
+    for lists in (unsampled_lists, sampled_lists):
+        for batch in zip_longest(*lists):
+            for case in batch:
+                if case is not None:
+                    out[case.name] = case
     return out
