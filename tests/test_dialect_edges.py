@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import math
 
+import decimal
+
 import duckdb
 import pytest
 
@@ -285,6 +287,16 @@ def test_pinned_cast_rounding_divergence(spark):
     assert duckdb.sql("SELECT CAST(CAST(2.5 AS DOUBLE) AS INT)").fetchall()[0][0] == 2
     sq3 = transpile("SELECT CAST(CAST(2.5 AS DOUBLE) AS INT) AS v", "duckdb")
     assert spark.sql(sq3).collect()[0][0] == 3  # divergence: half-even vs away
+    # (c) duckdb DECIMAL scale-reduction TRUNCATES toward zero
+    # (123.4567::DECIMAL(18,3) = 123.456, 1.995::DECIMAL(10,2) = 1.99 —
+    # verified live) where Spark and pg ROUND half-up. Statically
+    # unknowable whether a reduction occurs; SQLGlot (and the
+    # reference) pass the cast through — documented divergence.
+    assert duckdb.sql(
+        "SELECT 123.4567::DECIMAL(18,3)"
+    ).fetchall()[0][0] == decimal.Decimal("123.456")
+    sqd = transpile("SELECT 123.4567::DECIMAL(18,3) AS v", "duckdb")
+    assert spark.sql(sqd).collect()[0][0] == decimal.Decimal("123.457")
     # big integers survive the wrap exactly (round is type-preserving)
     sq4 = transpile("SELECT CAST(x AS BIGINT) AS v FROM (SELECT CAST(9007199254740993 AS BIGINT) AS x)", "duckdb")
     assert spark.sql(sq4).collect()[0][0] == 9007199254740993

@@ -256,6 +256,20 @@ TEMPLATES += [
     f"concat({_J} ->> 's', {_JS} ->> 'n')",
 ]
 
+# numeric→int casts (round 7): duckdb CAST/:: of fractional numerics
+# ROUNDS half-away (DECIMAL source) where Spark truncates — the
+# round() wrap; boolean/int identities stay unwrapped; TRY_CAST is the
+# pinned tolerant divergence (see test_pinned_cast_rounding_divergence)
+TEMPLATES += [
+    "3.99::int", "(-3.99)::int", "2.5::int", "(-2.5)::int", "1.5::int",
+    "CAST(2.7 AS INT)", "CAST(-2.7 AS BIGINT)", "'3.9'::int",
+    "3.99::bigint", "9007199254740993::bigint",
+    "(1 > 0)::int", "CAST(2 < 1 AS INT)", "(TRUE)::int",
+    "round(2.504, 2)::int",
+    "(CASE WHEN 1 > 0 THEN 1.5 ELSE 2.5 END)::int",
+    "3.99::decimal::int",
+]
+
 # compositions across families
 TEMPLATES += [
     "substr('hello', 1 // 0, 3)",
