@@ -26,6 +26,7 @@ from sqlmesh_spark.core.transpile_text import (
     _resolve_unit,
     convert_strftime_format,
     convert_pg_format,
+    convert_posix_classes,
     _regex_literal,
     _spark_string_literal,
     _raw_body,
@@ -173,6 +174,7 @@ def _pg_regex_substring_emit(source_text: str, pat: str, read: str) -> str:
     """Shared emission for BOTH pg regex-substring spellings
     (substring(s FROM 'pat') and substring(s, 'pat')): group 1 when the
     pattern captures, else the whole match; NULL on no match."""
+    pat = convert_posix_classes(pat)
     g = 1 if _regex_has_capture_group(pat) else 0
     return (
         f"nullif(regexp_extract(({source_text}), "
@@ -319,6 +321,33 @@ def call_handlers(ctx) -> "int | None":
                 "Spark rewrite; move it to the FROM clause"
             )
         return close + 1
+
+    if (
+        read == "postgres"
+        and first_pass
+        and name in (
+            "regexp_replace", "regexp_count", "regexp_like",
+            "regexp_extract", "regexp_matches", "regexp_substr",
+            "regexp_split_to_array", "regexp_instr",
+        )
+    ):
+        # pg POSIX [:class:] bracket elements convert to their Java
+        # forms in PATTERN literals (Java reads [[:digit:]] as the
+        # literal set {:, d, i, g, t} — verified silent flip). Falls
+        # THROUGH to each function's own handler: this edit touches
+        # only the pattern literal token, which those handlers never
+        # re-edit (regexp_replace touches replacement + flag args).
+        spans_px, _c_px = _call_arg_spans(toks, i + 1)
+        if len(spans_px) >= 2:
+            pf, pl = spans_px[1]
+            if pf == pl and toks[pf][0] == "string":
+                pat_px = _literal_content(toks[pf][1], read)
+                conv_px = convert_posix_classes(pat_px)
+                if conv_px != pat_px:
+                    edits.append(
+                        (toks[pf][2], toks[pf][3],
+                         _spark_string_literal(conv_px, read))
+                    )
 
     if name == "date_bin" and read == "postgres" and first_pass:
         # date_bin(stride, source, origin): origin-aligned tumbling

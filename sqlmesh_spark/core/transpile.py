@@ -98,6 +98,7 @@ from sqlmesh_spark.core.transpile_text import (  # noqa: F401
     convert_ch_format,
     _convert_pg_like_format,
     convert_pg_format,
+    convert_posix_classes,
     convert_sf_format,
     _MYSQL_FMT,
     _MYSQL_TIME_CODES,
@@ -1619,23 +1620,28 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     i += 1  # pending rewrites — resolve next pass
                     continue
                 edits.append((start, toks[op_last][3], kw))
-                if ci:
-                    if (
-                        rspan[0] == rspan[1]
-                        and toks[rspan[0]][0] == "string"
-                    ):
-                        pat = _literal_content(toks[rspan[0]][1], read)
-                        edits.append(
-                            (rs, re_,
-                             _spark_string_literal("(?i)" + pat, read))
-                        )
-                    else:
-                        # `||`, not concat(): the pg concat() handler
-                        # would re-rewrite the emission on a later pass
-                        # (fixpoint break); pg and Spark || agree
-                        # (NULL-propagating string concat)
-                        edits.append((rs, rs, "('(?i)' || "))
-                        edits.append((re_, re_, ")"))
+                is_lit = (
+                    rspan[0] == rspan[1] and toks[rspan[0]][0] == "string"
+                )
+                if is_lit and not like_form:
+                    # POSIX [:class:] elements convert (Java would read
+                    # the class NAME as literal characters — silent
+                    # flip); (?i) folds into the same re-emission
+                    pat = convert_posix_classes(
+                        _literal_content(toks[rspan[0]][1], read)
+                    )
+                    if ci:
+                        pat = "(?i)" + pat
+                    edits.append(
+                        (rs, re_, _spark_string_literal(pat, read))
+                    )
+                elif ci:
+                    # `||`, not concat(): the pg concat() handler
+                    # would re-rewrite the emission on a later pass
+                    # (fixpoint break); pg and Spark || agree
+                    # (NULL-propagating string concat)
+                    edits.append((rs, rs, "('(?i)' || "))
+                    edits.append((re_, re_, ")"))
                 i = rhs_idx
                 continue
             i += 1

@@ -288,6 +288,43 @@ def _convert_pg_like_format(
     return "".join(out)
 
 
+#: POSIX bracket-class names → Java character-class content (C-locale
+#: ASCII reading — pg's classes are locale-dependent, but the C locale
+#: is these sets exactly). Java reads ``[[:digit:]]`` as the literal
+#: char set {:, d, i, g, t} — a silent semantic flip (verified live:
+#: pg 'ab12' ~ '[[:digit:]]+' is true, Spark RLIKE false).
+_POSIX_CLASSES = {
+    "digit": "0-9",
+    "alpha": "a-zA-Z",
+    "alnum": "a-zA-Z0-9",
+    "upper": "A-Z",
+    "lower": "a-z",
+    "xdigit": "0-9a-fA-F",
+    "space": "\\s",
+    "blank": " \\t",
+    "word": "\\w",
+    "punct": "\\p{Punct}",
+    "cntrl": "\\x00-\\x1f\\x7f",
+}
+
+
+def convert_posix_classes(pat: str) -> str:
+    """Rewrite POSIX ``[:name:]`` bracket-class elements to their Java
+    equivalents inside a regex pattern; loud when an unknown class
+    remains (silent pass-through would match the literal characters of
+    the class NAME)."""
+    if "[:" not in pat:
+        return pat
+    for name, rep in _POSIX_CLASSES.items():
+        pat = pat.replace(f"[:{name}:]", rep)
+    if re.search(r"\[:[a-z]+:\]", pat):
+        raise TranspileError(
+            f"regex pattern {pat!r} uses a POSIX class with no Java "
+            "equivalent mapping"
+        )
+    return pat
+
+
 def convert_pg_format(fmt: str, formatting: bool = False) -> str:
     """Postgres TO_CHAR pattern → Spark datetime pattern. Numeric
     to_char patterns ('999D99') have no Spark date_format equivalent —

@@ -129,6 +129,13 @@ TEMPLATES += [
     "regexp_split_to_array('a1b22c', '[0-9]+')",
     "regexp_count('a1b22c', '[0-9]+')",
     "'2024-01-02' ~ '^[0-9]{4}'",
+    "'ab12' ~ '[[:digit:]]+'", "'abcd' ~ '[[:digit:]]'",
+    "':' ~ '[[:digit:]]'", "'a b' ~ '[[:space:]]'",
+    "'AB' ~* '[[:lower:]]+$'", "'ab' ~ '[[:alpha:]][[:alnum:]]'",
+    "regexp_count('a1b22c', '[[:digit:]]+')",
+    "regexp_replace('a b  c', '[[:space:]]+', '-', 'g')",
+    "substring('ab12cd' from '[[:digit:]]+')",
+    "regexp_split_to_array('a1b22c', '[[:digit:]]+')",
 ]
 
 # arrays: 1-based, OOB → NULL, array_length/cardinality, literals and

@@ -3402,3 +3402,24 @@ def test_pg_to_char_case_padding_and_intervals(spark):
         )
     with pytest.raises(TranspileError, match="OVERLAPS"):
         transpile("SELECT (a, b) OVERLAPS (c, d) FROM t", "postgres")
+
+
+def test_pg_posix_character_classes(spark):
+    """POSIX [:class:] bracket elements convert to Java forms in every
+    pattern-literal site (~ family, substring-regex, regexp_*
+    functions): Java reads [[:digit:]] as the literal char set
+    {:, d, i, g, t} — a verified silent semantic flip."""
+    q = transpile(
+        "SELECT 'ab12' ~ '[[:digit:]]+' AS a, "
+        "':' ~ '[[:digit:]]' AS b, "
+        "'AB' ~* '[[:lower:]]+$' AS c, "
+        "regexp_count('a1b22c', '[[:digit:]]+') AS d, "
+        "substring('ab12cd' from '[[:digit:]]+') AS e",
+        "postgres",
+    )
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == (
+        True, False, True, 2, "12",
+    )
+    with pytest.raises(TranspileError, match="POSIX"):
+        transpile("SELECT s ~ '[[:foo:]]' FROM t", "postgres")
