@@ -323,20 +323,23 @@ def call_handlers(ctx) -> "int | None":
         return close + 1
 
     if (
-        read == "postgres"
+        read in ("postgres", "duckdb")
         and first_pass
         and name in (
             "regexp_replace", "regexp_count", "regexp_like",
-            "regexp_extract", "regexp_matches", "regexp_substr",
-            "regexp_split_to_array", "regexp_instr",
+            "regexp_extract", "regexp_extract_all", "regexp_matches",
+            "regexp_substr", "regexp_split_to_array", "regexp_instr",
+            "regexp_full_match", "string_split_regex",
         )
     ):
-        # pg POSIX [:class:] bracket elements convert to their Java
-        # forms in PATTERN literals (Java reads [[:digit:]] as the
-        # literal set {:, d, i, g, t} — verified silent flip). Falls
-        # THROUGH to each function's own handler: this edit touches
-        # only the pattern literal token, which those handlers never
-        # re-edit (regexp_replace touches replacement + flag args).
+        # POSIX [:class:] bracket elements convert to their Java forms
+        # in PATTERN literals (Java reads [[:digit:]] as the literal
+        # set {:, d, i, g, t} — verified silent flip against BOTH live
+        # engines: pg's ARE and duckdb's RE2 support the classes).
+        # Falls THROUGH to each function's own handler: this edit
+        # touches only the pattern literal token, which those handlers
+        # never re-edit (regexp_replace touches replacement + flag
+        # args).
         spans_px, _c_px = _call_arg_spans(toks, i + 1)
         if len(spans_px) >= 2:
             pf, pl = spans_px[1]
@@ -371,19 +374,28 @@ def call_handlers(ctx) -> "int | None":
             )
         total = 0.0
         body = m.group(1).strip()
+        if "-" in body:
+            raise TranspileError(
+                "date_bin stride must be positive (pg rejects zero or "
+                "negative strides)"
+            )
+        # explicit unit table — no suffix-stripping: 'ms' would
+        # collapse to the minute key and 's' to the empty string
+        _BIN_UNITS = {
+            "week": 604800, "weeks": 604800, "w": 604800,
+            "day": 86400, "days": 86400, "d": 86400,
+            "hour": 3600, "hours": 3600, "hr": 3600, "hrs": 3600,
+            "h": 3600,
+            "minute": 60, "minutes": 60, "min": 60, "mins": 60, "m": 60,
+            "second": 1, "seconds": 1, "sec": 1, "secs": 1, "s": 1,
+        }
         for num, unit in re.findall(r"([\d.]+)\s*([a-zA-Z]+)", body):
-            u = unit.lower().rstrip("s")
-            mult = {
-                "week": 604800, "day": 86400, "d": 86400,
-                "hour": 3600, "hr": 3600, "h": 3600,
-                "minute": 60, "min": 60, "m": 60,
-                "second": 1, "sec": 1,
-            }.get(u)
+            mult = _BIN_UNITS.get(unit.lower())
             if mult is None:
                 raise TranspileError(
-                    f"date_bin stride unit {unit!r} has no fixed width "
-                    "(pg rejects month/year strides; sub-second strides "
-                    "have no Spark rewrite here)"
+                    f"date_bin stride unit {unit!r} has no fixed "
+                    "whole-second width (pg rejects month/year strides; "
+                    "sub-second strides have no Spark rewrite here)"
                 )
             total += float(num) * mult
         if total <= 0 or total != int(total):
@@ -944,10 +956,15 @@ def call_handlers(ctx) -> "int | None":
                         "parts uses pg's fixed 30-day months — no "
                         "faithful Spark form; use day-time units"
                     )
+                # zone-suffixed anchor: a bare timestamp string
+                # parses in the SESSION timezone, skewing the epoch by
+                # the zone offset in any non-UTC session; the UTC
+                # suffix pins epoch 0 unconditionally (the outer
+                # CAST-to-DOUBLE of a timestamp is zone-independent)
                 edits.append(
                     (start, toks[close][3],
-                     "CAST(CAST('1970-01-01 00:00:00' AS TIMESTAMP) + "
-                     f"({iv_}) AS DOUBLE)")
+                     "CAST(CAST('1970-01-01 00:00:00 UTC' AS TIMESTAMP)"
+                     f" + ({iv_}) AS DOUBLE)")
                 )
                 return close + 1
             tmpl = (

@@ -1558,10 +1558,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # LIKE spellings ~~ / !~~ → LIKE / NOT LIKE. Spark RLIKE is also
         # a partial (unanchored) match, and its precedence band (the
         # LIKE predicates) matches pg's. Regex FLAVOR divergence (POSIX
-        # ARE vs Java) is documented: character classes, anchors,
-        # alternation, quantifiers — the common surface — agree;
-        # [[:alpha:]] POSIX classes exist in Java regex as \p{Alpha}
-        # only, so patterns using them fail loud at run time. Infix
+        # ARE vs Java) is documented: anchors, alternation,
+        # quantifiers — the common surface — agree; POSIX [:class:]
+        # bracket elements CONVERT in literal patterns (Java reads the
+        # class name as literal characters — a silent flip, see
+        # convert_posix_classes), and non-literal patterns carrying
+        # them still ship through unconverted (runtime-silent; only
+        # literals are statically visible). Infix
         # reading requires the previous token to END an expression —
         # `SELECT ~ 5` stays Spark's unary bitwise NOT (same operator
         # in pg).

@@ -1026,7 +1026,16 @@ def _maybe_round_castee(
             depth_c += 1
         elif k_ in _NAME_KINDS and t_.upper() == "END":
             depth_c -= 1
-        elif k_ in _NAME_KINDS and t_.upper() == "SELECT":
+        elif (
+            k_ in _NAME_KINDS
+            and t_.upper() == "SELECT"
+            and depth_c <= bool_base
+        ):
+            # the castee IS a scalar subquery — its selected column's
+            # type is unknowable, never boolean-classify. A DEEPER
+            # subquery ((x > (SELECT avg(y) ...))::int) is just an
+            # operand of the top-level comparison and must not veto
+            # the boolean classification.
             is_bool_shape = False
             break
         elif depth_c == bool_base and (

@@ -197,7 +197,10 @@ _PG_FM_FMT = {
 #: the capitalized form, so only the capitalized spelling is faithful
 #: when formatting. Value = the required source spelling.
 _PG_CASED_NAMES = {"MON": "Mon", "DY": "Dy", "AM": ("AM", "PM"),
-                   "PM": ("AM", "PM")}
+                   "PM": ("AM", "PM"),
+                   # pg 'tz' prints the LOWERCASE zone abbreviation;
+                   # Java zzz prints 'UTC' — only uppercase TZ maps
+                   "TZ": ("TZ",)}
 
 
 def _convert_pg_like_format(
@@ -270,9 +273,9 @@ def _convert_pg_like_format(
                         raise TranspileError(
                             f"pg to_char prints {pat} case-following-"
                             "pattern; Spark's output is fixed — "
-                            + ("use uppercase AM/PM"
-                               if pat in ("AM", "PM")
-                               else f"use '{pat.capitalize()}'")
+                            + (f"use uppercase {'/'.join(want)}"
+                               if isinstance(want, tuple)
+                               else f"use '{want}'")
                         )
                 out.append(rep)
                 i += len(pat)

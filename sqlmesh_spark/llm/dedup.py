@@ -299,6 +299,84 @@ FROM (SELECT doc_id, {", ".join(bkeys)}
 """
 
 
+def minhash_bands_arrow(
+    docsets_df: DataFrame,
+    num_hashes: int = 32,
+    band_size: int = 4,
+):
+    """(doc_id, band, bkey) rows from per-doc shingle-hash arrays via
+    Arrow batches — bit-identical to minhash_bands_sql but vectorized:
+    the SQL form runs num_hashes interpreted ARRAY_MIN(TRANSFORM(...))
+    lambda folds per doc (~0.8 ms/doc measured), here the signature
+    mins are numpy segment-reductions over the batch's concatenated
+    shingle hashes (int64 (a·x+b) mod p — exact: a < 2³⁰, x < 2³², no
+    overflow, order-insensitive) and only the 32 per-doc band-key md5s
+    stay scalar (~30 µs/doc). The shingle-set relation itself stays in
+    SQL: its per-shingle md5 is faster JVM-side, and the verify join
+    reuses the same cached docsets."""
+    import numpy as np
+
+    p = 4294967311
+    consts = np.array(
+        [
+            ((_hash60_py(f"a{i}") % 1073741823) + 1,
+             _hash60_py(f"b{i}") % 4294967296)
+            for i in range(num_hashes)
+        ],
+        dtype=np.int64,
+    )
+    n_bands = num_hashes // band_size
+
+    def _bands(batches):  # closure: workers cannot import this module
+        import hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def h60(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = pdf["hs"].to_numpy()
+            lens = _np.fromiter(
+                (len(a) for a in arrs), dtype=_np.int64, count=len(arrs)
+            )
+            flat = _np.concatenate(
+                [_np.asarray(a, dtype=_np.int64) for a in arrs]
+            )
+            offsets = _np.zeros(len(arrs), dtype=_np.int64)
+            _np.cumsum(lens[:-1], out=offsets[1:])
+            x = flat % 4294967296
+            mh = _np.empty((len(arrs), len(consts)), dtype=_np.int64)
+            for i, (a, b) in enumerate(consts):
+                mh[:, i] = _np.minimum.reduceat((a * x + b) % p, offsets)
+            doc_ids = pdf["doc_id"].to_numpy()
+            out_doc = _np.repeat(doc_ids, n_bands)
+            out_band = _np.tile(
+                _np.arange(n_bands, dtype=_np.int32), len(arrs)
+            )
+            bkeys = _np.empty(len(arrs) * n_bands, dtype=_np.int64)
+            k = 0
+            for r in range(len(arrs)):
+                row = mh[r]
+                for band in range(n_bands):
+                    acc = 0
+                    for i in range(band * band_size,
+                                   (band + 1) * band_size):
+                        acc ^= h60(f"{i}_{row[i]}")
+                    bkeys[k] = acc
+                    k += 1
+            yield _pd.DataFrame(
+                {"doc_id": out_doc, "band": out_band, "bkey": bkeys}
+            )
+
+    return docsets_df.select("doc_id", "hs").mapInPandas(
+        _bands, schema="doc_id bigint, band int, bkey bigint"
+    )
+
+
 def minhash_lsh_wide_sql(
     table: str,
     k: int = 5,
@@ -517,7 +595,11 @@ def _minhash_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~0.4 s at sf0.1; at corpus scale, a full second signature pass).
     ds = spark.sql(docset_sql(docs, 5))
     ds.cache().createOrReplaceTempView("mh_docsets")
-    bands = spark.sql(minhash_bands_sql("mh_docsets"))
+    # Arrow segment-min bands (bit-identical to minhash_bands_sql —
+    # pinned by tests/test_llm_ops.py); the 32 interpreted
+    # ARRAY_MIN(TRANSFORM) folds per doc were the signature stage's
+    # wall-clock ceiling at the 100× scale run
+    bands = minhash_bands_arrow(ds)
     bands.cache().createOrReplaceTempView("mh_bands")
     return spark.sql(
         minhash_lsh_wide_sql(

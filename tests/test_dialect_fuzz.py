@@ -115,6 +115,10 @@ TEMPLATES += [
     "regexp_extract('ab12cd', '[0-9]+')",
     "regexp_matches('hello', 'ell')",
     "regexp_matches('a.b', '[.]')",
+    "regexp_matches('ab12', '[[:digit:]]+')",
+    "regexp_extract('ab12', '[[:digit:]]+')",
+    "regexp_matches(':', '[[:digit:]]')",
+    "regexp_replace('a b  c', '[[:space:]]+', '-', 'g')",
     "'10%' LIKE '10!%' ESCAPE '!'",
     "'abc' LIKE 'a%'",
     r"'a_c' LIKE 'a\_c'",

@@ -235,3 +235,25 @@ def test_embedding_lsh_arrow_bands_bit_identical(spark, sf_dir):
     assert sql_b.exceptAll(arrow_b).count() == 0
     assert arrow_b.exceptAll(sql_b).count() == 0
     assert arrow_b.count() == sql_b.count() > 0
+
+
+def test_minhash_arrow_bands_bit_identical(spark, sf_dir):
+    """The Arrow segment-min bands producer must emit EXACTLY the rows
+    of the SQL ARRAY_MIN(TRANSFORM) formulation — same universal-hash
+    constants, same int64 arithmetic (no overflow: a < 2^30, x < 2^32),
+    same md5-derived XOR band keys."""
+    from sqlmesh_spark.llm.dedup import (
+        docset_sql,
+        minhash_bands_arrow,
+        minhash_bands_sql,
+    )
+    from sqlmesh_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    ds = spark.sql(docset_sql("documents", 5))
+    ds.cache().createOrReplaceTempView("mh_arrow_test_ds")
+    sql_b = spark.sql(minhash_bands_sql("mh_arrow_test_ds"))
+    arrow_b = minhash_bands_arrow(ds)
+    assert sql_b.exceptAll(arrow_b).count() == 0
+    assert arrow_b.exceptAll(sql_b).count() == 0
+    assert arrow_b.count() == sql_b.count() > 0
