@@ -1193,6 +1193,26 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         ):
             on_spans, on_close = _call_arg_spans(toks, i + 2)
             on_text = sql[toks[i + 2][3]: toks[on_close][2]].strip()
+            # a set operation BEFORE this SELECT (same depth) means any
+            # trailing ORDER BY is UNION-scoped, not this SELECT's own
+            # — pg then picks an arbitrary row per group (loud below),
+            # and claiming the union's ORDER BY would both mis-order
+            # the union and fabricate a deterministic pick
+            depth = 0
+            in_set_op_tail = False
+            for j in range(i - 2, -1, -1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == ")":
+                    depth += 1
+                elif k_ == "op" and t_ == "(":
+                    depth -= 1
+                    if depth < 0:
+                        break
+                elif depth == 0 and k_ == "ident" and t_.upper() in (
+                    "UNION", "EXCEPT", "INTERSECT", "MINUS"
+                ):
+                    in_set_op_tail = True
+                    break
             # matching FROM of this SELECT (forward, same depth)
             depth = 0
             from_idx = None
@@ -1230,12 +1250,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     or (k_ == "op" and t_ == ";")
                 ):
                     break
-            if ord_idx is None:
+            if ord_idx is None or in_set_op_tail:
                 raise TranspileError(
-                    "DISTINCT ON without ORDER BY picks an arbitrary row "
-                    "per group in postgres — add an ORDER BY starting "
-                    "with the ON expressions to make the pick "
-                    "deterministic"
+                    "DISTINCT ON without its own ORDER BY (a trailing "
+                    "ORDER BY after a set operation is UNION-scoped) "
+                    "picks an arbitrary row per group in postgres — "
+                    "give the DISTINCT ON select an ORDER BY starting "
+                    "with the ON expressions (e.g. in a subquery) to "
+                    "make the pick deterministic"
                 )
             # order-list span: from ORDER to the next same-depth
             # terminator (LIMIT/OFFSET/FETCH/set-op/close/;)

@@ -3311,6 +3311,14 @@ def test_pg_distinct_on_and_series(spark):
     assert [r.v for r in spark.sql(out2).collect()] == ["c", "b"]
     with pytest.raises(TranspileError, match="arbitrary row"):
         transpile("SELECT DISTINCT ON (k) k FROM t", "postgres")
+    # a trailing ORDER BY after a set operation is UNION-scoped, not
+    # the DISTINCT ON select's own — the pick is arbitrary in pg: loud
+    with pytest.raises(TranspileError, match="UNION-scoped"):
+        transpile(
+            "SELECT DISTINCT ON (k) k, v FROM t UNION ALL "
+            "SELECT 9, 'x' ORDER BY k",
+            "postgres",
+        )
     # generate_series: rows for pg, list for duckdb select-list
     out3 = transpile(
         "SELECT sum(i) AS s FROM generate_series(1, 5) AS g(i)", "postgres"
