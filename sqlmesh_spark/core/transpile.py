@@ -1167,6 +1167,107 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             i += 1
             continue
 
+        # ORDER BY NULL-placement defaults (verified live for pg and
+        # duckdb; others per their documented defaults): Spark sorts
+        # NULLS FIRST on ASC / NULLS LAST on DESC, while
+        # pg/redshift/oracle/snowflake/trino treat NULL as LARGEST
+        # (NULLS LAST on ASC, NULLS FIRST on DESC) and duckdb/
+        # clickhouse default NULLS LAST in BOTH directions. Any
+        # unannotated sort item therefore places NULL rows differently
+        # — silently different results under LIMIT and window ranking.
+        # Append the source dialect's placement to every item that
+        # lacks an explicit NULLS keyword, in statement-level and
+        # OVER-window ORDER BY clauses (function-arg ORDER BYs are
+        # owned by their functions' handlers — loud or restructured —
+        # and WITHIN GROUP aggregates skip NULL inputs). mysql/tsql/
+        # bigquery treat NULL as SMALLEST, matching Spark — no-op.
+        if (
+            kind == "ident"
+            and text.upper() == "ORDER"
+            and i + 1 < n
+            and toks[i + 1][0] == "ident"
+            and toks[i + 1][1].upper() == "BY"
+            and read in ("postgres", "redshift", "oracle", "snowflake",
+                          "trino", "duckdb", "clickhouse")
+        ):
+            # context: statement/subquery level or OVER window — skip
+            # function-argument and WITHIN GROUP clauses
+            depth = 0
+            opener_prev = None
+            at_top = True
+            for j in range(i - 1, -1, -1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == ")":
+                    depth += 1
+                elif k_ == "op" and t_ == "(":
+                    depth -= 1
+                    if depth < 0:
+                        opener_prev = toks[j - 1] if j > 0 else None
+                        at_top = False
+                        break
+            applies = at_top or opener_prev is None or not (
+                opener_prev[0] in _NAME_KINDS
+                and (
+                    opener_prev[1].upper() == "GROUP"  # WITHIN GROUP
+                    or opener_prev[1].upper() not in _NONCALLABLE_KEYWORDS
+                )
+            )
+            if applies:
+                # item spans to the clause end at this depth
+                depth = 0
+                items: list[list[int]] = [[]]
+                end_j = n
+                for j in range(i + 2, n):
+                    k_, t_ = toks[j][0], toks[j][1]
+                    if k_ == "op" and t_ == "(":
+                        depth += 1
+                    elif k_ == "op" and t_ == ")":
+                        depth -= 1
+                        if depth < 0:
+                            end_j = j
+                            break
+                    elif depth == 0 and k_ == "op" and t_ in (",", ";"):
+                        if t_ == ";":
+                            end_j = j
+                            break
+                        items.append([])
+                        continue
+                    elif depth == 0 and k_ == "ident" and t_.upper() in (
+                        "LIMIT", "OFFSET", "FETCH", "WINDOW", "ROWS",
+                        "RANGE", "GROUPS",
+                        "UNION", "EXCEPT", "INTERSECT", "MINUS",
+                    ):
+                        end_j = j
+                        break
+                    items[-1].append(j)
+                for item in items:
+                    if not item:
+                        continue
+                    ups = [
+                        toks[j][1].upper()
+                        for j in item
+                        if toks[j][0] == "ident"
+                    ]
+                    if "NULLS" in ups:
+                        continue  # explicit placement — faithful as-is
+                    desc = False
+                    for j in reversed(item):
+                        if toks[j][0] == "ident" and \
+                                toks[j][1].upper() in ("ASC", "DESC"):
+                            desc = toks[j][1].upper() == "DESC"
+                            break
+                    last_end = toks[item[-1]][3]
+                    if any(e[1] >= toks[item[0]][2] and e[0] <= last_end
+                           for e in edits):
+                        continue  # pending rewrites — next pass
+                    if read in ("duckdb", "clickhouse"):
+                        kw_n = " NULLS LAST"
+                    else:
+                        kw_n = " NULLS FIRST" if desc else " NULLS LAST"
+                    edits.append((last_end, last_end, kw_n))
+            i += 2
+            continue
+
         # Postgres SELECT DISTINCT ON (k, ...) — keep the FIRST row per
         # key group under the statement's ORDER BY (pg requires the
         # ORDER BY to start with the ON expressions). Spark has no

@@ -160,6 +160,9 @@ TEMPLATES += [
     f"(SELECT fsum(v) FROM (VALUES (1.5),(2.5)) t(v))",
     f"(SELECT skewness(v) FILTER (WHERE v < 9) FROM (VALUES (1),(2),(5),(9)) t(v))",
     f"(SELECT kurtosis(v) FILTER (WHERE v < 99) FROM (VALUES (1),(2),(5),(9)) t(v))",
+    # duckdb default NULL placement is LAST in BOTH directions
+    "(SELECT v FROM (VALUES (1),(NULL),(2)) t(v) ORDER BY v LIMIT 1)",
+    "(SELECT v FROM (VALUES (1),(NULL),(2)) t(v) ORDER BY v DESC LIMIT 1)",
     "(SELECT date_part('decade', make_date(-4, 1, 1)))",
     "(SELECT date_part('century', make_date(-4, 1, 1)))",
     "(SELECT date_part('millennium', make_date(-4, 1, 1)))",

@@ -156,6 +156,12 @@ TEMPLATES += [
     "(SELECT array_agg(v) FROM (VALUES (1),(NULL),(2)) t(v))",
     "(SELECT array_agg(v ORDER BY v) FROM (VALUES (2),(1)) t(v))",
     "(SELECT unnest(ARRAY[7]))",
+    # NULL placement: pg sorts NULL as LARGEST (last on ASC, first on
+    # DESC) where Spark's default is the opposite on ASC
+    "(SELECT v FROM (VALUES (1),(NULL),(2)) t(v) ORDER BY v LIMIT 1)",
+    "(SELECT v FROM (VALUES (1),(NULL),(2)) t(v) ORDER BY v DESC LIMIT 1) IS NULL",
+    "(SELECT v FROM (VALUES (1),(NULL),(2)) t(v) ORDER BY v NULLS FIRST LIMIT 1) IS NULL",
+    "(SELECT count(*) FROM (SELECT v, row_number() OVER (ORDER BY v) rn FROM (VALUES (1),(NULL)) t(v)) q WHERE rn = 1 AND v = 1)",
 ]
 
 # aggregates as scalar subqueries: keep-NULL array_agg, string_agg,

@@ -798,6 +798,22 @@ def test_transpile_fixpoint_over_registry_corpus():
     assert checked >= 50, (checked, skipped_loud, skipped_backslash)
 
 
+
+#: dialects whose unannotated sort items gain the source NULL placement
+#: (pg-rule: NULLS LAST asc / FIRST desc; duck-rule: LAST always — both
+#: are NULLS LAST for the ASC items in the no-op corpora)
+_NULLS_DIALECTS = ("duckdb", "postgres", "snowflake", "trino", "oracle",
+                   "redshift", "clickhouse")
+
+
+def _with_nulls(sql: str, dialect: str) -> str:
+    if dialect not in _NULLS_DIALECTS:
+        return sql
+    return sql.replace(
+        "ORDER BY a)", "ORDER BY a NULLS LAST)"
+    ).replace("ORDER BY k LIMIT", "ORDER BY k NULLS LAST LIMIT")
+
+
 def test_transpile_noop_on_plain_spark_sql_corpus():
     """Already-Spark SQL (no dialect-specific constructs) round-trips
     byte-identical through every read dialect — the no-op guarantee the
@@ -812,7 +828,8 @@ def test_transpile_noop_on_plain_spark_sql_corpus():
     ]
     for sql in corpus:
         for dialect in ("duckdb", "postgres", "ansi", "snowflake", "bigquery"):
-            assert transpile(sql, dialect) == sql, (dialect, sql)
+            assert transpile(sql, dialect) == _with_nulls(sql, dialect), \
+                (dialect, sql)
 
 
 # ---------------------------------------------------------------------------
@@ -2067,7 +2084,7 @@ def test_new_dialects_in_noop_corpus():
         "SELECT /* block */ concat_ws('-', a, b) AS k FROM t ORDER BY k LIMIT 5",
     ]
     for sql in corpus:
-        assert transpile(sql, "redshift") == sql, sql
+        assert transpile(sql, "redshift") == _with_nulls(sql, "redshift"), sql
         assert transpile(sql, "mysql") == sql, sql
     assert (
         transpile("SELECT date_format(ts, 'yyyy-MM') AS ym FROM t", "redshift")
@@ -2320,7 +2337,7 @@ def test_oracle_tsql_in_noop_corpus():
         "SELECT /* block */ concat_ws('-', a, b) AS k FROM t ORDER BY k LIMIT 5",
     ]
     for sql in corpus:
-        assert transpile(sql, "oracle") == sql, sql
+        assert transpile(sql, "oracle") == _with_nulls(sql, "oracle"), sql
         assert transpile(sql, "tsql") == sql, sql
 
 
@@ -2592,7 +2609,7 @@ def test_trino_in_noop_corpus():
         "SELECT /* block */ concat_ws('-', a, b) AS k FROM t ORDER BY k LIMIT 5",
     ]
     for sql in corpus:
-        assert transpile(sql, "trino") == sql, sql
+        assert transpile(sql, "trino") == _with_nulls(sql, "trino"), sql
 
 
 def test_dialect_aliases():
@@ -2858,7 +2875,7 @@ def test_clickhouse_in_noop_corpus():
         "SELECT timestampdiff(DAY, a, b), date_trunc('month', ts) FROM t",
     ]
     for sql in corpus:
-        assert transpile(sql, "clickhouse") == sql, sql
+        assert transpile(sql, "clickhouse") == _with_nulls(sql, "clickhouse"), sql
 
 
 def test_directional_join_unnest_flatten_loud():
