@@ -82,6 +82,7 @@ from sqlmesh_spark.core.transpile_shared import (  # noqa: F401
     _cast_as_indices,
     _type_token_edits,
     _maybe_round_castee,
+    _maybe_varchar_truncate,
     _json_key_to_path,
     TokenCtx,
     _EXPR_KEYWORDS,
@@ -289,7 +290,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # (column int division needs the model's types, which a textual
         # transpiler doesn't have; SQLGlot, and therefore the
         # reference, passes it through identically). Pinned in
-        # tests/test_dialect_fuzz_pg.py.
+        # tests/test_dialect_fuzz_pg.py. A preceding DIV name does NOT
+        # block: postgres has no infix DIV, so it can only be this
+        # handler's own prior emission — a provably-integer LHS — and
+        # blocking it left chains half-converted (`7/2/2` stabilized as
+        # `7 DIV 2/2` = 1.5 in Spark where pg gives 1; chain rewrites
+        # land one `/` per fixpoint pass via the pending-edit defer).
         if (
             read == "postgres"
             and kind == "op"
@@ -299,12 +305,8 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             and toks[i - 1][1].isdigit()
             and not (
                 i >= 2
-                and (
-                    (toks[i - 2][0] == "op"
-                     and toks[i - 2][1] in ("*", "/", "%", "^", "::"))
-                    or (toks[i - 2][0] in _NAME_KINDS
-                        and toks[i - 2][1].upper() == "DIV")
-                )
+                and toks[i - 2][0] == "op"
+                and toks[i - 2][1] in ("*", "/", "%", "^", "::")
             )
         ):
             j = i + 1
@@ -1213,9 +1215,14 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 )
             )
             if applies:
-                # item spans to the clause end at this depth
+                # item spans to the clause end at this depth; each item
+                # records (token_idx, depth-within-item) — NULLS and
+                # ASC/DESC classification must see ONLY depth-0 tokens
+                # (a NULLS LAST inside a nested OVER window previously
+                # suppressed the whole item's annotation, silently
+                # keeping Spark's default placement for the outer sort)
                 depth = 0
-                items: list[list[int]] = [[]]
+                items: list[list[tuple[int, int]]] = [[]]
                 end_j = n
                 for j in range(i + 2, n):
                     k_, t_ = toks[j][0], toks[j][1]
@@ -1239,25 +1246,25 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     ):
                         end_j = j
                         break
-                    items[-1].append(j)
+                    items[-1].append((j, depth))
                 for item in items:
                     if not item:
                         continue
                     ups = [
                         toks[j][1].upper()
-                        for j in item
-                        if toks[j][0] == "ident"
+                        for j, d in item
+                        if d == 0 and toks[j][0] == "ident"
                     ]
                     if "NULLS" in ups:
                         continue  # explicit placement — faithful as-is
                     desc = False
-                    for j in reversed(item):
-                        if toks[j][0] == "ident" and \
+                    for j, d in reversed(item):
+                        if d == 0 and toks[j][0] == "ident" and \
                                 toks[j][1].upper() in ("ASC", "DESC"):
                             desc = toks[j][1].upper() == "DESC"
                             break
-                    last_end = toks[item[-1]][3]
-                    if any(e[1] >= toks[item[0]][2] and e[0] <= last_end
+                    last_end = toks[item[-1][0]][3]
+                    if any(e[1] >= toks[item[0][0]][2] and e[0] <= last_end
                            for e in edits):
                         continue  # pending rewrites — next pass
                     if read in ("duckdb", "clickhouse"):
@@ -1973,6 +1980,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # `::type` cast target rename; `::type[]` (Postgres array-type
         # cast) becomes `::ARRAY<type>`.
         if kind == "op" and text == "::" and i + 1 < n and toks[i + 1][0] == "ident":
+            vc = _maybe_varchar_truncate(toks, i, read, edits, cast_form=False)
+            if vc is not None:
+                v_edits, consumed = vc
+                edits.extend(v_edits)
+                i += consumed
+                continue
             _maybe_round_castee(
                 toks, i - 1, toks[i + 1][1], read, edits, cast_form=False
             )
@@ -1991,6 +2004,12 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             and i + 1 < n
             and toks[i + 1][0] == "ident"
         ):
+            vc = _maybe_varchar_truncate(toks, i, read, edits, cast_form=True)
+            if vc is not None:
+                v_edits, consumed = vc
+                edits.extend(v_edits)
+                i += consumed
+                continue
             _maybe_round_castee(
                 toks, i - 1, toks[i + 1][1], read, edits, cast_form=True
             )

@@ -99,6 +99,14 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
         # the documented ->> object/array text caveat.
         "json": "STRING",
         "jsonb": "STRING",
+        # pg char(n)/character(n) blank-pad on store but comparisons
+        # and length() IGNORE the padding (verified live: 'a'::char(3)
+        # = 'a' is true, length = 1, text form 'a  ') — no Spark type
+        # reproduces that split personality. varchar(n) (truncating)
+        # rewrites via _maybe_varchar_truncate; bare ::char truncates
+        # to ONE char in pg — loud, not a silent identity.
+        "char": None,
+        "character": None,
     },
     "duckdb": {
         # duckdb bare DECIMAL/NUMERIC is DECIMAL(18,3) by spec; Spark's
@@ -251,6 +259,17 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
     },
 }
 
+
+#: ANSI two-word type spellings (pg family + duckdb accept them in both
+#: `::` and CAST AS position): rewritten to the canonical single-word
+#: name; a trailing (n) list is left in place for the regular param
+#: machinery on the next fixpoint pass (so `character varying(2)`
+#: follows exactly the user-written varchar(2) path). None is LOUD.
+_TWO_WORD_TYPES: dict[tuple[str, str], str | None] = {
+    ("double", "precision"): "DOUBLE",
+    ("character", "varying"): "VARCHAR",
+    ("bit", "varying"): None,           # pg bit strings → no Spark analog
+}
 
 # Parameterized type names: the base word renames, the (p[,s]) argument
 # list is preserved (CAST(x AS NUMBER(10,2)) → CAST(x AS DECIMAL(10,2))).
@@ -584,14 +603,29 @@ def _backward_primary(toks: list, idx: int, include_unary: bool):
     Returns None when unrecognized or when the primary ends in `]`
     (defer to the next fixpoint pass, after subscripts rewrite)."""
     # step back over trailing bare `::type` postfixes so the walk
-    # starts at the CAST's operand, not its type name
-    while (
-        idx >= 2
-        and toks[idx][0] in _NAME_KINDS
-        and toks[idx - 1][0] == "op"
-        and toks[idx - 1][1] == "::"
-    ):
-        idx -= 2
+    # starts at the CAST's operand, not its type name; two-word ANSI
+    # spellings (`::double precision`) step over BOTH words — anchoring
+    # on the trailing ident alone wrapped bare `precision` in round()
+    while True:
+        if (
+            idx >= 3
+            and toks[idx][0] in _NAME_KINDS
+            and toks[idx - 1][0] in _NAME_KINDS
+            and toks[idx - 2][0] == "op"
+            and toks[idx - 2][1] == "::"
+            and (toks[idx - 1][1].lower(), toks[idx][1].lower())
+            in _TWO_WORD_TYPES
+        ):
+            idx -= 3
+        elif (
+            idx >= 2
+            and toks[idx][0] in _NAME_KINDS
+            and toks[idx - 1][0] == "op"
+            and toks[idx - 1][1] == "::"
+        ):
+            idx -= 2
+        else:
+            break
     kind, text = toks[idx][0], toks[idx][1]
     if kind == "op" and text in ("]", "::"):
         return None  # subscript/cast tail — resolves next pass
@@ -630,13 +664,23 @@ def _backward_primary(toks: list, idx: int, include_unary: bool):
     if first is None:
         return None
     # a parameterized `::type(args)` postfix backtracks to the type
-    # name (numeric(10,2) looks like a call) — extend to the operand
-    while (
-        first >= 2
-        and toks[first - 1][0] == "op"
-        and toks[first - 1][1] == "::"
-    ):
-        sub = _backward_primary(toks, first - 2, include_unary=False)
+    # name (numeric(10,2) looks like a call) — extend to the operand;
+    # two-word parameterized spellings (`::character varying(10)`)
+    # backtrack to the SECOND word, so step over both
+    while first >= 2:
+        if toks[first - 1][0] == "op" and toks[first - 1][1] == "::":
+            sub = _backward_primary(toks, first - 2, include_unary=False)
+        elif (
+            first >= 3
+            and toks[first - 1][0] in _NAME_KINDS
+            and toks[first - 2][0] == "op"
+            and toks[first - 2][1] == "::"
+            and (toks[first - 1][1].lower(), toks[first][1].lower())
+            in _TWO_WORD_TYPES
+        ):
+            sub = _backward_primary(toks, first - 3, include_unary=False)
+        else:
+            break
         if sub is None:
             return None
         first = sub
@@ -746,6 +790,19 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
     a CAST's type-introducing AS (both syntaxes must stay in lockstep).
     Returns (edits, tokens_consumed_after_i)."""
     tname = toks[i + 1][1].lower()
+    if (
+        read in ("postgres", "redshift", "duckdb", "ansi")
+        and i + 2 < len(toks)
+        and toks[i + 2][0] == "ident"
+        and (tname, toks[i + 2][1].lower()) in _TWO_WORD_TYPES
+    ):
+        two = _TWO_WORD_TYPES[(tname, toks[i + 2][1].lower())]
+        if two is None:
+            raise TranspileError(
+                f"type {tname} {toks[i + 2][1]!r} has no faithful Spark "
+                "representation"
+            )
+        return [(toks[i + 1][2], toks[i + 2][3], two)], 3
     if read == "clickhouse" and is_op(i + 2, "("):
         if tname in ("nullable", "lowcardinality"):
             # Unwrap: CAST(x AS Nullable(Int64)) → CAST(x AS Int64) —
@@ -897,6 +954,13 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
             return [(toks[i + 1][2], toks[close_j][3], base_u)], close_j + 1 - i
         ptype = _PARAM_TYPES.get(read, {}).get(tname)
         if ptype is not None:
+            # skip zero-change replacements: an identity edit
+            # (DECIMAL→DECIMAL on every later pass) never alters the
+            # text but registers as "pending" in overlap checks, which
+            # permanently deferred _maybe_round_castee's wrap for
+            # x::numeric(10,2)::int — a silent truncate-vs-round
+            if ptype == toks[i + 1][1]:
+                return [], 2
             return [(toks[i + 1][2], toks[i + 1][3], ptype)], 2
         # a type that is LOUD in bare form (mapped None) is just as
         # unrepresentable with parameters: ROW(x int), TIME(3), BIT(3)
@@ -906,7 +970,7 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
             )
         return [], 2
     mapped = _lookup_type(read, tname)
-    if mapped is not None:
+    if mapped is not None and mapped != toks[i + 1][1]:
         return [(toks[i + 1][2], toks[i + 1][3], mapped)], 2
     return [], 2
 
@@ -926,20 +990,160 @@ _ROUNDING_INT_TYPES = frozenset({
 })
 
 
+#: type names that are statically FLOAT-typed in pg/duckdb — a castee
+#: ending in one of these casts rounds half-EVEN on float→int (pg
+#: 2.5::float8::int = 2, verified live on PostgreSQL 15 and DuckDB),
+#: matching Spark's bround(); numeric/unknown castees round half-away.
+_FLOAT_CAST_TYPES = frozenset({
+    "float8", "float4", "real", "double", "float",
+})
+
+#: zero-arg builtins returning double precision in both pg and duckdb
+_FLOAT_BUILTINS = frozenset({"random", "pi"})
+
+
+def _float_typed_castee(toks, lf: int, end_idx: int, depth: int = 0) -> bool:
+    """True when the castee spanning toks[lf..end_idx] is STATICALLY
+    float-typed: it ends in a ``::float8``-family postfix (an arithmetic
+    tail with one double operand promotes the whole expression to
+    double in pg/duckdb), is a complete ``CAST(... AS DOUBLE)`` /
+    ``TRY_CAST`` call, a float-returning zero-arg builtin, or a
+    parenthesization of one of those."""
+    if depth > 8 or lf > end_idx:
+        return False
+    last_k, last_t = toks[end_idx][0], toks[end_idx][1]
+    if last_k in _NAME_KINDS:
+        if (
+            end_idx >= 1
+            and toks[end_idx - 1][0] == "op"
+            and toks[end_idx - 1][1] == "::"
+            and last_t.lower() in _FLOAT_CAST_TYPES
+        ):
+            return True
+        # two-word `::double precision` (pass-1 shape, pre-rename)
+        if (
+            end_idx >= 2
+            and toks[end_idx - 1][0] in _NAME_KINDS
+            and toks[end_idx - 2][0] == "op"
+            and toks[end_idx - 2][1] == "::"
+            and (toks[end_idx - 1][1].lower(), last_t.lower())
+            == ("double", "precision")
+        ):
+            return True
+        return False
+    if last_k == "op" and last_t == ")" and toks[lf][0] == "op" \
+            and toks[lf][1] == "(":
+        return _float_typed_castee(toks, lf + 1, end_idx - 1, depth + 1)
+    if last_k == "op" and last_t == ")" and toks[lf][0] in _NAME_KINDS:
+        fname = toks[lf][1].lower()
+        if fname in _FLOAT_BUILTINS and lf + 1 < end_idx + 1 \
+                and toks[lf + 1][0] == "op" and toks[lf + 1][1] == "(":
+            return True
+        if (
+            fname in ("cast", "try_cast")
+            and end_idx >= 2
+            and toks[end_idx - 1][0] in _NAME_KINDS
+            and toks[end_idx - 1][1].lower() in _FLOAT_CAST_TYPES
+            and toks[end_idx - 2][0] in _NAME_KINDS
+            and toks[end_idx - 2][1].upper() == "AS"
+        ):
+            return True
+    return False
+
+
+def _maybe_varchar_truncate(
+    toks, i: int, read: str, edits: list, cast_form: bool
+):
+    """pg EXPLICIT varchar(n) casts TRUNCATE to n chars (verified live:
+    'abc'::varchar(2) = 'ab', 123.45::varchar(4) = '123.'); Spark's
+    CAST treats VARCHAR(n) as plain STRING — a silent divergence.
+    Rewrite ``x::varchar(n)`` → ``substring(x::STRING FROM 1 FOR n)``
+    and CAST-form alike (the KEYWORD substring form: Spark supports it
+    natively and the pg substr/substring handlers skip it — start=1 is
+    positive, so pg and Spark semantics coincide exactly).
+    DuckDB ignores length modifiers entirely, so this is pg-only.
+    Returns (edits, consumed) when it handled the cast, else None
+    (caller falls through to the regular type machinery)."""
+    if read != "postgres":
+        return None
+    if not (i + 1 < len(toks) and toks[i + 1][0] in _NAME_KINDS
+            and toks[i + 1][1].lower() == "varchar"):
+        return None
+    if not (i + 2 < len(toks) and toks[i + 2][0] == "op"
+            and toks[i + 2][1] == "("):
+        return None
+    spans, close_j = _call_arg_spans(toks, i + 2)
+    if (
+        close_j is None
+        or len(spans) != 1
+        or spans[0][0] != spans[0][1]
+        or toks[spans[0][0]][0] != "number"
+        or not toks[spans[0][0]][1].isdigit()
+    ):
+        raise TranspileError(
+            "varchar length modifier must be a single integer literal"
+        )
+    n_txt = toks[spans[0][0]][1]
+    if cast_form:
+        # walk back from the AS to the CAST's open paren, then the name
+        depth = 0
+        jj = i
+        while jj >= 0:
+            k_, t_ = toks[jj][0], toks[jj][1]
+            if k_ == "op" and t_ == ")":
+                depth += 1
+            elif k_ == "op" and t_ == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            jj -= 1
+        if jj < 1 or not (toks[jj - 1][0] in _NAME_KINDS
+                          and toks[jj - 1][1].upper() == "CAST"):
+            return None  # TRY_CAST etc. — not pg-written SQL; fall through
+        cast_close = close_j + 1
+        if not (cast_close < len(toks) and toks[cast_close][0] == "op"
+                and toks[cast_close][1] == ")"):
+            return None
+        ls, le = toks[jj - 1][2], toks[cast_close][3]
+        if any(e[1] >= ls and e[0] <= le for e in edits):
+            return [], close_j + 1 - i  # pending rewrites — next pass
+        return [
+            (ls, ls, "substring("),
+            (toks[i + 1][2], toks[close_j][3], "STRING"),
+            (le, le, f" FROM 1 FOR {n_txt})"),
+        ], close_j + 1 - i
+    lf = _backward_primary(toks, i - 1, include_unary=False)
+    if lf is None:
+        return [], close_j + 1 - i  # unresolved castee — next pass
+    ls, le = toks[lf][2], toks[i - 1][3]
+    if any(e[1] >= ls and e[0] <= toks[close_j][3] for e in edits):
+        return [], close_j + 1 - i  # pending rewrites — next pass
+    return [
+        (ls, ls, "substring("),
+        (toks[i + 1][2], toks[i + 1][3], "STRING"),
+        (toks[i + 2][2], toks[i + 2][3], " FROM 1 FOR "),
+    ], close_j + 1 - i
+
+
 def _maybe_round_castee(
     toks, end_idx: int, tname: str, read: str, edits: list, cast_form: bool
 ) -> None:
     """duckdb/postgres numeric→int casts ROUND (half away from zero:
     3.99::int = 4, -2.5::int = -3 on both engines, verified live);
     Spark CAST truncates toward zero. Wrap the castee in round(...) —
-    Spark's round is half-away-from-zero, so values match. Documented
-    residual divergences: DOUBLE-typed midpoints (x.5 exactly) round
-    half-EVEN in the source engines (rint) but half-away here, and
-    fractional STRINGS are accepted+rounded like duckdb where postgres
-    raises (the pg string-LITERAL case is left untouched — both
-    engines raise there, faithful). ``cast_form`` wraps the full
-    CAST(expr AS t) argument span; the ``::`` form wraps the tightly
-    bound primary ending at end_idx."""
+    Spark's round is half-away-from-zero, so values match. A castee
+    that is STATICALLY float-typed (``x::float8::int``,
+    ``CAST(... AS DOUBLE)::int``, ``random()::int``) instead rounds
+    half-EVEN in both source engines (rint/banker's: 2.5::float8::int
+    = 2, verified live) — those wrap in bround(), Spark's half-even
+    form, making the statically visible float chain FAITHFUL. Documented
+    residual divergences: float-typed COLUMNS (statically invisible —
+    still round half-away here), and fractional STRINGS are
+    accepted+rounded like duckdb where postgres raises (the pg
+    string-LITERAL case is left untouched — both engines raise there,
+    faithful). ``cast_form`` wraps the full CAST(expr AS t) argument
+    span; the ``::`` form wraps the tightly bound primary ending at
+    end_idx."""
     if read not in ("duckdb", "postgres"):
         return
     if tname.lower() not in _ROUNDING_INT_TYPES:
@@ -1051,7 +1255,7 @@ def _maybe_round_castee(
         return
     if (
         toks[lf][0] in _NAME_KINDS
-        and toks[lf][1].lower() == "round"
+        and toks[lf][1].lower() in ("round", "bround")
         and lf + 1 <= end_idx
         and toks[lf + 1][0] == "op"
         and toks[lf + 1][1] == "("
@@ -1065,7 +1269,8 @@ def _maybe_round_castee(
             return  # already round-wrapped (fixpoint)
     if any(e[1] >= ls and e[0] <= le for e in edits):
         return  # pending rewrites inside — resolve next pass
-    edits.append((ls, ls, "round("))
+    fn = "bround(" if _float_typed_castee(toks, lf, end_idx) else "round("
+    edits.append((ls, ls, fn))
     edits.append((le, le, ")"))
 
 

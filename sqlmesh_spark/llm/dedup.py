@@ -305,7 +305,9 @@ def minhash_bands_arrow(
     band_size: int = 4,
 ):
     """(doc_id, band, bkey) rows from per-doc shingle-hash arrays via
-    Arrow batches — bit-identical to minhash_bands_sql but vectorized:
+    Arrow batches — bit-identical to minhash_bands_sql (minus its
+    NULL-bkey rows for NULL/empty-text docs, which no bkey equality
+    can ever join — see the filter below) but vectorized:
     the SQL form runs num_hashes interpreted ARRAY_MIN(TRANSFORM(...))
     lambda folds per doc (~0.8 ms/doc measured), here the signature
     mins are numpy segment-reductions over the batch's concatenated
@@ -372,7 +374,18 @@ def minhash_bands_arrow(
                 {"doc_id": out_doc, "band": out_band, "bkey": bkeys}
             )
 
-    return docsets_df.select("doc_id", "hs").mapInPandas(
+    # NULL-text / empty-text docs: docset_sql yields hs = [NULL] / []
+    # there, and minhash_bands_sql produces NULL band keys for them —
+    # rows the candidate self-join's bkey equality can never match. The
+    # numpy path cannot carry NULLs (asarray raises on a null-bearing
+    # list; reduceat misreads empty segments), so drop those docs here:
+    # the emitted relation is bit-identical to the SQL form MINUS its
+    # never-joinable NULL-bkey rows — downstream-equal by construction.
+    fed = docsets_df.select("doc_id", "hs").where(
+        "hs IS NOT NULL AND size(hs) > 0 "
+        "AND size(filter(hs, x -> x IS NULL)) = 0"
+    )
+    return fed.mapInPandas(
         _bands, schema="doc_id bigint, band int, bkey bigint"
     )
 
@@ -940,7 +953,15 @@ def embedding_lsh_bands_arrow(
                 }
             )
 
-    return spark.table(table).select("vec_id", "embedding").mapInPandas(
+    # NULL / ragged / null-element embeddings: the SQL fold yields NULL
+    # bits → NULL band keys there — rows no bkey equality can join.
+    # np.stack raises on those shapes, so drop them here; the relation
+    # matches the SQL form minus its never-joinable NULL-bkey rows.
+    fed = spark.table(table).select("vec_id", "embedding").where(
+        f"embedding IS NOT NULL AND size(embedding) = {dim} "
+        "AND size(filter(embedding, x -> x IS NULL)) = 0"
+    )
+    return fed.mapInPandas(
         _bands, schema="vec_id bigint, band int, bkey bigint"
     )
 

@@ -280,13 +280,17 @@ def test_pinned_cast_rounding_divergence(spark):
     # residual pinned divergences: (a) TRY_CAST stays unwrapped — the
     # tolerant form must keep NULL-on-garbage, so its fractional inputs
     # still truncate; (b) DOUBLE-typed midpoints round half-even in the
-    # source engines but half-away here.
+    # source engines — STATICALLY float-typed castees (::float8 chains,
+    # CAST(... AS DOUBLE), random()) now wrap in bround() and are
+    # FAITHFUL; only float-typed COLUMNS (statically invisible) keep
+    # the half-away round() wrap.
     assert duckdb.sql("SELECT TRY_CAST('abc' AS INT)").fetchall()[0][0] is None
     sq2 = transpile("SELECT TRY_CAST(2.7 AS INT) AS v", "duckdb")
     assert spark.sql(sq2).collect()[0][0] == 2  # divergence: duck gives 3
     assert duckdb.sql("SELECT CAST(CAST(2.5 AS DOUBLE) AS INT)").fetchall()[0][0] == 2
     sq3 = transpile("SELECT CAST(CAST(2.5 AS DOUBLE) AS INT) AS v", "duckdb")
-    assert spark.sql(sq3).collect()[0][0] == 3  # divergence: half-even vs away
+    assert "bround" in sq3
+    assert spark.sql(sq3).collect()[0][0] == 2  # faithful: half-even both
     # (c) duckdb DECIMAL scale-reduction TRUNCATES toward zero
     # (123.4567::DECIMAL(18,3) = 123.456, 1.995::DECIMAL(10,2) = 1.99 —
     # verified live) where Spark and pg ROUND half-up. Statically

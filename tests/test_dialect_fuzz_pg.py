@@ -89,6 +89,24 @@ TEMPLATES += [
     "2.5::float8::text = '2.5'", "123.45::numeric(10,1)",
 ]
 
+# chained literal division (each `/` rewrites to DIV across fixpoint
+# passes; `7 DIV 2/2` half-conversions were a silent 1.5-vs-1), chained
+# parameterized-decimal casts (the identity DECIMAL→DECIMAL edit
+# previously deferred the round() wrap forever), and statically
+# FLOAT-typed castees (pg float→int is half-EVEN → bround())
+TEMPLATES += [
+    "7 / 2 / 2", "100 / 3 / 2 / 2", "7 / 2 / 2.0", "1 + 7 / 2 / 2",
+    "3.99::numeric(10,2)::int", "2.5::numeric(10,2)::int",
+    "CAST(3.99::numeric(10,2) AS int)", "(-2.5)::numeric(10,2)::int",
+    "2.5::float8::int", "3.5::float8::int", "(-2.5)::float8::int",
+    "(-3.5)::float4::int", "2.5::real::int", "0.5::float8::int",
+    "CAST(2.5::float8 AS int)", "CAST(CAST(3.5 AS float8) AS int)",
+    "(2.5::float8)::int", "2.5::double precision::int",
+    "1.5::double precision", "'ab'::character varying(1)",
+    "'ab'::character varying", "random()::int < 2",
+    "3.99::float8::bigint", "2.5::numeric(10,1)::float8::int",
+]
+
 # strings: pg substr handles start<=0 by consuming, left/right accept
 # negatives (drop from the other end), split_part returns '' OOB,
 # position/strpos, lpad truncates, || coerces non-text
@@ -430,8 +448,12 @@ def test_pg_pinned_divergences(spark):
     sq2 = transpile("SELECT '3.9'::int AS v", "postgres")
     with pytest.raises(Exception):
         spark.sql(sq2).collect()
-    # pg double-precision → int rounds half-EVEN (rint); the round()
-    # wrap is half-away. Exact-.5 doubles diverge — pinned.
+    # pg double-precision → int rounds half-EVEN (rint) — statically
+    # FLOAT-TYPED castee chains (::float8/::float4/CAST AS DOUBLE/
+    # random()) now wrap in bround() (Spark's half-even) and are
+    # FAITHFUL; the residual divergence is float-typed COLUMNS, which
+    # are statically invisible and keep the half-away round() wrap.
     assert _pg_values(["2.5::float8::int"])[0] == 2
     sq3 = transpile("SELECT 2.5::float8::int AS v", "postgres")
-    assert spark.sql(sq3).collect()[0][0] == 3
+    assert "bround" in sq3
+    assert spark.sql(sq3).collect()[0][0] == 2

@@ -3448,3 +3448,84 @@ def test_pg_posix_character_classes(spark):
     )
     with pytest.raises(TranspileError, match="POSIX"):
         transpile("SELECT s ~ '[[:foo:]]' FROM t", "postgres")
+
+
+def test_pg_chained_literal_division(spark):
+    """Chained literal integer division converts FULLY: `7/2/2` must
+    not stabilize half-converted as `7 DIV 2/2` (Spark then evaluates
+    (7 DIV 2)/2 = 1.5 where pg gives 1). A preceding DIV can only be
+    this handler's own emission (pg has no infix DIV) — a provably
+    integer LHS, so the chain rewrites one `/` per fixpoint pass."""
+    q = transpile("SELECT 7/2/2 AS a, 100/3/2/2 AS b, 7/2/2.0 AS c",
+                  "postgres")
+    assert transpile(q, "postgres") == q
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, float(row.c)) == (1, 8, 1.5)
+    # x / 7 / 2 stays untouched: the second `/`'s LHS is (x / 7)
+    assert " DIV " not in transpile("SELECT x / 7 / 2 FROM t", "postgres")
+
+
+def test_pg_param_decimal_chain_round_wrap(spark):
+    """x::numeric(10,2)::int must get the round() wrap: the identity
+    DECIMAL→DECIMAL rename previously registered as a pending edit
+    every pass, deferring the wrap forever (silent truncate-vs-round:
+    3.99 → 3 instead of pg's 4)."""
+    q = transpile(
+        "SELECT 3.99::numeric(10,2)::int AS a, "
+        "CAST(2.5::numeric(10,2) AS int) AS b, "
+        "(-2.5)::numeric(10,2)::int AS c",
+        "postgres",
+    )
+    assert transpile(q, "postgres") == q
+    assert q.count("round(") == 3
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, row.c) == (4, 3, -3)
+
+
+def test_pg_two_word_types_and_float_bround(spark):
+    """Two-word ANSI type spellings map in :: and CAST AS position
+    (`double precision` previously corrupted to `double
+    round(precision)`); statically float-typed castees round half-EVEN
+    via bround(), matching pg/duckdb rint semantics exactly."""
+    q = transpile(
+        "SELECT 2.5::double precision::int AS a, "
+        "3.5::float8::int AS b, (-2.5)::float4::int AS c, "
+        "CAST(2.5::float8 AS int) AS d, "
+        "1.5::double precision AS e, "
+        "'ab'::character varying(1) AS f, "
+        "'ab'::character varying AS g",
+        "postgres",
+    )
+    assert transpile(q, "postgres") == q
+    row = spark.sql(q).collect()[0]
+    # all four are float→int half-even chains (pg verified live:
+    # CAST(2.5::float8 AS int) = 2)
+    assert (row.a, row.b, row.c, row.d) == (2, 4, -2, 2)
+    assert float(row.e) == 1.5 and row.f == "a" and row.g == "ab"
+    # bround only for the statically float-typed chain; unknown stays round
+    assert "bround(" in transpile("SELECT x::float8::int FROM t", "postgres")
+    assert "bround" not in transpile("SELECT x::int FROM t", "postgres")
+    assert "bround(random())" in transpile("SELECT random()::int", "postgres")
+    with pytest.raises(TranspileError, match="bit"):
+        transpile("SELECT x::bit varying FROM t", "postgres")
+
+
+def test_order_by_nulls_annotation_nested_window(spark):
+    """A NULLS keyword NESTED inside an OVER window must not suppress
+    the outer sort item's NULL-placement annotation (only depth-0
+    NULLS is an explicit placement); likewise a nested DESC must not
+    flip the outer item's direction classification."""
+    q = transpile(
+        "SELECT a FROM t ORDER BY sum(x) OVER (ORDER BY y NULLS LAST), a",
+        "postgres",
+    )
+    assert q == ("SELECT a FROM t ORDER BY sum(x) OVER "
+                 "(ORDER BY y NULLS LAST) NULLS LAST, a NULLS LAST")
+    q2 = transpile(
+        "SELECT a FROM t ORDER BY sum(x) OVER (ORDER BY y DESC), a",
+        "postgres",
+    )
+    # outer item is ASC (pg appends NULLS LAST) even though a nested
+    # DESC appears inside the window
+    assert q2.endswith("OVER (ORDER BY y DESC NULLS FIRST) NULLS LAST, "
+                       "a NULLS LAST")
