@@ -1,0 +1,389 @@
+"""Clause-level token handlers shared across read dialects (pre-split
+code, verbatim): OFFSET..FETCH row limiting (ansi/oracle/postgres/tsql/
+trino), T-SQL SELECT TOP, ORDER BY NULL-placement annotation (the
+pg/duckdb/redshift/oracle/snowflake/trino/clickhouse default-placement
+seam), and the QUALIFY window-filter rewrite (duckdb/snowflake/
+bigquery/redshift).
+
+Moved out of core/transpile.py (round 8, restoring the round-6 module
+discipline: every transpile-family module <= 1,100 lines); handler
+bodies are unchanged (continue -> return i), so file:line references
+in docstrings and VERDICT history still resolve against git history.
+"""
+
+from __future__ import annotations
+
+from sqlmesh_spark.core.transpile_shared import (
+    TranspileError,
+    _NAME_KINDS,
+    _NONCALLABLE_KEYWORDS,
+)
+
+
+def token_handlers(ctx) -> "int | None":
+    """Clause handlers; returns the next scan index when a construct
+    was consumed/edited, None to fall through."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i = ctx.i
+    kind, text, start, end = ctx.kind, ctx.text, ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    n = len(toks)
+    _unused = (sql, first_pass, is_op, _arg_text, transpile)
+
+    # ANSI/Oracle/Postgres row-limiting clauses Spark lacks:
+    #   OFFSET m ROWS [FETCH FIRST|NEXT n ROWS|ROW ONLY] → LIMIT n OFFSET m
+    #   FETCH FIRST|NEXT n ROWS|ROW ONLY → LIMIT n
+    # (T-SQL's OFFSET..FETCH is the same grammar.)
+    if (
+        read in ("oracle", "ansi", "postgres", "tsql", "trino")
+        and kind == "ident"
+        and text.upper() in ("OFFSET", "FETCH")
+    ):
+        j = i
+        off_txt = None
+        if toks[j][1].upper() == "OFFSET":
+            if (
+                j + 2 < n
+                and toks[j + 1][0] == "number"
+                and toks[j + 2][0] == "ident"
+                and toks[j + 2][1].upper() in ("ROW", "ROWS")
+            ):
+                off_txt = toks[j + 1][1]
+                j += 3
+            else:
+                i += 1  # plain OFFSET n (already Spark) — untouched
+                return i
+        cnt_txt = None
+        if (
+            j < n
+            and toks[j][0] == "ident"
+            and toks[j][1].upper() == "FETCH"
+            and j + 1 < n
+            and toks[j + 1][0] == "ident"
+            and toks[j + 1][1].upper() in ("FIRST", "NEXT")
+        ):
+            k_ = j + 2
+            if k_ < n and toks[k_][0] == "number":
+                cnt_txt = toks[k_][1]
+                k_ += 1
+            else:
+                cnt_txt = "1"
+            if not (
+                k_ + 1 < n
+                and toks[k_][0] == "ident"
+                and toks[k_][1].upper() in ("ROW", "ROWS")
+                and toks[k_ + 1][0] == "ident"
+                and toks[k_ + 1][1].upper() == "ONLY"
+            ):
+                raise TranspileError(
+                    "FETCH FIRST ... requires ROWS ONLY (WITH TIES / "
+                    "PERCENT have no Spark rewrite)"
+                )
+            j = k_ + 2
+        elif off_txt is None:
+            i += 1  # bare FETCH ident (not the clause) — untouched
+            return i
+        parts = []
+        if cnt_txt is not None:
+            parts.append(f"LIMIT {cnt_txt}")
+        if off_txt is not None:
+            parts.append(f"OFFSET {off_txt}")
+        edits.append((start, toks[j - 1][3], " ".join(parts)))
+        i = j
+        return i
+
+
+    # T-SQL SELECT TOP n [select-list...] → LIMIT n at the scope end.
+    if (
+        read == "tsql"
+        and kind == "ident"
+        and text.upper() == "TOP"
+        and i > 0
+        and toks[i - 1][0] == "ident"
+        and toks[i - 1][1].upper() in ("SELECT", "DISTINCT")
+        and i + 1 < n
+        and toks[i + 1][0] == "number"
+    ):
+        n_txt = toks[i + 1][1]
+        after = i + 2
+        if (
+            after < n
+            and toks[after][0] == "ident"
+            and toks[after][1].upper() in ("PERCENT", "WITH")
+        ):
+            raise TranspileError(
+                "TOP n PERCENT / WITH TIES has no Spark rewrite"
+            )
+        # find this SELECT's scope end: depth-0 ')' or set-op keyword
+        # or end of text
+        depth = 0
+        end_pos = len(sql)
+        setop_after = False
+        for j in range(i + 2, n):
+            k_, t_, s_, _e = toks[j]
+            if k_ == "op" and t_ == "(":
+                depth += 1
+            elif k_ == "op" and t_ == ")":
+                depth -= 1
+                if depth < 0:
+                    end_pos = s_
+                    break
+            elif (
+                depth == 0
+                and k_ == "ident"
+                and t_.upper() in ("UNION", "INTERSECT", "EXCEPT", "MINUS")
+            ):
+                end_pos = s_
+                setop_after = True
+                break
+        # a set-op BEFORE this SELECT at the same depth means we're a
+        # non-first union branch
+        setop_before = False
+        sel_idx = i - 1 if toks[i - 1][1].upper() == "SELECT" else i - 2
+        depth = 0
+        for j in range(sel_idx - 1, -1, -1):
+            k_, t_, _s, _e = toks[j]
+            if k_ == "op" and t_ == ")":
+                depth += 1
+            elif k_ == "op" and t_ == "(":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif (
+                depth == 0
+                and k_ == "ident"
+                and t_.upper() in ("UNION", "INTERSECT", "EXCEPT", "MINUS")
+            ):
+                setop_before = True
+                break
+        # drop "TOP n" and attach LIMIT at the scope end. A trailing
+        # LIMIT in a set operation binds to the WHOLE union in Spark,
+        # so a union branch gets parenthesized: (SELECT ... LIMIT n).
+        # absorb the whitespace between SELECT/DISTINCT and TOP so
+        # the emitted text has no doubled spaces
+        edits.append((toks[i - 1][3], toks[i + 1][3], ""))
+        lead = "" if end_pos > 0 and sql[end_pos - 1].isspace() else " "
+        if setop_after or setop_before:
+            edits.append((toks[sel_idx][2], toks[sel_idx][2], "("))
+            edits.append((end_pos, end_pos, f"{lead}LIMIT {n_txt}) "))
+        else:
+            edits.append((end_pos, end_pos, f"{lead}LIMIT {n_txt}"))
+        i += 2
+        return i
+
+
+    # ORDER BY NULL-placement defaults (verified live for pg and
+    # duckdb; others per their documented defaults): Spark sorts
+    # NULLS FIRST on ASC / NULLS LAST on DESC, while
+    # pg/redshift/oracle/snowflake/trino treat NULL as LARGEST
+    # (NULLS LAST on ASC, NULLS FIRST on DESC) and duckdb/
+    # clickhouse default NULLS LAST in BOTH directions. Any
+    # unannotated sort item therefore places NULL rows differently
+    # — silently different results under LIMIT and window ranking.
+    # Append the source dialect's placement to every item that
+    # lacks an explicit NULLS keyword, in statement-level and
+    # OVER-window ORDER BY clauses (function-arg ORDER BYs are
+    # owned by their functions' handlers — loud or restructured —
+    # and WITHIN GROUP aggregates skip NULL inputs). mysql/tsql/
+    # bigquery treat NULL as SMALLEST, matching Spark — no-op.
+    if (
+        kind == "ident"
+        and text.upper() == "ORDER"
+        and i + 1 < n
+        and toks[i + 1][0] == "ident"
+        and toks[i + 1][1].upper() == "BY"
+        and read in ("postgres", "redshift", "oracle", "snowflake",
+                      "trino", "duckdb", "clickhouse")
+    ):
+        # context: statement/subquery level or OVER window — skip
+        # function-argument and WITHIN GROUP clauses
+        depth = 0
+        opener_prev = None
+        at_top = True
+        for j in range(i - 1, -1, -1):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == ")":
+                depth += 1
+            elif k_ == "op" and t_ == "(":
+                depth -= 1
+                if depth < 0:
+                    opener_prev = toks[j - 1] if j > 0 else None
+                    at_top = False
+                    break
+        applies = at_top or opener_prev is None or not (
+            opener_prev[0] in _NAME_KINDS
+            and (
+                opener_prev[1].upper() == "GROUP"  # WITHIN GROUP
+                or opener_prev[1].upper() not in _NONCALLABLE_KEYWORDS
+            )
+        )
+        if applies:
+            # item spans to the clause end at this depth; each item
+            # records (token_idx, depth-within-item) — NULLS and
+            # ASC/DESC classification must see ONLY depth-0 tokens
+            # (a NULLS LAST inside a nested OVER window previously
+            # suppressed the whole item's annotation, silently
+            # keeping Spark's default placement for the outer sort)
+            depth = 0
+            items: list[list[tuple[int, int]]] = [[]]
+            end_j = n
+            for j in range(i + 2, n):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                    if depth < 0:
+                        end_j = j
+                        break
+                elif depth == 0 and k_ == "op" and t_ in (",", ";"):
+                    if t_ == ";":
+                        end_j = j
+                        break
+                    items.append([])
+                    continue
+                elif depth == 0 and k_ == "ident" and t_.upper() in (
+                    "LIMIT", "OFFSET", "FETCH", "WINDOW", "ROWS",
+                    "RANGE", "GROUPS",
+                    "UNION", "EXCEPT", "INTERSECT", "MINUS",
+                ):
+                    end_j = j
+                    break
+                items[-1].append((j, depth))
+            for item in items:
+                if not item:
+                    continue
+                ups = [
+                    toks[j][1].upper()
+                    for j, d in item
+                    if d == 0 and toks[j][0] == "ident"
+                ]
+                if "NULLS" in ups:
+                    continue  # explicit placement — faithful as-is
+                desc = False
+                for j, d in reversed(item):
+                    if d == 0 and toks[j][0] == "ident" and \
+                            toks[j][1].upper() in ("ASC", "DESC"):
+                        desc = toks[j][1].upper() == "DESC"
+                        break
+                last_end = toks[item[-1][0]][3]
+                if any(e[1] >= toks[item[0][0]][2] and e[0] <= last_end
+                       for e in edits):
+                    continue  # pending rewrites — next pass
+                if read in ("duckdb", "clickhouse"):
+                    kw_n = " NULLS LAST"
+                else:
+                    kw_n = " NULLS FIRST" if desc else " NULLS LAST"
+                edits.append((last_end, last_end, kw_n))
+        i += 2
+        return i
+
+
+    # QUALIFY (DuckDB/Snowflake/BigQuery window filter; Spark has no
+    # equivalent clause). Rewrite the SELECT block:
+    #   SELECT <list> FROM ... QUALIFY <pred> [ORDER BY ...]
+    # →
+    #   SELECT * EXCEPT (__sqlmesh_qualify__) FROM (
+    #     SELECT <list>, (<pred>) AS __sqlmesh_qualify__ FROM ...
+    #   ) WHERE __sqlmesh_qualify__ [ORDER BY ...]
+    # The predicate (window exprs included — they're legal in a select
+    # list) evaluates inside; the outer WHERE filters on the boolean
+    # and `* EXCEPT` drops the synthetic column. ORDER BY / LIMIT
+    # after QUALIFY land in the OUTER query, preserving their scope.
+    if (
+        kind == "ident"
+        and text.upper() == "QUALIFY"
+        and read in ("duckdb", "snowflake", "bigquery", "redshift")
+    ):
+        # locate the owning SELECT (nearest, scanning back at depth 0)
+        depth = 0
+        sel_idx = None
+        for j in range(i - 1, -1, -1):
+            k_, t_, _, _ = toks[j]
+            if k_ == "op" and t_ == ")":
+                depth += 1
+            elif k_ == "op" and t_ == "(":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and k_ == "ident" and t_.upper() == "SELECT":
+                sel_idx = j
+                break
+        if sel_idx is None:
+            raise TranspileError("QUALIFY without an owning SELECT")
+        if toks[sel_idx + 1][0] == "ident" and toks[sel_idx + 1][1].upper() == "DISTINCT":
+            # Snowflake applies QUALIFY BEFORE DISTINCT; injecting the
+            # predicate column would change the distinct key set.
+            raise TranspileError(
+                "QUALIFY with SELECT DISTINCT has no faithful Spark "
+                "rewrite; deduplicate in an outer query instead"
+            )
+        # matching FROM of that SELECT (forward, same depth)
+        depth = 0
+        from_idx = None
+        for j in range(sel_idx + 1, i):
+            k_, t_, _, _ = toks[j]
+            if k_ == "op" and t_ == "(":
+                depth += 1
+            elif k_ == "op" and t_ == ")":
+                depth -= 1
+            elif depth == 0 and k_ == "ident" and t_.upper() == "FROM":
+                from_idx = j
+                break
+        if from_idx is None:
+            raise TranspileError("QUALIFY in a SELECT without FROM")
+        # predicate span: from after QUALIFY to the next same-depth
+        # terminator (ORDER/LIMIT/OFFSET/FETCH/WINDOW/set-op/;/close)
+        terminators = {
+            "ORDER", "LIMIT", "OFFSET", "FETCH", "WINDOW",
+            "UNION", "EXCEPT", "INTERSECT", "MINUS",
+        }
+        depth = 0
+        bdepth = 0  # [...] nesting — OFFSET/ORDER-class idents inside
+        # a subscript are not clause terminators
+        pred_end_tok = len(toks)
+        for j in range(i + 1, len(toks)):
+            k_, t_, _, _ = toks[j]
+            if k_ == "op" and t_ == "(":
+                depth += 1
+            elif k_ == "op" and t_ == ")":
+                depth -= 1
+                if depth < 0:
+                    pred_end_tok = j
+                    break
+            elif k_ == "op" and t_ == "[":
+                bdepth += 1
+            elif k_ == "op" and t_ == "]":
+                bdepth -= 1
+            elif depth == 0 and bdepth == 0 and (
+                (k_ == "ident" and t_.upper() in terminators)
+                or (k_ == "op" and t_ == ";")
+            ):
+                pred_end_tok = j
+                break
+        if pred_end_tok == i + 1:
+            raise TranspileError("QUALIFY with an empty predicate")
+        pred_text = transpile(
+            sql[toks[i + 1][2] : toks[pred_end_tok - 1][3]], read
+        )
+        q_col = "__sqlmesh_qualify__"
+        edits.append(
+            (toks[sel_idx][2], toks[sel_idx][2],
+             f"SELECT * EXCEPT ({q_col}) FROM (")
+        )
+        edits.append(
+            (toks[from_idx][2], toks[from_idx][2],
+             f", ({pred_text}) AS {q_col} ")
+        )
+        pred_span_end = toks[pred_end_tok - 1][3]
+        edits.append((start, pred_span_end, f") WHERE {q_col}"))
+        # Skip the consumed predicate tokens — their spans are inside
+        # the replacement; the COPY in the select list transpiles on
+        # later fixpoint passes (plain renames; first-pass-only
+        # literal handlers inside a QUALIFY predicate fail loudly at
+        # execution rather than silently).
+        i = pred_end_tok
+        return i
+
+    return None

@@ -1,0 +1,1100 @@
+"""Postgres read-dialect token handlers (pre-split code, verbatim).
+
+Moved out of core/transpile.py / dialects/standard.py (round 8,
+restoring the round-6 module discipline): token_handlers covers
+literal integer division -> DIV, DISTINCT ON, TABLESAMPLE, SIMILAR TO,
+array-element ||, quantified comparisons (ANY/ALL/SOME), OVERLAPS/
+COLLATE louds, DATE literal subtraction, the regex operator family
+(~ ~* !~ !~* ~~ !~~), # XOR, #> / #>> jsonb paths; call_handlers the
+round-7 pg function seams. Bodies unchanged (continue -> return i).
+ref: reference delegates pg semantics to SQLGlot (sqlmesh/core/
+dialect.py); this module is the Spark-first equivalent."""
+
+from __future__ import annotations
+
+import re
+
+from sqlmesh_spark.core.transpile_shared import (
+    TranspileError,
+    _NAME_KINDS,
+    _NONCALLABLE_KEYWORDS,
+    _backward_primary,
+    _call_arg_spans,
+    _forward_primary,
+    _in_lambda_hof,
+    _require_spark4,
+)
+from sqlmesh_spark.core.transpile_text import (
+    _literal_content,
+    _pg_regex_substring_emit,
+    _regex_literal,
+    _spark_string_literal,
+    convert_posix_classes,
+)
+
+
+def token_handlers(ctx) -> "int | None":
+    """Returns the next scan index when a construct was consumed/edited,
+    None to fall through to the shared handlers and plain renames."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i, kind, text = ctx.i, ctx.kind, ctx.text
+    start, end = ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    dead_zones, n = ctx.dead_zones, len(toks)
+    _unused = (read, first_pass, kind, start, end, is_op, transpile)
+
+    # postgres `/` over INTEGERS truncates (7/2 = 3, -7/2 = -3);
+    # Spark `/` is always DOUBLE division. Statically provable only
+    # for integer-literal / integer-literal — rewrite that shape to
+    # DIV (Spark DIV truncates toward zero, same as pg). Guards:
+    # the LHS literal must be a standalone operand (the token
+    # before it must not be a tighter-or-equal operator — in
+    # `x / 7 / 2` the second division's real LHS is `(x / 7)`), and
+    # the RHS literal must not be captured by a tighter operator
+    # (`7 / 2 ^ x` is `7 / (2 ^ x)`; `7 / 2::float8` is DOUBLE).
+    # Non-literal operands pass through — a DOCUMENTED divergence
+    # (column int division needs the model's types, which a textual
+    # transpiler doesn't have; SQLGlot, and therefore the
+    # reference, passes it through identically). Pinned in
+    # tests/test_dialect_fuzz_pg.py. A preceding DIV name does NOT
+    # block: postgres has no infix DIV, so it can only be this
+    # handler's own prior emission — a provably-integer LHS — and
+    # blocking it left chains half-converted (`7/2/2` stabilized as
+    # `7 DIV 2/2` = 1.5 in Spark where pg gives 1; chain rewrites
+    # land one `/` per fixpoint pass via the pending-edit defer).
+    if (
+        read == "postgres"
+        and kind == "op"
+        and text == "/"
+        and i > 0
+        and toks[i - 1][0] == "number"
+        and toks[i - 1][1].isdigit()
+        and not (
+            i >= 2
+            and toks[i - 2][0] == "op"
+            and toks[i - 2][1] in ("*", "/", "%", "^", "::")
+        )
+    ):
+        j = i + 1
+        while j < n and toks[j][0] == "op" and toks[j][1] in ("+", "-"):
+            j += 1
+        if (
+            j < n
+            and toks[j][0] == "number"
+            and toks[j][1].isdigit()
+            and not (
+                j + 1 < n
+                and toks[j + 1][0] == "op"
+                and toks[j + 1][1] in ("^", "::", "[", ".")
+            )
+            and not any(e[1] >= toks[i - 1][2] and e[0] <= toks[j][3]
+                        for e in edits)
+        ):
+            edits.append((start, end, " DIV "))
+            i = j + 1
+            return i
+
+
+    # Postgres SELECT DISTINCT ON (k, ...) — keep the FIRST row per
+    # key group under the statement's ORDER BY (pg requires the
+    # ORDER BY to start with the ON expressions). Spark has no
+    # DISTINCT ON; rewrite QUALIFY-style to a ROW_NUMBER window:
+    #   SELECT * EXCEPT (__don) FROM (
+    #     SELECT <list>, ROW_NUMBER() OVER (PARTITION BY <on>
+    #       ORDER BY <full order list>) AS __don FROM ...
+    #   ) WHERE __don = 1 ORDER BY <on>
+    # The outer ORDER BY needs only the ON prefix: the result has
+    # ONE row per distinct prefix, so the tail (which picked the
+    # row) cannot affect result order — and it may reference
+    # non-selected columns that the outer scope lacks.
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.upper() == "DISTINCT"
+        and i > 0
+        and toks[i - 1][0] == "ident"
+        and toks[i - 1][1].upper() == "SELECT"
+        and i + 1 < n
+        and toks[i + 1][0] == "ident"
+        and toks[i + 1][1].upper() == "ON"
+        and is_op(i + 2, "(")
+    ):
+        on_spans, on_close = _call_arg_spans(toks, i + 2)
+        on_text = sql[toks[i + 2][3]: toks[on_close][2]].strip()
+        # a set operation BEFORE this SELECT (same depth) means any
+        # trailing ORDER BY is UNION-scoped, not this SELECT's own
+        # — pg then picks an arbitrary row per group (loud below),
+        # and claiming the union's ORDER BY would both mis-order
+        # the union and fabricate a deterministic pick
+        depth = 0
+        in_set_op_tail = False
+        for j in range(i - 2, -1, -1):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == ")":
+                depth += 1
+            elif k_ == "op" and t_ == "(":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and k_ == "ident" and t_.upper() in (
+                "UNION", "EXCEPT", "INTERSECT", "MINUS"
+            ):
+                in_set_op_tail = True
+                break
+        # matching FROM of this SELECT (forward, same depth)
+        depth = 0
+        from_idx = None
+        for j in range(on_close + 1, n):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == "(":
+                depth += 1
+            elif k_ == "op" and t_ == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and k_ == "ident" and t_.upper() == "FROM":
+                from_idx = j
+                break
+        if from_idx is None:
+            raise TranspileError("DISTINCT ON in a SELECT without FROM")
+        # the ORDER BY of this SELECT (same depth, after FROM)
+        depth = 0
+        ord_idx = None
+        for j in range(from_idx + 1, n):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == "(":
+                depth += 1
+            elif k_ == "op" and t_ == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and k_ == "ident" and t_.upper() == "ORDER":
+                ord_idx = j
+                break
+            elif depth == 0 and (
+                (k_ == "ident" and t_.upper() in (
+                    "UNION", "EXCEPT", "INTERSECT", "MINUS", "LIMIT",
+                    "OFFSET", "FETCH"))
+                or (k_ == "op" and t_ == ";")
+            ):
+                break
+        if ord_idx is None or in_set_op_tail:
+            raise TranspileError(
+                "DISTINCT ON without its own ORDER BY (a trailing "
+                "ORDER BY after a set operation is UNION-scoped) "
+                "picks an arbitrary row per group in postgres — "
+                "give the DISTINCT ON select an ORDER BY starting "
+                "with the ON expressions (e.g. in a subquery) to "
+                "make the pick deterministic"
+            )
+        # order-list span: from ORDER to the next same-depth
+        # terminator (LIMIT/OFFSET/FETCH/set-op/close/;)
+        depth = 0
+        ord_end = n
+        for j in range(ord_idx + 2, n):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == "(":
+                depth += 1
+            elif k_ == "op" and t_ == ")":
+                depth -= 1
+                if depth < 0:
+                    ord_end = j
+                    break
+            elif depth == 0 and (
+                (k_ == "ident" and t_.upper() in (
+                    "LIMIT", "OFFSET", "FETCH",
+                    "UNION", "EXCEPT", "INTERSECT", "MINUS"))
+                or (k_ == "op" and t_ == ";")
+            ):
+                ord_end = j
+                break
+        # defer BEFORE the recursive transpiles below (they are
+        # full fixpoint runs — wasted work on a deferred pass)
+        if any(e[1] >= toks[i - 1][2] and e[0] <= toks[ord_end - 1][3]
+               for e in edits):
+            i += 1
+            return i
+        order_list = transpile(
+            sql[toks[ord_idx + 2][2]: toks[ord_end - 1][3]], read
+        )
+        on_conv = transpile(on_text, read)
+        d_col = "__sqlmesh_distinct_on__"
+        # the ON expressions may not be in the select list (pg
+        # allows ordering by non-selected columns); project them as
+        # hidden aliases so the outer ORDER BY always resolves, and
+        # EXCEPT them away. pg requires the ORDER BY to start with
+        # the ON expressions, so item k's trailing direction
+        # keywords (ASC/DESC/NULLS FIRST/LAST) carry to alias k.
+        on_items = [
+            transpile(sql[toks[s_][2]: toks[e_][3]], read)
+            for s_, e_ in on_spans
+        ]
+        # first len(on) ORDER BY items' trailing direction keywords
+        dirs: list[str] = []
+        depth_o = 0
+        item_toks: list[list[int]] = [[]]
+        for j in range(ord_idx + 2, ord_end):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == "(":
+                depth_o += 1
+            elif k_ == "op" and t_ == ")":
+                depth_o -= 1
+            if depth_o == 0 and k_ == "op" and t_ == ",":
+                item_toks.append([])
+            else:
+                item_toks[-1].append(j)
+        for item in item_toks[: len(on_items)]:
+            tail: list[str] = []
+            for j in reversed(item):
+                if toks[j][0] == "ident" and toks[j][1].upper() in (
+                    "ASC", "DESC", "NULLS", "FIRST", "LAST"
+                ):
+                    tail.insert(0, toks[j][1].upper())
+                else:
+                    break
+            dirs.append((" " + " ".join(tail)) if tail else "")
+        while len(dirs) < len(on_items):
+            dirs.append("")
+        hidden = [
+            f"__sqlmesh_don_p{k}__" for k in range(len(on_items))
+        ]
+        hidden_sel = "".join(
+            f", ({e_}) AS {h}" for e_, h in zip(on_items, hidden)
+        )
+        outer_ord = ", ".join(
+            f"{h}{d}" for h, d in zip(hidden, dirs)
+        )
+        edits.append(
+            (toks[i - 1][2], toks[i - 1][2],
+             f"SELECT * EXCEPT ({d_col}, {', '.join(hidden)}) FROM (")
+        )
+        # drop `DISTINCT ON (...)` from the select list
+        edits.append((start, toks[on_close][3], ""))
+        edits.append(
+            (toks[from_idx][2], toks[from_idx][2],
+             f"{hidden_sel}, ROW_NUMBER() OVER (PARTITION BY {on_conv} "
+             f"ORDER BY {order_list}) AS {d_col} ")
+        )
+        # close the subquery where the ORDER BY clause began; the
+        # outer orders by the hidden ON prefix only (one row per
+        # distinct prefix — the tail cannot affect result order).
+        # The clause's replacement text was transpiled separately
+        # above — mark the span DEAD so no later handler edits
+        # inside the wholesale replacement (overlap corrupts).
+        edits.append(
+            (toks[ord_idx][2], toks[ord_end - 1][3],
+             f") WHERE {d_col} = 1 ORDER BY {outer_ord}")
+        )
+        dead_zones.append((toks[ord_idx][2], toks[ord_end - 1][3]))
+        i = on_close + 1
+        return i
+
+    # Postgres TABLESAMPLE SYSTEM/BERNOULLI (n) → Spark
+    # TABLESAMPLE (n PERCENT). Both sample ~n% of rows (SYSTEM is
+    # page-level, BERNOULLI row-level; Spark's is split-level —
+    # the statistical contract, a ~n% sample, carries over).
+    # REPEATABLE has no Spark form — loud.
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.upper() in ("SYSTEM", "BERNOULLI")
+        and i > 0
+        and toks[i - 1][0] == "ident"
+        and toks[i - 1][1].upper() == "TABLESAMPLE"
+        and is_op(i + 1, "(")
+    ):
+        spans_s, close_s = _call_arg_spans(toks, i + 1)
+        if (
+            close_s + 1 < n
+            and toks[close_s + 1][0] == "ident"
+            and toks[close_s + 1][1].upper() == "REPEATABLE"
+        ):
+            raise TranspileError(
+                "TABLESAMPLE ... REPEATABLE(seed) has no Spark form"
+            )
+        if len(spans_s) == 1:
+            pct = sql[toks[spans_s[0][0]][2]: toks[spans_s[0][1]][3]]
+            edits.append(
+                (start, toks[close_s][3], f"({pct} PERCENT)")
+            )
+            i = close_s + 1
+            return i
+        i += 1
+        return i
+
+    # Postgres SIMILAR TO: SQL wildcards (% _) over a regex-like
+    # grammar where . ^ $ are LITERAL characters and the match is
+    # ANCHORED. Literal patterns convert: % → .*, _ → ., literal
+    # . ^ $ escaped, everything else (| * + ? {} () [] \) already
+    # means the same in Java regex; emitted as RLIKE '^(?:..)$'
+    # (a preceding NOT keeps working: NOT RLIKE). Non-literal
+    # patterns and ESCAPE clauses are loud.
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.upper() == "SIMILAR"
+        and i + 1 < n
+        and toks[i + 1][0] == "ident"
+        and toks[i + 1][1].upper() == "TO"
+    ):
+        pi = i + 2
+        if not (pi < n and toks[pi][0] == "string"):
+            raise TranspileError(
+                "SIMILAR TO needs a literal pattern to transpile"
+            )
+        if (
+            pi + 1 < n
+            and toks[pi + 1][0] == "ident"
+            and toks[pi + 1][1].upper() == "ESCAPE"
+        ):
+            raise TranspileError(
+                "SIMILAR TO ... ESCAPE has no Spark rewrite"
+            )
+        pat = _literal_content(toks[pi][1], read)
+        conv = []
+        esc = False
+        for c in pat:
+            if esc:
+                conv.append("\\" + c)
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == "%":
+                conv.append(".*")
+            elif c == "_":
+                conv.append(".")
+            elif c in ".^$":
+                conv.append("\\" + c)
+            else:
+                conv.append(c)
+        rx = "^(?:" + "".join(conv) + ")$"
+        edits.append((start, toks[i + 1][3], "RLIKE"))
+        edits.append(
+            (toks[pi][2], toks[pi][3], _spark_string_literal(rx, read))
+        )
+        i = pi + 1
+        return i
+
+    # Postgres array-element ||: elem || arr PREPENDS and arr ||
+    # elem APPENDS (verified live: 1 || ARRAY[2,3] = {1,2,3});
+    # Spark's || is concat, which raises a type mismatch there.
+    # Only the statically provable shapes rewrite: a NUMBER literal
+    # on one side and an ARRAY[...] constructor on the other
+    # (string-literal elements error in pg itself — the literal
+    # parses as an array; both engines loud). arr || arr stays
+    # Spark concat (correct); column-element shapes fail loudly at
+    # analysis, never silently. array_insert, not array_prepend:
+    # prepend's swapped arg order is a non-idempotent rewrite.
+    if read == "postgres" and kind == "op" and text == "||":
+        if (
+            i >= 1
+            and toks[i - 1][0] == "number"
+            and i + 2 < n
+            and toks[i + 1][0] in _NAME_KINDS
+            and toks[i + 1][1].upper() == "ARRAY"
+            and is_op(i + 2, "[")
+            and (
+                i < 2
+                or (toks[i - 2][0] == "op"
+                    and toks[i - 2][1] in ("(", ",", "["))
+                or (toks[i - 2][0] in _NAME_KINDS
+                    and toks[i - 2][1].upper() in _NONCALLABLE_KEYWORDS)
+            )
+        ):
+            depth = 0
+            close_b = None
+            for j in range(i + 2, n):
+                if toks[j][0] == "op" and toks[j][1] == "[":
+                    depth += 1
+                elif toks[j][0] == "op" and toks[j][1] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        close_b = j
+                        break
+            if close_b is not None:
+                ls, le = toks[i - 1][2], toks[close_b][3]
+                if not any(e[1] >= ls and e[0] <= le for e in edits):
+                    arr_txt = _arg_text((i + 1, close_b))
+                    edits.append((
+                        ls, le,
+                        f"array_insert({arr_txt}, 1, "
+                        f"{toks[i - 1][1]})",
+                    ))
+                    i = close_b + 1
+                    return i
+            i += 1
+            return i
+        if (
+            i >= 3
+            and toks[i - 1][0] == "op"
+            # "]": the raw ARRAY[...] constructor (same pass);
+            # ")": the array(...) call form — BOTH the rewritten
+            # fixpoint spelling (the constructor's own edit lands
+            # first and defers this handler one pass) and pg's
+            # ARRAY(subquery)
+            and toks[i - 1][1] in ("]", ")")
+            and i + 1 < n
+            and toks[i + 1][0] == "number"
+            and not (
+                i + 2 < n
+                and toks[i + 2][0] == "op"
+                and toks[i + 2][1] in ("^", "::", "[", ".")
+            )
+        ):
+            closer, opener = toks[i - 1][1], \
+                "[" if toks[i - 1][1] == "]" else "("
+            depth = 0
+            open_b = None
+            for j in range(i - 1, -1, -1):
+                if toks[j][0] == "op" and toks[j][1] == closer:
+                    depth += 1
+                elif toks[j][0] == "op" and toks[j][1] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        open_b = j
+                        break
+            if (
+                open_b is not None
+                and open_b >= 1
+                and toks[open_b - 1][0] in _NAME_KINDS
+                and toks[open_b - 1][1].upper() == "ARRAY"
+            ):
+                ls = toks[open_b - 1][2]
+                le = toks[i + 1][3]
+                if not any(e[1] >= ls and e[0] <= le for e in edits):
+                    arr_txt = _arg_text((open_b - 1, i - 1))
+                    edits.append((
+                        ls, le,
+                        f"array_append({arr_txt}, "
+                        f"{toks[i + 1][1]})",
+                    ))
+                    i += 2
+                    return i
+            i += 1
+            return i
+
+    # Postgres quantified comparisons over ARRAYS: x = ANY(arr) →
+    # membership (array_contains), x = ALL(arr) → forall with an
+    # equality lambda, and every other comparison operator (<> !=
+    # < > <= >=) → exists/forall with the operator in the lambda
+    # (SOME is pg's ANY synonym). All keep SQL three-valued NULL
+    # semantics exactly — verified live against PostgreSQL 15:
+    # Spark exists/forall return NULL when undetermined (1 >
+    # ANY(ARRAY[2,NULL]) → NULL both engines, empty array → false/
+    # true, NULL array → NULL). SUBQUERY operands: = ANY(SELECT..)
+    # keeps its Spark meaning (valid IN-style Spark); the OTHER
+    # operators over subqueries have no Spark form → loud with the
+    # EXISTS-rewrite guidance.
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.upper() in ("ANY", "ALL", "SOME")
+        and is_op(i + 1, "(")
+        and i >= 2
+        and toks[i - 1][0] == "op"
+        and toks[i - 1][1] in ("=", "<>", "!=", "<", ">", "<=", ">=")
+    ):
+        cmp_op = toks[i - 1][1]
+        if (
+            i + 2 < n
+            and toks[i + 2][0] == "ident"
+            and toks[i + 2][1].upper() == "SELECT"
+        ):
+            if cmp_op == "=":
+                i += 1
+                return i  # = ANY(subquery) is valid Spark (IN-style)
+            raise TranspileError(
+                f"postgres {cmp_op} {text.upper()}(SELECT ...) has "
+                "no Spark quantified-subquery form; rewrite as "
+                "EXISTS (SELECT 1 FROM ... WHERE x "
+                f"{cmp_op} col) or aggregate to min/max"
+            )
+        lfirst = _backward_primary(toks, i - 2, include_unary=True)
+        spans_q, close_q = _call_arg_spans(toks, i + 1)
+        if lfirst is None or len(spans_q) != 1:
+            raise TranspileError(
+                f"postgres {cmp_op} {text.upper()}(...) needs a "
+                "recognizable left operand to rewrite"
+            )
+        # the primary must BE the whole left operand of `=`: a
+        # tighter-binding operator before it (|| + - * / etc.)
+        # means the real LHS is a larger expression and a
+        # primary-level splice would rewrite the wrong operand
+        if not (
+            lfirst == 0
+            or (toks[lfirst - 1][0] == "op"
+                and toks[lfirst - 1][1] in ("(", ",", "["))
+            or (toks[lfirst - 1][0] in _NAME_KINDS
+                and toks[lfirst - 1][1].upper()
+                in _NONCALLABLE_KEYWORDS)
+        ):
+            raise TranspileError(
+                f"postgres {cmp_op} {text.upper()}(...) with an "
+                "operator chain on the left has no scoped one-pass "
+                "rewrite; parenthesize the left operand"
+            )
+        ls = toks[lfirst][2]
+        arr_text = _arg_text(spans_q[0])
+        lhs_text = sql[ls: toks[i - 2][3]]
+        if not any(e[1] >= ls and e[0] <= toks[close_q][3] for e in edits):
+            is_any = text.upper() in ("ANY", "SOME")
+            if cmp_op == "=" and is_any:
+                rewritten = f"array_contains(({arr_text}), ({lhs_text}))"
+            elif cmp_op == "=":
+                rewritten = (
+                    f"forall(({arr_text}), _e -> _e = ({lhs_text}))"
+                )
+            elif is_any:
+                rewritten = (
+                    f"exists(({arr_text}), "
+                    f"_e -> ({lhs_text}) {cmp_op} _e)"
+                )
+            else:
+                rewritten = (
+                    f"forall(({arr_text}), "
+                    f"_e -> ({lhs_text}) {cmp_op} _e)"
+                )
+            edits.append((ls, toks[close_q][3], rewritten))
+            i = close_q + 1
+            return i
+        i += 1
+        return i
+
+    # Postgres (a, b) OVERLAPS (c, d) — interval-overlap predicate
+    # with endpoint normalization and point-interval edge semantics;
+    # no Spark spelling and the four operands would each need
+    # least/greatest duplication — LOUD with the manual form.
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.upper() == "OVERLAPS"
+        and i > 0
+        and toks[i - 1][0] == "op"
+        and toks[i - 1][1] == ")"
+    ):
+        raise TranspileError(
+            "(start1, end1) OVERLAPS (start2, end2) has no Spark "
+            "spelling; write s1 < e2 AND s2 < e1 (with the "
+            "endpoints ordered)"
+        )
+
+    # Postgres COLLATE "name" — collation-dependent comparison
+    # semantics have no faithful Spark rewrite (Spark's collation
+    # names and defaults differ); silent pass-through would change
+    # comparison results. LOUD.
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.upper() == "COLLATE"
+        and i + 1 < n
+        and toks[i + 1][0] in ("dquote", "string", "ident")
+    ):
+        raise TranspileError(
+            "postgres COLLATE has no Spark rewrite (collation "
+            "names/semantics differ); drop the clause or compare "
+            "via upper()/lower()"
+        )
+
+    # Postgres DATE - DATE returns INTEGER days; Spark date
+    # subtraction returns an INTERVAL. Only the literal shape
+    # DATE '..' - DATE '..' is statically provable → datediff
+    # (Spark datediff(end, start) = end - start in days). Typed
+    # column subtraction passes through: the INTERVAL result type
+    # breaks downstream integer arithmetic loudly, never silently.
+    if (
+        read == "postgres"
+        and kind == "op"
+        and text == "-"
+        and i >= 2
+        and toks[i - 1][0] == "string"
+        and toks[i - 2][0] == "ident"
+        and toks[i - 2][1].upper() == "DATE"
+        and i + 2 < n
+        and toks[i + 1][0] == "ident"
+        and toks[i + 1][1].upper() == "DATE"
+        and toks[i + 2][0] == "string"
+    ):
+        ls = toks[i - 2][2]
+        re_ = toks[i + 2][3]
+        if not any(e[1] >= ls and e[0] <= re_ for e in edits):
+            edits.append((ls, ls, "datediff("))
+            edits.append((start, end, ","))
+            edits.append((re_, re_, ")"))
+            i += 3
+            return i
+        i += 1
+        return i
+
+    # Postgres regex-match operators: a ~ p (partial match) → RLIKE,
+    # ~* → RLIKE with an inline (?i), !~ / !~* → NOT RLIKE, and the
+    # LIKE spellings ~~ / !~~ → LIKE / NOT LIKE. Spark RLIKE is also
+    # a partial (unanchored) match, and its precedence band (the
+    # LIKE predicates) matches pg's. Regex FLAVOR divergence (POSIX
+    # ARE vs Java) is documented: anchors, alternation,
+    # quantifiers — the common surface — agree; POSIX [:class:]
+    # bracket elements CONVERT in literal patterns (Java reads the
+    # class name as literal characters — a silent flip, see
+    # convert_posix_classes), and non-literal patterns carrying
+    # them still ship through unconverted (runtime-silent; only
+    # literals are statically visible). Infix
+    # reading requires the previous token to END an expression —
+    # `SELECT ~ 5` stays Spark's unary bitwise NOT (same operator
+    # in pg).
+    if (
+        read == "postgres"
+        and kind == "op"
+        and text in ("~", "!")
+        and i > 0
+        and (
+            toks[i - 1][0] in ("number", "string", "dquote")
+            or (toks[i - 1][0] == "op" and toks[i - 1][1] in (")", "]"))
+            or (toks[i - 1][0] in _NAME_KINDS
+                and (toks[i - 1][1].upper() == "END"
+                     or toks[i - 1][1].upper()
+                     not in _NONCALLABLE_KEYWORDS))
+        )
+    ):
+        neg = text == "!"
+        ti = i + 1 if neg else i
+        ok = not neg or (
+            ti < n and toks[ti][0] == "op" and toks[ti][1] == "~"
+            and toks[ti][2] == end
+        )
+        if ok:
+            # ~~ (LIKE spelling): second adjacent ~
+            like_form = (
+                ti + 1 < n
+                and toks[ti + 1][0] == "op" and toks[ti + 1][1] == "~"
+                and toks[ti + 1][2] == toks[ti][3]
+            )
+            li = ti + 1 if like_form else ti
+            ci = (
+                li + 1 < n
+                and toks[li + 1][0] == "op" and toks[li + 1][1] == "*"
+                and toks[li + 1][2] == toks[li][3]
+            )
+            op_last = li + 1 if ci else li
+            rhs_idx = op_last + 1
+            if like_form:
+                # ~~* / !~~* are pg's ILIKE spellings — Spark has
+                # ILIKE natively, no pattern rewrite needed
+                base_kw = "ILIKE" if ci else "LIKE"
+                kw = f" NOT {base_kw} " if neg else f" {base_kw} "
+                ci = False  # no (?i) injection for LIKE patterns
+            else:
+                kw = " NOT RLIKE " if neg else " RLIKE "
+            rspan = _forward_primary(toks, rhs_idx)
+            if rspan is None:
+                raise TranspileError(
+                    f"postgres {'!' if neg else ''}~"
+                    f"{'*' if ci else ''} needs a recognizable "
+                    "right-hand pattern operand"
+                )
+            rs, re_ = toks[rspan[0]][2], toks[rspan[1]][3]
+            if any(e[1] >= start and e[0] <= re_ for e in edits):
+                i += 1  # pending rewrites — resolve next pass
+                return i
+            edits.append((start, toks[op_last][3], kw))
+            is_lit = (
+                rspan[0] == rspan[1] and toks[rspan[0]][0] == "string"
+            )
+            if is_lit and not like_form:
+                # POSIX [:class:] elements convert (Java would read
+                # the class NAME as literal characters — silent
+                # flip); (?i) folds into the same re-emission
+                pat = convert_posix_classes(
+                    _literal_content(toks[rspan[0]][1], read)
+                )
+                if ci:
+                    pat = "(?i)" + pat
+                edits.append(
+                    (rs, re_, _spark_string_literal(pat, read))
+                )
+            elif ci:
+                # `||`, not concat(): the pg concat() handler
+                # would re-rewrite the emission on a later pass
+                # (fixpoint break); pg and Spark || agree
+                # (NULL-propagating string concat)
+                edits.append((rs, rs, "('(?i)' || "))
+                edits.append((re_, re_, ")"))
+            i = rhs_idx
+            return i
+        i += 1
+        return i
+
+    # Postgres `#` bitwise XOR. Spark's XOR operator is `^`, but a
+    # pg-read emission of `^` would be re-read as POWER on the next
+    # fixpoint pass — emit the single-evaluation and/or/not
+    # composition over a struct binding instead (the substr-handler
+    # pattern). Only provably-scoped operand shapes rewrite: `#`
+    # binds LOOSER than + - * / in pg ("any other operator"), so a
+    # neighboring arithmetic operator would make the primary-level
+    # scoping silently wrong — loud there.
+    if read == "postgres" and kind == "op" and text == "#":
+        lfirst = (
+            _backward_primary(toks, i - 1, include_unary=True)
+            if i > 0 else None
+        )
+        rspan = _forward_primary(toks, i + 1)
+        prev_ok = lfirst is not None and (
+            lfirst == 0
+            or (toks[lfirst - 1][0] == "op"
+                and toks[lfirst - 1][1] in ("(", ",", "=", "<", ">",
+                                             "<=", ">=", "<>", "!="))
+            or (toks[lfirst - 1][0] in _NAME_KINDS
+                and toks[lfirst - 1][1].upper()
+                in _NONCALLABLE_KEYWORDS)
+        )
+        nxt_j = rspan[1] + 1 if rspan is not None else n
+        next_ok = rspan is not None and (
+            nxt_j >= n
+            or (toks[nxt_j][0] == "op"
+                and toks[nxt_j][1] in (")", ",", ";", "=", "<", ">",
+                                        "<=", ">=", "<>", "!="))
+            or (toks[nxt_j][0] in _NAME_KINDS
+                and toks[nxt_j][1].upper() in _NONCALLABLE_KEYWORDS)
+        )
+        if not (prev_ok and next_ok):
+            raise TranspileError(
+                "postgres # (bitwise XOR) binds looser than "
+                "arithmetic and this operand shape has no scoped "
+                "one-pass rewrite; parenthesize both operands or "
+                "the whole # expression"
+            )
+        ls = toks[lfirst][2]
+        re_ = toks[rspan[1]][3]
+        if any(e[1] >= ls and e[0] <= re_ for e in edits):
+            i += 1
+            return i
+        edits.append((ls, ls, "element_at(transform(array(struct(("))
+        edits.append((start, end, ") AS _x, ("))
+        edits.append(
+            (re_, re_,
+             ") AS _y)), _t -> (_t._x | _t._y) & ~ (_t._x & _t._y)), 1)")
+        )
+        i = rspan[1] + 1
+        return i
+
+    # Postgres jsonb path extraction: j #>> '{a,b}' (text at path) →
+    # get_json_object with the combined bracket JsonPath — exact for
+    # scalars, same text-form caveats as ->> (documented there).
+    # All-digit segments are loud (array index on arrays, key on
+    # objects — the ->>/pointer polymorphism). `#>` is loud like
+    # terminal -> (JSON-typed result quotes string scalars), and an
+    # arrow chained onto #>> text is a pg type error — loud.
+    if read == "postgres" and kind == "op" and text in ("#>", "#>>"):
+        if text == "#>":
+            raise TranspileError(
+                "postgres #> returns the JSON-typed value, whose "
+                "text form differs from get_json_object for string "
+                "scalars; use #>> (text at path)"
+            )
+        if not (i + 1 < n and toks[i + 1][0] == "string"):
+            i += 1  # non-literal path — loud at Spark render
+            return i
+        lfirst = (
+            _backward_primary(toks, i - 1, include_unary=False)
+            if i > 0 else None
+        )
+        if lfirst is None or _in_lambda_hof(toks, lfirst):
+            i += 1
+            return i
+        if (
+            lfirst > 0
+            and toks[lfirst - 1][0] == "op"
+            and (
+                toks[lfirst - 1][1] in ("->", "#>", "#>>")
+                or (
+                    toks[lfirst - 1][1] == ">"
+                    and lfirst >= 2
+                    and toks[lfirst - 2][0] == "op"
+                    and toks[lfirst - 2][1] == "->"
+                    and toks[lfirst - 2][3] == toks[lfirst - 1][2]
+                )
+            )
+        ):
+            i += 1  # LHS is a preceding JSON operator's RHS
+            return i
+        raw = _literal_content(toks[i + 1][1], read)
+        inner = raw.strip()
+        if not (inner.startswith("{") and inner.endswith("}")):
+            raise TranspileError(
+                "postgres #>> takes a text[] path literal like "
+                "'{a,b}'"
+            )
+        segs = [s.strip() for s in inner[1:-1].split(",")] \
+            if inner[1:-1].strip() else []
+        if not segs:
+            raise TranspileError(
+                "postgres #>> '{}' returns the whole document as "
+                "text, whose form differs from Spark's — extract a "
+                "concrete path"
+            )
+        if any(not s or any(c in s for c in "'\"[]{}") for s in segs):
+            raise TranspileError(
+                "postgres #>> path segments with quotes/brackets "
+                "have no Spark JsonPath form"
+            )
+        if any(s.isdigit() for s in segs):
+            raise TranspileError(
+                "postgres #>> digit segments are array indexes on "
+                "arrays but keys on objects — statically ambiguous "
+                "in Spark's JsonPath"
+            )
+        j2 = i + 2
+        while j2 < n and is_op(j2, ")"):
+            j2 += 1
+        if (
+            j2 < n
+            and toks[j2][0] == "op"
+            and toks[j2][1] in ("->", "#>", "#>>")
+        ):
+            raise TranspileError(
+                "#>> returns text; chaining another JSON operator "
+                "onto text is a type error in postgres"
+            )
+        ls = toks[lfirst][2]
+        if any(e[1] >= ls and e[0] <= toks[i + 1][3] for e in edits):
+            i += 1
+            return i
+        path = "$" + "".join(f"['{s}']" for s in segs)
+        edits.append((ls, ls, "get_json_object("))
+        edits.append(
+            (start, toks[i + 1][3],
+             ", " + _spark_string_literal(path, read) + ")")
+        )
+        i += 2
+        return i
+
+    return None
+
+
+def call_handlers(ctx) -> "int | None":
+    """Round-7 pg call handlers, dispatched from standard.call_handlers
+    at the exact position the section occupied (order unchanged)."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i, name = ctx.i, ctx.name
+    kind, text, start, end = ctx.kind, ctx.text, ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    n = len(toks)
+    _unused = (sql, name, kind, text, start, end, first_pass, is_op,
+               _arg_text, transpile, n)
+
+    # ---- Postgres-specific handlers (round 7, each found by the
+    # live-PG differential fuzz harness tests/test_dialect_fuzz_pg.py)
+    if read == "postgres" and first_pass:
+        if name in ("num_nonnulls", "num_nulls"):
+            # variadic NULL counters — unfold into an IF-sum (each arg
+            # referenced exactly once; args may have mixed types, so an
+            # array() fold is not an option)
+            spans, close = _call_arg_spans(toks, i + 1)
+            if not spans:
+                raise TranspileError(f"{name} takes at least one argument")
+            pred = "IS NOT NULL" if name == "num_nonnulls" else "IS NULL"
+            parts = [
+                f"(CASE WHEN ({_arg_text(sp)}) {pred} THEN 1 ELSE 0 END)"
+                for sp in spans
+            ]
+            edits.append((start, toks[close][3], "(" + " + ".join(parts) + ")"))
+            return close + 1
+        if name == "format":
+            # pg format() is exact only for %s/%% directives (with
+            # explicit argument positions loud): %I/%L quote
+            # identifiers/literals — no Spark analog. pg %s renders
+            # NULL as '' where Java's format_string prints "null" —
+            # each argument gets a coalesce(CAST(.. AS STRING), '').
+            spans, close = _call_arg_spans(toks, i + 1)
+            ftok = toks[spans[0][0]] if spans else None
+            if (
+                ftok is None
+                or spans[0][0] != spans[0][1]
+                or ftok[0] != "string"
+            ):
+                raise TranspileError(
+                    "postgres format() needs a literal format string "
+                    "to transpile"
+                )
+            fmt = _literal_content(ftok[1], read)
+            if re.search(r"%[^s%]", fmt) or fmt.endswith("%"):
+                raise TranspileError(
+                    "postgres format() directives other than %s/%% "
+                    "(%I identifier / %L literal quoting, positional "
+                    "%n$) have no Spark rewrite"
+                )
+            args = ", ".join(
+                f"coalesce(CAST(({_arg_text(sp)}) AS STRING), '')"
+                for sp in spans[1:]
+            )
+            fmt_lit = _spark_string_literal(fmt, read)
+            edits.append(
+                (start, toks[close][3],
+                 f"format_string({fmt_lit}{', ' + args if args else ''})")
+            )
+            return close + 1
+        if name in ("array_prepend", "list_prepend"):
+            # pg/duckdb take (element, array); Spark array_prepend
+            # takes (array, element) — a pure swap would re-swap on the
+            # next pass, so emit array_insert(arr, 1, elem) instead
+            spans, close = _call_arg_spans(toks, i + 1)
+            if len(spans) != 2:
+                raise TranspileError(f"{name} takes (element, array)")
+            edits.append(
+                (start, toks[close][3],
+                 f"array_insert(({_arg_text(spans[1])}), 1, "
+                 f"({_arg_text(spans[0])}))")
+            )
+            return close + 1
+        if name == "array_replace":
+            # transform with a null-safe comparison: pg array_replace
+            # also replaces NULL elements when `from` is NULL
+            spans, close = _call_arg_spans(toks, i + 1)
+            if len(spans) != 3:
+                raise TranspileError("array_replace takes (array, from, to)")
+            edits.append(
+                (start, toks[close][3],
+                 f"transform(({_arg_text(spans[0])}), _x -> "
+                 f"if(_x <=> ({_arg_text(spans[1])}), "
+                 f"({_arg_text(spans[2])}), _x))")
+            )
+            return close + 1
+        if name in ("quote_ident", "quote_literal", "quote_nullable"):
+            raise TranspileError(
+                f"postgres {name}() quotes conditionally (keyword and "
+                "character checks) — no Spark rewrite"
+            )
+
+    if (
+        name == "string_to_array"
+        and read == "postgres"
+        and first_pass
+    ):
+        # pg string_to_array('') is an EMPTY array; Spark split('', p)
+        # (and duckdb string_split) give ['']. Bind the source once and
+        # branch; the separator converts to the escaped-regex split()
+        # form INLINE (the shared handler below is first_pass-gated, so
+        # an emitted inner string_to_array would never convert). The
+        # 3-arg form's null_string maps matching elements to NULL
+        # (never NULL-matches when null_string itself is NULL — split
+        # produces no NULL elements, so <=> reproduces pg exactly).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) in (2, 3):
+            sep_first, sep_last = spans[1]
+            if not (sep_first == sep_last and toks[sep_first][0] == "string"):
+                raise TranspileError(
+                    "string_to_array separator must be a literal to "
+                    "transpile (Spark split() treats it as a regex)"
+                )
+            s_ = _arg_text(spans[0])
+            sep_lit = _regex_literal(
+                _literal_content(toks[sep_first][1], read), read
+            )
+            split_expr = f"split(_t._ss, {sep_lit})"
+            if len(spans) == 3:
+                ns_ = _arg_text(spans[2])
+                split_expr = (
+                    f"transform({split_expr}, "
+                    f"_x -> IF(_x <=> ({ns_}), NULL, _x))"
+                )
+            edits.append(
+                (start, toks[close][3],
+                 f"element_at(transform(array(struct(({s_}) AS _ss)), "
+                 f"_t -> CASE WHEN _t._ss = '' THEN "
+                 f"CAST(array() AS ARRAY<STRING>) ELSE "
+                 f"{split_expr} END), 1)")
+            )
+            return close + 1
+
+    if (
+        name == "substring"
+        and read == "postgres"
+        and first_pass
+        and is_op(i + 1, "(")
+    ):
+        # substring(s FROM 'pattern') / substring(s, 'pattern') — the
+        # pg POSIX-regex form (a STRING second operand; the positional
+        # form takes numbers). Returns group 1 when the pattern
+        # captures, else the whole match; NULL when no match (Spark
+        # regexp_extract gives '' — nullif). A pattern matching the
+        # EMPTY string diverges (pg '' vs NULL here) — documented, no
+        # non-matching shape.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+        ):
+            pat = _literal_content(toks[spans[1][0]][1], read)
+            edits.append(
+                (start, toks[close][3],
+                 _pg_regex_substring_emit(_arg_text(spans[0]), pat, read))
+            )
+            return close + 1
+        if len(spans) == 1:
+            sp = spans[0]
+            from_idx = None
+            depth = 0
+            for j in range(sp[0], sp[1] + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                elif depth == 0 and k_ == "ident" and t_.upper() == "FROM":
+                    from_idx = j
+                    break
+            if (
+                from_idx is not None
+                and from_idx + 1 == sp[1]
+                and toks[sp[1]][0] == "string"
+            ):
+                pat = _literal_content(toks[sp[1]][1], read)
+                s_text = sql[toks[sp[0]][2]: toks[from_idx][2]]
+                edits.append(
+                    (start, toks[close][3],
+                     _pg_regex_substring_emit(s_text.rstrip(), pat, read))
+                )
+                return close + 1
+
+    if (
+        name == "string_agg"
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        # string_agg(expr, sep ORDER BY k) — the rename below maps the
+        # plain form to listagg (Spark 4); an in-args ORDER BY must
+        # move into WITHIN GROUP (ORDER BY k), Spark's spelling.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            sp = spans[1]
+            ob_idx = None
+            depth = 0
+            for j in range(sp[0], sp[1] + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == "(":
+                    depth += 1
+                elif k_ == "op" and t_ == ")":
+                    depth -= 1
+                elif (
+                    depth == 0 and k_ == "ident" and t_.upper() == "ORDER"
+                    and j + 1 <= sp[1]
+                    and toks[j + 1][0] == "ident"
+                    and toks[j + 1][1].upper() == "BY"
+                ):
+                    ob_idx = j
+                    break
+            if ob_idx is not None:
+                _require_spark4("string_agg", "listagg")
+                order_text = sql[toks[ob_idx][2]: toks[sp[1]][3]]
+                edits.append((start, end, "listagg"))
+                # drop the ORDER BY from the arg list (and the space
+                # before it), re-attach as WITHIN GROUP
+                edits.append((toks[ob_idx - 1][3], toks[sp[1]][3], ""))
+                edits.append(
+                    (toks[close][3], toks[close][3],
+                     f" WITHIN GROUP ({order_text})")
+                )
+                return close + 1
+
+    return None

@@ -15,6 +15,7 @@ from sqlmesh_spark.core.transpile_shared import (
     _emit_infix_call,
     _NAME_KINDS,
     _ident_text,
+    _backward_primary,
     _call_arg_spans,
     _EXPR_KEYWORDS,
 )
@@ -463,6 +464,107 @@ def call_handlers(ctx) -> "int | None":
             (toks[region_start_tok][2], toks[region_end_tok][3], repl)
         )
         i = region_end_tok + 1
+        return i
+
+    return None
+
+
+def token_handlers(ctx) -> "int | None":
+    """Snowflake token-level handlers (pre-split code, verbatim —
+    moved out of core/transpile.py in round 8): the semi-structured
+    colon path ``v:a.b[0]."Key"::TYPE``."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read, first_pass = ctx.sql, ctx.read, ctx.first_pass
+    i = ctx.i
+    kind, text, start, end = ctx.kind, ctx.text, ctx.start, ctx.end
+    is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
+    n = len(toks)
+    _unused = (sql, read, first_pass, _arg_text, transpile)
+
+    # Snowflake semi-structured colon paths: v:a.b[0]."Key"::TYPE.
+    # The ::cast form maps exactly — casting a VARIANT to STRING
+    # unquotes JSON strings, which is get_json_object's behavior,
+    # and other target types parse the extracted text just like
+    # Spark's ANSI CAST; the emitted CAST's type name is transpiled
+    # by the regular type machinery on the next fixpoint pass. A
+    # BARE colon path (no cast) yields a VARIANT whose text form
+    # quotes string scalars — no faithful rewrite, LOUD.
+    if (
+        read == "snowflake"
+        and kind == "op"
+        and text == ":"
+        and i + 1 < n
+        and toks[i + 1][0] in ("ident", "dquote")
+    ):
+        lfirst = (
+            _backward_primary(toks, i - 1, include_unary=False)
+            if i > 0 else None
+        )
+        if lfirst is not None and not any(
+            e[1] >= toks[lfirst][2] for e in edits
+        ):
+            parts = []
+            j2 = i + 1
+            while j2 < n:
+                tk, tt, _, tend_ = toks[j2]
+                if tk == "ident":
+                    parts.append("." + tt)
+                elif tk == "dquote":
+                    inner = tt[1:-1].replace('""', '"')
+                    if any(c in inner for c in "'[]"):
+                        raise TranspileError(
+                            "snowflake path elements containing "
+                            "quotes or brackets cannot be expressed "
+                            "in Spark's JsonPath"
+                        )
+                    parts.append("['" + inner + "']")
+                else:
+                    break
+                j2 += 1
+                if j2 < n and is_op(j2, "."):
+                    j2 += 1
+                    continue
+                while (
+                    j2 + 2 < n
+                    and is_op(j2, "[")
+                    and toks[j2 + 1][0] == "number"
+                    and is_op(j2 + 2, "]")
+                ):
+                    parts.append(f"[{toks[j2 + 1][1]}]")
+                    j2 += 3
+                if j2 < n and is_op(j2, "."):
+                    j2 += 1
+                    continue
+                break
+            if parts:
+                path = "$" + "".join(parts)
+                if not (
+                    j2 < n
+                    and is_op(j2, "::")
+                    and j2 + 1 < n
+                    and toks[j2 + 1][0] == "ident"
+                ):
+                    raise TranspileError(
+                        "bare snowflake :path returns VARIANT, whose "
+                        "text form quotes string scalars; append "
+                        "::STRING (exactly get_json_object) or a "
+                        "typed cast"
+                    )
+                t_last = j2 + 1
+                if is_op(t_last + 1, "("):
+                    t_last = _call_arg_spans(toks, t_last + 1)[1]
+                type_text = sql[toks[j2 + 1][2]: toks[t_last][3]]
+                ls = toks[lfirst][2]
+                gjo = "get_json_object(" + sql[ls: toks[i - 1][3]]
+                edits.append(
+                    (ls, toks[t_last][3],
+                     f"CAST({gjo}, "
+                     f"{_spark_string_literal(path, read)}) "
+                     f"AS {type_text})")
+                )
+                i = t_last + 1
+                return i
+        i += 1
         return i
 
     return None

@@ -11,12 +11,16 @@ from __future__ import annotations
 
 import re
 
-from sqlmesh_spark.core.transpile_shared import (
-    _json_key_to_path,
-    TranspileError,
+from sqlmesh_spark.core.dialects import standard_edges as _edges
+from sqlmesh_spark.core.dialects import postgres as _postgres
+from sqlmesh_spark.core.transpile_types import (
     _PARAM_TYPES,
     _PARAM_DROP_TYPES,
     _lookup_type,
+)
+from sqlmesh_spark.core.transpile_shared import (
+    _json_key_to_path,
+    TranspileError,
     _require_spark4,
     _NAME_KINDS,
     _call_args,
@@ -96,92 +100,6 @@ _COMMON_FN = {
 # with IDENTICAL Spark semantics pass through unmapped (nvl2, split_part —
 # both plain-string delimiter + 1-based + negative-from-end, ifnull,
 # regexp_count, arrays_overlap). None = loud failure.
-_DOW_TEMPLATE = "CAST(pmod(weekday({x}) + 1, 7) AS BIGINT)"
-_DP_FIELD_TEMPLATES = {
-    "dow": _DOW_TEMPLATE,
-    "dayofweek": _DOW_TEMPLATE,
-    "weekday": _DOW_TEMPLATE,
-    "isodow": "CAST(date_part('DAYOFWEEK_ISO', {x}) AS BIGINT)",
-    "epoch": "try_divide(unix_micros(CAST({x} AS TIMESTAMP)), 1000000)",
-    "second": "CAST(second({x}) AS BIGINT)",
-    "seconds": "CAST(second({x}) AS BIGINT)",
-    "microseconds": "CAST(date_format({x}, 'ssSSSSSS') AS BIGINT)",
-    "microsecond": "CAST(date_format({x}, 'ssSSSSSS') AS BIGINT)",
-    "milliseconds": "CAST(date_format({x}, 'ssSSS') AS BIGINT)",
-    "millisecond": "CAST(date_format({x}, 'ssSSS') AS BIGINT)",
-    # Spark's extract has no isoyear/decade/century/millennium/yearweek
-    # fields — raise INVALID_EXTRACT_FIELD; these duckdb/postgres values
-    # are simple derivations (YEAROFWEEK is the ISO week-year)
-    "isoyear": "CAST(extract(YEAROFWEEK FROM {x}) AS BIGINT)",
-    "dayofmonth": "CAST(day({x}) AS BIGINT)",
-    "dayofyear": "CAST(dayofyear({x}) AS BIGINT)",
-    # decade truncates toward zero; century/millennium count away from
-    # zero (year -4 is century -1) — sign-aware so BC years match
-    "decade": "CAST(year({x}) DIV nullif(10, 0) AS BIGINT)",
-    "century":
-        "CAST(sign(year({x})) * ceil(try_divide(abs(year({x})), 100)) AS BIGINT)",
-    "millennium":
-        "CAST(sign(year({x})) * ceil(try_divide(abs(year({x})), 1000)) AS BIGINT)",
-    "yearweek":
-        "CAST(extract(YEAROFWEEK FROM {x}) * 100 + weekofyear({x}) AS BIGINT)",
-}
-
-#: Postgres overrides: unlike duckdb, Postgres date_part/extract of the
-#: seconds family carries the FRACTION (date_part('second',
-#: ..01.5) = 1.5, milliseconds = 1500.0) and returns DOUBLE.
-_DP_FIELD_TEMPLATES_PG = {
-    **_DP_FIELD_TEMPLATES,
-    "second": "CAST(date_format({x}, 'ss.SSSSSS') AS DOUBLE)",
-    "seconds": "CAST(date_format({x}, 'ss.SSSSSS') AS DOUBLE)",
-    "milliseconds": "(CAST(date_format({x}, 'ss.SSSSSS') AS DOUBLE) * 1000)",
-    "millisecond": "(CAST(date_format({x}, 'ss.SSSSSS') AS DOUBLE) * 1000)",
-    "microseconds": "CAST(date_format({x}, 'ssSSSSSS') AS DOUBLE)",
-    "microsecond": "CAST(date_format({x}, 'ssSSSSSS') AS DOUBLE)",
-}
-
-
-
-def _regex_has_capture_group(pat: str) -> bool:
-    """True iff the POSIX/Java regex has a CAPTURING group: an
-    unescaped ``(`` outside a ``[...]`` bracket class not followed by
-    ``?``. A char-by-char scan (escape state + class state) — the
-    naive lookbehind regex misreads ``[(]`` (literal paren in a class:
-    zero groups) and ``a\\\\(b)`` (escaped backslash then a REAL
-    group)."""
-    esc = False
-    in_class = False
-    n_ = len(pat)
-    for idx, c in enumerate(pat):
-        if esc:
-            esc = False
-            continue
-        if c == "\\":
-            esc = True
-            continue
-        if in_class:
-            if c == "]":
-                in_class = False
-            continue
-        if c == "[":
-            in_class = True
-            continue
-        if c == "(" and not (idx + 1 < n_ and pat[idx + 1] == "?"):
-            return True
-    return False
-
-
-def _pg_regex_substring_emit(source_text: str, pat: str, read: str) -> str:
-    """Shared emission for BOTH pg regex-substring spellings
-    (substring(s FROM 'pat') and substring(s, 'pat')): group 1 when the
-    pattern captures, else the whole match; NULL on no match."""
-    pat = convert_posix_classes(pat)
-    g = 1 if _regex_has_capture_group(pat) else 0
-    return (
-        f"nullif(regexp_extract(({source_text}), "
-        f"{_spark_string_literal(pat, read)}, {g}), '')"
-    )
-
-
 def call_handlers(ctx) -> "int | None":
     """Shared standard-SQL-family handlers: the DuckDB/Postgres function map and NULL-edge fidelity handlers, plus multi-dialect restructuring handlers (trim/to_char/strftime families shared with redshift/oracle) (pre-split code, verbatim)."""
     toks, edits = ctx.toks, ctx.edits
@@ -415,761 +333,18 @@ def call_handlers(ctx) -> "int | None":
         )
         return close + 1
 
-    # ---- Postgres-specific handlers (round 7, each found by the
-    # live-PG differential fuzz harness tests/test_dialect_fuzz_pg.py)
-    if read == "postgres" and first_pass:
-        if name in ("num_nonnulls", "num_nulls"):
-            # variadic NULL counters — unfold into an IF-sum (each arg
-            # referenced exactly once; args may have mixed types, so an
-            # array() fold is not an option)
-            spans, close = _call_arg_spans(toks, i + 1)
-            if not spans:
-                raise TranspileError(f"{name} takes at least one argument")
-            pred = "IS NOT NULL" if name == "num_nonnulls" else "IS NULL"
-            parts = [
-                f"(CASE WHEN ({_arg_text(sp)}) {pred} THEN 1 ELSE 0 END)"
-                for sp in spans
-            ]
-            edits.append((start, toks[close][3], "(" + " + ".join(parts) + ")"))
-            return close + 1
-        if name == "format":
-            # pg format() is exact only for %s/%% directives (with
-            # explicit argument positions loud): %I/%L quote
-            # identifiers/literals — no Spark analog. pg %s renders
-            # NULL as '' where Java's format_string prints "null" —
-            # each argument gets a coalesce(CAST(.. AS STRING), '').
-            spans, close = _call_arg_spans(toks, i + 1)
-            ftok = toks[spans[0][0]] if spans else None
-            if (
-                ftok is None
-                or spans[0][0] != spans[0][1]
-                or ftok[0] != "string"
-            ):
-                raise TranspileError(
-                    "postgres format() needs a literal format string "
-                    "to transpile"
-                )
-            fmt = _literal_content(ftok[1], read)
-            if re.search(r"%[^s%]", fmt) or fmt.endswith("%"):
-                raise TranspileError(
-                    "postgres format() directives other than %s/%% "
-                    "(%I identifier / %L literal quoting, positional "
-                    "%n$) have no Spark rewrite"
-                )
-            args = ", ".join(
-                f"coalesce(CAST(({_arg_text(sp)}) AS STRING), '')"
-                for sp in spans[1:]
-            )
-            fmt_lit = _spark_string_literal(fmt, read)
-            edits.append(
-                (start, toks[close][3],
-                 f"format_string({fmt_lit}{', ' + args if args else ''})")
-            )
-            return close + 1
-        if name in ("array_prepend", "list_prepend"):
-            # pg/duckdb take (element, array); Spark array_prepend
-            # takes (array, element) — a pure swap would re-swap on the
-            # next pass, so emit array_insert(arr, 1, elem) instead
-            spans, close = _call_arg_spans(toks, i + 1)
-            if len(spans) != 2:
-                raise TranspileError(f"{name} takes (element, array)")
-            edits.append(
-                (start, toks[close][3],
-                 f"array_insert(({_arg_text(spans[1])}), 1, "
-                 f"({_arg_text(spans[0])}))")
-            )
-            return close + 1
-        if name == "array_replace":
-            # transform with a null-safe comparison: pg array_replace
-            # also replaces NULL elements when `from` is NULL
-            spans, close = _call_arg_spans(toks, i + 1)
-            if len(spans) != 3:
-                raise TranspileError("array_replace takes (array, from, to)")
-            edits.append(
-                (start, toks[close][3],
-                 f"transform(({_arg_text(spans[0])}), _x -> "
-                 f"if(_x <=> ({_arg_text(spans[1])}), "
-                 f"({_arg_text(spans[2])}), _x))")
-            )
-            return close + 1
-        if name in ("quote_ident", "quote_literal", "quote_nullable"):
-            raise TranspileError(
-                f"postgres {name}() quotes conditionally (keyword and "
-                "character checks) — no Spark rewrite"
-            )
-
-    if (
-        name == "string_to_array"
-        and read == "postgres"
-        and first_pass
-    ):
-        # pg string_to_array('') is an EMPTY array; Spark split('', p)
-        # (and duckdb string_split) give ['']. Bind the source once and
-        # branch; the separator converts to the escaped-regex split()
-        # form INLINE (the shared handler below is first_pass-gated, so
-        # an emitted inner string_to_array would never convert). The
-        # 3-arg form's null_string maps matching elements to NULL
-        # (never NULL-matches when null_string itself is NULL — split
-        # produces no NULL elements, so <=> reproduces pg exactly).
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) in (2, 3):
-            sep_first, sep_last = spans[1]
-            if not (sep_first == sep_last and toks[sep_first][0] == "string"):
-                raise TranspileError(
-                    "string_to_array separator must be a literal to "
-                    "transpile (Spark split() treats it as a regex)"
-                )
-            s_ = _arg_text(spans[0])
-            sep_lit = _regex_literal(
-                _literal_content(toks[sep_first][1], read), read
-            )
-            split_expr = f"split(_t._ss, {sep_lit})"
-            if len(spans) == 3:
-                ns_ = _arg_text(spans[2])
-                split_expr = (
-                    f"transform({split_expr}, "
-                    f"_x -> IF(_x <=> ({ns_}), NULL, _x))"
-                )
-            edits.append(
-                (start, toks[close][3],
-                 f"element_at(transform(array(struct(({s_}) AS _ss)), "
-                 f"_t -> CASE WHEN _t._ss = '' THEN "
-                 f"CAST(array() AS ARRAY<STRING>) ELSE "
-                 f"{split_expr} END), 1)")
-            )
-            return close + 1
-
-    if (
-        name == "substring"
-        and read == "postgres"
-        and first_pass
-        and is_op(i + 1, "(")
-    ):
-        # substring(s FROM 'pattern') / substring(s, 'pattern') — the
-        # pg POSIX-regex form (a STRING second operand; the positional
-        # form takes numbers). Returns group 1 when the pattern
-        # captures, else the whole match; NULL when no match (Spark
-        # regexp_extract gives '' — nullif). A pattern matching the
-        # EMPTY string diverges (pg '' vs NULL here) — documented, no
-        # non-matching shape.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if (
-            len(spans) == 2
-            and spans[1][0] == spans[1][1]
-            and toks[spans[1][0]][0] == "string"
-        ):
-            pat = _literal_content(toks[spans[1][0]][1], read)
-            edits.append(
-                (start, toks[close][3],
-                 _pg_regex_substring_emit(_arg_text(spans[0]), pat, read))
-            )
-            return close + 1
-        if len(spans) == 1:
-            sp = spans[0]
-            from_idx = None
-            depth = 0
-            for j in range(sp[0], sp[1] + 1):
-                k_, t_ = toks[j][0], toks[j][1]
-                if k_ == "op" and t_ == "(":
-                    depth += 1
-                elif k_ == "op" and t_ == ")":
-                    depth -= 1
-                elif depth == 0 and k_ == "ident" and t_.upper() == "FROM":
-                    from_idx = j
-                    break
-            if (
-                from_idx is not None
-                and from_idx + 1 == sp[1]
-                and toks[sp[1]][0] == "string"
-            ):
-                pat = _literal_content(toks[sp[1]][1], read)
-                s_text = sql[toks[sp[0]][2]: toks[from_idx][2]]
-                edits.append(
-                    (start, toks[close][3],
-                     _pg_regex_substring_emit(s_text.rstrip(), pat, read))
-                )
-                return close + 1
-
-    if (
-        name == "string_agg"
-        and read in ("duckdb", "postgres")
-        and first_pass
-    ):
-        # string_agg(expr, sep ORDER BY k) — the rename below maps the
-        # plain form to listagg (Spark 4); an in-args ORDER BY must
-        # move into WITHIN GROUP (ORDER BY k), Spark's spelling.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            sp = spans[1]
-            ob_idx = None
-            depth = 0
-            for j in range(sp[0], sp[1] + 1):
-                k_, t_ = toks[j][0], toks[j][1]
-                if k_ == "op" and t_ == "(":
-                    depth += 1
-                elif k_ == "op" and t_ == ")":
-                    depth -= 1
-                elif (
-                    depth == 0 and k_ == "ident" and t_.upper() == "ORDER"
-                    and j + 1 <= sp[1]
-                    and toks[j + 1][0] == "ident"
-                    and toks[j + 1][1].upper() == "BY"
-                ):
-                    ob_idx = j
-                    break
-            if ob_idx is not None:
-                _require_spark4("string_agg", "listagg")
-                order_text = sql[toks[ob_idx][2]: toks[sp[1]][3]]
-                edits.append((start, end, "listagg"))
-                # drop the ORDER BY from the arg list (and the space
-                # before it), re-attach as WITHIN GROUP
-                edits.append((toks[ob_idx - 1][3], toks[sp[1]][3], ""))
-                edits.append(
-                    (toks[close][3], toks[close][3],
-                     f" WITHIN GROUP ({order_text})")
-                )
-                return close + 1
-
-    # ---- DuckDB/Postgres NULL-and-edge fidelity handlers.
-    # These engines return NULL / '' / keep NULLs on edges where
-    # Spark's builtins raise (ANSI), drop NULLs, or compute a
-    # different value. Each rewrite is pinned value-by-value
-    # against the DuckDB oracle in tests/test_dialect_edges.py.
-
-    if (
-        (
-            name == "array_agg"
-            or (name == "list" and read == "duckdb")
-        )
-        and read in ("duckdb", "postgres", "trino")
-        and first_pass
-    ):
-        # These engines' array_agg KEEPS NULL elements and returns
-        # NULL (not []) for an empty input set; Spark's
-        # array_agg/collect_list drops NULLs and returns [].
-        # struct-wrap preserves NULLs (a struct row is never
-        # null); the CASE restores NULL-on-empty. Catalyst
-        # deduplicates the two identical aggregate expressions.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) != 1:
-            raise TranspileError("array_agg takes 1 argument")
-        depth_ = 0
-        for j_ in range(spans[0][0], spans[0][1] + 1):
-            k_, t_, _, _ = toks[j_]
-            if k_ == "op" and t_ in ("(", "["):
-                depth_ += 1
-            elif k_ == "op" and t_ in (")", "]"):
-                depth_ -= 1
-            elif (
-                depth_ == 0 and k_ in _NAME_KINDS
-                and t_.upper() == "ORDER"
-            ):
-                raise TranspileError(
-                    "array_agg(x ORDER BY ...) has no Spark "
-                    "rewrite (Spark aggregates reject inline "
-                    "ORDER BY); aggregate then array_sort/"
-                    "sort_array explicitly"
-                )
-        dist = ""
-        a0, a1 = spans[0]
-        if toks[a0][0] in _NAME_KINDS and toks[a0][1].upper() == "DISTINCT":
-            dist = "DISTINCT "
-            a0 += 1
-        if (
-            toks[a0][0] in _NAME_KINDS
-            and toks[a0][1].lower() == "struct"
-            and is_op(a0 + 1, "(")
-        ):
-            # already our emitted struct((x) AS _v) wrap (a
-            # re-transpile of transpiled output; none of these
-            # dialects has a struct() function) — struct rows are
-            # never NULL, so the native agg is faithful
-            i += 1
-            return i
-        expr_text = _arg_text((a0, a1))
-        fend = close
-        ftext = ""
-        if (
-            close + 2 < len(toks)
-            and toks[close + 1][0] in _NAME_KINDS
-            and toks[close + 1][1].upper() == "FILTER"
-            and is_op(close + 2, "(")
-        ):
-            fend = _call_arg_spans(toks, close + 2)[1]
-            ftext = " " + transpile(
-                sql[toks[close + 1][2]: toks[fend][3]], read
-            )
-        agg = f"array_agg({dist}struct(({expr_text}) AS _v)){ftext}"
-        if (
-            fend + 1 < len(toks)
-            and toks[fend + 1][0] in _NAME_KINDS
-            and toks[fend + 1][1].upper() == "OVER"
-        ):
-            if ftext or dist:
-                # Spark rejects windowed aggregates with a FILTER clause
-                # ("not supported yet") or DISTINCT
-                # (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED) — loud at
-                # render time instead of doomed SQL at execution.
-                raise TranspileError(
-                    "array_agg(DISTINCT ...)/FILTER(...) OVER a window "
-                    "is not executable on Spark; aggregate without the "
-                    "window or drop the DISTINCT/FILTER"
-                )
-            # window form: a CASE around the call would detach OVER
-            # from its function — wrap transform() AROUND the whole
-            # windowed aggregate instead. NULL elements still survive
-            # via the struct wrap; the default window frame is never
-            # empty, so the NULL-on-empty CASE is not needed (an
-            # explicitly empty frame yields [] here vs NULL natively —
-            # documented edge).
-            if not is_op(fend + 2, "("):
-                raise TranspileError(
-                    "array_agg(...) OVER window-name has no scoped "
-                    "rewrite; inline the window definition"
-                )
-            over_end = _call_arg_spans(toks, fend + 2)[1]
-            over_text = transpile(
-                sql[toks[fend + 2][2]: toks[over_end][3]], read
-            )
-            edits.append(
-                (start, toks[over_end][3],
-                 f"transform({agg} OVER {over_text}, _s -> _s._v)")
-            )
-            i = over_end + 1
-            return i
-        edits.append(
-            (start, toks[fend][3],
-             f"(CASE WHEN size({agg}) = 0 THEN NULL "
-             f"ELSE transform({agg}, _s -> _s._v) END)")
-        )
-        i = fend + 1
-        return i
-
-    if name == "concat" and read in ("duckdb", "postgres") and first_pass:
-        # duckdb/postgres concat casts every argument to text and
-        # SKIPS NULLs (concat('a', NULL) = 'a', concat(NULL, NULL)
-        # = ''); Spark concat returns NULL if any input is NULL.
-        # Wrap each argument; keep scanning inside them.
-        spans, _close = _call_arg_spans(toks, i + 1)
-        if all(
-            toks[sp[0]][0] in _NAME_KINDS
-            and toks[sp[0]][1].lower() == "coalesce"
-            and toks[sp[0] + 1][1] == "("
-            and toks[sp[0] + 2][1].upper() in ("CAST", "TRY_CAST")
-            for sp in spans
-        ):
-            i += 1  # already-wrapped re-transpile of our output
-            return i
-        for sp in spans:
-            edits.append((toks[sp[0]][2], toks[sp[0]][2], "coalesce(CAST("))
-            edits.append((toks[sp[1]][3], toks[sp[1]][3], " AS STRING), '')"))
-        i += 1
-        return i
-
-    if (
-        name in ("list_concat", "list_cat", "array_cat")
-        and read in ("duckdb", "postgres")
-        and first_pass
-    ):
-        # NULL list arguments are SKIPPED (list_concat([1], NULL)
-        # = [1]) and all-NULL yields NULL; Spark concat(a, NULL)
-        # is NULL. (The emitted concat is the ARRAY concat — the
-        # string-concat handler above is first-pass-only.)
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) != 2:
-            raise TranspileError(f"{name} takes 2 args")
-        a_ = _arg_text(spans[0])
-        b_ = _arg_text(spans[1])
-        edits.append(
-            (start, toks[close][3],
-             f"(CASE WHEN ({a_}) IS NULL AND ({b_}) IS NULL THEN NULL "
-             f"ELSE coalesce(({a_}), array()) || "
-             f"coalesce(({b_}), array()) END)")
-        )
-        i = close + 1
-        return i
-
-    if (
-        name in ("list_distinct", "array_distinct")
-        and read == "duckdb"
-        and first_pass
-    ):
-        # duckdb list_distinct/array_distinct REMOVE NULL
-        # elements; Spark array_distinct keeps one. (Result order
-        # is unspecified in duckdb — element SET parity is what's
-        # contracted.)
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) != 1:
-            raise TranspileError(f"{name} takes 1 arg")
-        tail = [
-            toks[j_][1].upper()
-            for j_ in range(max(spans[0][0], spans[0][1] - 5), spans[0][1] + 1)
-        ]
-        if (
-            toks[spans[0][0]][0] in _NAME_KINDS
-            and toks[spans[0][0]][1].lower() == "filter"
-            and tail == ["_LD", "->", "_LD", "IS", "NOT", "NULL", ")"][-len(tail):]
-        ):
-            # exactly our own filter(..., _ld -> _ld IS NOT NULL)
-            # emission (or user SQL that is semantically identical to
-            # it) on a re-transpile — the NULL-drop is already present;
-            # only the list_distinct NAME still needs the rename
-            if name == "list_distinct":
-                edits.append((start, end, "array_distinct"))
-            i += 1
-            return i
-        a_ = _arg_text(spans[0])
-        edits.append(
-            (start, toks[close][3],
-             f"array_distinct(filter(({a_}), _ld -> _ld IS NOT NULL))")
-        )
-        i = close + 1
-        return i
-
-    if (
-        name in ("substr", "substring")
-        and read in ("duckdb", "postgres")
-        and first_pass
-    ):
-        # 3-arg substr edge semantics (verified against duckdb):
-        # both engines treat positions VIRTUALLY — substr('hello',
-        # 0, 3) = 'he' (the span [0,3) clipped to [1,..]), and
-        # duckdb additionally resolves a NEGATIVE start from the
-        # end (p = len+b+1) and allows negative LENGTH (span
-        # walked backwards: substr('hello', 2, -1) = 'h');
-        # postgres keeps negative starts virtual. Spark's substr
-        # treats 0 as 1 and keeps the full length. The emitted
-        # span arithmetic reproduces each engine exactly; 2-arg
-        # forms agree natively and pass through.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 3:
-            s_ = _arg_text(spans[0])
-            b_ = _arg_text(spans[1])
-            n_ = _arg_text(spans[2])
-            # Each argument is bound ONCE into a struct and threaded
-            # through a one-element transform lambda (nested lambdas
-            # may shadow _t), so nested substr calls grow linearly —
-            # the naive inline form repeated s/b 6-18x per level. The
-            # emitted keyword-form substring has no top-level commas,
-            # so it re-reads untouched (fixpoint-stable).
-            if read == "duckdb":
-                # negative start from the end; negative length walks
-                # the span backwards
-                p = "CASE WHEN _t._sb < 0 THEN length(_t._ss) + _t._sb + 1 ELSE _t._sb END"
-                st = f"greatest({p} + least(_t._sn, 0), 1)"
-                hi = f"{p} + greatest(_t._sn, 0)"
-            else:
-                # postgres: virtual positions only; negative length
-                # clips to '' (pg raises natively — benign direction)
-                st = "greatest(_t._sb, 1)"
-                hi = "_t._sb + _t._sn"
-            # NULL start/length must poison the result (duckdb and
-            # postgres return NULL); Spark's greatest/least SKIP NULLs,
-            # so the bound arithmetic alone would yield '' instead.
-            edits.append(
-                (start, toks[close][3],
-                 f"element_at(transform(array(struct(({s_}) AS _ss, "
-                 f"({b_}) AS _sb, ({n_}) AS _sn)), _t -> "
-                 f"CASE WHEN _t._sb IS NULL OR _t._sn IS NULL THEN NULL "
-                 f"ELSE substring(_t._ss FROM {st} "
-                 f"FOR greatest({hi} - {st}, 0)) END), 1)")
-            )
-            i = close + 1
-            return i
-
-    if (
-        name in ("left", "right")
-        and read in ("duckdb", "postgres")
-        and first_pass
-    ):
-        # Negative n means "all but the last/first |n| chars" in
-        # duckdb/postgres; Spark returns ''. (first-pass only:
-        # the emitted call contains its own trigger name.)
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            s_ = _arg_text(spans[0])
-            n_ = _arg_text(spans[1])
-            if name == "left":
-                repl = (
-                    f"substring(({s_}) FROM 1 FOR "
-                    f"if(({n_}) < 0, length(({s_})) + ({n_}), ({n_})))"
-                )
-            else:
-                repl = (
-                    f"substring(({s_}) FROM if(({n_}) < 0, 1 - ({n_}), "
-                    f"greatest(length(({s_})) + 1 - ({n_}), 1)))"
-                )
-            edits.append((start, toks[close][3], repl))
-            i = close + 1
-            return i
-
-    if (
-        name in ("date_part", "datepart")
-        and read in ("duckdb", "postgres")
-        and first_pass
-    ):
-        spans, close = _call_arg_spans(toks, i + 1)
-        if (
-            len(spans) == 2
-            and toks[spans[0][0]][0] == "string"
-            and spans[0][0] == spans[0][1]
-        ):
-            field = _literal_content(toks[spans[0][0]][1], read).lower()
-            tmpl = (
-                _DP_FIELD_TEMPLATES_PG if read == "postgres"
-                else _DP_FIELD_TEMPLATES
-            ).get(field)
-            if tmpl is not None:
-                x_ = _arg_text(spans[1])
-                edits.append(
-                    (start, toks[close][3], tmpl.format(x=f"({x_})"))
-                )
-                i = close + 1
-                return i
-
-    if name == "extract" and read in ("duckdb", "postgres") and first_pass:
-        # extract(FIELD FROM x) spelling of the same field fixes
-        if (
-            i + 4 < len(toks)
-            and toks[i + 2][0] in _NAME_KINDS
-            and toks[i + 3][0] in _NAME_KINDS
-            and toks[i + 3][1].upper() == "FROM"
-        ):
-            field = toks[i + 2][1].lower()
-            if (
-                field == "epoch"
-                and toks[i + 4][0] in _NAME_KINDS
-                and toks[i + 4][1].upper() == "INTERVAL"
-            ):
-                # extract(epoch FROM INTERVAL ...) = total seconds of a
-                # duration. Spark can't cast an interval to a number,
-                # but epoch + interval → timestamp → DOUBLE is exact
-                # epoch seconds (fraction included) for DAY-TIME
-                # intervals. Year-month parts are LOUD: pg charges a
-                # fixed 30-day month into epoch; Spark's calendar
-                # shift from 1970-01-01 gives 31-day January months.
-                close = _call_arg_spans(toks, i + 1)[1]
-                iv_ = sql[toks[i + 4][2]: toks[close - 1][3]]
-                if re.search(r"(?i)\b(year|month|mon|yr)s?\b", iv_):
-                    raise TranspileError(
-                        "extract(epoch from INTERVAL) with year/month "
-                        "parts uses pg's fixed 30-day months — no "
-                        "faithful Spark form; use day-time units"
-                    )
-                # zone-suffixed anchor: a bare timestamp string
-                # parses in the SESSION timezone, skewing the epoch by
-                # the zone offset in any non-UTC session; the UTC
-                # suffix pins epoch 0 unconditionally (the outer
-                # CAST-to-DOUBLE of a timestamp is zone-independent)
-                edits.append(
-                    (start, toks[close][3],
-                     "CAST(CAST('1970-01-01 00:00:00 UTC' AS TIMESTAMP)"
-                     f" + ({iv_}) AS DOUBLE)")
-                )
-                return close + 1
-            tmpl = (
-                _DP_FIELD_TEMPLATES_PG if read == "postgres"
-                else _DP_FIELD_TEMPLATES
-            ).get(field)
-            if tmpl is not None:
-                close = _call_arg_spans(toks, i + 1)[1]
-                x_ = transpile(
-                    sql[toks[i + 4][2]: toks[close - 1][3]], read
-                )
-                edits.append(
-                    (start, toks[close][3], tmpl.format(x=f"({x_})"))
-                )
-                i = close + 1
-                return i
-
-    if name == "date_add" and read == "duckdb" and first_pass:
-        # duckdb date_add(x, INTERVAL) returns TIMESTAMP (even for
-        # DATE input); Spark's date_add is (date, int-days) and
-        # rejects intervals. `+` carries interval arithmetic.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            a_ = _arg_text(spans[0])
-            b_ = _arg_text(spans[1])
-            edits.append(
-                (start, toks[close][3],
-                 f"CAST(({a_}) + ({b_}) AS TIMESTAMP)")
-            )
-            i = close + 1
-            return i
-
-    if (
-        name in ("weekday", "dayofweek")
-        and read == "duckdb"
-        and first_pass
-        and not (
-            i >= 2
-            and is_op(i - 1, "(")
-            and toks[i - 2][0] in _NAME_KINDS
-            and toks[i - 2][1].lower() == "pmod"
-        )
-    ):
-        # duckdb weekday()/dayofweek() are Sunday=0..Saturday=6;
-        # Spark weekday() is Monday=0 and dayofweek() Sunday=1.
-        # Same rewrite as the date_part('dow') field; the
-        # pmod-parent check skips our own emission on re-reads.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            x_ = _arg_text(spans[0])
-            edits.append(
-                (start, toks[close][3],
-                 _DOW_TEMPLATE.format(x=f"({x_})"))
-            )
-            i = close + 1
-            return i
-
-    if (
-        name == "array_position"
-        and read == "postgres"
-        and not (
-            i >= 2
-            and is_op(i - 1, "(")
-            and toks[i - 2][0] in _NAME_KINDS
-            and toks[i - 2][1].lower() == "nullif"
-        )
-    ):
-        # Postgres array_position returns NULL when the element is not
-        # found; Spark (and DuckDB) return 0 — wrap in nullif(..., 0).
-        # The nullif-parent check skips our own emission on re-reads.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            edits.append((start, start, "nullif("))
-            edits.append((toks[close][3], toks[close][3], ", 0)"))
-            i += 1  # keep scanning inside the args
-            return i
-
-    if name == "trunc" and read in ("duckdb", "postgres") and first_pass:
-        # numeric truncation toward zero (these dialects' trunc is
-        # numeric-only; Oracle's date TRUNC has its own handler). Spark
-        # trunc() is (date, fmt) — a bare rename would be an analysis
-        # error. floor/ceil return BIGINT/DECIMAL; CAST DOUBLE matches
-        # duckdb's double-in/double-out (decimal input returns DECIMAL
-        # natively — statically untypeable dtype seam, value exact).
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            x_ = _arg_text(spans[0])
-            edits.append(
-                (start, toks[close][3],
-                 f"CAST(CASE WHEN ({x_}) < 0 THEN ceil(({x_})) "
-                 f"ELSE floor(({x_})) END AS DOUBLE)")
-            )
-            i = close + 1
-            return i
-        raise TranspileError(
-            "trunc(x, digits) has no Spark rewrite; use "
-            "floor/ceil arithmetic explicitly"
-        )
-
-    if name == "fsum" and read == "duckdb" and first_pass:
-        # duckdb fsum (Kahan) always returns DOUBLE; Spark sum(int) is
-        # BIGINT — cast the input so the output dtype matches
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            x_ = _arg_text(spans[0])
-            edits.append(
-                (start, toks[close][3], f"sum(CAST(({x_}) AS DOUBLE))")
-            )
-            i = close + 1
-            return i
-
-    if (
-        name in ("json_extract_string", "json_extract_path_text")
-        and read in ("duckdb", "postgres")
-        and first_pass
-    ):
-        # TEXT-mode JSON extraction — exactly get_json_object (unquoted
-        # scalars, compact object text, 0-based array indexes). Postgres
-        # json_extract_path_text is VARIADIC key elements; duckdb takes
-        # one key or $-path. Non-literal paths have no faithful rewrite
-        # (get_json_object needs a foldable path) — loud.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) >= 2 and all(
-            toks[sp[0]][0] in ("string", "number") and sp[0] == sp[1]
-            for sp in spans[1:]
-        ):
-            j_ = _arg_text(spans[0])
-            parts = []
-            for sp in spans[1:]:
-                tok_ = toks[sp[0]]
-                if tok_[0] == "number":
-                    parts.append(f"[{tok_[1]}]")
-                else:
-                    key = _literal_content(tok_[1], read)
-                    if len(spans) == 2:
-                        # single path argument: full $-path / JSON
-                        # Pointer / key semantics (same as the arrows)
-                        parts.append(_json_key_to_path(key, read)[1:])
-                    else:
-                        # postgres variadic path ELEMENTS are literal
-                        # keys — bracket form keeps dots literal
-                        if any(c in key for c in "'[]"):
-                            raise TranspileError(
-                                "JSON keys containing quotes or "
-                                "brackets cannot be expressed in "
-                                "Spark's JsonPath"
-                            )
-                        parts.append(f"['{key}']")
-            path = "$" + "".join(parts)
-            edits.append(
-                (start, toks[close][3],
-                 f"get_json_object(({j_}), "
-                 f"{_spark_string_literal(path, read)})")
-            )
-            i = close + 1
-            return i
-        raise TranspileError(
-            f"{name} needs literal key/path arguments to transpile "
-            "(Spark get_json_object paths are foldable)"
-        )
-
-    if name == "json_array_length" and read == "postgres" and first_pass:
-        # postgres json_array_length RAISES on non-array input and has
-        # no 2-arg (json, path) form. Spark's native json_array_length
-        # (NULL on non-array) is the closest non-erroring behavior —
-        # pass the 1-arg form through untouched; the duckdb-only
-        # coalesce-0 wrap below would silently return 0 on inputs
-        # postgres rejects.
-        spans, _close = _call_arg_spans(toks, i + 1)
-        if len(spans) != 1:
-            raise TranspileError(
-                "postgres json_array_length takes a single argument "
-                "(the 2-arg path form is duckdb-only)"
-            )
-
-    if (
-        name == "json_array_length"
-        and read == "duckdb"
-        and first_pass
-        and not (
-            i >= 2
-            and is_op(i - 1, "(")
-            and toks[i - 2][0] in _NAME_KINDS
-            and toks[i - 2][1].lower() == "coalesce"
-        )
-    ):
-        # duckdb returns 0 for NON-ARRAY values where Spark's
-        # json_array_length is NULL — coalesce restores 0, the NULL-json
-        # guard keeps NULL inputs NULL. The 2-arg (json, path) form
-        # scopes through get_json_object. (The coalesce-parent check
-        # skips our own emission on re-reads.)
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) in (1, 2):
-            j_ = _arg_text(spans[0])
-            inner = f"({j_})"
-            if len(spans) == 2:
-                p2 = _arg_text(spans[1])
-                inner = f"get_json_object(({j_}), ({p2}))"
-            edits.append(
-                (start, toks[close][3],
-                 f"(CASE WHEN ({j_}) IS NULL THEN NULL ELSE "
-                 f"coalesce(json_array_length({inner}), 0) END)")
-            )
-            i = close + 1
-            return i
+    # ---- Postgres-specific call handlers (core/dialects/postgres.py)
+    # and the DuckDB/Postgres NULL-and-edge fidelity handlers
+    # (core/dialects/standard_edges.py) — moved verbatim in round 8;
+    # dispatched here, at the positions the sections occupied, so
+    # handler order is unchanged.
+    if read == "postgres":
+        nxt = _postgres.call_handlers(ctx)
+        if nxt is not None:
+            return nxt
+    nxt = _edges.call_handlers(ctx)
+    if nxt is not None:
+        return nxt
 
     if name in ("quantile_disc", "quantile") and read == "duckdb" and first_pass:
         # lower-discrete quantile — Spark's percentile_disc is WITHIN

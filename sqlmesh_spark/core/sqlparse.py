@@ -41,7 +41,6 @@ from typing import Optional
 class SqlParseError(ValueError):
     pass
 
-
 # ---------------------------------------------------------------------------
 # Tokenizer
 # ---------------------------------------------------------------------------
@@ -173,22 +172,24 @@ _TSQL_TOKEN_RE = re.compile(_derive_tsql_pattern(), re.VERBOSE | re.DOTALL)
 
 
 def _derive_pg_pattern() -> str:
-    """Postgres grammar: the STANDARD grammar plus the ``#`` operator
-    family — ``#`` (bitwise XOR), ``#>`` / ``#>>`` (jsonb path
-    extraction) — which the standard op class rejects with 'unexpected
-    character'. Lexing ``#>>``/``#>`` as single op tokens keeps the
-    transpile handlers one-token lookups. Same assert-on-derive rule as
-    the other derived grammars."""
+    """Postgres grammar: the STANDARD grammar plus (a) the ``#`` operator
+    family — ``#`` XOR, ``#>`` / ``#>>`` jsonb paths — which the standard
+    op class rejects, and (b) ``E'...'`` escape-string literals, whose
+    backslash can escape a quote INSIDE the body (``E'it\'s'``) — the
+    standard literal class would mis-span at the first ``\'``. Same
+    assert-on-derive rule as the other derived grammars."""
     pattern = _TOKEN_RE.pattern
     alts = [
         (r"->|::|[(),.;*=<>+\-/%^&|\[\]{}?:!~]",
          r"->|::|\#>>|\#>|[(),.;*=<>+\-/%^&|\[\]{}?:!~\#]"),
+        (r"(?P<string>'(?:[^']|'')*')",
+         r"(?P<string>[eE]'(?:[^'\\]|\\.|'')*'|'(?:[^']|'')*')"),
     ]
     for old_alt, new_alt in alts:
         replaced = pattern.replace(old_alt, new_alt)
         if replaced == pattern:  # pragma: no cover - build-time guard
             raise AssertionError(
-                "postgres #-operator grammar failed to derive: op "
+                "postgres grammar failed to derive: expected "
                 "alternative not found in sqlparse._TOKEN_RE — update "
                 "sqlparse._derive_pg_pattern"
             )

@@ -458,6 +458,97 @@ def _regex_literal(content: str, read: str) -> str:
     )
 
 
+def _pg_estring_content(lit: str) -> str:
+    """Character content of a postgres ``E'...'`` escape-string literal
+    (PostgreSQL "String Constants With C-Style Escapes", verified live
+    on PostgreSQL 15): ``\\b \\f \\n \\r \\t``, 1–3 digit octal, ``\\x``
+    + 1–2 hex digits, ``\\uXXXX`` / ``\\UXXXXXXXX`` unicode (exact
+    digit counts — pg itself rejects short forms; UTF-16 surrogate
+    pairs combine), ``\\'`` quote, and any OTHER escaped char is the
+    bare character (``E'\\q'`` = 'q'). ``''`` doubling applies inside
+    E-strings too. Redshift's PG-8.0 escape strings share the
+    octal/hex set via _literal_content; modern \\u/\\U decode only
+    here. ref: reference delegates to SQLGlot's postgres tokenizer
+    for the same construct."""
+    body = lit[2:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "'":  # '' doubling (the lexer guarantees pairing)
+            out.append("'")
+            i += 2
+            continue
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        nxt = body[i + 1] if i + 1 < len(body) else ""
+        if nxt in "01234567":
+            m_oct = re.match(r"[0-7]{1,3}", body[i + 1 : i + 4])
+            out.append(chr(int(m_oct.group(), 8)))
+            i += 1 + len(m_oct.group())
+            continue
+        if nxt == "x":
+            m_hex = re.match(r"[0-9a-fA-F]{1,2}", body[i + 2 : i + 4])
+            if m_hex:
+                out.append(chr(int(m_hex.group(), 16)))
+                i += 2 + len(m_hex.group())
+                continue
+            out.append("x")  # \x with no hex digit → bare 'x'
+            i += 2
+            continue
+        if nxt == "u":
+            if not re.fullmatch(r"[0-9a-fA-F]{4}", body[i + 2 : i + 6]):
+                raise TranspileError(
+                    rf"invalid Unicode escape in {lit!r}: \u needs "
+                    "exactly four hex digits (postgres rejects it too)"
+                )
+            cp = int(body[i + 2 : i + 6], 16)
+            if 0xD800 <= cp <= 0xDBFF:
+                if body[i + 6 : i + 8] == "\\u" and re.fullmatch(
+                    r"[0-9a-fA-F]{4}", body[i + 8 : i + 12]
+                ):
+                    lo = int(body[i + 8 : i + 12], 16)
+                    if 0xDC00 <= lo <= 0xDFFF:
+                        cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                        out.append(chr(cp))
+                        i += 12
+                        continue
+                raise TranspileError(
+                    f"lone UTF-16 surrogate \\u{cp:04x} in {lit!r}"
+                )
+            if 0xDC00 <= cp <= 0xDFFF:
+                raise TranspileError(
+                    f"lone UTF-16 low surrogate \\u{cp:04x} in {lit!r}"
+                )
+            out.append(chr(cp))
+            i += 6
+            continue
+        if nxt == "U":
+            if not re.fullmatch(r"[0-9a-fA-F]{8}", body[i + 2 : i + 10]):
+                raise TranspileError(
+                    rf"invalid Unicode escape in {lit!r}: \U needs "
+                    "exactly eight hex digits"
+                )
+            cp = int(body[i + 2 : i + 10], 16)
+            if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                raise TranspileError(
+                    f"\\U{cp:08x} in {lit!r} is not a valid code point"
+                )
+            out.append(chr(cp))
+            i += 10
+            continue
+        if nxt in ("n", "t", "r", "b", "f"):
+            out.append(_SIMPLE_ESCAPES[nxt])
+            i += 2
+            continue
+        # \' \\ and every unknown escape: the bare character
+        out.append(nxt)
+        i += 2
+    return "".join(out)
+
+
 #: escapes shared by snowflake AND bigquery string grammars.
 _SIMPLE_ESCAPES = {
     "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
@@ -552,6 +643,13 @@ def _literal_content(lit: str, read: str) -> str:
     ``\\a``/``\\v``/``\\?``. Snowflake reads any other unknown escape as
     the bare character; bigquery rejects it — LOUD here rather than
     guessing."""
+    # postgres E'...' escape-string literals (their own lexer
+    # alternative) decode C-style escapes; plain pg literals are
+    # standard. Routed here so every handler that reads literal content
+    # (regex args, JSON keys, format strings) sees the decoded
+    # characters, not the raw escape text.
+    if read == "postgres" and lit[0] in "eE":
+        return _pg_estring_content(lit)
     body = lit[1:-1]
     if read in _STD_LITERAL_DIALECTS:
         return body.replace("''", "'")
@@ -730,3 +828,44 @@ def _regex_replacement_to_spark(content: str) -> str:
 
 #: token kinds that can act as an identifier/name in expression position.
 #: ("qident" is kept for compatibility; the span tokenizer emits
+
+
+def _regex_has_capture_group(pat: str) -> bool:
+    """True iff the POSIX/Java regex has a CAPTURING group: an
+    unescaped ``(`` outside a ``[...]`` bracket class not followed by
+    ``?``. A char-by-char scan (escape state + class state) — the
+    naive lookbehind regex misreads ``[(]`` (literal paren in a class:
+    zero groups) and ``a\\\\(b)`` (escaped backslash then a REAL
+    group)."""
+    esc = False
+    in_class = False
+    n_ = len(pat)
+    for idx, c in enumerate(pat):
+        if esc:
+            esc = False
+            continue
+        if c == "\\":
+            esc = True
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            continue
+        if c == "[":
+            in_class = True
+            continue
+        if c == "(" and not (idx + 1 < n_ and pat[idx + 1] == "?"):
+            return True
+    return False
+
+
+def _pg_regex_substring_emit(source_text: str, pat: str, read: str) -> str:
+    """Shared emission for BOTH pg regex-substring spellings
+    (substring(s FROM 'pat') and substring(s, 'pat')): group 1 when the
+    pattern captures, else the whole match; NULL on no match."""
+    pat = convert_posix_classes(pat)
+    g = 1 if _regex_has_capture_group(pat) else 0
+    return (
+        f"nullif(regexp_extract(({source_text}), "
+        f"{_spark_string_literal(pat, read)}, {g}), '')"
+    )

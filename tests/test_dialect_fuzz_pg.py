@@ -107,6 +107,72 @@ TEMPLATES += [
     "3.99::float8::bigint", "2.5::numeric(10,1)::float8::int",
 ]
 
+# explicit varchar(n) casts TRUNCATE in pg ('abc'::varchar(2) = 'ab');
+# char(n) blank-padding is loud
+TEMPLATES += [
+    "'abc'::varchar(2)", "'abc'::character varying(2)",
+    "CAST('abcdef' AS varchar(3))", "123.45::varchar(4)",
+    "'ab'::varchar(9)", "NULL::varchar(2) IS NULL",
+]
+
+# E'...' escape-string literals: C-style escape set (octal, hex,
+# \uXXXX, simple escapes, unknown → bare char, '' doubling inside)
+TEMPLATES += [
+    r"E'a\nb' = 'a' || chr(10) || 'b'", r"length(E'a\tb')",
+    r"E'\101\x42c'", r"E'it\'s'", r"e'x''y'", r"E'\q'",
+    r"E'A'", r"E'\\' = chr(92)", r"upper(E'a\nb') = E'A\nB'",
+    r"E'a\015b' = 'a' || chr(13) || 'b'", r"strpos(E'a\tb', E'\t')",
+]
+
+# quantified comparisons beyond `=`: exists/forall rewrites with exact
+# three-valued NULL semantics (verified: Spark exists/forall match pg's
+# ANY/ALL on NULL elements, empty arrays, NULL arrays)
+TEMPLATES += [
+    "3 <> ANY(ARRAY[1,2])", "2 <> ANY(ARRAY[2])", "1 <> ALL(ARRAY[2,3])",
+    "1 > ANY(ARRAY[0, 2])", "1 > ANY(ARRAY[2, 3])",
+    "1 > ANY(ARRAY[2, NULL])", "1 > ANY(ARRAY[0, NULL])",
+    "1 < ALL(ARRAY[2, NULL])", "1 < ALL(ARRAY[0, NULL])",
+    "1 > ANY(ARRAY[]::int[])", "1 < ALL(ARRAY[]::int[])",
+    "1 >= SOME(ARRAY[1,5])", "5 <= ALL(ARRAY[5,6])",
+    "2 != ANY(ARRAY[1,2])", "0 = ANY(ARRAY[1,NULL])",
+    "1 = ALL(ARRAY[1,NULL])",
+]
+
+# array-element ||: number literal prepends/appends (statically
+# provable shapes only; arr || arr stays concat)
+TEMPLATES += [
+    "1 || ARRAY[2,3]", "ARRAY[1,2] || 3", "ARRAY[1] || ARRAY[2,3]",
+    "0 || ARRAY[]::int[]", "ARRAY[1,2] || 3 = ARRAY[1,2,3]",
+]
+
+# array slices [a:b]: 1-based inclusive with clamping; literal
+# non-negative bounds rewrite to slice() (open upper bound via the
+# size-bound struct form); negative/expression bounds stay loud
+TEMPLATES += [
+    "(ARRAY[1,2,3])[1:2]", "(ARRAY[1,2,3])[0:2]", "(ARRAY[1,2,3])[2:9]",
+    "(ARRAY[1,2,3])[3:2]", "(ARRAY[1,2,3])[2:]", "(ARRAY[1,2,3])[:2]",
+    "(ARRAY[1,2,3])[5:]", "(ARRAY[1,2,3])[:9]", "(ARRAY[1,2,3])[2:2]",
+]
+
+# OVER-window ORDER BY NULL placement interacting with frame clauses:
+# the annotation must land INSIDE the window (first_value over an
+# unannotated ASC sort reads pg's NULLS-LAST first row, not Spark's
+# NULLS-FIRST one)
+TEMPLATES += [
+    "(SELECT max(fv) FROM (SELECT first_value(v) OVER (ORDER BY v "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv "
+    "FROM (VALUES (1),(NULL),(2)) t(v)) s)",
+    "(SELECT count(fv) FROM (SELECT last_value(v) OVER (ORDER BY v "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv "
+    "FROM (VALUES (1),(NULL),(2)) t(v)) s)",
+    "(SELECT max(m) FROM (SELECT sum(v) OVER (ORDER BY v DESC "
+    "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m "
+    "FROM (VALUES (1),(NULL),(3)) t(v)) s)",
+    "(SELECT string_agg(r::text, ',') FROM (SELECT rank() OVER "
+    "(ORDER BY v) AS r FROM (VALUES (2),(NULL),(1)) t(v) "
+    "ORDER BY r) s)",
+]
+
 # strings: pg substr handles start<=0 by consuming, left/right accept
 # negatives (drop from the other end), split_part returns '' OOB,
 # position/strpos, lpad truncates, || coerces non-text
@@ -457,3 +523,33 @@ def test_pg_pinned_divergences(spark):
     sq3 = transpile("SELECT 2.5::float8::int AS v", "postgres")
     assert "bround" in sq3
     assert spark.sql(sq3).collect()[0][0] == 2
+    # string_agg(DISTINCT s, sep) / any aggregate WITHOUT an ORDER BY:
+    # output order is UNSPECIFIED on BOTH engines (pg's DISTINCT sort
+    # is an implementation detail that happens to sort ascending; Spark
+    # listagg DISTINCT follows encounter order) — NOT a bug, but it
+    # WILL flip value hashes for users who relied on pg's accidental
+    # ordering. The fix is an explicit ORDER BY, which the transpiler
+    # maps to listagg(...) WITHIN GROUP (ORDER BY ...) exactly.
+    pg_v = _pg_values(
+        ["(SELECT string_agg(DISTINCT s, ',') FROM "
+         "(VALUES ('b'),('a'),('b')) t(s))"]
+    )[0]
+    assert sorted(pg_v.split(",")) == ["a", "b"]  # content-equal only
+    sq4 = transpile(
+        "SELECT string_agg(DISTINCT s, ',') AS v FROM "
+        "(SELECT 'b' AS s UNION ALL SELECT 'a' UNION ALL SELECT 'b')",
+        "postgres",
+    )
+    sv = spark.sql(sq4).collect()[0][0]
+    assert sorted(sv.split(",")) == ["a", "b"]  # order pinned as free
+    # WITH an explicit ORDER BY both engines agree exactly:
+    pg_o = _pg_values(
+        ["(SELECT string_agg(DISTINCT s, ',' ORDER BY s) FROM "
+         "(VALUES ('b'),('a'),('b')) t(s))"]
+    )[0]
+    sq5 = transpile(
+        "SELECT string_agg(DISTINCT s, ',' ORDER BY s) AS v FROM "
+        "(SELECT 'b' AS s UNION ALL SELECT 'a' UNION ALL SELECT 'b')",
+        "postgres",
+    )
+    assert spark.sql(sq5).collect()[0][0] == pg_o == "a,b"

@@ -421,9 +421,22 @@ def test_date_diff_boundary_crossing_parity(spark):
         assert got == want, (ddb_sql, got, want)
 
 
-def test_slice_syntax_raises():
+def test_slice_syntax():
+    """Literal non-negative slice bounds rewrite (pg and duckdb are both
+    1-based inclusive with clamping, verified live); negative and
+    expression bounds stay loud — duckdb counts negatives from the end
+    while pg clamps, so a shared rewrite would be silently wrong."""
+    assert transpile("SELECT x[1:3] FROM t", "duckdb") == \
+        "SELECT slice(x, 1, 3) FROM t"
+    assert transpile("SELECT x[0:2] FROM t", "postgres") == \
+        "SELECT slice(x, 1, 2) FROM t"
+    assert transpile("SELECT x[3:2] FROM t", "duckdb") == \
+        "SELECT slice(x, 1, 0) FROM t"
+    assert "size(_t._sl)" in transpile("SELECT x[2:] FROM t", "postgres")
     with pytest.raises(TranspileError, match="slice"):
-        transpile("SELECT x[1:3] FROM t", "duckdb")
+        transpile("SELECT x[a:3] FROM t", "duckdb")
+    with pytest.raises(TranspileError, match="slice"):
+        transpile("SELECT x[-2:] FROM t", "duckdb")
 
 
 def test_pg_month_pattern_reachable():
