@@ -3151,3 +3151,65 @@ FROM (SELECT event_id, props,
     return spark.table("env_js_views.duck_json").join(
         spark.table("env_js_views.sf_json"), "event_id"
     )
+
+
+PG_DIALECT_ORACLE = """
+SELECT o_orderkey AS key,
+       100 // 3 // 2 + o_orderkey * 0 AS chained_div,
+       CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS BIGINT) AS dec_round,
+       CAST(CAST(o_totalprice AS DOUBLE) AS BIGINT) AS dbl_round,
+       substring(o_orderpriority, 1, 3) AS prio3,
+       (o_orderkey % 7 > 3 OR o_orderkey % 7 > 5) AS q_any,
+       (o_orderkey % 7 < 5 AND o_orderkey % 7 < 6) AS q_all,
+       list_prepend(0, [1, 2]) AS arr_pre,
+       ([1, 2, 3, 4])[2:3] AS arr_slice,
+       string_split(e'a\tb', e'\t') AS esplit
+FROM orders WHERE o_orderkey <= 400
+"""
+
+
+@register("framework_postgres_dialect_model", oracle=PG_DIALECT_ORACLE, tags=("dialect", "framework"))
+def framework_postgres_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 postgres read-dialect features end-to-end through
+    plan/apply (every one verified against live PostgreSQL 15 in
+    tests/test_dialect_fuzz_pg.py; here the DuckDB oracle restates the
+    same values natively): chained literal integer division (each `/`
+    rewrites to DIV across fixpoint passes — `7 DIV 2/2`
+    half-conversions were a silent 1.5-vs-1), parameterized-decimal
+    castee round() (the identity DECIMAL→DECIMAL edit used to defer the
+    wrap forever), statically float-typed castee bround() (pg float→int
+    is half-EVEN — .50-priced orders discriminate), varchar(n) cast
+    truncation, quantified comparisons beyond `=` (exists/forall),
+    array-element || prepend (array_insert), literal-bound array
+    slices, and E'...' escape-string literals (the lexer's own
+    alternative; decoded via the PG-8.0 C-style escape set).
+    ref: the reference accepts postgres models through SQLGlot's
+    dialect (sqlmesh/core/dialect.py); this is the Spark-first twin."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_pg8", "env_pg8_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_pg8.pg_features,
+  kind FULL,
+  dialect postgres
+);
+SELECT o_orderkey AS key,
+       100 / 3 / 2 + o_orderkey * 0 AS chained_div,
+       (o_totalprice::numeric(10,2))::bigint AS dec_round,
+       (o_totalprice::float8)::bigint AS dbl_round,
+       o_orderpriority::varchar(3) AS prio3,
+       (o_orderkey % 7) > ANY(ARRAY[3, 5]) AS q_any,
+       (o_orderkey % 7) < ALL(ARRAY[5, 6]) AS q_all,
+       0 || ARRAY[1, 2] AS arr_pre,
+       (ARRAY[1, 2, 3, 4])[2:3] AS arr_slice,
+       string_to_array(E'a\\tb', E'\\t') AS esplit
+FROM orders WHERE o_orderkey <= 400
+"""
+    )
+    ctx.run(environment="env_pg8")
+    return spark.table("env_pg8_views.pg_features")

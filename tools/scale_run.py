@@ -162,15 +162,82 @@ def _replicate(
         out.write.mode("overwrite").parquet(dst_path)
 
 
-def _time_queries(spark: SparkSession, sf_dir: str, names: list[str]) -> dict:
+def _time_queries(
+    spark: SparkSession, sf_dir: str, names: list[str],
+    metrics: dict | None = None,
+) -> dict:
     cases = load_all()
     out: dict[str, float] = {}
     for name in names:
         spark.catalog.clearCache()
+        mark = _max_stage_id(spark) if metrics is not None else -1
         t0 = time.perf_counter()
         cases[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
+        if metrics is not None:
+            metrics[name] = _stage_metrics_since(spark, mark)
     return out
+
+
+def _ui_json(spark: SparkSession, path: str):
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/{path}", timeout=10) as r:
+            return json.loads(r.read())
+    except Exception:  # noqa: BLE001 - metrics are best-effort
+        return None
+
+
+def _app_id(spark: SparkSession) -> str | None:
+    apps = _ui_json(spark, "applications")
+    return apps[0]["id"] if apps else None
+
+
+def _max_stage_id(spark: SparkSession) -> int:
+    app = _app_id(spark)
+    stages = _ui_json(spark, f"applications/{app}/stages") if app else None
+    return max((st["stageId"] for st in stages), default=-1) if stages else -1
+
+
+def _stage_metrics_since(spark: SparkSession, mark: int) -> dict | None:
+    """Summed executor metrics of every COMPLETE stage with stageId >
+    mark — the query's own stages when ``mark`` snapshots the max id
+    just before it runs. Surfaces the exchange/spill profile SCALE.md
+    reasons about (e.g. the minhash verify-join, its largest shuffle).
+    Requires spark.ui.enabled (the --metrics flag turns it on)."""
+    app = _app_id(spark)
+    stages = _ui_json(
+        spark, f"applications/{app}/stages?status=complete"
+    ) if app else None
+    if stages is None:
+        return None
+    agg = {
+        "stages": 0,
+        "shuffle_read_bytes": 0,
+        "shuffle_write_bytes": 0,
+        "memory_spill_bytes": 0,
+        "disk_spill_bytes": 0,
+        "input_bytes": 0,
+        "peak_shuffle_write_stage_bytes": 0,
+    }
+    for st in stages:
+        if st["stageId"] <= mark:
+            continue
+        agg["stages"] += 1
+        agg["shuffle_read_bytes"] += st.get("shuffleReadBytes", 0)
+        agg["shuffle_write_bytes"] += st.get("shuffleWriteBytes", 0)
+        agg["memory_spill_bytes"] += st.get("memoryBytesSpilled", 0)
+        agg["disk_spill_bytes"] += st.get("diskBytesSpilled", 0)
+        agg["input_bytes"] += st.get("inputBytes", 0)
+        agg["peak_shuffle_write_stage_bytes"] = max(
+            agg["peak_shuffle_write_stage_bytes"],
+            st.get("shuffleWriteBytes", 0),
+        )
+    return agg
 
 
 def main() -> None:
@@ -184,9 +251,21 @@ def main() -> None:
              "(constant duplicate density — the realistic corpus-growth "
              "shape for dedup/ANN scaling runs)",
     )
+    ap.add_argument(
+        "--out", default=None,
+        help="also write the JSON report to this file (e.g. SCALE_r8.json)",
+    )
+    ap.add_argument(
+        "--metrics", action="store_true",
+        help="record per-query stage metrics (shuffle read/write, "
+             "spill) for the REPLICATED pass via the UI REST API",
+    )
     args = ap.parse_args()
 
-    spark = build_session(app_name="sqlmesh_spark_scale")
+    spark = build_session(
+        app_name="sqlmesh_spark_scale",
+        extra_conf={"spark.ui.enabled": "true"} if args.metrics else None,
+    )
     scratch = tempfile.mkdtemp(prefix="sqlmesh_scale_")
     _replicate(spark, args.base, scratch, args.factor, perturb=args.perturb)
 
@@ -195,7 +274,11 @@ def main() -> None:
     # per-query codegen into its numbers.
     _time_queries(spark, args.base, args.queries)
     base_t = _time_queries(spark, args.base, args.queries)
-    big_t = _time_queries(spark, scratch, args.queries)
+    stage_metrics: dict = {}
+    big_t = _time_queries(
+        spark, scratch, args.queries,
+        metrics=stage_metrics if args.metrics else None,
+    )
     cases = load_all()
     rows = {
         n: {
@@ -215,7 +298,13 @@ def main() -> None:
         },
         "result_rows": rows,
     }
+    if args.metrics:
+        report["replicated_stage_metrics"] = stage_metrics
     print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+            f.write("\n")
     shutil.rmtree(scratch, ignore_errors=True)
 
 
