@@ -12,7 +12,7 @@ from __future__ import annotations
 import re
 
 from sqlmesh_spark.core.dialects import standard_edges as _edges
-from sqlmesh_spark.core.dialects import postgres as _postgres
+from sqlmesh_spark.core.dialects import postgres_calls as _postgres
 from sqlmesh_spark.core.transpile_types import (
     _PARAM_TYPES,
     _PARAM_DROP_TYPES,

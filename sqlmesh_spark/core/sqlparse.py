@@ -181,7 +181,7 @@ def _derive_pg_pattern() -> str:
     pattern = _TOKEN_RE.pattern
     alts = [
         (r"->|::|[(),.;*=<>+\-/%^&|\[\]{}?:!~]",
-         r"->|::|\#>>|\#>|[(),.;*=<>+\-/%^&|\[\]{}?:!~\#]"),
+         r"->|::|\#>>|\#>|\^@|[(),.;*=<>+\-/%^&|\[\]{}?:!~\#]"),
         (r"(?P<string>'(?:[^']|'')*')",
          r"(?P<string>[eE]'(?:[^'\\]|\\.|'')*'|'(?:[^']|'')*')"),
     ]

@@ -381,9 +381,16 @@ def minhash_bands_arrow(
     # list; reduceat misreads empty segments), so drop those docs here:
     # the emitted relation is bit-identical to the SQL form MINUS its
     # never-joinable NULL-bkey rows — downstream-equal by construction.
+    # The guard is O(1) per row (NULL / empty / leading-NULL), which is
+    # COMPLETE for docset_sql's output: its md5-fold can only produce a
+    # null element from NULL text, and that shape is exactly [NULL] —
+    # an interpreted per-element filter() here cost ~3.5× wall on the
+    # whole minhash pipeline at the 100× scale run. A hand-fed docset
+    # with an interior NULL still fails LOUDLY in the worker (numpy
+    # refuses the NaN→int64 cast), never silently.
     fed = docsets_df.select("doc_id", "hs").where(
         "hs IS NOT NULL AND size(hs) > 0 "
-        "AND size(filter(hs, x -> x IS NULL)) = 0"
+        "AND try_element_at(hs, 1) IS NOT NULL"
     )
     return fed.mapInPandas(
         _bands, schema="doc_id bigint, band int, bkey bigint"
@@ -934,6 +941,15 @@ def embedding_lsh_bands_arrow(
             if not len(pdf):
                 continue
             emb = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            # interior NULL elements arrive as NaN through Arrow — the
+            # SQL fold's band key is NULL for those rows (never joins),
+            # so drop them with one vectorized mask
+            ok = ~_np.isnan(emb).any(axis=1)
+            if not ok.all():
+                emb = emb[ok]
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
             s = emb * 1_000_000.0
             scaled = (_np.sign(s) * _np.floor(_np.abs(s) + 0.5)).astype(
                 _np.int64
@@ -954,12 +970,15 @@ def embedding_lsh_bands_arrow(
             )
 
     # NULL / ragged / null-element embeddings: the SQL fold yields NULL
-    # bits → NULL band keys there — rows no bkey equality can join.
-    # np.stack raises on those shapes, so drop them here; the relation
-    # matches the SQL form minus its never-joinable NULL-bkey rows.
+    # bits → NULL band keys there — rows no bkey equality can join, so
+    # drop them; the relation matches the SQL form minus its
+    # never-joinable NULL-bkey rows. NULL/ragged rows go via an O(1)
+    # SQL guard (an interpreted per-element filter() here cost ~4×
+    # wall on the 100× scale run); interior NULL elements arrive as
+    # NaN through Arrow and are dropped by the vectorized isnan mask
+    # in the worker — numpy speed, same semantics.
     fed = spark.table(table).select("vec_id", "embedding").where(
-        f"embedding IS NOT NULL AND size(embedding) = {dim} "
-        "AND size(filter(embedding, x -> x IS NULL)) = 0"
+        f"embedding IS NOT NULL AND size(embedding) = {dim}"
     )
     return fed.mapInPandas(
         _bands, schema="vec_id bigint, band int, bkey bigint"

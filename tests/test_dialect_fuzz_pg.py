@@ -145,6 +145,15 @@ TEMPLATES += [
     "0 || ARRAY[]::int[]", "ARRAY[1,2] || 3 = ARRAY[1,2,3]",
 ]
 
+# ^@ starts-with operator (pg 11+) → startswith; BETWEEN SYMMETRIC is
+# loud-with-guidance (its bound spans end at parser-precedence
+# boundaries a token walk cannot see)
+TEMPLATES += [
+    "'abc' ^@ 'ab'", "'abc' ^@ 'bc'", "'abc' ^@ ''",
+    "upper('ab') ^@ 'A'", "NOT ('abc' ^@ 'b')",
+    "2 BETWEEN SYMMETRIC 3 AND 1",
+]
+
 # array slices [a:b]: 1-based inclusive with clamping; literal
 # non-negative bounds rewrite to slice() (open upper bound via the
 # size-bound struct form); negative/expression bounds stay loud
