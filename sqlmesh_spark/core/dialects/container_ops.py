@@ -19,6 +19,7 @@ from sqlmesh_spark.core.transpile_shared import (
     _backtrack_primary,
     _backward_primary,
     _call_args,
+    _call_arg_spans,
     _in_lambda_hof,
     _json_key_to_path,
     _match_bracket,
@@ -27,6 +28,45 @@ from sqlmesh_spark.core.transpile_text import (
     _literal_content,
     _spark_string_literal,
 )
+
+
+def _row_constructor_lhs(toks, i: int):
+    """For an operator token at ``i`` whose previous token is ``)``:
+    the (start_token, open_paren, arg_spans) of a ROW-CONSTRUCTOR left
+    operand — a bare parenthesized list with >= 2 top-level elements,
+    or an explicit ROW(...) — else None (call args, subscripts and
+    single-expression parens are not rows)."""
+    depth = 0
+    l_open = None
+    for j in range(i - 1, -1, -1):
+        if toks[j][0] == "op" and toks[j][1] == ")":
+            depth += 1
+        elif toks[j][0] == "op" and toks[j][1] == "(":
+            depth -= 1
+            if depth == 0:
+                l_open = j
+                break
+    if l_open is None:
+        return None
+    l_start_tok = l_open
+    if l_open >= 1:
+        prev = toks[l_open - 1]
+        if prev[0] in _NAME_KINDS and prev[1].upper() == "ROW":
+            l_start_tok = l_open - 1
+        elif (
+            prev[0] in _NAME_KINDS
+            and prev[1].upper() not in _NONCALLABLE_KEYWORDS
+        ) or (prev[0] == "op" and prev[1] in (")", "]")):
+            return None
+    spans, _close = _call_arg_spans(toks, l_open)
+    if len(spans) < 2 and l_start_tok == l_open:
+        return None
+    if any(
+        toks[s_][0] in _NAME_KINDS and toks[s_][1].upper() == "SELECT"
+        for s_, _e in spans
+    ):
+        return None
+    return l_start_tok, l_open, spans
 
 
 def token_handlers(ctx) -> "int | None":
@@ -271,6 +311,211 @@ def token_handlers(ctx) -> "int | None":
         i += 1  # keep scanning inside the subscript expression
         return i
 
+
+    # Row-constructor [NOT] IN over a VALUE list: pg/duckdb evaluate
+    # (a,b) IN ((x,y), ...) as OR'd row equalities with three-valued
+    # logic — verified live: (1,NULL) NOT IN ((1,2)) is NULL in pg (row
+    # FILTERED by WHERE) where Spark's struct-IN says TRUE (row KEPT) —
+    # a silent flip. Expanded like the comparison handler below; a
+    # subquery RHS is untouched (Spark's null-aware semi/anti joins
+    # already implement SQL 3VL for IN (SELECT ...)).
+    if (
+        read in ("duckdb", "postgres")
+        and kind == "ident"
+        and text.upper() == "IN"
+        and i >= 1
+    ):
+        neg = (
+            toks[i - 1][0] in _NAME_KINDS
+            and toks[i - 1][1].upper() == "NOT"
+        )
+        p_idx = i - 2 if neg else i - 1
+        if (
+            p_idx >= 0
+            and toks[p_idx][0] == "op"
+            and toks[p_idx][1] == ")"
+            and i + 1 < n
+            and toks[i + 1][0] == "op"
+            and toks[i + 1][1] == "("
+        ):
+            lhs = _row_constructor_lhs(toks, p_idx + 1)
+            if lhs is not None:
+                l_start_tok, l_open, l_spans = lhs
+                out_spans, out_close = _call_arg_spans(toks, i + 1)
+                rows = []
+                ok = len(out_spans) >= 1
+                for s_, e_ in out_spans:
+                    first = s_
+                    if (
+                        toks[first][0] in _NAME_KINDS
+                        and toks[first][1].upper() == "ROW"
+                    ):
+                        first += 1
+                    if not (
+                        toks[first][0] == "op" and toks[first][1] == "("
+                        and toks[e_][0] == "op" and toks[e_][1] == ")"
+                    ):
+                        ok = False
+                        break
+                    r_spans, r_close = _call_arg_spans(toks, first)
+                    if r_close != e_ or any(
+                        toks[s2][0] in _NAME_KINDS
+                        and toks[s2][1].upper() == "SELECT"
+                        for s2, _e2 in r_spans
+                    ):
+                        ok = False
+                        break
+                    if len(r_spans) != len(l_spans):
+                        raise TranspileError(
+                            "row IN with unequal row lengths "
+                            f"({len(l_spans)} vs {len(r_spans)})"
+                        )
+                    rows.append(r_spans)
+                if ok and rows:
+                    ls = toks[l_start_tok][2]
+                    re_ = toks[out_close][3]
+                    if not any(e[1] >= ls and e[0] <= re_ for e in edits):
+                        lt = [_arg_text(sp) for sp in l_spans]
+                        binds = [
+                            f"({t}) AS _r{k}" for k, t in enumerate(lt)
+                        ]
+                        ors = []
+                        for ri, r_spans in enumerate(rows):
+                            rts = [_arg_text(sp) for sp in r_spans]
+                            binds += [
+                                f"({t}) AS _s{ri}_{m}"
+                                for m, t in enumerate(rts)
+                            ]
+                            ors.append("(" + " AND ".join(
+                                f"_t._r{m} = _t._s{ri}_{m}"
+                                for m in range(len(lt))
+                            ) + ")")
+                        body = " OR ".join(ors)
+                        if neg:
+                            body = f"NOT ({body})"
+                        edits.append((
+                            ls, re_,
+                            "element_at(transform(array(struct("
+                            + ", ".join(binds)
+                            + f")), _t -> {body}), 1)",
+                        ))
+                        i = out_close + 1
+                        return i
+                i += 1
+                return i
+
+    # Row-constructor comparisons: pg AND duckdb compare (a,b) <op>
+    # (c,d) field-by-field with SQL three-valued logic — verified live
+    # on both: (1,NULL) = (1,2) is NULL, (1,NULL) < (1,0) is NULL,
+    # (NULL,1) = (NULL,1) is NULL. Spark's STRUCT comparison instead
+    # treats NULL as an ordinary smallest value (false/true/true for
+    # the same probes) — a silent flip whenever a row field is NULL
+    # (tuple keyset pagination is the everyday shape). Expand to the
+    # SQL-standard form with every element bound ONCE via the struct
+    # trick: `=` → pairwise AND, `<>` → pairwise OR, orderings →
+    # lexicographic strict-or-equal recursion.
+    if (
+        read in ("duckdb", "postgres")
+        and kind == "op"
+        and text in ("=", "<>", "!=", "<", ">", "<=", ">=")
+        and i >= 1
+        and toks[i - 1][0] == "op"
+        and toks[i - 1][1] == ")"
+        and i + 1 < n
+        and (
+            (toks[i + 1][0] == "op" and toks[i + 1][1] == "(")
+            or (
+                toks[i + 1][0] in _NAME_KINDS
+                and toks[i + 1][1].upper() == "ROW"
+                and is_op(i + 2, "(")
+            )
+        )
+    ):
+        # LHS group: backward-match to its opener
+        depth = 0
+        l_open = None
+        for j in range(i - 1, -1, -1):
+            if toks[j][0] == "op" and toks[j][1] == ")":
+                depth += 1
+            elif toks[j][0] == "op" and toks[j][1] == "(":
+                depth -= 1
+                if depth == 0:
+                    l_open = j
+                    break
+        lhs_row = l_open is not None
+        l_start_tok = l_open
+        if lhs_row and l_open >= 1:
+            prev = toks[l_open - 1]
+            if prev[0] in _NAME_KINDS and prev[1].upper() == "ROW":
+                l_start_tok = l_open - 1  # explicit ROW(...) constructor
+            elif (
+                prev[0] in _NAME_KINDS
+                and prev[1].upper() not in _NONCALLABLE_KEYWORDS
+            ) or (prev[0] == "op" and prev[1] in (")", "]")):
+                lhs_row = False  # call args / subscript, not a row
+        if lhs_row:
+            l_spans, l_close = _call_arg_spans(toks, l_open)
+            r_open = i + 2 if toks[i + 1][0] in _NAME_KINDS else i + 1
+            r_first = i + 1
+            r_spans, r_close = _call_arg_spans(toks, r_open)
+            is_select = lambda sp: any(  # noqa: E731
+                toks[k][0] in _NAME_KINDS
+                and toks[k][1].upper() == "SELECT"
+                for s_, e_ in sp for k in (s_,)
+            )
+            if (
+                len(l_spans) >= 2
+                and not is_select(l_spans)
+                and not is_select(r_spans)
+            ):
+                if len(r_spans) != len(l_spans):
+                    raise TranspileError(
+                        "row comparison with unequal row lengths "
+                        f"({len(l_spans)} vs {len(r_spans)})"
+                    )
+                ls = toks[l_start_tok][2]
+                re_ = toks[r_close][3]
+                if not any(e[1] >= ls and e[0] <= re_ for e in edits):
+                    lt = [_arg_text(sp) for sp in l_spans]
+                    rt = [_arg_text(sp) for sp in r_spans]
+                    binds = ", ".join(
+                        f"({t}) AS _r{k}" for k, t in enumerate(lt)
+                    ) + ", " + ", ".join(
+                        f"({t}) AS _s{k}" for k, t in enumerate(rt)
+                    )
+                    nn = len(lt)
+                    L = [f"_t._r{k}" for k in range(nn)]
+                    R = [f"_t._s{k}" for k in range(nn)]
+                    op = "<>" if text == "!=" else text
+                    if op == "=":
+                        body = " AND ".join(
+                            f"{L[k]} = {R[k]}" for k in range(nn)
+                        )
+                    elif op == "<>":
+                        body = " OR ".join(
+                            f"{L[k]} <> {R[k]}" for k in range(nn)
+                        )
+                    else:
+                        strict = op[0]  # '<' or '>'
+
+                        def lex(k: int) -> str:
+                            if k == nn - 1:
+                                return f"{L[k]} {op} {R[k]}"
+                            return (
+                                f"{L[k]} {strict} {R[k]} OR "
+                                f"({L[k]} = {R[k]} AND ({lex(k + 1)}))"
+                            )
+
+                        body = lex(0)
+                    edits.append((
+                        ls, re_,
+                        "element_at(transform(array(struct("
+                        f"{binds})), _t -> {body}), 1)",
+                    ))
+                    i = r_close + 1
+                    return i
+            i += 1
+            return i
 
     # duckdb/postgres/mysql JSON extraction arrows: j ->> k (text)
     # maps to get_json_object — EXACT for scalar results (unquoted,

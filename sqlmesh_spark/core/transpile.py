@@ -510,7 +510,34 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # path (core/dialects/snowflake.py token_handlers). Moved
         # verbatim (round 8); trigger tokens ([ , -> , :) are disjoint
         # across the three blocks, so scan semantics are unchanged.
-        if kind == "op" and text in ("[", "->"):
+        if (
+            kind == "op" and (
+                text in ("[", "->")
+                # row-constructor comparisons ((a,b) <op> (c,d)) — the
+                # handler self-gates on the `)`-before/`(`-after shape
+                or (
+                    text in ("=", "<>", "!=", "<", ">", "<=", ">=")
+                    and i >= 1
+                    and toks[i - 1][0] == "op"
+                    and toks[i - 1][1] == ")"
+                )
+            )
+        ) or (
+            # row-constructor [NOT] IN over a value list
+            kind == "ident"
+            and text.upper() == "IN"
+            and i >= 1
+            and (
+                (toks[i - 1][0] == "op" and toks[i - 1][1] == ")")
+                or (
+                    i >= 2
+                    and toks[i - 1][0] == "ident"
+                    and toks[i - 1][1].upper() == "NOT"
+                    and toks[i - 2][0] == "op"
+                    and toks[i - 2][1] == ")"
+                )
+            )
+        ):
             ctx.i, ctx.kind, ctx.text = i, kind, text
             ctx.start, ctx.end, ctx.name = start, end, ""
             nxt = _d_container.token_handlers(ctx)

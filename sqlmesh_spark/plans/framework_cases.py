@@ -3153,7 +3153,7 @@ FROM (SELECT event_id, props,
     )
 
 
-PG_DIALECT_ORACLE = """
+PG8_FEATURES_ORACLE = """
 SELECT o_orderkey AS key,
        100 // 3 // 2 + o_orderkey * 0 AS chained_div,
        CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS BIGINT) AS dec_round,
@@ -3168,8 +3168,8 @@ FROM orders WHERE o_orderkey <= 400
 """
 
 
-@register("framework_postgres_dialect_model", oracle=PG_DIALECT_ORACLE, tags=("dialect", "framework"))
-def framework_postgres_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("framework_pg8_features_model", oracle=PG8_FEATURES_ORACLE, tags=("dialect", "framework"))
+def framework_pg8_features_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-8 postgres read-dialect features end-to-end through
     plan/apply (every one verified against live PostgreSQL 15 in
     tests/test_dialect_fuzz_pg.py; here the DuckDB oracle restates the

@@ -145,6 +145,23 @@ TEMPLATES += [
     "0 || ARRAY[]::int[]", "ARRAY[1,2] || 3 = ARRAY[1,2,3]",
 ]
 
+# row-constructor comparisons: field-wise three-valued logic (Spark's
+# STRUCT comparison treats NULL as a smallest VALUE — (1,NULL) < (1,0)
+# is true there, NULL in pg/duckdb — so they expand to the standard
+# AND/OR / lexicographic form with struct-bound elements)
+TEMPLATES += [
+    "(1,2) < (1,3)", "(1,2) >= (1,2)", "(2,0) > (1,9)",
+    "(1,NULL) = (1,2)", "(1,NULL) < (2,0)", "(NULL,1) = (NULL,1)",
+    "(1,NULL) < (1,0)", "(1,2) <> (1,3)", "(1,NULL) <> (1,2)",
+    "(1,NULL) <> (2,2)", "(1,2,3) < (1,2,4)", "(1,2,3) <= (1,2,3)",
+    "ROW(1,2) = ROW(1,2)", "(2,0) <= (1,9)", "(1,0) != (1,0)",
+    "(1+1, 2*2) = (2, 4)",
+    "(1,2) IN ((1,2),(3,4))", "(1,5) IN ((1,2),(3,4))",
+    "(1,NULL) IN ((1,2))", "(1,NULL) NOT IN ((1,2))",
+    "(1,2) NOT IN ((3,4))", "(1,NULL) IN ((2,3))",
+    "(1,NULL) IN ((1,NULL))", "(1,2) IN (ROW(1,2))",
+]
+
 # ^@ starts-with operator (pg 11+) → startswith; BETWEEN SYMMETRIC is
 # loud-with-guidance (its bound spans end at parser-precedence
 # boundaries a token walk cannot see)
