@@ -61,7 +61,15 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "json_extract": None,
         "json_extract_path": None,
     },
-    "postgres": {**_COMMON_FN, "regexp_matches": None},
+    "postgres": {
+        **_COMMON_FN,
+        "regexp_matches": None,
+        # symbolic month/day INTERVAL normalization — no Spark analog
+        "justify_days": None,
+        "justify_hours": None,
+        "justify_interval": None,
+        "current_setting": None,        # server config introspection
+    },
     "ansi": {},                         # ANSI names that differ are below
     "snowflake": _SNOWFLAKE_FN,
     "bigquery": _BIGQUERY_FN,

@@ -397,11 +397,15 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             i += 2
             continue
 
-        # Trino AT TIME ZONE: changes the display zone of the same
-        # instant — Spark timestamps are session-zone-normalized with no
-        # per-value zone, so there is no faithful rewrite. LOUD.
+        # Trino/Postgres AT TIME ZONE: trino changes the display zone
+        # of the same instant; pg converts between timestamptz and
+        # wall-clock timestamp. Spark timestamps are session-zone-
+        # normalized with no per-value zone, so there is no faithful
+        # rewrite of either (previously pg passed the clause through to
+        # a raw Spark parse error). LOUD with the explicit-conversion
+        # guidance.
         if (
-            read == "trino"
+            read in ("trino", "postgres")
             and kind == "ident"
             and text.upper() == "AT"
             and i + 2 < n
