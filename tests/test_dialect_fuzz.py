@@ -126,6 +126,19 @@ TEMPLATES += [
     r"concat('a''b', '\', NULL)",
 ]
 
+# row-constructor comparisons / IN: duckdb matches pg's field-wise
+# three-valued logic ((1,NULL) = (1,2) is NULL) where Spark's STRUCT
+# comparison treats NULL as a smallest value — expanded to the
+# standard AND/OR / lexicographic forms with struct-bound elements
+TEMPLATES += [
+    "(1,2) < (1,3)", "(1,2) >= (1,2)", "(2,0) > (1,9)",
+    "(1,NULL) = (1,2)", "(1,NULL) < (2,0)", "(NULL,1) = (NULL,1)",
+    "(1,NULL) < (1,0)", "(1,2) <> (1,3)", "(1,NULL) <> (2,2)",
+    "(1,2,3) < (1,2,4)", "(1,2) IN ((1,2),(3,4))",
+    "(1,NULL) IN ((1,2))", "(1,NULL) NOT IN ((1,2))",
+    "(1,2) NOT IN ((3,4))",
+]
+
 # aggregates as scalar subqueries (NULL handling, sample-vs-population
 # statistics, quantiles, keep-NULL list aggs)
 V = "FROM (VALUES (1),(NULL),(2),(2)) t(v)"
