@@ -501,11 +501,22 @@ def token_handlers(ctx) -> "int | None":
             and toks[i + 2][0] == "ident"
             and toks[i + 2][1].upper() == "SELECT"
         ):
-            if cmp_op == "=":
+            # Spark has no quantified subqueries, and ANY( parses as
+            # the any() aggregate → a confusing parse error. The two
+            # forms with exact IN equivalents rewrite (pg docs define
+            # IN as = ANY and NOT IN as <> ALL, three-valued NULL
+            # semantics included); the rest stay loud with guidance.
+            up = text.upper()
+            if cmp_op == "=" and up in ("ANY", "SOME"):
+                edits.append((toks[i - 1][2], toks[i][3], "IN"))
                 i += 1
-                return i  # = ANY(subquery) is valid Spark (IN-style)
+                return i
+            if cmp_op in ("<>", "!=") and up == "ALL":
+                edits.append((toks[i - 1][2], toks[i][3], "NOT IN"))
+                i += 1
+                return i
             raise TranspileError(
-                f"postgres {cmp_op} {text.upper()}(SELECT ...) has "
+                f"postgres {cmp_op} {up}(SELECT ...) has "
                 "no Spark quantified-subquery form; rewrite as "
                 "EXISTS (SELECT 1 FROM ... WHERE x "
                 f"{cmp_op} col) or aggregate to min/max"
@@ -768,6 +779,13 @@ def token_handlers(ctx) -> "int | None":
     # neighboring arithmetic operator would make the primary-level
     # scoping silently wrong — loud there.
     if read == "postgres" and kind == "op" and text == "#":
+        if is_op(i + 1, "-") and toks[i][3] == toks[i + 1][2]:
+            # adjacent `#-` is the jsonb path-delete operator, not
+            # XOR-of-negative — loud before the XOR rewrite below
+            raise TranspileError(
+                "postgres #- (jsonb delete path) has no Spark "
+                "rewrite; restructure with named_struct/to_json"
+            )
         lfirst = (
             _backward_primary(toks, i - 1, include_unary=True)
             if i > 0 else None
@@ -811,6 +829,112 @@ def token_handlers(ctx) -> "int | None":
         )
         i = rspan[1] + 1
         return i
+
+    # Postgres jsonb MUTATION/EXISTENCE operators the text walker
+    # cannot faithfully rewrite — loud with guidance (extraction has
+    # rewrites: ->> and #>>). `?`/`?|`/`?&` test key existence;
+    # `#-` deletes a path; `||` MERGES objects and `-` deletes a key
+    # when an operand is json(b)-typed — Spark `||` would silently
+    # STRING-concat two jsonb casts ('{"a":1}{"b":2}'), the one
+    # silent-wrong shape, so the cast-tail check guards it.
+    if read == "postgres" and kind == "op":
+        if text == "?":
+            raise TranspileError(
+                "postgres ? (jsonb key exists) has no direct Spark "
+                "operator; use json_object_keys()/get_json_object "
+                "IS NOT NULL explicitly"
+            )
+        if text in ("||", "-") and first_pass:
+            def _json_cast_tail(li: int) -> bool:
+                # ...::json(b) — bare or wrapped in one paren level
+                if (
+                    li >= 2
+                    and toks[li][0] in _NAME_KINDS
+                    and toks[li][1].lower() in ("json", "jsonb")
+                    and toks[li - 1][0] == "op"
+                    and toks[li - 1][1] == "::"
+                ):
+                    return True
+                return (
+                    li >= 3
+                    and toks[li][0] == "op"
+                    and toks[li][1] == ")"
+                    and toks[li - 1][0] in _NAME_KINDS
+                    and toks[li - 1][1].lower() in ("json", "jsonb")
+                    and toks[li - 2][0] == "op"
+                    and toks[li - 2][1] == "::"
+                )
+            jsonish = i >= 1 and _json_cast_tail(i - 1)
+            if not jsonish:
+                rspan = _forward_primary(toks, i + 1)
+                jsonish = rspan is not None and _json_cast_tail(rspan[1])
+            if jsonish:
+                raise TranspileError(
+                    f"postgres jsonb {text} "
+                    + ("(object merge) has no Spark rewrite — Spark "
+                       "|| would silently string-concatenate the "
+                       "casts" if text == "||"
+                       else "(key/element delete) has no Spark "
+                       "rewrite")
+                    + "; restructure with map/named_struct functions "
+                    "or extract fields"
+                )
+        if (
+            text == "::"
+            and first_pass
+            and i + 1 < n
+            and toks[i + 1][0] in _NAME_KINDS
+            and toks[i + 1][1].lower() in (
+                "text", "varchar", "string", "char", "character",
+                "bpchar",
+            )
+        ):
+            # interval → text renders '3 days' in pg but
+            # 'INTERVAL '3 00:00:00' DAY TO SECOND' in Spark — a
+            # silent FORMAT divergence. Loud for the statically
+            # interval-typed castee shapes: a ::interval chain tail,
+            # a make_interval() call, an INTERVAL literal, or a
+            # parenthesized expression whose only identifiers are
+            # INTERVAL keywords (interval arithmetic stays interval).
+            iv_typed = (
+                i >= 2
+                and toks[i - 1][0] in _NAME_KINDS
+                and toks[i - 1][1].lower() == "interval"
+                and toks[i - 2][0] == "op"
+                and toks[i - 2][1] == "::"
+            ) or (
+                i >= 2
+                and toks[i - 1][0] == "string"
+                and toks[i - 2][0] in _NAME_KINDS
+                and toks[i - 2][1].upper() == "INTERVAL"
+            )
+            if not iv_typed and i > 0:
+                lf = _backward_primary(toks, i - 1, include_unary=True)
+                if (
+                    lf is not None
+                    and toks[lf][0] == "op"
+                    and toks[lf][1] == "("
+                ):
+                    inner = toks[lf + 1: i - 1]
+                    idents = [
+                        t for t in inner if t[0] in _NAME_KINDS
+                    ]
+                    iv_typed = bool(idents) and all(
+                        t[1].upper() == "INTERVAL" for t in idents
+                    )
+                elif (
+                    lf is not None
+                    and toks[lf][0] in _NAME_KINDS
+                    and toks[lf][1].lower() == "make_interval"
+                ):
+                    iv_typed = True
+            if iv_typed:
+                raise TranspileError(
+                    "postgres interval::text renders '3 days' where "
+                    "Spark renders 'INTERVAL ...' — no faithful "
+                    "rewrite; extract(epoch ...) or format the fields "
+                    "explicitly"
+                )
 
     # Postgres jsonb path extraction: j #>> '{a,b}' (text at path) →
     # get_json_object with the combined bracket JsonPath — exact for

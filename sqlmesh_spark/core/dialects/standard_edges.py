@@ -17,6 +17,8 @@ from sqlmesh_spark.core.transpile_shared import (
 )
 from sqlmesh_spark.core.transpile_text import (
     _literal_content,
+    _pg_interval_field,
+    _pg_interval_parts,
     _spark_string_literal,
 )
 
@@ -183,10 +185,27 @@ def call_handlers(ctx) -> "int | None":
             )
             i = over_end + 1
             return i
+        body = agg
+        if dist and read == "postgres":
+            # pg implements DISTINCT-inside-aggregate by SORTING the
+            # input, so array_agg(DISTINCT x) comes back ascending
+            # with NULL last (an implementation artifact, but de facto
+            # stable and user-relied-upon; verified live on PG 15).
+            # Spark's hash-distinct order is arbitrary — sort the
+            # struct rows with an explicit NULL-last comparator
+            # (struct ordering would put a NULL field FIRST).
+            body = (
+                f"array_sort({agg}, (_l, _r) -> CASE "
+                "WHEN _l._v IS NULL AND _r._v IS NULL THEN 0 "
+                "WHEN _l._v IS NULL THEN 1 "
+                "WHEN _r._v IS NULL THEN -1 "
+                "WHEN _l._v < _r._v THEN -1 "
+                "WHEN _l._v > _r._v THEN 1 ELSE 0 END)"
+            )
         edits.append(
             (start, toks[fend][3],
              f"(CASE WHEN size({agg}) = 0 THEN NULL "
-             f"ELSE transform({agg}, _s -> _s._v) END)")
+             f"ELSE transform({body}, _s -> _s._v) END)")
         )
         i = fend + 1
         return i
@@ -361,6 +380,35 @@ def call_handlers(ctx) -> "int | None":
             and spans[0][0] == spans[0][1]
         ):
             field = _literal_content(toks[spans[0][0]][1], read).lower()
+            b0, b1 = spans[1]
+            if (
+                toks[b0][0] in _NAME_KINDS
+                and toks[b0][1].upper() == "INTERVAL"
+            ):
+                # same static interval-field path as extract() below —
+                # the templates assume a datetime operand (the epoch
+                # one CASTs to TIMESTAMP, a type error on intervals)
+                # and Spark's native fields normalize where pg's don't
+                if b1 == b0 + 1 and toks[b1][0] == "string":
+                    lit = _literal_content(toks[b1][1], read)
+                    parts = _pg_interval_parts(lit)
+                    val = (
+                        _pg_interval_field(field, parts)
+                        if parts is not None else None
+                    )
+                    if val is None:
+                        raise TranspileError(
+                            f"date_part({field!r}, INTERVAL {lit!r}) "
+                            "is not statically evaluable; use day-time "
+                            "units or extract(epoch ...)"
+                        )
+                    edits.append((start, toks[close][3], repr(val)))
+                    return close + 1
+                raise TranspileError(
+                    f"date_part({field!r}, <interval expression>) has "
+                    "no faithful Spark form (Spark normalizes interval "
+                    "fields; pg does not); use a literal interval"
+                )
             tmpl = (
                 _DP_FIELD_TEMPLATES_PG if read == "postgres"
                 else _DP_FIELD_TEMPLATES
@@ -382,6 +430,43 @@ def call_handlers(ctx) -> "int | None":
             and toks[i + 3][1].upper() == "FROM"
         ):
             field = toks[i + 2][1].lower()
+            if (
+                toks[i + 4][0] in _NAME_KINDS
+                and toks[i + 4][1].upper() == "INTERVAL"
+            ):
+                close = _call_arg_spans(toks, i + 1)[1]
+                if i + 5 == close - 1 and toks[i + 5][0] == "string":
+                    # pure INTERVAL literal: interval FIELDS don't
+                    # normalize across components in pg/duckdb (hour of
+                    # '26 hours 3 min' is 26) while Spark's day-time
+                    # intervals auto-normalize (→ 2) — a silent value
+                    # divergence, so evaluate the field STATICALLY
+                    # (verified live, PG 15 + duckdb: both agree)
+                    lit = _literal_content(toks[i + 5][1], read)
+                    parts = _pg_interval_parts(lit)
+                    val = (
+                        _pg_interval_field(field, parts)
+                        if parts is not None else None
+                    )
+                    if val is None:
+                        raise TranspileError(
+                            f"extract({field} from INTERVAL {lit!r}) "
+                            "is not statically evaluable and Spark "
+                            "normalizes interval fields differently; "
+                            "use day-time units or extract(epoch ...)"
+                        )
+                    edits.append((start, toks[close][3], repr(val)))
+                    return close + 1
+                if field != "epoch":
+                    # non-literal interval operand (INTERVAL '..' * n
+                    # etc.): Spark's normalization makes every field
+                    # except epoch silently wrong — loud
+                    raise TranspileError(
+                        f"extract({field} from <interval expression>) "
+                        "has no faithful Spark form (Spark normalizes "
+                        "26 hours → 1 day 2 hours; pg keeps hour=26); "
+                        "extract from a literal or use epoch"
+                    )
             if (
                 field == "epoch"
                 and toks[i + 4][0] in _NAME_KINDS

@@ -869,3 +869,196 @@ def _pg_regex_substring_emit(source_text: str, pat: str, read: str) -> str:
         f"nullif(regexp_extract(({source_text}), "
         f"{_spark_string_literal(pat, read)}, {g}), '')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Postgres interval literals: static (months, days, micros) decomposition
+# ---------------------------------------------------------------------------
+
+#: verbose-unit → (months, days, micros) multiplier per 1 unit. The
+#: spellings are the ones pg's DecodeUnits accepts (checked live on
+#: PostgreSQL 15); unknown units return None → the caller stays loud.
+_PG_IV_UNITS = {}
+for _names, _mul in (
+    (("microsecond", "microseconds", "us", "usec", "usecs"), (0, 0, 1)),
+    (("millisecond", "milliseconds", "ms", "msec", "msecs"), (0, 0, 1_000)),
+    (("second", "seconds", "sec", "secs", "s"), (0, 0, 1_000_000)),
+    (("minute", "minutes", "min", "mins", "m"), (0, 0, 60_000_000)),
+    (("hour", "hours", "hr", "hrs", "h"), (0, 0, 3_600_000_000)),
+    (("day", "days", "d"), (0, 1, 0)),
+    (("week", "weeks", "w"), (0, 7, 0)),
+    (("month", "months", "mon", "mons"), (1, 0, 0)),
+    (("year", "years", "yr", "yrs", "y"), (12, 0, 0)),
+    (("decade", "decades", "dec", "decs"), (120, 0, 0)),
+    (("century", "centuries", "c"), (1200, 0, 0)),
+    (("millennium", "millenniums", "millennia", "mil", "mils"),
+     (12000, 0, 0)),
+):
+    for _nm in _names:
+        _PG_IV_UNITS[_nm] = _mul
+
+
+def _pg_iv_tdiv(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero), pg's rule for
+    interval field math."""
+    q = abs(a) // b
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _pg_interval_parts(text: str) -> "tuple[int, int, int] | None":
+    """Statically decompose a pg interval literal into its stored
+    (months, days, microseconds) components, or None when the text
+    isn't one of the statically parseable shapes (verbose units,
+    hh:mm[:ss[.f]], bare seconds, ISO-8601 P-form, optional 'ago').
+
+    Fraction spilling follows pg's DecodeInterval: fractional years →
+    months (×12), fractional months → days (×30), fractional
+    weeks/days → time (×86400s), fractional time units → rounded
+    microseconds. ref: reference delegates interval semantics to the
+    target engine (sqlmesh/core/dialect.py); verified live on PG 15
+    ('1.5 days' → 1 day 12:00:00, '26 hours 3 minutes' keeps hour=26).
+    """
+    s = text.strip().lower()
+    if not s:
+        return None
+    months = days = 0
+    micros = 0.0
+    negate_all = False
+    if s.endswith(" ago"):
+        negate_all = True
+        s = s[: -4].rstrip()
+    if s.startswith(("p", "+p", "-p")):
+        # ISO 8601: P[nY][nM][nW][nD][T[nH][nM][nS]] — M means month
+        # before the T separator, minute after it
+        sign = -1 if s[0] == "-" else 1
+        body = s.lstrip("+-")[1:]
+        dpart, _, tp = body.partition("t")
+        consumed = ""
+        for num, unit in re.findall(r"([0-9]+(?:\.[0-9]+)?)([a-z])", dpart):
+            v = float(num) * sign
+            mul = {"y": (12, 0), "m": (1, 0), "w": (0, 7),
+                   "d": (0, 1)}.get(unit)
+            if mul is None:
+                return None
+            fm = v * mul[0]
+            months += int(fm)
+            vd = v * mul[1] + (fm - int(fm)) * 30
+            days += int(vd)
+            micros += (vd - int(vd)) * 86_400_000_000
+            consumed += num + unit
+        for num, unit in re.findall(r"([0-9]+(?:\.[0-9]+)?)([a-z])", tp):
+            v = float(num) * sign
+            mul = {"h": 3_600_000_000, "m": 60_000_000,
+                   "s": 1_000_000}.get(unit)
+            if mul is None:
+                return None
+            micros += v * mul
+            consumed += num + unit
+        if consumed != dpart + tp:
+            return None  # unconsumed text (e.g. sql-standard P0000-01)
+    else:
+        # verbose: [sign]number [unit], repeatable, plus at most one
+        # [sign]hh:mm[:ss[.f]] clock segment (bare number = seconds)
+        toks = re.findall(
+            r"[+-]?\d+:\d+(?::\d+(?:\.\d+)?)?|[+-]?\d*\.?\d+|[a-z]+", s
+        )
+        if not toks or any(
+            t not in _PG_IV_UNITS and not re.match(r"^[+-]?[\d.:]+$", t)
+            for t in toks
+        ):
+            return None
+        k = 0
+        seen_clock = False
+        while k < len(toks):
+            t = toks[k]
+            if ":" in t:
+                if seen_clock:
+                    return None
+                seen_clock = True
+                sign = -1 if t.startswith("-") else 1
+                fields = t.lstrip("+-").split(":")
+                h = int(fields[0])
+                mi = int(fields[1])
+                se = float(fields[2]) if len(fields) > 2 else 0.0
+                if mi >= 60 or se >= 60:
+                    return None  # pg rejects; don't guess
+                micros += sign * (
+                    h * 3_600_000_000 + mi * 60_000_000 + se * 1_000_000
+                )
+                k += 1
+                continue
+            # number [unit]
+            v = float(t)
+            unit = None
+            if k + 1 < len(toks) and toks[k + 1] in _PG_IV_UNITS:
+                unit = toks[k + 1]
+                k += 2
+            else:
+                # bare trailing number = seconds (pg's rule)
+                unit = "s"
+                k += 1
+            mm, dd, uu = _PG_IV_UNITS[unit]
+            fm = v * mm
+            months += int(fm)  # trunc toward zero, pg's rule
+            frac_m = fm - int(fm)
+            vd = v * dd + frac_m * 30
+            days += int(vd)
+            micros += (vd - int(vd)) * 86_400_000_000 + v * uu
+    if negate_all:
+        months, days, micros = -months, -days, -micros
+    # pg rounds sub-microsecond remainders (rint)
+    mic = int(round(micros))
+    return months, days, mic
+
+
+def _pg_interval_field(field: str, parts: "tuple[int, int, int]"):
+    """pg extract(field FROM interval)'s value for a decomposed
+    interval — fields do NOT normalize across component boundaries
+    (hour of '26 hours' is 26; day of '2 days 26 hours' is 2), unlike
+    Spark's auto-normalizing day-time intervals. Returns an int, a
+    float, or None for an unsupported field. Semantics pinned live on
+    PG 15 (see tests/test_dialect_fuzz_pg.py interval-extract group).
+    """
+    months, days, micros = parts
+    td = _pg_iv_tdiv
+    if field in ("year", "years"):
+        return td(months, 12)
+    if field in ("month", "months", "mon", "mons"):
+        return months - td(months, 12) * 12
+    if field == "quarter":
+        return td(months - td(months, 12) * 12, 3) + 1
+    if field in ("day", "days"):
+        return days
+    if field in ("week",):
+        return td(days, 7)
+    if field in ("hour", "hours"):
+        return td(micros, 3_600_000_000)
+    if field in ("minute", "minutes", "min", "mins"):
+        return td(micros, 60_000_000) - td(micros, 3_600_000_000) * 60
+    rem_min = micros - td(micros, 60_000_000) * 60_000_000
+    if field in ("second", "seconds", "sec", "secs"):
+        v = rem_min / 1_000_000
+        return int(v) if v == int(v) else v
+    if field in ("microseconds", "microsecond"):
+        return rem_min
+    if field in ("milliseconds", "millisecond"):
+        v = rem_min / 1_000
+        return int(v) if v == int(v) else v
+    if field == "decade":
+        return td(months, 120)
+    if field == "century":
+        return td(months, 1200)
+    if field == "millennium":
+        return td(months, 12000)
+    if field == "epoch":
+        # pg: years at 365.25 d, leftover months at 30 d (verified:
+        # epoch('1 year') = 31557600, epoch('1 month') = 2592000)
+        yrs = td(months, 12)
+        v = (
+            micros / 1_000_000
+            + days * 86_400
+            + yrs * 31_557_600
+            + (months - yrs * 12) * 2_592_000
+        )
+        return int(v) if v == int(v) else v
+    return None

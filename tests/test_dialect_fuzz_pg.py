@@ -381,6 +381,73 @@ TEMPLATES += [
     "substring('ab12cd', '[0-9]+')",
 ]
 
+# interval field extraction: pg/duckdb fields do NOT normalize across
+# components (hour of '26 hours 3 min' is 26) while Spark's day-time
+# intervals auto-normalize — INTERVAL-literal operands evaluate
+# STATICALLY via _pg_interval_parts/_pg_interval_field; non-literal
+# interval operands are loud. epoch covers year/month statically too
+# (365.25 d/yr, 30 d/mon — pinned live).
+TEMPLATES += [
+    "extract(hour from INTERVAL '26 hours 3 minutes')",
+    "extract(day from INTERVAL '2 days 26 hours')",
+    "extract(minute from INTERVAL '-90 minutes')",
+    "extract(second from INTERVAL '1 min 30.5 sec')",
+    "extract(microseconds from INTERVAL '1 min 30.5 sec')",
+    "extract(milliseconds from INTERVAL '30.5 sec')",
+    "extract(month from INTERVAL '14 months')",
+    "extract(year from INTERVAL '-14 months')",
+    "extract(quarter from INTERVAL '5 months')",
+    "extract(quarter from INTERVAL '-5 months')",
+    "extract(decade from INTERVAL '25 years')",
+    "extract(epoch from INTERVAL '1 year 1 day')",
+    "extract(epoch from INTERVAL '1 month')",
+    "extract(hour from INTERVAL '1.5 days')",
+    "extract(day from INTERVAL '1 week 1 day')",
+    "extract(hour from INTERVAL '01:02:03')",
+    "extract(month from INTERVAL 'P1Y2M3D')",
+    "extract(hour from INTERVAL 'PT26H3M')",
+    "date_part('hour', INTERVAL '26 hours')",
+    "date_part('epoch', INTERVAL '1 minute')",
+    "extract(hour from INTERVAL '1 day' * 2)",  # loud (non-literal)
+]
+
+# quantified subqueries: = ANY ↔ IN, <> ALL ↔ NOT IN (pg defines them
+# as equivalent, three-valued semantics included); other operators
+# over subqueries are loud. array_agg(DISTINCT) sorts ascending
+# NULL-last in pg (sort-based distinct — implementation artifact but
+# de facto stable) — matched via an explicit struct comparator.
+TEMPLATES += [
+    "2 = ANY(SELECT v FROM (VALUES (1),(2)) t(v))",
+    "3 = ANY(SELECT v FROM (VALUES (1),(2)) t(v))",
+    "2 <> ALL(SELECT v FROM (VALUES (1),(3)) t(v))",
+    "2 <> ALL(SELECT v FROM (VALUES (2),(3)) t(v))",
+    # NULL-in-subquery + no match in PROJECTION context: Spark IN
+    # collapses NULL→false — pinned in test_pg_pinned_divergences
+    # (WHERE-context behavior is identical on both engines)
+    "(SELECT count(*) FROM (VALUES (1)) q(k) "
+    "WHERE 3 = ANY(SELECT v FROM (VALUES (1),(NULL)) t(v)))",
+    "(SELECT count(*) FROM (VALUES (1)) q(k) "
+    "WHERE 2 <> ALL(SELECT v FROM (VALUES (1),(NULL)) t(v)))",
+    "2 > ANY(SELECT v FROM (VALUES (1),(3)) t(v))",  # loud
+    "(SELECT array_agg(DISTINCT v) FROM (VALUES (2),(1),(2)) t(v))",
+    "(SELECT array_agg(DISTINCT v) FROM (VALUES (2),(NULL),(1),(2)) t(v))",
+    "(SELECT array_agg(DISTINCT s) FROM (VALUES ('b'),('a'),('b')) t(s))",
+]
+
+# jsonb mutation/existence operators and interval-to-text casts: all
+# loud (the || shape would otherwise silently STRING-concatenate two
+# jsonb casts where pg merges objects; interval::text renders
+# '3 days' vs Spark's 'INTERVAL ...' form)
+TEMPLATES += [
+    """'{"a":1}'::jsonb || '{"b":2}'::jsonb""",
+    """('{"a":1,"b":2}'::jsonb) - 'a'""",
+    """'{"a":1}'::jsonb ? 'a'""",
+    """('{"a":1}'::jsonb) #- '{a}'""",
+    "(INTERVAL '1 day' * 3)::text",
+    "(INTERVAL '1 hour' / 2)::text",
+    "make_interval(1, 2)::text",
+]
+
 # compositions across families
 TEMPLATES += [
     "length(substr('hello', 0, 4)) % 3",
@@ -579,3 +646,20 @@ def test_pg_pinned_divergences(spark):
         "postgres",
     )
     assert spark.sql(sq5).collect()[0][0] == pg_o == "a,b"
+    # IN (SELECT ...) with a NULL in the subquery and no match:
+    # pg yields NULL, Spark yields false — IN PROJECTION CONTEXT ONLY
+    # (in WHERE both filter the row identically, covered by corpus
+    # templates). This is Spark's own IN-subquery behavior, hit
+    # equally by pass-through `x IN (SELECT ...)` and by the
+    # `= ANY(SELECT ...)` → IN rewrite, so the rewrite adds no new
+    # divergence; a faithful NULL would need restructuring the
+    # subquery, which a textual transpiler can't do safely.
+    assert _pg_values(
+        ["3 = ANY(SELECT v FROM (VALUES (1),(NULL)) t(v))"]
+    )[0] is None
+    sq6 = transpile(
+        "SELECT 3 = ANY(SELECT v FROM (VALUES (1),(NULL)) t(v)) AS v",
+        "postgres",
+    )
+    assert " IN" in sq6
+    assert spark.sql(sq6).collect()[0][0] is False  # pinned: pg NULL

@@ -3433,9 +3433,17 @@ def test_pg_to_char_case_padding_and_intervals(spark):
     assert "MMM" in transpile(
         "SELECT to_timestamp(s, 'DD MON YYYY') FROM t", "postgres"
     )
+    # epoch of a LITERAL interval with year/month parts now evaluates
+    # statically with pg's fixed factors (30-day months, 365.25-day
+    # years — verified live); only non-literal year/month interval
+    # expressions remain loud
+    assert transpile(
+        "SELECT extract(epoch from INTERVAL '2 months') FROM t",
+        "postgres",
+    ) == "SELECT 5184000 FROM t"
     with pytest.raises(TranspileError, match="30-day"):
         transpile(
-            "SELECT extract(epoch from INTERVAL '2 months') FROM t",
+            "SELECT extract(epoch from INTERVAL '1 month' * n) FROM t",
             "postgres",
         )
     with pytest.raises(TranspileError, match="OVERLAPS"):
@@ -3542,3 +3550,84 @@ def test_order_by_nulls_annotation_nested_window(spark):
     # DESC appears inside the window
     assert q2.endswith("OVER (ORDER BY y DESC NULLS FIRST) NULLS LAST, "
                        "a NULLS LAST")
+
+
+def test_pg_interval_field_static_eval():
+    """extract/date_part over INTERVAL literals evaluate statically
+    with pg's non-normalizing field semantics (Spark's day-time
+    intervals would fold 26 hours into 1 day 2 hours); non-literal
+    interval operands are loud. Values pinned live on PG 15 (see
+    tests/test_dialect_fuzz_pg.py interval-extract group)."""
+    t = lambda s: transpile(f"SELECT {s} AS v", "postgres")
+    assert t("extract(hour from INTERVAL '26 hours 3 minutes')") == \
+        "SELECT 26 AS v"
+    assert t("extract(day from INTERVAL '2 days 26 hours')") == \
+        "SELECT 2 AS v"
+    assert t("extract(minute from INTERVAL '-90 minutes')") == \
+        "SELECT -30 AS v"
+    assert t("extract(second from INTERVAL '1 min 30.5 sec')") == \
+        "SELECT 30.5 AS v"
+    assert t("extract(month from INTERVAL '14 months')") == "SELECT 2 AS v"
+    assert t("extract(quarter from INTERVAL '-5 months')") == "SELECT 0 AS v"
+    assert t("extract(epoch from INTERVAL '1 year 1 day')") == \
+        "SELECT 31644000 AS v"
+    assert t("extract(hour from INTERVAL 'PT26H3M')") == "SELECT 26 AS v"
+    assert t("date_part('hour', INTERVAL '26 hours')") == "SELECT 26 AS v"
+    assert t("date_part('epoch', INTERVAL '1 minute')") == "SELECT 60 AS v"
+    # duckdb shares pg's interval storage model (verified against the
+    # python duckdb module: hour('26 hours 3 min') = 26)
+    assert transpile(
+        "SELECT extract(hour from INTERVAL '26 hours 3 minutes') AS v",
+        "duckdb",
+    ) == "SELECT 26 AS v"
+    with pytest.raises(TranspileError, match="normalizes"):
+        t("extract(hour from INTERVAL '1 day' * 2)")
+    with pytest.raises(TranspileError, match="statically"):
+        t("extract(hour from INTERVAL 'next week')")
+    with pytest.raises(TranspileError, match="interval"):
+        t("date_part('hour', INTERVAL '1 hour' + INTERVAL '2 hours')")
+
+
+def test_pg_quantified_subqueries_and_jsonb_mutation_louds():
+    """= ANY(SELECT) → IN and <> ALL(SELECT) → NOT IN (pg-defined
+    equivalences); jsonb mutation operators and interval::text louds."""
+    assert transpile(
+        "SELECT 2 = ANY(SELECT v FROM t) AS v", "postgres"
+    ) == "SELECT 2 IN(SELECT v FROM t) AS v"
+    assert transpile(
+        "SELECT 2 <> ALL(SELECT v FROM t) AS v", "postgres"
+    ) == "SELECT 2 NOT IN(SELECT v FROM t) AS v"
+    with pytest.raises(TranspileError, match="EXISTS"):
+        transpile("SELECT 2 > ANY(SELECT v FROM t)", "postgres")
+    with pytest.raises(TranspileError, match="merge"):
+        transpile(
+            """SELECT '{"a":1}'::jsonb || '{"b":2}'::jsonb""", "postgres"
+        )
+    with pytest.raises(TranspileError, match="delete"):
+        transpile("""SELECT ('{"a":1}'::jsonb) - 'a'""", "postgres")
+    with pytest.raises(TranspileError, match="exists"):
+        transpile("""SELECT '{"a":1}'::jsonb ? 'a'""", "postgres")
+    with pytest.raises(TranspileError, match="delete path"):
+        transpile("SELECT j #- '{a}' FROM t", "postgres")
+    with pytest.raises(TranspileError, match="interval::text"):
+        transpile("SELECT (INTERVAL '1 day' * 3)::text", "postgres")
+    with pytest.raises(TranspileError, match="interval::text"):
+        transpile("SELECT make_interval(1, 2)::text", "postgres")
+    # non-interval casts and interval-in-timestamp-arithmetic casts
+    # keep working
+    assert "STRING" in transpile(
+        "SELECT (ts + INTERVAL '1 day')::text FROM t", "postgres"
+    )
+
+
+def test_pg_array_agg_distinct_sorted():
+    """array_agg(DISTINCT x) sorts ascending NULL-last on pg (its
+    sort-based distinct); the emission adds an explicit comparator."""
+    sq = transpile(
+        "SELECT array_agg(DISTINCT v) AS v FROM t", "postgres"
+    )
+    assert "array_sort" in sq and "_l._v IS NULL" in sq
+    # plain array_agg keeps encounter order — no sort
+    assert "array_sort" not in transpile(
+        "SELECT array_agg(v) AS v FROM t", "postgres"
+    )
