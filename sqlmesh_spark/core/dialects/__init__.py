@@ -69,6 +69,48 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "justify_hours": None,
         "justify_interval": None,
         "current_setting": None,        # server config introspection
+        # round 8 (adversarial live-PG probes): construction/SETOF/
+        # introspection functions with no faithful Spark form. JSON
+        # constructors are loud because pg jsonb normalizes key order
+        # and renders '{"k": 1}' (space) vs to_json's '{"k":1}' — a
+        # text-form divergence wherever the document itself is the
+        # value; extraction (->>/#>>/json_extract_path_text) maps.
+        "to_json": None, "to_jsonb": None, "row_to_json": None,
+        "json_build_object": None, "jsonb_build_object": None,
+        "json_build_array": None, "jsonb_build_array": None,
+        "json_object": None, "jsonb_object": None,
+        "jsonb_set": None, "jsonb_insert": None,
+        "json_strip_nulls": None, "jsonb_strip_nulls": None,
+        "jsonb_pretty": None, "json_typeof": None, "jsonb_typeof": None,
+        # SETOF-returning (row-generating) — Spark needs LATERAL VIEW
+        # explode/posexplode, a FROM-clause restructure
+        "json_each": None, "jsonb_each": None,
+        "json_each_text": None, "jsonb_each_text": None,
+        "json_array_elements": None, "jsonb_array_elements": None,
+        "json_array_elements_text": None,
+        "jsonb_array_elements_text": None,
+        "json_object_keys": None, "jsonb_object_keys": None,
+        "jsonb_path_query": None, "jsonb_path_exists": None,
+        "jsonb_path_match": None,
+        "regexp_split_to_table": None, "generate_subscripts": None,
+        # full-text search — no Spark analog
+        "to_tsvector": None, "to_tsquery": None,
+        "plainto_tsquery": None, "phraseto_tsquery": None,
+        "websearch_to_tsquery": None, "ts_rank": None,
+        "ts_headline": None,
+        # numeric/type introspection with no Spark form
+        "pg_typeof": None, "setseed": None, "scale": None,
+        "min_scale": None, "trim_scale": None,
+        "array_ndims": None,            # needs nested-array type info
+        "array_dims": None,             # renders pg's '[1:3]' text form
+        "parse_ident": None,
+        "set_byte": None, "set_bit": None, "get_bit": None,
+        # length counts ARRAY elements in pg (json_array_length is the
+        # Spark name; pg jsonb_array_length errors on non-arrays where
+        # Spark returns NULL — a pg-rejected shape, not a value seam)
+        "jsonb_array_length": "json_array_length",
+        "gen_random_uuid": "uuid",
+        "make_time": None,              # Spark has no TIME type
     },
     "ansi": {},                         # ANSI names that differ are below
     "snowflake": _SNOWFLAKE_FN,

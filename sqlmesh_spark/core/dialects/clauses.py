@@ -52,6 +52,22 @@ def token_handlers(ctx) -> "int | None":
                 off_txt = toks[j + 1][1]
                 j += 3
             else:
+                if (
+                    read == "postgres"
+                    and j + 3 < n
+                    and toks[j + 1][0] == "number"
+                    and toks[j + 2][0] == "ident"
+                    and toks[j + 2][1].upper() == "LIMIT"
+                    and toks[j + 3][0] == "number"
+                ):
+                    # pg accepts OFFSET m LIMIT n in either order;
+                    # Spark requires LIMIT before OFFSET — swap
+                    edits.append(
+                        (start, toks[j + 3][3],
+                         f"LIMIT {toks[j + 3][1]} "
+                         f"OFFSET {toks[j + 1][1]}")
+                    )
+                    return j + 4
                 i += 1  # plain OFFSET n (already Spark) — untouched
                 return i
         cnt_txt = None

@@ -193,6 +193,7 @@ def call_handlers(ctx) -> "int | None":
         if len(spans) == 1:
             sp = spans[0]
             from_idx = None
+            for_idx = None
             depth = 0
             for j in range(sp[0], sp[1] + 1):
                 k_, t_ = toks[j][0], toks[j][1]
@@ -203,6 +204,19 @@ def call_handlers(ctx) -> "int | None":
                 elif depth == 0 and k_ == "ident" and t_.upper() == "FROM":
                     from_idx = j
                     break
+                elif depth == 0 and k_ == "ident" and t_.upper() == "FOR":
+                    for_idx = j
+                    break
+            if from_idx is None and for_idx is not None:
+                # substring(s FOR n) — pg's FROM-less form starts at 1;
+                # Spark's grammar requires the FROM
+                s_text = sql[toks[sp[0]][2]: toks[for_idx][2]].rstrip()
+                tail = sql[toks[for_idx][2]: toks[sp[1]][3]]
+                edits.append(
+                    (start, toks[close][3],
+                     f"substring(({s_text}) FROM 1 {tail})")
+                )
+                return close + 1
             if (
                 from_idx is not None
                 and from_idx + 1 == sp[1]
@@ -215,6 +229,13 @@ def call_handlers(ctx) -> "int | None":
                      _pg_regex_substring_emit(s_text.rstrip(), pat, read))
                 )
                 return close + 1
+
+    # ---- Round-8 pg function batch (each found by adversarially
+    # probing live PG 15 with shapes outside the fuzz corpus)
+    if read == "postgres" and first_pass:
+        nxt = _pg_round8_calls(ctx)
+        if nxt is not None:
+            return nxt
 
     if (
         name == "string_agg"
@@ -255,5 +276,324 @@ def call_handlers(ctx) -> "int | None":
                      f" WITHIN GROUP ({order_text})")
                 )
                 return close + 1
+
+    return None
+
+
+def _count_capture_groups(pat: str) -> int:
+    """Number of capturing groups in a POSIX/Java regex (char-classes
+    and (?...) non-capturing constructs excluded)."""
+    n_ = len(pat)
+    idx = 0
+    in_class = False
+    count = 0
+    while idx < n_:
+        c = pat[idx]
+        if c == "\\":
+            idx += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and not (idx + 1 < n_ and pat[idx + 1] == "?"):
+            count += 1
+        idx += 1
+    return count
+
+
+#: pg make_interval keyword-argument order — identical to Spark's
+#: positional make_interval(years, months, weeks, days, hours, mins,
+#: secs), so named calls rewrite to positional ones.
+_MAKE_INTERVAL_ARGS = (
+    "years", "months", "weeks", "days", "hours", "mins", "secs",
+)
+
+
+def _pg_round8_calls(ctx) -> "int | None":
+    """Postgres call handlers added in round 8: encode/decode
+    (hex/base64), to_hex, intN()/floatN() function-style casts,
+    isfinite, get_byte, array_upper/lower/fill/positions, trim_array,
+    regexp_match, make_interval named arguments. Dispatched only for
+    read == postgres on the first pass."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read = ctx.sql, ctx.read
+    i, name = ctx.i, ctx.name
+    start = ctx.start
+    _arg_text = ctx.arg_text
+    _unused = (sql,)
+
+    if name in ("encode", "decode"):
+        # pg encode(bytea, fmt) / decode(text, fmt) — Spark's same-named
+        # functions do CHARSET conversion, a silent misread without this
+        # rewrite (loudly rejected charsets aside). hex is lowercase in
+        # pg; Spark hex() is uppercase. 'escape' format is loud (pg
+        # octal-escapes non-printables — no Spark analog).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) != 2
+            or spans[1][0] != spans[1][1]
+            or toks[spans[1][0]][0] != "string"
+        ):
+            raise TranspileError(
+                f"postgres {name}(x, format) needs a literal format "
+                "to transpile (Spark's encode/decode are charset "
+                "converters, not binary codecs)"
+            )
+        fmt = _literal_content(toks[spans[1][0]][1], read).lower()
+        x_ = _arg_text(spans[0])
+        if fmt == "hex":
+            repl = (
+                f"lower(hex(({x_})))" if name == "encode"
+                else f"unhex(({x_}))"
+            )
+        elif fmt == "base64":
+            repl = (
+                f"base64(({x_}))" if name == "encode"
+                else f"unbase64(({x_}))"
+            )
+        else:
+            raise TranspileError(
+                f"postgres {name}(x, '{fmt}') has no Spark rewrite "
+                "(only hex/base64 map); 'escape' octal-escaping has "
+                "no analog"
+            )
+        edits.append((start, toks[close][3], repl))
+        return close + 1
+
+    if name == "to_hex":
+        # literal non-negative ints evaluate statically; anything else
+        # is loud — pg to_hex(int4) renders negatives as 32-bit
+        # two's-complement ('ffffffff') while Spark hex() is always
+        # 64-bit, a silent divergence on negative columns
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 1
+            and spans[0][0] == spans[0][1]
+            and toks[spans[0][0]][0] == "number"
+            and "." not in toks[spans[0][0]][1]
+        ):
+            v = int(toks[spans[0][0]][1])
+            edits.append(
+                (start, toks[close][3], _spark_string_literal(f"{v:x}", read))
+            )
+            return close + 1
+        raise TranspileError(
+            "postgres to_hex() maps only for literal non-negative "
+            "integers (pg renders negative int4 as 32-bit "
+            "two's-complement; Spark hex() is 64-bit) — use "
+            "lower(hex(x)) explicitly if the column is non-negative"
+        )
+
+    if name in ("int2", "int4", "int8", "float4", "float8"):
+        # function-style casts: re-spell as the :: form so the existing
+        # cast machinery applies pg's numeric->int rounding rules
+        # (int4(2.7) = 3) on the next fixpoint pass
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append(
+                (start, toks[close][3], f"(({_arg_text(spans[0])})::{name})")
+            )
+            return close + 1
+
+    if name == "isfinite":
+        # Spark datetimes cannot hold pg's 'infinity' sentinel, so a
+        # finite non-NULL input is always TRUE; NULL stays NULL
+        # ('infinity'::date itself fails the Spark cast loudly first)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 f"IF(({x_}) IS NULL, NULL, TRUE)")
+            )
+            return close + 1
+
+    if name == "get_byte":
+        # get_byte(bytea, n) — byte n (0-based) as int. Spark has no
+        # byte indexer; two hex digits at offset 2n+1 are exact.
+        # Out-of-range: pg raises, conv('')=0 would be silent — bound
+        # with a CASE that nulls OOB (NULL beats a wrong 0; pg rejects
+        # the shape anyway).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            b_, n_ = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"CAST(conv(nullif(substring(hex(({b_})) "
+                 f"FROM ({n_}) * 2 + 1 FOR 2), ''), 16, 10) AS INT)")
+            )
+            return close + 1
+
+    if name in ("array_upper", "array_lower"):
+        # 1-D semantics over Spark arrays: upper = cardinality (empty
+        # and NULL arrays → NULL), lower = 1 when non-empty. Only the
+        # literal dimension 1 maps; pg returns NULL for higher dims on
+        # 1-D values but a real bound on nested arrays — statically
+        # unknowable, loud.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "number"
+        ):
+            if toks[spans[1][0]][1] != "1":
+                raise TranspileError(
+                    f"postgres {name}(a, dim) maps only for dim=1 "
+                    "(higher dims need nested-array type knowledge)"
+                )
+            a_ = _arg_text(spans[0])
+            repl = (
+                f"nullif(cardinality(({a_})), 0)"
+                if name == "array_upper"
+                else f"IF(coalesce(cardinality(({a_})), 0) = 0, "
+                     f"NULL, 1)"
+            )
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+        raise TranspileError(
+            f"postgres {name}(a, dim) needs a literal dimension to "
+            "transpile"
+        )
+
+    if name == "array_fill":
+        # array_fill(elem, ARRAY[n]) → array_repeat(elem, n); the
+        # 3-arg lower-bound form and multi-dim fills have no Spark
+        # analog (Spark arrays are 1-based 1-D)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            d0, d1 = spans[1]
+            if (
+                d1 == d0 + 3
+                and toks[d0][0] in _NAME_KINDS
+                and toks[d0][1].upper() == "ARRAY"
+                and toks[d0 + 1][1] == "["
+                and toks[d0 + 2][0] == "number"
+                and toks[d0 + 3][1] == "]"
+            ):
+                edits.append(
+                    (start, toks[close][3],
+                     f"array_repeat(({_arg_text(spans[0])}), "
+                     f"{toks[d0 + 2][1]})")
+                )
+                return close + 1
+        raise TranspileError(
+            "postgres array_fill maps only for a literal 1-D "
+            "dimension ARRAY[n]; lower-bound/multi-dim forms have no "
+            "Spark analog"
+        )
+
+    if name == "array_positions":
+        # every 1-based index whose element IS NOT DISTINCT FROM the
+        # needle (pg matches NULL elements too); NULL array → NULL,
+        # no match → empty array — transform+filter reproduces all
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, x_ = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"filter(transform(({a_}), (_e, _i) -> "
+                 f"IF(_e <=> ({x_}), _i + 1, CAST(NULL AS INT))), "
+                 f"_p -> _p IS NOT NULL)")
+            )
+            return close + 1
+
+    if name == "trim_array":
+        # drop the last n elements; pg raises when n exceeds the
+        # length or is negative (slice's clamp only shows on
+        # pg-rejected inputs)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, n_ = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"slice(({a_}), 1, "
+                 f"greatest(cardinality(({a_})) - ({n_}), 0))")
+            )
+            return close + 1
+
+    if name == "regexp_match":
+        # first-match capture array: [group1] when the pattern has one
+        # capture group, [whole match] when none; NULL on no match.
+        # Two or more groups are loud: Spark regexp_extract renders a
+        # non-participating group as '' where pg yields a NULL element.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) in (2, 3)
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+        ):
+            pat = convert_posix_classes(
+                _literal_content(toks[spans[1][0]][1], read)
+            )
+            if len(spans) == 3:
+                if not (
+                    spans[2][0] == spans[2][1]
+                    and toks[spans[2][0]][0] == "string"
+                    and _literal_content(toks[spans[2][0]][1], read) == "i"
+                ):
+                    raise TranspileError(
+                        "postgres regexp_match flags other than 'i' "
+                        "have no Spark rewrite"
+                    )
+                pat = "(?i)" + pat
+            g = _count_capture_groups(pat)
+            if g > 1:
+                raise TranspileError(
+                    "postgres regexp_match with 2+ capture groups has "
+                    "no faithful Spark rewrite (non-participating "
+                    "groups render '' instead of pg's NULL); extract "
+                    "each group with substring(s from 'pat')"
+                )
+            s_ = _arg_text(spans[0])
+            lit = _spark_string_literal(pat, read)
+            edits.append(
+                (start, toks[close][3],
+                 f"IF(({s_}) RLIKE {lit}, "
+                 f"array(regexp_extract(({s_}), {lit}, {g})), NULL)")
+            )
+            return close + 1
+        raise TranspileError(
+            "postgres regexp_match needs a literal pattern to "
+            "transpile"
+        )
+
+    if name == "make_interval":
+        # pg keyword arguments (days => 2) — same positional order as
+        # Spark's make_interval, so rewrite named calls to positional
+        spans, close = _call_arg_spans(toks, i + 1)
+        named = {}
+        any_named = False
+        for sp in spans:
+            s0, s1 = sp
+            if (
+                s1 >= s0 + 2
+                and toks[s0][0] in _NAME_KINDS
+                and toks[s0 + 1][0] == "op"
+                and toks[s0 + 1][1] == "="
+                and toks[s0 + 2][0] == "op"
+                and toks[s0 + 2][1] == ">"
+            ):
+                any_named = True
+                key = toks[s0][1].lower()
+                if key not in _MAKE_INTERVAL_ARGS:
+                    raise TranspileError(
+                        f"make_interval has no argument {key!r}"
+                    )
+                named[key] = sql[toks[s0 + 3][2]: toks[s1][3]]
+            elif any_named:
+                raise TranspileError(
+                    "make_interval mixes positional and named "
+                    "arguments — name them all"
+                )
+        if any_named:
+            args = ", ".join(
+                named.get(k, "0") for k in _MAKE_INTERVAL_ARGS
+            )
+            edits.append(
+                (start, toks[close][3], f"make_interval({args})")
+            )
+            return close + 1
 
     return None

@@ -210,6 +210,20 @@ def call_handlers(ctx) -> "int | None":
         i = fend + 1
         return i
 
+    if name == "chr" and read in ("postgres", "duckdb") and first_pass:
+        # pg/duckdb chr(n) is the Unicode CODE POINT; Spark chr(n)
+        # wraps at 256 (chr(955) = '»', a silent wrong value). Java's
+        # %c formats the code point exactly, supplementary planes
+        # included (pinned live: format_string('%c', 128512) =
+        # pg chr(128512) = '😀').
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append(
+                (start, toks[close][3],
+                 f"format_string('%c', ({_arg_text(spans[0])}))")
+            )
+            return close + 1
+
     if name == "concat" and read in ("duckdb", "postgres") and first_pass:
         # duckdb/postgres concat casts every argument to text and
         # SKIPS NULLs (concat('a', NULL) = 'a', concat(NULL, NULL)
@@ -608,7 +622,10 @@ def call_handlers(ctx) -> "int | None":
             return i
 
     if (
-        name in ("json_extract_string", "json_extract_path_text")
+        name in (
+            "json_extract_string", "json_extract_path_text",
+            "jsonb_extract_path_text",
+        )
         and read in ("duckdb", "postgres")
         and first_pass
     ):

@@ -180,8 +180,15 @@ def _derive_pg_pattern() -> str:
     assert-on-derive rule as the other derived grammars."""
     pattern = _TOKEN_RE.pattern
     alts = [
+        # ||/ (cube root) must precede || in the alternation or the
+        # concat alternative swallows its first two chars; likewise
+        # |/ (square root) after ||
+        (r"<=|>=|\|\|",
+         r"<=|>=|\|\|/|\|\||\|/"),
+        # @-family: @> / <@ containment, unary @ abs; # XOR/jsonb paths
         (r"->|::|[(),.;*=<>+\-/%^&|\[\]{}?:!~]",
-         r"->|::|\#>>|\#>|\^@|[(),.;*=<>+\-/%^&|\[\]{}?:!~\#]"),
+         r"->|::|\#>>|\#>|\^@|@>|<@|"
+         r"[(),.;*=<>+\-/%^&|\[\]{}?:!~\#@]"),
         (r"(?P<string>'(?:[^']|'')*')",
          r"(?P<string>[eE]'(?:[^'\\]|\\.|'')*'|'(?:[^']|'')*')"),
     ]

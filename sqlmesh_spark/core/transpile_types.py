@@ -78,6 +78,25 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
         # to ONE char in pg — loud, not a silent identity.
         "char": None,
         "character": None,
+        # round 8: pg types Spark lacks. TIME would parse but is
+        # unsupported at analysis; money carries locale formatting;
+        # tsvector/tsquery/xml/network types have no analog. uuid's
+        # text form is identical lowercase-hex on both → STRING.
+        # interval as a CAST TARGET is loud here; the postgres token
+        # handler rewrites literal '...'::interval to an INTERVAL
+        # literal BEFORE this lookup runs.
+        "time": None,
+        "timetz": None,
+        "money": None,
+        "tsvector": None,
+        "tsquery": None,
+        "xml": None,
+        "inet": None,
+        "cidr": None,
+        "macaddr": None,
+        "macaddr8": None,
+        "interval": None,
+        "uuid": "STRING",
     },
     "duckdb": {
         # duckdb bare DECIMAL/NUMERIC is DECIMAL(18,3) by spec; Spark's
@@ -423,6 +442,18 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
                 else "TIMESTAMP_NTZ"
             )
             return [(toks[i + 1][2], toks[j + 2][3], mapped_tz)], j + 3 - i
+        if is_op(i + 2, "(") and read in ("postgres", "duckdb"):
+            # precision-parameterized TIMESTAMP(p)/TIME(p) WITHOUT a
+            # zone suffix: Spark timestamps are fixed microsecond
+            # precision and pg ROUNDS to p fractional digits (half-up)
+            # — no faithful cast; loud beats Spark's raw
+            # UNSUPPORTED_DATATYPE. (trino/oracle reads keep their
+            # pre-existing TIMESTAMP_NTZ mapping below.)
+            raise TranspileError(
+                f"{tname}(p) precision casts have no Spark form "
+                "(Spark timestamps are fixed micros; pg rounds to p "
+                "digits) — use date_trunc for truncation semantics"
+            )
     if (
         read == "mysql"
         and tname in ("signed", "unsigned")

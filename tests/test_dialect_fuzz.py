@@ -290,6 +290,13 @@ TEMPLATES += [
     "3.99::decimal::int",
 ]
 
+# chr is the Unicode CODE POINT in duckdb (and pg); Spark chr wraps at
+# 256 — rewritten to format_string('%c', n)
+TEMPLATES += [
+    "chr(955)", "chr(65)", "chr(128512)", "ascii(chr(955))",
+    "chr(65) || chr(955)",
+]
+
 # compositions across families
 TEMPLATES += [
     "substr('hello', 1 // 0, 3)",

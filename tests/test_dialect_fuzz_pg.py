@@ -448,6 +448,85 @@ TEMPLATES += [
     "make_interval(1, 2)::text",
 ]
 
+# round-8 function batch (encode/decode codecs, to_hex, function-style
+# casts, isfinite, get_byte, array helpers, regexp_match, named
+# make_interval) and operator batch (@> <@ containment, unary @ abs,
+# |/ sqrt, ||/ cbrt — pinned live: ARRAY[NULL] @> ARRAY[NULL] is
+# FALSE, NULL operand → NULL), plus literal-castee seams ('on'/'off'
+# booleans, '...'::interval, '{...}'::type[] array literals,
+# bytea::text hex rendering) and clause seams (OFFSET-then-LIMIT)
+TEMPLATES += [
+    "encode('abc'::bytea, 'hex')", "encode('ab'::bytea, 'base64')",
+    "decode('616263', 'hex') = 'abc'::bytea",
+    "decode('YWJj', 'base64') = 'abc'::bytea",
+    "to_hex(255)", "to_hex(4294967295)", "to_hex(0)",
+    "int4(2.7)", "int4(-2.7)", "int8(3.2)", "int2(1.5)",
+    "float8(1) = 1.0", "float4(2.5) = 2.5",
+    "isfinite(DATE '2024-01-01')", "isfinite(TIMESTAMP '2024-01-01 00:00:00')",
+    "get_byte('abc'::bytea, 0)", "get_byte('abc'::bytea, 2)",
+    "array_upper(ARRAY[1,2,3], 1)", "array_upper(ARRAY[]::int[], 1)",
+    "array_lower(ARRAY[1,2,3], 1)", "array_lower(ARRAY[]::int[], 1)",
+    "array_fill(7, ARRAY[3])", "array_fill('x'::text, ARRAY[2])",
+    "array_positions(ARRAY[1,2,1], 1)",
+    "array_positions(ARRAY[1,NULL,1], NULL)",
+    "array_positions(ARRAY[1,2], 9)",
+    "trim_array(ARRAY[1,2,3], 1)", "trim_array(ARRAY[1,2], 0)",
+    "regexp_match('ab12', '[0-9]+')", "regexp_match('ab', '[0-9]+') IS NULL",
+    "regexp_match('ab12cd', 'b([0-9]+)c')",
+    "regexp_match('AB12', '[a-z]+', 'i')",
+    # (equality against INTERVAL literals is a Spark type mismatch —
+    # make_interval returns Spark's CalendarIntervalType — so compare
+    # through timestamp arithmetic instead)
+    "(TIMESTAMP '2024-01-01 00:00:00' + make_interval(days => 2))::date::text",
+    "to_char(TIMESTAMP '2024-01-01 00:00:00' + make_interval(hours => 26), 'YYYY-MM-DD HH24:MI')",
+    "jsonb_extract_path_text('{\"a\":{\"b\":\"x\"}}'::jsonb, 'a', 'b')",
+    "jsonb_array_length('[1,2,3]'::jsonb)",
+    "ARRAY[1,2,3] @> ARRAY[2]", "ARRAY[1,2] @> ARRAY[]::int[]",
+    "ARRAY[1,NULL] @> ARRAY[1]", "ARRAY[1] @> ARRAY[1,1]",
+    "ARRAY[2] <@ ARRAY[1,2]", "ARRAY[3] <@ ARRAY[1,2]",
+    "(NULL::int[] @> ARRAY[1]) IS NULL",
+    "@ -5", "@ (3 - 10)", "|/ 25", "||/ 27", "2 + @ -3",
+    "'off'::boolean", "'on'::boolean", "'tr'::boolean", "'fal'::bool",
+    "'yes'::boolean", "'t'::boolean",
+    "'90 minutes'::interval = INTERVAL '1 hour 30 minutes'",
+    "(TIMESTAMP '2024-01-01 00:00:00' + '1 year'::interval)::date::text",
+    "'{1,2,3}'::int[]", "('{a,b}'::text[])[1]", "'{}'::int[]",
+    "'{1,NULL}'::bigint[]", "('{\"x y\",z}'::text[])[1]",
+    "'{true,false}'::boolean[]", "'{1.5,2.5}'::float8[]",
+    "'abc'::bytea::text", "''::bytea::text",
+    "(SELECT v FROM (VALUES (3),(1),(2)) t(v) ORDER BY v OFFSET 1 LIMIT 1)",
+]
+
+# second probe wave: bytea literal/rendering seams (hex input form,
+# binary-returning calls cast to text render pg's '\x<hex>'),
+# FROM-less substring, loud bit-strings/ORDINALITY/OPERATOR()/
+# timestamp(p)
+TEMPLATES += [
+    r"'\x6162'::bytea::text", r"'\x6162'::bytea = 'ab'::bytea",
+    "decode('YWJj', 'base64')::text", "decode('616263', 'hex')::text",
+    "encode(decode('616263', 'hex'), 'base64')",
+    "substring('hello' for 2)", "substring('hello' from 3)",
+    "substring('hello' from 2 for 3)",
+    "B'101'::int", "X'1F'::int",  # loud (bit strings)
+    "TIMESTAMP '2024-01-01 10:30:45.678'::timestamp(0)::text",  # loud
+    "ARRAY['a','b'] @> ARRAY['a']", "ARRAY['a'] <@ ARRAY['a','b']",
+    "'  off  '::boolean", "'{1 , 2}'::int[]",
+    "('{a b, c}'::text[])[1]",
+    "(SELECT count(*) FROM unnest(ARRAY[1,2]) WITH ORDINALITY u(v,o))",
+]
+
+# multibyte / encoding-sensitive (requires the UTF8 sandbox —
+# tools/pg_sandbox.sh initdb -E UTF8; under SQL_ASCII pg returns
+# bytes, not code points, and chr(>127) rejects)
+TEMPLATES += [
+    "ascii('λ')", "chr(955)", "chr(128512)", "length('λx')",
+    "reverse('λx')", "substr('aλb', 2, 1)", "strpos('aλb', 'λ')",
+    "chr(65) || chr(955)", "left('λλx', 2)", "octet_length('λ')",
+    # upper('straße') is deliberately ABSENT: non-ASCII case mapping
+    # is locale-dependent (glibc keeps ß; Spark's ICU full mapping
+    # gives SS) — pinned in test_pg_pinned_divergences
+]
+
 # compositions across families
 TEMPLATES += [
     "length(substr('hello', 0, 4)) % 3",
@@ -663,3 +742,10 @@ def test_pg_pinned_divergences(spark):
     )
     assert " IN" in sq6
     assert spark.sql(sq6).collect()[0][0] is False  # pinned: pg NULL
+    # Non-ASCII case mapping is LOCALE-dependent: glibc (pg's default
+    # provider) uppercases ß to itself; Spark's ICU full case mapping
+    # expands it to SS. Neither is wrong — pg with an ICU collation
+    # gives SS too — so the divergence is pinned, not rewritten.
+    assert _pg_values(["upper('straße')"])[0] == "STRAßE"
+    sq7 = transpile("SELECT upper('straße') AS v", "postgres")
+    assert spark.sql(sq7).collect()[0][0] == "STRASSE"  # pinned

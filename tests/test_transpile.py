@@ -3631,3 +3631,65 @@ def test_pg_array_agg_distinct_sorted():
     assert "array_sort" not in transpile(
         "SELECT array_agg(v) AS v FROM t", "postgres"
     )
+
+
+def test_pg_round8_function_batch():
+    """encode/decode codecs, to_hex, function-style casts, isfinite,
+    get_byte, array helpers, regexp_match, named make_interval —
+    round-8 pg call handlers (values pinned live in the fuzz suite)."""
+    t = lambda s: transpile(f"SELECT {s} AS v", "postgres")
+    assert t("encode(b, 'hex')") == "SELECT lower(hex((b))) AS v"
+    assert t("decode(s, 'base64')") == "SELECT unbase64((s)) AS v"
+    assert t("to_hex(255)") == "SELECT 'ff' AS v"
+    assert "round" in t("int4(x)") and "::INT" not in t("isfinite(x)")
+    assert t("isfinite(d)") == "SELECT IF((d) IS NULL, NULL, TRUE) AS v"
+    assert "array_repeat((7), 3)" in t("array_fill(7, ARRAY[3])")
+    assert "slice" in t("trim_array(a, 1)")
+    assert "filter(transform" in t("array_positions(a, 1)")
+    assert "nullif(size" in t("array_upper(a, 1)").replace(
+        "cardinality", "size")
+    assert "make_interval(0, 0, 0, 2, 0, 0, 0)" in \
+        t("make_interval(days => 2)")
+    with pytest.raises(TranspileError, match="32-bit"):
+        t("to_hex(x)")
+    with pytest.raises(TranspileError, match="escape"):
+        t("encode(b, 'escape')")
+    with pytest.raises(TranspileError, match="capture groups"):
+        t("regexp_match(s, '(a)(b)')")
+
+
+def test_pg_round8_operator_and_cast_batch():
+    """@>/<@ containment (strict equality, NULL-operand → NULL), unary
+    @/|// ||/ prefix ops, 'on'/'off' booleans, ::interval literals,
+    '{...}'::type[] array literals, bytea::text hex rendering,
+    OFFSET-LIMIT order swap, GROUPS frame loud."""
+    t = lambda s: transpile(f"SELECT {s} AS v", "postgres")
+    assert "array_contains" in t("ARRAY[1,2] @> ARRAY[2]")
+    assert "forall" in t("a <@ b FROM t".replace(" FROM t", ""))
+    assert t("@ -5") == "SELECT abs((-5)) AS v"
+    assert t("|/ 25") == "SELECT sqrt((25)) AS v"
+    assert t("||/ 27") == "SELECT cbrt((27)) AS v"
+    assert t("'off'::boolean") == "SELECT FALSE AS v"
+    assert t("'tr'::boolean") == "SELECT TRUE AS v"
+    assert t("'1 year'::interval") == "SELECT INTERVAL '12' MONTH AS v"
+    assert t("'90 minutes'::interval") == \
+        "SELECT INTERVAL '5400000000' MICROSECOND AS v"
+    assert t("'{1,2,3}'::int[]") == \
+        "SELECT CAST(array(1, 2, 3) AS ARRAY<INT>) AS v"
+    assert t("'{}'::int[]") == "SELECT CAST(array() AS ARRAY<INT>) AS v"
+    assert "lower(hex" in t("'abc'::bytea::text")
+    assert transpile(
+        "SELECT v FROM t OFFSET 1 LIMIT 2", "postgres"
+    ) == "SELECT v FROM t LIMIT 2 OFFSET 1"
+    with pytest.raises(TranspileError, match="mixing"):
+        t("'1 year 1 day'::interval")
+    with pytest.raises(TranspileError, match="GROUPS"):
+        transpile(
+            "SELECT sum(v) OVER (ORDER BY v GROUPS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW) FROM t", "postgres")
+    # a column named groups is NOT a frame
+    assert "GROUPS" not in transpile(
+        "SELECT groups BETWEEN 1 AND 2 FROM t", "postgres")
+    with pytest.raises(TranspileError):
+        t("x::time FROM t".replace(" FROM t", ""))
+    assert t("x::uuid") == "SELECT x::STRING AS v"
