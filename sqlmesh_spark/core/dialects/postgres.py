@@ -32,6 +32,7 @@ from sqlmesh_spark.core.transpile_text import (
     _spark_string_literal,
     convert_posix_classes,
 )
+from sqlmesh_spark.core.transpile_types import _float_typed_castee
 
 
 def token_handlers(ctx) -> "int | None":
@@ -1032,6 +1033,126 @@ def token_handlers(ctx) -> "int | None":
     # loud with guidance before a raw parse error (round 8)
     if read == "postgres" and kind == "ident":
         up_t = text.upper()
+        if first_pass and i + 1 < n and toks[i + 1][0] == "string":
+            # typed literals. TIMESTAMP 'lit' IGNORES a trailing zone
+            # offset in pg (it's the zone-less type) while Spark
+            # honors it — a silent instant shift; strip statically.
+            # TIMESTAMPTZ 'lit' → TIMESTAMP_LTZ 'lit' (both honor the
+            # offset). TIME literals are loud (no Spark TIME type).
+            # pg-only typed-literal spellings (float8 '1', int4 '2',
+            # bool 't', numeric '1.5'...) re-spell as '::' casts so
+            # the cast machinery applies its pg semantics.
+            if up_t == "TIMESTAMP":
+                content = _literal_content(toks[i + 1][1], read)
+                m_z = re.match(
+                    r"^(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(?::\d{2}"
+                    r"(?:\.\d+)?)?)\s*(?:[+-]\d{1,2}(?::\d{2}){0,2}"
+                    r"|[A-Za-z]{2,}(?:/[A-Za-z_]+)+|UTC|GMT|[A-Z]{3,4})$",
+                    content,
+                )
+                if m_z is not None:
+                    ls, le = toks[i + 1][2], toks[i + 1][3]
+                    if not any(e[1] >= ls and e[0] <= le for e in edits):
+                        edits.append(
+                            (ls, le,
+                             _spark_string_literal(m_z.group(1), read))
+                        )
+                    i += 2
+                    return i
+            elif up_t == "TIMESTAMPTZ":
+                edits.append((start, end, "TIMESTAMP_LTZ"))
+                i += 2
+                return i
+            elif up_t in ("TIME", "TIMETZ"):
+                raise TranspileError(
+                    "postgres TIME literals have no Spark type; store "
+                    "as STRING or seconds-since-midnight"
+                )
+            elif text.lower() in (
+                "int2", "int4", "int8", "float4", "float8", "real",
+                "bool", "boolean", "numeric", "decimal", "text",
+                "varchar", "bytea", "json", "jsonb", "uuid",
+                "smallint", "integer", "bigint",
+            ):
+                lit = toks[i + 1][1]
+                if not any(
+                    e[1] >= start and e[0] <= toks[i + 1][3]
+                    for e in edits
+                ):
+                    edits.append(
+                        (start, toks[i + 1][3],
+                         f"({lit}::{text.lower()})")
+                    )
+                    i += 2
+                    return i
+        if (
+            text.lower() == "unnest"
+            and first_pass
+            and is_op(i + 1, "(")
+        ):
+            # FROM unnest(arr) x — pg makes `x` BOTH the table and the
+            # single column alias; Spark's explode names the column
+            # `col`, so a bare alias needs the column list: x → x(x).
+            # Select-position unnest keeps its alias as-is (there it
+            # aliases the exploded column already).
+            depth_b = 0
+            in_from = False
+            for j in range(i - 1, -1, -1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ == ")":
+                    depth_b += 1
+                elif k_ == "op" and t_ == "(":
+                    depth_b -= 1
+                    if depth_b < 0:
+                        break
+                elif depth_b == 0 and k_ == "ident":
+                    u_ = t_.upper()
+                    if u_ in ("FROM", "JOIN", "LATERAL"):
+                        in_from = True
+                        break
+                    if u_ in ("SELECT", "WHERE", "ON", "GROUP",
+                              "HAVING", "ORDER"):
+                        break
+            if in_from:
+                close_u = _call_arg_spans(toks, i + 1)[1]
+                j = close_u + 1
+                if (
+                    j < n
+                    and toks[j][0] == "ident"
+                    and toks[j][1].upper() == "AS"
+                ):
+                    j += 1
+                if (
+                    j < n
+                    and toks[j][0] == "ident"
+                    and toks[j][1].upper() not in _NONCALLABLE_KEYWORDS
+                    and not is_op(j + 1, "(")
+                ):
+                    alias_t = toks[j][1]
+                    edits.append(
+                        (toks[j][3], toks[j][3], f"({alias_t})")
+                    )
+            # fall through: the rename map still maps unnest → explode
+
+        if up_t == "LOCALTIMESTAMP" and not is_op(i + 1, "("):
+            # pg niladic spelling; Spark needs the call parens
+            edits.append((start, end, "localtimestamp()"))
+            i += 1
+            return i
+        if (
+            up_t == "MATERIALIZED"
+            and i >= 1
+            and toks[i - 1][0] in _NAME_KINDS
+            and toks[i - 1][1].upper() in ("AS", "NOT")
+        ):
+            # WITH c AS [NOT] MATERIALIZED (...) — pg planner fence
+            # hints with no Spark spelling and no semantic effect
+            if toks[i - 1][1].upper() == "NOT":
+                edits.append((toks[i - 1][2], end, ""))
+            else:
+                edits.append((start, end, ""))
+            i += 1
+            return i
         if up_t == "ORDINALITY":
             raise TranspileError(
                 "UNNEST ... WITH ORDINALITY has no direct Spark "
@@ -1076,6 +1197,28 @@ def token_handlers(ctx) -> "int | None":
                 "frames are ROWS or RANGE only); re-express with a "
                 "RANGE frame or dense_rank buckets"
             )
+
+    # pg exponent literals are NUMERIC (exact, arbitrary precision);
+    # Spark types them DOUBLE — visible wherever the value is rendered
+    # ('1e10'::text is '10000000000' in pg but '1.0E10' in Spark) or
+    # precision matters. Expand statically to the plain decimal form.
+    if (
+        read == "postgres"
+        and kind == "number"
+        and first_pass
+        and ("e" in text.lower())
+        and not any(e[1] >= start and e[0] <= end for e in edits)
+    ):
+        try:
+            from decimal import Decimal
+
+            expanded = format(Decimal(text), "f")
+        except ArithmeticError:
+            expanded = None
+        if expanded is not None and len(expanded) <= 64:
+            edits.append((start, end, expanded))
+            i += 1
+            return i
 
     # Postgres jsonb MUTATION/EXISTENCE operators the text walker
     # cannot faithfully rewrite — loud with guidance (extraction has
@@ -1169,6 +1312,16 @@ def token_handlers(ctx) -> "int | None":
                     iv_typed = bool(idents) and all(
                         t[1].upper() == "INTERVAL" for t in idents
                     )
+                    if not iv_typed:
+                        # (TIMESTAMP 'a' - TIMESTAMP 'b') is also
+                        # interval-typed (pg renders '1 day 06:00:00')
+                        iv_typed = (
+                            len(idents) >= 2
+                            and all(t[1].upper() == "TIMESTAMP"
+                                    for t in idents)
+                            and any(t[0] == "op" and t[1] == "-"
+                                    for t in inner)
+                        )
                 elif (
                     lf is not None
                     and toks[lf][0] in _NAME_KINDS
@@ -1496,6 +1649,21 @@ def _pg_cast_seams(ctx) -> "int | None":
                 )
                 return i + 2
             return None
+
+    if tname in ("text", "varchar", "string", "bpchar") and i >= 1:
+        # float → text RENDERING diverges: Spark prints Java
+        # Double.toString ('1.0', '1.0E10') where pg prints the
+        # shortest exact form ('1', '10000000000') — every
+        # whole-number double differs. Loud for statically
+        # float-typed castees; float COLUMNS remain statically
+        # invisible (same residual as the bround() rounding seam).
+        lf_f = _backward_primary(toks, i - 1, include_unary=True)
+        if lf_f is not None and _float_typed_castee(toks, lf_f, i - 1):
+            raise TranspileError(
+                "float → text rendering differs (Spark '1.0'/'1.0E10' "
+                "vs pg '1'/'10000000000'); format explicitly with "
+                "format_string or round to a numeric first"
+            )
 
     if (
         tname in ("text", "varchar", "string", "bpchar")

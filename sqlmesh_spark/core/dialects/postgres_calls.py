@@ -484,6 +484,43 @@ def _pg_round8_calls(ctx) -> "int | None":
             "Spark analog"
         )
 
+    if name == "array_remove":
+        # pg array_remove matches NULL-safely (array_remove(a, NULL)
+        # DROPS the NULL elements); Spark's returns NULL for a NULL
+        # needle — filter with <=> reproduces pg exactly, NULL array
+        # in → NULL out included
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, x_ = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"filter(({a_}), _e -> NOT (_e <=> ({x_})))")
+            )
+            return close + 1
+
+    if name in ("arraycontains", "arraycontained", "arrayoverlap"):
+        # pg catalog-internal spellings of @> / <@ / && — same
+        # containment/overlap semantics (strict equality, NULL
+        # operand → NULL)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
+            if name == "arraycontained":
+                a_, b_ = b_, a_
+            if name == "arrayoverlap":
+                repl = (
+                    f"IF(({a_}) IS NULL OR ({b_}) IS NULL, NULL, "
+                    f"coalesce(arrays_overlap(({a_}), ({b_})), false))"
+                )
+            else:
+                repl = (
+                    f"IF(({a_}) IS NULL OR ({b_}) IS NULL, NULL, "
+                    f"forall(({b_}), _e -> "
+                    f"coalesce(array_contains(({a_}), _e), false)))"
+                )
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+
     if name == "array_positions":
         # every 1-based index whose element IS NOT DISTINCT FROM the
         # needle (pg matches NULL elements too); NULL array → NULL,

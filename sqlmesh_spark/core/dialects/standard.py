@@ -35,6 +35,7 @@ from sqlmesh_spark.core.transpile_text import (
     _spark_string_literal,
     _raw_body,
     _literal_content,
+    _pg_interval_parts,
     _regex_replacement_to_spark,
 )
 
@@ -225,11 +226,60 @@ def call_handlers(ctx) -> "int | None":
                     break
                 if up_ in ("WHERE", "GROUP", "HAVING", "ORDER", "ON"):
                     break  # predicate/clause: expression context
+        # EMPTY-RANGE guard: pg/duckdb generate_series(1, 0) is EMPTY
+        # (step defaults to +1), while Spark sequence(1, 0) AUTO-STEPS
+        # -1 and yields [1, 0] — a silent wrong row count. Guard with
+        # the step-sign bound check when the sign is statically known
+        # (2-arg = +1; literal numeric or INTERVAL-literal 3-arg); an
+        # unknowable step sign keeps the bare sequence (a sign/bound
+        # mismatch then RAISES in Spark — loud, never silent).
+        a_t, b_t = _arg_text(spans[0]), _arg_text(spans[1])
+        if len(spans) == 2:
+            seq = f"sequence(({a_t}), ({b_t}))"
+            empty = f"slice(sequence(({a_t}), ({a_t})), 1, 0)"
+            guard = f"({a_t}) <= ({b_t})"
+        else:
+            st_t = _arg_text(spans[2])
+            seq = f"sequence(({a_t}), ({b_t}), ({st_t}))"
+            empty = f"slice(sequence(({a_t}), ({a_t}), ({st_t})), 1, 0)"
+            s0, s1 = spans[2]
+            sign = None
+            if s0 == s1 and toks[s0][0] == "number":
+                sign = 1
+            elif (
+                s1 == s0 + 1
+                and toks[s0][0] == "op" and toks[s0][1] == "-"
+                and toks[s1][0] == "number"
+            ):
+                sign = -1
+            elif (
+                s1 == s0 + 1
+                and toks[s0][0] in _NAME_KINDS
+                and toks[s0][1].upper() == "INTERVAL"
+                and toks[s1][0] == "string"
+            ):
+                parts_iv = _pg_interval_parts(
+                    _literal_content(toks[s1][1], read)
+                )
+                if parts_iv is not None:
+                    tot = (
+                        parts_iv[0] * 2_592_000_000_000
+                        + parts_iv[1] * 86_400_000_000
+                        + parts_iv[2]
+                    )
+                    sign = 1 if tot > 0 else (-1 if tot < 0 else None)
+            guard = (
+                None if sign is None
+                else f"({a_t}) {'<=' if sign > 0 else '>='} ({b_t})"
+            )
+        body = (
+            seq if guard is None
+            else f"(CASE WHEN {guard} THEN {seq} ELSE {empty} END)"
+        )
         if ctx_kind == "table" or (read == "postgres" and ctx_kind == "select"):
-            edits.append((start, end, "explode(sequence"))
-            edits.append((toks[close][3], toks[close][3], ")"))
+            edits.append((start, toks[close][3], f"explode({body})"))
         elif read == "duckdb":
-            edits.append((start, end, "sequence"))  # duckdb: a LIST
+            edits.append((start, toks[close][3], body))  # duckdb: a LIST
         else:
             # pg generate_series nested inside an expression is a
             # set-returning function in a scalar slot — pre-PG10
@@ -839,24 +889,33 @@ def call_handlers(ctx) -> "int | None":
     if name in ("array_length", "list_length") and is_op(i + 1, "("):
         # Postgres array_length(arr, dim) is always 2-arg; Spark
         # size() takes one. dim=1 drops; any other dim is LOUD.
+        # Postgres returns NULL for an EMPTY array (duckdb
+        # list_length returns 0) — nullif on the pg read.
         spans, close = _call_arg_spans(toks, i + 1)
-        edits.append((start, end, "size"))
         if len(spans) == 2:
             d_first, d_last = spans[1]
-            if (
+            if not (
                 d_first == d_last
                 and toks[d_first][0] == "number"
                 and toks[d_first][1] == "1"
             ):
-                # drop ", 1" — from the end of arg 1 to end of arg 2
-                edits.append((toks[spans[0][1]][3], toks[d_last][3], ""))
-            else:
                 raise TranspileError(
                     "array_length with a dimension other than 1 has "
                     "no Spark equivalent (arrays are 1-D)"
                 )
+            if read == "postgres":
+                edits.append(
+                    (start, toks[close][3],
+                     f"nullif(size(({_arg_text(spans[0])})), 0)")
+                )
+                return close + 1
+            edits.append((start, end, "size"))
+            # drop ", 1" — from the end of arg 1 to end of arg 2
+            edits.append((toks[spans[0][1]][3], toks[d_last][3], ""))
         elif len(spans) > 2:
             raise TranspileError("array_length takes at most 2 args")
+        else:
+            edits.append((start, end, "size"))
         i += 1
         return i
 

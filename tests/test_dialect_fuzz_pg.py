@@ -527,6 +527,38 @@ TEMPLATES += [
     # gives SS) — pinned in test_pg_pinned_divergences
 ]
 
+# third probe wave: exponent literals (pg types them NUMERIC — the
+# static expansion keeps text forms exact), empty-range
+# generate_series (Spark sequence auto-steps -1 — guarded), pg
+# array_remove/array_length NULL edges, zone-suffixed TIMESTAMP
+# literals (pg IGNORES the suffix), typed-literal spellings,
+# MATERIALIZED CTE hints, unnest bare aliases, catalog containment
+# functions, localtimestamp
+TEMPLATES += [
+    "1e10::text", "1.5e-3::text", "1e10 = 10000000000", "2e-2 + 1",
+    "(SELECT count(*) FROM generate_series(1, 0) g(i))",
+    "(SELECT count(*) FROM generate_series(5, 1) g(i))",
+    "(SELECT sum(i) FROM generate_series(5, 1, -2) g(i))",
+    "(SELECT count(*) FROM generate_series(1, 5, -1) g(i))",
+    "(SELECT count(*) FROM generate_series(TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-01 00:00:00', INTERVAL '1 day') g)",
+    "array_remove(ARRAY[1,NULL,2], NULL)",
+    "array_remove(ARRAY[1,NULL,1], 1)",
+    "array_length(ARRAY[]::int[], 1)", "array_length(ARRAY[1,2], 1)",
+    "EXTRACT(EPOCH FROM TIMESTAMP '2024-01-01 00:00:00 +02')",
+    "TIMESTAMP '2024-01-01 00:00:00+02' = TIMESTAMP '2024-01-01 00:00:00'",
+    "TIMESTAMPTZ '2023-12-31 22:00:00+00' = TIMESTAMPTZ '2024-01-01 00:00:00+02'",
+    "float8 '-0' = 0", "int4 '42'", "bool 't'", "int8 '-7'",
+    "(WITH c AS MATERIALIZED (SELECT 2 v) SELECT v FROM c)",
+    "(WITH c AS NOT MATERIALIZED (SELECT 2 v) SELECT v FROM c)",
+    "(SELECT max(x) FROM unnest(ARRAY[3,1,2]) x)",
+    "(SELECT count(*) FROM unnest(ARRAY[3,1,2]) AS u(v) WHERE v > 1)",
+    "arraycontains(ARRAY[1,2], ARRAY[1])",
+    "arraycontained(ARRAY[1], ARRAY[1,2])",
+    "arrayoverlap(ARRAY[1,2], ARRAY[2,3])",
+    "arrayoverlap(ARRAY[1], ARRAY[2,NULL])",
+    "localtimestamp >= TIMESTAMP '2020-01-01 00:00:00'",
+]
+
 # compositions across families
 TEMPLATES += [
     "length(substr('hello', 0, 4)) % 3",
@@ -749,3 +781,25 @@ def test_pg_pinned_divergences(spark):
     assert _pg_values(["upper('straße')"])[0] == "STRAßE"
     sq7 = transpile("SELECT upper('straße') AS v", "postgres")
     assert spark.sql(sq7).collect()[0][0] == "STRASSE"  # pinned
+    # initcap word boundaries: pg capitalizes after ANY non-alnum
+    # ("o'neil-x" → "O'Neil-X"); Spark splits on whitespace only
+    # ("O'neil-x"). Statically unknowable for columns (same residual
+    # class as int-division) — pinned; whitespace-separated text
+    # matches exactly on both engines.
+    assert _pg_values(["initcap('o''neil ab')"])[0] == "O'Neil Ab"
+    sq8 = transpile("SELECT initcap('o''neil ab') AS v", "postgres")
+    assert spark.sql(sq8).collect()[0][0] == "O'neil Ab"  # pinned
+    # to_timestamp(text, fmt) returns TIMESTAMPTZ in pg, whose ::text
+    # rendering carries the session-zone offset ('...00+00'); Spark's
+    # zone-less text form drops it. The INSTANT is identical (every
+    # comparison/arithmetic template agrees); only the terminal text
+    # form differs — pinned (zone rendering is session-config, not
+    # value, state).
+    pg_tt = _pg_values(
+        ["to_timestamp('2024-02-29 10:30', 'YYYY-MM-DD HH24:MI')::text"]
+    )[0]
+    assert pg_tt.startswith("2024-02-29 10:30:00")
+    sq9 = transpile(
+        "SELECT to_timestamp('2024-02-29 10:30', "
+        "'YYYY-MM-DD HH24:MI')::text AS v", "postgres")
+    assert spark.sql(sq9).collect()[0][0] == "2024-02-29 10:30:00"

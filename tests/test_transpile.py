@@ -457,8 +457,10 @@ def test_pg_to_timestamp_format_converted(spark):
 
 
 def test_postgres_array_length_dim():
+    # pg array_length returns NULL for an EMPTY array (verified live);
+    # plain size() would give 0 — nullif on the pg read
     out = transpile("SELECT array_length(a, 1) FROM t", "postgres")
-    assert out == "SELECT size(a) FROM t"
+    assert out == "SELECT nullif(size((a)), 0) FROM t"
     with pytest.raises(TranspileError):
         transpile("SELECT array_length(a, 2) FROM t", "postgres")
     # duckdb 1-arg form still renames
@@ -3354,8 +3356,15 @@ def test_pg_distinct_on_and_series(spark):
         "SELECT sum(i) AS s FROM generate_series(1, 5) AS g(i)", "postgres"
     )
     assert spark.sql(out3).collect()[0].s == 15
-    assert transpile("SELECT generate_series(1, 3) AS g", "duckdb") \
-        == "SELECT sequence(1, 3) AS g"
+    # the empty-range guard: pg/duckdb generate_series(1, 0) is EMPTY
+    # (default step +1) while Spark sequence(1, 0) auto-steps -1
+    out4 = transpile("SELECT generate_series(1, 3) AS g", "duckdb")
+    assert "sequence((1), (3))" in out4 and "CASE WHEN (1) <= (3)" in out4
+    assert spark.sql(out4).collect()[0].g == [1, 2, 3]
+    out5 = transpile(
+        "SELECT count(*) AS c FROM generate_series(1, 0) g(i)", "postgres"
+    )
+    assert spark.sql(out5).collect()[0].c == 0
     with pytest.raises(TranspileError, match="expression"):
         transpile("SELECT abs(generate_series(1, 3)) FROM t", "postgres")
     assert transpile(
@@ -3693,3 +3702,39 @@ def test_pg_round8_operator_and_cast_batch():
     with pytest.raises(TranspileError):
         t("x::time FROM t".replace(" FROM t", ""))
     assert t("x::uuid") == "SELECT x::STRING AS v"
+
+
+def test_pg_round8_wave3_seams():
+    """Third probe wave: zone-suffixed TIMESTAMP literals (pg ignores
+    the suffix), TIMESTAMPTZ literals, exponent literals (pg NUMERIC),
+    typed-literal spellings, MATERIALIZED hints, array_remove
+    NULL-safety, localtimestamp, float→text / ts−ts→text louds,
+    unnest bare aliases."""
+    t = lambda s: transpile(f"SELECT {s} AS v", "postgres")
+    assert t("TIMESTAMP '2024-01-01 00:00:00+02'") == \
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' AS v"
+    assert t("TIMESTAMPTZ '2024-01-01 00:00:00+02'") == \
+        "SELECT TIMESTAMP_LTZ '2024-01-01 00:00:00+02' AS v"
+    assert t("1e10::text") == "SELECT 10000000000::STRING AS v"
+    assert t("1.5e-3") == "SELECT 0.0015 AS v"
+    assert t("float8 '-0' = 0") == "SELECT ('-0'::DOUBLE) = 0 AS v"
+    assert t("bool 't'") == "SELECT ('t'::BOOLEAN) AS v"
+    assert "filter" in t("array_remove(a, NULL)")
+    assert t("localtimestamp") == "SELECT localtimestamp() AS v"
+    assert transpile(
+        "WITH c AS MATERIALIZED (SELECT 2 v) SELECT v FROM c", "postgres"
+    ).startswith("WITH c AS  (SELECT")
+    assert transpile(
+        "SELECT * FROM unnest(a) x", "postgres"
+    ) == "SELECT * FROM explode(a) x(x)"
+    # select-position unnest keeps a plain alias
+    assert transpile(
+        "SELECT unnest(a) AS u FROM t", "postgres"
+    ) == "SELECT explode(a) AS u FROM t"
+    with pytest.raises(TranspileError, match="rendering"):
+        t("x::float8::text FROM t".replace(" FROM t", ""))
+    with pytest.raises(TranspileError, match="interval::text"):
+        t("(TIMESTAMP '2024-01-02 00:00:00' - "
+          "TIMESTAMP '2024-01-01 00:00:00')::text")
+    with pytest.raises(TranspileError, match="TIME literals"):
+        t("TIME '14:30:00'")

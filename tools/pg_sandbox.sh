@@ -10,13 +10,15 @@ PGV=${SPARK_GRAFT_PGHOST:-/tmp/pgv}
 id pguser >/dev/null 2>&1 || useradd -m pguser
 mkdir -p "$PGV" && chown pguser "$PGV"
 if [ ! -d "$PGV/data" ]; then
-  # UTF8, not the locale-default SQL_ASCII: real deployments are UTF8,
-  # and encoding changes observable semantics (ascii('λ') is the code
-  # point 955 under UTF8 but the first byte 206 under SQL_ASCII;
-  # chr(>127) rejects under SQL_ASCII) — the fuzz corpus pins the
-  # UTF8 behavior, which is also what Spark's UTF8 strings match.
+  # UTF8 + C.UTF-8, not the locale-default SQL_ASCII/C: real
+  # deployments are UTF8, and encoding/ctype change observable
+  # semantics (ascii('λ') is the code point 955 under UTF8 but the
+  # first byte 206 under SQL_ASCII; chr(>127) rejects under
+  # SQL_ASCII; lower('Å') only folds under a Unicode-aware ctype) —
+  # the fuzz corpus pins the UTF8 behavior, which is also what
+  # Spark's UTF8 strings match.
   su pguser -s /bin/sh -c \
-    "initdb -D '$PGV/data' -U postgres -A trust -E UTF8 --locale=C" \
+    "initdb -D '$PGV/data' -U postgres -A trust -E UTF8 --locale=C.UTF-8" \
     > "$PGV/init.log" 2>&1
 fi
 su pguser -s /bin/sh -c \
