@@ -60,6 +60,37 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # json_extract_string / ->> are the faithful text forms
         "json_extract": None,
         "json_extract_path": None,
+        # duckdb to_hex is UPPERCASE and 64-bit for negatives —
+        # exactly Spark's hex() (pg's lowercase 32-bit form is the
+        # postgres_calls handler)
+        "to_hex": "hex",
+        # round 8 (adversarial duckdb-module probes; handlers with
+        # restructuring live in core/dialects/duckdb_fns.py)
+        "list_max": "array_max",
+        "list_min": "array_min",
+        "array_reverse": "reverse",
+        "editdist3": "levenshtein",
+        "from_base64": "unbase64",
+        "to_base64": "base64",
+        "current_localtimestamp": "localtimestamp",
+        "get_current_timestamp": "current_timestamp",
+        "gen_random_uuid": "uuid",
+        "week": "weekofyear",           # both ISO week-of-year
+        "weekofyear": "weekofyear",
+        # no Spark analog — loud with the standard guidance
+        "greatest_common_divisor": None, "least_common_multiple": None,
+        "gamma": None, "lgamma": None, "even": None, "nextafter": None,
+        "signbit": None, "hamming": None, "mismatches": None,
+        "jaccard": None, "jaro_similarity": None,
+        "jaro_winkler_similarity": None, "damerau_levenshtein": None,
+        "nfc_normalize": None, "strip_accents": None, "bar": None,
+        "md5_number_lower": None, "md5_number_upper": None,
+        "md5_number": None, "mad": None, "list_grade_up": None,
+        "list_zip": None,               # field-name shape differs from
+                                        # Spark arrays_zip
+        "list_aggregate": None,         # dynamic aggregate dispatch
+        "format": None,                 # duckdb fmt '{}' syntax
+        "timezone_hour": None, "timezone_minute": None,
     },
     "postgres": {
         **_COMMON_FN,

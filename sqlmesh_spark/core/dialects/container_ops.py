@@ -56,7 +56,7 @@ def _row_constructor_lhs(toks, i: int):
         elif (
             prev[0] in _NAME_KINDS
             and prev[1].upper() not in _NONCALLABLE_KEYWORDS
-        ) or (prev[0] == "op" and prev[1] in (")", "]")):
+        ) or (prev[0] == "op" and prev[1] in (")", "]", "}")):
             return None
     spans, _close = _call_arg_spans(toks, l_open)
     if len(spans) < 2 and l_start_tok == l_open:
@@ -129,7 +129,7 @@ def token_handlers(ctx) -> "int | None":
             anchorable = prev is not None and (
                 (prev[0] in _NAME_KINDS
                  and prev[1].upper() not in _NONCALLABLE_KEYWORDS)
-                or (prev[0] == "op" and prev[1] in (")", "]"))
+                or (prev[0] == "op" and prev[1] in (")", "]", "}"))
             )
             if (
                 read not in ("duckdb", "postgres")
@@ -202,7 +202,7 @@ def token_handlers(ctx) -> "int | None":
                     prev[0] in _NAME_KINDS
                     and prev[1].upper() not in _NONCALLABLE_KEYWORDS
                 )
-                or (prev[0] == "op" and prev[1] in (")", "]"))
+                or (prev[0] == "op" and prev[1] in (")", "]", "}"))
             )
         )
         if not is_subscript:
@@ -296,6 +296,26 @@ def token_handlers(ctx) -> "int | None":
                     "element_at rewrite; use dot access for struct "
                     "fields or ->> for JSON keys"
                 )
+            if (
+                read == "duckdb"
+                and toks[j][0] in _NAME_KINDS
+                and toks[j][1].lower() in ("map", "map_from_arrays")
+            ):
+                # duckdb map[k] returns a LIST of matching values
+                # ([] when the key is absent), NOT the element —
+                # try_element_at would silently change the shape.
+                # Statically visible only when the base IS a map
+                # constructor call (column bases are untyped text).
+                base = sql[toks[j][2]: start]
+                key = sql[toks[i][3]: toks[close][2]]
+                edits.append(
+                    (toks[j][2], toks[close][3],
+                     f"IF(map_contains_key(({base}), ({key})), "
+                     f"array(element_at(({base}), ({key}))), "
+                     f"array())")
+                )
+                i = close + 1
+                return i
             edits.append((toks[j][2], toks[j][2], "try_element_at("))
             if read == "postgres":
                 edits.append((start, end, ", nullif(greatest("))
@@ -451,7 +471,7 @@ def token_handlers(ctx) -> "int | None":
             elif (
                 prev[0] in _NAME_KINDS
                 and prev[1].upper() not in _NONCALLABLE_KEYWORDS
-            ) or (prev[0] == "op" and prev[1] in (")", "]")):
+            ) or (prev[0] == "op" and prev[1] in (")", "]", "}")):
                 lhs_row = False  # call args / subscript, not a row
         if lhs_row:
             l_spans, l_close = _call_arg_spans(toks, l_open)

@@ -1,0 +1,516 @@
+"""DuckDB-specific call/token handlers (round 8, each found by
+adversarially probing the duckdb module — the parity oracle engine —
+with shapes outside the fuzz corpus; semantics pinned in
+tests/test_dialect_fuzz.py).
+
+call_handlers: map(keys, values) → map_from_arrays (Spark's map() is
+VARIADIC k1,v1,... — the 2-list call builds a one-entry map of lists,
+a silent wrong shape), try_cast string→int rounding, in-aggregate
+ORDER BY (drop for order-insensitive aggregates, min_by/max_by for
+first/last), struct_pack named args, list_* helpers, time_bucket (shared
+date_bin emission in standard.py), isinf/isfinite, xor, to_base, epoch_ns, regexp_full_match.
+token_handlers: {'k': v} struct literals and MAP {k: v} map literals.
+ref: the reference's example projects are duckdb-dialect models
+(sqlmesh/core/config, examples/sushi), making this the most-read
+dialect in practice."""
+
+from __future__ import annotations
+
+import re
+
+from sqlmesh_spark.core.transpile_shared import (
+    TranspileError,
+    _NAME_KINDS,
+    _call_arg_spans,
+)
+from sqlmesh_spark.core.transpile_text import (
+    _literal_content,
+    _spark_string_literal,
+    convert_posix_classes,
+)
+
+#: order-INSENSITIVE aggregates: an in-args ORDER BY changes nothing
+#: about the value — duckdb allows the clause on every aggregate,
+#: Spark's grammar rejects it, so it drops
+_ORDER_INSENSITIVE_AGGS = frozenset((
+    "sum", "avg", "count", "min", "max", "bool_and", "bool_or",
+    "bit_and", "bit_or", "bit_xor", "stddev", "stddev_pop",
+    "stddev_samp", "var_pop", "var_samp", "variance", "product",
+))
+
+_INT_TYPES = {
+    "tinyint": "TINYINT", "int1": "TINYINT",
+    "smallint": "SMALLINT", "int2": "SMALLINT",
+    "int": "INT", "int4": "INT", "integer": "INT", "signed": "BIGINT",
+    "bigint": "BIGINT", "int8": "BIGINT",
+}
+
+
+def _find_depth0_order(toks, s0: int, s1: int) -> "int | None":
+    """Index of a depth-0 ORDER (followed by BY) inside span s0..s1."""
+    depth = 0
+    for j in range(s0, s1 + 1):
+        k_, t_ = toks[j][0], toks[j][1]
+        if k_ == "op" and t_ in ("(", "["):
+            depth += 1
+        elif k_ == "op" and t_ in (")", "]"):
+            depth -= 1
+        elif (
+            depth == 0 and k_ in _NAME_KINDS and t_.upper() == "ORDER"
+            and j + 1 <= s1
+            and toks[j + 1][0] in _NAME_KINDS
+            and toks[j + 1][1].upper() == "BY"
+        ):
+            return j
+    return None
+
+
+def call_handlers(ctx) -> "int | None":
+    """DuckDB fidelity call handlers; every branch is duckdb-read-only
+    (dispatched behind a read gate in standard.call_handlers)."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read = ctx.sql, ctx.read
+    i, name = ctx.i, ctx.name
+    start = ctx.start
+    _arg_text = ctx.arg_text
+    first_pass = ctx.first_pass
+    n = len(toks)
+    _unused = (read, n)
+
+    if name == "map":
+        # duckdb map(keys_list, values_list); Spark map() is variadic
+        # (k1, v1, ...) — the 2-list call would build a ONE-entry map
+        # of list→list, silently wrong for every lookup
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            edits.append(
+                (start, toks[close][3],
+                 f"map_from_arrays(({_arg_text(spans[0])}), "
+                 f"({_arg_text(spans[1])}))")
+            )
+            return close + 1
+
+    if name == "try_cast" and first_pass:
+        # first-pass only: the coalesce emission itself contains
+        # try_cast calls that must not recurse
+        # duckdb try_cast('3.9' AS INT) parses the numeric then ROUNDS
+        # (half-away: '2.5'→3, '-2.5'→-3); Spark's returns NULL for
+        # any non-integral string. Two branches: the direct cast keeps
+        # big integers exact, the DOUBLE round-trip catches decimal
+        # strings; garbage is NULL through both.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            s0, s1 = spans[0]
+            as_idx = None
+            depth = 0
+            for j in range(s0, s1 + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ in ("(", "["):
+                    depth += 1
+                elif k_ == "op" and t_ in (")", "]"):
+                    depth -= 1
+                elif depth == 0 and k_ in _NAME_KINDS and t_.upper() == "AS":
+                    as_idx = j
+            if (
+                as_idx is not None
+                and as_idx + 1 == s1
+                and toks[s1][0] in _NAME_KINDS
+                and toks[s1][1].lower() in _INT_TYPES
+            ):
+                x_ = sql[toks[s0][2]: toks[as_idx][2]].rstrip()
+                if "try_cast" in x_.lower():
+                    # our own emission on a re-read (or a user-nested
+                    # try_cast, whose inner result is already
+                    # integral) — no rounding is lost by skipping
+                    return None
+                t_spark = _INT_TYPES[toks[s1][1].lower()]
+                # DECIMAL(38,9), not DOUBLE: exact for every int64
+                # (a DOUBLE round-trip would corrupt
+                # 9007199254740993) while still parsing and rounding
+                # fractional strings; Spark round() on decimals is
+                # half-away like duckdb ('-2.5' -> -3)
+                edits.append(
+                    (start, toks[close][3],
+                     f"try_cast(round(try_cast(({x_}) AS "
+                     f"DECIMAL(38,9))) AS {t_spark})")
+                )
+                return close + 1
+
+    if name in _ORDER_INSENSITIVE_AGGS or name in (
+        "first", "last", "arbitrary", "any_value",
+    ):
+        # duckdb allows ORDER BY inside EVERY aggregate call; Spark's
+        # grammar rejects it. Order-insensitive aggregates drop the
+        # clause; first/last with a single sort key become
+        # min_by/max_by (DESC swaps); multi-key sorts are loud.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if spans:
+            # a multi-key ORDER BY's comma splits the clause across
+            # argument spans — the ORDER BY owns everything from its
+            # keyword to the closing paren
+            ob = _find_depth0_order(toks, spans[0][0], spans[0][1])
+            if ob is not None:
+                multi_key = len(spans) > 1
+                if name in _ORDER_INSENSITIVE_AGGS:
+                    edits.append(
+                        (toks[ob - 1][3] if ob > spans[0][0]
+                         else toks[ob][2],
+                         toks[spans[-1][1]][3], "")
+                    )
+                    return close + 1
+                if multi_key:
+                    raise TranspileError(
+                        f"duckdb {name}(x ORDER BY multiple keys) has "
+                        "no single min_by/max_by rewrite; sort with a "
+                        "struct key"
+                    )
+                key_first = ob + 2
+                key_last = spans[0][1]
+                desc = False
+                if (
+                    toks[key_last][0] in _NAME_KINDS
+                    and toks[key_last][1].upper() in ("ASC", "DESC")
+                ):
+                    desc = toks[key_last][1].upper() == "DESC"
+                    key_last -= 1
+                key_text = sql[toks[key_first][2]: toks[key_last][3]]
+                if "," in key_text:
+                    raise TranspileError(
+                        f"duckdb {name}(x ORDER BY multiple keys) has "
+                        "no single min_by/max_by rewrite; sort with a "
+                        "struct key"
+                    )
+                val_text = sql[toks[spans[0][0]][2]: toks[ob][2]].rstrip()
+                fn = ("max_by" if (name == "last") != desc else "min_by")
+                edits.append(
+                    (start, toks[close][3],
+                     f"{fn}(({val_text}), ({key_text}))")
+                )
+                return close + 1
+
+    if name == "struct_pack":
+        # struct_pack(a := 1, b := 'x') → named_struct('a', 1, ...)
+        spans, close = _call_arg_spans(toks, i + 1)
+        parts = []
+        for s0, s1 in spans:
+            if not (
+                s1 >= s0 + 3
+                and toks[s0][0] in _NAME_KINDS
+                and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == ":"
+                and toks[s0 + 2][0] == "op" and toks[s0 + 2][1] == "="
+            ):
+                raise TranspileError(
+                    "struct_pack takes name := value arguments"
+                )
+            key = toks[s0][1]
+            val = sql[toks[s0 + 3][2]: toks[s1][3]]
+            parts.append(f"{_spark_string_literal(key, 'duckdb')}, ({val})")
+        edits.append(
+            (start, toks[close][3],
+             f"named_struct({', '.join(parts)})")
+        )
+        return close + 1
+
+    if name == "struct_extract":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+        ):
+            key = _literal_content(toks[spans[1][0]][1], "duckdb")
+            if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", key):
+                raise TranspileError(
+                    "struct_extract keys that aren't plain identifiers "
+                    "have no Spark dot-access spelling"
+                )
+            edits.append(
+                (start, toks[close][3],
+                 f"(({_arg_text(spans[0])}).{key})")
+            )
+            return close + 1
+
+    if name in ("isinf", "isfinite"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            if name == "isinf":
+                repl = (
+                    f"(abs(CAST(({x_}) AS DOUBLE)) = "
+                    f"CAST('Infinity' AS DOUBLE))"
+                )
+            else:
+                repl = (
+                    f"(CASE WHEN ({x_}) IS NULL THEN NULL ELSE "
+                    f"NOT (isnan(CAST(({x_}) AS DOUBLE)) OR "
+                    f"abs(CAST(({x_}) AS DOUBLE)) = "
+                    f"CAST('Infinity' AS DOUBLE)) END)"
+                )
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+
+    if name == "xor":
+        # single-evaluation and/or/not composition (emitting Spark's
+        # `^` would be re-read as duckdb POWER on the next pass)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"element_at(transform(array(struct(({a_}) AS _x, "
+                 f"({b_}) AS _y)), _t -> (_t._x | _t._y) & "
+                 f"~ (_t._x & _t._y)), 1)")
+            )
+            return close + 1
+
+    if name == "to_base":
+        # to_base(x, radix[, min_length]) — UPPERCASE digits, exactly
+        # Spark's conv(x, 10, radix); min_length zero-pads
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) in (2, 3):
+            x_, r_ = _arg_text(spans[0]), _arg_text(spans[1])
+            repl = f"conv(({x_}), 10, ({r_}))"
+            if len(spans) == 3:
+                repl = f"lpad({repl}, ({_arg_text(spans[2])}), '0')"
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+
+    if name == "epoch_ns":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append(
+                (start, toks[close][3],
+                 f"(unix_micros(CAST(({_arg_text(spans[0])}) AS "
+                 f"TIMESTAMP)) * 1000)")
+            )
+            return close + 1
+
+    if name == "yearweek":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = f"({_arg_text(spans[0])})"
+            edits.append(
+                (start, toks[close][3],
+                 f"CAST(extract(YEAROFWEEK FROM {x_}) * 100 + "
+                 f"weekofyear({x_}) AS BIGINT)")
+            )
+            return close + 1
+
+    if name == "regexp_full_match":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+        ):
+            pat = convert_posix_classes(
+                _literal_content(toks[spans[1][0]][1], "duckdb")
+            )
+            lit = _spark_string_literal(f"^(?:{pat})$", "duckdb")
+            edits.append(
+                (start, toks[close][3],
+                 f"(({_arg_text(spans[0])}) RLIKE {lit})")
+            )
+            return close + 1
+        raise TranspileError(
+            "regexp_full_match needs a literal pattern to transpile"
+        )
+
+    if name in ("add", "subtract", "multiply"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            op = {"add": "+", "subtract": "-", "multiply": "*"}[name]
+            edits.append(
+                (start, toks[close][3],
+                 f"(({_arg_text(spans[0])}) {op} "
+                 f"({_arg_text(spans[1])}))")
+            )
+            return close + 1
+
+    if name == "list_reverse_sort":
+        # descending, NULLs LAST (pinned: [1,3,NULL,2] → [3,2,1,NULL])
+        # — exactly Spark sort_array(x, false)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append(
+                (start, toks[close][3],
+                 f"sort_array(({_arg_text(spans[0])}), false)")
+            )
+            return close + 1
+
+    if name == "list_unique":
+        # COUNT of distinct non-NULL elements (pinned: [1,2,2,NULL]→2)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append(
+                (start, toks[close][3],
+                 f"size(array_distinct(filter(({_arg_text(spans[0])}), "
+                 f"_ld -> _ld IS NOT NULL)))")  # _ld: the shared
+                # array_distinct NULL-drop marker — re-reads skip it
+            )
+            return close + 1
+
+    if name == "list_any_value":
+        # first non-NULL element
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append(
+                (start, toks[close][3],
+                 f"try_element_at(filter(({_arg_text(spans[0])}), "
+                 f"_e -> _e IS NOT NULL), 1)")
+            )
+            return close + 1
+
+    if name in ("array_pop_back", "array_pop_front", "list_pop_back",
+                "list_pop_front"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            a_ = _arg_text(spans[0])
+            b = "1" if name.endswith("back") else "2"
+            edits.append(
+                (start, toks[close][3],
+                 f"slice(({a_}), {b}, "
+                 f"greatest(cardinality(({a_})) - 1, 0))")
+            )
+            return close + 1
+
+    if name == "list_slice":
+        # 1-based INCLUSIVE bounds, negatives from the end, clamping.
+        # Literal same-sign bounds rewrite (length = e - b + 1 and
+        # Spark slice clamps + shares the negative-start meaning);
+        # mixed-sign or dynamic bounds have no one-expression rewrite.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 3:
+            def _lit_int(sp):
+                s0, s1 = sp
+                if s0 == s1 and toks[s0][0] == "number":
+                    return int(toks[s0][1])
+                if (
+                    s1 == s0 + 1
+                    and toks[s0][0] == "op" and toks[s0][1] == "-"
+                    and toks[s1][0] == "number"
+                ):
+                    return -int(toks[s1][1])
+                return None
+            b = _lit_int(spans[1])
+            e = _lit_int(spans[2])
+            if (
+                b is not None and e is not None
+                and b != 0
+                and (b > 0) == (e > 0)
+            ):
+                length = max(e - b + 1, 0)
+                edits.append(
+                    (start, toks[close][3],
+                     f"slice(({_arg_text(spans[0])}), {b}, {length})")
+                )
+                return close + 1
+            raise TranspileError(
+                "list_slice maps only for literal same-sign bounds; "
+                "mixed-sign or dynamic bounds have no Spark slice() "
+                "rewrite"
+            )
+
+    return None
+
+
+def token_handlers(ctx) -> "int | None":
+    """DuckDB struct/map literal syntax: {'k': v, ...} → named_struct,
+    MAP {k: v, ...} → map(k, v, ...). The outermost braces rewrite per
+    pass; nested literals inside the copied value text convert on the
+    next fixpoint pass."""
+    toks, edits = ctx.toks, ctx.edits
+    sql = ctx.sql
+    i, kind, text = ctx.i, ctx.kind, ctx.text
+    start = ctx.start
+    n = len(toks)
+
+    if kind == "op" and text == "{":
+        depth = 0
+        close_b = None
+        for j in range(i, n):
+            if toks[j][0] == "op" and toks[j][1] == "{":
+                depth += 1
+            elif toks[j][0] == "op" and toks[j][1] == "}":
+                depth -= 1
+                if depth == 0:
+                    close_b = j
+                    break
+        if close_b is None:
+            raise TranspileError("unbalanced { in duckdb struct literal")
+        is_map = (
+            i >= 1
+            and toks[i - 1][0] in _NAME_KINDS
+            and toks[i - 1][1].upper() == "MAP"
+        )
+        # split top-level entries on commas; each entry is key : value
+        entries = []
+        depth = 0
+        entry_start = i + 1
+        for j in range(i + 1, close_b + 1):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ in ("(", "[", "{"):
+                depth += 1
+            elif k_ == "op" and t_ in (")", "]"):
+                depth -= 1
+            elif k_ == "op" and t_ == "}" and j != close_b:
+                depth -= 1
+            elif depth == 0 and k_ == "op" and t_ in (",",) or j == close_b:
+                if j > entry_start:
+                    entries.append((entry_start, j - 1))
+                entry_start = j + 1
+        parts = []
+        for s0, s1 in entries:
+            colon = None
+            depth = 0
+            for j in range(s0, s1 + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ in ("(", "[", "{"):
+                    depth += 1
+                elif k_ == "op" and t_ in (")", "]", "}"):
+                    depth -= 1
+                elif depth == 0 and k_ == "op" and t_ == ":":
+                    colon = j
+                    break
+            if colon is None or colon == s0 or colon == s1:
+                raise TranspileError(
+                    "duckdb struct/map literal entries need key: value"
+                )
+            key_toks = toks[s0:colon]
+            val = sql[toks[colon + 1][2]: toks[s1][3]]
+            if is_map:
+                key = sql[toks[s0][2]: toks[colon][2]].rstrip()
+                parts.append((f"({key})", f"({val})"))
+            else:
+                if not (
+                    len(key_toks) == 1
+                    and key_toks[0][0] in ("string", "ident", "qident")
+                ):
+                    raise TranspileError(
+                        "duckdb struct literal keys must be single "
+                        "names or strings"
+                    )
+                kt = key_toks[0]
+                key = (
+                    _literal_content(kt[1], "duckdb")
+                    if kt[0] == "string" else kt[1]
+                )
+                parts.append(
+                    f"{_spark_string_literal(key, 'duckdb')}, ({val})"
+                )
+        ls = toks[i - 1][2] if is_map else start
+        if is_map:
+            # map_from_arrays, NOT a variadic map(...) call: a
+            # one-entry literal would otherwise collide with the
+            # duckdb map(keys, values) 2-list rewrite above
+            ks = ", ".join(k for k, _ in parts)
+            vs = ", ".join(v for _, v in parts)
+            repl = f"map_from_arrays(array({ks}), array({vs}))"
+        else:
+            repl = f"named_struct({', '.join(parts)})"
+        if not any(e[1] >= ls and e[0] <= toks[close_b][3] for e in edits):
+            edits.append((ls, toks[close_b][3], repl))
+            return close_b + 1
+        return None
+
+    return None

@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 from sqlmesh_spark.core.dialects import standard_edges as _edges
+from sqlmesh_spark.core.dialects import duckdb_fns as _duckfns
 from sqlmesh_spark.core.dialects import postgres_calls as _postgres
 from sqlmesh_spark.core.transpile_types import (
     _PARAM_TYPES,
@@ -191,7 +192,10 @@ def call_handlers(ctx) -> "int | None":
         return i
 
     if (
-        name == "generate_series"
+        (
+            name == "generate_series"
+            or (name == "range" and read == "duckdb")
+        )
         and read in ("postgres", "duckdb")
         and first_pass
     ):
@@ -202,9 +206,13 @@ def call_handlers(ctx) -> "int | None":
         # array into rows (valid in both select-list and FROM-clause
         # positions, `FROM explode(sequence(..)) AS t(i)` included).
         spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) not in (2, 3):
+        is_range = name == "range"
+        if is_range and len(spans) == 1:
+            # duckdb range(n) = 0 .. n-1
+            spans = [None, spans[0]]
+        elif len(spans) not in (2, 3):
             raise TranspileError(
-                "generate_series takes (start, stop[, step])"
+                f"{name} takes (start, stop[, step])"
             )
         ctx_kind = "expr"  # inside a call/paren unless a clause says else
         depth_b = 0
@@ -233,15 +241,24 @@ def call_handlers(ctx) -> "int | None":
         # (2-arg = +1; literal numeric or INTERVAL-literal 3-arg); an
         # unknowable step sign keeps the bare sequence (a sign/bound
         # mismatch then RAISES in Spark — loud, never silent).
-        a_t, b_t = _arg_text(spans[0]), _arg_text(spans[1])
+        a_t = "0" if spans[0] is None else _arg_text(spans[0])
+        b_t = _arg_text(spans[1])
+        if is_range:
+            # duckdb range is end-EXCLUSIVE (range(1, 4) = [1, 2, 3],
+            # range(1, 0) = []); Spark sequence is inclusive — shift
+            # the stop toward the start by one step-sign
+            pass
         if len(spans) == 2:
-            seq = f"sequence(({a_t}), ({b_t}))"
-            empty = f"slice(sequence(({a_t}), ({a_t})), 1, 0)"
-            guard = f"({a_t}) <= ({b_t})"
+            if is_range:
+                seq = f"sequence(({a_t}), ({b_t}) - 1)"
+                empty = f"slice(sequence(({a_t}), ({a_t})), 1, 0)"
+                guard = f"({a_t}) <= ({b_t}) - 1"
+            else:
+                seq = f"sequence(({a_t}), ({b_t}))"
+                empty = f"slice(sequence(({a_t}), ({a_t})), 1, 0)"
+                guard = f"({a_t}) <= ({b_t})"
         else:
             st_t = _arg_text(spans[2])
-            seq = f"sequence(({a_t}), ({b_t}), ({st_t}))"
-            empty = f"slice(sequence(({a_t}), ({a_t}), ({st_t})), 1, 0)"
             s0, s1 = spans[2]
             sign = None
             if s0 == s1 and toks[s0][0] == "number":
@@ -268,9 +285,20 @@ def call_handlers(ctx) -> "int | None":
                         + parts_iv[2]
                     )
                     sign = 1 if tot > 0 else (-1 if tot < 0 else None)
+            b_adj = b_t
+            if is_range:
+                if sign is None:
+                    raise TranspileError(
+                        "duckdb range(start, stop, step) needs a "
+                        "statically signed step (its stop is "
+                        "EXCLUSIVE; Spark sequence is inclusive)"
+                    )
+                b_adj = f"({b_t}) {'-' if sign > 0 else '+'} 1"
+            seq = f"sequence(({a_t}), ({b_adj}), ({st_t}))"
+            empty = f"slice(sequence(({a_t}), ({a_t}), ({st_t})), 1, 0)"
             guard = (
                 None if sign is None
-                else f"({a_t}) {'<=' if sign > 0 else '>='} ({b_t})"
+                else f"({a_t}) {'<=' if sign > 0 else '>='} ({b_adj})"
             )
         body = (
             seq if guard is None
@@ -320,66 +348,48 @@ def call_handlers(ctx) -> "int | None":
                          _spark_string_literal(conv_px, read))
                     )
 
-    if name == "date_bin" and read == "postgres" and first_pass:
-        # date_bin(stride, source, origin): origin-aligned tumbling
-        # window (PG 14). Spark has no date_bin; for a fixed-width
-        # INTERVAL-literal stride the bin start is
-        # origin + floor((ts - origin)/stride)*stride, computed over
-        # epoch-second DOUBLEs (casts are exact to the microsecond) —
-        # source and origin bound once via the struct-transform
-        # pattern. Month/year strides are loud (pg itself rejects
-        # them); sub-second strides are loud (epoch math here is
-        # second-granular).
+    if (
+        name in ("date_bin", "time_bucket")
+        and read in ("postgres", "duckdb")
+        and first_pass
+    ):
+        # date_bin(stride, source, origin) (PG 14) and duckdb's
+        # time_bucket(stride, source[, origin]) — origin-aligned
+        # tumbling windows; time_bucket's default origin is
+        # 2000-01-03 00:00:00 (a Monday, so week buckets align to
+        # Mondays — pinned against the duckdb module). The shared
+        # emission is in _date_bin_emit; an INTERVAL third
+        # time_bucket arg is duckdb's OFFSET variant — loud.
         spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) != 3:
-            raise TranspileError("date_bin takes (stride, source, origin)")
-        stride_text = sql[toks[spans[0][0]][2]: toks[spans[0][1]][3]]
-        m = re.match(r"(?is)^\s*INTERVAL\s+'([^']*)'\s*$", stride_text)
-        if not m:
-            raise TranspileError(
-                "date_bin stride must be an INTERVAL literal to "
-                "transpile"
-            )
-        total = 0.0
-        body = m.group(1).strip()
-        if "-" in body:
-            raise TranspileError(
-                "date_bin stride must be positive (pg rejects zero or "
-                "negative strides)"
-            )
-        # explicit unit table — no suffix-stripping: 'ms' would
-        # collapse to the minute key and 's' to the empty string
-        _BIN_UNITS = {
-            "week": 604800, "weeks": 604800, "w": 604800,
-            "day": 86400, "days": 86400, "d": 86400,
-            "hour": 3600, "hours": 3600, "hr": 3600, "hrs": 3600,
-            "h": 3600,
-            "minute": 60, "minutes": 60, "min": 60, "mins": 60, "m": 60,
-            "second": 1, "seconds": 1, "sec": 1, "secs": 1, "s": 1,
-        }
-        for num, unit in re.findall(r"([\d.]+)\s*([a-zA-Z]+)", body):
-            mult = _BIN_UNITS.get(unit.lower())
-            if mult is None:
+        if name == "date_bin":
+            if len(spans) != 3:
                 raise TranspileError(
-                    f"date_bin stride unit {unit!r} has no fixed "
-                    "whole-second width (pg rejects month/year strides; "
-                    "sub-second strides have no Spark rewrite here)"
+                    "date_bin takes (stride, source, origin)"
                 )
-            total += float(num) * mult
-        if total <= 0 or total != int(total):
-            raise TranspileError(
-                "date_bin stride must be a positive whole number of "
-                "seconds to transpile"
-            )
-        s_ = int(total)
-        src_ = _arg_text(spans[1])
-        org_ = _arg_text(spans[2])
+            org_ = _arg_text(spans[2])
+        else:
+            if len(spans) not in (2, 3):
+                raise TranspileError(
+                    "time_bucket takes (stride, source[, origin])"
+                )
+            if len(spans) == 3:
+                b0 = spans[2][0]
+                if (
+                    toks[b0][0] in _NAME_KINDS
+                    and toks[b0][1].upper() == "INTERVAL"
+                ):
+                    raise TranspileError(
+                        "duckdb time_bucket(..., offset INTERVAL) has "
+                        "no Spark rewrite; use an explicit origin "
+                        "timestamp instead"
+                    )
+                org_ = _arg_text(spans[2])
+            else:
+                org_ = "TIMESTAMP '2000-01-03 00:00:00'"
+        stride_text = sql[toks[spans[0][0]][2]: toks[spans[0][1]][3]]
         edits.append(
             (start, toks[close][3],
-             f"element_at(transform(array(struct(({src_}) AS _ts, "
-             f"({org_}) AS _og)), _t -> _t._og + make_dt_interval(0, 0, "
-             f"0, FLOOR((CAST(_t._ts AS DOUBLE) - CAST(_t._og AS "
-             f"DOUBLE)) / {s_}) * {s_})), 1)")
+             _date_bin_emit(name, stride_text, _arg_text(spans[1]), org_))
         )
         return close + 1
 
@@ -388,13 +398,22 @@ def call_handlers(ctx) -> "int | None":
     # (core/dialects/standard_edges.py) — moved verbatim in round 8;
     # dispatched here, at the positions the sections occupied, so
     # handler order is unchanged.
-    if read == "postgres":
+    if read in ("postgres", "duckdb"):
+        # duckdb included: the string_agg in-args ORDER BY handler
+        # inside serves BOTH reads (the round-8 split's postgres-only
+        # gate silently skipped the duckdb WITHIN GROUP move — a
+        # parse-error regression caught by the duck probe); every
+        # handler in the module carries its own read gate.
         nxt = _postgres.call_handlers(ctx)
         if nxt is not None:
             return nxt
     nxt = _edges.call_handlers(ctx)
     if nxt is not None:
         return nxt
+    if read == "duckdb":
+        nxt = _duckfns.call_handlers(ctx)
+        if nxt is not None:
+            return nxt
 
     if name in ("quantile_disc", "quantile") and read == "duckdb" and first_pass:
         # lower-discrete quantile — Spark's percentile_disc is WITHIN
@@ -1002,3 +1021,57 @@ def call_handlers(ctx) -> "int | None":
         return i
 
     return None
+
+
+def _date_bin_emit(name: str, stride_text: str, src_: str, org_: str) -> str:
+    """Origin-aligned tumbling-window emission shared by pg date_bin
+    and duckdb time_bucket: Spark has no date_bin; for a fixed-width
+    INTERVAL-literal stride the bin start is
+    origin + floor((ts - origin)/stride)*stride, computed over
+    epoch-second DOUBLEs (casts are exact to the microsecond) — source
+    and origin bound once via the struct-transform pattern. Month/year
+    strides are loud (pg itself rejects them); sub-second strides are
+    loud (epoch math here is second-granular)."""
+    m = re.match(r"(?is)^\s*INTERVAL\s+'([^']*)'\s*$", stride_text)
+    if not m:
+        raise TranspileError(
+            f"{name} stride must be an INTERVAL literal to transpile"
+        )
+    total = 0.0
+    body = m.group(1).strip()
+    if "-" in body:
+        raise TranspileError(
+            f"{name} stride must be positive (zero or negative "
+            "strides are rejected)"
+        )
+    # explicit unit table — no suffix-stripping: 'ms' would collapse
+    # to the minute key and 's' to the empty string
+    _BIN_UNITS = {
+        "week": 604800, "weeks": 604800, "w": 604800,
+        "day": 86400, "days": 86400, "d": 86400,
+        "hour": 3600, "hours": 3600, "hr": 3600, "hrs": 3600,
+        "h": 3600,
+        "minute": 60, "minutes": 60, "min": 60, "mins": 60, "m": 60,
+        "second": 1, "seconds": 1, "sec": 1, "secs": 1, "s": 1,
+    }
+    for num, unit in re.findall(r"([\d.]+)\s*([a-zA-Z]+)", body):
+        mult = _BIN_UNITS.get(unit.lower())
+        if mult is None:
+            raise TranspileError(
+                f"{name} stride unit {unit!r} has no fixed "
+                "whole-second width (month/year strides don't; "
+                "sub-second strides have no Spark rewrite here)"
+            )
+        total += float(num) * mult
+    if total <= 0 or total != int(total):
+        raise TranspileError(
+            f"{name} stride must be a positive whole number of "
+            "seconds to transpile"
+        )
+    s_ = int(total)
+    return (
+        f"element_at(transform(array(struct(({src_}) AS _ts, "
+        f"({org_}) AS _og)), _t -> _t._og + make_dt_interval(0, 0, "
+        f"0, FLOOR((CAST(_t._ts AS DOUBLE) - CAST(_t._og AS "
+        f"DOUBLE)) / {s_}) * {s_})), 1)"
+    )

@@ -138,6 +138,7 @@ from sqlmesh_spark.core.dialects import mysql as _d_mysql
 from sqlmesh_spark.core.dialects import oracle as _d_oracle
 from sqlmesh_spark.core.dialects import clauses as _d_clauses
 from sqlmesh_spark.core.dialects import container_ops as _d_container
+from sqlmesh_spark.core.dialects import duckdb_fns as _d_duckfns
 from sqlmesh_spark.core.dialects import postgres as _d_postgres
 from sqlmesh_spark.core.dialects import snowflake as _d_snowflake
 from sqlmesh_spark.core.transpile_shared import _LAMBDA_HOFS, _in_lambda_hof  # noqa: F401,E402
@@ -568,6 +569,16 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             ctx.i, ctx.kind, ctx.text = i, kind, text
             ctx.start, ctx.end, ctx.name = start, end, ""
             nxt = _d_postgres.token_handlers(ctx)
+            if nxt is not None:
+                i = nxt
+                continue
+
+        # ---- DuckDB struct/map literal syntax ({'k': v}, MAP {k: v})
+        # (core/dialects/duckdb_fns.py)
+        if read == "duckdb" and kind == "op" and text == "{":
+            ctx.i, ctx.kind, ctx.text = i, kind, text
+            ctx.start, ctx.end, ctx.name = start, end, ""
+            nxt = _d_duckfns.token_handlers(ctx)
             if nxt is not None:
                 i = nxt
                 continue

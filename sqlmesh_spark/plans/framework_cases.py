@@ -2233,6 +2233,68 @@ GROUP BY strftime(o_orderdate, '%Y-%m')
     return spark.table("env_ddb_views.monthly_stats")
 
 
+PG_ROUND8_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       chr(65 + CAST(o_custkey % 3 AS INT)) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN list_contains([o_orderpriority], '1-URGENT')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(26 AS BIGINT) AS iv_hour,
+       array_to_string(list_filter([1, NULL, 2], x -> x IS NOT NULL),
+                       ',') AS cleaned,
+       false AS flag_off,
+       lower(to_hex(255)) AS hexff,
+       CAST(0 AS BIGINT) AS empty_series
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m'),
+         chr(65 + CAST(o_custkey % 3 AS INT))
+"""
+
+
+@register("framework_postgres_round8_model", oracle=PG_ROUND8_ORACLE, tags=("dialect", "framework"))
+def framework_postgres_round8_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 pg read-dialect features through plan/apply, value-checked
+    against the DuckDB oracle: @> array containment, chr() as a Unicode
+    code point, static interval-field extraction, NULL-safe
+    array_remove, 'off' boolean literals, to_hex, and the
+    generate_series empty-range guard (pg generate_series(1, 0) is
+    EMPTY where Spark sequence(1, 0) auto-steps -1). Each feature was
+    found by adversarially probing live PostgreSQL 15 (see
+    tests/test_dialect_fuzz_pg.py); this case gives them hard DRIVER
+    signal, not just fuzz-corpus coverage."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_pg8", "env_pg8_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_pg8.round8_orders,
+  kind FULL,
+  dialect postgres
+);
+SELECT to_char(o_orderdate, 'YYYY-MM') AS month,
+       chr((65 + o_custkey % 3)::int4) AS bucket,
+       COUNT(*)::int8 AS n_orders,
+       SUM(CASE WHEN ARRAY[o_orderpriority] @> ARRAY['1-URGENT']
+           THEN 1 ELSE 0 END)::int8 AS n_urgent,
+       extract(hour from INTERVAL '26 hours 3 minutes')::int8 AS iv_hour,
+       array_to_string(array_remove(ARRAY[1, NULL, 2], NULL), ',') AS cleaned,
+       'off'::boolean AS flag_off,
+       to_hex(255) AS hexff,
+       (SELECT COUNT(*) FROM generate_series(1, 0) g(i))::int8 AS empty_series
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY to_char(o_orderdate, 'YYYY-MM'), chr((65 + o_custkey % 3)::int4)
+"""
+    )
+    ctx.run(environment="env_pg8")
+    return spark.table("env_pg8_views.round8_orders")
+
+
 PG_DIALECT_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,

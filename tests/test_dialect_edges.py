@@ -277,16 +277,20 @@ def test_pinned_cast_rounding_divergence(spark):
     assert spark.sql(sq).collect()[0][0] == 3
     assert spark.sql(transpile("SELECT (-2.5)::int AS v", "postgres")) \
         .collect()[0][0] == -3
-    # residual pinned divergences: (a) TRY_CAST stays unwrapped — the
-    # tolerant form must keep NULL-on-garbage, so its fractional inputs
-    # still truncate; (b) DOUBLE-typed midpoints round half-even in the
-    # source engines — STATICALLY float-typed castees (::float8 chains,
-    # CAST(... AS DOUBLE), random()) now wrap in bround() and are
-    # FAITHFUL; only float-typed COLUMNS (statically invisible) keep
-    # the half-away round() wrap.
+    # (a) TRY_CAST is now FAITHFUL on duckdb reads (round 8): the
+    # DECIMAL(38,9) round-trip parses-then-rounds like duckdb
+    # (try_cast('3.9' AS INT) = 4, exact for every int64) while
+    # keeping NULL-on-garbage; (b) DOUBLE-typed midpoints round
+    # half-even in the source engines — STATICALLY float-typed
+    # castees (::float8 chains, CAST(... AS DOUBLE), random()) wrap
+    # in bround() and are FAITHFUL; only float-typed COLUMNS
+    # (statically invisible) keep the half-away round() wrap.
     assert duckdb.sql("SELECT TRY_CAST('abc' AS INT)").fetchall()[0][0] is None
     sq2 = transpile("SELECT TRY_CAST(2.7 AS INT) AS v", "duckdb")
-    assert spark.sql(sq2).collect()[0][0] == 2  # divergence: duck gives 3
+    assert spark.sql(sq2).collect()[0][0] == 3  # faithful: duck gives 3
+    assert spark.sql(
+        transpile("SELECT TRY_CAST('abc' AS INT) AS v", "duckdb")
+    ).collect()[0][0] is None
     assert duckdb.sql("SELECT CAST(CAST(2.5 AS DOUBLE) AS INT)").fetchall()[0][0] == 2
     sq3 = transpile("SELECT CAST(CAST(2.5 AS DOUBLE) AS INT) AS v", "duckdb")
     assert "bround" in sq3

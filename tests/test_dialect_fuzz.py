@@ -291,10 +291,59 @@ TEMPLATES += [
 ]
 
 # chr is the Unicode CODE POINT in duckdb (and pg); Spark chr wraps at
-# 256 — rewritten to format_string('%c', n)
+# 256 — rewritten to format_string('%c', n). duckdb to_hex is
+# uppercase 64-bit = exactly Spark hex().
 TEMPLATES += [
     "chr(955)", "chr(65)", "chr(128512)", "ascii(chr(955))",
     "chr(65) || chr(955)",
+    "to_hex(255)", "to_hex(-1)", "to_hex(0)",
+]
+
+# round-8 duckdb probe batch: map(keys, values) construction (Spark's
+# map() is variadic — the 2-list call silently builds a one-entry
+# map), try_cast string→int rounding, in-aggregate ORDER BY,
+# struct_pack / {'k': v} / MAP {k: v} literals, list helpers,
+# range() exclusive stop, time_bucket, isinf/isfinite, xor, to_base,
+# epoch_ns, yearweek, regexp_full_match, renames
+TEMPLATES += [
+    "map([1,2],['a','b'])[2]", "map(['k'],[7])['k']",
+    "map_keys(map([1,2],['a','b']))",
+    "try_cast('3.9' AS INT)", "try_cast('2.5' AS INT)",
+    "try_cast('-2.5' AS INT)", "try_cast('x' AS INT)",
+    "try_cast('9007199254740993' AS BIGINT)",
+    "try_cast(2.5 AS INT)", "try_cast('12' AS INT)",
+    "(SELECT sum(v ORDER BY v) FROM (VALUES (1),(2)) t(v))",
+    "(SELECT count(v ORDER BY v DESC) FROM (VALUES (1),(2)) t(v))",
+    "(SELECT first(v ORDER BY v) FROM (VALUES (2),(1),(3)) t(v))",
+    "(SELECT first(v ORDER BY v DESC) FROM (VALUES (2),(1),(3)) t(v))",
+    "(SELECT last(v ORDER BY v) FROM (VALUES (2),(1),(3)) t(v))",
+    "(SELECT last(v ORDER BY v DESC) FROM (VALUES (2),(3),(1)) t(v))",
+    "(SELECT string_agg(v, ',' ORDER BY v) FROM (VALUES ('b'),('a')) t(v))",
+    "struct_pack(a := 1, b := 'x').a", "struct_pack(a := 1, b := 'x').b",
+    "{'a': 1, 'b': 2}.b", "{'a': {'c': 7}}.a.c",
+    "struct_extract({'a': 7}, 'a')",
+    "MAP {1: 'a', 2: 'b'}[2]", "MAP {'k': 42}['k']",
+    "list_reverse_sort([1,3,NULL,2])",
+    "list_unique([1,2,2,NULL])", "list_any_value([NULL, 2, 3])",
+    "array_pop_back([1,2,3])", "array_pop_front([1,2,3])",
+    "list_slice([1,2,3,4], 2, 3)", "list_slice([1,2,3,4], -2, -1)",
+    "list_slice([1,2,3,4], 2, 99)",
+    "list_max([1,9,2])", "list_min([1,9,2])", "array_reverse([1,2,3])",
+    "range(3)", "range(1, 4)", "range(5, 1, -2)", "range(1, 0)",
+    "(SELECT count(*) FROM range(3) t(i))",
+    "time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-09 15:04:05')::text",
+    "time_bucket(INTERVAL '1 hour', TIMESTAMP '2024-03-09 15:04:05', TIMESTAMP '2024-01-01 00:30:00')::text",
+    "isinf('inf'::double)", "isinf(1.5)", "isfinite(1.5)",
+    "isfinite('nan'::double)", "isfinite(NULL::double) IS NULL",
+    "xor(5, 3)", "to_base(255, 16)", "to_base(7, 2, 8)",
+    "epoch_ns(TIMESTAMP '2024-01-01 00:00:01')",
+    "week(DATE '2024-01-04')", "yearweek(DATE '2024-01-04')",
+    "regexp_full_match('ab', '[a-z]+')", "regexp_full_match('ab', '[a-z]')",
+    "add(2, 3)", "subtract(5, 2)", "multiply(3, 4)",
+    "editdist3('kitten', 'sitting')",
+    "from_base64('YWJj') = 'abc'::blob", "to_base64('abc'::blob)",
+    "current_localtimestamp() >= TIMESTAMP '2020-01-01 00:00:00'",
+    "get_current_timestamp() IS NOT NULL",
 ]
 
 # compositions across families

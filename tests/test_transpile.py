@@ -3738,3 +3738,38 @@ def test_pg_round8_wave3_seams():
           "TIMESTAMP '2024-01-01 00:00:00')::text")
     with pytest.raises(TranspileError, match="TIME literals"):
         t("TIME '14:30:00'")
+
+
+def test_duckdb_round8_batch():
+    """DuckDB probe batch: map(keys, values) construction, try_cast
+    rounding, in-aggregate ORDER BY, struct literals, list helpers,
+    range() exclusive stop, time_bucket, map-subscript list shape.
+    Values pinned against the duckdb module in tests/test_dialect_fuzz.py."""
+    t = lambda s: transpile(f"SELECT {s} AS v", "duckdb")
+    assert "map_from_arrays" in t("map([1,2],['a','b'])")
+    assert "DECIMAL(38,9)" in t("try_cast('3.9' AS INT)")
+    assert t("(SELECT sum(x ORDER BY x) FROM t)") == \
+        "SELECT (SELECT sum(x) FROM t) AS v"
+    assert "max_by" in t("(SELECT first(x ORDER BY k DESC) FROM t)")
+    assert "min_by" in t("(SELECT last(x ORDER BY k DESC) FROM t)")
+    assert t("struct_pack(a := 1).a") == \
+        "SELECT named_struct('a', (1)).a AS v"
+    assert "named_struct" in t("{'a': 1, 'b': 2}.b")
+    assert t("MAP {'k': 42}") == \
+        "SELECT map_from_arrays(array(('k')), array((42))) AS v"
+    assert "sort_array" in t("list_reverse_sort(a)")
+    assert "array_distinct" in t("list_unique(a)")
+    assert "slice" in t("array_pop_back(a)")
+    assert t("list_slice(a, 2, 3)") == "SELECT slice((a), 2, 2) AS v"
+    assert "sequence((0), (3) - 1)" in t("range(3)")
+    assert "2000-01-03" in t("time_bucket(INTERVAL '1 hour', ts)")
+    assert "map_contains_key" in t("map([1],[2])[1]")
+    assert "conv((255), 10, (16))" in t("to_base(255, 16)")
+    assert t("week(d)") == "SELECT weekofyear(d) AS v"
+    assert t("editdist3(a, b)") == "SELECT levenshtein(a, b) AS v"
+    with pytest.raises(TranspileError, match="struct key"):
+        t("(SELECT first(x ORDER BY a, b) FROM t)")
+    with pytest.raises(TranspileError):
+        t("list_slice(a, -1, 2)")  # mixed-sign bounds
+    with pytest.raises(TranspileError, match="offset"):
+        t("time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')")
