@@ -282,20 +282,6 @@ def token_handlers(ctx) -> "int | None":
             # the NULL arm. Trino/ANSI keep plain element_at below:
             # their bracket subscripts ERROR out of bounds, which
             # ANSI element_at matches.
-            if close == i + 1 + 1 and toks[i + 1][0] == "string":
-                # duckdb struct['field'] / map['key'], postgres
-                # jsonb['key']: a string-literal subscript is KEY
-                # access — try_element_at's nullif('k', 0) guard is
-                # a string-vs-int comparison that fails under ANSI
-                # at EXECUTION; raise at render instead. (duckdb
-                # map[k] additionally returns a LIST, not the
-                # element — no faithful element_at form at all.)
-                raise TranspileError(
-                    f"{read} ['...'] string-key subscripts (struct/"
-                    "map/jsonb key access) have no faithful Spark "
-                    "element_at rewrite; use dot access for struct "
-                    "fields or ->> for JSON keys"
-                )
             if (
                 read == "duckdb"
                 and toks[j][0] in _NAME_KINDS
@@ -316,6 +302,20 @@ def token_handlers(ctx) -> "int | None":
                 )
                 i = close + 1
                 return i
+            if close == i + 1 + 1 and toks[i + 1][0] == "string":
+                # duckdb struct['field'] / map['key'], postgres
+                # jsonb['key']: a string-literal subscript is KEY
+                # access — try_element_at's nullif('k', 0) guard is
+                # a string-vs-int comparison that fails under ANSI
+                # at EXECUTION; raise at render instead. (duckdb
+                # map[k] additionally returns a LIST, not the
+                # element — no faithful element_at form at all.)
+                raise TranspileError(
+                    f"{read} ['...'] string-key subscripts (struct/"
+                    "map/jsonb key access) have no faithful Spark "
+                    "element_at rewrite; use dot access for struct "
+                    "fields or ->> for JSON keys"
+                )
             edits.append((toks[j][2], toks[j][2], "try_element_at("))
             if read == "postgres":
                 edits.append((start, end, ", nullif(greatest("))

@@ -2295,6 +2295,67 @@ GROUP BY to_char(o_orderdate, 'YYYY-MM'), chr((65 + o_custkey % 3)::int4)
     return spark.table("env_pg8_views.round8_orders")
 
 
+DDB_ROUND8_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(max(o_custkey ORDER BY o_totalprice) AS BIGINT) AS max_cust,
+       CAST((SELECT first(x ORDER BY x DESC)
+             FROM (VALUES (1),(3),(2)) q(x)) AS BIGINT) AS top_const,
+       try_cast('3.9' AS INT) AS rounded,
+       {'hi': 1, 'lo': 0}.hi AS s_hi,
+       map(['k'],[7])['k'][1] AS m_k,
+       CAST((SELECT count(*) FROM range(3) r(i)) AS BIGINT) AS n_range,
+       to_base(255, 16) AS hexff
+FROM orders
+WHERE o_custkey % 13 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_duckdb_round8_model", oracle=DDB_ROUND8_ORACLE, tags=("dialect", "framework"))
+def framework_duckdb_round8_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 duckdb read-dialect features through plan/apply,
+    value-checked against DuckDB itself: in-aggregate ORDER BY (dropped
+    for max, min_by/max_by for first), try_cast string→int rounding,
+    {'k': v} struct literals, map(keys, values) construction plus the
+    list-shaped map subscript, range()'s exclusive stop, and to_base.
+    Each found by adversarially probing the duckdb module (see
+    tests/test_dialect_fuzz.py round-8 groups); this case gives them
+    hard DRIVER signal. The reference's example projects are
+    duckdb-dialect models (examples/sushi), making this the most-read
+    dialect in practice."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_ddb8", "env_ddb8_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_ddb8.round8_orders,
+  kind FULL,
+  dialect duckdb
+);
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*)::int8 AS n_orders,
+       max(o_custkey ORDER BY o_totalprice)::int8 AS max_cust,
+       (SELECT first(x ORDER BY x DESC)
+        FROM (VALUES (1),(3),(2)) q(x))::int8 AS top_const,
+       try_cast('3.9' AS INT) AS rounded,
+       {'hi': 1, 'lo': 0}.hi AS s_hi,
+       map(['k'],[7])['k'][1] AS m_k,
+       (SELECT count(*) FROM range(3) r(i))::int8 AS n_range,
+       to_base(255, 16) AS hexff
+FROM orders
+WHERE o_custkey % 13 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+    )
+    ctx.run(environment="env_ddb8")
+    return spark.table("env_ddb8_views.round8_orders")
+
+
 PG_DIALECT_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
