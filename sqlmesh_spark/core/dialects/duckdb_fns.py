@@ -425,6 +425,42 @@ def token_handlers(ctx) -> "int | None":
     start = ctx.start
     n = len(toks)
 
+    n_ = len(toks)
+    if (
+        kind == "ident"
+        and text.upper() == "REPLACE"
+        and i >= 1
+        and toks[i - 1][0] == "op" and toks[i - 1][1] == "*"
+        and i + 1 < n_
+        and toks[i + 1][0] == "op" and toks[i + 1][1] == "("
+    ):
+        # SELECT * REPLACE (expr AS col): expanding it needs the
+        # table's column list, which a textual transpiler doesn't
+        # have (Spark's star modifier is EXCEPT only)
+        raise TranspileError(
+            "duckdb SELECT * REPLACE (...) has no Spark star "
+            "modifier; list the columns explicitly"
+        )
+
+    if (
+        kind == "ident"
+        and text.upper() == "BY"
+        and i >= 1
+        and toks[i - 1][0] in _NAME_KINDS
+        and toks[i - 1][1].upper() in (
+            "UNION", "ALL", "EXCEPT", "INTERSECT", "DISTINCT",
+        )
+        and i + 1 < n_
+        and toks[i + 1][0] in _NAME_KINDS
+        and toks[i + 1][1].upper() == "NAME"
+    ):
+        # UNION [ALL] BY NAME matches columns positionally-by-NAME;
+        # Spark set operations are positional only
+        raise TranspileError(
+            "duckdb set operations BY NAME have no Spark form; align "
+            "the column lists positionally"
+        )
+
     if kind == "op" and text == "{":
         depth = 0
         close_b = None

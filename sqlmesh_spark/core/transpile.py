@@ -574,8 +574,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
         # ---- DuckDB struct/map literal syntax ({'k': v}, MAP {k: v})
-        # (core/dialects/duckdb_fns.py)
-        if read == "duckdb" and kind == "op" and text == "{":
+        # and the * REPLACE / BY NAME louds (core/dialects/duckdb_fns.py)
+        if read == "duckdb" and (
+            (kind == "op" and text == "{")
+            or (kind == "ident" and text.upper() in ("REPLACE", "BY"))
+        ):
             ctx.i, ctx.kind, ctx.text = i, kind, text
             ctx.start, ctx.end, ctx.name = start, end, ""
             nxt = _d_duckfns.token_handlers(ctx)

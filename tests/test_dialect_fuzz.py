@@ -344,6 +344,14 @@ TEMPLATES += [
     "from_base64('YWJj') = 'abc'::blob", "to_base64('abc'::blob)",
     "current_localtimestamp() >= TIMESTAMP '2020-01-01 00:00:00'",
     "get_current_timestamp() IS NOT NULL",
+    # modern duck idioms: GROUP BY ALL / ORDER BY ALL are native
+    # Spark 4 (the NULLS LAST annotation matches duck's default NULL
+    # order); * REPLACE and BY NAME set-ops are loud
+    "(SELECT sum(s) FROM (SELECT v % 2 AS k, sum(v) AS s FROM "
+    "(VALUES (1),(2),(3)) t(v) GROUP BY ALL) q)",
+    "(SELECT v FROM (VALUES (2),(NULL),(1)) t(v) ORDER BY ALL LIMIT 1)",
+    "(SELECT count(*) FROM (SELECT * EXCLUDE (b) FROM "
+    "(VALUES (1, 2)) t(a, b)) q)",
 ]
 
 # compositions across families
