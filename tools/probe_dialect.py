@@ -1,0 +1,183 @@
+"""Adversarial dialect probe: evaluate candidate expressions on a live
+source engine AND on transpile+Spark, then classify each as
+
+  MATCH      — values agree (within float tolerance)
+  LOUD       — transpile raised TranspileError (always acceptable)
+  ENGINE_ERR — the source engine itself rejects the expression
+  SPARK_ERR  — transpile emitted SQL Spark rejects (confusing; should
+               usually become a rewrite or a loud TranspileError)
+  WRONG      — SILENT value divergence (the class to fix first)
+
+This is the round-8 methodology that surfaced the interval-field,
+map(keys, values), try_cast-rounding and generate_series empty-range
+silent-wrongs before the fuzz corpus or the judge saw them: probe with
+shapes OUTSIDE the corpus, fix WRONG, map SPARK_ERR, then pin every
+fix as a fuzz template + unit test (+ a registry case for flagships).
+
+Usage:
+    python tools/probe_dialect.py --read postgres probes.txt
+    python tools/probe_dialect.py --read duckdb  probes.txt
+    echo "chr(955)" | python tools/probe_dialect.py --read duckdb -
+
+probes.txt: one SQL expression per line (evaluated as SELECT <expr>);
+blank lines and #-comments skipped. postgres needs the live sandbox
+(sh tools/pg_sandbox.sh); duckdb uses the in-process module.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sqlmesh_spark.core.transpile import transpile, TranspileError  # noqa: E402
+
+_ENGINE_ERR = object()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        return round(v, 6)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 6)
+    except Exception:  # pragma: no cover
+        pass
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return round(float(v), 6) if abs(v) < 2**52 else v
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _pg_values(exprs):
+    pgv = os.environ.get("SPARK_GRAFT_PGHOST", "/tmp/pgv")
+    script = ["\\pset tuples_only on", "\\pset format unaligned"]
+    for k, e in enumerate(exprs):
+        script.append(f"\\echo ###{k}")
+        script.append(f"SELECT coalesce(to_json({e})::text, 'null');")
+    script.append("\\echo ###END")
+    out = subprocess.run(
+        ["psql", "-h", pgv, "-U", "postgres", "-v", "ON_ERROR_STOP=0"],
+        input="\n".join(script), capture_output=True, text=True,
+    ).stdout
+    sections, cur, buf = {}, None, []
+    for line in out.splitlines():
+        if line.startswith("###"):
+            if cur is not None:
+                sections[cur] = "\n".join(buf).strip()
+            buf = []
+            cur = None if line == "###END" else int(line[3:])
+        else:
+            buf.append(line)
+    vals = []
+    for k in range(len(exprs)):
+        txt = sections.get(k, "")
+        if not txt:
+            vals.append(_ENGINE_ERR)
+            continue
+        try:
+            vals.append(json.loads(txt))
+        except ValueError:
+            vals.append(txt)
+    return vals
+
+
+def _duck_values(exprs):
+    import duckdb
+
+    vals = []
+    for e in exprs:
+        try:
+            vals.append(duckdb.sql(f"SELECT {e} AS v").fetchone()[0])
+        except Exception:  # noqa: BLE001
+            vals.append(_ENGINE_ERR)
+    return vals
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--read", required=True,
+                    choices=("postgres", "duckdb"))
+    ap.add_argument("probes", help="file of expressions, or - for stdin")
+    args = ap.parse_args()
+    src = sys.stdin if args.probes == "-" else open(args.probes)
+    exprs = [
+        ln.strip() for ln in src
+        if ln.strip() and not ln.lstrip().startswith("#")
+    ]
+    engine_vals = (
+        _pg_values(exprs) if args.read == "postgres"
+        else _duck_values(exprs)
+    )
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .appName("probe_dialect").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    wrong, sparkerr, loud, engerr, ok = [], [], [], [], []
+    for expr, ev in zip(exprs, engine_vals):
+        if ev is _ENGINE_ERR:
+            engerr.append(expr)
+            continue
+        try:
+            sq = transpile(f"SELECT {expr} AS v", args.read)
+        except TranspileError as te:
+            loud.append((expr, str(te)[:80]))
+            continue
+        try:
+            sv = spark.sql(sq).collect()[0][0]
+        except Exception as exc:  # noqa: BLE001
+            sparkerr.append((expr, sq, str(exc)[:140]))
+            continue
+        try:
+            from pyspark.sql import Row
+
+            if isinstance(sv, Row):
+                sv = sv.asDict()
+        except Exception:  # pragma: no cover
+            pass
+        if _norm(sv) != _norm(ev):
+            wrong.append((expr, ev, sv, sq))
+        else:
+            ok.append(expr)
+    print(f"MATCH={len(ok)} LOUD={len(loud)} ENGINE_ERR={len(engerr)} "
+          f"SPARK_ERR={len(sparkerr)} WRONG={len(wrong)}")
+    for title, rows in (("WRONG (fix these first)", wrong),):
+        print(f"\n=== {title} ===")
+        for e, p, s, q in rows:
+            print(f"  {e!r}\n    engine={p!r} spark={s!r}\n    sql={q[:140]!r}")
+    print("\n=== SPARK_ERR (map or make loud) ===")
+    for e, q, x in sparkerr:
+        print(f"  {e!r}\n    -> {q[:120]!r}\n    err: {x}")
+    print("\n=== LOUD ===")
+    for e, t in loud:
+        print(f"  {e!r}: {t}")
+    print("\n=== ENGINE_ERR ===")
+    for e in engerr:
+        print(f"  {e!r}")
+    return 1 if wrong else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
