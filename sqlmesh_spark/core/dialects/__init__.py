@@ -91,6 +91,20 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "list_aggregate": None,         # dynamic aggregate dispatch
         "format": None,                 # duckdb fmt '{}' syntax
         "timezone_hour": None, "timezone_minute": None,
+        # duck probe wave 2
+        "list_intersect": "array_intersect",  # both dedupe, both keep
+                                               # first-arg order
+        "apply": "transform",
+        "list_apply": "transform",
+        # list_dot_product / list_cosine_similarity / list_distance:
+        # handlers in duckdb_fns.py (zip_with + aggregate folds; Spark
+        # has no list vector functions)
+        "regexp_escape": None, "parse_filename": None,
+        "parse_dirname": None, "parse_path": None,
+        "format_bytes": None, "formatreadabledecimalsize": None,
+        "julian": None,
+        "timezone": None,               # tz conversion is session-
+                                        # config-dependent; loud
     },
     "postgres": {
         **_COMMON_FN,

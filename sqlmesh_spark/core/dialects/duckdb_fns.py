@@ -230,6 +230,155 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
+    if name in ("list_has_any", "list_has_all"):
+        # pinned against the duckdb module: NULL elements NEVER match
+        # (list_has_any([1,NULL],[NULL]) = false) and has_all IGNORES
+        # NULL needles (list_has_all([1,2,3],[2,NULL]) = true); a NULL
+        # list operand gives NULL
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
+            if name == "list_has_any":
+                body = f"coalesce(arrays_overlap(({a_}), ({b_})), false)"
+            else:
+                body = (
+                    f"forall(filter(({b_}), _e -> _e IS NOT NULL), "
+                    f"_e -> coalesce(array_contains(({a_}), _e), false))"
+                )
+            edits.append(
+                (start, toks[close][3],
+                 f"IF(({a_}) IS NULL OR ({b_}) IS NULL, NULL, {body})")
+            )
+            return close + 1
+
+    if name == "list_resize":
+        # pads with NULL / truncates; try_element_at(a, size+1) is an
+        # always-NULL value of the ELEMENT type (typed NULL padding)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, n_2 = _arg_text(spans[0]), _arg_text(spans[1])
+            # flatten(array(...)), NOT concat(): a concat() emission
+            # would be re-read by the duckdb string-concat NULL-skip
+            # handler on the next fixpoint pass
+            edits.append(
+                (start, toks[close][3],
+                 f"slice(flatten(array(({a_}), array_repeat("
+                 f"try_element_at(({a_}), cardinality(({a_})) + 1), "
+                 f"greatest(({n_2}) - cardinality(({a_})), 0)))), "
+                 f"1, ({n_2}))")
+            )
+            return close + 1
+
+    if name == "list_select":
+        # elements at the given 1-based indexes; out-of-bounds (and
+        # index 0) become NULL elements — pinned: list_select([10],[5])
+        # = [NULL]
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, ix = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"transform(({ix}), _i -> "
+                 f"try_element_at(({a_}), nullif(_i, 0)))")
+            )
+            return close + 1
+
+    if name == "list_where":
+        # keep elements whose mask entry is true (duckdb rejects NULL
+        # masks — coalesce(false) drops them here, a duck-rejected
+        # shape either way)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, mk = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"transform(filter(transform(({a_}), (_e, _i) -> "
+                 f"struct(_e AS _v, coalesce(try_element_at(({mk}), "
+                 f"_i + 1), false) AS _m)), _s -> _s._m), _s -> _s._v)")
+            )
+            return close + 1
+
+    if name == "reduce":
+        # duckdb's 2-arg reduce seeds with the FIRST element; Spark's
+        # requires an explicit init — loud with the rewrite
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            raise TranspileError(
+                "duckdb reduce(list, lambda) seeds with the first "
+                "element; Spark's aggregate() needs an explicit "
+                "initial value — write aggregate(slice(l, 2, "
+                "cardinality(l)), element_at(l, 1), lambda)"
+            )
+
+    if name in ("century", "decade", "millennium", "isoyear",
+                "yearofweek", "dayofyear", "isodow"):
+        # duckdb exposes the date-part fields as FUNCTIONS too; route
+        # through the shared field templates
+        from sqlmesh_spark.core.dialects.standard_edges import (
+            _DP_FIELD_TEMPLATES,
+        )
+        tmpl = _DP_FIELD_TEMPLATES.get(name)
+        if tmpl is not None:
+            spans, close = _call_arg_spans(toks, i + 1)
+            if len(spans) == 1:
+                edits.append(
+                    (start, toks[close][3],
+                     tmpl.format(x=f"({_arg_text(spans[0])})"))
+                )
+                return close + 1
+
+    if name in ("list_dot_product", "list_inner_product",
+                "list_cosine_similarity", "list_distance",
+                "list_cosine_distance"):
+        # vector folds over lists — Spark's array_* vector functions
+        # don't exist for plain arrays, but zip_with + aggregate is
+        # exact (the llm/similarity module uses the same fold)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
+
+            def dot(x, y):
+                return (
+                    f"aggregate(zip_with({x}, {y}, "
+                    f"(_x, _y) -> CAST(_x AS DOUBLE) * _y), "
+                    f"CAST(0 AS DOUBLE), (_acc, _e) -> _acc + _e)"
+                )
+            if name in ("list_dot_product", "list_inner_product"):
+                repl = dot(f"({a_})", f"({b_})")
+            elif name == "list_distance":
+                repl = (
+                    f"sqrt(aggregate(zip_with(({a_}), ({b_}), "
+                    f"(_x, _y) -> (CAST(_x AS DOUBLE) - _y) * "
+                    f"(CAST(_x AS DOUBLE) - _y)), CAST(0 AS DOUBLE), "
+                    f"(_acc, _e) -> _acc + _e))"
+                )
+            else:
+                cos = (
+                    f"({dot(f'({a_})', f'({b_})')}) / "
+                    f"(sqrt({dot(f'({a_})', f'({a_})')}) * "
+                    f"sqrt({dot(f'({b_})', f'({b_})')}))"
+                )
+                repl = (
+                    f"(1 - ({cos}))" if name == "list_cosine_distance"
+                    else f"({cos})"
+                )
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+
+    if name in ("date_part", "datepart"):
+        # duckdb's LIST-of-parts form returns a STRUCT of fields —
+        # loud before Spark's non-foldable-argument error
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and toks[spans[0][0]][0] == "op"
+            and toks[spans[0][0]][1] == "["
+        ):
+            raise TranspileError(
+                "duckdb date_part([...parts], x) returns a STRUCT of "
+                "fields; extract each field with its own date_part"
+            )
+
     if name in ("isinf", "isfinite"):
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 1:

@@ -363,6 +363,19 @@ def token_handlers(ctx) -> "int | None":
                 edits.append((start, end, ""))
             i += 1
             return i
+        if (
+            up_t == "EXCLUDE"
+            and i + 1 < n
+            and toks[i + 1][0] in _NAME_KINDS
+            and toks[i + 1][1].upper() in ("CURRENT", "GROUP", "TIES", "NO")
+        ):
+            # window frame EXCLUDE clause (pg 11+): Spark frames have
+            # no exclusion — loud before a raw parse error
+            raise TranspileError(
+                "window frame EXCLUDE clauses have no Spark analog; "
+                "re-express by subtracting the excluded rows' "
+                "contribution explicitly"
+            )
         if up_t == "ORDINALITY":
             raise TranspileError(
                 "UNNEST ... WITH ORDINALITY has no direct Spark "

@@ -481,6 +481,29 @@ def call_handlers(ctx) -> "int | None":
                         "26 hours → 1 day 2 hours; pg keeps hour=26); "
                         "extract from a literal or use epoch"
                     )
+            if field == "epoch" and toks[i + 4][0] == "op" \
+                    and toks[i + 4][1] == "(":
+                # epoch of a parenthesized TIMESTAMP-subtraction —
+                # statically interval-typed when every identifier in
+                # the operand is TIMESTAMP (>= 2 of them) and a
+                # depth-0 '-' separates them; the template's CAST-to-
+                # TIMESTAMP would be a type error on intervals, but
+                # anchoring the interval at epoch 0 is exact
+                close = _call_arg_spans(toks, i + 1)[1]
+                inner = toks[i + 5: close - 1]
+                idents_ = [t for t in inner if t[0] in _NAME_KINDS]
+                if (
+                    len(idents_) >= 2
+                    and all(t[1].upper() == "TIMESTAMP" for t in idents_)
+                    and any(t[0] == "op" and t[1] == "-" for t in inner)
+                ):
+                    iv_ = sql[toks[i + 4][2]: toks[close - 1][3]]
+                    edits.append(
+                        (start, toks[close][3],
+                         "CAST(CAST('1970-01-01 00:00:00 UTC' AS "
+                         f"TIMESTAMP) + ({iv_}) AS DOUBLE)")
+                    )
+                    return close + 1
             if (
                 field == "epoch"
                 and toks[i + 4][0] in _NAME_KINDS

@@ -344,6 +344,26 @@ TEMPLATES += [
     "from_base64('YWJj') = 'abc'::blob", "to_base64('abc'::blob)",
     "current_localtimestamp() >= TIMESTAMP '2020-01-01 00:00:00'",
     "get_current_timestamp() IS NOT NULL",
+    # duck probe wave 2: list vector folds (zip_with + aggregate),
+    # has_any/has_all NULL semantics (NULL elements never match;
+    # has_all ignores NULL needles), resize/select/where, field
+    # functions, intersect (order UNSPECIFIED on both — compared
+    # through list_sort)
+    "list_dot_product([1.0,2.0],[3.0,4.0])",
+    "list_inner_product([1.0,2.0],[3.0,4.0])",
+    "list_distance([0.0,0.0],[3.0,4.0])",
+    "list_cosine_similarity([1.0,0.0],[1.0,1.0])",
+    "list_has_any([1,2],[2,9])", "list_has_any([1,NULL],[NULL])",
+    "list_has_all([1,2,3],[2,3])", "list_has_all([1,2,3],[2,NULL])",
+    # (a bare [] literal is an UNTYPED array — Spark rejects the
+    # lambda's array_contains at analysis; typed empties work)
+    "list_has_all([1,2], []::int[])", "list_has_any([1],[2,NULL])",
+    "list_resize([1,2],4)", "list_resize([1,2,3],2)",
+    "list_select([10,20,30],[1,3])", "list_select([10],[5])",
+    "list_where([10,20,30],[true,false,true])",
+    "list_sort(list_intersect([1,2,3],[2,3,4]))",
+    "century(DATE '2001-01-01')", "decade(DATE '2024-01-01')",
+    "apply([1,2], x -> x + 1)",
     # modern duck idioms: GROUP BY ALL / ORDER BY ALL are native
     # Spark 4 (the NULLS LAST annotation matches duck's default NULL
     # order); * REPLACE and BY NAME set-ops are loud

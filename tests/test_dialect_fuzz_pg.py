@@ -559,6 +559,34 @@ TEMPLATES += [
     "localtimestamp >= TIMESTAMP '2020-01-01 00:00:00'",
 ]
 
+# fifth probe wave (tools/probe_dialect.py): interval-typed RANGE
+# frames, LIKE/ILIKE ESCAPE, date+int arithmetic both orders,
+# epoch of TIMESTAMP subtraction (statically interval-typed paren),
+# lateral joins, set-op counts; EXCLUDE frames are loud
+TEMPLATES += [
+    "(SELECT sum(s) FROM (SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN "
+    "INTERVAL '1 day' PRECEDING AND CURRENT ROW) s FROM (VALUES "
+    "(TIMESTAMP '2024-01-01 00:00:00', 1),"
+    "(TIMESTAMP '2024-01-02 00:00:00', 2)) t(ts, v)) q)",
+    r"'a%b' LIKE 'a\%b' ESCAPE '\'",
+    "'a_b' LIKE 'aXXb' ESCAPE 'X'",
+    "'aXc' ILIKE 'AX_' ESCAPE 'Z'",
+    "(DATE '2024-01-01' + 30)::text", "(30 + DATE '2024-01-01')::text",
+    "(DATE '2024-03-01' - 30)::text",
+    "extract(epoch from (TIMESTAMP '2024-01-02 03:00:00' - "
+    "TIMESTAMP '2024-01-01 00:00:00'))",
+    "(SELECT count(*) FROM (VALUES (1),(2)) a(x) FULL OUTER JOIN "
+    "(VALUES (2),(3)) b(y) ON x = y)",
+    "(SELECT count(*) FROM (VALUES (1),(2)) a(x) LEFT JOIN LATERAL "
+    "(SELECT x + 1 AS y) b ON true WHERE y = 2)",
+    "(SELECT count(*) FROM (SELECT 1 INTERSECT SELECT 1) q)",
+    "(SELECT sum(s) FROM (SELECT sum(v) OVER (ORDER BY v ROWS BETWEEN "
+    "1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) s FROM "
+    "(VALUES (1),(2)) t(v)) q)",  # loud (EXCLUDE frame)
+    "1 BETWEEN 0 AND 2", "2 NOT BETWEEN 3 AND 4",
+    "(NULL BETWEEN 1 AND 2) IS NULL",
+]
+
 # compositions across families
 TEMPLATES += [
     "length(substr('hello', 0, 4)) % 3",
