@@ -210,8 +210,11 @@ def call_handlers(ctx) -> "int | None":
         i = fend + 1
         return i
 
-    if name == "chr" and read in ("postgres", "duckdb") and first_pass:
-        # pg/duckdb chr(n) is the Unicode CODE POINT; Spark chr(n)
+    if name in ("chr", "char") and read in (
+        "postgres", "duckdb", "snowflake", "trino"
+    ) and first_pass:
+        # pg/duckdb/snowflake/trino chr(n) is the Unicode CODE POINT
+        # (snowflake CHAR is its alias); Spark chr(n)
         # wraps at 256 (chr(955) = '»', a silent wrong value). Java's
         # %c formats the code point exactly, supplementary planes
         # included (pinned live: format_string('%c', 128512) =

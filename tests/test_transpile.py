@@ -3773,3 +3773,23 @@ def test_duckdb_round8_batch():
         t("list_slice(a, -1, 2)")  # mixed-sign bounds
     with pytest.raises(TranspileError, match="offset"):
         t("time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')")
+
+
+def test_chr_code_point_snowflake_trino():
+    """Snowflake CHR/CHAR and Trino chr() are Unicode-code-point
+    functions (per their docs; pg/duckdb pinned live) — Spark chr()
+    wraps at 256, so all four reads route through format_string('%c').
+    CAST type positions (char(10)) are untouched."""
+    assert transpile("SELECT chr(955) AS v", "snowflake") == \
+        "SELECT format_string('%c', (955)) AS v"
+    assert transpile("SELECT char(955) AS v", "snowflake") == \
+        "SELECT format_string('%c', (955)) AS v"
+    assert transpile("SELECT chr(955) AS v", "trino") == \
+        "SELECT format_string('%c', (955)) AS v"
+    assert transpile(
+        "SELECT CAST(x AS char(10)) FROM t", "snowflake"
+    ) == "SELECT CAST(x AS char(10)) FROM t"
+    # mysql CHAR() is a different (variadic, byte-based) function —
+    # not rewritten
+    assert transpile("SELECT char(65) AS v", "mysql") == \
+        "SELECT char(65) AS v"
