@@ -79,7 +79,11 @@ _PG_FMT = sorted(
         ("MM", "MM"), ("DDD", "DDD"), ("DD", "dd"), ("DY", "EEE"),
         ("DAY", "EEEE"), ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
         ("MI", "mm"), ("SS", "ss"), ("MS", "SSS"), ("US", "SSSSSS"),
-        ("AM", "a"), ("PM", "a"), ("TZ", "zzz"),
+        ("AM", "a"), ("PM", "a"),
+        # TZ is deliberately ABSENT (round 8, probed live): pg renders
+        # the EMPTY string for timestamp-without-tz (the model-column
+        # norm) where Java zzz prints the session zone ('UTC') — a
+        # silent divergence; to_char(ts, 'TZ') raises instead
     ],
     key=lambda p: -len(p[0]),
 )
@@ -197,10 +201,7 @@ _PG_FM_FMT = {
 #: the capitalized form, so only the capitalized spelling is faithful
 #: when formatting. Value = the required source spelling.
 _PG_CASED_NAMES = {"MON": "Mon", "DY": "Dy", "AM": ("AM", "PM"),
-                   "PM": ("AM", "PM"),
-                   # pg 'tz' prints the LOWERCASE zone abbreviation;
-                   # Java zzz prints 'UTC' — only uppercase TZ maps
-                   "TZ": ("TZ",)}
+                   "PM": ("AM", "PM")}
 
 
 def _convert_pg_like_format(
@@ -277,6 +278,15 @@ def _convert_pg_like_format(
                                if isinstance(want, tuple)
                                else f"use '{want}'")
                         )
+                if out and out[-1] and rep and out[-1][-1] == rep[0]:
+                    # adjacent identical codes merge into ONE longer
+                    # Java field (SSSS → 'ssss', pg's seconds-past-
+                    # midnight misread as a 4-padded seconds field)
+                    raise TranspileError(
+                        f"adjacent {pat} codes merge in Spark datetime "
+                        f"patterns (pg {pat * 2} is a different field); "
+                        "separate them or use the pg field explicitly"
+                    )
                 out.append(rep)
                 i += len(pat)
                 break

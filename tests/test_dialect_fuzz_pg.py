@@ -587,6 +587,21 @@ TEMPLATES += [
     "(NULL BETWEEN 1 AND 2) IS NULL",
 ]
 
+# sixth probe wave (to_char datetime codes): TZ is loud (pg renders
+# '' for zone-less timestamps where Java zzz prints the session zone)
+# and adjacent identical codes (SSSS = pg seconds-past-midnight) are
+# loud instead of silently merging into one padded Java field
+TEMPLATES += [
+    "to_char(TIMESTAMP '2024-03-09 15:04:05.678', 'DDD')",
+    "to_char(TIMESTAMP '2024-03-09 15:04:05', 'YY')",
+    "to_char(DATE '2024-03-09', 'YYYYMMDD')",
+    "to_char(TIMESTAMP '2024-03-09 15:04:05', 'HH')",
+    "to_char(TIMESTAMP '2024-03-09 15:04:05', 'am')",
+    "to_char(TIMESTAMP '2024-03-09 15:04:05', 'MI \"minutes past\" HH12')",
+    "to_char(TIMESTAMP '2024-03-09 15:04:05', 'TZ')",    # loud
+    "to_char(TIMESTAMP '2024-03-09 15:04:05', 'SSSS')",  # loud (merge)
+]
+
 # compositions across families
 TEMPLATES += [
     "length(substr('hello', 0, 4)) % 3",
