@@ -154,6 +154,8 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # Spark name; pg jsonb_array_length errors on non-arrays where
         # Spark returns NULL — a pg-rejected shape, not a value seam)
         "jsonb_array_length": "json_array_length",
+        "json_agg": None, "jsonb_agg": None,   # JSON text forms differ
+        "json_object_agg": None, "jsonb_object_agg": None,
         "gen_random_uuid": "uuid",
         "make_time": None,              # Spark has no TIME type
     },

@@ -324,6 +324,23 @@ def _pg_round8_calls(ctx) -> "int | None":
     _arg_text = ctx.arg_text
     _unused = (sql,)
 
+    if name in ("rank", "dense_rank", "percent_rank", "cume_dist"):
+        # HYPOTHETICAL-SET aggregates: rank(x) WITHIN GROUP (ORDER BY
+        # v) is "the rank x WOULD have if inserted" — Spark's
+        # same-named functions are window-only and reject the syntax
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            spans
+            and close + 1 < len(toks)
+            and toks[close + 1][0] in _NAME_KINDS
+            and toks[close + 1][1].upper() == "WITHIN"
+        ):
+            raise TranspileError(
+                f"postgres hypothetical-set {name}(x) WITHIN GROUP "
+                "has no Spark form; count rows on either side of x "
+                "explicitly (e.g. 1 + count(*) FILTER (WHERE v < x))"
+            )
+
     if name in ("encode", "decode"):
         # pg encode(bytea, fmt) / decode(text, fmt) — Spark's same-named
         # functions do CHARSET conversion, a silent misread without this

@@ -3793,3 +3793,20 @@ def test_chr_code_point_snowflake_trino():
     # not rewritten
     assert transpile("SELECT char(65) AS v", "mysql") == \
         "SELECT char(65) AS v"
+
+
+def test_pg_hypothetical_set_and_json_agg_loud():
+    """Hypothetical-set aggregates (rank(x) WITHIN GROUP — 'the rank x
+    WOULD have') and json_agg/jsonb_agg (JSON text forms differ) are
+    loud; window-form rank() keeps working. regr_* / covar_* / corr
+    pass through natively (probed value-equal on live PG 15)."""
+    with pytest.raises(TranspileError, match="hypothetical"):
+        transpile(
+            "SELECT rank(2) WITHIN GROUP (ORDER BY v) FROM t", "postgres")
+    with pytest.raises(TranspileError):
+        transpile("SELECT json_agg(v) FROM t", "postgres")
+    assert "OVER" in transpile(
+        "SELECT rank() OVER (ORDER BY v) FROM t", "postgres")
+    assert transpile(
+        "SELECT regr_slope(y, x) FROM t", "postgres"
+    ) == "SELECT regr_slope(y, x) FROM t"
