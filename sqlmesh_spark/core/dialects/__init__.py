@@ -92,8 +92,11 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "format": None,                 # duckdb fmt '{}' syntax
         "timezone_hour": None, "timezone_minute": None,
         # duck probe wave 2
-        "list_intersect": "array_intersect",  # both dedupe, both keep
-                                               # first-arg order
+        # list_intersect/array_intersect: handler in duckdb_fns.py —
+        # duckdb orders the result by SECOND-arg first occurrence
+        # (verified: list_intersect([3,1],[1,3]) = [1,3]) while Spark's
+        # array_intersect keeps first-arg order; a rename was a silent
+        # element-order divergence (round-9 ADVICE)
         "apply": "transform",
         "list_apply": "transform",
         # list_dot_product / list_cosine_similarity / list_distance:

@@ -251,6 +251,29 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
+    if name in ("list_intersect", "array_intersect"):
+        # duckdb orders the intersection by SECOND-arg first-occurrence
+        # and dedupes (pinned: list_intersect([3,1],[1,3]) = [1,3],
+        # list_intersect([1,1,2],[2,2,1,1]) = [2,1]); Spark's
+        # array_intersect keeps FIRST-arg order — a rename was a silent
+        # element-order divergence. NULL semantics pinned: NULL elements
+        # never match ([1,NULL]∩[NULL,2] = []), a NULL FIRST arg gives
+        # NULL but a NULL SECOND arg gives [] (asymmetric). The inner
+        # filter drops non-matches; the _ld filter is the shared
+        # array_distinct NULL-drop marker so re-reads stay inert.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError(f"duckdb {name} takes 2 list arguments")
+        a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
+        edits.append(
+            (start, toks[close][3],
+             f"IF(({a_}) IS NULL, NULL, coalesce(array_distinct("
+             f"filter(filter(({b_}), _e -> coalesce(array_contains("
+             f"({a_}), _e), false)), _ld -> _ld IS NOT NULL)), "
+             f"array()))")
+        )
+        return close + 1
+
     if name == "list_resize":
         # pads with NULL / truncates; try_element_at(a, size+1) is an
         # always-NULL value of the ELEMENT type (typed NULL padding)

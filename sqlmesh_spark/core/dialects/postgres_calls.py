@@ -303,6 +303,75 @@ def _count_capture_groups(pat: str) -> int:
     return count
 
 
+def _group_always_participates(pat: str) -> bool:
+    """True iff the pattern's SINGLE capture group provably participates
+    in every overall match.  pg renders a non-participating group as a
+    NULL array element where the regexp_extract emission yields '' — a
+    silent value divergence even with ONE group (verified live on PG 15:
+    regexp_match('abc','a(x)?') = {NULL}).  Conservative static check:
+    no top-level alternation, no non-capturing groups (they could make
+    the capture optional) except a leading inline-flags group, and no
+    0-min quantifier (?, *, {0,...}) after the group's closing paren.
+    Alternation INSIDE the group is fine — a participating group that
+    captures '' renders '' on both engines."""
+    n_ = len(pat)
+    idx = 0
+    in_class = False
+    g_seen = False
+    while idx < n_:
+        c = pat[idx]
+        if c == "\\":
+            idx += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "|":
+            return False
+        elif c == "(":
+            if idx + 1 < n_ and pat[idx + 1] == "?":
+                m = re.match(r"\(\?[a-z]+\)", pat[idx:])
+                if not (idx == 0 and m):
+                    return False
+                idx += m.end()
+                continue
+            # capture group: skip to its closing paren (escape/class
+            # aware), then inspect the quantifier position
+            depth = 1
+            j = idx + 1
+            icl = False
+            while j < n_ and depth:
+                cj = pat[j]
+                if cj == "\\":
+                    j += 2
+                    continue
+                if icl:
+                    if cj == "]":
+                        icl = False
+                elif cj == "[":
+                    icl = True
+                elif cj == "(":
+                    depth += 1
+                elif cj == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                return False
+            if j < n_ and pat[j] in "?*{":
+                if pat[j] != "{":
+                    return False
+                m2 = re.match(r"\{(\d+)", pat[j:])
+                if not m2 or int(m2.group(1)) == 0:
+                    return False
+            g_seen = True
+            idx = j
+            continue
+        idx += 1
+    return g_seen
+
+
 #: pg make_interval keyword-argument order — identical to Spark's
 #: positional make_interval(years, months, weeks, days, hours, mins,
 #: secs), so named calls rewrite to positional ones.
@@ -599,6 +668,17 @@ def _pg_round8_calls(ctx) -> "int | None":
                     "no faithful Spark rewrite (non-participating "
                     "groups render '' instead of pg's NULL); extract "
                     "each group with substring(s from 'pat')"
+                )
+            if g == 1 and not _group_always_participates(pat):
+                # same divergence with ONE group when it can sit out of
+                # an overall match: pg regexp_match('abc','a(x)?') =
+                # {NULL}, the emission would yield [''] (live-pinned)
+                raise TranspileError(
+                    "postgres regexp_match with an optional capture "
+                    "group has no faithful Spark rewrite (a "
+                    "non-participating group renders '' instead of "
+                    "pg's NULL element); make the group mandatory or "
+                    "extract with substring(s from 'pat')"
                 )
             s_ = _arg_text(spans[0])
             lit = _spark_string_literal(pat, read)

@@ -1039,8 +1039,9 @@ def _pg_interval_field(field: str, parts: "tuple[int, int, int]"):
         return td(months - td(months, 12) * 12, 3) + 1
     if field in ("day", "days"):
         return days
-    if field in ("week",):
-        return td(days, 7)
+    # NO week branch: PG 15 itself rejects extract(week FROM interval)
+    # ('unit "week" not supported for type interval', verified live) —
+    # returning None keeps the caller loud on a pg-rejected shape.
     if field in ("hour", "hours"):
         return td(micros, 3_600_000_000)
     if field in ("minute", "minutes", "min", "mins"):

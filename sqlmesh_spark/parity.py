@@ -43,6 +43,26 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
+def driver_canon_check(df: pd.DataFrame) -> Optional[str]:
+    """Reproduce the DRIVER's canonicalization step on raw cells.
+
+    The driver's correctness gate sorts the result frame with pandas
+    ``sort_values`` over all columns BEFORE hashing — raw cells, no
+    stringification.  That step dies on unhashable cells (``list``/``dict``
+    from ARRAY/MAP/STRUCT columns: round-8's only red row,
+    ``TypeError: unhashable type: 'list'``) and on mixed-type object
+    columns.  Local verification must fail the same way, so this runs the
+    identical operation and returns the failure string (or None).  Registry
+    cases must serialize container outputs (``array_join``/``to_json``)
+    on BOTH the Spark and oracle sides.
+    """
+    try:
+        df.sort_values(by=sorted(df.columns), kind="mergesort")
+    except Exception as exc:  # noqa: BLE001 - the point is to surface any crash
+        return f"driver canon would fail: {type(exc).__name__}: {exc}"
+    return None
+
+
 def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     cols = sorted(df.columns)
     out = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
@@ -69,6 +89,11 @@ def compare_case(
     if oracle is None:
         result["match"] = len(spark_pdf) >= 0
         result["detail"] = "rows-only (no oracle)"
+        return result
+    canon_err = driver_canon_check(spark_pdf)
+    if canon_err:
+        result["match"] = False
+        result["detail"] = canon_err
         return result
     con = duck_connection(sf_dir)
     try:

@@ -3284,9 +3284,9 @@ SELECT o_orderkey AS key,
        substring(o_orderpriority, 1, 3) AS prio3,
        (o_orderkey % 7 > 3 OR o_orderkey % 7 > 5) AS q_any,
        (o_orderkey % 7 < 5 AND o_orderkey % 7 < 6) AS q_all,
-       list_prepend(0, [1, 2]) AS arr_pre,
-       ([1, 2, 3, 4])[2:3] AS arr_slice,
-       string_split(e'a\tb', e'\t') AS esplit
+       array_to_string(list_prepend(0, [1, 2]), ',') AS arr_pre,
+       array_to_string(([1, 2, 3, 4])[2:3], ',') AS arr_slice,
+       array_to_string(string_split(e'a\tb', e'\t'), ',') AS esplit
 FROM orders WHERE o_orderkey <= 400
 """
 
@@ -3328,9 +3328,9 @@ SELECT o_orderkey AS key,
        o_orderpriority::varchar(3) AS prio3,
        (o_orderkey % 7) > ANY(ARRAY[3, 5]) AS q_any,
        (o_orderkey % 7) < ALL(ARRAY[5, 6]) AS q_all,
-       0 || ARRAY[1, 2] AS arr_pre,
-       (ARRAY[1, 2, 3, 4])[2:3] AS arr_slice,
-       string_to_array(E'a\\tb', E'\\t') AS esplit
+       array_to_string(0 || ARRAY[1, 2], ',') AS arr_pre,
+       array_to_string((ARRAY[1, 2, 3, 4])[2:3], ',') AS arr_slice,
+       array_to_string(string_to_array(E'a\\tb', E'\\t'), ',') AS esplit
 FROM orders WHERE o_orderkey <= 400
 """
     )

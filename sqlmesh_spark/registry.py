@@ -63,23 +63,42 @@ def load_all() -> dict[str, QueryCase]:
     return _interleaved(REGISTRY)
 
 
-def _previously_sampled() -> set[str]:
-    """Case names already checked by an external sweep in a prior round
-    (CORRECTNESS_r*.json at the repo root). Best-effort: missing/unreadable
-    files mean an empty set."""
+def _previously_sampled() -> tuple[set[str], set[str]]:
+    """Partition externally-swept case names by their LATEST verdict.
+
+    Parses every ``CORRECTNESS_r*.json`` at the repo root in round order and
+    keeps, per case, only the most recent record.  Returns
+    ``(green, failed)``: cases whose latest external sample passed, and cases
+    whose latest sample has an ``err`` or a false match flag.  The round-8
+    verdict found 18 cases stuck with a round-1/2 failure as their latest
+    external record for 6+ rounds because the rotation treated
+    "sampled-and-failed" identically to "sampled-and-green" — a failed
+    latest sample must re-enter the sweep prefix ahead of green cases.
+    Best-effort: missing/unreadable files mean empty sets."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sampled: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    latest: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                sampled |= set(json.load(f))
+                records = json.load(f)
         except Exception:
             continue
-    return sampled
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                latest[name] = True  # bare name list (defensive) → assume green
+                continue
+            ok = not rec.get("err") and not any(
+                rec.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            latest[name] = ok
+    green = {n for n, ok in latest.items() if ok}
+    failed = {n for n, ok in latest.items() if not ok}
+    return green, failed
 
 
 def _interleaved(registry: dict[str, QueryCase]) -> dict[str, QueryCase]:
@@ -93,10 +112,14 @@ def _interleaved(registry: dict[str, QueryCase]) -> dict[str, QueryCase]:
     sweep sort first, NEWEST-REGISTERED first among those (a brand-new
     operator is the least-proven thing in the repo — it should reach an
     external sweep in its first round, not after the backlog drains);
-    already-sampled cases follow in registration order."""
+    cases whose LATEST external sample failed come next (they carry a red
+    row in the only external ledger until re-sampled — round 8 found 18
+    such cases stranded since rounds 1-2); green-sampled cases last, in
+    registration order."""
     from itertools import zip_longest
 
-    sampled = _previously_sampled()
+    green, failed = _previously_sampled()
+    sampled = green | failed
     reg_index = {name: i for i, name in enumerate(registry)}
     families: dict[str, list[QueryCase]] = {}
     for case in registry.values():
@@ -108,13 +131,12 @@ def _interleaved(registry: dict[str, QueryCase]) -> dict[str, QueryCase]:
             fam = case.tags[0] if case.tags else case.name.split("_", 1)[0]
         families.setdefault(fam, []).append(case)
     out: dict[str, QueryCase] = {}
-    # TWO-PHASE emission (round 7): every never-sampled case precedes
-    # every sampled one GLOBALLY, each phase still family-interleaved.
-    # The old single round-robin diluted the unsampled backlog across
-    # ~22 families, so a family's 4th-or-later unsampled case (the
-    # snowflake/bigquery dialect flagships) never reached a 50-case
-    # external sweep prefix even with fewer than 50 unsampled cases
-    # total.
+    # THREE-PHASE emission (round 7 two-phase + round 9 failed class):
+    # never-sampled cases precede everything GLOBALLY (a new operator must
+    # reach an external sweep in its first round); cases whose latest
+    # external sample FAILED come second (their red ledger row persists
+    # until re-sampled); green-sampled cases last.  Each phase is still
+    # family-interleaved so a capped prefix spans every family.
     unsampled_lists = [
         sorted(
             [c for c in cases if c.name not in sampled],
@@ -122,14 +144,21 @@ def _interleaved(registry: dict[str, QueryCase]) -> dict[str, QueryCase]:
         )
         for cases in families.values()
     ]
-    sampled_lists = [
+    failed_lists = [
         sorted(
-            [c for c in cases if c.name in sampled],
+            [c for c in cases if c.name in failed],
             key=lambda c: reg_index[c.name],
         )
         for cases in families.values()
     ]
-    for lists in (unsampled_lists, sampled_lists):
+    green_lists = [
+        sorted(
+            [c for c in cases if c.name in green],
+            key=lambda c: reg_index[c.name],
+        )
+        for cases in families.values()
+    ]
+    for lists in (unsampled_lists, failed_lists, green_lists):
         for batch in zip_longest(*lists):
             for case in batch:
                 if case is not None:

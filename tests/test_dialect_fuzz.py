@@ -361,7 +361,16 @@ TEMPLATES += [
     "list_resize([1,2],4)", "list_resize([1,2,3],2)",
     "list_select([10,20,30],[1,3])", "list_select([10],[5])",
     "list_where([10,20,30],[true,false,true])",
-    "list_sort(list_intersect([1,2,3],[2,3,4]))",
+    # UNSORTED on purpose: duckdb returns second-arg first-occurrence
+    # order ([3,1]∩[1,3] = [1,3]), which the handler reproduces — the
+    # old list_sort wrap masked a rename's order divergence
+    "list_intersect([1,2,3],[2,3,4])",
+    "list_intersect([3,1],[1,3])",
+    "list_intersect([1,1,2],[2,2,1,1])",
+    "list_intersect([1,NULL],[NULL,2])",
+    "list_intersect([1,2], NULL::int[])",
+    "list_intersect(NULL::int[], [1,2])",
+    "array_intersect([3,1],[1,3])",
     "century(DATE '2001-01-01')", "decade(DATE '2024-01-01')",
     "apply([1,2], x -> x + 1)",
     # modern duck idioms: GROUP BY ALL / ORDER BY ALL are native

@@ -3,10 +3,13 @@
     python tools/verify_all.py [--sf /root/testdata/sf0.01] [--twice]
 
 Runs entry() smoke, then every registered case against its DuckDB oracle
-(row count + column names + order-insensitive value canonicalization —
-the same gate CORRECTNESS_r{N}.json records). --twice re-runs each case
-and checks run-vs-run identity (idempotency). Exit code 0 iff everything
-matches. Run from anywhere; imports are path-independent.
+(row count + column names + order-insensitive value canonicalization,
+PLUS a driver-faithful canon check that reproduces the driver's raw-cell
+pandas sort_values — so a case whose output the driver cannot hash, e.g.
+top-level ARRAY/MAP/STRUCT columns, fails HERE too instead of shipping
+red as framework_pg8_features_model did in round 8). --twice re-runs
+each case and checks run-vs-run identity (idempotency). Exit code 0 iff
+everything matches. Run from anywhere; imports are path-independent.
 """
 
 from __future__ import annotations
