@@ -43,6 +43,15 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "mod": "try_mod",
         "fmod": "try_mod",
         "arbitrary": "any_value",
+        # round-9 same-name collision sweep (tools/probes/duck_wave9):
+        # typeof renders duckdb's type NAMES ('INTEGER'/'VARCHAR') where
+        # Spark's same-named function renders its own ('int'/'string')
+        # — silent text divergence; stats/setseed are engine
+        # introspection/state with no Spark form
+        "typeof": None, "stats": None, "setseed": None,
+        "from_hex": "unhex",
+        # hash(): loud handler in duckdb_fns.py (64-bit engine hash vs
+        # Spark's 32-bit Murmur3 — same name, different algorithm)
         "quantile_cont": "percentile",  # same linear interpolation;
                                         # the array-of-quantiles form
                                         # maps shape-identically
@@ -118,14 +127,15 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "justify_interval": None,
         "current_setting": None,        # server config introspection
         # round 8 (adversarial live-PG probes): construction/SETOF/
-        # introspection functions with no faithful Spark form. JSON
-        # constructors are loud because pg jsonb normalizes key order
-        # and renders '{"k": 1}' (space) vs to_json's '{"k":1}' — a
-        # text-form divergence wherever the document itself is the
-        # value; extraction (->>/#>>/json_extract_path_text) maps.
-        "to_json": None, "to_jsonb": None, "row_to_json": None,
-        "json_build_object": None, "jsonb_build_object": None,
-        "json_build_array": None, "jsonb_build_array": None,
+        # introspection functions with no faithful Spark form.
+        # round 9: json_agg/jsonb_agg, json(b)_build_object,
+        # json(b)_build_array and row_to_json moved to faithful
+        # scalar-form handlers (postgres_calls._pg_json_calls —
+        # spacing/key-order/NULL-on-empty pinned live on PG 15);
+        # bare to_json/to_jsonb stay loud for USER input (per-type
+        # text forms diverge) — the handler whitelists only our own
+        # emissions so fixpoint re-reads pass.
+        "to_json": None, "to_jsonb": None,
         "json_object": None, "jsonb_object": None,
         "jsonb_set": None, "jsonb_insert": None,
         "json_strip_nulls": None, "jsonb_strip_nulls": None,
@@ -157,7 +167,7 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # Spark name; pg jsonb_array_length errors on non-arrays where
         # Spark returns NULL — a pg-rejected shape, not a value seam)
         "jsonb_array_length": "json_array_length",
-        "json_agg": None, "jsonb_agg": None,   # JSON text forms differ
+        # json_agg/jsonb_agg: faithful handlers (round 9, see above)
         "json_object_agg": None, "jsonb_object_agg": None,
         "gen_random_uuid": "uuid",
         "make_time": None,              # Spark has no TIME type

@@ -166,6 +166,29 @@ def call_handlers(ctx) -> "int | None":
                     )
                 key_first = ob + 2
                 key_last = spans[0][1]
+                # consume an optional NULLS FIRST|LAST tail BEFORE the
+                # ASC/DESC check (round-9 ADVICE: the unconsumed tail
+                # leaked into min_by((x), (y NULLS LAST)) — invalid
+                # Spark — and hid a preceding DESC). NULLS LAST is
+                # duckdb's default null order, so it maps like the bare
+                # form; NULLS FIRST would make first()/last() pick a
+                # NULL-keyed row, which min_by/max_by (null-ignoring)
+                # cannot express — loud.
+                if (
+                    key_last >= key_first + 1
+                    and toks[key_last - 1][0] in _NAME_KINDS
+                    and toks[key_last - 1][1].upper() == "NULLS"
+                    and toks[key_last][0] in _NAME_KINDS
+                    and toks[key_last][1].upper() in ("FIRST", "LAST")
+                ):
+                    if toks[key_last][1].upper() == "FIRST":
+                        raise TranspileError(
+                            f"duckdb {name}(x ORDER BY y NULLS FIRST) "
+                            "selects a NULL-keyed row when one exists; "
+                            "Spark's min_by/max_by ignore NULL keys — "
+                            "no faithful rewrite"
+                        )
+                    key_last -= 2
                 desc = False
                 if (
                     toks[key_last][0] in _NAME_KINDS
@@ -273,6 +296,157 @@ def call_handlers(ctx) -> "int | None":
              f"array()))")
         )
         return close + 1
+
+    if name == "printf":
+        # duckdb printf returns NULL when ANY argument is NULL; Spark's
+        # printf renders 'null' into the string (probe: printf('%s-%s',
+        # 'a', NULL) = NULL vs 'a-null'). Bind args once in a struct and
+        # NULL-guard; the `_pf` lambda var marks our own emission so
+        # re-reads skip (args are _pf._pN dotted idents).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) >= 2:
+            own = all(
+                sp[1] == sp[0] + 2
+                and toks[sp[0]][0] in _NAME_KINDS
+                and toks[sp[0]][1] == "_pf"
+                and toks[sp[0] + 1][0] == "op" and toks[sp[0] + 1][1] == "."
+                for sp in spans[1:]
+            )
+            if not own:
+                fmt = _arg_text(spans[0])
+                binds = ", ".join(
+                    f"({_arg_text(sp)}) AS _p{k}"
+                    for k, sp in enumerate(spans[1:])
+                )
+                guard = " OR ".join(
+                    f"_pf._p{k} IS NULL" for k in range(len(spans) - 1)
+                )
+                vals = ", ".join(
+                    f"_pf._p{k}" for k in range(len(spans) - 1)
+                )
+                edits.append(
+                    (start, toks[close][3],
+                     f"element_at(transform(array(struct({binds})), "
+                     f"_pf -> CASE WHEN {guard} THEN NULL ELSE "
+                     f"printf(({fmt}), {vals}) END), 1)")
+                )
+                return close + 1
+
+    if name == "hash":
+        # probe-verified silent divergence: duckdb hash(42) =
+        # 7199933130570745587 (64-bit internal hash), Spark hash(42) =
+        # 29417773 (32-bit Murmur3) — same name, DIFFERENT algorithm,
+        # and hash values feed bucketing/sampling/fingerprint logic.
+        # No faithful mapping exists; loud with guidance.
+        raise TranspileError(
+            "duckdb hash() is a 64-bit engine-internal hash with no "
+            "Spark equivalent (Spark hash() is 32-bit Murmur3 — same "
+            "name, different values); use xxhash64()/md5() on both "
+            "sides and re-pin expectations"
+        )
+
+    if name == "columns":
+        # COLUMNS('regex') / COLUMNS(*) star expressions need the
+        # table's column list, which a textual transpiler doesn't have
+        raise TranspileError(
+            "duckdb COLUMNS(...) dynamic column selection has no "
+            "Spark star modifier; list the columns explicitly"
+        )
+
+    if name == "unnest":
+        # bare unnest(list) renames to explode (shared map); the
+        # named-argument forms change the SHAPE (recursive flattens all
+        # nesting and unpacks structs into columns; max_depth bounds
+        # it) — the name-arg tokens previously leaked into
+        # explode(a, recursive := true), a confusing parse error
+        spans, close = _call_arg_spans(toks, i + 1)
+        for s0, s1 in spans:
+            if (
+                s1 >= s0 + 2
+                and toks[s0][0] in _NAME_KINDS
+                and toks[s0][1].lower() in ("recursive", "max_depth")
+                and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == ":"
+                and toks[s0 + 2][0] == "op" and toks[s0 + 2][1] == "="
+            ):
+                raise TranspileError(
+                    "duckdb unnest(recursive := / max_depth := ...) "
+                    "has no Spark form (explode is one-level); nest "
+                    "explode calls or flatten() first"
+                )
+        return None  # plain unnest: fall through to the explode rename
+
+    if name == "len":
+        # duckdb len() is both string-length AND list-length; Spark's
+        # len is string-only (list args raise a confusing analysis
+        # error). Rewrite to size() when the argument is STATICALLY a
+        # list (literal or list-returning call); string args keep len.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            s0 = spans[0][0]
+            k0, t0 = toks[s0][0], toks[s0][1]
+            listy = (
+                (k0 == "op" and t0 == "[")
+                or (k0 in _NAME_KINDS and t0.upper() == "ARRAY")
+                or (
+                    k0 in _NAME_KINDS
+                    and s0 + 1 <= spans[0][1]
+                    and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == "("
+                    and (
+                        t0.lower().startswith("list_")
+                        or t0.lower() in (
+                            "array", "list_value", "string_split",
+                            "str_split", "string_to_array", "split",
+                            "regexp_split_to_array", "sequence",
+                            "generate_series", "range", "map_keys",
+                            "map_values", "flatten", "slice", "array_agg",
+                        )
+                    )
+                )
+            )
+            if listy:
+                edits.append(
+                    (start, toks[close][3],
+                     f"size(({_arg_text(spans[0])}))")
+                )
+                return close + 1
+
+    if name == "regexp_matches":
+        # 3-arg form: duckdb options have no Spark argument — inline
+        # the ones with exact Java-regex flag equivalents ('i', 's';
+        # 'c' is the case-sensitive default) into the pattern. The
+        # bare rename previously emitted an invalid 3-arg regexp_like.
+        # 'g' is duckdb-rejected for regexp_matches; 'l'/'m'/'n'/'p'
+        # have RE2-specific semantics with no exact Java flag — loud.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 3:
+            if not (
+                spans[2][0] == spans[2][1]
+                and toks[spans[2][0]][0] == "string"
+                and spans[1][0] == spans[1][1]
+                and toks[spans[1][0]][0] == "string"
+            ):
+                raise TranspileError(
+                    "duckdb regexp_matches(s, pat, options) needs "
+                    "literal pattern and options to transpile"
+                )
+            flags = _literal_content(toks[spans[2][0]][1], "duckdb")
+            if not set(flags) <= {"i", "c", "s"} or (
+                "i" in flags and "c" in flags
+            ):
+                raise TranspileError(
+                    f"duckdb regexp_matches option '{flags}' has no "
+                    "exact Java-regex flag; only 'i'/'c'/'s' transpile"
+                )
+            pat = _literal_content(toks[spans[1][0]][1], "duckdb")
+            prefix = "".join(f for f in ("i", "s") if f in flags)
+            if prefix:
+                pat = f"(?{prefix})" + pat
+            edits.append(
+                (start, toks[close][3],
+                 f"regexp_like(({_arg_text(spans[0])}), "
+                 f"{_spark_string_literal(pat, 'duckdb')})")
+            )
+            return close + 1
 
     if name == "list_resize":
         # pads with NULL / truncates; try_element_at(a, size+1) is an
@@ -612,6 +786,39 @@ def token_handlers(ctx) -> "int | None":
         raise TranspileError(
             "duckdb SELECT * REPLACE (...) has no Spark star "
             "modifier; list the columns explicitly"
+        )
+
+    if kind == "ident" and text.upper() == "INTERVAL":
+        # date ± INTERVAL promotes to TIMESTAMP in duckdb too (pinned:
+        # DATE '2024-01-31' + INTERVAL '1 month' is TIMESTAMP
+        # 2024-02-29 00:00:00) — shared pg/duck handler
+        from sqlmesh_spark.core.dialects.standard_edges import (
+            date_interval_promote,
+        )
+
+        nxt = date_interval_promote(ctx)
+        if nxt is not None:
+            return nxt
+
+    if (
+        kind == "ident"
+        and text.upper() in ("PIVOT", "UNPIVOT", "PIVOT_WIDER")
+        and (i == 0 or (toks[i - 1][0] == "op" and toks[i - 1][1] == "("))
+        and i + 1 < n_
+        and not (toks[i + 1][0] == "op" and toks[i + 1][1] == "(")
+    ):
+        # duckdb statement-level PIVOT t ON col USING agg (and UNPIVOT):
+        # the simplified syntax derives the pivoted column VALUES from
+        # the data at bind time — Spark's PIVOT clause (and this repo's
+        # @PIVOT macro) need the value list spelled out. Previously
+        # passed through verbatim into a confusing Spark parse error.
+        # Spark's own `FROM t PIVOT (agg FOR c IN (...))` has '(' right
+        # after the keyword and is untouched.
+        raise TranspileError(
+            f"duckdb statement-level {text.upper()} derives pivot "
+            "values from the data; Spark needs them enumerated — use "
+            "FROM t PIVOT (agg FOR col IN (values...)) or the @PIVOT "
+            "macro"
         )
 
     if (

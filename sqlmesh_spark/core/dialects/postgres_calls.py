@@ -237,6 +237,15 @@ def call_handlers(ctx) -> "int | None":
         if nxt is not None:
             return nxt
 
+    # ---- Round-9 JSON constructors — dispatched WITHOUT the
+    # first_pass gate: the to_json shape-consumer below must also fire
+    # on later fixpoint passes or the pg None-map entry for to_json
+    # would raise on our own emissions.
+    if read == "postgres":
+        nxt = _pg_json_calls(ctx)
+        if nxt is not None:
+            return nxt
+
     if (
         name == "string_agg"
         and read in ("duckdb", "postgres")
@@ -622,6 +631,84 @@ def _pg_round8_calls(ctx) -> "int | None":
             )
             return close + 1
 
+    if name == "crosstab":
+        # tablefunc crosstab('sql') derives the output COLUMNS from the
+        # data at call time — no static Spark schema exists. Previously
+        # passed through into a confusing unresolved-function error.
+        raise TranspileError(
+            "postgres crosstab() derives its output columns from the "
+            "data; Spark needs them enumerated — use PIVOT (agg FOR "
+            "col IN (values...)) or the @PIVOT macro"
+        )
+
+    if name == "cardinality":
+        # pg cardinality() counts elements across ALL dimensions of a
+        # multidimensional array (cardinality(ARRAY[[1,2],[3,4]]) = 4,
+        # live-pinned); Spark size() counts only the outer level — the
+        # bare rename was a silent halving on nested input. Statically
+        # nested constructors rewrite through flatten() (exact for 2-D);
+        # deeper nesting is loud. Non-literal operands can't be typed
+        # textually and keep the 1-D rename (documented seam: our table
+        # schemas have no nested arrays).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            s0, s1 = spans[0]
+            k0, t0 = toks[s0][0], toks[s0][1]
+            opens_outer = (
+                (k0 in _NAME_KINDS and t0.upper() == "ARRAY"
+                 and s0 + 1 <= s1
+                 and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == "[")
+                or (k0 in _NAME_KINDS and t0.lower() == "array"
+                    and s0 + 1 <= s1
+                    and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == "(")
+            )
+            if opens_outer:
+                # constructor-nesting depth: ARRAY[, array(, and bare
+                # sub-array '[' (a '[' right after '[', ',' or '(' —
+                # anywhere else '[' is a subscript) open a level; their
+                # matching closer ends it.  Plain grouping parens are
+                # tracked so closers pop the right thing.
+                stack: list[bool] = []  # True = constructor level
+                max_nest = 0
+                j = s0
+                while j <= s1:
+                    k_, t_ = toks[j][0], toks[j][1]
+                    if (
+                        k_ in _NAME_KINDS and t_.upper() == "ARRAY"
+                        and j + 1 <= s1
+                        and toks[j + 1][0] == "op"
+                        and toks[j + 1][1] in ("[", "(")
+                    ):
+                        stack.append(True)
+                        max_nest = max(max_nest, sum(stack))
+                        j += 2
+                        continue
+                    if k_ == "op" and t_ == "[":
+                        is_ctor = j > s0 and (
+                            toks[j - 1][0] == "op"
+                            and toks[j - 1][1] in ("[", ",", "(")
+                        )
+                        stack.append(is_ctor)
+                        if is_ctor:
+                            max_nest = max(max_nest, sum(stack))
+                    elif k_ == "op" and t_ == "(":
+                        stack.append(False)
+                    elif k_ == "op" and t_ in (")", "]") and stack:
+                        stack.pop()
+                    j += 1
+                if max_nest >= 3:
+                    raise TranspileError(
+                        "postgres cardinality() on a 3-D+ array "
+                        "constructor has no single-flatten Spark "
+                        "rewrite; flatten() per level explicitly"
+                    )
+                if max_nest == 2:
+                    edits.append(
+                        (start, toks[close][3],
+                         f"size(flatten({_arg_text(spans[0])}))")
+                    )
+                    return close + 1
+
     if name == "trim_array":
         # drop the last n elements; pg raises when n exceeds the
         # length or is negative (slice's clamp only shows on
@@ -729,5 +816,208 @@ def _pg_round8_calls(ctx) -> "int | None":
                 (start, toks[close][3], f"make_interval({args})")
             )
             return close + 1
+
+    return None
+
+
+def _pg_json_text(v: str) -> str:
+    """The exact JSON text of one scalar value: Spark's to_json encoder
+    over a one-element array, brackets stripped.  Handles escaping,
+    null→'null', booleans, and DECIMAL trailing zeros (to_json renders
+    1.50 as 1.50, matching pg NUMERIC) without any regex surgery on the
+    document.  The keyword-form substring re-reads untouched (the 3-arg
+    substr handler only fires on comma-separated spans)."""
+    enc = f"to_json(array(({v})))"
+    return f"substring({enc} FROM 2 FOR length({enc}) - 2)"
+
+
+def _pg_json_calls(ctx) -> "int | None":
+    """Round-9 pg JSON constructor handlers — the scalar-argument forms
+    of json_agg/jsonb_agg, json_build_object/jsonb_build_object,
+    json_build_array/jsonb_build_array, and row_to_json, previously all
+    loud.  Text forms pinned live on PG 15:
+
+      json_agg(x)                 -> [1, 2, 3]        (', ' separator)
+      jsonb_agg(x)                -> [1, 2]           (same)
+      json_build_object('a',1)    -> {"a" : 1}        (' : ', given order,
+                                                       duplicate keys kept)
+      jsonb_build_object('a',1)   -> {"a": 1}         (': ', keys sorted
+                                                       length-then-bytes,
+                                                       duplicates last-wins)
+      row_to_json(t)              -> {"a":1,"b":null}  (COMPACT — exactly
+                                                       Spark's to_json)
+
+    json_agg keeps NULL elements and yields NULL on zero rows (Spark's
+    collect_list drops both — the array_agg struct-wrap + CASE from the
+    shared handler provides the faithful base).  Aggregate documents are
+    assembled with '||' (never concat(): the pg concat NULL-skip handler
+    would rewrap the emission every pass).  Known unsupported forms stay
+    loud: ORDER BY / DISTINCT / FILTER / OVER on the aggregates,
+    non-literal object keys, ROW(...) with more than positional fields.
+    Timestamps render as to_json's ISO-with-Z vs pg's bare ISO — a
+    documented seam; keep timestamps out of JSON documents or cast.
+    Dispatched for read == postgres on EVERY pass (the to_json consumer
+    must see our own emissions)."""
+    toks, edits = ctx.toks, ctx.edits
+    sql, read = ctx.sql, ctx.read
+    i, name = ctx.i, ctx.name
+    start = ctx.start
+    _arg_text = ctx.arg_text
+    n = len(toks)
+
+    def _kw(ix):
+        return (
+            toks[ix][1].upper()
+            if ix < n and toks[ix][0] in _NAME_KINDS else ""
+        )
+
+    if name == "to_json":
+        # consume OUR emission shapes so the pg None-map entry doesn't
+        # raise on them across fixpoint passes; everything else falls
+        # through to the map's loud (pg to_json's per-type text forms
+        # diverge from Spark's encoder)
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if spans:
+            f0 = toks[spans[0][0]]
+            if f0[0] in _NAME_KINDS and f0[1].lower() in (
+                "array", "struct", "named_struct",
+            ):
+                return i + 1
+        return None
+
+    if name in ("json_agg", "jsonb_agg"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        if _kw(close + 1) in ("FILTER", "OVER") or _kw(close + 1) == "WITHIN":
+            raise TranspileError(
+                f"postgres {name}(...) FILTER/OVER has no faithful "
+                "Spark rewrite with the NULL-on-empty wrap; aggregate "
+                "plainly"
+            )
+        if len(spans) != 1:
+            raise TranspileError(f"postgres {name} takes 1 argument")
+        depth_ = 0
+        for j in range(spans[0][0], spans[0][1] + 1):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ in ("(", "["):
+                depth_ += 1
+            elif k_ == "op" and t_ in (")", "]"):
+                depth_ -= 1
+            elif depth_ == 0 and k_ in _NAME_KINDS and t_.upper() in (
+                "ORDER", "DISTINCT",
+            ):
+                raise TranspileError(
+                    f"postgres {name} with ORDER BY/DISTINCT has no "
+                    "order-preserving Spark rewrite; aggregate then "
+                    "sort explicitly"
+                )
+        x_ = _arg_text(spans[0])
+        agg = f"array_agg(struct(({x_}) AS _v))"
+        je = _pg_json_text("_s._v")
+        edits.append(
+            (start, toks[close][3],
+             f"(CASE WHEN size({agg}) = 0 THEN NULL ELSE "
+             f"'[' || array_join(transform({agg}, _s -> {je}), ', ') "
+             f"|| ']' END)")
+        )
+        return close + 1
+
+    if name in ("json_build_array", "jsonb_build_array"):
+        spans, close = _call_arg_spans(toks, i + 1)
+        if not spans:
+            edits.append((start, toks[close][3], "'[]'"))
+            return close + 1
+        body = " || ', ' || ".join(
+            _pg_json_text(_arg_text(sp)) for sp in spans
+        )
+        edits.append((start, toks[close][3], f"('[' || {body} || ']')"))
+        return close + 1
+
+    if name in ("json_build_object", "jsonb_build_object"):
+        import json as _json
+
+        spans, close = _call_arg_spans(toks, i + 1)
+        if not spans:
+            edits.append((start, toks[close][3], "'{}'"))
+            return close + 1
+        if len(spans) % 2:
+            raise TranspileError(
+                f"postgres {name} needs an even number of arguments"
+            )
+        pairs = []
+        for k in range(0, len(spans), 2):
+            ks0, ks1 = spans[k]
+            if not (ks0 == ks1 and toks[ks0][0] == "string"):
+                raise TranspileError(
+                    f"postgres {name} transpiles only with literal "
+                    "string keys (dynamic keys have no static Spark "
+                    "document form)"
+                )
+            key = _literal_content(toks[ks0][1], read)
+            pairs.append((key, _arg_text(spans[k + 1])))
+        if name == "jsonb_build_object":
+            # jsonb normalizes: duplicate keys last-wins, then sorted
+            # by byte length then bytewise (pinned live:
+            # jsonb_build_object('b',2,'a',1) = {"a": 1, "b": 2})
+            dd = {}
+            for k_, v_ in pairs:
+                dd[k_] = v_
+            pairs = sorted(
+                dd.items(),
+                key=lambda kv: (len(kv[0].encode()), kv[0].encode()),
+            )
+            colon = ": "
+        else:
+            colon = " : "
+        parts = []
+        for idx2, (k_, v_) in enumerate(pairs):
+            prefix = ("{" if idx2 == 0 else ", ") + _json.dumps(k_) + colon
+            parts.append(_spark_string_literal(prefix, read))
+            parts.append(_pg_json_text(v_))
+        edits.append(
+            (start, toks[close][3],
+             "(" + " || ".join(parts) + " || '}')")
+        )
+        return close + 1
+
+    if name == "row_to_json":
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 1
+            and spans[0][0] == spans[0][1]
+            and toks[spans[0][0]][0] in _NAME_KINDS
+        ):
+            # row/table alias: pg renders COMPACT JSON with the row's
+            # column names — exactly Spark's to_json over struct(t.*)
+            ident = toks[spans[0][0]][1]
+            edits.append(
+                (start, toks[close][3],
+                 f"to_json(struct({ident}.*), "
+                 f"map('ignoreNullFields', 'false'))")
+            )
+            return close + 1
+        if (
+            len(spans) == 1
+            and _kw(spans[0][0]) == "ROW"
+            and spans[0][0] + 1 <= spans[0][1]
+            and toks[spans[0][0] + 1][0] == "op"
+            and toks[spans[0][0] + 1][1] == "("
+        ):
+            # ROW(...) constructor: pg names the fields f1..fn
+            inner, _ic = _call_arg_spans(toks, spans[0][0] + 1)
+            fields = ", ".join(
+                f"'f{ix + 1}', ({_arg_text(sp)})"
+                for ix, sp in enumerate(inner)
+            )
+            edits.append(
+                (start, toks[close][3],
+                 f"to_json(named_struct({fields}), "
+                 f"map('ignoreNullFields', 'false'))")
+            )
+            return close + 1
+        raise TranspileError(
+            "postgres row_to_json transpiles for a row/table alias or "
+            "a ROW(...) constructor; other record expressions have no "
+            "static field names"
+        )
 
     return None

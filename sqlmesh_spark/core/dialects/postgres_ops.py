@@ -42,6 +42,56 @@ def token_handlers(ctx) -> "int | None":
     n = len(toks)
     _unused = (first_pass, is_op)
 
+    # date ± INTERVAL promotes to TIMESTAMP in pg (shared pg/duck
+    # handler — round-9 probe wave)
+    if read == "postgres" and kind == "ident" and text.upper() == "INTERVAL":
+        from sqlmesh_spark.core.dialects.standard_edges import (
+            date_interval_promote,
+        )
+
+        nxt = date_interval_promote(ctx)
+        if nxt is not None:
+            return nxt
+
+    # FOR UPDATE / FOR SHARE / FOR NO KEY UPDATE / FOR KEY SHARE row-lock
+    # clauses (+ optional OF table-list and NOWAIT / SKIP LOCKED): row
+    # locks have no observable effect on a snapshot read's RESULT, so
+    # stripping is faithful for a read-only engine (SKIP LOCKED only
+    # changes visibility under concurrent writers, which a batch Spark
+    # read has none of). Previously passed through into a Spark parse
+    # error.
+    if read == "postgres" and kind == "ident" and text.upper() == "FOR":
+        j = i + 1
+        matched = None
+        def _kw(ix):
+            return (
+                toks[ix][1].upper()
+                if ix < n and toks[ix][0] in _NAME_KINDS else ""
+            )
+        if _kw(j) in ("UPDATE", "SHARE"):
+            matched = j
+        elif _kw(j) == "NO" and _kw(j + 1) == "KEY" and _kw(j + 2) == "UPDATE":
+            matched = j + 2
+        elif _kw(j) == "KEY" and _kw(j + 1) == "SHARE":
+            matched = j + 1
+        if matched is not None:
+            j = matched + 1
+            if _kw(j) == "OF":
+                j += 1
+                while j < n and toks[j][0] in _NAME_KINDS:
+                    j += 1
+                    if j < n and toks[j][0] == "op" and toks[j][1] == ",":
+                        j += 1
+                    else:
+                        break
+                matched = j - 1
+            if _kw(j) == "NOWAIT":
+                matched = j
+            elif _kw(j) == "SKIP" and _kw(j + 1) == "LOCKED":
+                matched = j + 1
+            edits.append((start, toks[matched][3], ""))
+            return matched + 1
+
     # Postgres @-family and root prefix operators (round 8; semantics
     # pinned live on PG 15): a @> b / a <@ b array containment —
     # SET-semantics with strict equality (ARRAY[NULL] @> ARRAY[NULL]

@@ -78,6 +78,103 @@ def call_handlers(ctx) -> "int | None":
     _unused = (sql, name, kind, text, start, end, first_pass, is_op,
                _arg_text, transpile, n)
 
+    if (
+        name in ("date_trunc", "datetrunc")
+        and read in ("duckdb", "postgres")
+        and first_pass
+    ):
+        # Spark date_trunc returns NULL for ANY unit string it doesn't
+        # know — so every pg/duck unit spelling outside Spark's list
+        # ('days', 'weeks', 'milliseconds', 'yr', ... all
+        # engine-accepted) was a SILENT NULL, and decade/century/
+        # millennium don't exist in Spark at all (round-9 probe wave).
+        # Literal units normalize to Spark's spelling; the three coarse
+        # fields compute from year() with ENGINE-SPECIFIC epochs
+        # (pinned live: pg centuries start at xx01 — century(2000-06) =
+        # 1901 — while duckdb floors at xx00; pg returns TIMESTAMP,
+        # duckdb DATE). Unknown literal units are loud; non-literal
+        # unit expressions are loud too (no way to guard the NULL).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            u0, u1 = spans[0]
+            if not (u0 == u1 and toks[u0][0] == "string"):
+                raise TranspileError(
+                    f"{read} date_trunc with a non-literal unit cannot "
+                    "be checked against Spark's unit list (unknown "
+                    "units silently return NULL); inline the unit"
+                )
+            unit = _literal_content(toks[u0][1], read).strip().lower()
+            aliases = {
+                "us": "microsecond", "usec": "microsecond",
+                "usecs": "microsecond", "useconds": "microsecond",
+                "microsecond": "microsecond",
+                "microseconds": "microsecond",
+                "ms": "millisecond", "msec": "millisecond",
+                "msecs": "millisecond", "mseconds": "millisecond",
+                "millisecond": "millisecond",
+                "milliseconds": "millisecond",
+                "s": "second", "sec": "second", "secs": "second",
+                "second": "second", "seconds": "second",
+                "min": "minute", "mins": "minute",
+                "minute": "minute", "minutes": "minute",
+                "h": "hour", "hr": "hour", "hrs": "hour",
+                "hour": "hour", "hours": "hour",
+                "d": "day", "day": "day", "days": "day",
+                "w": "week", "week": "week", "weeks": "week",
+                "mon": "mon", "month": "month", "months": "month",
+                "quarter": "quarter", "quarters": "quarter",
+                "qtr": "quarter",
+                "y": "year", "yr": "year", "yrs": "year",
+                "year": "year", "years": "year",
+            }
+            coarse = {
+                "decade": 10, "decades": 10,
+                "century": 100, "centuries": 100,
+                "millennium": 1000, "millenniums": 1000,
+                "millennia": 1000,
+            }
+            x_ = _arg_text(spans[1])
+            if unit in coarse:
+                n_yrs = coarse[unit]
+                y_ = f"year(({x_}))"
+                if read == "postgres":
+                    # pg epochs: decade floors at xxx0, century/
+                    # millennium start at xx01; result is TIMESTAMP
+                    yy = (
+                        f"floor({y_} / 10) * 10" if n_yrs == 10
+                        else f"floor(({y_} - 1) / {n_yrs}) * {n_yrs} + 1"
+                    )
+                    body = (
+                        f"make_timestamp(CAST({yy} AS INT), 1, 1, 0, 0, 0)"
+                    )
+                else:
+                    # duckdb floors all three at the round number and
+                    # returns DATE
+                    body = (
+                        f"make_date(CAST(floor({y_} / {n_yrs}) "
+                        f"* {n_yrs} AS INT), 1, 1)"
+                    )
+                edits.append((start, toks[close][3], body))
+                i = close + 1
+                return i
+            if unit not in aliases:
+                raise TranspileError(
+                    f"{read} date_trunc unit {unit!r} has no Spark "
+                    "unit (Spark silently returns NULL for unknown "
+                    "units); use a standard field name"
+                )
+            canon = aliases[unit]
+            if canon != unit:
+                edits.append(
+                    (toks[u0][2], toks[u0][3],
+                     _spark_string_literal(canon, read))
+                )
+            # consume only through the unit literal: the second
+            # argument still needs this pass's scan (it may hold
+            # further pg/duck constructs)
+            i = u1 + 1
+            return i
+
     # ---- DuckDB/Postgres NULL-and-edge fidelity handlers.
     # These engines return NULL / '' / keep NULLs on edges where
     # Spark's builtins raise (ANSI), drop NULLs, or compute a
@@ -745,4 +842,114 @@ def call_handlers(ctx) -> "int | None":
             i = close + 1
             return i
 
+    return None
+
+
+def date_interval_promote(ctx) -> "int | None":
+    """pg/duckdb `date ± INTERVAL` yields TIMESTAMP (pinned live on both:
+    DATE '2024-01-31' + INTERVAL '1 month' = 2024-02-29 00:00:00
+    ::timestamp); Spark keeps DATE for year-month/day intervals — a
+    silent TYPE divergence (and a silent VALUE loss the moment a
+    sub-day component rides along a month interval, e.g. '1 month
+    2 hours').  Statically date-typed operands (DATE literal, ::date /
+    CAST(.. AS DATE), make_date(), current_date) wrap in
+    CAST(.. AS TIMESTAMP); the wrap is its own inertness marker (the
+    re-read's operand is a CAST-to-TIMESTAMP, no longer date-typed).
+    Triggered at the INTERVAL ident token from BOTH reads' token
+    handlers (round-9 probe wave finding)."""
+    toks, edits = ctx.toks, ctx.edits
+    i = ctx.i
+    n = len(toks)
+    if not (
+        toks[i][0] in _NAME_KINDS
+        and toks[i][1].upper() == "INTERVAL"
+        and i + 1 < n
+        and toks[i + 1][0] == "string"
+    ):
+        return None
+
+    def _is_date_span(first: int, last: int) -> bool:
+        t0 = toks[first]
+        if (
+            t0[0] in _NAME_KINDS and t0[1].upper() == "DATE"
+            and first + 1 == last and toks[last][0] == "string"
+        ):
+            return True  # DATE 'lit'
+        if (
+            first == last
+            and t0[0] in _NAME_KINDS
+            and t0[1].lower() == "current_date"
+        ):
+            return True
+        if (
+            t0[0] in _NAME_KINDS
+            and t0[1].lower() == "make_date"
+            and toks[last][0] == "op" and toks[last][1] == ")"
+        ):
+            return True
+        if (
+            toks[last][0] in _NAME_KINDS
+            and toks[last][1].lower() == "date"
+            and last >= 1
+            and toks[last - 1][0] == "op" and toks[last - 1][1] == "::"
+        ):
+            return True  # x::date
+        if (
+            t0[0] in _NAME_KINDS and t0[1].upper() in ("CAST", "TRY_CAST")
+            and toks[last][0] == "op" and toks[last][1] == ")"
+            and last >= 2
+            and toks[last - 1][0] in _NAME_KINDS
+            and toks[last - 1][1].lower() == "date"
+            and toks[last - 2][0] in _NAME_KINDS
+            and toks[last - 2][1].upper() == "AS"
+        ):
+            return True  # CAST(x AS DATE)
+        return False
+
+    def _wrap(first: int, last: int) -> None:
+        ls, le = toks[first][2], toks[last][3]
+        if any(e[1] >= ls and e[0] <= le for e in edits):
+            return  # overlapping same-pass edit — defer to next pass
+        edits.append((ls, ls, "CAST("))
+        edits.append((le, le, " AS TIMESTAMP)"))
+
+    from sqlmesh_spark.core.transpile_shared import (
+        _backward_primary,
+        _forward_primary,
+    )
+
+    # shape A: <date-primary> ± INTERVAL 'lit'
+    if (
+        i >= 2
+        and toks[i - 1][0] == "op" and toks[i - 1][1] in ("+", "-")
+    ):
+        first = _backward_primary(toks, i - 2, include_unary=False)
+        if (
+            first is not None
+            and toks[first][0] == "string"
+            and first >= 1
+            and toks[first - 1][0] in _NAME_KINDS
+            and toks[first - 1][1].upper() == "DATE"
+        ):
+            first -= 1  # the primary helpers don't span typed literals
+        if first is not None and _is_date_span(first, i - 2):
+            _wrap(first, i - 2)
+            return i + 2
+    # shape B: INTERVAL 'lit' + <date-primary>
+    if (
+        i + 2 < n
+        and toks[i + 2][0] == "op" and toks[i + 2][1] == "+"
+    ):
+        if (
+            i + 4 < n
+            and toks[i + 3][0] in _NAME_KINDS
+            and toks[i + 3][1].upper() == "DATE"
+            and toks[i + 4][0] == "string"
+        ):
+            span = (i + 3, i + 4)
+        else:
+            span = _forward_primary(toks, i + 3)
+        if span is not None and _is_date_span(span[0], span[1]):
+            _wrap(span[0], span[1])
+            return i + 2
     return None

@@ -577,7 +577,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # and the * REPLACE / BY NAME louds (core/dialects/duckdb_fns.py)
         if read == "duckdb" and (
             (kind == "op" and text == "{")
-            or (kind == "ident" and text.upper() in ("REPLACE", "BY"))
+            or (kind == "ident" and text.upper() in (
+                "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
+                "INTERVAL",
+            ))
         ):
             ctx.i, ctx.kind, ctx.text = i, kind, text
             ctx.start, ctx.end, ctx.name = start, end, ""

@@ -3336,3 +3336,67 @@ FROM orders WHERE o_orderkey <= 400
     )
     ctx.run(environment="env_pg8")
     return spark.table("env_pg8_views.pg_features")
+
+
+PG9_JSON_ORACLE = """
+SELECT o_orderkey AS key,
+       '{"p" : "' || o_orderpriority || '", "n" : null}' AS obj,
+       '{"a": ' || o_custkey || ', "b": ' || o_orderkey || '}' AS jobj,
+       '[' || o_orderkey || ', "' || o_orderpriority || '"]' AS jarr,
+       '[' || CAST(o_custkey AS BIGINT) || ']' AS jagg,
+       '{"k":' || o_orderkey || ',"s":"' || o_orderstatus || '"}' AS rowjson
+FROM orders WHERE o_orderkey <= 200
+"""
+
+
+@register("framework_pg9_json_model", oracle=PG9_JSON_ORACLE, tags=("dialect", "framework"))
+def framework_pg9_json_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 postgres JSON constructors end-to-end through
+    plan/apply: json_build_object (given key order, ' : ' spacing),
+    jsonb_build_object (keys sorted length-then-bytes, ': ' spacing),
+    json_build_array (', ' separators), single-element json_agg (NULL
+    elements kept, NULL on empty), and row_to_json over a subquery
+    alias (compact text). Every text form pinned against live
+    PostgreSQL 15 in tests/test_dialect_fuzz_pg.py; the DuckDB oracle
+    rebuilds the exact document strings with plain concatenation.
+    ref: the reference passes pg models through SQLGlot's dialect
+    (sqlmesh/core/dialect.py); the JSON text forms are engine-defined,
+    so faithfulness must be pinned per engine."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_pg9", "env_pg9_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_pg9.pg_json,
+  kind FULL,
+  dialect postgres
+);
+SELECT o_orderkey AS key,
+       json_build_object('p', o_orderpriority, 'n', NULL) AS obj,
+       jsonb_build_object('b', o_orderkey, 'a', o_custkey) AS jobj,
+       json_build_array(o_orderkey, o_orderpriority) AS jarr,
+       json_agg(o_custkey) AS jagg
+FROM orders WHERE o_orderkey <= 200
+GROUP BY o_orderkey, o_orderpriority, o_custkey
+"""
+    )
+    ctx.add_model(
+        """
+MODEL (
+  name demo_pg9.pg_rowjson,
+  kind FULL,
+  dialect postgres
+);
+SELECT t.k AS key, row_to_json(t) AS rowjson
+FROM (SELECT o_orderkey AS k, o_orderstatus AS s
+      FROM orders WHERE o_orderkey <= 200) t
+"""
+    )
+    ctx.run(environment="env_pg9")
+    return spark.table("env_pg9_views.pg_json").join(
+        spark.table("env_pg9_views.pg_rowjson"), "key"
+    )

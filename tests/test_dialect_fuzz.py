@@ -318,6 +318,9 @@ TEMPLATES += [
     "(SELECT first(v ORDER BY v DESC) FROM (VALUES (2),(1),(3)) t(v))",
     "(SELECT last(v ORDER BY v) FROM (VALUES (2),(1),(3)) t(v))",
     "(SELECT last(v ORDER BY v DESC) FROM (VALUES (2),(3),(1)) t(v))",
+    "(SELECT first(v ORDER BY v NULLS LAST) FROM (VALUES (2),(1),(3)) t(v))",
+    "(SELECT first(v ORDER BY v DESC NULLS LAST) FROM (VALUES (2),(1),(3)) t(v))",
+    "(SELECT last(v ORDER BY v NULLS LAST) FROM (VALUES (2),(1),(3)) t(v))",
     "(SELECT string_agg(v, ',' ORDER BY v) FROM (VALUES ('b'),('a')) t(v))",
     "struct_pack(a := 1, b := 'x').a", "struct_pack(a := 1, b := 'x').b",
     "{'a': 1, 'b': 2}.b", "{'a': {'c': 7}}.a.c",
@@ -371,6 +374,35 @@ TEMPLATES += [
     "list_intersect([1,2], NULL::int[])",
     "list_intersect(NULL::int[], [1,2])",
     "array_intersect([3,1],[1,3])",
+    # len() is list-length AND string-length in duckdb; statically-list
+    # args rewrite to size()
+    "len([1,2,3])", "len([[1,2],[3,4]])", "len('abc')",
+    "len(string_split('a,b,c', ','))",
+    "len(list_filter([1,2,3], x -> x > 1))",
+    # regexp_matches options: 'i'/'s' inline as Java flags, 'c' is the
+    # default; others are loud
+    "regexp_matches('abc', 'A', 'i')",
+    "regexp_matches('abc', 'A', 'c')",
+    "regexp_matches('a' || chr(10) || 'b', 'a.b', 's')",
+    "regexp_matches('a' || chr(10) || 'b', 'a.b', '')",
+    # date ± INTERVAL promotes to TIMESTAMP in duckdb; date_trunc's
+    # duck-only unit spellings normalize and decade/century/millennium
+    # floor at the round number returning DATE (vs pg's xx01 epochs)
+    "DATE '2024-01-31' + INTERVAL '1 month'",
+    "DATE '2024-12-31' - INTERVAL '1 day'",
+    "date_trunc('decade', DATE '2024-03-15')",
+    "date_trunc('century', DATE '1999-03-15')",
+    "date_trunc('century', DATE '2000-01-01')",
+    "date_trunc('millennium', DATE '2024-03-15')",
+    "date_trunc('days', DATE '2024-03-09')::date",
+    "date_trunc('weeks', DATE '2024-03-09')::date",
+    "date_trunc('yr', DATE '2024-03-09')::date",
+    # printf NULL-propagation (duck: ANY NULL arg → NULL result);
+    # from_hex → unhex
+    "printf('%d-%s', 7, 'x')",
+    "printf('%s-%s', 'a', NULL::varchar)",
+    "printf('%s', coalesce(NULL::varchar, 'y'))",
+    "from_hex('6162')::varchar",
     "century(DATE '2001-01-01')", "decade(DATE '2024-01-01')",
     "apply([1,2], x -> x + 1)",
     # modern duck idioms: GROUP BY ALL / ORDER BY ALL are native
@@ -495,11 +527,10 @@ def test_pinned_fuzz_divergences(spark):
     assert duckdb.sql("SELECT 3 // 2.5 AS v").fetchall()[0][0] == 1.2
     out = transpile("SELECT 3 // 2.5 AS v", "duckdb")
     assert spark.sql(out).collect()[0][0] == 1
-    # duckdb len()/length() accept LISTS; Spark's don't — loud analysis
-    # error, not a silent value (faithful-or-loud: loud)
+    # duckdb len()/length() accept LISTS; statically-list args now
+    # rewrite to size() (round 9 — previously a loud analysis error)
     out = transpile("SELECT len([1,2,3]) AS v", "duckdb")
-    with pytest.raises(Exception):
-        spark.sql(out).collect()
+    assert spark.sql(out).collect()[0][0] == 3
     # // over a DOUBLE-typed operand (duck: plain float division) is a
     # loud Spark analysis error (DIV is BIGINT-only), never silent
     out = transpile("SELECT 2 // (7 ^ 2) AS v", "duckdb")

@@ -618,6 +618,57 @@ TEMPLATES += [
     "to_char(DATE '2024-01-15' + 30, 'YYYY-MM-DD')",
 ]
 
+# round-9 JSON constructors (scalar forms — spacing, key order, NULL
+# elements and NULL-on-empty pinned live; ::text so both sides compare
+# as document STRINGS), row-lock clause strips, nested cardinality
+TEMPLATES += [
+    "(SELECT json_agg(x)::text FROM (VALUES (1),(2),(3)) t(x))",
+    "(SELECT json_agg(x)::text FROM (VALUES ('a'),('b,c')) t(x))",
+    "(SELECT json_agg(x)::text FROM (VALUES (1.50),(2.25)) t(x))",
+    "(SELECT json_agg(x)::text FROM (VALUES (NULL::int),(2)) t(x))",
+    "(SELECT json_agg(x)::text FROM (SELECT 1 AS x WHERE false) t)",
+    "(SELECT jsonb_agg(x)::text FROM (VALUES (true),(false)) t(x))",
+    "json_build_object('b', 2, 'a', 'txt')::text",
+    "jsonb_build_object('b', 2, 'a', 1)::text",
+    "jsonb_build_object('a', 1, 'a', 9)::text",
+    "jsonb_build_object('longer', 1, 'ab', 2)::text",
+    "json_build_object('a', NULL)::text",
+    "json_build_object('k', 'he said \"hi\"')::text",
+    "json_build_array(1, 'a', NULL)::text",
+    "jsonb_build_array(1.50)::text",
+    "(SELECT row_to_json(t)::text FROM (SELECT 1 AS a, NULL::int AS b) t)",
+    "row_to_json(ROW(1, 'x'))::text",
+    "(SELECT a + 1 FROM (SELECT 2 AS a) s FOR UPDATE)",
+    "(SELECT a FROM (SELECT 3 AS a) s FOR NO KEY UPDATE SKIP LOCKED)",
+    "(SELECT a FROM (SELECT 4 AS a) s FOR SHARE NOWAIT)",
+    "cardinality(ARRAY[[1,2],[3,4]])",
+    "cardinality(ARRAY[ARRAY[1,2],ARRAY[3,4],ARRAY[5,6]])",
+    "cardinality(ARRAY[1,2,3])",
+    "crosstab('select 1')",              # loud
+    "regexp_match('abc', 'a(x)?')",      # loud (optional group)
+    "extract(week from INTERVAL '15 days')",  # pg-rejected
+]
+
+# round-9 date wave: date ± INTERVAL promotes to TIMESTAMP in pg
+# (statically date-typed operands get CAST(.. AS TIMESTAMP)); Spark
+# date_trunc silently NULLs on pg's unit spellings outside its list and
+# lacks decade/century/millennium (pg epochs: centuries start at xx01)
+TEMPLATES += [
+    "(DATE '2024-01-31' + INTERVAL '1 month')::text",
+    "(DATE '2024-12-31' - INTERVAL '1 day')::text",
+    "(INTERVAL '1 day' + DATE '2024-12-31')::text",
+    "(DATE '2024-01-01' + INTERVAL '90 minutes')::text",
+    "(make_date(2024, 1, 31) + INTERVAL '1 month')::text",
+    "to_char(date_trunc('decade', DATE '2024-03-15'), 'YYYY-MM-DD')",
+    "to_char(date_trunc('decade', DATE '2009-06-01'), 'YYYY-MM-DD')",
+    "to_char(date_trunc('century', DATE '2000-06-01'), 'YYYY-MM-DD')",
+    "to_char(date_trunc('century', DATE '2024-03-15'), 'YYYY-MM-DD')",
+    "to_char(date_trunc('millennium', DATE '2000-06-01'), 'YYYY-MM-DD')",
+    "to_char(date_trunc('days', TIMESTAMP '2024-01-02 03:04:05'), 'YYYY-MM-DD HH24:MI')",
+    "to_char(date_trunc('w', TIMESTAMP '2024-01-02 03:04:05'), 'YYYY-MM-DD')",
+    "date_trunc('bogus', DATE '2024-01-01')",  # pg-rejected AND loud
+]
+
 
 # ---------------------------------------------------------------------------
 # Runner

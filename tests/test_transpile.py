@@ -3752,6 +3752,17 @@ def test_duckdb_round8_batch():
         "SELECT (SELECT sum(x) FROM t) AS v"
     assert "max_by" in t("(SELECT first(x ORDER BY k DESC) FROM t)")
     assert "min_by" in t("(SELECT last(x ORDER BY k DESC) FROM t)")
+    # NULLS LAST is duckdb's default null order — consumed, same mapping;
+    # NULLS FIRST selects a NULL-keyed row (min_by/max_by ignore NULL
+    # keys) — loud (round-9 ADVICE: the tail used to leak into
+    # min_by((x), (y NULLS LAST)), invalid Spark, and hid the DESC)
+    assert t("(SELECT first(x ORDER BY k NULLS LAST) FROM t)") == \
+        "SELECT (SELECT min_by((x), (k)) FROM t) AS v"
+    assert "max_by" in t("(SELECT first(x ORDER BY k DESC NULLS LAST) FROM t)")
+    with pytest.raises(TranspileError, match="NULLS FIRST"):
+        t("(SELECT first(x ORDER BY k NULLS FIRST) FROM t)")
+    with pytest.raises(TranspileError, match="NULLS FIRST"):
+        t("(SELECT last(x ORDER BY k DESC NULLS FIRST) FROM t)")
     assert t("struct_pack(a := 1).a") == \
         "SELECT named_struct('a', (1)).a AS v"
     assert "named_struct" in t("{'a': 1, 'b': 2}.b")
@@ -3773,6 +3784,72 @@ def test_duckdb_round8_batch():
         t("list_slice(a, -1, 2)")  # mixed-sign bounds
     with pytest.raises(TranspileError, match="offset"):
         t("time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')")
+
+
+def test_duckdb_round9_passthrough_tier():
+    """Round-9 pass-through eliminations (each previously walked through
+    verbatim into a silent wrong value or a confusing Spark error —
+    probe-verified): hash() loud (64-bit engine hash vs Spark's 32-bit
+    Murmur3), COLUMNS()/statement PIVOT/unnest(recursive :=) loud,
+    len(list) → size, regexp_matches flags inline."""
+    t = lambda s: transpile(s, "duckdb")
+    with pytest.raises(TranspileError, match="Murmur3"):
+        t("SELECT hash(42)")
+    with pytest.raises(TranspileError, match="list the columns"):
+        t("SELECT COLUMNS('l_.*') FROM t")
+    with pytest.raises(TranspileError, match="enumerated"):
+        t("PIVOT cities ON year USING sum(amount)")
+    with pytest.raises(TranspileError, match="enumerated"):
+        t("SELECT * FROM (PIVOT c ON y USING sum(a))")
+    with pytest.raises(TranspileError, match="enumerated"):
+        t("UNPIVOT m ON a, b INTO NAME x VALUE v")
+    with pytest.raises(TranspileError, match="one-level"):
+        t("SELECT unnest(a, recursive := true) FROM t")
+    with pytest.raises(TranspileError, match="no exact Java-regex flag"):
+        t("SELECT regexp_matches(s, 'A', 'g') FROM t")
+    with pytest.raises(TranspileError, match="typeof"):
+        t("SELECT typeof(42)")
+    # Spark's own PIVOT clause (paren follows) and plain identifiers
+    # named pivot are untouched
+    assert "PIVOT (sum(a)" in t("SELECT * FROM t PIVOT (sum(a) FOR y IN (1,2))")
+    assert t("SELECT pivot FROM t") == "SELECT pivot FROM t"
+    assert t("SELECT unnest(a) FROM t") == "SELECT explode(a) FROM t"
+    assert t("SELECT len([1,2])") == "SELECT size((array(1,2)))"
+    assert t("SELECT len(s) FROM t") == "SELECT len(s) FROM t"
+    assert t("SELECT regexp_matches(s, 'A', 'i') FROM t") == \
+        "SELECT regexp_like((s), '(?i)A') FROM t"
+
+
+def test_pg_round9_json_and_clause_tier():
+    """Round-9 pg constructs: JSON constructor scalar forms (text forms
+    pinned live on PG 15 — see tests/test_dialect_fuzz_pg.py for the
+    value pins), row-lock clause strip, nested-constructor cardinality,
+    crosstab loud."""
+    t = lambda s: transpile(s, "postgres")
+    out = t("SELECT json_agg(x) FROM t")
+    assert "array_agg(struct((x) AS _v))" in out and "', '" in out
+    assert "CASE WHEN size" in out  # NULL on empty input
+    assert t(out) == out  # fixpoint-stable
+    assert '\'{"a" : \'' in t("SELECT json_build_object('a', 1)")
+    # jsonb sorts keys (byte length then bytewise) and dedups last-wins
+    jb = t("SELECT jsonb_build_object('b', 2, 'a', 1)")
+    assert jb.index('"a": ') < jb.index('"b": ')
+    assert "ignoreNullFields" in t("SELECT row_to_json(t) FROM t")
+    with pytest.raises(TranspileError, match="order-preserving"):
+        t("SELECT json_agg(x ORDER BY x) FROM t")
+    with pytest.raises(TranspileError, match="literal string keys"):
+        t("SELECT json_build_object(k, 1) FROM t")
+    with pytest.raises(TranspileError):
+        t("SELECT to_json(x) FROM t")  # bare to_json stays loud
+    assert t("SELECT a FROM t FOR UPDATE") == "SELECT a FROM t "
+    assert t("SELECT a FROM t FOR NO KEY UPDATE SKIP LOCKED") == \
+        "SELECT a FROM t "
+    assert t("SELECT cardinality(ARRAY[[1,2],[3,4]])") == \
+        "SELECT size(flatten(array(array(1,2),array(3,4))))"
+    with pytest.raises(TranspileError, match="3-D"):
+        t("SELECT cardinality(ARRAY[[[1]]])")
+    with pytest.raises(TranspileError, match="enumerated"):
+        t("SELECT crosstab('select 1')")
 
 
 def test_chr_code_point_snowflake_trino():
@@ -3797,14 +3874,16 @@ def test_chr_code_point_snowflake_trino():
 
 def test_pg_hypothetical_set_and_json_agg_loud():
     """Hypothetical-set aggregates (rank(x) WITHIN GROUP — 'the rank x
-    WOULD have') and json_agg/jsonb_agg (JSON text forms differ) are
-    loud; window-form rank() keeps working. regr_* / covar_* / corr
-    pass through natively (probed value-equal on live PG 15)."""
+    WOULD have') are loud; window-form rank() keeps working. regr_* /
+    covar_* / corr pass through natively (probed value-equal on live
+    PG 15). json_agg's scalar form maps faithfully since round 9 (see
+    test_pg_round9_json_and_clause_tier); its ORDER BY form stays
+    loud."""
     with pytest.raises(TranspileError, match="hypothetical"):
         transpile(
             "SELECT rank(2) WITHIN GROUP (ORDER BY v) FROM t", "postgres")
-    with pytest.raises(TranspileError):
-        transpile("SELECT json_agg(v) FROM t", "postgres")
+    with pytest.raises(TranspileError, match="order-preserving"):
+        transpile("SELECT json_agg(v ORDER BY v) FROM t", "postgres")
     assert "OVER" in transpile(
         "SELECT rank() OVER (ORDER BY v) FROM t", "postgres")
     assert transpile(

@@ -39,8 +39,34 @@ from sqlmesh_spark.core.transpile import transpile, TranspileError  # noqa: E402
 
 _ENGINE_ERR = object()
 
+import datetime as _dt  # noqa: E402
+import re as _re  # noqa: E402
+
+#: ISO date/timestamp text as produced by pg's to_json (T separator,
+#: optional fraction, optional offset) — the comparable subset
+_ISO_RE = _re.compile(
+    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?"
+    r"(Z|[+-]\d{2}(:\d{2})?)?)?$"
+)
+
+
+def _canon_dt(v: "_dt.datetime") -> str:
+    """Canonical timestamp text: UTC conversion, tz dropped, fractional
+    seconds without trailing zeros."""
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    s = v.isoformat(sep="T")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s
+
 
 def _norm(v):
+    """Round-9 fix (prior round's methodology hole): date / datetime /
+    bytes now normalize, so the to_char / date-arithmetic surface is
+    probeable — pg values arrive as JSON text while Spark returns Python
+    objects, which auto-flagged every date-valued expression WRONG
+    (e.g. DATE '2026-01-31' + 1 with equal values)."""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -58,6 +84,23 @@ def _norm(v):
         return v
     if isinstance(v, int):
         return round(float(v), 6) if abs(v) < 2**52 else v
+    if isinstance(v, _dt.datetime):
+        return _canon_dt(v)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        # pg renders bytea as the \x-hex text form
+        return "\\x" + v.hex()
+    if isinstance(v, str):
+        if _ISO_RE.match(v):
+            if len(v) == 10:
+                return v  # bare date, already canonical
+            try:
+                return _canon_dt(_dt.datetime.fromisoformat(
+                    v.replace("Z", "+00:00")))
+            except ValueError:  # pragma: no cover
+                return v
+        return v
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
