@@ -615,17 +615,42 @@ def call_handlers(ctx) -> "int | None":
         args = [sp[0] for sp in spans_]
         if len(args) == 2 and toks[args[1]][0] == "string" \
                 and spans_[1][0] == spans_[1][1]:
+            from sqlmesh_spark.core.transpile_text import (
+                convert_pg_tochar_segments,
+            )
+
             fmt_lit = toks[args[1]][1]
-            converted = convert_pg_format(
-                fmt_lit[1:-1].replace("''", "'"), formatting=True
+            segs = convert_pg_tochar_segments(
+                fmt_lit[1:-1].replace("''", "'")
             )
-            edits.append((start, end, "date_format"))
+            if all(kind_ == "pat" for kind_, _ in segs) and len(segs) <= 1:
+                converted = segs[0][1] if segs else ""
+                edits.append((start, end, "date_format"))
+                edits.append(
+                    (toks[args[1]][2], toks[args[1]][3],
+                     _spark_string_literal(converted, read))
+                )
+                i += 1
+                return i
+            # name fields Java patterns can't express (padded DAY/
+            # MONTH, lowercase dy/mon/am) — piece the output together
+            # with '||' (concat() would be rewrapped by the pg
+            # NULL-skip handler on re-read)
+            x_ = _arg_text(spans_[0])
+            pieces = []
+            for kind_, val in segs:
+                if kind_ == "pat":
+                    pieces.append(
+                        f"date_format(({x_}), "
+                        f"{_spark_string_literal(val, read)})"
+                    )
+                else:
+                    pieces.append(val.format(x=f"({x_})"))
             edits.append(
-                (toks[args[1]][2], toks[args[1]][3],
-                 _spark_string_literal(converted, read))
+                (start, toks[_close_][3],
+                 "(" + " || ".join(pieces) + ")")
             )
-            i += 1
-            return i
+            return _close_ + 1
         raise TranspileError("to_char needs a literal format to transpile")
 
     if name in ("string_to_array", "str_split", "string_split") and read in (

@@ -205,8 +205,9 @@ _PG_CASED_NAMES = {"MON": "Mon", "DY": "Dy", "AM": ("AM", "PM"),
 
 
 def _convert_pg_like_format(
-    fmt: str, allow_ff: bool, formatting: bool = False
-) -> str:
+    fmt: str, allow_ff: bool, formatting: bool = False,
+    segments: bool = False,
+):
     """Shared Postgres-style pattern scan (longest-first _PG_FMT table,
     numeric-pattern guard, loud on unmapped alpha). ``allow_ff`` adds
     Snowflake's ``FF[0-9]`` fractional-seconds prefix case.
@@ -222,6 +223,24 @@ def _convert_pg_like_format(
             "patterns transpile to date_format"
         )
     out: list[str] = []
+    segs: list = []
+
+    def _flush_pat() -> None:
+        if out:
+            segs.append(("pat", "".join(out)))
+            out.clear()
+
+    def _case_of(src: str) -> "str | None":
+        """'upper' / 'lower' / 'cap' by the source spelling (pg prints
+        name tokens case-following-pattern), None for mixed salads."""
+        if src.isupper():
+            return "upper"
+        if src.islower():
+            return "lower"
+        if src[:1].isupper() and src[1:].islower():
+            return "cap"
+        return None
+
     i = 0
     n = len(fmt)
     while i < n:
@@ -244,6 +263,19 @@ def _convert_pg_like_format(
                     if pat in ("DAY", "MONTH", "DY", "MON") and not (
                         src[:1].isupper() and src[1:].islower()
                     ):
+                        case = _case_of(src)
+                        if segments and case in ("upper", "lower"):
+                            # FMDAY/FMday etc: unpadded name, case
+                            # follows the pattern — a case wrap around
+                            # the single-field date_format
+                            _flush_pat()
+                            segs.append((
+                                "wrap",
+                                f"{case}(date_format({{x}}, "
+                                f"'{_PG_FM_FMT[pat]}'))",
+                            ))
+                            i += 2 + len(pat)
+                            break
                         raise TranspileError(
                             f"pg to_char prints FM{pat} case-following-"
                             "pattern; Spark's names are capitalized — "
@@ -261,6 +293,21 @@ def _convert_pg_like_format(
             if fmt[i : i + len(pat)].upper() == pat:
                 src = fmt[i : i + len(pat)]
                 if formatting and pat in ("DAY", "MONTH"):
+                    case = _case_of(src)
+                    if segments and case is not None:
+                        # pg space-pads DAY/MONTH to 9 chars and the
+                        # case follows the pattern (pinned live:
+                        # 'Day' → 'Saturday ', 'MONTH' → 'MAY      ');
+                        # English names never exceed 9, so rpad is
+                        # exact
+                        _flush_pat()
+                        code = {"DAY": "EEEE", "MONTH": "MMMM"}[pat]
+                        df = f"date_format({{x}}, '{code}')"
+                        if case != "cap":
+                            df = f"{case}({df})"
+                        segs.append(("wrap", f"rpad({df}, 9, ' ')"))
+                        i += len(pat)
+                        break
                     raise TranspileError(
                         f"pg to_char space-pads {pat} to 9 characters; "
                         f"Spark does not — use FM{pat.capitalize()} "
@@ -271,6 +318,19 @@ def _convert_pg_like_format(
                     ok = src in want if isinstance(want, tuple) \
                         else src == want
                     if not ok:
+                        case = _case_of(src)
+                        if segments and case in ("upper", "lower") and (
+                            not (isinstance(want, tuple) and case == "upper")
+                        ):
+                            # 'DY'→'SAT' / 'mon'→'mar' / 'am'→'pm':
+                            # case-wrap the single-field date_format
+                            # ('AM'/'PM' uppercase ARE Java's output —
+                            # excluded above, they map natively)
+                            _flush_pat()
+                            df = f"date_format({{x}}, '{rep}')"
+                            segs.append(("wrap", f"{case}({df})"))
+                            i += len(pat)
+                            break
                         raise TranspileError(
                             f"pg to_char prints {pat} case-following-"
                             "pattern; Spark's output is fixed — "
@@ -298,6 +358,9 @@ def _convert_pg_like_format(
                 )
             out.append(c)
             i += 1
+    if segments:
+        _flush_pat()
+        return segs
     return "".join(out)
 
 
@@ -348,6 +411,21 @@ def convert_pg_format(fmt: str, formatting: bool = False) -> str:
     pg parses names case-insensitively and a Java case mismatch is a
     loud runtime parse error, never a silent value."""
     return _convert_pg_like_format(fmt, allow_ff=False, formatting=formatting)
+
+
+def convert_pg_tochar_segments(fmt: str) -> list:
+    """to_char pattern → list of ('pat', java_pattern) / ('wrap',
+    template-with-{x}) segments.  The wrap segments carry the name
+    fields Java patterns cannot express: pg space-pads DAY/MONTH to 9
+    characters and prints EVERY name token case-following-pattern
+    ('DAY' → 'SATURDAY ', 'day' → 'saturday ', 'mon' → 'mar', 'am' →
+    'pm' — all pinned live on PG 15), so those become
+    rpad/upper/lower wraps around single-field date_format calls.  A
+    caller joins the pieces with '||' (never concat(): the pg concat
+    NULL-skip handler would rewrap the emission)."""
+    return _convert_pg_like_format(
+        fmt, allow_ff=False, formatting=True, segments=True
+    )
 
 
 def convert_sf_format(fmt: str) -> str:

@@ -669,6 +669,25 @@ TEMPLATES += [
     "date_trunc('bogus', DATE '2024-01-01')",  # pg-rejected AND loud
 ]
 
+# round-9 to_char name-field segments: pg space-pads DAY/MONTH to 9
+# chars and prints every name token case-following-pattern — Java
+# patterns can't express either, so the converter emits ||-joined
+# rpad/upper/lower wraps around single-field date_format calls
+TEMPLATES += [
+    f"to_char({TS}, 'DAY')",
+    f"to_char({TS}, 'Day')",
+    f"to_char({TS}, 'day')",
+    f"to_char({TS}, 'MONTH')",
+    f"to_char({TS}, 'month')",
+    f"to_char({TS}, 'dy mon')",
+    f"to_char({TS}, 'DY MON')",
+    f"to_char({TS}, 'HH12:MI am')",
+    "to_char(TIMESTAMP '2024-03-09 05:04:05', 'am AM')",
+    f"to_char({TS}, 'Day, DD Month YYYY')",
+    f"to_char({TS}, 'FMDAY FMmonth')",
+    f"to_char({TS}, 'FMday FMMONTH')",
+]
+
 
 # ---------------------------------------------------------------------------
 # Runner

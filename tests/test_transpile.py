@@ -3434,9 +3434,17 @@ def test_pg_to_char_case_padding_and_intervals(spark):
     assert (row.a, row.b, row.c) == ("Saturday", "Mar Sat", "9 03")
     assert row.d == 5400.0
     assert row.e == "2024-03-09 15:00:00"
-    for bad in ("'Day'", "'DY'", "'MON'", "'am'"):
-        with pytest.raises(TranspileError):
-            transpile(f"SELECT to_char(ts, {bad}) FROM t", "postgres")
+    # round 9: the padded/cased name fields map through ||-joined
+    # rpad/upper/lower segments (value-pinned live in
+    # tests/test_dialect_fuzz_pg.py); only mixed-case salads stay loud
+    assert "rpad(date_format((ts), 'EEEE'), 9, ' ')" in transpile(
+        "SELECT to_char(ts, 'Day') FROM t", "postgres")
+    assert "upper(date_format((ts), 'EEE'))" in transpile(
+        "SELECT to_char(ts, 'DY') FROM t", "postgres")
+    assert "lower(date_format((ts), 'a'))" in transpile(
+        "SELECT to_char(ts, 'am') FROM t", "postgres")
+    with pytest.raises(TranspileError):
+        transpile("SELECT to_char(ts, 'DaY') FROM t", "postgres")
     # parsing direction stays tolerant (to_timestamp case mismatch is a
     # loud runtime parse error, not a silent value)
     assert "MMM" in transpile(
