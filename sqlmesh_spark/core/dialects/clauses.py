@@ -31,6 +31,31 @@ def token_handlers(ctx) -> "int | None":
     n = len(toks)
     _unused = (sql, first_pass, is_op, _arg_text, transpile)
 
+    # aggregate FILTER (WHERE ..) OVER (..): Spark supports FILTER on
+    # plain aggregates but rejects the windowed combination at RUNTIME
+    # ("Window aggregate function with filter predicate is not
+    # supported yet") — loud at render time instead (round-9 window
+    # probe wave; the array_agg handler already louds its own case)
+    if (
+        kind == "ident"
+        and text.upper() == "FILTER"
+        and i + 1 < n
+        and toks[i + 1][0] == "op" and toks[i + 1][1] == "("
+    ):
+        from sqlmesh_spark.core.transpile_shared import _call_arg_spans
+
+        fclose = _call_arg_spans(toks, i + 1)[1]
+        if (
+            fclose + 1 < n
+            and toks[fclose + 1][0] in _NAME_KINDS
+            and toks[fclose + 1][1].upper() == "OVER"
+        ):
+            raise TranspileError(
+                "aggregate FILTER (WHERE ...) OVER a window is not "
+                "executable on Spark (runtime 'not supported yet'); "
+                "move the predicate into a CASE inside the aggregate"
+            )
+
     # ANSI/Oracle/Postgres row-limiting clauses Spark lacks:
     #   OFFSET m ROWS [FETCH FIRST|NEXT n ROWS|ROW ONLY] → LIMIT n OFFSET m
     #   FETCH FIRST|NEXT n ROWS|ROW ONLY → LIMIT n

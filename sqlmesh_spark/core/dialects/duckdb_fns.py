@@ -788,6 +788,24 @@ def token_handlers(ctx) -> "int | None":
             "modifier; list the columns explicitly"
         )
 
+    if (
+        kind == "ident"
+        and text.upper() == "EXCLUDE"
+        and not (i > 0 and toks[i - 1][0] == "op" and toks[i - 1][1] == "*")
+        and i + 1 < n_
+        and toks[i + 1][0] in _NAME_KINDS
+        and toks[i + 1][1].upper() in ("CURRENT", "GROUP", "TIES", "NO")
+    ):
+        # window frame EXCLUDE clause (duckdb supports it like pg 11+);
+        # Spark frames have no exclusion — loud before a raw parse
+        # error. (`* EXCLUDE (...)` star modifiers rewrite to EXCEPT in
+        # the main walker and never reach here.)
+        raise TranspileError(
+            "window frame EXCLUDE clauses have no Spark analog; "
+            "re-express by subtracting the excluded rows' "
+            "contribution explicitly"
+        )
+
     if kind == "ident" and text.upper() == "INTERVAL":
         # date ± INTERVAL promotes to TIMESTAMP in duckdb too (pinned:
         # DATE '2024-01-31' + INTERVAL '1 month' is TIMESTAMP

@@ -420,7 +420,12 @@ def call_handlers(ctx) -> "int | None":
         # GROUP syntax. (An array-of-quantiles argument emits an
         # analysis error: loud.) Value-exact; the result dtype is
         # DOUBLE where duckdb returns the element type — statically
-        # untypeable, documented seam.
+        # untypeable, documented seam. Related pinned seam (round-9
+        # agg wave): duck percentile_cont/quantile_cont over
+        # DECIMAL(p,s) input TRUNCATES the interpolated value to scale
+        # s (1.75 → 1.7) where Spark (and pg) interpolate in DOUBLE —
+        # also statically untypeable for columns; cast the order key
+        # ::double for exact parity.
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) != 2:
             raise TranspileError(f"{name} takes (value, quantile)")

@@ -457,7 +457,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # idents (OFFSET/FETCH/TOP/ORDER/QUALIFY) are matched by no
         # other walker block, so scan semantics are unchanged.
         if kind == "ident" and text.upper() in (
-            "OFFSET", "FETCH", "TOP", "ORDER", "QUALIFY"
+            "OFFSET", "FETCH", "TOP", "ORDER", "QUALIFY", "FILTER"
         ):
             ctx.i, ctx.kind, ctx.text = i, kind, text
             ctx.start, ctx.end, ctx.name = start, end, ""
@@ -579,7 +579,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             (kind == "op" and text == "{")
             or (kind == "ident" and text.upper() in (
                 "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
-                "INTERVAL",
+                "INTERVAL", "EXCLUDE",
             ))
         ):
             ctx.i, ctx.kind, ctx.text = i, kind, text

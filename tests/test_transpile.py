@@ -3817,6 +3817,22 @@ def test_duckdb_round9_passthrough_tier():
         t("SELECT regexp_matches(s, 'A', 'g') FROM t")
     with pytest.raises(TranspileError, match="typeof"):
         t("SELECT typeof(42)")
+    # round-9 window wave: frame EXCLUDE is loud on the duck read too
+    # (was pg-only — dispatch-gate mismatch), and aggregate FILTER
+    # OVER a window louds at render time for every read (Spark rejects
+    # it at RUNTIME with 'not supported yet')
+    with pytest.raises(TranspileError, match="EXCLUDE"):
+        t("SELECT sum(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING "
+          "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t")
+    assert "EXCEPT" in t("SELECT * EXCLUDE (b) FROM t")
+    for read in ("duckdb", "postgres", "trino"):
+        with pytest.raises(TranspileError, match="CASE inside"):
+            transpile(
+                "SELECT count(*) FILTER (WHERE v > 1) "
+                "OVER (ORDER BY v) FROM t", read)
+    # plain FILTER (no window) keeps working — Spark supports it
+    assert "FILTER" in transpile(
+        "SELECT count(*) FILTER (WHERE v > 1) FROM t", "postgres")
     # Spark's own PIVOT clause (paren follows) and plain identifiers
     # named pivot are untouched
     assert "PIVOT (sum(a)" in t("SELECT * FROM t PIVOT (sum(a) FOR y IN (1,2))")
