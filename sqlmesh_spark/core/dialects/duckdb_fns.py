@@ -806,6 +806,90 @@ def token_handlers(ctx) -> "int | None":
             "contribution explicitly"
         )
 
+    if (
+        kind == "ident"
+        and text.lower() in (
+            "int2", "int4", "int8", "float4", "float8", "real",
+            "bool", "boolean", "numeric", "decimal", "text",
+            "varchar", "json", "uuid", "smallint", "integer", "bigint",
+        )
+        and i + 1 < n_
+        and toks[i + 1][0] == "string"
+    ):
+        # duckdb typed-literal spellings (numeric '12.34', bool 't',
+        # int4 '2'... — all verified accepted) re-spell as '::' casts
+        # so the duck cast machinery applies (bare numeric →
+        # DECIMAL(18,3), string→int rounding, 0x folds). Previously
+        # passed through into Spark's UNSUPPORTED_TYPED_LITERAL.
+        lit = toks[i + 1][1]
+        if not any(
+            e[1] >= start and e[0] <= toks[i + 1][3] for e in edits
+        ):
+            edits.append(
+                (start, toks[i + 1][3], f"({lit}::{text.lower()})")
+            )
+            return i + 2
+
+    if kind == "op" and text == "::":
+        # duckdb DECIMAL→DECIMAL rescale TRUNCATES toward zero
+        # (1.29::numeric(5,1) = 1.2, -1.25 → -1.2 — pinned; not a
+        # tie-rounding nuance: every dropped digit diverges from
+        # Spark's half-up CAST). Statically provable for decimal
+        # LITERAL castees — quantize at transpile time. Decimal-typed
+        # COLUMNS keep the pass-through (documented seam, same class
+        # as untyped int division). double→decimal rescale ROUNDS in
+        # duck and matches Spark natively.
+        j = i + 1
+        if (
+            j + 1 < n_
+            and toks[j][0] in _NAME_KINDS
+            and toks[j][1].lower() in ("numeric", "decimal")
+            and toks[j + 1][0] == "op" and toks[j + 1][1] == "("
+        ):
+            spans, close = _call_arg_spans(toks, j + 1)
+            lit = None
+            first_tok = None
+            if i >= 1 and toks[i - 1][0] == "number":
+                lit = toks[i - 1][1]
+                first_tok = i - 1
+            elif (
+                i >= 4
+                and toks[i - 1][0] == "op" and toks[i - 1][1] == ")"
+                and toks[i - 2][0] == "number"
+                and toks[i - 3][0] == "op" and toks[i - 3][1] in ("-", "+")
+                and toks[i - 4][0] == "op" and toks[i - 4][1] == "("
+            ):
+                sign = "-" if toks[i - 3][1] == "-" else ""
+                lit = sign + toks[i - 2][1]
+                first_tok = i - 4
+            if (
+                lit is not None
+                and "." in lit
+                and "e" not in lit.lower()
+                and len(spans) == 2
+                and all(
+                    sp[0] == sp[1] and toks[sp[0]][0] == "number"
+                    for sp in spans
+                )
+                and not any(
+                    e[1] >= toks[first_tok][2] and e[0] <= toks[close][3]
+                    for e in edits
+                )
+            ):
+                from decimal import ROUND_DOWN, Decimal
+
+                p_ = int(toks[spans[0][0]][1])
+                s_ = int(toks[spans[1][0]][1])
+                q = Decimal(lit).quantize(
+                    Decimal(1).scaleb(-s_), rounding=ROUND_DOWN
+                )
+                if len(str(q).lstrip("-").replace(".", "")) <= p_:
+                    edits.append(
+                        (toks[first_tok][2], toks[close][3],
+                         f"CAST({q} AS DECIMAL({p_},{s_}))")
+                    )
+                    return close + 1
+
     if kind == "ident" and text.upper() == "INTERVAL":
         # date ± INTERVAL promotes to TIMESTAMP in duckdb too (pinned:
         # DATE '2024-01-31' + INTERVAL '1 month' is TIMESTAMP

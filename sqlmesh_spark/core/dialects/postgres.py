@@ -63,37 +63,84 @@ def token_handlers(ctx) -> "int | None":
     # blocking it left chains half-converted (`7/2/2` stabilized as
     # `7 DIV 2/2` = 1.5 in Spark where pg gives 1; chain rewrites
     # land one `/` per fixpoint pass via the pending-edit defer).
-    if (
-        read == "postgres"
-        and kind == "op"
-        and text == "/"
-        and i > 0
-        and toks[i - 1][0] == "number"
-        and toks[i - 1][1].isdigit()
-        and not (
-            i >= 2
-            and toks[i - 2][0] == "op"
-            and toks[i - 2][1] in ("*", "/", "%", "^", "::")
-        )
-    ):
-        j = i + 1
-        while j < n and toks[j][0] == "op" and toks[j][1] in ("+", "-"):
-            j += 1
+    if read == "postgres" and kind == "op" and text == "/" and i > 0:
+        int_ts = {
+            "int", "int2", "int4", "int8", "integer", "bigint",
+            "smallint",
+        }
+        lhs_ok = False
+        lhs_start = None
         if (
-            j < n
-            and toks[j][0] == "number"
-            and toks[j][1].isdigit()
+            toks[i - 1][0] == "number"
+            and toks[i - 1][1].isdigit()
             and not (
-                j + 1 < n
-                and toks[j + 1][0] == "op"
-                and toks[j + 1][1] in ("^", "::", "[", ".")
+                i >= 2
+                and toks[i - 2][0] == "op"
+                and toks[i - 2][1] in ("*", "/", "%", "^", "::")
             )
-            and not any(e[1] >= toks[i - 1][2] and e[0] <= toks[j][3]
-                        for e in edits)
         ):
-            edits.append((start, end, " DIV "))
-            i = j + 1
-            return i
+            lhs_ok = True
+            lhs_start = i - 1
+        elif (
+            toks[i - 1][0] in _NAME_KINDS
+            and toks[i - 1][1].lower() in int_ts
+            and i >= 2
+            and toks[i - 2][0] == "op"
+            and toks[i - 2][1] == "::"
+        ):
+            # x::bigint / y — the cast makes the LHS statically
+            # integer-typed (round-9 numeric wave: the float-division
+            # pass-through gave -9.2e18 for bigint-overflow division);
+            # the primary's PRECEDING token must not be a
+            # tighter-or-equal operator (in `a * b::int / 2` the
+            # division's real LHS is the product, type unknown)
+            first = _backward_primary(toks, i - 1, include_unary=False)
+            if first is not None and not (
+                first >= 1
+                and toks[first - 1][0] == "op"
+                and toks[first - 1][1] in ("*", "/", "%", "^")
+            ):
+                lhs_ok = True
+                lhs_start = first
+        if lhs_ok:
+            j = i + 1
+            while j < n and toks[j][0] == "op" and toks[j][1] in ("+", "-"):
+                j += 1
+            rhs_end = None
+            if (
+                j < n
+                and toks[j][0] == "number"
+                and toks[j][1].isdigit()
+                and not (
+                    j + 1 < n
+                    and toks[j + 1][0] == "op"
+                    and toks[j + 1][1] in ("^", "::", "[", ".")
+                )
+            ):
+                rhs_end = j
+            else:
+                span = _forward_primary(toks, i + 1)
+                if (
+                    span is not None
+                    and toks[span[1]][0] in _NAME_KINDS
+                    and toks[span[1]][1].lower() in int_ts
+                    and span[1] >= 1
+                    and toks[span[1] - 1][0] == "op"
+                    and toks[span[1] - 1][1] == "::"
+                    and not (
+                        span[1] + 1 < n
+                        and toks[span[1] + 1][0] == "op"
+                        and toks[span[1] + 1][1] in ("^", "[", ".")
+                    )
+                ):
+                    rhs_end = span[1]
+            if rhs_end is not None and not any(
+                e[1] >= toks[lhs_start][2] and e[0] <= toks[rhs_end][3]
+                for e in edits
+            ):
+                edits.append((start, end, " DIV "))
+                i = rhs_end + 1
+                return i
 
 
     # Postgres SELECT DISTINCT ON (k, ...) — keep the FIRST row per

@@ -631,6 +631,26 @@ def _pg_round8_calls(ctx) -> "int | None":
             )
             return close + 1
 
+    if name == "round":
+        # pg round(float8) is round-half-EVEN (round(2.5::float8) = 2,
+        # pinned live — the numeric overload is half-away); Spark's
+        # round() is half-up for doubles, so statically float-typed
+        # arguments need bround. (The 2-arg form is numeric-only in pg
+        # — no float path.) Mirrors the ::int castee bround seam.
+        from sqlmesh_spark.core.transpile_types import (
+            _float_typed_castee,
+        )
+
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1 and _float_typed_castee(
+            toks, spans[0][0], spans[0][1]
+        ):
+            edits.append(
+                (start, toks[close][3],
+                 f"bround(({_arg_text(spans[0])}))")
+            )
+            return close + 1
+
     if name == "crosstab":
         # tablefunc crosstab('sql') derives the output COLUMNS from the
         # data at call time — no static Spark schema exists. Previously

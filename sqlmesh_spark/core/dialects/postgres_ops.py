@@ -489,6 +489,14 @@ def token_handlers(ctx) -> "int | None":
         except ArithmeticError:
             expanded = None
         if expanded is not None and len(expanded) <= 64:
+            if "." not in expanded and len(expanded.lstrip("-")) <= 38:
+                # INTEGRAL exponent literals must stay NUMERIC-typed: a
+                # bare digit expansion made `1e0 / 3` integer division
+                # (0 instead of pg's 0.333…, round-9 numeric wave). A
+                # DECIMAL(38,0) cast keeps exact arithmetic AND the
+                # scale-0 rendering ('1e0'::text is '1' in pg — casting
+                # the decimal to STRING renders '1', not '1.0').
+                expanded = f"CAST({expanded} AS DECIMAL(38,0))"
             edits.append((start, end, expanded))
             i += 1
             return i

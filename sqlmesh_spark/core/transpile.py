@@ -288,8 +288,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         ):
             span = _forward_primary(toks, i + 1)
             if span is not None:
+                last = span[1]
+                if (
+                    toks[last][0] in _NAME_KINDS
+                    and last + 1 < n
+                    and toks[last + 1][0] == "string"
+                ):
+                    # typed-literal divisor (int4 '2') — the primary
+                    # helpers don't span typed literals; wrapping only
+                    # the type name orphaned the string
+                    last += 1
                 ps = toks[span[0]][2]
-                pe = toks[span[1]][3]
+                pe = toks[last][3]
                 k0 = span[0]
                 while toks[k0][0] == "op" and toks[k0][1] in ("+", "-", "~"):
                     k0 += 1
@@ -576,10 +586,20 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # ---- DuckDB struct/map literal syntax ({'k': v}, MAP {k: v})
         # and the * REPLACE / BY NAME louds (core/dialects/duckdb_fns.py)
         if read == "duckdb" and (
-            (kind == "op" and text == "{")
-            or (kind == "ident" and text.upper() in (
-                "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
-                "INTERVAL", "EXCLUDE",
+            (kind == "op" and text in ("{", "::"))
+            or (kind == "ident" and (
+                text.upper() in (
+                    "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
+                    "INTERVAL", "EXCLUDE",
+                )
+                # duck typed-literal spellings (ident followed by a
+                # string literal re-spells to a '::' cast)
+                or text.lower() in (
+                    "int2", "int4", "int8", "float4", "float8", "real",
+                    "bool", "boolean", "numeric", "decimal", "text",
+                    "varchar", "json", "uuid", "smallint", "integer",
+                    "bigint",
+                )
             ))
         ):
             ctx.i, ctx.kind, ctx.text = i, kind, text

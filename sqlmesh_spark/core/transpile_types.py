@@ -756,6 +756,20 @@ def _maybe_round_castee(
         return  # integer literal — identity
     if lf == end_idx and toks[lf][0] == "string" and read == "postgres":
         return  # pg rejects fractional strings; Spark ANSI raises too
+    if lf == end_idx and toks[lf][0] == "string" and read == "duckdb":
+        # duckdb integer casts accept 0x-hex and 0b-binary STRING
+        # literals ('0x1A'::int = 26, pinned; signed forms and float
+        # casts are duck-rejected) — Spark's cast (and round()) choke
+        # on them, so fold the literal statically
+        import re as _re
+
+        inner = toks[lf][1][1:-1]
+        if _re.fullmatch(r"0[xX][0-9a-fA-F]+", inner):
+            edits.append((ls, le, str(int(inner, 16))))
+            return
+        if _re.fullmatch(r"0[bB][01]+", inner):
+            edits.append((ls, le, str(int(inner, 2))))
+            return
     if lf == end_idx and toks[lf][0] in _NAME_KINDS and \
             toks[lf][1].upper() in ("TRUE", "FALSE"):
         return  # boolean literal: bool::int is 1/0 natively (round

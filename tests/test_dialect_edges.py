@@ -297,14 +297,17 @@ def test_pinned_cast_rounding_divergence(spark):
     assert spark.sql(sq3).collect()[0][0] == 2  # faithful: half-even both
     # (c) duckdb DECIMAL scale-reduction TRUNCATES toward zero
     # (123.4567::DECIMAL(18,3) = 123.456, 1.995::DECIMAL(10,2) = 1.99 —
-    # verified live) where Spark and pg ROUND half-up. Statically
-    # unknowable whether a reduction occurs; SQLGlot (and the
-    # reference) pass the cast through — documented divergence.
+    # verified live) where Spark and pg ROUND half-up. Round 9: decimal
+    # LITERAL castees now quantize STATICALLY (ROUND_DOWN) so the
+    # provable case is faithful; only decimal-typed COLUMN castees keep
+    # the pass-through divergence (statically invisible — SQLGlot and
+    # the reference pass those through identically).
     assert duckdb.sql(
         "SELECT 123.4567::DECIMAL(18,3)"
     ).fetchall()[0][0] == decimal.Decimal("123.456")
     sqd = transpile("SELECT 123.4567::DECIMAL(18,3) AS v", "duckdb")
-    assert spark.sql(sqd).collect()[0][0] == decimal.Decimal("123.457")
+    assert "CAST(123.456 AS DECIMAL(18,3))" in sqd
+    assert spark.sql(sqd).collect()[0][0] == decimal.Decimal("123.456")
     # big integers survive the wrap exactly (round is type-preserving)
     sq4 = transpile("SELECT CAST(x AS BIGINT) AS v FROM (SELECT CAST(9007199254740993 AS BIGINT) AS x)", "duckdb")
     assert spark.sql(sq4).collect()[0][0] == 9007199254740993

@@ -403,6 +403,18 @@ TEMPLATES += [
     "printf('%s-%s', 'a', NULL::varchar)",
     "printf('%s', coalesce(NULL::varchar, 'y'))",
     "from_hex('6162')::varchar",
+    # duck decimal-literal rescale truncates toward zero (static
+    # quantize); 0x/0b string-literal int casts fold; typed-literal
+    # spellings re-spell to :: casts
+    "1.25::numeric(5,1)",
+    "(-1.29)::numeric(5,1)",
+    "1.99::decimal(5,1)",
+    "123.4567::decimal(18,3)",
+    "'0x1A'::int",
+    "'0b101'::bigint",
+    "numeric '12.34'",
+    "int4 '7' / int4 '2'",
+    "bool 't'",
     "century(DATE '2001-01-01')", "decade(DATE '2024-01-01')",
     "apply([1,2], x -> x + 1)",
     # modern duck idioms: GROUP BY ALL / ORDER BY ALL are native

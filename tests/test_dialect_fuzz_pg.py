@@ -688,6 +688,22 @@ TEMPLATES += [
     f"to_char({TS}, 'FMday FMMONTH')",
 ]
 
+# round-9 numeric wave: integral exponent literals stay NUMERIC-typed
+# (1e0 / 3 was integer division), round(float8) is half-EVEN in pg,
+# int-cast operands make `/` provably integer division
+TEMPLATES += [
+    "1e0 / 3",
+    "1e10::text",
+    "(1e1 + 1)::text",
+    "round(2.5::float8)",
+    "round(3.5::float8)",
+    "round(-2.5::float8)",
+    "round(2.5)",  # NUMERIC overload: half-away, unchanged
+    "(SELECT v::bigint / 2 FROM (VALUES (7)) t(v))",
+    "(SELECT v::int / w::int FROM (VALUES (9, 2)) t(v, w))",
+    "9223372036854775807::bigint / -1",
+]
+
 
 # ---------------------------------------------------------------------------
 # Runner

@@ -3723,7 +3723,13 @@ def test_pg_round8_wave3_seams():
         "SELECT TIMESTAMP '2024-01-01 00:00:00' AS v"
     assert t("TIMESTAMPTZ '2024-01-01 00:00:00+02'") == \
         "SELECT TIMESTAMP_LTZ '2024-01-01 00:00:00+02' AS v"
-    assert t("1e10::text") == "SELECT 10000000000::STRING AS v"
+    # round 9: INTEGRAL exponent expansions keep NUMERIC typing via a
+    # DECIMAL(38,0) cast (a bare digit expansion made `1e0 / 3` integer
+    # division — 0 instead of pg's 0.333…); scale-0 decimal renders
+    # '10000000000' through ::STRING, matching pg's '1e10'::text
+    assert t("1e10::text") == \
+        "SELECT CAST(10000000000 AS DECIMAL(38,0))::STRING AS v"
+    assert "DIV" not in t("1e0 / 3")
     assert t("1.5e-3") == "SELECT 0.0015 AS v"
     assert t("float8 '-0' = 0") == "SELECT ('-0'::DOUBLE) = 0 AS v"
     assert t("bool 't'") == "SELECT ('t'::BOOLEAN) AS v"

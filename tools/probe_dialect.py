@@ -71,7 +71,9 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         if math.isinf(v):
-            return "inf" if v > 0 else "-inf"
+            # pg's JSON spelling — inf can't be a JSON number, so the
+            # engine side arrives as the STRING 'Infinity'
+            return "Infinity" if v > 0 else "-Infinity"
         return round(v, 6)
     try:
         import decimal
