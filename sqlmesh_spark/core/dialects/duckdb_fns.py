@@ -297,6 +297,26 @@ def call_handlers(ctx) -> "int | None":
         )
         return close + 1
 
+    if name == "split_part":
+        # duckdb split_part with an EMPTY separator splits per
+        # CHARACTER ('a|b|c','',2 → '|'), where pg (and Spark) treat
+        # the whole string as one field; out-of-range indexes are ''.
+        # try_element_at handles negatives-from-the-end like duck.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 3
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+            and _literal_content(toks[spans[1][0]][1], "duckdb") == ""
+        ):
+            s_, n_3 = _arg_text(spans[0]), _arg_text(spans[2])
+            edits.append(
+                (start, toks[close][3],
+                 f"coalesce(try_element_at(split(({s_}), ''), "
+                 f"({n_3})), '')")
+            )
+            return close + 1
+
     if name == "printf":
         # duckdb printf returns NULL when ANY argument is NULL; Spark's
         # printf renders 'null' into the string (probe: printf('%s-%s',
@@ -829,6 +849,89 @@ def token_handlers(ctx) -> "int | None":
                 (start, toks[i + 1][3], f"({lit}::{text.lower()})")
             )
             return i + 2
+
+    if (
+        kind == "op" and text == "&"
+        and i + 1 < n_
+        and toks[i + 1][0] == "op" and toks[i + 1][1] == "&"
+        and toks[i + 1][2] == ctx.end
+    ):
+        # duckdb `&&` list-overlap (lexes as two adjacent `&`; a lone
+        # `&` stays bitwise AND). Pinned: NULL elements never overlap
+        # ([1,NULL] && [NULL,2] = false), NULL operand → NULL — same
+        # as pg's. Bracket-literal operands defer one pass (the
+        # primary helpers return None until they're array(...) calls).
+        from sqlmesh_spark.core.transpile_shared import (
+            _backward_primary,
+            _forward_primary,
+        )
+
+        # absorb LHS ::type / ::type[] / ::ARRAY<...> cast suffixes
+        # (the primary helpers don't span them — same shapes the pg
+        # containment handler absorbs) and allow a bare NULL operand
+        lj = i - 1
+        while lj >= 0:
+            if (
+                lj >= 2
+                and toks[lj][0] in _NAME_KINDS
+                and toks[lj - 1][0] == "op" and toks[lj - 1][1] == "::"
+            ):
+                lj -= 2
+                continue
+            if (
+                lj >= 3
+                and toks[lj][0] == "op" and toks[lj][1] == "]"
+                and toks[lj - 1][0] == "op" and toks[lj - 1][1] == "["
+                and toks[lj - 2][0] in _NAME_KINDS
+                and toks[lj - 3][0] == "op" and toks[lj - 3][1] == "::"
+            ):
+                lj -= 4
+                continue
+            if toks[lj][0] == "op" and toks[lj][1] == ">":
+                depth_g = 0
+                gj = None
+                for j in range(lj, -1, -1):
+                    if toks[j][0] == "op" and toks[j][1] == ">":
+                        depth_g += 1
+                    elif toks[j][0] == "op" and toks[j][1] == "<":
+                        depth_g -= 1
+                        if depth_g == 0:
+                            gj = j
+                            break
+                if (
+                    gj is not None and gj >= 2
+                    and toks[gj - 1][0] in _NAME_KINDS
+                    and toks[gj - 2][0] == "op"
+                    and toks[gj - 2][1] == "::"
+                ):
+                    lj = gj - 3
+                    continue
+            break
+        if (
+            lj >= 0
+            and toks[lj][0] in _NAME_KINDS
+            and toks[lj][1].upper() == "NULL"
+        ):
+            lf = lj
+        else:
+            lf = (
+                _backward_primary(toks, lj, include_unary=False)
+                if lj >= 0 else None
+            )
+        rs = _forward_primary(toks, i + 2)
+        if lf is not None and rs is not None:
+            ls, le = toks[lf][2], toks[rs[1]][3]
+            if not any(e[1] >= ls and e[0] <= le for e in edits):
+                a_ = sql[ls: toks[i][2]].rstrip()
+                b_ = sql[toks[rs[0]][2]: le]
+                edits.append(
+                    (ls, le,
+                     f"IF(({a_}) IS NULL OR ({b_}) IS NULL, NULL, "
+                     f"coalesce(arrays_overlap(({a_}), ({b_})), "
+                     f"false))")
+                )
+                return rs[1] + 1
+        return None
 
     if kind == "op" and text == "::":
         # duckdb DECIMAL→DECIMAL rescale TRUNCATES toward zero

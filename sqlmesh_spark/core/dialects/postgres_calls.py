@@ -140,16 +140,28 @@ def call_handlers(ctx) -> "int | None":
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) in (2, 3):
             sep_first, sep_last = spans[1]
-            if not (sep_first == sep_last and toks[sep_first][0] == "string"):
+            sep_is_null = (
+                sep_first == sep_last
+                and toks[sep_first][0] in _NAME_KINDS
+                and toks[sep_first][1].upper() == "NULL"
+            )
+            if not sep_is_null and not (
+                sep_first == sep_last and toks[sep_first][0] == "string"
+            ):
                 raise TranspileError(
                     "string_to_array separator must be a literal to "
                     "transpile (Spark split() treats it as a regex)"
                 )
             s_ = _arg_text(spans[0])
-            sep_lit = _regex_literal(
-                _literal_content(toks[sep_first][1], read), read
-            )
-            split_expr = f"split(_t._ss, {sep_lit})"
+            if sep_is_null:
+                # pg NULL separator splits into CHARACTERS (pinned:
+                # string_to_array('abc', NULL) = {a,b,c}; '' → {})
+                split_expr = "split(_t._ss, '')"
+            else:
+                sep_lit = _regex_literal(
+                    _literal_content(toks[sep_first][1], read), read
+                )
+                split_expr = f"split(_t._ss, {sep_lit})"
             if len(spans) == 3:
                 ns_ = _arg_text(spans[2])
                 split_expr = (
@@ -167,7 +179,7 @@ def call_handlers(ctx) -> "int | None":
 
     if (
         name == "substring"
-        and read == "postgres"
+        and read in ("postgres", "duckdb")
         and first_pass
         and is_op(i + 1, "(")
     ):
@@ -177,10 +189,14 @@ def call_handlers(ctx) -> "int | None":
         # captures, else the whole match; NULL when no match (Spark
         # regexp_extract gives '' — nullif). A pattern matching the
         # EMPTY string diverges (pg '' vs NULL here) — documented, no
-        # non-matching shape.
+        # non-matching shape. The FROM-less `substring(s FOR n)` form
+        # below exists in BOTH pg and duckdb (round-9 string wave);
+        # the regex branches are pg-only (duck's substring is
+        # positional-only — a string second operand is duck-rejected).
         spans, close = _call_arg_spans(toks, i + 1)
         if (
-            len(spans) == 2
+            read == "postgres"
+            and len(spans) == 2
             and spans[1][0] == spans[1][1]
             and toks[spans[1][0]][0] == "string"
         ):
@@ -218,7 +234,8 @@ def call_handlers(ctx) -> "int | None":
                 )
                 return close + 1
             if (
-                from_idx is not None
+                read == "postgres"
+                and from_idx is not None
                 and from_idx + 1 == sp[1]
                 and toks[sp[1]][0] == "string"
             ):
@@ -630,6 +647,34 @@ def _pg_round8_calls(ctx) -> "int | None":
                  f"_p -> _p IS NOT NULL)")
             )
             return close + 1
+
+    if name == "initcap":
+        # pg initcap starts a new word after ANY non-alphanumeric
+        # character ('wORLD-foo' → 'World-Foo', "c'd" → "C'D" — pinned
+        # live; unicode letters count as word chars: 'éa' → 'Éa');
+        # Spark's initcap only splits on whitespace — a silent value
+        # divergence on every hyphen/punctuation boundary. Per-char
+        # rebuild: lowercase once, uppercase chars whose PREDECESSOR
+        # is not a letter/digit. Keyword-form substring stays inert on
+        # re-reads (the 3-arg comma form would be rewritten).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            cls = "'[\\\\p{L}\\\\p{Nd}]'"
+            edits.append(
+                (start, toks[close][3],
+                 f"element_at(transform(array(lower(({x_}))), _s -> "
+                 f"concat_ws('', transform(split(_s, ''), (_c, _i) -> "
+                 f"CASE WHEN _i = 0 OR NOT substring(_s FROM _i FOR 1) "
+                 f"RLIKE {cls} THEN upper(_c) ELSE _c END))), 1)")
+            )
+            return close + 1
+
+    if name == "normalize" and len(_call_arg_spans(toks, i + 1)[0]) >= 1:
+        raise TranspileError(
+            "postgres normalize() (Unicode normal forms) has no Spark "
+            "builtin; normalize at ingestion or with a pandas UDF"
+        )
 
     if name == "round":
         # pg round(float8) is round-half-EVEN (round(2.5::float8) = 2,

@@ -98,10 +98,23 @@ def token_handlers(ctx) -> "int | None":
     # is FALSE; NULL operand → NULL; empty needle → TRUE), unary
     # @ = abs, |/ = sqrt, ||/ = cbrt (pg computes pow(x, 1/3.0);
     # sub-1e-6 float noise vs Spark's cbrt).
-    if read == "postgres" and kind == "op" and text in ("@>", "<@"):
+    # `&&` array-overlap lexes as two adjacent `&` tokens (round 9);
+    # it shares the @>/<@ operand machinery below. Pinned live: NULL
+    # elements never overlap ([1,NULL] && [NULL,2] = f), NULL operand
+    # → NULL, empty → f. A lone `&` stays bitwise AND (pass-through).
+    amp2 = (
+        kind == "op" and text == "&"
+        and i + 1 < n
+        and toks[i + 1][0] == "op" and toks[i + 1][1] == "&"
+        and toks[i + 1][2] == end
+    )
+    if read == "postgres" and (
+        (kind == "op" and text in ("@>", "<@")) or amp2
+    ):
         # operands may be ARRAY[...] constructors (which the generic
         # primary scanners don't span), with optional ::type[] / ::type
         # cast suffix chains, or ordinary primaries
+        r0 = i + 2 if amp2 else i + 1
         lj = i - 1
         while True:
             if (
@@ -163,13 +176,13 @@ def token_handlers(ctx) -> "int | None":
             lfirst = _backward_primary(toks, lj, include_unary=False)
         rlast = None
         if (
-            i + 2 < n
-            and toks[i + 1][0] in _NAME_KINDS
-            and toks[i + 1][1].upper() == "ARRAY"
-            and is_op(i + 2, "[")
+            r0 + 1 < n
+            and toks[r0][0] in _NAME_KINDS
+            and toks[r0][1].upper() == "ARRAY"
+            and is_op(r0 + 1, "[")
         ):
             depth = 0
-            for j in range(i + 2, n):
+            for j in range(r0 + 1, n):
                 if toks[j][0] == "op" and toks[j][1] == "[":
                     depth += 1
                 elif toks[j][0] == "op" and toks[j][1] == "]":
@@ -178,7 +191,7 @@ def token_handlers(ctx) -> "int | None":
                         rlast = j
                         break
         else:
-            rspan = _forward_primary(toks, i + 1)
+            rspan = _forward_primary(toks, r0)
             rlast = rspan[1] if rspan is not None else None
         # absorb trailing ::type / ::type[] / ::ARRAY<...> cast
         # suffixes. The [] / <...> absorptions only apply when rlast
@@ -227,10 +240,11 @@ def token_handlers(ctx) -> "int | None":
             break
         if lfirst is None or rlast is None:
             raise TranspileError(
-                f"postgres {text} (array containment) needs "
-                "recognizable operands to rewrite; parenthesize them"
+                f"postgres {'&&' if amp2 else text} (array operator) "
+                "needs recognizable operands to rewrite; parenthesize "
+                "them"
             )
-        rspan = (i + 1, rlast)
+        rspan = (r0, rlast)
         ls, re_ = toks[lfirst][2], toks[rspan[1]][3]
         if "::json" in sql[ls:re_].lower():
             raise TranspileError(
@@ -241,6 +255,15 @@ def token_handlers(ctx) -> "int | None":
         if not any(e[1] >= ls and e[0] <= re_ for e in edits):
             a_ = sql[ls: toks[i][2]].rstrip()
             b_ = sql[toks[rspan[0]][2]: re_]
+            if amp2:
+                edits.append((
+                    ls, re_,
+                    f"IF(({a_}) IS NULL OR ({b_}) IS NULL, NULL, "
+                    f"coalesce(arrays_overlap(({a_}), ({b_})), "
+                    f"false))",
+                ))
+                i = rspan[1] + 1
+                return i
             if text == "<@":
                 a_, b_ = b_, a_
             edits.append((

@@ -701,13 +701,37 @@ def call_handlers(ctx) -> "int | None":
         )
     ):
         # Postgres array_position returns NULL when the element is not
-        # found; Spark (and DuckDB) return 0 — wrap in nullif(..., 0).
-        # The nullif-parent check skips our own emission on re-reads.
+        # found where Spark (and DuckDB) return 0, AND matches with
+        # IS NOT DISTINCT FROM — array_position(ARRAY[1,NULL], NULL)
+        # is 2 in pg (round-9 string wave) while Spark's can never find
+        # a NULL. Search over the <=> boolean image of the array; the
+        # nullif-parent check skips our own emission on re-reads. The
+        # 3-arg form starts the search at an index and still reports
+        # ORIGINAL positions.
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 2:
-            edits.append((start, start, "nullif("))
-            edits.append((toks[close][3], toks[close][3], ", 0)"))
-            i += 1  # keep scanning inside the args
+            a_, x_ = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"nullif(array_position(transform(({a_}), "
+                 f"_ap -> _ap <=> ({x_})), true), 0)")
+            )
+            i = close + 1
+            return i
+        if len(spans) == 3:
+            a_, x_, st_ = (
+                _arg_text(spans[0]), _arg_text(spans[1]),
+                _arg_text(spans[2]),
+            )
+            edits.append(
+                (start, toks[close][3],
+                 f"element_at(transform(array(struct(({a_}) AS _a, "
+                 f"({st_}) AS _st)), _t -> "
+                 f"nullif(array_position(transform(slice(_t._a, _t._st, "
+                 f"cardinality(_t._a)), _ap -> _ap <=> ({x_})), true) "
+                 f"+ _t._st - 1, _t._st - 1)), 1)")
+            )
+            i = close + 1
             return i
 
     if name == "trunc" and read in ("duckdb", "postgres") and first_pass:

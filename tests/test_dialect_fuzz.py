@@ -415,6 +415,16 @@ TEMPLATES += [
     "numeric '12.34'",
     "int4 '7' / int4 '2'",
     "bool 't'",
+    # && list overlap (two adjacent & tokens), empty-separator
+    # split_part (per-CHAR in duck), FOR-only keyword substring
+    "[1,2] && [2,3]",
+    "[1,2] && [3,4]",
+    "[1,NULL] && [NULL,2]",
+    "NULL::int[] && [1]",
+    "5 & 3",
+    "split_part('a|b|c', '', 2)",
+    "split_part('abc', '', 9)",
+    "substring('hello' for 2)",
     "century(DATE '2001-01-01')", "decade(DATE '2024-01-01')",
     "apply([1,2], x -> x + 1)",
     # modern duck idioms: GROUP BY ALL / ORDER BY ALL are native

@@ -704,6 +704,30 @@ TEMPLATES += [
     "9223372036854775807::bigint / -1",
 ]
 
+# round-9 string wave: initcap's any-non-alnum word boundaries, the
+# && overlap operator, IS-NOT-DISTINCT array_position (finds NULLs,
+# 3-arg start), NULL-separator string_to_array (per-char split)
+TEMPLATES += [
+    "initcap('hello wORLD-foo')",
+    "initcap('a.b c''d')",
+    "initcap('x1y 2ab')",
+    "initcap('éa bé')",
+    "initcap('_foo(bar)baz')",
+    "(ARRAY[1,2] && ARRAY[2,3])",
+    "(ARRAY[1,2] && ARRAY[3,4])",
+    "(ARRAY[1,NULL] && ARRAY[NULL,2])",
+    "(NULL::int[] && ARRAY[1])",
+    "array_position(ARRAY[1,NULL,1], NULL)",
+    "array_position(ARRAY[1,2,1], 1, 2)",
+    "array_position(ARRAY[1,2,1], 9, 2)",
+    "array_position(ARRAY[1,2,1], 1, 9)",
+    "array_position(ARRAY[1,2], 9)",
+    "string_to_array('abc', NULL)",
+    "string_to_array('abc', NULL, 'b')",
+    "string_to_array('', NULL)",
+    "overlay('hello' placing 'XX' from 2 for 3)",
+]
+
 
 # ---------------------------------------------------------------------------
 # Runner
@@ -911,13 +935,13 @@ def test_pg_pinned_divergences(spark):
     sq7 = transpile("SELECT upper('straße') AS v", "postgres")
     assert spark.sql(sq7).collect()[0][0] == "STRASSE"  # pinned
     # initcap word boundaries: pg capitalizes after ANY non-alnum
-    # ("o'neil-x" → "O'Neil-X"); Spark splits on whitespace only
-    # ("O'neil-x"). Statically unknowable for columns (same residual
-    # class as int-division) — pinned; whitespace-separated text
-    # matches exactly on both engines.
+    # ("o'neil-x" → "O'Neil-X"); Spark splits on whitespace only.
+    # Round 9: the handler rebuilds per-char (uppercase where the
+    # predecessor is not \p{L}\p{Nd}), so this is now FAITHFUL —
+    # previously a pinned divergence.
     assert _pg_values(["initcap('o''neil ab')"])[0] == "O'Neil Ab"
     sq8 = transpile("SELECT initcap('o''neil ab') AS v", "postgres")
-    assert spark.sql(sq8).collect()[0][0] == "O'neil Ab"  # pinned
+    assert spark.sql(sq8).collect()[0][0] == "O'Neil Ab"
     # to_timestamp(text, fmt) returns TIMESTAMPTZ in pg, whose ::text
     # rendering carries the session-zone offset ('...00+00'); Spark's
     # zone-less text form drops it. The INSTANT is identical (every
