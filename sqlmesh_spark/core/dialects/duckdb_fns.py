@@ -80,8 +80,15 @@ def call_handlers(ctx) -> "int | None":
     if name == "map":
         # duckdb map(keys_list, values_list); Spark map() is variadic
         # (k1, v1, ...) — the 2-list call would build a ONE-entry map
-        # of list→list, silently wrong for every lookup
+        # of list→list, silently wrong for every lookup. Two bare
+        # STRING-literal args are never valid duckdb map() input —
+        # that shape is our own to_json OPTIONS map (Spark requires
+        # the literal map() function there) — skip it.
         spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2 and all(
+            sp[0] == sp[1] and toks[sp[0]][0] == "string" for sp in spans
+        ):
+            return None
         if len(spans) == 2:
             edits.append(
                 (start, toks[close][3],
@@ -296,6 +303,80 @@ def call_handlers(ctx) -> "int | None":
              f"array()))")
         )
         return close + 1
+
+    if name in ("json_group_array", "json_group_object", "json_object",
+                "json_array"):
+        # duckdb's JSON constructors render COMPACT text — exactly
+        # Spark's to_json — with NULL elements kept and NULL on empty
+        # input (pinned: json_group_array over ('a'),(NULL) =
+        # '["a",null]'; zero rows = NULL; json_object keeps duplicate
+        # keys and insertion order). The one documented seam: duck
+        # normalizes DECIMAL trailing zeros ([1.5] for 1.50) where
+        # Spark's encoder keeps the scale — same dtype class as the
+        # quantile seams. Previously these passed through into
+        # UNRESOLVED_ROUTINE.
+        spans, close = _call_arg_spans(toks, i + 1)
+        je = (
+            "substring(to_json(array({v})) FROM 2 "
+            "FOR length(to_json(array({v}))) - 2)"
+        )
+        if name == "json_group_array" and len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            agg = f"array_agg(struct(({x_}) AS _v))"
+            elem = je.format(v="_s._v")
+            edits.append(
+                (start, toks[close][3],
+                 f"(CASE WHEN size({agg}) = 0 THEN NULL ELSE "
+                 f"'[' || array_join(transform({agg}, _s -> {elem}), "
+                 f"',') || ']' END)")
+            )
+            return close + 1
+        if name == "json_group_object" and len(spans) == 2:
+            k_, v_ = _arg_text(spans[0]), _arg_text(spans[1])
+            agg = f"array_agg(struct(({k_}) AS _k, ({v_}) AS _v))"
+            edits.append(
+                (start, toks[close][3],
+                 f"(CASE WHEN size({agg}) = 0 THEN NULL ELSE "
+                 f"to_json(map_from_arrays("
+                 f"transform({agg}, _s -> _s._k), "
+                 f"transform({agg}, _s -> _s._v)), "
+                 f"map('ignoreNullFields', 'false')) END)")
+            )
+            return close + 1
+        if name == "json_object":
+            if len(spans) == 0:
+                edits.append((start, toks[close][3], "'{}'"))
+                return close + 1
+            if len(spans) % 2 == 0 and all(
+                spans[k][0] == spans[k][1]
+                and toks[spans[k][0]][0] == "string"
+                for k in range(0, len(spans), 2)
+            ):
+                parts = ", ".join(
+                    f"{toks[spans[k][0]][1]}, ({_arg_text(spans[k + 1])})"
+                    for k in range(0, len(spans), 2)
+                )
+                edits.append(
+                    (start, toks[close][3],
+                     f"to_json(named_struct({parts}), "
+                     f"map('ignoreNullFields', 'false'))")
+                )
+                return close + 1
+            raise TranspileError(
+                "duckdb json_object transpiles with literal string "
+                "keys and an even argument count"
+            )
+        if name == "json_array":
+            if len(spans) == 0:
+                edits.append((start, toks[close][3], "'[]'"))
+                return close + 1
+            body = " || ',' || ".join(
+                je.format(v=f"({_arg_text(sp)})") for sp in spans
+            )
+            edits.append(
+                (start, toks[close][3], f"('[' || {body} || ']')")
+            )
+            return close + 1
 
     if name == "split_part":
         # duckdb split_part with an EMPTY separator splits per

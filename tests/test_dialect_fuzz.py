@@ -425,6 +425,18 @@ TEMPLATES += [
     "split_part('a|b|c', '', 2)",
     "split_part('abc', '', 9)",
     "substring('hello' for 2)",
+    # duck JSON constructors render COMPACT (= Spark's to_json); NULL
+    # elements kept, NULL on empty input, insertion order + duplicate
+    # keys preserved
+    "(SELECT json_group_array(x) FROM (VALUES (1),(2)) t(x))",
+    "(SELECT json_group_array(x) FROM (VALUES ('a'),(NULL)) t(x))",
+    "(SELECT json_group_array(x) FROM (SELECT 1 AS x WHERE false) t)",
+    "(SELECT json_group_object(k, w) FROM (VALUES ('a',1),('b',2)) t(k,w))",
+    "json_object('b', 2, 'a', 1)",
+    "json_object('a', NULL)",
+    "json_object()",
+    "json_array(1, 'x', NULL)",
+    "json_array()",
     "century(DATE '2001-01-01')", "decade(DATE '2024-01-01')",
     "apply([1,2], x -> x + 1)",
     # modern duck idioms: GROUP BY ALL / ORDER BY ALL are native
