@@ -288,16 +288,19 @@ def token_handlers(ctx) -> "int | None":
                 and toks[j][1].lower() in ("map", "map_from_arrays")
             ):
                 # duckdb map[k] returns a LIST of matching values
-                # ([] when the key is absent), NOT the element —
-                # try_element_at would silently change the shape.
+                # ([] when the key is absent), NOT the element.
                 # Statically visible only when the base IS a map
                 # constructor call (column bases are untyped text).
+                # try_element_at == element_at under the contains-key
+                # guard, and (not being a duck name) it stays inert on
+                # fixpoint re-reads where a bare element_at(m, k) would
+                # re-dispatch into the duck map-access handler.
                 base = sql[toks[j][2]: start]
                 key = sql[toks[i][3]: toks[close][2]]
                 edits.append(
                     (toks[j][2], toks[close][3],
                      f"IF(map_contains_key(({base}), ({key})), "
-                     f"array(element_at(({base}), ({key}))), "
+                     f"array(try_element_at(({base}), ({key}))), "
                      f"array())")
                 )
                 i = close + 1

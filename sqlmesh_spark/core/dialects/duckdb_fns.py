@@ -65,6 +65,22 @@ def _find_depth0_order(toks, s0: int, s1: int) -> "int | None":
     return None
 
 
+def _brace_unbalanced(toks, span) -> bool:
+    """True when an argument span has unbalanced {}: a duck map/struct
+    literal's top-level commas (map {'a':1,'b':2}) split _call_arg_spans
+    (which only tracks parens/brackets) mid-literal.  Handlers defer on
+    such spans — the {}-literal token handler rewrites the literal this
+    pass and the next fixpoint read sees balanced map(...) calls."""
+    depth = 0
+    for j in range(span[0], span[1] + 1):
+        if toks[j][0] == "op":
+            if toks[j][1] == "{":
+                depth += 1
+            elif toks[j][1] == "}":
+                depth -= 1
+    return depth != 0
+
+
 def call_handlers(ctx) -> "int | None":
     """DuckDB fidelity call handlers; every branch is duckdb-read-only
     (dispatched behind a read gate in standard.call_handlers)."""
@@ -310,11 +326,18 @@ def call_handlers(ctx) -> "int | None":
         # Spark's to_json — with NULL elements kept and NULL on empty
         # input (pinned: json_group_array over ('a'),(NULL) =
         # '["a",null]'; zero rows = NULL; json_object keeps duplicate
-        # keys and insertion order). The one documented seam: duck
-        # normalizes DECIMAL trailing zeros ([1.5] for 1.50) where
-        # Spark's encoder keeps the scale — same dtype class as the
-        # quantile seams. Previously these passed through into
-        # UNRESOLVED_ROUTINE.
+        # keys and insertion order — named_struct reproduces that:
+        # to_json(named_struct('a',1,'a',2)) = '{"a":1,"a":2}', pinned
+        # live both engines). json_group_object is STRICTER than
+        # json_object: duck 1.0 raises "Map keys must be unique" on a
+        # duplicate key and "Map keys can not be NULL" on a NULL key
+        # (pinned live), so the map_from_arrays emission raising
+        # DUPLICATED_MAP_KEY / NULL_MAP_KEY at Spark runtime is
+        # faithful-in-class — both engines error, neither silently
+        # drops. The one documented seam: duck normalizes DECIMAL
+        # trailing zeros ([1.5] for 1.50) where Spark's encoder keeps
+        # the scale — same dtype class as the quantile seams.
+        # Previously these passed through into UNRESOLVED_ROUTINE.
         spans, close = _call_arg_spans(toks, i + 1)
         je = (
             "substring(to_json(array({v})) FROM 2 "
@@ -444,6 +467,92 @@ def call_handlers(ctx) -> "int | None":
             "Spark equivalent (Spark hash() is 32-bit Murmur3 — same "
             "name, different values); use xxhash64()/md5() on both "
             "sides and re-pin expectations"
+        )
+
+    if name in ("element_at", "map_extract"):
+        # probe-verified (round-9 verdict): duck element_at/map_extract
+        # are MAP-ONLY (a list base is a binder error, pinned live) and
+        # return a LIST — [v] on hit, [] on miss, [] for a NULL key AND
+        # a NULL map (pinned live, duckdb 1.0; same as the bracket
+        # subscript).  Spark's element_at returns the SCALAR — the
+        # function-call spelling previously walked through untouched,
+        # a silent shape+value change.  Because duck's binder rejects
+        # non-map bases, any RUNNING duck query has a map here, so the
+        # rewrite is safe for untyped column bases too (unlike the
+        # bracket form, where a bare subscript is usually list access).
+        # Entries-filter form (not map_contains_key/element_at): the
+        # <=> match works for an UNTYPED NULL key where
+        # map_contains_key fails ANALYSIS, a NULL map coalesces to []
+        # like duck, and the emission contains no element_at to
+        # re-dispatch on fixpoint re-reads.  A first argument that IS
+        # a transform(...) call can only be a binding-trick emission
+        # (transform is not a duck name — pinned live): skip it.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if any(_brace_unbalanced(toks, sp) for sp in spans):
+            return None  # map {'a':1,...} commas split spans; the
+            # {}-literal token handler rewrites this pass — re-dispatch
+            # on the next fixpoint read sees map('a',1,...)
+        if (
+            len(spans) == 2
+            and toks[spans[0][0]][0] in _NAME_KINDS
+            and toks[spans[0][0]][1].lower() == "transform"
+        ):
+            return None
+        if len(spans) == 2:
+            m_, k_ = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"coalesce(transform(filter(map_entries(({m_})), "
+                 f"_me -> _me.key <=> ({k_})), _mv -> _mv.value), "
+                 f"array())")
+            )
+            return close + 1
+        raise TranspileError(
+            f"duckdb {name}() takes (map, key) and returns a LIST; "
+            "other arities have no Spark mapping"
+        )
+
+    if name == "map_concat":
+        # pinned live (duckdb 1.0): last-wins on duplicate keys with
+        # FIRST-appearance key order ({'a':1} || {'b':2} || {'a':9,
+        # 'c':3} = keys [a,b,c], values [9,2,3]); a NULL operand is
+        # treated as EMPTY unless every operand is NULL (then NULL);
+        # fewer than 2 args is an error.  Spark's map_concat under the
+        # default spark.sql.mapKeyDedupPolicy=EXCEPTION throws at
+        # runtime on any duplicate — a confusing failure for valid
+        # duck SQL — and LAST_WIN is a session-global knob this
+        # transpiler must not depend on.  Left-fold of a self-contained
+        # two-map merge: m1's entries with m2's value where the key
+        # collides (keeps m1's position), then m2's novel entries.
+        # flatten(array(a, b)) — never concat(): the duck concat
+        # NULL-skip handler rewraps concat arguments on every pass.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if any(_brace_unbalanced(toks, sp) for sp in spans):
+            return None  # defer past {}-literal commas (see helper)
+        if len(spans) >= 2:
+            merged = f"({_arg_text(spans[0])})"
+            for lvl, sp in enumerate(spans[1:]):
+                b_ = f"({_arg_text(sp)})"
+                s, f_, g_ = f"_s{lvl}", f"_f{lvl}", f"_g{lvl}"
+                merged = (
+                    f"element_at(transform(array(struct({merged} AS "
+                    f"_m1, {b_} AS _m2)), {s} -> "
+                    f"IF({s}._m1 IS NULL AND {s}._m2 IS NULL, NULL, "
+                    f"map_from_entries(flatten(array("
+                    f"transform(coalesce(map_entries({s}._m1), "
+                    f"array()), {f_} -> struct({f_}.key AS key, "
+                    f"IF(coalesce(map_contains_key({s}._m2, "
+                    f"{f_}.key), false), try_element_at({s}._m2, "
+                    f"{f_}.key), {f_}.value) AS value)), "
+                    f"filter(coalesce(map_entries({s}._m2), array()), "
+                    f"{g_} -> NOT coalesce(map_contains_key({s}._m1, "
+                    f"{g_}.key), false))))))), 1)"
+                )
+            edits.append((start, toks[close][3], merged))
+            return close + 1
+        raise TranspileError(
+            "duckdb map_concat requires 2 or more maps (duck itself "
+            "rejects fewer)"
         )
 
     if name == "columns":

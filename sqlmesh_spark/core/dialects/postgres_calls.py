@@ -655,8 +655,11 @@ def _pg_round8_calls(ctx) -> "int | None":
         # Spark's initcap only splits on whitespace — a silent value
         # divergence on every hyphen/punctuation boundary. Per-char
         # rebuild: lowercase once, uppercase chars whose PREDECESSOR
-        # is not a letter/digit. Keyword-form substring stays inert on
-        # re-reads (the 3-arg comma form would be rewritten).
+        # is not a letter/digit. array_join (not concat_ws) so a NULL
+        # input stays NULL — pg initcap(NULL) IS NULL, and concat_ws
+        # never returns NULL (it yields '' when the transformed array
+        # is NULL). Keyword-form substring stays inert on re-reads
+        # (the 3-arg comma form would be rewritten).
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 1:
             x_ = _arg_text(spans[0])
@@ -664,9 +667,9 @@ def _pg_round8_calls(ctx) -> "int | None":
             edits.append(
                 (start, toks[close][3],
                  f"element_at(transform(array(lower(({x_}))), _s -> "
-                 f"concat_ws('', transform(split(_s, ''), (_c, _i) -> "
+                 f"array_join(transform(split(_s, ''), (_c, _i) -> "
                  f"CASE WHEN _i = 0 OR NOT substring(_s FROM _i FOR 1) "
-                 f"RLIKE {cls} THEN upper(_c) ELSE _c END))), 1)")
+                 f"RLIKE {cls} THEN upper(_c) ELSE _c END), '')), 1)")
             )
             return close + 1
 
@@ -891,8 +894,11 @@ def _pg_json_text(v: str) -> str:
     null→'null', booleans, and DECIMAL trailing zeros (to_json renders
     1.50 as 1.50, matching pg NUMERIC) without any regex surgery on the
     document.  The keyword-form substring re-reads untouched (the 3-arg
-    substr handler only fires on comma-separated spans)."""
-    enc = f"to_json(array(({v})))"
+    substr handler only fires on comma-separated spans).  The explicit
+    options-map second argument is the OWN-EMISSION TAG: pg to_json is
+    unary, so the fixpoint consumer passes through exactly the 2-arg
+    shape — user-written pg to_json(anything) stays loud."""
+    enc = f"to_json(array(({v})), map('ignoreNullFields', 'false'))"
     return f"substring({enc} FROM 2 FOR length({enc}) - 2)"
 
 
@@ -940,13 +946,16 @@ def _pg_json_calls(ctx) -> "int | None":
         # consume OUR emission shapes so the pg None-map entry doesn't
         # raise on them across fixpoint passes; everything else falls
         # through to the map's loud (pg to_json's per-type text forms
-        # diverge from Spark's encoder)
+        # diverge from Spark's encoder).  Own emissions are tagged by
+        # the options-map SECOND argument (every _pg_json_text /
+        # row_to_json emission carries map('ignoreNullFields', ...));
+        # pg to_json is unary, so a 2-arg call can only be ours —
+        # user-written to_json(ARRAY[...]) / to_json(struct_expr)
+        # stays loud instead of silently hitting Spark's encoder.
         spans, _close = _call_arg_spans(toks, i + 1)
-        if spans:
-            f0 = toks[spans[0][0]]
-            if f0[0] in _NAME_KINDS and f0[1].lower() in (
-                "array", "struct", "named_struct",
-            ):
+        if len(spans) == 2:
+            f0 = toks[spans[1][0]]
+            if f0[0] in _NAME_KINDS and f0[1].lower() == "map":
                 return i + 1
         return None
 

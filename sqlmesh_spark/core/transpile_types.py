@@ -370,38 +370,43 @@ def _type_token_edits(toks, i: int, read: str, is_op) -> tuple[list, int]:
                     ],
                     2,
                 )
-        if tname in ("array", "map"):
-            # Array(T) → ARRAY<T>, Map(K, V) → MAP<K, V> for plain
-            # single-ident element types; nested element shapes have no
-            # single-pass rewrite → LOUD.
-            arg_spans, close_j = _call_arg_spans(toks, i + 2)
-            elems: list[str] = []
-            for s_, e_ in arg_spans:
-                if s_ != e_ or toks[s_][0] != "ident":
-                    raise TranspileError(
-                        f"clickhouse {toks[i + 1][1]}(...) with a nested "
-                        "element type has no one-pass Spark rewrite; "
-                        "write the Spark ARRAY<...>/MAP<...> form"
-                    )
-                elems.append(
-                    _lookup_type(read, toks[s_][1].lower())
-                    or toks[s_][1].upper()
+    if (
+        read in ("clickhouse", "duckdb")
+        and is_op(i + 2, "(")
+        and tname in ("array", "map")
+    ):
+        # Array(T) → ARRAY<T>, Map(K, V) → MAP<K, V> for plain
+        # single-ident element types (clickhouse Array/Map, duckdb
+        # MAP(VARCHAR, INTEGER)); nested element shapes have no
+        # single-pass rewrite → LOUD.
+        arg_spans, close_j = _call_arg_spans(toks, i + 2)
+        elems: list[str] = []
+        for s_, e_ in arg_spans:
+            if s_ != e_ or toks[s_][0] != "ident":
+                raise TranspileError(
+                    f"{read} {toks[i + 1][1]}(...) with a nested "
+                    "element type has no one-pass Spark rewrite; "
+                    "write the Spark ARRAY<...>/MAP<...> form"
                 )
-            if tname == "array" and len(elems) == 1:
-                return (
-                    [(toks[i + 1][2], toks[close_j][3], f"ARRAY<{elems[0]}>")],
-                    close_j + 1 - i,
-                )
-            if tname == "map" and len(elems) == 2:
-                return (
-                    [(toks[i + 1][2], toks[close_j][3],
-                      f"MAP<{elems[0]}, {elems[1]}>")],
-                    close_j + 1 - i,
-                )
-            raise TranspileError(
-                f"clickhouse {toks[i + 1][1]} type takes "
-                f"{'1 element' if tname == 'array' else '2 elements'}"
+            elems.append(
+                _lookup_type(read, toks[s_][1].lower())
+                or toks[s_][1].upper()
             )
+        if tname == "array" and len(elems) == 1:
+            return (
+                [(toks[i + 1][2], toks[close_j][3], f"ARRAY<{elems[0]}>")],
+                close_j + 1 - i,
+            )
+        if tname == "map" and len(elems) == 2:
+            return (
+                [(toks[i + 1][2], toks[close_j][3],
+                  f"MAP<{elems[0]}, {elems[1]}>")],
+                close_j + 1 - i,
+            )
+        raise TranspileError(
+            f"{read} {toks[i + 1][1]} type takes "
+            f"{'1 element' if tname == 'array' else '2 elements'}"
+        )
     if tname in ("timestamp", "time") and read in (
         "trino", "postgres", "oracle", "ansi", "duckdb"
     ):

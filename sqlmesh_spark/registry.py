@@ -78,10 +78,19 @@ def _previously_sampled() -> tuple[set[str], set[str]]:
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    # sort by the PARSED round number, not lexically: 'r100' sorts
+    # before 'r99' as a string and an unpadded legacy 'r1' after 'r09',
+    # either of which would silently make an older verdict the "latest"
+    paths = []
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            paths.append((int(m.group(1)), p))
+    for _rnd, path in sorted(paths):
         try:
             with open(path) as f:
                 records = json.load(f)

@@ -472,6 +472,29 @@ TEMPLATES += [
     "length(array_to_string(list_sort([3,1,NULL]), '-'))",
 ]
 
+# round-10: the duck MAP-access seam (round-9 verdict's one silent
+# WRONG — duck element_at/map_extract return a LIST where Spark's
+# element_at is scalar) and the map_concat last-wins/key-order/NULL
+# contract; comparable now that _norm rebuilds duck's {'key': [...],
+# 'value': [...]} client rendering
+TEMPLATES += [
+    "element_at(map {'a':1,'b':2}, 'a')",
+    "element_at(map {'a':1}, 'z')",
+    "element_at(map {'a':1}, NULL)",
+    "element_at(NULL::map(varchar,int), 'a')",
+    "map_extract(map {'a':1,'b':2}, 'b')",
+    "map_extract(map([1,2],[1.5,2.5]), 2)",
+    "map_concat(map {'a':1}, map {'a':2})",
+    "map_concat(map {'a':1}, map {'b':2}, map {'a':9,'c':3})",
+    "map_concat(map {'a':1}, NULL::map(varchar,int))",
+    "map_concat(NULL::map(varchar,int), NULL::map(varchar,int))",
+    "map_concat(map {'a':1}, map(['b'],[NULL::int]))",
+    "cardinality(map_concat(map {'a':1}, map {'b':2}))",
+    "map_keys(map_concat(map {'a':1}, map {'b':2}, map {'a':9,'c':3}))",
+    "map_values(map_concat(map {'a':1}, map {'a':7}))",
+    "CAST(NULL AS map(varchar, bigint)) IS NULL",
+]
+
 
 def _norm(v):
     if isinstance(v, float):
@@ -491,6 +514,17 @@ def _norm(v):
         return round(float(v), 9)
     if isinstance(v, list):
         return tuple(sorted((_repr_el(x) for x in v)))
+    if isinstance(v, dict):
+        # duck's client renders MAP as {'key': [...], 'value': [...]};
+        # Spark returns a plain dict — rebuild, then compare unordered
+        if (
+            set(v) == {"key", "value"}
+            and isinstance(v.get("key"), list)
+            and isinstance(v.get("value"), list)
+            and len(v["key"]) == len(v["value"])
+        ):
+            v = dict(zip(v["key"], v["value"]))
+        return tuple(sorted((str(k), _repr_el(x)) for k, x in v.items()))
     return v
 
 

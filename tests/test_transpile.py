@@ -837,7 +837,11 @@ def test_transpile_noop_on_plain_spark_sql_corpus():
         "SELECT a, SUM(b) AS s FROM t WHERE c >= DATE '2024-01-01' GROUP BY a",
         "SELECT date_format(ts, 'yyyy-MM') AS ym, COUNT(*) AS n FROM t GROUP BY 1",
         "WITH x AS (SELECT 1 AS a) SELECT a, ROW_NUMBER() OVER (ORDER BY a) FROM x",
-        "SELECT CAST(x AS DECIMAL(12,2)), element_at(arr, 1) FROM t -- note\n",
+        # try_element_at, not element_at: element_at is no longer
+        # dialect-neutral — on the duckdb read it is the MAP accessor
+        # (list-returning, round-10 seam fix), so only the try_ form
+        # round-trips everywhere
+        "SELECT CAST(x AS DECIMAL(12,2)), try_element_at(arr, 1) FROM t -- note\n",
         "SELECT timestampdiff(DAY, a, b), date_trunc('month', ts) FROM t",
         "SELECT /* block */ concat_ws('-', a, b) AS k FROM t ORDER BY k LIMIT 5",
     ]
@@ -3919,3 +3923,72 @@ def test_pg_hypothetical_set_and_json_agg_loud():
     assert transpile(
         "SELECT regr_slope(y, x) FROM t", "postgres"
     ) == "SELECT regr_slope(y, x) FROM t"
+
+
+def test_duck_map_access_seam_round10():
+    """Round-9 verdict's silent-wrong: duck element_at(map, k) /
+    map_extract(map, k) return a LIST ([v] hit, [] miss/NULL key/NULL
+    map — pinned live, duckdb 1.0) where Spark's element_at is the
+    SCALAR. Both now rewrite to the entries-filter list form (duck's
+    binder rejects non-map bases, so the rewrite is safe for untyped
+    columns). map_concat is a last-wins left-fold (duck: first-
+    appearance key order, NULL operands as empty unless ALL NULL,
+    <2 args rejected — all pinned live). Value parity is pinned by the
+    fuzz corpus and tools/probes/duck_map_wave15.txt."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    out = t("SELECT element_at(m, 'a') AS v FROM t")
+    assert "filter(map_entries((m)), _me -> _me.key <=> ('a'))" in out
+    assert out == t(out)  # fixpoint-stable
+    assert t("SELECT map_extract(m, 'a') AS v FROM t") == out.replace(
+        "map_extract", "element_at")
+    # binding-trick emissions from other handlers stay untouched
+    inert = "SELECT element_at(transform(array(1), _x -> _x), 1) AS v"
+    assert t(inert) == inert
+    with pytest.raises(TranspileError, match="takes \\(map, key\\)"):
+        t("SELECT element_at(m, 'a', 'b') FROM t")
+    mc = t("SELECT map_concat(m1, m2) AS v FROM t")
+    assert "_s0._m1 IS NULL AND _s0._m2 IS NULL" in mc  # all-NULL → NULL
+    assert "flatten(array(" in mc          # never concat(): rewrapped
+    assert mc == t(mc)
+    mc3 = t("SELECT map_concat(m1, m2, m3) AS v FROM t")
+    assert "_s1" in mc3 and mc3 == t(mc3)  # left-fold nests
+    with pytest.raises(TranspileError, match="2 or more"):
+        t("SELECT map_concat(m1) FROM t")
+    # duck MAP(K, V) cast types translate (previously passed through)
+    assert t("SELECT CAST(NULL AS map(varchar, bigint)) AS v") == \
+        "SELECT CAST(NULL AS MAP<STRING, BIGINT>) AS v"
+    assert t("SELECT NULL::map(varchar,int) AS v") == \
+        "SELECT NULL::MAP<STRING, INT> AS v"
+
+
+def test_pg_initcap_null_and_to_json_whitelist_round10():
+    """Round-10 advice fixes. (1) initcap(NULL) IS NULL in pg (pinned
+    live); the per-char rebuild now joins with array_join — a NULL-
+    propagating joiner — where concat_ws silently yielded ''. (2) The
+    to_json fixpoint consumer keys on the OWN-EMISSION TAG (the
+    options-map second argument every _pg_json_text / row_to_json
+    emission carries; pg to_json is unary so a 2-arg call can only be
+    ours) — user-written to_json(ARRAY[...]) / to_json(struct_expr)
+    stays loud instead of silently hitting Spark's encoder with its
+    per-type text divergences."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    out = t("SELECT initcap(x) AS v FROM t")
+    assert "array_join(" in out and "concat_ws" not in out
+    # (no fixpoint assert: the emission carries backslash character-
+    # class literals, exempt from re-transpile idempotence by the same
+    # policy as the fuzz corpus)
+    # own emissions still consumed across fixpoint passes
+    ja = t("SELECT json_agg(x) AS v FROM t")
+    assert "to_json(array((_s._v)), map('ignoreNullFields', 'false'))" \
+        in ja
+    assert ja == t(ja)
+    rj = t("SELECT row_to_json(t) AS v FROM t")
+    assert rj == t(rj)
+    # user-written unary to_json over array/struct shapes: LOUD again
+    for bad in (
+        "SELECT to_json(ARRAY[1,2]) FROM t",
+        "SELECT to_json(array_agg(x)) FROM t",
+        "SELECT to_json(x) FROM t",
+    ):
+        with pytest.raises(TranspileError):
+            t(bad)

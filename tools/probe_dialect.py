@@ -105,17 +105,48 @@ def _norm(v):
         return v
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
+    if isinstance(v, tuple) and hasattr(v, "asDict"):
+        # a pyspark Row NESTED inside a container (top-level Rows are
+        # converted in main): compare as a dict, like pg's record JSON
+        # and duck's struct rendering
+        v = v.asDict()
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+        # Round-10 fix (round-9 methodology hole): the duckdb client
+        # renders MAP values as {'key': [k...], 'value': [v...]} —
+        # every map-valued probe auto-flagged WRONG against Spark's
+        # plain dict even when semantically equal. Rebuild the dict
+        # (order-insensitive compare falls out of the sort below). A
+        # genuine 2-field struct named key/value with parallel list
+        # fields would false-normalize — acceptable for a probe tool.
+        if (
+            set(v) == {"key", "value"}
+            and isinstance(v["key"], list)
+            and isinstance(v["value"], list)
+            and len(v["key"]) == len(v["value"])
+        ):
+            v = dict(zip(v["key"], v["value"]))
+        return tuple(sorted(
+            (str(k), _norm(x)) for k, x in v.items()
+        ))
     return v
 
 
-def _pg_values(exprs):
+def _pg_values(exprs, table=False):
     pgv = os.environ.get("SPARK_GRAFT_PGHOST", "/tmp/pgv")
     script = ["\\pset tuples_only on", "\\pset format unaligned"]
     for k, e in enumerate(exprs):
         script.append(f"\\echo ###{k}")
-        script.append(f"SELECT coalesce(to_json({e})::text, 'null');")
+        if table:
+            # FROM-position probe: rows in emission order as an array
+            # of JSON objects; compared POSITIONALLY downstream (SRF
+            # output column names — 'value', 'json_array_elements' —
+            # rarely match Spark's explode/col names)
+            script.append(
+                "SELECT coalesce(to_json(array_agg(row_to_json(_pt)))"
+                f"::text, 'null') FROM (SELECT * FROM {e}) AS _pt;"
+            )
+        else:
+            script.append(f"SELECT coalesce(to_json({e})::text, 'null');")
     script.append("\\echo ###END")
     out = subprocess.run(
         ["psql", "-h", pgv, "-U", "postgres", "-v", "ON_ERROR_STOP=0"],
@@ -143,13 +174,17 @@ def _pg_values(exprs):
     return vals
 
 
-def _duck_values(exprs):
+def _duck_values(exprs, table=False):
     import duckdb
 
     vals = []
     for e in exprs:
         try:
-            vals.append(duckdb.sql(f"SELECT {e} AS v").fetchone()[0])
+            if table:
+                rows = duckdb.sql(f"SELECT * FROM {e}").fetchall()
+                vals.append([list(r) for r in rows])
+            else:
+                vals.append(duckdb.sql(f"SELECT {e} AS v").fetchone()[0])
         except Exception:  # noqa: BLE001
             vals.append(_ENGINE_ERR)
     return vals
@@ -159,6 +194,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--read", required=True,
                     choices=("postgres", "duckdb"))
+    ap.add_argument("--table", action="store_true",
+                    help="evaluate as SELECT * FROM <expr> (set-returning"
+                         " functions); rows compared positionally")
     ap.add_argument("probes", help="file of expressions, or - for stdin")
     args = ap.parse_args()
     src = sys.stdin if args.probes == "-" else open(args.probes)
@@ -167,8 +205,8 @@ def main() -> int:
         if ln.strip() and not ln.lstrip().startswith("#")
     ]
     engine_vals = (
-        _pg_values(exprs) if args.read == "postgres"
-        else _duck_values(exprs)
+        _pg_values(exprs, table=args.table) if args.read == "postgres"
+        else _duck_values(exprs, table=args.table)
     )
 
     from pyspark.sql import SparkSession
@@ -186,12 +224,18 @@ def main() -> int:
             engerr.append(expr)
             continue
         try:
-            sq = transpile(f"SELECT {expr} AS v", args.read)
+            if args.table:
+                sq = transpile(f"SELECT * FROM {expr}", args.read)
+            else:
+                sq = transpile(f"SELECT {expr} AS v", args.read)
         except TranspileError as te:
             loud.append((expr, str(te)[:80]))
             continue
         try:
-            sv = spark.sql(sq).collect()[0][0]
+            if args.table:
+                sv = [list(r) for r in spark.sql(sq).collect()]
+            else:
+                sv = spark.sql(sq).collect()[0][0]
         except Exception as exc:  # noqa: BLE001
             sparkerr.append((expr, sq, str(exc)[:140]))
             continue
@@ -202,6 +246,10 @@ def main() -> int:
                 sv = sv.asDict()
         except Exception:  # pragma: no cover
             pass
+        if args.table and args.read == "postgres":
+            # pg side arrives as [ {col: val, ...}, ... ] (or None for
+            # zero rows) — compare positionally by record field order
+            ev = [list(r.values()) for r in (ev or [])]
         if _norm(sv) != _norm(ev):
             wrong.append((expr, ev, sv, sq))
         else:
