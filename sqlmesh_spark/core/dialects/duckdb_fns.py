@@ -27,6 +27,7 @@ from sqlmesh_spark.core.transpile_text import (
     _literal_content,
     _spark_string_literal,
     convert_posix_classes,
+    convert_regex_literal,
 )
 
 #: order-INSENSITIVE aggregates: an in-args ORDER BY changes nothing
@@ -647,7 +648,9 @@ def call_handlers(ctx) -> "int | None":
                     f"duckdb regexp_matches option '{flags}' has no "
                     "exact Java-regex flag; only 'i'/'c'/'s' transpile"
                 )
-            pat = _literal_content(toks[spans[1][0]][1], "duckdb")
+            pat = convert_regex_literal(convert_posix_classes(
+                _literal_content(toks[spans[1][0]][1], "duckdb")
+            ), "duckdb")
             prefix = "".join(f for f in ("i", "s") if f in flags)
             if prefix:
                 pat = f"(?{prefix})" + pat
@@ -859,10 +862,12 @@ def call_handlers(ctx) -> "int | None":
             and spans[1][0] == spans[1][1]
             and toks[spans[1][0]][0] == "string"
         ):
-            pat = convert_posix_classes(
+            pat = convert_regex_literal(convert_posix_classes(
                 _literal_content(toks[spans[1][0]][1], "duckdb")
-            )
-            lit = _spark_string_literal(f"^(?:{pat})$", "duckdb")
+            ), "duckdb")
+            # \z, not $: RE2 full-match is absolute end-of-text, while
+            # Java $ also matches before a final newline (pinned live)
+            lit = _spark_string_literal(f"^(?:{pat})\\z", "duckdb")
             edits.append(
                 (start, toks[close][3],
                  f"(({_arg_text(spans[0])}) RLIKE {lit})")

@@ -27,6 +27,7 @@ from sqlmesh_spark.core.transpile_text import (
     _literal_content,
     _spark_string_literal,
     convert_posix_classes,
+    convert_regex_literal,
 )
 from sqlmesh_spark.core.dialects.postgres_ops import (
     token_handlers as _ops_token_handlers,
@@ -415,7 +416,10 @@ def token_handlers(ctx) -> "int | None":
                 conv.append("\\" + c)
             else:
                 conv.append(c)
-        rx = "^(?:" + "".join(conv) + ")$"
+        # (?s)..\z, not ^..$: SIMILAR TO anchors to the WHOLE string —
+        # Java $ would also accept a final newline, and the _ → .
+        # wildcard must match newline characters like pg's does
+        rx = "(?s)^(?:" + "".join(conv) + ")\\z"
         edits.append((start, toks[i + 1][3], "RLIKE"))
         edits.append(
             (toks[pi][2], toks[pi][3], _spark_string_literal(rx, read))
@@ -796,10 +800,12 @@ def token_handlers(ctx) -> "int | None":
             if is_lit and not like_form:
                 # POSIX [:class:] elements convert (Java would read
                 # the class NAME as literal characters — silent
-                # flip); (?i) folds into the same re-emission
-                pat = convert_posix_classes(
+                # flip); convert_regex_literal fixes the ARE-default
+                # seams ($ → \z, (?s) dot prefix — round 10, pinned
+                # live); (?i) folds into the same re-emission
+                pat = convert_regex_literal(convert_posix_classes(
                     _literal_content(toks[rspan[0]][1], read)
-                )
+                ), read)
                 if ci:
                     pat = "(?i)" + pat
                 edits.append(

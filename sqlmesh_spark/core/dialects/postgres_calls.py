@@ -24,6 +24,7 @@ from sqlmesh_spark.core.transpile_text import (
     _regex_literal,
     _spark_string_literal,
     convert_posix_classes,
+    convert_regex_literal,
 )
 
 _unused_imports = (_NAME_KINDS,)
@@ -225,12 +226,19 @@ def call_handlers(ctx) -> "int | None":
                     break
             if from_idx is None and for_idx is not None:
                 # substring(s FOR n) — pg's FROM-less form starts at 1;
-                # Spark's grammar requires the FROM
-                s_text = sql[toks[sp[0]][2]: toks[for_idx][2]].rstrip()
-                tail = sql[toks[for_idx][2]: toks[sp[1]][3]]
+                # Spark's grammar requires the FROM. transpile() the
+                # copied fragments (not raw slices): an E'...' literal
+                # inside a whole-call edit span is skipped by the end-
+                # of-pass literal decode and would ship untranspiled
+                s_text = transpile(
+                    sql[toks[sp[0]][2]: toks[for_idx][2]].rstrip(), read
+                )
+                n_text = transpile(
+                    sql[toks[for_idx][3]: toks[sp[1]][3]].strip(), read
+                )
                 edits.append(
                     (start, toks[close][3],
-                     f"substring(({s_text}) FROM 1 {tail})")
+                     f"substring(({s_text}) FROM 1 FOR {n_text})")
                 )
                 return close + 1
             if (
@@ -240,10 +248,15 @@ def call_handlers(ctx) -> "int | None":
                 and toks[sp[1]][0] == "string"
             ):
                 pat = _literal_content(toks[sp[1]][1], read)
-                s_text = sql[toks[sp[0]][2]: toks[from_idx][2]]
+                # transpile(), not a raw slice: an E'...' source inside
+                # this whole-call edit span would otherwise skip the
+                # end-of-pass literal decode and ship untranspiled
+                s_text = transpile(
+                    sql[toks[sp[0]][2]: toks[from_idx][2]].rstrip(), read
+                )
                 edits.append(
                     (start, toks[close][3],
-                     _pg_regex_substring_emit(s_text.rstrip(), pat, read))
+                     _pg_regex_substring_emit(s_text, pat, read))
                 )
                 return close + 1
 
@@ -802,9 +815,9 @@ def _pg_round8_calls(ctx) -> "int | None":
             and spans[1][0] == spans[1][1]
             and toks[spans[1][0]][0] == "string"
         ):
-            pat = convert_posix_classes(
+            pat = convert_regex_literal(convert_posix_classes(
                 _literal_content(toks[spans[1][0]][1], read)
-            )
+            ), read)
             if len(spans) == 3:
                 if not (
                     spans[2][0] == spans[2][1]

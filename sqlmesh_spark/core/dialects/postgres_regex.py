@@ -1,0 +1,230 @@
+"""Postgres regexp-function FLAG/START tier (round 10).
+
+PG 15 grew optional ``start`` / ``N`` / ``endoption`` / ``flags`` /
+``subexpr`` arguments on regexp_like / regexp_count / regexp_instr /
+regexp_substr, and regexp_split_to_array has carried a flags argument
+since 8.3 (ref: the reference transpiles these through SQLGlot's
+postgres dialect; this module re-derives the semantics from live PG 15
+pins).  These forms previously passed through and died downstream as
+Spark arg-count/cast errors (round-9 verdict, SPARK_ERR class).
+
+Mappings (every literal pattern also goes through
+convert_posix_classes + convert_regex_literal — the (?s)/\\z ARE-default
+seams):
+
+* flags: ``i`` inlines as ``(?i)``; ``c`` is the case-sensitive
+  default; ``s`` (newline-insensitive) IS pg's default, subsumed by
+  convert_regex_literal's (?s) handling — all other letters (g on
+  non-split functions, m/n newline modes, b/e/p/q/t/w/x) are loud.
+  Flag inlining requires a LITERAL pattern.
+* start: count/instr/substr restart at position ``start`` —
+  ``substring(s FROM start)`` reproduces it (matches cannot span
+  before the start position); instr re-offsets the found position by
+  ``start - 1``.  pg raises for ``start <= 0``; the emission's
+  substring clamps instead — a divergence only on inputs pg rejects.
+* N (occurrence), endoption, subexpr: only the literal defaults
+  (N = 1, endoption = 0, subexpr omitted/0) transpile; anything else
+  is loud (Spark's regexp functions have no occurrence cursor).
+
+Pinned live (PG 15): regexp_count('ababab','ab',3) = 2,
+regexp_instr('ababab','b',3) = 4, regexp_instr(s,p,3,2) = 6 (loud
+here), regexp_substr('A1b2','[a-z][0-9]',1,1,'i') = 'A1',
+regexp_split_to_array('aXbXc','x','i') = {a,b,c}.
+"""
+
+from __future__ import annotations
+
+from sqlmesh_spark.core.transpile_shared import (
+    TranspileError,
+    _call_arg_spans,
+)
+from sqlmesh_spark.core.transpile_text import (
+    _literal_content,
+    _spark_string_literal,
+    convert_posix_classes,
+    convert_regex_literal,
+)
+
+#: functions this module owns, with their maximum pg-15 arity
+_TIER = {
+    "regexp_like": 3,
+    "regexp_count": 4,
+    "regexp_split_to_array": 3,
+    "regexp_instr": 7,
+    "regexp_substr": 6,
+}
+
+
+def _flags_or_loud(toks, span, name: str) -> str:
+    """Literal flags argument → validated flag string (subset of
+    i/c/s; i+c conflict loud; everything else loud)."""
+    if not (span[0] == span[1] and toks[span[0]][0] == "string"):
+        raise TranspileError(
+            f"postgres {name} flags must be a string literal to "
+            "transpile"
+        )
+    flags = _literal_content(toks[span[0]][1], "postgres")
+    if not set(flags) <= {"i", "c", "s"} or (
+        "i" in flags and "c" in flags
+    ):
+        raise TranspileError(
+            f"postgres {name} flag string '{flags}' has no Spark "
+            "rewrite; only i/c/s transpile (m/n newline modes and "
+            "b/e/p/q/t/w/x have no Java equivalent)"
+        )
+    return flags
+
+
+def _literal_pattern(toks, span, name: str, flags: str) -> str:
+    """Converted pattern literal with the validated flags inlined."""
+    if not (span[0] == span[1] and toks[span[0]][0] == "string"):
+        raise TranspileError(
+            f"postgres {name} with flags needs a literal pattern to "
+            "inline them"
+        )
+    pat = convert_regex_literal(convert_posix_classes(
+        _literal_content(toks[span[0]][1], "postgres")
+    ), "postgres")
+    if "i" in flags:
+        pat = "(?i)" + pat
+    return pat
+
+
+def _require_default(toks, span, name: str, arg: str, default: str):
+    """N / endoption / subexpr: only the literal default transpiles."""
+    if not (
+        span[0] == span[1]
+        and toks[span[0]][0] == "number"
+        and toks[span[0]][1] == default
+    ):
+        raise TranspileError(
+            f"postgres {name} {arg} other than the default {default} "
+            "has no Spark rewrite (Spark regexp functions have no "
+            "occurrence cursor)"
+        )
+
+
+def call_handlers(ctx) -> "int | None":
+    """pg regexp flag/start tier; dispatched for read == postgres,
+    BEFORE standard.py's shared pattern-literal block (a consumed call
+    never reaches it — no overlapping edits on the pattern token)."""
+    toks, edits = ctx.toks, ctx.edits
+    i, name = ctx.i, ctx.name
+    start = ctx.start
+    sql = ctx.sql
+
+    max_arity = _TIER.get(name)
+    if max_arity is None:
+        return None
+    spans, close = _call_arg_spans(toks, i + 1)
+    nargs = len(spans)
+    if nargs <= 2:
+        return None  # base forms pass through (pattern literals are
+        # converted by the shared regexp literal block in standard.py)
+    if nargs > max_arity:
+        raise TranspileError(
+            f"postgres {name} takes at most {max_arity} arguments"
+        )
+    if any(e[1] >= start and e[0] <= toks[close][3] for e in edits):
+        return i + 1  # an earlier construct's edit spans this call —
+        # re-dispatch on the next fixpoint read
+    # first pass: recursively transpile copied fragments (they are raw
+    # pg text). Later passes: RAW slices — the text is already Spark
+    # SQL, and ctx.arg_text's re-transpile would re-double backslash
+    # literals (the doubling pass runs per transpile() call).
+    if ctx.first_pass:
+        _arg_text = ctx.arg_text
+    else:
+        def _arg_text(span):
+            return sql[toks[span[0]][2]: toks[span[1]][3]]
+
+    s_ = _arg_text(spans[0])
+
+    if name == "regexp_like":
+        flags = _flags_or_loud(toks, spans[2], name)
+        pat = _literal_pattern(toks, spans[1], name, flags)
+        edits.append(
+            (start, toks[close][3],
+             f"regexp_like(({s_}), {_spark_string_literal(pat, 'postgres')})")
+        )
+        return close + 1
+
+    if name == "regexp_split_to_array":
+        flags = _flags_or_loud(toks, spans[2], name)
+        if "i" in flags or "s" in flags:
+            pat = _literal_pattern(toks, spans[1], name, flags)
+            edits.append(
+                (start, toks[close][3],
+                 f"split(({s_}), {_spark_string_literal(pat, 'postgres')})")
+            )
+        else:  # 'c' alone: the default — plain rename path
+            edits.append(
+                (start, toks[close][3],
+                 f"split(({s_}), ({_arg_text(spans[1])}))")
+            )
+        return close + 1
+
+    if name == "regexp_count":
+        flags = (
+            _flags_or_loud(toks, spans[3], name) if nargs == 4 else ""
+        )
+        if flags:
+            p_ = _spark_string_literal(
+                _literal_pattern(toks, spans[1], name, flags), "postgres")
+        else:
+            p_ = f"({_arg_text(spans[1])})"
+        st_ = _arg_text(spans[2])
+        edits.append(
+            (start, toks[close][3],
+             f"regexp_count(substring(({s_}) FROM ({st_})), {p_})")
+        )
+        return close + 1
+
+    if name == "regexp_substr":
+        if nargs >= 6:
+            _require_default(toks, spans[5], name, "subexpr", "0")
+        flags = (
+            _flags_or_loud(toks, spans[4], name) if nargs >= 5 else ""
+        )
+        if nargs >= 4:
+            _require_default(toks, spans[3], name, "N", "1")
+        if flags:
+            p_ = _spark_string_literal(
+                _literal_pattern(toks, spans[1], name, flags), "postgres")
+        else:
+            p_ = f"({_arg_text(spans[1])})"
+        st_ = _arg_text(spans[2])
+        edits.append(
+            (start, toks[close][3],
+             f"regexp_substr(substring(({s_}) FROM ({st_})), {p_})")
+        )
+        return close + 1
+
+    if name == "regexp_instr":
+        if nargs >= 7:
+            _require_default(toks, spans[6], name, "subexpr", "0")
+        flags = (
+            _flags_or_loud(toks, spans[5], name) if nargs >= 6 else ""
+        )
+        if nargs >= 5:
+            _require_default(toks, spans[4], name, "endoption", "0")
+        if nargs >= 4:
+            _require_default(toks, spans[3], name, "N", "1")
+        if flags:
+            p_ = _spark_string_literal(
+                _literal_pattern(toks, spans[1], name, flags), "postgres")
+        else:
+            p_ = f"({_arg_text(spans[1])})"
+        st_ = _arg_text(spans[2])
+        # bind source + start once; nullif keeps the found position
+        # re-offset single-evaluation (0 = no match stays 0)
+        edits.append(
+            (start, toks[close][3],
+             f"element_at(transform(array(struct(({s_}) AS _rs, "
+             f"({st_}) AS _ri)), _rt -> "
+             f"coalesce(nullif(regexp_instr(substring(_rt._rs FROM "
+             f"_rt._ri), {p_}), 0) + _rt._ri - 1, 0)), 1)")
+        )
+        return close + 1
+
+    return None

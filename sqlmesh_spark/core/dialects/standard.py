@@ -14,6 +14,7 @@ import re
 from sqlmesh_spark.core.dialects import standard_edges as _edges
 from sqlmesh_spark.core.dialects import duckdb_fns as _duckfns
 from sqlmesh_spark.core.dialects import postgres_calls as _postgres
+from sqlmesh_spark.core.dialects import postgres_regex as _pgregex
 from sqlmesh_spark.core.transpile_types import (
     _PARAM_TYPES,
     _PARAM_DROP_TYPES,
@@ -32,6 +33,7 @@ from sqlmesh_spark.core.transpile_text import (
     convert_strftime_format,
     convert_pg_format,
     convert_posix_classes,
+    convert_regex_literal,
     _regex_literal,
     _spark_string_literal,
     _raw_body,
@@ -318,6 +320,16 @@ def call_handlers(ctx) -> "int | None":
             )
         return close + 1
 
+    if read == "postgres":
+        # pg regexp flag/start tier (round 10) — dispatched BEFORE the
+        # shared pattern-literal block below: a consumed 3+-arg call
+        # never reaches that block (its whole-call emission converts
+        # the pattern itself), so the two never write overlapping
+        # edits; 2-arg forms fall through to the block as before
+        nxt = _pgregex.call_handlers(ctx)
+        if nxt is not None:
+            return nxt
+
     if (
         read in ("postgres", "duckdb")
         and first_pass
@@ -331,17 +343,23 @@ def call_handlers(ctx) -> "int | None":
         # POSIX [:class:] bracket elements convert to their Java forms
         # in PATTERN literals (Java reads [[:digit:]] as the literal
         # set {:, d, i, g, t} — verified silent flip against BOTH live
-        # engines: pg's ARE and duckdb's RE2 support the classes).
-        # Falls THROUGH to each function's own handler: this edit
-        # touches only the pattern literal token, which those handlers
-        # never re-edit (regexp_replace touches replacement + flag
-        # args).
+        # engines: pg's ARE and duckdb's RE2 support the classes), and
+        # convert_regex_literal fixes the default-semantics seams
+        # (round 10, pinned live): Java's $ also matches before a
+        # final newline where pg/RE2 mean end-of-text ($ → \z), and
+        # pg's ARE dot matches newline where Java's doesn't ((?s)
+        # prefix); pg-only flag-group letters are loud there. Falls
+        # THROUGH to each function's own handler: this edit touches
+        # only the pattern literal token, which those handlers never
+        # re-edit (regexp_replace touches replacement + flag args).
         spans_px, _c_px = _call_arg_spans(toks, i + 1)
         if len(spans_px) >= 2:
             pf, pl = spans_px[1]
             if pf == pl and toks[pf][0] == "string":
                 pat_px = _literal_content(toks[pf][1], read)
-                conv_px = convert_posix_classes(pat_px)
+                conv_px = convert_regex_literal(
+                    convert_posix_classes(pat_px), read
+                )
                 if conv_px != pat_px:
                     edits.append(
                         (toks[pf][2], toks[pf][3],
@@ -849,14 +867,47 @@ def call_handlers(ctx) -> "int | None":
                         edits.append((t_[2], t_[3], t_[1]))
             elif nargs == 4:
                 f_tok = toks[spans[3][0]]
-                if not (
-                    spans[3][0] == spans[3][1]
-                    and f_tok[0] == "string"
-                    and _literal_content(f_tok[1], read) == "g"
+                flag_txt = (
+                    _literal_content(f_tok[1], read)
+                    if spans[3][0] == spans[3][1] and f_tok[0] == "string"
+                    else None
+                )
+                if (
+                    flag_txt is None
+                    or "g" not in flag_txt
+                    or not set(flag_txt) <= {"g", "i", "c", "s"}
+                    or ("i" in flag_txt and "c" in flag_txt)
                 ):
                     raise TranspileError(
-                        "regexp_replace options other than 'g' have "
-                        "no Spark rewrite"
+                        "regexp_replace options other than 'g' (+ the "
+                        "inlinable i/c/s) have no Spark rewrite; the "
+                        "flagless form is first-match-only"
+                    )
+                if set(flag_txt) - {"g", "c"}:
+                    # i/s inline into a LITERAL pattern (round 10);
+                    # own the pattern token: drop the shared literal
+                    # block's same-pass edit (if any) and re-emit with
+                    # the flags folded into the converted pattern
+                    p_first, p_last = spans[1]
+                    if not (p_first == p_last
+                            and toks[p_first][0] == "string"):
+                        raise TranspileError(
+                            "regexp_replace with i/s flags needs a "
+                            "literal pattern to inline them"
+                        )
+                    conv_p = convert_regex_literal(convert_posix_classes(
+                        _literal_content(toks[p_first][1], read)
+                    ), read)
+                    if "i" in flag_txt:
+                        conv_p = "(?i)" + conv_p
+                    edits[:] = [
+                        e for e in edits
+                        if not (e[0] == toks[p_first][2]
+                                and e[1] == toks[p_first][3])
+                    ]
+                    edits.append(
+                        (toks[p_first][2], toks[p_first][3],
+                         _spark_string_literal(conv_p, read))
                     )
                 _convert_replacement(spans[2])
                 if read == "postgres":

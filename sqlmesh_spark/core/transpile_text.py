@@ -401,6 +401,103 @@ def convert_posix_classes(pat: str) -> str:
     return pat
 
 
+def convert_regex_literal(pat: str, read: str) -> str:
+    """Java-faithful re-emission of a pg (POSIX ARE) or duckdb (RE2)
+    regex PATTERN literal — the default-semantics seams pinned live on
+    PG 15 / duckdb 1.0 / Spark 4 (round 10):
+
+    * ``$``: Java's default ``$`` also matches before a FINAL newline
+      (``'a\\n' RLIKE 'a$'`` is true) where both pg ('a\\n' ~ 'a$' is
+      false) and RE2 mean absolute end-of-text — every unescaped ``$``
+      outside a bracket class becomes ``\\z``.  Skipped when an ``m``
+      flag group is present (RE2 multiline re-purposes ``$`` for line
+      boundaries; pg's m/n flags are loud below).
+    * ``.``: pg's ARE default is newline-INsensitive (``.`` matches
+      ``\\n``; E'a\\nb' ~ 'a.b' pinned true) where Java and RE2 exclude
+      it — pg patterns containing an unescaped dot outside a class get
+      a ``(?s)`` prefix.  RE2 agrees with Java; no duck prefix.
+    * embedded flag groups ``(?xyz)`` / ``(?xyz:``: letters whose pg
+      meaning differs from Java are loud (pg m/n = newline-sensitive
+      vs Java m = MULTILINE; b/e/q/t/c/p/w have no Java flag); duck's
+      RE2 ``U`` (ungreedy) is loud (Java U = UNICODE_CASE).  i/s/x
+      agree across all three engines.
+
+    Runs AFTER convert_posix_classes; idempotent (the output carries
+    ``\\z`` instead of ``$``, and an existing leading ``(?s)``
+    suppresses re-prefixing)."""
+    ok_letters = {"i", "s", "x"} if read == "postgres" else {"i", "m", "s"}
+    # pre-scan for an m flag group: under (?m) the $ rewrite must not
+    # run ($ marks line boundaries there), and a post-hoc replace would
+    # clobber user-written \z
+    rewrite_dollar = not re.search(r"\(\?[a-z]*m[a-z]*[):]", pat)
+    out: list[str] = []
+    i, n = 0, len(pat)
+    in_class = False
+    dot_outside = False
+    while i < n:
+        c = pat[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pat[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            # POSIX: ']' is literal when first (after optional '^')
+            if i < n and pat[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and pat[i] == "]":
+                out.append("]")
+                i += 1
+            continue
+        if c == "." :
+            dot_outside = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "$" and rewrite_dollar:
+            out.append("\\z")
+            i += 1
+            continue
+        if c == "(" and i + 1 < n and pat[i + 1] == "?":
+            j = i + 2
+            letters = []
+            while j < n and pat[j].isalpha():
+                letters.append(pat[j])
+                j += 1
+            if letters and j < n and pat[j] in (")", ":"):
+                bad = set(letters) - ok_letters
+                if bad:
+                    raise TranspileError(
+                        f"{read} regex flag group (?{''.join(letters)}"
+                        f"{pat[j]} uses option(s) {sorted(bad)} whose "
+                        "Java meaning differs (pg m/n are newline modes"
+                        ", not MULTILINE; RE2 U is ungreedy); inline "
+                        "the intended Java flags explicitly"
+                    )
+            out.append(c)
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    res = "".join(out)
+    if (
+        read == "postgres"
+        and dot_outside
+        and not res.startswith("(?s)")
+    ):
+        res = "(?s)" + res
+    return res
+
+
 def convert_pg_format(fmt: str, formatting: bool = False) -> str:
     """Postgres TO_CHAR pattern → Spark datetime pattern. Numeric
     to_char patterns ('999D99') have no Spark date_format equivalent —
@@ -951,7 +1048,7 @@ def _pg_regex_substring_emit(source_text: str, pat: str, read: str) -> str:
     """Shared emission for BOTH pg regex-substring spellings
     (substring(s FROM 'pat') and substring(s, 'pat')): group 1 when the
     pattern captures, else the whole match; NULL on no match."""
-    pat = convert_posix_classes(pat)
+    pat = convert_regex_literal(convert_posix_classes(pat), read)
     g = 1 if _regex_has_capture_group(pat) else 0
     return (
         f"nullif(regexp_extract(({source_text}), "

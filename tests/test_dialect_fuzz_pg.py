@@ -728,6 +728,41 @@ TEMPLATES += [
     "overlay('hello' placing 'XX' from 2 for 3)",
 ]
 
+# round-10: pg-15 regexp flag/start tier + the ARE-default seams
+# ((?s) dot-newline prefix, $ → \z end-anchor; initcap NULL propagation)
+TEMPLATES += [
+    "initcap(NULL::text)",
+    "initcap('')",
+    "regexp_like('Hello', 'hello', 'i')",
+    "regexp_like('Hello', 'hello', 'c')",
+    "regexp_count('ABabAB', 'ab', 2, 'i')",
+    "regexp_count('ababab', 'ab', 3)",
+    "regexp_count('ababab', 'ab', 7)",
+    "regexp_split_to_array('aXbXc', 'x', 'i')",
+    "regexp_substr('A1b2', '[a-z][0-9]', 1, 1, 'i')",
+    "regexp_substr('foo123bar456', '[0-9]+', 7)",
+    "coalesce(regexp_substr('foobar', '[0-9]+', 2), '<null>')",
+    "regexp_instr('ababab', 'b', 3)",
+    "regexp_instr('ababab', 'zz', 2)",
+    "regexp_instr('Hello World', 'world', 1, 1, 0, 'i')",
+    "regexp_replace('ABAB', 'a', 'x', 'gi')",
+    "E'a\\nb' ~ 'a.b'",
+    "regexp_like(E'a\\nb', 'a.b')",
+    "regexp_count(E'a\\na\\na', 'a.')",
+    "substring(E'a\\nb' from 'a(.)b')",
+    "substring(E'a\\nb' for 2) = E'a\\n'",
+    "E'a\\n' ~ 'a$'",
+    "'a' ~ 'a$'",
+    "E'ab\\n' ~ 'b$'",
+    "regexp_count(E'a\\na', 'a$')",
+    "'ab' ~ 'a$|ab'",
+    "E'ab\\n' SIMILAR TO 'ab'",
+    "'ab' SIMILAR TO 'ab'",
+    "'a$b' ~ 'a[$]b'",
+    "regexp_like('HELLO', '(?i)hello')",
+    "regexp_like(E'A\\nB', 'a.b', 'i')",
+]
+
 
 # ---------------------------------------------------------------------------
 # Runner

@@ -3992,3 +3992,75 @@ def test_pg_initcap_null_and_to_json_whitelist_round10():
     ):
         with pytest.raises(TranspileError):
             t(bad)
+
+
+def test_pg_regexp_flag_start_tier_round10():
+    """PG-15 regexp_like/count/instr/substr flag+start arguments and
+    the regexp_split_to_array flags form (previously SPARK_ERR pass-
+    throughs — round-9 verdict item 1). Values pinned live in
+    tools/probes/pg_regex_wave16.txt (42 MATCH / 0 WRONG)."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    out = t("SELECT regexp_like(x, 'ab', 'i') AS v FROM t")
+    assert out == "SELECT regexp_like((x), '(?i)ab') AS v FROM t"
+    assert t(out) == out
+    assert t("SELECT regexp_split_to_array(x, 'ab', 'i') FROM t") == \
+        "SELECT split((x), '(?i)ab') FROM t"
+    assert t("SELECT regexp_count(x, 'ab', 3) AS v FROM t") == \
+        "SELECT regexp_count(substring((x) FROM (3)), ('ab')) AS v FROM t"
+    assert t("SELECT regexp_count(x, 'ab', 3, 'i') AS v FROM t") == \
+        "SELECT regexp_count(substring((x) FROM (3)), '(?i)ab') AS v FROM t"
+    assert t("SELECT regexp_substr(x, 'ab', 3) AS v FROM t") == \
+        "SELECT regexp_substr(substring((x) FROM (3)), ('ab')) AS v FROM t"
+    inst = t("SELECT regexp_instr(x, 'ab', 3) AS v FROM t")
+    assert "nullif(regexp_instr(substring(_rt._rs FROM _rt._ri)" in inst
+    assert t(inst) == inst
+    # N / endoption / subexpr: only literal defaults transpile
+    assert "nullif" in t("SELECT regexp_instr(x, 'a', 2, 1, 0) FROM t")
+    with pytest.raises(TranspileError, match="occurrence"):
+        t("SELECT regexp_instr(x, 'a', 1, 2) FROM t")
+    with pytest.raises(TranspileError, match="occurrence"):
+        t("SELECT regexp_substr(x, 'a', 1, 3) FROM t")
+    with pytest.raises(TranspileError, match="flag string"):
+        t("SELECT regexp_like(x, 'a', 'n') FROM t")
+    with pytest.raises(TranspileError, match="literal pattern"):
+        t("SELECT regexp_like(x, p, 'i') FROM t")
+    # regexp_replace extended flags: g+i/c/s inline; bare i stays loud
+    assert "'(?i)a'" in t("SELECT regexp_replace(x, 'a', 'y', 'gi') FROM t")
+    with pytest.raises(TranspileError):
+        t("SELECT regexp_replace(x, 'a', 'y', 'i') FROM t")
+
+
+def test_convert_regex_literal_are_seams_round10():
+    """pg ARE / duck RE2 default-semantics seams vs Java (all pinned
+    live, round 10): pg's dot matches newline (Java's doesn't) → (?s)
+    prefix; Java's $ also matches before a FINAL newline (pg and RE2
+    mean absolute end) → \\z; pg-only/RE2-only flag-group letters are
+    loud. Wave: pg_regex_wave16.txt."""
+    from sqlmesh_spark.core.transpile_text import convert_regex_literal
+
+    assert convert_regex_literal("a.b", "postgres") == "(?s)a.b"
+    assert convert_regex_literal("a.b", "duckdb") == "a.b"
+    assert convert_regex_literal("ab$", "postgres") == "ab\\z"
+    assert convert_regex_literal("ab$", "duckdb") == "ab\\z"
+    assert convert_regex_literal("a$|b$", "postgres") == "a\\z|b\\z"
+    # $ inside a class and escaped \$ stay literal; \. is not a dot
+    assert convert_regex_literal("a[$.]b", "postgres") == "a[$.]b"
+    assert convert_regex_literal("a\\$b", "postgres") == "a\\$b"
+    assert convert_regex_literal("a\\.b", "postgres") == "a\\.b"
+    # idempotent on its own output
+    out = convert_regex_literal("(?i)a.b$", "postgres")
+    assert out == "(?s)(?i)a.b\\z"
+    assert convert_regex_literal(out, "postgres") == out
+    # (?m) keeps $ (line-boundary semantics), duck read
+    assert convert_regex_literal("(?m)a$", "duckdb") == "(?m)a$"
+    # user-written \z survives
+    assert convert_regex_literal("a\\z", "duckdb") == "a\\z"
+    with pytest.raises(TranspileError, match="differs"):
+        convert_regex_literal("(?n)a.b", "postgres")
+    with pytest.raises(TranspileError, match="differs"):
+        convert_regex_literal("(?U)a+", "duckdb")
+    # the ~ operator and SIMILAR TO pick the seams up end-to-end
+    assert transpile("SELECT x ~ 'a.b$' FROM t", "postgres") == \
+        "SELECT x  RLIKE  '(?s)a.b\\\\z' FROM t"
+    assert transpile("SELECT x SIMILAR TO 'a_b' FROM t", "postgres") == \
+        "SELECT x RLIKE '(?s)^(?:a.b)\\\\z' FROM t"
