@@ -158,13 +158,45 @@ def token_handlers(ctx) -> "int | None":
                 return i
             a = int(toks[i + 1][1]) if colon_j == i + 2 else 1
             a = max(a, 1)
+            # statically-STRING base (round 10): duck slices VARCHAR
+            # with the same 1-based inclusive clamped [a:b] ('hello'
+            # [2:4] = 'ell', [4:2] = '', [2:99] = 'ello' — pinned
+            # live); Spark's slice() is array-only, so the previous
+            # emission was a type error. substring(s, a, len) has the
+            # identical clamp behavior; open upper bound is the 2-arg
+            # to-end form. Column bases stay on the array path (lists
+            # are the common case; a string column slice arrives as a
+            # Spark type error, not a silent value).
+            str_base = (
+                toks[j][0] == "string"
+                or (
+                    toks[j][0] == "op" and toks[j][1] == "("
+                    and j + 2 == i - 1
+                    and toks[j + 1][0] == "string"
+                    and toks[j + 2][0] == "op" and toks[j + 2][1] == ")"
+                )
+            )
             if colon_j == close - 2:
                 b = int(toks[close - 1][1])
                 length = b - a + 1
                 if length <= 0:
                     a, length = 1, 0
-                edits.append((toks[j][2], toks[j][2], "slice("))
-                edits.append((start, toks[close][3], f", {a}, {length})"))
+                if str_base:
+                    # keyword FROM/FOR form: inert on fixpoint
+                    # re-reads (the duck 3-arg comma form would be
+                    # rewrapped by the substring fidelity handler)
+                    edits.append((toks[j][2], toks[j][2], "substring("))
+                    edits.append(
+                        (start, toks[close][3], f" FROM {a} FOR {length})")
+                    )
+                else:
+                    edits.append((toks[j][2], toks[j][2], "slice("))
+                    edits.append(
+                        (start, toks[close][3], f", {a}, {length})")
+                    )
+            elif str_base:
+                edits.append((toks[j][2], toks[j][2], "substring("))
+                edits.append((start, toks[close][3], f" FROM {a})"))
             else:
                 edits.append((
                     toks[j][2], toks[j][2],

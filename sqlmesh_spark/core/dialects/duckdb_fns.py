@@ -935,11 +935,16 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
-    if name == "list_slice":
+    if name in ("list_slice", "array_slice"):
         # 1-based INCLUSIVE bounds, negatives from the end, clamping.
         # Literal same-sign bounds rewrite (length = e - b + 1 and
         # Spark slice clamps + shares the negative-start meaning);
         # mixed-sign or dynamic bounds have no one-expression rewrite.
+        # A statically-STRING first argument (round 10: duck slices
+        # VARCHAR with the same semantics — array_slice('hello', 2, 4)
+        # = 'ell' pinned live) emits substring, which shares the clamp
+        # AND the negative-start meaning; Spark's slice() is
+        # array-only and was a type error here.
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 3:
             def _lit_int(sp):
@@ -961,13 +966,26 @@ def call_handlers(ctx) -> "int | None":
                 and (b > 0) == (e > 0)
             ):
                 length = max(e - b + 1, 0)
-                edits.append(
-                    (start, toks[close][3],
-                     f"slice(({_arg_text(spans[0])}), {b}, {length})")
-                )
+                if (
+                    spans[0][0] == spans[0][1]
+                    and toks[spans[0][0]][0] == "string"
+                ):
+                    # keyword FROM/FOR form: inert on fixpoint re-reads
+                    # (the 3-arg comma form would be rewrapped by the
+                    # duck substring fidelity handler)
+                    edits.append(
+                        (start, toks[close][3],
+                         f"substring(({_arg_text(spans[0])}) "
+                         f"FROM {b} FOR {length})")
+                    )
+                else:
+                    edits.append(
+                        (start, toks[close][3],
+                         f"slice(({_arg_text(spans[0])}), {b}, {length})")
+                    )
                 return close + 1
             raise TranspileError(
-                "list_slice maps only for literal same-sign bounds; "
+                f"{name} maps only for literal same-sign bounds; "
                 "mixed-sign or dynamic bounds have no Spark slice() "
                 "rewrite"
             )

@@ -53,6 +53,58 @@ def token_handlers(ctx) -> "int | None":
         if nxt is not None:
             return nxt
 
+    # ISO-8601 + mixed-family interval literals (round 10): pg accepts
+    # INTERVAL 'P1Y2M3DT4H5M6S' (duck does not — pg-only) and verbose
+    # mixed literals like '1 year 3 days'; Spark's parser rejects the
+    # P-form entirely AND refuses to mix year-month with day-time
+    # units in one literal ("Cannot mix year-month and day-time
+    # fields" — pinned live), so both previously died as confusing
+    # runtime errors. Decompose via _pg_interval_parts (pg's exact
+    # fraction-spilling rules) and re-emit: single-family forms as
+    # unit-spelling literals (day-time literals collect; year-month
+    # works in arithmetic), MIXED families as make_interval (works in
+    # arithmetic, the only place a mixed interval can land).
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.upper() == "INTERVAL"
+        and i + 1 < n
+        and toks[i + 1][0] == "string"
+    ):
+        content = _literal_content(toks[i + 1][1], read).strip()
+        is_iso = content.lstrip("+-")[:1].lower() == "p"
+        parts = _pg_interval_parts(content)
+        mixed = (
+            parts is not None
+            and parts[0] != 0
+            and (parts[1] != 0 or parts[2] != 0)
+        )
+        if is_iso or mixed:
+            if any(e[1] >= start and e[0] <= toks[i + 1][3]
+                   for e in edits):
+                return i + 1  # another handler owns this span — defer
+            if parts is None:
+                raise TranspileError(
+                    f"postgres ISO-8601 interval {content!r} did not "
+                    "statically decompose; spell the units out"
+                )
+            months, days, micros = parts
+            secs = micros / 1_000_000
+            secs_txt = f"{secs:.6f}".rstrip("0").rstrip(".")
+            if secs_txt in ("", "-0"):
+                secs_txt = "0"
+            if mixed:
+                repl = (
+                    f"make_interval(0, {months}, 0, {days}, 0, 0, "
+                    f"{secs_txt})"
+                )
+            elif months:
+                repl = f"INTERVAL '{months} months'"
+            else:
+                repl = f"INTERVAL '{days} days {secs_txt} seconds'"
+            edits.append((start, toks[i + 1][3], repl))
+            return i + 2
+
     # FOR UPDATE / FOR SHARE / FOR NO KEY UPDATE / FOR KEY SHARE row-lock
     # clauses (+ optional OF table-list and NOWAIT / SKIP LOCKED): row
     # locks have no observable effect on a snapshot read's RESULT, so

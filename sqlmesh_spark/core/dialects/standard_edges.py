@@ -51,6 +51,16 @@ _DP_FIELD_TEMPLATES = {
         "CAST(sign(year({x})) * ceil(try_divide(abs(year({x})), 1000)) AS BIGINT)",
     "yearweek":
         "CAST(extract(YEAROFWEEK FROM {x}) * 100 + weekofyear({x}) AS BIGINT)",
+    # Julian Day number (round 10; identical in pg and duck — pinned
+    # live: 2024-01-01 = 2460311, 06:00 adds .25): 1970-01-01 is JD
+    # 2440588; non-midnight timestamps carry the day fraction
+    # divisor spelled CAST(...AS DOUBLE): a bare 86400e6 would be
+    # re-typed by the pg exponent-literal NUMERIC handler on re-reads
+    "julian":
+        "(datediff(CAST({x} AS DATE), DATE '1970-01-01') + 2440588 + "
+        "(unix_micros(CAST({x} AS TIMESTAMP)) - "
+        "unix_micros(date_trunc('DAY', CAST({x} AS TIMESTAMP)))) / "
+        "CAST(86400000000 AS DOUBLE))",
 }
 
 #: Postgres overrides: unlike duckdb, Postgres date_part/extract of the

@@ -1119,7 +1119,11 @@ def _pg_interval_parts(text: str) -> "tuple[int, int, int] | None":
         body = s.lstrip("+-")[1:]
         dpart, _, tp = body.partition("t")
         consumed = ""
-        for num, unit in re.findall(r"([0-9]+(?:\.[0-9]+)?)([a-z])", dpart):
+        # per-component signs are valid ISO in pg: 'P-1Y3D' is
+        # -1 years +3 days (pinned live, round 10)
+        for num, unit in re.findall(
+            r"(-?[0-9]+(?:\.[0-9]+)?)([a-z])", dpart
+        ):
             v = float(num) * sign
             mul = {"y": (12, 0), "m": (1, 0), "w": (0, 7),
                    "d": (0, 1)}.get(unit)
@@ -1131,7 +1135,9 @@ def _pg_interval_parts(text: str) -> "tuple[int, int, int] | None":
             days += int(vd)
             micros += (vd - int(vd)) * 86_400_000_000
             consumed += num + unit
-        for num, unit in re.findall(r"([0-9]+(?:\.[0-9]+)?)([a-z])", tp):
+        for num, unit in re.findall(
+            r"(-?[0-9]+(?:\.[0-9]+)?)([a-z])", tp
+        ):
             v = float(num) * sign
             mul = {"h": 3_600_000_000, "m": 60_000_000,
                    "s": 1_000_000}.get(unit)

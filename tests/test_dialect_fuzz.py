@@ -495,6 +495,22 @@ TEMPLATES += [
     "CAST(NULL AS map(varchar, bigint)) IS NULL",
 ]
 
+# round-10: duck VARCHAR slicing (bracket + function forms) — 1-based
+# inclusive clamped, same as list slices; previously emitted
+# array-only slice() / passed array_slice through (Spark type errors)
+TEMPLATES += [
+    "('hello')[2:4]",
+    "('hello')[2:]",
+    "('hello')[:3]",
+    "('hello')[2:99]",
+    "('hello')[4:2]",
+    "('hello')[0:2]",
+    "array_slice('hello', 2, 4)",
+    "array_slice('hello', -3, -1)",
+    "array_slice([1,2,3,4], -3, -2)",
+    "list_slice('abcdef', 2, 3)",
+]
+
 
 def _norm(v):
     if isinstance(v, float):

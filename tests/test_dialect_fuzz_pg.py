@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import subprocess
 
 import pytest
@@ -763,6 +764,25 @@ TEMPLATES += [
     "regexp_like(E'A\\nB', 'a.b', 'i')",
 ]
 
+# round-10: ISO-8601 / mixed-family interval literals, make_interval,
+# julian extract field
+TEMPLATES += [
+    "DATE '2024-01-01' + INTERVAL 'P1Y2M3D'",
+    "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 'P1DT2H30M5.5S'",
+    "DATE '2024-06-15' + INTERVAL 'PT36H'",
+    "DATE '2024-06-15' + INTERVAL 'P2M'",
+    "DATE '2024-06-15' + INTERVAL 'P-1Y3D'",
+    "DATE '2024-06-15' + INTERVAL 'P1.5D'",
+    "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1 year 3 days'",
+    "TIMESTAMP '2024-01-01 00:00:00' - INTERVAL '2 months 12 hours'",
+    "TIMESTAMP '2024-01-01 00:00:00' + make_interval(1, 2)",
+    "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,5.5)",
+    "TIMESTAMP '2024-01-01 00:00:00' + make_interval(years => 1, days => 3)",
+    "extract(julian from DATE '2024-01-01')",
+    "extract(julian from TIMESTAMP '2024-01-01 06:00:00')",
+    "date_part('julian', DATE '2000-02-29')",
+]
+
 
 # ---------------------------------------------------------------------------
 # Runner
@@ -789,6 +809,23 @@ def _norm(v):
         return v
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)  # pg arrays are ordered
+    # round-10 (interval templates): pg date/timestamp values arrive as
+    # ISO JSON text, Spark returns datetime objects — same canon rule
+    # as tools/probe_dialect.py
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        s = v.isoformat(sep="T")
+        return s.rstrip("0").rstrip(".") if "." in s else s
+    if isinstance(v, _dt.date):
+        return v.isoformat() + "T00:00:00"
+    if isinstance(v, str) and re.match(
+        r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?)?$", v
+    ):
+        s = v.replace(" ", "T")
+        if len(s) == 10:
+            s += "T00:00:00"
+        return s.rstrip("0").rstrip(".") if "." in s else s
     return v
 
 

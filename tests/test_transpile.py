@@ -4064,3 +4064,65 @@ def test_convert_regex_literal_are_seams_round10():
         "SELECT x  RLIKE  '(?s)a.b\\\\z' FROM t"
     assert transpile("SELECT x SIMILAR TO 'a_b' FROM t", "postgres") == \
         "SELECT x RLIKE '(?s)^(?:a.b)\\\\z' FROM t"
+
+
+def test_pg_iso_and_mixed_interval_literals_round10():
+    """ISO-8601 interval literals (INTERVAL 'P1Y2M3D') and MIXED
+    year-month + day-time verbose literals both die in Spark's parser
+    (the P-form entirely; mixing with "Cannot mix year-month and
+    day-time fields" — pinned live). Decompose via _pg_interval_parts
+    and re-emit: single-family as unit spellings, mixed as
+    make_interval. Values pinned live in pg_interval_wave17.txt (18
+    MATCH). duck rejects the P-form itself (pg-only handler)."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    assert t("SELECT x + INTERVAL 'P1Y2M3D' FROM t") == \
+        "SELECT x + make_interval(0, 14, 0, 3, 0, 0, 0) FROM t"
+    assert t("SELECT x + INTERVAL 'P2M' FROM t") == \
+        "SELECT x + INTERVAL '2 months' FROM t"
+    assert t("SELECT x + INTERVAL 'P1DT2H30M5.5S' FROM t") == \
+        "SELECT x + INTERVAL '1 days 9005.5 seconds' FROM t"
+    assert t("SELECT x + INTERVAL 'PT36H' FROM t") == \
+        "SELECT x + INTERVAL '0 days 129600 seconds' FROM t"
+    # per-component ISO signs: P-1Y3D = -1 years +3 days (pinned live)
+    assert t("SELECT x + INTERVAL 'P-1Y3D' FROM t") == \
+        "SELECT x + make_interval(0, -12, 0, 3, 0, 0, 0) FROM t"
+    # mixed VERBOSE literal — also unparseable by Spark
+    assert t("SELECT x + INTERVAL '1 year 3 days' FROM t") == \
+        "SELECT x + make_interval(0, 12, 0, 3, 0, 0, 0) FROM t"
+    # single-family verbose literals keep their native spelling
+    assert t("SELECT x + INTERVAL '1 year 2 months' FROM t") == \
+        "SELECT x + INTERVAL '1 year 2 months' FROM t"
+    assert t("SELECT x + INTERVAL '3 days 2 hours' FROM t") == \
+        "SELECT x + INTERVAL '3 days 2 hours' FROM t"
+    # julian extract field (pg + duck identical, pinned live)
+    out = t("SELECT extract(julian from d) AS v FROM t")
+    assert "2440588" in out and "CAST(86400000000 AS DOUBLE)" in out
+    assert "2440588" in transpile(
+        "SELECT date_part('julian', d) FROM t", "duckdb")
+
+
+def test_duck_string_slicing_round10():
+    """duck slices VARCHAR with the same 1-based inclusive clamped
+    semantics as lists ('hello'[2:4]='ell', [4:2]='', [2:99]='ello',
+    array_slice('hello',-3,-1)='llo' — all pinned live); Spark's
+    slice() is array-only, so statically-string bases now emit
+    substring (shares the clamp AND negative-start meaning). Values
+    pinned by the round-10 fuzz templates."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    assert t("SELECT ('hello')[2:4] AS v") == \
+        "SELECT substring(('hello') FROM 2 FOR 3) AS v"
+    assert t("SELECT ('hello')[2:] AS v") == \
+        "SELECT substring(('hello') FROM 2) AS v"
+    assert t("SELECT ('hello')[:3] AS v") == \
+        "SELECT substring(('hello') FROM 1 FOR 3) AS v"
+    assert t("SELECT ('hello')[4:2] AS v") == \
+        "SELECT substring(('hello') FROM 1 FOR 0) AS v"
+    assert t("SELECT array_slice('hello', 2, 4) AS v") == \
+        "SELECT substring(('hello') FROM 2 FOR 3) AS v"
+    assert t("SELECT array_slice('hello', -3, -1) AS v") == \
+        "SELECT substring(('hello') FROM -3 FOR 3) AS v"
+    # list bases keep the array path
+    assert t("SELECT ([1,2,3])[1:2] AS v") == \
+        "SELECT slice((array(1,2,3)), 1, 2) AS v"
+    assert t("SELECT array_slice(arr, 2, 3) AS v FROM t") == \
+        "SELECT slice((arr), 2, 2) AS v FROM t"
