@@ -15,6 +15,7 @@ from sqlmesh_spark.core.dialects import standard_edges as _edges
 from sqlmesh_spark.core.dialects import duckdb_fns as _duckfns
 from sqlmesh_spark.core.dialects import postgres_calls as _postgres
 from sqlmesh_spark.core.dialects import postgres_regex as _pgregex
+from sqlmesh_spark.core.dialects import postgres_srf as _pgsrf
 from sqlmesh_spark.core.transpile_types import (
     _PARAM_TYPES,
     _PARAM_DROP_TYPES,
@@ -329,6 +330,13 @@ def call_handlers(ctx) -> "int | None":
         nxt = _pgregex.call_handlers(ctx)
         if nxt is not None:
             return nxt
+        if first_pass:
+            # pg set-returning-function tier (round 10): before the
+            # shared block for the same no-overlap reason, and before
+            # the unnest → explode rename (multi-arg unnest zips)
+            nxt = _pgsrf.call_handlers(ctx)
+            if nxt is not None:
+                return nxt
 
     if (
         read in ("postgres", "duckdb")

@@ -3400,3 +3400,62 @@ FROM (SELECT o_orderkey AS k, o_orderstatus AS s
     return spark.table("env_pg9_views.pg_json").join(
         spark.table("env_pg9_views.pg_rowjson"), "key"
     )
+
+
+PG10_FEATURES_ORACLE = """
+SELECT o_orderkey AS key,
+       length(regexp_extract_all(substr(o_orderpriority, 2), '[aeiou]'))
+           AS vcnt,
+       regexp_matches(o_orderpriority, '(?i)urgent') AS has_final,
+       nullif(regexp_extract(substr(o_orderpriority, 3), '[a-z]+'), '') AS w3,
+       CASE WHEN strpos(substr(o_orderpriority, 2), 'e') = 0 THEN 0
+            ELSE strpos(substr(o_orderpriority, 2), 'e') + 1 END AS epos,
+       strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 MONTH
+                + INTERVAL 15 DAY, '%Y-%m-%d %H:%M:%S') AS due_ts,
+       extract(julian from o_orderdate) AS jd
+FROM orders WHERE o_orderkey <= 300
+"""
+
+
+@register("framework_pg10_features_model", oracle=PG10_FEATURES_ORACLE,
+          tags=("dialect", "framework"))
+def framework_pg10_features_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 postgres tier end-to-end through plan/apply: the
+    PG-15 regexp flag/start arguments (regexp_count start,
+    regexp_like 'i' flag, regexp_substr start, regexp_instr start
+    with its position re-offset), an ISO-8601 mixed-family interval
+    literal (rewritten to make_interval — Spark parses neither the
+    P-form nor ym+dt mixing), to_char over the promoted timestamp,
+    and the julian extract field. Every value pinned live on PG 15
+    (tools/probes/pg_regex_wave16.txt, pg_interval_wave17.txt); the
+    DuckDB oracle recomputes each with its own primitives
+    (regexp_extract_all length for the counted matches, strpos
+    arithmetic for the re-offset position, native julian). ref: the
+    reference transpiles pg models through SQLGlot
+    (sqlmesh/core/dialect.py)."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_pg10", "env_pg10_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_pg10.pg_features,
+  kind FULL,
+  dialect postgres
+);
+SELECT o_orderkey AS key,
+       regexp_count(o_orderpriority, '[aeiou]', 2) AS vcnt,
+       regexp_like(o_orderpriority, 'urgent', 'i') AS has_final,
+       regexp_substr(o_orderpriority, '[a-z]+', 3) AS w3,
+       regexp_instr(o_orderpriority, 'e', 2) AS epos,
+       to_char(o_orderdate + INTERVAL 'P1M15D',
+               'YYYY-MM-DD HH24:MI:SS') AS due_ts,
+       extract(julian from o_orderdate) AS jd
+FROM orders WHERE o_orderkey <= 300
+"""
+    )
+    ctx.run(environment="env_pg10")
+    return spark.table("env_pg10_views.pg_features")

@@ -140,9 +140,12 @@ def _pg_values(exprs, table=False):
             # FROM-position probe: rows in emission order as an array
             # of JSON objects; compared POSITIONALLY downstream (SRF
             # output column names — 'value', 'json_array_elements' —
-            # rarely match Spark's explode/col names)
+            # rarely match Spark's explode/col names). row(_pt.*)
+            # renames the fields f1..fn — duplicate SRF column names
+            # (unnest(a, b) emits two 'unnest' columns) would collapse
+            # in a JSON object otherwise.
             script.append(
-                "SELECT coalesce(to_json(array_agg(row_to_json(_pt)))"
+                "SELECT coalesce(to_json(array_agg(row(_pt.*)))"
                 f"::text, 'null') FROM (SELECT * FROM {e}) AS _pt;"
             )
         else:
