@@ -388,3 +388,44 @@ def mat_clone_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.dev2").select(
         "r_regionkey", "r_name", F.lit("clone").alias("via")
     )
+
+
+# --------------------------------------------------------------------------
+# scale-shaped merge: current table and batch are the WHOLE orders table
+# --------------------------------------------------------------------------
+
+MERGE_SCALE_ORACLE = """
+SELECT o_orderkey,
+       CAST(ROUND(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 10
+                       ELSE o_totalprice END * 100) AS BIGINT) AS total_cents,
+       o_orderstatus
+FROM orders
+"""
+
+
+@register("merge_scale_orders", oracle=MERGE_SCALE_ORACLE,
+          tags=("materialization",))
+def merge_scale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-by-key whose current table AND batch are the whole orders
+    table (no key cap): unlike mat_merge_by_key's fixed 1500-customer
+    window, both merge legs grow with the input, so tools/scale_run.py
+    can measure the logical replace-by-key (anti-join + union) at 100x.
+    Half the keys update (+10 on the total, integer-cents), half carry
+    through untouched."""
+    adapter = SparkAdapter(spark)
+    db = _scratch_db(spark, "merge_scale")
+    table = f"{db}.orders_cur"
+    orders = load_table(spark, sf_dir, "orders")
+
+    def project(df: DataFrame, bump: int) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.round((F.col("o_totalprice") + bump) * 100)
+            .cast("bigint").alias("total_cents"),
+            "o_orderstatus",
+        )
+
+    adapter.ctas(table, project(orders, 0))
+    source = project(orders.filter(F.col("o_orderkey") % 2 == 0), 10)
+    adapter.merge(table, source, unique_key=("o_orderkey",))
+    return spark.table(table)

@@ -174,3 +174,66 @@ def scd2_cow_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).select(
         "customer_id", "status", "updated_at", "valid_from", "valid_to"
     )
+
+
+# --------------------------------------------------------------------------
+# scale-shaped SCD2: the batch is the WHOLE (replicable) orders table
+# --------------------------------------------------------------------------
+
+SCALE_BATCH1 = """
+SELECT o_orderkey AS customer_id, o_orderstatus AS status,
+       TIMESTAMP '2024-01-01 00:00:00' AS updated_at
+FROM orders
+"""
+
+# 1-in-10 keys change (new version + close old); the other 90% arrive
+# with an UNCHANGED updated_at and must carry through untouched
+SCALE_BATCH2 = """
+SELECT o_orderkey AS customer_id,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+       CASE WHEN o_orderkey % 10 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
+            ELSE TIMESTAMP '2024-01-01 00:00:00' END AS updated_at
+FROM orders
+"""
+
+
+def _scale_by_time_queries(target1: str, target2_placeholder: str) -> tuple[str, str]:
+    common = dict(
+        unique_key=("customer_id",),
+        columns=("customer_id", "status", "updated_at"),
+        updated_at_col="updated_at",
+    )
+    q1 = scd_type_2_query(
+        target_sql=target1, source_sql=SCALE_BATCH1, execution_ts=EXEC1,
+        truncate=True, **common
+    )
+    q2 = scd_type_2_query(
+        target_sql=target2_placeholder, source_sql=SCALE_BATCH2,
+        execution_ts=EXEC2, **common
+    )
+    return q1, q2
+
+
+_SQ1_TIME, _ = _scale_by_time_queries(EMPTY_BY_TIME, "__placeholder__")
+SCD2_SCALE_ORACLE = _scale_by_time_queries(EMPTY_BY_TIME, f"({_SQ1_TIME})")[1]
+
+
+@register("scd2_scale_orders", oracle=SCD2_SCALE_ORACLE,
+          tags=("materialization", "scd2"))
+def scd2_scale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-by-time whose batch is the ENTIRE orders table (no key cap):
+    unlike scd_type_2_by_time's fixed 1200-customer batch, the work here
+    grows with the input, so tools/scale_run.py can measure the apply at
+    100x — the FULL-outer change-detection join is bounded by
+    |current slice| + |batch|, both of which replicate. 1-in-10 keys
+    version (close + reopen); 90% carry through unchanged. Same
+    dialect-agnostic two-step oracle nesting as the fixed cases."""
+    register_views(spark, sf_dir, ("orders",))
+    adapter = SparkAdapter(spark)
+    db = _scratch_db(spark, "scd2_scale")
+    table = f"{db}.dim_orders"
+
+    q1, q2 = _scale_by_time_queries(EMPTY_BY_TIME, f"SELECT * FROM {table}")
+    adapter.replace_query(table, spark.sql(q1))
+    adapter.replace_query(table, spark.sql(q2))
+    return spark.table(table)
