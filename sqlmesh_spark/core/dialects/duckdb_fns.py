@@ -556,6 +556,84 @@ def call_handlers(ctx) -> "int | None":
             "rejects fewer)"
         )
 
+    if name == "array":
+        # duck LIST COMPREHENSIONS (round 10, pinned live): [expr FOR
+        # v IN list] maps elements ([x*2 FOR x IN [1,NULL,3]] =
+        # [2,NULL,6] — NULL elements flow through the expression), and
+        # an IF tail filters FIRST ([x FOR x IN [1,2,3] IF x > 1] =
+        # [2,3]; empty in → empty out). The bracket-literal rewrite
+        # has already turned [..] into array(..), so the comprehension
+        # arrives as array(expr FOR v IN list [IF cond]) — previously
+        # shipped verbatim into a Spark parse error. transform/filter
+        # reproduce it exactly; nested comprehensions resolve one
+        # layer per fixpoint pass (the emission contains no depth-0
+        # FOR, so re-reads are inert).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            s0, s1 = spans[0]
+            depth = 0
+            for_j = in_j = if_j = None
+            for j in range(s0, s1 + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ in ("(", "["):
+                    depth += 1
+                elif k_ == "op" and t_ in (")", "]"):
+                    depth -= 1
+                elif depth == 0 and k_ in _NAME_KINDS:
+                    up = t_.upper()
+                    if up == "FOR" and for_j is None:
+                        for_j = j
+                    elif up == "IN" and for_j is not None and in_j is None:
+                        in_j = j
+                    elif up == "IF" and in_j is not None and if_j is None:
+                        if_j = j
+            if for_j is not None and in_j == for_j + 2:
+                var_t = toks[for_j + 1]
+                if var_t[0] not in _NAME_KINDS:
+                    raise TranspileError(
+                        "duckdb list comprehension needs a plain "
+                        "identifier loop variable"
+                    )
+                var = var_t[1]
+                expr = sql[toks[s0][2]: toks[for_j][2]].rstrip()
+                lst_end = toks[if_j][2] if if_j is not None else toks[s1][3]
+                lst = sql[toks[in_j][3]: lst_end].strip()
+                if if_j is not None:
+                    cond = sql[toks[if_j][3]: toks[s1][3]].strip()
+                    body = (
+                        f"transform(filter(({lst}), {var} -> ({cond})), "
+                        f"{var} -> ({expr}))"
+                    )
+                else:
+                    body = f"transform(({lst}), {var} -> ({expr}))"
+                edits.append((start, toks[close][3], body))
+                return close + 1
+
+    if name == "list_zip":
+        # N-ary zip, NULL-padded to the LONGEST input; a NULL list
+        # behaves as empty-but-padded (list_zip(NULL::int[], [1]) =
+        # [(NULL, 1)] — pinned live) where Spark's arrays_zip returns
+        # NULL — coalesce each leg to array(). An extra boolean
+        # `truncate` argument (zip to shortest) has no Spark analog.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if any(_brace_unbalanced(toks, sp) for sp in spans):
+            return None
+        if spans and toks[spans[-1][0]][0] in _NAME_KINDS and \
+                toks[spans[-1][0]][1].lower() in ("true", "false"):
+            raise TranspileError(
+                "duckdb list_zip(..., truncate) zips to the SHORTEST "
+                "list; Spark's arrays_zip always pads to the longest "
+                "— drop the flag or slice the result"
+            )
+        if len(spans) >= 2:
+            args = ", ".join(
+                f"coalesce(({_arg_text(sp)}), array())" for sp in spans
+            )
+            edits.append(
+                (start, toks[close][3], f"arrays_zip({args})")
+            )
+            return close + 1
+
     if name == "columns":
         # COLUMNS('regex') / COLUMNS(*) star expressions need the
         # table's column list, which a textual transpiler doesn't have
@@ -1005,6 +1083,24 @@ def token_handlers(ctx) -> "int | None":
     n = len(toks)
 
     n_ = len(toks)
+    if (
+        kind == "ident"
+        and text.upper() == "ASOF"
+        and i + 1 < n_
+        and toks[i + 1][0] == "ident"
+        and toks[i + 1][1].upper() in ("JOIN", "LEFT", "RIGHT", "INNER")
+    ):
+        # duck ASOF [LEFT] JOIN previously shipped verbatim into a
+        # Spark parse error. No faithful textual rewrite exists (the
+        # semantics are per-row nearest-preceding-match); loud with
+        # the operator-level alternative this engine ships.
+        raise TranspileError(
+            "duckdb ASOF JOIN has no Spark SQL form; use the as-of "
+            "join composition (bucketed range join + max_by — see "
+            "sqlmesh_spark.operators.relational's asof cases) or a "
+            "MERGE_ASOF-style window over a unioned stream"
+        )
+
     if (
         kind == "ident"
         and text.upper() == "REPLACE"

@@ -590,7 +590,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             or (kind == "ident" and (
                 text.upper() in (
                     "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
-                    "INTERVAL", "EXCLUDE",
+                    "INTERVAL", "EXCLUDE", "ASOF",
                 )
                 # duck typed-literal spellings (ident followed by a
                 # string literal re-spells to a '::' cast)

@@ -511,6 +511,20 @@ TEMPLATES += [
     "list_slice('abcdef', 2, 3)",
 ]
 
+# round-10: list comprehensions (transform/filter), list_zip
+# (arrays_zip with coalesced legs)
+TEMPLATES += [
+    "[x + 1 FOR x IN [1,2,3]]",
+    "[x * 2 FOR x IN [1,NULL,3]]",
+    "[x FOR x IN [1,2,3] IF x > 1]",
+    "[upper(s) FOR s IN ['a','b']]",
+    "[x FOR x IN [] IF x > 1]",
+    "[[y FOR y IN [1,2]] FOR x IN [1,2]]",
+    "list_contains([x FOR x IN [1,2,3] IF x > 1], 3)",
+    "cardinality(list_zip([1,2,3],[4]))",
+    "cardinality(list_zip(NULL::int[], [1]))",
+]
+
 
 def _norm(v):
     if isinstance(v, float):

@@ -4126,3 +4126,34 @@ def test_duck_string_slicing_round10():
         "SELECT slice((array(1,2,3)), 1, 2) AS v"
     assert t("SELECT array_slice(arr, 2, 3) AS v FROM t") == \
         "SELECT slice((arr), 2, 2) AS v FROM t"
+
+
+def test_duck_comprehensions_zip_asof_round10():
+    """duck list comprehensions previously shipped verbatim into Spark
+    parse errors (the bracket literal becomes array(expr FOR v IN ...));
+    they now map to transform (+ filter for the IF tail — duck filters
+    BEFORE mapping, pinned live). list_zip maps to arrays_zip with each
+    leg coalesced to array() (duck treats a NULL list as empty-but-
+    padded where arrays_zip returns NULL — pinned live); the truncate
+    flag and ASOF JOIN are loud. Values pinned in
+    tools/probes/duck_comprehension_wave20.txt (14 MATCH)."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    out = t("SELECT [x + 1 FOR x IN [1,2,3]] AS v")
+    assert out == \
+        "SELECT transform((array(1,2,3)), x -> (x + 1)) AS v"
+    assert t(out) == out
+    out2 = t("SELECT [x FOR x IN l IF x > 1] AS v FROM t")
+    assert out2 == \
+        "SELECT transform(filter((l), x -> (x > 1)), x -> (x)) AS v FROM t"
+    # nesting resolves one layer per fixpoint pass
+    nested = t("SELECT [[y FOR y IN [1,2]] FOR x IN [1,2]] AS v")
+    assert nested.count("transform") == 2 and "FOR" not in nested
+    zp = t("SELECT list_zip(a, b) AS v FROM t")
+    assert zp == ("SELECT arrays_zip(coalesce((a), array()), "
+                  "coalesce((b), array())) AS v FROM t")
+    with pytest.raises(TranspileError, match="SHORTEST"):
+        t("SELECT list_zip(a, b, true) FROM t")
+    with pytest.raises(TranspileError, match="ASOF"):
+        t("SELECT * FROM t1 ASOF JOIN t2 ON t1.v >= t2.v")
+    with pytest.raises(TranspileError, match="ASOF"):
+        t("SELECT * FROM t1 ASOF LEFT JOIN t2 ON t1.v >= t2.v")

@@ -110,6 +110,11 @@ def _norm(v):
         # converted in main): compare as a dict, like pg's record JSON
         # and duck's struct rendering
         v = v.asDict()
+    if isinstance(v, tuple):
+        # duck renders UNNAMED structs (list_zip tuples, row(...)) as
+        # Python tuples; Spark's arrays_zip names the fields '0'..'n'.
+        # Both compare as positional tuples (see the dict branch).
+        return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
         # Round-10 fix (round-9 methodology hole): the duckdb client
         # renders MAP values as {'key': [k...], 'value': [v...]} —
@@ -125,6 +130,14 @@ def _norm(v):
             and len(v["key"]) == len(v["value"])
         ):
             v = dict(zip(v["key"], v["value"]))
+        if v and all(
+            isinstance(k, str) and k.isdigit() for k in v
+        ) and sorted(int(k) for k in v) == list(range(len(v))):
+            # a POSITIONAL struct (Spark arrays_zip fields '0'..'n');
+            # compare as a tuple, like duck's unnamed-struct rendering
+            return tuple(
+                _norm(v[str(ix)]) for ix in range(len(v))
+            )
         return tuple(sorted(
             (str(k), _norm(x)) for k, x in v.items()
         ))
