@@ -798,10 +798,174 @@ def call_handlers(ctx) -> "int | None":
                 "cardinality(l)), element_at(l, 1), lambda)"
             )
 
+    # ---- round-10 same-name collision sweep (duck ∩ Spark names with
+    # different semantics, found by mechanically probing every shared
+    # catalog signature — the hash()/element_at class)
+
+    if name in ("least", "greatest"):
+        # duck accepts ONE argument (identity); Spark requires > 1
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1 and not _brace_unbalanced(toks, spans[0]):
+            edits.append(
+                (start, toks[close][3], f"({_arg_text(spans[0])})")
+            )
+            return close + 1
+
+    if name in ("to_binary", "bin"):
+        # duck to_binary IS bin (number → binary-digit STRING,
+        # to_binary(3) = '11'); Spark's to_binary(3) is the BYTES
+        # b'\x03' — a silent type+value change. For VARCHAR input duck
+        # renders the UTF-8 bytes as one long bit string (pinned:
+        # bin('aB cd') = '01100001…'), which Spark's bin (bigint cast)
+        # cannot express — statically-string args are loud; column
+        # args of string type fail loudly downstream under ANSI.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            if (
+                spans[0][0] == spans[0][1]
+                and toks[spans[0][0]][0] == "string"
+            ):
+                raise TranspileError(
+                    f"duckdb {name}(varchar) renders the UTF-8 bytes "
+                    "as a bit string; Spark's bin is numeric-only — "
+                    "no faithful rewrite"
+                )
+            if name == "to_binary":
+                edits.append((start, toks[i][3], "bin"))
+                return i + 1
+
+    if name == "make_timestamp":
+        # 1-arg duck make_timestamp(micros) == Spark timestamp_micros
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append(
+                (start, toks[close][3],
+                 f"timestamp_micros(({_arg_text(spans[0])}))")
+            )
+            return close + 1
+
+    if name == "make_time":
+        raise TranspileError(
+            "duckdb make_time builds a TIME value; Spark has no TIME "
+            "type — store seconds-since-midnight or a timestamp"
+        )
+
+    if name in ("encode", "decode"):
+        # duck 1-arg encode(varchar)→blob / decode(blob)→varchar are
+        # UTF-8 conversions; Spark's 2-arg forms match with an
+        # explicit charset. (2-arg calls are already Spark-shaped.)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append(
+                (start, toks[close][3],
+                 f"{name}(({_arg_text(spans[0])}), 'UTF-8')")
+            )
+            return close + 1
+
+    if name == "repeat":
+        # duck repeat over a BLOB returns a BLOB; Spark's repeat
+        # coerces binary to STRING — a silent type change for
+        # statically-binary args (round-10 sweep)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_txt = _arg_text(spans[0]).lower()
+            if a_txt.endswith(("::blob", "::binary")):
+                raise TranspileError(
+                    "duckdb repeat(blob, n) returns BINARY; Spark's "
+                    "repeat returns STRING — concat the blob "
+                    "explicitly or repeat before encoding"
+                )
+
+    if name in ("length", "len"):
+        # duck length/len of a LIST is its cardinality; Spark's length
+        # is string/binary-only. Statically-visible list operands
+        # (array literal or constructor) emit size(); column args stay
+        # (strings are the common case and a list column fails loudly).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 1
+            and toks[spans[0][0]][0] == "op"
+            and toks[spans[0][0]][1] == "["
+        ) or (
+            len(spans) == 1
+            and toks[spans[0][0]][0] in _NAME_KINDS
+            and toks[spans[0][0]][1].lower() in (
+                "array", "list_value", "list_sort", "list_distinct",
+                "string_split", "string_to_array", "split",
+            )
+        ):
+            edits.append(
+                (start, toks[close][3],
+                 f"size(({_arg_text(spans[0])}))")
+            )
+            return close + 1
+
+    if name in ("year", "month", "day", "hour", "minute", "second",
+                "quarter", "weekday", "dayofmonth", "dayofweek",
+                "millisecond", "microsecond"):
+        # field functions over INTERVAL LITERAL operands (year(INTERVAL
+        # 26 MONTH) = 2 — pinned live) have no Spark form (Spark's
+        # extract rejects intervals for these spellings); statically
+        # evaluate through the shared interval-parts machinery — both
+        # the INTERVAL '2 days' and INTERVAL 2 DAY spellings. Only
+        # fires when the argument STARTS with the INTERVAL keyword
+        # (date/timestamp args pass through to Spark's builtins).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 1
+            and toks[spans[0][0]][0] in _NAME_KINDS
+            and toks[spans[0][0]][1].upper() == "INTERVAL"
+        ):
+            from sqlmesh_spark.core.dialects.standard_edges import (
+                _pg_interval_field,
+            )
+            from sqlmesh_spark.core.transpile_text import (
+                _pg_interval_parts,
+            )
+
+            s0, s1 = spans[0]
+            if s1 == s0 + 1 and toks[s1][0] == "string":
+                lit = _literal_content(toks[s1][1], "duckdb")
+            else:
+                lit = sql[toks[s0][3]: toks[s1][3]].strip()
+            parts = _pg_interval_parts(lit.lower())
+            val = (
+                _pg_interval_field(name, parts)
+                if parts is not None else None
+            )
+            if val is None:
+                raise TranspileError(
+                    f"duckdb {name}(INTERVAL {lit!r}) is not "
+                    "statically evaluable; use day-time units"
+                )
+            edits.append((start, toks[close][3], repr(val)))
+            return close + 1
+
+    if name == "regexp_extract":
+        # literal group index BEYOND the pattern's group count: duck
+        # returns '' (pinned live); Spark raises REGEX_GROUP_INDEX
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 3
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+            and spans[2][0] == spans[2][1]
+            and toks[spans[2][0]][0] == "number"
+        ):
+            from sqlmesh_spark.core.dialects.postgres_calls import (
+                _count_capture_groups,
+            )
+            pat_ = _literal_content(toks[spans[1][0]][1], "duckdb")
+            if int(toks[spans[2][0]][1]) > _count_capture_groups(pat_):
+                edits.append((start, toks[close][3], "''"))
+                return close + 1
+
     if name in ("century", "decade", "millennium", "isoyear",
-                "yearofweek", "dayofyear", "isodow"):
+                "yearofweek", "isodow"):
         # duckdb exposes the date-part fields as FUNCTIONS too; route
-        # through the shared field templates
+        # through the shared field templates. (dayofyear is NOT routed:
+        # its template spells dayofyear() — Spark's identical builtin —
+        # and routing it re-dispatched forever; round-10 sweep)
         from sqlmesh_spark.core.dialects.standard_edges import (
             _DP_FIELD_TEMPLATES,
         )

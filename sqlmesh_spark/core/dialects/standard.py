@@ -622,6 +622,18 @@ def call_handlers(ctx) -> "int | None":
         # comma → single span → also untouched.)
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 2:
+            for sp in spans:
+                if sql[toks[sp[0]][2]: toks[sp[1]][3]].lower().endswith(
+                    ("::bytea", "::blob", "::binary")
+                ):
+                    # pg's bytea trims return BYTEA; Spark's TRIM
+                    # coerces binary operands to STRING — a silent
+                    # type change (round-10 pg collision sweep)
+                    raise TranspileError(
+                        f"{name} over bytea returns BINARY in "
+                        f"{read}; Spark's TRIM coerces to STRING — "
+                        "no faithful rewrite"
+                    )
             side = {
                 "ltrim": "LEADING", "rtrim": "TRAILING",
                 "btrim": "BOTH", "trim": "BOTH",

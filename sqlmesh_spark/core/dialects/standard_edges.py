@@ -831,6 +831,39 @@ def call_handlers(ctx) -> "int | None":
             "(Spark get_json_object paths are foldable)"
         )
 
+    if name == "width_bucket" and read == "postgres" and first_pass:
+        # pg's 2-arg ARRAY form buckets by a SORTED thresholds list
+        # (width_bucket(7, ARRAY[1,5,10]) = 2 — pinned live; pg leaves
+        # unsorted arrays undefined): the bucket index is the count of
+        # thresholds <= operand. Spark only has the 4-arg numeric
+        # form, which passes through below. NULL operand → NULL (the
+        # filter alone would yield 0); NULL thresholds are a pg error.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            x_, a_ = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"IF(({x_}) IS NULL, NULL, "
+                 f"size(filter(({a_}), _wb -> _wb <= ({x_}))))")
+            )
+            i = close + 1
+            return i
+
+    if name == "bit_count" and read == "postgres" and first_pass:
+        # pg bit_count over BYTEA counts set bits across the bytes
+        # (bit_count('\\x6162') = 6 — pinned live); Spark's is
+        # integral-only. Statically-bytea args are loud; integral
+        # args pass through (identical semantics).
+        spans, _c2 = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1 and sql[
+            toks[spans[0][0]][2]: toks[spans[0][1]][3]
+        ].lower().endswith(("::bytea", "::binary")):
+            raise TranspileError(
+                "postgres bit_count(bytea) counts bits across bytes; "
+                "Spark's bit_count is integral-only — no faithful "
+                "rewrite"
+            )
+
     if name == "json_array_length" and read == "postgres" and first_pass:
         # postgres json_array_length RAISES on non-array input and has
         # no 2-arg (json, path) form. Spark's native json_array_length
@@ -859,20 +892,47 @@ def call_handlers(ctx) -> "int | None":
         # duckdb returns 0 for NON-ARRAY values where Spark's
         # json_array_length is NULL — coalesce restores 0, the NULL-json
         # guard keeps NULL inputs NULL. The 2-arg (json, path) form
-        # scopes through get_json_object. (The coalesce-parent check
-        # skips our own emission on re-reads.)
+        # scopes through get_json_object; a MISSING/INVALID path is
+        # NULL in duck, NOT 0 (round-10 collision sweep — the old
+        # emission coalesced the path miss to 0), so the path lookup
+        # joins the NULL guard. JSONPointer-spelled paths ('/a') are
+        # loud: get_json_object silently returns NULL for them. (The
+        # coalesce-parent check skips our own emission on re-reads.)
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) in (1, 2):
             j_ = _arg_text(spans[0])
-            inner = f"({j_})"
             if len(spans) == 2:
-                p2 = _arg_text(spans[1])
+                p2s = spans[1]
+                if (
+                    p2s[0] == p2s[1]
+                    and toks[p2s[0]][0] == "string"
+                    and not _literal_content(
+                        toks[p2s[0]][1], read).startswith("$")
+                ):
+                    raise TranspileError(
+                        "duckdb json_array_length path must be a "
+                        "JSONPath ('$...') to transpile; JSONPointer "
+                        "('/a') has no get_json_object form"
+                    )
+                if toks[p2s[0]][0] == "op" and toks[p2s[0]][1] == "[":
+                    raise TranspileError(
+                        "duckdb json_array_length with a LIST of "
+                        "paths returns a list; call it per path"
+                    )
+                p2 = _arg_text(p2s)
                 inner = f"get_json_object(({j_}), ({p2}))"
-            edits.append(
-                (start, toks[close][3],
-                 f"(CASE WHEN ({j_}) IS NULL THEN NULL ELSE "
-                 f"coalesce(json_array_length({inner}), 0) END)")
-            )
+                edits.append(
+                    (start, toks[close][3],
+                     f"(CASE WHEN ({j_}) IS NULL OR {inner} IS NULL "
+                     f"THEN NULL ELSE "
+                     f"coalesce(json_array_length({inner}), 0) END)")
+                )
+            else:
+                edits.append(
+                    (start, toks[close][3],
+                     f"(CASE WHEN ({j_}) IS NULL THEN NULL ELSE "
+                     f"coalesce(json_array_length(({j_})), 0) END)")
+                )
             i = close + 1
             return i
 

@@ -4157,3 +4157,82 @@ def test_duck_comprehensions_zip_asof_round10():
         t("SELECT * FROM t1 ASOF JOIN t2 ON t1.v >= t2.v")
     with pytest.raises(TranspileError, match="ASOF"):
         t("SELECT * FROM t1 ASOF LEFT JOIN t2 ON t1.v >= t2.v")
+
+
+def test_duck_collision_sweep_round10():
+    """Fixes from the round-10 MECHANICAL collision sweep (one probe
+    per scalar signature shared by both duck and Spark catalogs —
+    tools/probes/duck_collision_wave21.txt, 137 MATCH / 0 WRONG).
+    duck to_binary IS bin (number → bit STRING '11'; Spark's
+    to_binary(3) is BYTES); bin/to_binary over varchar render UTF-8
+    bytes as a bit string (loud); least/greatest accept ONE argument
+    in duck; 1-arg make_timestamp takes epoch MICROS; 1-arg
+    encode/decode are UTF-8 conversions; length() of a static list is
+    its cardinality; interval field functions statically evaluate
+    (year(INTERVAL 26 MONTH) = 2); a literal regexp_extract group
+    index beyond the pattern's groups returns ''. All pinned live."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    assert t("SELECT to_binary(x) AS v FROM t") == \
+        "SELECT bin(x) AS v FROM t"
+    with pytest.raises(TranspileError, match="bit string"):
+        t("SELECT bin('ab') AS v")
+    assert t("SELECT least(x) AS v FROM t") == "SELECT (x) AS v FROM t"
+    assert t("SELECT greatest(1 + 2) AS v") == "SELECT (1 + 2) AS v"
+    assert t("SELECT make_timestamp(x) AS v FROM t") == \
+        "SELECT timestamp_micros((x)) AS v FROM t"
+    assert "make_timestamp(2024" in t(
+        "SELECT make_timestamp(2024, 1, 2, 3, 4, 5.0) AS v")
+    assert t("SELECT encode(s) AS v FROM t") == \
+        "SELECT encode((s), 'UTF-8') AS v FROM t"
+    assert t("SELECT decode(b) AS v FROM t") == \
+        "SELECT decode((b), 'UTF-8') AS v FROM t"
+    assert t("SELECT length([1,2,3]) AS v") == \
+        "SELECT size((array(1,2,3))) AS v"
+    assert t("SELECT length(s) AS v FROM t") == \
+        "SELECT length(s) AS v FROM t"
+    assert t("SELECT year(INTERVAL 26 MONTH) AS v") == "SELECT 2 AS v"
+    assert t("SELECT day(INTERVAL '400 days') AS v") == \
+        "SELECT 400 AS v"
+    assert t("SELECT year(d) AS v FROM t") == "SELECT year(d) AS v FROM t"
+    assert t("SELECT regexp_extract('ab', '(a)(b)', 3) AS v") == \
+        "SELECT '' AS v"
+    assert "regexp_extract('ab', '(a)(b)', 2)" in t(
+        "SELECT regexp_extract('ab', '(a)(b)', 2) AS v")
+    with pytest.raises(TranspileError, match="BINARY"):
+        t("SELECT repeat(x::blob, 3) FROM t")
+    with pytest.raises(TranspileError, match="TIME"):
+        t("SELECT make_time(1, 2, 3.0)")
+    # json_array_length: path miss is NULL (not 0); pointer paths loud
+    out = t("SELECT json_array_length(j, '$.a') AS v FROM t")
+    assert "IS NULL THEN NULL" in out and "coalesce" in out
+    with pytest.raises(TranspileError, match="JSONPath"):
+        t("SELECT json_array_length(j, '/a') FROM t")
+    # dayofyear passes through natively (previously re-dispatched
+    # forever through its own template)
+    assert t("SELECT dayofyear(d) AS v FROM t") == \
+        "SELECT dayofyear(d) AS v FROM t"
+
+
+def test_pg_collision_sweep_round10():
+    """pg-side mechanical collision sweep fixes
+    (tools/probes/pg_collision_wave22.txt — 102 MATCH / 0 WRONG):
+    width_bucket's 2-arg thresholds-ARRAY form (Spark has only the
+    4-arg numeric form) computes the count of thresholds <= operand
+    with a NULL-operand guard (pinned live: (7,[1,5,10])=2,
+    (0,..)=0, (10,..)=3, NULL→NULL); bytea trims and
+    bit_count(bytea) are loud (Spark coerces binary to STRING /
+    rejects binary)."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    out = t("SELECT width_bucket(x, ARRAY[1,5,10]) AS v FROM t")
+    assert out == ("SELECT IF((x) IS NULL, NULL, "
+                   "size(filter((array(1,5,10)), _wb -> _wb <= (x)))) "
+                   "AS v FROM t")
+    assert t(out) == out
+    # the 4-arg numeric form passes through (Spark-identical)
+    assert t("SELECT width_bucket(x, 0, 10, 5) AS v FROM t") == \
+        "SELECT width_bucket(x, 0, 10, 5) AS v FROM t"
+    with pytest.raises(TranspileError, match="BINARY"):
+        t("SELECT btrim(a::bytea, b::bytea) FROM t")
+    with pytest.raises(TranspileError, match="integral-only"):
+        t("SELECT bit_count(x::bytea) FROM t")
+    assert t("SELECT bit_count(7) AS v") == "SELECT bit_count(7) AS v"
