@@ -957,8 +957,69 @@ def call_handlers(ctx) -> "int | None":
             )
             pat_ = _literal_content(toks[spans[1][0]][1], "duckdb")
             if int(toks[spans[2][0]][1]) > _count_capture_groups(pat_):
-                edits.append((start, toks[close][3], "''"))
+                # NULL source still yields NULL, not '' (NULL sweep)
+                s0_ = _arg_text(spans[0])
+                edits.append(
+                    (start, toks[close][3],
+                     f"IF(({s0_}) IS NULL, NULL, '')")
+                )
                 return close + 1
+        if (
+            len(spans) == 3
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+            and spans[2][0] == spans[2][1]
+            and toks[spans[2][0]][0] in _NAME_KINDS
+            and toks[spans[2][0]][1].upper() == "NULL"
+        ):
+            # duck returns '' for a literal-NULL group index (pinned
+            # live); Spark returns NULL
+            s0_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 f"IF(({s0_}) IS NULL, NULL, '')")
+            )
+            return close + 1
+
+    if name in ("split", "string_split", "str_split"):
+        # duck's NULL separator leaves the string UNSPLIT (split('aB',
+        # NULL) = ['aB']; NULL source stays NULL — pinned live, NULL
+        # sweep); Spark's split returns NULL. Literal-NULL separators
+        # rewrite; NULL separator VALUES in columns are statically
+        # invisible (documented). NOTE: pg string_to_array's NULL
+        # separator splits per CHARACTER — different engine, different
+        # handler.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] in _NAME_KINDS
+            and toks[spans[1][0]][1].upper() == "NULL"
+        ):
+            s0_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 f"IF(({s0_}) IS NULL, NULL, array(({s0_})))")
+            )
+            return close + 1
+
+    if name == "isnan":
+        # duck isnan(NULL) is NULL; Spark's is false (round-10 NULL
+        # sweep). Skip args already CAST(... AS DOUBLE) — that shape
+        # is this handler's own emission (and isfinite's), keeping
+        # fixpoint re-reads inert.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1 and not (
+            toks[spans[0][0]][0] in _NAME_KINDS
+            and toks[spans[0][0]][1].upper() == "CAST"
+        ):
+            x_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 f"(CASE WHEN ({x_}) IS NULL THEN NULL ELSE "
+                 f"isnan(CAST(({x_}) AS DOUBLE)) END)")
+            )
+            return close + 1
 
     if name in ("century", "decade", "millennium", "isoyear",
                 "yearofweek", "isodow"):

@@ -217,13 +217,18 @@ def call_handlers(ctx) -> "int | None":
             p_ = f"({_arg_text(spans[1])})"
         st_ = _arg_text(spans[2])
         # bind source + start once; nullif keeps the found position
-        # re-offset single-evaluation (0 = no match stays 0)
+        # re-offset single-evaluation (0 = no match stays 0). The NULL
+        # arm is explicit: pg regexp_instr is STRICT (any NULL
+        # argument → NULL), and the bare coalesce(..., 0) silently
+        # turned NULLs into 0 (round-10 NULL sweep).
         edits.append(
             (start, toks[close][3],
              f"element_at(transform(array(struct(({s_}) AS _rs, "
              f"({st_}) AS _ri)), _rt -> "
+             f"CASE WHEN _rt._rs IS NULL OR _rt._ri IS NULL "
+             f"OR {p_} IS NULL THEN NULL ELSE "
              f"coalesce(nullif(regexp_instr(substring(_rt._rs FROM "
-             f"_rt._ri), {p_}), 0) + _rt._ri - 1, 0)), 1)")
+             f"_rt._ri), {p_}), 0) + _rt._ri - 1, 0) END), 1)")
         )
         return close + 1
 

@@ -325,12 +325,16 @@ def call_handlers(ctx) -> "int | None":
         # wraps at 256 (chr(955) = '»', a silent wrong value). Java's
         # %c formats the code point exactly, supplementary planes
         # included (pinned live: format_string('%c', 128512) =
-        # pg chr(128512) = '😀').
+        # pg chr(128512) = '😀'). NULL guard (round-10 NULL sweep):
+        # chr(NULL) is NULL in every source engine, but format_string
+        # renders a NULL argument as the TEXT 'null'.
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 1:
+            x_ = _arg_text(spans[0])
             edits.append(
                 (start, toks[close][3],
-                 f"format_string('%c', ({_arg_text(spans[0])}))")
+                 f"IF(({x_}) IS NULL, NULL, "
+                 f"format_string('%c', ({x_})))")
             )
             return close + 1
 
@@ -484,9 +488,15 @@ def call_handlers(ctx) -> "int | None":
                     f"if(({n_}) < 0, length(({s_})) + ({n_}), ({n_})))"
                 )
             else:
+                # outer NULL guard (round-10 NULL sweep): greatest()
+                # IGNORES NULL operands, so a NULL n fell through to
+                # position 1 and returned the whole string where
+                # duck/pg return NULL (left's FOR NULL propagates
+                # naturally — no guard needed there)
                 repl = (
+                    f"if(({n_}) IS NULL, NULL, "
                     f"substring(({s_}) FROM if(({n_}) < 0, 1 - ({n_}), "
-                    f"greatest(length(({s_})) + 1 - ({n_}), 1)))"
+                    f"greatest(length(({s_})) + 1 - ({n_}), 1))))"
                 )
             edits.append((start, toks[close][3], repl))
             i = close + 1

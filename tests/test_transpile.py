@@ -3892,11 +3892,11 @@ def test_chr_code_point_snowflake_trino():
     wraps at 256, so all four reads route through format_string('%c').
     CAST type positions (char(10)) are untouched."""
     assert transpile("SELECT chr(955) AS v", "snowflake") == \
-        "SELECT format_string('%c', (955)) AS v"
+        "SELECT IF((955) IS NULL, NULL, format_string('%c', (955))) AS v"
     assert transpile("SELECT char(955) AS v", "snowflake") == \
-        "SELECT format_string('%c', (955)) AS v"
+        "SELECT IF((955) IS NULL, NULL, format_string('%c', (955))) AS v"
     assert transpile("SELECT chr(955) AS v", "trino") == \
-        "SELECT format_string('%c', (955)) AS v"
+        "SELECT IF((955) IS NULL, NULL, format_string('%c', (955))) AS v"
     assert transpile(
         "SELECT CAST(x AS char(10)) FROM t", "snowflake"
     ) == "SELECT CAST(x AS char(10)) FROM t"
@@ -4195,7 +4195,7 @@ def test_duck_collision_sweep_round10():
         "SELECT 400 AS v"
     assert t("SELECT year(d) AS v FROM t") == "SELECT year(d) AS v FROM t"
     assert t("SELECT regexp_extract('ab', '(a)(b)', 3) AS v") == \
-        "SELECT '' AS v"
+        "SELECT IF(('ab') IS NULL, NULL, '') AS v"
     assert "regexp_extract('ab', '(a)(b)', 2)" in t(
         "SELECT regexp_extract('ab', '(a)(b)', 2) AS v")
     with pytest.raises(TranspileError, match="BINARY"):
@@ -4236,3 +4236,29 @@ def test_pg_collision_sweep_round10():
     with pytest.raises(TranspileError, match="integral-only"):
         t("SELECT bit_count(x::bytea) FROM t")
     assert t("SELECT bit_count(7) AS v") == "SELECT bit_count(7) AS v"
+
+
+def test_null_argument_sweep_round10():
+    """Round-10 NULL-argument sweeps (waves 23/24): STRICT-function
+    NULL propagation the emissions silently broke. chr(NULL) is NULL
+    everywhere (format_string rendered the TEXT 'null'); duck
+    right(s, NULL) is NULL (Spark greatest() ignores NULL operands —
+    the position fell through to 1); duck isnan(NULL) is NULL (Spark:
+    false); duck split(s, NULL) leaves the string unsplit; pg
+    regexp_instr is strict (the start-offset emission coalesced NULL
+    to 0)."""
+    td = lambda s: transpile(s, "duckdb")  # noqa: E731
+    out = td("SELECT chr(n) AS v FROM t")
+    assert out == \
+        "SELECT IF((n) IS NULL, NULL, format_string('%c', (n))) AS v FROM t"
+    r = td("SELECT right(s, n) AS v FROM t")
+    assert r.startswith("SELECT if((n) IS NULL, NULL, substring(")
+    isn = td("SELECT isnan(x) AS v FROM t")
+    assert isn == ("SELECT (CASE WHEN (x) IS NULL THEN NULL ELSE "
+                   "isnan(CAST((x) AS DOUBLE)) END) AS v FROM t")
+    assert td(isn) == isn  # own emission (CAST arg) stays inert
+    assert td("SELECT split(s, NULL) AS v FROM t") == \
+        "SELECT IF((s) IS NULL, NULL, array((s))) AS v FROM t"
+    inst = transpile(
+        "SELECT regexp_instr(s, 'a', 2) AS v FROM t", "postgres")
+    assert "_rt._rs IS NULL OR _rt._ri IS NULL" in inst
