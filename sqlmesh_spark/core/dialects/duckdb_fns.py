@@ -229,9 +229,15 @@ def call_handlers(ctx) -> "int | None":
                     )
                 val_text = sql[toks[spans[0][0]][2]: toks[ob][2]].rstrip()
                 fn = ("max_by" if (name == "last") != desc else "min_by")
+                # the key wrap is an IDENTITY (a NULL key stays NULL)
+                # serving as the IF marker: duck first/last KEEP rows
+                # with NULL values, so the round-10 max_by NULL-skip
+                # handler must not re-wrap this emission (user-written
+                # duck max_by/arg_max skip them — different contract)
                 edits.append(
                     (start, toks[close][3],
-                     f"{fn}(({val_text}), ({key_text}))")
+                     f"{fn}(({val_text}), IF(({key_text}) IS NULL, "
+                     f"NULL, ({key_text})))")
                 )
                 return close + 1
 
@@ -801,6 +807,38 @@ def call_handlers(ctx) -> "int | None":
     # ---- round-10 same-name collision sweep (duck ∩ Spark names with
     # different semantics, found by mechanically probing every shared
     # catalog signature — the hash()/element_at class)
+
+    if name in ("max_by", "min_by", "arg_max", "arg_min"):
+        # duck SKIPS rows whose VALUE argument is NULL (max_by over
+        # (1,2),(NULL,4) = 1 — pinned live); Spark's max_by keeps them
+        # (returns NULL here). NULLing the ordering key for NULL-value
+        # rows makes Spark ignore them identically (both engines
+        # already ignore NULL keys). IF-first-token marker keeps
+        # re-reads inert. duck's arg_max_null (which KEEPS NULLs —
+        # Spark's exact behavior) is loud below rather than risking
+        # this handler re-wrapping its plain emission.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and not (
+                toks[spans[1][0]][0] in _NAME_KINDS
+                and toks[spans[1][0]][1].upper() == "IF"
+            )
+        ):
+            a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
+            fn2 = "max_by" if name in ("max_by", "arg_max") else "min_by"
+            edits.append(
+                (start, toks[close][3],
+                 f"{fn2}(({a_}), IF(({a_}) IS NULL, NULL, ({b_})))")
+            )
+            return close + 1
+
+    if name in ("arg_max_null", "arg_min_null"):
+        raise TranspileError(
+            f"duckdb {name} KEEPS NULL values — that is exactly Spark "
+            f"{'max_by' if 'max' in name else 'min_by'}; spell it that "
+            "way (duck max_by/arg_max skip NULLs and are rewritten)"
+        )
 
     if name in ("least", "greatest"):
         # duck accepts ONE argument (identity); Spark requires > 1

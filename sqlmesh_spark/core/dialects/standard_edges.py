@@ -841,6 +841,53 @@ def call_handlers(ctx) -> "int | None":
             "(Spark get_json_object paths are foldable)"
         )
 
+    if name in ("avg", "mean") and read in ("duckdb", "postgres"):
+        # Both engines compute avg of exact-numeric inputs at FULL
+        # precision (duck avg of DECIMALs returns DOUBLE
+        # 2.1666666666666665; pg returns unbounded NUMERIC — both
+        # pinned live); Spark's decimal avg keeps DECIMAL(p+4, s+4),
+        # ROUNDING at scale+4 (2.16667 for DECIMAL(2,1) inputs — a
+        # silent value change; round-10 aggregate sweep). Casting the
+        # input to DOUBLE matches both engines to float precision.
+        # duck has no interval avg; pg does — statically-visible
+        # INTERVAL operands skip the cast (an interval COLUMN would
+        # fail the cast loudly, a documented ceiling). CAST-first-
+        # token marker keeps re-reads inert; DISTINCT stays outside.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            s0, s1 = spans[0]
+            depth0_order = False
+            d_ = 0
+            for j_ in range(s0, s1 + 1):
+                k2, t2 = toks[j_][0], toks[j_][1]
+                if k2 == "op" and t2 in ("(", "["):
+                    d_ += 1
+                elif k2 == "op" and t2 in (")", "]"):
+                    d_ -= 1
+                elif d_ == 0 and k2 in _NAME_KINDS and \
+                        t2.upper() == "ORDER":
+                    depth0_order = True
+            distinct = (
+                toks[s0][0] in _NAME_KINDS
+                and toks[s0][1].upper() == "DISTINCT"
+            )
+            v0 = s0 + 1 if distinct else s0
+            skip = (
+                depth0_order
+                or (toks[v0][0] in _NAME_KINDS
+                    and toks[v0][1].upper() in ("CAST", "INTERVAL"))
+                or (toks[v0][0] == "op" and toks[v0][1] == "*")
+            )
+            if not skip:
+                x_ = sql[toks[v0][2]: toks[s1][3]]
+                edits.append(
+                    (start, toks[close][3],
+                     f"avg({'DISTINCT ' if distinct else ''}"
+                     f"CAST(({x_}) AS DOUBLE))")
+                )
+                i = close + 1
+                return i
+
     if name == "width_bucket" and read == "postgres" and first_pass:
         # pg's 2-arg ARRAY form buckets by a SORTED thresholds list
         # (width_bucket(7, ARRAY[1,5,10]) = 2 — pinned live; pg leaves

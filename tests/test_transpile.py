@@ -276,7 +276,11 @@ def test_transpiled_expression_parity_matrix(spark):
 
 def test_arg_max_min():
     out = transpile("SELECT arg_max(name, score), arg_min(name, score) FROM t", "duckdb")
-    assert out == "SELECT max_by(name, score), min_by(name, score) FROM t"
+    # round-10: duck arg_max/max_by SKIP rows whose VALUE is NULL
+    # (Spark's keep them) — the key is NULLed for NULL-value rows
+    assert out == ("SELECT max_by((name), IF((name) IS NULL, NULL, "
+                   "(score))), min_by((name), IF((name) IS NULL, "
+                   "NULL, (score))) FROM t")
 
 
 def test_date_diff_unit_keyword():
@@ -3774,8 +3778,11 @@ def test_duckdb_round8_batch():
     # NULLS FIRST selects a NULL-keyed row (min_by/max_by ignore NULL
     # keys) — loud (round-9 ADVICE: the tail used to leak into
     # min_by((x), (y NULLS LAST)), invalid Spark, and hid the DESC)
+    # the identity-IF key wrap is the round-10 marker keeping the
+    # max_by NULL-skip handler off this emission (first/last KEEP
+    # NULL values, unlike duck max_by)
     assert t("(SELECT first(x ORDER BY k NULLS LAST) FROM t)") == \
-        "SELECT (SELECT min_by((x), (k)) FROM t) AS v"
+        "SELECT (SELECT min_by((x), IF((k) IS NULL, NULL, (k))) FROM t) AS v"
     assert "max_by" in t("(SELECT first(x ORDER BY k DESC NULLS LAST) FROM t)")
     with pytest.raises(TranspileError, match="NULLS FIRST"):
         t("(SELECT first(x ORDER BY k NULLS FIRST) FROM t)")
@@ -4262,3 +4269,31 @@ def test_null_argument_sweep_round10():
     inst = transpile(
         "SELECT regexp_instr(s, 'a', 2) AS v FROM t", "postgres")
     assert "_rt._rs IS NULL OR _rt._ri IS NULL" in inst
+
+
+def test_aggregate_sweep_round10():
+    """Round-10 aggregate sweep (wave 25): duck/pg avg computes at
+    full precision where Spark's decimal avg rounds at scale+4 — the
+    input casts to DOUBLE (DISTINCT stays outside; interval/star/CAST
+    operands skip); duck max_by-family aggregates SKIP NULL values
+    where Spark's keep them. Values pinned live both engines."""
+    td = lambda s: transpile(s, "duckdb")  # noqa: E731
+    out = td("SELECT avg(v) AS v FROM t")
+    assert out == "SELECT avg(CAST((v) AS DOUBLE)) AS v FROM t"
+    assert td(out) == out
+    assert td("SELECT mean(v) AS v FROM t") == out
+    assert td("SELECT avg(DISTINCT v) AS v FROM t") == \
+        "SELECT avg(DISTINCT CAST((v) AS DOUBLE)) AS v FROM t"
+    assert transpile("SELECT avg(v) AS v FROM t", "postgres") == out
+    # pg interval operands skip the cast statically
+    assert transpile(
+        "SELECT avg(x + INTERVAL '1 day') AS v FROM t", "postgres"
+    ).startswith("SELECT avg(CAST((")  # non-INTERVAL-leading: casts
+    assert "CAST" not in transpile(
+        "SELECT avg(INTERVAL '1 day') AS v FROM t", "postgres")
+    mb = td("SELECT max_by(a, b) AS v FROM t")
+    assert mb == \
+        "SELECT max_by((a), IF((a) IS NULL, NULL, (b))) AS v FROM t"
+    assert td(mb) == mb
+    with pytest.raises(TranspileError, match="KEEPS NULL"):
+        td("SELECT arg_max_null(a, b) FROM t")
