@@ -1347,6 +1347,33 @@ def token_handlers(ctx) -> "int | None":
 
     n_ = len(toks)
     if (
+        kind == "op"
+        and text == "-"
+        and i >= 2
+        and toks[i - 1][0] == "string"
+        and toks[i - 2][0] == "ident"
+        and toks[i - 2][1].upper() == "DATE"
+        and i + 2 < n_
+        and toks[i + 1][0] == "ident"
+        and toks[i + 1][1].upper() == "DATE"
+        and toks[i + 2][0] == "string"
+    ):
+        # duck DATE - DATE is INTEGER days (pinned live, round-10
+        # operator probe — same as pg); Spark date subtraction returns
+        # an INTERVAL. Literal shape → datediff; typed column
+        # subtraction passes through (the INTERVAL result breaks
+        # downstream arithmetic loudly, never silently). Mirrors the
+        # pg handler in core/dialects/postgres.py.
+        ls = toks[i - 2][2]
+        re_ = toks[i + 2][3]
+        if not any(e[1] >= ls and e[0] <= re_ for e in edits):
+            edits.append((ls, ls, "datediff("))
+            edits.append((start, ctx.end, ","))
+            edits.append((re_, re_, ")"))
+            return i + 3
+        return i + 1
+
+    if (
         kind == "ident"
         and text.upper() == "ASOF"
         and i + 1 < n_

@@ -586,7 +586,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # ---- DuckDB struct/map literal syntax ({'k': v}, MAP {k: v})
         # and the * REPLACE / BY NAME louds (core/dialects/duckdb_fns.py)
         if read == "duckdb" and (
-            (kind == "op" and text in ("{", "::", "&"))
+            (kind == "op" and text in ("{", "::", "&", "-"))
             or (kind == "ident" and (
                 text.upper() in (
                     "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",

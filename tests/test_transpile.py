@@ -4297,3 +4297,15 @@ def test_aggregate_sweep_round10():
     assert td(mb) == mb
     with pytest.raises(TranspileError, match="KEEPS NULL"):
         td("SELECT arg_max_null(a, b) FROM t")
+
+
+def test_duck_date_minus_date_round10():
+    """duck DATE - DATE is INTEGER days (68 for Mar 9 - Jan 1, pinned
+    live — same as pg); Spark's date subtraction returns an INTERVAL.
+    The literal shape rewrites to datediff on the duck read too (the
+    pg handler predates this; wave 26)."""
+    assert transpile(
+        "SELECT DATE '2024-03-09' - DATE '2024-01-01' AS v", "duckdb"
+    ) == "SELECT datediff(DATE '2024-03-09' , DATE '2024-01-01') AS v"
+    out = transpile("SELECT d1 - d2 AS v FROM t", "duckdb")
+    assert out == "SELECT d1 - d2 AS v FROM t"  # columns pass through
