@@ -61,7 +61,10 @@ def token_handlers(ctx) -> "int | None":
     #   FETCH FIRST|NEXT n ROWS|ROW ONLY → LIMIT n
     # (T-SQL's OFFSET..FETCH is the same grammar.)
     if (
-        read in ("oracle", "ansi", "postgres", "tsql", "trino")
+        # duckdb included (round 10): duck accepts OFFSET before
+        # LIMIT and the FETCH FIRST form too — previously Spark
+        # parse errors on the duck read
+        read in ("oracle", "ansi", "postgres", "tsql", "trino", "duckdb")
         and kind == "ident"
         and text.upper() in ("OFFSET", "FETCH")
     ):
@@ -78,14 +81,14 @@ def token_handlers(ctx) -> "int | None":
                 j += 3
             else:
                 if (
-                    read == "postgres"
+                    read in ("postgres", "duckdb")
                     and j + 3 < n
                     and toks[j + 1][0] == "number"
                     and toks[j + 2][0] == "ident"
                     and toks[j + 2][1].upper() == "LIMIT"
                     and toks[j + 3][0] == "number"
                 ):
-                    # pg accepts OFFSET m LIMIT n in either order;
+                    # pg/duck accept OFFSET m LIMIT n in either order;
                     # Spark requires LIMIT before OFFSET — swap
                     edits.append(
                         (start, toks[j + 3][3],

@@ -157,7 +157,12 @@ def token_handlers(ctx) -> "int | None":
     # row) cannot affect result order — and it may reference
     # non-selected columns that the outer scope lacks.
     if (
-        read == "postgres"
+        # duckdb included (round 10): duck supports DISTINCT ON with
+        # the same first-row-per-group-under-ORDER-BY contract (it
+        # merely drops pg's ORDER-BY-prefix requirement, which this
+        # rewrite never depended on); dispatched for duck via the
+        # DISTINCT trigger in transpile.py
+        read in ("postgres", "duckdb")
         and kind == "ident"
         and text.upper() == "DISTINCT"
         and i > 0

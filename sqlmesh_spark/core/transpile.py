@@ -585,6 +585,18 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
         # ---- DuckDB struct/map literal syntax ({'k': v}, MAP {k: v})
         # and the * REPLACE / BY NAME louds (core/dialects/duckdb_fns.py)
+        if read == "duckdb" and kind == "ident" and text.upper() == "DISTINCT":
+            # duck DISTINCT ON shares the pg rewrite (see the widened
+            # gate in core/dialects/postgres.py); only the DISTINCT
+            # trigger reaches the pg module from the duck read, so no
+            # other pg-only handler can fire here
+            ctx.i, ctx.kind, ctx.text = i, kind, text
+            ctx.start, ctx.end, ctx.name = start, end, ""
+            nxt = _d_postgres.token_handlers(ctx)
+            if nxt is not None:
+                i = nxt
+                continue
+
         if read == "duckdb" and (
             (kind == "op" and text in ("{", "::", "&", "-"))
             or (kind == "ident" and (

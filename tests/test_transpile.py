@@ -4309,3 +4309,18 @@ def test_duck_date_minus_date_round10():
     ) == "SELECT datediff(DATE '2024-03-09' , DATE '2024-01-01') AS v"
     out = transpile("SELECT d1 - d2 AS v FROM t", "duckdb")
     assert out == "SELECT d1 - d2 AS v FROM t"  # columns pass through
+
+
+def test_duck_query_clauses_round10():
+    """Wave 27 (--table, both reads): duck DISTINCT ON shares the pg
+    ROW_NUMBER rewrite (duck merely drops pg's ORDER-BY-prefix
+    requirement, which the rewrite never used); duck OFFSET-before-
+    LIMIT swaps and FETCH FIRST maps — all previously Spark parse
+    errors on the duck read (the pg read had every one)."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    out = t("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v")
+    assert "ROW_NUMBER() OVER (PARTITION BY" in out.upper()
+    assert t("SELECT v FROM t ORDER BY v OFFSET 1 LIMIT 2") == \
+        "SELECT v FROM t ORDER BY v NULLS LAST LIMIT 2 OFFSET 1"
+    assert t("SELECT v FROM t ORDER BY v FETCH FIRST 2 ROWS ONLY") == \
+        "SELECT v FROM t ORDER BY v NULLS LAST LIMIT 2"

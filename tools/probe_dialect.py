@@ -159,7 +159,7 @@ def _pg_values(exprs, table=False):
             # in a JSON object otherwise.
             script.append(
                 "SELECT coalesce(to_json(array_agg(row(_pt.*)))"
-                f"::text, 'null') FROM (SELECT * FROM {e}) AS _pt;"
+                f"::text, 'null') FROM (SELECT * FROM {e} AS _q) AS _pt;"
             )
         else:
             script.append(f"SELECT coalesce(to_json({e})::text, 'null');")
