@@ -317,7 +317,9 @@ def token_handlers(ctx) -> "int | None":
             if (
                 read == "duckdb"
                 and toks[j][0] in _NAME_KINDS
-                and toks[j][1].lower() in ("map", "map_from_arrays")
+                and toks[j][1].lower() in (
+                    "map", "map_from_arrays", "map_from_entries",
+                )
             ):
                 # duckdb map[k] returns a LIST of matching values
                 # ([] when the key is absent), NOT the element.

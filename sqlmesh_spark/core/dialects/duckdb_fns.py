@@ -833,6 +833,36 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
+    if name == "row":
+        # bare duck row(1, 'a') constructor → Spark struct (pinned:
+        # duck renders the unnamed tuple, Spark the '0'..'n' struct —
+        # positionally identical). ONLY outside comparison context:
+        # row-vs-row comparisons belong to the field-wise 3VL
+        # expansion in container_ops (Spark's native struct compare
+        # treats NULL as smallest — a silent divergence there).
+        spans, close = _call_arg_spans(toks, i + 1)
+        nxt_t = toks[close + 1] if close + 1 < n else None
+        prv_t = toks[i - 1] if i > 0 else None
+
+        def _cmp_adjacent(tk):
+            if tk is None:
+                return False
+            if tk[0] == "op" and any(c in tk[1] for c in "=<>!"):
+                return True
+            return tk[0] in _NAME_KINDS and tk[1].upper() in (
+                "IN", "NOT", "BETWEEN", "IS",
+            )
+        if spans and not _cmp_adjacent(nxt_t) and not _cmp_adjacent(prv_t):
+            edits.append((start, toks[i][3], "struct"))
+            return i + 1
+
+    if name == "struct_insert":
+        raise TranspileError(
+            "duckdb struct_insert needs the struct's full field list "
+            "(statically unknowable for columns); reconstruct with "
+            "named_struct(...) listing every field"
+        )
+
     if name in ("arg_max_null", "arg_min_null"):
         raise TranspileError(
             f"duckdb {name} KEEPS NULL values — that is exactly Spark "

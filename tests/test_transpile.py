@@ -4324,3 +4324,21 @@ def test_duck_query_clauses_round10():
         "SELECT v FROM t ORDER BY v NULLS LAST LIMIT 2 OFFSET 1"
     assert t("SELECT v FROM t ORDER BY v FETCH FIRST 2 ROWS ONLY") == \
         "SELECT v FROM t ORDER BY v NULLS LAST LIMIT 2"
+
+
+def test_duck_row_struct_round10():
+    """Wave 30: bare duck row(1, 'a') constructors rename to struct
+    (positional tuple parity); row-vs-row COMPARISONS stay with the
+    field-wise 3VL expansion in container_ops (Spark's native struct
+    compare treats NULL as smallest — renaming there would be a silent
+    divergence); struct_insert is loud; map_from_entries joins the
+    statically-visible map constructors for bracket access."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    assert t("SELECT row(1, 'a') AS v") == "SELECT struct(1, 'a') AS v"
+    # comparison context: field-wise expansion, NOT the rename
+    cmp_out = t("SELECT row(1, NULL) = row(1, 2) AS v")
+    assert "struct((1) AS _r0" in cmp_out and "<=>" not in cmp_out[:20]
+    with pytest.raises(TranspileError, match="field list"):
+        t("SELECT struct_insert(s, b := 2) FROM t")
+    mb = t("SELECT map_from_entries([('a', 1)])['a'] AS v")
+    assert "map_contains_key" in mb and "try_element_at" in mb

@@ -138,6 +138,14 @@ def _norm(v):
             return tuple(
                 _norm(v[str(ix)]) for ix in range(len(v))
             )
+        if v and all(
+            isinstance(k, str) and _re.fullmatch(r"col\d+", k) for k in v
+        ) and sorted(int(k[3:]) for k in v) == list(range(1, len(v) + 1)):
+            # Spark's bare struct() names fields col1..colN — same
+            # positional class (duck row(...) renders a plain tuple)
+            return tuple(
+                _norm(v[f"col{ix}"]) for ix in range(1, len(v) + 1)
+            )
         return tuple(sorted(
             (str(k), _norm(x)) for k, x in v.items()
         ))
