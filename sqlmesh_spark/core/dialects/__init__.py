@@ -95,8 +95,10 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "nfc_normalize": None, "strip_accents": None, "bar": None,
         "md5_number_lower": None, "md5_number_upper": None,
         "md5_number": None, "mad": None, "list_grade_up": None,
-        "list_zip": None,               # field-name shape differs from
-                                        # Spark arrays_zip
+        # list_zip: handler in duckdb_fns.py since round 10
+        # (arrays_zip with coalesced legs; positional-struct parity);
+        # this None is the fallback for arity < 2
+        "list_zip": None,
         "list_aggregate": None,         # dynamic aggregate dispatch
         "format": None,                 # duckdb fmt '{}' syntax
         "timezone_hour": None, "timezone_minute": None,
@@ -114,7 +116,6 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "regexp_escape": None, "parse_filename": None,
         "parse_dirname": None, "parse_path": None,
         "format_bytes": None, "formatreadabledecimalsize": None,
-        "julian": None,
         "timezone": None,               # tz conversion is session-
                                         # config-dependent; loud
     },
@@ -126,6 +127,9 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "justify_hours": None,
         "justify_interval": None,
         "current_setting": None,        # server config introspection
+        "timezone": None,               # the function form of AT TIME
+                                        # ZONE — same session-config-
+                                        # dependent loud (round 10)
         # round 8 (adversarial live-PG probes): construction/SETOF/
         # introspection functions with no faithful Spark form.
         # round 9: json_agg/jsonb_agg, json(b)_build_object,

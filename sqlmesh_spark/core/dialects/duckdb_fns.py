@@ -1090,7 +1090,7 @@ def call_handlers(ctx) -> "int | None":
             return close + 1
 
     if name in ("century", "decade", "millennium", "isoyear",
-                "yearofweek", "isodow"):
+                "yearofweek", "isodow", "julian"):
         # duckdb exposes the date-part fields as FUNCTIONS too; route
         # through the shared field templates. (dayofyear is NOT routed:
         # its template spells dayofyear() — Spark's identical builtin —
