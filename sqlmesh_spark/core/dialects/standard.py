@@ -16,6 +16,7 @@ from sqlmesh_spark.core.dialects import duckdb_fns as _duckfns
 from sqlmesh_spark.core.dialects import postgres_calls as _postgres
 from sqlmesh_spark.core.dialects import postgres_regex as _pgregex
 from sqlmesh_spark.core.dialects import postgres_srf as _pgsrf
+from sqlmesh_spark.core.dialects import postgres_fns as _pgfns
 from sqlmesh_spark.core.transpile_types import (
     _PARAM_TYPES,
     _PARAM_DROP_TYPES,
@@ -337,6 +338,11 @@ def call_handlers(ctx) -> "int | None":
             nxt = _pgsrf.call_handlers(ctx)
             if nxt is not None:
                 return nxt
+        # pg-only-name tier (round 10): degree trig, array dimension
+        # functions, sequence/clock/json louds
+        nxt = _pgfns.call_handlers(ctx)
+        if nxt is not None:
+            return nxt
 
     if (
         read in ("postgres", "duckdb")

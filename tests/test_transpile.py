@@ -4342,3 +4342,29 @@ def test_duck_row_struct_round10():
         t("SELECT struct_insert(s, b := 2) FROM t")
     mb = t("SELECT map_from_entries([('a', 1)])['a'] AS v")
     assert "map_contains_key" in mb and "try_element_at" in mb
+
+
+def test_pg_only_name_tier_round10():
+    """Wave 32 (pg-only-name sweep — pg_catalog scalars Spark lacks,
+    previously unresolved-routine passthroughs): degree trig via
+    radians/degrees, array_length/upper as nullif(size(), 0) (pg
+    returns NULL for empty arrays), array_lower 1-or-NULL, and loud
+    gcd/sequences/clock_timestamp/array_to_json."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    assert t("SELECT sind(x) AS v FROM t") == \
+        "SELECT sin(radians((x))) AS v FROM t"
+    assert t("SELECT atan2d(y, x) AS v FROM t") == \
+        "SELECT degrees(atan2((y), (x))) AS v FROM t"
+    assert t("SELECT array_length(a, 1) AS v FROM t") == \
+        "SELECT nullif(size((a)), 0) AS v FROM t"
+    # (the pg ::int rounding seam wraps the NULL castee in round() —
+    # identity for NULL)
+    assert t("SELECT array_lower(a, 1) AS v FROM t") == \
+        ("SELECT IF(coalesce(size((a)), 0) > 0, 1, "
+         "CAST(round(NULL) AS INT)) AS v FROM t")
+    with pytest.raises(TranspileError, match="multidim"):
+        t("SELECT array_length(a, 2) FROM t")
+    for bad in ("gcd(a, b)", "nextval('s')", "clock_timestamp()",
+                "array_to_json(a)"):
+        with pytest.raises(TranspileError):
+            t(f"SELECT {bad} FROM t")
