@@ -95,6 +95,18 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "nfc_normalize": None, "strip_accents": None, "bar": None,
         "md5_number_lower": None, "md5_number_upper": None,
         "md5_number": None, "mad": None, "list_grade_up": None,
+        # round-10 duck-only-name sweep: grade_up aliases, internal
+        # helpers, TIME/tz constructors, sequences
+        "array_grade_up": None, "grade_up": None,
+        "constant_or_null": None, "alias": None, "vector_type": None,
+        "unpivot_list": None, "formatreadablesize": None,
+        "make_timestamptz": None, "get_current_time": None,
+        "txid_current": None, "json_serialize_plan": None,
+        "json_serialize_sql": None, "json_deserialize_sql": None,
+        # grapheme-cluster string functions (no Spark analog)
+        "length_grapheme": None, "substring_grapheme": None,
+        "left_grapheme": None, "right_grapheme": None,
+        "transaction_timestamp": "current_timestamp",
         # list_zip: handler in duckdb_fns.py since round 10
         # (arrays_zip with coalesced legs; positional-struct parity);
         # this None is the fallback for arity < 2

@@ -745,7 +745,7 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
-    if name == "list_resize":
+    if name in ("list_resize", "array_resize"):
         # pads with NULL / truncates; try_element_at(a, size+1) is an
         # always-NULL value of the ELEMENT type (typed NULL padding)
         spans, close = _call_arg_spans(toks, i + 1)
@@ -763,7 +763,7 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
-    if name == "list_select":
+    if name in ("list_select", "array_select"):
         # elements at the given 1-based indexes; out-of-bounds (and
         # index 0) become NULL elements — pinned: list_select([10],[5])
         # = [NULL]
@@ -862,6 +862,38 @@ def call_handlers(ctx) -> "int | None":
             "(statically unknowable for columns); reconstruct with "
             "named_struct(...) listing every field"
         )
+
+    if name in ("to_years", "to_months", "to_quarters", "to_decades",
+                "to_centuries", "to_millennia", "to_days", "to_weeks",
+                "to_hours", "to_minutes", "to_seconds",
+                "to_milliseconds", "to_microseconds"):
+        # duck's interval constructors (to_days(3) = INTERVAL 3 DAY —
+        # round-10 duck-only-name sweep; previously unresolved) map to
+        # Spark's typed interval builders: year-month units through
+        # make_ym_interval, day-time through make_dt_interval (both
+        # accept expressions; sub-second units scale into the seconds
+        # argument).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = f"({_arg_text(spans[0])})"
+            ym = {"to_years": f"make_ym_interval({x_})",
+                  "to_decades": f"make_ym_interval({x_} * 10)",
+                  "to_centuries": f"make_ym_interval({x_} * 100)",
+                  "to_millennia": f"make_ym_interval({x_} * 1000)",
+                  "to_months": f"make_ym_interval(0, {x_})",
+                  "to_quarters": f"make_ym_interval(0, {x_} * 3)"}
+            dt = {"to_days": f"make_dt_interval({x_})",
+                  "to_weeks": f"make_dt_interval({x_} * 7)",
+                  "to_hours": f"make_dt_interval(0, {x_})",
+                  "to_minutes": f"make_dt_interval(0, 0, {x_})",
+                  "to_seconds": f"make_dt_interval(0, 0, 0, {x_})",
+                  "to_milliseconds":
+                      f"make_dt_interval(0, 0, 0, {x_} / 1000)",
+                  "to_microseconds":
+                      f"make_dt_interval(0, 0, 0, {x_} / 1000000)"}
+            repl = ym.get(name) or dt.get(name)
+            edits.append((start, toks[close][3], repl))
+            return close + 1
 
     if name in ("arg_max_null", "arg_min_null"):
         raise TranspileError(
@@ -970,7 +1002,8 @@ def call_handlers(ctx) -> "int | None":
 
     if name in ("year", "month", "day", "hour", "minute", "second",
                 "quarter", "weekday", "dayofmonth", "dayofweek",
-                "millisecond", "microsecond"):
+                "millisecond", "microsecond", "century", "decade",
+                "millennium", "epoch"):
         # field functions over INTERVAL LITERAL operands (year(INTERVAL
         # 26 MONTH) = 2 — pinned live) have no Spark form (Spark's
         # extract rejects intervals for these spellings); statically
@@ -1250,16 +1283,52 @@ def call_handlers(ctx) -> "int | None":
 
     if name in ("add", "subtract", "multiply"):
         spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            op = {"add": "+", "subtract": "-", "multiply": "*"}[name]
+        if len(spans) == 1 and name in ("add", "subtract"):
+            # 1-arg duck forms are identity / negation (pinned live)
+            sign = "" if name == "add" else "-"
             edits.append(
                 (start, toks[close][3],
-                 f"(({_arg_text(spans[0])}) {op} "
-                 f"({_arg_text(spans[1])}))")
+                 f"({sign}({_arg_text(spans[0])}))")
+            )
+            return close + 1
+        if len(spans) == 2:
+            op = {"add": "+", "subtract": "-", "multiply": "*"}[name]
+
+            def _starts(sp, kw):
+                return (
+                    toks[sp[0]][0] in _NAME_KINDS
+                    and toks[sp[0]][1].upper() == kw
+                )
+            # the paren-wrapped emission hides the operands from the
+            # DATE-typed token handlers (round-10 duck-only sweep), so
+            # the date seams re-apply here: DATE - DATE is INTEGER
+            # days; DATE ± INTERVAL promotes to TIMESTAMP
+            if (
+                name == "subtract"
+                and _starts(spans[0], "DATE")
+                and _starts(spans[1], "DATE")
+            ):
+                edits.append(
+                    (start, toks[close][3],
+                     f"datediff({_arg_text(spans[0])}, "
+                     f"{_arg_text(spans[1])})")
+                )
+                return close + 1
+            a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
+            if name in ("add", "subtract") and (
+                _starts(spans[0], "DATE") and _starts(spans[1], "INTERVAL")
+            ):
+                a_ = f"CAST({a_} AS TIMESTAMP)"
+            elif name == "add" and (
+                _starts(spans[0], "INTERVAL") and _starts(spans[1], "DATE")
+            ):
+                b_ = f"CAST({b_} AS TIMESTAMP)"
+            edits.append(
+                (start, toks[close][3], f"(({a_}) {op} ({b_}))")
             )
             return close + 1
 
-    if name == "list_reverse_sort":
+    if name in ("list_reverse_sort", "array_reverse_sort"):
         # descending, NULLs LAST (pinned: [1,3,NULL,2] → [3,2,1,NULL])
         # — exactly Spark sort_array(x, false)
         spans, close = _call_arg_spans(toks, i + 1)
@@ -1270,7 +1339,7 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
-    if name == "list_unique":
+    if name in ("list_unique", "array_unique"):
         # COUNT of distinct non-NULL elements (pinned: [1,2,2,NULL]→2)
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 1:

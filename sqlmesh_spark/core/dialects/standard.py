@@ -72,6 +72,7 @@ _COMMON_FN = {
     # Spark-4 ANSI element_at raises → try_element_at + nullif(i, 0)).
     "list_position": "array_position",
     "list_indexof": "array_position",
+    "array_indexof": "array_position",
     "list_transform": "transform",
     "list_filter": "filter",
     "list_reduce": None,                # Spark reduce() needs an init arg → loud
@@ -185,6 +186,16 @@ def call_handlers(ctx) -> "int | None":
         if toks[fmt_idx][0] != "string" or spans_[1][0] != spans_[1][1]:
             raise TranspileError(f"{name} format must be a single literal to transpile")
         fmt_lit = toks[fmt_idx][1]
+        if name == "strptime" and "%" not in fmt_lit:
+            # a directive-free format sets NO fields: duck defaults to
+            # 1900-01-01, Spark's to_timestamp to 1970-01-01 — a
+            # silent epoch swap on (admittedly weird) literal-only
+            # formats (round-10 duck-only sweep)
+            raise TranspileError(
+                "strptime format has no % directives; duck would "
+                "return its 1900-01-01 default — spell the timestamp "
+                "directly"
+            )
         converted = convert_strftime_format(fmt_lit[1:-1].replace("''", "'"))
         new_fn = "date_format" if name == "strftime" else "to_timestamp"
         edits.append((start, end, new_fn))
@@ -1098,7 +1109,7 @@ def call_handlers(ctx) -> "int | None":
 
 
     if (
-        name in ("list_extract", "array_extract")
+        name in ("list_extract", "array_extract", "list_element")
         and read in ("duckdb", "postgres")
     ):
         # DuckDB list_extract/array_extract return NULL out of

@@ -360,7 +360,7 @@ def call_handlers(ctx) -> "int | None":
         return i
 
     if (
-        name in ("list_concat", "list_cat", "array_cat")
+        name in ("list_concat", "list_cat", "array_cat", "array_concat")
         and read in ("duckdb", "postgres")
         and first_pass
     ):
@@ -1015,7 +1015,17 @@ def date_interval_promote(ctx) -> "int | None":
         toks[i][0] in _NAME_KINDS
         and toks[i][1].upper() == "INTERVAL"
         and i + 1 < n
-        and toks[i + 1][0] == "string"
+        and (
+            toks[i + 1][0] == "string"
+            # the INTERVAL 2 DAY number-unit spelling (round-10 duck
+            # sweep: the string-only check silently skipped it, so
+            # DATE + INTERVAL 2 DAY stayed a DATE on Spark)
+            or (
+                toks[i + 1][0] == "number"
+                and i + 2 < n
+                and toks[i + 2][0] in _NAME_KINDS
+            )
+        )
     ):
         return None
 

@@ -4368,3 +4368,34 @@ def test_pg_only_name_tier_round10():
                 "array_to_json(a)"):
         with pytest.raises(TranspileError):
             t(f"SELECT {bad} FROM t")
+
+
+def test_duck_only_name_tier_round10():
+    """Wave 33 (duck-only-name sweep): interval constructors map to
+    Spark's typed builders; 1-arg add/subtract are identity/negation;
+    the add/subtract function forms re-apply the DATE seams their
+    paren-wrapped emissions hid; INTERVAL n UNIT joins the date-
+    promotion trigger; strptime with a directive-free format is loud
+    (duck defaults to 1900-01-01 where Spark uses 1970)."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    assert t("SELECT to_days(n) AS v FROM t") == \
+        "SELECT make_dt_interval((n)) AS v FROM t"
+    assert t("SELECT to_months(2) AS v") == \
+        "SELECT make_ym_interval(0, (2)) AS v"
+    assert t("SELECT to_seconds(n) AS v FROM t") == \
+        "SELECT make_dt_interval(0, 0, 0, (n)) AS v FROM t"
+    assert t("SELECT subtract(3) AS v") == "SELECT (-(3)) AS v"
+    assert t("SELECT add(x) AS v FROM t") == "SELECT ((x)) AS v FROM t"
+    assert t("SELECT subtract(DATE '2024-03-09', DATE '2024-01-01') AS v") \
+        == "SELECT datediff(DATE '2024-03-09', DATE '2024-01-01') AS v"
+    out = t("SELECT add(DATE '2024-03-09', INTERVAL 2 DAY) AS v")
+    assert "CAST(DATE '2024-03-09' AS TIMESTAMP)" in out
+    # infix number-unit spelling promotes too (string form already did)
+    assert "CAST(DATE '2024-03-09' AS TIMESTAMP)" in t(
+        "SELECT DATE '2024-03-09' + INTERVAL 2 DAY AS v")
+    assert t("SELECT year(INTERVAL 26 MONTH) AS v") == "SELECT 2 AS v"
+    assert t("SELECT century(INTERVAL 2 DAY) AS v") == "SELECT 0 AS v"
+    with pytest.raises(TranspileError, match="1900"):
+        t("SELECT strptime(s, 'abc') FROM t")
+    assert t("SELECT transaction_timestamp() AS v") == \
+        "SELECT current_timestamp() AS v"
