@@ -122,6 +122,8 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # element-order divergence (round-9 ADVICE)
         "apply": "transform",
         "list_apply": "transform",
+        "array_transform": "transform",
+        "array_filter": "filter",
         # list_dot_product / list_cosine_similarity / list_distance:
         # handlers in duckdb_fns.py (zip_with + aggregate folds; Spark
         # has no list vector functions)

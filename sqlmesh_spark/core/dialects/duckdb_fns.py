@@ -792,17 +792,8 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
-    if name == "reduce":
-        # duckdb's 2-arg reduce seeds with the FIRST element; Spark's
-        # requires an explicit init — loud with the rewrite
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            raise TranspileError(
-                "duckdb reduce(list, lambda) seeds with the first "
-                "element; Spark's aggregate() needs an explicit "
-                "initial value — write aggregate(slice(l, 2, "
-                "cardinality(l)), element_at(l, 1), lambda)"
-            )
+    # (duck 2-arg reduce — seeded with the first element — is mapped in
+    # duckdb_hofs.py since round 11, dispatched ahead of this module)
 
     # ---- round-10 same-name collision sweep (duck ∩ Spark names with
     # different semantics, found by mechanically probing every shared

@@ -13,6 +13,7 @@ import re
 
 from sqlmesh_spark.core.dialects import standard_edges as _edges
 from sqlmesh_spark.core.dialects import duckdb_fns as _duckfns
+from sqlmesh_spark.core.dialects import duckdb_hofs as _duckhofs
 from sqlmesh_spark.core.dialects import postgres_calls as _postgres
 from sqlmesh_spark.core.dialects import postgres_regex as _pgregex
 from sqlmesh_spark.core.dialects import postgres_srf as _pgsrf
@@ -454,6 +455,12 @@ def call_handlers(ctx) -> "int | None":
     if nxt is not None:
         return nxt
     if read == "duckdb":
+        # lambda/HOF tier first: the indexed-lambda rebase and
+        # list_reduce/list_aggregate restructures must consume their
+        # calls before duckdb_fns' loud guards and the plain renames
+        nxt = _duckhofs.call_handlers(ctx)
+        if nxt is not None:
+            return nxt
         nxt = _duckfns.call_handlers(ctx)
         if nxt is not None:
             return nxt

@@ -577,6 +577,10 @@ _LAMBDA_HOFS = frozenset({
     "list_transform", "list_filter", "list_reduce", "list_aggr",
     "list_sort", "list_reverse_sort", "any_match", "all_match",
     "none_match", "transform_keys", "transform_values",
+    # duck aliases (round 11): without these a constant-STRING lambda
+    # body (x -> 'lit') is misread as JSON-arrow extraction
+    "apply", "list_apply", "array_transform", "array_filter",
+    "array_reduce",
 })
 
 

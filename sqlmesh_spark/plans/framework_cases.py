@@ -2356,6 +2356,73 @@ GROUP BY strftime(o_orderdate, '%Y-%m')
     return spark.table("env_ddb8_views.round8_orders")
 
 
+DDB_LAMBDA_ORACLE = """
+SELECT strftime(o_orderdate, '%Y') AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       array_to_string(list_transform([10, 20, 30], (x, i) -> x + i),
+                       ',') AS idx_rebase,
+       array_to_string(list_filter([1, 2, 3, 4, 5], (x, i) -> i > 3),
+                       ',') AS idx_filter,
+       CAST(list_reduce([1, 2, 3, 4], (a, b) -> a + b) AS BIGINT)
+           AS fold_sum,
+       CAST(list_aggregate([min(o_custkey) % 7, NULL, 3], 'sum')
+            AS BIGINT) AS agg_sum,
+       list_aggregate(['a', NULL, 'b'], 'string_agg', '-') AS agg_sa,
+       array_to_string(list_sort([3, 1, NULL, 2], 'DESC', 'NULLS FIRST'),
+                       ',') AS sorted_dnf
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY strftime(o_orderdate, '%Y')
+"""
+
+
+@register("framework_duckdb_lambda_model", oracle=DDB_LAMBDA_ORACLE,
+          tags=("dialect", "framework"))
+def framework_duckdb_lambda_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 duckdb lambda tier through plan/apply, value-checked
+    against DuckDB itself: the 1-BASED indexed-lambda rebase (the
+    round-10 verdict's silent-wrong — duck's (x, i) index is 1-based,
+    Spark's 0-based), list_reduce first-element fold seeding,
+    list_aggregate dynamic dispatch (NULL-skipping sum / string_agg),
+    and list_sort's one Spark-less enum combination (DESC NULLS FIRST,
+    comparator lambda). All handlers in core/dialects/duckdb_hofs.py,
+    live-pinned by tools/probes/duck_lambda_wave34.txt. Container
+    outputs are array_to_string-serialized on BOTH sides (the driver
+    canon contract)."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_ddbl", "env_ddbl_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_ddbl.lambda_orders,
+  kind FULL,
+  dialect duckdb
+);
+SELECT strftime(o_orderdate, '%Y') AS yr,
+       COUNT(*)::int8 AS n_orders,
+       array_to_string(list_transform([10, 20, 30], (x, i) -> x + i),
+                       ',') AS idx_rebase,
+       array_to_string(list_filter([1, 2, 3, 4, 5], (x, i) -> i > 3),
+                       ',') AS idx_filter,
+       list_reduce([1, 2, 3, 4], (a, b) -> a + b)::int8 AS fold_sum,
+       list_aggregate([min(o_custkey) % 7, NULL, 3], 'sum')::int8
+           AS agg_sum,
+       list_aggregate(['a', NULL, 'b'], 'string_agg', '-') AS agg_sa,
+       array_to_string(list_sort([3, 1, NULL, 2], 'DESC', 'NULLS FIRST'),
+                       ',') AS sorted_dnf
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY strftime(o_orderdate, '%Y')
+"""
+    )
+    ctx.run(environment="env_ddbl")
+    return spark.table("env_ddbl_views.lambda_orders")
+
+
 PG_DIALECT_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,

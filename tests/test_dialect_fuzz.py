@@ -230,6 +230,33 @@ TEMPLATES += [
     "json_array_length('[1,2]')",
     f"list_transform([1,2], x -> x + 1)",
     f"list_filter([1,2,3], x -> x > 1)",
+    # round 11 lambda tier (duckdb_hofs.py): duck's 2-param lambda
+    # index is 1-BASED (Spark 0-based) — the round-10 silent-wrong;
+    # list_reduce seeds with the first element; list_aggregate
+    # dispatches NULL-skipping aggregates ('first'/'last' POSITIONAL);
+    # list_sort direction/null-order enum strings
+    "list_transform([10,20,30], (x, i) -> x + i)",
+    "list_filter([1,2,3,4], (x, i) -> i > 2)",
+    "filter([1,2,3,4], (x, i) -> i > 2)",
+    "list_transform([5,6], (v, n) -> v * n)",
+    "list_filter([5,6,7,8], (e, idx) -> idx % 2 = 1)",
+    "list_transform([[1,2],[3]], (x,i) -> list_transform(x, y -> y + i))",
+    "list_reduce([1,2,3,4], (a, b) -> a + b)",
+    "list_reduce([7], (a, b) -> a + b)",
+    "reduce([1,2,6], (a,b) -> a * b)",
+    "list_aggregate([1,2,NULL], 'sum')",
+    "list_aggregate([1,2], 'avg')",
+    "list_aggregate([1,NULL,2], 'count')",
+    "list_aggregate(['a',NULL,'b'], 'string_agg')",
+    "list_aggregate(['a','b'], 'string_agg', '-')",
+    "list_aggregate([NULL, 3], 'first')",
+    "list_aggregate([2, NULL], 'last')",
+    "list_sum([1,2,NULL])",
+    "list_avg([1,2])",
+    "list_sort([3,1,NULL,2], 'DESC', 'NULLS FIRST')",
+    "list_sort([3,1,NULL], 'ASC', 'NULLS FIRST')",
+    "list_sort([3,1,NULL,2], 'DESC')",
+    "list_reverse_sort([3,1,NULL], 'NULLS FIRST')",
     # dotted keys are LITERAL in arrows (bracket-form JsonPath);
     # '/'-rooted JSON Pointers; non-array json_array_length returns 0
     "('{\"a.b\": 1, \"a\": {\"b\": 2}}') ->> 'a.b'",

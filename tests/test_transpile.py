@@ -4399,3 +4399,112 @@ def test_duck_only_name_tier_round10():
         t("SELECT strptime(s, 'abc') FROM t")
     assert t("SELECT transaction_timestamp() AS v") == \
         "SELECT current_timestamp() AS v"
+
+
+def test_duck_indexed_lambda_rebase_round11():
+    """Round-10 verdict's silent-wrong: duck's 2-parameter lambda index
+    is 1-BASED (pinned live, duckdb 1.0: list_transform([10,20,30],
+    (x,i) -> x+i) = [11,22,33]); Spark's transform/filter index is
+    0-based. duckdb_hofs.py rebases the index parameter to the _duck1i
+    marker with (_duck1i + 1) substituted in the body. Value parity:
+    fuzz corpus + tools/probes/duck_lambda_wave34.txt."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    out = t("SELECT list_transform([10,20,30], (x, i) -> x + i) AS v")
+    assert "(x, _duck1i) -> x + (_duck1i + 1)" in out
+    assert out == t(out)
+    out = t("SELECT list_filter(l, (e, idx) -> idx % 2 = 1) AS v FROM t")
+    assert out.startswith("SELECT filter((l), (e, _duck1i) ->")
+    assert "(_duck1i + 1) %" in out and out == t(out)
+    # bare duck `filter` alias shares the seam
+    out = t("SELECT filter([1,2,3,4], (x, i) -> i > 2) AS v")
+    assert "(x, _duck1i) -> (_duck1i + 1) > 2" in out and out == t(out)
+    # 1-param lambdas pass through the plain renames unchanged
+    assert t("SELECT list_transform(l, x -> x * 2) AS v FROM t") == \
+        "SELECT transform(l, x -> x * 2) AS v FROM t"
+    # index var occurrences: qualified x.i and calls i(...) untouched;
+    # the index is NOT substituted into nested-lambda bodies that
+    # re-bind it — loud instead of wrong
+    out = t("SELECT list_transform(l, (x, i) -> x.i + i) AS v FROM t")
+    assert "x.i + (_duck1i + 1)" in out
+    with pytest.raises(TranspileError, match="re-binds the index"):
+        t("SELECT list_transform(l, (x,i) -> list_transform(x, (a,i) -> a)) FROM t")
+    # nested lambda with a DIFFERENT parameter substitutes correctly
+    out = t("SELECT list_transform(l, (x,i) -> list_transform(x, y -> y + i)) AS v FROM t")
+    assert "transform(x, y -> y + (_duck1i + 1))" in out and out == t(out)
+
+
+def test_duck_list_reduce_and_aggregate_round11():
+    """duck list_reduce seeds the fold with the FIRST element and
+    RAISES on an empty list (pinned live) — emitted as reduce(slice(l,
+    2, ...), element_at(identity-transform, 1), λ); the identity
+    transform() wrap is the duck map-seam handler's skip gate.
+    list_aggregate dispatches the closed live-pinned aggregate set
+    (NULL elements skipped by sum/avg/count/string_agg; first/last
+    POSITIONAL; empty/all-NULL → NULL except count=0)."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    out = t("SELECT list_reduce(l, (a, b) -> a + b) AS v FROM t")
+    assert "reduce(slice((l), 2, greatest(size((l)) - 1, 0))" in out
+    assert "element_at(transform((l), _rh -> _rh), 1)" in out
+    assert out == t(out)
+    assert t("SELECT reduce(l, (a,b) -> a || b) AS v FROM t") == \
+        t("SELECT list_reduce(l, (a,b) -> a || b) AS v FROM t")
+    with pytest.raises(TranspileError, match="3-parameter"):
+        t("SELECT list_reduce(l, (a, b, i) -> a + b + i) FROM t")
+    out = t("SELECT list_aggregate(l, 'sum') AS v FROM t")
+    assert "try_element_at(filter((l), _la -> _la IS NOT NULL), 1)" in out
+    assert out == t(out)
+    out = t("SELECT list_aggregate(l, 'avg') AS v FROM t")
+    assert out.startswith("SELECT try_divide(aggregate((l), cast(0 as double)")
+    assert t("SELECT list_aggregate(l, 'count') AS v FROM t") == \
+        "SELECT size(filter((l), _la -> _la IS NOT NULL)) AS v FROM t"
+    assert t("SELECT list_aggregate(l, 'max') AS v FROM t") == \
+        "SELECT array_max((l)) AS v FROM t"
+    out = t("SELECT list_aggregate(l, 'string_agg', '-') AS v FROM t")
+    assert "array_join((l), '-')" in out and "if(exists((l)" in out
+    assert t("SELECT list_aggregate(l, 'first') AS v FROM t") == \
+        "SELECT try_element_at((l), 1) AS v FROM t"
+    assert t("SELECT list_aggregate(l, 'last') AS v FROM t") == \
+        "SELECT try_element_at((l), -1) AS v FROM t"
+    assert "filter" in t("SELECT list_aggregate(l, 'any_value') AS v FROM t")
+    with pytest.raises(TranspileError, match="supported aggregate names"):
+        t("SELECT list_aggregate(l, 'median') FROM t")
+    with pytest.raises(TranspileError, match="string literal"):
+        t("SELECT list_aggregate(l, f) FROM t")
+    # Spark's own 3-arg aggregate() HOF passes through untouched
+    inert = "SELECT aggregate(l, 0, (a, x) -> a + x) AS v FROM t"
+    assert t(inert) == inert
+    # list_sum/list_avg are the same folds
+    assert t("SELECT list_sum(l) AS v FROM t") == \
+        t("SELECT list_aggregate(l, 'sum') AS v FROM t")
+    assert t("SELECT list_avg(l) AS v FROM t") == \
+        t("SELECT list_aggregate(l, 'avg') AS v FROM t")
+
+
+def test_duck_list_sort_enum_args_round11():
+    """duck list_sort(l, dir, nulls) enum-string args (defaults ASC +
+    NULLS LAST, pinned live) — Spark array_sort/sort_array cover three
+    combinations natively; DESC + NULLS FIRST emits a comparator
+    lambda (pinned live: [3,1,NULL,2] → [NULL,3,2,1])."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    assert t("SELECT list_sort(l, 'ASC') AS v FROM t") == \
+        "SELECT array_sort((l)) AS v FROM t"
+    assert t("SELECT list_sort(l, 'ASC', 'NULLS LAST') AS v FROM t") == \
+        "SELECT array_sort((l)) AS v FROM t"
+    assert t("SELECT list_sort(l, 'ASC', 'NULLS FIRST') AS v FROM t") == \
+        "SELECT sort_array((l), true) AS v FROM t"
+    assert t("SELECT list_sort(l, 'DESC') AS v FROM t") == \
+        "SELECT sort_array((l), false) AS v FROM t"
+    out = t("SELECT list_sort(l, 'DESC', 'NULLS FIRST') AS v FROM t")
+    assert "_sl IS NULL THEN -1" in out and out == t(out)
+    assert t("SELECT list_reverse_sort(l, 'NULLS FIRST') AS v FROM t") == out
+    assert t("SELECT list_reverse_sort(l, 'NULLS LAST') AS v FROM t") == \
+        "SELECT sort_array((l), false) AS v FROM t"
+    # 1-arg forms keep their existing paths
+    assert t("SELECT list_sort(l) AS v FROM t") == \
+        "SELECT array_sort(l) AS v FROM t"
+    assert t("SELECT list_reverse_sort(l) AS v FROM t") == \
+        "SELECT sort_array((l), false) AS v FROM t"
+    with pytest.raises(TranspileError, match="string literals"):
+        t("SELECT list_sort(l, d) FROM t")
+    with pytest.raises(TranspileError, match="duckdb enum"):
+        t("SELECT list_sort(l, 'bogus') FROM t")
