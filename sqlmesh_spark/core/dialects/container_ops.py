@@ -214,11 +214,37 @@ def token_handlers(ctx) -> "int | None":
         # = Spark's native semantics).
         zero_based = read in ("snowflake", "bigquery", "redshift")
         # DuckDB string subscript: 'abc'[2] is 1-based single-char
-        # extraction → substr(lit, idx, 1).
+        # extraction. Pinned live (duckdb 1.0): negative counts from
+        # the end, index 0 and out-of-bounds give '' (EMPTY, not NULL)
+        # — Spark substring matches everywhere EXCEPT index 0
+        # (substring(s, 0, 1) is the FIRST char), so a literal 0 emits
+        # '' and an expression index gets an if-guard.
         if prev is not None and prev[0] == "string" and not zero_based:
-            edits.append((prev[2], prev[2], "substr("))
-            edits.append((start, end, ", "))
-            edits.append((toks[close][2], toks[close][3], ", 1)"))
+            idx_static = None
+            if close == i + 2 and toks[i + 1][0] == "number":
+                idx_static = toks[i + 1][1]
+            elif (
+                close == i + 3 and is_op(i + 1, "-")
+                and toks[i + 2][0] == "number"
+            ):
+                idx_static = "-" + toks[i + 2][1]
+            # keyword FROM/FOR spelling: inert on fixpoint re-reads
+            # (the comma form is rewrapped by the duck substring
+            # fidelity handler — same convention as the slice rewrite)
+            if idx_static is not None and idx_static.lstrip("-") == "0":
+                edits.append((prev[2], toks[close][3], "''"))
+            elif idx_static is not None:
+                edits.append((prev[2], prev[2], "substring("))
+                edits.append((start, end, " FROM "))
+                edits.append((toks[close][2], toks[close][3], " FOR 1)"))
+            else:
+                lit = sql[prev[2]: prev[3]]
+                idx = sql[toks[i][3]: toks[close][2]]
+                edits.append(
+                    (prev[2], toks[close][3],
+                     f"if(({idx}) = 0, '', "
+                     f"substring({lit} FROM ({idx}) FOR 1))")
+                )
             i += 1
             return i
         # Postgres/DuckDB ARRAY[...] literal
@@ -336,6 +362,28 @@ def token_handlers(ctx) -> "int | None":
                      f"IF(map_contains_key(({base}), ({key})), "
                      f"array(try_element_at(({base}), ({key}))), "
                      f"array())")
+                )
+                i = close + 1
+                return i
+            if (
+                read == "duckdb"
+                and toks[j][0] == "op" and toks[j][1] == "("
+                and j + 2 == i - 1
+                and toks[j + 1][0] == "string"
+                and toks[j + 2][0] == "op" and toks[j + 2][1] == ")"
+            ):
+                # parenthesized-STRING base: duck single-subscript on
+                # VARCHAR (1-based char extraction; index 0/OOB → '',
+                # negative from the end — pinned live; round-10
+                # SPARK_ERR: try_element_at rejects string bases).
+                # substring matches everywhere except index 0
+                # (substring(s, 0, 1) is the FIRST char) → if-guard.
+                lit = sql[toks[j][2]: toks[j + 2][3]]
+                idx = sql[toks[i][3]: toks[close][2]]
+                edits.append(
+                    (toks[j][2], toks[close][3],
+                     f"if(({idx}) = 0, '', "
+                     f"substring({lit} FROM ({idx}) FOR 1))")
                 )
                 i = close + 1
                 return i

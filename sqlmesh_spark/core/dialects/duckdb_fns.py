@@ -94,25 +94,6 @@ def call_handlers(ctx) -> "int | None":
     n = len(toks)
     _unused = (read, n)
 
-    if name == "map":
-        # duckdb map(keys_list, values_list); Spark map() is variadic
-        # (k1, v1, ...) — the 2-list call would build a ONE-entry map
-        # of list→list, silently wrong for every lookup. Two bare
-        # STRING-literal args are never valid duckdb map() input —
-        # that shape is our own to_json OPTIONS map (Spark requires
-        # the literal map() function there) — skip it.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2 and all(
-            sp[0] == sp[1] and toks[sp[0]][0] == "string" for sp in spans
-        ):
-            return None
-        if len(spans) == 2:
-            edits.append(
-                (start, toks[close][3],
-                 f"map_from_arrays(({_arg_text(spans[0])}), "
-                 f"({_arg_text(spans[1])}))")
-            )
-            return close + 1
 
     if name == "try_cast" and first_pass:
         # first-pass only: the coalesce emission itself contains
@@ -241,172 +222,10 @@ def call_handlers(ctx) -> "int | None":
                 )
                 return close + 1
 
-    if name == "struct_pack":
-        # struct_pack(a := 1, b := 'x') → named_struct('a', 1, ...)
-        spans, close = _call_arg_spans(toks, i + 1)
-        parts = []
-        for s0, s1 in spans:
-            if not (
-                s1 >= s0 + 3
-                and toks[s0][0] in _NAME_KINDS
-                and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == ":"
-                and toks[s0 + 2][0] == "op" and toks[s0 + 2][1] == "="
-            ):
-                raise TranspileError(
-                    "struct_pack takes name := value arguments"
-                )
-            key = toks[s0][1]
-            val = sql[toks[s0 + 3][2]: toks[s1][3]]
-            parts.append(f"{_spark_string_literal(key, 'duckdb')}, ({val})")
-        edits.append(
-            (start, toks[close][3],
-             f"named_struct({', '.join(parts)})")
-        )
-        return close + 1
 
-    if name == "struct_extract":
-        spans, close = _call_arg_spans(toks, i + 1)
-        if (
-            len(spans) == 2
-            and spans[1][0] == spans[1][1]
-            and toks[spans[1][0]][0] == "string"
-        ):
-            key = _literal_content(toks[spans[1][0]][1], "duckdb")
-            if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", key):
-                raise TranspileError(
-                    "struct_extract keys that aren't plain identifiers "
-                    "have no Spark dot-access spelling"
-                )
-            edits.append(
-                (start, toks[close][3],
-                 f"(({_arg_text(spans[0])}).{key})")
-            )
-            return close + 1
 
-    if name in ("list_has_any", "list_has_all"):
-        # pinned against the duckdb module: NULL elements NEVER match
-        # (list_has_any([1,NULL],[NULL]) = false) and has_all IGNORES
-        # NULL needles (list_has_all([1,2,3],[2,NULL]) = true); a NULL
-        # list operand gives NULL
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
-            if name == "list_has_any":
-                body = f"coalesce(arrays_overlap(({a_}), ({b_})), false)"
-            else:
-                body = (
-                    f"forall(filter(({b_}), _e -> _e IS NOT NULL), "
-                    f"_e -> coalesce(array_contains(({a_}), _e), false))"
-                )
-            edits.append(
-                (start, toks[close][3],
-                 f"IF(({a_}) IS NULL OR ({b_}) IS NULL, NULL, {body})")
-            )
-            return close + 1
 
-    if name in ("list_intersect", "array_intersect"):
-        # duckdb orders the intersection by SECOND-arg first-occurrence
-        # and dedupes (pinned: list_intersect([3,1],[1,3]) = [1,3],
-        # list_intersect([1,1,2],[2,2,1,1]) = [2,1]); Spark's
-        # array_intersect keeps FIRST-arg order — a rename was a silent
-        # element-order divergence. NULL semantics pinned: NULL elements
-        # never match ([1,NULL]∩[NULL,2] = []), a NULL FIRST arg gives
-        # NULL but a NULL SECOND arg gives [] (asymmetric). The inner
-        # filter drops non-matches; the _ld filter is the shared
-        # array_distinct NULL-drop marker so re-reads stay inert.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) != 2:
-            raise TranspileError(f"duckdb {name} takes 2 list arguments")
-        a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
-        edits.append(
-            (start, toks[close][3],
-             f"IF(({a_}) IS NULL, NULL, coalesce(array_distinct("
-             f"filter(filter(({b_}), _e -> coalesce(array_contains("
-             f"({a_}), _e), false)), _ld -> _ld IS NOT NULL)), "
-             f"array()))")
-        )
-        return close + 1
 
-    if name in ("json_group_array", "json_group_object", "json_object",
-                "json_array"):
-        # duckdb's JSON constructors render COMPACT text — exactly
-        # Spark's to_json — with NULL elements kept and NULL on empty
-        # input (pinned: json_group_array over ('a'),(NULL) =
-        # '["a",null]'; zero rows = NULL; json_object keeps duplicate
-        # keys and insertion order — named_struct reproduces that:
-        # to_json(named_struct('a',1,'a',2)) = '{"a":1,"a":2}', pinned
-        # live both engines). json_group_object is STRICTER than
-        # json_object: duck 1.0 raises "Map keys must be unique" on a
-        # duplicate key and "Map keys can not be NULL" on a NULL key
-        # (pinned live), so the map_from_arrays emission raising
-        # DUPLICATED_MAP_KEY / NULL_MAP_KEY at Spark runtime is
-        # faithful-in-class — both engines error, neither silently
-        # drops. The one documented seam: duck normalizes DECIMAL
-        # trailing zeros ([1.5] for 1.50) where Spark's encoder keeps
-        # the scale — same dtype class as the quantile seams.
-        # Previously these passed through into UNRESOLVED_ROUTINE.
-        spans, close = _call_arg_spans(toks, i + 1)
-        je = (
-            "substring(to_json(array({v})) FROM 2 "
-            "FOR length(to_json(array({v}))) - 2)"
-        )
-        if name == "json_group_array" and len(spans) == 1:
-            x_ = _arg_text(spans[0])
-            agg = f"array_agg(struct(({x_}) AS _v))"
-            elem = je.format(v="_s._v")
-            edits.append(
-                (start, toks[close][3],
-                 f"(CASE WHEN size({agg}) = 0 THEN NULL ELSE "
-                 f"'[' || array_join(transform({agg}, _s -> {elem}), "
-                 f"',') || ']' END)")
-            )
-            return close + 1
-        if name == "json_group_object" and len(spans) == 2:
-            k_, v_ = _arg_text(spans[0]), _arg_text(spans[1])
-            agg = f"array_agg(struct(({k_}) AS _k, ({v_}) AS _v))"
-            edits.append(
-                (start, toks[close][3],
-                 f"(CASE WHEN size({agg}) = 0 THEN NULL ELSE "
-                 f"to_json(map_from_arrays("
-                 f"transform({agg}, _s -> _s._k), "
-                 f"transform({agg}, _s -> _s._v)), "
-                 f"map('ignoreNullFields', 'false')) END)")
-            )
-            return close + 1
-        if name == "json_object":
-            if len(spans) == 0:
-                edits.append((start, toks[close][3], "'{}'"))
-                return close + 1
-            if len(spans) % 2 == 0 and all(
-                spans[k][0] == spans[k][1]
-                and toks[spans[k][0]][0] == "string"
-                for k in range(0, len(spans), 2)
-            ):
-                parts = ", ".join(
-                    f"{toks[spans[k][0]][1]}, ({_arg_text(spans[k + 1])})"
-                    for k in range(0, len(spans), 2)
-                )
-                edits.append(
-                    (start, toks[close][3],
-                     f"to_json(named_struct({parts}), "
-                     f"map('ignoreNullFields', 'false'))")
-                )
-                return close + 1
-            raise TranspileError(
-                "duckdb json_object transpiles with literal string "
-                "keys and an even argument count"
-            )
-        if name == "json_array":
-            if len(spans) == 0:
-                edits.append((start, toks[close][3], "'[]'"))
-                return close + 1
-            body = " || ',' || ".join(
-                je.format(v=f"({_arg_text(sp)})") for sp in spans
-            )
-            edits.append(
-                (start, toks[close][3], f"('[' || {body} || ']')")
-            )
-            return close + 1
 
     if name == "split_part":
         # duckdb split_part with an EMPTY separator splits per
@@ -476,169 +295,9 @@ def call_handlers(ctx) -> "int | None":
             "sides and re-pin expectations"
         )
 
-    if name in ("element_at", "map_extract"):
-        # probe-verified (round-9 verdict): duck element_at/map_extract
-        # are MAP-ONLY (a list base is a binder error, pinned live) and
-        # return a LIST — [v] on hit, [] on miss, [] for a NULL key AND
-        # a NULL map (pinned live, duckdb 1.0; same as the bracket
-        # subscript).  Spark's element_at returns the SCALAR — the
-        # function-call spelling previously walked through untouched,
-        # a silent shape+value change.  Because duck's binder rejects
-        # non-map bases, any RUNNING duck query has a map here, so the
-        # rewrite is safe for untyped column bases too (unlike the
-        # bracket form, where a bare subscript is usually list access).
-        # Entries-filter form (not map_contains_key/element_at): the
-        # <=> match works for an UNTYPED NULL key where
-        # map_contains_key fails ANALYSIS, a NULL map coalesces to []
-        # like duck, and the emission contains no element_at to
-        # re-dispatch on fixpoint re-reads.  A first argument that IS
-        # a transform(...) call can only be a binding-trick emission
-        # (transform is not a duck name — pinned live): skip it.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if any(_brace_unbalanced(toks, sp) for sp in spans):
-            return None  # map {'a':1,...} commas split spans; the
-            # {}-literal token handler rewrites this pass — re-dispatch
-            # on the next fixpoint read sees map('a',1,...)
-        if (
-            len(spans) == 2
-            and toks[spans[0][0]][0] in _NAME_KINDS
-            and toks[spans[0][0]][1].lower() == "transform"
-        ):
-            return None
-        if len(spans) == 2:
-            m_, k_ = _arg_text(spans[0]), _arg_text(spans[1])
-            edits.append(
-                (start, toks[close][3],
-                 f"coalesce(transform(filter(map_entries(({m_})), "
-                 f"_me -> _me.key <=> ({k_})), _mv -> _mv.value), "
-                 f"array())")
-            )
-            return close + 1
-        raise TranspileError(
-            f"duckdb {name}() takes (map, key) and returns a LIST; "
-            "other arities have no Spark mapping"
-        )
 
-    if name == "map_concat":
-        # pinned live (duckdb 1.0): last-wins on duplicate keys with
-        # FIRST-appearance key order ({'a':1} || {'b':2} || {'a':9,
-        # 'c':3} = keys [a,b,c], values [9,2,3]); a NULL operand is
-        # treated as EMPTY unless every operand is NULL (then NULL);
-        # fewer than 2 args is an error.  Spark's map_concat under the
-        # default spark.sql.mapKeyDedupPolicy=EXCEPTION throws at
-        # runtime on any duplicate — a confusing failure for valid
-        # duck SQL — and LAST_WIN is a session-global knob this
-        # transpiler must not depend on.  Left-fold of a self-contained
-        # two-map merge: m1's entries with m2's value where the key
-        # collides (keeps m1's position), then m2's novel entries.
-        # flatten(array(a, b)) — never concat(): the duck concat
-        # NULL-skip handler rewraps concat arguments on every pass.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if any(_brace_unbalanced(toks, sp) for sp in spans):
-            return None  # defer past {}-literal commas (see helper)
-        if len(spans) >= 2:
-            merged = f"({_arg_text(spans[0])})"
-            for lvl, sp in enumerate(spans[1:]):
-                b_ = f"({_arg_text(sp)})"
-                s, f_, g_ = f"_s{lvl}", f"_f{lvl}", f"_g{lvl}"
-                merged = (
-                    f"element_at(transform(array(struct({merged} AS "
-                    f"_m1, {b_} AS _m2)), {s} -> "
-                    f"IF({s}._m1 IS NULL AND {s}._m2 IS NULL, NULL, "
-                    f"map_from_entries(flatten(array("
-                    f"transform(coalesce(map_entries({s}._m1), "
-                    f"array()), {f_} -> struct({f_}.key AS key, "
-                    f"IF(coalesce(map_contains_key({s}._m2, "
-                    f"{f_}.key), false), try_element_at({s}._m2, "
-                    f"{f_}.key), {f_}.value) AS value)), "
-                    f"filter(coalesce(map_entries({s}._m2), array()), "
-                    f"{g_} -> NOT coalesce(map_contains_key({s}._m1, "
-                    f"{g_}.key), false))))))), 1)"
-                )
-            edits.append((start, toks[close][3], merged))
-            return close + 1
-        raise TranspileError(
-            "duckdb map_concat requires 2 or more maps (duck itself "
-            "rejects fewer)"
-        )
 
-    if name == "array":
-        # duck LIST COMPREHENSIONS (round 10, pinned live): [expr FOR
-        # v IN list] maps elements ([x*2 FOR x IN [1,NULL,3]] =
-        # [2,NULL,6] — NULL elements flow through the expression), and
-        # an IF tail filters FIRST ([x FOR x IN [1,2,3] IF x > 1] =
-        # [2,3]; empty in → empty out). The bracket-literal rewrite
-        # has already turned [..] into array(..), so the comprehension
-        # arrives as array(expr FOR v IN list [IF cond]) — previously
-        # shipped verbatim into a Spark parse error. transform/filter
-        # reproduce it exactly; nested comprehensions resolve one
-        # layer per fixpoint pass (the emission contains no depth-0
-        # FOR, so re-reads are inert).
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            s0, s1 = spans[0]
-            depth = 0
-            for_j = in_j = if_j = None
-            for j in range(s0, s1 + 1):
-                k_, t_ = toks[j][0], toks[j][1]
-                if k_ == "op" and t_ in ("(", "["):
-                    depth += 1
-                elif k_ == "op" and t_ in (")", "]"):
-                    depth -= 1
-                elif depth == 0 and k_ in _NAME_KINDS:
-                    up = t_.upper()
-                    if up == "FOR" and for_j is None:
-                        for_j = j
-                    elif up == "IN" and for_j is not None and in_j is None:
-                        in_j = j
-                    elif up == "IF" and in_j is not None and if_j is None:
-                        if_j = j
-            if for_j is not None and in_j == for_j + 2:
-                var_t = toks[for_j + 1]
-                if var_t[0] not in _NAME_KINDS:
-                    raise TranspileError(
-                        "duckdb list comprehension needs a plain "
-                        "identifier loop variable"
-                    )
-                var = var_t[1]
-                expr = sql[toks[s0][2]: toks[for_j][2]].rstrip()
-                lst_end = toks[if_j][2] if if_j is not None else toks[s1][3]
-                lst = sql[toks[in_j][3]: lst_end].strip()
-                if if_j is not None:
-                    cond = sql[toks[if_j][3]: toks[s1][3]].strip()
-                    body = (
-                        f"transform(filter(({lst}), {var} -> ({cond})), "
-                        f"{var} -> ({expr}))"
-                    )
-                else:
-                    body = f"transform(({lst}), {var} -> ({expr}))"
-                edits.append((start, toks[close][3], body))
-                return close + 1
 
-    if name == "list_zip":
-        # N-ary zip, NULL-padded to the LONGEST input; a NULL list
-        # behaves as empty-but-padded (list_zip(NULL::int[], [1]) =
-        # [(NULL, 1)] — pinned live) where Spark's arrays_zip returns
-        # NULL — coalesce each leg to array(). An extra boolean
-        # `truncate` argument (zip to shortest) has no Spark analog.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if any(_brace_unbalanced(toks, sp) for sp in spans):
-            return None
-        if spans and toks[spans[-1][0]][0] in _NAME_KINDS and \
-                toks[spans[-1][0]][1].lower() in ("true", "false"):
-            raise TranspileError(
-                "duckdb list_zip(..., truncate) zips to the SHORTEST "
-                "list; Spark's arrays_zip always pads to the longest "
-                "— drop the flag or slice the result"
-            )
-        if len(spans) >= 2:
-            args = ", ".join(
-                f"coalesce(({_arg_text(sp)}), array())" for sp in spans
-            )
-            edits.append(
-                (start, toks[close][3], f"arrays_zip({args})")
-            )
-            return close + 1
 
     if name == "columns":
         # COLUMNS('regex') / COLUMNS(*) star expressions need the
@@ -648,149 +307,11 @@ def call_handlers(ctx) -> "int | None":
             "Spark star modifier; list the columns explicitly"
         )
 
-    if name == "unnest":
-        # bare unnest(list) renames to explode (shared map); the
-        # named-argument forms change the SHAPE (recursive flattens all
-        # nesting and unpacks structs into columns; max_depth bounds
-        # it) — the name-arg tokens previously leaked into
-        # explode(a, recursive := true), a confusing parse error
-        spans, close = _call_arg_spans(toks, i + 1)
-        for s0, s1 in spans:
-            if (
-                s1 >= s0 + 2
-                and toks[s0][0] in _NAME_KINDS
-                and toks[s0][1].lower() in ("recursive", "max_depth")
-                and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == ":"
-                and toks[s0 + 2][0] == "op" and toks[s0 + 2][1] == "="
-            ):
-                raise TranspileError(
-                    "duckdb unnest(recursive := / max_depth := ...) "
-                    "has no Spark form (explode is one-level); nest "
-                    "explode calls or flatten() first"
-                )
-        return None  # plain unnest: fall through to the explode rename
 
-    if name == "len":
-        # duckdb len() is both string-length AND list-length; Spark's
-        # len is string-only (list args raise a confusing analysis
-        # error). Rewrite to size() when the argument is STATICALLY a
-        # list (literal or list-returning call); string args keep len.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            s0 = spans[0][0]
-            k0, t0 = toks[s0][0], toks[s0][1]
-            listy = (
-                (k0 == "op" and t0 == "[")
-                or (k0 in _NAME_KINDS and t0.upper() == "ARRAY")
-                or (
-                    k0 in _NAME_KINDS
-                    and s0 + 1 <= spans[0][1]
-                    and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == "("
-                    and (
-                        t0.lower().startswith("list_")
-                        or t0.lower() in (
-                            "array", "list_value", "string_split",
-                            "str_split", "string_to_array", "split",
-                            "regexp_split_to_array", "sequence",
-                            "generate_series", "range", "map_keys",
-                            "map_values", "flatten", "slice", "array_agg",
-                        )
-                    )
-                )
-            )
-            if listy:
-                edits.append(
-                    (start, toks[close][3],
-                     f"size(({_arg_text(spans[0])}))")
-                )
-                return close + 1
 
-    if name == "regexp_matches":
-        # 3-arg form: duckdb options have no Spark argument — inline
-        # the ones with exact Java-regex flag equivalents ('i', 's';
-        # 'c' is the case-sensitive default) into the pattern. The
-        # bare rename previously emitted an invalid 3-arg regexp_like.
-        # 'g' is duckdb-rejected for regexp_matches; 'l'/'m'/'n'/'p'
-        # have RE2-specific semantics with no exact Java flag — loud.
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 3:
-            if not (
-                spans[2][0] == spans[2][1]
-                and toks[spans[2][0]][0] == "string"
-                and spans[1][0] == spans[1][1]
-                and toks[spans[1][0]][0] == "string"
-            ):
-                raise TranspileError(
-                    "duckdb regexp_matches(s, pat, options) needs "
-                    "literal pattern and options to transpile"
-                )
-            flags = _literal_content(toks[spans[2][0]][1], "duckdb")
-            if not set(flags) <= {"i", "c", "s"} or (
-                "i" in flags and "c" in flags
-            ):
-                raise TranspileError(
-                    f"duckdb regexp_matches option '{flags}' has no "
-                    "exact Java-regex flag; only 'i'/'c'/'s' transpile"
-                )
-            pat = convert_regex_literal(convert_posix_classes(
-                _literal_content(toks[spans[1][0]][1], "duckdb")
-            ), "duckdb")
-            prefix = "".join(f for f in ("i", "s") if f in flags)
-            if prefix:
-                pat = f"(?{prefix})" + pat
-            edits.append(
-                (start, toks[close][3],
-                 f"regexp_like(({_arg_text(spans[0])}), "
-                 f"{_spark_string_literal(pat, 'duckdb')})")
-            )
-            return close + 1
 
-    if name in ("list_resize", "array_resize"):
-        # pads with NULL / truncates; try_element_at(a, size+1) is an
-        # always-NULL value of the ELEMENT type (typed NULL padding)
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            a_, n_2 = _arg_text(spans[0]), _arg_text(spans[1])
-            # flatten(array(...)), NOT concat(): a concat() emission
-            # would be re-read by the duckdb string-concat NULL-skip
-            # handler on the next fixpoint pass
-            edits.append(
-                (start, toks[close][3],
-                 f"slice(flatten(array(({a_}), array_repeat("
-                 f"try_element_at(({a_}), cardinality(({a_})) + 1), "
-                 f"greatest(({n_2}) - cardinality(({a_})), 0)))), "
-                 f"1, ({n_2}))")
-            )
-            return close + 1
 
-    if name in ("list_select", "array_select"):
-        # elements at the given 1-based indexes; out-of-bounds (and
-        # index 0) become NULL elements — pinned: list_select([10],[5])
-        # = [NULL]
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            a_, ix = _arg_text(spans[0]), _arg_text(spans[1])
-            edits.append(
-                (start, toks[close][3],
-                 f"transform(({ix}), _i -> "
-                 f"try_element_at(({a_}), nullif(_i, 0)))")
-            )
-            return close + 1
 
-    if name == "list_where":
-        # keep elements whose mask entry is true (duckdb rejects NULL
-        # masks — coalesce(false) drops them here, a duck-rejected
-        # shape either way)
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            a_, mk = _arg_text(spans[0]), _arg_text(spans[1])
-            edits.append(
-                (start, toks[close][3],
-                 f"transform(filter(transform(({a_}), (_e, _i) -> "
-                 f"struct(_e AS _v, coalesce(try_element_at(({mk}), "
-                 f"_i + 1), false) AS _m)), _s -> _s._m), _s -> _s._v)")
-            )
-            return close + 1
 
     # (duck 2-arg reduce — seeded with the first element — is mapped in
     # duckdb_hofs.py since round 11, dispatched ahead of this module)
@@ -824,35 +345,7 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
-    if name == "row":
-        # bare duck row(1, 'a') constructor → Spark struct (pinned:
-        # duck renders the unnamed tuple, Spark the '0'..'n' struct —
-        # positionally identical). ONLY outside comparison context:
-        # row-vs-row comparisons belong to the field-wise 3VL
-        # expansion in container_ops (Spark's native struct compare
-        # treats NULL as smallest — a silent divergence there).
-        spans, close = _call_arg_spans(toks, i + 1)
-        nxt_t = toks[close + 1] if close + 1 < n else None
-        prv_t = toks[i - 1] if i > 0 else None
 
-        def _cmp_adjacent(tk):
-            if tk is None:
-                return False
-            if tk[0] == "op" and any(c in tk[1] for c in "=<>!"):
-                return True
-            return tk[0] in _NAME_KINDS and tk[1].upper() in (
-                "IN", "NOT", "BETWEEN", "IS",
-            )
-        if spans and not _cmp_adjacent(nxt_t) and not _cmp_adjacent(prv_t):
-            edits.append((start, toks[i][3], "struct"))
-            return i + 1
-
-    if name == "struct_insert":
-        raise TranspileError(
-            "duckdb struct_insert needs the struct's full field list "
-            "(statically unknowable for columns); reconstruct with "
-            "named_struct(...) listing every field"
-        )
 
     if name in ("to_years", "to_months", "to_quarters", "to_decades",
                 "to_centuries", "to_millennia", "to_days", "to_weeks",
@@ -1033,45 +526,6 @@ def call_handlers(ctx) -> "int | None":
             edits.append((start, toks[close][3], repr(val)))
             return close + 1
 
-    if name == "regexp_extract":
-        # literal group index BEYOND the pattern's group count: duck
-        # returns '' (pinned live); Spark raises REGEX_GROUP_INDEX
-        spans, close = _call_arg_spans(toks, i + 1)
-        if (
-            len(spans) == 3
-            and spans[1][0] == spans[1][1]
-            and toks[spans[1][0]][0] == "string"
-            and spans[2][0] == spans[2][1]
-            and toks[spans[2][0]][0] == "number"
-        ):
-            from sqlmesh_spark.core.dialects.postgres_calls import (
-                _count_capture_groups,
-            )
-            pat_ = _literal_content(toks[spans[1][0]][1], "duckdb")
-            if int(toks[spans[2][0]][1]) > _count_capture_groups(pat_):
-                # NULL source still yields NULL, not '' (NULL sweep)
-                s0_ = _arg_text(spans[0])
-                edits.append(
-                    (start, toks[close][3],
-                     f"IF(({s0_}) IS NULL, NULL, '')")
-                )
-                return close + 1
-        if (
-            len(spans) == 3
-            and spans[1][0] == spans[1][1]
-            and toks[spans[1][0]][0] == "string"
-            and spans[2][0] == spans[2][1]
-            and toks[spans[2][0]][0] in _NAME_KINDS
-            and toks[spans[2][0]][1].upper() == "NULL"
-        ):
-            # duck returns '' for a literal-NULL group index (pinned
-            # live); Spark returns NULL
-            s0_ = _arg_text(spans[0])
-            edits.append(
-                (start, toks[close][3],
-                 f"IF(({s0_}) IS NULL, NULL, '')")
-            )
-            return close + 1
 
     if name in ("split", "string_split", "str_split"):
         # duck's NULL separator leaves the string UNSPLIT (split('aB',
@@ -1132,43 +586,6 @@ def call_handlers(ctx) -> "int | None":
                 )
                 return close + 1
 
-    if name in ("list_dot_product", "list_inner_product",
-                "list_cosine_similarity", "list_distance",
-                "list_cosine_distance"):
-        # vector folds over lists — Spark's array_* vector functions
-        # don't exist for plain arrays, but zip_with + aggregate is
-        # exact (the llm/similarity module uses the same fold)
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 2:
-            a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
-
-            def dot(x, y):
-                return (
-                    f"aggregate(zip_with({x}, {y}, "
-                    f"(_x, _y) -> CAST(_x AS DOUBLE) * _y), "
-                    f"CAST(0 AS DOUBLE), (_acc, _e) -> _acc + _e)"
-                )
-            if name in ("list_dot_product", "list_inner_product"):
-                repl = dot(f"({a_})", f"({b_})")
-            elif name == "list_distance":
-                repl = (
-                    f"sqrt(aggregate(zip_with(({a_}), ({b_}), "
-                    f"(_x, _y) -> (CAST(_x AS DOUBLE) - _y) * "
-                    f"(CAST(_x AS DOUBLE) - _y)), CAST(0 AS DOUBLE), "
-                    f"(_acc, _e) -> _acc + _e))"
-                )
-            else:
-                cos = (
-                    f"({dot(f'({a_})', f'({b_})')}) / "
-                    f"(sqrt({dot(f'({a_})', f'({a_})')}) * "
-                    f"sqrt({dot(f'({b_})', f'({b_})')}))"
-                )
-                repl = (
-                    f"(1 - ({cos}))" if name == "list_cosine_distance"
-                    else f"({cos})"
-                )
-            edits.append((start, toks[close][3], repl))
-            return close + 1
 
     if name in ("date_part", "datepart"):
         # duckdb's LIST-of-parts form returns a STRUCT of fields —
@@ -1250,27 +667,6 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
-    if name == "regexp_full_match":
-        spans, close = _call_arg_spans(toks, i + 1)
-        if (
-            len(spans) == 2
-            and spans[1][0] == spans[1][1]
-            and toks[spans[1][0]][0] == "string"
-        ):
-            pat = convert_regex_literal(convert_posix_classes(
-                _literal_content(toks[spans[1][0]][1], "duckdb")
-            ), "duckdb")
-            # \z, not $: RE2 full-match is absolute end-of-text, while
-            # Java $ also matches before a final newline (pinned live)
-            lit = _spark_string_literal(f"^(?:{pat})\\z", "duckdb")
-            edits.append(
-                (start, toks[close][3],
-                 f"(({_arg_text(spans[0])}) RLIKE {lit})")
-            )
-            return close + 1
-        raise TranspileError(
-            "regexp_full_match needs a literal pattern to transpile"
-        )
 
     if name in ("add", "subtract", "multiply"):
         spans, close = _call_arg_spans(toks, i + 1)
@@ -1319,52 +715,9 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
-    if name in ("list_reverse_sort", "array_reverse_sort"):
-        # descending, NULLs LAST (pinned: [1,3,NULL,2] → [3,2,1,NULL])
-        # — exactly Spark sort_array(x, false)
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            edits.append(
-                (start, toks[close][3],
-                 f"sort_array(({_arg_text(spans[0])}), false)")
-            )
-            return close + 1
 
-    if name in ("list_unique", "array_unique"):
-        # COUNT of distinct non-NULL elements (pinned: [1,2,2,NULL]→2)
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            edits.append(
-                (start, toks[close][3],
-                 f"size(array_distinct(filter(({_arg_text(spans[0])}), "
-                 f"_ld -> _ld IS NOT NULL)))")  # _ld: the shared
-                # array_distinct NULL-drop marker — re-reads skip it
-            )
-            return close + 1
 
-    if name == "list_any_value":
-        # first non-NULL element
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            edits.append(
-                (start, toks[close][3],
-                 f"try_element_at(filter(({_arg_text(spans[0])}), "
-                 f"_e -> _e IS NOT NULL), 1)")
-            )
-            return close + 1
 
-    if name in ("array_pop_back", "array_pop_front", "list_pop_back",
-                "list_pop_front"):
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            a_ = _arg_text(spans[0])
-            b = "1" if name.endswith("back") else "2"
-            edits.append(
-                (start, toks[close][3],
-                 f"slice(({a_}), {b}, "
-                 f"greatest(cardinality(({a_})) - 1, 0))")
-            )
-            return close + 1
 
     if name in ("list_slice", "array_slice"):
         # 1-based INCLUSIVE bounds, negatives from the end, clamping.

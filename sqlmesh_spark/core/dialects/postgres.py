@@ -409,6 +409,19 @@ def token_handlers(ctx) -> "int | None":
         esc = False
         for c in pat:
             if esc:
+                # pg SIMILAR TO escapes are ARE regex escapes (pinned
+                # live, PG 15: '7' SIMILAR TO '\d' is TRUE, 'd' is
+                # FALSE — \d IS the digit class, not a literal d), and
+                # the ARE escape table matches Java's for \d \s \w \.
+                # etc.; the ARE-specific word/backspace letters have
+                # DIFFERENT Java meanings → loud
+                if c in "bmMy":
+                    raise TranspileError(
+                        f"SIMILAR TO escape \\{c} is an ARE-specific "
+                        "escape (backspace/word-boundary) with a "
+                        "different Java regex meaning — no faithful "
+                        "rewrite"
+                    )
                 conv.append("\\" + c)
                 esc = False
             elif c == "\\":

@@ -211,6 +211,7 @@ def call_handlers(ctx) -> "int | None":
             sp = spans[0]
             from_idx = None
             for_idx = None
+            similar_idx = None
             depth = 0
             for j in range(sp[0], sp[1] + 1):
                 k_, t_ = toks[j][0], toks[j][1]
@@ -224,6 +225,52 @@ def call_handlers(ctx) -> "int | None":
                 elif depth == 0 and k_ == "ident" and t_.upper() == "FOR":
                     for_idx = j
                     break
+                elif (
+                    depth == 0 and k_ == "ident"
+                    and t_.upper() == "SIMILAR"
+                ):
+                    similar_idx = j
+                    break
+            if read == "postgres" and similar_idx is not None:
+                # substring(s SIMILAR p ESCAPE e) — SQL:2003 regex
+                # form (pg 15; the ESCAPE is grammatically REQUIRED).
+                # The pattern is a SIMILAR-TO pattern where the two
+                # e" markers delimit the returned portion; no markers
+                # returns the whole match; no match → NULL, an EMPTY
+                # capture → '' (both pinned live on PG 15, so a bare
+                # nullif-on-'' emission would be wrong — RLIKE-guarded
+                # CASE instead). Previously shipped as a Spark parse
+                # error.
+                if not (
+                    similar_idx + 3 == sp[1]
+                    and toks[similar_idx + 1][0] == "string"
+                    and toks[similar_idx + 2][0] == "ident"
+                    and toks[similar_idx + 2][1].upper() == "ESCAPE"
+                    and toks[sp[1]][0] == "string"
+                ):
+                    raise TranspileError(
+                        "substring(s SIMILAR p ESCAPE e) needs literal "
+                        "pattern and escape to transpile"
+                    )
+                pat_s = _literal_content(toks[similar_idx + 1][1], read)
+                esc_s = _literal_content(toks[sp[1]][1], read)
+                if len(esc_s) != 1:
+                    raise TranspileError(
+                        "substring SIMILAR escape must be one character"
+                    )
+                rx_s = _similar_substring_regex(pat_s, esc_s)
+                s_text = transpile(
+                    sql[toks[sp[0]][2]: toks[similar_idx][2]].rstrip(),
+                    read,
+                )
+                lit_s = _spark_string_literal(rx_s, read)
+                edits.append(
+                    (start, toks[close][3],
+                     f"CASE WHEN ({s_text}) RLIKE {lit_s} THEN "
+                     f"regexp_extract(({s_text}), {lit_s}, 1) "
+                     f"ELSE NULL END")
+                )
+                return close + 1
             if from_idx is None and for_idx is not None:
                 # substring(s FOR n) — pg's FROM-less form starts at 1;
                 # Spark's grammar requires the FROM. transpile() the
@@ -319,9 +366,69 @@ def call_handlers(ctx) -> "int | None":
     return None
 
 
+def _similar_substring_regex(pat: str, esc: str) -> str:
+    """Java regex for pg ``substring(s SIMILAR p ESCAPE e)``: ``p`` is
+    a SIMILAR-TO pattern (%→.*, _→., anchored whole-string) where the
+    two ``e"`` marker pairs delimit the capture; no markers capture the
+    whole match. ``e``-escaped characters substitute for ``\\`` in ARE
+    regex escapes (``#d`` IS the digit class — pinned live). One marker
+    is a pg syntax error → loud."""
+    segs: list[list[str]] = [[]]
+    k = 0
+    while k < len(pat):
+        c = pat[k]
+        if c == esc:
+            if k + 1 >= len(pat):
+                raise TranspileError(
+                    "substring SIMILAR pattern ends with its escape "
+                    "character"
+                )
+            if pat[k + 1] == '"':
+                segs.append([])
+            else:
+                # the escape char substitutes for \ in ARE escapes
+                # (pinned live: '#d' IS the digit class — substring(
+                # 'a7b' similar '%#"#d#"%' escape '#') = '7'); ARE and
+                # Java agree on \d \s \w and punctuation escapes, the
+                # ARE-specific letters diverge → loud
+                if pat[k + 1] in "bmMy":
+                    raise TranspileError(
+                        f"substring SIMILAR escape {esc}{pat[k + 1]} "
+                        "is an ARE-specific escape with a different "
+                        "Java regex meaning — no faithful rewrite"
+                    )
+                segs[-1].append("\\" + pat[k + 1])
+            k += 2
+            continue
+        if c == "%":
+            segs[-1].append(".*")
+        elif c == "_":
+            segs[-1].append(".")
+        elif c in ".^$":
+            segs[-1].append("\\" + c)
+        else:
+            segs[-1].append(c)
+        k += 1
+    parts = ["".join(s) for s in segs]
+    if len(parts) == 1:
+        return "(?s)^(" + parts[0] + ")\\z"
+    if len(parts) != 3:
+        raise TranspileError(
+            "substring SIMILAR pattern needs exactly two (or zero) "
+            'e" capture markers'
+        )
+    return (
+        "(?s)^(?:" + parts[0] + ")(" + parts[1] + ")(?:" + parts[2]
+        + ")\\z"
+    )
+
+
 def _count_capture_groups(pat: str) -> int:
     """Number of capturing groups in a POSIX/Java regex (char-classes
-    and (?...) non-capturing constructs excluded)."""
+    and (?...) non-capturing constructs excluded). NAMED groups —
+    RE2/Python (?P<n>...) and Java (?<n>...), but not (?<=/(?<!
+    lookbehinds — are capturing and count toward Java's group
+    numbering (round 11: the duck named-group regexp_extract form)."""
     n_ = len(pat)
     idx = 0
     in_class = False
@@ -336,8 +443,16 @@ def _count_capture_groups(pat: str) -> int:
                 in_class = False
         elif c == "[":
             in_class = True
-        elif c == "(" and not (idx + 1 < n_ and pat[idx + 1] == "?"):
-            count += 1
+        elif c == "(":
+            nxt = pat[idx + 1: idx + 2]
+            if nxt != "?":
+                count += 1
+            else:
+                tail = pat[idx + 2: idx + 4]
+                if tail.startswith("P<") or (
+                    tail.startswith("<") and tail[1:2] not in ("=", "!")
+                ):
+                    count += 1
         idx += 1
     return count
 

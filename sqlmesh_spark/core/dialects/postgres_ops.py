@@ -79,7 +79,20 @@ def token_handlers(ctx) -> "int | None":
             and parts[0] != 0
             and (parts[1] != 0 or parts[2] != 0)
         )
-        if is_iso or mixed:
+        # round 11: FRACTIONAL units ('1.5 days' → 1 day 12:00:00,
+        # pg's DecodeInterval spilling — pinned live), hh:mm[:ss]
+        # clock segments, and the 'ago' negation suffix are all
+        # pg-parseable shapes Spark's interval literal parser rejects
+        # (previously confusing runtime errors) — same decompose +
+        # re-emit path as the ISO/mixed forms. The re-emitted
+        # '{d} days {s} seconds' spelling may itself carry a decimal
+        # seconds field: it re-decomposes to the identical text, so
+        # the fixpoint converges.
+        unparseable = parts is not None and (
+            "." in content or ":" in content
+            or content.rstrip().lower().endswith("ago")
+        )
+        if is_iso or mixed or unparseable:
             if any(e[1] >= start and e[0] <= toks[i + 1][3]
                    for e in edits):
                 return i + 1  # another handler owns this span — defer

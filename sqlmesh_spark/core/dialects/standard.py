@@ -14,6 +14,8 @@ import re
 from sqlmesh_spark.core.dialects import standard_edges as _edges
 from sqlmesh_spark.core.dialects import duckdb_fns as _duckfns
 from sqlmesh_spark.core.dialects import duckdb_hofs as _duckhofs
+from sqlmesh_spark.core.dialects import duckdb_containers as _duckcontainers
+from sqlmesh_spark.core.dialects import duckdb_regex as _duckregex
 from sqlmesh_spark.core.dialects import postgres_calls as _postgres
 from sqlmesh_spark.core.dialects import postgres_regex as _pgregex
 from sqlmesh_spark.core.dialects import postgres_srf as _pgsrf
@@ -356,6 +358,18 @@ def call_handlers(ctx) -> "int | None":
         if nxt is not None:
             return nxt
 
+    if read == "duckdb":
+        # duck regexp tier (round-11 split) — BEFORE the shared
+        # pattern-literal block for the same no-overlap reason as
+        # _pgregex: a whole-call consumer (regexp_matches flags,
+        # named-group regexp_extract, regexp_full_match) converts the
+        # pattern itself; the block's token edit would overlap the
+        # whole-call replacement and corrupt the splice (the latent
+        # regexp_full_match('[[:digit:]]+') bug, fixed this round)
+        nxt = _duckregex.call_handlers(ctx)
+        if nxt is not None:
+            return nxt
+
     if (
         read in ("postgres", "duckdb")
         and first_pass
@@ -459,6 +473,12 @@ def call_handlers(ctx) -> "int | None":
         # list_reduce/list_aggregate restructures must consume their
         # calls before duckdb_fns' loud guards and the plain renames
         nxt = _duckhofs.call_handlers(ctx)
+        if nxt is not None:
+            return nxt
+        # containers BEFORE duckdb_fns: the container tier's len()
+        # handler must keep its pre-split position ahead of the
+        # length/len string handler remaining in duckdb_fns
+        nxt = _duckcontainers.call_handlers(ctx)
         if nxt is not None:
             return nxt
         nxt = _duckfns.call_handlers(ctx)
@@ -687,6 +707,20 @@ def call_handlers(ctx) -> "int | None":
             )
 
             fmt_lit = toks[args[1]][1]
+            from sqlmesh_spark.core.transpile_text import (
+                pg_numeric_tochar_emit,
+            )
+
+            # numeric digit-class tier first (round 11): a format of
+            # only [FM][S][9|0|,][.] slots is a NUMBER pattern (no
+            # date code uses those characters), previously loud
+            num_emit = pg_numeric_tochar_emit(
+                _arg_text(spans_[0]),
+                fmt_lit[1:-1].replace("''", "'"),
+            )
+            if num_emit is not None:
+                edits.append((start, toks[_close_][3], num_emit))
+                return _close_ + 1
             segs = convert_pg_tochar_segments(
                 fmt_lit[1:-1].replace("''", "'")
             )

@@ -77,6 +77,20 @@ _DP_FIELD_TEMPLATES_PG = {
 }
 
 
+def _loud_tz_field(field: str, spelling: str) -> None:
+    """pg extract/date_part of timezone[_hour|_minute] reads the
+    SESSION TimeZone's UTC offset at that instant — session-dependent
+    state with no Spark extract field (Spark raises a confusing
+    INVALID_EXTRACT_FIELD at runtime — round-11 loud)."""
+    if field in ("timezone", "timezone_hour", "timezone_minute"):
+        raise TranspileError(
+            f"{spelling}({field} ...) reads the session TimeZone "
+            "offset — session-dependent, no Spark extract field; "
+            "compute the offset explicitly with to_utc_timestamp "
+            "against a named zone"
+        )
+
+
 def call_handlers(ctx) -> "int | None":
     """NULL-and-edge fidelity handlers for the duckdb/postgres family."""
     toks, edits = ctx.toks, ctx.edits
@@ -543,6 +557,7 @@ def call_handlers(ctx) -> "int | None":
                     "no faithful Spark form (Spark normalizes interval "
                     "fields; pg does not); use a literal interval"
                 )
+            _loud_tz_field(field, name)
             tmpl = (
                 _DP_FIELD_TEMPLATES_PG if read == "postgres"
                 else _DP_FIELD_TEMPLATES
@@ -655,6 +670,7 @@ def call_handlers(ctx) -> "int | None":
                      f" + ({iv_}) AS DOUBLE)")
                 )
                 return close + 1
+            _loud_tz_field(field, name)
             tmpl = (
                 _DP_FIELD_TEMPLATES_PG if read == "postgres"
                 else _DP_FIELD_TEMPLATES

@@ -510,6 +510,126 @@ def convert_pg_format(fmt: str, formatting: bool = False) -> str:
     return _convert_pg_like_format(fmt, allow_ff=False, formatting=formatting)
 
 
+def pg_numeric_tochar_emit(x_text: str, fmt: str) -> "str | None":
+    """Spark SQL for pg's NUMERIC to_char digit-class tier (round 11):
+    ``[FM][S][9|0|,]+[.[9|0]*]``. Returns None when ``fmt`` is not
+    numeric-shaped (date patterns take the segment path); raises for
+    numeric shapes with no faithful Java rendering.
+
+    Live-pinned PG 15 semantics this reproduces exactly:
+      - one leading SIGN SLOT unless S: to_char(1234.5,'9,999.99') =
+        ' 1,234.50' (width = len(pattern)+1, lpad)
+      - '9' slots blank-pad, a '0' starts the zero-run: '0009' of 12 =
+        ' 0012'; int-only patterns render 0 as '0' but '9.99' of .5 =
+        '  .50' (NO leading zero — Java '#.00' matches)
+      - rounding is half-up at the frac width ('9.99' of 2.675 =
+        ' 2.68' — Spark's decimal cast matches)
+      - OVERFLOW after rounding renders '#' per digit slot keeping
+        separators and sign: '99.9' of 99.96 = ' ##.#', '999' of
+        -12345 = '-###', 'S9.9' of 12 = '+#.#'
+      - S renders an explicit +/- adjacent to the digits ('S999' of 5
+        = '  +5')
+      - FM strips the padding; frac '9's then drop trailing zeros
+        ('FM9.99' of .5 = '.5') where frac '0's keep them ('FM990.00'
+        of .5 = '0.50'); FM of 0 with all-'9' frac renders '0.'
+        (pinned), with '0' frac renders '.00'
+    RN / EEEE / V / PR / TH / L / G / D stay on the loud path.
+    """
+    m = re.match(
+        r"(?is)^(fm)?(s)?([09,]+)(?:(\.)([09]*))?$", fmt.strip()
+    )
+    if not m or "9" not in fmt and "0" not in fmt:
+        return None
+    has_fm, has_s = bool(m.group(1)), bool(m.group(2))
+    int_pat, has_dot, frac_pat = m.group(3), bool(m.group(4)), m.group(5) or ""
+    digits = int_pat.replace(",", "")
+    if not digits:
+        return None  # '.99' with no int slots — stay loud
+    # commas must sit at standard thousands positions (Java infers ONE
+    # grouping size; pg honors arbitrary placements we can't express)
+    rebuilt, cnt = [], 0
+    for c in reversed(int_pat):
+        if c == ",":
+            if cnt == 0 or cnt % 3 != 0:
+                raise TranspileError(
+                    f"to_char numeric format {fmt!r}: comma grouping "
+                    "is not thousands-grouping — no Java pattern form"
+                )
+        else:
+            cnt += 1
+        rebuilt.append(c)
+    if int_pat.startswith(","):
+        raise TranspileError(
+            f"to_char numeric format {fmt!r} starts with a comma"
+        )
+    n_int = len(digits)
+    n_frac = len(frac_pat)
+    first0 = digits.find("0")
+    min_int = (n_int - first0) if first0 >= 0 else 0
+    if not has_dot:
+        # integer-only patterns render 0 as '0' (pinned '    0')
+        min_int = max(min_int, 1)
+    frac_all9 = bool(frac_pat) and set(frac_pat) == {"9"}
+    frac_all0 = bool(frac_pat) and set(frac_pat) == {"0"}
+    if has_fm and frac_pat and not (frac_all9 or frac_all0):
+        raise TranspileError(
+            f"to_char FM format {fmt!r} mixes 9 and 0 fraction slots "
+            "— no single Java pattern form"
+        )
+    # Java integer section: '#' for blank slots, '0' for the zero-run,
+    # commas kept at their (validated-standard) positions
+    jint, seen = [], 0
+    for c in int_pat:
+        if c == ",":
+            jint.append(",")
+        else:
+            seen += 1
+            jint.append("#" if n_int - seen + 1 > min_int else "0")
+    jfmt = "".join(jint)
+    if has_dot:
+        if has_fm and frac_all9:
+            jfmt += "." + "#" * n_frac
+        else:
+            jfmt += "." + "0" * n_frac
+    y = f"try_cast(({x_text}) AS DECIMAL(38,{n_frac}))"
+    body = f"format_number({y}, '{jfmt}')"
+    if has_fm and frac_all9:
+        # Java keeps the integer 0 for '#'-fraction patterns
+        # ('#.##' of .25 = '0.25' — pinned) where pg's FM drops it
+        # ('.25'); strip it for |y| < 1, and pin pg's bare-'0.' zero
+        if min_int == 0:
+            body = (
+                f"CASE WHEN {y} = 0 THEN '0.' "
+                f"WHEN {y} > -1 AND {y} < 1 THEN "
+                f"IF({y} < 0, '-' || substr({body}, 3), "
+                f"substr({body}, 2)) ELSE {body} END"
+            )
+        else:
+            body = f"IF({y} = 0, '{'0' * min_int}.', {body})"
+    if has_s:
+        body = f"IF({y} < 0, {body}, '+' || {body})"
+    width = len(fmt.strip()) - (2 if has_fm else 0)
+    if not has_s:
+        width += 1
+    if not has_fm:
+        body = f"lpad({body}, {width}, ' ')"
+    ovf = "".join(
+        "#" if c in "09" else c for c in int_pat
+    ) + (("." + "#" * n_frac) if has_dot else "")
+    xd = f"try_cast(({x_text}) AS DOUBLE)"
+    if has_s:
+        ovf_e = f"IF({xd} < 0, '-{ovf}', '+{ovf}')"
+    else:
+        ovf_e = f"IF({xd} < 0, '-{ovf}', '{ovf}')"
+    if not has_fm:
+        ovf_e = f"lpad({ovf_e}, {width}, ' ')"
+    return (
+        f"CASE WHEN ({x_text}) IS NULL THEN NULL "
+        f"WHEN {y} IS NULL OR abs({y}) >= {10 ** n_int} THEN {ovf_e} "
+        f"ELSE {body} END"
+    )
+
+
 def convert_pg_tochar_segments(fmt: str) -> list:
     """to_char pattern → list of ('pat', java_pattern) / ('wrap',
     template-with-{x}) segments.  The wrap segments carry the name

@@ -28,6 +28,7 @@ def stream_sessionize(
     source_dir: str,
     schema: StructType,
     gap_ns: int = 1_800_000_000_000,
+    max_files_per_trigger: "int | None" = None,
 ) -> DataFrame:
     """Streaming per-user session counts over files in ``source_dir``
     (columns: user_id, event_id, ts_ns). Within a batch events are sorted
@@ -57,7 +58,12 @@ def stream_sessionize(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
         )
 
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # one file per micro-batch: the multi-batch replay shape the
+        # round-11 SCALE family measures (state carries across batches)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_type,

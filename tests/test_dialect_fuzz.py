@@ -369,6 +369,18 @@ TEMPLATES += [
     "epoch_ns(TIMESTAMP '2024-01-01 00:00:01')",
     "week(DATE '2024-01-04')", "yearweek(DATE '2024-01-04')",
     "regexp_full_match('ab', '[a-z]+')", "regexp_full_match('ab', '[a-z]')",
+    # round 11: the whole-call duck regexp tier dispatches BEFORE the
+    # shared pattern-literal block (overlapping edits corrupted the
+    # splice — regexp_full_match('[[:digit:]]+') ate the trailing
+    # clause); named-group regexp_extract → named_struct; string
+    # single-subscript → guarded substring FROM/FOR
+    "regexp_full_match('12', '[[:digit:]]+')",
+    "regexp_matches('Ab', '[[:alpha:]]b', 'i')",
+    "regexp_extract('ab-12', '([a-z]+)-([0-9]+)', ['l', 'r'])",
+    "regexp_extract('ab', '(a)(b)', ['x'])",
+    "regexp_extract(NULL::varchar, '(a)(b)', ['x', 'y'])",
+    "('hello')[2]", "('hello')[-1]", "('hello')[0]", "('hello')[99]",
+    "'hello'[2]", "'hello'[0]", "'hello'[1+1]",
     "add(2, 3)", "subtract(5, 2)", "multiply(3, 4)",
     "editdist3('kitten', 'sitting')",
     "from_base64('YWJj') = 'abc'::blob", "to_base64('abc'::blob)",
@@ -571,6 +583,12 @@ def _norm(v):
         return round(float(v), 9)
     if isinstance(v, list):
         return tuple(sorted((_repr_el(x) for x in v)))
+    if hasattr(v, "asDict"):
+        # pyspark Row (STRUCT cell) vs duck's plain-dict rendering
+        # (round 11: the named-group regexp_extract struct form)
+        return tuple(
+            sorted((str(k), _repr_el(x)) for k, x in v.asDict().items())
+        )
     if isinstance(v, dict):
         # duck's client renders MAP as {'key': [...], 'value': [...]};
         # Spark returns a plain dict — rebuild, then compare unordered

@@ -172,6 +172,46 @@ TEMPLATES += [
     "2 BETWEEN SYMMETRIC 3 AND 1",
 ]
 
+# round 11: fractional/clock/'ago' interval literals decompose via
+# pg's DecodeInterval spilling ('1.5 days' → 1 day 12:00:00, pinned
+# live) — Spark's literal parser rejects all three shapes; pinned in
+# scalar contexts (timestamp arithmetic / epoch). substring(s SIMILAR
+# p ESCAPE e) → RLIKE-guarded regexp_extract (NULL on no match, ''
+# on an empty capture — both pinned live). SIMILAR TO escapes are ARE
+# regex escapes ('\d' IS the digit class — '7' matches, 'd' does not,
+# pinned live; ARE-only letters like \m are loud).
+TEMPLATES += [
+    "extract(epoch from interval '1.5 days')",
+    "extract(epoch from interval '1.75 minutes')",
+    "timestamp '2024-03-10 08:00:00' + interval '1.5 days'",
+    "timestamp '2024-03-10 08:00:00' - interval '2.5 hours'",
+    "timestamp '2024-01-01 00:00:00' + interval '1 day 12:00:00'",
+    "timestamp '2024-01-01 00:00:00' + interval '1 day ago'",
+    "timestamp '2024-06-01 00:00:00' + interval '0.5 years'",
+    "substring('abcdef' similar '%#\"cd#\"%' escape '#')",
+    "substring('abcdef' similar '%#\"zz#\"%' escape '#')",
+    "substring('abcdef' similar 'ab#\"x*#\"%' escape '#')",
+    "substring('one2three' similar '[a-z]+#\"[0-9]+#\"[a-z]+' escape '#')",
+    "substring('abcdef' similar '%cd%' escape '#')",
+    "'d' SIMILAR TO '\\d'",
+    "'7' SIMILAR TO '\\d'",
+    # numeric to_char digit-class tier (round 11; wave37 49/49 MATCH):
+    # sign-slot padding, zero-runs, half-up rounding, '#' overflow,
+    # S explicit sign, FM strip + the pinned '0.' zero
+    "to_char(1234.5, '9,999.99')",
+    "to_char(-1234.5, '9,999.99')",
+    "to_char(0.5, '9.99')",
+    "to_char(12.34, 'FM990.00')",
+    "to_char(12, 'S9.9')",
+    "to_char(12345, '999')",
+    "to_char(12, '0009')",
+    "to_char(2.675, '9.99')",
+    "to_char(0, 'FM9.99')",
+    "to_char(99.96, '99.9')",
+    "to_char(0.5, 'FM9.99')",
+    "to_char(-5, 'S999')",
+]
+
 # array slices [a:b]: 1-based inclusive with clamping; literal
 # non-negative bounds rewrite to slice() (open upper bound via the
 # size-bound struct form); negative/expression bounds stay loud

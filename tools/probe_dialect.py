@@ -49,6 +49,16 @@ _ISO_RE = _re.compile(
     r"(Z|[+-]\d{2}(:\d{2})?)?)?$"
 )
 
+#: pg 'postgres'-style interval text: [N year(s)] [N mon(s)]
+#: [N day(s)] [±HH:MM[:SS[.f]]] — at least one component (round 11;
+#: the day-time subset canonicalizes against Spark timedelta cells)
+_PG_IV_TEXT = _re.compile(
+    r"^(?:(?P<y>-?\d+) years?)?\s*(?:(?P<mo>-?\d+) mons?)?\s*"
+    r"(?:(?P<d>-?\d+) days?)?\s*"
+    r"(?:(?P<csign>[+-]?)(?P<h>\d+):(?P<mi>\d{2})"
+    r"(?::(?P<s>\d{2}(?:\.\d+)?))?)?$"
+)
+
 
 def _canon_dt(v: "_dt.datetime") -> str:
     """Canonical timestamp text: UTC conversion, tz dropped, fractional
@@ -93,7 +103,33 @@ def _norm(v):
     if isinstance(v, bytes):
         # pg renders bytea as the \x-hex text form
         return "\\x" + v.hex()
+    if isinstance(v, _dt.timedelta):
+        # Spark day-time INTERVAL cells collect as timedelta (round-11
+        # fix for the round-10 methodology hole: every interval-valued
+        # probe auto-flagged WRONG against pg's interval TEXT even when
+        # values matched, e.g. interval '1 day' * 2.5)
+        return ("iv", round(v.total_seconds(), 6))
     if isinstance(v, str):
+        m_iv = _PG_IV_TEXT.match(v)
+        if m_iv and any(m_iv.groups()):
+            # pg day-time interval text ('2 days 12:00:00',
+            # '-1 days +02:03:00', '00:01:45') → the same canonical
+            # form as a Spark timedelta. Year/month components stay
+            # TEXT: Spark can't even collect a year-month interval
+            # (fromInternal NOT_IMPLEMENTED — documented client gap),
+            # so there is nothing to compare against. Plain TIME
+            # strings normalize symmetrically on both sides.
+            yr, mo = m_iv.group("y"), m_iv.group("mo")
+            if not yr and not mo:
+                secs = 86400.0 * int(m_iv.group("d") or 0)
+                sign = -1.0 if m_iv.group("csign") == "-" else 1.0
+                if m_iv.group("h") is not None:
+                    secs += sign * (
+                        3600.0 * int(m_iv.group("h"))
+                        + 60.0 * int(m_iv.group("mi"))
+                        + float(m_iv.group("s") or 0)
+                    )
+                return ("iv", round(secs, 6))
         if _ISO_RE.match(v):
             if len(v) == 10:
                 return v  # bare date, already canonical
