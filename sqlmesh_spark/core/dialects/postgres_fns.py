@@ -74,6 +74,50 @@ def call_handlers(ctx) -> "int | None":
     start = ctx.start
     _arg_text = ctx.arg_text
 
+    if name == "unistr":
+        # pg 16 unistr(): \XXXX (4 hex), \+XXXXXX (6 hex), \\ → one
+        # backslash (pinned live: 'd\0061t' = 'dat', '\+01F600' = 😀).
+        # Spark has no unistr — decode LITERAL arguments statically
+        # into a plain Spark literal; non-literals are loud.
+        import re as _re2
+
+        from sqlmesh_spark.core.transpile_text import (
+            _literal_content,
+            _spark_string_literal,
+        )
+
+        spans, close = _call_arg_spans(toks, i + 1)
+        if not (
+            len(spans) == 1
+            and spans[0][0] == spans[0][1]
+            and toks[spans[0][0]][0] == "string"
+        ):
+            raise TranspileError(
+                "unistr() needs a literal argument to decode statically"
+                " (Spark has no unistr function)"
+            )
+        raw = _literal_content(toks[spans[0][0]][1], ctx.read)
+
+        def _dec(m):
+            g = m.group(0)
+            if g == "\\\\":
+                return "\\"
+            return chr(int(g[2:] if g[1] == "+" else g[1:], 16))
+
+        out_ = _re2.sub(
+            r"\\\\|\\\+[0-9A-Fa-f]{6}|\\[0-9A-Fa-f]{4}", _dec, raw
+        )
+        if "\\" in _re2.sub(
+            r"\\\\|\\\+[0-9A-Fa-f]{6}|\\[0-9A-Fa-f]{4}", "", raw
+        ):
+            raise TranspileError(
+                "unistr() argument has a malformed \\ escape"
+            )
+        edits.append(
+            (start, toks[close][3], _spark_string_literal(out_, ctx.read))
+        )
+        return close + 1
+
     tmpl = _DEG_TRIG.get(name)
     if tmpl is not None:
         spans, close = _call_arg_spans(toks, i + 1)

@@ -96,6 +96,7 @@ def run_sessionize(spark: SparkSession, sf_dir: str, tag: str) -> dict:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts_ns"
     )
+    n_in = events.count()
     src = _sliced_source(events, "ts_ns", 5)
     ckpt = tempfile.mkdtemp(prefix="scale_stream_ckpt_")
     t0 = time.perf_counter()
@@ -115,7 +116,8 @@ def run_sessionize(spark: SparkSession, sf_dir: str, tag: str) -> dict:
         f"SELECT user_id, max(n_sessions) AS s FROM scale_sess_{tag} "
         "GROUP BY user_id"
     ).count()
-    out = {"wall_sec": round(wall, 3), "result_rows": rows}
+    out = {"wall_sec": round(wall, 3), "result_rows": rows,
+           "input_rows": n_in}
     out.update(_progress_state(q))
     return out
 
@@ -132,6 +134,7 @@ def run_upsert(spark: SparkSession, sf_dir: str, tag: str) -> dict:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "value", "ts_ns"
     )
+    n_in = events.count()
     src = _sliced_source(events, "ts_ns", 5)
     ckpt = tempfile.mkdtemp(prefix="scale_stream_ckpt_")
     rn_w = W.partitionBy("user_id").orderBy(F.desc("ts_ns"), F.desc("event_id"))
@@ -164,7 +167,8 @@ def run_upsert(spark: SparkSession, sf_dir: str, tag: str) -> dict:
     q.awaitTermination()
     wall = time.perf_counter() - t0
     rows = spark.table(target).count()
-    out = {"wall_sec": round(wall, 3), "result_rows": rows}
+    out = {"wall_sec": round(wall, 3), "result_rows": rows,
+           "input_rows": n_in}
     out.update(_progress_state(q))
     return out
 
@@ -176,6 +180,7 @@ def run_watermark(spark: SparkSession, sf_dir: str, tag: str) -> dict:
             "event_ts"
         ),
     )
+    n_in = events.count()
     lo, hi = events.agg(
         F.min(F.col("event_ts").cast("date")),
         F.max(F.col("event_ts").cast("date")),
@@ -217,7 +222,8 @@ def run_watermark(spark: SparkSession, sf_dir: str, tag: str) -> dict:
     q.awaitTermination()
     wall = time.perf_counter() - t0
     rows = spark.sql(f"SELECT * FROM scale_wm_{tag}").count()
-    out = {"wall_sec": round(wall, 3), "result_rows": rows}
+    out = {"wall_sec": round(wall, 3), "result_rows": rows,
+           "input_rows": n_in}
     out.update(_progress_state(q))
     return out
 
