@@ -4681,3 +4681,18 @@ def test_pg_numeric_tochar_round11():
     # date formats keep the segment path untouched
     assert t("SELECT to_char(d, 'YYYY-MM') FROM t") == \
         "SELECT date_format(d, 'yyyy-MM') FROM t"
+
+
+def test_pg_unistr_round11():
+    """pg 16 unistr(): \\XXXX / \\+XXXXXX / \\\\ escapes decode
+    STATICALLY into a plain Spark literal (pinned live: 'd\\0061t' =
+    'dat', '\\+01F600' = the emoji pair); Spark has no unistr, so
+    non-literal arguments and malformed escapes are loud."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    out = t("SELECT unistr('d\\0061t\\+000061') AS v")
+    assert out == "SELECT 'data' AS v"
+    assert t("SELECT unistr('a\\\\b') AS v") == "SELECT 'a\\\\b' AS v"
+    with pytest.raises(TranspileError, match="literal argument"):
+        t("SELECT unistr(x) FROM t")
+    with pytest.raises(TranspileError, match="malformed"):
+        t("SELECT unistr('bad\\zz') AS v")
