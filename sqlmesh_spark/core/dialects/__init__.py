@@ -168,6 +168,20 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "json_object_keys": None, "jsonb_object_keys": None,
         "jsonb_path_query": None, "jsonb_path_exists": None,
         "jsonb_path_match": None,
+        # round 11: the rest of the SQL/JSON-path family previously
+        # PASSED THROUGH to an unresolved-routine error while its
+        # siblings were loud — the path language (filters, methods,
+        # lax/strict modes) has no get_json_object form
+        "jsonb_path_query_first": None, "jsonb_path_query_array": None,
+        "jsonb_path_exists_tz": None, "jsonb_path_match_tz": None,
+        "jsonb_path_query_tz": None, "jsonb_path_query_first_tz": None,
+        "jsonb_path_query_array_tz": None,
+        # transaction ids / xml constructors: engine state and a type
+        # Spark lacks (same passthrough gap, round-11 sweep)
+        "txid_current": None, "pg_current_xact_id": None,
+        "xmlcomment": None, "xmlelement": None, "xmlforest": None,
+        "xmlagg": None, "xmlconcat": None, "xpath": None,
+        "xpath_exists": None, "xmlparse": None, "xmlserialize": None,
         "regexp_split_to_table": None, "generate_subscripts": None,
         # full-text search — no Spark analog
         "to_tsvector": None, "to_tsquery": None,

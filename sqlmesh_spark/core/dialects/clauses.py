@@ -303,6 +303,15 @@ def token_handlers(ctx) -> "int | None":
                     for j, d in item
                     if d == 0 and toks[j][0] == "ident"
                 ]
+                if "USING" in ups:
+                    # pg ORDER BY x USING <op>: sorts by an arbitrary
+                    # btree operator — no Spark form, and the NULLS
+                    # annotation below would append onto the USING
+                    # clause, emitting broken SQL (round-11 fix)
+                    raise TranspileError(
+                        "postgres ORDER BY ... USING <operator> has "
+                        "no Spark rewrite; use ASC/DESC"
+                    )
                 if "NULLS" in ups:
                     continue  # explicit placement — faithful as-is
                 desc = False

@@ -788,6 +788,98 @@ def token_handlers(ctx) -> "int | None":
     start = ctx.start
     n = len(toks)
 
+    if (
+        kind == "ident"
+        and text.upper() == "FROM"
+        and (
+            i == 0
+            or (toks[i - 1][0] == "op" and toks[i - 1][1] in ("(", ";"))
+        )
+    ):
+        # duck FROM-first statements (pinned live, duckdb 1.0):
+        #   FROM t [clauses...]            ≡ SELECT * FROM t [clauses]
+        #   FROM t SELECT list [clauses]   — clauses only AFTER the
+        #   select list (WHERE before SELECT is a duck parse error).
+        # Spark's parser rejects both. The whole statement re-emits
+        # with transpile()d fragments and a dead zone (same wholesale
+        # convention as DISTINCT ON): the select list moves first,
+        # the FROM clause in between, trailing clauses (incl. UNION
+        # branches) after.
+        depth = 0
+        sel_j = None
+        end_j = n
+        for j in range(i + 1, n):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == "(":
+                depth += 1
+            elif k_ == "op" and t_ == ")":
+                depth -= 1
+                if depth < 0:
+                    end_j = j
+                    break
+            elif depth == 0 and k_ == "op" and t_ == ";":
+                end_j = j
+                break
+            elif depth == 0 and k_ == "ident" and t_.upper() == "SELECT":
+                sel_j = j
+                break
+        if any(e[1] >= start and e[0] <= toks[end_j - 1][3]
+               for e in edits):
+            return i + 1  # pending rewrites inside — next pass
+        if sel_j is None:
+            edits.append((start, start, "select * "))
+            return i + 1
+        # end of the whole statement (for the wholesale replacement)
+        depth = 0
+        for j in range(sel_j + 1, n):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == "(":
+                depth += 1
+            elif k_ == "op" and t_ == ")":
+                depth -= 1
+                if depth < 0:
+                    end_j = j
+                    break
+            elif depth == 0 and k_ == "op" and t_ == ";":
+                end_j = j
+                break
+        else:
+            end_j = n
+        # select LIST ends at the first depth-0 clause keyword
+        tail_j = end_j
+        depth = 0
+        for j in range(sel_j + 1, end_j):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ == "(":
+                depth += 1
+            elif k_ == "op" and t_ == ")":
+                depth -= 1
+            elif depth == 0 and k_ == "ident" and t_.upper() in (
+                "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                "QUALIFY", "WINDOW", "UNION", "EXCEPT", "INTERSECT",
+            ):
+                tail_j = j
+                break
+        tr = ctx.transpile
+        # transpile the table-REF fragment, not the whole "from ..."
+        # text: a fragment starting with FROM would re-enter this
+        # handler and grow a spurious "select *"
+        f_text = "from " + tr(
+            sql[toks[i][3]: toks[sel_j][2]].strip(), ctx.read
+        )
+        sel_text = tr(
+            sql[toks[sel_j][2]: toks[tail_j - 1][3]
+                if tail_j > sel_j else toks[sel_j][3]], ctx.read
+        )
+        tail_text = (
+            " " + tr(sql[toks[tail_j][2]: toks[end_j - 1][3]], ctx.read)
+            if tail_j < end_j else ""
+        )
+        stmt_end = toks[end_j - 1][3]
+        edits.append((start, stmt_end, f"{sel_text} {f_text}{tail_text}"))
+        ctx.dead_zones.append((start, stmt_end))
+        return end_j
+
     n_ = len(toks)
     if (
         kind == "op"

@@ -616,6 +616,66 @@ def token_handlers(ctx) -> "int | None":
             )
         ls = toks[lfirst][2]
         arr_text = _arg_text(spans_q[0])
+        if (
+            spans_q[0][0] == spans_q[0][1]
+            and toks[spans_q[0][0]][0] == "string"
+        ):
+            # pg array-literal TEXT ('{1,2}' — implicit unknown-type
+            # cast): decode statically; the raw string would reach
+            # array_contains as a STRING and fail analysis (round 11).
+            # Unquoted numeric elements stay numeric (pg casts by the
+            # LHS type); quoted or bare-word elements become strings;
+            # bare NULL is NULL; nested arrays are loud.
+            body_ = _literal_content(
+                toks[spans_q[0][0]][1], read
+            ).strip()
+            if not (body_.startswith("{") and body_.endswith("}")):
+                raise TranspileError(
+                    f"postgres {cmp_op} {text.upper()}('...') needs "
+                    "an array; the string is not a {...} array literal"
+                )
+            inner_ = body_[1:-1].strip()
+            if "{" in inner_ or "}" in inner_:
+                raise TranspileError(
+                    "nested pg array literals have no 1-D Spark form"
+                )
+            elems_: list[str] = []
+            cur = []
+            in_q = False
+            k2 = 0
+            while k2 < len(inner_):
+                c2 = inner_[k2]
+                if in_q:
+                    if c2 == "\\" and k2 + 1 < len(inner_):
+                        cur.append(inner_[k2 + 1]); k2 += 2; continue
+                    if c2 == '"':
+                        in_q = False
+                    else:
+                        cur.append(c2)
+                elif c2 == '"':
+                    in_q = True
+                    cur.append("\x00")  # quoted marker
+                elif c2 == ",":
+                    elems_.append("".join(cur)); cur = []
+                else:
+                    cur.append(c2)
+                k2 += 1
+            if cur or elems_:
+                elems_.append("".join(cur))
+            parts_ = []
+            for e_ in elems_:
+                quoted_ = "\x00" in e_
+                e_ = e_.replace("\x00", "").strip() if not quoted_ \
+                    else e_.replace("\x00", "")
+                if not quoted_ and e_.upper() == "NULL":
+                    parts_.append("NULL")
+                elif not quoted_ and re.fullmatch(
+                    r"[+-]?\d+(\.\d+)?", e_
+                ):
+                    parts_.append(e_)
+                else:
+                    parts_.append(_spark_string_literal(e_, read))
+            arr_text = "array(" + ", ".join(parts_) + ")"
         lhs_text = sql[ls: toks[i - 2][3]]
         if not any(e[1] >= ls and e[0] <= toks[close_q][3] for e in edits):
             is_any = text.upper() in ("ANY", "SOME")

@@ -602,7 +602,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             or (kind == "ident" and (
                 text.upper() in (
                     "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
-                    "INTERVAL", "EXCLUDE", "ASOF",
+                    "INTERVAL", "EXCLUDE", "ASOF", "FROM",
                 )
                 # duck typed-literal spellings (ident followed by a
                 # string literal re-spells to a '::' cast)

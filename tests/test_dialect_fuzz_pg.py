@@ -210,6 +210,14 @@ TEMPLATES += [
     "to_char(99.96, '99.9')",
     "to_char(0.5, 'FM9.99')",
     "to_char(-5, 'S999')",
+    # array-literal TEXT quantified comparisons + the mode() tie rule
+    # (Spark 4 WITHIN GROUP matches pg: ASC → lowest of the tied)
+    "1 = ANY('{1,2}')",
+    "'b' = ANY('{a,b}')",
+    "3 = ANY('{1,NULL,3}')",
+    "2 <> ALL('{1,3}')",
+    "(select mode() within group (order by x) from (values (2),(2),(1),(1)) t(x))",
+    "(select mode() within group (order by x desc) from (values (2),(2),(1),(1)) t(x))",
 ]
 
 # array slices [a:b]: 1-based inclusive with clamping; literal

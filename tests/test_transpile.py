@@ -4696,3 +4696,61 @@ def test_pg_unistr_round11():
         t("SELECT unistr(x) FROM t")
     with pytest.raises(TranspileError, match="malformed"):
         t("SELECT unistr('bad\\zz') AS v")
+
+
+def test_pg_clause_sweep_round11():
+    """Round-11 pg clause sweep: array-literal TEXT in quantified
+    comparisons decodes statically ('{1,2}' previously reached
+    array_contains as a STRING); ORDER BY ... USING louds (the NULLS
+    annotation appended onto it, emitting broken SQL); the rest of
+    the jsonb_path family plus txid/xml constructors loud instead of
+    passing through to unresolved-routine errors. mode() WITHIN GROUP
+    passes through — Spark 4's tie rule matches pg's (ASC → lowest,
+    pinned live both engines; wave40)."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    assert t("SELECT 1 = ANY('{1,2}') AS v") == \
+        "SELECT array_contains((array(1, 2)), (1)) AS v"
+    assert t("SELECT x = ANY('{a,b}') FROM t") == \
+        "SELECT array_contains((array('a', 'b')), (x)) FROM t"
+    assert "array('x y', 'z')" in t("SELECT 'x y' = ANY('{\"x y\",z}') AS v")
+    assert "array(1, NULL, 3)" in t("SELECT 3 = ANY('{1,NULL,3}') AS v")
+    with pytest.raises(TranspileError, match="nested pg array"):
+        t("SELECT 1 = ANY('{{1},{2}}') AS v")
+    with pytest.raises(TranspileError, match="not a .* array literal"):
+        t("SELECT 1 = ANY('junk') AS v")
+    with pytest.raises(TranspileError, match="USING"):
+        t("SELECT x FROM t ORDER BY x USING <")
+    for fn in ("jsonb_path_query_first(j, '$.a')", "txid_current()",
+               "xmlcomment('x')", "xpath('/a', x)"):
+        with pytest.raises(TranspileError):
+            t(f"SELECT {fn} FROM t")
+    inert = "SELECT mode() within group (order by x) FROM t"
+    assert t(inert) == inert
+
+
+def test_duck_from_first_round11():
+    """duck FROM-first statements (pinned live: FROM t ≡ SELECT * FROM
+    t; FROM t SELECT list [clauses] with clauses only AFTER the list —
+    WHERE before SELECT is a duck parse error). Spark rejects the form;
+    the whole statement re-emits with transpiled fragments (UNION
+    branches stay in the tail; nested FROM-first subqueries recurse)."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    assert t("from t") == "select * from t"
+    assert t("from t where a > 1") == "select * from t where a > 1"
+    assert t("from t select a") == "select a from t"
+    assert t("from t select a where a > 1") == \
+        "select a from t where a > 1"
+    assert t("from t select sum(a) group by b") == \
+        "select sum(a) from t group by b"
+    assert t("select * from (from t select a) s") == \
+        "select * from (select a from t) s"
+    assert t("from (from t select a) q select min(a)") == \
+        "select min(a) from (select a from t) q"
+    assert t("from t select a union select b from u") == \
+        "select a from t union select b from u"
+    # duck rewrites inside the moved fragments still apply
+    out = t("from t select list_transform([1,2], (x,i) -> x+i)")
+    assert out.startswith("select transform((array(1,2))")
+    assert out.endswith("from t")
+    for s in ("from t select a", "from t"):
+        assert t(t(s)) == t(s)
