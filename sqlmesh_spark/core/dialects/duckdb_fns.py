@@ -790,6 +790,24 @@ def token_handlers(ctx) -> "int | None":
 
     if (
         kind == "ident"
+        and text[0] == "_"
+        and len(text) > 1
+        and text.lstrip("_0123456789") == ""
+        and i >= 1
+        and toks[i - 1][0] == "number"
+        and toks[i - 1][3] == start  # adjacent: one lexeme in duck
+    ):
+        # duck digit-group underscores (1_000_000, 2_5.5_0 — pinned
+        # live): the lexer splits them into number + _-ident, and
+        # Spark reads the ident half as an unresolved column. Merge
+        # and strip. Multi-segment decimals resolve one segment per
+        # handler hit within the pass.
+        merged = (toks[i - 1][1] + text).replace("_", "")
+        edits.append((toks[i - 1][2], ctx.end, merged))
+        return i + 1
+
+    if (
+        kind == "ident"
         and text.upper() == "FROM"
         and (
             i == 0

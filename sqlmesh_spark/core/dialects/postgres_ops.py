@@ -65,14 +65,22 @@ def token_handlers(ctx) -> "int | None":
     # works in arithmetic), MIXED families as make_interval (works in
     # arithmetic, the only place a mixed interval can land).
     if (
-        read == "postgres"
+        read in ("postgres", "duckdb")
         and kind == "ident"
         and text.upper() == "INTERVAL"
         and i + 1 < n
         and toks[i + 1][0] == "string"
     ):
+        # duckdb widened in round 11: duck shares pg's fraction
+        # spilling exactly (pinned live: '1.5 months' = 45 days,
+        # '0.5 years' = 180 days under duck's 30-day client render =
+        # pg's 1 mon 15 days / 6 mons) and Spark rejects the same
+        # mixed/fractional/clock shapes. duck REJECTS ISO P-forms
+        # (pinned) — those fall through for the duck read.
         content = _literal_content(toks[i + 1][1], read).strip()
         is_iso = content.lstrip("+-")[:1].lower() == "p"
+        if is_iso and read == "duckdb":
+            return None  # duck itself rejects ISO interval text
         parts = _pg_interval_parts(content)
         mixed = (
             parts is not None
@@ -372,7 +380,9 @@ def token_handlers(ctx) -> "int | None":
     # Postgres literal-castee seams (round 8): 'on'/'off'-family
     # boolean literals Spark rejects, '...'::interval literals,
     # '{...}'::type[] array literals, and bytea::text hex rendering.
-    if read == "postgres" and kind == "op" and text == "::":
+    if read in ("postgres", "duckdb") and kind == "op" and text == "::":
+        # duck reaches ONLY the ::interval branch inside (round 11);
+        # the boolean-word and '{...}'::type[] branches stay pg-gated
         nxt = _pg_cast_seams(ctx)
         if nxt is not None:
             return nxt
@@ -761,7 +771,8 @@ def _pg_cast_seams(ctx) -> "int | None":
     prev = toks[i - 1]
 
     if (
-        tname in ("boolean", "bool")
+        read == "postgres"
+        and tname in ("boolean", "bool")
         and prev[0] == "string"
         and not (
             i + 2 < n
@@ -779,22 +790,30 @@ def _pg_cast_seams(ctx) -> "int | None":
         return None  # Spark-acceptable (or pg-rejected) — pass through
 
     if tname == "interval" and prev[0] == "string":
+        # duck included (round 11): same literal grammar and spilling,
+        # same Spark INTERVAL-literal re-emission
         content = _literal_content(prev[1], read)
         parts = _pg_interval_parts(content)
         if parts is None:
             raise TranspileError(
-                f"postgres ::interval literal {content!r} is not "
+                f"{read} ::interval literal {content!r} is not "
                 "statically parseable — use verbose units, hh:mm:ss "
                 "or ISO-8601"
             )
         months, days, micros = parts
         if months and (days or micros):
-            raise TranspileError(
-                "postgres interval literals mixing year-month and "
-                "day-time parts have no Spark interval type; split "
-                "the arithmetic into two intervals"
+            # mixed families (incl. fraction spilling: '1.5 months' →
+            # 1 mon 15 days) — make_interval, same as the INTERVAL
+            # literal path (round 11; previously loud)
+            secs_ = micros / 1_000_000
+            secs_txt_ = f"{secs_:.6f}".rstrip("0").rstrip(".") or "0"
+            if secs_txt_ in ("", "-0"):
+                secs_txt_ = "0"
+            repl = (
+                f"make_interval(0, {months}, 0, {days}, 0, 0, "
+                f"{secs_txt_})"
             )
-        if months:
+        elif months:
             repl = f"INTERVAL '{months}' MONTH"
         elif micros:
             total = days * 86_400_000_000 + micros
@@ -807,8 +826,15 @@ def _pg_cast_seams(ctx) -> "int | None":
             return i + 2
         return None
 
+    if read != "postgres":
+        # duck reaches only the ::interval branch above; the array/
+        # bytea/text-rendering seams below are pg semantics (duck
+        # casts blob→varchar to the RAW bytes, exactly Spark's CAST)
+        return None
+
     if (
-        tname in _PG_ARRAY_ELEM_TYPES
+        read == "postgres"
+        and tname in _PG_ARRAY_ELEM_TYPES
         and prev[0] == "string"
         and i + 3 < n
         and toks[i + 2][0] == "op"
@@ -871,7 +897,7 @@ def _pg_cast_seams(ctx) -> "int | None":
             return i + 4
         return None
 
-    if tname == "bytea" and prev[0] == "string":
+    if read == "postgres" and tname == "bytea" and prev[0] == "string":
         # pg bytea INPUT syntax: '\x...' is hex (the default output
         # form round-trips); anything with a backslash is the legacy
         # octal-escape format. A plain-text literal's UTF-8 bytes

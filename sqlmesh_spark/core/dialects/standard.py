@@ -181,7 +181,7 @@ def call_handlers(ctx) -> "int | None":
         i = close + 1
         return i
 
-    if name in ("strftime", "strptime") and read in ("duckdb", "postgres") and first_pass:
+    if name in ("strftime", "strptime", "try_strptime") and read in ("duckdb", "postgres") and first_pass:
         spans_, _close_ = _call_arg_spans(toks, i + 1)
         if len(spans_) != 2:
             raise TranspileError(f"{name} expects 2 args")
@@ -189,6 +189,14 @@ def call_handlers(ctx) -> "int | None":
         if toks[fmt_idx][0] != "string" or spans_[1][0] != spans_[1][1]:
             raise TranspileError(f"{name} format must be a single literal to transpile")
         fmt_lit = toks[fmt_idx][1]
+        if name == "try_strptime" and "%" not in fmt_lit:
+            # duck's try form returns NULL for a directive-free format
+            # on any non-matching input (pinned live, round 11) — no
+            # 1900-default seam, but nothing to parse either
+            raise TranspileError(
+                "try_strptime format has no % directives; spell the "
+                "timestamp directly"
+            )
         if name == "strptime" and "%" not in fmt_lit:
             # a directive-free format sets NO fields: duck defaults to
             # 1900-01-01, Spark's to_timestamp to 1970-01-01 — a
@@ -200,7 +208,13 @@ def call_handlers(ctx) -> "int | None":
                 "directly"
             )
         converted = convert_strftime_format(fmt_lit[1:-1].replace("''", "'"))
-        new_fn = "date_format" if name == "strftime" else "to_timestamp"
+        # try_strptime → try_to_timestamp (round 11): NULL on parse
+        # failure in both (pinned live); strptime raises in both
+        new_fn = (
+            "date_format" if name == "strftime"
+            else "try_to_timestamp" if name == "try_strptime"
+            else "to_timestamp"
+        )
         edits.append((start, end, new_fn))
         edits.append(
             (toks[fmt_idx][2], toks[fmt_idx][3],

@@ -575,7 +575,17 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         # trigger-token sets are disjoint from every shared handler
         # between the old positions and this dispatch point, so scan
         # semantics are unchanged.
-        if read == "postgres":
+        # duckdb included since round 11 for the INTERVAL-literal and
+        # ::interval machinery (duck shares pg's fraction-spilling,
+        # pinned live) — trigger-gated to exactly those two tokens so
+        # no other pg token handler runs on the duck read
+        if read == "postgres" or (
+            read == "duckdb"
+            and (
+                (kind == "op" and text == "::")
+                or (kind == "ident" and text.upper() == "INTERVAL")
+            )
+        ):
             ctx.i, ctx.kind, ctx.text = i, kind, text
             ctx.start, ctx.end, ctx.name = start, end, ""
             nxt = _d_postgres.token_handlers(ctx)
@@ -604,6 +614,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
                     "INTERVAL", "EXCLUDE", "ASOF", "FROM",
                 )
+                # duck underscore digit-group literals (1_000_000):
+                # the lexer splits them number + _-ident
+                or (text[0] == "_" and len(text) > 1
+                    and text.lstrip("_0123456789") == "")
                 # duck typed-literal spellings (ident followed by a
                 # string literal re-spells to a '::' cast)
                 or text.lower() in (

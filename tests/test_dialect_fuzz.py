@@ -254,6 +254,15 @@ TEMPLATES += [
     "list_sum([1,2,NULL])",
     "list_avg([1,2])",
     "list_sort([3,1,NULL,2], 'DESC', 'NULLS FIRST')",
+    # round 11: underscore digit-group literals, try_strptime,
+    # FROM-first scalar subqueries, interval-literal widening
+    "1_000_000", "2_5.5_0",
+    "try_strptime('junk', '%Y-%m-%d')",
+    "try_strptime('2024-01-15', '%Y-%m-%d')",
+    "(from (values (1),(2),(3)) t(a) select max(a))",
+    "timestamp '2024-01-01 00:00:00' + interval '1 year 3 days'",
+    "timestamp '2024-01-01 00:00:00' + '1.5 days'::interval",
+    "date '2024-01-31' + interval '1 month'",
     "list_sort([3,1,NULL], 'ASC', 'NULLS FIRST')",
     "list_sort([3,1,NULL,2], 'DESC')",
     "list_reverse_sort([3,1,NULL], 'NULLS FIRST')",

@@ -3720,7 +3720,9 @@ def test_pg_round8_operator_and_cast_batch():
     assert transpile(
         "SELECT v FROM t OFFSET 1 LIMIT 2", "postgres"
     ) == "SELECT v FROM t LIMIT 2 OFFSET 1"
-    with pytest.raises(TranspileError, match="mixing"):
+    # mixed-family ::interval maps via make_interval since round 11
+    # (previously loud), matching the INTERVAL-literal path
+    assert "make_interval(0, 12, 0, 1, 0, 0, 0)" in \
         t("'1 year 1 day'::interval")
     with pytest.raises(TranspileError, match="GROUPS"):
         transpile(
@@ -4754,3 +4756,42 @@ def test_duck_from_first_round11():
     assert out.endswith("from t")
     for s in ("from t select a", "from t"):
         assert t(t(s)) == t(s)
+
+
+def test_duck_interval_literdi_widening_round11():
+    """duck INTERVAL literals/::interval casts ride the pg decompose
+    machinery since round 11 (same fraction spilling, pinned live:
+    '1.5 months' = 45 days = pg's 1 mon 15 days); ISO P-forms stay
+    duck-rejected passthroughs; mixed families emit make_interval
+    (calendar months — matches duck date arithmetic); the pg-only
+    cast seams (bytea/text rendering, boolean words, '{...}' arrays)
+    do NOT fire on the duck read (the from_hex::varchar regression
+    the widening briefly introduced, caught by the fuzz corpus)."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    assert "make_interval(0, 12, 0, 3, 0, 0, 0)" in \
+        t("SELECT ts + interval '1 year 3 days' FROM t")
+    assert "INTERVAL '1 days 43200 seconds'" in \
+        t("SELECT ts + interval '1.5 days' FROM t")
+    assert "INTERVAL '2' DAY" in t("SELECT ts + '2 days'::interval FROM t")
+    assert "make_interval(0, 1, 0, 15, 0, 0, 0)" in \
+        t("SELECT ts + '1.5 months'::interval FROM t")
+    assert t("SELECT interval 'P1Y' FROM t") == \
+        "SELECT interval 'P1Y' FROM t"  # duck rejects ISO — pass through
+    assert t("SELECT from_hex('6162')::varchar AS v") == \
+        "SELECT unhex('6162')::STRING AS v"
+    assert t("SELECT 'on'::boolean AS v") == "SELECT 'on'::boolean AS v"
+
+
+def test_duck_underscore_literals_and_try_strptime_round11():
+    """duck digit-group underscores (1_000_000 — the lexer splits them
+    number + _-ident and Spark reads the ident as an unresolved
+    column) merge and strip; try_strptime → try_to_timestamp (NULL on
+    parse failure in both, pinned live)."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    assert t("SELECT 1_000_000 AS v") == "SELECT 1000000 AS v"
+    assert t("SELECT 2_5.5_0 AS v") == "SELECT 25.50 AS v"
+    assert t("SELECT _private FROM t") == "SELECT _private FROM t"
+    assert t("SELECT try_strptime(s, '%Y-%m-%d') FROM t") == \
+        "SELECT try_to_timestamp(s, 'yyyy-MM-dd') FROM t"
+    with pytest.raises(TranspileError, match="directives"):
+        t("SELECT try_strptime(s, 'abc') FROM t")
