@@ -533,14 +533,23 @@ def pg_numeric_tochar_emit(x_text: str, fmt: str) -> "str | None":
         ('FM9.99' of .5 = '.5') where frac '0's keep them ('FM990.00'
         of .5 = '0.50'); FM of 0 with all-'9' frac renders '0.'
         (pinned), with '0' frac renders '.00'
-    RN / EEEE / V / PR / TH / L / G / D stay on the loud path.
+      - MI renders the absolute digits with a TRAILING sign char
+        ('  5-' / '  5 '; FM drops the positive space; overflow
+        keeps the suffix: '###-'); S+MI cannot combine.
+    RN / EEEE / V / PR / PL / SG / TH / L / G / D stay loud.
     """
     m = re.match(
-        r"(?is)^(fm)?(s)?([09,]+)(?:(\.)([09]*))?$", fmt.strip()
+        r"(?is)^(fm)?(s)?([09,]+)(?:(\.)([09]*))?(mi)?$", fmt.strip()
     )
     if not m or "9" not in fmt and "0" not in fmt:
         return None
     has_fm, has_s = bool(m.group(1)), bool(m.group(2))
+    has_mi = bool(m.group(6))
+    if has_s and has_mi:
+        raise TranspileError(
+            f"to_char numeric format {fmt!r}: S and MI cannot combine "
+            "(pg rejects it too)"
+        )
     int_pat, has_dot, frac_pat = m.group(3), bool(m.group(4)), m.group(5) or ""
     digits = int_pat.replace(",", "")
     if not digits:
@@ -592,7 +601,13 @@ def pg_numeric_tochar_emit(x_text: str, fmt: str) -> "str | None":
         else:
             jfmt += "." + "0" * n_frac
     y = f"try_cast(({x_text}) AS DECIMAL(38,{n_frac}))"
-    body = f"format_number({y}, '{jfmt}')"
+    # MI renders the ABSOLUTE digits with a trailing sign character
+    # ('  5-' / '  5 ', FM drops the positive space — pinned live);
+    # no leading sign slot
+    body = (
+        f"format_number(abs({y}), '{jfmt}')" if has_mi
+        else f"format_number({y}, '{jfmt}')"
+    )
     if has_fm and frac_all9:
         # Java keeps the integer 0 for '#'-fraction patterns
         # ('#.##' of .25 = '0.25' — pinned) where pg's FM drops it
@@ -608,21 +623,29 @@ def pg_numeric_tochar_emit(x_text: str, fmt: str) -> "str | None":
             body = f"IF({y} = 0, '{'0' * min_int}.', {body})"
     if has_s:
         body = f"IF({y} < 0, {body}, '+' || {body})"
-    width = len(fmt.strip()) - (2 if has_fm else 0)
-    if not has_s:
+    width = len(fmt.strip()) - (2 if has_fm else 0) - (2 if has_mi else 0)
+    if not has_s and not has_mi:
         width += 1
     if not has_fm:
         body = f"lpad({body}, {width}, ' ')"
+    if has_mi:
+        pos_sfx = "''" if has_fm else "' '"
+        body = f"{body} || IF({y} < 0, '-', {pos_sfx})"
     ovf = "".join(
         "#" if c in "09" else c for c in int_pat
     ) + (("." + "#" * n_frac) if has_dot else "")
     xd = f"try_cast(({x_text}) AS DOUBLE)"
-    if has_s:
+    if has_mi:
+        ovf_e = f"'{ovf}'"
+    elif has_s:
         ovf_e = f"IF({xd} < 0, '-{ovf}', '+{ovf}')"
     else:
         ovf_e = f"IF({xd} < 0, '-{ovf}', '{ovf}')"
     if not has_fm:
         ovf_e = f"lpad({ovf_e}, {width}, ' ')"
+    if has_mi:
+        pos_sfx = "''" if has_fm else "' '"
+        ovf_e = f"{ovf_e} || IF({xd} < 0, '-', {pos_sfx})"
     return (
         f"CASE WHEN ({x_text}) IS NULL THEN NULL "
         f"WHEN {y} IS NULL OR abs({y}) >= {10 ** n_int} THEN {ovf_e} "

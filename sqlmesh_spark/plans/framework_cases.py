@@ -3526,3 +3526,67 @@ FROM orders WHERE o_orderkey <= 300
     )
     ctx.run(environment="env_pg10")
     return spark.table("env_pg10_views.pg_features")
+
+
+PG11_FEATURES_ORACLE = """
+SELECT strftime(o_orderdate, '%Y') AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       format('{:,}', CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT))
+           AS revenue_txt,
+       lpad(CAST(COUNT(*) AS VARCHAR), 6, ' ') || ' ' AS n_mi,
+       'data' AS word,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pri,
+       CASE WHEN min(o_orderpriority) LIKE '%URGENT%' THEN 'URGENT'
+            ELSE NULL END AS pri_tag,
+       CAST(CAST(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '36 hours'
+                 AS DATE) AS VARCHAR) AS d_plus
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY strftime(o_orderdate, '%Y')
+"""
+
+
+@register("framework_pg11_features_model", oracle=PG11_FEATURES_ORACLE,
+          tags=("dialect", "framework"))
+def framework_pg11_features_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 postgres tier end-to-end through plan/apply: the
+    numeric to_char digit-class tier (FM grouping over exact integer
+    cents; the MI trailing-sign form), unistr() static decoding,
+    quantified comparison over an array-literal TEXT ('{...}' implicit
+    cast), substring(s SIMILAR p ESCAPE e), and a fractional interval
+    literal ('1.5 days') through the decompose path. Every value
+    pinned live on PG 15 (waves 37/38/40/36); the DuckDB oracle
+    computes the same strings through duck's own format()/lpad()."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_pg11", "env_pg11_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_pg11.round11_orders,
+  kind FULL,
+  dialect postgres
+);
+SELECT to_char(o_orderdate, 'YYYY') AS yr,
+       COUNT(*)::int8 AS n_orders,
+       to_char(SUM(ROUND(o_totalprice * 100))::int8,
+               'FM99,999,999,999,990') AS revenue_txt,
+       to_char(COUNT(*), '999990MI') AS n_mi,
+       unistr('d\\0061t\\0061') AS word,
+       SUM(CASE WHEN o_orderpriority = ANY('{1-URGENT,2-HIGH}')
+           THEN 1 ELSE 0 END)::int8 AS n_pri,
+       substring(MIN(o_orderpriority) similar '%#"URGENT#"%'
+                 escape '#') AS pri_tag,
+       (timestamp '2024-01-01 00:00:00' + interval '1.5 days')::date::text
+           AS d_plus
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY to_char(o_orderdate, 'YYYY')
+"""
+    )
+    ctx.run(environment="env_pg11")
+    return spark.table("env_pg11_views.round11_orders")

@@ -4675,7 +4675,12 @@ def test_pg_numeric_tochar_round11():
     assert "THEN '0.'" in out and "'#.##'" in out  # pinned FM-zero '0.'
     out = t("SELECT to_char(x, '9999') FROM t")
     assert "'###0'" in out  # int-only patterns render 0 as '0'
-    for bad in ("RN", "9.99EEEE", "99V99", "999PR", "99th", "L9,999"):
+    out = t("SELECT to_char(x, '999MI') FROM t")
+    assert "format_number(abs(" in out and "IF(" in out and "'-', ' '" in out
+    with pytest.raises(TranspileError, match="cannot combine"):
+        t("SELECT to_char(x, 'S999MI') FROM t")
+    for bad in ("RN", "9.99EEEE", "99V99", "999PR", "99th", "L9,999",
+                "999PL", "SG999"):
         with pytest.raises(TranspileError):
             t(f"SELECT to_char(x, '{bad}') FROM t")
     with pytest.raises(TranspileError, match="thousands-grouping"):
