@@ -806,6 +806,107 @@ def token_handlers(ctx) -> "int | None":
         edits.append((toks[i - 1][2], ctx.end, merged))
         return i + 1
 
+    if kind == "ident" and (
+        (text.upper() == "USING" and i + 1 < n
+         and toks[i + 1][0] == "ident"
+         and toks[i + 1][1].upper() == "SAMPLE")
+        or text.upper() == "TABLESAMPLE"
+    ):
+        # duck sampling clauses (pinned live, duckdb 1.0): USING
+        # SAMPLE n% (default system, vector-granularity), bernoulli/
+        # system(n%), an optional trailing (method, seed), and the
+        # TABLESAMPLE spelling. Spark's TABLESAMPLE (n PERCENT)
+        # [REPEATABLE (seed)] is row-level Bernoulli — the faithful
+        # map for bernoulli and the honest approximation for system
+        # (documented; sampling is approximate by contract). EXACT-n
+        # forms (reservoir(n) / bare n [ROWS]) pick n RANDOM rows
+        # where Spark's (n ROWS) takes the FIRST n — silently
+        # deterministic, so they are loud with the faithful rewrite.
+        j = i + 2 if text.upper() == "USING" else i + 1
+        pct = None
+        seed = None
+        rows_form = False
+        if (
+            j < n and toks[j][0] == "ident"
+            and toks[j][1].lower() in ("bernoulli", "system", "reservoir")
+            and j + 1 < n and toks[j + 1][0] == "op"
+            and toks[j + 1][1] == "("
+        ):
+            meth = toks[j][1].lower()
+            spans_s, close_s = _call_arg_spans(toks, j + 1)
+            if len(spans_s) == 1 and toks[spans_s[0][0]][0] == "number":
+                num_ = toks[spans_s[0][0]][1]
+                tail_ = [
+                    toks[k][1].upper() if toks[k][0] == "ident"
+                    else toks[k][1]
+                    for k in range(spans_s[0][0] + 1, spans_s[0][1] + 1)
+                ]
+                if meth == "reservoir" or tail_ == ["ROWS"] or (
+                    not tail_ and meth == "reservoir"
+                ):
+                    rows_form = True
+                elif tail_ in ([], ["%"], ["PERCENT"]):
+                    if meth == "reservoir":
+                        rows_form = True
+                    else:
+                        pct = num_
+                j = close_s + 1
+            else:
+                return None
+        elif j < n and toks[j][0] == "number":
+            num_ = toks[j][1]
+            if ctx.is_op(j + 1, "%"):
+                pct = num_
+                j += 2
+            elif (
+                j + 1 < n and toks[j + 1][0] == "ident"
+                and toks[j + 1][1].upper() == "PERCENT"
+            ):
+                pct = num_
+                j += 2
+            else:
+                rows_form = True
+                if (
+                    j + 1 < n and toks[j + 1][0] == "ident"
+                    and toks[j + 1][1].upper() == "ROWS"
+                ):
+                    j += 2
+                else:
+                    j += 1
+        else:
+            return None
+        if rows_form:
+            raise TranspileError(
+                "duckdb exact-n sampling (reservoir / n ROWS) picks n "
+                "RANDOM rows; Spark's TABLESAMPLE (n ROWS) takes the "
+                "FIRST n — rewrite as ORDER BY rand() LIMIT n"
+            )
+        # optional trailing (method[, seed])
+        if j < n and toks[j][0] == "op" and toks[j][1] == "(":
+            spans_s, close_s = _call_arg_spans(toks, j)
+            if (
+                len(spans_s) == 2
+                and toks[spans_s[1][0]][0] == "number"
+            ):
+                seed = toks[spans_s[1][0]][1]
+                if toks[spans_s[0][0]][1].lower() == "reservoir":
+                    raise TranspileError(
+                        "duckdb reservoir sampling picks n RANDOM "
+                        "rows — rewrite as ORDER BY rand() LIMIT n"
+                    )
+            elif len(spans_s) == 1:
+                pass  # bare (method)
+            else:
+                return None
+            j = close_s + 1
+        rep = f" TABLESAMPLE ({pct} PERCENT)"
+        if seed is not None:
+            rep += f" REPEATABLE ({seed})"
+        edits.append((toks[i][2] - (1 if toks[i][2] > 0 and
+                                    sql[toks[i][2] - 1] == " " else 0),
+                      toks[j - 1][3], rep))
+        return j
+
     if (
         kind == "ident"
         and text.upper() == "FROM"

@@ -4800,3 +4800,30 @@ def test_duck_underscore_literals_and_try_strptime_round11():
         "SELECT try_to_timestamp(s, 'yyyy-MM-dd') FROM t"
     with pytest.raises(TranspileError, match="directives"):
         t("SELECT try_strptime(s, 'abc') FROM t")
+
+
+def test_duck_using_sample_round11():
+    """duck sampling clauses → Spark TABLESAMPLE (pinned live: duck's
+    % forms are approximate row/vector sampling; Spark's PERCENT is
+    row-level Bernoulli — the faithful map for bernoulli and the
+    honest approximation for system). EXACT-n forms (reservoir / n
+    [ROWS]) pick RANDOM rows where Spark's (n ROWS) takes the FIRST
+    n — loud with the ORDER BY rand() LIMIT rewrite. Seeded forms
+    carry into REPEATABLE. Nondeterministic by contract, so pinned
+    here (emission text) rather than in the value-differential fuzz."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    assert t("SELECT count(*) FROM t USING SAMPLE 10%") == \
+        "SELECT count(*) FROM t TABLESAMPLE (10 PERCENT)"
+    assert t("SELECT count(*) FROM t USING SAMPLE bernoulli(10%)") == \
+        "SELECT count(*) FROM t TABLESAMPLE (10 PERCENT)"
+    assert t("SELECT count(*) FROM t USING SAMPLE 10% (bernoulli, 42)") == \
+        "SELECT count(*) FROM t TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    assert t("SELECT count(*) FROM t TABLESAMPLE system(5 PERCENT)") == \
+        "SELECT count(*) FROM t TABLESAMPLE (5 PERCENT)"
+    for bad in ("USING SAMPLE reservoir(50)", "USING SAMPLE 50",
+                "USING SAMPLE 50 ROWS"):
+        with pytest.raises(TranspileError, match="RANDOM rows"):
+            t(f"SELECT count(*) FROM t {bad}")
+    # JOIN ... USING is untouched
+    inert = "SELECT a FROM t JOIN u USING (k)"
+    assert t(inert) == inert
