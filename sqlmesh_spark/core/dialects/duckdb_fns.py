@@ -1029,11 +1029,18 @@ def token_handlers(ctx) -> "int | None":
 
     if (
         kind == "ident"
-        and text.upper() == "ASOF"
+        and text.upper() in ("ASOF", "POSITIONAL")
         and i + 1 < n_
         and toks[i + 1][0] == "ident"
         and toks[i + 1][1].upper() in ("JOIN", "LEFT", "RIGHT", "INNER")
     ):
+        if text.upper() == "POSITIONAL":
+            # duck POSITIONAL JOIN pairs rows by physical position —
+            # no Spark SQL form (round 11; previously a parse error)
+            raise TranspileError(
+                "duckdb POSITIONAL JOIN has no Spark SQL form; add "
+                "row_number() OVER () keys to both sides and equi-join"
+            )
         # duck ASOF [LEFT] JOIN previously shipped verbatim into a
         # Spark parse error. No faithful textual rewrite exists (the
         # semantics are per-row nearest-preceding-match); loud with

@@ -612,8 +612,8 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             or (kind == "ident" and (
                 text.upper() in (
                     "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
-                    "INTERVAL", "EXCLUDE", "ASOF", "FROM", "USING",
-                    "TABLESAMPLE",
+                    "INTERVAL", "EXCLUDE", "ASOF", "POSITIONAL", "FROM",
+                    "USING", "TABLESAMPLE",
                 )
                 # duck underscore digit-group literals (1_000_000):
                 # the lexer splits them number + _-ident
