@@ -203,6 +203,7 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "json_object_agg": None, "jsonb_object_agg": None,
         "gen_random_uuid": "uuid",
         "make_time": None,              # Spark has no TIME type
+        "make_timestamptz": None,       # SESSION-zone timestamptz
     },
     "ansi": {},                         # ANSI names that differ are below
     "snowflake": _SNOWFLAKE_FN,
