@@ -334,7 +334,13 @@ def _split_statements(body: str) -> tuple[tuple[str, ...], str, tuple[str, ...],
             continue
         if in_virtual:
             virtual.append(s)
-        elif query is None and re.match(r"(SELECT|WITH)\b", s, re.IGNORECASE):
+        elif query is None and re.match(
+            # FROM-first (duck's FROM t [SELECT ...] form), VALUES and
+            # TABLE statements are queries too (round 11) — they
+            # previously fell into pre_statements, leaving the query
+            # empty
+            r"(SELECT|WITH|FROM|VALUES|TABLE)\b", s, re.IGNORECASE
+        ):
             query = s
         elif query is None:
             pre.append(s)

@@ -2423,6 +2423,66 @@ GROUP BY strftime(o_orderdate, '%Y')
     return spark.table("env_ddbl_views.lambda_orders")
 
 
+DDB_STMT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y') AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_big,
+       CAST(CAST(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1.5 days'
+                 AS DATE) AS VARCHAR) AS d_plus,
+       CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+                 + INTERVAL '1 year 3 days' AS DATE) AS VARCHAR)
+           AS d_mixed,
+       CAST(try_strptime('2024-02-29', '%Y-%m-%d') AS VARCHAR)
+           AS parsed,
+       try_strptime('junk', '%Y-%m-%d') IS NULL AS parse_missed
+FROM orders
+WHERE o_custkey % 10 = 0
+GROUP BY strftime(o_orderdate, '%Y')
+"""
+
+
+@register("framework_duckdb_stmt_model", oracle=DDB_STMT_ORACLE,
+          tags=("dialect", "framework"))
+def framework_duckdb_stmt_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 duck statement tier end-to-end through plan/apply:
+    a FROM-first model statement (duck's FROM t SELECT ... form, which
+    Spark's parser rejects outright), a digit-group underscore literal,
+    fractional and mixed-family interval literals through the widened
+    decompose path, and try_strptime. Each pinned live (waves 41-43);
+    the oracle spells the same values in duck's SELECT-first form."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_ddbs", "env_ddbs_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_ddbs.stmt_orders,
+  kind FULL,
+  dialect duckdb
+);
+FROM orders
+SELECT strftime(o_orderdate, '%Y') AS yr,
+       COUNT(*)::int8 AS n_orders,
+       SUM(CASE WHEN o_totalprice > 1_000 THEN 1 ELSE 0 END)::int8
+           AS n_big,
+       (TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1.5 days')
+           ::date::varchar AS d_plus,
+       (TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1 year 3 days')
+           ::date::varchar AS d_mixed,
+       try_strptime('2024-02-29', '%Y-%m-%d')::varchar AS parsed,
+       try_strptime('junk', '%Y-%m-%d') IS NULL AS parse_missed
+WHERE o_custkey % 10 = 0
+GROUP BY strftime(o_orderdate, '%Y')
+"""
+    )
+    ctx.run(environment="env_ddbs")
+    return spark.table("env_ddbs_views.stmt_orders")
+
+
 PG_DIALECT_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -1985,3 +1985,23 @@ test_tr_g:
 """
     results = ModelTestRunner(spark).run_yaml(tr_yaml, {tr_model.name: tr_model})
     assert results[0].passed, results[0].failures
+
+
+def test_from_first_model_query_round11():
+    """A duck FROM-first model body (FROM t SELECT ...) is the QUERY,
+    not a pre-statement — the SELECT/WITH-only recognition previously
+    left the query empty (PARSE_EMPTY_STATEMENT through plan/apply).
+    VALUES and TABLE statements count as queries too."""
+    from sqlmesh_spark.core.model import parse_model_text
+
+    m = parse_model_text(
+        "MODEL (name d.m, kind FULL, dialect duckdb);\n"
+        "FROM t SELECT a WHERE a > 1"
+    )
+    assert m.query.startswith("FROM t")
+    assert not m.pre_statements
+    m2 = parse_model_text(
+        "MODEL (name d.v, kind FULL, dialect duckdb);\n"
+        "VALUES (1, 'a'), (2, 'b')"
+    )
+    assert m2.query.startswith("VALUES")
