@@ -139,6 +139,7 @@ from sqlmesh_spark.core.dialects import oracle as _d_oracle
 from sqlmesh_spark.core.dialects import clauses as _d_clauses
 from sqlmesh_spark.core.dialects import container_ops as _d_container
 from sqlmesh_spark.core.dialects import duckdb_fns as _d_duckfns
+from sqlmesh_spark.core.dialects import duckdb_tokens as _d_ducktokens
 from sqlmesh_spark.core.dialects import postgres as _d_postgres
 from sqlmesh_spark.core.dialects import snowflake as _d_snowflake
 from sqlmesh_spark.core.transpile_shared import _LAMBDA_HOFS, _in_lambda_hof  # noqa: F401,E402
@@ -594,7 +595,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
         # ---- DuckDB struct/map literal syntax ({'k': v}, MAP {k: v})
-        # and the * REPLACE / BY NAME louds (core/dialects/duckdb_fns.py)
+        # and the * REPLACE / BY NAME louds (core/dialects/duckdb_tokens.py)
         if read == "duckdb" and kind == "ident" and text.upper() == "DISTINCT":
             # duck DISTINCT ON shares the pg rewrite (see the widened
             # gate in core/dialects/postgres.py); only the DISTINCT
@@ -631,7 +632,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
         ):
             ctx.i, ctx.kind, ctx.text = i, kind, text
             ctx.start, ctx.end, ctx.name = start, end, ""
-            nxt = _d_duckfns.token_handlers(ctx)
+            nxt = _d_ducktokens.token_handlers(ctx)
             if nxt is not None:
                 i = nxt
                 continue

@@ -4528,7 +4528,8 @@ def test_duck_list_sort_enum_args_round11():
 
 def test_duckdb_split_dispatch_gates_round11():
     """The round-11 module split (duckdb_fns 1,834 lines → fns +
-    containers + regex + hofs) must keep every moved handler REACHABLE
+    containers + regex + hofs + tokens) must keep every moved handler
+    REACHABLE
     from the duckdb read — the round-8 split regression class was a
     dispatch gate narrower than a moved handler's read tuple (it
     silently killed the duckdb string_agg ORDER BY rewrite). One
@@ -4548,6 +4549,12 @@ def test_duckdb_split_dispatch_gates_round11():
     assert "regexp_like" in t("SELECT regexp_matches(s, 'a', 'i') FROM t")
     # duckdb_fns keeps its own tier (try_cast rounding stays home)
     assert "round(try_cast" in t("SELECT try_cast('3.9' AS INT) AS v")
+    # duckdb_tokens: the token tier fires post-split — struct literal,
+    # MAP literal, underscore digit-groups, USING SAMPLE
+    assert "named_struct('k', (1))" in t("SELECT {'k': 1} AS v")
+    assert "map_from_arrays" in t("SELECT MAP {'a': 1} AS v")
+    assert t("SELECT 1_000_000 AS v") == "SELECT 1000000 AS v"
+    assert "TABLESAMPLE" in t("SELECT * FROM t USING SAMPLE 10%")
     # and none of the duck-only modules leak into the postgres read
     for sql_ in (
         "SELECT element_at(m, 'a') FROM t",
