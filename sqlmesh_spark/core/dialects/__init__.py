@@ -199,8 +199,11 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # Spark name; pg jsonb_array_length errors on non-arrays where
         # Spark returns NULL — a pg-rejected shape, not a value seam)
         "jsonb_array_length": "json_array_length",
-        # json_agg/jsonb_agg: faithful handlers (round 9, see above)
-        "json_object_agg": None, "jsonb_object_agg": None,
+        # json_agg/jsonb_agg/json_object_agg: faithful handlers
+        # (rounds 9/11, see above); jsonb_object_agg normalizes at
+        # RUNTIME (last-wins + length-then-bytes key sort over
+        # aggregated keys) — no static Spark document form
+        "jsonb_object_agg": None,
         "gen_random_uuid": "uuid",
         "make_time": None,              # Spark has no TIME type
         "make_timestamptz": None,       # SESSION-zone timestamptz

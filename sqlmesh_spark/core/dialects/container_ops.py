@@ -696,6 +696,57 @@ def token_handlers(ctx) -> "int | None":
                 raise TranspileError(
                     "mysql JSON arrows take '$...' path strings"
                 )
+            num_idx = rhs_idx + 1
+            after = toks[num_idx + 1] if num_idx + 1 < n else None
+            terminal = not (
+                after is not None
+                and after[0] == "op"
+                and after[1] in ("->", "#>", "#>>")
+            )
+            if terminal and toks[num_idx][1].isdigit():
+                if any(
+                    e[1] >= toks[lfirst][2] and e[0] <= toks[num_idx][3]
+                    for e in edits
+                ):
+                    # LHS edited this pass (e.g. ::json → ::STRING);
+                    # defer — the next fixpoint pass sees it clean
+                    return i + 1
+                # Terminal single-hop negative index, pinned live
+                # (round 11, wave 45): pg counts from the END
+                # ('[10,20,30]' ->> -1 is '30', out-of-range NULL) —
+                # emitted as a DYNAMIC JsonPath over
+                # json_array_length (get_json_object accepts
+                # non-foldable paths; a non-array LHS gives NULL
+                # length -> NULL path -> NULL, matching pg). duckdb
+                # 1.x has NO from-end semantics (->> -1 is NULL,
+                # pinned) — the static '$[-N]' path returns NULL in
+                # Spark too. The LHS text is referenced twice on the
+                # pg read (length + extract) — fine for a scan
+                # column, hoist an expensive LHS yourself. ->> only;
+                # a -> hop with a negative index stays loud (its
+                # JSON-typed output shape differs per scalar type).
+                if not arrow2:
+                    raise TranspileError(
+                        f"negative JSON index on -> in {read}: "
+                        "extract with ->> (text) instead; the "
+                        "JSON-typed -> output has no Spark form"
+                    )
+                lhs_text = sql[toks[lfirst][2]:toks[i][2]].strip()
+                neg = toks[num_idx][1]
+                if read == "duckdb":
+                    repl = (
+                        f"get_json_object(({lhs_text}), '$[-{neg}]')"
+                    )
+                else:
+                    # '||' not concat(): the pg concat NULL-skip
+                    # handler would rewrap the emission every pass
+                    repl = (
+                        f"get_json_object(({lhs_text}), '$[' || "
+                        f"CAST(json_array_length(({lhs_text})) - "
+                        f"{neg} AS STRING) || ']')"
+                    )
+                edits.append((toks[lfirst][2], toks[num_idx][3], repl))
+                return num_idx + 1
             raise TranspileError(
                 f"negative JSON index counts from the end in {read}; "
                 "Spark's JsonPath has no from-end form"

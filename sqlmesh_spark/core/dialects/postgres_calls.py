@@ -77,11 +77,27 @@ def call_handlers(ctx) -> "int | None":
                     "to transpile"
                 )
             fmt = _literal_content(ftok[1], read)
-            if re.search(r"%[^s%]", fmt) or fmt.endswith("%"):
+            if (
+                re.search(r"%(?!(\d+\$)?s|%)", fmt)
+                or fmt.endswith("%")
+            ):
                 raise TranspileError(
-                    "postgres format() directives other than %s/%% "
-                    "(%I identifier / %L literal quoting, positional "
-                    "%n$) have no Spark rewrite"
+                    "postgres format() directives other than "
+                    "%s/%n$s/%% (%I identifier / %L literal quoting, "
+                    "width/flags) have no Spark rewrite"
+                )
+            pos = re.findall(r"%(\d*)(?:\$)?s", fmt)
+            if any(p for p in pos) and not all(p for p in pos):
+                # mixed positional + sequential: pg's plain %s
+                # continues AFTER the last argument any directive
+                # consumed ('%1$s %s' of (a,b) is 'a b'), Java's
+                # ordinary conversions keep their OWN counter
+                # ('a a') — pinned live both sides, round 11
+                raise TranspileError(
+                    "postgres format() mixing %n$s with plain %s "
+                    "diverges from Java's format_string argument "
+                    "indexing; use all-positional or all-sequential "
+                    "directives"
                 )
             args = ", ".join(
                 f"coalesce(CAST(({_arg_text(sp)}) AS STRING), '')"
@@ -1120,6 +1136,58 @@ def _pg_json_calls(ctx) -> "int | None":
              f"(CASE WHEN size({agg}) = 0 THEN NULL ELSE "
              f"'[' || array_join(transform({agg}, _s -> {je}), ', ') "
              f"|| ']' END)")
+        )
+        return close + 1
+
+    if name == "json_object_agg":
+        # Pinned live (round 11, wave 46): `{ "b" : 1, "a" : 2, "a" :
+        # 3 }` — SPACE-padded braces (unlike json_build_object's
+        # tight '{'), ' : ' separator, INSERTION order, duplicate
+        # keys KEPT, key coerced to text then JSON-string-rendered
+        # (json_object_agg(1,'x') is { "1" : "x" }), NULL on zero
+        # rows, ERROR on a NULL key (raise_error here, matching pg's
+        # 'null value not allowed for object key').
+        spans, close = _call_arg_spans(toks, i + 1)
+        if _kw(close + 1) in ("FILTER", "OVER", "WITHIN"):
+            raise TranspileError(
+                "postgres json_object_agg(...) FILTER/OVER has no "
+                "faithful Spark rewrite with the NULL-on-empty wrap; "
+                "aggregate plainly"
+            )
+        if len(spans) != 2:
+            raise TranspileError(
+                "postgres json_object_agg takes (key, value)"
+            )
+        for sp in spans:
+            depth_ = 0
+            for j in range(sp[0], sp[1] + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ in ("(", "["):
+                    depth_ += 1
+                elif k_ == "op" and t_ in (")", "]"):
+                    depth_ -= 1
+                elif depth_ == 0 and k_ in _NAME_KINDS and t_.upper() in (
+                    "ORDER", "DISTINCT",
+                ):
+                    raise TranspileError(
+                        "postgres json_object_agg with ORDER BY/"
+                        "DISTINCT has no order-preserving Spark "
+                        "rewrite; aggregate then sort explicitly"
+                    )
+        k_t, v_t = _arg_text(spans[0]), _arg_text(spans[1])
+        agg = f"array_agg(struct(({k_t}) AS _k, ({v_t}) AS _v))"
+        kj = _pg_json_text("CAST(_s._k AS STRING)")
+        vj = _pg_json_text("_s._v")
+        pair = (
+            f"IF(_s._k IS NULL, raise_error('json_object_agg: null "
+            f"value not allowed for object key'), {kj}) || ' : ' "
+            f"|| {vj}"
+        )
+        edits.append(
+            (start, toks[close][3],
+             f"(CASE WHEN size({agg}) = 0 THEN NULL ELSE "
+             f"'{{ ' || array_join(transform({agg}, _s -> {pair}), "
+             f"', ') || ' }}' END)")
         )
         return close + 1
 

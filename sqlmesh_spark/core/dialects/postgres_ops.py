@@ -608,11 +608,67 @@ def token_handlers(ctx) -> "int | None":
     # silent-wrong shape, so the cast-tail check guards it.
     if read == "postgres" and kind == "op":
         if text == "?":
-            raise TranspileError(
-                "postgres ? (jsonb key exists) has no direct Spark "
-                "operator; use json_object_keys()/get_json_object "
-                "IS NOT NULL explicitly"
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            if (
+                nxt is not None
+                and nxt[0] == "op"
+                and nxt[1] in ("|", "&")
+                and nxt[2] == end
+            ):
+                raise TranspileError(
+                    f"postgres ?{nxt[1]} (jsonb any/all keys exist) "
+                    "has no Spark rewrite; unfold into ORed/ANDed "
+                    "single-key ? tests"
+                )
+            lspan = _backward_primary(toks, i - 1, include_unary=False)
+            rspan = _forward_primary(toks, i + 1)
+            if lspan is None or rspan is None:
+                raise TranspileError(
+                    "postgres ? (jsonb key exists) needs simple "
+                    "operand expressions to transpile"
+                )
+            if any(
+                e[1] >= toks[lspan][2] and e[0] <= toks[rspan[1]][3]
+                for e in edits
+            ):
+                i += 1  # operand edited this pass; resolve next pass
+                return i
+            # jsonb ? text, pinned live (round 11, wave 46): object →
+            # top-level KEY exists; array → STRING element exists
+            # ([1,2] ? '1' is f — number elements never match, guarded
+            # here by requiring the QUOTED form in the document text,
+            # since Spark's from_json coerces numbers into
+            # array<string>); scalar string → equality ('"a"' ? 'a'
+            # is t); NULL operand → NULL. The three shapes coalesce:
+            # from_json(map<string,string>) is NULL off-objects
+            # (Spark's own json_object_keys can't appear here — the
+            # pg read louds that NAME, pg's being set-returning),
+            # from_json(array)+exists is NULL off-arrays. Known edge: a key/element whose
+            # JSON-ESCAPED form differs from its raw text (quotes,
+            # backslashes, control chars) can false-negative on the
+            # array branch — rare enough to accept for the everyday
+            # containment test.
+            x = sql[toks[lspan][2]:toks[i - 1][3]].strip()
+            rv = sql[toks[rspan[0]][2]:toks[rspan[1]][3]].strip()
+            # trailing `= TRUE` is a semantic no-op (NULL/t/f map to
+            # themselves) that lets the ::int castee boolean-shape
+            # classifier (transpile_types) see a boolean — without it
+            # (j ? 'k')::int would round()-wrap the IF and fail
+            # analysis; the STRING cast on the key keeps a literal
+            # NULL rhs analyzable in array_contains
+            repl = (
+                f"(IF(({x}) IS NULL OR ({rv}) IS NULL, NULL, coalesce("
+                f"array_contains(map_keys(from_json(({x}), "
+                f"'map<string,string>')), CAST(({rv}) AS STRING)), "
+                f"exists(from_json(({x}), 'array<string>'), "
+                f"_e -> _e = ({rv})) AND "
+                f"instr(({x}), '\"' || ({rv}) || '\"') > 0, "
+                f"(ltrim(({x})) LIKE '\"%') AND "
+                f"get_json_object(({x}), '$') = ({rv}), "
+                f"false)) = TRUE)"
             )
+            edits.append((toks[lspan][2], toks[rspan[1]][3], repl))
+            return rspan[1] + 1
         if text in ("||", "-") and first_pass:
             def _json_cast_tail(li: int) -> bool:
                 # ...::json(b) — bare or wrapped in one paren level

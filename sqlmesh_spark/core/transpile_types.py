@@ -791,7 +791,25 @@ def _maybe_round_castee(
     # RESULT boolean), and a castee containing a subquery SELECT is
     # never boolean-classified (its WHERE comparisons say nothing
     # about the selected column's type).
-    bool_base = 1 if (toks[lf][0] == "op" and toks[lf][1] == "(") else 0
+    # the wrapping-paren RUN: leading '(' tokens matched by a trailing
+    # ')' run of the same length are pure grouping — ops directly
+    # under them are still top-level (round 11: ((a > b))::int and
+    # the ((IF(...) = TRUE))-shaped jsonb-? emission classified as
+    # NUMERIC under the old single-paren rule and got a round() wrap
+    # that fails analysis on BOOLEAN)
+    lead = 0
+    while (
+        lf + lead <= end_idx
+        and toks[lf + lead][0] == "op"
+        and toks[lf + lead][1] == "("
+    ):
+        lead += 1
+    while lead > 0 and not all(
+        toks[end_idx - k][0] == "op" and toks[end_idx - k][1] == ")"
+        for k in range(lead)
+    ):
+        lead -= 1
+    bool_base = lead
     depth_c = 0
     is_bool_shape = False
     for j in range(lf, end_idx + 1):
@@ -816,7 +834,7 @@ def _maybe_round_castee(
             # the boolean classification.
             is_bool_shape = False
             break
-        elif depth_c == bool_base and (
+        elif depth_c <= bool_base and (
             (k_ == "op" and t_ in ("=", "<", ">", "<=", ">=", "<>",
                                     "!=", "<=>", "~", "!"))
             or (k_ in _NAME_KINDS and t_.upper() in (

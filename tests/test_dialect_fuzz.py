@@ -224,6 +224,10 @@ TEMPLATES += [
     f"({_J} -> 'a') ->> 'b'",
     "('[10,20]') ->> 1",
     "('[10,20]') ->> 9",
+    # round 11 (wave 46): duck 1.x has NO from-end negative index
+    # (->> -1 is NULL, pinned live) — static $[-N] is NULL in Spark
+    "('[10,20]') ->> -1",
+    f"{_J} ->> -2",
     f"json_extract_string({_J}, '$.a.b')",
     f"json_extract_path_text({_J}, 'a')",
     f"json_array_length({_J}, '$.l')",

@@ -698,6 +698,40 @@ TEMPLATES += [
     "extract(week from INTERVAL '15 days')",  # pg-rejected
 ]
 
+# round-11 wave-46 tier: jsonb ? containment (object/array/scalar
+# shapes, number elements never match), terminal negative ->> indexes
+# (pg from-end, out-of-range NULL), positional format() directives,
+# json_object_agg (space-padded braces, insertion order, dup keys,
+# key text-coercion, NULL on empty)
+TEMPLATES += [
+    "('{\"a\": 1, \"b\": 2}'::jsonb ? 'a')::int",
+    "('{\"a\": 1}'::jsonb ? 'z')::int",
+    "('[\"a\",\"b\"]'::jsonb ? 'a')::int",
+    "('[1,2]'::jsonb ? '1')::int",
+    "('\"a\"'::jsonb ? 'a')::int",
+    "('123'::jsonb ? '123')::int",
+    "(NULL::jsonb ? 'a')::int",
+    "('{\"a\": 1}'::jsonb ? NULL)::int",
+    "('[\"x1\", \"1\"]'::jsonb ? '1')::int",
+    "'[10,20,30]'::json ->> -1",
+    "'[10,20,30]'::json ->> -4",
+    "'{\"a\": 5}'::json ->> -1",
+    "format('%2$s-%1$s', 'x', 'y')",
+    "format('%1$s/%1$s', 'a')",
+    "format('%1$s %s', 'a', 'b')",       # loud (mixed indexing)
+    "(SELECT json_object_agg(k, v)::text"
+    " FROM (VALUES ('b',1),('a',2),('a',3)) t(k, v))",
+    "(SELECT json_object_agg(k, v)::text FROM (VALUES (1,'x')) t(k, v))",
+    "(SELECT json_object_agg(k, v)::text"
+    " FROM (VALUES ('n',NULL::int)) t(k, v))",
+    "(SELECT json_object_agg(k, v)::text"
+    " FROM (VALUES ('q','he \"quoted\"')) t(k, v))",
+    "(SELECT json_object_agg(k, v)"
+    " FROM (VALUES ('x',1)) t(k, v) WHERE false)",
+    "((1 > 2))::int",                    # double-paren boolean castee
+    "((true))::int",
+]
+
 # round-9 date wave: date ± INTERVAL promotes to TIMESTAMP in pg
 # (statically date-typed operands get CAST(.. AS TIMESTAMP)); Spark
 # date_trunc silently NULLs on pg's unit spellings outside its list and

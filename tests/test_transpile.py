@@ -3190,9 +3190,16 @@ def test_duckdb_json_arrows(spark):
         transpile("SELECT j -> 'a' FROM t", "duckdb")
     with pytest.raises(TranspileError, match="parenthes"):
         transpile("SELECT (j -> 'a') ->> 'b' FROM t", "duckdb")
-    # negative indexes count from the end in pg/duckdb — loud
-    with pytest.raises(TranspileError, match="from-end"):
-        transpile("SELECT j ->> -1 FROM t", "duckdb")
+    # negative TERMINAL ->> indexes map since round 11 (wave 46):
+    # duckdb 1.x has NO from-end semantics (->> -1 is NULL, pinned
+    # live) — the static $[-N] path is NULL in Spark too; pg counts
+    # from the END — dynamic path over json_array_length
+    assert transpile("SELECT j ->> -1 FROM t", "duckdb") == (
+        "SELECT get_json_object((j), '$[-1]') FROM t"
+    )
+    assert "json_array_length((j)) - 2" in transpile(
+        "SELECT j ->> -2 FROM t", "postgres"
+    )
     with pytest.raises(TranspileError, match="from-end"):
         transpile("SELECT j -> -2 ->> 0 FROM t", "postgres")
     with pytest.raises(TranspileError, match="from-end"):
@@ -3644,8 +3651,13 @@ def test_pg_quantified_subqueries_and_jsonb_mutation_louds():
         )
     with pytest.raises(TranspileError, match="delete"):
         transpile("""SELECT ('{"a":1}'::jsonb) - 'a'""", "postgres")
-    with pytest.raises(TranspileError, match="exists"):
-        transpile("""SELECT '{"a":1}'::jsonb ? 'a'""", "postgres")
+    # jsonb ? maps since round 11 (wave 46, pinned live across all
+    # three document shapes); ?|/?& stay loud
+    q_exists = transpile("""SELECT '{"a":1}'::jsonb ? 'a'""", "postgres")
+    assert "map_keys(from_json(" in q_exists and "= TRUE)" in q_exists
+    assert q_exists == transpile(q_exists, "postgres")
+    with pytest.raises(TranspileError, match="any/all keys"):
+        transpile("SELECT j ?| array['a','b'] FROM t", "postgres")
     with pytest.raises(TranspileError, match="delete path"):
         transpile("SELECT j #- '{a}' FROM t", "postgres")
     with pytest.raises(TranspileError, match="interval::text"):

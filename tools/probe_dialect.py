@@ -138,6 +138,26 @@ def _norm(v):
                     v.replace("Z", "+00:00")))
             except ValueError:  # pragma: no cover
                 return v
+        if v[:1] in ("{", "["):
+            # Round-11 fix (the wave-45 methodology hole): pg json/jsonb
+            # cells arrive PARSED (the psql transport is to_json, so a
+            # json-typed cell nests as a real container) while Spark's
+            # emissions return JSON TEXT — every json_build_*/json_agg/
+            # jsonb ->> object probe auto-flagged WRONG on equal values
+            # (also jsonb's canonical spacing '{"c": [1,2,3]}' vs
+            # Spark's compact '{"c":[1,2,3]}'). A container-shaped
+            # string that json-parses compares structurally; scalars
+            # ('1', 'true') and non-JSON text ('{1,2}' pg array form)
+            # stay text. A genuine whitespace-only divergence in a
+            # TEXT-typed JSON-shaped cell would false-normalize —
+            # acceptable for a probe tool, same posture as the duck
+            # MAP-cell rebuild above.
+            try:
+                parsed = json.loads(v)
+            except Exception:
+                return v
+            if isinstance(parsed, (dict, list)):
+                return _norm(parsed)
         return v
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
