@@ -3650,3 +3650,63 @@ GROUP BY to_char(o_orderdate, 'YYYY')
     )
     ctx.run(environment="env_pg11")
     return spark.table("env_pg11_views.round11_orders")
+
+
+PG_JSON_TIER_ORACLE = """
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END AS is_pri,
+       o_orderpriority || '#' || CAST(COUNT(*) AS VARCHAR) AS tag,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS last_key,
+       (SELECT '{ "n_orders" : ' || CAST(COUNT(*) AS VARCHAR) || ' }'
+          FROM orders WHERE o_custkey % 7 = 0) AS obj
+FROM orders
+WHERE o_custkey % 7 = 0
+GROUP BY o_orderpriority
+"""
+
+
+@register("framework_pg_json_tier_model", oracle=PG_JSON_TIER_ORACLE,
+          tags=("dialect", "framework"))
+def framework_pg_json_tier_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 wave-46 pg JSON tier end-to-end through plan/apply:
+    jsonb ? containment with a COLUMN key over an array document (the
+    string-element branch with the quoted-form guard), a positional
+    %n$s format() directive pair, a terminal negative ->> index over a
+    json_build_array document (the dynamic from-end JsonPath), and
+    json_object_agg as an uncorrelated scalar subquery (single pair —
+    a multi-pair document's insertion order is engine-execution-
+    dependent on BOTH engines, so it has no stable oracle). Every
+    value pinned live on PG 15 (tools/probes/pg_json_ops_wave46.txt);
+    the DuckDB oracle recomputes each with its own primitives. ref:
+    the reference transpiles pg models through SQLGlot
+    (sqlmesh/core/dialect.py)."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_pgjson", "env_pgjson_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_pgjson.json_tier,
+  kind FULL,
+  dialect postgres
+);
+SELECT o_orderpriority AS pri,
+       COUNT(*)::int8 AS n,
+       ('["1-URGENT","2-HIGH"]'::jsonb ? o_orderpriority)::int AS is_pri,
+       format('%2$s#%1$s', CAST(COUNT(*) AS text), o_orderpriority) AS tag,
+       (json_build_array(MIN(o_orderkey), MAX(o_orderkey))::json ->> -1)
+           AS last_key,
+       (SELECT json_object_agg(k, v)::text
+          FROM (SELECT 'n_orders' AS k, COUNT(*)::int8 AS v
+                FROM orders WHERE o_custkey % 7 = 0) s) AS obj
+FROM orders WHERE o_custkey % 7 = 0
+GROUP BY o_orderpriority
+"""
+    )
+    ctx.run(environment="env_pgjson")
+    return spark.table("env_pgjson_views.json_tier")
