@@ -229,6 +229,119 @@ def call_handlers(ctx) -> "int | None":
                 (start, toks[close][3], f"('[' || {body} || ']')")
             )
             return close + 1
+    if name == "json_keys":
+        # duck json_keys: top-level object keys as VARCHAR[]; [] (not
+        # NULL) for arrays/scalars, NULL for NULL input; optional 2nd
+        # path argument keys the element AT the path (all pinned live,
+        # round 11 wave 47). Spark's json_object_keys is NULL
+        # off-objects — the coalesce restores duck's [].
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) not in (1, 2):
+            raise TranspileError("duckdb json_keys takes 1 or 2 args")
+        x_ = _arg_text(spans[0])
+        doc = f"({x_})"
+        if len(spans) == 2:
+            p_ = _arg_text(spans[1])
+            if (
+                spans[1][0] == spans[1][1]
+                and toks[spans[1][0]][0] == "string"
+            ):
+                pc = _literal_content(toks[spans[1][0]][1], read)
+                if not pc.startswith("$"):
+                    # duck accepts BARE-key paths ('a' ≡ '$.a');
+                    # Spark JsonPath is $-rooted — bracket form keys
+                    # with dots/spaces safely
+                    esc = pc.replace("'", "''")
+                    p_ = f"'$[''{esc}'']'"
+            doc = f"get_json_object(({x_}), ({p_}))"
+        edits.append(
+            (start, toks[close][3],
+             f"IF(({x_}) IS NULL, NULL, coalesce("
+             f"json_object_keys({doc}), "
+             f"CAST(array() AS ARRAY<STRING>)))")
+        )
+        return close + 1
+    if name == "json_valid":
+        # duck json_valid: parseable-JSON test, NULL on NULL (pinned).
+        # Spark's get_json_object('$') echoes any valid document —
+        # including the 'null' literal and bare scalars — and is NULL
+        # on a parse failure.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError("duckdb json_valid takes 1 argument")
+        x_ = _arg_text(spans[0])
+        edits.append(
+            (start, toks[close][3],
+             f"IF(({x_}) IS NULL, NULL, "
+             f"get_json_object(({x_}), '$') IS NOT NULL)")
+        )
+        return close + 1
+    if name in ("to_json", "json_quote"):
+        # duck to_json/json_quote serialize ANY value to JSON text
+        # (scalars included: to_json('s') = '"s"'); Spark's to_json
+        # takes only struct/array/map — the one-element-array wrap +
+        # bracket strip serializes every type uniformly. NULL → NULL
+        # (pinned; the bare wrap would render 'null'). The explicit
+        # options-map second argument is the OWN-EMISSION tag (duck
+        # to_json is unary) — the fixpoint consumer skips exactly
+        # that shape. Documented seam (same class as
+        # json_group_array): duck normalizes DECIMAL trailing zeros
+        # ('1.5' for 1.50) where Spark's encoder keeps the scale.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            f0 = toks[spans[1][0]]
+            if f0[0] in _NAME_KINDS and f0[1].lower() == "map":
+                return i + 1  # own emission from a prior pass
+        if len(spans) != 1:
+            raise TranspileError(f"duckdb {name} takes 1 argument")
+        x_ = _arg_text(spans[0])
+        enc = (
+            f"to_json(array(({x_})), map('ignoreNullFields', 'false'))"
+        )
+        edits.append(
+            (start, toks[close][3],
+             f"IF(({x_}) IS NULL, NULL, "
+             f"substring({enc} FROM 2 FOR length({enc}) - 2))")
+        )
+        return close + 1
+    if name == "from_json":
+        # duck from_json takes duck's '{"a":"INTEGER"}' JSON-shaped
+        # schema spelling — Spark's same-named from_json wants
+        # 'struct<a:int>' DDL and would reject it (or silently
+        # retype). A DDL-shaped literal schema passes through (the
+        # user already Spark-spelled it — also what this loud
+        # advises); the duck-shaped one is loud.
+        spans, _close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+            and _literal_content(
+                toks[spans[1][0]][1], read
+            ).lstrip().startswith(("{", "["))
+        ):
+            raise TranspileError(
+                "duckdb from_json() takes duck's JSON-shaped schema "
+                "spelling; Spark's from_json wants a DDL string — "
+                "re-spell the schema as 'struct<...>' "
+            )
+        return None  # DDL-shaped or dynamic: Spark's own from_json
+    if name in ("json_merge_patch", "json_contains", "json_type",
+                "json_structure", "json_serialize_sql",
+                "json_deserialize_sql", "json_transform",
+                "json_transform_strict"):
+        # duck JSON functions with no faithful Spark rewrite, each
+        # previously dying as UNRESOLVED_ROUTINE / a misleading
+        # schema-format error (round 11 wave 47): json_merge_patch is
+        # an RFC-7386 RECURSIVE merge; json_contains is recursive
+        # containment; json_type/json_structure return duck's TYPED
+        # names (UBIGINT vs BIGINT by value); json_transform takes
+        # duck's '{"a":"INTEGER"}' schema spelling.
+        raise TranspileError(
+            f"duckdb {name}() has no faithful Spark rewrite; "
+            "extract with ->>/json_extract_string and compare "
+            "fields explicitly"
+        )
     if name in ("element_at", "map_extract"):
         # probe-verified (round-9 verdict): duck element_at/map_extract
         # are MAP-ONLY (a list base is a binder error, pinned live) and

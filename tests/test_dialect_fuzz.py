@@ -228,6 +228,26 @@ TEMPLATES += [
     # (->> -1 is NULL, pinned live) — static $[-N] is NULL in Spark
     "('[10,20]') ->> -1",
     f"{_J} ->> -2",
+    # round 11 (wave 47): json_keys ([] off-objects, bare-key paths),
+    # json_valid via the get_json_object('$') echo, to_json/json_quote
+    # over scalars through the one-element-array wrap
+    "json_keys('{\"a\":1,\"b\":2}')",
+    "json_keys('{\"a\": {\"b\": 1}}', '$.a')",
+    "json_keys('{\"a\": {\"b\": 1}}', 'a')",
+    "json_keys('[1,2]')",
+    "json_keys(NULL)",
+    "json_valid('{\"a\":}')",
+    "json_valid('null')",
+    "json_valid('  [1, 2] ')",
+    "json_valid(NULL)",
+    "to_json('s')",
+    "to_json([1,2,3])",
+    "to_json({'a': NULL})",
+    "to_json(NULL)",
+    "json_quote('he said \"hi\"')",
+    "json_merge_patch('{\"a\":1}', '{\"b\":2}')",   # loud
+    "json_type('{\"a\":1}')",                      # loud
+    "from_json('{\"a\":1}', '{\"a\":\"INTEGER\"}')",  # loud (duck schema)
     f"json_extract_string({_J}, '$.a.b')",
     f"json_extract_path_text({_J}, 'a')",
     f"json_array_length({_J}, '$.l')",
