@@ -229,6 +229,47 @@ def call_handlers(ctx) -> "int | None":
                 (start, toks[close][3], f"('[' || {body} || ']')")
             )
             return close + 1
+    if name == "histogram":
+        # duck histogram(x): value → count MAP, KEY-SORTED, NULLs
+        # skipped, NULL on zero rows (all pinned live, round 11).
+        # Spark's array_agg drops NULLs like duck's histogram input;
+        # counts come from a filter over the collected array (the
+        # distinct-key pass is O(d·n) per group — histogram is a
+        # profiling aggregate over low-cardinality keys by contract).
+        spans, close = _call_arg_spans(toks, i + 1)
+        nxt_t = (
+            toks[close + 1][1].upper()
+            if close + 1 < len(toks) and toks[close + 1][0] in _NAME_KINDS
+            else ""
+        )
+        if nxt_t in ("FILTER", "OVER", "WITHIN"):
+            raise TranspileError(
+                "duckdb histogram(...) FILTER/OVER has no faithful "
+                "Spark rewrite with the NULL-on-empty wrap; "
+                "aggregate plainly"
+            )
+        if len(spans) != 1:
+            raise TranspileError(
+                "duckdb histogram takes 1 argument (the binned "
+                "2-argument form does not exist in duckdb 1.0)"
+            )
+        x_ = _arg_text(spans[0])
+        # collect_list, NOT array_agg: the duck array_agg handler
+        # would re-consume the emission with duck's KEEP-NULLs
+        # semantics — collect_list is no duck name and drops NULLs
+        # exactly like histogram's input contract; sort_array for
+        # the same reason (the duck array_sort/list_sort handler)
+        agg = f"collect_list(({x_}))"
+        edits.append(
+            (start, toks[close][3],
+             f"(CASE WHEN size({agg}) = 0 THEN NULL ELSE "
+             f"map_from_entries(transform("
+             f"sort_array(array_distinct(filter({agg}, "
+             f"_ld -> _ld IS NOT NULL))), "
+             f"_hk -> struct(_hk, size(filter({agg}, "
+             f"_he -> _he = _hk))))) END)")
+        )
+        return close + 1
     if name == "json_keys":
         # duck json_keys: top-level object keys as VARCHAR[]; [] (not
         # NULL) for arrays/scalars, NULL for NULL input; optional 2nd

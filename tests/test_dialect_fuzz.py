@@ -248,6 +248,12 @@ TEMPLATES += [
     "json_merge_patch('{\"a\":1}', '{\"b\":2}')",   # loud
     "json_type('{\"a\":1}')",                      # loud
     "from_json('{\"a\":1}', '{\"a\":\"INTEGER\"}')",  # loud (duck schema)
+    # round 11 (wave 49): histogram() — key-sorted value→count MAP,
+    # NULLs skipped, NULL on empty, duck-name-safe emission spellings
+    "(SELECT histogram(x) FROM (VALUES (2),(1),(1),(NULL)) t(x))",
+    "(SELECT histogram(x) FROM (VALUES ('b'),('a'),('a')) t(x))",
+    "(SELECT histogram(x) FROM (SELECT 1 AS x WHERE false) t)",
+    "(SELECT histogram(x % 3) FROM (VALUES (1),(2),(3),(4),(5),(6)) t(x))",
     f"json_extract_string({_J}, '$.a.b')",
     f"json_extract_path_text({_J}, 'a')",
     f"json_array_length({_J}, '$.l')",
