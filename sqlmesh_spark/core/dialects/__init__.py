@@ -112,7 +112,8 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # this None is the fallback for arity < 2
         "list_zip": None,
         "list_aggregate": None,         # dynamic aggregate dispatch
-        "format": None,                 # duckdb fmt '{}' syntax
+        # format: fmt-'{}' handler in duckdb_fns.py since round 11
+        # (rewrites into printf, which NULL-guards and float-casts)
         "timezone_hour": None, "timezone_minute": None,
         # duck probe wave 2
         # list_intersect/array_intersect: handler in duckdb_fns.py —

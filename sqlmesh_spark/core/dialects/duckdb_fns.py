@@ -249,6 +249,150 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
+    if name == "unicode":
+        # duck unicode(s): first code point, -1 for the EMPTY string,
+        # NULL for NULL (pinned live, round 11). Spark's ascii is the
+        # code-point function (ascii('λ') = 955) but returns 0 on ''.
+        # Previously an UNRESOLVED_ROUTINE passthrough.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 1:
+            raise TranspileError("duckdb unicode takes 1 argument")
+        x_ = _arg_text(spans[0])
+        edits.append(
+            (start, toks[close][3],
+             f"IF(({x_}) = '', -1, ascii(({x_})))")
+        )
+        return close + 1
+
+    if name == "format":
+        # duck fmt-'{}' formatting (round 11, pinned live): '{}'
+        # sequential, '{N}' 0-BASED positional (repeats legal),
+        # '{:spec}' with a width/.prec/type tail, '{{'/'}}' literal
+        # braces, NULL argument → NULL result. Rewritten into duck
+        # PRINTF-style text and re-spliced as printf(...) — the
+        # printf handler on the next fixpoint pass adds the
+        # NULL-guard struct bind and the %f DOUBLE casts. Positional
+        # directives reorder the spliced argument list statically (a
+        # repeated '{0}' references its expression twice — fine for
+        # columns/literals). fill/align/sign specs stay loud.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            not spans
+            or spans[0][0] != spans[0][1]
+            or toks[spans[0][0]][0] != "string"
+        ):
+            raise TranspileError(
+                "duckdb format() needs a literal fmt string to "
+                "transpile"
+            )
+        fc = _literal_content(toks[spans[0][0]][1], "duckdb")
+        out_parts = []
+        arg_order = []
+        seq = 0
+        pos = 0
+        saw_pos = saw_seq = False
+        while pos < len(fc):
+            ch = fc[pos]
+            if fc[pos:pos + 2] == "{{":
+                out_parts.append("{"); pos += 2; continue
+            if fc[pos:pos + 2] == "}}":
+                out_parts.append("}"); pos += 2; continue
+            if ch == "%":
+                out_parts.append("%%"); pos += 1; continue
+            if ch != "{":
+                out_parts.append(ch); pos += 1; continue
+            end_b = fc.find("}", pos)
+            if end_b < 0:
+                raise TranspileError(
+                    "duckdb format(): unbalanced '{' in fmt string"
+                )
+            body = fc[pos + 1:end_b]
+            idx_s, _, spec = body.partition(":")
+            if idx_s.isdigit():
+                argix = int(idx_s); saw_pos = True
+            elif idx_s == "":
+                argix = seq; seq += 1; saw_seq = True
+            # (float-literal args to untyped fields checked below,
+            # after the spec parse)
+            else:
+                raise TranspileError(
+                    f"duckdb format() field {{{body}}} has no Spark "
+                    "rewrite"
+                )
+            m_sp = re.fullmatch(
+                r"(\d*)(\.\d+)?([dxXofeEgGs]?)", spec
+            )
+            if not m_sp:
+                raise TranspileError(
+                    f"duckdb format() spec {{{body}}} (fill/align/"
+                    "sign forms) has no Spark rewrite"
+                )
+            width, prec, typ = m_sp.groups()
+            if width and typ == "":
+                # fmt width-only alignment is ARG-TYPE-dependent
+                # (strings left, numbers right — pinned live);
+                # printf cannot reproduce it without the type
+                raise TranspileError(
+                    f"duckdb format() width field {{{body}}} aligns "
+                    "by argument type; add an explicit type ('10d', "
+                    "'10s') to transpile"
+                )
+            if typ in ("g", "G"):
+                raise TranspileError(
+                    "duckdb format() {:g} is C shortest-form; Java's "
+                    "%g always prints the precision digits — use "
+                    "{:e} or {:f} explicitly"
+                )
+            if typ in ("", "s") and 0 <= argix < len(spans) - 1:
+                asp = spans[1 + argix]
+                if (
+                    asp[0] == asp[1]
+                    and toks[asp[0]][0] == "number"
+                    and any(c in toks[asp[0]][1] for c in ".eE")
+                ):
+                    # fmt renders floats/decimals SHORTEST-form via
+                    # double ('{}' of 1.50 is '1.5', of 1e-5 is
+                    # '1e-05') where Spark's %s prints Java
+                    # toString ('1.50', '1.0E-5') — the float→text
+                    # rendering seam; loud for statically visible
+                    # literals, float COLUMNS stay invisible (same
+                    # residual as the pg float::text loud)
+                    raise TranspileError(
+                        "duckdb format() '{}' of a float/decimal "
+                        "literal renders shortest-form (1.5 for "
+                        "1.50); Spark's %s keeps Java rendering — "
+                        "format explicitly with {:.Nf}"
+                    )
+            if typ == "s" and width:
+                # fmt left-aligns strings; printf's %Ns right-aligns
+                out_parts.append("%-" + width + (prec or "") + "s")
+            else:
+                out_parts.append(
+                    "%" + width + (prec or "") + (typ or "s")
+                )
+            arg_order.append(argix)
+            pos = end_b + 1
+        if saw_pos and saw_seq:
+            raise TranspileError(
+                "duckdb format() mixing '{}' and '{N}' fields has "
+                "no static rewrite; use one style"
+            )
+        if arg_order and (
+            max(arg_order) >= len(spans) - 1
+        ):
+            raise TranspileError(
+                "duckdb format(): field index exceeds the argument "
+                "count"
+            )
+        new_fmt = _spark_string_literal("".join(out_parts), "duckdb")
+        args_txt = "".join(
+            f", ({_arg_text(spans[1 + ix])})" for ix in arg_order
+        )
+        edits.append(
+            (start, toks[close][3], f"printf({new_fmt}{args_txt})")
+        )
+        return close + 1
+
     if name == "printf":
         # duckdb printf returns NULL when ANY argument is NULL; Spark's
         # printf renders 'null' into the string (probe: printf('%s-%s',
@@ -266,9 +410,45 @@ def call_handlers(ctx) -> "int | None":
             )
             if not own:
                 fmt = _arg_text(spans[0])
+                # float-directive args cast to DOUBLE (round 11): a
+                # DECIMAL literal/column through Spark's %f dies at
+                # RUNTIME with a bare Java IllegalFormatConversion
+                # ('f != Decimal') — duck's printf formats decimals
+                # fine. Only resolvable for a LITERAL format string
+                # whose directive count matches the arg count;
+                # integer directives stay uncast (%d of a decimal is
+                # duck-rejected — pinned ENGINE_ERR).
+                convs = None
+                if (
+                    spans[0][0] == spans[0][1]
+                    and toks[spans[0][0]][0] == "string"
+                ):
+                    fc = _literal_content(toks[spans[0][0]][1], "duckdb")
+                    convs = [
+                        m.group(1)
+                        for m in re.finditer(
+                            r"%[-+ #0']*\d*(?:\.\d+)?([a-zA-Z])",
+                            fc.replace("%%", ""),
+                        )
+                    ]
+                    if any(c in ("g", "G") for c in convs):
+                        # C %g prints shortest-form ('1e-05'); Java's
+                        # %g ALWAYS prints the precision digits
+                        # ('1.00000e-05') — pinned live, round 11
+                        raise TranspileError(
+                            "duckdb printf %g is C shortest-form; "
+                            "Java's %g always prints the precision "
+                            "digits — use %e or %f explicitly"
+                        )
+                    if len(convs) != len(spans) - 1:
+                        convs = None
+                def _bind(k, sp):
+                    a_ = _arg_text(sp)
+                    if convs is not None and convs[k] in "feEgG":
+                        return f"(CAST(({a_}) AS DOUBLE)) AS _p{k}"
+                    return f"({a_}) AS _p{k}"
                 binds = ", ".join(
-                    f"({_arg_text(sp)}) AS _p{k}"
-                    for k, sp in enumerate(spans[1:])
+                    _bind(k, sp) for k, sp in enumerate(spans[1:])
                 )
                 guard = " OR ".join(
                     f"_pf._p{k} IS NULL" for k in range(len(spans) - 1)

@@ -248,6 +248,27 @@ TEMPLATES += [
     "json_merge_patch('{\"a\":1}', '{\"b\":2}')",   # loud
     "json_type('{\"a\":1}')",                      # loud
     "from_json('{\"a\":1}', '{\"a\":\"INTEGER\"}')",  # loud (duck schema)
+    # round 11 (wave 50): duck fmt-'{}' format() → printf rewrite
+    # (0-based positional reorder, {{}} escapes, {:Ns} left-align,
+    # %-literal escaping), printf %f decimal→DOUBLE cast, %g loud
+    # (C shortest-form vs Java precision digits), unicode() → ascii
+    # with the empty-string -1 seam
+    "format('{} and {}', 1, 'a')",
+    "format('{:.2f}', 3.14159)",
+    "format('{0}/{1}/{0}', 'a', 'b')",
+    "format('{{literal}} {}', 9)",
+    "format('100%: {}', 1)",
+    "format('[{:10d}]', 42)",
+    "format('[{:10s}]', 'x')",
+    "format('{}', NULL)",
+    "format('{}', 1.50)",        # loud (float-literal rendering seam)
+    "format('{:>10}', 'x')",     # loud (fill/align)
+    "printf('%5.2f', 3.14159)",
+    "printf('%.3e', 12345.678)",
+    "printf('%g', 0.00001)",     # loud (C vs Java %g)
+    "unicode('λ')",
+    "unicode('')",
+    "unicode(NULL)",
     # round 11 (wave 49): histogram() — key-sorted value→count MAP,
     # NULLs skipped, NULL on empty, duck-name-safe emission spellings
     "(SELECT histogram(x) FROM (VALUES (2),(1),(1),(NULL)) t(x))",
