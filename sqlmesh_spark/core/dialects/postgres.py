@@ -45,6 +45,154 @@ def token_handlers(ctx) -> "int | None":
     dead_zones, n = ctx.dead_zones, len(toks)
     _unused = (read, first_pass, kind, start, end, is_op, transpile)
 
+    if (
+        kind == "ident"
+        and text.upper() == "ARRAY"
+        and i + 2 < n
+        and toks[i + 1][0] == "op" and toks[i + 1][1] == "("
+        and toks[i + 2][0] in _NAME_KINDS
+        and toks[i + 2][1].upper() == "SELECT"
+    ):
+        # pg ARRAY(SELECT ...) subquery constructor (round 11, wave
+        # 51): one column, rows to an array, '{}' on zero rows, NULL
+        # elements KEPT. Spark can't parse the form — rewritten to a
+        # scalar subquery over the struct-wrapped array_agg (the
+        # collect_list family drops NULLs; the struct wrap keeps
+        # them, [] falls out on empty). SELECT DISTINCT →
+        # array_agg(DISTINCT struct(..)) (one NULL survives, like
+        # pg). A trailing ORDER BY <the selected expr> [ASC|DESC]
+        # (no explicit NULLS, no LIMIT after it) is absorbed:
+        # ASC → array_sort (NULLs LAST, pg's ASC default); DESC →
+        # reverse(array_sort(..)) (NULLs FIRST, pg's DESC default).
+        # Any other tail — expression keys, NULLS overrides,
+        # ORDER BY + LIMIT (stripping the sort would change WHICH
+        # rows limit keeps) — is loud.
+        depth = 0
+        close_p = None
+        for j in range(i + 1, n):
+            if toks[j][0] == "op" and toks[j][1] == "(":
+                depth += 1
+            elif toks[j][0] == "op" and toks[j][1] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_p = j
+                    break
+        if close_p is None:
+            raise TranspileError("unbalanced ARRAY( subquery")
+        if any(
+            e[1] >= start and e[0] <= toks[close_p][3] for e in edits
+        ):
+            return i + 1  # inner edits pending; resolve next pass
+        sel = i + 2
+        lead = sel + 1
+        distinct = ""
+        if (
+            lead < close_p
+            and toks[lead][0] in _NAME_KINDS
+            and toks[lead][1].upper() == "DISTINCT"
+        ):
+            distinct = "DISTINCT "
+            lead += 1
+        # select-list span: up to the first depth-0 clause keyword
+        depth2 = 0
+        expr_end = None   # token AFTER the select expression
+        clause_tok = close_p
+        for j in range(lead, close_p):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ in ("(", "["):
+                depth2 += 1
+            elif k_ == "op" and t_ in (")", "]"):
+                depth2 -= 1
+            elif depth2 == 0 and k_ == "op" and t_ == ",":
+                raise TranspileError(
+                    "ARRAY(SELECT ...) must select exactly one "
+                    "column"
+                )
+            elif depth2 == 0 and k_ in _NAME_KINDS and t_.upper() in (
+                "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+                "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+            ):
+                clause_tok = j
+                break
+        expr_end = clause_tok
+        expr_txt = sql[toks[lead][2]:toks[expr_end - 1][3]].strip()
+        if not expr_txt:
+            raise TranspileError("ARRAY(SELECT ...) has no select list")
+        # locate a depth-0 ORDER BY tail inside the subquery
+        depth3 = 0
+        order_at = None
+        for j in range(clause_tok, close_p):
+            k_, t_ = toks[j][0], toks[j][1]
+            if k_ == "op" and t_ in ("(", "["):
+                depth3 += 1
+            elif k_ == "op" and t_ in (")", "]"):
+                depth3 -= 1
+            elif depth3 == 0 and k_ in _NAME_KINDS:
+                if t_.upper() == "ORDER":
+                    order_at = j
+                    break
+                if t_.upper() in ("UNION", "INTERSECT", "EXCEPT"):
+                    raise TranspileError(
+                        "ARRAY(SELECT ... set operation) has no "
+                        "Spark rewrite; aggregate each branch"
+                    )
+                if t_.upper() in ("LIMIT", "OFFSET", "FETCH"):
+                    # in the aggregated rewrite a LIMIT would apply
+                    # AFTER the aggregate (a no-op on its one row)
+                    # instead of limiting the input — silent wrong
+                    raise TranspileError(
+                        "ARRAY(SELECT ... LIMIT/OFFSET) has no "
+                        "faithful rewrite through the aggregate "
+                        "form; apply slice() to the result instead"
+                    )
+        wrap_open, wrap_close = "", ""
+        rest_end = close_p   # token AFTER the body we keep
+        if order_at is not None:
+            # ORDER BY <expr> [ASC|DESC] must be the LAST clause and
+            # key on exactly the selected expression
+            k0 = order_at + 2
+            key_end = close_p
+            dirn = "asc"
+            jj = close_p - 1
+            if toks[jj][0] in _NAME_KINDS and toks[jj][1].upper() in (
+                "ASC", "DESC",
+            ):
+                dirn = toks[jj][1].lower()
+                key_end = jj
+            key_txt = sql[toks[k0][2]:toks[key_end - 1][3]].strip()
+            if (
+                toks[order_at + 1][0] not in _NAME_KINDS
+                or toks[order_at + 1][1].upper() != "BY"
+                or key_txt != expr_txt
+            ):
+                raise TranspileError(
+                    "ARRAY(SELECT x ... ORDER BY k) transpiles only "
+                    "when k is exactly the selected expression "
+                    "(array_sort orders the elements); expression "
+                    "keys / NULLS overrides / LIMIT have no faithful "
+                    "rewrite"
+                )
+            if dirn == "asc":
+                wrap_open, wrap_close = "array_sort(", ")"
+            else:
+                wrap_open, wrap_close = "reverse(array_sort(", "))"
+            rest_end = order_at
+        body = sql[toks[expr_end][2]:toks[rest_end - 1][3]].strip() \
+            if rest_end > expr_end else ""
+        agg = (
+            f"array_agg({distinct}struct(({expr_txt}) AS _v))"
+        )
+        # the sort wraps INSIDE the scalar subquery: Spark rejects a
+        # subquery nested in a higher-order function's argument
+        # (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY), the reverse
+        # nesting is fine
+        repl = (
+            f"(SELECT {wrap_open}transform({agg}, _s -> _s._v)"
+            f"{wrap_close} {body})"
+        )
+        edits.append((start, toks[close_p][3], repl))
+        return close_p + 1
+
     # postgres `/` over INTEGERS truncates (7/2 = 3, -7/2 = -3);
     # Spark `/` is always DOUBLE division. Statically provable only
     # for integer-literal / integer-literal — rewrite that shape to

@@ -732,6 +732,28 @@ TEMPLATES += [
     "((true))::int",
 ]
 
+# round-11 wave-51 tier: ARRAY(SELECT ...) subquery constructor
+# (struct-wrapped array_agg keeps NULL elements, [] on empty,
+# ORDER BY the selected expr absorbed as array_sort inside the
+# subquery — Spark rejects subqueries nested in HOF arguments),
+# to_number native parity, bitwise operator tier
+TEMPLATES += [
+    "ARRAY(SELECT x FROM (VALUES (3),(1),(2)) t(x) ORDER BY x)",
+    "ARRAY(SELECT x FROM (VALUES (3),(1),(2)) t(x) ORDER BY x DESC)",
+    "ARRAY(SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x)",
+    "ARRAY(SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x DESC)",
+    "ARRAY(SELECT DISTINCT x FROM (VALUES (2),(1),(2)) t(x) ORDER BY x)",
+    "ARRAY(SELECT x FROM (SELECT 1 AS x WHERE false) t)",
+    "ARRAY(SELECT x * 10 FROM (VALUES (2),(1)) t(x) ORDER BY x * 10)",
+    "ARRAY(SELECT x FROM (VALUES (1),(2),(3)) t(x)"
+    " WHERE x > 1 ORDER BY x)",
+    "ARRAY(SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x LIMIT 1)",  # loud
+    "ARRAY(SELECT x, x FROM (VALUES (1)) t(x))",   # loud (two columns)
+    "to_number('1,234.56', '9,999.99')",
+    "to_number('-123', 'S999')",
+    "5 & 3", "5 | 3", "~5", "5 << 2", "64 >> 3",
+]
+
 # round-9 date wave: date ± INTERVAL promotes to TIMESTAMP in pg
 # (statically date-typed operands get CAST(.. AS TIMESTAMP)); Spark
 # date_trunc silently NULLs on pg's unit spellings outside its list and
