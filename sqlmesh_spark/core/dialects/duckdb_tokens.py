@@ -39,6 +39,31 @@ def token_handlers(ctx) -> "int | None":
 
     if (
         kind == "ident"
+        and text.upper() in ("IGNORE", "RESPECT")
+        and i + 2 < n
+        and toks[i + 1][0] in _NAME_KINDS
+        and toks[i + 1][1].upper() == "NULLS"
+        and toks[i + 2][0] == "op"
+        and toks[i + 2][1] == ")"
+    ):
+        # duck window-function NULL treatment sits INSIDE the call
+        # parens — last_value(x IGNORE NULLS) OVER ... — where
+        # Spark's grammar wants it between the call and OVER:
+        # last_value(x) IGNORE NULLS OVER ... (pinned live, round
+        # 11: the in-paren form is a PARSE_SYNTAX_ERROR). Move the
+        # two keywords outside the close paren; Spark validates the
+        # function/OVER context itself.
+        kw = f" {text.upper()} NULLS"
+        if not any(
+            e[1] >= start and e[0] <= toks[i + 2][3] for e in edits
+        ):
+            edits.append((start, toks[i + 1][3], ""))
+            edits.append((toks[i + 2][3], toks[i + 2][3], kw))
+            return i + 3
+        return i + 1
+
+    if (
+        kind == "ident"
         and text[0] == "_"
         and len(text) > 1
         and text.lstrip("_0123456789") == ""

@@ -614,7 +614,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 text.upper() in (
                     "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
                     "INTERVAL", "EXCLUDE", "ASOF", "POSITIONAL", "FROM",
-                    "USING", "TABLESAMPLE",
+                    "USING", "TABLESAMPLE", "IGNORE", "RESPECT",
                 )
                 # duck underscore digit-group literals (1_000_000):
                 # the lexer splits them number + _-ident

@@ -4846,3 +4846,21 @@ def test_duck_using_sample_round11():
     # JOIN ... USING is untouched
     inert = "SELECT a FROM t JOIN u USING (k)"
     assert t(inert) == inert
+
+
+def test_duck_in_paren_ignore_nulls_round11():
+    """duck window NULL treatment sits INSIDE the call parens
+    (last_value(x IGNORE NULLS) OVER ...); Spark's grammar parses it
+    only between the call and OVER — the in-paren form was a
+    PARSE_SYNTAX_ERROR (pinned live, wave 52 6/6 MATCH via --table)."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    out = t("SELECT last_value(x IGNORE NULLS) OVER (ORDER BY i) FROM t")
+    assert ") IGNORE NULLS OVER (" in out and "(x IGNORE" not in out
+    assert out == t(out)
+    out = t("SELECT lag(x, 1 IGNORE NULLS) OVER (ORDER BY i) FROM t")
+    assert ") IGNORE NULLS OVER (" in out
+    out = t("SELECT first_value(x RESPECT NULLS) OVER (ORDER BY i) FROM t")
+    assert ") RESPECT NULLS OVER (" in out
+    # the pg read never reaches the duck token tier
+    out = transpile("SELECT ignore FROM t", "postgres")
+    assert out == "SELECT ignore FROM t"
