@@ -221,8 +221,24 @@ def call_handlers(ctx) -> "int | None":
         # deduplicates the two identical aggregate expressions.
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) != 1:
+            # a multi-key in-aggregate ORDER BY splits into spans at
+            # its commas — surface the real diagnosis
+            d0 = 0
+            for j_ in range(spans[0][0], spans[0][1] + 1):
+                k_, t_ = toks[j_][0], toks[j_][1]
+                if k_ == "op" and t_ in ("(", "["):
+                    d0 += 1
+                elif k_ == "op" and t_ in (")", "]"):
+                    d0 -= 1
+                elif d0 == 0 and k_ in _NAME_KINDS and t_.upper() == "ORDER":
+                    raise TranspileError(
+                        "array_agg(x ORDER BY k1, k2) multi-key "
+                        "sorts have no comparator rewrite; sort "
+                        "explicitly after aggregating"
+                    )
             raise TranspileError("array_agg takes 1 argument")
         depth_ = 0
+        order_at = None
         for j_ in range(spans[0][0], spans[0][1] + 1):
             k_, t_, _, _ = toks[j_]
             if k_ == "op" and t_ in ("(", "["):
@@ -233,17 +249,84 @@ def call_handlers(ctx) -> "int | None":
                 depth_ == 0 and k_ in _NAME_KINDS
                 and t_.upper() == "ORDER"
             ):
-                raise TranspileError(
-                    "array_agg(x ORDER BY ...) has no Spark "
-                    "rewrite (Spark aggregates reject inline "
-                    "ORDER BY); aggregate then array_sort/"
-                    "sort_array explicitly"
-                )
+                order_at = j_
+                break
         dist = ""
         a0, a1 = spans[0]
         if toks[a0][0] in _NAME_KINDS and toks[a0][1].upper() == "DISTINCT":
             dist = "DISTINCT "
             a0 += 1
+        okey = None   # (key_text, descending, nulls_first)
+        if order_at is not None:
+            # array_agg(x ORDER BY k [ASC|DESC] [NULLS FIRST|LAST])
+            # (round 11, wave 53): the element rows struct-wrap as
+            # (_k, _v) pairs, an explicit comparator sorts by _k with
+            # pg/duck's ORDER BY defaults (ASC → NULLs LAST, DESC →
+            # NULLs FIRST), and the transform extracts _v — Spark
+            # aggregates reject inline ORDER BY. Multi-key and
+            # DISTINCT forms stay loud (pg requires the DISTINCT expr
+            # as the sort key and already comes back sorted via the
+            # dist branch below).
+            if dist:
+                raise TranspileError(
+                    "array_agg(DISTINCT x ORDER BY ...) transpiles "
+                    "only without the ORDER BY (pg's DISTINCT "
+                    "already returns ascending NULL-last, which the "
+                    "rewrite reproduces); drop the ORDER BY or "
+                    "sort explicitly"
+                )
+            if (
+                order_at + 1 > spans[0][1]
+                or toks[order_at + 1][0] not in _NAME_KINDS
+                or toks[order_at + 1][1].upper() != "BY"
+            ):
+                raise TranspileError("malformed in-aggregate ORDER BY")
+            k0 = order_at + 2
+            kend = spans[0][1]
+            nulls_first = None
+            if (
+                kend >= k0 + 1
+                and toks[kend][0] in _NAME_KINDS
+                and toks[kend][1].upper() in ("FIRST", "LAST")
+                and toks[kend - 1][0] in _NAME_KINDS
+                and toks[kend - 1][1].upper() == "NULLS"
+            ):
+                nulls_first = toks[kend][1].upper() == "FIRST"
+                kend -= 2
+            descending = False
+            if (
+                kend >= k0
+                and toks[kend][0] in _NAME_KINDS
+                and toks[kend][1].upper() in ("ASC", "DESC")
+            ):
+                descending = toks[kend][1].upper() == "DESC"
+                kend -= 1
+            if kend < k0:
+                raise TranspileError("malformed in-aggregate ORDER BY")
+            d2 = 0
+            for j_ in range(k0, kend + 1):
+                k_, t_ = toks[j_][0], toks[j_][1]
+                if k_ == "op" and t_ in ("(", "["):
+                    d2 += 1
+                elif k_ == "op" and t_ in (")", "]"):
+                    d2 -= 1
+                elif d2 == 0 and k_ == "op" and t_ == ",":
+                    raise TranspileError(
+                        "array_agg(x ORDER BY k1, k2) multi-key "
+                        "sorts have no comparator rewrite; sort "
+                        "explicitly after aggregating"
+                    )
+            if nulls_first is None:
+                # pg defaults NULLS FIRST on DESC; duck's
+                # default_null_order is nulls_last for BOTH
+                # directions (pinned live, wave 53: duck
+                # ORDER BY y DESC put the NULL-keyed row LAST)
+                nulls_first = descending and read == "postgres"
+            okey = (
+                sql[toks[k0][2]:toks[kend][3]].strip(),
+                descending, nulls_first,
+            )
+            a1 = order_at - 1
         if (
             toks[a0][0] in _NAME_KINDS
             and toks[a0][1].lower() == "struct"
@@ -268,12 +351,26 @@ def call_handlers(ctx) -> "int | None":
             ftext = " " + transpile(
                 sql[toks[close + 1][2]: toks[fend][3]], read
             )
-        agg = f"array_agg({dist}struct(({expr_text}) AS _v)){ftext}"
+        if okey is not None:
+            agg = (
+                f"array_agg(struct(({okey[0]}) AS _k, "
+                f"({expr_text}) AS _v)){ftext}"
+            )
+        else:
+            agg = f"array_agg({dist}struct(({expr_text}) AS _v)){ftext}"
         if (
             fend + 1 < len(toks)
             and toks[fend + 1][0] in _NAME_KINDS
             and toks[fend + 1][1].upper() == "OVER"
         ):
+            if okey is not None:
+                # pg itself rejects in-aggregate ORDER BY on window
+                # calls ("not implemented for window functions")
+                raise TranspileError(
+                    "array_agg(x ORDER BY k) OVER a window is not "
+                    "executable (pg rejects it too); sort the frame "
+                    "or aggregate without the window"
+                )
             if ftext or dist:
                 # Spark rejects windowed aggregates with a FILTER clause
                 # ("not supported yet") or DISTINCT
@@ -307,6 +404,18 @@ def call_handlers(ctx) -> "int | None":
             i = over_end + 1
             return i
         body = agg
+        if okey is not None:
+            _, desc_, nf_ = okey
+            lt, gt = ("1", "-1") if desc_ else ("-1", "1")
+            nl, nr = ("-1", "1") if nf_ else ("1", "-1")
+            body = (
+                f"array_sort({agg}, (_l, _r) -> CASE "
+                "WHEN _l._k IS NULL AND _r._k IS NULL THEN 0 "
+                f"WHEN _l._k IS NULL THEN {nl} "
+                f"WHEN _r._k IS NULL THEN {nr} "
+                f"WHEN _l._k < _r._k THEN {lt} "
+                f"WHEN _l._k > _r._k THEN {gt} ELSE 0 END)"
+            )
         if dist and read == "postgres":
             # pg implements DISTINCT-inside-aggregate by SORTING the
             # input, so array_agg(DISTINCT x) comes back ascending

@@ -227,9 +227,28 @@ def test_unscoped_caret_is_loud():
         transpile("SELECT 2 ^ * FROM t", "duckdb")
 
 
-def test_array_agg_order_by_is_loud():
-    with pytest.raises(TranspileError, match="ORDER BY"):
-        transpile("SELECT array_agg(x ORDER BY x) FROM t", "duckdb")
+def test_array_agg_order_by_maps_round11():
+    """In-aggregate ORDER BY maps since round 11 (wave 53, both
+    engines live): comparator array_sort over (_k, _v) struct pairs.
+    duck's default_null_order is nulls_last for BOTH directions where
+    pg flips to NULLS FIRST on DESC — the comparator encodes the
+    read's default. Multi-key and DISTINCT+ORDER stay loud."""
+    q = transpile("SELECT array_agg(x ORDER BY x) FROM t", "duckdb")
+    assert "array_sort" in q and "_l._k" in q
+    assert q == transpile(q, "duckdb")
+    pg_desc = transpile(
+        "SELECT array_agg(x ORDER BY y DESC) FROM t", "postgres")
+    duck_desc = transpile(
+        "SELECT array_agg(x ORDER BY y DESC) FROM t", "duckdb")
+    # pg DESC default NULLS FIRST: NULL key sorts before (-1 left);
+    # duck DESC default nulls_last: NULL key sorts after
+    assert "WHEN _l._k IS NULL THEN -1" in pg_desc
+    assert "WHEN _l._k IS NULL THEN 1" in duck_desc
+    with pytest.raises(TranspileError, match="multi-key"):
+        transpile("SELECT array_agg(x ORDER BY y, z) FROM t", "duckdb")
+    with pytest.raises(TranspileError, match="DISTINCT"):
+        transpile(
+            "SELECT array_agg(DISTINCT x ORDER BY x) FROM t", "postgres")
 
 
 def test_gcd_lcm_are_loud():

@@ -754,6 +754,23 @@ TEMPLATES += [
     "5 & 3", "5 | 3", "~5", "5 << 2", "64 >> 3",
 ]
 
+# round-11 wave-53 tier: in-aggregate ORDER BY on array_agg —
+# comparator array_sort over (_k, _v) pairs, pg defaults (ASC NULLs
+# last, DESC NULLs first), FILTER composing, NULL on empty
+TEMPLATES += [
+    "(SELECT array_agg(x ORDER BY y)"
+    " FROM (VALUES (10, 3),(20, 1),(30, 2)) t(x, y))",
+    "(SELECT array_agg(x ORDER BY y DESC)"
+    " FROM (VALUES (10, 3),(20, NULL),(30, 2)) t(x, y))",
+    "(SELECT array_agg(x ORDER BY y NULLS FIRST)"
+    " FROM (VALUES (10, 3),(20, NULL)) t(x, y))",
+    "(SELECT array_agg(x ORDER BY y) FILTER (WHERE x > 10)"
+    " FROM (VALUES (10, 3),(20, 1),(30, 2)) t(x, y))",
+    "(SELECT array_agg(x ORDER BY y)"
+    " FROM (SELECT 1 AS x, 1 AS y WHERE false) t)",
+    "(SELECT array_agg(x ORDER BY y, x) FROM (VALUES (1, 2)) t(x, y))",  # loud
+]
+
 # round-9 date wave: date ± INTERVAL promotes to TIMESTAMP in pg
 # (statically date-typed operands get CAST(.. AS TIMESTAMP)); Spark
 # date_trunc silently NULLs on pg's unit spellings outside its list and
