@@ -769,6 +769,10 @@ TEMPLATES += [
     "(SELECT array_agg(x ORDER BY y)"
     " FROM (SELECT 1 AS x, 1 AS y WHERE false) t)",
     "(SELECT array_agg(x ORDER BY y, x) FROM (VALUES (1, 2)) t(x, y))",  # loud
+    "(SELECT json_agg(x ORDER BY y)::text"
+    " FROM (VALUES (10, 3),(20, 1),(30, 2)) t(x, y))",
+    "(SELECT json_agg(x ORDER BY y DESC)::text"
+    " FROM (VALUES (10, 3),(20, NULL),(30, 2)) t(x, y))",
 ]
 
 # round-9 date wave: date ± INTERVAL promotes to TIMESTAMP in pg

@@ -3904,8 +3904,9 @@ def test_pg_round9_json_and_clause_tier():
     jb = t("SELECT jsonb_build_object('b', 2, 'a', 1)")
     assert jb.index('"a": ') < jb.index('"b": ')
     assert "ignoreNullFields" in t("SELECT row_to_json(t) FROM t")
-    with pytest.raises(TranspileError, match="order-preserving"):
-        t("SELECT json_agg(x ORDER BY x) FROM t")
+    # json_agg ORDER BY maps since round 11 (wave 53 comparator)
+    ja_o = t("SELECT json_agg(x ORDER BY x) FROM t")
+    assert "array_sort" in ja_o and ja_o == t(ja_o)
     with pytest.raises(TranspileError, match="literal string keys"):
         t("SELECT json_build_object(k, 1) FROM t")
     with pytest.raises(TranspileError):
@@ -3946,13 +3947,15 @@ def test_pg_hypothetical_set_and_json_agg_loud():
     WOULD have') are loud; window-form rank() keeps working. regr_* /
     covar_* / corr pass through natively (probed value-equal on live
     PG 15). json_agg's scalar form maps faithfully since round 9 (see
-    test_pg_round9_json_and_clause_tier); its ORDER BY form stays
-    loud."""
+    test_pg_round9_json_and_clause_tier); its single-key ORDER BY form
+    maps since round 11 (wave 53 comparator); DISTINCT stays loud."""
     with pytest.raises(TranspileError, match="hypothetical"):
         transpile(
             "SELECT rank(2) WITHIN GROUP (ORDER BY v) FROM t", "postgres")
-    with pytest.raises(TranspileError, match="order-preserving"):
-        transpile("SELECT json_agg(v ORDER BY v) FROM t", "postgres")
+    assert "array_sort" in transpile(
+        "SELECT json_agg(v ORDER BY v) FROM t", "postgres")
+    with pytest.raises(TranspileError, match="DISTINCT"):
+        transpile("SELECT json_agg(DISTINCT v) FROM t", "postgres")
     assert "OVER" in transpile(
         "SELECT rank() OVER (ORDER BY v) FROM t", "postgres")
     assert transpile(
@@ -4864,3 +4867,21 @@ def test_duck_in_paren_ignore_nulls_round11():
     # the pg read never reaches the duck token tier
     out = transpile("SELECT ignore FROM t", "postgres")
     assert out == "SELECT ignore FROM t"
+
+
+def test_pg_json_split_dispatch_gate_round11():
+    """The round-11 postgres_calls split (1,293 lines → calls + json)
+    must keep the moved json tier REACHABLE on the pg read AND keep
+    its no-first-pass-gate property (the to_json own-emission consumer
+    fires on later fixpoint passes) — the round-8 split regression
+    class."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    out = t("SELECT json_build_object('a', 1) AS v")
+    assert "to_json(array(" in out
+    # idempotency IS the fixpoint-consumer probe: a re-transpile of
+    # the emission must not loud on its own to_json(…, map(...)) tag
+    assert out == t(out)
+    out = t("SELECT json_object_agg(k, v) AS v FROM t")
+    assert "'{ '" in out and "raise_error" in out
+    # postgres_calls keeps its own tier (format stays home)
+    assert "format_string" in t("SELECT format('%s', 1) AS v")
