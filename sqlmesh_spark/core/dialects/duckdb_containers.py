@@ -28,6 +28,7 @@ from sqlmesh_spark.core.transpile_shared import (
     TranspileError,
     _NAME_KINDS,
     _call_arg_spans,
+    _parse_inagg_order,
 )
 from sqlmesh_spark.core.transpile_text import (
     _literal_content,
@@ -168,22 +169,73 @@ def call_handlers(ctx) -> "int | None":
         # the scale — same dtype class as the quantile seams.
         # Previously these passed through into UNRESOLVED_ROUTINE.
         spans, close = _call_arg_spans(toks, i + 1)
+        # the options-map argument doubles as the OWN-EMISSION tag:
+        # the round-11 scalar to_json/json_quote handler would
+        # re-consume a bare to_json(array(..)) and double-wrap
         je = (
-            "substring(to_json(array({v})) FROM 2 "
-            "FOR length(to_json(array({v}))) - 2)"
+            "substring(to_json(array({v}), "
+            "map('ignoreNullFields', 'false')) FROM 2 "
+            "FOR length(to_json(array({v}), "
+            "map('ignoreNullFields', 'false'))) - 2)"
         )
         if name == "json_group_array" and len(spans) == 1:
-            x_ = _arg_text(spans[0])
-            agg = f"array_agg(struct(({x_}) AS _v))"
+            a1 = spans[0][1]
+            order_at = None
+            d0 = 0
+            for j in range(spans[0][0], a1 + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ in ("(", "["):
+                    d0 += 1
+                elif k_ == "op" and t_ in (")", "]"):
+                    d0 -= 1
+                elif d0 == 0 and k_ in _NAME_KINDS and t_.upper() == "ORDER":
+                    order_at = j
+                    break
+            sort_wrap = None
+            if order_at is not None:
+                # in-aggregate ORDER BY (round 11, wave 53 machinery
+                # — previously the ORDER text spliced INTO the struct
+                # wrap and emitted unparseable SQL). The clause may
+                # already carry the shared NULLS annotation from this
+                # pass — strip it before the parse (duck's default is
+                # nulls_last for both directions, which the helper
+                # encodes).
+                a1, key_txt, sort_wrap = _parse_inagg_order(
+                    toks, sql, spans[0], order_at, read
+                )
+            x_ = sql[toks[spans[0][0]][2]:toks[a1][3]].strip()
+            if sort_wrap is not None:
+                agg = (
+                    f"array_agg(struct(({key_txt}) AS _k, "
+                    f"({x_}) AS _v))"
+                )
+                body = f"array_sort({agg}, {sort_wrap})"
+            else:
+                agg = f"array_agg(struct(({x_}) AS _v))"
+                body = agg
             elem = je.format(v="_s._v")
             edits.append(
                 (start, toks[close][3],
                  f"(CASE WHEN size({agg}) = 0 THEN NULL ELSE "
-                 f"'[' || array_join(transform({agg}, _s -> {elem}), "
+                 f"'[' || array_join(transform({body}, _s -> {elem}), "
                  f"',') || ']' END)")
             )
             return close + 1
         if name == "json_group_object" and len(spans) == 2:
+            d0 = 0
+            for j in range(spans[1][0], spans[1][1] + 1):
+                k_, t_ = toks[j][0], toks[j][1]
+                if k_ == "op" and t_ in ("(", "["):
+                    d0 += 1
+                elif k_ == "op" and t_ in (")", "]"):
+                    d0 -= 1
+                elif d0 == 0 and k_ in _NAME_KINDS and t_.upper() == "ORDER":
+                    raise TranspileError(
+                        "duckdb json_group_object(k, v ORDER BY ...) "
+                        "has no ordered map rewrite (the struct wrap "
+                        "reserves _k for the object key); aggregate "
+                        "without the ORDER BY"
+                    )
             k_, v_ = _arg_text(spans[0]), _arg_text(spans[1])
             agg = f"array_agg(struct(({k_}) AS _k, ({v_}) AS _v))"
             edits.append(

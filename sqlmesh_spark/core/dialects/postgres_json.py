@@ -15,6 +15,7 @@ from sqlmesh_spark.core.transpile_shared import (
     TranspileError,
     _NAME_KINDS,
     _call_arg_spans,
+    _parse_inagg_order,
 )
 from sqlmesh_spark.core.transpile_text import (
     _literal_content,
@@ -128,62 +129,10 @@ def _pg_json_calls(ctx) -> "int | None":
             # json_agg(x ORDER BY k [ASC|DESC] [NULLS FIRST|LAST])
             # (round 11, wave 53 machinery): single-key sorts absorb
             # as a comparator array_sort over (_k, _v) struct pairs
-            # before the document render; pg defaults ASC→NULLs last,
-            # DESC→NULLs first. Multi-key stays loud.
-            if (
-                order_at + 1 > a1
-                or toks[order_at + 1][0] not in _NAME_KINDS
-                or toks[order_at + 1][1].upper() != "BY"
-            ):
-                raise TranspileError("malformed in-aggregate ORDER BY")
-            k0 = order_at + 2
-            kend = a1
-            nulls_first = None
-            if (
-                kend >= k0 + 1
-                and toks[kend][0] in _NAME_KINDS
-                and toks[kend][1].upper() in ("FIRST", "LAST")
-                and toks[kend - 1][0] in _NAME_KINDS
-                and toks[kend - 1][1].upper() == "NULLS"
-            ):
-                nulls_first = toks[kend][1].upper() == "FIRST"
-                kend -= 2
-            descending = False
-            if (
-                kend >= k0
-                and toks[kend][0] in _NAME_KINDS
-                and toks[kend][1].upper() in ("ASC", "DESC")
-            ):
-                descending = toks[kend][1].upper() == "DESC"
-                kend -= 1
-            if kend < k0:
-                raise TranspileError("malformed in-aggregate ORDER BY")
-            d2 = 0
-            for j in range(k0, kend + 1):
-                k_, t_ = toks[j][0], toks[j][1]
-                if k_ == "op" and t_ in ("(", "["):
-                    d2 += 1
-                elif k_ == "op" and t_ in (")", "]"):
-                    d2 -= 1
-                elif d2 == 0 and k_ == "op" and t_ == ",":
-                    raise TranspileError(
-                        f"postgres {name}(x ORDER BY k1, k2) "
-                        "multi-key sorts have no comparator rewrite"
-                    )
-            if nulls_first is None:
-                nulls_first = descending
-            key_txt = sql[toks[k0][2]:toks[kend][3]].strip()
-            lt, gt = ("1", "-1") if descending else ("-1", "1")
-            nl, nr = ("-1", "1") if nulls_first else ("1", "-1")
-            sort_wrap = (
-                "(_l, _r) -> CASE "
-                "WHEN _l._k IS NULL AND _r._k IS NULL THEN 0 "
-                f"WHEN _l._k IS NULL THEN {nl} "
-                f"WHEN _r._k IS NULL THEN {nr} "
-                f"WHEN _l._k < _r._k THEN {lt} "
-                f"WHEN _l._k > _r._k THEN {gt} ELSE 0 END"
+            # before the document render. Multi-key stays loud.
+            a1, key_txt, sort_wrap = _parse_inagg_order(
+                toks, sql, spans[0], order_at, read
             )
-            a1 = order_at - 1
         x_ = sql[toks[spans[0][0]][2]:toks[a1][3]].strip()
         if sort_wrap is not None:
             agg = (

@@ -14,6 +14,7 @@ from sqlmesh_spark.core.transpile_shared import (
     _NAME_KINDS,
     _call_arg_spans,
     _json_key_to_path,
+    _parse_inagg_order,
 )
 from sqlmesh_spark.core.transpile_text import (
     _literal_content,
@@ -256,17 +257,16 @@ def call_handlers(ctx) -> "int | None":
         if toks[a0][0] in _NAME_KINDS and toks[a0][1].upper() == "DISTINCT":
             dist = "DISTINCT "
             a0 += 1
-        okey = None   # (key_text, descending, nulls_first)
+        okey = None   # (key_text, comparator)
         if order_at is not None:
             # array_agg(x ORDER BY k [ASC|DESC] [NULLS FIRST|LAST])
             # (round 11, wave 53): the element rows struct-wrap as
-            # (_k, _v) pairs, an explicit comparator sorts by _k with
-            # pg/duck's ORDER BY defaults (ASC → NULLs LAST, DESC →
-            # NULLs FIRST), and the transform extracts _v — Spark
-            # aggregates reject inline ORDER BY. Multi-key and
-            # DISTINCT forms stay loud (pg requires the DISTINCT expr
-            # as the sort key and already comes back sorted via the
-            # dist branch below).
+            # (_k, _v) pairs, an explicit comparator sorts by _k
+            # (defaults per read — see _parse_inagg_order), and the
+            # transform extracts _v — Spark aggregates reject inline
+            # ORDER BY. Multi-key and DISTINCT forms stay loud (pg
+            # requires the DISTINCT expr as the sort key and already
+            # comes back sorted via the dist branch below).
             if dist:
                 raise TranspileError(
                     "array_agg(DISTINCT x ORDER BY ...) transpiles "
@@ -275,58 +275,10 @@ def call_handlers(ctx) -> "int | None":
                     "rewrite reproduces); drop the ORDER BY or "
                     "sort explicitly"
                 )
-            if (
-                order_at + 1 > spans[0][1]
-                or toks[order_at + 1][0] not in _NAME_KINDS
-                or toks[order_at + 1][1].upper() != "BY"
-            ):
-                raise TranspileError("malformed in-aggregate ORDER BY")
-            k0 = order_at + 2
-            kend = spans[0][1]
-            nulls_first = None
-            if (
-                kend >= k0 + 1
-                and toks[kend][0] in _NAME_KINDS
-                and toks[kend][1].upper() in ("FIRST", "LAST")
-                and toks[kend - 1][0] in _NAME_KINDS
-                and toks[kend - 1][1].upper() == "NULLS"
-            ):
-                nulls_first = toks[kend][1].upper() == "FIRST"
-                kend -= 2
-            descending = False
-            if (
-                kend >= k0
-                and toks[kend][0] in _NAME_KINDS
-                and toks[kend][1].upper() in ("ASC", "DESC")
-            ):
-                descending = toks[kend][1].upper() == "DESC"
-                kend -= 1
-            if kend < k0:
-                raise TranspileError("malformed in-aggregate ORDER BY")
-            d2 = 0
-            for j_ in range(k0, kend + 1):
-                k_, t_ = toks[j_][0], toks[j_][1]
-                if k_ == "op" and t_ in ("(", "["):
-                    d2 += 1
-                elif k_ == "op" and t_ in (")", "]"):
-                    d2 -= 1
-                elif d2 == 0 and k_ == "op" and t_ == ",":
-                    raise TranspileError(
-                        "array_agg(x ORDER BY k1, k2) multi-key "
-                        "sorts have no comparator rewrite; sort "
-                        "explicitly after aggregating"
-                    )
-            if nulls_first is None:
-                # pg defaults NULLS FIRST on DESC; duck's
-                # default_null_order is nulls_last for BOTH
-                # directions (pinned live, wave 53: duck
-                # ORDER BY y DESC put the NULL-keyed row LAST)
-                nulls_first = descending and read == "postgres"
-            okey = (
-                sql[toks[k0][2]:toks[kend][3]].strip(),
-                descending, nulls_first,
+            a1, key_txt_, cmp_ = _parse_inagg_order(
+                toks, sql, spans[0], order_at, read
             )
-            a1 = order_at - 1
+            okey = (key_txt_, cmp_)
         if (
             toks[a0][0] in _NAME_KINDS
             and toks[a0][1].lower() == "struct"
@@ -405,17 +357,7 @@ def call_handlers(ctx) -> "int | None":
             return i
         body = agg
         if okey is not None:
-            _, desc_, nf_ = okey
-            lt, gt = ("1", "-1") if desc_ else ("-1", "1")
-            nl, nr = ("-1", "1") if nf_ else ("1", "-1")
-            body = (
-                f"array_sort({agg}, (_l, _r) -> CASE "
-                "WHEN _l._k IS NULL AND _r._k IS NULL THEN 0 "
-                f"WHEN _l._k IS NULL THEN {nl} "
-                f"WHEN _r._k IS NULL THEN {nr} "
-                f"WHEN _l._k < _r._k THEN {lt} "
-                f"WHEN _l._k > _r._k THEN {gt} ELSE 0 END)"
-            )
+            body = f"array_sort({agg}, {okey[1]})"
         if dist and read == "postgres":
             # pg implements DISTINCT-inside-aggregate by SORTING the
             # input, so array_agg(DISTINCT x) comes back ascending

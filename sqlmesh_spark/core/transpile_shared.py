@@ -622,3 +622,71 @@ class TokenCtx:
         "i", "kind", "text", "start", "end", "name",
         "arg_text", "is_op", "transpile", "dead_zones",
     )
+
+
+def _parse_inagg_order(toks, sql, span, order_at, read):
+    """Parse an in-aggregate `ORDER BY k [ASC|DESC] [NULLS FIRST|LAST]`
+    tail (round 11, wave 53): returns ``(a1_new, key_txt, comparator)``
+    where ``a1_new`` is the last token of the aggregate's value
+    expression, ``key_txt`` the sort-key SQL text, and ``comparator``
+    a Spark lambda string ordering ``(_l, _r)`` struct pairs by their
+    ``_k`` field. Defaults encode each read's null order: pg flips to
+    NULLS FIRST on DESC; duck's default_null_order is nulls_last for
+    BOTH directions (pinned live). Multi-key tails raise.
+    """
+    a1 = span[1]
+    if (
+        order_at + 1 > a1
+        or toks[order_at + 1][0] not in _NAME_KINDS
+        or toks[order_at + 1][1].upper() != "BY"
+    ):
+        raise TranspileError("malformed in-aggregate ORDER BY")
+    k0 = order_at + 2
+    kend = a1
+    nulls_first = None
+    if (
+        kend >= k0 + 1
+        and toks[kend][0] in _NAME_KINDS
+        and toks[kend][1].upper() in ("FIRST", "LAST")
+        and toks[kend - 1][0] in _NAME_KINDS
+        and toks[kend - 1][1].upper() == "NULLS"
+    ):
+        nulls_first = toks[kend][1].upper() == "FIRST"
+        kend -= 2
+    descending = False
+    if (
+        kend >= k0
+        and toks[kend][0] in _NAME_KINDS
+        and toks[kend][1].upper() in ("ASC", "DESC")
+    ):
+        descending = toks[kend][1].upper() == "DESC"
+        kend -= 1
+    if kend < k0:
+        raise TranspileError("malformed in-aggregate ORDER BY")
+    d2 = 0
+    for j in range(k0, kend + 1):
+        k_, t_ = toks[j][0], toks[j][1]
+        if k_ == "op" and t_ in ("(", "["):
+            d2 += 1
+        elif k_ == "op" and t_ in (")", "]"):
+            d2 -= 1
+        elif d2 == 0 and k_ == "op" and t_ == ",":
+            raise TranspileError(
+                "in-aggregate ORDER BY k1, k2 multi-key sorts have "
+                "no comparator rewrite; sort explicitly after "
+                "aggregating"
+            )
+    if nulls_first is None:
+        nulls_first = descending and read == "postgres"
+    key_txt = sql[toks[k0][2]:toks[kend][3]].strip()
+    lt, gt = ("1", "-1") if descending else ("-1", "1")
+    nl, nr = ("-1", "1") if nulls_first else ("1", "-1")
+    comparator = (
+        "(_l, _r) -> CASE "
+        "WHEN _l._k IS NULL AND _r._k IS NULL THEN 0 "
+        f"WHEN _l._k IS NULL THEN {nl} "
+        f"WHEN _r._k IS NULL THEN {nr} "
+        f"WHEN _l._k < _r._k THEN {lt} "
+        f"WHEN _l._k > _r._k THEN {gt} ELSE 0 END"
+    )
+    return order_at - 1, key_txt, comparator
