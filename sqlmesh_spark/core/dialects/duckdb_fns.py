@@ -249,6 +249,31 @@ def call_handlers(ctx) -> "int | None":
             )
             return close + 1
 
+    if name == "approx_quantile":
+        # duck approx_quantile (t-digest) → Spark approx_percentile
+        # (GK sketch): same APPROXIMATE-quantile contract, different
+        # algorithms — per-value parity is not promisable (documented
+        # tolerance class, like the GK/HLL sketch operators); scalar
+        # and array-of-fractions forms both exist on both sides.
+        # Previously an UNRESOLVED_ROUTINE passthrough.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            edits.append(
+                (start, toks[close][3],
+                 f"approx_percentile(({_arg_text(spans[0])}), "
+                 f"({_arg_text(spans[1])}))")
+            )
+            return close + 1
+        raise TranspileError(
+            "duckdb approx_quantile takes (value, quantile[s])"
+        )
+    if name == "reservoir_quantile":
+        raise TranspileError(
+            "duckdb reservoir_quantile (sampled quantile) has no "
+            "Spark analog; use approx_quantile → approx_percentile "
+            "or percentile_disc"
+        )
+
     if name == "unicode":
         # duck unicode(s): first code point, -1 for the EMPTY string,
         # NULL for NULL (pinned live, round 11). Spark's ascii is the

@@ -144,6 +144,87 @@ def call_handlers(ctx) -> "int | None":
                 "character checks) — no Spark rewrite"
             )
 
+
+    if (
+        read == "postgres"
+        and name in ("percentile_cont", "percentile_disc")
+    ):
+        # the ARRAY-of-fractions form (round 11, wave 54):
+        # percentile_cont(ARRAY[...]) WITHIN GROUP returns the
+        # quantile PER ELEMENT as an array — Spark's
+        # percentile_cont takes only a scalar fraction (the array
+        # passed through as an analysis error). percentile_cont →
+        # Spark percentile(v, array(...)) (exact interpolation,
+        # same contract); percentile_disc unfolds into an array()
+        # of scalar WITHIN GROUP calls (needs literal elements).
+        # DESC order keys are loud (continuous could flip to 1-p
+        # but discrete tie-breaking differs). Scalar-fraction
+        # forms fall through to the native passthrough.
+        spans, close = _call_arg_spans(toks, i + 1)
+        arr0 = spans[0][0] if len(spans) == 1 else None
+        # only the converted array(...) call form — a raw
+        # ARRAY[...] constructor resolves on the next fixpoint
+        # pass once the bracket form rewrites
+        is_arr = (
+            arr0 is not None
+            and toks[arr0][0] in _NAME_KINDS
+            and toks[arr0][1].upper() == "ARRAY"
+            and arr0 + 1 <= spans[0][1]
+            and toks[arr0 + 1][0] == "op"
+            and toks[arr0 + 1][1] == "("
+        )
+        if is_arr and not any(
+            e[1] >= start and e[0] <= toks[close][3] for e in edits
+        ):
+            j = close + 1
+            kws = []
+            while j < n and toks[j][0] in _NAME_KINDS and len(kws) < 2:
+                kws.append(toks[j][1].upper())
+                j += 1
+            if kws[:2] == ["WITHIN", "GROUP"] and (
+                j < n and toks[j][0] == "op" and toks[j][1] == "("
+            ):
+                ospans, oclose = _call_arg_spans(toks, j)
+                og = ospans[0]
+                if not (
+                    og[1] >= og[0] + 2
+                    and toks[og[0]][1].upper() == "ORDER"
+                    and toks[og[0] + 1][1].upper() == "BY"
+                ):
+                    raise TranspileError(
+                        "WITHIN GROUP needs ORDER BY"
+                    )
+                kend = og[1]
+                if toks[kend][0] in _NAME_KINDS and \
+                        toks[kend][1].upper() in ("ASC", "DESC"):
+                    if toks[kend][1].upper() == "DESC":
+                        raise TranspileError(
+                            f"postgres {name}(ARRAY[...]) with a "
+                            "DESC order key has no faithful "
+                            "rewrite; invert the fractions or "
+                            "sort ascending"
+                        )
+                    kend -= 1
+                v_ = sql[toks[og[0] + 2][2]:toks[kend][3]].strip()
+                fr_sp, fr_close = _call_arg_spans(toks, arr0 + 1)
+                if name == "percentile_cont":
+                    fr_txt = ", ".join(
+                        f"({_arg_text(sp)})" for sp in fr_sp
+                    )
+                    repl = (
+                        f"percentile(({v_}), array({fr_txt}))"
+                    )
+                else:
+                    parts = ", ".join(
+                        f"percentile_disc(({_arg_text(sp)})) "
+                        f"WITHIN GROUP (ORDER BY ({v_}))"
+                        for sp in fr_sp
+                    )
+                    repl = f"array({parts})"
+                _unused2 = fr_close
+                edits.append((start, toks[oclose][3], repl))
+                return oclose + 1
+
     if (
         name == "string_to_array"
         and read == "postgres"

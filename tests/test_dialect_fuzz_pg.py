@@ -773,6 +773,12 @@ TEMPLATES += [
     " FROM (VALUES (10, 3),(20, 1),(30, 2)) t(x, y))",
     "(SELECT json_agg(x ORDER BY y DESC)::text"
     " FROM (VALUES (10, 3),(20, NULL),(30, 2)) t(x, y))",
+    # wave 54: ARRAY-of-fractions percentiles
+    "(SELECT percentile_cont(ARRAY[0.25, 0.5])"
+    " WITHIN GROUP (ORDER BY v::float8)"
+    " FROM (VALUES (1.0),(2.0),(3.0),(4.0)) t(v))",
+    "(SELECT percentile_disc(ARRAY[0.5, 0.9])"
+    " WITHIN GROUP (ORDER BY v) FROM (VALUES (1),(2),(3),(4)) t(v))",
 ]
 
 # round-9 date wave: date ± INTERVAL promotes to TIMESTAMP in pg
