@@ -96,6 +96,12 @@ _DIALECT_TYPES: dict[str, dict[str, str | None]] = {
         "macaddr": None,
         "macaddr8": None,
         "interval": None,
+        # name is pg's 63-BYTE-truncating identifier type (round 11):
+        # a rename to STRING would silently skip the truncation and
+        # the bare word fails Spark's parser as an unknown type
+        "name": None,
+        "regclass": None,
+        "regtype": None,
         "uuid": "STRING",
     },
     "duckdb": {
