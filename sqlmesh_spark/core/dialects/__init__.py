@@ -208,6 +208,8 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "gen_random_uuid": "uuid",
         "make_time": None,              # Spark has no TIME type
         "make_timestamptz": None,       # SESSION-zone timestamptz
+        "timeofday": None,              # wall-clock TEXT, re-evaluated
+                                        # per call — no Spark analog
     },
     "ansi": {},                         # ANSI names that differ are below
     "snowflake": _SNOWFLAKE_FN,

@@ -47,6 +47,24 @@ def token_handlers(ctx) -> "int | None":
 
     if (
         kind == "ident"
+        and text.upper() in ("CURRENT_TIME", "LOCALTIME")
+        and not (
+            i + 1 < n
+            and toks[i + 1][0] == "op"
+            and toks[i + 1][1] == "("
+        )
+    ):
+        # bare TIME-typed session keywords (round 11): Spark has no
+        # TIME type and no such keyword — the passthrough resolved as
+        # an unknown COLUMN. (current_date/current_timestamp/
+        # localtimestamp all exist in Spark and pass through.)
+        raise TranspileError(
+            f"{text.lower()} has no Spark analog (no TIME type); use "
+            "current_timestamp and format/extract the time fields"
+        )
+
+    if (
+        kind == "ident"
         and text.upper() == "ARRAY"
         and i + 2 < n
         and toks[i + 1][0] == "op" and toks[i + 1][1] == "("

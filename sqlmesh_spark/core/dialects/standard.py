@@ -714,6 +714,19 @@ def call_handlers(ctx) -> "int | None":
     ) and first_pass:
         spans_, _close_ = _call_arg_spans(toks, i + 1)
         args = [sp[0] for sp in spans_]
+        if len(args) == 2 and (
+            (toks[args[0]][0] in _NAME_KINDS
+             and toks[args[0]][1].lower() in ("interval", "make_interval"))
+        ):
+            # pg to_char(interval, fmt) formats elapsed-time FIELDS
+            # (HH24 of interval '26 hours' is 26); the date_format
+            # emission below cannot take an interval — loud for the
+            # statically visible literal/constructor shapes (round 11)
+            raise TranspileError(
+                "postgres to_char over an INTERVAL formats elapsed "
+                "time fields; no Spark rewrite — extract the fields "
+                "and format_string them explicitly"
+            )
         if len(args) == 2 and toks[args[1]][0] == "string" \
                 and spans_[1][0] == spans_[1][1]:
             from sqlmesh_spark.core.transpile_text import (

@@ -120,6 +120,17 @@ def call_handlers(ctx) -> "int | None":
         # duckdb DATE). Unknown literal units are loud; non-literal
         # unit expressions are loud too (no way to guard the NULL).
         spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 3 and read == "postgres":
+            # pg-14 3-arg form truncates in the NAMED zone then
+            # converts back — Spark's date_trunc is 2-arg and
+            # session-zoned (the passthrough died as an arg-count
+            # error; round 11)
+            raise TranspileError(
+                "postgres date_trunc(unit, ts, timezone) truncates "
+                "in the named zone; Spark's date_trunc is 2-arg in "
+                "the session zone — set spark.sql.session.timeZone "
+                "and drop the argument"
+            )
         if len(spans) == 2:
             u0, u1 = spans[0]
             if not (u0 == u1 and toks[u0][0] == "string"):
