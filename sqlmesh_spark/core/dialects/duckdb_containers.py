@@ -363,10 +363,14 @@ def call_handlers(ctx) -> "int | None":
         if len(spans) != 1:
             raise TranspileError("duckdb json_valid takes 1 argument")
         x_ = _arg_text(spans[0])
+        # trailing '= TRUE' is a semantic no-op that lets the ::int
+        # castee boolean-shape classifier see a boolean — without it
+        # json_valid(j)::int round()-wrapped the IF and failed
+        # analysis (the jsonb-? emission class)
         edits.append(
             (start, toks[close][3],
-             f"IF(({x_}) IS NULL, NULL, "
-             f"get_json_object(({x_}), '$') IS NOT NULL)")
+             f"(IF(({x_}) IS NULL, NULL, "
+             f"get_json_object(({x_}), '$') IS NOT NULL) = TRUE)")
         )
         return close + 1
     if name in ("to_json", "json_quote"):

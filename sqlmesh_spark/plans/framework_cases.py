@@ -2423,6 +2423,77 @@ GROUP BY strftime(o_orderdate, '%Y')
     return spark.table("env_ddbl_views.lambda_orders")
 
 
+DDB_R11B_ORACLE = """
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       format('{1}#{0}', o_orderpriority, COUNT(*)) AS tag,
+       printf('%.2f', MAX(o_totalprice)) AS maxp,
+       to_json(histogram(o_orderpriority)) AS hist,
+       CAST(json_valid(MIN(jdoc)) AS INT) AS jv,
+       array_to_string(json_keys(MIN(jdoc)), ',') AS jk,
+       CAST(MAX(lv) AS BIGINT) AS last_seen
+FROM (
+  SELECT o.*, '{"b":1,"a":2}' AS jdoc,
+         last_value(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END
+                    IGNORE NULLS)
+           OVER (ORDER BY o_orderkey) AS lv
+  FROM orders o WHERE o_custkey % 10 = 0
+) GROUP BY o_orderpriority
+"""
+
+
+@register("framework_duckdb_r11b_model", oracle=DDB_R11B_ORACLE,
+          tags=("dialect", "framework"))
+def framework_duckdb_r11b_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 duck waves 47-52 tier through plan/apply,
+    value-checked against DuckDB running the SAME duck SQL natively:
+    fmt-'{}' format() with 0-based positional reorder, printf %f over
+    a DECIMAL aggregate (the DOUBLE-cast path — previously a bare Java
+    IllegalFormatConversionException at runtime), histogram()
+    serialized through scalar to_json (the own-emission-tagged wrap),
+    json_valid / json_keys, and the in-paren IGNORE NULLS window keyword
+    moved between the call and OVER. (GROUP BY ALL itself is pinned by
+    wave 48; duck's inference REJECTS select items mixing a grouping
+    column with an aggregate — format('{1}#{0}', pri, COUNT(*)) — that
+    Spark accepts, an engine-rejected shape, so the model groups
+    explicitly.)
+    Live-pinned by tools/probes/duck_format_wave50.txt,
+    duck_json_wave47.txt, duck_histogram_wave49.txt,
+    duck_ignore_nulls_wave52.txt, duck_clause_wave48.txt."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_ddbr11b", "env_ddbr11b_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_ddbr11b.r11b_orders,
+  kind FULL,
+  dialect duckdb
+);
+SELECT o_orderpriority AS pri,
+       COUNT(*)::int8 AS n,
+       format('{1}#{0}', o_orderpriority, COUNT(*)) AS tag,
+       printf('%.2f', MAX(o_totalprice)) AS maxp,
+       to_json(histogram(o_orderpriority)) AS hist,
+       json_valid(MIN(jdoc))::int AS jv,
+       array_to_string(json_keys(MIN(jdoc)), ',') AS jk,
+       MAX(lv)::int8 AS last_seen
+FROM (
+  SELECT o.*, '{"b":1,"a":2}' AS jdoc,
+         last_value(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END
+                    IGNORE NULLS)
+           OVER (ORDER BY o_orderkey) AS lv
+  FROM orders o WHERE o_custkey % 10 = 0
+) GROUP BY o_orderpriority
+"""
+    )
+    ctx.run(environment="env_ddbr11b")
+    return spark.table("env_ddbr11b_views.r11b_orders")
+
+
 DDB_STMT_ORACLE = """
 SELECT strftime(o_orderdate, '%Y') AS yr,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
