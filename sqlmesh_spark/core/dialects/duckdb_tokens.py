@@ -18,6 +18,7 @@ import re
 from sqlmesh_spark.core.transpile_shared import (
     TranspileError,
     _NAME_KINDS,
+    _backward_primary,
     _call_arg_spans,
 )
 from sqlmesh_spark.core.transpile_text import (
@@ -36,6 +37,10 @@ def token_handlers(ctx) -> "int | None":
     i, kind, text = ctx.i, ctx.kind, ctx.text
     start = ctx.start
     n = len(toks)
+
+    nxt_handled = _duck_match_operators(ctx)
+    if nxt_handled is not None:
+        return nxt_handled
 
     if (
         kind == "ident"
@@ -666,5 +671,205 @@ def token_handlers(ctx) -> "int | None":
             edits.append((ls, toks[close_b][3], repl))
             return close_b + 1
         return None
+
+    return None
+
+
+def _glob_to_regex(p: str) -> str:
+    """duck GLOB pattern → Java regex body (round 11, pinned live):
+    case-sensitive; ``*`` any run, ``?`` one char, ``[...]`` classes
+    with fnmatch-style ``[!...]`` negation, ``%``/``_`` LITERAL. An
+    unterminated ``[`` matches a literal bracket."""
+    out = []
+    i2 = 0
+    while i2 < len(p):
+        c = p[i2]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j2 = i2 + 1
+            cls = "["
+            if j2 < len(p) and p[j2] == "!":
+                cls += "^"
+                j2 += 1
+            while j2 < len(p) and p[j2] != "]":
+                ch = p[j2]
+                cls += ("\\" + ch) if ch in "\\[" else ch
+                j2 += 1
+            if j2 >= len(p):
+                out.append("\\[")
+                i2 += 1
+                continue
+            out.append(cls + "]")
+            i2 = j2
+        elif c in "\\.^$+{}()|":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i2 += 1
+    return "".join(out)
+
+
+def _duck_match_operators(ctx) -> "int | None":
+    """duck's match-operator tier (round 11, all pinned live —
+    every form previously PASSED THROUGH into a Spark parse error):
+
+      x ~ p      regexp FULL match ('abc' ~ 'b' is FALSE — unlike
+                 pg's partial ~; same seam class as duck hash())
+      x !~ p     negated full match
+      x ~~ p     LIKE        (duck LIKE: NO default escape)
+      x !~~ p    NOT LIKE
+      x ~~~ p    GLOB        (also the GLOB keyword)
+      x !~~~ p   NOT GLOB (operator only; the keyword form does not
+                 parse in duck)
+      x GLOB p   case-sensitive glob (*, ?, [..], [!..]; %/_ literal)
+      x SIMILAR TO p   full-match against a PLAIN REGEX — duck's
+                 pattern is NOT pg's SQL-regex ('a%' matches the
+                 literal; 'a.*' matches) so the pg SIMILAR handler
+                 must never run on the duck read
+
+    Literal patterns only (the anchor/conversion must see the text);
+    ~ run length disambiguates which operator. Unary ~ (bitwise NOT)
+    is left untouched: binary requires a primary-ending token on the
+    left."""
+    toks, edits = ctx.toks, ctx.edits
+    sql = ctx.sql
+    i, kind, text = ctx.i, ctx.kind, ctx.text
+    start = ctx.start
+    n = len(toks)
+
+    def _emit(lhs_start, lhs_end, pat_idx, end_idx, negate, mode):
+        ptok = toks[pat_idx]
+        if ptok[0] != "string":
+            raise TranspileError(
+                "duckdb match operators (~, ~~, ~~~, GLOB, SIMILAR "
+                "TO) need a literal pattern to transpile"
+            )
+        if any(
+            e[1] >= lhs_start and e[0] <= toks[end_idx][3]
+            for e in edits
+        ):
+            return i + 1  # operand edited this pass; resolve next
+        lhs_txt = sql[lhs_start:lhs_end].strip()
+        content = _literal_content(ptok[1], "duckdb")
+        neg = "NOT " if negate else ""
+        if mode == "like":
+            # duck LIKE has NO default escape char (Spark's is
+            # backslash) — double backslashes at the pattern level,
+            # same as the shared duck LIKE literal handler
+            lit = _spark_string_literal(
+                content.replace("\\", "\\\\"), "duckdb"
+            )
+            repl = f"(({lhs_txt}) {neg}LIKE {lit})"
+        else:
+            if mode == "glob":
+                body = _glob_to_regex(content)
+            else:
+                from sqlmesh_spark.core.transpile_text import (
+                    convert_posix_classes,
+                    convert_regex_literal,
+                )
+                body = convert_regex_literal(
+                    convert_posix_classes(content), "duckdb"
+                )
+            lit = _spark_string_literal(f"^(?:{body})\\z", "duckdb")
+            repl = f"({neg}(({lhs_txt}) RLIKE {lit}))"
+        edits.append((lhs_start, toks[end_idx][3], repl))
+        return end_idx + 1
+
+    def _lhs_start(before_idx):
+        lf = _backward_primary(toks, before_idx, include_unary=False)
+        return None if lf is None else toks[lf][2]
+
+    if kind == "ident" and text.upper() == "GLOB":
+        if i + 1 >= n or i == 0:
+            return None
+        ls = _lhs_start(i - 1)
+        if ls is None:
+            return None
+        return _emit(ls, toks[i - 1][3], i + 1, i + 1, False, "glob")
+
+    if kind == "ident" and text.upper() == "SIMILAR":
+        if not (
+            i + 2 < n
+            and toks[i + 1][0] in _NAME_KINDS
+            and toks[i + 1][1].upper() == "TO"
+        ) or i == 0:
+            return None
+        negate = False
+        back = i - 1
+        if (
+            toks[back][0] in _NAME_KINDS
+            and toks[back][1].upper() == "NOT"
+        ):
+            negate = True
+            back -= 1
+        if (
+            i + 3 < n
+            and toks[i + 3][0] in _NAME_KINDS
+            and toks[i + 3][1].upper() == "ESCAPE"
+        ):
+            raise TranspileError(
+                "duckdb SIMILAR TO ... ESCAPE has no regex rewrite "
+                "(duck patterns are plain regexes; escape inline)"
+            )
+        ls = _lhs_start(back)
+        if ls is None:
+            return None
+        return _emit(ls, toks[back][3], i + 2, i + 2, negate, "regex")
+
+    if kind == "op" and text == "~":
+        # only the FIRST ~ of a run dispatches (a preceding adjacent
+        # ~ means an earlier ~ owns the operator; a preceding
+        # adjacent ! is the NEGATED form — duck's postfix-factorial !
+        # is never adjacent to a following ~)
+        prev = toks[i - 1] if i > 0 else None
+        if (
+            prev is not None
+            and prev[0] == "op"
+            and prev[1] == "~"
+            and prev[3] == start
+        ):
+            return None
+        run = 1
+        while (
+            i + run < n
+            and toks[i + run][0] == "op"
+            and toks[i + run][1] == "~"
+            and toks[i + run][2] == toks[i + run - 1][3]
+        ):
+            run += 1
+        if run > 3:
+            return None
+        negate = False
+        back = i - 1
+        if (
+            prev is not None
+            and prev[0] == "op"
+            and prev[1] == "!"
+            and prev[3] == start
+        ):
+            negate = True
+            back = i - 2
+        if back < 0:
+            return None
+        # binary only: the left neighbour must END a primary
+        lt = toks[back]
+        if not (
+            lt[0] in ("ident", "qident", "bquote", "dquote",
+                      "number", "string")
+            or (lt[0] == "op" and lt[1] in (")", "]"))
+        ):
+            return None  # unary bitwise NOT — Spark-native
+        pat_idx = i + run
+        if pat_idx >= n:
+            return None
+        ls = _lhs_start(back)
+        if ls is None:
+            return None
+        mode = {1: "regex", 2: "like", 3: "glob"}[run]
+        return _emit(ls, toks[back][3], pat_idx, pat_idx, negate, mode)
 
     return None

@@ -609,12 +609,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
         if read == "duckdb" and (
-            (kind == "op" and text in ("{", "::", "&", "-"))
+            (kind == "op" and text in ("{", "::", "&", "-", "~"))
             or (kind == "ident" and (
                 text.upper() in (
                     "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",
                     "INTERVAL", "EXCLUDE", "ASOF", "POSITIONAL", "FROM",
                     "USING", "TABLESAMPLE", "IGNORE", "RESPECT",
+                    "GLOB", "SIMILAR",
                 )
                 # duck underscore digit-group literals (1_000_000):
                 # the lexer splits them number + _-ident

@@ -269,6 +269,24 @@ TEMPLATES += [
     "unicode('λ')",
     "unicode('')",
     "unicode(NULL)",
+    # round 11 (wave 55): duck match operators — binary ~ is regexp
+    # FULL match (NOT pg's partial), ~~/!~~ LIKE aliases, ~~~/GLOB
+    # case-sensitive glob (%/_ literal, [!..] negation), SIMILAR TO
+    # takes a PLAIN regex; unary bitwise ~ untouched
+    "('abc' ~ 'b')::int",
+    "('abc' ~ 'a.*')::int",
+    "('abc' !~ 'b')::int",
+    "('abc' ~~ 'a%')::int",
+    "('abc' ~~~ 'a*')::int",
+    "('a.c' GLOB 'a?c')::int",
+    "('ab' GLOB 'a[!x]')::int",
+    "('a%c' GLOB 'a%c')::int",
+    "('abc' GLOB 'a%')::int",
+    "('abc' SIMILAR TO 'a%')::int",
+    "('a%' SIMILAR TO 'a%')::int",
+    "('abc' NOT SIMILAR TO 'x.*')::int",
+    "~5",
+    "5 & ~3",
     # round 11 (wave 49): histogram() — key-sorted value→count MAP,
     # NULLs skipped, NULL on empty, duck-name-safe emission spellings
     "(SELECT histogram(x) FROM (VALUES (2),(1),(1),(NULL)) t(x))",
