@@ -43,6 +43,38 @@ def token_handlers(ctx) -> "int | None":
         return nxt_handled
 
     if (
+        kind == "op"
+        and text == "!"
+        and i > 0
+        and not (
+            i + 1 < n
+            and toks[i + 1][0] == "op"
+            and toks[i + 1][1] in ("=", "~")
+            and toks[i + 1][2] == ctx.end
+        )
+        and (
+            toks[i - 1][0] in ("ident", "qident", "bquote", "dquote",
+                               "number")
+            or (toks[i - 1][0] == "op" and toks[i - 1][1] in (")", "]"))
+        )
+    ):
+        # duck POSTFIX factorial (5! = 120, round 11 — previously a
+        # Spark parse error). != / !~ / !~~ operator heads are
+        # excluded by the adjacency check; a genuinely prefix ! does
+        # not exist in duck. Spark's factorial is exact to 20! and
+        # NULL above where duck goes HUGEINT — same seam as the
+        # factorial() function-form passthrough.
+        lf = _backward_primary(toks, i - 1, include_unary=False)
+        if lf is not None and not any(
+            e[1] >= toks[lf][2] and e[0] <= ctx.end for e in edits
+        ):
+            lhs_txt = sql[toks[lf][2]:toks[i - 1][3]].strip()
+            edits.append(
+                (toks[lf][2], ctx.end, f"factorial(({lhs_txt}))")
+            )
+            return i + 1
+
+    if (
         kind == "ident"
         and text.upper() in ("IGNORE", "RESPECT")
         and i + 2 < n
@@ -401,7 +433,6 @@ def token_handlers(ctx) -> "int | None":
         # as pg's. Bracket-literal operands defer one pass (the
         # primary helpers return None until they're array(...) calls).
         from sqlmesh_spark.core.transpile_shared import (
-            _backward_primary,
             _forward_primary,
         )
 

@@ -246,8 +246,23 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
 
         # `//` integer division → DIV (adjacent '/' '/' spans). For
         # duckdb the next pass wraps DIV's divisor in nullif (below).
+        # duck caveat (round 11, pinned live): `//` TRUNCATES only for
+        # int//int — with ANY float/decimal operand it is PLAIN
+        # division (8.0 // 3 = 2.667, no flooring) — so a statically
+        # visible non-integer literal operand emits `/` instead
+        # (float COLUMNS stay on DIV, the same documented residual as
+        # pg's untyped int `/`).
         if kind == "op" and text == "/" and is_op(i + 1, "/") and toks[i + 1][2] == end:
-            edits.append((start, toks[i + 1][3], " DIV "))
+            floaty = False
+            if read == "duckdb":
+                for nb in (i - 1, i + 2):
+                    if 0 <= nb < n and toks[nb][0] == "number" and any(
+                        c in toks[nb][1] for c in ".eE"
+                    ):
+                        floaty = True
+            edits.append(
+                (start, toks[i + 1][3], " / " if floaty else " DIV ")
+            )
             i += 2
             continue
 
@@ -609,7 +624,7 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
         if read == "duckdb" and (
-            (kind == "op" and text in ("{", "::", "&", "-", "~"))
+            (kind == "op" and text in ("{", "::", "&", "-", "~", "!"))
             or (kind == "ident" and (
                 text.upper() in (
                     "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",

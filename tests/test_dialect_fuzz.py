@@ -287,6 +287,11 @@ TEMPLATES += [
     "('abc' NOT SIMILAR TO 'x.*')::int",
     "~5",
     "5 & ~3",
+    # duck // is PLAIN division for any non-integer operand (pinned:
+    # 8.0 // 3 = 2.667, no flooring — the blanket DIV was silently
+    # integral); postfix ! factorial
+    "7 // 2", "-7 // 2", "7.9 // 2", "8.0 // 3", "7 // 2.0",
+    "5!", "(3 + 2)!",
     # round 11 (wave 49): histogram() — key-sorted value→count MAP,
     # NULLs skipped, NULL on empty, duck-name-safe emission spellings
     "(SELECT histogram(x) FROM (VALUES (2),(1),(1),(NULL)) t(x))",
@@ -744,10 +749,15 @@ def test_pinned_fuzz_divergences(spark):
     """Documented, reference-matching divergences the corpus excludes."""
     # duckdb float // is plain float division (3 // 2.5 = 1.2); SQLGlot
     # (and therefore the reference) maps duckdb // to IntDiv -> Spark
-    # DIV, which casts to long. We match the reference.
+    # DIV, which casts to long. Round 11: statically VISIBLE float
+    # literals now emit plain `/` — more faithful than the reference
+    # toolchain (the to_char precedent); float COLUMNS stay on DIV,
+    # the documented reference-matching residual.
     assert duckdb.sql("SELECT 3 // 2.5 AS v").fetchall()[0][0] == 1.2
     out = transpile("SELECT 3 // 2.5 AS v", "duckdb")
-    assert spark.sql(out).collect()[0][0] == 1
+    assert float(spark.sql(out).collect()[0][0]) == 1.2
+    out_col = transpile("SELECT a // b AS v FROM t", "duckdb")
+    assert "DIV" in out_col
     # duckdb len()/length() accept LISTS; statically-list args now
     # rewrite to size() (round 9 — previously a loud analysis error)
     out = transpile("SELECT len([1,2,3]) AS v", "duckdb")
