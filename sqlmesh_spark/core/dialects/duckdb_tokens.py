@@ -786,14 +786,15 @@ def _duck_match_operators(ctx) -> "int | None":
         lhs_txt = sql[lhs_start:lhs_end].strip()
         content = _literal_content(ptok[1], "duckdb")
         neg = "NOT " if negate else ""
-        if mode == "like":
+        if mode in ("like", "ilike"):
             # duck LIKE has NO default escape char (Spark's is
             # backslash) — double backslashes at the pattern level,
             # same as the shared duck LIKE literal handler
             lit = _spark_string_literal(
                 content.replace("\\", "\\\\"), "duckdb"
             )
-            repl = f"(({lhs_txt}) {neg}LIKE {lit})"
+            kw = "ILIKE" if mode == "ilike" else "LIKE"
+            repl = f"(({lhs_txt}) {neg}{kw} {lit})"
         else:
             if mode == "glob":
                 body = _glob_to_regex(content)
@@ -813,6 +814,87 @@ def _duck_match_operators(ctx) -> "int | None":
     def _lhs_start(before_idx):
         lf = _backward_primary(toks, before_idx, include_unary=False)
         return None if lf is None else toks[lf][2]
+
+    if kind == "op" and text in ("@>", "<@"):
+        # duck list containment (round 11, pinned live): a @> b is
+        # "every element of b appears in a", with NULL ELEMENTS
+        # MATCHING ([1,NULL] @> [NULL] is true — unlike pg's strict
+        # array @>), empty needle true, NULL operand NULL. The
+        # standard grammar rejected '@' outright (the duck grammar
+        # derivation adds the family). Bracket-literal operands defer
+        # one pass until they are array(...) calls.
+        from sqlmesh_spark.core.transpile_shared import (
+            _forward_primary,
+        )
+        lf = (
+            _backward_primary(toks, i - 1, include_unary=False)
+            if i > 0 else None
+        )
+        rs = _forward_primary(toks, i + 1)
+        if lf is None or rs is None:
+            return None
+        if any(
+            e[1] >= toks[lf][2] and e[0] <= toks[rs[1]][3]
+            for e in edits
+        ):
+            return i + 1
+        a_ = sql[toks[lf][2]:toks[i - 1][3]].strip()
+        b_ = sql[toks[rs[0]][2]:toks[rs[1]][3]].strip()
+        if text == "<@":
+            a_, b_ = b_, a_
+        # trailing '= TRUE' is the boolean-castee classifier no-op
+        # (the jsonb-? class): without it (l @> [2])::int round()-
+        # wraps the IF and fails analysis
+        edits.append(
+            (toks[lf][2], toks[rs[1]][3],
+             f"(IF(({a_}) IS NULL OR ({b_}) IS NULL, NULL, "
+             f"forall(({b_}), _ce -> exists(({a_}), "
+             f"_ca -> _ca <=> _ce))) = TRUE)")
+        )
+        return rs[1] + 1
+
+    if kind == "op" and text == "^@":
+        # duck ^@ starts-with (round 11, pinned live)
+        from sqlmesh_spark.core.transpile_shared import (
+            _forward_primary,
+        )
+        lf = (
+            _backward_primary(toks, i - 1, include_unary=False)
+            if i > 0 else None
+        )
+        rs = _forward_primary(toks, i + 1)
+        if lf is None or rs is None:
+            return None
+        if any(
+            e[1] >= toks[lf][2] and e[0] <= toks[rs[1]][3]
+            for e in edits
+        ):
+            return i + 1
+        a_ = sql[toks[lf][2]:toks[i - 1][3]].strip()
+        b_ = sql[toks[rs[0]][2]:toks[rs[1]][3]].strip()
+        edits.append(
+            (toks[lf][2], toks[rs[1]][3],
+             f"(startswith(({a_}), ({b_})) = TRUE)")
+        )
+        return rs[1] + 1
+
+    if kind == "op" and text == "@":
+        # duck unary @ = abs (round 11, pinned live: @ -5.5 is 5.5)
+        from sqlmesh_spark.core.transpile_shared import (
+            _forward_primary,
+        )
+        rs = _forward_primary(toks, i + 1)
+        if rs is None:
+            return None
+        if any(
+            e[1] >= start and e[0] <= toks[rs[1]][3] for e in edits
+        ):
+            return i + 1
+        b_ = sql[toks[rs[0]][2]:toks[rs[1]][3]].strip()
+        edits.append(
+            (start, toks[rs[1]][3], f"abs(({b_}))")
+        )
+        return rs[1] + 1
 
     if kind == "ident" and text.upper() == "GLOB":
         if i + 1 >= n or i == 0:
@@ -874,6 +956,16 @@ def _duck_match_operators(ctx) -> "int | None":
             run += 1
         if run > 3:
             return None
+        ilike = False
+        if (
+            run == 2
+            and i + run < n
+            and toks[i + run][0] == "op"
+            and toks[i + run][1] == "*"
+            and toks[i + run][2] == toks[i + run - 1][3]
+        ):
+            # duck ~~* / !~~* are the ILIKE aliases (pinned live)
+            ilike = True
         negate = False
         back = i - 1
         if (
@@ -900,7 +992,12 @@ def _duck_match_operators(ctx) -> "int | None":
         ls = _lhs_start(back)
         if ls is None:
             return None
-        mode = {1: "regex", 2: "like", 3: "glob"}[run]
+        if ilike:
+            pat_idx += 1
+        mode = (
+            "ilike" if ilike
+            else {1: "regex", 2: "like", 3: "glob"}[run]
+        )
         return _emit(ls, toks[back][3], pat_idx, pat_idx, negate, mode)
 
     return None

@@ -207,6 +207,29 @@ def _derive_pg_pattern() -> str:
 _PG_TOKEN_RE = re.compile(_derive_pg_pattern(), re.VERBOSE | re.DOTALL)
 
 
+def _derive_duck_pattern() -> str:
+    """DuckDB grammar: the STANDARD grammar plus the ``@`` operator
+    family duck 1.x grew — ``@>`` / ``<@`` list containment, ``^@``
+    starts-with, unary ``@`` abs (all pinned live, round 11; the
+    standard op class rejected the character outright). Same
+    assert-on-derive rule as the other derived grammars."""
+    pattern = _TOKEN_RE.pattern
+    old_alt = r"->|::|[(),.;*=<>+\-/%^&|\[\]{}?:!~]"
+    new_alt = (r"->|::|\^@|@>|<@|"
+               r"[(),.;*=<>+\-/%^&|\[\]{}?:!~@]")
+    replaced = pattern.replace(old_alt, new_alt)
+    if replaced == pattern:  # pragma: no cover - build-time guard
+        raise AssertionError(
+            "duckdb grammar failed to derive: expected alternative "
+            "not found in sqlparse._TOKEN_RE — update "
+            "sqlparse._derive_duck_pattern"
+        )
+    return replaced
+
+
+_DUCK_TOKEN_RE = re.compile(_derive_duck_pattern(), re.VERBOSE | re.DOTALL)
+
+
 def _token_re_for(dialect: str):
     """The ONE grammar choice shared by sqlparse.tokenize and
     transpile._tokenize_spans."""
@@ -220,6 +243,8 @@ def _token_re_for(dialect: str):
         return _TSQL_TOKEN_RE
     if dialect == "postgres":
         return _PG_TOKEN_RE
+    if dialect == "duckdb":
+        return _DUCK_TOKEN_RE
     if dialect in ESCAPE_LITERAL_DIALECTS:
         return _ESC_TOKEN_RE
     return _TOKEN_RE

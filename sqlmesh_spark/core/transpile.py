@@ -624,7 +624,8 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 continue
 
         if read == "duckdb" and (
-            (kind == "op" and text in ("{", "::", "&", "-", "~", "!"))
+            (kind == "op" and text in ("{", "::", "&", "-", "~", "!",
+                                       "@>", "<@", "^@", "@"))
             or (kind == "ident" and (
                 text.upper() in (
                     "REPLACE", "BY", "PIVOT", "UNPIVOT", "PIVOT_WIDER",

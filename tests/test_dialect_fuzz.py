@@ -292,6 +292,21 @@ TEMPLATES += [
     # integral); postfix ! factorial
     "7 // 2", "-7 // 2", "7.9 // 2", "8.0 // 3", "7 // 2.0",
     "5!", "(3 + 2)!",
+    # the duck @ family (standard grammar rejected the char outright):
+    # @>/<@ list containment with NULL-ELEMENT matching (<=> — unlike
+    # pg's strict array @>), ^@ starts-with, unary @ abs; ~~*/!~~*
+    # ILIKE aliases
+    "('ABC' ~~* 'a%')::int",
+    "('ABC' !~~* 'a%')::int",
+    "([1,2,3] @> [2])::int",
+    "([1,NULL] @> [NULL])::int",
+    "([1,2] @> [])::int",
+    "([1] @> [1,9])::int",
+    "([2] <@ [1,2,3])::int",
+    "('abc' ^@ 'ab')::int",
+    "('abc' ^@ 'bc')::int",
+    "@ -5.5",
+    "@(-5)",
     # round 11 (wave 49): histogram() — key-sorted value→count MAP,
     # NULLs skipped, NULL on empty, duck-name-safe emission spellings
     "(SELECT histogram(x) FROM (VALUES (2),(1),(1),(NULL)) t(x))",
