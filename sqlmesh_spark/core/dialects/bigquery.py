@@ -90,6 +90,52 @@ def call_handlers(ctx) -> "int | None":
     is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name in ("array_agg", "string_agg", "any_value", "first_value",
+                "last_value", "lead", "lag", "nth_value"):
+        # BQ in-paren NULL treatment (round 11): ARRAY_AGG(x IGNORE
+        # NULLS) — Spark parses IGNORE/RESPECT NULLS only between the
+        # call and OVER. For the aggregates, IGNORE NULLS simply
+        # DROPS (collect_list already ignores NULLs — the map note
+        # below); for the window functions it moves outside the
+        # close paren like the duck mover. RESPECT NULLS on
+        # ARRAY_AGG is loud: plain BQ ARRAY_AGG ERRORS on a NULL
+        # input where collect_list silently drops it.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if spans:
+            a1 = spans[-1][1]
+            if (
+                a1 >= spans[-1][0] + 1
+                and toks[a1][0] in _NAME_KINDS
+                and toks[a1][1].upper() == "NULLS"
+                and toks[a1 - 1][0] in _NAME_KINDS
+                and toks[a1 - 1][1].upper() in ("IGNORE", "RESPECT")
+            ):
+                which = toks[a1 - 1][1].upper()
+                if name in ("array_agg", "string_agg", "any_value"):
+                    if which == "RESPECT":
+                        raise TranspileError(
+                            f"bigquery {name}(... RESPECT NULLS) "
+                            "errors on NULL input in BQ; Spark's "
+                            "collect family silently drops NULLs — "
+                            "filter them explicitly"
+                        )
+                    if not any(
+                        e[1] >= toks[a1 - 1][2] and e[0] <= toks[a1][3]
+                        for e in edits
+                    ):
+                        edits.append((toks[a1 - 1][2], toks[a1][3], ""))
+                        return close + 1
+                else:
+                    if not any(
+                        e[1] >= toks[a1 - 1][2] and e[0] <= toks[close][3]
+                        for e in edits
+                    ):
+                        edits.append((toks[a1 - 1][2], toks[a1][3], ""))
+                        edits.append(
+                            (toks[close][3], toks[close][3],
+                             f" {which} NULLS")
+                        )
+                        return close + 1
     if name == "unnest":
         # FROM-clause UNNEST — four shapes:
         #   t, UNNEST(x) AS e [WITH OFFSET [AS] o]

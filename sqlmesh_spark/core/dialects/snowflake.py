@@ -78,6 +78,31 @@ def call_handlers(ctx) -> "int | None":
     is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name in ("first_value", "last_value", "lead", "lag", "nth_value"):
+        # snowflake allows the window NULL treatment INSIDE the call
+        # parens (LAST_VALUE(x IGNORE NULLS) OVER ...) as well as
+        # outside; Spark parses it only between the call and OVER —
+        # move it (the duck/BQ mover class, round 11)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if spans:
+            a1 = spans[-1][1]
+            if (
+                a1 >= spans[-1][0] + 1
+                and toks[a1][0] in _NAME_KINDS
+                and toks[a1][1].upper() == "NULLS"
+                and toks[a1 - 1][0] in _NAME_KINDS
+                and toks[a1 - 1][1].upper() in ("IGNORE", "RESPECT")
+                and not any(
+                    e[1] >= toks[a1 - 1][2] and e[0] <= toks[close][3]
+                    for e in edits
+                )
+            ):
+                which = toks[a1 - 1][1].upper()
+                edits.append((toks[a1 - 1][2], toks[a1][3], ""))
+                edits.append(
+                    (toks[close][3], toks[close][3], f" {which} NULLS")
+                )
+                return close + 1
     if name in ("to_varchar", "to_char") and first_pass:
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 1:

@@ -4885,3 +4885,24 @@ def test_pg_json_split_dispatch_gate_round11():
     assert "'{ '" in out and "raise_error" in out
     # postgres_calls keeps its own tier (format stays home)
     assert "format_string" in t("SELECT format('%s', 1) AS v")
+
+
+def test_bq_snowflake_in_paren_ignore_nulls_round11():
+    """BQ and snowflake also spell window NULL treatment inside the
+    call parens. BQ aggregates DROP the keywords (collect_list already
+    ignores NULLs; RESPECT NULLS is loud — plain BQ ARRAY_AGG errors
+    on NULL input where collect_list silently drops); window functions
+    move them between the call and OVER on both reads."""
+    out = transpile("SELECT ARRAY_AGG(x IGNORE NULLS) FROM t", "bigquery")
+    assert "collect_list(x )" in out and "IGNORE" not in out
+    with pytest.raises(TranspileError, match="RESPECT NULLS"):
+        transpile("SELECT ARRAY_AGG(x RESPECT NULLS) FROM t", "bigquery")
+    out = transpile(
+        "SELECT LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY i) FROM t",
+        "bigquery")
+    assert ") IGNORE NULLS OVER (" in out
+    out = transpile(
+        "SELECT LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY i) FROM t",
+        "snowflake")
+    assert ") IGNORE NULLS OVER (" in out
+    assert out == transpile(out, "snowflake")
