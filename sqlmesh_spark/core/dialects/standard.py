@@ -119,6 +119,37 @@ def call_handlers(ctx) -> "int | None":
     is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if (
+        name in ("first_value", "last_value", "lead", "lag",
+                 "nth_value")
+        and read in ("oracle", "redshift")
+    ):
+        # Oracle/Redshift spell window NULL treatment INSIDE the call
+        # parens (LAST_VALUE(x IGNORE NULLS) OVER ...); Spark parses
+        # it only between the call and OVER — move it (the
+        # duck/BQ/snowflake mover class, round 11; duckdb has its own
+        # token-tier mover)
+        spans_in, close_in = _call_arg_spans(toks, i + 1)
+        if spans_in:
+            a1 = spans_in[-1][1]
+            if (
+                a1 >= spans_in[-1][0] + 1
+                and toks[a1][0] in _NAME_KINDS
+                and toks[a1][1].upper() == "NULLS"
+                and toks[a1 - 1][0] in _NAME_KINDS
+                and toks[a1 - 1][1].upper() in ("IGNORE", "RESPECT")
+                and not any(
+                    e[1] >= toks[a1 - 1][2] and e[0] <= toks[close_in][3]
+                    for e in edits
+                )
+            ):
+                which = toks[a1 - 1][1].upper()
+                edits.append((toks[a1 - 1][2], toks[a1][3], ""))
+                edits.append(
+                    (toks[close_in][3], toks[close_in][3],
+                     f" {which} NULLS")
+                )
+                return close_in + 1
     # ---- special handlers (arg restructuring / literal rewrites)
     if name in ("convert", "try_convert") and read in (
         "redshift", "tsql"
