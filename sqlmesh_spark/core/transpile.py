@@ -492,6 +492,43 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i = nxt
                 continue
 
+        # T-SQL + CONCATENATES strings ('a' + 'b' = 'ab'); Spark +
+        # coerces strings to numbers (NULL off-ANSI — a SILENT wrong,
+        # round 11). A statically visible NON-NUMERIC string-literal
+        # operand on either side rewrites to ||; a numeric-looking
+        # string literal is loud (T-SQL would coerce it per the OTHER
+        # operand's type, statically unknowable); untyped columns
+        # pass through (the int-division residual class).
+        if (
+            read == "tsql"
+            and kind == "op"
+            and text == "+"
+            and i > 0
+        ):
+            _lit_sides = [
+                toks[j] for j in (i - 1, i + 1)
+                if 0 <= j < n and toks[j][0] == "string"
+            ]
+            if _lit_sides:
+                import re as _re_t
+                numericish = all(
+                    _re_t.fullmatch(
+                        r"\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\s*",
+                        lt[1][1:-1].replace("''", "'"),
+                    )
+                    for lt in _lit_sides
+                )
+                if numericish:
+                    raise TranspileError(
+                        "tsql + with a numeric-looking string literal "
+                        "coerces by the other operand's type "
+                        "(statically unknowable); CAST explicitly or "
+                        "use CONCAT for string concatenation"
+                    )
+                edits.append((start, end, "||"))
+                i += 1
+                continue
+
         # T-SQL N'...' unicode literal prefix: Spark strings are already
         # unicode — drop the N (adjacency = no whitespace, so a column
         # named n is never touched).

@@ -4906,3 +4906,19 @@ def test_bq_snowflake_in_paren_ignore_nulls_round11():
         "snowflake")
     assert ") IGNORE NULLS OVER (" in out
     assert out == transpile(out, "snowflake")
+
+
+def test_tsql_plus_string_concat_round11():
+    """T-SQL + CONCATENATES strings; Spark + coerces to numbers (NULL
+    off-ANSI — silent). Visible non-numeric string-literal operands
+    rewrite to ||; numeric-looking string literals are loud (T-SQL
+    coerces them by the OTHER operand's type); untyped columns pass
+    through (the int-division residual class)."""
+    t = lambda s: transpile(s, "tsql")  # noqa: E731
+    assert t("SELECT 'a' + 'b' AS v") == "SELECT 'a' || 'b' AS v"
+    assert t("SELECT s + ' suffix' FROM t") == \
+        "SELECT s || ' suffix' FROM t"
+    with pytest.raises(TranspileError, match="numeric-looking"):
+        t("SELECT '1' + '2' AS v")
+    assert t("SELECT 1 + 2 AS v") == "SELECT 1 + 2 AS v"
+    assert t("SELECT a + b FROM t") == "SELECT a + b FROM t"
