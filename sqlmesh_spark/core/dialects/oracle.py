@@ -118,6 +118,38 @@ def call_handlers(ctx) -> "int | None":
     is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name == "instr" and first_pass:
+        # oracle INSTR(s, sub[, start[, nth]]) — Spark's instr is
+        # 2-arg (the 3/4-arg forms died as arg-count errors, round
+        # 11). 3-arg positive start → locate(sub, s, start) (same
+        # 1-based contract, 0 on miss); negative start searches
+        # BACKWARD from the end and nth > 1 counts occurrences —
+        # both loud.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 3:
+            s0 = spans[2][0]
+            if (
+                spans[2][0] == spans[2][1]
+                and toks[s0][0] == "number"
+            ):
+                edits.append(
+                    (start, toks[close][3],
+                     f"locate(({_arg_text(spans[1])}), "
+                     f"({_arg_text(spans[0])}), "
+                     f"({_arg_text(spans[2])}))")
+                )
+                return close + 1
+            raise TranspileError(
+                "oracle INSTR with a non-literal (possibly negative) "
+                "start has no Spark rewrite — negative starts search "
+                "backward from the end; use a literal positive start"
+            )
+        if len(spans) == 4:
+            raise TranspileError(
+                "oracle INSTR(s, sub, start, nth) occurrence "
+                "counting has no Spark rewrite; restructure with "
+                "regexp_instr or split logic"
+            )
     if name == "trunc" and first_pass:
         # TRUNC(d, 'fmt') with a literal DATE format is the
         # unambiguous form → date_trunc. 1-arg TRUNC(x) is
