@@ -93,6 +93,51 @@ def token_handlers(ctx) -> "int | None":
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
     if read == "mysql":
+        if (
+            kind == "ident"
+            and text.upper() in ("REGEXP", "RLIKE")
+            and i + 1 < n
+        ):
+            # MySQL REGEXP/RLIKE is case-INSENSITIVE under the
+            # default ci collations ('ABC' REGEXP 'abc' is 1); Spark
+            # RLIKE is case-sensitive — silent wrong. Prefix (?i):
+            # inline for a literal pattern, concatenated for a
+            # dynamic one. (Binary-collation columns would be
+            # case-sensitive in MySQL — statically invisible;
+            # documented residual.) NOT REGEXP forms keep the NOT
+            # (it precedes this token untouched).
+            pt = toks[i + 1]
+            if pt[0] == "string":
+                content = _literal_content(pt[1], "mysql")
+                if not content.startswith("(?i)") and not any(
+                    e[1] >= start and e[0] <= pt[3] for e in edits
+                ):
+                    edits.append((start, end, "RLIKE"))
+                    edits.append(
+                        (pt[2], pt[3],
+                         _spark_string_literal("(?i)" + content,
+                                               "mysql"))
+                    )
+                    return i + 2
+            else:
+                from sqlmesh_spark.core.transpile_shared import (
+                    _forward_primary,
+                )
+                rs = _forward_primary(toks, i + 1)
+                if rs is not None and not any(
+                    e[1] >= start and e[0] <= toks[rs[1]][3]
+                    for e in edits
+                ):
+                    p_ = sql[toks[rs[0]][2]:toks[rs[1]][3]].strip()
+                    if not p_.startswith("concat('(?i)'"):
+                        # concat, not ||: the mysql ||→OR rewrite
+                        # would re-consume the emission (mysql CONCAT
+                        # NULL-propagates exactly like Spark's)
+                        edits.append(
+                            (start, toks[rs[1]][3],
+                             f"RLIKE concat('(?i)', ({p_}))")
+                        )
+                        return rs[1] + 1
         # MySQL `||` is logical OR (PIPES_AS_CONCAT off, the default);
         # Spark reads it as string concat — silent wrong values.
         if kind == "op" and text == "||":
