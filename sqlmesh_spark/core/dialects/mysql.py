@@ -138,6 +138,26 @@ def token_handlers(ctx) -> "int | None":
                              f"RLIKE concat('(?i)', ({p_}))")
                         )
                         return rs[1] + 1
+        if (
+            kind == "ident"
+            and text.upper() == "LIKE"
+            and not (
+                i + 1 < n
+                and toks[i + 1][0] == "op"
+                and toks[i + 1][1] == "("
+            )  # like(...) function spelling stays on the call path
+        ):
+            # MySQL LIKE matches case-insensitively under the default
+            # ci collations ('ABC' LIKE 'abc' is 1) — Spark ILIKE is
+            # the faithful map (same rewrite rationale as REGEXP
+            # above). The static CEILING of this posture: `=`
+            # comparisons, DISTINCT, GROUP BY and ORDER BY are ALSO
+            # collation-ci in MySQL and have no per-construct rewrite
+            # (wrapping every operand in lower() would change output
+            # values) — a documented residual, like the pg locale
+            # case-folding note.
+            edits.append((start, end, "ILIKE"))
+            return i + 1
         # MySQL `||` is logical OR (PIPES_AS_CONCAT off, the default);
         # Spark reads it as string concat — silent wrong values.
         if kind == "op" and text == "||":
