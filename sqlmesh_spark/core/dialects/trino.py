@@ -196,6 +196,14 @@ def call_handlers(ctx) -> "int | None":
     is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name == "if" and first_pass:
+        # trino 2-arg if(cond, v) returns NULL on false; Spark's if
+        # requires 3 args (the passthrough was an arg-count error,
+        # round 11) — append the NULL arm
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            edits.append((toks[close][2], toks[close][2], ", NULL"))
+            return close + 1
     if name == "unnest":
         # FROM-clause UNNEST. Shapes:
         #   t CROSS|INNER JOIN UNNEST(x) AS u(e) | t, UNNEST(x) AS u(e)

@@ -677,7 +677,9 @@ def _parse_inagg_order(toks, sql, span, order_at, read):
                 "aggregating"
             )
     if nulls_first is None:
-        nulls_first = descending and read == "postgres"
+        # pg and trino flip to NULLS FIRST on DESC; duck's
+        # default_null_order is nulls_last for both directions
+        nulls_first = descending and read in ("postgres", "trino")
     key_txt = sql[toks[k0][2]:toks[kend][3]].strip()
     lt, gt = ("1", "-1") if descending else ("-1", "1")
     nl, nr = ("-1", "1") if nulls_first else ("1", "-1")
