@@ -110,7 +110,7 @@ _CLICKHOUSE_FN: dict[str, str | None] = {
     "toint128": None, "toint256": None,  # exceed DECIMAL(38,0)'s range
     "touint128": None, "touint256": None,
     "tofixedstring": None,
-    "uniqexact": None,                  # use COUNT(DISTINCT ...)
+    # uniqexact: handler below (count(DISTINCT ...), round 11)
     "tuple": "struct",
     "tupleelement": None,               # 1-based positional field access
     "arrayelement": None,               # returns the TYPE DEFAULT (0, '')
@@ -440,6 +440,14 @@ def call_handlers(ctx) -> "int | None":
     # this block (the guard needs only the close index,
     # but handlers need the spans anyway)
     _spans0, _close0 = _call_arg_spans(toks, i + 1)
+    if name == "uniqexact" and len(_spans0) >= 1 and not is_op(_close0 + 1, "("):
+        # uniqExact(x[, ...]) is the exact distinct count →
+        # count(DISTINCT ...) (was loud; round 11)
+        args_ = ", ".join(f"({_arg_text(sp)})" for sp in _spans0)
+        edits.append(
+            (start, toks[_close0][3], f"count(DISTINCT {args_})")
+        )
+        return _close0 + 1
     if is_op(_close0 + 1, "("):
         raise TranspileError(
             f"clickhouse parameterized combinator "

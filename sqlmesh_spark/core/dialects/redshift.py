@@ -74,6 +74,36 @@ def call_handlers(ctx) -> "int | None":
     is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name == "split_to_array" and first_pass:
+        # redshift SPLIT_TO_ARRAY(s[, delimiter]) — the delimiter is a
+        # LITERAL string (default ','); Spark's split takes a REGEX
+        # (the passthrough was UNRESOLVED_ROUTINE, round 11). Literal
+        # delimiters regex-escape; dynamic ones are loud.
+        import re as _re_r
+        from sqlmesh_spark.core.transpile_text import (
+            _literal_content as _lc,
+            _spark_string_literal as _sl,
+        )
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) in (1, 2):
+            if len(spans) == 2:
+                d0 = spans[1]
+                if not (
+                    d0[0] == d0[1] and toks[d0[0]][0] == "string"
+                ):
+                    raise TranspileError(
+                        "redshift split_to_array needs a literal "
+                        "delimiter (Spark split treats it as a regex)"
+                    )
+                delim = _lc(toks[d0[0]][1], "redshift")
+            else:
+                delim = ","
+            lit = _sl(_re_r.escape(delim), "redshift")
+            edits.append(
+                (start, toks[close][3],
+                 f"split(({_arg_text(spans[0])}), {lit})")
+            )
+            return close + 1
     if name in ("getdate", "getutcdate"):
         # Both return UTC wall-clock regardless of session TZ
         # (Redshift stores timestamps normalized to UTC).
