@@ -2894,7 +2894,6 @@ def test_clickhouse_loud_surface():
         "SELECT md5(s) FROM t",                # binary vs hex string
         "SELECT arrayElement(arr, 9) FROM t",  # type-default out of bounds
         "SELECT locate(a, b) FROM t",          # arg order flips by version
-        "SELECT uniqExact(x) FROM t",
         "SELECT position(s, 'x', 3) FROM t",
         "SELECT splitByChar(d, s) FROM t",     # non-literal separator
         "SELECT rand(7) FROM t",
@@ -4922,3 +4921,12 @@ def test_tsql_plus_string_concat_round11():
         t("SELECT '1' + '2' AS v")
     assert t("SELECT 1 + 2 AS v") == "SELECT 1 + 2 AS v"
     assert t("SELECT a + b FROM t") == "SELECT a + b FROM t"
+
+
+def test_clickhouse_uniqexact_maps_round11():
+    """uniqExact is the EXACT distinct count — count(DISTINCT ...)
+    since round 11 (was loud); the parameterized-combinator guard
+    still louds uniqExact(p)(x) shapes."""
+    q = transpile("SELECT uniqExact(x) FROM t", "clickhouse")
+    assert q == "SELECT count(DISTINCT (x)) FROM t"
+    assert q == transpile(q, "clickhouse")
