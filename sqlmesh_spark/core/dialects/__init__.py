@@ -58,11 +58,10 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # quantile_disc / quantile / skewness / kurtosis: handlers in
         # dialects/standard.py (WITHIN GROUP restructure; duckdb's
         # sample-vs-Spark's population statistics)
-        # fsum: handler in dialects/standard.py (always-DOUBLE dtype)
-        "favg": "avg",                  # Kahan mean; avg of floats is
-                                        # DOUBLE in both
-        "product": None,                # no Spark aggregate (exp/ln
-        "geomean": None,                # breaks on zero/negatives)
+        # fsum/favg/kahan_sum/sumkahan/product/sem/kurtosis_pop:
+        # round-11 statistical-aggregate tier in dialects/duckdb_fns.py
+        "geomean": None,                # exp/avg/ln breaks on
+                                        # zero/negatives
         "entropy": None,
         # JSON-typed extraction: the text form differs from
         # get_json_object for string scalars ('"x"' vs 'x') — loud;

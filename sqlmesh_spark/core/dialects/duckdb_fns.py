@@ -593,6 +593,69 @@ def call_handlers(ctx) -> "int | None":
             "way (duck max_by/arg_max skip NULLs and are rewritten)"
         )
 
+    if name in ("max_by", "min_by", "arg_max", "arg_min", "min", "max"):
+        # duck's top-N aggregate forms — min(x, n) / arg_min(a, v, n) —
+        # return a LIST of the n extreme values; Spark's min/min_by are
+        # fixed-arity and the blanket arg_min → min_by rename would
+        # otherwise ship an invalid 3-arg min_by (round-11 probe).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == (3 if name not in ("min", "max") else 2):
+            raise TranspileError(
+                f"duckdb top-N {name}(..., n) returns a LIST of the n "
+                "extreme values; Spark has no top-N aggregate — spell "
+                "it slice(sort_array(collect_list(struct(key, val))), "
+                "1, n) and project the value field"
+            )
+
+    if name in ("kurtosis_pop", "sem", "product", "fsum", "kahan_sum",
+                "sumkahan", "favg"):
+        # round-11 duck statistical-aggregate tier, each pinned live:
+        #   kurtosis_pop  — POPULATION excess kurtosis, which is
+        #                   exactly Spark's kurtosis() (-0.7696 on
+        #                   [1,2,3,10] both engines); the try_divide
+        #                   identity wrap is the marker that keeps the
+        #                   duck sample-kurtosis correction handler
+        #                   (standard.py) off the emission on re-reads
+        #   sem           — standard error of the mean over the
+        #                   POPULATION stddev (sem([1,2,3,10]) =
+        #                   1.7678 = stddev_pop/sqrt(n), NOT
+        #                   stddev_samp; single row → 0.0, empty →
+        #                   NULL, matched by try_divide's NULL on
+        #                   sqrt(0))
+        #   product       — NULL-skipping product, DOUBLE result,
+        #                   empty/all-NULL → NULL, zero keeps the SIGN
+        #                   of the remaining factors (2.5*0*-4 = -0.0
+        #                   pinned); exp/ln with a count_if sign+zero
+        #                   guard — last-ulp rounding class, same
+        #                   posture as the kurtosis corrections
+        #   fsum/kahan_sum/sumkahan/favg — Kahan-compensated sum/avg;
+        #                   plain sum/avg over DOUBLE is the same
+        #                   value class (fsum of INTs is DOUBLE 3.0,
+        #                   pinned — hence the cast)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = f"({_arg_text(spans[0])})"
+            if name == "kurtosis_pop":
+                repl = f"try_divide(kurtosis({x_}), 1.0)"
+            elif name == "sem":
+                repl = f"try_divide(stddev_pop({x_}), sqrt(count({x_})))"
+            elif name == "product":
+                sign_ = (f"IF(pmod(count_if({x_} < 0), 2) = 1, "
+                         "-1.0D, 1.0D)")
+                repl = (
+                    f"(CASE WHEN count({x_}) = 0 THEN "
+                    "CAST(NULL AS DOUBLE) "
+                    f"WHEN count_if({x_} = 0) > 0 THEN 0.0D * {sign_} "
+                    f"ELSE exp(sum(ln(abs(CAST({x_} AS DOUBLE))))) "
+                    f"* {sign_} END)"
+                )
+            elif name == "favg":
+                repl = f"avg(CAST({x_} AS DOUBLE))"
+            else:
+                repl = f"sum(CAST({x_} AS DOUBLE))"
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+
     if name in ("least", "greatest"):
         # duck accepts ONE argument (identity); Spark requires > 1
         spans, close = _call_arg_spans(toks, i + 1)

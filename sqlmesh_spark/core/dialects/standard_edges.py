@@ -854,17 +854,8 @@ def call_handlers(ctx) -> "int | None":
             "floor/ceil arithmetic explicitly"
         )
 
-    if name == "fsum" and read == "duckdb" and first_pass:
-        # duckdb fsum (Kahan) always returns DOUBLE; Spark sum(int) is
-        # BIGINT — cast the input so the output dtype matches
-        spans, close = _call_arg_spans(toks, i + 1)
-        if len(spans) == 1:
-            x_ = _arg_text(spans[0])
-            edits.append(
-                (start, toks[close][3], f"sum(CAST(({x_}) AS DOUBLE))")
-            )
-            i = close + 1
-            return i
+    # (fsum moved to the duckdb_fns statistical-aggregate tier in
+    # round 11, alongside kahan_sum/sumkahan/favg/sem/product)
 
     if (
         name in (

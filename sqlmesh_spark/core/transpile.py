@@ -141,6 +141,7 @@ from sqlmesh_spark.core.dialects import container_ops as _d_container
 from sqlmesh_spark.core.dialects import duckdb_fns as _d_duckfns
 from sqlmesh_spark.core.dialects import duckdb_tokens as _d_ducktokens
 from sqlmesh_spark.core.dialects import postgres as _d_postgres
+from sqlmesh_spark.core.dialects import postgres_srf as _d_pgsrf
 from sqlmesh_spark.core.dialects import snowflake as _d_snowflake
 from sqlmesh_spark.core.transpile_shared import _LAMBDA_HOFS, _in_lambda_hof  # noqa: F401,E402
 
@@ -167,6 +168,12 @@ def transpile(sql: str, read: str | None = "duckdb") -> str:
             f"{READ_DIALECTS + tuple(DIALECT_ALIASES)}"
         )
     out = sql
+    if read == "postgres" and "variadic" in sql.lower():
+        # pg VARIADIC ARRAY[...] unfolds to a plain argument list
+        # BEFORE the edit passes (call handlers paren-wrap argument
+        # spans, which would tuple-ize the unfolded comma list) —
+        # see postgres_srf.unfold_variadic
+        out = _d_pgsrf.unfold_variadic(out)
     for pass_no in range(8):
         nxt = _transpile_once(out, read, first_pass=(pass_no == 0))
         if nxt == out:
@@ -642,6 +649,22 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             ctx.i, ctx.kind, ctx.text = i, kind, text
             ctx.start, ctx.end, ctx.name = start, end, ""
             nxt = _d_postgres.token_handlers(ctx)
+            if nxt is not None:
+                i = nxt
+                continue
+
+        # ---- pg ROWS FROM (...) / VARIADIC (round 11 — the SRF
+        # token-level companions in core/dialects/postgres_srf.py);
+        # trigger-gated to exactly those two idents so nothing else
+        # reaches the module's token path
+        if (
+            read == "postgres"
+            and kind == "ident"
+            and text.upper() in ("ROWS", "VARIADIC")
+        ):
+            ctx.i, ctx.kind, ctx.text = i, kind, text
+            ctx.start, ctx.end, ctx.name = start, end, ""
+            nxt = _d_pgsrf.token_handlers(ctx)
             if nxt is not None:
                 i = nxt
                 continue

@@ -41,13 +41,53 @@ _TSQL_UNIT_ALIASES = {
 }
 
 
+# Snowflake / Redshift unit abbreviations → canonical unit (round 11;
+# each alias taken from the published date-part alias lists — note the
+# single-letter divergence: Snowflake 'mm' is MONTH where Redshift 'm'
+# is MINUTE).  Aliases absent here (woy, dayofweek, epoch tiers) are
+# handled by the per-dialect date_part machinery or stay loud.
+_SNOWFLAKE_UNIT_ALIASES = {
+    "y": "year", "yy": "year", "yyy": "year", "yyyy": "year",
+    "yr": "year", "yrs": "year",
+    "mm": "month", "mon": "month", "mons": "month",
+    "d": "day", "dd": "day", "dayofmonth": "day",
+    "w": "week", "wk": "week", "weeks": "week",
+    "q": "quarter", "qtr": "quarter", "qtrs": "quarter",
+    "h": "hour", "hh": "hour", "hr": "hour", "hrs": "hour",
+    "mi": "minute", "min": "minute", "mins": "minute",
+    "s": "second", "sec": "second", "secs": "second",
+    "ms": "millisecond", "msec": "millisecond",
+    "us": "microsecond", "usec": "microsecond",
+    "millisecond": "millisecond", "microsecond": "microsecond",
+}
+_REDSHIFT_UNIT_ALIASES = {
+    "y": "year", "yr": "year", "yrs": "year",
+    "mon": "month", "mons": "month",
+    "d": "day",
+    "w": "week",
+    "qtr": "quarter", "qtrs": "quarter",
+    "h": "hour", "hr": "hour", "hrs": "hour",
+    "m": "minute", "min": "minute", "mins": "minute",
+    "s": "second", "sec": "second", "secs": "second",
+    "ms": "millisecond", "msec": "millisecond", "msecs": "millisecond",
+    "millisec": "millisecond",
+    "us": "microsecond", "usec": "microsecond", "microsec": "microsecond",
+    "millisecond": "millisecond", "microsecond": "microsecond",
+}
+
+
 def _resolve_unit(read: str, raw_unit: str) -> str | None:
     """Canonical UPPER unit for dateadd/datediff/datepart keywords, with
-    T-SQL abbreviation folding. Returns None when unmapped."""
+    T-SQL/Snowflake/Redshift abbreviation folding. Returns None when
+    unmapped."""
     if read == "tsql":
         raw_unit = _TSQL_UNIT_ALIASES.get(raw_unit, raw_unit)
-        if raw_unit in ("millisecond", "microsecond"):
-            return raw_unit.upper()
+    elif read == "snowflake":
+        raw_unit = _SNOWFLAKE_UNIT_ALIASES.get(raw_unit, raw_unit)
+    elif read == "redshift":
+        raw_unit = _REDSHIFT_UNIT_ALIASES.get(raw_unit, raw_unit)
+    if raw_unit in ("millisecond", "microsecond"):
+        return raw_unit.upper()
     return _DIFF_UNITS.get(raw_unit)
 
 # C-style (strftime/strptime) → Spark datetime pattern letters. %G (ISO

@@ -171,6 +171,22 @@ TEMPLATES += [
     f"(SELECT arg_max(s, v) FROM (VALUES (1, 'a'),(2, 'b')) t(v, s))",
     f"(SELECT corr(a, b) FROM (VALUES (1,2),(3,4),(5,7)) t(a, b))",
     f"(SELECT fsum(v) FROM (VALUES (1.5),(2.5)) t(v))",
+    # round-11 statistical-aggregate tier (duckdb_fns): kurtosis_pop
+    # IS Spark's population kurtosis; sem = stddev_pop/sqrt(n);
+    # product skips NULLs, keeps the sign through zeros, NULL on
+    # empty; the Kahan family is plain sum/avg over DOUBLE
+    f"(SELECT kurtosis_pop(v) FROM (VALUES (1),(2),(5),(9),(3),(0)) t(v))",
+    f"(SELECT sem(v) FROM (VALUES (1.0),(2.0),(3.0),(10.0)) t(v))",
+    f"(SELECT sem(v) FROM (VALUES (5),(NULL),(3)) t(v))",
+    f"(SELECT sem(v) FROM (VALUES (3.0)) t(v))",
+    f"(SELECT product(v) FROM (VALUES (2),(3),(4)) t(v))",
+    f"(SELECT product(v) FROM (VALUES (2.5),(-3.0),(4.0)) t(v))",
+    f"(SELECT product(v) FROM (VALUES (2.5),(0.0),(-4.0)) t(v))",
+    f"(SELECT product(v) FROM (VALUES (2.5),(NULL)) t(v))",
+    f"(SELECT product(v) FROM (VALUES (NULL::int)) t(v))",
+    f"(SELECT kahan_sum(v) FROM (VALUES (1.5),(2.25),(NULL)) t(v))",
+    f"(SELECT sumkahan(v) FROM (VALUES (1),(2)) t(v))",
+    f"(SELECT favg(v) FROM (VALUES (1.5),(2.25)) t(v))",
     f"(SELECT skewness(v) FILTER (WHERE v < 9) FROM (VALUES (1),(2),(5),(9)) t(v))",
     f"(SELECT kurtosis(v) FILTER (WHERE v < 99) FROM (VALUES (1),(2),(5),(9)) t(v))",
     # duckdb default NULL placement is LAST in BOTH directions

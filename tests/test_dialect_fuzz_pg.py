@@ -172,6 +172,25 @@ TEMPLATES += [
     "2 BETWEEN SYMMETRIC 3 AND 1",
 ]
 
+# round 11 (wave 57/58): VARIADIC ARRAY[...] unfolds to a plain
+# argument list in a raw pre-pass (before call handlers paren-wrap
+# argument spans); ROWS FROM (unnest, ...) zips with NULL padding →
+# inline(arrays_zip(...)); row-tuple COUNT DISTINCT counts
+# NULL-containing tuples in BOTH engines (Spark's named_struct
+# distinct ≡ pg row distinct — verified-native, pinned here)
+TEMPLATES += [
+    "concat_ws(',', VARIADIC ARRAY['a','b','c'])",
+    "concat_ws('-', 'x', VARIADIC ARRAY['y','z'])",
+    "format('%s-%s', VARIADIC ARRAY['x','y'])",
+    "concat(VARIADIC ARRAY[1, 2, 3])",
+    "concat_ws(',', VARIADIC ARRAY[upper('a'), lower('B')])",
+    "(SELECT count(*) FROM ROWS FROM (unnest(ARRAY[1,2]),"
+    " unnest(ARRAY['a','b','c'])))",
+    "(SELECT count(distinct (a, b)) FROM"
+    " (VALUES (1,2),(1,2),(3,4),(NULL,2),(NULL,2)) t(a,b))",
+    "(SELECT sum(v) FROM ROWS FROM (unnest(ARRAY[10,20,30])) s(v))",
+]
+
 # round 11: fractional/clock/'ago' interval literals decompose via
 # pg's DecodeInterval spilling ('1.5 days' → 1 day 12:00:00, pinned
 # live) — Spark's literal parser rejects all three shapes; pinned in

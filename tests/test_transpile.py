@@ -4930,3 +4930,71 @@ def test_clickhouse_uniqexact_maps_round11():
     q = transpile("SELECT uniqExact(x) FROM t", "clickhouse")
     assert q == "SELECT count(DISTINCT (x)) FROM t"
     assert q == transpile(q, "clickhouse")
+
+
+def test_duck_stat_aggregate_tier_round11():
+    """Round-11 statistical-aggregate tier (duckdb_fns): kurtosis_pop
+    IS Spark's population kurtosis (try_divide identity marker keeps
+    the duck sample-kurtosis correction off re-reads); sem =
+    stddev_pop/sqrt(n) (pinned 1.7678 on [1,2,3,10]); product skips
+    NULLs, keeps sign through zeros, NULL on empty; Kahan family =
+    sum/avg over DOUBLE; top-N min/max/arg_min forms stay loud."""
+    t = lambda s: transpile(s, "duckdb")  # noqa: E731
+    out = t("SELECT kurtosis_pop(x) FROM t")
+    assert out == "SELECT try_divide(kurtosis((x)), 1.0) FROM t"
+    assert t(out) == out  # the marker keeps the correction handler off
+    out = t("SELECT sem(x) FROM t")
+    assert out == \
+        "SELECT try_divide(stddev_pop((x)), sqrt(count((x)))) FROM t"
+    out = t("SELECT product(x) FROM t")
+    assert "count_if((x) = 0) > 0" in out
+    assert "exp(sum(ln(abs(CAST((x) AS DOUBLE)))))" in out
+    assert "pmod(count_if((x) < 0), 2)" in out
+    assert t(out) == out
+    assert t("SELECT fsum(x) FROM t") == \
+        "SELECT sum(CAST((x) AS DOUBLE)) FROM t"
+    assert t("SELECT kahan_sum(x) FROM t") == \
+        "SELECT sum(CAST((x) AS DOUBLE)) FROM t"
+    assert t("SELECT sumkahan(x) FROM t") == \
+        "SELECT sum(CAST((x) AS DOUBLE)) FROM t"
+    assert t("SELECT favg(x) FROM t") == \
+        "SELECT avg(CAST((x) AS DOUBLE)) FROM t"
+    for q in ("SELECT min(x, 3) FROM t", "SELECT max(x, 2) FROM t",
+              "SELECT arg_min(y, x, 2) FROM t",
+              "SELECT arg_max(y, x, 2) FROM t"):
+        with pytest.raises(TranspileError, match="top-N"):
+            t(q)
+    # 1-arg min and the 2-arg arg_min NULL-skip rewrite are untouched
+    assert t("SELECT min(x) FROM t") == "SELECT min(x) FROM t"
+    assert "min_by" in t("SELECT arg_min(y, x) FROM t")
+
+
+def test_pg_variadic_and_rows_from_round11():
+    """pg VARIADIC ARRAY[...] unfolds raw (pre-pass, before call
+    handlers paren-wrap argument spans — the wave-57 format()/concat()
+    class); ROWS FROM (unnest...) zips via inline(arrays_zip);
+    dynamic/SELECT/cast-suffix VARIADIC and non-unnest ROWS FROM
+    members are loud."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    assert t("SELECT concat_ws(',', VARIADIC ARRAY['a','b','c'])") == \
+        "SELECT concat_ws(',', 'a','b','c')"
+    out = t("SELECT format('%s-%s', VARIADIC ARRAY['x','y'])")
+    assert "format_string" in out and "VARIADIC" not in out.upper()
+    out = t("SELECT * FROM ROWS FROM (unnest(ARRAY[1,2]),"
+            " unnest(ARRAY['a','b'])) AS t(n, s)")
+    assert "inline(arrays_zip((array(1,2)), (array('a','b'))))" in out
+    out = t("SELECT * FROM ROWS FROM (unnest(ARRAY[10,20])) AS t(v)")
+    assert "explode((array(10,20)))" in out
+    with pytest.raises(TranspileError, match="1-argument unnest"):
+        t("SELECT * FROM ROWS FROM (generate_series(1,2),"
+          " unnest(ARRAY['a'])) AS t(g, s)")
+    with pytest.raises(TranspileError, match="dynamic array"):
+        t("SELECT f(VARIADIC arr) FROM t")
+    with pytest.raises(TranspileError, match="SELECT"):
+        t("SELECT f(VARIADIC ARRAY(SELECT x FROM t))")
+    with pytest.raises(TranspileError, match="cast"):
+        t("SELECT concat_ws(',', VARIADIC ARRAY[]::text[])")
+    # window-frame ROWS keeps its meaning
+    out = t("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING"
+            " AND CURRENT ROW) FROM t")
+    assert "ROWS BETWEEN 1 PRECEDING" in out
