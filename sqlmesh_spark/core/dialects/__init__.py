@@ -127,6 +127,10 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # list_dot_product / list_cosine_similarity / list_distance:
         # handlers in duckdb_fns.py (zip_with + aggregate folds; Spark
         # has no list vector functions)
+        # engine config / enum-type introspection (round 11)
+        "current_setting": None, "enum_range": None,
+        "enum_first": None, "enum_last": None, "enum_code": None,
+        "enum_range_boundary": None,
         "regexp_escape": None, "parse_filename": None,
         "parse_dirname": None, "parse_path": None,
         "format_bytes": None, "formatreadabledecimalsize": None,
@@ -179,6 +183,7 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # transaction ids / xml constructors: engine state and a type
         # Spark lacks (same passthrough gap, round-11 sweep)
         "txid_current": None, "pg_current_xact_id": None,
+        "pg_sleep": None, "set_config": None,
         "xmlcomment": None, "xmlelement": None, "xmlforest": None,
         "xmlagg": None, "xmlconcat": None, "xpath": None,
         "xpath_exists": None, "xmlparse": None, "xmlserialize": None,

@@ -30,6 +30,9 @@ from sqlmesh_spark.core.transpile_text import (
 )
 
 _CLICKHOUSE_FN: dict[str, str | None] = {
+    # concatAssumeInjective is concat with an optimizer hint Spark
+    # doesn't need (round 11)
+    "concatassumeinjective": "concat",
     # temporal
     "now": "current_timestamp",
     "today": "current_date",
@@ -661,6 +664,103 @@ def call_handlers(ctx) -> "int | None":
         )
         i += 1
         return i
+
+    if name == "extractall":
+        # extractAll(haystack, pattern) — ALL fragment matches as an
+        # array, same group-1-if-captured rule as extract (round 11;
+        # was an unresolved passthrough) → regexp_extract_all
+        spans, close = _spans0, _close0
+        if len(spans) != 2:
+            raise TranspileError("extractAll takes 2 args")
+        p_tok = toks[spans[1][0]]
+        if not (
+            p_tok[0] == "string" and spans[1][0] == spans[1][1]
+        ):
+            raise TranspileError(
+                "clickhouse extractAll(haystack, pattern) needs "
+                "a literal pattern (group selection depends "
+                "on its capture groups)"
+            )
+        pat = _literal_content(p_tok[1], read)
+        group = 1 if re.search(r"(?<!\\)\((?!\?)", pat) else 0
+        edits.append((start, end, "regexp_extract_all"))
+        edits.append(
+            (toks[close][2], toks[close][2], f", {group}")
+        )
+        i += 1
+        return i
+
+    if name == "arraysum":
+        # arraySum([lambda,] arr) — lambda comes FIRST when present
+        # (round 11; was loud).  Sums as DOUBLE (ClickHouse widens to
+        # Int64/Float64 — same values, the dtype caveat is
+        # documented); NULL elements are skipped in CH, matched by a
+        # coalesce-to-0 inside the fold.
+        spans, close = _spans0, _close0
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            body = "_a + coalesce(CAST(_x AS DOUBLE), 0.0D)"
+            repl = (f"aggregate(({x_}), CAST(0 AS DOUBLE), "
+                    f"(_a, _x) -> {body})")
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+        if len(spans) == 2:
+            l_, x_ = _arg_text(spans[0]), _arg_text(spans[1])
+            repl = (f"aggregate(transform(({x_}), {l_}), "
+                    "CAST(0 AS DOUBLE), (_a, _x) -> "
+                    "_a + coalesce(CAST(_x AS DOUBLE), 0.0D))")
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+        raise TranspileError("arraySum takes ([lambda,] array)")
+
+    if name == "arraycount":
+        # arrayCount(lambda, arr) counts elements where the lambda is
+        # truthy (NULL is not) — size(filter(...)) matches exactly.
+        # The 1-arg non-zero-count form needs element truthiness over
+        # an unknown type — loud.
+        spans, close = _spans0, _close0
+        if len(spans) == 2:
+            l_, x_ = _arg_text(spans[0]), _arg_text(spans[1])
+            repl = f"size(filter(({x_}), {l_}))"
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+        raise TranspileError(
+            "arrayCount without a lambda counts non-zero elements "
+            "of an unknown type; spell the predicate explicitly "
+            "(arrayCount(x -> x <> 0, arr))"
+        )
+
+    if name == "tostartofweek":
+        # toStartOfWeek(d[, mode]) — mode 0 (the default) floors to
+        # SUNDAY; mode 1/3 to Monday (ISO).  Spark date_trunc('week')
+        # is Monday-anchored, so mode 0 needs dayofweek arithmetic.
+        # Non-literal / other modes stay loud (the CH mode table also
+        # varies first-week-of-year rules, which don't matter for
+        # flooring a date).
+        spans, close = _spans0, _close0
+        if len(spans) in (1, 2):
+            mode = "0"
+            if len(spans) == 2:
+                m_tok = toks[spans[1][0]]
+                if not (m_tok[0] == "number"
+                        and spans[1][0] == spans[1][1]):
+                    raise TranspileError(
+                        "toStartOfWeek mode must be a literal"
+                    )
+                mode = m_tok[1]
+            d_ = _arg_text(spans[0])
+            if mode == "0":
+                repl = (f"date_sub(CAST(({d_}) AS DATE), "
+                        f"(dayofweek(CAST(({d_}) AS DATE)) - 1))")
+            elif mode in ("1", "3"):
+                repl = f"CAST(date_trunc('week', ({d_})) AS DATE)"
+            else:
+                raise TranspileError(
+                    f"toStartOfWeek mode {mode} has no Spark rewrite "
+                    "(modes 0=Sunday and 1/3=Monday transpile)"
+                )
+            edits.append((start, toks[close][3], repl))
+            return close + 1
 
     if name in ("splitbychar", "splitbystring", "splitbyregexp"):
         # separator FIRST in CH; plain-string separators are

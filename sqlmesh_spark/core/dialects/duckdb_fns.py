@@ -274,20 +274,49 @@ def call_handlers(ctx) -> "int | None":
             "or percentile_disc"
         )
 
-    if name == "unicode":
-        # duck unicode(s): first code point, -1 for the EMPTY string,
-        # NULL for NULL (pinned live, round 11). Spark's ascii is the
-        # code-point function (ascii('λ') = 955) but returns 0 on ''.
-        # Previously an UNRESOLVED_ROUTINE passthrough.
+    if name in ("unicode", "ord"):
+        # duck unicode(s) / its ord alias: first code point, -1 for
+        # the EMPTY string, NULL for NULL (pinned live, round 11).
+        # Spark's ascii is the code-point function (ascii('λ') = 955)
+        # but returns 0 on ''. Previously UNRESOLVED_ROUTINE
+        # passthroughs.
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) != 1:
-            raise TranspileError("duckdb unicode takes 1 argument")
+            raise TranspileError(f"duckdb {name} takes 1 argument")
         x_ = _arg_text(spans[0])
         edits.append(
             (start, toks[close][3],
              f"IF(({x_}) = '', -1, ascii(({x_})))")
         )
         return close + 1
+
+    if name in ("list_count", "array_count"):
+        # duck list_count(l): non-NULL element count (list_count([1,
+        # NULL, 3]) = 2, [] = 0, NULL list = NULL — pinned live;
+        # previously an unresolved passthrough). size(NULL) is NULL
+        # under Spark 3+ defaults, matching the NULL-list edge.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 f"size(filter(({x_}), _lc -> _lc IS NOT NULL))")
+            )
+            return close + 1
+
+    if name == "to_timestamp":
+        # duck to_timestamp(secs) — DOUBLE epoch seconds, fraction
+        # kept (to_timestamp(1700000000.25) carries .25s — pinned
+        # live). Spark's same-named function happens to accept
+        # integer seconds but parses via its format machinery —
+        # timestamp_seconds is the exact form.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3], f"timestamp_seconds(({x_}))")
+            )
+            return close + 1
 
     if name == "format":
         # duck fmt-'{}' formatting (round 11, pinned live): '{}'

@@ -709,6 +709,95 @@ def token_handlers(ctx) -> "int | None":
             i += 1
             return i
 
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.upper() == "NORMALIZED"
+        and i >= 1
+        and toks[i - 1][0] in _NAME_KINDS
+        and toks[i - 1][1].upper() in ("IS", "NOT", "NFC", "NFD",
+                                       "NFKC", "NFKD")
+    ):
+        # `x IS [NOT] [form] NORMALIZED` — Unicode normalization
+        # tests have no Spark builtin (same ceiling as normalize());
+        # the passthrough was a bare parse error (round 11)
+        raise TranspileError(
+            "postgres IS [NOT] NORMALIZED has no Spark analog "
+            "(no Unicode normal-form builtin); normalize upstream "
+            "or with a pandas UDF"
+        )
+
+    # Postgres LIKE/ILIKE ANY|ALL (ARRAY[...]) — pg quantifies ANY
+    # operator over arrays; Spark's LIKE ANY/ALL wants a bare pattern
+    # LIST (`LIKE ALL ('a%', '%c')` — the array(...) emission was a
+    # DATATYPE_MISMATCH, round 11).  Literal-element constructors
+    # rewrite to the list form; dynamic arrays stay loud.  The
+    # [NOT] LIKE prefix itself is untouched (same meaning both sides).
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.upper() in ("ANY", "ALL", "SOME")
+        and is_op(i + 1, "(")
+        and i >= 2
+        and toks[i - 1][0] in _NAME_KINDS
+        and toks[i - 1][1].upper() in ("LIKE", "ILIKE")
+    ):
+        spans_l, close_l = _call_arg_spans(toks, i + 1)
+        if spans_l and all(
+            sp[0] == sp[1] and toks[sp[0]][0] == "string"
+            for sp in spans_l
+        ):
+            # already the Spark bare-pattern-list emission (our own
+            # rewrite below) — consume so fixpoint re-reads stay inert
+            return close_l + 1
+        lits: "list[str] | None" = None
+        if len(spans_l) == 1:
+            s0, s1 = spans_l[0]
+            if (
+                toks[s0][0] in _NAME_KINDS
+                and toks[s0][1].upper() == "ARRAY"
+                and s0 + 1 < s1
+                and toks[s0 + 1][0] == "op"
+                and toks[s0 + 1][1] in ("[", "(")
+                and toks[s1][0] == "op"
+                and toks[s1][1] in ("]", ")")
+            ):
+                # elements between the constructor's brackets: each
+                # depth-1 comma-separated item must be ONE string
+                # token (_call_arg_spans only walks parens, so the
+                # ARRAY[...] form parses manually)
+                items = []
+                j, okc = s0 + 2, True
+                while j < s1 and okc:
+                    if toks[j][0] == "string" and (
+                        j + 1 == s1
+                        or (toks[j + 1][0] == "op"
+                            and toks[j + 1][1] == ",")
+                    ):
+                        items.append(toks[j][1])
+                        j += 2
+                    else:
+                        okc = False
+                if okc and items:
+                    lits = [
+                        _spark_string_literal(
+                            _literal_content(lit, read), read
+                        )
+                        for lit in items
+                    ]
+        if lits is None:
+            raise TranspileError(
+                f"postgres LIKE {text.upper()}(...) transpiles only "
+                "over an inline ARRAY[...] of pattern literals "
+                "(Spark's LIKE ANY/ALL takes a bare pattern list)"
+            )
+        target = "ANY" if text.upper() in ("ANY", "SOME") else "ALL"
+        edits.append(
+            (start, toks[close_l][3],
+             f"{target} ({', '.join(lits)})")
+        )
+        return close_l + 1
+
     # Postgres quantified comparisons over ARRAYS: x = ANY(arr) →
     # membership (array_contains), x = ALL(arr) → forall with an
     # equality lambda, and every other comparison operator (<> !=

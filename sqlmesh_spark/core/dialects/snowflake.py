@@ -22,6 +22,7 @@ from sqlmesh_spark.core.transpile_shared import (
 from sqlmesh_spark.core.transpile_text import (
     convert_sf_format,
     _regex_literal,
+    _resolve_unit,
     _spark_string_literal,
     _literal_content,
 )
@@ -61,6 +62,15 @@ _SNOWFLAKE_FN: dict[str, str | None] = {
     "hash": None,                       # different hash function → silent wrong
     "to_variant": None,
     "strtok": None,                     # 1-based tokenizer w/ charset delim
+    # round 11: renames + louds found by the static sweep
+    "bitshiftleft": "shiftleft",
+    "bitshiftright": "shiftright",
+    "boolor_agg": "bool_or",
+    "booland_agg": "bool_and",
+    "boolxor_agg": None,                # no Spark xor aggregate
+    # Spark 4 HAS randstr(len, seed) — same name, different generator,
+    # different output for the same seed → the hash() silent-wrong class
+    "randstr": None,
 }
 
 # BigQuery renames. Identical-semantics pass-throughs: regexp_extract_all,
@@ -365,6 +375,116 @@ def call_handlers(ctx) -> "int | None":
         edits.append((start, toks[close][3], repl))
         i = close + 1
         return i
+    if name == "div0null":
+        # DIV0NULL(a, b): like DIV0 but also 0 when the DIVISOR is
+        # NULL (a NULL dividend still propagates — round 11; was an
+        # unresolved passthrough).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 2:
+            raise TranspileError("div0null expects 2 args")
+        a_text = _arg_text(spans[0])
+        b_text = _arg_text(spans[1])
+        repl = (
+            f"if((({b_text}) = 0 OR ({b_text}) IS NULL) AND "
+            f"({a_text}) IS NOT NULL, 0, ({a_text}) / ({b_text}))"
+        )
+        edits.append((start, toks[close][3], repl))
+        i = close + 1
+        return i
+    if name in ("booland", "boolor", "boolxor", "boolnot"):
+        # numeric-truthiness boolean functions (round 11; previously
+        # unresolved passthroughs): nonzero = true, and the documented
+        # NULL rules are exactly SQL three-valued logic over (x <> 0)
+        # — BOOLAND(0, NULL) is FALSE, BOOLAND(1, NULL) is NULL.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if name == "boolnot" and len(spans) == 1:
+            repl = f"(NOT (({_arg_text(spans[0])}) <> 0))"
+        elif name != "boolnot" and len(spans) == 2:
+            a_ = f"(({_arg_text(spans[0])}) <> 0)"
+            b_ = f"(({_arg_text(spans[1])}) <> 0)"
+            op_ = {"booland": "AND", "boolor": "OR",
+                   "boolxor": "<>"}[name]
+            repl = f"({a_} {op_} {b_})"
+        else:
+            raise TranspileError(f"{name}: unexpected argument count")
+        edits.append((start, toks[close][3], repl))
+        i = close + 1
+        return i
+    if name == "insert" and first_pass:
+        # INSERT(base, pos, len, repl) — 1-based character splice,
+        # exactly Spark's overlay(base, repl, pos, len) (round 11;
+        # the name collides with the DML keyword but only the CALL
+        # shape reaches name dispatch).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 4:
+            raise TranspileError(
+                "snowflake INSERT() expects (base, pos, len, repl)"
+            )
+        b_, p_, l_, r_ = (_arg_text(sp) for sp in spans)
+        edits.append(
+            (start, toks[close][3],
+             f"overlay(({b_}), ({r_}), ({p_}), ({l_}))")
+        )
+        i = close + 1
+        return i
+    if name == "date_part" and first_pass:
+        # DATE_PART(field, d) — field is a bare keyword or string
+        # literal with Snowflake's alias tiers. The plain passthrough
+        # was SILENTLY WRONG for 'dayofweek' (Spark accepts the same
+        # field name but returns 1-7 Sunday=1 where Snowflake's
+        # default WEEK_START=0 gives 0-6 Sunday=0) — dow/week tiers
+        # are WEEK_START/WEEK_OF_YEAR_POLICY session-dependent and
+        # stay LOUD like the function forms; ISO and epoch tiers map
+        # exactly.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            u_tok = toks[spans[0][0]]
+            if u_tok[0] == "string" and spans[0][0] == spans[0][1]:
+                raw_u = _literal_content(u_tok[1], read).lower()
+            elif u_tok[0] == "ident" and spans[0][0] == spans[0][1]:
+                raw_u = u_tok[1].lower()
+            else:
+                raise TranspileError(
+                    "date_part field must be a bare keyword or a "
+                    "string literal"
+                )
+            d_arg = _arg_text(spans[1])
+            if raw_u in ("dayofweekiso", "weekday_iso", "dow_iso"):
+                repl = f"(weekday(({d_arg})) + 1)"
+            elif raw_u in ("weekiso", "week_iso", "weekofyeariso"):
+                repl = f"weekofyear(({d_arg}))"
+            elif raw_u in ("dayofyear", "doy", "dy", "yday"):
+                repl = f"date_part('DOY', ({d_arg}))"
+            elif raw_u in ("epoch", "epoch_second", "epoch_seconds"):
+                repl = (f"(unix_micros(CAST(({d_arg}) AS "
+                        "TIMESTAMP_LTZ)) div 1000000)")
+            elif raw_u in ("epoch_millisecond", "epoch_milliseconds"):
+                repl = (f"(unix_micros(CAST(({d_arg}) AS "
+                        "TIMESTAMP_LTZ)) div 1000)")
+            elif raw_u in ("epoch_microsecond", "epoch_microseconds"):
+                repl = f"unix_micros(CAST(({d_arg}) AS TIMESTAMP_LTZ))"
+            elif raw_u in ("dayofweek", "dow", "dw", "weekday",
+                           "week", "w", "wk", "weekofyear", "woy",
+                           "wy", "yearofweek", "yearofweekiso",
+                           "nanosecond", "ns", "nsec", "nsecond",
+                           "nanoseconds", "nseconds"):
+                raise TranspileError(
+                    f"snowflake date_part({raw_u!r}) depends on the "
+                    "WEEK_START/WEEK_OF_YEAR_POLICY session "
+                    "parameters (or has no Spark field); use "
+                    "dayofweekiso / weekiso for the ISO forms"
+                )
+            else:
+                unit = _resolve_unit(read, raw_u)
+                if unit is None:
+                    raise TranspileError(
+                        f"date_part field {raw_u!r} has no Spark "
+                        "equivalent"
+                    )
+                repl = f"date_part('{unit}', ({d_arg}))"
+            edits.append((start, toks[close][3], repl))
+            i = close + 1
+            return i
     if name == "regexp_substr":
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) != 2:

@@ -196,6 +196,45 @@ def call_handlers(ctx) -> "int | None":
     is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name == "truncate" and first_pass:
+        # trino truncate(x) — toward-zero truncation, the pg trunc()
+        # shape (round 11; was loud).  The DECIMAL-typed 2-arg
+        # truncate(x, d) keeps the input's scale — no faithful Spark
+        # decimal-scale rewrite, stays loud with guidance.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 f"CAST(CASE WHEN ({x_}) < 0 THEN ceil(({x_})) "
+                 f"ELSE floor(({x_})) END AS DOUBLE)")
+            )
+            return close + 1
+        raise TranspileError(
+            "trino truncate(x, d) truncates a DECIMAL in place "
+            "(scale-preserving); use floor/ceil arithmetic over "
+            "power(10, d) explicitly"
+        )
+    if name in ("from_base", "to_base") and first_pass:
+        # radix conversions → Spark conv() (round 11; unresolved
+        # passthroughs).  from_base returns BIGINT; to_base renders
+        # lowercase where conv is uppercase.  Caveat (documented):
+        # Trino ERRORS on malformed digits, Spark's conv returns 0.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, r_ = _arg_text(spans[0]), _arg_text(spans[1])
+            if name == "from_base":
+                repl = f"CAST(conv(({a_}), ({r_}), 10) AS BIGINT)"
+            else:
+                repl = f"lower(conv(({a_}), 10, ({r_})))"
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+    if name == "row" and first_pass:
+        # row(a, b, ...) anonymous-row constructor → struct(...)
+        # (field names become col1..colN, matching Trino's unnamed
+        # fields; round 11 — was an unresolved passthrough)
+        edits.append((start, end, "struct"))
+        return i + 1
     if name == "if" and first_pass:
         # trino 2-arg if(cond, v) returns NULL on false; Spark's if
         # requires 3 args (the passthrough was an arg-count error,

@@ -159,6 +159,27 @@ def call_handlers(ctx) -> "int | None":
         i = close + 1
         return i
 
+    if name == "stuff" and first_pass:
+        # STUFF(s, start, len, repl) — 1-based splice, Spark's
+        # overlay(s, repl, start, len) — with T-SQL's NULL edges
+        # guarded explicitly: start < 1, start > len(s), or a
+        # negative length all return NULL (overlay would clamp).
+        # (round 11; was loud)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 4:
+            raise TranspileError(
+                "stuff expects (string, start, length, replacement)"
+            )
+        s_, p_, l_, r_ = (_arg_text(sp) for sp in spans)
+        repl = (
+            f"IF(({p_}) < 1 OR ({p_}) > length(({s_})) OR "
+            f"({l_}) < 0, NULL, "
+            f"overlay(({s_}), ({r_}), ({p_}), ({l_})))"
+        )
+        edits.append((start, toks[close][3], repl))
+        i = close + 1
+        return i
+
     if name == "datepart" and first_pass:
         # DATEPART(unit, d) → date_part('UNIT', d). WEEK and
         # WEEKDAY depend on SET DATEFIRST — loud; ISO_WEEK is

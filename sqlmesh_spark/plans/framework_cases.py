@@ -3781,3 +3781,61 @@ GROUP BY o_orderpriority
     )
     ctx.run(environment="env_pgjson")
     return spark.table("env_pgjson_views.json_tier")
+
+
+SF_R11B_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(isodow(MAX(o_orderdate)) AS BIGINT) AS dow_iso,
+       CAST(year(MIN(o_orderdate)) AS BIGINT) AS yr,
+       strftime(MAX(o_orderdate) + INTERVAL 14 DAY, '%Y-%m-%d') AS plus_2w,
+       substr(MAX(o_orderpriority), 1, 1) || 'Z' ||
+           substr(MAX(o_orderpriority), 3) AS spliced,
+       CAST(0 AS DOUBLE) AS dz,
+       FALSE AS band,
+       CAST((COUNT(*) % 8) * 4 AS BIGINT) AS shifted
+FROM orders WHERE o_custkey % 11 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_snowflake_r11b_model", oracle=SF_R11B_ORACLE, tags=("dialect", "framework"))
+def framework_snowflake_r11b_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 second static-sweep snowflake tier end-to-end
+    through plan/apply: DATE_PART with bare alias fields (dayofweekiso
+    → weekday()+1, yyyy → 'YEAR' — the bare passthrough was silently
+    off-by-one for dow fields), DATEADD with the 'wk' abbreviation,
+    INSERT() → overlay, DIV0NULL's zero-on-zero-divisor, BOOLAND
+    numeric truthiness, and BITSHIFTLEFT → shiftleft.  The DuckDB
+    oracle recomputes each value with its own primitives (isodow,
+    substr splicing, interval arithmetic).  ref: the reference
+    transpiles snowflake models through SQLGlot
+    (sqlmesh/core/dialect.py)."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_sfb", "env_sfb_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_sfb.order_facets,
+  kind FULL,
+  dialect snowflake
+);
+SELECT TO_VARCHAR(o_orderdate, 'YYYY-MM') AS month,
+       COUNT(*)::BIGINT AS n_orders,
+       DATE_PART(dayofweekiso, MAX(o_orderdate))::BIGINT AS dow_iso,
+       DATE_PART(yyyy, MIN(o_orderdate))::BIGINT AS yr,
+       TO_VARCHAR(DATEADD(wk, 2, MAX(o_orderdate)), 'YYYY-MM-DD') AS plus_2w,
+       INSERT(MAX(o_orderpriority), 2, 1, 'Z') AS spliced,
+       DIV0NULL(COUNT(*), 0) AS dz,
+       BOOLAND(COUNT(*), 0) AS band,
+       BITSHIFTLEFT(COUNT(*) % 8, 2)::BIGINT AS shifted
+FROM orders WHERE o_custkey % 11 = 0
+GROUP BY TO_VARCHAR(o_orderdate, 'YYYY-MM')
+"""
+    )
+    ctx.run(environment="env_sfb")
+    return spark.table("env_sfb_views.order_facets")

@@ -187,6 +187,18 @@ TEMPLATES += [
     f"(SELECT kahan_sum(v) FROM (VALUES (1.5),(2.25),(NULL)) t(v))",
     f"(SELECT sumkahan(v) FROM (VALUES (1),(2)) t(v))",
     f"(SELECT favg(v) FROM (VALUES (1.5),(2.25)) t(v))",
+    # wave 60: list_count non-NULL counting, to_timestamp epoch
+    # seconds (fraction kept), ord ≡ unicode (empty → -1)
+    "list_count([1, NULL, 3])",
+    "list_count([])",
+    # to_timestamp returns TIMESTAMPTZ in duck (the local _norm keeps
+    # tzinfo, unlike the probe harness) — compare the INSTANT
+    "to_timestamp(1700000000) = timestamp '2023-11-14 22:13:20'",
+    "to_timestamp(1700000000.25) - to_timestamp(1700000000) = interval '250 milliseconds'",
+    "ord('A')",
+    "ord('€')",
+    "ord('')",
+    "ord(NULL)",
     f"(SELECT skewness(v) FILTER (WHERE v < 9) FROM (VALUES (1),(2),(5),(9)) t(v))",
     f"(SELECT kurtosis(v) FILTER (WHERE v < 99) FROM (VALUES (1),(2),(5),(9)) t(v))",
     # duckdb default NULL placement is LAST in BOTH directions

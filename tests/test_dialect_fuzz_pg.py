@@ -189,6 +189,16 @@ TEMPLATES += [
     "(SELECT count(distinct (a, b)) FROM"
     " (VALUES (1,2),(1,2),(3,4),(NULL,2),(NULL,2)) t(a,b))",
     "(SELECT sum(v) FROM ROWS FROM (unnest(ARRAY[10,20,30])) s(v))",
+    # LIKE/ILIKE ANY|ALL over array-literal pattern lists → Spark's
+    # bare pattern list (wave 59); date_bin → the time_bucket
+    # machinery; IS NORMALIZED is loud (tested elsewhere)
+    "'abc' LIKE ALL (ARRAY['a%', '%c'])",
+    "'abc' LIKE ANY (ARRAY['z%', '%z'])",
+    "'abc' NOT LIKE ALL (ARRAY['z%'])",
+    "'ABC' ILIKE ANY (ARRAY['a%'])",
+    "date_bin(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 10:37:22',"
+    " TIMESTAMP '2024-01-01 00:00:00')",
+    "num_nulls(1, NULL, 3)",
 ]
 
 # round 11: fractional/clock/'ago' interval literals decompose via

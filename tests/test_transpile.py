@@ -2353,7 +2353,6 @@ def test_tsql_loud_surface():
     for sql in (
         "SELECT TOP 5 PERCENT a FROM t",
         "SELECT TOP 5 WITH TIES a FROM t ORDER BY a",
-        "SELECT STUFF(s, 1, 2, 'x') FROM t",
         "SELECT FORMAT(d, 'dd/MM/yyyy') FROM t",
         "SELECT CONVERT(VARCHAR(10), d, 120) FROM t",  # style arg
         "SELECT ISNULL(a) FROM t",
@@ -2624,7 +2623,7 @@ def test_trino_loud_surface():
         "SELECT array_sort_desc(a) FROM t",
         "SELECT json_parse(j) FROM t",
         "SELECT histogram(x) FROM t",
-        "SELECT truncate(x) FROM t",
+        "SELECT truncate(x, 1) FROM t",  # DECIMAL scale-preserving 2-arg
         "SELECT split_to_map(s, ';', '=') FROM t",
         "SELECT regexp_position(s, 'p') FROM t",
         "SELECT url_extract_port(u) FROM t",
@@ -4998,3 +4997,108 @@ def test_pg_variadic_and_rows_from_round11():
     out = t("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING"
             " AND CURRENT ROW) FROM t")
     assert "ROWS BETWEEN 1 PRECEDING" in out
+
+
+def test_static_matrix_second_sweep_round11():
+    """Second static dialect-matrix sweep (round 11, reviewed against
+    published semantics + Spark-side value checks): snowflake
+    date_part alias/field tier (dow/week tiers LOUD — the passthrough
+    was SILENTLY off-by-one vs Spark's same-named 1-based field),
+    INSERT() → overlay, div0null, the booland truthiness family,
+    bitshift renames, randstr loud (Spark 4 shares the name with a
+    different generator); snowflake/redshift dateadd/datediff unit
+    abbreviations (note redshift 'm' = MINUTE where snowflake 'mm' =
+    MONTH); trino truncate/from_base/to_base/row; clickhouse
+    extractAll group selection, arraySum/arrayCount lambda-first
+    forms, toStartOfWeek modes, concatAssumeInjective; tsql STUFF →
+    NULL-edge-guarded overlay."""
+    t = lambda r, s: transpile(s, r)  # noqa: E731
+    # snowflake date_part: ISO/epoch/alias tiers map, dow/week loud
+    assert t("snowflake", "SELECT date_part(dayofweekiso, d) FROM t") \
+        == "SELECT (weekday((d)) + 1) FROM t"
+    assert t("snowflake", "SELECT date_part(yyyy, d) FROM t") == \
+        "SELECT date_part('YEAR', (d)) FROM t"
+    assert "div 1000000" in t(
+        "snowflake", "SELECT date_part(epoch_second, ts) FROM t")
+    for fld in ("dayofweek", "'dow'", "week", "woy", "yearofweek"):
+        with pytest.raises(TranspileError, match="WEEK_START"):
+            t("snowflake", f"SELECT date_part({fld}, d) FROM t")
+    assert "timestampadd(WEEK" in t(
+        "snowflake", "SELECT dateadd(wk, 1, d) FROM t")
+    # redshift 'm' is MINUTE (snowflake/tsql 'm'/'mm' is MONTH)
+    assert "MINUTE" in t("redshift", "SELECT dateadd(m, 30, ts) FROM t")
+    assert "MONTH" in t("tsql", "SELECT dateadd(m, 3, ts) FROM t")
+    assert t("snowflake", "SELECT insert(s, 2, 3, r) FROM t") == \
+        "SELECT overlay((s), (r), (2), (3)) FROM t"
+    assert t("snowflake", "SELECT booland(a, b) FROM t") == \
+        "SELECT (((a) <> 0) AND ((b) <> 0)) FROM t"
+    assert "OR (b) IS NULL" in t(
+        "snowflake", "SELECT div0null(a, b) FROM t")
+    assert "shiftleft" in t("snowflake", "SELECT bitshiftleft(1, 3)")
+    assert "bool_or" in t("snowflake", "SELECT boolor_agg(x) FROM t")
+    with pytest.raises(TranspileError):
+        t("snowflake", "SELECT randstr(5, 42)")
+    # trino
+    assert t("trino", "SELECT truncate(x) FROM t") == (
+        "SELECT CAST(CASE WHEN (x) < 0 THEN ceil((x)) ELSE "
+        "floor((x)) END AS DOUBLE) FROM t")
+    assert t("trino", "SELECT from_base(s, 16) FROM t") == \
+        "SELECT CAST(conv((s), (16), 10) AS BIGINT) FROM t"
+    assert t("trino", "SELECT to_base(x, 16) FROM t") == \
+        "SELECT lower(conv((x), 10, (16))) FROM t"
+    assert t("trino", "SELECT row(1, 'a')") == "SELECT struct(1, 'a')"
+    # clickhouse
+    assert t("clickhouse", r"SELECT extractAll(s, '=(\d+)') FROM t") \
+        == "SELECT regexp_extract_all(s, '=(\\\\d+)', 1) FROM t"
+    assert t("clickhouse", r"SELECT extractAll(s, '\d+') FROM t") == \
+        "SELECT regexp_extract_all(s, '\\\\d+', 0) FROM t"
+    assert "aggregate(" in t("clickhouse", "SELECT arraySum(a) FROM t")
+    assert "transform(" in t(
+        "clickhouse", "SELECT arraySum(x -> x * 2, a) FROM t")
+    assert t("clickhouse", "SELECT arrayCount(x -> x > 1, a) FROM t") \
+        == "SELECT size(filter((a), x -> x > 1)) FROM t"
+    assert "date_sub" in t("clickhouse", "SELECT toStartOfWeek(d) FROM t")
+    assert "date_trunc('week'" in t(
+        "clickhouse", "SELECT toStartOfWeek(d, 1) FROM t")
+    with pytest.raises(TranspileError):
+        t("clickhouse", "SELECT toStartOfWeek(d, 9) FROM t")
+    assert t("clickhouse", "SELECT concatAssumeInjective(a, b) FROM t") \
+        == "SELECT concat(a, b) FROM t"
+    with pytest.raises(TranspileError, match="lambda"):
+        t("clickhouse", "SELECT arrayCount(a) FROM t")
+    # tsql STUFF: NULL edges guarded
+    out = t("tsql", "SELECT stuff(s, 2, 3, r) FROM t")
+    assert "overlay((s), (r), (2), (3))" in out and "NULL" in out
+
+
+def test_pg_like_quantified_and_duck_misc_round11():
+    """LIKE/ILIKE ANY|ALL over array-literal pattern lists → Spark's
+    bare pattern list (the array(...) emission was a
+    DATATYPE_MISMATCH; dynamic arrays loud); IS NORMALIZED loud; duck
+    list_count (non-NULL element count), to_timestamp →
+    timestamp_seconds (fraction-preserving), ord ≡ unicode.  All
+    pinned live (waves 59-60)."""
+    t = lambda r, s: transpile(s, r)  # noqa: E731
+    out = t("postgres", "SELECT 'abc' LIKE ALL (ARRAY['a%', '%c'])")
+    assert out == "SELECT 'abc' LIKE ALL ('a%', '%c')"
+    assert t("postgres", out) == out  # bare-list emission stays inert
+    assert "ANY ('z%', '%c')" in t(
+        "postgres", "SELECT x LIKE ANY (ARRAY['z%', '%c']) FROM t")
+    with pytest.raises(TranspileError, match="pattern literals"):
+        t("postgres", "SELECT x LIKE ALL (pats) FROM t")
+    with pytest.raises(TranspileError, match="NORMALIZED"):
+        t("postgres", "SELECT 'e' IS NFC NORMALIZED")
+    with pytest.raises(TranspileError, match="NORMALIZED"):
+        t("postgres", "SELECT 'e' IS NOT NORMALIZED")
+    assert t("duckdb", "SELECT list_count(l) FROM t") == \
+        "SELECT size(filter((l), _lc -> _lc IS NOT NULL)) FROM t"
+    assert t("duckdb", "SELECT to_timestamp(x) FROM t") == \
+        "SELECT timestamp_seconds((x)) FROM t"
+    assert t("duckdb", "SELECT ord(s) FROM t") == \
+        "SELECT IF((s) = '', -1, ascii((s))) FROM t"
+    for loud in ("SELECT current_setting('threads')",
+                 "SELECT enum_range(NULL::e)"):
+        with pytest.raises(TranspileError):
+            t("duckdb", loud)
+    with pytest.raises(TranspileError):
+        t("postgres", "SELECT pg_sleep(1)")
