@@ -13,6 +13,7 @@ import re
 
 from sqlmesh_spark.core.transpile_shared import (
     TranspileError,
+    _NAME_KINDS,
     _require_spark4,
     _call_arg_spans,
 )
@@ -67,6 +68,9 @@ _MYSQL_FN: dict[str, str | None] = {
     "connection_id": None, "database": None, "schema": None, "user": None,
     "session_user": None, "system_user": None, "version": None,
     "benchmark": None, "sleep": None, "get_lock": None, "release_lock": None,
+    # round 11: session-state louds + the oct radix rename
+    "last_insert_id": None, "found_rows": None, "row_count": None,
+    "is_free_lock": None, "is_used_lock": None, "master_pos_wait": None,
 }
 
 # Oracle renames (ref dialect.py:1040; the classic enterprise migration
@@ -210,6 +214,174 @@ def call_handlers(ctx) -> "int | None":
     is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name == "insert" and first_pass:
+        # MySQL INSERT(s, pos, len, repl) — 1-based splice like Spark's
+        # overlay, but with MySQL's edges (round 11; was an unresolved
+        # passthrough): pos out of range returns the ORIGINAL string
+        # (not NULL — unlike T-SQL STUFF), and a negative len replaces
+        # through the end of the string.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 4:
+            raise TranspileError(
+                "mysql INSERT() expects (str, pos, len, newstr)"
+            )
+        s_, p_, l_, r_ = (_arg_text(sp) for sp in spans)
+        # char_length, NOT length: the MySQL length → octet_length
+        # rename would turn a length() here into BYTE counting on the
+        # next pass, but INSERT positions are CHARACTER-based
+        repl = (
+            f"IF(({p_}) < 1 OR ({p_}) > char_length(({s_})), ({s_}), "
+            f"overlay(({s_}), ({r_}), ({p_}), "
+            f"IF(({l_}) < 0, char_length(({s_})), ({l_}))))"
+        )
+        edits.append((start, toks[close][3], repl))
+        return close + 1
+
+    if name == "field":
+        # FIELD(x, a, b, ...) — 1-based index of x in the list, 0 when
+        # absent or x IS NULL (round 11; was loud).  array_position
+        # returns 0 on not-found and NULL on a NULL needle — coalesce
+        # covers the NULL case.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) >= 2:
+            x_ = _arg_text(spans[0])
+            rest = ", ".join(f"({_arg_text(sp)})" for sp in spans[1:])
+            edits.append(
+                (start, toks[close][3],
+                 f"coalesce(array_position(array({rest}), ({x_})), 0)")
+            )
+            return close + 1
+
+    if name == "char" and first_pass:
+        # multi-arg CHAR(65, 66) concatenates one character per code
+        # (NULL arguments are SKIPPED — the coalesce arms); Spark's
+        # char is 1-arg.  Code points ≤ 255 only in MySQL's default
+        # charset reading — multi-byte packing (value > 255 packs
+        # BYTES) has no Spark form and is the documented ceiling.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) >= 2:
+            parts = ", ".join(
+                f"coalesce(char(({_arg_text(sp)})), '')" for sp in spans
+            )
+            edits.append(
+                (start, toks[close][3], f"concat({parts})")
+            )
+            return close + 1
+
+    if name == "oct":
+        # OCT(n) = CONV(n, 10, 8) (round 11; Spark has no oct)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append(
+                (start, toks[close][3],
+                 f"conv(({_arg_text(spans[0])}), 10, 8)")
+            )
+            return close + 1
+
+    if name == "truncate" and first_pass:
+        # TRUNCATE(x, d) — toward-zero truncation to d decimal places
+        # (negative d truncates left of the point; power(10, d)
+        # handles both).  DOUBLE result — MySQL keeps the input's
+        # numeric type, the documented dtype ceiling.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            x_, d_ = _arg_text(spans[0]), _arg_text(spans[1])
+            p_ = f"power(10, ({d_}))"
+            edits.append(
+                (start, toks[close][3],
+                 f"(CASE WHEN ({x_}) < 0 THEN ceil(({x_}) * {p_}) "
+                 f"ELSE floor(({x_}) * {p_}) END / {p_})")
+            )
+            return close + 1
+
+    if name == "quote" and first_pass:
+        # QUOTE(NULL) renders the four-character string 'NULL' in
+        # MySQL where Spark's same-named quote() returns SQL NULL; the
+        # escaping rules (backslash, quote doubling) otherwise agree.
+        # The inner identity-IF marks the emission so re-reads skip
+        # (the transpile-handler identity-IF convention).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1 and not (
+            toks[spans[0][0]][0] in _NAME_KINDS
+            and toks[spans[0][0]][1].upper() == "IF"
+        ):
+            x_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 f"IF(({x_}) IS NULL, 'NULL', "
+                 f"quote(IF(({x_}) IS NULL, NULL, ({x_}))))")
+            )
+            return close + 1
+
+    if name == "json_unquote" and first_pass:
+        # JSON_UNQUOTE(JSON_EXTRACT(doc, '$.path')) is MySQL's ->>
+        # — exactly get_json_object's TEXT mode (unquoted scalars).
+        # Lone json_extract stays loud (returns JSON with quoted
+        # strings); non-literal paths too.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            s0, s1 = spans[0]
+            if (
+                toks[s0][0] in _NAME_KINDS
+                and toks[s0][1].lower() == "json_extract"
+                and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == "("
+            ):
+                isp, iclose = _call_arg_spans(toks, s0 + 1)
+                if (
+                    iclose == s1
+                    and len(isp) == 2
+                    and isp[1][0] == isp[1][1]
+                    and toks[isp[1][0]][0] == "string"
+                ):
+                    doc_ = _arg_text(isp[0])
+                    path_ = toks[isp[1][0]][1]
+                    edits.append(
+                        (start, toks[close][3],
+                         f"get_json_object(({doc_}), {path_})")
+                    )
+                    return close + 1
+            raise TranspileError(
+                "mysql json_unquote transpiles only over "
+                "json_extract(doc, '<literal path>') — together they "
+                "are get_json_object; other shapes have no text-mode "
+                "equivalent"
+            )
+
+    if name == "convert" and first_pass:
+        # CONVERT(expr USING charset) — a UTF-8 target is an identity
+        # in Spark (all strings are UTF-8); other charsets have no
+        # Spark conversion.  (CONVERT(expr, type) is handled by the
+        # shared cast machinery.)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            s0, s1 = spans[0]
+            using_at = None
+            depth = 0
+            for j in range(s0, s1 + 1):
+                tk, tt = toks[j][0], toks[j][1]
+                if tk == "op" and tt in ("(", "["):
+                    depth += 1
+                elif tk == "op" and tt in (")", "]"):
+                    depth -= 1
+                elif (depth == 0 and tk in _NAME_KINDS
+                        and tt.upper() == "USING"):
+                    using_at = j
+                    break
+            if using_at is not None:
+                cs = "".join(
+                    toks[j][1] for j in range(using_at + 1, s1 + 1)
+                ).lower()
+                expr_ = _arg_text((s0, using_at - 1))
+                if cs in ("utf8", "utf8mb4", "utf8mb3"):
+                    edits.append(
+                        (start, toks[close][3], f"({expr_})")
+                    )
+                    return close + 1
+                raise TranspileError(
+                    f"mysql CONVERT(... USING {cs}) has no Spark "
+                    "charset conversion (Spark strings are UTF-8)"
+                )
+
     if name == "utc_timestamp":
         spans, close = _call_arg_spans(toks, i + 1)
         if spans:

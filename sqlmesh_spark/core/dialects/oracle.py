@@ -11,7 +11,10 @@ from __future__ import annotations
 
 from sqlmesh_spark.core.transpile_shared import (
     TranspileError,
+    _NAME_KINDS,
+    _backward_primary,
     _call_arg_spans,
+    _forward_primary,
 )
 from sqlmesh_spark.core.transpile_text import (
     _literal_content,
@@ -41,6 +44,13 @@ _ORACLE_FN: dict[str, str | None] = {
     "nanvl": None,
     "remainder": None,                  # IEEE remainder ≠ Spark mod
     "bitand": None,                     # handler shared w/ snowflake below
+    # round 11: lengthb counts BYTES (Spark octet_length);
+    # standard_hash returns RAW (uppercase hex rendering vs Spark's
+    # lowercase strings — silent text divergence); vsize is storage
+    # introspection
+    "lengthb": "octet_length",
+    "standard_hash": None,
+    "vsize": None,
 }
 
 # T-SQL / SQL Server renames. Identical pass-throughs: substring, left,
@@ -105,6 +115,77 @@ def token_handlers(ctx) -> "int | None":
                 "rewrite as a standard quoted literal"
             )
 
+    # Oracle || — NULL is the EMPTY STRING in Oracle concatenation
+    # ('a' || NULL = 'a'; Spark's || NULL-propagates — a silent-wrong,
+    # round 11).  Each operand coalesces through a STRING cast (the
+    # VARCHAR2 implicit conversion; Oracle's NLS date rendering is the
+    # documented static ceiling) and the whole chain nullif('')s back,
+    # because the empty string IS NULL in Oracle.  The emission's own
+    # ||s are skipped via the enclosing-nullif gate, consuming the
+    # whole chain so inner operators are never revisited.
+    if read == "oracle" and kind == "op" and text == "||":
+        lf = _backward_primary(toks, i - 1, include_unary=True)
+        if lf is None:
+            return None
+        # typed literals (DATE '...', TIMESTAMP '...') split across
+        # two tokens — absorb the type keyword (note: _backward/_
+        # forward_primary do not span them)
+        if (
+            lf > 0
+            and toks[lf][0] == "string"
+            and toks[lf - 1][0] in _NAME_KINDS
+            and toks[lf - 1][1].upper() in ("DATE", "TIMESTAMP",
+                                            "INTERVAL")
+        ):
+            lf -= 1
+        # already our emission (or an explicit user nullif) — skip the
+        # WHOLE chain so the inner ||s stay untouched
+        skip = (
+            lf >= 2
+            and toks[lf - 1][0] == "op" and toks[lf - 1][1] == "("
+            and toks[lf - 2][0] in _NAME_KINDS
+            and toks[lf - 2][1].lower() == "nullif"
+        )
+        # collect operand spans: left primary, then one per ||
+        spans_c = [(lf, i - 1)]
+        j = i
+        while (
+            j < n
+            and toks[j][0] == "op" and toks[j][1] == "||"
+        ):
+            rsp = _forward_primary(toks, j + 1)
+            if rsp is None:
+                return None
+            r0, r1 = rsp
+            if (
+                toks[r0][0] in _NAME_KINDS
+                and toks[r0][1].upper() in ("DATE", "TIMESTAMP",
+                                            "INTERVAL")
+                and r1 == r0
+                and r0 + 1 < n
+                and toks[r0 + 1][0] == "string"
+            ):
+                r1 = r0 + 1
+            spans_c.append((r0, r1))
+            j = r1 + 1
+        if skip:
+            return j  # consume; nothing to rewrite
+        last = spans_c[-1][1]
+        if any(e[1] >= toks[lf][2] and e[0] <= toks[last][3]
+               for e in edits):
+            return None  # defer under an earlier overlapping edit
+        parts = [
+            "coalesce(CAST(("
+            + transpile(sql[toks[s0][2]:toks[s1][3]].strip(), "oracle")
+            + ") AS STRING), '')"
+            for s0, s1 in spans_c
+        ]
+        edits.append(
+            (toks[lf][2], toks[last][3],
+             "nullif(" + " || ".join(parts) + ", '')")
+        )
+        return last + 1
+
     # Oracle (+) outer-join marker — no Spark rewrite.
     return None
 
@@ -118,6 +199,55 @@ def call_handlers(ctx) -> "int | None":
     is_op, _arg_text, transpile = ctx.is_op, ctx.arg_text, ctx.transpile
     n = len(toks)
     _unused = (sql, name, kind, text, first_pass, is_op, _arg_text, transpile, n)
+    if name == "concat":
+        # Oracle CONCAT treats NULL as the empty string (the same
+        # VARCHAR2 ''≡NULL semantics as the || handler above; Spark's
+        # concat NULL-propagates — a silent-wrong, round 11).  The
+        # coalesce-headed first argument is the emission's own marker:
+        # re-reads skip it.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) >= 2:
+            if (
+                toks[spans[0][0]][0] in _NAME_KINDS
+                and toks[spans[0][0]][1].lower() == "coalesce"
+            ):
+                return close + 1  # our emission — inert
+            parts = ", ".join(
+                f"coalesce(CAST(({_arg_text(sp)}) AS STRING), '')"
+                for sp in spans
+            )
+            edits.append(
+                (start, toks[close][3],
+                 f"nullif(concat({parts}), '')")
+            )
+            return close + 1
+
+    if name == "regexp_substr" and first_pass:
+        # Oracle REGEXP_SUBSTR(s, pat[, pos[, occ]]) — Spark's
+        # same-named function is 2-arg (NULL on no match, exactly
+        # Oracle's contract); the positional/occurrence forms died as
+        # arg-count errors (round 11).  pos offsets through substring,
+        # occ indexes regexp_extract_all; the 5-arg match_param and
+        # 6-arg subexpr forms stay loud.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) in (3, 4):
+            s_, p_ = _arg_text(spans[0]), _arg_text(spans[1])
+            pos_ = _arg_text(spans[2])
+            occ_ = _arg_text(spans[3]) if len(spans) == 4 else "1"
+            edits.append(
+                (start, toks[close][3],
+                 f"try_element_at(regexp_extract_all("
+                 f"substring(({s_}), ({pos_})), ({p_}), 0), ({occ_}))")
+            )
+            return close + 1
+        if len(spans) > 4:
+            raise TranspileError(
+                "oracle REGEXP_SUBSTR match_param/subexpr arguments "
+                "have no Spark rewrite"
+            )
+        # 2-arg passes through: Spark regexp_substr is NULL on no
+        # match, matching Oracle
+
     if name == "instr" and first_pass:
         # oracle INSTR(s, sub[, start[, nth]]) — Spark's instr is
         # 2-arg (the 3/4-arg forms died as arg-count errors, round

@@ -465,8 +465,11 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                 i = nxt
                 continue
 
-        # ---- Oracle bare-keyword fixes (core/dialects/oracle.py)
-        if read == "oracle" and kind == "ident":
+        # ---- Oracle bare-keyword fixes + || NULL-as-empty
+        # (core/dialects/oracle.py)
+        if read == "oracle" and (
+            kind == "ident" or (kind == "op" and text == "||")
+        ):
             ctx.i, ctx.kind, ctx.text = i, kind, text
             ctx.start, ctx.end, ctx.name = start, end, ""
             nxt = _d_oracle.token_handlers(ctx)

@@ -2097,7 +2097,6 @@ def test_mysql_loud_surface():
         "SELECT a XOR b FROM t",
         "SELECT j->'$.a' FROM t",
         "SELECT WEEK(d) FROM t",
-        "SELECT TRUNCATE(x, 2) FROM t",
         "SELECT LEAST(a, b) FROM t",          # NULL handling differs
         "SELECT GROUP_CONCAT(v ORDER BY v) FROM t",
         "SELECT DATE_FORMAT(d, '%D') FROM t",  # ordinal-suffix day
@@ -5102,3 +5101,79 @@ def test_pg_like_quantified_and_duck_misc_round11():
             t("duckdb", loud)
     with pytest.raises(TranspileError):
         t("postgres", "SELECT pg_sleep(1)")
+
+
+def test_oracle_null_concat_and_mysql_tier_round11():
+    """Oracle || / CONCAT treat NULL as the empty string (VARCHAR2
+    ''≡NULL) — each operand coalesces through a STRING cast and the
+    chain nullif('')s back; Spark's NULL-propagating || was a
+    silent-wrong.  Oracle REGEXP_SUBSTR pos/occ forms offset through
+    substring + regexp_extract_all.  MySQL INSERT keeps MySQL's edges
+    (original string on out-of-range pos, rest-of-string on negative
+    len, CHARACTER positions — char_length, not the byte-counting
+    length rename), FIELD → array_position, multi-arg CHAR skips
+    NULLs, OCT → conv, TRUNCATE(x, d) toward-zero, QUOTE(NULL) is the
+    text 'NULL' (identity-IF marker), JSON_UNQUOTE(JSON_EXTRACT) →
+    get_json_object, CONVERT(... USING utf8*) is identity.  All 27
+    Spark-side value checks pass (see the round-11 pin script)."""
+    t = lambda r, s: transpile(s, r)  # noqa: E731
+    out = t("oracle", "SELECT 'a' || b || 'c' FROM t")
+    assert out.count("coalesce(CAST((") == 3 and out.startswith(
+        "SELECT nullif(")
+    assert t("oracle", out) == out  # enclosing-nullif gate holds
+    out = t("oracle", "SELECT concat(a, b) FROM t")
+    assert "nullif(concat(coalesce" in out
+    assert t("oracle", out) == out
+    out = t("oracle", "SELECT regexp_substr(s, '[0-9]', 2, 3) FROM t")
+    assert ("try_element_at(regexp_extract_all(substring((s), (2)), "
+            "('[0-9]'), 0), (3))") in out
+    assert t("oracle", "SELECT regexp_substr(s, p) FROM t") == \
+        "SELECT regexp_substr(s, p) FROM t"  # 2-arg is native parity
+    assert "octet_length" in t("oracle", "SELECT lengthb(s) FROM t")
+    with pytest.raises(TranspileError):
+        t("oracle", "SELECT standard_hash(x, 'MD5') FROM t")
+    # mysql
+    out = t("mysql", "SELECT insert(s, 2, 3, r) FROM t")
+    assert "char_length" in out and "overlay" in out
+    assert t("mysql", "SELECT field(x, a, b) FROM t") == \
+        "SELECT coalesce(array_position(array((a), (b)), (x)), 0) FROM t"
+    out = t("mysql", "SELECT char(65, 66) FROM t")
+    assert out == ("SELECT concat(coalesce(char((65)), ''), "
+                   "coalesce(char((66)), '')) FROM t")
+    assert t("mysql", "SELECT oct(n) FROM t") == \
+        "SELECT conv((n), 10, 8) FROM t"
+    assert "ceil" in t("mysql", "SELECT truncate(x, 2) FROM t")
+    out = t("mysql", "SELECT quote(s) FROM t")
+    assert out == ("SELECT IF((s) IS NULL, 'NULL', "
+                   "quote(IF((s) IS NULL, NULL, (s)))) FROM t")
+    assert t("mysql", out) == out  # identity-IF marker holds
+    assert t("mysql",
+             "SELECT json_unquote(json_extract(j, '$.a')) FROM t") == \
+        "SELECT get_json_object((j), '$.a') FROM t"
+    assert t("mysql", "SELECT convert(s using utf8mb4) FROM t") == \
+        "SELECT (s) FROM t"
+    for loud in ("SELECT json_unquote(x) FROM t",
+                 "SELECT convert(s using latin1) FROM t",
+                 "SELECT last_insert_id()"):
+        with pytest.raises(TranspileError):
+            t("mysql", loud)
+
+
+def test_pg_quant_split_dispatch_gate_round11():
+    """The round-11 postgres_quant.py split (module-size convention):
+    every moved branch must still fire through the FULL transpile()
+    dispatch — the round-8 split-regression class where a moved
+    handler's gate no longer matched the dispatch path."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    # = ANY(array) membership (the original quantified branch)
+    assert "array_contains" in t("SELECT 1 = ANY(ARRAY[1,2])")
+    # <> ALL over an array → NOT IN-style forall
+    assert "forall" in t("SELECT 2 <> ALL(ARRAY[1,3]) ")
+    # = ANY(SELECT ...) → IN
+    assert " IN(SELECT" in t("SELECT x = ANY(SELECT k FROM t2) FROM t")
+    # LIKE-quantified + NORMALIZED (round-11 additions, moved with it)
+    assert "LIKE ANY ('a%')" in t("SELECT x LIKE ANY (ARRAY['a%']) FROM t")
+    with pytest.raises(TranspileError, match="NORMALIZED"):
+        t("SELECT s IS NFC NORMALIZED FROM t")
+    # array-literal TEXT decoding inside the quantified branch
+    assert "array_contains" in t("SELECT 1 = ANY('{1,2}') ")
