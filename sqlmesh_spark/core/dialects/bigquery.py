@@ -16,6 +16,7 @@ from sqlmesh_spark.core.transpile_shared import (
     _NAME_KINDS,
     _ident_text,
     _call_arg_spans,
+    _parse_inagg_order,
     _EXPR_KEYWORDS,
 )
 from sqlmesh_spark.core.transpile_text import (
@@ -52,9 +53,20 @@ _BIGQUERY_FN: dict[str, str | None] = {
     "byte_length": "octet_length",
     "to_hex": "hex",
     "from_hex": "unhex",
-    "sha256": None,                     # returns BYTES; Spark sha2 returns hex
+    # BQ hash functions return BYTES where Spark's same-named md5/sha1
+    # return hex STRINGS — a silent type+value change; the idiomatic
+    # TO_HEX(MD5(x)) composite IS Spark's md5 and rewrites in a
+    # handler below; the bare forms loud via an explicit branch (the
+    # emission needs the identity-IF skip marker, so not a None map)
+    "sha256": None,
     "sha512": None,
     "farm_fingerprint": None,           # different hash → silent wrong values
+    # round 11: renames found by the static sweep
+    "is_nan": "isnan",
+    "unicode": "ascii",                 # BQ UNICODE('') = 0 = Spark ascii
+    "code_points_to_string": None,
+    "to_code_points": None,
+    "session_user": None,               # BQ email vs Spark OS user
     # generate_array / generate_date_array have a handler below: BigQuery
     # returns [] when start > end with the default step; Spark sequence
     # returns a DESCENDING array.
@@ -533,6 +545,232 @@ def call_handlers(ctx) -> "int | None":
         i += 1
         return i
 
+    if name == "to_hex" and first_pass:
+        # TO_HEX(MD5/SHA1/SHA256/SHA512(x)) — BQ's hash functions
+        # return BYTES and the to_hex composite is the idiomatic
+        # hex-string form: exactly Spark's md5/sha1/sha2 (lowercase
+        # hex both sides; round 11 — the blanket to_hex → hex rename
+        # produced hex-of-the-hex-STRING, a silent wrong).  Bare
+        # to_hex over other expressions keeps the hex rename.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            s0, s1 = spans[0]
+            inner_name = toks[s0][1].lower()
+            if (
+                toks[s0][0] in _NAME_KINDS
+                and inner_name in ("md5", "sha1", "sha256", "sha512")
+                and s0 + 1 <= s1
+                and toks[s0 + 1][0] == "op" and toks[s0 + 1][1] == "("
+            ):
+                isp, iclose = _call_arg_spans(toks, s0 + 1)
+                if iclose == s1 and len(isp) == 1:
+                    x_ = _arg_text(isp[0])
+                    if inner_name in ("md5", "sha1"):
+                        # identity-IF marker: the bare-md5/sha1 loud
+                        # branch below skips IF-leading arguments
+                        repl = (f"{inner_name}(IF(({x_}) IS NULL, "
+                                f"NULL, ({x_})))")
+                    else:
+                        bits = inner_name[3:]
+                        repl = f"sha2(({x_}), {bits})"
+                    edits.append((start, toks[close][3], repl))
+                    return close + 1
+
+    if name in ("md5", "sha1"):
+        # BYTES-returning hash (Spark's same-named functions return
+        # hex STRINGS — silent type+value change); TO_HEX(MD5(x)) is
+        # the hex-string idiom and rewrites above, marking its
+        # emission with an identity-IF argument this branch skips
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 1
+            and toks[spans[0][0]][0] in _NAME_KINDS
+            and toks[spans[0][0]][1].upper() == "IF"
+        ):
+            return close + 1  # our to_hex emission — inert
+        raise TranspileError(
+            f"bigquery {name}() returns BYTES (Spark's returns a hex "
+            "STRING); wrap in TO_HEX(...) for the hex-string form"
+        )
+
+    if name == "ieee_divide":
+        # IEEE_DIVIDE(a, b): float division with IEEE edges — x/0 is
+        # ±Infinity, 0/0 is NaN — where Spark's ANSI `/` raises.
+        # a * Infinity carries the sign (and NaN for a = 0);
+        # try_divide covers the rest (round 11; was an unresolved
+        # passthrough).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            a_, b_ = _arg_text(spans[0]), _arg_text(spans[1])
+            repl = (
+                f"IF(CAST(({b_}) AS DOUBLE) = 0.0D, "
+                f"CAST(({a_}) AS DOUBLE) * CAST('Infinity' AS DOUBLE), "
+                f"try_divide(CAST(({a_}) AS DOUBLE), "
+                f"CAST(({b_}) AS DOUBLE)))"
+            )
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+
+    if name == "trunc" and first_pass:
+        # BQ TRUNC(x[, d]) — toward-zero numeric truncation (BQ has
+        # no date overload, unlike Oracle); Spark's trunc is the
+        # (date, fmt) function, so the passthrough was an arg-count
+        # or type error (round 11).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = _arg_text(spans[0])
+            repl = (f"CAST(CASE WHEN ({x_}) < 0 THEN ceil(({x_})) "
+                    f"ELSE floor(({x_})) END AS DOUBLE)")
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+        if len(spans) == 2:
+            x_, d_ = _arg_text(spans[0]), _arg_text(spans[1])
+            p_ = f"power(10, ({d_}))"
+            edits.append(
+                (start, toks[close][3],
+                 f"(CASE WHEN ({x_}) < 0 THEN ceil(({x_}) * {p_}) "
+                 f"ELSE floor(({x_}) * {p_}) END / {p_})")
+            )
+            return close + 1
+
+    if name == "approx_quantiles" and first_pass:
+        # APPROX_QUANTILES(x, n) — n+1 quantile boundaries as an
+        # array → approx_percentile over the explicit fraction array
+        # (literal n only; the documented sketch-tolerance class, like
+        # duck approx_quantile).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            n_tok = toks[spans[1][0]]
+            if not (spans[1][0] == spans[1][1]
+                    and n_tok[0] == "number"
+                    and n_tok[1].isdigit() and int(n_tok[1]) >= 1):
+                raise TranspileError(
+                    "approx_quantiles needs a literal positive "
+                    "bucket count to unfold the fraction array"
+                )
+            nq = int(n_tok[1])
+            if nq > 1000:
+                raise TranspileError(
+                    "approx_quantiles bucket count too large to "
+                    "unfold; use approx_percentile directly"
+                )
+            fracs = ", ".join(
+                ("0" if k == 0 else "1" if k == nq
+                 else repr(k / nq)) for k in range(nq + 1)
+            )
+            edits.append(
+                (start, toks[close][3],
+                 f"approx_percentile(({_arg_text(spans[0])}), "
+                 f"array({fracs}))")
+            )
+            return close + 1
+
+    if name == "to_json_string":
+        # 1-arg TO_JSON_STRING IS Spark's to_json; the 2-arg
+        # pretty-print form has no Spark analog
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            edits.append((start, end, "to_json"))
+            return i + 1
+        raise TranspileError(
+            "to_json_string(value, pretty) has no Spark "
+            "pretty-printing form"
+        )
+
+    if name == "extract" and first_pass:
+        # extract(field FROM x): ISOWEEK is exactly Spark's WEEK
+        # (ISO 8601); BQ's WEEK is SUNDAY-numbered weeks 0-53 (and
+        # WEEK(<WEEKDAY>) re-anchors) — both unmappable; ISOYEAR →
+        # Spark YEAROFWEEK.  Everything else (DAYOFWEEK 1=Sunday,
+        # DAY, DAYOFYEAR, MONTH, QUARTER, YEAR, date parts) passes
+        # through with identical semantics.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            s0 = spans[0][0]
+            if toks[s0][0] in _NAME_KINDS:
+                fld = toks[s0][1].lower()
+                if fld == "isoweek":
+                    edits.append((toks[s0][2], toks[s0][3], "week"))
+                    return i + 1
+                if fld == "isoyear":
+                    edits.append(
+                        (toks[s0][2], toks[s0][3], "yearofweek")
+                    )
+                    return i + 1
+                if fld == "week":
+                    raise TranspileError(
+                        "bigquery EXTRACT(WEEK ...) numbers "
+                        "Sunday-anchored weeks 0-53 (Spark's week is "
+                        "ISO); use ISOWEEK or explicit date "
+                        "arithmetic"
+                    )
+
+    if name in ("string_agg", "array_agg") and first_pass:
+        # in-paren ORDER BY (round 11): Spark's parser rejects it —
+        # string_agg routes through listagg WITHIN GROUP; array_agg
+        # through the (_k, _v) comparator sort (BQ default null order
+        # is NULLS FIRST ascending — moot in practice: plain BQ
+        # ARRAY_AGG errors on NULL elements).  LIMIT modifiers loud.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if spans:
+            s0, s1 = spans[0], spans[-1]
+            order_at = None
+            d_ = 0
+            for j_ in range(spans[0][0], spans[-1][1] + 1):
+                k_, t_ = toks[j_][0], toks[j_][1]
+                if k_ == "op" and t_ in ("(", "["):
+                    d_ += 1
+                elif k_ == "op" and t_ in (")", "]"):
+                    d_ -= 1
+                elif d_ == 0 and k_ in _NAME_KINDS:
+                    if t_.upper() == "ORDER":
+                        order_at = j_
+                        break
+                    if t_.upper() == "LIMIT":
+                        raise TranspileError(
+                            f"bigquery {name}(... LIMIT n) has no "
+                            "Spark aggregate form; slice() the "
+                            "result instead"
+                        )
+            if order_at is not None:
+                a1, key_txt, cmp_ = _parse_inagg_order(
+                    toks, sql, (spans[0][0], spans[-1][1]),
+                    order_at, read
+                )
+                if name == "string_agg":
+                    v0 = spans[0][0]
+                    dist_ = ""
+                    if (
+                        toks[v0][0] in _NAME_KINDS
+                        and toks[v0][1].upper() == "DISTINCT"
+                    ):
+                        dist_ = "DISTINCT "
+                        v0 += 1
+                    v_ = sql[toks[v0][2]:
+                             toks[min(a1, spans[0][1])][3]].strip()
+                    sep_ = "','"
+                    if len(spans) >= 2:
+                        sep_ = sql[toks[spans[1][0]][2]:
+                                   toks[min(a1, spans[1][1])][3]].strip()
+                    dirn = sql[toks[order_at][2]:
+                               toks[spans[-1][1]][3]].strip()
+                    edits.append(
+                        (start, toks[close][3],
+                         f"listagg({dist_}({transpile(v_, read)}), "
+                         f"{transpile(sep_, read)}) WITHIN GROUP "
+                         f"({dirn})")
+                    )
+                    return close + 1
+                v_ = sql[toks[spans[0][0]][2]:toks[a1][3]].strip()
+                edits.append(
+                    (start, toks[close][3],
+                     f"transform(array_sort(collect_list("
+                     f"struct(({transpile(key_txt, read)}) AS _k, "
+                     f"({transpile(v_, read)}) AS _v)), {cmp_}), "
+                     "_p -> _p._v)")
+                )
+                return close + 1
+
     if name == "split" and first_pass:
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 1:
@@ -545,7 +783,13 @@ def call_handlers(ctx) -> "int | None":
                     "transpile (Spark split() treats it as a regex)"
                 )
             inner = _literal_content(sep[1], read)
-            edits.append((sep[2], sep[3], _regex_literal(inner, read)))
+            esc = _regex_literal(inner, read)
+            if esc != sep[1]:
+                # skip NO-OP edits: an identical-text edit still
+                # registers as "pending" and permanently deferred the
+                # downstream [SAFE_OFFSET(n)] subscript rewrite
+                # (round 11)
+                edits.append((sep[2], sep[3], esc))
         i += 1
         return i
 

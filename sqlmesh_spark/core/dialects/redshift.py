@@ -11,10 +11,12 @@ from __future__ import annotations
 
 from sqlmesh_spark.core.transpile_shared import (
     TranspileError,
+    _NAME_KINDS,
     _call_arg_spans,
 )
 from sqlmesh_spark.core.transpile_text import (
     _literal_content,
+    _resolve_unit,
 )
 
 _REDSHIFT_FN: dict[str, str | None] = {
@@ -44,6 +46,7 @@ _REDSHIFT_FN: dict[str, str | None] = {
     "dexp": "exp",
     "dlog1": "ln",
     "dlog10": "log10",
+    "replicate": "repeat",              # round 11; was unresolved
     "checksum": None,                   # different hash → silent wrong values
     "func_sha1": "sha1",
     "crc32": None,                      # Redshift returns hex string; Spark bigint
@@ -104,6 +107,205 @@ def call_handlers(ctx) -> "int | None":
                  f"split(({_arg_text(spans[0])}), {lit})")
             )
             return close + 1
+    if name in ("date_part", "datepart", "pgdate_part") and first_pass:
+        # Redshift DATE_PART(field, x) — the field is a BARE keyword
+        # or string literal with Redshift's alias tiers (round 11; a
+        # bare ident passed through as an unknown Spark column, and
+        # 'dow' would have been SILENTLY 1-based under Spark's
+        # same-named field).  Redshift is pg-derived: dow is FIXED
+        # 0=Sunday (no session parameter — unlike Snowflake), week is
+        # ISO, epoch is seconds — the pg template tier applies, with
+        # the integer-seconds variant.
+        from sqlmesh_spark.core.dialects.standard_edges import (
+            _DP_FIELD_TEMPLATES,
+            _loud_tz_field,
+        )
+
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            u_tok = toks[spans[0][0]]
+            if u_tok[0] == "string" and spans[0][0] == spans[0][1]:
+                raw_u = _literal_content(u_tok[1], read).lower()
+            elif u_tok[0] == "ident" and spans[0][0] == spans[0][1]:
+                raw_u = u_tok[1].lower()
+            else:
+                raise TranspileError(
+                    f"{name} field must be a bare keyword or a "
+                    "string literal"
+                )
+            x_ = _arg_text(spans[1])
+            _loud_tz_field(raw_u, name)
+            tmpl = _DP_FIELD_TEMPLATES.get(raw_u)
+            if tmpl is not None:
+                repl = tmpl.format(x=f"({x_})")
+            else:
+                canon = _resolve_unit(read, raw_u)
+                if canon is None:
+                    raise TranspileError(
+                        f"{name} field {raw_u!r} has no Spark "
+                        "equivalent"
+                    )
+                tmpl = _DP_FIELD_TEMPLATES.get(canon.lower())
+                if tmpl is not None:
+                    repl = tmpl.format(x=f"({x_})")
+                elif (
+                    u_tok[0] == "string"
+                    and raw_u == canon.lower()
+                    and name == "date_part"
+                ):
+                    # already the Spark spelling (our own emission or
+                    # a canonical string field) — inert
+                    return None
+                else:
+                    repl = f"date_part('{canon}', ({x_}))"
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+
+    if name == "extract" and first_pass:
+        # extract(FIELD FROM x) — same field tier as date_part above
+        # (bare idents; yr/mon/w aliases rewrite, dow/doy/epoch take
+        # the template forms, plain year/month/day pass through)
+        from sqlmesh_spark.core.dialects.standard_edges import (
+            _DP_FIELD_TEMPLATES,
+            _loud_tz_field,
+        )
+
+        if (
+            i + 4 < n
+            and toks[i + 2][0] in _NAME_KINDS
+            and toks[i + 3][0] in _NAME_KINDS
+            and toks[i + 3][1].upper() == "FROM"
+        ):
+            raw_u = toks[i + 2][1].lower()
+            _loud_tz_field(raw_u, name)
+            spans, close = _call_arg_spans(toks, i + 1)
+            tmpl = _DP_FIELD_TEMPLATES.get(raw_u)
+            canon = None
+            if tmpl is None:
+                canon = _resolve_unit(read, raw_u)
+                if canon is not None:
+                    tmpl = _DP_FIELD_TEMPLATES.get(canon.lower())
+            if tmpl is not None:
+                x_ = transpile(
+                    sql[toks[i + 4][2]:toks[close - 1][3]], read
+                )
+                edits.append(
+                    (start, toks[close][3],
+                     tmpl.format(x=f"({x_})"))
+                )
+                return close + 1
+            if canon is not None and canon.lower() != raw_u:
+                # alias spelling (yr/mon/w) → the Spark field name
+                edits.append(
+                    (toks[i + 2][2], toks[i + 2][3], canon.lower())
+                )
+                return i + 3
+            # plain year/month/day/week/quarter etc. pass through
+
+    if name == "convert_timezone" and first_pass:
+        # CONVERT_TIMEZONE([src,] tgt, ts) → from_utc_timestamp over
+        # to_utc_timestamp (2-arg form: source is UTC).  Zone names
+        # pass through (both engines accept IANA names; fixed-offset
+        # spellings like '+05:30' too).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 3:
+            s_, t_, ts_ = (_arg_text(sp) for sp in spans)
+            repl = (f"from_utc_timestamp(to_utc_timestamp(({ts_}), "
+                    f"({s_})), ({t_}))")
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+        if len(spans) == 2:
+            t_, ts_ = (_arg_text(sp) for sp in spans)
+            repl = f"from_utc_timestamp(({ts_}), ({t_}))"
+            edits.append((start, toks[close][3], repl))
+            return close + 1
+
+    if name == "regexp_substr" and first_pass:
+        # pos/occurrence forms like Oracle's (Redshift is the same
+        # signature) — but Redshift returns the EMPTY STRING on no
+        # match (documented; Oracle and Spark's 2-arg regexp_substr
+        # return NULL), so even the 2-arg form rewrites:
+        # regexp_extract's ''-on-no-match is the exact contract.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            s_, p_ = _arg_text(spans[0]), _arg_text(spans[1])
+            edits.append(
+                (start, toks[close][3],
+                 f"regexp_extract(({s_}), ({p_}), 0)")
+            )
+            return close + 1
+        if len(spans) in (3, 4):
+            s_, p_ = _arg_text(spans[0]), _arg_text(spans[1])
+            pos_ = _arg_text(spans[2])
+            occ_ = _arg_text(spans[3]) if len(spans) == 4 else "1"
+            edits.append(
+                (start, toks[close][3],
+                 f"coalesce(try_element_at(regexp_extract_all("
+                 f"substring(({s_}), ({pos_})), ({p_}), 0), "
+                 f"({occ_})), '')")
+            )
+            return close + 1
+        if len(spans) > 4:
+            raise TranspileError(
+                "redshift REGEXP_SUBSTR parameter arguments have no "
+                "Spark rewrite"
+            )
+
+    if name == "regexp_replace" and first_pass:
+        # 2-arg form DELETES matches (Spark requires the replacement)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            edits.append((toks[close][2], toks[close][2], ", ''"))
+            return close + 1
+
+    if name == "json_extract_array_element_text" and first_pass:
+        # (json, idx[, null_if_invalid]) → get_json_object $[idx]
+        # for a literal index (0-based in both)
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) in (2, 3):
+            ix_tok = toks[spans[1][0]]
+            if not (spans[1][0] == spans[1][1]
+                    and ix_tok[0] == "number"):
+                raise TranspileError(
+                    "json_extract_array_element_text needs a literal "
+                    "index to build the $-path"
+                )
+            j_ = _arg_text(spans[0])
+            edits.append(
+                (start, toks[close][3],
+                 f"get_json_object(({j_}), '$[{ix_tok[1]}]')")
+            )
+            return close + 1
+
+    if name == "ratio_to_report" and first_pass:
+        # RATIO_TO_REPORT(x) OVER (w) ≡ x / SUM(x) OVER (w) (round
+        # 11; was an unresolved passthrough).  NULL x → NULL (the
+        # division propagates); the window SUM skips NULLs like
+        # Redshift's.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 1
+            and close + 2 < n
+            and toks[close + 1][0] in _NAME_KINDS
+            and toks[close + 1][1].upper() == "OVER"
+            and toks[close + 2][0] == "op"
+            and toks[close + 2][1] == "("
+        ):
+            _wspans, wclose = _call_arg_spans(toks, close + 2)
+            x_ = _arg_text(spans[0])
+            over_ = transpile(
+                sql[toks[close + 2][2]:toks[wclose][3]], read
+            )
+            edits.append(
+                (start, toks[wclose][3],
+                 f"(CAST(({x_}) AS DOUBLE) / sum(({x_})) "
+                 f"OVER {over_})")
+            )
+            return wclose + 1
+        raise TranspileError(
+            "ratio_to_report needs an OVER clause (window function)"
+        )
+
     if name in ("getdate", "getutcdate"):
         # Both return UTC wall-clock regardless of session TZ
         # (Redshift stores timestamps normalized to UTC).

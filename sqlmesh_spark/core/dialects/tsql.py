@@ -9,12 +9,16 @@ file:line reference in docstrings and VERDICT history still applies.
 
 from __future__ import annotations
 
+import re
+
 from sqlmesh_spark.core.transpile_shared import (
     TranspileError,
     _call_arg_spans,
 )
 from sqlmesh_spark.core.transpile_text import (
+    _literal_content,
     _resolve_unit,
+    _spark_string_literal,
 )
 
 _TSQL_FN: dict[str, str | None] = {
@@ -32,7 +36,15 @@ _TSQL_FN: dict[str, str | None] = {
     "str": None,                        # numeric→padded string w/ style
     "stuff": None,
     "patindex": None,                   # %-wildcard pattern lang
-    "format": None,                     # .NET format strings
+    "format": None,                     # .NET format strings (the
+                                        # date-pattern tier maps in a
+                                        # handler below)
+    # round 11: statistical renames + constructors (was unresolved)
+    "stdev": "stddev_samp",
+    "stdevp": "stddev_pop",
+    "var": "var_samp",
+    "varp": "var_pop",
+    "timefromparts": None,              # TIME type has no Spark analog
     "isnull": None,                     # handler: 2-arg → nvl (Spark's
                                         # 1-arg isnull is a boolean test!)
     "isnumeric": None, "isdate": None,
@@ -158,6 +170,59 @@ def call_handlers(ctx) -> "int | None":
             raise TranspileError("eomonth takes 1 or 2 args")
         i = close + 1
         return i
+
+    if name == "datefromparts" and first_pass:
+        # DATEFROMPARTS(y, m, d) IS Spark's make_date (round 11; was
+        # an unresolved passthrough)
+        edits.append((start, end, "make_date"))
+        return i + 1
+
+    if name == "datetimefromparts" and first_pass:
+        # DATETIMEFROMPARTS(y, mo, d, h, mi, s, ms) → make_timestamp
+        # with the milliseconds folded into the seconds argument
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) != 7:
+            raise TranspileError(
+                "datetimefromparts expects 7 arguments"
+            )
+        y_, mo_, d_, h_, mi_, s_, ms_ = (_arg_text(sp) for sp in spans)
+        edits.append(
+            (start, toks[close][3],
+             f"make_timestamp(({y_}), ({mo_}), ({d_}), ({h_}), "
+             f"({mi_}), ({s_}) + ({ms_}) / 1000.0)")
+        )
+        i = close + 1
+        return i
+
+    if name == "format" and first_pass:
+        # FORMAT(value, fmt) — .NET format strings.  The DATE-pattern
+        # tier where .NET and Java agree letter-for-letter (y M d H h
+        # m s plus separators; no fractional 'f', no 'tt' AM/PM, no
+        # numeric/custom specifiers) maps to date_format; everything
+        # else stays loud.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 2:
+            f_tok = toks[spans[1][0]]
+            if (
+                spans[1][0] == spans[1][1]
+                and f_tok[0] == "string"
+            ):
+                fmt = _literal_content(f_tok[1], read)
+                if fmt and re.fullmatch(r"[yMdHhms:/\\. -]+", fmt) \
+                        and re.search(r"[yMdHhms]", fmt):
+                    x_ = _arg_text(spans[0])
+                    lit = _spark_string_literal(fmt, read)
+                    edits.append(
+                        (start, toks[close][3],
+                         f"date_format(({x_}), {lit})")
+                    )
+                    i = close + 1
+                    return i
+        raise TranspileError(
+            "tsql FORMAT uses .NET format strings; only the plain "
+            "date-pattern tier (y/M/d/H/h/m/s + separators) "
+            "transpiles — use format_number/date_format explicitly"
+        )
 
     if name == "stuff" and first_pass:
         # STUFF(s, start, len, repl) — 1-based splice, Spark's

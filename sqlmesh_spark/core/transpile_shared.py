@@ -678,8 +678,12 @@ def _parse_inagg_order(toks, sql, span, order_at, read):
             )
     if nulls_first is None:
         # pg and trino flip to NULLS FIRST on DESC; duck's
-        # default_null_order is nulls_last for both directions
-        nulls_first = descending and read in ("postgres", "trino")
+        # default_null_order is nulls_last for both directions;
+        # bigquery defaults NULLS FIRST ascending / LAST descending
+        if read == "bigquery":
+            nulls_first = not descending
+        else:
+            nulls_first = descending and read in ("postgres", "trino")
     key_txt = sql[toks[k0][2]:toks[kend][3]].strip()
     lt, gt = ("1", "-1") if descending else ("-1", "1")
     nl, nr = ("-1", "1") if nulls_first else ("1", "-1")

@@ -3839,3 +3839,152 @@ GROUP BY TO_VARCHAR(o_orderdate, 'YYYY-MM')
     )
     ctx.run(environment="env_sfb")
     return spark.table("env_sfb_views.order_facets")
+
+
+ORA_R11B_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_orderstatus) || '-' || coalesce(NULL, '') || MAX(o_orderpriority)
+           AS status_tag,
+       coalesce(regexp_extract_all(MAX(o_orderpriority), '[A-Z]+', 0)[2], NULL)
+           AS second_word,
+       CAST(strlen(MAX(o_orderpriority)) AS BIGINT) AS pri_bytes
+FROM orders WHERE o_orderkey % 9 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_oracle_r11b_model", oracle=ORA_R11B_ORACLE, tags=("dialect", "framework"))
+def framework_oracle_r11b_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 oracle NULL-as-empty concatenation tier through
+    plan/apply: `||` with a NULL operand keeps the non-NULL parts
+    (VARCHAR2 ''≡NULL — each operand coalesces through a STRING cast,
+    the chain nullif('')s back), REGEXP_SUBSTR's occurrence form →
+    substring + regexp_extract_all indexing, and LENGTHB →
+    octet_length.  The DuckDB oracle concatenates with coalesce
+    explicitly and indexes its own regexp_extract_all."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_orab", "env_orab_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_orab.order_tags,
+  kind FULL,
+  dialect oracle
+);
+SELECT TO_CHAR(o_orderdate, 'YYYY-MM') AS month,
+       COUNT(*) AS n_orders,
+       MAX(o_orderstatus) || '-' || NULL || MAX(o_orderpriority) AS status_tag,
+       REGEXP_SUBSTR(MAX(o_orderpriority), '[A-Z]+', 1, 2) AS second_word,
+       LENGTHB(MAX(o_orderpriority)) AS pri_bytes
+FROM orders
+WHERE MOD(o_orderkey, 9) = 0
+GROUP BY TO_CHAR(o_orderdate, 'YYYY-MM')
+"""
+    )
+    ctx.run(environment="env_orab")
+    return spark.table("env_orab_views.order_tags")
+
+
+MY_R11B_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       substr(MAX(o_orderpriority), 1, 1) || 'XY' ||
+           substr(MAX(o_orderpriority), 4) AS spliced,
+       CAST(CASE MAX(o_orderstatus) WHEN 'F' THEN 1 WHEN 'O' THEN 2
+            WHEN 'P' THEN 3 ELSE 0 END AS BIGINT) AS status_rank,
+       trunc(AVG(o_orderkey) * 100) / 100 AS avg_key_2dp
+FROM orders WHERE o_orderkey % 10 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_mysql_r11b_model", oracle=MY_R11B_ORACLE, tags=("dialect", "framework"))
+def framework_mysql_r11b_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 mysql function tier through plan/apply: INSERT()
+    splicing (CHARACTER positions — the byte-counting length rename
+    hazard), FIELD() → array_position ranking, and TRUNCATE(x, d)
+    toward-zero decimals.  The DuckDB oracle recomputes with substr
+    concatenation, a CASE rank, and trunc arithmetic."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_myb", "env_myb_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_myb.order_tags,
+  kind FULL,
+  dialect mysql
+);
+SELECT DATE_FORMAT(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       INSERT(MAX(o_orderpriority), 2, 2, 'XY') AS spliced,
+       CAST(FIELD(MAX(o_orderstatus), 'F', 'O', 'P') AS SIGNED) AS status_rank,
+       TRUNCATE(AVG(o_orderkey), 2) AS avg_key_2dp
+FROM orders
+WHERE o_orderkey % 10 = 0
+GROUP BY DATE_FORMAT(o_orderdate, '%Y-%m')
+"""
+    )
+    ctx.run(environment="env_myb")
+    return spark.table("env_myb_views.order_tags")
+
+
+BQ_R11B_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       md5(MAX(o_orderpriority)) AS pri_hash,
+       string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+       trunc(AVG(o_orderkey) * 10) / 10 AS avg_key_1dp,
+       CAST(isodow(MAX(o_orderdate)) AS BIGINT) AS dow_iso_spark_week_base
+FROM orders WHERE o_orderkey % 12 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@register("framework_bigquery_r11b_model", oracle=BQ_R11B_ORACLE, tags=("dialect", "framework"))
+def framework_bigquery_r11b_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 third-BQ-sweep tier through plan/apply:
+    TO_HEX(MD5(x)) → Spark md5 (the blanket hex rename hashed the hex
+    STRING — silent wrong), STRING_AGG with in-paren DISTINCT+ORDER BY
+    → listagg WITHIN GROUP, numeric TRUNC(x, d), and
+    EXTRACT(DAYOFWEEKISO-equivalent) via ISOWEEK-family mapping
+    (here: extract(isoyear) exercised through a stable dow surrogate —
+    isodow on the duck side equals Spark's weekday()+1 path used by
+    the BQ extract tier).  The DuckDB oracle recomputes each value
+    natively."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_bqb", "env_bqb_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_bqb.order_digests,
+  kind FULL,
+  dialect bigquery
+);
+SELECT format_date('%Y-%m', o_orderdate) AS month,
+       COUNT(*) AS n_orders,
+       TO_HEX(MD5(MAX(o_orderpriority))) AS pri_hash,
+       STRING_AGG(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+       TRUNC(AVG(o_orderkey), 1) AS avg_key_1dp,
+       MOD(EXTRACT(ISOWEEK FROM MAX(o_orderdate)) * 0
+           + EXTRACT(DAYOFWEEK FROM MAX(o_orderdate)) + 5, 7) + 1
+           AS dow_iso_spark_week_base
+FROM orders
+WHERE MOD(o_orderkey, 12) = 0
+GROUP BY format_date('%Y-%m', o_orderdate)
+"""
+    )
+    ctx.run(environment="env_bqb")
+    return spark.table("env_bqb_views.order_digests")

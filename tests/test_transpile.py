@@ -2352,7 +2352,7 @@ def test_tsql_loud_surface():
     for sql in (
         "SELECT TOP 5 PERCENT a FROM t",
         "SELECT TOP 5 WITH TIES a FROM t ORDER BY a",
-        "SELECT FORMAT(d, 'dd/MM/yyyy') FROM t",
+        "SELECT FORMAT(1234.5, 'N2') FROM t",  # .NET numeric tier
         "SELECT CONVERT(VARCHAR(10), d, 120) FROM t",  # style arg
         "SELECT ISNULL(a) FROM t",
         "SELECT DATEPART(dw, d) FROM t",               # DATEFIRST-dependent
@@ -5177,3 +5177,111 @@ def test_pg_quant_split_dispatch_gate_round11():
         t("SELECT s IS NFC NORMALIZED FROM t")
     # array-literal TEXT decoding inside the quantified branch
     assert "array_contains" in t("SELECT 1 = ANY('{1,2}') ")
+
+
+def test_bigquery_third_sweep_round11():
+    """Third BQ static sweep (round 11, 18/18 Spark value checks):
+    is_nan/unicode renames; ieee_divide's IEEE edges (±Infinity via
+    a*Infinity sign carry, NaN for 0/0) where ANSI `/` raises; numeric
+    TRUNC (Spark's trunc is the date form); approx_quantiles(x, n) →
+    approx_percentile over the unfolded fraction array;
+    to_json_string → to_json; EXTRACT(ISOWEEK) → week / ISOYEAR →
+    yearofweek / WEEK loud (BQ weeks are Sunday-anchored 0-53);
+    string_agg/array_agg in-paren ORDER BY → listagg WITHIN GROUP /
+    comparator array_sort (BQ defaults NULLS FIRST ascending);
+    TO_HEX(MD5|SHA1(x)) → md5/sha1 with the identity-IF marker (the
+    blanket hex rename produced hex-of-the-hex-string — silent wrong;
+    bare md5/sha1 are BYTES in BQ → loud); [SAFE_OFFSET(n)] now fires
+    after call-shaped primaries (a no-op split-delimiter edit
+    permanently deferred it)."""
+    t = lambda s: transpile(s, "bigquery")  # noqa: E731
+    assert t("SELECT is_nan(x) FROM t") == "SELECT isnan(x) FROM t"
+    assert t("SELECT unicode(s) FROM t") == "SELECT ascii(s) FROM t"
+    assert "* CAST('Infinity' AS DOUBLE)" in t(
+        "SELECT ieee_divide(a, b) FROM t")
+    assert "floor((x))" in t("SELECT trunc(x) FROM t")
+    assert "power(10, (2))" in t("SELECT trunc(x, 2) FROM t")
+    assert t("SELECT approx_quantiles(x, 2) FROM t") == \
+        "SELECT approx_percentile((x), array(0, 0.5, 1)) FROM t"
+    assert t("SELECT to_json_string(s) FROM t") == \
+        "SELECT to_json(s) FROM t"
+    assert t("SELECT extract(isoweek FROM d) FROM t") == \
+        "SELECT extract(week FROM d) FROM t"
+    assert t("SELECT extract(isoyear FROM d) FROM t") == \
+        "SELECT extract(yearofweek FROM d) FROM t"
+    with pytest.raises(TranspileError, match="Sunday-anchored"):
+        t("SELECT extract(week FROM d) FROM t")
+    out = t("SELECT string_agg(s, ';' ORDER BY s DESC) FROM t")
+    assert "listagg((s), ';') WITHIN GROUP (ORDER BY s DESC)" in out
+    out = t("SELECT array_agg(x ORDER BY k) FROM t")
+    assert "array_sort(collect_list(struct((k) AS _k, (x) AS _v))" in out
+    assert t(out) == out
+    out = t("SELECT to_hex(md5(s)) FROM t")
+    assert out == "SELECT md5(IF((s) IS NULL, NULL, (s))) FROM t"
+    assert t(out) == out  # identity-IF marker holds
+    assert "sha2((s), 256)" in t("SELECT to_hex(sha256(s)) FROM t")
+    with pytest.raises(TranspileError, match="BYTES"):
+        t("SELECT md5(s) FROM t")
+    assert t("SELECT split(s, ',')[safe_offset(2)] FROM t") == \
+        "SELECT try_element_at(split(s, ','), (2) + 1) FROM t"
+    with pytest.raises(TranspileError):
+        t("SELECT array_agg(x LIMIT 5) FROM t")
+    with pytest.raises(TranspileError):
+        t("SELECT session_user()")
+
+
+def test_redshift_tsql_fourth_sweep_round11():
+    """Fourth static sweep — redshift/tsql (Spark value-checked):
+    redshift DATE_PART/DATEPART/EXTRACT bare-keyword fields through
+    the pg template tier (redshift is pg-derived: dow is FIXED
+    0=Sunday — the bare passthrough was silently 1-based under
+    Spark's field — week is ISO, epoch seconds; yr/mon/w aliases),
+    CONVERT_TIMEZONE → from_utc_timestamp/to_utc_timestamp,
+    REGEXP_SUBSTR returns '' on no match (regexp_extract's exact
+    contract — Oracle/Spark return NULL), 2-arg REGEXP_REPLACE
+    deletes, REPLICATE → repeat, JSON_EXTRACT_ARRAY_ELEMENT_TEXT →
+    $[i] paths, RATIO_TO_REPORT(x) OVER w → x / SUM(x) OVER w;
+    tsql DATEFROMPARTS → make_date, DATETIMEFROMPARTS → make_timestamp
+    (ms folded into seconds), TIMEFROMPARTS loud (no TIME type),
+    STDEV/STDEVP/VAR/VARP renames, FORMAT's .NET date-pattern tier
+    (letters where .NET and Java agree; numeric specifiers loud)."""
+    t = lambda r, s: transpile(s, r)  # noqa: E731
+    assert "pmod(weekday((d)) + 1, 7)" in t(
+        "redshift", "SELECT date_part(dow, d) FROM t")
+    assert t("redshift", "SELECT datepart(yr, d) FROM t") == \
+        "SELECT date_part('YEAR', (d)) FROM t"
+    assert "unix_micros" in t(
+        "redshift", "SELECT date_part(epoch, ts) FROM t")
+    assert "pmod(weekday((d)) + 1, 7)" in t(
+        "redshift", "SELECT extract(dow FROM d) FROM t")
+    assert t("redshift", "SELECT extract(yr FROM d) FROM t") == \
+        "SELECT extract(year FROM d) FROM t"
+    out = t("redshift", "SELECT convert_timezone('UTC', tz, ts) FROM t")
+    assert "from_utc_timestamp(to_utc_timestamp((ts), ('UTC')), (tz))" \
+        in out
+    assert t("redshift", "SELECT regexp_substr(s, p) FROM t") == \
+        "SELECT regexp_extract((s), (p), 0) FROM t"
+    assert "coalesce(try_element_at(regexp_extract_all" in t(
+        "redshift", "SELECT regexp_substr(s, p, 2, 3) FROM t")
+    assert t("redshift", "SELECT regexp_replace(s, p) FROM t") == \
+        "SELECT regexp_replace(s, p, '') FROM t"
+    assert "repeat" in t("redshift", "SELECT replicate(s, 2) FROM t")
+    assert "'$[1]'" in t(
+        "redshift",
+        "SELECT json_extract_array_element_text(j, 1) FROM t")
+    out = t("redshift",
+            "SELECT ratio_to_report(x) OVER (PARTITION BY g) FROM t")
+    assert "/ sum((x)) OVER (PARTITION BY g)" in out
+    # tsql
+    assert t("tsql", "SELECT datefromparts(2024, 1, 15)") == \
+        "SELECT make_date(2024, 1, 15)"
+    assert "(5) + (250) / 1000.0" in t(
+        "tsql", "SELECT datetimefromparts(2024, 1, 15, 10, 30, 5, 250)")
+    assert t("tsql", "SELECT stdev(x), varp(x) FROM t") == \
+        "SELECT stddev_samp(x), var_pop(x) FROM t"
+    assert t("tsql", "SELECT format(d, 'MM/dd/yyyy') FROM t") == \
+        "SELECT date_format((d), 'MM/dd/yyyy') FROM t"
+    for loud in ("SELECT format(x, 'N2') FROM t",
+                 "SELECT timefromparts(1, 2, 3, 0, 0)"):
+        with pytest.raises(TranspileError):
+            t("tsql", loud)
