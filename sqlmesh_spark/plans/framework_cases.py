@@ -3988,3 +3988,105 @@ GROUP BY format_date('%Y-%m', o_orderdate)
     )
     ctx.run(environment="env_bqb")
     return spark.table("env_bqb_views.order_digests")
+
+
+CH_R11B_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       regexp_extract(MAX(o_orderpriority), '([A-Z]+)', 1) AS first_word,
+       CAST(len(list_filter(list_value(1, o_orderkey % 5, 7), x -> x > 2)) AS BIGINT)
+           AS n_over2,
+       strftime(MAX(o_orderdate) - INTERVAL (isodow(MAX(o_orderdate)) % 7) DAY,
+                '%Y-%m-%d') AS week_sunday
+FROM orders WHERE o_orderkey % 13 = 0
+GROUP BY strftime(o_orderdate, '%Y-%m'), o_orderkey % 5
+ORDER BY month, n_over2
+LIMIT 40
+"""
+
+
+@register("framework_clickhouse_r11b_model", oracle=CH_R11B_ORACLE, tags=("dialect", "framework"))
+def framework_clickhouse_r11b_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 clickhouse tier through plan/apply: extract's
+    group-1-if-captured rule, arrayCount's lambda-FIRST form, and
+    toStartOfWeek mode 0 (SUNDAY-anchored — Spark's week is Monday, so
+    the rewrite is dayofweek arithmetic; the duck oracle recomputes
+    via isodow%7 subtraction).  ref: the reference transpiles CH
+    models through SQLGlot (sqlmesh/core/dialect.py)."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_chb", "env_chb_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_chb.order_facets,
+  kind FULL,
+  dialect clickhouse
+);
+SELECT formatDateTime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       extract(MAX(o_orderpriority), '([A-Z]+)') AS first_word,
+       arrayCount(x -> x > 2, [1, o_orderkey % 5, 7]) AS n_over2,
+       formatDateTime(toStartOfWeek(MAX(o_orderdate)), '%Y-%m-%d') AS week_sunday
+FROM orders WHERE o_orderkey % 13 = 0
+GROUP BY formatDateTime(o_orderdate, '%Y-%m'), o_orderkey % 5
+ORDER BY month, n_over2
+LIMIT 40
+"""
+    )
+    ctx.run(environment="env_chb")
+    return spark.table("env_chb_views.order_facets")
+
+
+TRINO_R11B_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(floor(AVG(o_orderkey)) AS DOUBLE) AS key_floor,
+       lower(hex(MAX(o_orderkey % 4096))) AS key_hex,
+       CAST(MAX(o_orderkey % 4096) AS BIGINT) AS rt
+FROM orders WHERE o_orderkey % 14 = 0
+GROUP BY year(o_orderdate), month(o_orderdate)
+ORDER BY yr, mon
+LIMIT 40
+"""
+
+
+@register("framework_trino_r11b_model", oracle=TRINO_R11B_ORACLE, tags=("dialect", "framework"))
+def framework_trino_r11b_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 trino tier through plan/apply: truncate's
+    toward-zero CASE, to_base's lowercase conv rendering, and the
+    from_base round-trip (CAST(conv(s, 16, 10) AS BIGINT)).  The duck
+    oracle renders the hex value via lower(hex(n)) and floor.  ref:
+    the reference transpiles trino models through SQLGlot
+    (sqlmesh/core/dialect.py)."""
+    from sqlmesh_spark.sources.tables import register_views
+
+    _clean_dbs(spark, "sqlmesh__demo_trb", "env_trb_views")
+    register_views(spark, sf_dir, ("orders",))
+
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        """
+MODEL (
+  name demo_trb.order_digests,
+  kind FULL,
+  dialect trino
+);
+SELECT year(o_orderdate) AS yr,
+       month(o_orderdate) AS mon,
+       COUNT(*) AS n_orders,
+       truncate(avg(o_orderkey)) AS key_floor,
+       to_base(MAX(o_orderkey % 4096), 16) AS key_hex,
+       from_base(to_base(MAX(o_orderkey % 4096), 16), 16) AS rt
+FROM orders WHERE o_orderkey % 14 = 0
+GROUP BY year(o_orderdate), month(o_orderdate)
+ORDER BY yr, mon
+LIMIT 40
+"""
+    )
+    ctx.run(environment="env_trb")
+    return spark.table("env_trb_views.order_digests")
