@@ -20,6 +20,7 @@ from sqlmesh_spark.core.transpile_shared import (
     _call_arg_spans,
     _EXPR_KEYWORDS,
 )
+from sqlmesh_spark.core.dialects import clickhouse_residual as _chres
 from sqlmesh_spark.core.transpile_text import (
     _resolve_unit,
     convert_ch_format,
@@ -125,6 +126,9 @@ _CLICKHOUSE_FN: dict[str, str | None] = {
     "groupuniqarray": "collect_set",
     "argmax": "max_by", "argmin": "min_by",
     "countif": "count_if",
+    # round 11 residual sweep: bit shifts + nulls
+    "bitshiftleft": "shiftleft",
+    "bitshiftright": "shiftright",
     "sumif": None, "avgif": None,       # handlers → agg(if(cond, x, NULL))
     "minif": None, "maxif": None,
     "quantile": None, "quantileexact": None,   # parameterized-combinator
@@ -875,6 +879,14 @@ def call_handlers(ctx) -> "int | None":
         )
         i = close + 1
         return i
+
+    # round-11 residual tier (core/dialects/clickhouse_residual.py —
+    # split for the module-size convention; dispatched HERE so scan
+    # position and the precomputed spans are exactly the pre-split
+    # ones)
+    nxt_res = _chres.call_handlers(ctx, _spans0, _close0)
+    if nxt_res is not None:
+        return nxt_res
 
     if name in ("arraymap", "arrayfilter", "arrayexists", "arrayall"):
         # CH higher-order functions take the LAMBDA FIRST

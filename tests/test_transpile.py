@@ -5285,3 +5285,53 @@ def test_redshift_tsql_fourth_sweep_round11():
                  "SELECT timefromparts(1, 2, 3, 0, 0)"):
         with pytest.raises(TranspileError):
             t("tsql", loud)
+
+
+def test_clickhouse_residual_sweep_round11():
+    """CH residual sweep (27/27 Spark value checks): anyIf →
+    any_value(if(...), true); countDistinct ≡ uniqExact; bitShift
+    renames + bitTest; exp2/exp10 → power; intDivOrZero/moduloOrZero
+    zero guards; range's END-EXCLUSIVE sequence (3-arg step loud);
+    numeric trunc/truncate; hasAll/hasAny via NULL-element-safe <=>
+    exists/forall; arrayFirstIndex → array_position over the
+    transformed bools (0 on miss both sides); arrayFirst loud (element
+    type's default on miss); arrayUniq → size∘array_distinct;
+    arrayReverseSort → sort_array(x, false) (NULLs LAST both);
+    arrayEnumerate via the slice(sequence(0, n)) drop (greatest() is
+    None-mapped on this read); toRelativeDayNum → epoch datediff;
+    age → timestampdiff (complete units, no truncation); sumArray →
+    sum over the per-row fold."""
+    t = lambda s: transpile(s, "clickhouse")  # noqa: E731
+    assert t("SELECT anyIf(x, c) FROM t") == \
+        "SELECT any_value(if((c), (x), NULL), true) FROM t"
+    assert t("SELECT countDistinct(x) FROM t") == \
+        "SELECT count(DISTINCT (x)) FROM t"
+    assert "shiftleft" in t("SELECT bitShiftLeft(1, 3)")
+    assert t("SELECT bitTest(n, 2) FROM t") == \
+        "SELECT (shiftright(CAST((n) AS BIGINT), (2)) & 1) FROM t"
+    assert t("SELECT exp2(x) FROM t") == "SELECT power(2, (x)) FROM t"
+    assert "IF((b) = 0, 0, ((a) DIV (b)))" in t(
+        "SELECT intDivOrZero(a, b) FROM t")
+    assert "sequence((0), (n) - 1)" in t("SELECT range(n) FROM t")
+    with pytest.raises(TranspileError):
+        t("SELECT range(1, 9, 2)")
+    assert "floor((x))" in t("SELECT trunc(x) FROM t")
+    assert t("SELECT hasAll(a, b) FROM t") == \
+        "SELECT forall((b), _y -> exists((a), _x -> _x <=> _y)) FROM t"
+    assert "exists((b)" in t("SELECT hasAny(a, b) FROM t")
+    assert t("SELECT arrayFirstIndex(x -> x > 1, a) FROM t") == \
+        ("SELECT coalesce(array_position(transform((a), x -> x > 1), "
+         "true), 0) FROM t")
+    with pytest.raises(TranspileError, match="DEFAULT"):
+        t("SELECT arrayFirst(x -> x > 1, a) FROM t")
+    assert "size(array_distinct((a)))" in t(
+        "SELECT arrayUniq(a) FROM t")
+    assert t("SELECT arrayReverseSort(a) FROM t") == \
+        "SELECT sort_array((a), false) FROM t"
+    assert "slice(sequence(0, size((a))), 2, size((a)))" in t(
+        "SELECT arrayEnumerate(a) FROM t")
+    assert "DATE '1970-01-01'" in t(
+        "SELECT toRelativeDayNum(d) FROM t")
+    assert "timestampdiff(MONTH" in t(
+        "SELECT age('month', a, b) FROM t")
+    assert "sum(aggregate((a)" in t("SELECT sumArray(a) FROM t")
