@@ -129,6 +129,7 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # has no list vector functions)
         # engine config / enum-type introspection (round 11)
         "current_setting": None, "enum_range": None,
+        "era": None,                    # Julian-era field
         "enum_first": None, "enum_last": None, "enum_code": None,
         "enum_range_boundary": None,
         "regexp_escape": None, "parse_filename": None,
@@ -195,6 +196,8 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "ts_headline": None,
         # numeric/type introspection with no Spark form
         "pg_typeof": None, "setseed": None, "scale": None,
+        "to_ascii": None,               # LATIN-only conversion (errors
+                                        # on UTF8 databases)
         "min_scale": None, "trim_scale": None,
         "array_ndims": None,            # needs nested-array type info
         "array_dims": None,             # renders pg's '[1:3]' text form

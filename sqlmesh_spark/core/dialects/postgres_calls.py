@@ -702,6 +702,36 @@ def _pg_round8_calls(ctx) -> "int | None":
         edits.append((start, toks[close][3], repl))
         return close + 1
 
+    if name in ("convert_from", "convert_to"):
+        # convert_from(bytea, 'UTF8') / convert_to(text, 'UTF8') —
+        # Spark strings ARE UTF-8, so the conversions are plain
+        # BINARY↔STRING casts (pinned live: convert_from(decode(
+        # '616263','hex'),'UTF8') = 'abc').  Other encodings have no
+        # Spark charset machinery on the pg read (Spark's own
+        # encode/decode names collide with pg's binary codecs above).
+        spans, close = _call_arg_spans(toks, i + 1)
+        if (
+            len(spans) == 2
+            and spans[1][0] == spans[1][1]
+            and toks[spans[1][0]][0] == "string"
+        ):
+            enc = _literal_content(
+                toks[spans[1][0]][1], read
+            ).lower().replace("-", "").replace("_", "")
+            if enc in ("utf8", "utf8mb4"):
+                x_ = _arg_text(spans[0])
+                tgt = "STRING" if name == "convert_from" else "BINARY"
+                edits.append(
+                    (start, toks[close][3],
+                     f"CAST(({x_}) AS {tgt})")
+                )
+                return close + 1
+        raise TranspileError(
+            f"postgres {name} transpiles only for the 'UTF8' "
+            "encoding (Spark strings are UTF-8; other charsets have "
+            "no conversion)"
+        )
+
     if name == "to_hex":
         # literal non-negative ints evaluate statically; anything else
         # is loud — pg to_hex(int4) renders negatives as 32-bit

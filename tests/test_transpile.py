@@ -5335,3 +5335,22 @@ def test_clickhouse_residual_sweep_round11():
     assert "timestampdiff(MONTH" in t(
         "SELECT age('month', a, b) FROM t")
     assert "sum(aggregate((a)" in t("SELECT sumArray(a) FROM t")
+
+
+def test_pg_convert_charset_bridge_round11():
+    """convert_from(bytea, 'UTF8') / convert_to(text, 'UTF8') are
+    plain BINARY↔STRING casts (Spark strings are UTF-8; pinned live,
+    wave 62 6/6); other encodings loud — Spark's own encode/decode
+    names collide with pg's binary-codec forms handled above them."""
+    t = lambda s: transpile(s, "postgres")  # noqa: E731
+    assert t("SELECT convert_from(b, 'UTF8') FROM t") == \
+        "SELECT CAST((b) AS STRING) FROM t"
+    assert t("SELECT convert_to(s, 'utf-8') FROM t") == \
+        "SELECT CAST((s) AS BINARY) FROM t"
+    for loud in ("SELECT convert_from(b, 'LATIN1') FROM t",
+                 "SELECT convert_to(s, enc) FROM t",
+                 "SELECT to_ascii(s) FROM t"):
+        with pytest.raises(TranspileError):
+            t(loud)
+    with pytest.raises(TranspileError):
+        transpile("SELECT era(d) FROM t", "duckdb")
