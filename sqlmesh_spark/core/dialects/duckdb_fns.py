@@ -664,6 +664,31 @@ def call_handlers(ctx) -> "int | None":
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) == 1:
             x_ = f"({_arg_text(spans[0])})"
+            # a trailing FILTER (WHERE pred) folds into the argument
+            # as IF(pred, x, NULL) — these emissions are multi-
+            # aggregate CASE/try_divide compositions a syntactic
+            # FILTER cannot attach to (wave-64 composition find);
+            # every inner aggregate skips the introduced NULLs,
+            # which IS the row-filter semantics
+            fend = close
+            if (
+                close + 2 < len(toks)
+                and toks[close + 1][0] in _NAME_KINDS
+                and toks[close + 1][1].upper() == "FILTER"
+                and toks[close + 2][0] == "op"
+                and toks[close + 2][1] == "("
+            ):
+                fspans, fclose = _call_arg_spans(toks, close + 2)
+                f0 = fspans[0][0] if fspans else None
+                if (
+                    len(fspans) == 1
+                    and toks[f0][0] in _NAME_KINDS
+                    and toks[f0][1].upper() == "WHERE"
+                ):
+                    pred = _arg_text((f0 + 1, fspans[0][1]))
+                    x_ = f"(IF(({pred}), {x_}, NULL))"
+                    fend = fclose
+            close = fend
             if name == "kurtosis_pop":
                 repl = f"try_divide(kurtosis({x_}), 1.0)"
             elif name == "sem":

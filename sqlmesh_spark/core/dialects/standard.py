@@ -49,7 +49,11 @@ from sqlmesh_spark.core.transpile_text import (
 
 _COMMON_FN = {
     # temporal
-    "epoch": "unix_timestamp",          # seconds since epoch
+    # epoch(): handler in duckdb_fns since round 11 — the
+    # unix_timestamp rename TRUNCATED fractional seconds (duck epoch
+    # returns DOUBLE: epoch(ts.5) = ....5, a composition-wave-64
+    # silent wrong); non-duck reads have no epoch() function
+    "epoch": None,
     "epoch_ms": "unix_millis",
     "epoch_us": "unix_micros",
     "now": "current_timestamp",

@@ -857,6 +857,23 @@ def call_handlers(ctx) -> "int | None":
     # (fsum moved to the duckdb_fns statistical-aggregate tier in
     # round 11, alongside kahan_sum/sumkahan/favg/sem/product)
 
+    if name == "epoch" and read in ("duckdb", "postgres") and first_pass:
+        # duck epoch(ts) returns DOUBLE seconds WITH the fraction
+        # (epoch(ts+.5s) = ....5 — the old unix_timestamp rename
+        # TRUNCATED it, a wave-64 composition silent wrong); the
+        # micros division is the extract-epoch template's emission.
+        # pg has no epoch() function but the meaning is its
+        # extract(epoch ...), so the same emission serves both reads.
+        spans, close = _call_arg_spans(toks, i + 1)
+        if len(spans) == 1:
+            x_ = f"({_arg_text(spans[0])})"
+            edits.append(
+                (start, toks[close][3],
+                 f"try_divide(unix_micros(CAST({x_} AS TIMESTAMP)), "
+                 "1000000)")
+            )
+            return close + 1
+
     if (
         name in (
             "json_extract_string", "json_extract_path_text",

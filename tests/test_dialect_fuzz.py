@@ -199,6 +199,14 @@ TEMPLATES += [
     "ord('€')",
     "ord('')",
     "ord(NULL)",
+    # wave 64 compositions: epoch keeps FRACTIONAL seconds; the stat
+    # tier absorbs FILTER via the IF-NULL argument fold
+    "epoch(to_timestamp(1700000000.25)) = 1700000000.25",
+    "epoch(timestamp '2024-01-01 00:00:00.5') = 1704067200.5",
+    "(SELECT product(v) FILTER (WHERE v > 0) FROM (VALUES (2.0),(-3.0),(4.0)) t(v))",
+    "(SELECT sem(v) FILTER (WHERE v < 9) FROM (VALUES (1.0),(2.0),(99.0)) t(v))",
+    "(SELECT kurtosis_pop(v) FILTER (WHERE v < 90) FROM (VALUES (1),(2),(5),(9),(3),(0),(99)) t(v))",
+    "(SELECT fsum(v) FILTER (WHERE v > 1) FROM (VALUES (1),(2),(3)) t(v))",
     f"(SELECT skewness(v) FILTER (WHERE v < 9) FROM (VALUES (1),(2),(5),(9)) t(v))",
     f"(SELECT kurtosis(v) FILTER (WHERE v < 99) FROM (VALUES (1),(2),(5),(9)) t(v))",
     # duckdb default NULL placement is LAST in BOTH directions

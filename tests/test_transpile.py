@@ -85,8 +85,11 @@ def test_strptime_call():
 
 
 def test_epoch_family():
+    # epoch() keeps FRACTIONAL seconds since round 11 (duck returns
+    # DOUBLE; the unix_timestamp rename truncated — wave 64)
     out = transpile("SELECT epoch(ts), epoch_ms(ts) FROM t", "duckdb")
-    assert out == "SELECT unix_timestamp(ts), unix_millis(ts) FROM t"
+    assert out == ("SELECT try_divide(unix_micros(CAST((ts) AS "
+                   "TIMESTAMP)), 1000000), unix_millis(ts) FROM t")
 
 
 def test_list_functions():
@@ -226,7 +229,8 @@ def test_nested_list_literal():
 def test_comments_and_whitespace_preserved():
     sql = "SELECT epoch(ts)  -- keep me\nFROM t"
     out = transpile(sql, "duckdb")
-    assert out == "SELECT unix_timestamp(ts)  -- keep me\nFROM t"
+    assert out == ("SELECT try_divide(unix_micros(CAST((ts) AS "
+                   "TIMESTAMP)), 1000000)  -- keep me\nFROM t")
 
 
 # ---------------------------------------------------------------------------
