@@ -130,6 +130,9 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # engine config / enum-type introspection (round 11)
         "current_setting": None, "enum_range": None,
         "era": None,                    # Julian-era field
+        # duck UNION type family (round 11): no Spark tagged-union
+        # type — loud (model as a struct of nullable fields)
+        "union_value": None, "union_extract": None, "union_tag": None,
         "enum_first": None, "enum_last": None, "enum_code": None,
         "enum_range_boundary": None,
         "regexp_escape": None, "parse_filename": None,
@@ -198,6 +201,16 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         "pg_typeof": None, "setseed": None, "scale": None,
         "to_ascii": None,               # LATIN-only conversion (errors
                                         # on UTF8 databases)
+        # range types (round 11): pg's RANGE type family has no Spark
+        # type — constructors and predicates loud (model as explicit
+        # lo/hi column pairs instead)
+        "int4range": None, "int8range": None, "numrange": None,
+        "tsrange": None, "tstzrange": None, "daterange": None,
+        "int4multirange": None, "int8multirange": None,
+        "nummultirange": None, "tsmultirange": None,
+        "tstzmultirange": None, "datemultirange": None,
+        "isempty": None, "lower_inc": None, "upper_inc": None,
+        "lower_inf": None, "upper_inf": None, "range_merge": None,
         "min_scale": None, "trim_scale": None,
         "array_ndims": None,            # needs nested-array type info
         "array_dims": None,             # renders pg's '[1:3]' text form

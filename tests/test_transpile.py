@@ -5358,3 +5358,19 @@ def test_pg_convert_charset_bridge_round11():
             t(loud)
     with pytest.raises(TranspileError):
         transpile("SELECT era(d) FROM t", "duckdb")
+
+
+def test_range_and_union_type_louds_round11():
+    """pg RANGE-type constructors/predicates and duck UNION-type
+    functions loud (no Spark range or tagged-union type — previously
+    unresolved-routine passthroughs); plain lower()/upper() string
+    functions are untouched."""
+    for q in ("SELECT int4range(1, 5)", "SELECT tsrange(a, b) FROM t",
+              "SELECT isempty(r) FROM t", "SELECT daterange(a, b) FROM t"):
+        with pytest.raises(TranspileError):
+            transpile(q, "postgres")
+    for q in ("SELECT union_value(k := 1)", "SELECT union_tag(u) FROM t"):
+        with pytest.raises(TranspileError):
+            transpile(q, "duckdb")
+    assert transpile("SELECT lower(s), upper(s) FROM t", "postgres") == \
+        "SELECT lower(s), upper(s) FROM t"
