@@ -312,10 +312,11 @@ def minhash_bands_arrow(
     lambda folds per doc (~0.8 ms/doc measured), here the signature
     mins are numpy segment-reductions over the batch's concatenated
     shingle hashes (int64 (a·x+b) mod p — exact: a < 2³⁰, x < 2³², no
-    overflow, order-insensitive) and only the 32 per-doc band-key md5s
-    stay scalar (~30 µs/doc). The shingle-set relation itself stays in
-    SQL: its per-shingle md5 is faster JVM-side, and the verify join
-    reuses the same cached docsets."""
+    overflow, order-insensitive); the per-doc band-key md5 folds run
+    as codegen'd JVM expressions over the mins relation (see the bkey
+    note below). The shingle-set relation itself stays in SQL: its
+    per-shingle md5 is faster JVM-side, and the verify join reuses the
+    same cached docsets."""
     import numpy as np
 
     p = 4294967311
@@ -329,14 +330,9 @@ def minhash_bands_arrow(
     )
     n_bands = num_hashes // band_size
 
-    def _bands(batches):  # closure: workers cannot import this module
-        import hashlib
-
+    def _mins(batches):  # closure: workers cannot import this module
         import numpy as _np
         import pandas as _pd
-
-        def h60(s: str) -> int:
-            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
         for pdf in batches:
             if not len(pdf):
@@ -351,28 +347,10 @@ def minhash_bands_arrow(
             offsets = _np.zeros(len(arrs), dtype=_np.int64)
             _np.cumsum(lens[:-1], out=offsets[1:])
             x = flat % 4294967296
-            mh = _np.empty((len(arrs), len(consts)), dtype=_np.int64)
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
             for i, (a, b) in enumerate(consts):
-                mh[:, i] = _np.minimum.reduceat((a * x + b) % p, offsets)
-            doc_ids = pdf["doc_id"].to_numpy()
-            out_doc = _np.repeat(doc_ids, n_bands)
-            out_band = _np.tile(
-                _np.arange(n_bands, dtype=_np.int32), len(arrs)
-            )
-            bkeys = _np.empty(len(arrs) * n_bands, dtype=_np.int64)
-            k = 0
-            for r in range(len(arrs)):
-                row = mh[r]
-                for band in range(n_bands):
-                    acc = 0
-                    for i in range(band * band_size,
-                                   (band + 1) * band_size):
-                        acc ^= h60(f"{i}_{row[i]}")
-                    bkeys[k] = acc
-                    k += 1
-            yield _pd.DataFrame(
-                {"doc_id": out_doc, "band": out_band, "bkey": bkeys}
-            )
+                out[f"mh{i}"] = _np.minimum.reduceat((a * x + b) % p, offsets)
+            yield _pd.DataFrame(out)
 
     # NULL-text / empty-text docs: docset_sql yields hs = [NULL] / []
     # there, and minhash_bands_sql produces NULL band keys for them —
@@ -392,8 +370,28 @@ def minhash_bands_arrow(
         "hs IS NOT NULL AND size(hs) > 0 "
         "AND try_element_at(hs, 1) IS NOT NULL"
     )
-    return fed.mapInPandas(
-        _bands, schema="doc_id bigint, band int, bkey bigint"
+    mins_schema = "doc_id bigint, " + ", ".join(
+        f"mh{i} bigint" for i in range(num_hashes)
+    )
+    mins = fed.mapInPandas(_mins, schema=mins_schema)
+    # Band keys fold in the JVM (codegen'd md5 over the mins relation),
+    # not per doc in the Python worker: the earlier form ran
+    # num_hashes (=32) hashlib.md5 calls per doc inside the batch loop —
+    # ~60% of the bands stage's wall at sf0.1 (guide §4.2: keep the
+    # Python side to the vectorized numpy reductions, finish scalar
+    # hashing where codegen runs it). Seed strings are identical
+    # (CONCAT('{i}_', mh) == f"{i}_{row[i]}"), so bkeys are bit-equal —
+    # pinned by test_minhash_arrow_bands_bit_identical.
+    bkeys = []
+    for band in range(n_bands):
+        terms = [
+            _hash60(f"CONCAT('{i}_', CAST(mh{i} AS STRING))", "spark")
+            for i in range(band * band_size, (band + 1) * band_size)
+        ]
+        bkeys.append(" ^ ".join(f"({t})" for t in terms) + f" AS bkey{band}")
+    stack_args = ", ".join(f"{band}, bkey{band}" for band in range(n_bands))
+    return mins.selectExpr("doc_id", *bkeys).selectExpr(
+        "doc_id", f"STACK({n_bands}, {stack_args}) AS (band, bkey)"
     )
 
 
@@ -604,6 +602,79 @@ def spread_scan(spark: SparkSession, table: str, view: str) -> str:
     return view
 
 
+def minhash_verify_arrow(
+    spark: SparkSession,
+    bands_relation: str,
+    docsets_relation: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Candidate generation + exact-Jaccard verification, with the
+    per-pair set intersection vectorized in Arrow batches — value-
+    identical to minhash_lsh_wide_sql's tail but without the interpreted
+    per-pair ARRAY_INTERSECT: at sf0.1 the ~21.6k candidate pairs ×
+    ~204-element sets spent the bulk of the final stage inside the
+    interpreted array intrinsic (guide §4.2 — hand whole batches to
+    numpy instead). Each pair's ``common`` is np.intersect1d
+    (assume_unique: the docsets are ARRAY_DISTINCT by construction) —
+    an exact integer, so the cross-multiplied threshold filter and the
+    ROUND(...,4) jaccard (both still SQL-side) are bit-identical to the
+    oracle. Only (d1, d2, hs1, hs2) cross the Python boundary."""
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    pairs = spark.sql(f"""
+SELECT c.d1, c.d2, s1.hs AS hs1, s2.hs AS hs2
+FROM (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM {bands_relation} a JOIN {bands_relation} b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id) c
+JOIN {docsets_relation} s1 ON s1.doc_id = c.d1
+JOIN {docsets_relation} s2 ON s2.doc_id = c.d2
+""")
+
+    def _common(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["hs1"].to_numpy()
+            h2 = pdf["hs2"].to_numpy()
+            common = _np.fromiter(
+                (
+                    _np.intersect1d(
+                        _np.asarray(a, dtype=_np.int64),
+                        _np.asarray(b, dtype=_np.int64),
+                        assume_unique=True,
+                    ).size
+                    for a, b in zip(h1, h2)
+                ),
+                dtype=_np.int64,
+                count=len(pdf),
+            )
+            n1 = _np.fromiter((len(a) for a in h1), dtype=_np.int64, count=len(pdf))
+            n2 = _np.fromiter((len(b) for b in h2), dtype=_np.int64, count=len(pdf))
+            yield _pd.DataFrame(
+                {
+                    "d1": pdf["d1"].to_numpy(),
+                    "d2": pdf["d2"].to_numpy(),
+                    "common": common,
+                    "n1": n1,
+                    "n2": n2,
+                }
+            )
+
+    sized = pairs.mapInPandas(
+        _common, schema="d1 bigint, d2 bigint, common bigint, n1 bigint, n2 bigint"
+    )
+    return sized.where(f"common * {den + num} > {num} * (n1 + n2)").selectExpr(
+        "d1",
+        "d2",
+        "ROUND(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jaccard",
+    )
+
+
 def _minhash_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     docs = spread_scan(spark, "documents", "mh_docs")
@@ -621,11 +692,11 @@ def _minhash_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wall-clock ceiling at the 100× scale run
     bands = minhash_bands_arrow(ds)
     bands.cache().createOrReplaceTempView("mh_bands")
-    return spark.sql(
-        minhash_lsh_wide_sql(
-            docs, docsets_relation="mh_docsets", bands_relation="mh_bands"
-        )
-    )
+    # Arrow-vectorized candidate verification (bit-identical to the
+    # minhash_lsh_wide_sql tail — pinned by test_minhash_verify_arrow_
+    # matches_wide_sql); the interpreted per-pair ARRAY_INTERSECT was the
+    # final stage's wall-clock ceiling at sf0.1.
+    return minhash_verify_arrow(spark, "mh_bands", "mh_docsets")
 
 
 register(

@@ -304,13 +304,37 @@ def training_pipeline_kept_sql(
     return f"SELECT * FROM ({signals}) s WHERE keep = 1 AND is_en = 1"
 
 
+def training_pipeline_window_sql(kept_relation: str) -> str:
+    """Spark fast path for the dedup tail of training_pipeline_sql,
+    value-identical: `keep rows where doc_id = MIN(doc_id) per
+    fingerprint` as ONE window pass instead of a GROUP BY relation
+    joined back on doc_id (guide §2.4 — the window reuses a single
+    fingerprint exchange; the join form paid the fingerprint group-by
+    AND a second join exchange, and forced the kept relation to be
+    computed/cached twice). NULL fingerprints group together in both
+    forms, so the surviving doc set is identical."""
+    from sqlmesh_spark.llm.dedup import _hash60
+
+    split_hash = _hash60("CAST(doc_id AS STRING)", "spark")
+    return f"""
+SELECT doc_id, bpe_tokens,
+       CASE WHEN {split_hash} % 10 < 9 THEN 'train' ELSE 'valid' END AS split
+FROM (
+  SELECT doc_id, bpe_tokens,
+         MIN(doc_id) OVER (PARTITION BY fingerprint) AS keeper
+  FROM {kept_relation}
+) w WHERE doc_id = keeper
+"""
+
+
 def _pipeline_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
+    # Single-reference plan now (the window dedup reads kept once), so
+    # the fused multi-regex scan runs exactly once WITHOUT a cache —
+    # caching it would only add an InMemoryRelation materialization.
     kept = spark.sql(training_pipeline_kept_sql("documents", "spark"))
-    kept.cache().createOrReplaceTempView("pipeline_kept")
-    return spark.sql(
-        training_pipeline_sql("documents", "spark", kept_relation="pipeline_kept")
-    )
+    kept.createOrReplaceTempView("pipeline_kept")
+    return spark.sql(training_pipeline_window_sql("pipeline_kept"))
 
 
 register(

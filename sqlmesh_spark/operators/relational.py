@@ -165,9 +165,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer is the small side post-filter — broadcast it so the big
     # fact aggregation is the only shuffle.
     per_order = l.groupBy("l_orderkey").agg(F.sum(_cents(rev)).alias("rev_cents"))
+    # The segment filter joins into orders BEFORE the orderkey exchange
+    # (guide §2.3): the orders side of the fact join shuffles ~1/5 of the
+    # rows instead of broadcasting customer after the shuffle.
+    o_bldg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        per_order.join(o_bldg, per_order.l_orderkey == o_bldg.o_orderkey)
         .select(
             "l_orderkey",
             (F.col("rev_cents").cast("double") / 100).alias("revenue"),
@@ -195,6 +200,14 @@ GROUP BY n_name
 
 @register("q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("relational", "bench"))
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The region/nation restriction is pushed BELOW the fact joins
+    (guide §2.3 "shuffle fewer bytes", §3.2 pre-filter before the
+    exchange): nation⋈region(ASIA) broadcasts into customer and supplier
+    first, shrinking both ~5× before any fact shuffle, and orders joins
+    the filtered customers before the big orderkey exchange — so the
+    lineitem⋈orders join output (and the downstream suppkey shuffle) is
+    already restricted to ASIA customers. Inner-join/filter reordering
+    only: results identical to the unordered oracle join graph."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -202,12 +215,27 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia_n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c_asia = c.join(F.broadcast(asia_n), c.c_nationkey == asia_n.n_nationkey).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    s_asia = s.join(
+        F.broadcast(asia_n.select("n_nationkey")),
+        s.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_nationkey")
+    o_asia = o.join(c_asia, o.o_custkey == c_asia.c_custkey).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        l.join(o_asia, l.l_orderkey == o_asia.o_orderkey)
+        .join(
+            s_asia,
+            (l.l_suppkey == s_asia.s_suppkey)
+            & (F.col("c_nationkey") == s_asia.s_nationkey),
+        )
         .groupBy("n_name")
         .agg(_money_sum(rev, "revenue"))
     )
@@ -240,15 +268,27 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer joins then carry one row per order, not one per lineitem —
     # at 100 TB the big fact shuffle happens once, at its smallest width.
     per_order = l.groupBy("l_orderkey").agg(F.sum(_cents(rev)).alias("rev_cents"))
-    return (
+    # Collapse to one row per CUSTOMER before touching the customer
+    # dimension (guide §2.3 "aggregate before you shuffle"): the custkey
+    # exchange then carries |customers-with-returns| pre-aggregated rows,
+    # not every matched order, and the customer join happens at the
+    # smallest possible cardinality. Integer-cents sums reassociate
+    # exactly, so grouping per-order → per-customer is value-identical
+    # to the oracle's flat GROUP BY c_custkey, c_name.
+    per_cust = (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_cents").alias("rev_cents"))
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            (F.sum("rev_cents").cast("double") / 100).alias("revenue"),
-            (F.round(F.any_value("c_acctbal") * 100).cast("double") / 100).alias("c_acctbal"),
-            F.any_value("n_name").alias("n_name"),
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+            (F.round(F.col("c_acctbal") * 100).cast("double") / 100).alias("c_acctbal"),
+            "n_name",
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -299,14 +339,26 @@ SELECT p_brand, p_partkey, revenue FROM (
 
 @register("topk_per_group", oracle=TOPK_ORACLE, tags=("relational", "bench"))
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 parts by revenue per brand — window over aggregate."""
+    """Top-3 parts by revenue per brand — window over aggregate.
+
+    lineitem pre-aggregates to one row per partkey BEFORE the part join
+    (guide §2.3): the join then carries |parts| rows instead of
+    |lineitem|, and at scale (where part no longer broadcasts) the
+    partkey shuffle moves pre-aggregated cents, not raw line items.
+    p_brand is functionally dependent on p_partkey, so grouping by
+    partkey alone is value-identical to the oracle's GROUP BY
+    (p_brand, p_partkey)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = l.groupBy("l_partkey").agg(F.sum(_cents(rev)).alias("rev_cents"))
     agg = (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_partkey")
-        .agg(_money_sum(rev, "revenue"))
+        per_part.join(p.select("p_partkey", "p_brand"), per_part.l_partkey == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            "p_partkey",
+            (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        )
     )
     w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
     return (

@@ -164,13 +164,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     national = F.when(F.col("n2.n_name") == "NATION_3", cents).otherwise(F.lit(0))
+    # Region restriction pushed below the fact joins (guide §2.3): the
+    # AMERICA nation keys semi-join customer first (~5× smaller), and
+    # orders joins those customers BEFORE the big orderkey exchange —
+    # the orders side of the fact join is pre-shrunk by both the date
+    # filter and the region filter. Inner-join reordering only.
+    am_keys = (
+        n1.join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .select(F.col("n1.n_nationkey").alias("am_nationkey"))
+    )
+    c_am = c.join(
+        F.broadcast(am_keys), c.c_nationkey == F.col("am_nationkey"), "left_semi"
+    ).select("c_custkey")
+    o_am = o.join(c_am, o.o_custkey == c_am.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(o_am, l.l_orderkey == o_am.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
-        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -431,35 +443,41 @@ LIMIT 20
 def q21_lone_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q21's signature construct: the same fact table correlated twice —
     once EXISTS (another supplier touched the order), once NOT EXISTS
-    (no other supplier also faulted). Planned as one semi + one anti
-    join on l_orderkey; no per-row subquery execution."""
+    (no other supplier also faulted).
+
+    Both correlations collapse into ONE per-order aggregation of lineitem
+    (guide §2.3 "aggregate before you shuffle" / §2.4): per order collect
+    the distinct supplier set and the distinct R-flagged supplier set.
+    A supplier's R row qualifies iff |suppliers| ≥ 2 (EXISTS another
+    supplier) and the R set is exactly {them} (NOT EXISTS another fault).
+    lineitem is scanned and shuffled ONCE (narrow: orderkey + two small
+    int sets with map-side partial aggregation) instead of three times
+    through semi/anti join legs; COUNT(DISTINCT l1.l_orderkey) becomes a
+    plain COUNT(*) — qualifying orders are unique rows by construction —
+    removing the distinct-aggregate Expand. Results are identical to the
+    EXISTS/NOT-EXISTS oracle."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = l.filter(F.col("l_returnflag") == "R").alias("l1")
-    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = (
-        l.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .alias("l3")
-    )
-    semi = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
-    )
-    anti = semi.join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    per_order = (
+        l.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")).alias("r_suppkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("supps"),
+            F.collect_set("r_suppkey").alias("r_supps"),
+        )
+        .filter((F.size("r_supps") == 1) & (F.size("supps") >= 2))
+        .select("l_orderkey", F.element_at("r_supps", 1).alias("fault_suppkey"))
     )
     return (
-        anti.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), per_order.fault_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l1.l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
