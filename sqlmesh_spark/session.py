@@ -43,6 +43,19 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold, and let AQE rewrite SMJ→SHJ for small
+        # post-shuffle partitions (optimization guide §3.1/§9): on the
+        # fact-fact joins (lineitem⋈orders) a hash build skips both sorts.
+        # Local sf0.1 plans are broadcast-join dominated either way
+        # (measured: no bench delta), so this is a cluster-shape setting
+        # with a neutral local default; results are join-strategy
+        # independent.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
