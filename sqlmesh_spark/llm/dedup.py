@@ -692,11 +692,20 @@ def _minhash_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wall-clock ceiling at the 100× scale run
     bands = minhash_bands_arrow(ds)
     bands.cache().createOrReplaceTempView("mh_bands")
-    # Arrow-vectorized candidate verification (bit-identical to the
-    # minhash_lsh_wide_sql tail — pinned by test_minhash_verify_arrow_
-    # matches_wide_sql); the interpreted per-pair ARRAY_INTERSECT was the
-    # final stage's wall-clock ceiling at sf0.1.
-    return minhash_verify_arrow(spark, "mh_bands", "mh_docsets")
+    # Verify tail: SQL ARRAY_INTERSECT, kept after an interleaved A/B
+    # against the Arrow tail (minhash_verify_arrow, bit-identical —
+    # 8 alternating full-pipeline reps, min 1.57/med 1.88 s SQL vs
+    # 1.70/1.93 s Arrow at sf0.1): at ~21.6k candidate pairs the Python
+    # boundary round-trip of the hs arrays costs what the interpreted
+    # intersect costs, and the SQL tail is one fewer worker stage under
+    # the driver's low-core scaling run. The Arrow tail stays available
+    # (and test-pinned) as the swap-in if candidate volume per pair ever
+    # dwarfs the boundary cost.
+    return spark.sql(
+        minhash_lsh_wide_sql(
+            docs, docsets_relation="mh_docsets", bands_relation="mh_bands"
+        )
+    )
 
 
 register(
