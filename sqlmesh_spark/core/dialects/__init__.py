@@ -41,7 +41,8 @@ _DIALECT_FN: dict[str, dict[str, str | None]] = {
         # sign semantics are C-style in both. divide() is duckdb's
         # TRUNCATING integer division (divide(7,2)=3) — handler below.
         "mod": "try_mod",
-        "fmod": "try_mod",
+        # fmod: FLOORED remainder — handler in standard.py (the
+        # try_mod rename was silently wrong on mixed signs, r11 verdict)
         "arbitrary": "any_value",
         # round-9 same-name collision sweep (tools/probes/duck_wave9):
         # typeof renders duckdb's type NAMES ('INTEGER'/'VARCHAR') where

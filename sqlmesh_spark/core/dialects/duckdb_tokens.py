@@ -575,6 +575,18 @@ def token_handlers(ctx) -> "int | None":
         if nxt is not None:
             return nxt
 
+    if kind == "ident" and text.lower() == "make_interval":
+        # composition partner: mixed-family intervals decomposed to
+        # make_interval(...) lose their INTERVAL trigger token — the
+        # date operand must still promote (r11 verdict #3, duck_wave65)
+        from sqlmesh_spark.core.dialects.standard_edges import (
+            make_interval_date_promote,
+        )
+
+        nxt = make_interval_date_promote(ctx)
+        if nxt is not None:
+            return nxt
+
     if (
         kind == "ident"
         and text.upper() in ("PIVOT", "UNPIVOT", "PIVOT_WIDER")

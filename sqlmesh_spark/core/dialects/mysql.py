@@ -160,6 +160,52 @@ def token_handlers(ctx) -> "int | None":
             # (wrapping every operand in lower() would change output
             # values) — a documented residual, like the pg locale
             # case-folding note.
+            # LIKE BINARY is the explicit case-SENSITIVE form — the
+            # blanket ILIKE upgrade emitted invalid `ILIKE BINARY`
+            # (and would invert the author's intent if it parsed;
+            # ADVICE r11). Emit Spark's case-sensitive like() FUNCTION
+            # spelling: an emitted infix LIKE would be re-upgraded to
+            # ILIKE by this very branch on the next fixpoint pass.
+            if (
+                i + 1 < n
+                and toks[i + 1][0] in _NAME_KINDS
+                and toks[i + 1][1].upper() == "BINARY"
+            ):
+                from sqlmesh_spark.core.transpile_shared import (
+                    _backward_primary,
+                    _forward_primary,
+                )
+
+                neg = (
+                    i >= 1
+                    and toks[i - 1][0] in _NAME_KINDS
+                    and toks[i - 1][1].upper() == "NOT"
+                )
+                lhs_end = i - 2 if neg else i - 1
+                lf = (
+                    _backward_primary(toks, lhs_end, include_unary=False)
+                    if lhs_end >= 0 else None
+                )
+                rs = _forward_primary(toks, i + 2)
+                if lf is None or rs is None:
+                    raise TranspileError(
+                        "mysql LIKE BINARY with an unrecognized "
+                        "operand shape; spell the case-sensitive "
+                        "match as like(expr, pattern)"
+                    )
+                if any(
+                    e[1] >= toks[lf][2] and e[0] <= toks[rs[1]][3]
+                    for e in edits
+                ):
+                    return i + 1  # pending edits inside — next pass
+                a_ = sql[toks[lf][2]:toks[lhs_end][3]].strip()
+                p_ = sql[toks[rs[0]][2]:toks[rs[1]][3]].strip()
+                fn = f"like(({a_}), ({p_}))"
+                edits.append(
+                    (toks[lf][2], toks[rs[1]][3],
+                     f"(NOT {fn})" if neg else fn)
+                )
+                return rs[1] + 1
             edits.append((start, end, "ILIKE"))
             return i + 1
         # MySQL `||` is logical OR (PIPES_AS_CONCAT off, the default);

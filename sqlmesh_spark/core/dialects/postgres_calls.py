@@ -472,7 +472,15 @@ def _similar_substring_regex(pat: str, esc: str) -> str:
     two ``e"`` marker pairs delimit the capture; no markers capture the
     whole match. ``e``-escaped characters substitute for ``\\`` in ARE
     regex escapes (``#d`` IS the digit class — pinned live). One marker
-    is a pg syntax error → loud."""
+    is a pg syntax error → loud.
+
+    Greediness (r11 verdict #1, re-pinned live across 15 overlap
+    shapes in pg_wave64): ``%`` in the segment BEFORE the capture
+    markers must be NON-greedy (``.*?``) — pg returns the capture at
+    the EARLIEST position ('a1b22c' ~ '%#"[0-9]+#"%' → '1', and
+    'abc123def' → '123', not the '3' a greedy Java prefix eats to —
+    while the capture itself and the suffix stay greedy ('abcabc' ~
+    '%b#"c%#"' → 'cabc')."""
     segs: list[list[str]] = [[]]
     k = 0
     while k < len(pat):
@@ -501,7 +509,9 @@ def _similar_substring_regex(pat: str, esc: str) -> str:
             k += 2
             continue
         if c == "%":
-            segs[-1].append(".*")
+            # placeholder: greediness depends on which segment this
+            # lands in, known only after the whole pattern is parsed
+            segs[-1].append("\x00%")
         elif c == "_":
             segs[-1].append(".")
         elif c in ".^$":
@@ -510,6 +520,13 @@ def _similar_substring_regex(pat: str, esc: str) -> str:
             segs[-1].append(c)
         k += 1
     parts = ["".join(s) for s in segs]
+    # prefix-segment wildcards are lazy, capture/suffix greedy (see
+    # docstring); with no markers the whole match is anchored and
+    # greediness is unobservable — emit greedy.
+    parts = [
+        p.replace("\x00%", ".*?" if (idx == 0 and len(parts) == 3) else ".*")
+        for idx, p in enumerate(parts)
+    ]
     if len(parts) == 1:
         return "(?s)^(" + parts[0] + ")\\z"
     if len(parts) != 3:

@@ -53,6 +53,22 @@ def token_handlers(ctx) -> "int | None":
         if nxt is not None:
             return nxt
 
+    if (
+        read == "postgres"
+        and kind == "ident"
+        and text.lower() == "make_interval"
+    ):
+        # composition partner of the promote above: decomposed mixed
+        # intervals (and user-written pg make_interval calls) in date
+        # arithmetic still promote the date side (r11 verdict #3)
+        from sqlmesh_spark.core.dialects.standard_edges import (
+            make_interval_date_promote,
+        )
+
+        nxt = make_interval_date_promote(ctx)
+        if nxt is not None:
+            return nxt
+
     # ISO-8601 + mixed-family interval literals (round 10): pg accepts
     # INTERVAL 'P1Y2M3DT4H5M6S' (duck does not — pg-only) and verbose
     # mixed literals like '1 year 3 days'; Spark's parser rejects the

@@ -663,11 +663,17 @@ def call_handlers(ctx) -> "int | None":
         i += 1
         return i
 
-    if name in ("fdiv", "divide") and read == "duckdb" and first_pass:
+    if name in ("fdiv", "divide", "fmod") and read == "duckdb" and first_pass:
         # fdiv = floor division as DOUBLE; divide() = TRUNCATING
         # integer division (the // function form). Both NULL on a
         # zero divisor. (The emitted DIV's divisor is already
         # nullif-wrapped — the infix wrap's guard accepts it.)
+        # fmod = FLOORED remainder (sign of divisor), computed by duck
+        # as x - y*floor(x/y) in IEEE doubles — pinned live at bit
+        # level including cases where the adjust-style form
+        # (truncated-mod + y) rounds differently (duck_wave65). The
+        # earlier fmod→try_mod map was silently wrong on mixed signs
+        # (Spark mod is truncated — r11 verdict, the r8 hash() class).
         spans, close = _call_arg_spans(toks, i + 1)
         if len(spans) != 2:
             raise TranspileError(f"{name} takes 2 args")
@@ -675,6 +681,23 @@ def call_handlers(ctx) -> "int | None":
         b_ = _arg_text(spans[1])
         if name == "fdiv":
             repl = f"CAST(floor(try_divide(({a_}), ({b_}))) AS DOUBLE)"
+        elif name == "fmod":
+            # Args widen to DOUBLE (duck fmod(7,3) is 1.0 DOUBLE).
+            # try_divide → NULL on a ±0 divisor = duck's NULL. The
+            # quotient's floor must stay a DOUBLE: Spark FLOOR(double)
+            # returns BIGINT, exact below 2^53 but overflowing for
+            # huge quotients — above 2^53 every double IS an integer,
+            # so the quotient is its own floor (also the NaN/±inf
+            # branch, where duck propagates through the same
+            # arithmetic: fmod(inf,2)=NaN, fmod(5,inf)=NaN — pinned).
+            xd = f"CAST(({a_}) AS DOUBLE)"
+            yd = f"CAST(({b_}) AS DOUBLE)"
+            q = f"try_divide({xd}, {yd})"
+            fl = (
+                f"(CASE WHEN isnan({q}) OR abs({q}) >= 9007199254740992D "
+                f"THEN {q} ELSE CAST(FLOOR({q}) AS DOUBLE) END)"
+            )
+            repl = f"({xd} - {yd} * {fl})"
         else:
             repl = f"(({a_}) DIV nullif(({b_}), 0))"
         edits.append((start, toks[close][3], repl))

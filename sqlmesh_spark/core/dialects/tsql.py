@@ -208,7 +208,13 @@ def call_handlers(ctx) -> "int | None":
                 and f_tok[0] == "string"
             ):
                 fmt = _literal_content(f_tok[1], read)
-                if fmt and re.fullmatch(r"[yMdHhms:/\\. -]+", fmt) \
+                # single-character formats are .NET STANDARD specifiers
+                # (FORMAT(dt,'d') is the culture short date, not
+                # day-of-month) — date_format('d') would silently emit
+                # '17' (ADVICE r11); only custom patterns (len >= 2)
+                # map letter-for-letter.
+                if fmt and len(fmt) >= 2 \
+                        and re.fullmatch(r"[yMdHhms:/\\. -]+", fmt) \
                         and re.search(r"[yMdHhms]", fmt):
                     x_ = _arg_text(spans[0])
                     lit = _spark_string_literal(fmt, read)

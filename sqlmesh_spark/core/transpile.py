@@ -263,8 +263,15 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             floaty = False
             if read == "duckdb":
                 for nb in (i - 1, i + 2):
-                    if 0 <= nb < n and toks[nb][0] == "number" and any(
-                        c in toks[nb][1] for c in ".eE"
+                    # decimal/exponent literals only: hex/binary integer
+                    # literals contain 'e'/'E' digits (0xE1) but are
+                    # integers — treating them floaty emitted plain `/`
+                    # and lost the truncation (ADVICE r11)
+                    if (
+                        0 <= nb < n
+                        and toks[nb][0] == "number"
+                        and not toks[nb][1].lower().startswith(("0x", "0b"))
+                        and any(c in toks[nb][1] for c in ".eE")
                     ):
                         floaty = True
             edits.append(
@@ -514,6 +521,13 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
             and kind == "op"
             and text == "+"
             and i > 0
+            # BINARY-operator reading only: the left neighbor must end
+            # a primary expression — a unary plus before a string
+            # (`SELECT +'abc'`, valid T-SQL, the + is a no-op) must not
+            # become `||'abc'` (ADVICE r11; same guard as the duck
+            # match-operator handlers)
+            and _backward_primary(toks, i - 1, include_unary=False)
+            is not None
         ):
             _lit_sides = [
                 toks[j] for j in (i - 1, i + 1)
@@ -695,6 +709,10 @@ def _transpile_once(sql: str, read: str, first_pass: bool = True) -> str:
                     "INTERVAL", "EXCLUDE", "ASOF", "POSITIONAL", "FROM",
                     "USING", "TABLESAMPLE", "IGNORE", "RESPECT",
                     "GLOB", "SIMILAR",
+                    # composition partner of the INTERVAL promote: a
+                    # decomposed mixed interval next to a DATE operand
+                    # (r12, duck_wave65)
+                    "MAKE_INTERVAL",
                 )
                 # duck underscore digit-group literals (1_000_000):
                 # the lexer splits them number + _-ident

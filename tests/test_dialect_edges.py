@@ -473,3 +473,36 @@ def test_pg_array_position_and_numeric_trunc(spark):
         transpile("SELECT trunc(-2.7) AS v", "duckdb")).collect()[0][0] == -2.0
     with pytest.raises(TranspileError, match="trunc"):
         transpile("SELECT trunc(2.567, 2) FROM t", "postgres")
+
+
+def test_r12_advice_fixes(spark):
+    """Round-12 ADVICE items: tsql FORMAT single-char standard
+    specifiers are loud (FORMAT(dt,'d') is the .NET culture short
+    date, not day-of-month); duck // keeps integer truncation for
+    hex/binary integer literals; a T-SQL unary plus before a string is
+    not the concat operator; mysql LIKE BINARY maps to the
+    case-SENSITIVE like() function (ILIKE BINARY was invalid Spark AND
+    inverted intent)."""
+    with pytest.raises(TranspileError, match="FORMAT"):
+        transpile("SELECT FORMAT(d, 'd') FROM t", "tsql")
+    assert "date_format((d), 'dd')" in transpile(
+        "SELECT FORMAT(d, 'dd') FROM t", "tsql")
+
+    # (duckdb 1.0.0 — the live oracle — itself rejects `0xE1 // 2`, so
+    # this pins only the static classification: hex stays integer DIV)
+    assert "DIV" in transpile("SELECT 0xE1 // 2 AS x", "duckdb")
+    assert " / " in transpile("SELECT 7.5 // 2 AS x", "duckdb")
+
+    assert transpile("SELECT +'abc' AS x", "tsql") == "SELECT +'abc' AS x"
+    assert transpile("SELECT a + 'abc' FROM t", "tsql") == (
+        "SELECT a || 'abc' FROM t")
+
+    out = transpile("SELECT c LIKE BINARY 'A%' AS x FROM t", "mysql")
+    assert out == "SELECT like((c), ('A%')) AS x FROM t"
+    assert transpile(out, "mysql") == out  # fixpoint: no ILIKE re-upgrade
+    neg = transpile("SELECT c NOT LIKE BINARY 'A%' AS x FROM t", "mysql")
+    assert neg == "SELECT (NOT like((c), ('A%'))) AS x FROM t"
+    row = spark.sql(
+        "SELECT like(('ABC'), ('A%')) AS cs, like(('abc'), ('A%')) AS ci"
+    ).collect()[0]
+    assert row.cs is True and row.ci is False

@@ -737,6 +737,28 @@ def _norm(v):
     return v
 
 
+# round 12 (wave 65): duck fmod is FLOORED (sign of divisor) computed
+# as x - y*floor(x/y) in IEEE doubles — the try_mod rename was silently
+# wrong on mixed signs (r11 verdict #2); bit-level cases included where
+# the adjust-style (truncated-mod + y) emission rounds differently.
+# Plus the make_interval/date-promotion composition (verdict #3): mixed
+# intervals decomposed to make_interval(...) must still promote the
+# DATE operand to TIMESTAMP, both operand orders.
+TEMPLATES += [
+    "fmod(-7.0, 2.0)", "fmod(7.0, -2.0)", "fmod(-7.5, 2.0)",
+    "fmod(-7.0, -2.0)", "fmod(7, 3)", "fmod(-5.3, 2.0)",
+    "fmod(7.0, 0.0)", "fmod(NULL, 2.0)",
+    "fmod(89882.96120643326, -10158.190743229283)",
+    "fmod(-8065672463330720.0, -31208.85550420578)",
+    "fmod(1e18, 7.3)",
+    "CAST(DATE '2020-01-29' + INTERVAL '1 month 3 days' AS VARCHAR)",
+    "CAST(INTERVAL '1 month 3 days' + DATE '2020-01-29' AS VARCHAR)",
+    "CAST(DATE '2020-01-29' - INTERVAL '1 month 3 days' AS VARCHAR)",
+    "CAST(DATE '2020-01-29' + INTERVAL '1 month 2 hours' AS VARCHAR)",
+    "CAST(DATE '2024-01-31' + INTERVAL '1 month' AS VARCHAR)",
+]
+
+
 def _repr_el(x):
     return (x is None, repr(_norm(x)))
 

@@ -1027,6 +1027,34 @@ def _pg_values(exprs: list[str]) -> list:
 _PG_ERR = object()
 
 
+# round 12 (pg_wave64): SIMILAR-substring greediness — the prefix
+# segment's wildcards are NON-greedy (pg returns the EARLIEST capture:
+# 'abc123def' ~ '%#"[0-9]+#"%' is '123', not the '3' a greedy Java
+# prefix eats to — r11 verdict #1), capture and suffix stay greedy.
+# Plus the pg side of the make_interval/date-promotion composition.
+TEMPLATES += [
+    """substring('abc123def' similar '%#"[0-9]+#"%' escape '#')""",
+    """substring('a1b22c' similar '%#"[0-9]+#"%' escape '#')""",
+    """substring('a1b22c333d' similar '%#"[0-9]+#"%' escape '#')""",
+    """substring('abc123def' similar '_#"[a-z0-9]+#"_' escape '#')""",
+    """substring('abc123def' similar '%c#"[0-9]+#"d%' escape '#')""",
+    """substring('123abc' similar '#"[0-9]+#"%' escape '#')""",
+    """substring('abc123' similar '%#"[0-9]+#"' escape '#')""",
+    """substring('aXbXc' similar '%#"X#"%' escape '#')""",
+    """substring('abc123def456' similar '%#"[0-9]+#"%[a-z]%' escape '#')""",
+    """substring('hello world' similar '%#"w[a-z]*#"%' escape '#')""",
+    """substring('ab12cd34' similar '%#"[0-9]{2}#"%' escape '#')""",
+    """substring('abcabc' similar '%b#"c%#"' escape '#')""",
+    """substring('foo.bar.baz' similar '%.#"[a-z]+#"' escape '#')""",
+    """substring('abc123def' similar '%[0-9]+%' escape '#')""",
+    "CAST(DATE '2020-01-29' + INTERVAL '1 month 3 days' AS TEXT)",
+    "CAST(INTERVAL '1 month 3 days' + DATE '2020-01-29' AS TEXT)",
+    "CAST(DATE '2020-01-29' + INTERVAL '1 month 2 hours' AS TEXT)",
+    "CAST(make_interval(years => 1, days => 2) + DATE '2020-01-01' AS TEXT)",
+    "CAST(DATE '2020-01-01' + make_interval(months => 1) AS TEXT)",
+]
+
+
 def test_pg_differential_enumeration(spark):
     pg_vals = _pg_values(TEMPLATES)
     corpus = []  # (expr, pg_value, spark_fragment)

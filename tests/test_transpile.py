@@ -4647,12 +4647,15 @@ def test_pg_substring_similar_round11():
     NULL on no match but '' on an EMPTY capture (both pinned live) —
     hence the RLIKE-guarded CASE, not nullif. The escape char
     substitutes for backslash in ARE regex escapes ('#d' IS the digit
-    class — pinned live; ARE-only letters like #m are loud)."""
+    class — pinned live; ARE-only letters like #m are loud). Round 12:
+    the PREFIX segment's wildcards emit NON-greedy (pg returns the
+    EARLIEST capture — r11 verdict #1, pinned live in pg_wave64);
+    capture and suffix stay greedy."""
     t = lambda s: transpile(s, "postgres")  # noqa: E731
     out = t("SELECT substring(s similar '%#\"cd#\"%' escape '#') FROM t")
     assert out == (
-        "SELECT CASE WHEN (s) RLIKE '(?s)^(?:.*)(cd)(?:.*)\\\\z' THEN "
-        "regexp_extract((s), '(?s)^(?:.*)(cd)(?:.*)\\\\z', 1) "
+        "SELECT CASE WHEN (s) RLIKE '(?s)^(?:.*?)(cd)(?:.*)\\\\z' THEN "
+        "regexp_extract((s), '(?s)^(?:.*?)(cd)(?:.*)\\\\z', 1) "
         "ELSE NULL END FROM t"
     )
     out = t("SELECT substring(s similar '%cd%' escape '#') FROM t")
