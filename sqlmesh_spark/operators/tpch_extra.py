@@ -450,28 +450,34 @@ def q21_lone_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct supplier set and the distinct R-flagged supplier set.
     A supplier's R row qualifies iff |suppliers| ≥ 2 (EXISTS another
     supplier) and the R set is exactly {them} (NOT EXISTS another fault).
-    lineitem is scanned and shuffled ONCE (narrow: orderkey + two small
-    int sets with map-side partial aggregation) instead of three times
-    through semi/anti join legs; COUNT(DISTINCT l1.l_orderkey) becomes a
-    plain COUNT(*) — qualifying orders are unique rows by construction —
-    removing the distinct-aggregate Expand. Results are identical to the
-    EXISTS/NOT-EXISTS oracle."""
+    Both set tests collapse to codegen'd MIN/MAX primitives —
+    |distinct| ≥ 2 ⟺ min ≠ max, |distinct R| = 1 ⟺ r_min = r_max
+    (non-NULL) — so lineitem is scanned and shuffled ONCE carrying four
+    int64 partial aggregates (no collect_set object aggregation)
+    instead of three passes through semi/anti join legs; the lone fault
+    supplier IS r_min. COUNT(DISTINCT l1.l_orderkey) becomes a plain
+    COUNT(*) — qualifying orders are unique rows by construction —
+    removing the distinct-aggregate Expand. Results are identical to
+    the EXISTS/NOT-EXISTS oracle."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
     per_order = (
-        l.select(
-            "l_orderkey",
-            "l_suppkey",
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")).alias("r_suppkey"),
-        )
+        l.select("l_orderkey", "l_suppkey", r_supp.alias("r_suppkey"))
         .groupBy("l_orderkey")
         .agg(
-            F.collect_set("l_suppkey").alias("supps"),
-            F.collect_set("r_suppkey").alias("r_supps"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+            F.min("r_suppkey").alias("r_min"),
+            F.max("r_suppkey").alias("r_max"),
         )
-        .filter((F.size("r_supps") == 1) & (F.size("supps") >= 2))
-        .select("l_orderkey", F.element_at("r_supps", 1).alias("fault_suppkey"))
+        .filter(
+            F.col("r_min").isNotNull()
+            & (F.col("r_min") == F.col("r_max"))
+            & (F.col("s_min") != F.col("s_max"))
+        )
+        .select("l_orderkey", F.col("r_min").alias("fault_suppkey"))
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
