@@ -686,11 +686,18 @@ def _minhash_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~0.4 s at sf0.1; at corpus scale, a full second signature pass).
     ds = spark.sql(docset_sql(docs, 5))
     ds.cache().createOrReplaceTempView("mh_docsets")
-    # Arrow segment-min bands (bit-identical to minhash_bands_sql —
-    # pinned by tests/test_llm_ops.py); the 32 interpreted
-    # ARRAY_MIN(TRANSFORM) folds per doc were the signature stage's
-    # wall-clock ceiling at the 100× scale run
-    bands = minhash_bands_arrow(ds)
+    # SQL bands (interpreted ARRAY_MIN(TRANSFORM) folds + codegen'd md5
+    # band keys), re-adopted in r13 after settling the r12 Arrow-mins
+    # question with phase-isolated interleaves: at sf0.1 the bands stage
+    # reads 0.29 s (SQL) vs 0.42 s (Arrow) min-of-8 alternating, and at
+    # 20× perturbed docs 4.67 vs 4.78 s min-of-3 — the mapInPandas
+    # boundary (an extra Python worker stage whose Arrow transpose cost
+    # scales with the shingle bytes) never crosses under the interpreted
+    # folds at any measured scale. minhash_bands_arrow stays in-tree,
+    # bit-identity-pinned (test_minhash_arrow_bands_bit_identical), as
+    # the documented swap-in if a wider-signature profile ever makes the
+    # per-doc fold cost dominate the boundary cost.
+    bands = spark.sql(minhash_bands_sql("mh_docsets"))
     bands.cache().createOrReplaceTempView("mh_bands")
     # Verify tail: SQL ARRAY_INTERSECT, kept after an interleaved A/B
     # against the Arrow tail (minhash_verify_arrow, bit-identical —
