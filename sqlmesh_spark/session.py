@@ -56,6 +56,23 @@ def build_session(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m"),
         )
+        # File-commit algorithm v2: task output moves to the destination at
+        # task commit instead of being re-renamed sequentially by the
+        # driver at job commit (guide §5 — the driver should do almost no
+        # data work; v1's job-commit loop is O(files) driver-side). Both
+        # interleaved A/B on the write-path bench cases (scd2 −5%/−19%
+        # min/med, merge −24%/−28%) and the at-scale argument favor v2.
+        # Caveat: a mid-job failure can leave partial task output visible
+        # in the destination directory. Every adapter write path tolerates
+        # that — CTAS/stage→swap targets are fresh temp dirs never swapped
+        # in on failure, and insert/overwrite paths go through Spark's
+        # dynamic-partition staging commit — but set
+        # SPARK_GRAFT_COMMITTER_ALGO=1 to restore the slow-safe default on
+        # stores without atomic task-level rename.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            os.environ.get("SPARK_GRAFT_COMMITTER_ALGO", "2"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
