@@ -50,8 +50,16 @@ def build_session(
         # Local sf0.1 plans are broadcast-join dominated either way
         # (measured: no bench delta), so this is a cluster-shape setting
         # with a neutral local default; results are join-strategy
-        # independent.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # independent. Rollback knob for operators: an SHJ build side does
+        # NOT spill, so a skewed or size-underestimated build partition
+        # can OOM where sort-merge would have spilled — set
+        # SPARK_GRAFT_PREFER_SMJ=1 (and/or SPARK_GRAFT_SHJ_THRESHOLD=0
+        # for the AQE rewrite) to restore spill-safe sort-merge
+        # everywhere. See SCALE.md "Shuffled-hash join and spill".
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1" else "false",
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m"),

@@ -29,13 +29,17 @@ def main() -> None:
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_TAG", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session(app_name="sqlmesh_spark_profile")
     cases = {n: c for n, c in load_all().items() if "bench" in c.tags}
     if only:
         cases = {n: c for n, c in cases.items() if n in only}
+    if not cases:
+        sys.exit(f"no matching bench cases for {sorted(only or ())}")
     # Warm JVM once
     next(iter(cases.values())).fn(spark, sf_dir).count()
     spark.catalog.clearCache()
