@@ -567,7 +567,7 @@ def token_handlers(ctx) -> "int | None":
         # date ± INTERVAL promotes to TIMESTAMP in duckdb too (pinned:
         # DATE '2024-01-31' + INTERVAL '1 month' is TIMESTAMP
         # 2024-02-29 00:00:00) — shared pg/duck handler
-        from sqlmesh_spark.core.dialects.standard_edges import (
+        from sqlmesh_spark.core.dialects.interval_promote import (
             date_interval_promote,
         )
 
@@ -579,7 +579,7 @@ def token_handlers(ctx) -> "int | None":
         # composition partner: mixed-family intervals decomposed to
         # make_interval(...) lose their INTERVAL trigger token — the
         # date operand must still promote (r11 verdict #3, duck_wave65)
-        from sqlmesh_spark.core.dialects.standard_edges import (
+        from sqlmesh_spark.core.dialects.interval_promote import (
             make_interval_date_promote,
         )
 

@@ -193,19 +193,46 @@ def token_handlers(ctx) -> "int | None":
                         "operand shape; spell the case-sensitive "
                         "match as like(expr, pattern)"
                     )
+                # a trailing ESCAPE clause must ride along: the
+                # function spelling cannot take infix ESCAPE, so
+                # leaving it produced unparseable `like(..) ESCAPE '!'`
+                # (ADVICE r12). Spark's like() has a 3-arg
+                # (str, pattern, escape) form — pinned live: like('A%',
+                # 'A!%', '!') is true, like('AX', 'A!%', '!') false.
+                last = rs[1]
+                esc_ = None
+                if (
+                    last + 1 < n
+                    and toks[last + 1][0] in _NAME_KINDS
+                    and toks[last + 1][1].upper() == "ESCAPE"
+                ):
+                    if not (
+                        last + 2 < n and toks[last + 2][0] == "string"
+                    ):
+                        raise TranspileError(
+                            "mysql LIKE BINARY .. ESCAPE with a "
+                            "non-literal escape cannot ride Spark's "
+                            "like(str, pattern, escape) form; inline "
+                            "the escape character"
+                        )
+                    esc_ = sql[toks[last + 2][2]:toks[last + 2][3]]
+                    last = last + 2
                 if any(
-                    e[1] >= toks[lf][2] and e[0] <= toks[rs[1]][3]
+                    e[1] >= toks[lf][2] and e[0] <= toks[last][3]
                     for e in edits
                 ):
                     return i + 1  # pending edits inside — next pass
                 a_ = sql[toks[lf][2]:toks[lhs_end][3]].strip()
                 p_ = sql[toks[rs[0]][2]:toks[rs[1]][3]].strip()
-                fn = f"like(({a_}), ({p_}))"
+                fn = (
+                    f"like(({a_}), ({p_}), {esc_})" if esc_ is not None
+                    else f"like(({a_}), ({p_}))"
+                )
                 edits.append(
-                    (toks[lf][2], toks[rs[1]][3],
+                    (toks[lf][2], toks[last][3],
                      f"(NOT {fn})" if neg else fn)
                 )
-                return rs[1] + 1
+                return last + 1
             edits.append((start, end, "ILIKE"))
             return i + 1
         # MySQL `||` is logical OR (PIPES_AS_CONCAT off, the default);

@@ -45,7 +45,7 @@ def token_handlers(ctx) -> "int | None":
     # date ± INTERVAL promotes to TIMESTAMP in pg (shared pg/duck
     # handler — round-9 probe wave)
     if read == "postgres" and kind == "ident" and text.upper() == "INTERVAL":
-        from sqlmesh_spark.core.dialects.standard_edges import (
+        from sqlmesh_spark.core.dialects.interval_promote import (
             date_interval_promote,
         )
 
@@ -61,7 +61,7 @@ def token_handlers(ctx) -> "int | None":
         # composition partner of the promote above: decomposed mixed
         # intervals (and user-written pg make_interval calls) in date
         # arithmetic still promote the date side (r11 verdict #3)
-        from sqlmesh_spark.core.dialects.standard_edges import (
+        from sqlmesh_spark.core.dialects.interval_promote import (
             make_interval_date_promote,
         )
 

@@ -506,3 +506,21 @@ def test_r12_advice_fixes(spark):
         "SELECT like(('ABC'), ('A%')) AS cs, like(('abc'), ('A%')) AS ci"
     ).collect()[0]
     assert row.cs is True and row.ci is False
+    # a trailing ESCAPE clause rides Spark's 3-arg like() (the function
+    # form cannot take infix ESCAPE — the r12 rewrite emitted
+    # unparseable `like(..) ESCAPE '!'` and dropped the escape; ADVICE
+    # r12); non-literal escapes are loud
+    esc = transpile(
+        "SELECT c LIKE BINARY 'A!%' ESCAPE '!' AS x FROM t", "mysql")
+    assert esc == "SELECT like((c), ('A!%'), '!') AS x FROM t"
+    assert transpile(esc, "mysql") == esc  # fixpoint
+    nesc = transpile(
+        "SELECT c NOT LIKE BINARY 'A!%' ESCAPE '!' AS x FROM t", "mysql")
+    assert nesc == "SELECT (NOT like((c), ('A!%'), '!')) AS x FROM t"
+    with pytest.raises(TranspileError, match="non-literal escape"):
+        transpile("SELECT c LIKE BINARY 'A%' ESCAPE e FROM t", "mysql")
+    erow = spark.sql(
+        "SELECT like(('A%'), ('A!%'), '!') AS hit, "
+        "like(('AX'), ('A!%'), '!') AS miss"
+    ).collect()[0]
+    assert erow.hit is True and erow.miss is False

@@ -5377,3 +5377,43 @@ def test_range_and_union_type_louds_round11():
             transpile(q, "duckdb")
     assert transpile("SELECT lower(s), upper(s) FROM t", "postgres") == \
         "SELECT lower(s), upper(s) FROM t"
+
+
+def test_r13_split_dispatch_gates():
+    """The round-13 module split (standard.py 1,321 → standard +
+    datetime_calls; standard_edges.py 1,334 → standard_edges +
+    interval_promote) must keep every moved handler REACHABLE — the
+    round-8 split regression class was a dispatch gate narrower than a
+    moved handler's read tuple. One behavioral probe per moved handler
+    proves the dispatch path (standard.call_handlers → datetime_calls;
+    duckdb_tokens/postgres_ops token tier → interval_promote) fires."""
+    # datetime_calls: to_char (pg/redshift/oracle gate)
+    assert transpile("SELECT to_char(ts, 'YYYY-MM-DD') FROM t", "postgres") \
+        == "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+    # datetime_calls: string_to_array empty-separator seam fires
+    assert "split" in transpile(
+        "SELECT string_to_array(s, ',') FROM t", "postgres")
+    # datetime_calls: dateadd family (snowflake/redshift/tsql gate)
+    assert transpile("SELECT dateadd(day, 3, d) FROM t", "snowflake") \
+        == "SELECT timestampadd(DAY, 3, d) FROM t"
+    # datetime_calls: date_diff family incl. boundary-crossing trunc
+    assert transpile("SELECT datediff(day, a, b) FROM t", "snowflake") == (
+        "SELECT timestampdiff(DAY, date_trunc('day', a), "
+        "date_trunc('day', b)) FROM t"
+    )
+    # interval_promote: date ± INTERVAL promotes on BOTH reads
+    for read in ("duckdb", "postgres"):
+        assert transpile(
+            "SELECT DATE '2024-01-31' + INTERVAL '1 month' AS v", read
+        ) == "SELECT CAST(DATE '2024-01-31' AS TIMESTAMP) + " \
+             "INTERVAL '1 month' AS v"
+    # interval_promote: the make_interval composition partner (additive
+    # edit, token stays visible for the pg named-arg rewrite)
+    assert transpile(
+        "SELECT make_date(2024,1,31) + make_interval(months => 1) AS v",
+        "postgres",
+    ) == ("SELECT CAST(make_date(2024,1,31) AS TIMESTAMP) + "
+          "make_interval(0, 1, 0, 0, 0, 0, 0) AS v")
+    # and the moved handlers do NOT leak into non-gated reads
+    assert transpile("SELECT to_char(ts, 'x') FROM t", "duckdb") != \
+        "SELECT date_format(ts, 'x') FROM t"
