@@ -18,6 +18,7 @@ balanced-paren machinery the macro engine uses — the grammar is tiny:
 
 from __future__ import annotations
 
+from functools import lru_cache
 import re
 from dataclasses import dataclass, field
 from enum import Enum
@@ -228,11 +229,18 @@ _TABLE_REF_RE = re.compile(
 _DOTTED_RE = re.compile(r"\b([A-Za-z_][\w]*\.[A-Za-z_][\w]*)\b")
 
 
-def extract_depends_on(
-    query: str,
-    known_models: Optional[set[str]] = None,
-    dialect: str = "",
-) -> frozenset[str]:
+@lru_cache(maxsize=4096)
+def _dep_candidates(
+    query: str, dialect: str
+) -> tuple[frozenset[str], frozenset[str]]:
+    """The lex half of extract_depends_on, memoized: the table scan and
+    dotted-name scan depend only on (query, dialect), never on the known
+    model set — but Context.add_model must re-resolve EVERY model's
+    depends_on after each add (an earlier model may reference a
+    later-added one), which made project loading O(N²) full re-lexes
+    (72 s build at a 1,000-model DAG, tools/scale_orchestration.py).
+    Memoizing the pure lex leaves only the cheap membership filter in
+    the quadratic loop. Strings are immutable; lru_cache bounds memory."""
     from sqlmesh_spark.core.sqlparse import SqlParseError, dotted_names, find_tables
 
     try:
@@ -242,15 +250,24 @@ def extract_depends_on(
         # read dialect selects literal lexing — snowflake/bigquery
         # backslash-escaped quotes would otherwise drop this to the lossy
         # regex fallback, which scans literals and comments too.
-        deps = {t for t in find_tables(query, dialect) if "." in t}
-        dotted = dotted_names(query, dialect)
+        deps = frozenset(t for t in find_tables(query, dialect) if "." in t)
+        dotted = frozenset(dotted_names(query, dialect))
     except SqlParseError:
-        deps = set(m.group(1).lower() for m in _TABLE_REF_RE.finditer(query))
-        dotted = {m.group(1).lower() for m in _DOTTED_RE.finditer(query)}
+        deps = frozenset(m.group(1).lower() for m in _TABLE_REF_RE.finditer(query))
+        dotted = frozenset(m.group(1).lower() for m in _DOTTED_RE.finditer(query))
+    return deps, dotted
+
+
+def extract_depends_on(
+    query: str,
+    known_models: Optional[set[str]] = None,
+    dialect: str = "",
+) -> frozenset[str]:
+    deps, dotted = _dep_candidates(query, dialect)
     if known_models is not None:
         # Any dotted name that IS a model counts (covers macro-wrapped refs).
-        deps |= {d for d in dotted if d in known_models}
-    return frozenset(deps)
+        return frozenset(deps | {d for d in dotted if d in known_models})
+    return deps
 
 
 def _parse_blueprints(raw: str) -> list[dict[str, str]]:

@@ -693,15 +693,17 @@ class Scheduler:
         mapping = self.table_mapping()
         executed: dict[str, int] = {}
         # Level-parallel execution: models whose parents are all done run
-        # concurrently (concurrent_apply_to_dag analog).
+        # concurrently (concurrent_apply_to_dag analog). In-DAG parent
+        # sets are computed once — rebuilding set(self.snapshots) per
+        # candidate per level made level selection O(levels × N²).
+        known = set(self.snapshots)
+        in_dag_parents = {
+            n: set(self.snapshots[n].parents) & known for n in order
+        }
         done: set[str] = set()
         remaining = list(order)
         while remaining:
-            level = [
-                n
-                for n in remaining
-                if set(self.snapshots[n].parents) & set(self.snapshots) <= done
-            ]
+            level = [n for n in remaining if in_dag_parents[n] <= done]
             with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
                 counts = pool.map(
                     lambda n: self._run_snapshot(self.snapshots[n], start, end, mapping),

@@ -55,6 +55,22 @@ class StateStore:
             snaps[f"{name}@{version}"] = payload
             self._write("snapshots", snaps)
 
+    def put_snapshots(self, entries: dict[tuple[str, str], dict]) -> None:
+        """Bulk form of put_snapshot: ONE read-modify-write for a whole
+        plan's snapshot records. The per-call form rewrites the entire
+        snapshots file each time, which makes plan application O(N²)
+        bytes in model count (measured 87 MB of JSON for a 1,000-model
+        apply, tools/scale_orchestration.py); the reference's DB-backed
+        state sync likewise batches snapshot pushes. Same file format,
+        same atomic replace."""
+        if not entries:
+            return
+        with self._lock:
+            snaps = self._read("snapshots")
+            for (name, version), payload in entries.items():
+                snaps[f"{name}@{version}"] = payload
+            self._write("snapshots", snaps)
+
     def get_snapshot(self, name: str, version: str) -> Optional[dict]:
         return self._read("snapshots").get(f"{name}@{version}")
 

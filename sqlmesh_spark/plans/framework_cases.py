@@ -4090,3 +4090,74 @@ LIMIT 40
     )
     ctx.run(environment="env_trb")
     return spark.table("env_trb_views.order_digests")
+
+
+DAG_FANOUT_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')
+GROUP BY c_mktsegment
+"""
+
+
+@register("framework_dag_fanout", oracle=DAG_FANOUT_ORACLE, tags=("framework",))
+def framework_dag_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A multi-layer fan-out/fan-in DAG through one plan→apply→run: two
+    source VIEWs feed a FULL join model, three per-segment VIEWs fan out
+    from it, and a FULL summary fans them back in. Exercises the
+    level-parallel scheduler (layer 2's three segment models are
+    dependency-free siblings), snapshot bulk-registration, and the
+    parallel virtual-layer promotion over 7 models in one apply —
+    the orchestration plane the round-13 scale profile
+    (tools/scale_orchestration.py, SCALE_r13.json) measures at
+    100/1,000 models."""
+    _clean_dbs(spark, "sqlmesh__demo_dag", "env_dag_views")
+    ctx = Context(spark, state_dir=tempfile.mkdtemp(prefix="sqlmesh_state_"))
+    ctx.add_model(
+        f"""
+MODEL (name demo_dag.src_orders, kind VIEW);
+SELECT o_custkey, o_totalprice FROM parquet.`{sf_dir}/orders.parquet`
+"""
+    )
+    ctx.add_model(
+        f"""
+MODEL (name demo_dag.src_customer, kind VIEW);
+SELECT c_custkey, c_mktsegment FROM parquet.`{sf_dir}/customer.parquet`
+"""
+    )
+    ctx.add_model(
+        """
+MODEL (name demo_dag.enriched, kind FULL);
+SELECT c.c_mktsegment AS segment,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+FROM demo_dag.src_orders o
+JOIN demo_dag.src_customer c ON o.o_custkey = c.c_custkey
+"""
+    )
+    for seg in ("BUILDING", "MACHINERY", "HOUSEHOLD"):
+        ctx.add_model(
+            f"""
+MODEL (name demo_dag.seg_{seg.lower()}, kind VIEW);
+SELECT segment, price_cents FROM demo_dag.enriched
+WHERE segment = '{seg}'
+"""
+        )
+    ctx.add_model(
+        """
+MODEL (name demo_dag.summary, kind FULL);
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT * FROM demo_dag.seg_building
+  UNION ALL SELECT * FROM demo_dag.seg_machinery
+  UNION ALL SELECT * FROM demo_dag.seg_household
+)
+GROUP BY segment
+"""
+    )
+    ctx.run(environment="env_dag", start="1995-01-01", end="1995-01-02")
+    return spark.table("env_dag_views.summary")

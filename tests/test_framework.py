@@ -241,6 +241,49 @@ def test_state_store_concurrent_add_interval(tmp_path):
     assert got == [(i, i + 1) for i in range(64)]
 
 
+def test_state_store_bulk_put_snapshots(tmp_path):
+    """put_snapshots (the r13 one-write bulk form plan application uses)
+    must be observationally identical to N put_snapshot calls: same file,
+    same payloads, merging over existing entries."""
+    from sqlmesh_spark.core.state import StateStore
+
+    a = StateStore(str(tmp_path / "a"))
+    b = StateStore(str(tmp_path / "b"))
+    a.put_snapshot("pre", "v0", {"kind": "VIEW"})
+    b.put_snapshot("pre", "v0", {"kind": "VIEW"})
+    entries = {(f"m{i}", "v1"): {"kind": "FULL", "i": i} for i in range(20)}
+    for (n, v), p in entries.items():
+        a.put_snapshot(n, v, p)
+    b.put_snapshots(entries)
+    b.put_snapshots({})  # no-op, never touches the file
+    assert a._read("snapshots") == b._read("snapshots")
+    assert b.get_snapshot("m7", "v1") == {"kind": "FULL", "i": 7}
+    assert b.get_snapshot("pre", "v0") == {"kind": "VIEW"}
+
+
+def test_dep_candidates_memo_tracks_known_set():
+    """The r13 memoized dependency lex must keep extract_depends_on
+    exact: the SAME query string resolves differently as the known-model
+    set grows (the reason add_model re-resolves every model per add),
+    and the memo must never freeze an earlier answer."""
+    from sqlmesh_spark.core.model import extract_depends_on
+
+    q = "SELECT * FROM demo.base JOIN helper_cte USING (k)"
+    assert extract_depends_on(q) == frozenset({"demo.base"})
+    # same string, larger known set: the dotted ref still resolves and
+    # nothing leaks from the cached candidates
+    assert extract_depends_on(q, known_models={"demo.base"}) == frozenset(
+        {"demo.base"}
+    )
+    q2 = "SELECT * FROM demo.base b JOIN demo.dim d ON b.k = d.k"
+    assert extract_depends_on(q2, known_models=set()) == frozenset(
+        {"demo.base", "demo.dim"}
+    )
+    assert extract_depends_on(q2, known_models={"demo.dim"}) == frozenset(
+        {"demo.base", "demo.dim"}
+    )
+
+
 def test_empty_window_run_is_noop(spark, sf_dir):
     """start == end ⇒ zero missing intervals ⇒ zero evaluations, and a
     repeat run over a fully-processed window is also a no-op."""
